@@ -1,0 +1,59 @@
+"""pinn_fem_tpu — TPU-native FEM + PINN inverse-problem framework.
+
+A ground-up JAX/XLA re-design with the capabilities of the reference
+PINN-FEM stack (rpacheco-blazquez/PINN-FEM): 1D/2D truss FEM, NN-
+parameterized material fields (E, A, rho), and four coupled solvers
+(Newton-Raphson, gradient descent, hybrid GD->NR, full Newton with the
+coupled (u, theta) Hessian) under a universal incremental-loading driver —
+plus Gauss-Newton/Levenberg-Marquardt, multi-device sharding utilities, and
+the reference-compatible JSON CLI contract.
+"""
+
+from .utils.runtime import configure
+
+configure()
+
+from .config import SolverConfig, SolverResult  # noqa: E402
+from .models.fields import (  # noqa: E402
+    Material,
+    MLPField,
+    ScalarField,
+    make_mlp_field,
+    to_field,
+)
+from .models.problem import (  # noqa: E402
+    ProblemData,
+    TrussProblem,
+    element_dofs,
+    free_and_fixed_dofs,
+)
+from .ops.assembly import assemble_system, internal_force_and_strain  # noqa: E402
+from .solvers.driver import solve  # noqa: E402
+from .solvers.full_newton import solve_full_nr  # noqa: E402
+from .solvers.gd import solve_gd  # noqa: E402
+from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.newton import solve_nr  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SolverConfig",
+    "SolverResult",
+    "Material",
+    "MLPField",
+    "ScalarField",
+    "make_mlp_field",
+    "to_field",
+    "ProblemData",
+    "TrussProblem",
+    "element_dofs",
+    "free_and_fixed_dofs",
+    "assemble_system",
+    "internal_force_and_strain",
+    "solve",
+    "solve_nr",
+    "solve_gd",
+    "solve_hybrid",
+    "solve_full_nr",
+    "configure",
+]

@@ -1,0 +1,121 @@
+"""Generic JSON CLI — the reference-compatible process entry point.
+
+Contract parity with /root/reference/FEM/python/examples/json/generic.py:
+
+    python -m pinn_fem_tpu.cli.generic problem.json [output.json]
+
+  * output defaults to <stem>.res.json next to the input (generic.py:813-818);
+  * a <stem>.log file captures the run (overwrite mode, generic.py:67-99);
+  * the result JSON carries {success, converged, iterations, displacements,
+    reactions, history, nn_parameters?, identified_properties?}
+    (generic.py:476-495);
+  * exit code 1 with the traceback logged on failure (generic.py:861-867).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+from datetime import datetime
+from pathlib import Path
+
+from ..io.results import result_to_output_dict
+from ..io.schema import parse_problem_file
+from ..solvers.driver import resolve_method, solve
+from ..utils.runtime import configure
+
+logger = logging.getLogger("pinn_fem_tpu.cli")
+
+
+def setup_logging(problem_file: str) -> Path:
+    problem_name = Path(problem_file).stem
+    log_file = Path(problem_file).parent / f"{problem_name}.log"
+    # Handlers on the package logger (not root) so third-party DEBUG noise
+    # stays out of the run log.
+    pkg_logger = logging.getLogger("pinn_fem_tpu")
+    pkg_logger.setLevel(logging.DEBUG)
+    pkg_logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s] %(message)s")
+    for h in (
+        logging.FileHandler(log_file, mode="w", encoding="utf-8"),
+        logging.StreamHandler(sys.stdout),
+    ):
+        h.setFormatter(fmt)
+        pkg_logger.addHandler(h)
+    logger.info("=" * 60)
+    logger.info("PINN-FEM-TPU Generic Solver Log")
+    logger.info("Timestamp: %s", datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
+    logger.info("Problem file: %s", problem_file)
+    logger.info("Log file: %s", log_file)
+    logger.info("=" * 60)
+    return log_file
+
+
+def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dict:
+    configure()
+    parsed = parse_problem_file(problem_file, seed=seed)
+    problem, config = parsed.problem, parsed.config
+
+    logger.info("Nodes: %d", problem.nnode)
+    logger.info("Elements: %d", problem.nelm)
+    logger.info("Fixed DOFs: %d", len(problem.fixed_dofs))
+    logger.info("Has NN: %s", problem.material.has_trainable_params)
+    has_meas = parsed.measured_dofs is not None and len(parsed.measured_dofs) > 0
+    logger.info("Has measurements: %s", has_meas)
+    logger.info(
+        "Solver method: %s",
+        resolve_method(problem, config, parsed.measured_disp, parsed.measured_dofs),
+    )
+
+    result = solve(
+        problem,
+        config,
+        measured_disp=parsed.measured_disp,
+        measured_dofs=parsed.measured_dofs,
+    )
+
+    output = result_to_output_dict(result, problem)
+
+    if output_file is None:
+        p = Path(problem_file)
+        output_file = str(p.parent / f"{p.stem}.res.json")
+    with open(output_file, "w") as f:
+        json.dump(output, f, indent=2)
+
+    logger.info("%s", "=" * 60)
+    logger.info("SOLUTION SUMMARY:")
+    if output.get("success"):
+        logger.info("  Status: SUCCESS")
+        logger.info("  Iterations: %s", output.get("iterations"))
+        disp = output.get("displacements", [])
+        if disp:
+            logger.info("  Max displacement: %.6e", max(abs(d) for d in disp))
+    else:
+        logger.info("  Status: FAILED")
+    logger.info("Results written to %s", output_file)
+    return output
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 1:
+        print("Usage: python -m pinn_fem_tpu.cli.generic problem.json [output.json]")
+        return 1
+    problem_file = argv[0]
+    output_file = argv[1] if len(argv) > 1 else None
+    setup_logging(problem_file)
+    try:
+        run(problem_file, output_file)
+        logger.info("[SUCCESS] Solve completed successfully")
+        return 0
+    except Exception as e:  # contract: log traceback, exit 1
+        import traceback
+
+        logger.error("[ERROR] %s", e)
+        logger.error("%s", traceback.format_exc())
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,212 @@
+"""Problem-JSON parsing: the framework's public configuration contract.
+
+Byte-level capability parity with the reference's canonical CLI parser
+(/root/reference/FEM/python/examples/json/generic.py:145-444), covering all
+input format variants:
+
+  * nodes as coordinate lists (incl. true-1D [[x], ...] flattening,
+    generic.py:155-164) or dicts with x/y + fixed/fixed_x/fixed_y
+    (generic.py:167, 194-205);
+  * elements as [[i, j], ...] or [{"nodes": [i, j]}, ...]
+    (generic.py:176-183);
+  * fixed_dofs directly, else derived from dict-node BC flags;
+  * three measured-displacement formats (generic.py:319-362):
+    {"global_dof", "measured_u"}, legacy {"nodes","ux","uy"}, and per-node
+    measured_ux/measured_uy (nonzero entries only);
+  * nn_config per property with hidden_layers/hiddenLayers and
+    neurons_per_layer/neuronsPerLayer aliases (generic.py:234-312);
+  * method precedence: solver_config.method > solver_type mapping
+    (generic.py:384-397); pinn_config vs solver_config key precedence
+    exactly as generic.py:399-428 (note learning rates prefer solver_config,
+    everything else prefers pinn_config).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..config import SolverConfig
+from ..models.fields import Material, make_mlp_field, to_field
+from ..models.problem import TrussProblem
+
+_PROPERTY_DEFAULTS = {"young": 210e9, "area": 0.01, "density": 7850.0}
+
+
+@dataclass
+class ParsedProblem:
+    problem: TrussProblem
+    config: SolverConfig
+    measured_disp: Optional[np.ndarray] = None
+    measured_dofs: Optional[np.ndarray] = None
+    meta: Dict = field(default_factory=dict)
+
+
+def _parse_nodes(nodes_list):
+    """Returns (nodes array for TrussProblem, problem_dim, is_dict_format)."""
+    if nodes_list and isinstance(nodes_list[0], list):
+        arr = np.array(nodes_list, dtype=float)
+        dim = arr.shape[1]
+        if dim == 1:
+            return arr.flatten(), 1, False
+        return arr, dim, False
+    nodes = np.array([[n["x"], n["y"]] for n in nodes_list], dtype=float)
+    return nodes, 2, True
+
+
+def _parse_elements(elements_data):
+    if elements_data and isinstance(elements_data[0], list):
+        return np.array(elements_data, dtype=int)
+    return np.array([[e["nodes"][0], e["nodes"][1]] for e in elements_data], dtype=int)
+
+
+def _parse_fixed_dofs(data, nodes_list):
+    fixed = data.get("fixed_dofs", [])
+    if fixed:
+        return np.array(fixed, dtype=int)
+    out = []
+    if nodes_list and isinstance(nodes_list[0], dict):
+        for i, node in enumerate(nodes_list):
+            if node.get("fixed", False):
+                out.extend([2 * i, 2 * i + 1])
+            else:
+                if node.get("fixed_x", False):
+                    out.append(2 * i)
+                if node.get("fixed_y", False):
+                    out.append(2 * i + 1)
+    return np.array(out, dtype=int)
+
+
+def _parse_measured(data, nodes_list):
+    dofs, values = [], []
+    measured = data.get("measured_displacements", None)
+    if measured:
+        if "global_dof" in measured and "measured_u" in measured:
+            dofs = list(measured["global_dof"])
+            values = list(measured["measured_u"])
+        else:
+            m_nodes = measured.get("nodes", [])
+            m_ux = measured.get("ux", [])
+            m_uy = measured.get("uy", [])
+            for idx, node_id in enumerate(m_nodes):
+                if idx < len(m_ux):
+                    dofs.append(2 * node_id)
+                    values.append(m_ux[idx])
+                if idx < len(m_uy):
+                    dofs.append(2 * node_id + 1)
+                    values.append(m_uy[idx])
+    else:
+        for i, node in enumerate(nodes_list):
+            if not isinstance(node, dict):
+                continue
+            ux = node.get("measured_ux", 0)
+            uy = node.get("measured_uy", 0)
+            if ux != 0:
+                dofs.append(2 * i)
+                values.append(ux)
+            if uy != 0:
+                dofs.append(2 * i + 1)
+                values.append(uy)
+    return np.array(dofs, dtype=int), np.array(values, dtype=float)
+
+
+def _build_material(data, seed: int) -> Material:
+    material_data = data.get("material", {})
+    nn_config = data.get("nn_config", {})
+    fields = {}
+    for k, prop in enumerate(("young", "area", "density")):
+        base = material_data.get(prop, _PROPERTY_DEFAULTS[prop])
+        cfg = nn_config.get(prop, {})
+        if cfg.get("enabled", False):
+            input_dim = cfg.get("input_dim", 1)
+            fields[prop] = make_mlp_field(
+                jax.random.PRNGKey(seed * 1000 + k),
+                hidden_layers=cfg.get("hidden_layers", cfg.get("hiddenLayers", 2)),
+                neurons_per_layer=cfg.get(
+                    "neurons_per_layer", cfg.get("neuronsPerLayer", 20)
+                ),
+                input_dim=input_dim,
+                scale=base,
+                enforce_positive=True,
+            )
+        else:
+            fields[prop] = to_field(base)
+    return Material(**fields)
+
+
+def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
+    nodes_list = data.get("nodes", [])
+    nodes, problem_dim, _ = _parse_nodes(nodes_list)
+    elements = _parse_elements(data.get("elements", []))
+    fixed_dofs = _parse_fixed_dofs(data, nodes_list)
+
+    n_nodes = len(nodes_list)
+    n_dofs = n_nodes * problem_dim
+    loads = np.array(data.get("loads", [0.0] * n_dofs), dtype=float)
+
+    material = _build_material(data, seed)
+    solver_type = data.get("solver_type", "auto")
+
+    measured_disp = measured_dofs = None
+    if solver_type.startswith("pinn"):
+        mdofs, mvals = _parse_measured(data, nodes_list)
+        measured_dofs, measured_disp = mdofs, mvals
+
+    problem = TrussProblem(
+        nodes=nodes,
+        elements=elements,
+        material=material,
+        loads=loads,
+        fixed_dofs=fixed_dofs,
+        dimension=problem_dim,
+    )
+
+    sc = data.get("solver_config", {})
+    pc = data.get("pinn_config", {})
+
+    explicit = sc.get("method", None)
+    if explicit:
+        method = explicit
+    elif solver_type == "fem":
+        method = "nr"
+    elif solver_type in ("pinn-gd", "pinn"):
+        method = "gd"
+    elif solver_type == "pinn-hybrid":
+        method = "hybrid"
+    else:
+        method = "auto"
+
+    config = SolverConfig(
+        max_iterations=pc.get("max_iterations", sc.get("max_iterations", 1000)),
+        tolerance=pc.get("tolerance", sc.get("tolerance", 1e-6)),
+        print_every=pc.get("print_every", 10),
+        n_increments=sc.get("n_increments", 10),
+        min_denominator=sc.get("min_denominator", 1e-10),
+        learning_rate_u=sc.get("learning_rate_u", pc.get("learning_rate_u", 1e-7)),
+        learning_rate_theta=sc.get(
+            "learning_rate_theta", pc.get("learning_rate_theta", 1e-4)
+        ),
+        alpha_physics=pc.get("alpha_physics", 1.0),
+        alpha_data=pc.get("alpha_data", 100.0),
+        preconditioning=pc.get("preconditioning", sc.get("preconditioning", False)),
+        method=method,
+        seed=seed,
+    )
+
+    return ParsedProblem(
+        problem=problem,
+        config=config,
+        measured_disp=measured_disp,
+        measured_dofs=measured_dofs,
+        meta={"solver_type": solver_type, "description": data.get("description", "")},
+    )
+
+
+def parse_problem_file(path, seed: int = 0) -> ParsedProblem:
+    import json
+
+    with open(path, "r") as f:
+        return parse_problem_dict(json.load(f), seed=seed)

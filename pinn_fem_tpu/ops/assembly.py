@@ -1,0 +1,116 @@
+"""Global system assembly: one fused gather/outer-product/scatter program.
+
+Capability parity with BOTH reference assembly paths —
+/root/reference/FEM/python/fem/assembly.py:16-75 (NumPy, element loop with
+np.ix_ scatter) and nn_assembly.py:105-231 (torch, scalar-indexed scatter to
+preserve autograd) — replaced by a single differentiable JAX function.
+Because everything is jnp, gradients w.r.t. BOTH displacements and material
+parameters flow through automatically; no second "autograd-preserving"
+implementation is needed.
+
+Behavioral contracts preserved:
+  * material evaluated at ELEMENT MIDPOINTS (assembly.py:36-38, 58-61);
+  * NN material inputs are (load_factor, x[, y]) columns —
+    see models/fields.assembly_inputs;
+  * density is never evaluated during assembly (only young/area enter the
+    stiffness), matching the reference (assembly.py:39-41; SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..models.fields import Material, assembly_inputs
+from ..models.problem import ProblemData
+from .elements import truss_linear_batch
+
+
+def material_values(
+    data: ProblemData, material: Material, load_factor
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Evaluate (young, area) at all element midpoints in one batch."""
+    x = assembly_inputs(data.mid, data.dimension, load_factor)
+    return material.young.eval_batch(x), material.area.eval_batch(x)
+
+
+def assemble_system(
+    data: ProblemData,
+    material: Material,
+    u: jnp.ndarray,
+    load_factor=1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble dense global stiffness, internal force and max strain.
+
+    Args:
+        data: device problem arrays.
+        material: material field pytree (differentiable parameters inside).
+        u: (ndof,) current displacements.
+        load_factor: traced scalar, forwarded to load-factor-aware NN fields.
+
+    Returns:
+        (K, f_int, max_abs_strain):
+            K (ndof, ndof), f_int (ndof,), max_abs_strain scalar —
+            same contract as reference assemble_system (assembly.py:16,75).
+    """
+    young, area = material_values(data, material, load_factor)
+    u_e = u[data.dof_map]                                  # (nelm, 2d) gather
+    elem = truss_linear_batch(data.gvec, data.inv_len, u_e, young, area)
+
+    ndof = data.ndof
+    rows = data.dof_map[:, :, None]
+    cols = data.dof_map[:, None, :]
+    k_global = jnp.zeros((ndof, ndof), dtype=u.dtype).at[rows, cols].add(elem.ke)
+    f_int = jnp.zeros(ndof, dtype=u.dtype).at[data.dof_map].add(elem.fe_int)
+    max_abs_strain = jnp.max(jnp.abs(elem.strain)) if data.nelm else jnp.zeros((), u.dtype)
+    return k_global, f_int, max_abs_strain
+
+
+def internal_force_and_strain(
+    data: ProblemData,
+    material: Material,
+    u: jnp.ndarray,
+    load_factor=1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Matrix-free internal force: never materializes K.
+
+    This is the hot path for the gradient-descent/PINN solvers — the
+    reference assembled the full K every iteration (nn_assembly.py:105) even
+    though only f_int enters the loss; skipping K halves the scatter work
+    and removes an O(ndof^2) buffer from the training loop.
+    """
+    young, area = material_values(data, material, load_factor)
+    u_e = u[data.dof_map]
+    s = young * area * data.inv_len
+    gu = jnp.sum(data.gvec * u_e, axis=-1)
+    fe = (s * gu)[:, None] * data.gvec
+    f_int = jnp.zeros(data.ndof, dtype=u.dtype).at[data.dof_map].add(fe)
+    return f_int, gu * data.inv_len
+
+
+def element_strain_stress(
+    data: ProblemData,
+    material: Material,
+    u: jnp.ndarray,
+    engineering: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-element engineering strain/stress from deformed geometry.
+
+    Matches api_fem_solver.compute_element_stresses
+    (api_fem_solver.py:78-118): eps = (L - L0)/L0 on the DEFORMED chord,
+    sigma = E * eps.
+    """
+    u_e = u[data.dof_map]                                   # (nelm, 2d)
+    dim = data.dimension
+    du = u_e[:, dim:] - u_e[:, :dim]                        # (nelm, dim)
+    # Rest chord vector = direction cosines * L0 = gvec[:, dim:] / inv_len.
+    dx0 = data.gvec[:, dim:] / data.inv_len[:, None]
+    if engineering:
+        l_def = jnp.linalg.norm(dx0 + du, axis=1)
+        eps = (l_def - 1.0 / data.inv_len) * data.inv_len
+    else:
+        eps = jnp.sum(data.gvec * u_e, axis=-1) * data.inv_len
+    x = assembly_inputs(data.mid, dim, jnp.asarray(1.0, u.dtype))
+    young = material.young.eval_batch(x)
+    return eps, young * eps

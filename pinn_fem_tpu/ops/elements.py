@@ -1,0 +1,128 @@
+"""Vectorized truss element kernels.
+
+API-surface parity with the reference element library
+(/root/reference/FEM/python/fem/element.py: truss1d_linear_element:15-42,
+truss2d_linear_element:45-102, truss2d_element_state:105-133) — but each
+kernel here is written over BATCHES of elements so a whole mesh is one
+vector program.  Single-element wrappers are provided for unit testing and
+for API familiarity.
+
+Note: as in the reference, the Green-Lagrange geometrically-nonlinear kernel
+is exposed API surface but is NOT used by the default assembly path (the
+reference imports it at assembly.py:10 and never calls it; its 2D solve path
+uses the LINEAR kernel, assembly.py:52-73).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class ElementBatch(NamedTuple):
+    """Batched equivalent of the reference's ElementState (element.py:8-12)."""
+
+    ke: jnp.ndarray      # (nelm, 2d, 2d) element stiffness
+    fe_int: jnp.ndarray  # (nelm, 2d) internal force
+    strain: jnp.ndarray  # (nelm,) axial strain measure
+
+
+def truss_linear_batch(
+    gvec: jnp.ndarray,
+    inv_len: jnp.ndarray,
+    u_e: jnp.ndarray,
+    young: jnp.ndarray,
+    area: jnp.ndarray,
+) -> ElementBatch:
+    """Linear truss kernel (1D and 2D unified) over a batch of elements.
+
+    ke = s g g^T, fe = s (g.u) g, eps = (g.u) / L0, with s = E A / L0.
+    Matches the closed forms at element.py:15-42 (1D) and element.py:45-102
+    (2D: the c^2/cs/s^2 pattern is exactly g g^T).
+
+    Args:
+        gvec: (nelm, 2d) signed direction vectors.
+        inv_len: (nelm,) reciprocal rest lengths.
+        u_e: (nelm, 2d) element displacement vectors.
+        young, area: (nelm,) material values at element midpoints.
+    """
+    s = young * area * inv_len                      # (nelm,)
+    gu = jnp.sum(gvec * u_e, axis=-1)               # (nelm,) axial elongation
+    ke = s[:, None, None] * gvec[:, :, None] * gvec[:, None, :]
+    fe = (s * gu)[:, None] * gvec
+    strain = gu * inv_len
+    return ElementBatch(ke=ke, fe_int=fe, strain=strain)
+
+
+def truss2d_green_lagrange_batch(
+    x0: jnp.ndarray,
+    u_e: jnp.ndarray,
+    inv_len: jnp.ndarray,
+    young: jnp.ndarray,
+    area: jnp.ndarray,
+) -> ElementBatch:
+    """Geometrically nonlinear 2D truss (Green-Lagrange), batched.
+
+    Mirrors element.py:105-133: e_gl = (L^2 - L0^2) / (2 L0^2),
+    ke = (EA/L0^3) d0 d0^T + (EA/L0) e_gl d d^T, fe = (EA/L0) e_gl d,
+    with d0/d the (+dx, -dx) stacked rest/deformed chord vectors.
+
+    Args:
+        x0: (nelm, 2, 2) rest coordinates of the two element nodes (i then j).
+        u_e: (nelm, 4) displacements ordered [u_ix, u_iy, u_jx, u_jy].
+    """
+    dx0 = x0[:, 1, :] - x0[:, 0, :]                       # (nelm, 2)
+    u2 = u_e.reshape(u_e.shape[0], 2, 2)
+    dx = dx0 + (u2[:, 1, :] - u2[:, 0, :])
+
+    l0_sq = jnp.sum(dx0 * dx0, axis=-1)
+    l_sq = jnp.sum(dx * dx, axis=-1)
+    e_gl = (l_sq - l0_sq) / (2.0 * l0_sq)
+
+    d0 = jnp.concatenate([dx0, -dx0], axis=1)             # (nelm, 4)
+    d = jnp.concatenate([dx, -dx], axis=1)
+
+    ea_invl = young * area * inv_len
+    ke_l = (ea_invl * inv_len * inv_len)[:, None, None] * d0[:, :, None] * d0[:, None, :]
+    ke_nl = (ea_invl * e_gl)[:, None, None] * d[:, :, None] * d[:, None, :]
+    fe = (ea_invl * e_gl)[:, None] * d
+    return ElementBatch(ke=ke_l + ke_nl, fe_int=fe, strain=e_gl)
+
+
+# ---------------------------------------------------------------------------
+# Single-element convenience wrappers (reference API shape, for tests/demos)
+# ---------------------------------------------------------------------------
+
+
+def truss1d_linear_element(x_i0, x_j0, u_i, u_j, young, area) -> ElementBatch:
+    l0 = jnp.abs(jnp.asarray(x_j0) - jnp.asarray(x_i0))
+    g = jnp.array([[-1.0, 1.0]])
+    out = truss_linear_batch(
+        g,
+        (1.0 / l0)[None] if jnp.ndim(l0) else jnp.array([1.0 / l0]),
+        jnp.array([[u_i, u_j]]),
+        jnp.array([young]),
+        jnp.array([area]),
+    )
+    return ElementBatch(ke=out.ke[0], fe_int=out.fe_int[0], strain=out.strain[0])
+
+
+def truss2d_linear_element(x_i0, x_j0, u_i, u_j, young, area) -> ElementBatch:
+    dx0 = jnp.asarray(x_j0, dtype=jnp.result_type(float)) - jnp.asarray(x_i0)
+    l0 = jnp.linalg.norm(dx0)
+    c = dx0 / l0
+    g = jnp.concatenate([-c, c])[None, :]
+    u_e = jnp.concatenate([jnp.asarray(u_i), jnp.asarray(u_j)])[None, :]
+    out = truss_linear_batch(g, jnp.array([1.0 / l0]), u_e, jnp.array([young]), jnp.array([area]))
+    return ElementBatch(ke=out.ke[0], fe_int=out.fe_int[0], strain=out.strain[0])
+
+
+def truss2d_element_state(x_i0, x_j0, u_i, u_j, young, area) -> ElementBatch:
+    x0 = jnp.stack([jnp.asarray(x_i0), jnp.asarray(x_j0)])[None, :, :]
+    u_e = jnp.concatenate([jnp.asarray(u_i), jnp.asarray(u_j)])[None, :]
+    l0 = jnp.linalg.norm(x0[0, 1] - x0[0, 0])
+    out = truss2d_green_lagrange_batch(
+        x0, u_e, jnp.array([1.0 / l0]), jnp.array([young]), jnp.array([area])
+    )
+    return ElementBatch(ke=out.ke[0], fe_int=out.fe_int[0], strain=out.strain[0])

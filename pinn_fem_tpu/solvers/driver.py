@@ -1,0 +1,107 @@
+"""Universal incremental-loading driver.
+
+Capability parity with /root/reference/FEM/python/fem/solver.py:1045-1167
+(solve): method resolution (explicit config.method, else auto: no NN & no
+measurements -> "nr", otherwise -> "gd"), load stepping
+lf_i = lf0 + (i/n)(lf1 - lf0), warm-start threading of the displacement
+vector between increments (solver.py:1101-1116), full-nr always cold
+(solver.py:1141-1148), early abort on a non-converged increment
+(solver.py:1161-1165), and returning the LAST increment's result.
+
+The device problem arrays are built once and shared by every increment, so
+each increment is a cached-program invocation — the reference re-entered
+Python/torch from scratch per increment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ..config import SolverConfig, SolverResult
+from ..models.problem import TrussProblem
+from .full_newton import solve_full_nr
+from .gd import solve_gd
+from .hybrid import solve_hybrid
+from .newton import solve_nr
+
+
+def resolve_method(
+    problem: TrussProblem,
+    config: SolverConfig,
+    measured_disp=None,
+    measured_dofs=None,
+) -> str:
+    if config.method != "auto":
+        return config.method.lower()
+    has_nn = problem.material.has_trainable_params
+    has_meas = measured_disp is not None and measured_dofs is not None
+    if not has_nn and not has_meas:
+        return "nr"
+    return "gd"
+
+
+def solve(
+    problem: TrussProblem,
+    config: Optional[SolverConfig] = None,
+    measured_disp: Optional[np.ndarray] = None,
+    measured_dofs: Optional[np.ndarray] = None,
+    verbose: bool = True,
+) -> SolverResult:
+    config = config or SolverConfig()
+    method = resolve_method(problem, config, measured_disp, measured_dofs)
+    data = problem.to_device()
+
+    result: Optional[SolverResult] = None
+    u_current: Optional[np.ndarray] = None
+
+    for iinc in range(1, config.n_increments + 1):
+        load_factor = config.load_factor_initial + (iinc / config.n_increments) * (
+            config.load_factor_final - config.load_factor_initial
+        )
+        if verbose:
+            start = "WARM_START" if u_current is not None else "COLD_START"
+            print(f"{iinc:4d} | {load_factor:12.4f} | {start:>10}")
+
+        if method == "gd":
+            result = solve_gd(
+                problem, config, measured_disp, measured_dofs,
+                target_load_factor=load_factor, u_initial=u_current, data=data,
+            )
+        elif method == "nr":
+            result = solve_nr(
+                problem, config, target_load_factor=load_factor,
+                u_initial=u_current, data=data,
+            )
+        elif method == "hybrid":
+            result = solve_hybrid(
+                problem, config, measured_disp, measured_dofs,
+                target_load_factor=load_factor, u_initial=u_current, data=data,
+            )
+        elif method in ("full-nr", "full_nr"):
+            # No warm start, matching solver.py:1141-1148.
+            result = solve_full_nr(
+                problem, config, measured_disp, measured_dofs,
+                target_load_factor=load_factor, data=data,
+            )
+        elif method == "gn":
+            from .gauss_newton import solve_gauss_newton
+
+            result = solve_gauss_newton(
+                problem, config, measured_disp, measured_dofs,
+                target_load_factor=load_factor, u_initial=u_current, data=data,
+            )
+        else:
+            raise ValueError(f"Unknown solver method: {method}")
+
+        u_current = result.displacements.flatten()
+        if verbose:
+            status = "CONVERGED" if result.converged else "FAILED"
+            print(f"{iinc:4d} | {load_factor:12.6f} | {status:>10}")
+        if not result.converged:
+            if verbose:
+                print(f"[WARNING] Increment {iinc} did not converge, stopping.")
+            break
+
+    return result

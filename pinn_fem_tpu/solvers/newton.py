@@ -1,0 +1,119 @@
+"""Classic Newton-Raphson solver, fully jit-compiled.
+
+Capability parity with /root/reference/FEM/python/fem/solver.py:408-512
+(solve_nr) and fem/core.py:10-79 (solve_incremental_newton): same update
+rule, same relative-du convergence criterion ||du|| / max(||u||, min_denom),
+same reaction computation K u - lf * loads with free DOFs zeroed, same
+single-entry history {load_factor, iterations, residual, max_strain,
+converged}.
+
+TPU-native differences:
+  * the NR iteration runs inside lax.while_loop on device — one compiled
+    program per problem signature, reused for every increment and example;
+  * boundary conditions via masked in-place elimination (ops/linalg.py), so
+    BC patterns don't trigger recompilation;
+  * float32 with one iterative-refinement sweep instead of NumPy float64.
+
+Documented divergence: warm starts are honored when config.nr_warm_start
+(the reference accepts u_initial but always restarts from zeros,
+solver.py:443 — results are identical for converged increments).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverConfig, SolverResult
+from ..models.fields import Material
+from ..models.problem import ProblemData, TrussProblem
+from ..ops.assembly import assemble_system
+from ..ops.linalg import masked_solve
+
+
+@jax.jit
+def _nr_core(data: ProblemData, material: Material, u0, load_factor, max_iter, tol, min_denom):
+    """One load increment of Newton-Raphson. Everything traced."""
+
+    def cond(carry):
+        it, _, _, conv, _ = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
+
+    def body(carry):
+        it, u, _, _, _ = carry
+        k, f_int, max_strain = assemble_system(data, material, u, load_factor)
+        rhs = load_factor * data.loads - f_int
+        du = masked_solve(k, rhs, data.free_mask)
+        u_new = u + du
+        res = jnp.linalg.norm(du) / jnp.maximum(jnp.linalg.norm(u_new), min_denom)
+        return (it + 1, u_new, res, res <= tol, max_strain)
+
+    init = (
+        jnp.zeros((), jnp.int32),
+        u0,
+        jnp.asarray(jnp.inf, u0.dtype),
+        jnp.zeros((), bool),
+        jnp.zeros((), u0.dtype),
+    )
+    it, u, res, conv, max_strain = jax.lax.while_loop(cond, body, init)
+
+    # Reactions: K u - lf * loads, free DOFs zeroed (solver.py:495-497).
+    k_final, _, _ = assemble_system(data, material, u, load_factor)
+    reactions = (k_final @ u - load_factor * data.loads) * data.fixed_mask
+    return u, reactions, it, res, conv, max_strain
+
+
+def solve_nr(
+    problem: TrussProblem,
+    config: Optional[SolverConfig] = None,
+    target_load_factor: float = 1.0,
+    u_initial: Optional[np.ndarray] = None,
+    data: Optional[ProblemData] = None,
+) -> SolverResult:
+    """Single-increment NR solve (driven by solvers.driver.solve)."""
+    config = config or SolverConfig()
+    if problem.material.has_trainable_params:
+        raise ValueError(
+            "Newton-Raphson solver with NN materials not fully supported yet. "
+            "Use solve_gd() for problems with NN parameters."
+        )
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    if u_initial is not None and config.nr_warm_start:
+        u0 = jnp.asarray(np.asarray(u_initial).reshape(-1), dtype=dtype)
+    else:
+        u0 = jnp.zeros(problem.ndof, dtype=dtype)
+
+    u, reactions, it, res, conv, max_strain = _nr_core(
+        data,
+        problem.material,
+        u0,
+        jnp.asarray(target_load_factor, dtype),
+        jnp.asarray(config.max_iterations, jnp.int32),
+        jnp.asarray(config.tolerance, dtype),
+        jnp.asarray(config.min_denominator, dtype),
+    )
+    u_np = np.asarray(u, dtype=float)
+    if not np.all(np.isfinite(u_np)):
+        raise RuntimeError("Tangent stiffness became singular during solve")
+
+    history = [
+        {
+            "load_factor": float(target_load_factor),
+            "iterations": float(int(it)),
+            "residual": float(res),
+            "max_strain": float(max_strain),
+            "converged": 1.0 if bool(conv) else 0.0,
+        }
+    ]
+    shape = (-1, 1) if problem.dimension == 1 else (problem.nnode, problem.dimension)
+    return SolverResult(
+        displacements=u_np.reshape(shape),
+        reactions=np.asarray(reactions, dtype=float).reshape(shape),
+        converged=bool(conv),
+        history=history,
+    )
