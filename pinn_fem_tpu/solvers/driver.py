@@ -80,10 +80,15 @@ def solve(
                 target_load_factor=load_factor, u_initial=u_current, data=data,
             )
         elif method in ("full-nr", "full_nr"):
-            # No warm start, matching solver.py:1141-1148.
+            # The reference never warm-starts full-nr (solver.py:1141-1148);
+            # we pass the warm start and let config.nr_warm_start decide.
+            # Warm starting matters here: with a physics-only loss the
+            # (u, theta) equilibrium manifold is degenerate, and cold
+            # u=0 restarts push theta away from its init every increment.
             result = solve_full_nr(
                 problem, config, measured_disp, measured_dofs,
                 target_load_factor=load_factor, data=data,
+                u_initial=u_current if config.nr_warm_start else None,
             )
         elif method == "gn":
             from .gauss_newton import solve_gauss_newton

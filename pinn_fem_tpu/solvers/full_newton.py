@@ -130,7 +130,15 @@ def _full_nr_core(
         gnu = jnp.linalg.norm(g[:n_free])
         gnt = jnp.linalg.norm(g[n_free:])
         total = jnp.sqrt(gnu * gnu + gnt * gnt)
-        conv = total < tol
+        # Primary criterion: total gradient norm (reference solver.py:874-899).
+        # Documented divergence: secondary criterion ||R_free|| < tol
+        # (physical equilibrium, same as the GD solver's residual check) —
+        # in float32 the gradient norm has a noise floor of a few 1e-6 even
+        # at the exact fixed point, so grad-only convergence is unreachable
+        # at tol=1e-6 on TPU.  ||R|| = sqrt(2 * loss_physics).
+        rnorm = jnp.sqrt(2.0 * lp)
+        data_ok = jnp.asarray(True) if not has_meas else (jnp.sqrt(ld) < 1e-3)
+        conv = jnp.logical_or(total < tol, jnp.logical_and(rnorm < tol, data_ok))
 
         def do_step(z):
             h = hess_fn(z)
