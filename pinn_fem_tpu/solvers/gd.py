@@ -34,7 +34,7 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+
 
 from ..config import SolverConfig, SolverResult
 from ..models.fields import Material, MLPField
@@ -102,9 +102,6 @@ def export_nn_parameters(theta: list) -> dict:
 # Jitted optimization core
 # ---------------------------------------------------------------------------
 
-_ADAM = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, eps_root=0.0)
-
-
 @partial(jax.jit, static_argnames=("has_meas", "hist_cap"))
 def _gd_core(
     data: ProblemData,
@@ -123,73 +120,15 @@ def _gd_core(
     has_meas: bool,
     hist_cap: int,
 ):
-    dtype = u0.dtype
+    from .phases import gd_phase, reactions_of
 
-    def loss_fn(u, th):
-        mat = set_theta(material, th)
-        f_int, _ = internal_force_and_strain(data, mat, u, load_factor)
-        r = (f_int - load_factor * data.loads) * data.free_mask
-        loss_p = 0.5 * jnp.sum(r * r)
-        if has_meas:  # static
-            rd = measured_vals - u[measured_dofs]
-            loss_d = jnp.mean(rd * rd)
-            loss = alpha_physics * loss_p + alpha_data * loss_d
-        else:
-            loss_d = jnp.zeros((), dtype)
-            loss = alpha_physics * loss_p
-        return loss, (loss_p, loss_d, jnp.linalg.norm(r))
-
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-
-    def theta_norm_of(th):
-        leaves = theta_param_list(th)
-        if not leaves:
-            return jnp.zeros((), dtype)
-        return sum(jnp.linalg.norm(p) for p in leaves)
-
-    def cond(carry):
-        it, _, _, _, _, conv, _, _ = carry
-        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
-
-    def body(carry):
-        it, u, th, opt_u, opt_th, _, hist, _ = carry
-        (loss, (lp, ld, rnorm)), (gu, gth) = grad_fn(u, th)
-
-        dir_u, opt_u = _ADAM.update(gu, opt_u)
-        u_new = (u - lr_u * dir_u) * data.free_mask  # step + BC projection
-        dir_th, opt_th = _ADAM.update(gth, opt_th)
-        th_new = jax.tree_util.tree_map(lambda p, d: p - lr_theta * d, th, dir_th)
-
-        u_norm = jnp.linalg.norm(u_new)
-        row = jnp.stack([
-            (it + 1).astype(dtype), loss.astype(dtype), lp.astype(dtype),
-            ld.astype(dtype), u_norm.astype(dtype), rnorm.astype(dtype),
-            theta_norm_of(th_new).astype(dtype),
-        ])
-        hist = hist.at[it].set(row)
-
-        loss_ok = jnp.logical_and(jnp.logical_not(jnp.isnan(loss)), loss < tol)
-        conv = jnp.logical_and(it > 10, jnp.logical_or(rnorm < tol, loss_ok))
-        return (it + 1, u_new, th_new, opt_u, opt_th, conv, hist, rnorm)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        u0,
-        theta,
-        _ADAM.init(u0),
-        _ADAM.init(theta),
-        jnp.zeros((), bool),
-        jnp.zeros((hist_cap, len(_HCOLS)), dtype),
-        jnp.asarray(jnp.inf, dtype),
+    out = gd_phase(
+        data, material, set_theta, u0, theta, load_factor,
+        measured_vals, measured_dofs, has_meas,
+        max_iter, tol, lr_u, lr_theta, alpha_physics, alpha_data, hist_cap,
     )
-    it, u, th, _, _, conv, hist, rnorm = jax.lax.while_loop(cond, body, init)
-
-    # Reactions at the final state: f_int - lf*f_ext, free DOFs zeroed
-    # (solver.py:373-385).
-    mat = set_theta(material, th)
-    f_int, _ = internal_force_and_strain(data, mat, u, load_factor)
-    reactions = (f_int - load_factor * data.loads) * data.fixed_mask
-    return u, th, reactions, it, conv, hist, rnorm
+    reactions = reactions_of(data, set_theta(material, out.theta), out.u, load_factor)
+    return out.u, out.theta, reactions, out.n_iters, out.converged, out.hist, out.rnorm
 
 
 # ---------------------------------------------------------------------------

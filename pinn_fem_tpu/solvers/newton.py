@@ -31,39 +31,20 @@ from ..config import SolverConfig, SolverResult
 from ..models.fields import Material
 from ..models.problem import ProblemData, TrussProblem
 from ..ops.assembly import assemble_system
-from ..ops.linalg import masked_solve
+
 
 
 @jax.jit
 def _nr_core(data: ProblemData, material: Material, u0, load_factor, max_iter, tol, min_denom):
     """One load increment of Newton-Raphson. Everything traced."""
+    from .phases import nr_phase
 
-    def cond(carry):
-        it, _, _, conv, _ = carry
-        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
-
-    def body(carry):
-        it, u, _, _, _ = carry
-        k, f_int, max_strain = assemble_system(data, material, u, load_factor)
-        rhs = load_factor * data.loads - f_int
-        du = masked_solve(k, rhs, data.free_mask)
-        u_new = u + du
-        res = jnp.linalg.norm(du) / jnp.maximum(jnp.linalg.norm(u_new), min_denom)
-        return (it + 1, u_new, res, res <= tol, max_strain)
-
-    init = (
-        jnp.zeros((), jnp.int32),
-        u0,
-        jnp.asarray(jnp.inf, u0.dtype),
-        jnp.zeros((), bool),
-        jnp.zeros((), u0.dtype),
-    )
-    it, u, res, conv, max_strain = jax.lax.while_loop(cond, body, init)
+    out = nr_phase(data, material, u0, load_factor, max_iter, tol, min_denom)
 
     # Reactions: K u - lf * loads, free DOFs zeroed (solver.py:495-497).
-    k_final, _, _ = assemble_system(data, material, u, load_factor)
-    reactions = (k_final @ u - load_factor * data.loads) * data.fixed_mask
-    return u, reactions, it, res, conv, max_strain
+    k_final, _, _ = assemble_system(data, material, out.u, load_factor)
+    reactions = (k_final @ out.u - load_factor * data.loads) * data.fixed_mask
+    return out.u, reactions, out.n_iters, out.residual, out.converged, out.max_strain
 
 
 def solve_nr(

@@ -47,6 +47,12 @@ def configure(cache_dir: str | None = None) -> None:
         except Exception:
             pass
 
+    # Persistent compilation cache: load-bearing for TPU (remote compiles
+    # take minutes through the attachment tunnel), but skipped for forced-CPU
+    # runs — XLA:CPU AOT cache entries bake in host machine features, and
+    # reusing them across heterogeneous hosts risks SIGILL.
+    if env_platforms and "cpu" in env_platforms.split(","):
+        return
     cache = cache_dir or os.environ.get(
         "PINN_FEM_TPU_CACHE",
         str(Path.home() / ".cache" / "pinn_fem_tpu" / "xla_cache"),
