@@ -1,0 +1,167 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh (conftest sets
+xla_force_host_platform_device_count=8): dp-batched solving and the
+explicit dp x tp shard_map training step with element-psum assembly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pinn_fem_tpu import Material, SolverConfig, TrussProblem, make_mlp_field, to_field
+from pinn_fem_tpu.parallel.batched import solve_gd_batched, solve_nr_batched
+from pinn_fem_tpu.parallel.mesh import make_mesh_2d
+from pinn_fem_tpu.parallel.sharded import ShardedTrussSystem
+
+
+def chain_problem(material=None, n_nodes=4):
+    nodes = np.stack([np.arange(n_nodes, dtype=float), np.zeros(n_nodes)], axis=1)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], axis=1)
+    loads = np.zeros(2 * n_nodes)
+    loads[2 * (n_nodes - 1)] = 1.0
+    fixed = [0, 1] + [2 * i + 1 for i in range(1, n_nodes)]
+    material = material or Material(young=1.0, area=1.0, density=1.0)
+    return TrussProblem(nodes, elements, material, loads, np.array(fixed), 2)
+
+
+def test_eight_virtual_devices_present():
+    assert len(jax.devices()) == 8
+
+
+def test_mesh_construction():
+    mesh = make_mesh_2d(8)
+    assert dict(mesh.shape) == {"dp": 4, "tp": 2}
+    mesh = make_mesh_2d(8, tp=4)
+    assert dict(mesh.shape) == {"dp": 2, "tp": 4}
+
+
+def test_batched_nr_solves_scaled_load_cases():
+    p = chain_problem()
+    mesh = make_mesh_2d(8, tp=1)
+    scales = np.array([0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0])
+    loads_b = scales[:, None] * p.loads[None, :]
+    out = solve_nr_batched(p, loads_b, SolverConfig(), mesh=mesh)
+    assert np.all(np.asarray(out["converged"]))
+    u = np.asarray(out["u"])
+    for i, s in enumerate(scales):
+        np.testing.assert_allclose(
+            u[i, [2, 4, 6]], s * np.array([1.0, 2.0, 3.0]), atol=1e-4
+        )
+
+
+def test_batched_gd_inverse_problems():
+    mat = Material(
+        young=make_mlp_field(jax.random.PRNGKey(0), 1, 8, input_dim=3, scale=1.0),
+        area=to_field(1.0),
+        density=to_field(1.0),
+    )
+    p = chain_problem(mat)
+    mesh = make_mesh_2d(8, tp=1)
+    b = 8
+    loads_b = np.tile(p.loads, (b, 1))
+    measured_b = np.tile(np.array([1.0, 2.0, 3.0]), (b, 1))
+    out = solve_gd_batched(
+        p, loads_b,
+        SolverConfig(max_iterations=800, learning_rate_u=0.01,
+                     learning_rate_theta=1e-3, alpha_data=100.0),
+        measured_batch=measured_b, measured_dofs=np.array([2, 4, 6]),
+        mesh=mesh,
+    )
+    u = np.asarray(out["u"])
+    # Every batch member converges toward the measured displacements.
+    np.testing.assert_allclose(u[:, 6], 3.0, atol=5e-2)
+
+
+def test_sharded_train_step_dp_tp():
+    """One explicit-collective training step on a (4, 2) mesh: element
+    arrays sharded over tp with psum assembly, problems over dp."""
+    mat = Material(
+        young=make_mlp_field(jax.random.PRNGKey(1), 1, 8, input_dim=3, scale=1.0),
+        area=to_field(1.0),
+        density=to_field(1.0),
+    )
+    p = chain_problem(mat, n_nodes=5)  # 4 elements -> 2 per tp shard
+    mesh = make_mesh_2d(8)  # dp=4, tp=2
+    system = ShardedTrussSystem(p, mesh)
+    step = jax.jit(system.train_step_fn(p.material, has_meas=False))
+
+    batch = 4
+    u_b, theta_b, opt_u, opt_th = system.init_state(batch)
+    dp = NamedSharding(mesh, P("dp"))
+    dtype = system.dtype
+    loads_b = jax.device_put(jnp.tile(jnp.asarray(p.loads, dtype), (batch, 1)), dp)
+    mvals_b = jax.device_put(jnp.zeros((batch, 0), dtype), dp)
+    mdofs = jnp.zeros((0,), jnp.int32)
+
+    args = (jnp.asarray(1.0, dtype), jnp.asarray(0.01, dtype),
+            jnp.asarray(1e-3, dtype), jnp.asarray(1.0, dtype),
+            jnp.asarray(100.0, dtype))
+    loss0 = None
+    for k in range(50):
+        loss_b, u_b, theta_b, opt_u, opt_th = step(
+            u_b, theta_b, opt_u, opt_th, loads_b, mvals_b, mdofs, *args
+        )
+        if loss0 is None:
+            loss0 = np.asarray(loss_b).copy()
+    loss_b = np.asarray(loss_b)
+    assert np.all(np.isfinite(loss_b))
+    assert np.all(loss_b < loss0), (loss_b, loss0)
+
+
+def test_sharded_assembly_matches_single_device():
+    """psum-assembled internal force == single-device assembly."""
+    from pinn_fem_tpu.ops.assembly import internal_force_and_strain
+    from pinn_fem_tpu.solvers.gd import get_theta
+
+    mat = Material(
+        young=make_mlp_field(jax.random.PRNGKey(2), 1, 4, input_dim=3, scale=2.0),
+        area=to_field(0.5),
+        density=to_field(1.0),
+    )
+    p = chain_problem(mat, n_nodes=5)
+    mesh = make_mesh_2d(8)
+    system = ShardedTrussSystem(p, mesh)
+    step = jax.jit(system.train_step_fn(p.material, has_meas=False))
+
+    batch = 4
+    u_b, theta_b, opt_u, opt_th = system.init_state(batch)
+    rng = np.random.default_rng(0)
+    u_np = rng.normal(size=(batch, p.ndof)).astype(np.float32)
+    u_np[:, np.asarray(p.fixed_dofs)] = 0.0
+    dp = NamedSharding(mesh, P("dp"))
+    dtype = system.dtype
+    u_b = jax.device_put(jnp.asarray(u_np, dtype), dp)
+    loads_b = jax.device_put(jnp.tile(jnp.asarray(p.loads, dtype), (batch, 1)), dp)
+    mvals_b = jax.device_put(jnp.zeros((batch, 0), dtype), dp)
+    mdofs = jnp.zeros((0,), jnp.int32)
+
+    loss_b, _, _, _, _ = step(
+        u_b, theta_b, opt_u, opt_th, loads_b, mvals_b, mdofs,
+        jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype),
+        jnp.asarray(0.0, dtype), jnp.asarray(1.0, dtype),
+        jnp.asarray(100.0, dtype),
+    )
+
+    # Reference loss computed single-device.
+    data = p.to_device()
+    for i in range(batch):
+        f_int, _ = internal_force_and_strain(data, p.material, jnp.asarray(u_np[i]), 1.0)
+        r = (np.asarray(f_int) - np.asarray(data.loads)) * np.asarray(data.free_mask)
+        expected = 0.5 * np.sum(r * r)
+        # lr=0 step leaves state unchanged, so loss_b is the post-"step" loss
+        # at the same state.
+        np.testing.assert_allclose(np.asarray(loss_b)[i], expected, rtol=1e-4)
+
+
+def test_graft_entry_contract():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(float(out[0]))
+    mod.dryrun_multichip(8)
