@@ -30,8 +30,19 @@ from .models.problem import (  # noqa: E402
 from .ops.assembly import assemble_system, internal_force_and_strain  # noqa: E402
 from .solvers.driver import solve  # noqa: E402
 from .solvers.full_newton import solve_full_nr  # noqa: E402
+from .solvers.fused import solve_fused  # noqa: E402
+from .solvers.gauss_newton import solve_gauss_newton  # noqa: E402
 from .solvers.gd import solve_gd  # noqa: E402
 from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.legacy import (  # noqa: E402
+    LegacySolverConfig,
+    PINNGradientDescentConfig,
+    PINNSolverConfig,
+    PINNSolverResult,
+    solve_incremental_newton,
+    solve_pinn_gradient_descent,
+    solve_pinn_newton_raphson,
+)
 from .solvers.newton import solve_nr  # noqa: E402
 
 __version__ = "0.1.0"
@@ -55,5 +66,14 @@ __all__ = [
     "solve_gd",
     "solve_hybrid",
     "solve_full_nr",
+    "solve_fused",
+    "solve_gauss_newton",
+    "solve_incremental_newton",
+    "solve_pinn_gradient_descent",
+    "solve_pinn_newton_raphson",
+    "LegacySolverConfig",
+    "PINNSolverConfig",
+    "PINNGradientDescentConfig",
+    "PINNSolverResult",
     "configure",
 ]
