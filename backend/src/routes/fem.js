@@ -1,0 +1,58 @@
+// /api/fem routes — contract parity with the reference
+// (/root/reference/backend/src/routes/fem.js): each solve route wraps the
+// solver output as {success: true, result} or responds 500 with
+// {success: false, error, details}.
+
+import express from 'express';
+import { solveFEM, solvePINN, solveGeneric } from '../services/pythonRunner.js';
+
+const router = express.Router();
+
+function solveHandler(name, solver) {
+  return async (req, res) => {
+    try {
+      console.log(`Received ${name} solve request`);
+      console.log('  Nodes:', req.body.nodes?.length || 0);
+      console.log('  Elements:', req.body.elements?.length || 0);
+      const result = await solver(req.body);
+      console.log(`${name} solve completed`);
+      res.json({ success: true, result });
+    } catch (error) {
+      console.error(`Error in ${name} solve:`, error.message);
+      res.status(500).json({
+        success: false,
+        error: error.message,
+        details: error.stderr || error.stdout,
+      });
+    }
+  };
+}
+
+router.post('/solve', solveHandler('FEM', solveFEM));
+router.post('/solve-pinn', solveHandler('PINN', solvePINN));
+router.post('/solve-generic', solveHandler('GENERIC', solveGeneric));
+
+router.get('/info', (req, res) => {
+  res.json({
+    version: '1.0.0',
+    framework: 'pinn_fem_tpu (JAX/XLA, TPU-native)',
+    solvers: {
+      fem: {
+        name: 'Classic FEM',
+        description: 'Incremental Newton-Raphson truss solver',
+        element_types: ['truss1d', 'truss2d'],
+        methods: ['incremental_newton_raphson'],
+      },
+      pinn: {
+        name: 'Physics-Informed Neural Networks',
+        description: 'Material identification (scalar or NN fields)',
+        methods: ['gradient_descent', 'newton_raphson', 'hybrid',
+                  'full_newton', 'gauss_newton'],
+      },
+    },
+    backend: 'jax',
+    dependencies: ['jax', 'flax', 'optax', 'numpy'],
+  });
+});
+
+export default router;

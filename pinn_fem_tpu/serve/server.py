@@ -1,0 +1,214 @@
+"""Dependency-free HTTP API server (Python stdlib only).
+
+Route-for-route parity with the reference's Node/Express backend
+(/root/reference/backend/src/server.js + routes/fem.js):
+
+    POST /api/fem/solve          classic FEM       (fem.js:20-42)
+    POST /api/fem/solve-pinn     scalar-PINN GD/NR (fem.js:60-83)
+    POST /api/fem/solve-generic  unified solver    (fem.js:100-130)
+    GET  /api/fem/info           solver metadata   (fem.js:136-155)
+    GET  /api/health             health check      (server.js:24-30)
+
+Response wrappers match: 200 {"success": true, "result": ...} and
+500 {"success": false, "error": ..., "details": ...}.
+
+Architectural upgrade over the reference: solves run IN-PROCESS on the
+already-initialized JAX runtime instead of spawning a Python child per
+request with temp-file JSON hand-off (pythonRunner.js:65-125) — no process
+startup cost, no Date.now() temp-file name collisions under concurrency
+(pythonRunner.js:75-77, a known reference defect), and compiled solver
+programs stay warm across requests.  Requests are serialized through a
+worker pool with per-route timeouts (60 s FEM / 300 s PINN, matching
+pythonRunner.js:22-50).
+
+A Node/Express implementation with the same contract ships in backend/
+for stack parity; this server also serves the static UI from serve/static.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import traceback
+from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutureTimeout
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+
+FEM_TIMEOUT_S = 60.0
+PINN_TIMEOUT_S = 300.0
+
+_STATIC_DIR = Path(__file__).parent / "static"
+
+INFO = {
+    "version": "1.0.0",
+    "framework": "pinn_fem_tpu (JAX/XLA, TPU-native)",
+    "solvers": {
+        "fem": {
+            "name": "Classic FEM",
+            "description": "Incremental Newton-Raphson truss solver",
+            "element_types": ["truss1d", "truss2d"],
+            "methods": ["incremental_newton_raphson"],
+        },
+        "pinn": {
+            "name": "Physics-Informed Neural Networks",
+            "description": "Material identification (scalar or NN fields)",
+            "methods": ["gradient_descent", "newton_raphson", "hybrid",
+                        "full_newton", "gauss_newton"],
+        },
+    },
+    "backend": "jax",
+    "dependencies": ["jax", "flax", "optax", "numpy"],
+}
+
+
+def _solve_fem(body):
+    from ..cli.api_fem_solver import parse_and_solve
+
+    return parse_and_solve(body)
+
+
+def _solve_pinn(body):
+    solver_type = body.get("solver_type", "gradient_descent")
+    if solver_type == "newton_raphson":
+        from ..cli.api_pinn_nr import parse_and_solve
+    else:
+        from ..cli.api_pinn_gd import parse_and_solve
+    return parse_and_solve(body)
+
+
+def _solve_generic(body):
+    from ..io.results import result_to_output_dict
+    from ..io.schema import parse_problem_dict
+    from ..solvers.driver import solve
+
+    parsed = parse_problem_dict(body)
+    result = solve(
+        parsed.problem, parsed.config,
+        parsed.measured_disp, parsed.measured_dofs, verbose=False,
+    )
+    return result_to_output_dict(result, parsed.problem)
+
+
+_ROUTES = {
+    "/api/fem/solve": (_solve_fem, FEM_TIMEOUT_S),
+    "/api/fem/solve-pinn": (_solve_pinn, PINN_TIMEOUT_S),
+    "/api/fem/solve-generic": (_solve_generic, PINN_TIMEOUT_S),
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    # One worker: the single accelerator serializes solves anyway, and
+    # serialization removes jit-cache races.
+    executor = ThreadPoolExecutor(max_workers=1)
+    quiet = False
+
+    def log_message(self, fmt, *args):  # route through one logger-ish line
+        if not self.quiet:
+            print(f"{datetime.now(timezone.utc).isoformat()} - {fmt % args}")
+
+    # -- helpers ----------------------------------------------------------
+    def _send_json(self, obj, status=200):
+        payload = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.send_header("Access-Control-Allow-Origin", "*")
+        self.send_header("Access-Control-Allow-Headers", "Content-Type")
+        self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _read_body(self):
+        length = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(length) if length else b"{}"
+        return json.loads(raw or b"{}")
+
+    # -- verbs ------------------------------------------------------------
+    def do_OPTIONS(self):
+        self._send_json({}, 200)
+
+    def do_GET(self):
+        if self.path == "/api/health":
+            self._send_json({
+                "status": "ok",
+                "message": "PINN-FEM-TPU backend is running",
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+            })
+            return
+        if self.path == "/api/fem/info":
+            self._send_json(INFO)
+            return
+        # Static UI.
+        path = "index.html" if self.path in ("/", "") else self.path.lstrip("/")
+        target = (_STATIC_DIR / path).resolve()
+        if _STATIC_DIR.resolve() in target.parents and target.is_file():
+            data = target.read_bytes()
+            ctype = "text/html" if target.suffix == ".html" else (
+                "text/javascript" if target.suffix == ".js" else "text/css"
+            )
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
+        self._send_json({"error": "Route not found"}, 404)
+
+    def do_POST(self):
+        route = _ROUTES.get(self.path)
+        if route is None:
+            self._send_json({"error": "Route not found"}, 404)
+            return
+        handler, timeout = route
+        try:
+            body = self._read_body()
+        except Exception as e:
+            self._send_json({"success": False, "error": f"Invalid JSON: {e}"}, 400)
+            return
+        try:
+            future = self.executor.submit(handler, body)
+            result = future.result(timeout=timeout)
+            self._send_json({"success": True, "result": result})
+        except FutureTimeout:
+            self._send_json(
+                {"success": False, "error": f"Solver timeout after {timeout}s"},
+                500,
+            )
+        except Exception as e:
+            self._send_json(
+                {"success": False, "error": str(e),
+                 "details": traceback.format_exc()},
+                500,
+            )
+
+
+def make_server(port: int = 5000, quiet: bool = False) -> ThreadingHTTPServer:
+    handler = type("Handler", (_Handler,), {"quiet": quiet})
+    return ThreadingHTTPServer(("0.0.0.0", port), handler)
+
+
+def serve_forever(port: int = 5000):
+    from ..utils.runtime import configure
+
+    configure()
+    httpd = make_server(port)
+    print(f"PINN-FEM-TPU backend running on http://localhost:{port}")
+    print("API endpoints:")
+    for p in list(_ROUTES) + ["/api/fem/info", "/api/health"]:
+        print(f"  {p}")
+    httpd.serve_forever()
+
+
+def start_background(port: int = 0, quiet: bool = True):
+    """Start the server on a background thread; returns (server, port)."""
+    httpd = make_server(port, quiet=quiet)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    return httpd, httpd.server_address[1]
+
+
+if __name__ == "__main__":
+    import sys
+
+    serve_forever(int(sys.argv[1]) if len(sys.argv) > 1 else 5000)

@@ -1,0 +1,334 @@
+/* PINN-FEM-TPU browser UI — zero-dependency canvas CAD + tables.
+ *
+ * Capability parity with the reference React frontend (frontend/src/):
+ * interactive node/element editing on a canvas with grid + deformed-shape
+ * overlay and a 1–1000x deformation slider (FEMCanvas.jsx), node/element/
+ * measurement tables (DataTable.jsx), per-property NN configuration, solver
+ * selection (CalculateButton.jsx), POST /api/fem/solve-generic with the
+ * generic problem schema, and localStorage persistence (App.jsx:27-45).
+ */
+"use strict";
+
+const state = {
+  nodes: [],      // {x, y, fixedX, fixedY, fx, measuredUx}
+  elements: [],   // [i, j]
+  mode: "select",
+  selected: null,
+  pendingElemNode: null,
+  displacements: null,  // flat [ux0, uy0, ...]
+  defScale: 100,
+};
+
+// ---------- persistence ----------
+function save() {
+  localStorage.setItem("pinnfem_model", JSON.stringify({
+    nodes: state.nodes, elements: state.elements,
+  }));
+}
+function load() {
+  try {
+    const raw = localStorage.getItem("pinnfem_model");
+    if (raw) {
+      const m = JSON.parse(raw);
+      state.nodes = m.nodes || [];
+      state.elements = m.elements || [];
+    }
+  } catch (e) { /* fresh start */ }
+}
+
+// ---------- canvas ----------
+const canvas = document.getElementById("cad");
+const ctx = canvas.getContext("2d");
+const VIEW = { ox: 120, oy: 420, scale: 120 };  // world→pixel
+
+const toPx = (x, y) => [VIEW.ox + x * VIEW.scale, VIEW.oy - y * VIEW.scale];
+const toWorld = (px, py) => [(px - VIEW.ox) / VIEW.scale, (VIEW.oy - py) / VIEW.scale];
+
+function draw() {
+  ctx.clearRect(0, 0, canvas.width, canvas.height);
+  // grid
+  ctx.strokeStyle = "#161c26";
+  ctx.lineWidth = 1;
+  for (let gx = 0; gx < canvas.width; gx += VIEW.scale / 2) {
+    ctx.beginPath(); ctx.moveTo(gx, 0); ctx.lineTo(gx, canvas.height); ctx.stroke();
+  }
+  for (let gy = 0; gy < canvas.height; gy += VIEW.scale / 2) {
+    ctx.beginPath(); ctx.moveTo(0, gy); ctx.lineTo(canvas.width, gy); ctx.stroke();
+  }
+
+  const disp = state.displacements;
+  const k = state.defScale;
+  const defPos = (i) => {
+    const n = state.nodes[i];
+    if (!disp) return [n.x, n.y];
+    return [n.x + k * (disp[2 * i] || 0), n.y + k * (disp[2 * i + 1] || 0)];
+  };
+
+  // undeformed elements (dashed when a solution exists)
+  for (const [i, j] of state.elements) {
+    const [x1, y1] = toPx(state.nodes[i].x, state.nodes[i].y);
+    const [x2, y2] = toPx(state.nodes[j].x, state.nodes[j].y);
+    ctx.setLineDash(disp ? [6, 5] : []);
+    ctx.strokeStyle = disp ? "#3a465a" : "#8b97a8";
+    ctx.lineWidth = 2;
+    ctx.beginPath(); ctx.moveTo(x1, y1); ctx.lineTo(x2, y2); ctx.stroke();
+    ctx.setLineDash([]);
+  }
+  // deformed elements
+  if (disp) {
+    for (const [i, j] of state.elements) {
+      const [ax, ay] = defPos(i), [bx, by] = defPos(j);
+      const [x1, y1] = toPx(ax, ay), [x2, y2] = toPx(bx, by);
+      ctx.strokeStyle = "#4ea1ff"; ctx.lineWidth = 2.5;
+      ctx.beginPath(); ctx.moveTo(x1, y1); ctx.lineTo(x2, y2); ctx.stroke();
+    }
+  }
+  // nodes + BC glyphs
+  state.nodes.forEach((n, i) => {
+    const [px, py] = toPx(n.x, n.y);
+    ctx.fillStyle = i === state.selected ? "#e4b34a"
+      : (i === state.pendingElemNode ? "#39c07f" : "#e6ebf2");
+    ctx.beginPath(); ctx.arc(px, py, 6, 0, 2 * Math.PI); ctx.fill();
+    if (n.fixedX || n.fixedY) {  // support triangle
+      ctx.strokeStyle = "#e46a6a"; ctx.lineWidth = 1.5;
+      ctx.beginPath();
+      ctx.moveTo(px, py + 6); ctx.lineTo(px - 8, py + 18);
+      ctx.lineTo(px + 8, py + 18); ctx.closePath(); ctx.stroke();
+    }
+    if (n.fx) {  // load arrow
+      ctx.strokeStyle = "#39c07f"; ctx.lineWidth = 2;
+      const dir = n.fx > 0 ? 1 : -1;
+      ctx.beginPath(); ctx.moveTo(px, py); ctx.lineTo(px + 28 * dir, py);
+      ctx.lineTo(px + 20 * dir, py - 5); ctx.moveTo(px + 28 * dir, py);
+      ctx.lineTo(px + 20 * dir, py + 5); ctx.stroke();
+    }
+    ctx.fillStyle = "#8b97a8"; ctx.font = "11px system-ui";
+    ctx.fillText(String(i), px + 8, py - 8);
+  });
+}
+
+function hitNode(px, py) {
+  for (let i = 0; i < state.nodes.length; i++) {
+    const [nx, ny] = toPx(state.nodes[i].x, state.nodes[i].y);
+    if (Math.hypot(nx - px, ny - py) < 14) return i;
+  }
+  return null;
+}
+
+canvas.addEventListener("click", (ev) => {
+  const rect = canvas.getBoundingClientRect();
+  const px = (ev.clientX - rect.left) * canvas.width / rect.width;
+  const py = (ev.clientY - rect.top) * canvas.height / rect.height;
+  if (state.mode === "node") {
+    const [wx, wy] = toWorld(px, py);
+    state.nodes.push({
+      x: Math.round(wx * 4) / 4, y: Math.round(wy * 4) / 4,
+      fixedX: false, fixedY: false, fx: 0, measuredUx: 0,
+    });
+    state.displacements = null;
+  } else if (state.mode === "element") {
+    const hit = hitNode(px, py);
+    if (hit !== null) {
+      if (state.pendingElemNode === null) {
+        state.pendingElemNode = hit;
+      } else if (hit !== state.pendingElemNode) {
+        state.elements.push([state.pendingElemNode, hit]);
+        state.pendingElemNode = null;
+        state.displacements = null;
+      }
+    }
+  } else {
+    state.selected = hitNode(px, py);
+  }
+  save(); render();
+});
+
+// ---------- tables ----------
+function numInput(value, cb, size) {
+  const inp = document.createElement("input");
+  inp.value = value; if (size) inp.size = size;
+  inp.addEventListener("change", () => { cb(parseFloat(inp.value) || 0); save(); render(); });
+  return inp;
+}
+function checkbox(value, cb) {
+  const inp = document.createElement("input");
+  inp.type = "checkbox"; inp.checked = value;
+  inp.addEventListener("change", () => { cb(inp.checked); save(); render(); });
+  return inp;
+}
+
+function renderTables() {
+  const nt = document.getElementById("node-table");
+  nt.querySelectorAll("tr:not(:first-child)").forEach((r) => r.remove());
+  state.nodes.forEach((n, i) => {
+    const tr = nt.insertRow();
+    tr.insertCell().textContent = i;
+    tr.insertCell().appendChild(numInput(n.x, (v) => { n.x = v; }));
+    tr.insertCell().appendChild(numInput(n.y, (v) => { n.y = v; }));
+    tr.insertCell().appendChild(checkbox(n.fixedX, (v) => { n.fixedX = v; }));
+    tr.insertCell().appendChild(checkbox(n.fixedY, (v) => { n.fixedY = v; }));
+    tr.insertCell().appendChild(numInput(n.fx, (v) => { n.fx = v; }));
+    tr.insertCell().appendChild(numInput(n.measuredUx, (v) => { n.measuredUx = v; }));
+    const del = document.createElement("button"); del.textContent = "✕";
+    del.addEventListener("click", () => {
+      state.nodes.splice(i, 1);
+      state.elements = state.elements
+        .filter(([a, b]) => a !== i && b !== i)
+        .map(([a, b]) => [a > i ? a - 1 : a, b > i ? b - 1 : b]);
+      state.displacements = null; save(); render();
+    });
+    tr.insertCell().appendChild(del);
+  });
+
+  const et = document.getElementById("elem-table");
+  et.querySelectorAll("tr:not(:first-child)").forEach((r) => r.remove());
+  state.elements.forEach((e, i) => {
+    const tr = et.insertRow();
+    tr.insertCell().textContent = i;
+    tr.insertCell().textContent = e[0];
+    tr.insertCell().textContent = e[1];
+    const del = document.createElement("button"); del.textContent = "✕";
+    del.addEventListener("click", () => {
+      state.elements.splice(i, 1); state.displacements = null; save(); render();
+    });
+    tr.insertCell().appendChild(del);
+  });
+
+  const rt = document.getElementById("result-table");
+  rt.querySelectorAll("tr:not(:first-child)").forEach((r) => r.remove());
+  if (state.displacements) {
+    state.nodes.forEach((n, i) => {
+      const ux = state.displacements[2 * i] || 0;
+      const uy = state.displacements[2 * i + 1] || 0;
+      const tr = rt.insertRow();
+      tr.insertCell().textContent = i;
+      tr.insertCell().textContent = ux.toExponential(3);
+      tr.insertCell().textContent = uy.toExponential(3);
+      tr.insertCell().textContent = Math.hypot(ux, uy).toExponential(3);
+    });
+  }
+}
+
+// NN config table
+const nnProps = ["young", "area", "density"];
+const nnConfig = {};
+(function initNN() {
+  const table = document.getElementById("nn-table");
+  for (const p of nnProps) {
+    nnConfig[p] = { enabled: false, hidden_layers: 2,
+                    neurons_per_layer: p === "young" ? 20 : (p === "area" ? 15 : 10),
+                    input_dim: 3 };
+    const tr = table.insertRow();
+    tr.insertCell().textContent = p;
+    tr.insertCell().appendChild(checkbox(false, (v) => { nnConfig[p].enabled = v; }));
+    tr.insertCell().appendChild(numInput(2, (v) => { nnConfig[p].hidden_layers = v; }, 3));
+    tr.insertCell().appendChild(
+      numInput(nnConfig[p].neurons_per_layer,
+               (v) => { nnConfig[p].neurons_per_layer = v; }, 3));
+  }
+})();
+
+// ---------- solve ----------
+function buildProblem() {
+  const nodes = state.nodes.map((n) => ({
+    x: n.x, y: n.y, fixed_x: !!n.fixedX, fixed_y: !!n.fixedY,
+    measured_ux: n.measuredUx || 0,
+  }));
+  const loads = [];
+  state.nodes.forEach((n) => { loads.push(n.fx || 0, 0); });
+  const solverType = document.getElementById("solver-type").value;
+  const tol = parseFloat(document.getElementById("tol").value) || 1e-6;
+  const maxit = parseInt(document.getElementById("maxit").value) || 5000;
+  const problem = {
+    nodes, elements: state.elements, loads,
+    material: {
+      young: parseFloat(document.getElementById("mat-young").value) || 1,
+      area: parseFloat(document.getElementById("mat-area").value) || 1,
+      density: parseFloat(document.getElementById("mat-density").value) || 1,
+    },
+    nn_config: nnConfig,
+    pinn_config: {
+      max_iterations: maxit, tolerance: tol,
+      learning_rate_u: 0.01, learning_rate_theta: 0.001,
+      alpha_physics: 1.0, alpha_data: 100.0,
+      preconditioning: document.getElementById("precond").checked,
+    },
+    solver_config: { max_iterations: maxit, tolerance: tol },
+  };
+  if (solverType === "full-nr" || solverType === "gn") {
+    problem.solver_type = "pinn-gd";
+    problem.solver_config.method = solverType;
+  } else {
+    problem.solver_type = solverType;
+  }
+  return problem;
+}
+
+async function calculate() {
+  const status = document.getElementById("status");
+  status.className = ""; status.textContent = "Solving on the JAX backend…";
+  try {
+    const resp = await fetch("/api/fem/solve-generic", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(buildProblem()),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "solve failed");
+    const r = data.result;
+    state.displacements = r.displacements;
+    let msg = `Converged: ${r.converged} · history entries: ${r.iterations}`;
+    const ident = document.getElementById("identified");
+    ident.innerHTML = "";
+    if (r.identified_properties) {
+      const lines = [];
+      for (const p of nnProps) {
+        const ip = r.identified_properties[p];
+        if (!ip) continue;
+        if (ip.type === "scalar") { lines.push(`${p}: ${ip.value}`); continue; }
+        const vals = ip.load_factor_variations
+          ? ip.load_factor_variations["load_factor_1.0"].at_elements.values
+          : ip.at_elements.values;
+        lines.push(`${p} @ elements: [${vals.map((v) => v.toPrecision(4)).join(", ")}]`);
+      }
+      ident.innerHTML = "<h3>Identified properties</h3><div id='status'>" +
+        lines.join("<br>") + "</div>";
+    }
+    status.className = "ok"; status.textContent = msg;
+  } catch (e) {
+    status.className = "err"; status.textContent = "Error: " + e.message;
+  }
+  render();
+}
+
+// ---------- wiring ----------
+for (const m of ["select", "node", "element"]) {
+  document.getElementById(`mode-${m}`).addEventListener("click", () => {
+    state.mode = m; state.pendingElemNode = null;
+    for (const mm of ["select", "node", "element"]) {
+      document.getElementById(`mode-${mm}`).classList.toggle("active", mm === m);
+    }
+  });
+}
+document.getElementById("clear").addEventListener("click", () => {
+  state.nodes = []; state.elements = []; state.displacements = null;
+  save(); render();
+});
+document.getElementById("demo").addEventListener("click", () => {
+  state.nodes = [
+    { x: 0, y: 0, fixedX: true, fixedY: true, fx: 0, measuredUx: 0 },
+    { x: 1, y: 0, fixedX: false, fixedY: true, fx: 0, measuredUx: 1 },
+    { x: 2, y: 0, fixedX: false, fixedY: true, fx: 0, measuredUx: 2 },
+    { x: 3, y: 0, fixedX: false, fixedY: true, fx: 1, measuredUx: 3 },
+  ];
+  state.elements = [[0, 1], [1, 2], [2, 3]];
+  state.displacements = null; save(); render();
+});
+document.getElementById("defscale").addEventListener("input", (e) => {
+  state.defScale = parseInt(e.target.value);
+  document.getElementById("defscale-val").textContent = e.target.value;
+  render();
+});
+document.getElementById("calc").addEventListener("click", calculate);
+
+function render() { draw(); renderTables(); }
+load(); render();

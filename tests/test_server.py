@@ -1,0 +1,123 @@
+"""HTTP API server tests: route/wrapper parity with the reference backend
+contract (server.js + routes/fem.js), exercised against a live server."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.serve.server import start_background
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    httpd, port = start_background(port=0, quiet=True)
+    yield port
+    httpd.shutdown()
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=360) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(port, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=360) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server_port):
+    status, body = _get(server_port, "/api/health")
+    assert status == 200
+    assert body["status"] == "ok"
+    assert "timestamp" in body
+
+
+def test_info(server_port):
+    status, body = _get(server_port, "/api/fem/info")
+    assert status == 200
+    assert "fem" in body["solvers"] and "pinn" in body["solvers"]
+
+
+def test_unknown_route_404(server_port):
+    status, body = _post(server_port, "/api/fem/nope", {})
+    assert status == 404
+
+
+def test_solve_fem_route(server_port):
+    body = {
+        "nodes": [
+            {"x": 0, "y": 0, "fixed": True},
+            {"x": 1, "y": 0, "fixed_y": True},
+        ],
+        "elements": [{"nodes": [0, 1]}],
+        "material": {"young": 210e9, "area": 0.01},
+        "loads": [0, 0, 1000, 0],
+        "solver_config": {"max_iterations": 50, "tolerance": 1e-6},
+    }
+    status, resp = _post(server_port, "/api/fem/solve", body)
+    assert status == 200
+    assert resp["success"] is True
+    result = resp["result"]
+    assert result["converged"] is True
+    assert result["displacements"][2] == pytest.approx(1000 / 2.1e9, rel=1e-4)
+
+
+def test_solve_generic_route(server_port):
+    body = json.load(open(
+        "/root/reference/FEM/python/examples/json/example1.json"
+    ))
+    status, resp = _post(server_port, "/api/fem/solve-generic", body)
+    assert status == 200
+    assert resp["success"] is True
+    np.testing.assert_allclose(
+        resp["result"]["displacements"], [0, 0, 1, 0, 2, 0, 3, 0], atol=2e-5
+    )
+
+
+def test_solve_pinn_route(server_port):
+    body = {
+        "nodes": [
+            {"x": 0, "y": 0, "fixed": True},
+            {"x": 1, "y": 0, "fixed_y": True},
+        ],
+        "elements": [{"nodes": [0, 1]}],
+        "material": {"young": 100e9, "area": 0.01},
+        "loads": [0, 0, 1e6, 0],
+        "measured_disp": [5e-4],
+        "measured_dofs": [2],
+        "solver_type": "newton_raphson",
+        "solver_config": {"max_iterations": 60, "tolerance": 1e-10},
+    }
+    status, resp = _post(server_port, "/api/fem/solve-pinn", body)
+    assert status == 200
+    ident = resp["result"]["identified_params"]
+    assert ident["young"] * ident["area"] == pytest.approx(2e9, rel=1e-3)
+
+
+def test_error_wrapper_500(server_port):
+    status, resp = _post(server_port, "/api/fem/solve", {"nodes": "bad"})
+    assert status == 500
+    assert resp["success"] is False
+    assert "error" in resp and "details" in resp
+
+
+def test_static_ui_served(server_port):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server_port}/", timeout=30) as r:
+        html = r.read().decode()
+    assert "PINN-FEM-TPU" in html
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server_port}/app.js", timeout=30
+    ) as r:
+        assert "solve-generic" in r.read().decode()
