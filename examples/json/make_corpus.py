@@ -1,0 +1,205 @@
+#!/usr/bin/env python3
+"""Generate the 16-problem benchmark corpus.
+
+Reproduces the reference benchmark suite's problem definitions
+(/root/reference/FEM/python/examples/json/example*.json; inventory in
+SURVEY §2.6) programmatically: every problem shares the 4-node / 3-element
+horizontal chain (node 0 pinned, all y DOFs fixed, unit end load,
+E = A = rho = 1, analytic solution u_x = [0, 1, 2, 3]) and varies the
+solver method, NN material fields, measured data, and preconditioning.
+
+Run:  python examples/json/make_corpus.py  [output_dir]
+"""
+
+import copy
+import json
+import sys
+from pathlib import Path
+
+
+def base_problem(n_nodes=4):
+    nodes = [
+        {"x": float(i), "y": 0.0, "fixed_x": i == 0, "fixed_y": True}
+        for i in range(n_nodes)
+    ]
+    loads = [0.0] * (2 * n_nodes)
+    loads[2 * (n_nodes - 1)] = 1.0
+    return {
+        "nodes": nodes,
+        "elements": [[i, i + 1] for i in range(n_nodes - 1)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": loads,
+        "incremental_loading": {"n_increments": 10, "initial": 0.0, "final": 1.0},
+        "nn_config": {
+            "young": {"enabled": False, "hidden_layers": 2, "neurons_per_layer": 10},
+            "area": {"enabled": False, "hidden_layers": 2, "neurons_per_layer": 10},
+            "density": {"enabled": False, "hidden_layers": 2, "neurons_per_layer": 10},
+        },
+    }
+
+
+def measured_block():
+    return {"nodes": [1, 2, 3], "ux": [1.0, 2.0, 3.0], "uy": [0.0, 0.0, 0.0]}
+
+
+def pinn_config(precond, lr_theta=0.001, max_iterations=5000):
+    return {
+        "max_iterations": max_iterations,
+        "tolerance": 1e-6,
+        "learning_rate_u": 0.01,
+        "learning_rate_theta": lr_theta,
+        "alpha_physics": 1.0,
+        "alpha_data": 100.0,
+        "print_every": 100,
+        "preconditioning": precond,
+    }
+
+
+def nn(enabled, neurons, input_dim=3):
+    return {"enabled": enabled, "hidden_layers": 2,
+            "neurons_per_layer": neurons, "input_dim": input_dim}
+
+
+def build_corpus():
+    corpus = {}
+
+    # 1 / 1-1: classic Newton-Raphson.
+    ex1 = base_problem()
+    ex1.update({
+        "description": "Example 1: classic FEM, Newton-Raphson, scalar material",
+        "solver_type": "fem",
+        "solver_config": {"max_iterations": 50, "tolerance": 1e-6},
+    })
+    corpus["example1"] = ex1
+
+    ex11 = base_problem(n_nodes=2)
+    ex11.update({
+        "description": "Example 1-1: single element, Newton-Raphson",
+        "solver_type": "fem",
+        "solver_config": {"max_iterations": 50, "tolerance": 1e-6},
+    })
+    del ex11["incremental_loading"]
+    corpus["example1-1"] = ex11
+
+    # 2 family: GD without NN.
+    def gd_example(precond, n_nodes=4):
+        ex = base_problem(n_nodes)
+        ex.update({
+            "description": f"Example 2{'-P' if precond else ''}: forward solve "
+                           "via gradient descent (no NN)",
+            "solver_type": "pinn-gd",
+            "pinn_config": {**pinn_config(precond, max_iterations=10000),
+                            "alpha_data": 0.0, "print_every": 10},
+        })
+        return ex
+
+    corpus["example2"] = gd_example(False)
+    corpus["example2-P"] = gd_example(True)
+    ex22 = gd_example(False, n_nodes=2)
+    ex22["description"] = "Example 2-2: single element, gradient descent"
+    corpus["example2-2"] = ex22
+
+    # 3/4 family: PINN-GD inverse with NN fields.
+    def pinn_gd_example(n_nets, precond):
+        ex = base_problem()
+        ex["nn_config"]["young"] = nn(True, 20)
+        if n_nets >= 3:
+            ex["nn_config"]["area"] = nn(True, 15)
+            ex["nn_config"]["density"] = nn(True, 10)
+        ex.update({
+            "measured_displacements": measured_block(),
+            "solver_type": "pinn-gd",
+            "pinn_config": pinn_config(
+                precond, lr_theta=0.0005 if n_nets >= 3 else 0.001
+            ),
+        })
+        return ex
+
+    for name, (nets, p) in {
+        "example3": (1, False), "example3-P": (1, True),
+        "example4": (3, False), "example4-P": (3, True),
+    }.items():
+        ex = pinn_gd_example(nets, p)
+        ex["description"] = (
+            f"Example {name[7:]}: PINN inverse, {nets} NN field(s), "
+            f"preconditioning={'on' if p else 'off'}"
+        )
+        corpus[name] = ex
+
+    # 5-7 family: hybrid solver.
+    def hybrid_example(n_nets, precond):
+        ex = base_problem()
+        if n_nets >= 1:
+            ex["nn_config"]["young"] = nn(True, 20)
+            ex["measured_displacements"] = measured_block()
+        if n_nets >= 3:
+            ex["nn_config"]["area"] = nn(True, 15)
+            ex["nn_config"]["density"] = nn(True, 10)
+        ex.update({
+            "solver_type": "pinn-hybrid",
+            "pinn_config": {
+                **pinn_config(precond,
+                              lr_theta=0.0005 if n_nets >= 3 else 0.001),
+                **({"alpha_data": 0.0, "max_iterations": 10000,
+                    "print_every": 10} if n_nets == 0 else {}),
+            },
+        })
+        if n_nets == 1:
+            ex["pinn_config"]["max_iterations"] = 2000
+        return ex
+
+    for name, (nets, p) in {
+        "example5": (0, False), "example5-P": (0, True),
+        "example6": (1, False), "example6-P": (1, True),
+        "example7": (3, False), "example7-P": (3, True),
+    }.items():
+        ex = hybrid_example(nets, p)
+        ex["description"] = (
+            f"Example {name[7:]}: hybrid GD->NR, {nets} NN field(s), "
+            f"preconditioning={'on' if p else 'off'}"
+        )
+        corpus[name] = ex
+
+    # 8-10: full Newton-Raphson.
+    def full_nr_example(n_nets):
+        ex = base_problem()
+        if n_nets >= 1:
+            ex["nn_config"]["young"] = nn(True, 10 if n_nets == 1 else 20)
+        if n_nets >= 3:
+            ex["nn_config"]["young"] = nn(True, 20)
+            ex["nn_config"]["area"] = nn(True, 15)
+            ex["nn_config"]["density"] = nn(True, 10)
+        ex.update({
+            "solver_type": "fem",
+            "solver_config": {"method": "full-nr", "max_iterations": 1000,
+                              "tolerance": 1e-6, "n_increments": 10},
+            "pinn_config": {"learning_rate_u": 1e-7,
+                            "learning_rate_theta": 1e-4,
+                            "alpha_physics": 1.0, "alpha_data": 100.0,
+                            "tolerance": 1e-6, "max_iterations": 1000},
+        })
+        return ex
+
+    for name, nets in {"example8": 0, "example9": 1, "example10": 3}.items():
+        ex = full_nr_example(nets)
+        ex["description"] = (
+            f"Example {name[7:]}: full Newton-Raphson, {nets} NN field(s)"
+        )
+        corpus[name] = ex
+
+    return corpus
+
+
+def main():
+    out_dir = Path(sys.argv[1]) if len(sys.argv) > 1 else Path(__file__).parent
+    out_dir.mkdir(parents=True, exist_ok=True)
+    corpus = build_corpus()
+    for name, problem in corpus.items():
+        path = out_dir / f"{name}.json"
+        path.write_text(json.dumps(problem, indent=2))
+        print(f"wrote {path}")
+    print(f"{len(corpus)} problems")
+
+
+if __name__ == "__main__":
+    main()

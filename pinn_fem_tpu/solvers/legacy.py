@@ -106,10 +106,14 @@ def solve_incremental_newton(
     """Classic incremental NR with the legacy history/result contract:
     one history entry PER INCREMENT ({increment, load_factor, iterations,
     residual, max_strain, converged}, core.py:51-60), converged =
-    all-increments-converged."""
+    all-increments-converged.
+
+    Unlike the unified solve_nr (which refuses trainable materials,
+    solver.py:437-441), this legacy path evaluates NN material fields
+    FROZEN — matching the reference's core.py, which assembles with
+    whatever Property.value returns (used by truss1d_nn_property.py).
+    """
     config = config or LegacySolverConfig()
-    if problem.material.has_trainable_params:
-        raise ValueError("solve_incremental_newton requires scalar materials")
 
     data = problem.to_device()
     dtype = data.loads.dtype

@@ -69,9 +69,14 @@ def test_incremental_newton_history_per_increment():
     assert result.reactions[0, 0] == pytest.approx(-1.0, abs=1e-5)
 
 
-def test_incremental_newton_rejects_nn():
-    with pytest.raises(ValueError, match="scalar"):
-        solve_incremental_newton(chain_problem(nn_material()))
+def test_incremental_newton_evaluates_frozen_nn():
+    """The legacy path assembles with NN fields FROZEN (reference core.py
+    never checks trainability; truss1d_nn_property.py relies on this)."""
+    result = solve_incremental_newton(chain_problem(nn_material()))
+    assert result.converged
+    # Stiffer-than-unit material (softplus(~1) ~ 1.2-1.5) -> tip u below the
+    # unit-stiffness value of 3.0.
+    assert 1.5 < result.displacements[-1, 0] < 2.95
 
 
 # ---------------------------------------------------------------------------
