@@ -59,6 +59,9 @@ class ProblemData:
     loads: jnp.ndarray    # (ndof,) external load vector
     free_mask: jnp.ndarray   # (ndof,) 1.0 on free DOFs, 0.0 on fixed
     fixed_mask: jnp.ndarray  # (ndof,) 1.0 on fixed DOFs
+    # Transposed incidence (ndof, max_valence) for scatter-free accumulation
+    # (see ops/scatter.py).
+    gather_map: jnp.ndarray = None
     dimension: int = struct.field(pytree_node=False, default=2)
 
     @property
@@ -150,6 +153,10 @@ class TrussProblem:
         else:
             dof_map = np.stack([2 * i, 2 * i + 1, 2 * j, 2 * j + 1], axis=1)
 
+        from ..ops.scatter import build_gather_map
+
+        gather_map = build_gather_map(dof_map, self.ndof)
+
         free_mask = np.ones(self.ndof)
         if self.fixed_dofs.size:
             free_mask[np.unique(self.fixed_dofs)] = 0.0
@@ -162,5 +169,6 @@ class TrussProblem:
             loads=jnp.asarray(self.loads, dtype=dtype),
             free_mask=jnp.asarray(free_mask, dtype=dtype),
             fixed_mask=jnp.asarray(1.0 - free_mask, dtype=dtype),
+            gather_map=jnp.asarray(gather_map, dtype=jnp.int32),
             dimension=self.dimension,
         )

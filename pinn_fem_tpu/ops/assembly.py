@@ -80,12 +80,16 @@ def internal_force_and_strain(
     though only f_int enters the loss; skipping K halves the scatter work
     and removes an O(ndof^2) buffer from the training loop.
     """
+    from .scatter import segment_sum_dofs
+
     young, area = material_values(data, material, load_factor)
     u_e = u[data.dof_map]
     s = young * area * data.inv_len
     gu = jnp.sum(data.gvec * u_e, axis=-1)
     fe = (s * gu)[:, None] * data.gvec
-    f_int = jnp.zeros(data.ndof, dtype=u.dtype).at[data.dof_map].add(fe)
+    # Gather-based segment sum (ops/scatter.py): bandwidth-bound on TPU with
+    # an explicit gather backward pass and deterministic accumulation order.
+    f_int = segment_sum_dofs(fe, data.gather_map, data.dof_map)
     return f_int, gu * data.inv_len
 
 

@@ -1,0 +1,74 @@
+"""Gather-based DOF accumulation (scatter-free segment sum).
+
+Since mesh connectivity is static, the (nelm, 2d) -> (ndof,) accumulation
+can be written either as an XLA scatter-add or, with a precomputed
+transposed incidence table, as a dense GATHER + small-axis reduction:
+
+    f[d] = sum_k fe_flat[gather_map[d, k]]        (gather_map: (ndof, V))
+
+Measured on TPU v5e at 1M elements, BOTH formulations run at the HBM
+bandwidth floor (0.03-0.05 ms) *when all arrays are traced arguments* —
+XLA's TPU scatter-add is not a bottleneck here.  (An earlier 30 ms
+measurement traced to closure-captured constants, not the scatter; the
+library-wide rule that matters is: never close over large device arrays
+in jitted functions.)  The gather form is kept because (a) its custom VJP
+makes the backward pass an explicit gather,
+
+    d fe[e, k] = g[dof_map[e, k]]
+
+(b) it is the building block for future locality-blocked Pallas kernels
+where the accumulation must live in VMEM, and (c) it gives deterministic
+accumulation order independent of XLA's scatter implementation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_gather_map(dof_map: np.ndarray, ndof: int) -> np.ndarray:
+    """Transpose the (nelm, 2d) DOF map into (ndof, V) flat-slot indices.
+
+    Padded entries point one past the end of fe_flat (callers append a
+    zero), so padding contributes exactly 0.0 to the sum.
+    """
+    flat = np.asarray(dof_map, dtype=np.int64).reshape(-1)
+    n_slots = flat.size
+    counts = np.bincount(flat, minlength=ndof)
+    valence = int(counts.max()) if n_slots else 1
+
+    order = np.argsort(flat, kind="stable")
+    sorted_dofs = flat[order]
+    starts = np.zeros(ndof + 1, dtype=np.int64)
+    starts[1:] = np.cumsum(counts)
+    col = np.arange(n_slots, dtype=np.int64) - starts[sorted_dofs]
+
+    gather = np.full((ndof, valence), n_slots, dtype=np.int64)  # pad -> zero slot
+    gather[sorted_dofs, col] = order
+    return gather.astype(np.int32)
+
+
+def segment_sum_dofs(
+    fe: jnp.ndarray, gather_map: jnp.ndarray, dof_map: jnp.ndarray
+) -> jnp.ndarray:
+    """(nelm, 2d) element contributions -> (ndof,) accumulated vector.
+
+    gather_map/dof_map are captured as constants of a per-trace custom-VJP
+    closure; both forward and backward are pure gathers.
+    """
+
+    @jax.custom_vjp
+    def seg(fe_):
+        fe_flat = jnp.concatenate([fe_.reshape(-1), jnp.zeros(1, fe_.dtype)])
+        return jnp.sum(fe_flat[gather_map], axis=1)
+
+    def fwd(fe_):
+        return seg(fe_), fe_.shape
+
+    def bwd(shape, g):
+        return (g[dof_map].reshape(shape),)
+
+    seg.defvjp(fwd, bwd)
+    return seg(fe)

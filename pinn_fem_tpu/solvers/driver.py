@@ -48,15 +48,41 @@ def solve(
     measured_disp: Optional[np.ndarray] = None,
     measured_dofs: Optional[np.ndarray] = None,
     verbose: bool = True,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
 ) -> SolverResult:
+    """Universal incremental solve.
+
+    checkpoint_dir / resume extend the reference (which had no cross-process
+    persistence, SURVEY §5): with checkpoint_dir set, (u, theta) is saved
+    after every converged increment; with resume=True, a previous run's
+    state is restored and completed increments are skipped.
+    """
     config = config or SolverConfig()
     method = resolve_method(problem, config, measured_disp, measured_dofs)
     data = problem.to_device()
 
     result: Optional[SolverResult] = None
     u_current: Optional[np.ndarray] = None
+    start_increment = 1
 
-    for iinc in range(1, config.n_increments + 1):
+    if checkpoint_dir and resume:
+        from ..utils.checkpoint import load_increment_state
+        from .gd import get_theta, set_theta
+
+        restored = load_increment_state(checkpoint_dir, get_theta(problem.material))
+        if restored is not None:
+            done_inc, u_np, theta = restored
+            u_current = u_np
+            if theta:
+                problem.material = set_theta(problem.material, theta)
+            start_increment = done_inc + 1
+            if verbose:
+                print(f"[resume] restored checkpoint after increment {done_inc}")
+            if start_increment > config.n_increments:
+                start_increment = config.n_increments  # re-run the last one
+
+    for iinc in range(start_increment, config.n_increments + 1):
         load_factor = config.load_factor_initial + (iinc / config.n_increments) * (
             config.load_factor_final - config.load_factor_initial
         )
@@ -104,6 +130,16 @@ def solve(
         if verbose:
             status = "CONVERGED" if result.converged else "FAILED"
             print(f"{iinc:4d} | {load_factor:12.6f} | {status:>10}")
+
+        if checkpoint_dir and result.converged:
+            from ..utils.checkpoint import save_increment_state
+            from .gd import get_theta
+
+            save_increment_state(
+                checkpoint_dir, iinc, u_current, get_theta(problem.material),
+                meta={"method": method, "load_factor": load_factor},
+            )
+
         if not result.converged:
             if verbose:
                 print(f"[WARNING] Increment {iinc} did not converge, stopping.")

@@ -47,14 +47,58 @@ def _nr_core(data: ProblemData, material: Material, u0, load_factor, max_iter, t
     return out.u, reactions, out.n_iters, out.residual, out.converged, out.max_strain
 
 
+# DOF count above which the dense factorization gives way to matrix-free
+# Jacobi-PCG (dense K is O(ndof^2) memory; PCG streams gather/scatter).
+DENSE_DOF_LIMIT = 2048
+
+
+@jax.jit
+def _nr_core_cg(data: ProblemData, material: Material, u0, load_factor,
+                max_iter, tol, min_denom, cg_tol, cg_max_iter):
+    """Large-mesh NR increment: matrix-free PCG inner solves, K never formed."""
+    from ..ops.cg import apply_stiffness, cg_solve, stiffness_coefficients
+
+    def cond(carry):
+        it, _, _, conv = carry
+        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
+
+    def body(carry):
+        it, u, _, _ = carry
+        s = stiffness_coefficients(data, material, load_factor)
+        f_int = apply_stiffness(data, s, u)
+        rhs = load_factor * data.loads - f_int
+        du, _, _ = cg_solve(data, s, rhs, tol=cg_tol, max_iter=cg_max_iter)
+        u_new = u + du
+        res = jnp.linalg.norm(du) / jnp.maximum(jnp.linalg.norm(u_new), min_denom)
+        return (it + 1, u_new, res, res <= tol)
+
+    init = (jnp.zeros((), jnp.int32), u0, jnp.asarray(jnp.inf, u0.dtype),
+            jnp.zeros((), bool))
+    it, u, res, conv = jax.lax.while_loop(cond, body, init)
+
+    from ..ops.cg import apply_stiffness as _apply, stiffness_coefficients as _coef
+
+    s = _coef(data, material, load_factor)
+    reactions = (_apply(data, s, u) - load_factor * data.loads) * data.fixed_mask
+    # Max strain from the final state (|g.u_e| / L).
+    u_e = u[data.dof_map]
+    strain = jnp.sum(data.gvec * u_e, axis=-1) * data.inv_len
+    return u, reactions, it, res, conv, jnp.max(jnp.abs(strain))
+
+
 def solve_nr(
     problem: TrussProblem,
     config: Optional[SolverConfig] = None,
     target_load_factor: float = 1.0,
     u_initial: Optional[np.ndarray] = None,
     data: Optional[ProblemData] = None,
+    linear_solver: str = "auto",
 ) -> SolverResult:
-    """Single-increment NR solve (driven by solvers.driver.solve)."""
+    """Single-increment NR solve (driven by solvers.driver.solve).
+
+    linear_solver: "dense" (Cholesky on the assembled K), "cg" (matrix-free
+    Jacobi-PCG; K is never formed), or "auto" (cg above DENSE_DOF_LIMIT).
+    """
     config = config or SolverConfig()
     if problem.material.has_trainable_params:
         raise ValueError(
@@ -69,15 +113,32 @@ def solve_nr(
     else:
         u0 = jnp.zeros(problem.ndof, dtype=dtype)
 
-    u, reactions, it, res, conv, max_strain = _nr_core(
-        data,
-        problem.material,
-        u0,
-        jnp.asarray(target_load_factor, dtype),
-        jnp.asarray(config.max_iterations, jnp.int32),
-        jnp.asarray(config.tolerance, dtype),
-        jnp.asarray(config.min_denominator, dtype),
-    )
+    if linear_solver == "auto":
+        linear_solver = "cg" if problem.ndof > DENSE_DOF_LIMIT else "dense"
+
+    if linear_solver == "cg":
+        cg_tol = max(min(config.tolerance * 1e-2, 1e-8), 1e-9)
+        u, reactions, it, res, conv, max_strain = _nr_core_cg(
+            data,
+            problem.material,
+            u0,
+            jnp.asarray(target_load_factor, dtype),
+            jnp.asarray(config.max_iterations, jnp.int32),
+            jnp.asarray(config.tolerance, dtype),
+            jnp.asarray(config.min_denominator, dtype),
+            jnp.asarray(cg_tol, dtype),
+            jnp.asarray(max(20 * problem.ndof, 1000), jnp.int32),
+        )
+    else:
+        u, reactions, it, res, conv, max_strain = _nr_core(
+            data,
+            problem.material,
+            u0,
+            jnp.asarray(target_load_factor, dtype),
+            jnp.asarray(config.max_iterations, jnp.int32),
+            jnp.asarray(config.tolerance, dtype),
+            jnp.asarray(config.min_denominator, dtype),
+        )
     u_np = np.asarray(u, dtype=float)
     if not np.all(np.isfinite(u_np)):
         raise RuntimeError("Tangent stiffness became singular during solve")
