@@ -19,11 +19,17 @@ makes the backward pass an explicit gather,
 (b) it is the building block for future locality-blocked Pallas kernels
 where the accumulation must live in VMEM, and (c) it gives deterministic
 accumulation order independent of XLA's scatter implementation.
+
+No custom derivative rules: the op must stay transparent to BOTH autodiff
+modes (the GD solvers reverse-differentiate it; full-NR's jacfwd(grad L)
+forward-differentiates the resulting VJP graph, which a custom_vjp would
+reject).  JAX's own transpose of the gather is a scatter-add, which is
+bandwidth-bound on TPU.
 """
 
 from __future__ import annotations
 
-import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,22 +59,8 @@ def build_gather_map(dof_map: np.ndarray, ndof: int) -> np.ndarray:
 def segment_sum_dofs(
     fe: jnp.ndarray, gather_map: jnp.ndarray, dof_map: jnp.ndarray
 ) -> jnp.ndarray:
-    """(nelm, 2d) element contributions -> (ndof,) accumulated vector.
-
-    gather_map/dof_map are captured as constants of a per-trace custom-VJP
-    closure; both forward and backward are pure gathers.
-    """
-
-    @jax.custom_vjp
-    def seg(fe_):
-        fe_flat = jnp.concatenate([fe_.reshape(-1), jnp.zeros(1, fe_.dtype)])
-        return jnp.sum(fe_flat[gather_map], axis=1)
-
-    def fwd(fe_):
-        return seg(fe_), fe_.shape
-
-    def bwd(shape, g):
-        return (g[dof_map].reshape(shape),)
-
-    seg.defvjp(fwd, bwd)
-    return seg(fe)
+    """(nelm, 2d) element contributions -> (ndof,) accumulated vector."""
+    del dof_map  # kept in the signature for kernel implementations that
+    # need the forward incidence (e.g. VMEM-resident accumulation).
+    fe_flat = jnp.concatenate([fe.reshape(-1), jnp.zeros(1, fe.dtype)])
+    return jnp.sum(fe_flat[gather_map], axis=1)
