@@ -133,29 +133,55 @@ class TrussProblem:
         i, j = self.elements[:, 0], self.elements[:, 1]
         return 0.5 * (coords[i] + coords[j])
 
-    def to_device(self, dtype=None) -> ProblemData:
-        """Precompute the SoA geometry arrays and move them on device."""
+    # Element count above which the native (C++) preprocessing path is
+    # preferred when built — single O(n) passes instead of numpy's
+    # O(n log n) sorts and temporaries.
+    NATIVE_PREPROCESS_MIN_ELEMENTS = 4096
+
+    def to_device(self, dtype=None, use_native: Optional[bool] = None) -> ProblemData:
+        """Precompute the SoA geometry arrays and move them on device.
+
+        use_native: force the C++ preprocessing on/off; default auto
+        (native when built and the mesh is large enough to matter).
+        """
         dtype = dtype or default_dtype()
+
+        from ..utils import native as native_mod
+
+        if use_native is None:
+            use_native = (
+                native_mod.available()
+                and self.nelm >= self.NATIVE_PREPROCESS_MIN_ELEMENTS
+            )
+
         coords = self.node_coords_2d
-        i, j = self.elements[:, 0], self.elements[:, 1]
-
-        dx = coords[j] - coords[i]                      # (nelm, dim)
-        lengths = np.linalg.norm(dx, axis=1)
-        if np.any(lengths <= 0.0):
-            raise ValueError("Element with zero initial length detected")
-        cosines = dx / lengths[:, None]                 # (nelm, dim)
-
-        # Signed direction vector: eps = (g . u_e) / L0, ke = s * g g^T.
-        gvec = np.concatenate([-cosines, cosines], axis=1)  # (nelm, 2*dim)
-
-        if self.dimension == 1:
-            dof_map = np.stack([i, j], axis=1)
+        if use_native and native_mod.available():
+            geo = native_mod.compute_geometry_native(
+                coords, self.elements, self.dimension
+            )
+            gvec, inv_lengths, mids, dof_map = geo
+            lengths = None
+            gather_map = native_mod.build_gather_map_native(dof_map, self.ndof)
         else:
-            dof_map = np.stack([2 * i, 2 * i + 1, 2 * j, 2 * j + 1], axis=1)
+            i, j = self.elements[:, 0], self.elements[:, 1]
+            dx = coords[j] - coords[i]                      # (nelm, dim)
+            lengths = np.linalg.norm(dx, axis=1)
+            if np.any(lengths <= 0.0):
+                raise ValueError("Element with zero initial length detected")
+            cosines = dx / lengths[:, None]                 # (nelm, dim)
+            # Signed direction vector: eps = (g.u_e)/L0, ke = s g g^T.
+            gvec = np.concatenate([-cosines, cosines], axis=1)
+            inv_lengths = 1.0 / lengths
+            mids = 0.5 * (coords[i] + coords[j])
 
-        from ..ops.scatter import build_gather_map
+            if self.dimension == 1:
+                dof_map = np.stack([i, j], axis=1)
+            else:
+                dof_map = np.stack([2 * i, 2 * i + 1, 2 * j, 2 * j + 1], axis=1)
 
-        gather_map = build_gather_map(dof_map, self.ndof)
+            from ..ops.scatter import build_gather_map
+
+            gather_map = build_gather_map(dof_map, self.ndof)
 
         free_mask = np.ones(self.ndof)
         if self.fixed_dofs.size:
@@ -164,8 +190,8 @@ class TrussProblem:
         return ProblemData(
             dof_map=jnp.asarray(dof_map, dtype=jnp.int32),
             gvec=jnp.asarray(gvec, dtype=dtype),
-            inv_len=jnp.asarray(1.0 / lengths, dtype=dtype),
-            mid=jnp.asarray(0.5 * (coords[i] + coords[j]), dtype=dtype),
+            inv_len=jnp.asarray(inv_lengths, dtype=dtype),
+            mid=jnp.asarray(mids, dtype=dtype),
             loads=jnp.asarray(self.loads, dtype=dtype),
             free_mask=jnp.asarray(free_mask, dtype=dtype),
             fixed_mask=jnp.asarray(1.0 - free_mask, dtype=dtype),
