@@ -1,0 +1,164 @@
+#!/usr/bin/env python3
+"""Scaling benchmarks beyond the reference corpus.
+
+Timing methodology (this matters on a remote-attached TPU):
+  * results are synchronized by fetching a scalar from the output —
+    block_until_ready alone does not reliably synchronize through the
+    attachment tunnel;
+  * the tunnel has a ~30 ms response-latency floor, so per-op costs are
+    measured by CHAINING many dependent applications inside one program
+    and subtracting the floor.
+
+Measurements:
+  1. K @ u at 1M elements, gather-based vs banded-DIA operator;
+  2. full banded-PCG Newton solve on a braced tower (~40k DOFs);
+  3. dp-batched Newton-Raphson throughput (problems/second).
+
+Prints one JSON line per measurement.  Run: python benchmarks/scaling.py
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pinn_fem_tpu import Material, SolverConfig, TrussProblem, solve_nr
+from pinn_fem_tpu.ops.cg import apply_stiffness, stiffness_coefficients
+from pinn_fem_tpu.ops.dia import assemble_dia, dia_layout, dia_matvec
+from pinn_fem_tpu.parallel.batched import solve_nr_batched
+
+CHAIN_REPS = 100
+
+
+def sync(x) -> float:
+    """Force device completion + fetch (see module docstring)."""
+    return float(jnp.ravel(x)[0])
+
+
+def grid_problem(rows, cols):
+    """Cross-braced grid strip in tension: the whole left edge is fixed and
+    the right edge is pulled axially — realistically conditioned for
+    Jacobi-PCG (unlike a cantilever, whose bending modes have cond ~ n^4)."""
+    ys, xs = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    nodes = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(float)
+    nid = lambda r, c: r * cols + c
+    elements = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                elements.append([nid(r, c), nid(r, c + 1)])
+            if r + 1 < rows:
+                elements.append([nid(r, c), nid(r + 1, c)])
+            if c + 1 < cols and r + 1 < rows:
+                elements.append([nid(r, c), nid(r + 1, c + 1)])
+                elements.append([nid(r, c + 1), nid(r + 1, c)])
+    nnode = rows * cols
+    loads = np.zeros(2 * nnode)
+    fixed = []
+    for r in range(rows):
+        fixed += [2 * nid(r, 0), 2 * nid(r, 0) + 1]      # left edge pinned
+        loads[2 * nid(r, cols - 1)] = 1.0                 # right edge pulled
+    return TrussProblem(
+        nodes=nodes, elements=np.array(elements),
+        material=Material(young=1.0, area=1.0, density=1.0),
+        loads=loads, fixed_dofs=np.array(fixed), dimension=2,
+    )
+
+
+def chain_problem(n_nodes):
+    nodes = np.stack([np.arange(n_nodes, dtype=float), np.zeros(n_nodes)], 1)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(2 * n_nodes)
+    loads[-2] = 1.0
+    return TrussProblem(
+        nodes=nodes, elements=elements,
+        material=Material(young=1.0, area=1.0, density=1.0),
+        loads=loads, fixed_dofs=np.array([0, 1]), dimension=2,
+    )
+
+
+def emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 6),
+                      "unit": unit, **extra}), flush=True)
+
+
+def timed(fn, reps=5):
+    sync(fn())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(fn())
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    backend = jax.default_backend()
+
+    # Latency floor of the attachment (subtracted from chained timings).
+    probe = jnp.ones(1024)
+    double = jax.jit(lambda x: x * 2.0)
+    floor = timed(lambda: double(probe))
+    emit("sync_latency_floor", floor * 1e3, "ms", backend=backend)
+
+    # 1) K @ u at 1M elements: gather vs DIA, chained.
+    n = 1_000_001
+    p = chain_problem(n)
+    data = p.to_device()
+    s = stiffness_coefficients(data, p.material, 1.0)
+    u = jnp.asarray(np.random.default_rng(0).normal(size=p.ndof), jnp.float32)
+
+    @jax.jit
+    def chained_gather(data, s, u):
+        return jax.lax.fori_loop(
+            0, CHAIN_REPS, lambda _, v: apply_stiffness(data, s, v) * 0.25, u)
+
+    t = (timed(lambda: chained_gather(data, s, u), reps=3) - floor) / CHAIN_REPS
+    emit("Ku_gather", t * 1e3, "ms", elements=n - 1, backend=backend)
+
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    diags = jax.jit(lambda s, g: assemble_dia(layout, s, g))(s, data.gvec)
+
+    @jax.jit
+    def chained_dia(d, u):
+        return jax.lax.fori_loop(
+            0, CHAIN_REPS, lambda _, v: dia_matvec(layout, d, v) * 0.25, u)
+
+    t_dia = (timed(lambda: chained_dia(diags, u), reps=3) - floor) / CHAIN_REPS
+    emit("Ku_dia", t_dia * 1e3, "ms", elements=n - 1, backend=backend,
+         n_diags=layout.n_diags, speedup_vs_gather=round(t / t_dia, 1))
+
+    # 2) Banded-PCG Newton solve, cross-braced grid strip (200k DOFs).
+    rows, cols = 50, 2000
+    p = grid_problem(rows, cols)
+    t0 = time.perf_counter()
+    result = solve_nr(p, SolverConfig(max_iterations=20), 1.0,
+                      linear_solver="cg-dia")
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    p2 = grid_problem(rows, cols)
+    result = solve_nr(p2, SolverConfig(max_iterations=20), 1.0,
+                      linear_solver="cg-dia")
+    t_warm = time.perf_counter() - t0
+    emit("grid_nr_dia_solve", t_warm, "s", dofs=p.ndof, elements=p.nelm,
+         converged=bool(result.converged), first_call_s=round(t_first, 1),
+         backend=backend)
+
+    # 3) Batched NR throughput on the benchmark mesh.
+    p = chain_problem(4)
+    batch = 256
+    scales = np.linspace(0.1, 2.0, batch)
+    loads_b = scales[:, None] * p.loads[None, :]
+    t = timed(lambda: solve_nr_batched(p, loads_b, SolverConfig())["u"], reps=5)
+    emit("batched_nr_throughput", batch / t, "problems/s", batch=batch,
+         backend=backend)
+
+
+if __name__ == "__main__":
+    main()

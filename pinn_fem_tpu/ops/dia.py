@@ -1,0 +1,175 @@
+"""Banded (DIA) sparse stiffness: the TPU-native SpMV.
+
+Measured on TPU v5e at 1M elements (amortized over chained applications,
+tunnel latency subtracted): the gather/segment-sum K @ u costs ~69 ms —
+XLA lowers random gathers to near-scalar-rate access — while the banded
+form below runs the same product in ~0.74 ms: a ~90x speedup, within ~5x
+of the pure streaming bound.
+
+For meshes whose natural (or renumbered) DOF ordering is BANDED — chains,
+towers, grids, most structured trusses — the stiffness has at most a few
+dozen nonzero diagonals, and
+
+    (K u)[i] = sum_k diag_k[i] * u[i + off_k]
+
+is a sum of CONTIGUOUS shifted slices: zero gathers, pure streaming reads,
+two orders of magnitude faster per application.  Assembly of the diagonals
+from element data needs one scatter pass, amortized over the hundreds of
+slice-rate CG iterations that follow.
+
+Usage:
+    layout = dia_layout(dof_map, ndof)            # host, once per mesh
+    diags  = assemble_dia(layout, s, data)        # device, per assembly
+    y      = dia_matvec(layout, diags, u)         # device, per CG step
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DiaLayout:
+    """Static banded layout of a mesh's stiffness.
+
+    offsets: (nd,) sorted diagonal offsets (include 0).
+    entry_slot: (nelm, 2d, 2d) int32 — for element-local entry (a, b), the
+        flat index k * ndof + row into the (nd, ndof) diagonal array.
+    ndof, bandwidth: ints.
+    """
+
+    offsets: np.ndarray
+    entry_slot: np.ndarray
+    ndof: int
+    bandwidth: int
+
+    @property
+    def n_diags(self) -> int:
+        return int(self.offsets.size)
+
+
+def dia_layout(dof_map: np.ndarray, ndof: int,
+               max_diags: int = 64,
+               max_bandwidth: Optional[int] = None) -> DiaLayout:
+    """Build the static DIA layout.
+
+    The cost of a banded matvec scales with the number of DISTINCT offsets
+    (n_diags), not the bandwidth itself — a regular grid has bandwidth
+    ~O(row width) but only ~30 distinct offsets.  Raises ValueError when
+    the mesh has more than max_diags distinct offsets (irregular
+    connectivity: renumber, or use the gather-based operator), or when an
+    explicit max_bandwidth is exceeded.
+    """
+    dof_map = np.asarray(dof_map, dtype=np.int64)
+    rows = dof_map[:, :, None]           # (nelm, 2d, 1)
+    cols = dof_map[:, None, :]           # (nelm, 1, 2d)
+    offs = (cols - rows)                 # (nelm, 2d, 2d)
+    bandwidth = int(np.abs(offs).max()) if offs.size else 0
+    if max_bandwidth is not None and bandwidth > max_bandwidth:
+        raise ValueError(
+            f"mesh bandwidth {bandwidth} exceeds {max_bandwidth}; "
+            "renumber DOFs or use the gather-based operator"
+        )
+    unique_offs = np.unique(offs)
+    if unique_offs.size > max_diags:
+        raise ValueError(
+            f"mesh has {unique_offs.size} distinct diagonals "
+            f"(> {max_diags}); renumber DOFs or use the gather-based operator"
+        )
+    off_index = {int(o): k for k, o in enumerate(unique_offs)}
+    k_of = np.vectorize(lambda o: off_index[int(o)])(offs)   # (nelm, 2d, 2d)
+    entry_slot = (k_of * ndof + np.broadcast_to(rows, offs.shape)).astype(np.int64)
+    return DiaLayout(
+        offsets=unique_offs.astype(np.int64),
+        entry_slot=entry_slot.astype(np.int32),
+        ndof=ndof,
+        bandwidth=bandwidth,
+    )
+
+
+def assemble_dia(layout: DiaLayout, s: jnp.ndarray, gvec: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Diagonals (nd, ndof) from element stiffness coefficients.
+
+    ke[e, a, b] = s_e g_a g_b scattered once into diagonal storage —
+    the only gather/scatter in the whole DIA pipeline, amortized over all
+    subsequent matvecs.  Differentiable w.r.t. s (scatter-add transposes
+    to gather).
+    """
+    ke = s[:, None, None] * gvec[:, :, None] * gvec[:, None, :]
+    flat = jnp.zeros((layout.n_diags * layout.ndof,), s.dtype)
+    flat = flat.at[jnp.asarray(layout.entry_slot)].add(ke)
+    return flat.reshape(layout.n_diags, layout.ndof)
+
+
+def dia_matvec(layout: DiaLayout, diags: jnp.ndarray, u: jnp.ndarray
+               ) -> jnp.ndarray:
+    """K @ u as a sum of shifted contiguous slices (no gathers).
+
+    For offset d: (K u)[i] += diag[i] * u[i + d]; realized by padding u
+    with `bandwidth` zeros on each side and taking static slices.
+    """
+    b = layout.bandwidth
+    ndof = layout.ndof
+    u_pad = jnp.pad(u, (b, b))
+    acc = jnp.zeros_like(u)
+    for k, off in enumerate(layout.offsets):   # static unrolled, nd small
+        start = b + int(off)
+        acc = acc + diags[k] * jax.lax.dynamic_slice(u_pad, (start,), (ndof,))
+    return acc
+
+
+def dia_diagonal(layout: DiaLayout, diags: jnp.ndarray) -> jnp.ndarray:
+    """diag(K) — the offset-0 row."""
+    k0 = int(np.where(layout.offsets == 0)[0][0])
+    return diags[k0]
+
+
+def dia_cg_solve(
+    layout: DiaLayout,
+    diags: jnp.ndarray,
+    rhs: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    tol=1e-6,
+    max_iter=100000,
+    x0=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Jacobi-PCG on the banded operator with masked BCs (cf. ops/cg.py)."""
+    mask = free_mask
+    b_vec = rhs * mask
+
+    def a_op(x):
+        return dia_matvec(layout, diags, x * mask) * mask + x * (1.0 - mask)
+
+    diag = dia_diagonal(layout, diags) * mask + (1.0 - mask)
+    inv_diag = 1.0 / diag
+    b_norm = jnp.maximum(jnp.linalg.norm(b_vec), 1e-30)
+    x0 = jnp.zeros_like(b_vec) if x0 is None else x0 * mask
+
+    r0 = b_vec - a_op(x0)
+    z0 = inv_diag * r0
+    rz0 = jnp.dot(r0, z0)
+
+    def cond(c):
+        it, _, r, _, _ = c
+        return jnp.logical_and(it < max_iter, jnp.linalg.norm(r) > tol * b_norm)
+
+    def body(c):
+        it, x, r, p, rz = c
+        ap = a_op(p)
+        alpha = rz / jnp.dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = inv_diag * r
+        rz_new = jnp.dot(r, z)
+        p = z + (rz_new / rz) * p
+        return (it + 1, x, r, p, rz_new)
+
+    init = (jnp.zeros((), jnp.int32), x0, r0, z0, rz0)
+    it, x, r, _, _ = jax.lax.while_loop(cond, body, init)
+    return x * mask, it, jnp.linalg.norm(r) / b_norm

@@ -6,25 +6,26 @@ transposed incidence table, as a dense GATHER + small-axis reduction:
 
     f[d] = sum_k fe_flat[gather_map[d, k]]        (gather_map: (ndof, V))
 
-Measured on TPU v5e at 1M elements, BOTH formulations run at the HBM
-bandwidth floor (0.03-0.05 ms) *when all arrays are traced arguments* —
-XLA's TPU scatter-add is not a bottleneck here.  (An earlier 30 ms
-measurement traced to closure-captured constants, not the scatter; the
-library-wide rule that matters is: never close over large device arrays
-in jitted functions.)  The gather form is kept because (a) its custom VJP
-makes the backward pass an explicit gather,
+Measured carefully on TPU v5e at 1M elements (chained dependent
+applications with scalar-fetch synchronization — block_until_ready does
+not reliably synchronize through a remote TPU attachment), gather- and
+scatter-based accumulation both cost ~70-90 ms per K @ u: XLA lowers
+random per-element indexing to near-scalar-rate access.  Random-index
+accumulation is therefore ONLY used where it is amortized or tiny:
 
-    d fe[e, k] = g[dof_map[e, k]]
+  * small benchmark problems (8-DOF corpus): negligible either way;
+  * DIA assembly (ops/dia.py): one indexed pass whose cost is amortized
+    over hundreds of slice-rate banded matvecs — the production path for
+    large banded meshes.
 
-(b) it is the building block for future locality-blocked Pallas kernels
-where the accumulation must live in VMEM, and (c) it gives deterministic
-accumulation order independent of XLA's scatter implementation.
+The gather form is kept alongside .at[].add because it gives a
+deterministic accumulation order and is the building block for future
+locality-blocked Pallas kernels.
 
 No custom derivative rules: the op must stay transparent to BOTH autodiff
 modes (the GD solvers reverse-differentiate it; full-NR's jacfwd(grad L)
 forward-differentiates the resulting VJP graph, which a custom_vjp would
-reject).  JAX's own transpose of the gather is a scatter-add, which is
-bandwidth-bound on TPU.
+reject).
 """
 
 from __future__ import annotations

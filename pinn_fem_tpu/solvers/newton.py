@@ -52,25 +52,119 @@ def _nr_core(data: ProblemData, material: Material, u0, load_factor, max_iter, t
 DENSE_DOF_LIMIT = 2048
 
 
+def _dia_layout_of(problem: TrussProblem, data: ProblemData):
+    """Banded layout cached on the problem (host build is O(nelm) but not
+    free at millions of elements); None when the bandwidth is too wide."""
+    cached = getattr(problem, "_dia_layout_cache", None)
+    if cached is not None:
+        return cached if cached != "unsupported" else None
+    from ..ops.dia import dia_layout
+
+    try:
+        layout = dia_layout(np.asarray(data.dof_map), problem.ndof)
+    except ValueError:
+        problem._dia_layout_cache = "unsupported"
+        return None
+    problem._dia_layout_cache = layout
+    return layout
+
+
+_DIA_CORE_CACHE: dict = {}
+
+
+def _nr_dia_core(layout):
+    """Jitted NR increment over the banded operator, cached per layout."""
+    core = _DIA_CORE_CACHE.get(id(layout))
+    if core is not None:
+        return core
+
+    from ..ops.cg import stiffness_coefficients
+    from ..ops.dia import assemble_dia, dia_cg_solve, dia_matvec
+
+    @jax.jit
+    def core(data, material, u0, load_factor, max_iter, tol, min_denom,
+             cg_tol, cg_max_iter):
+        # Force-residual convergence (see _nr_core_cg).
+        f_norm = jnp.maximum(
+            jnp.linalg.norm(load_factor * data.loads * data.free_mask),
+            min_denom,
+        )
+
+        def cond(carry):
+            it, _, _, conv = carry
+            return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
+
+        stall_tol = jnp.sqrt(tol)
+
+        def body(carry):
+            it, u, res_prev, _ = carry
+            s = stiffness_coefficients(data, material, load_factor)
+            diags = assemble_dia(layout, s, data.gvec)
+            f_int = dia_matvec(layout, diags, u)
+            rhs = load_factor * data.loads - f_int
+            du, _, _ = dia_cg_solve(layout, diags, rhs, data.free_mask,
+                                    tol=cg_tol, max_iter=cg_max_iter)
+            u_new = u + du
+            r = (load_factor * data.loads
+                 - dia_matvec(layout, diags, u_new)) * data.free_mask
+            res = jnp.linalg.norm(r) / f_norm
+            # Accept a residual stalled at the float32 floor (see
+            # _nr_core_cg docstring).
+            stalled = jnp.logical_and(res >= 0.5 * res_prev, res <= stall_tol)
+            return (it + 1, u_new, res, jnp.logical_or(res <= tol, stalled))
+
+        init = (jnp.zeros((), jnp.int32), u0, jnp.asarray(jnp.inf, u0.dtype),
+                jnp.zeros((), bool))
+        it, u, res, conv = jax.lax.while_loop(cond, body, init)
+
+        s = stiffness_coefficients(data, material, load_factor)
+        diags = assemble_dia(layout, s, data.gvec)
+        reactions = (dia_matvec(layout, diags, u)
+                     - load_factor * data.loads) * data.fixed_mask
+        u_e = u[data.dof_map]
+        strain = jnp.sum(data.gvec * u_e, axis=-1) * data.inv_len
+        return u, reactions, it, res, conv, jnp.max(jnp.abs(strain))
+
+    _DIA_CORE_CACHE[id(layout)] = core
+    return core
+
+
 @jax.jit
 def _nr_core_cg(data: ProblemData, material: Material, u0, load_factor,
                 max_iter, tol, min_denom, cg_tol, cg_max_iter):
-    """Large-mesh NR increment: matrix-free PCG inner solves, K never formed."""
+    """Large-mesh NR increment: matrix-free PCG inner solves, K never formed.
+
+    Convergence is on the TRUE force residual |R_free| / |lf F_free| — the
+    dense path's ||du||/||u|| criterion is unattainable with iterative
+    inner solves, whose solution error is cond(K) * cg_tol and dominates
+    du after the first Newton step.  In float32 the measurable force
+    residual itself has a floor of ~eps * |K u| / |F|, so a residual that
+    stalls below sqrt(tol) is accepted as converged-at-the-float32-floor
+    (the achieved value is reported in the history).
+    """
     from ..ops.cg import apply_stiffness, cg_solve, stiffness_coefficients
+
+    f_norm = jnp.maximum(
+        jnp.linalg.norm(load_factor * data.loads * data.free_mask), min_denom
+    )
+    stall_tol = jnp.sqrt(tol)
 
     def cond(carry):
         it, _, _, conv = carry
         return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
 
     def body(carry):
-        it, u, _, _ = carry
+        it, u, res_prev, _ = carry
         s = stiffness_coefficients(data, material, load_factor)
         f_int = apply_stiffness(data, s, u)
         rhs = load_factor * data.loads - f_int
         du, _, _ = cg_solve(data, s, rhs, tol=cg_tol, max_iter=cg_max_iter)
         u_new = u + du
-        res = jnp.linalg.norm(du) / jnp.maximum(jnp.linalg.norm(u_new), min_denom)
-        return (it + 1, u_new, res, res <= tol)
+        r = (load_factor * data.loads
+             - apply_stiffness(data, s, u_new)) * data.free_mask
+        res = jnp.linalg.norm(r) / f_norm
+        stalled = jnp.logical_and(res >= 0.5 * res_prev, res <= stall_tol)
+        return (it + 1, u_new, res, jnp.logical_or(res <= tol, stalled))
 
     init = (jnp.zeros((), jnp.int32), u0, jnp.asarray(jnp.inf, u0.dtype),
             jnp.zeros((), bool))
@@ -117,7 +211,30 @@ def solve_nr(
         linear_solver = "cg" if problem.ndof > DENSE_DOF_LIMIT else "dense"
 
     if linear_solver == "cg":
-        cg_tol = max(min(config.tolerance * 1e-2, 1e-8), 1e-9)
+        # Prefer the banded (DIA) operator when the DOF ordering is banded:
+        # slice-based K@u is ~90x faster than gather-based on TPU.
+        layout = _dia_layout_of(problem, data)
+        if layout is not None:
+            linear_solver = "cg-dia"
+
+    if linear_solver == "cg-dia":
+        layout = _dia_layout_of(problem, data)
+        if layout is None:
+            raise ValueError("mesh bandwidth too wide for the DIA operator")
+        cg_tol = max(config.tolerance * 0.1, 5e-8)
+        u, reactions, it, res, conv, max_strain = _nr_dia_core(layout)(
+            data,
+            problem.material,
+            u0,
+            jnp.asarray(target_load_factor, dtype),
+            jnp.asarray(config.max_iterations, jnp.int32),
+            jnp.asarray(config.tolerance, dtype),
+            jnp.asarray(config.min_denominator, dtype),
+            jnp.asarray(cg_tol, dtype),
+            jnp.asarray(min(max(20 * problem.ndof, 1000), 100_000), jnp.int32),
+        )
+    elif linear_solver == "cg":
+        cg_tol = max(config.tolerance * 0.1, 5e-8)
         u, reactions, it, res, conv, max_strain = _nr_core_cg(
             data,
             problem.material,

@@ -1,0 +1,138 @@
+"""Banded DIA stiffness: layout, assembly, matvec, and PCG vs references."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pinn_fem_tpu import Material, TrussProblem
+from pinn_fem_tpu.ops.assembly import assemble_system
+from pinn_fem_tpu.ops.cg import stiffness_coefficients
+from pinn_fem_tpu.ops.dia import (
+    assemble_dia,
+    dia_cg_solve,
+    dia_diagonal,
+    dia_layout,
+    dia_matvec,
+)
+
+
+def chain(n_nodes, young=1.0):
+    nodes = np.stack([np.arange(n_nodes, dtype=float), np.zeros(n_nodes)], 1)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(2 * n_nodes)
+    loads[-2] = 1.0
+    fixed = [0, 1] + [2 * i + 1 for i in range(1, n_nodes)]
+    return TrussProblem(nodes, elements, Material(young=young, area=1.0,
+                                                  density=1.0),
+                        loads, np.array(fixed), 2)
+
+
+def tower(stories):
+    nodes, elements = [], []
+    for s in range(stories + 1):
+        nodes += [[0.0, float(s)], [1.0, float(s)]]
+    for s in range(stories):
+        a, b, c, d = 2 * s, 2 * s + 1, 2 * s + 2, 2 * s + 3
+        elements += [[a, c], [b, d], [c, d], [a, d], [b, c]]
+    elements.append([0, 1])
+    nodes = np.array(nodes)
+    loads = np.zeros(2 * len(nodes))
+    loads[-2] = 1.0
+    return TrussProblem(nodes, np.array(elements),
+                        Material(young=1.0, area=1.0, density=1.0),
+                        loads, np.array([0, 1, 2, 3]), 2)
+
+
+@pytest.mark.parametrize("make,n", [(chain, 30), (tower, 12)])
+def test_dia_matvec_matches_dense(make, n):
+    p = make(n)
+    data = p.to_device()
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    s = stiffness_coefficients(data, p.material, 1.0)
+    diags = assemble_dia(layout, s, data.gvec)
+
+    k, _, _ = assemble_system(data, p.material, jnp.zeros(p.ndof))
+    k = np.asarray(k)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=p.ndof), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(dia_matvec(layout, diags, u)), k @ np.asarray(u),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dia_diagonal(layout, diags)), np.diag(k), atol=1e-5
+    )
+
+
+def test_dia_bandwidth_guard():
+    # Element connecting node 0 to node 100 -> bandwidth 200.
+    nodes = np.stack([np.arange(101, dtype=float), np.zeros(101)], 1)
+    elements = np.array([[0, 100]])
+    p = TrussProblem(nodes, elements, Material(young=1.0, area=1.0, density=1.0),
+                     np.zeros(202), np.array([0, 1]), 2)
+    data = p.to_device()
+    with pytest.raises(ValueError, match="bandwidth"):
+        dia_layout(np.asarray(data.dof_map), p.ndof, max_bandwidth=64)
+
+
+def test_dia_diag_count_guard():
+    # Random long-range connectivity -> many distinct offsets.
+    rng = np.random.default_rng(0)
+    n = 200
+    nodes = np.stack([np.arange(n, dtype=float), rng.normal(size=n)], 1)
+    a = rng.integers(0, n - 1, size=150)
+    b = (a + rng.integers(1, n - 1, size=150)) % n
+    elements = np.stack([a, b], 1)
+    elements = elements[elements[:, 0] != elements[:, 1]]
+    p = TrussProblem(nodes, elements, Material(young=1.0, area=1.0, density=1.0),
+                     np.zeros(2 * n), np.array([0, 1]), 2)
+    data = p.to_device()
+    with pytest.raises(ValueError, match="distinct diagonals"):
+        dia_layout(np.asarray(data.dof_map), p.ndof, max_diags=32)
+
+
+def test_dia_cg_solves_tower():
+    p = tower(60)
+    data = p.to_device()
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    s = stiffness_coefficients(data, p.material, 1.0)
+    diags = assemble_dia(layout, s, data.gvec)
+    x, it, rel = dia_cg_solve(layout, diags, data.loads, data.free_mask,
+                              tol=1e-7)
+    assert float(rel) < 1e-5
+    # Cross-check vs the dense masked solve.  A 60-story cantilever is
+    # bending-dominated (cond ~ 1e7), so float32 solution accuracy is
+    # cond * residual ~ percent-level; compare loosely and also check the
+    # physical residual directly.
+    from pinn_fem_tpu.ops.linalg import masked_solve
+
+    k, _, _ = assemble_system(data, p.material, jnp.zeros(p.ndof))
+    x_dense = masked_solve(k, data.loads, data.free_mask)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_dense),
+                               rtol=5e-2, atol=1e-4)
+    # (A recomputed float32 residual has a floor of eps * |K| * |x| ~ O(1)
+    # here even for the exact solution, so only solutions are compared.)
+
+
+def test_dia_assembly_differentiable_wrt_s():
+    import jax
+
+    p = chain(10)
+    data = p.to_device()
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    # Non-uniform test vector (a rigid translation has zero strain energy
+    # and therefore zero gradient w.r.t. every s_e).
+    u = jnp.asarray(np.linspace(0.0, 1.0, p.ndof) ** 2, jnp.float32)
+
+    def energy(s):
+        diags = assemble_dia(layout, s, data.gvec)
+        return jnp.dot(u, dia_matvec(layout, diags, u))
+
+    s0 = jnp.ones(p.nelm)
+    g = jax.grad(energy)(s0)
+    eps = 1e-3
+    for e in (0, 4, 8):
+        sp = s0.at[e].add(eps)
+        sm = s0.at[e].add(-eps)
+        fd = (energy(sp) - energy(sm)) / (2 * eps)
+        assert np.isclose(float(g[e]), float(fd), rtol=1e-2)
