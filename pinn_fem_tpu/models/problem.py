@@ -43,6 +43,17 @@ def free_and_fixed_dofs(ndof: int, fixed_dofs: np.ndarray) -> Tuple[np.ndarray, 
     return np.flatnonzero(mask), fixed
 
 
+def split_element_data(
+    nodes: np.ndarray, disp: np.ndarray, node_i: int, node_j: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(x_i0, x_j0, u_i, u_j) for one 2D element (reference geometry.py:12-18)."""
+    x_i0 = nodes[node_i]
+    x_j0 = nodes[node_j]
+    u_i = np.array([disp[2 * node_i], disp[2 * node_i + 1]], dtype=float)
+    u_j = np.array([disp[2 * node_j], disp[2 * node_j + 1]], dtype=float)
+    return x_i0, x_j0, u_i, u_j
+
+
 @struct.dataclass
 class ProblemData:
     """Device-resident structure-of-arrays view of a truss problem.

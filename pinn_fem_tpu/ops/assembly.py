@@ -67,6 +67,42 @@ def assemble_system(
     return k_global, f_int, max_abs_strain
 
 
+def assemble_system_nonlinear(
+    data: ProblemData,
+    material: Material,
+    u: jnp.ndarray,
+    load_factor=1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Geometrically nonlinear (Green-Lagrange) assembly, 2D only.
+
+    The reference ships this kernel as exposed-but-unwired API surface
+    (element.py:105-133 imported at assembly.py:10 but never called); here
+    it is a first-class opt-in: solve_nr(..., geometric_nonlinear=True).
+    Returns (K_tangent, f_int, max_abs_strain) like assemble_system.
+    """
+    if data.dimension != 2:
+        raise ValueError("geometric nonlinearity is implemented for 2D trusses")
+    from .elements import truss2d_green_lagrange_batch
+
+    young, area = material_values(data, material, load_factor)
+    dim = data.dimension
+    # Rest chord vectors and nodal rest coordinates from the SoA fields.
+    dx0 = data.gvec[:, dim:] / data.inv_len[:, None]
+    x_i0 = data.mid - 0.5 * dx0
+    x_j0 = data.mid + 0.5 * dx0
+    x0 = jnp.stack([x_i0, x_j0], axis=1)                  # (nelm, 2, 2)
+    u_e = u[data.dof_map]                                  # (nelm, 4)
+
+    elem = truss2d_green_lagrange_batch(x0, u_e, data.inv_len, young, area)
+
+    ndof = data.ndof
+    rows = data.dof_map[:, :, None]
+    cols = data.dof_map[:, None, :]
+    k_global = jnp.zeros((ndof, ndof), dtype=u.dtype).at[rows, cols].add(elem.ke)
+    f_int = jnp.zeros(ndof, dtype=u.dtype).at[data.dof_map].add(elem.fe_int)
+    return k_global, f_int, jnp.max(jnp.abs(elem.strain))
+
+
 def internal_force_and_strain(
     data: ProblemData,
     material: Material,

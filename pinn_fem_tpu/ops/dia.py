@@ -155,21 +155,33 @@ def dia_cg_solve(
     z0 = inv_diag * r0
     rz0 = jnp.dot(r0, z0)
 
+    # Plain PCG recurrence with float32 breakdown guards.  NOTE: the true
+    # residual norm is NOT a usable progress metric here — it saturates at
+    # eps * |K| * |x| (which GROWS as x approaches large solutions), so the
+    # loop trusts the recurrence residual and exits on breakdown
+    # (non-positive / non-finite r.z, impossible for SPD systems in exact
+    # arithmetic, a reliable float32 end-of-progress signal).
     def cond(c):
-        it, _, r, _, _ = c
-        return jnp.logical_and(it < max_iter, jnp.linalg.norm(r) > tol * b_norm)
+        it, _, r, _, rz, _ = c
+        ok = jnp.logical_and(jnp.isfinite(rz), rz > 0)
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iter, ok),
+            jnp.linalg.norm(r) > tol * b_norm,
+        )
 
     def body(c):
-        it, x, r, p, rz = c
+        it, x, r, p, rz, _ = c
         ap = a_op(p)
-        alpha = rz / jnp.dot(p, ap)
+        denom = jnp.dot(p, ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > 0, denom, 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
         z = inv_diag * r
         rz_new = jnp.dot(r, z)
-        p = z + (rz_new / rz) * p
-        return (it + 1, x, r, p, rz_new)
+        beta = rz_new / jnp.where(rz != 0, rz, 1e-30)
+        p = z + beta * p
+        return (it + 1, x, r, p, rz_new, jnp.linalg.norm(r) / b_norm)
 
-    init = (jnp.zeros((), jnp.int32), x0, r0, z0, rz0)
-    it, x, r, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (jnp.zeros((), jnp.int32), x0, r0, z0, rz0, jnp.asarray(jnp.inf, b_vec.dtype))
+    it, x, r, _, _, _ = jax.lax.while_loop(cond, body, init)
     return x * mask, it, jnp.linalg.norm(r) / b_norm

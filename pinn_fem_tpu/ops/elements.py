@@ -64,9 +64,20 @@ def truss2d_green_lagrange_batch(
 ) -> ElementBatch:
     """Geometrically nonlinear 2D truss (Green-Lagrange), batched.
 
-    Mirrors element.py:105-133: e_gl = (L^2 - L0^2) / (2 L0^2),
-    ke = (EA/L0^3) d0 d0^T + (EA/L0) e_gl d d^T, fe = (EA/L0) e_gl d,
-    with d0/d the (+dx, -dx) stacked rest/deformed chord vectors.
+    Strain matches the reference kernel (element.py:105-133):
+    e_gl = (L^2 - L0^2) / (2 L0^2).  Forces and tangent are the
+    VARIATIONALLY CONSISTENT ones derived from the strain energy
+    U = 1/2 E A L0 e_gl^2:
+
+        f_e  = E A L0 e_gl  de/du              = (EA/L0) e_gl d
+        K_e  = E A L0 (de/du de/du^T + e_gl d2e/du2)
+             = (EA/L0^3) d d^T + (EA/L0) e_gl [[I, -I], [-I, I]]
+
+    with d = [-dx, +dx] built from the DEFORMED chord.  (Documented
+    divergence: the reference's never-called kernel signs d the opposite
+    way — inconsistent with its own linear kernel — and evaluates the
+    material tangent at the rest chord; as dead code the defect was
+    invisible.  A wired solve path needs the consistent form.)
 
     Args:
         x0: (nelm, 2, 2) rest coordinates of the two element nodes (i then j).
@@ -80,14 +91,17 @@ def truss2d_green_lagrange_batch(
     l_sq = jnp.sum(dx * dx, axis=-1)
     e_gl = (l_sq - l0_sq) / (2.0 * l0_sq)
 
-    d0 = jnp.concatenate([dx0, -dx0], axis=1)             # (nelm, 4)
-    d = jnp.concatenate([dx, -dx], axis=1)
+    d = jnp.concatenate([-dx, dx], axis=1)                # (nelm, 4)
 
-    ea_invl = young * area * inv_len
-    ke_l = (ea_invl * inv_len * inv_len)[:, None, None] * d0[:, :, None] * d0[:, None, :]
-    ke_nl = (ea_invl * e_gl)[:, None, None] * d[:, :, None] * d[:, None, :]
+    ea_invl = young * area * inv_len                      # EA / L0
+    ke_mat = (ea_invl * inv_len * inv_len)[:, None, None] * (
+        d[:, :, None] * d[:, None, :]
+    )
+    eye2 = jnp.eye(2, dtype=u_e.dtype)
+    b_geo = jnp.block([[eye2, -eye2], [-eye2, eye2]])     # (4, 4)
+    ke_geo = (ea_invl * e_gl)[:, None, None] * b_geo[None, :, :]
     fe = (ea_invl * e_gl)[:, None] * d
-    return ElementBatch(ke=ke_l + ke_nl, fe_int=fe, strain=e_gl)
+    return ElementBatch(ke=ke_mat + ke_geo, fe_int=fe, strain=e_gl)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ solver.py:443 — results are identical for converged increments).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -34,16 +35,24 @@ from ..ops.assembly import assemble_system
 
 
 
-@jax.jit
-def _nr_core(data: ProblemData, material: Material, u0, load_factor, max_iter, tol, min_denom):
+@partial(jax.jit, static_argnames=("nonlinear",))
+def _nr_core(data: ProblemData, material: Material, u0, load_factor, max_iter,
+             tol, min_denom, nonlinear: bool = False):
     """One load increment of Newton-Raphson. Everything traced."""
     from .phases import nr_phase
 
-    out = nr_phase(data, material, u0, load_factor, max_iter, tol, min_denom)
+    out = nr_phase(data, material, u0, load_factor, max_iter, tol, min_denom,
+                   nonlinear=nonlinear)
 
-    # Reactions: K u - lf * loads, free DOFs zeroed (solver.py:495-497).
-    k_final, _, _ = assemble_system(data, material, out.u, load_factor)
-    reactions = (k_final @ out.u - load_factor * data.loads) * data.fixed_mask
+    if nonlinear:
+        from ..ops.assembly import assemble_system_nonlinear
+
+        _, f_int, _ = assemble_system_nonlinear(data, material, out.u, load_factor)
+        reactions = (f_int - load_factor * data.loads) * data.fixed_mask
+    else:
+        # Reactions: K u - lf * loads, free DOFs zeroed (solver.py:495-497).
+        k_final, _, _ = assemble_system(data, material, out.u, load_factor)
+        reactions = (k_final @ out.u - load_factor * data.loads) * data.fixed_mask
     return out.u, reactions, out.n_iters, out.residual, out.converged, out.max_strain
 
 
@@ -108,14 +117,23 @@ def _nr_dia_core(layout):
             r = (load_factor * data.loads
                  - dia_matvec(layout, diags, u_new)) * data.free_mask
             res = jnp.linalg.norm(r) / f_norm
-            # Accept a residual stalled at the float32 floor (see
-            # _nr_core_cg docstring).
-            stalled = jnp.logical_and(res >= 0.5 * res_prev, res <= stall_tol)
-            return (it + 1, u_new, res, jnp.logical_or(res <= tol, stalled))
+            # Monotone acceptance: reject steps that do not reduce the true
+            # force residual (iterating on float32 noise diverges), and
+            # stop at the achievable floor (see _nr_core_cg docstring).
+            take = res < res_prev
+            u_keep = jnp.where(take, u_new, u)
+            res_keep = jnp.where(take, res, res_prev)
+            # stop on tolerance or on a rejected step (no further progress
+            # is possible); convergence is judged after the loop.
+            stop = jnp.logical_or(res_keep <= tol, jnp.logical_not(take))
+            return (it + 1, u_keep, res_keep, stop)
 
         init = (jnp.zeros((), jnp.int32), u0, jnp.asarray(jnp.inf, u0.dtype),
                 jnp.zeros((), bool))
-        it, u, res, conv = jax.lax.while_loop(cond, body, init)
+        it, u, res, _ = jax.lax.while_loop(cond, body, init)
+        # Converged iff the achieved force residual is inside the acceptance
+        # band [tol, sqrt(tol)] (float32 floor; see _nr_core_cg docstring).
+        conv = res <= stall_tol
 
         s = stiffness_coefficients(data, material, load_factor)
         diags = assemble_dia(layout, s, data.gvec)
@@ -163,12 +181,19 @@ def _nr_core_cg(data: ProblemData, material: Material, u0, load_factor,
         r = (load_factor * data.loads
              - apply_stiffness(data, s, u_new)) * data.free_mask
         res = jnp.linalg.norm(r) / f_norm
-        stalled = jnp.logical_and(res >= 0.5 * res_prev, res <= stall_tol)
-        return (it + 1, u_new, res, jnp.logical_or(res <= tol, stalled))
+        # Monotone acceptance + stop at the float32 floor (docstring above).
+        take = res < res_prev
+        u_keep = jnp.where(take, u_new, u)
+        res_keep = jnp.where(take, res, res_prev)
+        # stop on tolerance or on a rejected step (no further progress
+        # is possible); convergence is judged after the loop.
+        stop = jnp.logical_or(res_keep <= tol, jnp.logical_not(take))
+        return (it + 1, u_keep, res_keep, stop)
 
     init = (jnp.zeros((), jnp.int32), u0, jnp.asarray(jnp.inf, u0.dtype),
             jnp.zeros((), bool))
-    it, u, res, conv = jax.lax.while_loop(cond, body, init)
+    it, u, res, _ = jax.lax.while_loop(cond, body, init)
+    conv = res <= stall_tol
 
     from ..ops.cg import apply_stiffness as _apply, stiffness_coefficients as _coef
 
@@ -187,12 +212,18 @@ def solve_nr(
     u_initial: Optional[np.ndarray] = None,
     data: Optional[ProblemData] = None,
     linear_solver: str = "auto",
+    geometric_nonlinear: bool = False,
 ) -> SolverResult:
     """Single-increment NR solve (driven by solvers.driver.solve).
 
     linear_solver: "dense" (Cholesky on the assembled K), "cg" (matrix-free
-    Jacobi-PCG; K is never formed), or "auto" (cg above DENSE_DOF_LIMIT).
+    Jacobi-PCG; K is never formed), "cg-dia" (banded operator), or "auto"
+    (cg above DENSE_DOF_LIMIT, dia when banded).
+
+    geometric_nonlinear: opt-in Green-Lagrange kinematics (2D, dense path).
     """
+    if geometric_nonlinear and linear_solver not in ("auto", "dense"):
+        raise ValueError("geometric_nonlinear requires the dense linear solver")
     config = config or SolverConfig()
     if problem.material.has_trainable_params:
         raise ValueError(
@@ -207,7 +238,9 @@ def solve_nr(
     else:
         u0 = jnp.zeros(problem.ndof, dtype=dtype)
 
-    if linear_solver == "auto":
+    if geometric_nonlinear:
+        linear_solver = "dense"
+    elif linear_solver == "auto":
         linear_solver = "cg" if problem.ndof > DENSE_DOF_LIMIT else "dense"
 
     if linear_solver == "cg":
@@ -255,6 +288,7 @@ def solve_nr(
             jnp.asarray(config.max_iterations, jnp.int32),
             jnp.asarray(config.tolerance, dtype),
             jnp.asarray(config.min_denominator, dtype),
+            nonlinear=geometric_nonlinear,
         )
     u_np = np.asarray(u, dtype=float)
     if not np.all(np.isfinite(u_np)):

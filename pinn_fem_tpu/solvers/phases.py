@@ -139,8 +139,15 @@ def nr_phase(
     max_iter,
     tol,
     min_denom,
+    nonlinear: bool = False,
 ) -> NRPhaseOut:
-    """One Newton-Raphson phase (reference solve_nr loop, solver.py:456-491)."""
+    """One Newton-Raphson phase (reference solve_nr loop, solver.py:456-491).
+
+    nonlinear=True uses the Green-Lagrange kernel (2D, opt-in)."""
+    if nonlinear:
+        from ..ops.assembly import assemble_system_nonlinear as assemble
+    else:
+        assemble = assemble_system
 
     def cond(carry):
         it, _, _, conv, _ = carry
@@ -148,7 +155,7 @@ def nr_phase(
 
     def body(carry):
         it, u, _, _, _ = carry
-        k, f_int, max_strain = assemble_system(data, material, u, load_factor)
+        k, f_int, max_strain = assemble(data, material, u, load_factor)
         rhs = load_factor * data.loads - f_int
         du = masked_solve(k, rhs, data.free_mask)
         u_new = u + du
