@@ -85,11 +85,15 @@ def truss2d_green_lagrange_batch(
     """
     dx0 = x0[:, 1, :] - x0[:, 0, :]                       # (nelm, 2)
     u2 = u_e.reshape(u_e.shape[0], 2, 2)
-    dx = dx0 + (u2[:, 1, :] - u2[:, 0, :])
+    delta = u2[:, 1, :] - u2[:, 0, :]                     # relative disp
+    dx = dx0 + delta
 
-    l0_sq = jnp.sum(dx0 * dx0, axis=-1)
-    l_sq = jnp.sum(dx * dx, axis=-1)
-    e_gl = (l_sq - l0_sq) / (2.0 * l0_sq)
+    # e_gl = (L^2 - L0^2) / (2 L0^2), computed cancellation-free as
+    # (dx0.delta + |delta|^2 / 2) / L0^2 — the naive difference of squares
+    # loses all precision in float32 for small displacements.
+    inv_l0_sq = inv_len * inv_len
+    e_gl = (jnp.sum(dx0 * delta, axis=-1)
+            + 0.5 * jnp.sum(delta * delta, axis=-1)) * inv_l0_sq
 
     d = jnp.concatenate([-dx, dx], axis=1)                # (nelm, 4)
 
