@@ -22,7 +22,7 @@ from pathlib import Path
 
 from ..io.results import result_to_output_dict
 from ..io.schema import parse_problem_file
-from ..solvers.driver import resolve_method, solve
+from ..solvers.driver import resolve_method
 from ..utils.runtime import configure
 
 logger = logging.getLogger("pinn_fem_tpu.cli")
@@ -68,37 +68,17 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         resolve_method(problem, config, parsed.measured_disp, parsed.measured_dofs),
     )
 
-    # On TPU the host-stepped driver pays one remote dispatch per
-    # increment/phase; the fused on-device driver is semantically identical
-    # for nr/gd/hybrid (tests/test_fused.py) and ~10x faster end-to-end.
-    # Override with PINN_FEM_TPU_FUSED=0/1.
-    import os
+    # Fused-on-TPU / host-stepped-elsewhere selection shared with the HTTP
+    # tier (solvers/auto.py); PINN_FEM_TPU_FUSED=0/1 overrides.
+    from ..solvers.auto import solve_auto
 
-    import jax
-
-    method = resolve_method(problem, config, parsed.measured_disp, parsed.measured_dofs)
-    fused_env = os.environ.get("PINN_FEM_TPU_FUSED")
-    use_fused = (
-        fused_env == "1"
-        or (fused_env is None and jax.default_backend() == "tpu")
-    ) and method in ("nr", "gd", "hybrid")
-
-    if use_fused:
-        from ..solvers.fused import solve_fused
-
-        logger.info("Using fused on-device incremental driver")
-        result = solve_fused(
-            problem, config,
-            measured_disp=parsed.measured_disp,
-            measured_dofs=parsed.measured_dofs,
-        )
-    else:
-        result = solve(
-            problem,
-            config,
-            measured_disp=parsed.measured_disp,
-            measured_dofs=parsed.measured_dofs,
-        )
+    result = solve_auto(
+        problem,
+        config,
+        measured_disp=parsed.measured_disp,
+        measured_dofs=parsed.measured_dofs,
+        verbose=True,
+    )
 
     output = result_to_output_dict(result, problem)
 

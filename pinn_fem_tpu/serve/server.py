@@ -80,12 +80,12 @@ def _solve_pinn(body):
 def _solve_generic(body):
     from ..io.results import result_to_output_dict
     from ..io.schema import parse_problem_dict
-    from ..solvers.driver import solve
+    from ..solvers.auto import solve_auto
 
     parsed = parse_problem_dict(body)
-    result = solve(
+    result = solve_auto(
         parsed.problem, parsed.config,
-        parsed.measured_disp, parsed.measured_dofs, verbose=False,
+        parsed.measured_disp, parsed.measured_dofs,
     )
     return result_to_output_dict(result, parsed.problem)
 

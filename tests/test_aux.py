@@ -74,3 +74,19 @@ def test_stopwatch():
     rep = sw.report()
     assert rep["a"]["count"] == 2
     assert rep["a"]["total_s"] >= 0
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    import glob
+
+    import jax.numpy as jnp
+
+    from pinn_fem_tpu.utils.profiling import annotate, trace
+
+    with trace(str(tmp_path)):
+        with annotate("test-section"):
+            x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
+            x.block_until_ready()
+    assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True) or \
+        glob.glob(str(tmp_path / "**" / "*.trace.json.gz"), recursive=True) or \
+        glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
