@@ -19,7 +19,7 @@ vector unit + XLA scatter want.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import jax.numpy as jnp

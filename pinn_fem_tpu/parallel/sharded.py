@@ -20,8 +20,8 @@ sharding instead.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
+
+
 
 import jax
 import jax.numpy as jnp

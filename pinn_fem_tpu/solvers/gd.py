@@ -39,7 +39,7 @@ import numpy as np
 from ..config import SolverConfig, SolverResult
 from ..models.fields import Material, MLPField
 from ..models.problem import ProblemData, TrussProblem
-from ..ops.assembly import internal_force_and_strain
+
 
 # History buffer columns.
 _HCOLS = ("iteration", "loss_total", "loss_physics", "loss_data", "u_norm",
