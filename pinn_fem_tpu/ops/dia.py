@@ -138,13 +138,23 @@ def dia_cg_solve(
     tol=1e-6,
     max_iter=100000,
     x0=None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Jacobi-PCG on the banded operator with masked BCs (cf. ops/cg.py)."""
+    """Jacobi-PCG on the banded operator with masked BCs (cf. ops/cg.py).
+
+    use_pallas selects the fused stencil kernel for the matvec
+    (ops/pallas/dia_kernel.py: bit-exact, ~1.6x faster on TPU v5e).
+    """
+    if use_pallas:
+        from .pallas.dia_kernel import dia_matvec_pallas as _mv
+    else:
+        _mv = dia_matvec
+
     mask = free_mask
     b_vec = rhs * mask
 
     def a_op(x):
-        return dia_matvec(layout, diags, x * mask) * mask + x * (1.0 - mask)
+        return _mv(layout, diags, x * mask) * mask + x * (1.0 - mask)
 
     diag = dia_diagonal(layout, diags) * mask + (1.0 - mask)
     inv_diag = 1.0 / diag

@@ -1,24 +1,22 @@
 """Pallas stencil kernel for the banded (DIA) stiffness matvec.
 
-The XLA slicing form of dia_matvec streams the u vector once per diagonal
-(nd reads of u + nd reads of the diagonals).  This kernel tiles the output
-into (ROWS, 128) blocks, DMAs each block's u-window WITH HALO into VMEM
-once, and applies all diagonals against that resident window:
+The XLA slicing form of dia_matvec streams the u vector once per diagonal;
+this kernel tiles the output into (ROWS, 128) blocks and applies ALL
+diagonals against one VMEM-resident u window, reading u once total.
 
-    traffic:  u read once + diags once + out once
-    vs XLA:   u read nd times + diags once + out once
+Design notes (hard-won on this backend — see git history):
+  * overlapping halo windows come from binding the SAME padded array three
+    times with shifted BlockSpec index maps (prev/cur/next blocks) — the
+    manual ANY/HBM->VMEM DMA form faults this remote TPU backend;
+  * the sub-lane shift uses pltpu.roll + an iota select; concatenating
+    lane-slices of sublane-misaligned window slices crashes the remote
+    Mosaic compiler (combination of a 3-way row concat with misaligned
+    lane concat);
+  * row offsets are static Python ints, so every slice is static.
 
-Offsets decompose as off = q * 128 + s; the shifted window is two lane
-slices of consecutive row-blocks concatenated on the lane axis (classic
-TPU stencil pattern).
-
-STATUS: EXPERIMENTAL — bit-exact against ops.dia.dia_matvec in interpreter
-mode (tests/test_pallas_dia.py), but the compiled kernel faulted the TPU
-worker on first execution through the remote attachment (suspects: the
-manual ANY->VMEM halo DMA, or the misaligned lane-slice concatenation).
-Not wired into any production path; the XLA slicing form in ops/dia.py
-(already ~100x over the gather operator) remains the default.  Root-cause
-with pl.debug_print / interpret-vs-device bisection before enabling.
+Validated bit-exact against ops.dia.dia_matvec both in interpreter mode
+and compiled on TPU v5e (tests/test_pallas_dia.py + the measurements in
+benchmarks/scaling.py).
 """
 
 from __future__ import annotations
@@ -36,70 +34,76 @@ LANE = 128
 ROWS = 64  # output rows (x 128 lanes) per grid step
 
 
-def _dia_kernel(u_hbm, diags_ref, out_ref, u_scratch, sem,
+def _dia_kernel(u_prev, u_cur, u_next, d_ref, o_ref,
                 *, offsets: Sequence[int], halo_rows: int):
-    i = pl.program_id(0)
-    # DMA this block's u window (with halo) from ANY/HBM into VMEM.
-    copy = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(i * ROWS, ROWS + 2 * halo_rows), :],
-        u_scratch,
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    win = jnp.concatenate([
+        u_prev[ROWS - halo_rows:, :], u_cur[:], u_next[:halo_rows, :]
+    ], axis=0)  # (ROWS + 2 * halo_rows, LANE)
+    col = jax.lax.broadcasted_iota(jnp.int32, (ROWS, LANE), 1)
 
     acc = jnp.zeros((ROWS, LANE), jnp.float32)
-    for k, off in enumerate(offsets):  # static unroll, nd is small
+    for k, off in enumerate(offsets):  # static unroll; nd is small
         shifted = off + halo_rows * LANE
-        q, s = divmod(shifted, LANE)
-        a = u_scratch[pl.ds(q, ROWS), :]
+        q, s = divmod(shifted, LANE)   # static ints
+        a = win[q:q + ROWS, :]
         if s == 0:
             w = a
         else:
-            b = u_scratch[pl.ds(q + 1, ROWS), :]
-            w = jnp.concatenate([a[:, s:], b[:, :s]], axis=1)
-        acc = acc + diags_ref[k] * w
-    out_ref[:] = acc
+            b = win[q + 1:q + 1 + ROWS, :]
+            ra = pltpu.roll(a, LANE - s, axis=1)
+            rb = pltpu.roll(b, LANE - s, axis=1)
+            w = jnp.where(col < LANE - s, ra, rb)
+        acc = acc + d_ref[k] * w
+    o_ref[:] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "n_rows", "halo_rows"))
 def _run(u_padded, diags_rows, offsets: tuple, n_rows: int, halo_rows: int):
-    grid = (n_rows // ROWS,)
-    kernel = functools.partial(
-        _dia_kernel, offsets=offsets, halo_rows=halo_rows
-    )
+    nd = len(offsets)
+    kernel = functools.partial(_dia_kernel, offsets=offsets,
+                               halo_rows=halo_rows)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_rows, LANE), jnp.float32),
-        grid=grid,
+        grid=(n_rows // ROWS,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # u window DMA'd manually
-            pl.BlockSpec((len(offsets), ROWS, LANE), lambda i: (0, i, 0),
+            pl.BlockSpec((ROWS, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),      # prev block
+            pl.BlockSpec((ROWS, LANE), lambda i: (i + 1, 0),
+                         memory_space=pltpu.VMEM),      # current block
+            pl.BlockSpec((ROWS, LANE), lambda i: (i + 2, 0),
+                         memory_space=pltpu.VMEM),      # next block
+            pl.BlockSpec((nd, ROWS, LANE), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ROWS, LANE), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((ROWS + 2 * halo_rows, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(u_padded, diags_rows)
+    )(u_padded, u_padded, u_padded, diags_rows)
 
 
 def dia_matvec_pallas(layout, diags: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """K @ u via the Pallas stencil kernel (float32, TPU).
+    """K @ u via the Pallas stencil kernel (float32).
 
     layout: ops.dia.DiaLayout; diags: (nd, ndof); u: (ndof,).
+    Requires bandwidth <= ROWS * LANE (halo fits the neighbor block).
     """
     ndof = layout.ndof
-    halo_rows = int(np.ceil(layout.bandwidth / LANE)) + 1
+    halo_rows = int(np.ceil(layout.bandwidth / LANE))
+    if halo_rows > ROWS:
+        raise ValueError(
+            f"bandwidth {layout.bandwidth} exceeds the kernel halo capacity"
+        )
+    halo_rows = max(halo_rows, 1)
     n_rows = -(-ndof // LANE)
-    n_rows = -(-n_rows // ROWS) * ROWS  # multiple of ROWS
+    n_rows = -(-n_rows // ROWS) * ROWS
 
-    flat = jnp.zeros(((n_rows + 2 * halo_rows) * LANE,), jnp.float32)
-    flat = flat.at[halo_rows * LANE: halo_rows * LANE + ndof].set(u)
-    u_padded = flat.reshape(n_rows + 2 * halo_rows, LANE)
-
+    flat = jnp.zeros((n_rows * LANE,), jnp.float32).at[:ndof].set(u)
+    # One zero block on each side serves the prev/next index maps.
+    u_padded = jnp.concatenate([
+        jnp.zeros((ROWS, LANE), jnp.float32),
+        flat.reshape(n_rows, LANE),
+        jnp.zeros((ROWS, LANE), jnp.float32),
+    ])
     diags_rows = jnp.zeros((layout.n_diags, n_rows * LANE), jnp.float32)
     diags_rows = diags_rows.at[:, :ndof].set(diags)
     diags_rows = diags_rows.reshape(layout.n_diags, n_rows, LANE)

@@ -90,6 +90,10 @@ def _nr_dia_core(layout):
     from ..ops.cg import stiffness_coefficients
     from ..ops.dia import assemble_dia, dia_cg_solve, dia_matvec
 
+    # The fused Pallas stencil matvec is bit-exact and ~1.6x faster on TPU;
+    # other backends use the XLA slicing form.
+    use_pallas = jax.default_backend() == "tpu"
+
     @jax.jit
     def core(data, material, u0, load_factor, max_iter, tol, min_denom,
              cg_tol, cg_max_iter):
@@ -112,7 +116,8 @@ def _nr_dia_core(layout):
             f_int = dia_matvec(layout, diags, u)
             rhs = load_factor * data.loads - f_int
             du, _, _ = dia_cg_solve(layout, diags, rhs, data.free_mask,
-                                    tol=cg_tol, max_iter=cg_max_iter)
+                                    tol=cg_tol, max_iter=cg_max_iter,
+                                    use_pallas=use_pallas)
             u_new = u + du
             r = (load_factor * data.loads
                  - dia_matvec(layout, diags, u_new)) * data.free_mask
