@@ -134,6 +134,19 @@ def main():
     emit("Ku_dia", t_dia * 1e3, "ms", elements=n - 1, backend=backend,
          n_diags=layout.n_diags, speedup_vs_gather=round(t / t_dia, 1))
 
+    if backend == "tpu":
+        from pinn_fem_tpu.ops.pallas.dia_kernel import dia_matvec_pallas
+
+        @jax.jit
+        def chained_pallas(d, u):
+            return jax.lax.fori_loop(
+                0, CHAIN_REPS,
+                lambda _, v: dia_matvec_pallas(layout, d, v) * 0.25, u)
+
+        t_pk = (timed(lambda: chained_pallas(diags, u), reps=3) - floor) / CHAIN_REPS
+        emit("Ku_dia_pallas", t_pk * 1e3, "ms", elements=n - 1,
+             backend=backend, speedup_vs_xla_slicing=round(t_dia / t_pk, 2))
+
     # 2) Banded-PCG Newton solve, cross-braced grid (40k DOFs, aspect 2 —
     # float32 Jacobi-PCG stalls on high-aspect strips; see TECHNICAL_README).
     rows, cols = 100, 200
