@@ -27,7 +27,11 @@ from .models.problem import (  # noqa: E402
     element_dofs,
     free_and_fixed_dofs,
 )
-from .ops.assembly import assemble_system, internal_force_and_strain  # noqa: E402
+from .ops.assembly import (  # noqa: E402
+    assemble_system,
+    compute_residual_and_jacobian,
+    internal_force_and_strain,
+)
 from .solvers.driver import solve  # noqa: E402
 from .solvers.full_newton import solve_full_nr  # noqa: E402
 from .solvers.fused import solve_fused  # noqa: E402
@@ -60,6 +64,7 @@ __all__ = [
     "element_dofs",
     "free_and_fixed_dofs",
     "assemble_system",
+    "compute_residual_and_jacobian",
     "internal_force_and_strain",
     "solve",
     "solve_nr",

@@ -42,6 +42,14 @@ class SolverConfig:
     # Two-phase GD preconditioning (solver.py:113-198)
     preconditioning: bool = False
 
+    # Full-NR secondary convergence gate: when measurements are present, the
+    # equilibrium-residual criterion ||R_free|| < tolerance additionally
+    # requires sqrt(loss_data) (the RMS misfit of the measured DOFs) to be
+    # below this value, so full-NR cannot declare victory on physics alone
+    # while ignoring the data term.  See solvers/full_newton.py for the
+    # float32 rationale behind having a secondary criterion at all.
+    full_nr_data_tolerance: float = 1e-3
+
     # Extensions beyond the reference (documented divergences):
     # honor warm starts in NR (reference accepts but ignores u_initial,
     # solver.py:443; results identical, fewer iterations).

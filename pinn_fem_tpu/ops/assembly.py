@@ -129,6 +129,44 @@ def internal_force_and_strain(
     return f_int, gu * data.inv_len
 
 
+def compute_residual_and_jacobian(
+    data: ProblemData,
+    material: Material,
+    u: jnp.ndarray,
+    f_ext: jnp.ndarray,
+    free_idx: jnp.ndarray,
+    load_factor=1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Residual and tangent restricted to the free DOFs.
+
+    Capability parity with the reference's exported helper
+    /root/reference/FEM/python/fem/nn_assembly.py:234-261
+    (compute_residual_and_jacobian), which its legacy examples consume:
+
+        R_free = (f_int(u) - f_ext)[free]
+        K_ff   = K(u)[free, :][:, free]     (= dR/du on the free block)
+
+    Args:
+        data: device problem arrays (``TrussProblem.to_device()``).
+        material: material field pytree.
+        u: (ndof,) current displacements.
+        f_ext: (ndof,) external force vector (caller applies any load
+            factor, exactly like the reference where f_ext is passed in).
+        free_idx: (n_free,) integer indices of the free DOFs
+            (``TrussProblem.free_fixed()[0]``).
+        load_factor: forwarded to load-factor-aware NN material fields
+            (the reference's torch assembly takes the same optional arg).
+
+    Returns:
+        (R_free, K_ff) with shapes (n_free,) and (n_free, n_free).
+        Differentiable w.r.t. both ``u`` and material parameters.
+    """
+    k_global, f_int, _ = assemble_system(data, material, u, load_factor)
+    residual = (f_int - f_ext)[free_idx]
+    jacobian = k_global[jnp.ix_(free_idx, free_idx)]
+    return residual, jacobian
+
+
 def element_strain_stress(
     data: ProblemData,
     material: Material,

@@ -38,5 +38,7 @@ def solve_auto(
     if use_fused:
         from .fused import solve_fused
 
-        return solve_fused(problem, config, measured_disp, measured_dofs)
+        return solve_fused(
+            problem, config, measured_disp, measured_dofs, verbose=verbose
+        )
     return solve(problem, config, measured_disp, measured_dofs, verbose=verbose)

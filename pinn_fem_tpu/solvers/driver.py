@@ -15,16 +15,20 @@ Python/torch from scratch per increment.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
 
 from ..config import SolverConfig, SolverResult
 from ..models.problem import TrussProblem
+from ..utils.progress import log_gd_progress
 from .full_newton import solve_full_nr
 from .gd import solve_gd
 from .hybrid import solve_hybrid
 from .newton import solve_nr
+
+logger = logging.getLogger("pinn_fem_tpu.solvers")
 
 
 def resolve_method(
@@ -62,6 +66,11 @@ def solve(
     method = resolve_method(problem, config, measured_disp, measured_dofs)
     data = problem.to_device()
 
+    if verbose:
+        from ..utils.progress import ensure_console_logging
+
+        ensure_console_logging()
+
     result: Optional[SolverResult] = None
     u_current: Optional[np.ndarray] = None
     start_increment = 1
@@ -78,7 +87,7 @@ def solve(
                 problem.material = set_theta(problem.material, theta)
             start_increment = done_inc + 1
             if verbose:
-                print(f"[resume] restored checkpoint after increment {done_inc}")
+                logger.info("[resume] restored checkpoint after increment %d", done_inc)
             if start_increment > config.n_increments:
                 start_increment = config.n_increments  # re-run the last one
 
@@ -88,7 +97,7 @@ def solve(
         )
         if verbose:
             start = "WARM_START" if u_current is not None else "COLD_START"
-            print(f"{iinc:4d} | {load_factor:12.4f} | {start:>10}")
+            logger.info("%4d | %12.4f | %10s", iinc, load_factor, start)
 
         if method == "gd":
             result = solve_gd(
@@ -128,8 +137,11 @@ def solve(
 
         u_current = result.displacements.flatten()
         if verbose:
+            # Per-iteration progress table (reference solver.py:325-333),
+            # emitted post-hoc from the history buffer at print_every cadence.
+            log_gd_progress(result.history, config.print_every)
             status = "CONVERGED" if result.converged else "FAILED"
-            print(f"{iinc:4d} | {load_factor:12.6f} | {status:>10}")
+            logger.info("%4d | %12.6f | %10s", iinc, load_factor, status)
 
         if checkpoint_dir and result.converged:
             from ..utils.checkpoint import save_increment_state
@@ -142,7 +154,7 @@ def solve(
 
         if not result.converged:
             if verbose:
-                print(f"[WARNING] Increment {iinc} did not converge, stopping.")
+                logger.warning("Increment %d did not converge, stopping.", iinc)
             break
 
     return result

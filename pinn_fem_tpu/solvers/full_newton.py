@@ -60,6 +60,7 @@ def _full_nr_core(
     measured_dofs,
     max_iter,
     tol,
+    data_tol,
     lr_u,
     lr_theta,
     has_meas: bool,
@@ -135,9 +136,10 @@ def _full_nr_core(
         # (physical equilibrium, same as the GD solver's residual check) —
         # in float32 the gradient norm has a noise floor of a few 1e-6 even
         # at the exact fixed point, so grad-only convergence is unreachable
-        # at tol=1e-6 on TPU.  ||R|| = sqrt(2 * loss_physics).
+        # at tol=1e-6 on TPU.  ||R|| = sqrt(2 * loss_physics).  The data gate
+        # is SolverConfig.full_nr_data_tolerance (RMS misfit of measured DOFs).
         rnorm = jnp.sqrt(2.0 * lp)
-        data_ok = jnp.asarray(True) if not has_meas else (jnp.sqrt(ld) < 1e-3)
+        data_ok = jnp.asarray(True) if not has_meas else (jnp.sqrt(ld) < data_tol)
         conv = jnp.logical_or(total < tol, jnp.logical_and(rnorm < tol, data_ok))
 
         def do_step(z):
@@ -220,6 +222,7 @@ def solve_full_nr(
         mdofs,
         jnp.asarray(min(config.max_iterations, hist_cap), jnp.int32),
         jnp.asarray(config.tolerance, dtype),
+        jnp.asarray(config.full_nr_data_tolerance, dtype),
         jnp.asarray(config.learning_rate_u, dtype),
         jnp.asarray(config.learning_rate_theta, dtype),
         has_meas=bool(has_meas),

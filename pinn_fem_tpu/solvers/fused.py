@@ -212,6 +212,7 @@ def solve_fused(
     measured_disp: Optional[np.ndarray] = None,
     measured_dofs: Optional[np.ndarray] = None,
     data: Optional[ProblemData] = None,
+    verbose: bool = False,
 ) -> SolverResult:
     """Drop-in replacement for driver.solve for methods nr / gd / hybrid."""
     from .driver import resolve_method
@@ -310,6 +311,15 @@ def solve_fused(
     u_np = np.asarray(u, dtype=float)
     if method == "nr" and not np.all(np.isfinite(u_np)):
         raise RuntimeError("Tangent stiffness became singular during solve")
+
+    if verbose:
+        # Observability parity: the reference prints a progress table during
+        # GD (solver.py:325-333); here the loop ran on device, so the same
+        # lines are emitted post-hoc from the last increment's history.
+        from ..utils.progress import ensure_console_logging, log_gd_progress
+
+        ensure_console_logging()
+        log_gd_progress(history, config.print_every)
 
     shape = (-1, 1) if problem.dimension == 1 else (problem.nnode, problem.dimension)
     return SolverResult(

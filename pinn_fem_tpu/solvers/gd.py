@@ -28,6 +28,7 @@ Adam also steps the fixed DOFs and the projection zeroes them afterwards.
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -181,7 +182,9 @@ def _run_gd_phase(
     # (reference solver.py:273); loss_data is reported as 0.0 otherwise.
     provided = measured_disp is not None and measured_dofs is not None
     if provided and config.alpha_data == 0.0:
-        print("[warn] measured_dofs provided but alpha_data=0.0")
+        logging.getLogger("pinn_fem_tpu.solvers").warning(
+            "measured_dofs provided but alpha_data=0.0; data term ignored"
+        )
     has_meas = (
         provided
         and config.alpha_data > 0.0

@@ -59,7 +59,11 @@ def solve_hybrid(
             if gd_result.converged and last.get("residual_norm", 1.0) < config.tolerance:
                 return gd_result
         except Exception as e:  # reference: proceed with cold NR (solver.py:584-586)
-            print(f"[hybrid] GD phase failed: {e}, proceeding with cold NR")
+            import logging
+
+            logging.getLogger("pinn_fem_tpu.solvers").warning(
+                "hybrid GD phase failed: %s, proceeding with cold NR", e
+            )
             gd_result = None
 
     u_warm = gd_result.displacements.flatten() if gd_result is not None else u_initial

@@ -9,6 +9,7 @@ from pinn_fem_tpu import (
     Material,
     TrussProblem,
     assemble_system,
+    compute_residual_and_jacobian,
     internal_force_and_strain,
     make_mlp_field,
     to_field,
@@ -120,6 +121,42 @@ def test_gradient_wrt_nn_material_matches_finite_difference():
     lm = loss([[(w_minus, theta[0][0][1])] + theta[0][1:]])
     fd = (float(lp) - float(lm)) / (2 * eps)
     assert np.isclose(gw0[idx], fd, rtol=5e-2, atol=1e-6)
+
+
+def test_compute_residual_and_jacobian_contract():
+    """Exported helper parity with reference nn_assembly.py:234-261:
+    R_free = (f_int - f_ext)[free], K_ff = K[free][:, free] = dR/du."""
+    p = three_bar_problem(young=2.0, area=0.5)
+    data = p.to_device()
+    free_idx, _ = p.free_fixed()
+    free_idx = jnp.asarray(free_idx, jnp.int32)
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.normal(size=8) * 0.1, dtype=data.loads.dtype)
+    f_ext = jnp.asarray(data.loads)
+
+    r, j = compute_residual_and_jacobian(data, p.material, u, f_ext, free_idx)
+    assert r.shape == (3,) and j.shape == (3, 3)
+
+    # Contract: residual equals the free rows of f_int - f_ext.
+    k, f_int, _ = assemble_system(data, p.material, u)
+    np.testing.assert_allclose(
+        np.asarray(r), (np.asarray(f_int) - np.asarray(f_ext))[np.asarray(free_idx)],
+        atol=1e-6,
+    )
+    # Jacobian equals dR/du restricted to the free block (finite differences).
+    def r_of_u(uf):
+        ufull = u.at[free_idx].set(uf)
+        rr, _ = compute_residual_and_jacobian(data, p.material, ufull, f_ext, free_idx)
+        return rr
+
+    uf0 = u[free_idx]
+    eps = 1e-3
+    for col in range(3):
+        rp = np.asarray(r_of_u(uf0.at[col].add(eps)))
+        rm = np.asarray(r_of_u(uf0.at[col].add(-eps)))
+        np.testing.assert_allclose(
+            np.asarray(j)[:, col], (rp - rm) / (2 * eps), rtol=1e-3, atol=1e-4
+        )
 
 
 def test_density_never_enters_stiffness():

@@ -90,3 +90,39 @@ def test_profiler_trace_writes_artifacts(tmp_path):
     assert glob.glob(str(tmp_path / "**" / "*.pb"), recursive=True) or \
         glob.glob(str(tmp_path / "**" / "*.trace.json.gz"), recursive=True) or \
         glob.glob(str(tmp_path / "**" / "*.xplane.pb"), recursive=True)
+
+
+def test_log_gd_progress_emits_reference_table(caplog):
+    """print_every wiring (reference solver.py:245-249, 325-333): header +
+    iteration 1 + every Nth iteration + the final iteration."""
+    import logging
+
+    from pinn_fem_tpu.utils.progress import log_gd_progress
+
+    history = [
+        {"iteration": float(i), "loss_total": 1.0 / i, "loss_physics": 1.0 / i,
+         "loss_data": 0.0, "u_norm": 0.1 * i, "residual_norm": 0.5 / i,
+         "theta_norm": 2.0}
+        for i in range(1, 26)
+    ]
+    with caplog.at_level(logging.INFO, logger="pinn_fem_tpu.solvers"):
+        log_gd_progress(history, print_every=10)
+    lines = [r.message for r in caplog.records]
+    assert any("Iter" in ln and "NN Params" in ln for ln in lines)  # header
+    emitted = [int(ln.split("|")[0]) for ln in lines
+               if "|" in ln and ln.split("|")[0].strip().isdigit()]
+    assert emitted == [1, 10, 20, 25]  # first, cadence, last
+
+
+def test_solve_verbose_logs_progress(caplog):
+    """driver.solve(verbose=True) emits the per-iteration table for GD."""
+    import logging
+
+    cfg = SolverConfig(method="gd", learning_rate_u=0.01, alpha_data=0.0,
+                       max_iterations=500, n_increments=2, print_every=10)
+    with caplog.at_level(logging.INFO, logger="pinn_fem_tpu.solvers"):
+        r = solve(chain_problem(), cfg, verbose=True)
+    assert r.history  # logging test: rows were produced and emitted
+    assert any("Loss Physics" in rec.message for rec in caplog.records)
+    # Cadence: iteration-10 row present (print_every=10).
+    assert any(rec.message.strip().startswith("10 |") for rec in caplog.records)

@@ -1,0 +1,45 @@
+"""Smoke tests for the demo scripts in examples/*.py.
+
+The reference rotted exactly here: two of its example scripts crash on
+stale keys (SURVEY §2.3 — fem2d_like.py:111 KeyError,
+test_torch_element.py:36 TypeError).  Running each of ours in-process per
+test run makes that rot impossible.  Plot outputs land in tmp_path
+(headless Agg backend is selected inside the scripts themselves).
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+EXAMPLES_DIR = Path(__file__).resolve().parent.parent / "examples"
+
+SCRIPTS = [
+    "truss1d_simple",
+    "truss1d_nn_property",
+    "fem2d_tower",
+    "pinn_inverse_problem",
+    "pinn_newton_raphson",
+]
+
+
+def load_example(name: str):
+    spec = importlib.util.spec_from_file_location(
+        f"examples_{name}", EXAMPLES_DIR / f"{name}.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("name", SCRIPTS)
+def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)  # PNG/side outputs land in tmp
+    mod = load_example(name)
+    assert hasattr(mod, "main"), f"{name}.py must expose main()"
+    mod.main()
+    out = capsys.readouterr().out
+    assert out.strip(), f"{name}.py printed nothing"
+    assert "FAILED" not in out

@@ -87,6 +87,43 @@ def test_full_nr_with_measurements_fits_data():
     np.testing.assert_allclose(r.displacements[1:, 0], [1, 2, 3], atol=5e-2)
 
 
+def test_full_nr_data_tolerance_gate():
+    """Boundary of SolverConfig.full_nr_data_tolerance.
+
+    Start AT physical equilibrium (warm start from a converged physics-only
+    solve) with measurements offset by exactly 1e-2: the equilibrium
+    criterion ||R|| < tol holds immediately, the data RMS is 1e-2, and the
+    total gradient is dominated by the data pull (>> tol).  The gate alone
+    then decides whether iteration 0 converges: a gate above 1e-2 accepts
+    instantly, a gate below forces the solver to iterate the misfit down.
+    """
+    mat = Material(
+        young=make_mlp_field(jax.random.PRNGKey(5), hidden_layers=1,
+                             neurons_per_layer=4, input_dim=3, scale=1.0),
+        area=to_field(1.0),
+        density=to_field(1.0),
+    )
+    p = chain_problem(mat)
+    r0 = solve_full_nr(p, SolverConfig(max_iterations=100, tolerance=1e-6),
+                       target_load_factor=1.0)
+    assert r0.converged
+    u_star = r0.displacements.flatten()
+    measured_dofs = np.array([2, 4, 6])
+    measured = u_star[measured_dofs] + 1e-2
+
+    def run(data_tol):
+        cfg = SolverConfig(max_iterations=50, tolerance=1e-4,
+                           full_nr_data_tolerance=data_tol)
+        return solve_full_nr(p, cfg, measured, measured_dofs,
+                             target_load_factor=1.0, u_initial=u_star)
+
+    loose = run(data_tol=0.1)    # gate above the 1e-2 misfit: instant accept
+    assert loose.converged
+    assert len(loose.history) <= 1
+    strict = run(data_tol=1e-4)  # gate below: must iterate the misfit down
+    assert len(strict.history) > len(loose.history)
+
+
 def test_hessian_matches_finite_difference():
     """Spot-check jacfwd(grad) against central finite differences of the
     gradient on a tiny configuration."""
