@@ -33,7 +33,7 @@ def solve_auto(
     use_fused = (
         fused_env == "1"
         or (fused_env is None and jax.default_backend() == "tpu")
-    ) and method in ("nr", "gd", "hybrid")
+    ) and method in ("nr", "gd", "hybrid", "full-nr", "full_nr", "gn")
 
     if use_fused:
         from .fused import solve_fused

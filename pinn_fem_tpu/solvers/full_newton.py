@@ -36,16 +36,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.flatten_util import ravel_pytree
 
 from ..config import SolverConfig, SolverResult
 from ..models.problem import ProblemData, TrussProblem
-from ..ops.assembly import internal_force_and_strain
 from .gd import export_nn_parameters, get_theta, set_theta
 from .newton import solve_nr
-
-_HIST_COLS = 6
-_LM_TRIES = 16  # lambda escalations per iteration before falling back to GD
 
 
 @partial(jax.jit, static_argnames=("has_meas", "hist_cap", "n_free"))
@@ -67,108 +62,18 @@ def _full_nr_core(
     hist_cap: int,
     n_free: int,
 ):
+    from .phases import full_nr_phase, reactions_of
+
     dtype = u0_free.dtype
-    theta_flat0, unravel = ravel_pytree(theta)
-    n_theta = theta_flat0.shape[0]
-    z0 = jnp.concatenate([u0_free, theta_flat0])
-    n_z = n_free + n_theta
-
-    def loss_parts(z):
-        u = jnp.zeros(data.ndof, dtype).at[free_idx].set(z[:n_free])
-        th = unravel(z[n_free:])
-        mat = set_theta(material, th)
-        f_int, _ = internal_force_and_strain(data, mat, u, load_factor)
-        r = (f_int - load_factor * data.loads) * data.free_mask
-        lp = 0.5 * jnp.sum(r * r)
-        if has_meas:
-            rd = u[measured_dofs] - measured_vals
-            ld = jnp.mean(rd * rd)
-        else:
-            ld = jnp.zeros((), dtype)
-        return lp + ld, (lp, ld)
-
-    loss_fn = lambda z: loss_parts(z)[0]
-    grad_fn = jax.grad(loss_fn)
-    hess_fn = jax.jacfwd(grad_fn)  # batched HVPs: one fwd pass per column
-
-    eye = jnp.eye(n_z, dtype=dtype)
-
-    def newton_step(z, g, h, loss0):
-        """LM-damped Newton: escalate lambda until the step decreases L."""
-        lam0 = 1e-6 * jnp.trace(h) / n_z  # nn_solver.py:266-277 damping scale
-        lam0 = jnp.maximum(lam0, jnp.asarray(1e-12, dtype))
-
-        def try_body(carry):
-            lam, _, _, _ = carry
-            chol, _ = jax.scipy.linalg.cho_factor(h + lam * eye, lower=True)
-            dz = -jax.scipy.linalg.cho_solve((chol, True), g)
-            z_new = z + dz
-            l_new = loss_fn(z_new)
-            ok = jnp.logical_and(jnp.all(jnp.isfinite(z_new)), l_new < loss0)
-            return lam * 10.0, z_new, l_new, ok
-
-        def try_cond(carry):
-            lam, _, _, ok = carry
-            return jnp.logical_and(jnp.logical_not(ok), lam < lam0 * (10.0 ** _LM_TRIES))
-
-        _, z_new, _, ok = jax.lax.while_loop(
-            try_cond, try_body, (lam0, z, loss0, jnp.zeros((), bool))
-        )
-        # Fallback: plain gradient step (reference fallback, solver.py:966-982).
-        lr = jnp.concatenate([
-            jnp.full((n_free,), lr_u, dtype), jnp.full((n_theta,), lr_theta, dtype)
-        ])
-        return jnp.where(ok, z_new, z - lr * g)
-
-    def cond(carry):
-        it, _, conv, _, _ = carry
-        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
-
-    def body(carry):
-        it, z, _, hist, _ = carry
-        loss, (lp, ld) = loss_parts(z)
-        g = grad_fn(z)
-        gnu = jnp.linalg.norm(g[:n_free])
-        gnt = jnp.linalg.norm(g[n_free:])
-        total = jnp.sqrt(gnu * gnu + gnt * gnt)
-        # Primary criterion: total gradient norm (reference solver.py:874-899).
-        # Documented divergence: secondary criterion ||R_free|| < tol
-        # (physical equilibrium, same as the GD solver's residual check) —
-        # in float32 the gradient norm has a noise floor of a few 1e-6 even
-        # at the exact fixed point, so grad-only convergence is unreachable
-        # at tol=1e-6 on TPU.  ||R|| = sqrt(2 * loss_physics).  The data gate
-        # is SolverConfig.full_nr_data_tolerance (RMS misfit of measured DOFs).
-        rnorm = jnp.sqrt(2.0 * lp)
-        data_ok = jnp.asarray(True) if not has_meas else (jnp.sqrt(ld) < data_tol)
-        conv = jnp.logical_or(total < tol, jnp.logical_and(rnorm < tol, data_ok))
-
-        def do_step(z):
-            h = hess_fn(z)
-            return newton_step(z, g, h, loss)
-
-        z_new = jax.lax.cond(conv, lambda z: z, do_step, z)
-        row = jnp.stack([
-            it.astype(dtype), loss.astype(dtype), lp.astype(dtype),
-            ld.astype(dtype), gnu.astype(dtype), gnt.astype(dtype),
-        ])
-        hist = jax.lax.cond(
-            conv, lambda h_: h_, lambda h_: h_.at[it].set(row), hist
-        )
-        n_rows = jnp.where(conv, it, it + 1)
-        return (it + 1, z_new, conv, hist, n_rows)
-
-    init = (
-        jnp.zeros((), jnp.int32), z0, jnp.zeros((), bool),
-        jnp.zeros((hist_cap, _HIST_COLS), dtype), jnp.zeros((), jnp.int32),
+    u0 = jnp.zeros(data.ndof, dtype).at[free_idx].set(u0_free)
+    out = full_nr_phase(
+        data, material, set_theta, u0, theta, free_idx, load_factor,
+        measured_vals, measured_dofs, has_meas,
+        max_iter, tol, data_tol, lr_u, lr_theta, hist_cap,
     )
-    it, z, conv, hist, n_rows = jax.lax.while_loop(cond, body, init)
-
-    u = jnp.zeros(data.ndof, dtype).at[free_idx].set(z[:n_free])
-    th = unravel(z[n_free:])
-    mat = set_theta(material, th)
-    f_int, _ = internal_force_and_strain(data, mat, u, load_factor)
-    reactions = (f_int - load_factor * data.loads) * data.fixed_mask
-    return u, th, reactions, conv, hist, n_rows
+    mat = set_theta(material, out.theta)
+    reactions = reactions_of(data, mat, out.u, load_factor)
+    return out.u, out.theta, reactions, out.converged, out.hist, out.n_rows
 
 
 def solve_full_nr(

@@ -7,9 +7,9 @@ replicate the reference's per-increment Python orchestration and pay one
 host<->device round trip per phase (~200 ms each through a remote TPU
 tunnel, ~20 per solve); this module folds the increment loop into
 lax.scan and the phase logic into traced conditionals, so a full solve is
-one dispatch.  Semantics are identical to driver.solve for the supported
-methods (nr, gd, hybrid) — tests/test_fused.py asserts bit-level agreement
-of displacements and history against the host-stepped path.
+one dispatch.  Semantics are identical to driver.solve for all methods
+(nr, gd, hybrid, full-nr, gn) — tests/test_fused.py asserts bit-level
+agreement of displacements and history against the host-stepped path.
 
 Reference semantics encoded on device:
   * load stepping lf_i = lf0 + (i/n)(lf1 - lf0), warm-started u
@@ -45,25 +45,35 @@ from .gd import (
     get_theta,
     set_theta,
 )
-from .phases import GD_HIST_COLS, gd_phase, nr_phase, reactions_of
+from .phases import (
+    GD_HIST_COLS,
+    full_nr_phase,
+    gd_phase,
+    gn_phase,
+    nr_phase,
+    reactions_of,
+)
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "method", "has_meas", "precond", "has_nn", "hist_cap", "n_increments",
+        "warm_start",
     ),
 )
 def _fused_core(
     data: ProblemData,
     material,
     theta: list,
+    free_idx: jnp.ndarray,
     measured_vals: jnp.ndarray,
     measured_dofs: jnp.ndarray,
     lf_initial,
     lf_final,
     max_iter,
     tol,
+    data_tol,
     lr_u,
     lr_theta,
     alpha_physics,
@@ -76,6 +86,7 @@ def _fused_core(
     has_nn: bool,
     hist_cap: int,
     n_increments: int,
+    warm_start: bool,
 ):
     dtype = data.loads.dtype
     ndof = data.ndof
@@ -153,12 +164,43 @@ def _fused_core(
         alive = jnp.logical_not(dead)
 
         if method == "nr":
+            # Host parity: warm start only under config.nr_warm_start
+            # (newton.py:241-244; the reference always restarts from zeros).
+            u_start = u if warm_start else jnp.zeros_like(u)
             cap = jnp.where(alive, max_iter, 0)
-            nr = nr_phase(data, material, u, lf, cap, tol, min_denom)
+            nr = nr_phase(data, material, u_start, lf, cap, tol, min_denom)
             u2, th2, conv = nr.u, th, nr.converged
             out = (zero_hist, jnp.zeros((), jnp.int32), zero_hist,
                    jnp.zeros((), jnp.int32), nr.residual, nr.n_iters,
                    nr.max_strain)
+        elif method == "full-nr":
+            # Coupled (u, theta) Newton per increment (full_newton.py
+            # semantics); theta always carries, u per nr_warm_start —
+            # driver.py:108-118 passes the warm start under the same flag.
+            u_start = u if warm_start else jnp.zeros_like(u)
+            cap = jnp.where(alive, max_iter, 0)
+            p = full_nr_phase(
+                data, material, set_theta, u_start, th, free_idx, lf,
+                measured_vals, measured_dofs, has_meas,
+                cap, tol, data_tol, lr_u, lr_theta, hist_cap,
+            )
+            u2, th2, conv = p.u, p.theta, p.converged
+            out = (zero_hist, jnp.zeros((), jnp.int32), p.hist, p.n_rows,
+                   jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
+                   jnp.zeros((), dtype))
+        elif method == "gn":
+            # Gauss-Newton/LM/Armijo per increment (gauss_newton.py
+            # semantics); warm-started unconditionally like gd (driver.py:119-125).
+            cap = jnp.where(alive, max_iter, 0)
+            p = gn_phase(
+                data, material, set_theta, u, th, free_idx, lf,
+                measured_vals, measured_dofs, has_meas,
+                cap, tol, alpha_physics, alpha_data, min_denom, hist_cap,
+            )
+            u2, th2, conv = p.u, p.theta, p.converged
+            out = (zero_hist, jnp.zeros((), jnp.int32), p.hist, p.n_rows,
+                   jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
+                   jnp.zeros((), dtype))
         elif method == "gd":
             u2, th2, h1, n1, h2, n2, conv, rnorm = gd_with_precond(u, th, lf, alive)
             out = (h1, n1, h2, n2, rnorm, jnp.zeros((), jnp.int32),
@@ -214,17 +256,17 @@ def solve_fused(
     data: Optional[ProblemData] = None,
     verbose: bool = False,
 ) -> SolverResult:
-    """Drop-in replacement for driver.solve for methods nr / gd / hybrid."""
+    """Drop-in replacement for driver.solve for all methods
+    (nr / gd / hybrid / full-nr / gn)."""
     from .driver import resolve_method
 
     config = config or SolverConfig()
     method = resolve_method(problem, config, measured_disp, measured_dofs)
-    if method not in ("nr", "gd", "hybrid"):
-        raise ValueError(f"solve_fused supports nr/gd/hybrid, not {method!r}")
-    if method == "nr" and problem.material.has_trainable_params:
+    if method == "full_nr":
+        method = "full-nr"
+    if method not in ("nr", "gd", "hybrid", "full-nr", "gn"):
         raise ValueError(
-            "Newton-Raphson solver with NN materials not fully supported yet. "
-            "Use solve_gd() for problems with NN parameters."
+            f"solve_fused supports nr/gd/hybrid/full-nr/gn, not {method!r}"
         )
 
     data = data if data is not None else problem.to_device()
@@ -232,18 +274,35 @@ def solve_fused(
     theta = get_theta(problem.material)
     has_nn = len(theta) > 0
 
+    if method == "full-nr" and not has_nn:
+        # Full NR == classic NR without parameters (solver.py:787-790);
+        # mirrors solve_full_nr's delegation so host and fused agree.
+        method = "nr"
+    if method == "nr" and has_nn:
+        raise ValueError(
+            "Newton-Raphson solver with NN materials not fully supported yet. "
+            "Use solve_gd() for problems with NN parameters."
+        )
+
     provided = measured_disp is not None and measured_dofs is not None
-    has_meas = (
-        provided
-        and config.alpha_data > 0.0
-        and len(np.asarray(measured_dofs).reshape(-1)) > 0
-    )
+    has_any = provided and len(np.asarray(measured_dofs).reshape(-1)) > 0
+    # GD weights the data term by alpha_data, so alpha_data == 0 disables it
+    # (solver.py:273); full-NR's loss is unweighted (solver.py:845) and GN
+    # applies its own weights inside the stacked residual — both consume
+    # measurements regardless of alpha_data, matching the host paths.
+    if method in ("full-nr", "gn"):
+        has_meas = has_any
+    else:
+        has_meas = has_any and config.alpha_data > 0.0
     if has_meas:
         mvals = jnp.asarray(np.asarray(measured_disp, dtype=float), dtype=dtype)
         mdofs = jnp.asarray(np.asarray(measured_dofs, dtype=int), dtype=jnp.int32)
     else:
         mvals = jnp.zeros((0,), dtype)
         mdofs = jnp.zeros((0,), jnp.int32)
+
+    free_idx_np, _ = problem.free_fixed()
+    free_idx = jnp.asarray(free_idx_np, jnp.int32)
 
     hist_cap = _hist_cap_for(config.max_iterations)
     precon_cap = min(300, config.max_iterations // 3)
@@ -253,12 +312,14 @@ def solve_fused(
         data,
         problem.material,
         theta,
+        free_idx,
         mvals,
         mdofs,
         jnp.asarray(config.load_factor_initial, dtype),
         jnp.asarray(config.load_factor_final, dtype),
         jnp.asarray(min(config.max_iterations, hist_cap), jnp.int32),
         jnp.asarray(config.tolerance, dtype),
+        jnp.asarray(config.full_nr_data_tolerance, dtype),
         jnp.asarray(config.learning_rate_u, dtype),
         jnp.asarray(config.learning_rate_theta, dtype),
         jnp.asarray(config.alpha_physics, dtype),
@@ -271,6 +332,7 @@ def solve_fused(
         has_nn=has_nn,
         hist_cap=hist_cap,
         n_increments=config.n_increments,
+        warm_start=bool(config.nr_warm_start),
     )
 
     problem.material = set_theta(problem.material, jax.device_get(th))
@@ -286,6 +348,34 @@ def solve_fused(
             "max_strain": float(aux_strain),
             "converged": 1.0 if bool(conv) else 0.0,
         }]
+    elif method == "full-nr":
+        # Row layout of phases.full_nr_phase; key set matches
+        # full_newton.solve_full_nr (reference solver.py:985-994).
+        hist_np = np.asarray(h2)
+        for k in range(n2_):
+            row = hist_np[k]
+            history.append({
+                "iteration": int(row[0]),
+                "loss_total": float(row[1]),
+                "loss_physics": float(row[2]),
+                "loss_data": float(row[3]),
+                "grad_norm_u": float(row[4]),
+                "grad_norm_theta": float(row[5]),
+            })
+    elif method == "gn":
+        # Row layout of phases.gn_phase; key set matches
+        # gauss_newton.solve_gauss_newton (reference nn_solver.py:379-386).
+        hist_np = np.asarray(h2)
+        for k in range(n2_):
+            row = hist_np[k]
+            history.append({
+                "iteration": float(row[0]),
+                "r_physics": float(row[1]),
+                "r_data": float(row[2]),
+                "r_total": float(row[3]),
+                "relative_error": float(row[4]),
+                "step_size": float(row[5]),
+            })
     else:
         hist1 = _hist_rows_to_dicts(np.asarray(h1), n1_, has_nn, bool(has_meas))
         hist2 = _hist_rows_to_dicts(np.asarray(h2), n2_, has_nn, bool(has_meas))

@@ -34,17 +34,10 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.flatten_util import ravel_pytree
 
 from ..config import SolverConfig, SolverResult
 from ..models.problem import ProblemData, TrussProblem
-from ..ops.assembly import internal_force_and_strain
 from .gd import export_nn_parameters, get_theta, set_theta
-
-_HIST_COLS = 6
-_LS_TRIES = 15
-_ARMIJO_C = 1e-4
-_LS_SHRINK = 0.7
 
 
 @partial(jax.jit, static_argnames=("has_meas", "hist_cap", "n_free"))
@@ -66,99 +59,18 @@ def _gn_core(
     hist_cap: int,
     n_free: int,
 ):
+    from .phases import gn_phase, reactions_of
+
     dtype = u0_free.dtype
-    theta_flat0, unravel = ravel_pytree(theta)
-    z0 = jnp.concatenate([u0_free, theta_flat0])
-    n_z = z0.shape[0]
-    eye = jnp.eye(n_z, dtype=dtype)
-
-    def residual(z):
-        u = jnp.zeros(data.ndof, dtype).at[free_idx].set(z[:n_free])
-        mat = set_theta(material, unravel(z[n_free:]))
-        f_int, _ = internal_force_and_strain(data, mat, u, load_factor)
-        rp = (f_int - load_factor * data.loads)[free_idx]
-        if has_meas:
-            rd = measured_vals - u[measured_dofs]
-            r = jnp.concatenate([alpha_physics * rp, alpha_data * rd])
-        else:
-            rd = jnp.zeros((0,), dtype)
-            r = alpha_physics * rp
-        return r, (jnp.linalg.norm(rp), jnp.linalg.norm(rd))
-
-    res_fn = lambda z: residual(z)[0]
-    jac_fn = jax.jacrev(res_fn)
-
-    def line_search(z, dz, r_norm):
-        """Backtracking: accept |R(z+s dz)| < r_norm (1 - c s), s *= 0.7."""
-        def cond(carry):
-            k, _, accepted = carry
-            return jnp.logical_and(k < _LS_TRIES, jnp.logical_not(accepted))
-
-        def body(carry):
-            k, step, _ = carry
-            r_test = jnp.linalg.norm(res_fn(z + step * dz))
-            ok = jnp.logical_and(
-                jnp.isfinite(r_test),
-                r_test < r_norm * (1.0 - _ARMIJO_C * step),
-            )
-            step_next = jnp.where(ok, step, step * _LS_SHRINK)
-            return (k + 1, step_next, ok)
-
-        _, step, accepted = jax.lax.while_loop(
-            cond, body, (jnp.zeros((), jnp.int32), jnp.ones((), dtype),
-                         jnp.zeros((), bool))
-        )
-        return step, accepted
-
-    def cond(carry):
-        it, _, conv, stalled, _, _ = carry
-        return jnp.logical_and(
-            it < max_iter,
-            jnp.logical_and(jnp.logical_not(conv), jnp.logical_not(stalled)),
-        )
-
-    def body(carry):
-        it, z, _, _, hist, _ = carry
-        r, (rp_n, rd_n) = residual(z)
-        j = jac_fn(z)
-        jtj = j.T @ j
-        damping = 1e-6 * jnp.trace(jtj) / n_z
-        dz = jnp.linalg.solve(jtj + damping * eye, -(j.T @ r))
-        r_norm = jnp.linalg.norm(r)
-
-        step, accepted = line_search(z, dz, r_norm)
-        z_new = z + step * dz
-
-        rel_err = r_norm / jnp.maximum(
-            jnp.linalg.norm(z_new[:n_free]), min_denom
-        )
-        row = jnp.stack([
-            (it + 1).astype(dtype), rp_n.astype(dtype), rd_n.astype(dtype),
-            r_norm.astype(dtype), rel_err.astype(dtype), step.astype(dtype),
-        ])
-        hist = hist.at[it].set(row)
-
-        conv = jnp.logical_and(rel_err < tol, step > 0)
-        # Stall: line search never accepted AND the un-accepted step didn't
-        # reduce the residual (the reference stops when step collapses).
-        stalled = jnp.logical_and(
-            jnp.logical_not(accepted),
-            jnp.linalg.norm(res_fn(z_new)) >= r_norm,
-        )
-        return (it + 1, z_new, conv, stalled, hist, r_norm)
-
-    init = (
-        jnp.zeros((), jnp.int32), z0, jnp.zeros((), bool), jnp.zeros((), bool),
-        jnp.zeros((hist_cap, _HIST_COLS), dtype), jnp.asarray(jnp.inf, dtype),
+    u0 = jnp.zeros(data.ndof, dtype).at[free_idx].set(u0_free)
+    out = gn_phase(
+        data, material, set_theta, u0, theta, free_idx, load_factor,
+        measured_vals, measured_dofs, has_meas,
+        max_iter, tol, alpha_physics, alpha_data, min_denom, hist_cap,
     )
-    it, z, conv, stalled, hist, r_norm = jax.lax.while_loop(cond, body, init)
-
-    u = jnp.zeros(data.ndof, dtype).at[free_idx].set(z[:n_free])
-    th = unravel(z[n_free:])
-    mat = set_theta(material, th)
-    f_int, _ = internal_force_and_strain(data, mat, u, load_factor)
-    reactions = (f_int - load_factor * data.loads) * data.fixed_mask
-    return u, th, reactions, it, conv, hist
+    mat = set_theta(material, out.theta)
+    reactions = reactions_of(data, mat, out.u, load_factor)
+    return out.u, out.theta, reactions, out.n_rows, out.converged, out.hist
 
 
 def solve_gauss_newton(

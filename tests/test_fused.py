@@ -13,12 +13,11 @@ from pinn_fem_tpu.solvers.fused import solve_fused
 
 REF = "/root/reference/FEM/python/examples/json"
 
-# All examples whose method the fused driver supports (nr / gd / hybrid).
-FUSED_EXAMPLES = []
-for _p in sorted(glob.glob(f"{REF}/example*.json")):
-    _parsed = parse_problem_file(_p)
-    if _parsed.config.method in ("nr", "gd", "hybrid"):
-        FUSED_EXAMPLES.append(os.path.basename(_p))
+# Every corpus example: the fused driver covers all methods
+# (nr / gd / hybrid / full-nr / gn).
+FUSED_EXAMPLES = [
+    os.path.basename(_p) for _p in sorted(glob.glob(f"{REF}/example*.json"))
+]
 
 
 @pytest.mark.parametrize("name", FUSED_EXAMPLES)
@@ -62,7 +61,30 @@ def test_fused_matches_host_stepped(name):
             )
 
 
-def test_fused_rejects_full_nr():
+def test_fused_rejects_unknown_method():
     parsed = parse_problem_file(os.path.join(REF, "example8.json"))
-    with pytest.raises(ValueError, match="nr/gd/hybrid"):
+    parsed.config.method = "bogus"
+    with pytest.raises(ValueError, match="not 'bogus'"):
         solve_fused(parsed.problem, parsed.config)
+
+
+def test_fused_gn_matches_host_stepped():
+    """The gn method (no corpus example uses it) — fused vs host on a
+    measured inverse problem."""
+    parsed_h = parse_problem_file(os.path.join(REF, "example3.json"))
+    parsed_h.config.method = "gn"
+    parsed_h.config.max_iterations = 100
+    host = solve(parsed_h.problem, parsed_h.config,
+                 parsed_h.measured_disp, parsed_h.measured_dofs, verbose=False)
+
+    parsed_f = parse_problem_file(os.path.join(REF, "example3.json"))
+    parsed_f.config.method = "gn"
+    parsed_f.config.max_iterations = 100
+    fused = solve_fused(parsed_f.problem, parsed_f.config,
+                        parsed_f.measured_disp, parsed_f.measured_dofs)
+
+    assert fused.converged == host.converged
+    np.testing.assert_allclose(fused.displacements, host.displacements, atol=5e-5)
+    assert len(fused.history) == len(host.history)
+    assert set(fused.history[0]) == {"iteration", "r_physics", "r_data",
+                                     "r_total", "relative_error", "step_size"}
