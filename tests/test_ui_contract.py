@@ -1,0 +1,88 @@
+"""UI payload -> schema round-trip contract.
+
+The two browser UIs (frontend/src/App.jsx and serve/static/app.js) cannot be
+executed on this box (no node/Chrome), so their problem-JSON builders are
+pinned by golden fixtures: tests/fixtures/ui_payload_*.json hold the exact
+POST bodies each builder emits for a known model, and these tests parse
+them through io/schema.py and solve — if either the builder or the schema
+drifts, the fixture comment says which side must move.
+
+Fixture provenance: App.jsx buildProblem() (lines ~57-92) and
+app.js buildProblem() (lines 232-265); solver defaults from
+CalculateButton.jsx (solverType/tolerance/maxIterations/preconditioning).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.io.schema import parse_problem_dict
+from pinn_fem_tpu.solvers.driver import resolve_method, solve
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+def load_fixture(name: str) -> dict:
+    with open(FIXTURES / name) as f:
+        data = json.load(f)
+    data.pop("_comment", None)
+    return data
+
+
+def test_react_ui_payload_parses_and_solves():
+    """App.jsx payload: pinn-gd with a young-NN and measured ux=[1,2,3]."""
+    parsed = parse_problem_dict(load_fixture("ui_payload_react.json"))
+    p, cfg = parsed.problem, parsed.config
+
+    assert p.nnode == 4 and p.nelm == 3 and p.dimension == 2
+    # node0 fully fixed + every y DOF (the reference's canonical BC set).
+    assert sorted(p.fixed_dofs.tolist()) == [0, 1, 3, 5, 7]
+    assert p.material.young.is_trainable
+    assert not p.material.area.is_trainable
+    # Nonzero measured_ux entries only (schema docstring rule).
+    assert sorted(parsed.measured_dofs.tolist()) == [2, 4, 6]
+    np.testing.assert_allclose(parsed.measured_disp, [1.0, 2.0, 3.0])
+    # pinn_config wins over solver_config for shared keys.
+    assert cfg.max_iterations == 5000 and cfg.tolerance == 1e-6
+    assert cfg.learning_rate_u == 0.01 and cfg.alpha_data == 100.0
+    assert resolve_method(p, cfg, parsed.measured_disp, parsed.measured_dofs) == "gd"
+
+    r = solve(p, cfg, parsed.measured_disp, parsed.measured_dofs, verbose=False)
+    assert r.converged
+    np.testing.assert_allclose(r.displacements[:, 0], [0, 1, 2, 3], atol=1e-2)
+
+
+def test_static_ui_payload_parses_and_solves():
+    """app.js payload: 'full-nr' select maps to solver_type=pinn-gd +
+    solver_config.method=full-nr (app.js:258-263); scalar material, so
+    full-NR must delegate to classic NR and hit the analytic solution."""
+    parsed = parse_problem_dict(load_fixture("ui_payload_static.json"))
+    p, cfg = parsed.problem, parsed.config
+
+    assert sorted(p.fixed_dofs.tolist()) == [0, 1, 3, 5, 7]
+    assert not p.material.has_trainable_params
+    # solver_config.method overrides the solver_type mapping
+    # (precedence rule, reference generic.py:384-397).
+    assert resolve_method(p, cfg, parsed.measured_disp, parsed.measured_dofs) in (
+        "full-nr", "full_nr"
+    )
+
+    r = solve(p, cfg, parsed.measured_disp, parsed.measured_dofs, verbose=False)
+    assert r.converged
+    np.testing.assert_allclose(r.displacements[:, 0], [0, 1, 2, 3], atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "fixture", ["ui_payload_react.json", "ui_payload_static.json"]
+)
+def test_ui_payload_served_end_to_end(fixture):
+    """The exact UI POST body through the HTTP solve-generic handler."""
+    from pinn_fem_tpu.serve.server import _solve_generic
+
+    payload = load_fixture(fixture)
+    out = _solve_generic(payload)
+    assert out["success"] and out["converged"]
+    ux = np.asarray(out["displacements"])[0::2]
+    np.testing.assert_allclose(ux, [0, 1, 2, 3], atol=1e-2)
