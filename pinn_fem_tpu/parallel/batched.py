@@ -143,6 +143,114 @@ def solve_gd_batched(
     }
 
 
+@partial(jax.jit, static_argnames=("has_meas", "n_increments"))
+def _batched_incremental_gd_core(
+    data: ProblemData,
+    material: Material,
+    theta_b: list,
+    loads_b: jnp.ndarray,
+    mvals_b: jnp.ndarray,
+    mdofs: jnp.ndarray,
+    lf_initial,
+    lf_final,
+    max_iter, tol, lr_u, lr_theta, alpha_physics, alpha_data,
+    has_meas: bool,
+    n_increments: int,
+):
+    """Batch of FULL incremental solves: lax.scan over load increments with
+    warm-started u/theta (driver.solve semantics, reference
+    solver.py:1094-1155) inside a vmap over problems — the whole B x
+    n_increments x GD-loop program is one XLA dispatch, dp-shardable."""
+    dtype = loads_b.dtype
+
+    def one(theta, loads, mvals):
+        d = data.replace(loads=loads)
+
+        def inc_body(carry, i):
+            u, th = carry
+            lf = lf_initial + ((i + 1).astype(dtype) / n_increments) * (
+                lf_final - lf_initial
+            )
+            out = gd_phase(
+                d, material, set_theta, u, th, lf, mvals, mdofs, has_meas,
+                max_iter, tol, lr_u, lr_theta, alpha_physics, alpha_data,
+                hist_cap=1,
+            )
+            return (out.u, out.theta), (out.converged, out.rnorm, out.n_iters)
+
+        u0 = jnp.zeros(d.ndof, dtype)
+        (u, th), (convs, rnorms, iters) = jax.lax.scan(
+            inc_body, (u0, theta), jnp.arange(n_increments)
+        )
+        reac = reactions_of(d, set_theta(material, th), u, lf_final)
+        return u, th, reac, jnp.all(convs), rnorms[-1], jnp.sum(iters)
+
+    return jax.vmap(one)(theta_b, loads_b, mvals_b)
+
+
+def solve_gd_batched_incremental(
+    problem: TrussProblem,
+    loads_batch: np.ndarray,
+    config: Optional[SolverConfig] = None,
+    thetas: Optional[List[list]] = None,
+    measured_batch: Optional[np.ndarray] = None,
+    measured_dofs: Optional[np.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+):
+    """Full multi-increment GD solves for B problems at once (dp-sharded).
+
+    The batched analogue of driver.solve(method="gd"): every batch member
+    steps through config.n_increments load increments with warm starts.
+    Returns dict with u, theta, reactions, converged (all increments),
+    residual_norm (last increment), total_iterations — all batched (B, ...).
+    """
+    config = config or SolverConfig()
+    data = problem.to_device()
+    dtype = data.loads.dtype
+    b = loads_batch.shape[0]
+
+    theta0 = get_theta(problem.material)
+    theta_b = stack_thetas(thetas if thetas is not None else [theta0] * b)
+
+    has_meas = (
+        measured_batch is not None and measured_dofs is not None
+        and config.alpha_data > 0.0 and len(np.asarray(measured_dofs)) > 0
+    )
+    if has_meas:
+        mvals_b = jnp.asarray(measured_batch, dtype=dtype)
+        mdofs = jnp.asarray(np.asarray(measured_dofs, dtype=int), jnp.int32)
+    else:
+        mvals_b = jnp.zeros((b, 0), dtype)
+        mdofs = jnp.zeros((0,), jnp.int32)
+    loads_b = jnp.asarray(loads_batch, dtype=dtype)
+
+    if mesh is not None:
+        dp = NamedSharding(mesh, P("dp"))
+        loads_b = jax.device_put(loads_b, dp)
+        mvals_b = jax.device_put(mvals_b, dp)
+        theta_b = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, dp), theta_b
+        )
+
+    u, th, reac, conv, rnorm, iters = _batched_incremental_gd_core(
+        data, problem.material, theta_b, loads_b, mvals_b, mdofs,
+        jnp.asarray(config.load_factor_initial, dtype),
+        jnp.asarray(config.load_factor_final, dtype),
+        jnp.asarray(config.max_iterations, jnp.int32),
+        jnp.asarray(config.tolerance, dtype),
+        jnp.asarray(config.learning_rate_u, dtype),
+        jnp.asarray(config.learning_rate_theta, dtype),
+        jnp.asarray(config.alpha_physics, dtype),
+        jnp.asarray(config.alpha_data, dtype),
+        has_meas=bool(has_meas),
+        n_increments=config.n_increments,
+    )
+    return {
+        "u": u, "theta": th, "reactions": reac, "converged": conv,
+        "residual_norm": rnorm, "total_iterations": iters,
+    }
+
+
 @partial(jax.jit, static_argnames=())
 def _batched_nr_core(data, material, loads_b, lf_b, max_iter, tol, min_denom):
     def one(loads, lf):

@@ -34,6 +34,21 @@ _EXPECT_FAIL = {"example6.json"}
 # Physics-only full-NR problems: any equilibrium is valid; assert R == 0.
 _EQUILIBRIUM_ONLY = {"example9.json", "example10.json"}
 
+# Deterministic cases (no NN -> no RNG): the reported iteration count (len
+# of the last increment's history) is pinned exactly.  For the GD family
+# these counts ALSO match the live torch reference run-for-run (PARITY.md:
+# example2 = 141, example2-2 = 33, example2-P = 129 on both stacks).
+_PINNED_ITERATIONS = {
+    "example1.json": 1,      # one NR summary entry per increment
+    "example1-1.json": 1,
+    "example5.json": 1,      # hybrid scalar -> pure NR entry
+    "example8.json": 1,      # full-nr delegates to NR
+    "example2.json": 141,
+    "example2-2.json": 33,
+    "example2-P.json": 129,
+    "example5-P.json": 86,   # precond GD phase + NR finalization entry
+}
+
 
 @pytest.mark.parametrize("name", ALL)
 def test_example_end_to_end(name):
@@ -61,6 +76,11 @@ def test_example_end_to_end(name):
         r = (np.asarray(f_int) - np.asarray(data.loads)) * np.asarray(data.free_mask)
         assert np.linalg.norm(r) < 1e-5, name
         return
+
+    if name in _PINNED_ITERATIONS:
+        assert len(result.history) == _PINNED_ITERATIONS[name], (
+            name, len(result.history)
+        )
 
     tol = _ANALYTIC[name]
     ux = result.displacements[:, 0]

@@ -153,6 +153,40 @@ def test_sharded_assembly_matches_single_device():
         np.testing.assert_allclose(np.asarray(loss_b)[i], expected, rtol=1e-4)
 
 
+def test_batched_incremental_solve_sharded():
+    """FULL multi-increment solves (scan over load increments with warm
+    starts), dp-sharded over the mesh, matching per-row analytic solutions
+    AND the unsharded single-problem driver."""
+    from pinn_fem_tpu.parallel.batched import solve_gd_batched_incremental
+    from pinn_fem_tpu.solvers.driver import solve
+
+    p = chain_problem()
+    mesh = make_mesh_2d(8, tp=1)
+    scales = np.array([0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0])
+    loads_b = scales[:, None] * p.loads[None, :]
+    cfg = SolverConfig(
+        method="gd", learning_rate_u=0.02, alpha_data=0.0,
+        max_iterations=4000, n_increments=4, tolerance=1e-6,
+    )
+    out = solve_gd_batched_incremental(p, loads_b, cfg, mesh=mesh)
+    assert np.all(np.asarray(out["converged"]))
+    u = np.asarray(out["u"])
+    for i, s in enumerate(scales):
+        np.testing.assert_allclose(
+            u[i, [2, 4, 6]], s * np.array([1.0, 2.0, 3.0]), atol=2e-2
+        )
+
+    # Row 1 (scale 1.0) against the unsharded incremental driver.
+    single = solve(chain_problem(), cfg, verbose=False)
+    np.testing.assert_allclose(
+        u[1].reshape(single.displacements.shape), single.displacements,
+        atol=5e-6,
+    )
+    # Last-increment iteration count matches the driver's history length.
+    assert len(single.history) > 10  # the driver really iterated
+    assert int(np.asarray(out["total_iterations"])[1]) > len(single.history)
+
+
 def test_graft_entry_contract():
     import importlib.util
 
