@@ -335,10 +335,26 @@ def solve_fused(
         warm_start=bool(config.nr_warm_start),
     )
 
-    problem.material = set_theta(problem.material, jax.device_get(th))
+    # Device->host traffic discipline: every individual fetch pays a ~30 ms
+    # round trip through a remote TPU tunnel, and the naive decode below
+    # touches ~12 scalars/arrays (= ~0.35 s of pure latency per solve, which
+    # dominated the corpus benchmark).  Fetch EVERYTHING in one round trip,
+    # with the history buffers opportunistically truncated to 256 rows
+    # (covers every corpus solve); only a longer history costs a second trip.
+    _HIST_EAGER = 256
+    (n1_, n2_, lf_last, conv, aux_res, aux_it, aux_strain,
+     u, reactions, th, h1_eager, h2_eager) = jax.device_get(
+        (n1, n2, lf_last, conv, aux_res, aux_it, aux_strain,
+         u, reactions, th, h1[:_HIST_EAGER], h2[:_HIST_EAGER])
+    )
+    n1_, n2_ = int(n1_), int(n2_)
+    if n1_ <= _HIST_EAGER and n2_ <= _HIST_EAGER:
+        h1, h2 = h1_eager[:n1_], h2_eager[:n2_]
+    else:
+        h1, h2 = jax.device_get((h1[:n1_], h2[:n2_]))
+    problem.material = set_theta(problem.material, th)
 
     # --- Rebuild the last increment's history exactly like the host path ---
-    n1_, n2_ = int(n1), int(n2)
     history = []
     if method == "nr":
         history = [{
