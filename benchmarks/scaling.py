@@ -135,15 +135,26 @@ def main():
          n_diags=layout.n_diags, speedup_vs_gather=round(t / t_dia, 1))
 
     if backend == "tpu":
-        from pinn_fem_tpu.ops.pallas.dia_kernel import dia_matvec_pallas
+        from pinn_fem_tpu.ops.pallas.dia_kernel import (
+            dia_matvec_packed,
+            pack_dia_interleaved,
+        )
+
+        # Pack once per solve (as dia_cg_solve does), then stream the
+        # interleaved layout from every matvec.  PackedDia's geometry
+        # fields are trace-time constants, so packing lives inside the jit.
+        # The kernel is ~10x faster than the XLA chain, so it needs a much
+        # longer chain for the ~±2 ms noise on the latency floor to wash out.
+        PALLAS_REPS = 1000
 
         @jax.jit
         def chained_pallas(d, u):
+            packed = pack_dia_interleaved(layout, d)
             return jax.lax.fori_loop(
-                0, CHAIN_REPS,
-                lambda _, v: dia_matvec_pallas(layout, d, v) * 0.25, u)
+                0, PALLAS_REPS,
+                lambda _, v: dia_matvec_packed(layout, packed, v) * 0.25, u)
 
-        t_pk = (timed(lambda: chained_pallas(diags, u), reps=3) - floor) / CHAIN_REPS
+        t_pk = (timed(lambda: chained_pallas(diags, u), reps=3) - floor) / PALLAS_REPS
         emit("Ku_dia_pallas", t_pk * 1e3, "ms", elements=n - 1,
              backend=backend, speedup_vs_xla_slicing=round(t_dia / t_pk, 2))
 

@@ -143,10 +143,17 @@ def dia_cg_solve(
     """Jacobi-PCG on the banded operator with masked BCs (cf. ops/cg.py).
 
     use_pallas selects the fused stencil kernel for the matvec
-    (ops/pallas/dia_kernel.py: bit-exact, ~1.6x faster on TPU v5e).
+    (ops/pallas/dia_kernel.py: bit-exact, ~5x faster than XLA slicing on
+    TPU with the diag-minor interleaved layout, packed ONCE here and
+    reused by every CG iteration).
     """
     if use_pallas:
-        from .pallas.dia_kernel import dia_matvec_pallas as _mv
+        from .pallas.dia_kernel import dia_matvec_packed, pack_dia_interleaved
+
+        packed = pack_dia_interleaved(layout, diags)
+
+        def _mv(layout, _diags, x):
+            return dia_matvec_packed(layout, packed, x)
     else:
         _mv = dia_matvec
 

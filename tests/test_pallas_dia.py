@@ -1,6 +1,7 @@
-"""Experimental Pallas DIA stencil kernel: interpreter-mode parity with the
-XLA slicing matvec (the compiled kernel is not yet production-enabled; see
-the module docstring of ops/pallas/dia_kernel.py)."""
+"""Pallas DIA stencil kernel (production path for TPU banded matvecs):
+interpreter-mode parity with the XLA slicing matvec, for both the pack-
+per-call and the packed (CG hot-loop) APIs.  Compiled-mode parity and the
+performance numbers live in benchmarks/scaling.py."""
 
 import numpy as np
 import pytest
@@ -44,3 +45,8 @@ def test_pallas_dia_matches_xla_slicing(interpret_pallas, n_nodes):
     ref = np.asarray(dia_matvec(layout, diags, u))
     out = np.asarray(dk.dia_matvec_pallas(layout, diags, u))
     np.testing.assert_array_equal(out, ref)
+
+    # Packed (pack-once) API — the CG hot path — and a non-default block.
+    packed = dk.pack_dia_interleaved(layout, diags, rows=128)
+    out2 = np.asarray(dk.dia_matvec_packed(layout, packed, u))
+    np.testing.assert_array_equal(out2, ref)
