@@ -74,9 +74,33 @@ class MLPField:
         w, b = self.layers[-1]
         return h @ w + b
 
+    def _adapt_inputs(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Match the assembly's (load_factor, x[, y]) columns to input_dim.
+
+        Fixed reference defect: the reference's assembly always hands its
+        NNs a (load_factor, x[, y]) dict regardless of the net's input_dim,
+        so any input_dim=1 NN — which is what its LEGACY CLI and therefore
+        its own web backend construct (examples/generic.py:209) — crashes
+        with "mat1 and mat2 shapes cannot be multiplied (1x3 and 1x20)"
+        (verified live).  Here narrower nets receive the SPATIAL columns
+        first (x[, y], then load_factor), so input_dim=1 means the E(x)
+        field the legacy UI intended; input_dim == dim+1 keeps the
+        reference's alphabetical (load_factor, x, y) order for trained-
+        weight parity; wider nets are zero-padded (properties.py:139-142).
+        """
+        width = x.shape[1]
+        if self.input_dim == width:
+            return x
+        if self.input_dim < width:
+            spatial = x[:, 1:]                       # (x[, y])
+            cols = jnp.concatenate([spatial, x[:, :1]], axis=1)  # + lf last
+            return cols[:, : self.input_dim]
+        pad = jnp.zeros((x.shape[0], self.input_dim - width), x.dtype)
+        return jnp.concatenate([x, pad], axis=1)
+
     def eval_batch(self, x: jnp.ndarray) -> jnp.ndarray:
-        """(n, input_dim) inputs -> (n,) positive property values."""
-        out = self.raw_forward(x)
+        """(n, k) assembly inputs -> (n,) positive property values."""
+        out = self.raw_forward(self._adapt_inputs(x))
         if self.enforce_positive:
             out = jax.nn.softplus(out)
         return (out * self.scale)[:, 0]

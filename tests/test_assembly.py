@@ -172,3 +172,41 @@ def test_density_never_enters_stiffness():
     k2, f2, _ = assemble_system(p2.to_device(), p2.material, u)
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_mlp_field_input_adaptation():
+    """models/fields.MLPField._adapt_inputs: narrow nets receive spatial
+    columns first (fixed reference defect — its legacy input_dim=1 nets
+    crash on the 3-column assembly dict); full-width nets keep the
+    reference's (load_factor, x, y) order; wider nets are zero-padded."""
+    from pinn_fem_tpu.models.fields import assembly_inputs
+
+    mid = jnp.array([[0.5, 0.0], [1.5, 2.0]])
+    x = assembly_inputs(mid, 2, jnp.asarray(0.3, jnp.float32))  # (lf, x, y)
+    np.testing.assert_allclose(np.asarray(x),
+                               [[0.3, 0.5, 0.0], [0.3, 1.5, 2.0]], atol=1e-6)
+
+    def field(input_dim):
+        return make_mlp_field(jax.random.PRNGKey(0), 1, 4,
+                              input_dim=input_dim, scale=1.0)
+
+    # input_dim=1 -> x column only.
+    f1 = field(1)
+    adapted = f1._adapt_inputs(x)
+    np.testing.assert_allclose(np.asarray(adapted), [[0.5], [1.5]], atol=1e-6)
+    # input_dim=2 -> (x, y).
+    f2 = field(2)
+    np.testing.assert_allclose(np.asarray(f2._adapt_inputs(x)),
+                               [[0.5, 0.0], [1.5, 2.0]], atol=1e-6)
+    # input_dim=3 -> untouched (parity order).
+    f3 = field(3)
+    np.testing.assert_allclose(np.asarray(f3._adapt_inputs(x)), np.asarray(x))
+    # input_dim=4 -> zero-padded (reference properties.py:139-142).
+    f4 = field(4)
+    a4 = np.asarray(f4._adapt_inputs(x))
+    assert a4.shape == (2, 4)
+    np.testing.assert_allclose(a4[:, 3], 0.0)
+    # And every variant evaluates without shape errors.
+    for f in (f1, f2, f3, f4):
+        v = np.asarray(f.eval_batch(x))
+        assert v.shape == (2,) and np.all(np.isfinite(v)) and np.all(v > 0)

@@ -87,3 +87,77 @@ def test_cli_error_exit_code(tmp_path):
         },
     )
     assert proc.returncode == 1
+
+
+def test_legacy_cli_timestamped_log(tmp_path):
+    """Legacy CLI variant (cli.legacy_generic): entry-point parity with the
+    reference's examples/generic.py — timestamped log name, same result
+    JSON (reference examples/generic.py:68-71)."""
+    src = REF / "example1.json"
+    dst = tmp_path / "example1.json"
+    shutil.copy(src, dst)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.legacy_generic", str(dst)],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "PYTHONPATH": "/root/repo:/root/.axon_site",
+            "JAX_PLATFORMS": "cpu",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    logs = list(tmp_path.glob("example1_????????_??????.log"))
+    assert len(logs) == 1, list(tmp_path.iterdir())
+    out = json.loads((tmp_path / "example1.res.json").read_text())
+    assert out["converged"]
+    np.testing.assert_allclose(
+        out["displacements"], [0, 0, 1, 0, 2, 0, 3, 0], atol=2e-5
+    )
+
+
+def test_legacy_web_nn_flow_works(tmp_path):
+    """The reference's legacy CLI crashes on any enabled NN in 2D (its
+    assembly feeds 3 columns into the input_dim=1 net it builds —
+    'mat1 and mat2 shapes cannot be multiplied', verified live).  Ours
+    must run that exact payload: narrow nets get the spatial columns
+    (models/fields.py _adapt_inputs)."""
+    problem = {
+        "nodes": [
+            {"x": 0, "y": 0, "fixed": True},
+            {"x": 1, "y": 0, "fixed_y": True},
+            {"x": 2, "y": 0, "fixed_y": True},
+            {"x": 3, "y": 0, "fixed_y": True},
+        ],
+        "elements": [[0, 1], [1, 2], [2, 3]],
+        "loads": [0, 0, 0, 0, 0, 0, 1.0, 0],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "measured_displacements": {
+            "nodes": [1, 2, 3], "ux": [1.0, 2.0, 3.0], "uy": [0, 0, 0]},
+        "nn_config": {
+            "young": {"enabled": True, "hiddenLayers": 2,
+                      "neuronsPerLayer": 8}},
+        "pinn_config": {"max_iterations": 1500, "learning_rate_u": 0.01,
+                        "learning_rate_theta": 1e-3, "tolerance": 1e-5},
+        "solver_type": "pinn-gd",
+    }
+    dst = tmp_path / "legacy_nn.json"
+    dst.write_text(json.dumps(problem))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.legacy_generic", str(dst)],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+        env={
+            "PATH": "/usr/bin:/bin",
+            "HOME": "/root",
+            "PYTHONPATH": "/root/repo:/root/.axon_site",
+            "JAX_PLATFORMS": "cpu",
+        },
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads((tmp_path / "legacy_nn.res.json").read_text())
+    # input_dim=1 (legacy default): the E(x) field fits the measurements.
+    u = np.asarray(out["displacements"])
+    np.testing.assert_allclose(u[[2, 4, 6]], [1.0, 2.0, 3.0], atol=1e-2)
+    assert "identified_properties" in out
