@@ -139,13 +139,20 @@ def dia_cg_solve(
     max_iter=100000,
     x0=None,
     use_pallas: bool = False,
+    precond: str = "jacobi",
+    components: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Jacobi-PCG on the banded operator with masked BCs (cf. ops/cg.py).
+    """PCG on the banded operator with masked BCs (cf. ops/cg.py).
 
     use_pallas selects the fused stencil kernel for the matvec
     (ops/pallas/dia_kernel.py: bit-exact, ~5x faster than XLA slicing on
     TPU with the diag-minor interleaved layout, packed ONCE here and
     reused by every CG iteration).
+
+    precond: "jacobi" (diagonal scaling) or "mg" (banded algebraic
+    multigrid V-cycle, ops/mg.py — far fewer iterations on large
+    ill-conditioned meshes; the hierarchy and its coarsest-level Cholesky
+    factor are built once per call and reused every iteration).
     """
     if use_pallas:
         from .pallas.dia_kernel import dia_matvec_packed, pack_dia_interleaved
@@ -165,11 +172,19 @@ def dia_cg_solve(
 
     diag = dia_diagonal(layout, diags) * mask + (1.0 - mask)
     inv_diag = 1.0 / diag
+    if precond == "mg":
+        from .mg import build_hierarchy, v_cycle
+
+        hierarchy = build_hierarchy(layout, diags, mask,
+                                    components=components)
+        precond_apply = lambda r: v_cycle(hierarchy, r)
+    else:
+        precond_apply = lambda r: inv_diag * r
     b_norm = jnp.maximum(jnp.linalg.norm(b_vec), 1e-30)
     x0 = jnp.zeros_like(b_vec) if x0 is None else x0 * mask
 
     r0 = b_vec - a_op(x0)
-    z0 = inv_diag * r0
+    z0 = precond_apply(r0)
     rz0 = jnp.dot(r0, z0)
 
     # Plain PCG recurrence with float32 breakdown guards.  NOTE: the true
@@ -193,7 +208,7 @@ def dia_cg_solve(
         alpha = rz / jnp.where(jnp.abs(denom) > 0, denom, 1e-30)
         x = x + alpha * p
         r = r - alpha * ap
-        z = inv_diag * r
+        z = precond_apply(r)
         rz_new = jnp.dot(r, z)
         beta = rz_new / jnp.where(rz != 0, rz, 1e-30)
         p = z + beta * p

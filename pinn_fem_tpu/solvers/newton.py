@@ -81,17 +81,31 @@ def _dia_layout_of(problem: TrussProblem, data: ProblemData):
 _DIA_CORE_CACHE: dict = {}
 
 
-def _nr_dia_core(layout):
-    """Jitted NR increment over the banded operator, cached per layout."""
-    core = _DIA_CORE_CACHE.get(id(layout))
+def _nr_dia_core(layout, precond: str = "jacobi", components: int = 1):
+    """Jitted NR increment over the banded operator, cached per
+    (band structure, preconditioner).
+
+    The cache key is the layout CONTENT (offsets, ndof, and a digest of
+    the element->diagonal scatter map, which the closure captures as a
+    constant), not object identity: re-tracing the multigrid program costs
+    tens of host seconds, and identical meshes built twice must share one
+    traced program."""
+    import hashlib
+
+    slot_digest = hashlib.sha1(
+        np.ascontiguousarray(layout.entry_slot).view(np.uint8)
+    ).hexdigest()
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           slot_digest, precond, components)
+    core = _DIA_CORE_CACHE.get(key)
     if core is not None:
         return core
 
     from ..ops.cg import stiffness_coefficients
     from ..ops.dia import assemble_dia, dia_cg_solve, dia_matvec
 
-    # The fused Pallas stencil matvec is bit-exact and ~1.6x faster on TPU;
-    # other backends use the XLA slicing form.
+    # The fused Pallas stencil matvec is bit-exact and ~9x faster on TPU
+    # (diag-minor interleaved layout); other backends use XLA slicing.
     use_pallas = jax.default_backend() == "tpu"
 
     @jax.jit
@@ -117,7 +131,8 @@ def _nr_dia_core(layout):
             rhs = load_factor * data.loads - f_int
             du, _, _ = dia_cg_solve(layout, diags, rhs, data.free_mask,
                                     tol=cg_tol, max_iter=cg_max_iter,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    precond=precond, components=components)
             u_new = u + du
             r = (load_factor * data.loads
                  - dia_matvec(layout, diags, u_new)) * data.free_mask
@@ -148,7 +163,7 @@ def _nr_dia_core(layout):
         strain = jnp.sum(data.gvec * u_e, axis=-1) * data.inv_len
         return u, reactions, it, res, conv, jnp.max(jnp.abs(strain))
 
-    _DIA_CORE_CACHE[id(layout)] = core
+    _DIA_CORE_CACHE[key] = core
     return core
 
 
@@ -218,12 +233,22 @@ def solve_nr(
     data: Optional[ProblemData] = None,
     linear_solver: str = "auto",
     geometric_nonlinear: bool = False,
+    cg_precond: str = "auto",
 ) -> SolverResult:
     """Single-increment NR solve (driven by solvers.driver.solve).
 
     linear_solver: "dense" (Cholesky on the assembled K), "cg" (matrix-free
     Jacobi-PCG; K is never formed), "cg-dia" (banded operator), or "auto"
     (cg above DENSE_DOF_LIMIT, dia when banded).
+
+    cg_precond: preconditioner for the banded PCG — "jacobi" (default /
+    "auto") or "mg" (banded smoothed-aggregation multigrid, ops/mg.py).
+    Measured guidance: on well-conditioned grids the V-cycle's op count
+    makes mg a net LOSS on TPU despite 20-25x fewer iterations (0.6 s vs
+    2.8 s at 40k DOFs) — TPU iterations there are op-overhead-bound, not
+    bandwidth-bound; on ill-conditioned slender meshes, where Jacobi-PCG
+    needs O(n) iterations (cond ~ n^2), mg keeps counts flat
+    (47 vs 20,000 on a 20k-DOF chain) and wins outright at scale.
 
     geometric_nonlinear: opt-in Green-Lagrange kinematics (2D, dense path).
     """
@@ -259,8 +284,12 @@ def solve_nr(
         layout = _dia_layout_of(problem, data)
         if layout is None:
             raise ValueError("mesh bandwidth too wide for the DIA operator")
+        if cg_precond == "auto":
+            cg_precond = "jacobi"  # see docstring for the measured tradeoff
         cg_tol = max(config.tolerance * 0.1, 5e-8)
-        u, reactions, it, res, conv, max_strain = _nr_dia_core(layout)(
+        u, reactions, it, res, conv, max_strain = _nr_dia_core(
+            layout, precond=cg_precond, components=problem.dimension,
+        )(
             data,
             problem.material,
             u0,
