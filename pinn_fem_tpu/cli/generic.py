@@ -109,9 +109,14 @@ def main(argv=None) -> int:
         return 1
     problem_file = argv[0]
     output_file = argv[1] if len(argv) > 1 else None
+    # NN init seed (an extension: the reference is unseeded torch, so its
+    # init-dependent cases — e.g. example6 — cannot be re-rolled).
+    import os
+
+    seed = int(os.environ.get("PINN_FEM_TPU_SEED", "0"))
     setup_logging(problem_file)
     try:
-        run(problem_file, output_file)
+        run(problem_file, output_file, seed=seed)
         logger.info("[SUCCESS] Solve completed successfully")
         return 0
     except Exception as e:  # contract: log traceback, exit 1

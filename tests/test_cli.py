@@ -161,3 +161,36 @@ def test_legacy_web_nn_flow_works(tmp_path):
     u = np.asarray(out["displacements"])
     np.testing.assert_allclose(u[[2, 4, 6]], [1.0, 2.0, 3.0], atol=1e-2)
     assert "identified_properties" in out
+
+
+def test_cli_seed_env_var(tmp_path):
+    """PINN_FEM_TPU_SEED re-rolls the NN init (extension: the reference is
+    unseeded torch, so its init-dependent outcomes cannot be re-rolled)."""
+    outs = []
+    for seed in ("0", "1"):
+        src = REF / "example3.json"
+        d = tmp_path / seed
+        d.mkdir()
+        dst = d / "example3.json"
+        shutil.copy(src, dst)
+        proc = subprocess.run(
+            [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(dst)],
+            capture_output=True, text=True, timeout=300,
+            cwd="/root/repo",
+            env={
+                "PATH": "/usr/bin:/bin",
+                "HOME": "/root",
+                "PYTHONPATH": "/root/repo:/root/.axon_site",
+                "JAX_PLATFORMS": "cpu",
+                "PINN_FEM_TPU_SEED": seed,
+            },
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        outs.append(json.loads((d / "example3.res.json").read_text()))
+    # Different inits -> different trained weights; same physics.
+    p0 = np.asarray(outs[0]["nn_parameters"]["param_0"])
+    p1 = np.asarray(outs[1]["nn_parameters"]["param_0"])
+    assert not np.allclose(p0, p1)
+    np.testing.assert_allclose(
+        outs[0]["displacements"], outs[1]["displacements"], atol=1e-3
+    )

@@ -121,3 +121,47 @@ def test_static_ui_served(server_port):
         f"http://127.0.0.1:{server_port}/app.js", timeout=30
     ) as r:
         assert "solve-generic" in r.read().decode()
+
+
+def test_concurrent_requests_no_interference(server_port):
+    """The reference's only concurrency hazard was same-millisecond temp
+    file collisions (pythonRunner.js:75-77, fixed here by serving
+    in-process).  Drive N simultaneous solve-generic requests with
+    DIFFERENT loads and check each response matches its own input."""
+    import threading
+
+    def payload(scale):
+        return {
+            "nodes": [
+                {"x": 0, "y": 0, "fixed": True},
+                {"x": 1, "y": 0, "fixed_y": True},
+                {"x": 2, "y": 0, "fixed_y": True},
+                {"x": 3, "y": 0, "fixed_y": True},
+            ],
+            "elements": [[0, 1], [1, 2], [2, 3]],
+            "loads": [0, 0, 0, 0, 0, 0, scale, 0],
+            "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+            "solver_type": "fem",
+        }
+
+    scales = [0.5, 1.0, 1.5, 2.0]
+    results = [None] * len(scales)
+
+    def worker(i, s):
+        status, body = _post(server_port, "/api/fem/solve-generic", payload(s))
+        results[i] = (status, body)
+
+    threads = [threading.Thread(target=worker, args=(i, s))
+               for i, s in enumerate(scales)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    for (status, body), s in zip(results, scales):
+        assert status == 200 and body["success"], (s, body)
+        u = body["result"]["displacements"]
+        np.testing.assert_allclose(
+            u[2::2], [s * 1.0, s * 2.0, s * 3.0], atol=1e-4,
+            err_msg=f"scale {s} got {u}",
+        )
