@@ -20,7 +20,7 @@ import time
 
 
 def main() -> int:
-    from benchmarks.corpus import BASELINES, CORPUS_DIR, bench_one
+    from benchmarks.corpus import CORPUS_DIR, bench_one
 
     # configure() before the first backend query (axon platform stomping).
     from pinn_fem_tpu.utils.runtime import configure

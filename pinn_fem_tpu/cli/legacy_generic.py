@@ -58,9 +58,12 @@ def main(argv=None) -> int:
         return 1
     problem_file = argv[0]
     output_file = argv[1] if len(argv) > 1 else None
+    import os
+
+    seed = int(os.environ.get("PINN_FEM_TPU_SEED", "0"))
     log_file = setup_logging_timestamped(problem_file)
     try:
-        run(problem_file, output_file)
+        run(problem_file, output_file, seed=seed)
         logger.info("Log file saved: %s", log_file)
         return 0
     except Exception as e:  # contract: log traceback, exit 1

@@ -143,24 +143,6 @@ def smoothed_operator(offsets: Tuple[int, ...], diags: jnp.ndarray,
     return out_offsets, s
 
 
-def filter_dia(offsets: Tuple[int, ...], diags: jnp.ndarray,
-               keep: Tuple[int, ...]) -> Tuple[Tuple[int, ...], jnp.ndarray]:
-    """Stencil collapsing: drop diagonals outside `keep`, lumping each
-    dropped entry onto the main diagonal row-wise (preserves row sums, so
-    the operator still annihilates constants — the mode multigrid must get
-    right — and stays symmetric).  Bounds the per-level diagonal count,
-    which otherwise grows combinatorially under smoothed aggregation."""
-    keep = tuple(sorted(set(keep) | {0}))
-    k_index = {o: i for i, o in enumerate(keep)}
-    out = jnp.zeros((len(keep), diags.shape[1]), diags.dtype)
-    for k, o in enumerate(offsets):
-        if o in k_index:
-            out = out.at[k_index[o]].add(diags[k])
-        else:
-            out = out.at[k_index[0]].add(diags[k])
-    return keep, out
-
-
 def _agg_index(i: np.ndarray, components: int) -> np.ndarray:
     """Static aggregation map: merge ADJACENT NODES, keep vector components
     separate.  For `components` DOFs per node, fine dof i = C*node + c

@@ -167,23 +167,36 @@ def _batched_incremental_gd_core(
         d = data.replace(loads=loads)
 
         def inc_body(carry, i):
-            u, th = carry
+            u, th, dead, rnorm_last = carry
+            alive = jnp.logical_not(dead)
             lf = lf_initial + ((i + 1).astype(dtype) / n_increments) * (
                 lf_final - lf_initial
             )
             out = gd_phase(
                 d, material, set_theta, u, th, lf, mvals, mdofs, has_meas,
-                max_iter, tol, lr_u, lr_theta, alpha_physics, alpha_data,
-                hist_cap=1,
+                jnp.where(alive, max_iter, 0), tol, lr_u, lr_theta,
+                alpha_physics, alpha_data, hist_cap=1,
             )
-            return (out.u, out.theta), (out.converged, out.rnorm, out.n_iters)
+            # Freeze on the first failed increment (driver.solve /
+            # _fused_core parity: the failing increment's state is what
+            # the solve returns, solver.py:1161-1165).
+            u_next = jnp.where(alive, out.u, u)
+            th_next = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(alive, new, old), out.theta, th
+            )
+            rnorm_next = jnp.where(alive, out.rnorm, rnorm_last)
+            dead_next = jnp.logical_or(dead, jnp.logical_not(out.converged))
+            return ((u_next, th_next, dead_next, rnorm_next),
+                    (out.converged, out.n_iters))
 
         u0 = jnp.zeros(d.ndof, dtype)
-        (u, th), (convs, rnorms, iters) = jax.lax.scan(
-            inc_body, (u0, theta), jnp.arange(n_increments)
+        (u, th, dead, rnorm), (convs, iters) = jax.lax.scan(
+            inc_body, (u0, theta, jnp.zeros((), bool),
+                       jnp.asarray(jnp.inf, dtype)),
+            jnp.arange(n_increments),
         )
         reac = reactions_of(d, set_theta(material, th), u, lf_final)
-        return u, th, reac, jnp.all(convs), rnorms[-1], jnp.sum(iters)
+        return u, th, reac, jnp.logical_not(dead), rnorm, jnp.sum(iters)
 
     return jax.vmap(one)(theta_b, loads_b, mvals_b)
 

@@ -90,11 +90,16 @@ def _nr_dia_core(layout, precond: str = "jacobi", components: int = 1):
     constant), not object identity: re-tracing the multigrid program costs
     tens of host seconds, and identical meshes built twice must share one
     traced program."""
-    import hashlib
+    slot_digest = getattr(layout, "_slot_digest", None)
+    if slot_digest is None:
+        # Memoized: hashing a 1M-element scatter map costs ~100 ms on this
+        # box and _nr_dia_core runs once per load increment.
+        import hashlib
 
-    slot_digest = hashlib.sha1(
-        np.ascontiguousarray(layout.entry_slot).view(np.uint8)
-    ).hexdigest()
+        slot_digest = hashlib.sha1(
+            np.ascontiguousarray(layout.entry_slot).view(np.uint8)
+        ).hexdigest()
+        object.__setattr__(layout, "_slot_digest", slot_digest)
     key = (tuple(int(o) for o in layout.offsets), layout.ndof,
            slot_digest, precond, components)
     core = _DIA_CORE_CACHE.get(key)

@@ -54,7 +54,29 @@ def log_gd_progress(
     log = log or logger
     if print_every <= 0:
         print_every = 1
-    gd_rows = [e for e in history if "loss_total" in e]
+    # Full-NR rows also carry loss_total but use their own column set
+    # (grad norms instead of residual/u norms) — print their own table.
+    fnr_rows = [e for e in history if "grad_norm_u" in e]
+    if fnr_rows:
+        log.info("%s", f"{'Iter':>6} | {'Loss Total':>12} | "
+                       f"{'Loss Physics':>12} | {'||R||':>12} | "
+                       f"{'|grad u|':>10} | {'|grad th|':>10}")
+        log.info("%s", "-" * 78)
+        for e in fnr_rows:
+            it = int(e.get("iteration", 0))
+            if not (it <= 1 or it % print_every == 0 or e is fnr_rows[-1]):
+                continue
+            rnorm = (2.0 * e.get("loss_physics", 0.0)) ** 0.5
+            log.info(
+                "%s",
+                f"{it:6d} | {e.get('loss_total', 0.0):12.3e} | "
+                f"{e.get('loss_physics', 0.0):12.3e} | {rnorm:12.3e} | "
+                f"{e.get('grad_norm_u', 0.0):10.3e} | "
+                f"{e.get('grad_norm_theta', 0.0):10.3e}",
+            )
+        return
+
+    gd_rows = [e for e in history if "residual_norm" in e]
     if not gd_rows:
         return
     has_nn = "theta_norm" in gd_rows[-1]
