@@ -13,6 +13,7 @@
 #include <cstdint>
 #include <cmath>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -92,6 +93,94 @@ int compute_geometry(const double* coords, const int64_t* elements,
             dof_map[4 * e + 2] = 2 * j;
             dof_map[4 * e + 3] = 2 * j + 1;
         }
+    }
+    return 0;
+}
+
+
+// Reverse Cuthill-McKee node ordering: BFS from a minimum-degree seed per
+// connected component, visiting neighbors in ascending-degree order, then
+// reversed.  Minimizes the stiffness bandwidth so arbitrarily-numbered
+// meshes qualify for the banded DIA fast path (ops/dia.py).
+//
+// elements: nelm x 2 node pairs.  order_out: nnode int32, order_out[new] =
+// old node id.  scratch must hold (2*nnode + 2 + 4*nelm) int64.
+// Returns 0 on success, 1 on an out-of-range node id.
+int rcm_order(const int64_t* elements, int64_t nelm, int64_t nnode,
+              int32_t* order_out, int64_t* scratch) {
+    // scratch layout:
+    //   degree : [0, nnode)
+    //   offset : [nnode, 2*nnode + 1)
+    //   adj    : [2*nnode + 2, 2*nnode + 2 + 2*nelm)   (each edge twice)
+    int64_t* degree = scratch;
+    int64_t* offset = scratch + nnode;
+    int64_t* adj = scratch + 2 * nnode + 2;
+
+    std::memset(degree, 0, sizeof(int64_t) * nnode);
+    for (int64_t e = 0; e < nelm; ++e) {
+        const int64_t a = elements[2 * e], b = elements[2 * e + 1];
+        if (a < 0 || a >= nnode || b < 0 || b >= nnode) return 1;
+        ++degree[a];
+        ++degree[b];
+    }
+    offset[0] = 0;
+    for (int64_t n = 0; n < nnode; ++n) offset[n + 1] = offset[n] + degree[n];
+    // Fill adjacency (cursor = offset copy living in degree's slot).
+    for (int64_t n = 0; n < nnode; ++n) degree[n] = offset[n];
+    for (int64_t e = 0; e < nelm; ++e) {
+        const int64_t a = elements[2 * e], b = elements[2 * e + 1];
+        adj[degree[a]++] = b;
+        adj[degree[b]++] = a;
+    }
+    // Restore degrees.
+    for (int64_t n = 0; n < nnode; ++n) degree[n] = offset[n + 1] - offset[n];
+
+    // Sort each adjacency list by (degree, id) once — BFS then emits
+    // neighbors in Cuthill-McKee order with no per-visit sorting.
+    for (int64_t n = 0; n < nnode; ++n) {
+        int64_t* first = adj + offset[n];
+        const int64_t len = offset[n + 1] - offset[n];
+        for (int64_t i = 1; i < len; ++i) {  // insertion sort (lists are tiny)
+            const int64_t v = first[i];
+            int64_t j = i - 1;
+            while (j >= 0 && (degree[first[j]] > degree[v] ||
+                              (degree[first[j]] == degree[v] && first[j] > v))) {
+                first[j + 1] = first[j];
+                --j;
+            }
+            first[j + 1] = v;
+        }
+    }
+
+    // BFS over components (order_out doubles as the queue).
+    std::vector<uint8_t> visited(static_cast<size_t>(nnode), 0);
+    int64_t head = 0, tail = 0;
+    for (int64_t seed_scan = 0; seed_scan < nnode; ++seed_scan) {
+        if (tail == nnode) break;
+        // Min-degree unvisited seed.
+        int64_t seed = -1;
+        for (int64_t n = 0; n < nnode; ++n) {
+            if (!visited[n] && (seed < 0 || degree[n] < degree[seed])) seed = n;
+        }
+        if (seed < 0) break;
+        visited[seed] = 1;
+        order_out[tail++] = static_cast<int32_t>(seed);
+        while (head < tail) {
+            const int64_t n = order_out[head++];
+            for (int64_t i = offset[n]; i < offset[n + 1]; ++i) {
+                const int64_t m = adj[i];
+                if (!visited[m]) {
+                    visited[m] = 1;
+                    order_out[tail++] = static_cast<int32_t>(m);
+                }
+            }
+        }
+    }
+    // Reverse (the "R" in RCM).
+    for (int64_t i = 0, j = nnode - 1; i < j; ++i, --j) {
+        const int32_t t = order_out[i];
+        order_out[i] = order_out[j];
+        order_out[j] = t;
     }
     return 0;
 }

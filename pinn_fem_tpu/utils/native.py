@@ -48,6 +48,11 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.rcm_order.restype = ctypes.c_int
+        lib.rcm_order.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -96,6 +101,26 @@ def build_gather_map_native(dof_map: np.ndarray, ndof: int) -> Optional[np.ndarr
         _ptr(out, ctypes.c_int32), _ptr(scratch, ctypes.c_int64),
     )
     return out
+
+
+def rcm_order_native(elements: np.ndarray, nnode: int) -> Optional[np.ndarray]:
+    """Native reverse Cuthill-McKee ordering; None if the library is absent.
+
+    Returns order with order[new] = old node id."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "rcm_order"):
+        return None
+    elements = np.ascontiguousarray(elements, dtype=np.int64)
+    nelm = elements.shape[0]
+    order = np.empty(nnode, dtype=np.int32)
+    scratch = np.empty(2 * nnode + 2 + 2 * nelm, dtype=np.int64)
+    rc = lib.rcm_order(
+        _ptr(elements, ctypes.c_int64), nelm, nnode,
+        _ptr(order, ctypes.c_int32), _ptr(scratch, ctypes.c_int64),
+    )
+    if rc != 0:
+        raise ValueError("element references an out-of-range node id")
+    return order.astype(np.int64)
 
 
 def compute_geometry_native(
