@@ -6,6 +6,7 @@ Route-for-route parity with the reference's Node/Express backend
     POST /api/fem/solve          classic FEM       (fem.js:20-42)
     POST /api/fem/solve-pinn     scalar-PINN GD/NR (fem.js:60-83)
     POST /api/fem/solve-generic  unified solver    (fem.js:100-130)
+    POST /api/fem/solve-batch    B problems/request (extension; vmap dp)
     GET  /api/fem/info           solver metadata   (fem.js:136-155)
     GET  /api/health             health check      (server.js:24-30)
 
@@ -90,10 +91,65 @@ def _solve_generic(body):
     return result_to_output_dict(result, parsed.problem)
 
 
+def _solve_batch(body):
+    """Batched serving (extension beyond the reference): one request, B
+    problems sharing a mesh topology, solved simultaneously via the
+    vmap'd dp-parallel solvers (parallel/batched.py — the answer to the
+    reference's one-Python-process-per-request model).
+
+    Payload: {"problem": <generic problem schema, the template>,
+              "loads_batch": [[...], ...]      (B, ndof)
+              "measured_batch": [[...], ...]?  (B, m) at the template's
+                                               measured DOFs
+              "incremental": bool?             full multi-increment GD}
+    """
+    import numpy as np
+
+    from ..io.schema import parse_problem_dict
+    from ..parallel.batched import (
+        solve_gd_batched,
+        solve_gd_batched_incremental,
+        solve_nr_batched,
+    )
+
+    parsed = parse_problem_dict(body.get("problem", {}))
+    loads_b = np.asarray(body["loads_batch"], dtype=float)
+    measured_b = body.get("measured_batch")
+    has_nn = parsed.problem.material.has_trainable_params
+
+    if measured_b is None and not has_nn and not body.get("incremental"):
+        out = solve_nr_batched(parsed.problem, loads_b, parsed.config)
+        iters = out["iterations"]
+    elif body.get("incremental"):
+        out = solve_gd_batched_incremental(
+            parsed.problem, loads_b, parsed.config,
+            measured_batch=(np.asarray(measured_b, dtype=float)
+                            if measured_b is not None else None),
+            measured_dofs=parsed.measured_dofs,
+        )
+        iters = out["total_iterations"]
+    else:
+        out = solve_gd_batched(
+            parsed.problem, loads_b, parsed.config,
+            measured_batch=(np.asarray(measured_b, dtype=float)
+                            if measured_b is not None else None),
+            measured_dofs=parsed.measured_dofs,
+        )
+        iters = out["iterations"]
+
+    return {
+        "batch": int(loads_b.shape[0]),
+        "converged": np.asarray(out["converged"]).astype(bool).tolist(),
+        "iterations": np.asarray(iters).astype(int).tolist(),
+        "displacements": np.asarray(out["u"], dtype=float).tolist(),
+    }
+
+
 _ROUTES = {
     "/api/fem/solve": (_solve_fem, FEM_TIMEOUT_S),
     "/api/fem/solve-pinn": (_solve_pinn, PINN_TIMEOUT_S),
     "/api/fem/solve-generic": (_solve_generic, PINN_TIMEOUT_S),
+    "/api/fem/solve-batch": (_solve_batch, PINN_TIMEOUT_S),
 }
 
 

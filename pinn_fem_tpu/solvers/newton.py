@@ -63,14 +63,22 @@ DENSE_DOF_LIMIT = 2048
 
 def _dia_layout_of(problem: TrussProblem, data: ProblemData):
     """Banded layout cached on the problem (host build is O(nelm) but not
-    free at millions of elements); None when the bandwidth is too wide."""
+    free at millions of elements); None when the mesh has too many
+    distinct diagonals for the memory budget.
+
+    The diagonal budget is memory-aware: RCM-renumbered unstructured
+    meshes are banded but irregular (~80-150 distinct offsets vs ~13 for
+    a natural grid ordering), so allow up to 192 diagonals as long as the
+    diagonal storage stays under ~1 GB."""
     cached = getattr(problem, "_dia_layout_cache", None)
     if cached is not None:
         return cached if cached != "unsupported" else None
     from ..ops.dia import dia_layout
 
+    budget = int(min(192, max(64, (2**30) // max(4 * problem.ndof, 1))))
     try:
-        layout = dia_layout(np.asarray(data.dof_map), problem.ndof)
+        layout = dia_layout(np.asarray(data.dof_map), problem.ndof,
+                            max_diags=budget)
     except ValueError:
         problem._dia_layout_cache = "unsupported"
         return None

@@ -16,6 +16,7 @@ import pytest
 EXAMPLES_DIR = Path(__file__).resolve().parent.parent / "examples"
 
 SCRIPTS = [
+    "large_mesh_demo",
     "truss1d_simple",
     "truss1d_nn_property",
     "fem2d_tower",

@@ -165,3 +165,30 @@ def test_concurrent_requests_no_interference(server_port):
             u[2::2], [s * 1.0, s * 2.0, s * 3.0], atol=1e-4,
             err_msg=f"scale {s} got {u}",
         )
+
+
+def test_solve_batch_route(server_port):
+    """Batched serving: B load cases in one request (extension — the
+    reference spawns one Python process per request)."""
+    template = {
+        "nodes": [
+            {"x": 0, "y": 0, "fixed": True},
+            {"x": 1, "y": 0, "fixed_y": True},
+            {"x": 2, "y": 0, "fixed_y": True},
+            {"x": 3, "y": 0, "fixed_y": True},
+        ],
+        "elements": [[0, 1], [1, 2], [2, 3]],
+        "loads": [0, 0, 0, 0, 0, 0, 1.0, 0],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "solver_type": "fem",
+    }
+    scales = [0.5, 1.0, 2.0]
+    loads_batch = [[0, 0, 0, 0, 0, 0, s, 0] for s in scales]
+    status, body = _post(server_port, "/api/fem/solve-batch",
+                         {"problem": template, "loads_batch": loads_batch})
+    assert status == 200 and body["success"], body
+    r = body["result"]
+    assert r["batch"] == 3 and all(r["converged"])
+    for row, s in zip(r["displacements"], scales):
+        np.testing.assert_allclose(
+            row[2::2], [s, 2 * s, 3 * s], atol=1e-4)
