@@ -1,0 +1,75 @@
+"""Distributed row-block DIA CG (parallel/dia_sharded.py) on the 8-virtual-
+device mesh: halo-exchange matvec and psum-reduced PCG must reproduce the
+single-device banded solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from pinn_fem_tpu import Material, TrussProblem
+from pinn_fem_tpu.ops.cg import stiffness_coefficients
+from pinn_fem_tpu.ops.dia import assemble_dia, dia_cg_solve, dia_layout, dia_matvec
+from pinn_fem_tpu.parallel.dia_sharded import dia_cg_solve_sharded
+
+
+def tp_mesh(n=8):
+    return Mesh(np.array(jax.devices()[:n]).reshape(1, n), ("dp", "tp"))
+
+
+def chain(n_nodes):
+    nodes = np.stack([np.arange(n_nodes, dtype=float), np.zeros(n_nodes)], 1)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(2 * n_nodes)
+    loads[-2] = 1.0
+    fixed = [0] + [2 * i + 1 for i in range(n_nodes)]
+    return TrussProblem(nodes=nodes, elements=elements,
+                        material=Material(young=1.0, area=1.0, density=1.0),
+                        loads=loads, fixed_dofs=np.array(fixed), dimension=2)
+
+
+def banded_system(p):
+    data = p.to_device()
+    s = stiffness_coefficients(data, p.material, 1.0)
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    diags = assemble_dia(layout, s, data.gvec)
+    return data, layout, diags
+
+
+def test_sharded_cg_matches_single_device():
+    p = chain(257)  # 514 DOFs over 8 shards (ndof not divisible: padding)
+    data, layout, diags = banded_system(p)
+    rhs = jnp.asarray(data.loads)
+
+    x1, it1, rel1 = dia_cg_solve(layout, diags, rhs, data.free_mask,
+                                 tol=1e-6, max_iter=20000)
+    x8, it8, rel8 = dia_cg_solve_sharded(layout, diags, rhs, data.free_mask,
+                                         tp_mesh(8), tol=1e-6, max_iter=20000)
+    # Same solution; iteration counts agree closely (different reduction
+    # orders shift float32 rounding, so allow a small delta).
+    np.testing.assert_allclose(np.asarray(x8), np.asarray(x1),
+                               atol=2e-3, rtol=1e-3)
+    assert abs(int(it8) - int(it1)) <= max(3, int(it1) // 20), (int(it1), int(it8))
+    # True residual of the sharded solution on the unsharded operator.
+    r = (np.asarray(dia_matvec(layout, diags, x8)) - np.asarray(rhs))
+    r *= np.asarray(data.free_mask)
+    assert np.linalg.norm(r) <= 1e-4
+
+
+def test_sharded_cg_exact_solution():
+    p = chain(129)
+    data, layout, diags = banded_system(p)
+    x, it, rel = dia_cg_solve_sharded(layout, diags, jnp.asarray(data.loads),
+                                      data.free_mask, tp_mesh(8),
+                                      tol=1e-7, max_iter=20000)
+    ux = np.asarray(x)[0::2]
+    np.testing.assert_allclose(ux, np.arange(129), atol=2e-3)
+
+
+def test_bandwidth_exceeding_shard_raises():
+    p = chain(5)  # 10 DOFs over 8 shards -> 2-row shards < bandwidth 3
+    data, layout, diags = banded_system(p)
+    with pytest.raises(ValueError, match="exceeds"):
+        dia_cg_solve_sharded(layout, diags, jnp.asarray(data.loads),
+                             data.free_mask, tp_mesh(8))
