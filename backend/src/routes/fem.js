@@ -4,7 +4,7 @@
 // {success: false, error, details}.
 
 import express from 'express';
-import { solveFEM, solvePINN, solveGeneric } from '../services/pythonRunner.js';
+import { solveFEM, solvePINN, solveGeneric, solveBatch } from '../services/pythonRunner.js';
 
 const router = express.Router();
 
@@ -31,6 +31,7 @@ function solveHandler(name, solver) {
 router.post('/solve', solveHandler('FEM', solveFEM));
 router.post('/solve-pinn', solveHandler('PINN', solvePINN));
 router.post('/solve-generic', solveHandler('GENERIC', solveGeneric));
+router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 
 router.get('/info', (req, res) => {
   res.json({

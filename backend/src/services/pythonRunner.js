@@ -90,3 +90,8 @@ export async function solveGeneric(problemData) {
   // The generic CLI takes [problem.json, output.json] like the api_* ones.
   return runModule('pinn_fem_tpu.cli.generic', problemData, PINN_TIMEOUT_MS);
 }
+
+export async function solveBatch(problemData) {
+  // Batched dp-parallel solves (extension): B load cases per request.
+  return runModule('pinn_fem_tpu.cli.api_batch', problemData, PINN_TIMEOUT_MS);
+}

@@ -34,7 +34,7 @@ def main() -> int:
     t_start = time.time()
     rows = []
     for path in sorted(glob.glob(os.path.join(CORPUS_DIR, "example*.json"))):
-        rows.append(bench_one(path, repeats=3))
+        rows.append(bench_one(path, repeats=5))
     wall_s = time.time() - t_start
 
     total = sum(r["value"] for r in rows)

@@ -264,6 +264,50 @@ def solve_gd_batched_incremental(
     }
 
 
+def solve_batch_request(body: dict) -> dict:
+    """JSON-payload batched solve, shared by the HTTP tier
+    (serve/server.py /api/fem/solve-batch) and the process entry point the
+    Node backend spawns (cli/api_batch.py).
+
+    Payload: {"problem": <generic problem schema, the template>,
+              "loads_batch": [[...], ...]      (B, ndof)
+              "measured_batch": [[...], ...]?  (B, m) at the template's
+                                               measured DOFs
+              "incremental": bool?             full multi-increment GD}
+    """
+    from ..io.schema import parse_problem_dict
+
+    parsed = parse_problem_dict(body.get("problem", {}))
+    loads_b = np.asarray(body["loads_batch"], dtype=float)
+    measured_b = body.get("measured_batch")
+    if measured_b is not None:
+        measured_b = np.asarray(measured_b, dtype=float)
+    has_nn = parsed.problem.material.has_trainable_params
+
+    if measured_b is None and not has_nn and not body.get("incremental"):
+        out = solve_nr_batched(parsed.problem, loads_b, parsed.config)
+        iters = out["iterations"]
+    elif body.get("incremental"):
+        out = solve_gd_batched_incremental(
+            parsed.problem, loads_b, parsed.config,
+            measured_batch=measured_b, measured_dofs=parsed.measured_dofs,
+        )
+        iters = out["total_iterations"]
+    else:
+        out = solve_gd_batched(
+            parsed.problem, loads_b, parsed.config,
+            measured_batch=measured_b, measured_dofs=parsed.measured_dofs,
+        )
+        iters = out["iterations"]
+
+    return {
+        "batch": int(loads_b.shape[0]),
+        "converged": np.asarray(out["converged"]).astype(bool).tolist(),
+        "iterations": np.asarray(iters).astype(int).tolist(),
+        "displacements": np.asarray(out["u"], dtype=float).tolist(),
+    }
+
+
 @partial(jax.jit, static_argnames=())
 def _batched_nr_core(data, material, loads_b, lf_b, max_iter, tol, min_denom):
     def one(loads, lf):

@@ -92,57 +92,12 @@ def _solve_generic(body):
 
 
 def _solve_batch(body):
-    """Batched serving (extension beyond the reference): one request, B
-    problems sharing a mesh topology, solved simultaneously via the
-    vmap'd dp-parallel solvers (parallel/batched.py — the answer to the
-    reference's one-Python-process-per-request model).
+    """Batched serving (extension beyond the reference); payload contract
+    and implementation in parallel/batched.solve_batch_request — shared
+    with the CLI entry point the Node backend spawns (cli/api_batch.py)."""
+    from ..parallel.batched import solve_batch_request
 
-    Payload: {"problem": <generic problem schema, the template>,
-              "loads_batch": [[...], ...]      (B, ndof)
-              "measured_batch": [[...], ...]?  (B, m) at the template's
-                                               measured DOFs
-              "incremental": bool?             full multi-increment GD}
-    """
-    import numpy as np
-
-    from ..io.schema import parse_problem_dict
-    from ..parallel.batched import (
-        solve_gd_batched,
-        solve_gd_batched_incremental,
-        solve_nr_batched,
-    )
-
-    parsed = parse_problem_dict(body.get("problem", {}))
-    loads_b = np.asarray(body["loads_batch"], dtype=float)
-    measured_b = body.get("measured_batch")
-    has_nn = parsed.problem.material.has_trainable_params
-
-    if measured_b is None and not has_nn and not body.get("incremental"):
-        out = solve_nr_batched(parsed.problem, loads_b, parsed.config)
-        iters = out["iterations"]
-    elif body.get("incremental"):
-        out = solve_gd_batched_incremental(
-            parsed.problem, loads_b, parsed.config,
-            measured_batch=(np.asarray(measured_b, dtype=float)
-                            if measured_b is not None else None),
-            measured_dofs=parsed.measured_dofs,
-        )
-        iters = out["total_iterations"]
-    else:
-        out = solve_gd_batched(
-            parsed.problem, loads_b, parsed.config,
-            measured_batch=(np.asarray(measured_b, dtype=float)
-                            if measured_b is not None else None),
-            measured_dofs=parsed.measured_dofs,
-        )
-        iters = out["iterations"]
-
-    return {
-        "batch": int(loads_b.shape[0]),
-        "converged": np.asarray(out["converged"]).astype(bool).tolist(),
-        "iterations": np.asarray(iters).astype(int).tolist(),
-        "displacements": np.asarray(out["u"], dtype=float).tolist(),
-    }
+    return solve_batch_request(body)
 
 
 _ROUTES = {
