@@ -158,6 +158,30 @@ def main():
         emit("Ku_dia_pallas", t_pk * 1e3, "ms", elements=n - 1,
              backend=backend, speedup_vs_xla_slicing=round(t_dia / t_pk, 2))
 
+        # 1b) Whole-PCG-iteration cost at 2M DOFs: the fused two-kernel
+        # iteration (ops/pallas/cg_kernel.py) vs the ~14-op XLA form.
+        # tol=0 pins both to exactly CG_REPS iterations (same recurrence).
+        from pinn_fem_tpu.ops.dia import dia_cg_solve
+        from pinn_fem_tpu.ops.pallas.cg_kernel import fused_cg_solve
+
+        CG_REPS = 300
+        mask = jnp.ones(p.ndof, jnp.float32).at[jnp.asarray([0])].set(0.0)
+        mask = mask.at[jnp.arange(1, p.ndof, 2)].set(0.0)  # pin y + root
+        rhs = jnp.zeros(p.ndof, jnp.float32).at[-2].set(1.0)
+
+        xla_cg = jax.jit(lambda d, b, m: dia_cg_solve(
+            layout, d, b, m, tol=0.0, max_iter=CG_REPS, use_pallas=False))
+        t_x = (timed(lambda: xla_cg(diags, rhs, mask)[0], reps=3)
+               - floor) / CG_REPS
+        fus_cg = jax.jit(lambda d, b, m: fused_cg_solve(
+            layout, d, b, m, tol=0.0, max_iter=CG_REPS))
+        t_f = (timed(lambda: fus_cg(diags, rhs, mask)[0], reps=3)
+               - floor) / CG_REPS
+        emit("cg_iteration_xla", t_x * 1e3, "ms", dofs=p.ndof,
+             backend=backend)
+        emit("cg_iteration_fused", t_f * 1e3, "ms", dofs=p.ndof,
+             backend=backend, speedup_vs_xla=round(t_x / t_f, 2))
+
     # 2) Banded-PCG Newton solve, cross-braced grid (40k DOFs, aspect 2 —
     # float32 Jacobi-PCG stalls on high-aspect strips; see TECHNICAL_README).
     rows, cols = 100, 200

@@ -81,8 +81,9 @@ def dia_layout(dof_map: np.ndarray, ndof: int,
             f"mesh has {unique_offs.size} distinct diagonals "
             f"(> {max_diags}); renumber DOFs or use the gather-based operator"
         )
-    off_index = {int(o): k for k, o in enumerate(unique_offs)}
-    k_of = np.vectorize(lambda o: off_index[int(o)])(offs)   # (nelm, 2d, 2d)
+    # Vectorized offset -> diagonal-index map (unique_offs is sorted and
+    # every offs entry is present; np.vectorize here cost ~1 s/M elements).
+    k_of = np.searchsorted(unique_offs, offs)                # (nelm, 2d, 2d)
     entry_slot = (k_of * ndof + np.broadcast_to(rows, offs.shape)).astype(np.int64)
     return DiaLayout(
         offsets=unique_offs.astype(np.int64),
@@ -153,7 +154,17 @@ def dia_cg_solve(
     multigrid V-cycle, ops/mg.py — far fewer iterations on large
     ill-conditioned meshes; the hierarchy and its coarsest-level Cholesky
     factor are built once per call and reused every iteration).
+
+    With use_pallas and Jacobi preconditioning the whole iteration runs as
+    the fused two-kernel form (ops/pallas/cg_kernel.py): same recurrence,
+    two kernel launches instead of ~14 ops.  MG keeps the kernel matvec
+    but its V-cycle stays in XLA.
     """
+    if use_pallas and precond == "jacobi":
+        from .pallas.cg_kernel import fused_cg_solve
+
+        return fused_cg_solve(layout, diags, rhs, free_mask, tol=tol,
+                              max_iter=max_iter, x0=x0)
     if use_pallas:
         from .pallas.dia_kernel import dia_matvec_packed, pack_dia_interleaved
 

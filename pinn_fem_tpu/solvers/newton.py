@@ -337,6 +337,12 @@ def solve_nr(
             jnp.asarray(config.min_denominator, dtype),
             nonlinear=geometric_nonlinear,
         )
+    # ONE device->host fetch for the whole result: every separate
+    # np.asarray/float() on a device value is a ~30 ms tunnel round trip
+    # (6 of them cost more than the 40k-DOF CG solve itself).
+    u, reactions, it, res, conv, max_strain = jax.device_get(
+        (u, reactions, it, res, conv, max_strain)
+    )
     u_np = np.asarray(u, dtype=float)
     if not np.all(np.isfinite(u_np)):
         raise RuntimeError("Tangent stiffness became singular during solve")
