@@ -67,7 +67,7 @@ int compute_geometry(const double* coords, const int64_t* elements,
         const int64_t i = elements[2 * e];
         const int64_t j = elements[2 * e + 1];
         double len_sq = 0.0;
-        double dx[2] = {0.0, 0.0};
+        double dx[3] = {0.0, 0.0, 0.0};
         for (int k = 0; k < dim; ++k) {
             dx[k] = coords[j * dim + k] - coords[i * dim + k];
             len_sq += dx[k] * dx[k];
@@ -84,14 +84,9 @@ int compute_geometry(const double* coords, const int64_t* elements,
             gvec[e * 2 * dim + k] = -c;
             gvec[e * 2 * dim + dim + k] = c;
         }
-        if (dim == 1) {
-            dof_map[2 * e] = i;
-            dof_map[2 * e + 1] = j;
-        } else {
-            dof_map[4 * e] = 2 * i;
-            dof_map[4 * e + 1] = 2 * i + 1;
-            dof_map[4 * e + 2] = 2 * j;
-            dof_map[4 * e + 3] = 2 * j + 1;
+        for (int k = 0; k < dim; ++k) {
+            dof_map[e * 2 * dim + k] = dim * i + k;
+            dof_map[e * 2 * dim + dim + k] = dim * j + k;
         }
     }
     return 0;

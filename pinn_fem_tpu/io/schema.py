@@ -46,13 +46,23 @@ class ParsedProblem:
 
 
 def _parse_nodes(nodes_list):
-    """Returns (nodes array for TrussProblem, problem_dim, is_dict_format)."""
+    """Returns (nodes array for TrussProblem, problem_dim, is_dict_format).
+
+    Coordinate-list width sets the dimension (1, 2 or 3; true-1D [[x], ...]
+    flattens as in the reference).  Dict nodes are 2D unless any carries a
+    "z" key (a 3D extension beyond the reference's 2D-only dict format)."""
     if nodes_list and isinstance(nodes_list[0], list):
         arr = np.array(nodes_list, dtype=float)
         dim = arr.shape[1]
         if dim == 1:
             return arr.flatten(), 1, False
         return arr, dim, False
+    three_d = any("z" in n for n in nodes_list)
+    if three_d:
+        nodes = np.array(
+            [[n["x"], n["y"], n.get("z", 0.0)] for n in nodes_list], dtype=float
+        )
+        return nodes, 3, True
     nodes = np.array([[n["x"], n["y"]] for n in nodes_list], dtype=float)
     return nodes, 2, True
 
@@ -63,7 +73,7 @@ def _parse_elements(elements_data):
     return np.array([[e["nodes"][0], e["nodes"][1]] for e in elements_data], dtype=int)
 
 
-def _parse_fixed_dofs(data, nodes_list):
+def _parse_fixed_dofs(data, nodes_list, dim: int = 2):
     fixed = data.get("fixed_dofs", [])
     if fixed:
         return np.array(fixed, dtype=int)
@@ -71,17 +81,17 @@ def _parse_fixed_dofs(data, nodes_list):
     if nodes_list and isinstance(nodes_list[0], dict):
         for i, node in enumerate(nodes_list):
             if node.get("fixed", False):
-                out.extend([2 * i, 2 * i + 1])
+                out.extend(dim * i + c for c in range(dim))
             else:
-                if node.get("fixed_x", False):
-                    out.append(2 * i)
-                if node.get("fixed_y", False):
-                    out.append(2 * i + 1)
+                for c, axis in enumerate(("x", "y", "z")[:dim]):
+                    if node.get(f"fixed_{axis}", False):
+                        out.append(dim * i + c)
     return np.array(out, dtype=int)
 
 
-def _parse_measured(data, nodes_list):
+def _parse_measured(data, nodes_list, dim: int = 2):
     dofs, values = [], []
+    axes = ("x", "y", "z")[:dim]
     measured = data.get("measured_displacements", None)
     if measured:
         if "global_dof" in measured and "measured_u" in measured:
@@ -89,27 +99,21 @@ def _parse_measured(data, nodes_list):
             values = list(measured["measured_u"])
         else:
             m_nodes = measured.get("nodes", [])
-            m_ux = measured.get("ux", [])
-            m_uy = measured.get("uy", [])
             for idx, node_id in enumerate(m_nodes):
-                if idx < len(m_ux):
-                    dofs.append(2 * node_id)
-                    values.append(m_ux[idx])
-                if idx < len(m_uy):
-                    dofs.append(2 * node_id + 1)
-                    values.append(m_uy[idx])
+                for c, axis in enumerate(axes):
+                    comp = measured.get(f"u{axis}", [])
+                    if idx < len(comp):
+                        dofs.append(dim * node_id + c)
+                        values.append(comp[idx])
     else:
         for i, node in enumerate(nodes_list):
             if not isinstance(node, dict):
                 continue
-            ux = node.get("measured_ux", 0)
-            uy = node.get("measured_uy", 0)
-            if ux != 0:
-                dofs.append(2 * i)
-                values.append(ux)
-            if uy != 0:
-                dofs.append(2 * i + 1)
-                values.append(uy)
+            for c, axis in enumerate(axes):
+                v = node.get(f"measured_u{axis}", 0)
+                if v != 0:
+                    dofs.append(dim * i + c)
+                    values.append(v)
     return np.array(dofs, dtype=int), np.array(values, dtype=float)
 
 
@@ -141,7 +145,7 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
     nodes_list = data.get("nodes", [])
     nodes, problem_dim, _ = _parse_nodes(nodes_list)
     elements = _parse_elements(data.get("elements", []))
-    fixed_dofs = _parse_fixed_dofs(data, nodes_list)
+    fixed_dofs = _parse_fixed_dofs(data, nodes_list, problem_dim)
 
     n_nodes = len(nodes_list)
     n_dofs = n_nodes * problem_dim
@@ -152,7 +156,7 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
 
     measured_disp = measured_dofs = None
     if solver_type.startswith("pinn"):
-        mdofs, mvals = _parse_measured(data, nodes_list)
+        mdofs, mvals = _parse_measured(data, nodes_list, problem_dim)
         measured_dofs, measured_disp = mdofs, mvals
 
     problem = TrussProblem(

@@ -208,12 +208,13 @@ def assembly_inputs(
 
     Mirrors the reference's dict construction during assembly
     (nn_assembly.py:143-153, 200-205) combined with NNProperty's
-    alphabetical ordering: columns are (load_factor, x) in 1D and
-    (load_factor, x, y) in 2D.
+    alphabetical ordering: columns are (load_factor, x) in 1D,
+    (load_factor, x, y) in 2D, (load_factor, x, y, z) in 3D (z sorts
+    after y, so the alphabetical contract extends unchanged).
 
     Args:
         mid_coords: (nelm, dimension) element midpoint coordinates.
-        dimension: 1 or 2.
+        dimension: 1, 2 or 3.
         load_factor: traced scalar.
 
     Returns:
@@ -234,9 +235,10 @@ def point_inputs_dict_order(
     n = coords.shape[0]
     cols = [np.full((n, 1), load_factor)]
     cols.append(coords[:, :1])
-    if dimension >= 2:
-        y = coords[:, 1:2] if coords.shape[1] > 1 else np.zeros((n, 1))
-        cols.append(y)
+    for c in range(1, dimension):
+        col = (coords[:, c:c + 1] if coords.shape[1] > c
+               else np.zeros((n, 1)))
+        cols.append(col)
     return jnp.asarray(np.concatenate(cols, axis=1), dtype=dtype)
 
 

@@ -91,7 +91,7 @@ class TrussProblem:
     Reference cites: FEMModel fields and shape checks (model.py:46-91).
     """
 
-    nodes: np.ndarray          # (nnode,) for 1D or (nnode, 2) for 2D
+    nodes: np.ndarray          # (nnode,) for 1D or (nnode, dim) for 2D/3D
     elements: np.ndarray       # (nelm, 2) int
     material: Material
     loads: np.ndarray          # (ndof,)
@@ -104,12 +104,17 @@ class TrussProblem:
         self.loads = np.asarray(self.loads, dtype=float).reshape(-1)
         self.fixed_dofs = np.asarray(self.fixed_dofs, dtype=int).reshape(-1)
 
-        if self.dimension not in (1, 2):
-            raise ValueError("dimension must be 1 or 2")
+        if self.dimension not in (1, 2, 3):
+            raise ValueError("dimension must be 1, 2 or 3")
         if self.dimension == 1 and self.nodes.ndim != 1:
             raise ValueError("For 1D, nodes must be 1D array of positions")
-        if self.dimension == 2 and (self.nodes.ndim != 2 or self.nodes.shape[1] != 2):
-            raise ValueError("For 2D, nodes must have shape (nnode, 2)")
+        if self.dimension >= 2 and (
+            self.nodes.ndim != 2 or self.nodes.shape[1] != self.dimension
+        ):
+            raise ValueError(
+                f"For {self.dimension}D, nodes must have shape "
+                f"(nnode, {self.dimension})"
+            )
         if self.elements.ndim != 2 or self.elements.shape[1] != 2:
             raise ValueError("elements must have shape (nelm, 2)")
         if self.loads.size != self.ndof:
@@ -188,7 +193,12 @@ class TrussProblem:
             if self.dimension == 1:
                 dof_map = np.stack([i, j], axis=1)
             else:
-                dof_map = np.stack([2 * i, 2 * i + 1, 2 * j, 2 * j + 1], axis=1)
+                d = self.dimension
+                dof_map = np.concatenate(
+                    [np.stack([d * n + c for c in range(d)], axis=1)
+                     for n in (i, j)],
+                    axis=1,
+                )
 
             from ..ops.scatter import build_gather_map
 

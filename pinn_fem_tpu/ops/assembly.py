@@ -73,15 +73,15 @@ def assemble_system_nonlinear(
     u: jnp.ndarray,
     load_factor=1.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Geometrically nonlinear (Green-Lagrange) assembly, 2D only.
+    """Geometrically nonlinear (Green-Lagrange) assembly (2D/3D).
 
     The reference ships this kernel as exposed-but-unwired API surface
     (element.py:105-133 imported at assembly.py:10 but never called); here
     it is a first-class opt-in: solve_nr(..., geometric_nonlinear=True).
     Returns (K_tangent, f_int, max_abs_strain) like assemble_system.
     """
-    if data.dimension != 2:
-        raise ValueError("geometric nonlinearity is implemented for 2D trusses")
+    if data.dimension not in (2, 3):
+        raise ValueError("geometric nonlinearity requires a 2D or 3D truss")
     from .elements import truss2d_green_lagrange_batch
 
     young, area = material_values(data, material, load_factor)

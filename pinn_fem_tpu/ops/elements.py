@@ -62,7 +62,10 @@ def truss2d_green_lagrange_batch(
     young: jnp.ndarray,
     area: jnp.ndarray,
 ) -> ElementBatch:
-    """Geometrically nonlinear 2D truss (Green-Lagrange), batched.
+    """Geometrically nonlinear truss (Green-Lagrange), batched.
+
+    Dimension-generic (the spatial dimension is read from x0's last axis;
+    the reference kernel was 2D-only): 1D/2D/3D all use the same forms.
 
     Strain matches the reference kernel (element.py:105-133):
     e_gl = (L^2 - L0^2) / (2 L0^2).  Forces and tangent are the
@@ -80,11 +83,12 @@ def truss2d_green_lagrange_batch(
     invisible.  A wired solve path needs the consistent form.)
 
     Args:
-        x0: (nelm, 2, 2) rest coordinates of the two element nodes (i then j).
-        u_e: (nelm, 4) displacements ordered [u_ix, u_iy, u_jx, u_jy].
+        x0: (nelm, 2, dim) rest coordinates of the two element nodes (i, j).
+        u_e: (nelm, 2*dim) displacements ordered [u_i..., u_j...].
     """
-    dx0 = x0[:, 1, :] - x0[:, 0, :]                       # (nelm, 2)
-    u2 = u_e.reshape(u_e.shape[0], 2, 2)
+    dim = x0.shape[-1]
+    dx0 = x0[:, 1, :] - x0[:, 0, :]                       # (nelm, dim)
+    u2 = u_e.reshape(u_e.shape[0], 2, dim)
     delta = u2[:, 1, :] - u2[:, 0, :]                     # relative disp
     dx = dx0 + delta
 
@@ -95,14 +99,14 @@ def truss2d_green_lagrange_batch(
     e_gl = (jnp.sum(dx0 * delta, axis=-1)
             + 0.5 * jnp.sum(delta * delta, axis=-1)) * inv_l0_sq
 
-    d = jnp.concatenate([-dx, dx], axis=1)                # (nelm, 4)
+    d = jnp.concatenate([-dx, dx], axis=1)                # (nelm, 2*dim)
 
     ea_invl = young * area * inv_len                      # EA / L0
     ke_mat = (ea_invl * inv_len * inv_len)[:, None, None] * (
         d[:, :, None] * d[:, None, :]
     )
-    eye2 = jnp.eye(2, dtype=u_e.dtype)
-    b_geo = jnp.block([[eye2, -eye2], [-eye2, eye2]])     # (4, 4)
+    eye_d = jnp.eye(dim, dtype=u_e.dtype)
+    b_geo = jnp.block([[eye_d, -eye_d], [-eye_d, eye_d]])  # (2*dim, 2*dim)
     ke_geo = (ea_invl * e_gl)[:, None, None] * b_geo[None, :, :]
     fe = (ea_invl * e_gl)[:, None] * d
     return ElementBatch(ke=ke_mat + ke_geo, fe_int=fe, strain=e_gl)

@@ -20,6 +20,7 @@ SCRIPTS = [
     "truss1d_simple",
     "truss1d_nn_property",
     "fem2d_tower",
+    "truss3d_pylon",
     "pinn_inverse_problem",
     "pinn_newton_raphson",
 ]
