@@ -32,6 +32,22 @@ from .ops.assembly import (  # noqa: E402
     compute_residual_and_jacobian,
     internal_force_and_strain,
 )
+from .ops.mass import (  # noqa: E402
+    consistent_mass,
+    lumped_mass,
+    total_mass,
+)
+from .solvers.dynamics import (  # noqa: E402
+    TransientResult,
+    solve_transient,
+    stable_dt,
+)
+from .solvers.modal import (  # noqa: E402
+    ModalResult,
+    modal_analysis,
+    modal_eigenpairs,
+    modal_eigenvalues,
+)
 from .solvers.driver import solve  # noqa: E402
 from .solvers.full_newton import solve_full_nr  # noqa: E402
 from .solvers.fused import solve_fused  # noqa: E402
@@ -66,6 +82,16 @@ __all__ = [
     "assemble_system",
     "compute_residual_and_jacobian",
     "internal_force_and_strain",
+    "lumped_mass",
+    "consistent_mass",
+    "total_mass",
+    "solve_transient",
+    "stable_dt",
+    "TransientResult",
+    "modal_analysis",
+    "modal_eigenvalues",
+    "modal_eigenpairs",
+    "ModalResult",
     "solve",
     "solve_nr",
     "solve_gd",

@@ -1,0 +1,231 @@
+"""Modal analysis: K phi = omega^2 M phi, dense or banded, differentiable.
+
+An extension beyond the reference (no mass, no dynamics — SURVEY §7.3).
+Two paths, selected like the static solvers:
+
+  * dense (ndof <= DENSE_DOF_LIMIT): restrict K and M to the free DOFs,
+    reduce the generalized problem to standard form and call eigh.  With
+    lumped (diagonal) mass the reduction is a pointwise D^{-1/2} scaling;
+    with consistent mass it is a Cholesky congruence L^{-1} K L^{-T}.
+    eigh is DIFFERENTIABLE in JAX, so natural frequencies are themselves
+    a training signal: a density MLP — physics-inert in the reference and
+    in static PINN solves — receives gradients through the spectrum
+    (examples/modal_identification.py identifies rho(x) from measured
+    frequencies).
+  * banded (large meshes): inverse subspace iteration with Rayleigh-Ritz
+    on the DIA operator — block solves K Y = M X by (vmapped) banded PCG,
+    M-orthonormalization, and a small dense generalized eigenproblem per
+    iteration.  Smallest modes converge first, which is exactly the end
+    structural analysis wants.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import TrussProblem
+from ..ops.assembly import assemble_system
+from ..ops.mass import consistent_mass, lumped_mass
+
+
+class ModalResult(NamedTuple):
+    eigenvalues: np.ndarray   # (n_modes,) omega^2, ascending
+    omegas: np.ndarray        # (n_modes,) rad/s
+    frequencies: np.ndarray   # (n_modes,) Hz
+    shapes: np.ndarray        # (ndof, n_modes), zeros on fixed DOFs,
+                              # M-orthonormal on the free block
+    residuals: np.ndarray     # (n_modes,) ||K v - lam M v|| / (lam ||M v||)
+
+
+def _dense_eigensolve(k_ff, m_ff_or_diag, n_modes: int, lumped: bool):
+    """Smallest generalized eigenpairs on the free block (traced)."""
+    if lumped:
+        d = jnp.sqrt(m_ff_or_diag)
+        inv_d = 1.0 / d
+        b = inv_d[:, None] * k_ff * inv_d[None, :]
+        w, y = jnp.linalg.eigh(b)
+        v = inv_d[:, None] * y
+    else:
+        lo = jnp.linalg.cholesky(m_ff_or_diag)
+        li_k = jax.scipy.linalg.solve_triangular(lo, k_ff, lower=True)
+        b = jax.scipy.linalg.solve_triangular(
+            lo, li_k.T, lower=True).T
+        b = 0.5 * (b + b.T)
+        w, y = jnp.linalg.eigh(b)
+        v = jax.scipy.linalg.solve_triangular(lo.T, y, lower=False)
+    return w[:n_modes], v[:, :n_modes]
+
+
+def modal_eigenvalues(problem: TrussProblem, n_modes: int = 6,
+                      lumped: bool = True, data=None,
+                      material=None) -> jnp.ndarray:
+    """Traced smallest eigenvalues omega^2 — the differentiable core
+    (gradients flow to material parameters, including DENSITY).
+
+    `material` overrides problem.material so parameter pytrees can be
+    traced through (frequency-based identification,
+    examples/modal_identification.py).  Shape construction is dead code
+    under jit (XLA eliminates it) so this simply forwards to
+    modal_eigenpairs."""
+    return modal_eigenpairs(problem, n_modes, lumped, data, material)[0]
+
+
+def modal_eigenpairs(problem: TrussProblem, n_modes: int = 6,
+                     lumped: bool = True, data=None, material=None):
+    """Traced (omega^2, shapes) — the differentiable core with mode shapes.
+
+    Shapes are (ndof, n_modes), zero on fixed DOFs, M-orthonormal on the
+    free block, sign arbitrary (eigenvector sign is not differentiable-
+    meaningful; compare sign-invariant quantities such as phi^2 at sensor
+    DOFs — see examples/modal_identification.py, where shape data resolves
+    the spectrum-only ill-posedness of density identification)."""
+    data = data if data is not None else problem.to_device()
+    material = material if material is not None else problem.material
+    free_idx = jnp.asarray(problem.free_fixed()[0])
+    dtype = data.loads.dtype
+    k = assemble_system(data, material, jnp.zeros(problem.ndof, dtype))[0]
+    k_ff = k[jnp.ix_(free_idx, free_idx)]
+    if lumped:
+        m_f = lumped_mass(data, material)[free_idx]
+        w, v = _dense_eigensolve(k_ff, m_f, n_modes, lumped=True)
+    else:
+        m_ff = consistent_mass(data, material)[jnp.ix_(free_idx, free_idx)]
+        w, v = _dense_eigensolve(k_ff, m_ff, n_modes, lumped=False)
+    shapes = jnp.zeros((problem.ndof, n_modes), dtype).at[free_idx].set(v)
+    return w, shapes
+
+
+def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
+                        seed):
+    """Inverse subspace iteration on the banded operator (lumped mass)."""
+    from ..ops.dia import dia_cg_solve
+
+    k = min(2 * n_modes + 4, int(jnp.sum(mask)))
+    ndof = layout.ndof
+    x = jax.random.normal(jax.random.PRNGKey(seed), (ndof, k),
+                          dtype=m_diag.dtype) * mask[:, None]
+
+    solve_col = jax.vmap(
+        lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
+                                   max_iter=40 * ndof, x0=x0,
+                                   use_pallas=False)[0],
+        in_axes=(1, 1), out_axes=1,
+    )
+
+    from ..ops.dia import dia_matvec
+
+    def k_apply_cols(v):
+        return jax.vmap(lambda c: dia_matvec(layout, kd, c) * mask,
+                        in_axes=1, out_axes=1)(v)
+
+    w = None
+    y = x
+    for _ in range(n_iter):
+        y = solve_col(m_diag[:, None] * y, y)          # K^-1 M X
+        # Rayleigh-Ritz in the M inner product.
+        a_r = y.T @ k_apply_cols(y)
+        m_r = y.T @ (m_diag[:, None] * y)
+        m_r = 0.5 * (m_r + m_r.T)
+        lo = jnp.linalg.cholesky(m_r + 1e-12 * jnp.trace(m_r)
+                                 * jnp.eye(k, dtype=y.dtype))
+        b = jax.scipy.linalg.solve_triangular(lo, a_r, lower=True)
+        b = jax.scipy.linalg.solve_triangular(lo, b.T, lower=True).T
+        b = 0.5 * (b + b.T)
+        w, q = jnp.linalg.eigh(b)
+        y = y @ jax.scipy.linalg.solve_triangular(lo.T, q, lower=False)
+    return w[:n_modes], y[:, :n_modes]
+
+
+def modal_analysis(
+    problem: TrussProblem,
+    n_modes: int = 6,
+    lumped: bool = True,
+    data=None,
+    n_iter: int = 25,
+    cg_tol: float = 1e-8,
+    seed: int = 0,
+) -> ModalResult:
+    """Lowest natural frequencies and mode shapes.
+
+    Dense exact path below DENSE_DOF_LIMIT; banded inverse subspace
+    iteration above (lumped mass only there).
+    """
+    from .newton import DENSE_DOF_LIMIT, _dia_layout_of
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    free_idx, _ = problem.free_fixed()
+    if n_modes > free_idx.size:
+        raise ValueError("n_modes exceeds the number of free DOFs")
+
+    if problem.ndof <= DENSE_DOF_LIMIT:
+        k = assemble_system(data, problem.material,
+                            jnp.zeros(problem.ndof, dtype))[0]
+        k_ff = k[np.ix_(free_idx, free_idx)]
+        if lumped:
+            m_free = lumped_mass(data, problem.material)[
+                jnp.asarray(free_idx)]
+            w, v_free = _dense_eigensolve(k_ff, m_free, n_modes, True)
+        else:
+            m_ff = consistent_mass(data, problem.material)[
+                np.ix_(free_idx, free_idx)]
+            w, v_free = _dense_eigensolve(k_ff, m_ff, n_modes, False)
+        shapes = jnp.zeros((problem.ndof, n_modes), dtype).at[
+            jnp.asarray(free_idx)].set(v_free)
+    else:
+        if not lumped:
+            raise ValueError("large-mesh modal analysis requires lumped mass")
+        layout = _dia_layout_of(problem, data)
+        if layout is None:
+            raise ValueError("large-mesh modal analysis requires a banded "
+                             "(DIA) operator; renumber the mesh")
+        from ..ops.cg import stiffness_coefficients
+        from ..ops.dia import assemble_dia
+        from ..ops.mg import mask_dia
+
+        s = stiffness_coefficients(data, problem.material, 1.0)
+        kd = assemble_dia(layout, s, data.gvec)
+        kd = mask_dia(tuple(int(o) for o in layout.offsets), kd,
+                      data.free_mask)
+        m_diag = lumped_mass(data, problem.material) * data.free_mask \
+            + (1.0 - data.free_mask)
+        w, shapes = _subspace_iteration(layout, kd, m_diag, data.free_mask,
+                                        n_modes, n_iter, cg_tol, seed)
+
+    # Residual check ||K v - lam M v|| / (lam ||M v||).
+    k_full = None
+    if problem.ndof <= DENSE_DOF_LIMIT:
+        k_full = assemble_system(data, problem.material,
+                                 jnp.zeros(problem.ndof, dtype))[0]
+
+        def kv(v):
+            return (k_full @ v) * data.free_mask
+    else:
+        from ..ops.dia import dia_matvec
+
+        def kv(v):
+            return dia_matvec(layout, kd, v) * data.free_mask
+
+    m_vec = lumped_mass(data, problem.material) if lumped else None
+    res = []
+    for j in range(n_modes):
+        v = shapes[:, j]
+        mv = (m_vec * v if lumped
+              else consistent_mass(data, problem.material) @ v)
+        mv = mv * data.free_mask
+        num = jnp.linalg.norm(kv(v) - w[j] * mv)
+        den = jnp.maximum(jnp.abs(w[j]) * jnp.linalg.norm(mv), 1e-30)
+        res.append(num / den)
+
+    w, shapes, res = jax.device_get((w, shapes, jnp.stack(res)))
+    w = np.maximum(np.asarray(w), 0.0)
+    omegas = np.sqrt(w)
+    return ModalResult(
+        eigenvalues=np.asarray(w), omegas=omegas,
+        frequencies=omegas / (2.0 * np.pi),
+        shapes=np.asarray(shapes), residuals=np.asarray(res),
+    )

@@ -36,9 +36,16 @@ def load_example(name: str):
     return mod
 
 
+SCRIPTS.append("modal_identification")
+
+
 @pytest.mark.parametrize("name", SCRIPTS)
 def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)  # PNG/side outputs land in tmp
+    if name == "modal_identification":  # smoke budget, not demo budget
+        monkeypatch.setenv("MODAL_ID_ITERS", "30")
+        monkeypatch.setenv("MODAL_ID_NODES", "11")
+        monkeypatch.setenv("MODAL_ID_MODES", "4")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()
