@@ -68,6 +68,30 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         resolve_method(problem, config, parsed.measured_disp, parsed.measured_dofs),
     )
 
+    analysis = parsed.meta.get("analysis")
+    if analysis:
+        # Dynamic-analysis extension: "analysis" block routes to the
+        # modal/transient solvers instead of the static driver.
+        from ..io.analysis import run_analysis
+
+        logger.info("Analysis block: %s", analysis.get("type"))
+        output = run_analysis(problem, analysis)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("ANALYSIS SUMMARY (%s):", output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % f for f in output["frequencies_hz"]])
+        else:
+            logger.info("  Steps: %d (dt=%.3e, method=%s)",
+                        output["n_steps"], output["dt"], output["method"])
+        logger.info("Results written to %s", output_file)
+        return output
+
     # Fused-on-TPU / host-stepped-elsewhere selection shared with the HTTP
     # tier (solvers/auto.py); PINN_FEM_TPU_FUSED=0/1 overrides.
     from ..solvers.auto import solve_auto

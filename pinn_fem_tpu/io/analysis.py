@@ -1,0 +1,151 @@
+"""Dynamic-analysis JSON contract: `"analysis"` block -> modal/transient run.
+
+An extension of the problem-JSON schema beyond the reference (which is
+statics-only; its parser is /root/reference/FEM/python/examples/json/
+generic.py and has no analysis concept).  The same problem JSON that
+drives a static solve gains:
+
+    "analysis": {"type": "modal", "n_modes": 6, "lumped": true,
+                 "include_shapes": true}
+
+    "analysis": {"type": "transient", "dt": "auto" | seconds,
+                 "n_steps": 2000, "method": "central" | "newmark",
+                 "damping": [alpha, beta],            # Rayleigh
+                 "amplitude": [..] | {"type": "step"}
+                             | {"type": "sine", "frequency_hz": f,
+                                "phase": 0.0}
+                             | {"type": "pulse", "t_end": seconds},
+                 "record_every": 10,
+                 "probe_nodes": [..] | "probe_dofs": [..]}
+
+Routed identically through the CLI (cli/generic.py) and the HTTP tier
+(serve/server.py: /api/fem/modal, /api/fem/transient).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from ..solvers.dynamics import solve_transient, stable_dt
+from ..solvers.modal import modal_analysis
+
+# Shapes above this DOF count are omitted from JSON output unless
+# explicitly requested (payload size, not compute, is the constraint).
+_SHAPES_JSON_DOF_LIMIT = 4096
+
+
+def _amplitude_array(spec, n_steps: int, dt: float) -> np.ndarray:
+    """Load-scale history a(t_i), i = 0..n_steps-1."""
+    if spec is None or spec == "step":
+        return np.ones(n_steps)
+    if isinstance(spec, (list, tuple)):
+        arr = np.asarray(spec, dtype=float)
+        if arr.shape != (n_steps,):
+            raise ValueError(
+                f"amplitude list must have n_steps={n_steps} entries, "
+                f"got {arr.shape}")
+        return arr
+    if isinstance(spec, dict):
+        kind = spec.get("type", "step")
+        t = dt * np.arange(n_steps)
+        if kind == "step":
+            return np.ones(n_steps)
+        if kind == "sine":
+            f = float(spec["frequency_hz"])
+            phase = float(spec.get("phase", 0.0))
+            return np.sin(2.0 * np.pi * f * t + phase)
+        if kind == "pulse":
+            t_end = float(spec["t_end"])
+            return (t < t_end).astype(float)
+        raise ValueError(f"unknown amplitude type: {kind!r}")
+    raise ValueError(f"bad amplitude spec: {spec!r}")
+
+
+def _probe_dofs(analysis: Dict, problem) -> np.ndarray:
+    if "probe_dofs" in analysis:
+        return np.asarray(analysis["probe_dofs"], dtype=int)
+    if "probe_nodes" in analysis:
+        nodes = np.asarray(analysis["probe_nodes"], dtype=int)
+        d = problem.dimension
+        return (d * nodes[:, None] + np.arange(d)[None, :]).reshape(-1)
+    return np.arange(problem.ndof)
+
+
+def run_modal(problem, analysis: Dict) -> Dict:
+    """Execute a modal analysis block; JSON-serializable result dict."""
+    n_modes = int(analysis.get("n_modes", 6))
+    lumped = bool(analysis.get("lumped", True))
+    res = modal_analysis(problem, n_modes=n_modes, lumped=lumped,
+                         n_iter=int(analysis.get("n_iter", 25)))
+    out = {
+        "success": True,
+        "analysis": "modal",
+        "n_modes": n_modes,
+        "lumped": lumped,
+        "eigenvalues": res.eigenvalues.tolist(),
+        "omegas": res.omegas.tolist(),
+        "frequencies_hz": res.frequencies.tolist(),
+        "residuals": res.residuals.tolist(),
+    }
+    include = analysis.get("include_shapes",
+                           problem.ndof <= _SHAPES_JSON_DOF_LIMIT)
+    if include:
+        # (n_modes, ndof) rows for readability in JSON.
+        out["mode_shapes"] = res.shapes.T.tolist()
+    return out
+
+
+def run_transient(problem, analysis: Dict) -> Dict:
+    """Execute a transient analysis block; JSON-serializable result dict."""
+    n_steps = int(analysis["n_steps"])
+    method = analysis.get("method", "central")
+    dt_spec = analysis.get("dt", "auto")
+    if dt_spec == "auto":
+        if method != "central":
+            raise ValueError('dt="auto" (Gershgorin critical step) is for '
+                             'method="central"; give dt explicitly')
+        dt = stable_dt(problem)
+    else:
+        dt = float(dt_spec)
+    damping = analysis.get("damping", [0.0, 0.0])
+    record_every = int(analysis.get("record_every", 1))
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
+    probe = _probe_dofs(analysis, problem)
+
+    res = solve_transient(
+        problem, dt=dt, n_steps=n_steps, amplitude=amplitude,
+        damping=(float(damping[0]), float(damping[1])),
+        method=method, record_every=record_every, probe_dofs=probe,
+        newmark_beta=float(analysis.get("newmark_beta", 0.25)),
+        newmark_gamma=float(analysis.get("newmark_gamma", 0.5)),
+    )
+    return {
+        "success": True,
+        "analysis": "transient",
+        "method": method,
+        "dt": float(dt),
+        "n_steps": n_steps,
+        "record_every": record_every,
+        "probe_dofs": probe.tolist(),
+        "times": res.times.tolist(),
+        "displacements": res.displacements.tolist(),
+        "velocities": res.velocities.tolist(),
+        "kinetic_energy": res.kinetic_energy.tolist(),
+        "strain_energy": res.strain_energy.tolist(),
+        "u_final": res.u_final.tolist(),
+    }
+
+
+def run_analysis(problem, analysis: Dict) -> Dict:
+    """Dispatch an `"analysis"` block (see module docstring)."""
+    kind = analysis.get("type")
+    if kind == "modal":
+        return run_modal(problem, analysis)
+    if kind == "transient":
+        return run_transient(problem, analysis)
+    raise ValueError(f'analysis.type must be "modal" or "transient", '
+                     f'got {kind!r}')

@@ -205,7 +205,13 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
         config=config,
         measured_disp=measured_disp,
         measured_dofs=measured_dofs,
-        meta={"solver_type": solver_type, "description": data.get("description", "")},
+        meta={
+            "solver_type": solver_type,
+            "description": data.get("description", ""),
+            # Dynamic-analysis extension (io/analysis.py); None for the
+            # reference's statics-only problems.
+            "analysis": data.get("analysis"),
+        },
     )
 
 

@@ -48,7 +48,7 @@ INFO = {
         "fem": {
             "name": "Classic FEM",
             "description": "Incremental Newton-Raphson truss solver",
-            "element_types": ["truss1d", "truss2d"],
+            "element_types": ["truss1d", "truss2d", "truss3d"],
             "methods": ["incremental_newton_raphson"],
         },
         "pinn": {
@@ -56,6 +56,12 @@ INFO = {
             "description": "Material identification (scalar or NN fields)",
             "methods": ["gradient_descent", "newton_raphson", "hybrid",
                         "full_newton", "gauss_newton"],
+        },
+        "dynamics": {
+            "name": "Structural dynamics",
+            "description": "Transient (central difference / Newmark-beta) "
+                           "and modal analysis",
+            "methods": ["central", "newmark", "modal"],
         },
     },
     "backend": "jax",
@@ -91,6 +97,23 @@ def _solve_generic(body):
     return result_to_output_dict(result, parsed.problem)
 
 
+def _solve_analysis(kind):
+    """Modal / transient analysis routes (dynamics extension): the problem
+    JSON plus an "analysis" block (io/analysis.py documents the contract);
+    route name fills in analysis.type when absent."""
+
+    def handler(body):
+        from ..io.analysis import run_analysis
+        from ..io.schema import parse_problem_dict
+
+        analysis = dict(body.get("analysis", {}))
+        analysis.setdefault("type", kind)
+        parsed = parse_problem_dict(body)
+        return run_analysis(parsed.problem, analysis)
+
+    return handler
+
+
 def _solve_batch(body):
     """Batched serving (extension beyond the reference); payload contract
     and implementation in parallel/batched.solve_batch_request — shared
@@ -105,6 +128,8 @@ _ROUTES = {
     "/api/fem/solve-pinn": (_solve_pinn, PINN_TIMEOUT_S),
     "/api/fem/solve-generic": (_solve_generic, PINN_TIMEOUT_S),
     "/api/fem/solve-batch": (_solve_batch, PINN_TIMEOUT_S),
+    "/api/fem/modal": (_solve_analysis("modal"), FEM_TIMEOUT_S),
+    "/api/fem/transient": (_solve_analysis("transient"), PINN_TIMEOUT_S),
 }
 
 

@@ -1,0 +1,145 @@
+"""The "analysis" JSON block (io/analysis.py) through CLI and HTTP tiers.
+
+A dynamics extension of the reference's statics-only problem-JSON
+contract: the same problem document plus {"analysis": {...}} routes to
+modal/transient solvers, via python -m pinn_fem_tpu.cli.generic and the
+/api/fem/modal + /api/fem/transient HTTP routes.  Frequencies are checked
+against the fixed-fixed chain closed form (tests/test_modal.py derives
+it); the transient run against conservation + the static limit."""
+
+import json
+import subprocess
+import sys
+import urllib.request
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.serve.server import start_background
+
+
+def chain_problem_json(n_elm=8, analysis=None):
+    n = n_elm + 1
+    doc = {
+        "description": "fixed-fixed unit chain",
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n_elm)],
+        "material": {"young": 3.0, "area": 0.7, "density": 2.0},
+        "loads": [0.0] * n,
+        "fixed_dofs": [0, n - 1],
+        "solver_type": "fem",
+    }
+    if analysis:
+        doc["analysis"] = analysis
+    return doc
+
+
+def exact_lambdas(n_elm, young=3.0, density=2.0, k=None):
+    theta = np.pi * np.arange(1, n_elm) / n_elm
+    lam = np.sort((young / density) * (2.0 - 2.0 * np.cos(theta)))
+    return lam[:k] if k else lam
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    httpd, port = start_background(port=0, quiet=True)
+    yield port
+    httpd.shutdown()
+
+
+def _post(port, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=360) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_cli_modal_analysis(tmp_path):
+    doc = chain_problem_json(analysis={"type": "modal", "n_modes": 4})
+    pf = tmp_path / "modal.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "modal.res.json").read_text())
+    assert res["success"] and res["analysis"] == "modal"
+    np.testing.assert_allclose(res["eigenvalues"],
+                               exact_lambdas(8, k=4), rtol=1e-4)
+    # omegas/frequencies consistent; shapes included for this small mesh.
+    np.testing.assert_allclose(np.array(res["omegas"]) ** 2,
+                               res["eigenvalues"], rtol=1e-5)
+    shapes = np.array(res["mode_shapes"])
+    assert shapes.shape == (4, 9)
+    assert np.all(shapes[:, 0] == 0.0) and np.all(shapes[:, -1] == 0.0)
+    log = (tmp_path / "modal.log").read_text()
+    assert "ANALYSIS SUMMARY (modal)" in log
+
+
+def test_cli_transient_analysis(tmp_path):
+    # Undamped free chain under a step load with auto dt: displacement
+    # must oscillate around (and repeatedly cross) the static solution.
+    n_elm = 8
+    doc = chain_problem_json(n_elm=n_elm)
+    doc["fixed_dofs"] = [0]
+    doc["loads"] = [0.0] * n_elm + [1.0]
+    doc["analysis"] = {
+        "type": "transient", "dt": "auto", "n_steps": 4000,
+        "record_every": 40, "probe_nodes": [n_elm],
+        "amplitude": {"type": "step"},
+    }
+    pf = tmp_path / "trans.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "trans.res.json").read_text())
+    assert res["success"] and res["analysis"] == "transient"
+    tip = np.array(res["displacements"])[:, 0]
+    assert tip.shape == (100,)
+    # Static tip displacement of the fixed-free chain: sum L/(EA) = n/EA.
+    u_static = n_elm / (3.0 * 0.7)
+    assert 0.8 * u_static < tip.max() < 2.2 * u_static
+    crossings = np.sum(np.diff(np.sign(tip - u_static)) != 0)
+    assert crossings >= 3
+    # Undamped: energy bounded (no blow-up).
+    e = np.array(res["kinetic_energy"]) + np.array(res["strain_energy"])
+    assert np.isfinite(e).all() and e.max() < 10.0 * e[len(e) // 4]
+
+
+def test_http_modal_route(server_port):
+    doc = chain_problem_json(analysis={"n_modes": 3})  # type from route
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    assert status == 200, body
+    res = body["result"]  # server wraps as {"success", "result"}
+    assert body["success"] and res["analysis"] == "modal"
+    np.testing.assert_allclose(res["eigenvalues"],
+                               exact_lambdas(8, k=3), rtol=1e-4)
+
+
+def test_http_transient_route(server_port):
+    doc = chain_problem_json()
+    doc["fixed_dofs"] = [0]
+    doc["loads"] = [0.0] * 8 + [1.0]
+    doc["analysis"] = {"dt": "auto", "n_steps": 200, "record_every": 20,
+                       "probe_nodes": [8]}
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert body["success"] and res["analysis"] == "transient"
+    assert len(res["times"]) == 10
+    assert np.isfinite(np.array(res["displacements"])).all()
+
+
+def test_bad_analysis_type_errors(server_port):
+    doc = chain_problem_json(analysis={"type": "harmonic"})
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    # analysis.type explicitly set wins over the route default -> error.
+    assert status == 500 and body["success"] is False
+    assert "harmonic" in body["error"]
