@@ -199,6 +199,33 @@ def main():
          converged=bool(result.converged), first_call_s=round(t_first, 1),
          backend=backend)
 
+    # 2b) Explicit transient dynamics at 2M DOFs: whole time history as
+    # one lax.scan; each step is one banded matvec (Pallas on TPU) plus
+    # pointwise updates, so steps should run near the matvec streaming
+    # cost.  One snapshot at the end -> a single device fetch.
+    from pinn_fem_tpu.solvers.dynamics import solve_transient, stable_dt
+
+    p = chain_problem(1_000_001)
+    data = p.to_device()
+    dt = stable_dt(p, data)
+    n_steps = 2000
+    run = lambda: solve_transient(
+        p, dt=dt, n_steps=n_steps, method="central",
+        record_every=n_steps, probe_dofs=np.array([p.ndof - 2]),
+        data=data).u_final
+    t_first0 = time.perf_counter()
+    run()
+    t_first = time.perf_counter() - t_first0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    t_step = (float(np.median(ts)) - floor) / n_steps
+    emit("transient_central_step", t_step * 1e3, "ms", dofs=p.ndof,
+         steps=n_steps, dt=round(float(dt), 6), backend=backend,
+         first_call_s=round(t_first, 1), steps_per_s=round(1.0 / t_step))
+
     # 3) Batched NR throughput on the benchmark mesh.
     p = chain_problem(4)
     batch = 256

@@ -37,10 +37,19 @@ from .ops.mass import (  # noqa: E402
     lumped_mass,
     total_mass,
 )
+from .solvers.buckling import (  # noqa: E402
+    BucklingResult,
+    buckling_analysis,
+    buckling_eigenvalues,
+)
 from .solvers.dynamics import (  # noqa: E402
     TransientResult,
     solve_transient,
     stable_dt,
+)
+from .solvers.harmonic import (  # noqa: E402
+    HarmonicResult,
+    harmonic_response,
 )
 from .solvers.modal import (  # noqa: E402
     ModalResult,
@@ -91,6 +100,11 @@ __all__ = [
     "modal_analysis",
     "modal_eigenvalues",
     "modal_eigenpairs",
+    "buckling_analysis",
+    "buckling_eigenvalues",
+    "BucklingResult",
+    "harmonic_response",
+    "HarmonicResult",
     "ModalResult",
     "solve",
     "solve_nr",

@@ -86,6 +86,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         if output["analysis"] == "modal":
             logger.info("  Frequencies (Hz): %s",
                         ["%.6g" % f for f in output["frequencies_hz"]])
+        elif output["analysis"] == "buckling":
+            logger.info("  Critical load factors: %s",
+                        output["load_factors"])
         else:
             logger.info("  Steps: %d (dt=%.3e, method=%s)",
                         output["n_steps"], output["dt"], output["method"])

@@ -8,6 +8,14 @@ drives a static solve gains:
     "analysis": {"type": "modal", "n_modes": 6, "lumped": true,
                  "include_shapes": true}
 
+    "analysis": {"type": "buckling", "n_modes": 4}
+
+    "analysis": {"type": "harmonic", "damping": [alpha, beta],
+                 "method": "direct" | "modal", "n_modes": 12,
+                 "omegas": [..] | {"start": w0, "stop": w1, "num": 100,
+                                   "spacing": "linear" | "log"},
+                 "probe_nodes": [..] | "probe_dofs": [..]}
+
     "analysis": {"type": "transient", "dt": "auto" | seconds,
                  "n_steps": 2000, "method": "central" | "newmark",
                  "damping": [alpha, beta],            # Rayleigh
@@ -28,7 +36,9 @@ from typing import Dict
 
 import numpy as np
 
+from ..solvers.buckling import buckling_analysis
 from ..solvers.dynamics import solve_transient, stable_dt
+from ..solvers.harmonic import harmonic_response
 from ..solvers.modal import modal_analysis
 
 # Shapes above this DOF count are omitted from JSON output unless
@@ -97,6 +107,63 @@ def run_modal(problem, analysis: Dict) -> Dict:
     return out
 
 
+def run_buckling(problem, analysis: Dict) -> Dict:
+    """Execute a linearized-buckling block; the problem's loads define the
+    base pattern and load_factors scale it (solvers/buckling.py)."""
+    n_modes = int(analysis.get("n_modes", 4))
+    res = buckling_analysis(problem, n_modes=n_modes)
+    lam = [None if not np.isfinite(v) else float(v)
+           for v in res.load_factors]    # inf -> null in JSON
+    out = {
+        "success": True,
+        "analysis": "buckling",
+        "n_modes": len(lam),
+        "load_factors": lam,
+        "axial_forces": res.axial_forces.tolist(),
+        "u_base": res.u_base.tolist(),
+    }
+    include = analysis.get("include_shapes",
+                           problem.ndof <= _SHAPES_JSON_DOF_LIMIT)
+    if include:
+        out["buckling_modes"] = res.modes.T.tolist()
+    return out
+
+
+def _omega_array(spec) -> np.ndarray:
+    if isinstance(spec, (list, tuple)):
+        return np.asarray(spec, dtype=float)
+    if isinstance(spec, dict):
+        num = int(spec.get("num", 50))
+        start, stop = float(spec["start"]), float(spec["stop"])
+        if spec.get("spacing", "linear") == "log":
+            return np.logspace(np.log10(start), np.log10(stop), num)
+        return np.linspace(start, stop, num)
+    raise ValueError(f"bad omegas spec: {spec!r}")
+
+
+def run_harmonic(problem, analysis: Dict) -> Dict:
+    """Execute a harmonic (frequency-response) block."""
+    omegas = _omega_array(analysis["omegas"])
+    damping = analysis.get("damping", [0.0, 0.0])
+    method = analysis.get("method", "direct")
+    probe = _probe_dofs(analysis, problem)
+    res = harmonic_response(
+        problem, omegas, damping=(float(damping[0]), float(damping[1])),
+        method=method, n_modes=int(analysis.get("n_modes", 12)),
+        probe_dofs=probe)
+    return {
+        "success": True,
+        "analysis": "harmonic",
+        "method": method,
+        "omegas": res.omegas.tolist(),
+        "probe_dofs": probe.tolist(),
+        "real": res.real.tolist(),
+        "imag": res.imag.tolist(),
+        "amplitude": res.amplitude.tolist(),
+        "phase": res.phase.tolist(),
+    }
+
+
 def run_transient(problem, analysis: Dict) -> Dict:
     """Execute a transient analysis block; JSON-serializable result dict."""
     n_steps = int(analysis["n_steps"])
@@ -147,5 +214,9 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_modal(problem, analysis)
     if kind == "transient":
         return run_transient(problem, analysis)
-    raise ValueError(f'analysis.type must be "modal" or "transient", '
-                     f'got {kind!r}')
+    if kind == "buckling":
+        return run_buckling(problem, analysis)
+    if kind == "harmonic":
+        return run_harmonic(problem, analysis)
+    raise ValueError(f'analysis.type must be "modal", "transient", '
+                     f'"buckling" or "harmonic", got {kind!r}')

@@ -61,7 +61,8 @@ INFO = {
             "name": "Structural dynamics",
             "description": "Transient (central difference / Newmark-beta) "
                            "and modal analysis",
-            "methods": ["central", "newmark", "modal"],
+            "methods": ["central", "newmark", "modal", "buckling",
+                        "harmonic"],
         },
     },
     "backend": "jax",
@@ -130,6 +131,8 @@ _ROUTES = {
     "/api/fem/solve-batch": (_solve_batch, PINN_TIMEOUT_S),
     "/api/fem/modal": (_solve_analysis("modal"), FEM_TIMEOUT_S),
     "/api/fem/transient": (_solve_analysis("transient"), PINN_TIMEOUT_S),
+    "/api/fem/buckling": (_solve_analysis("buckling"), FEM_TIMEOUT_S),
+    "/api/fem/harmonic": (_solve_analysis("harmonic"), FEM_TIMEOUT_S),
 }
 
 

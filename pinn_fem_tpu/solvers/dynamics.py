@@ -45,7 +45,22 @@ class TransientResult(NamedTuple):
 
 def _k_apply_fn(problem: TrussProblem, data):
     """Constant-K application closure: dense matmul below DENSE_DOF_LIMIT,
-    banded DIA (Pallas-packed on TPU) above."""
+    banded DIA (Pallas-packed on TPU) above.
+
+    CACHED on the problem: the closure is a STATIC argument of the jitted
+    integrators, and static args hash by identity for functions — a fresh
+    closure per solve_transient call would recompile the whole time loop
+    every call (~35 s at 2M DOFs, measured; the actual step is 0.07 ms).
+    """
+    cached = getattr(problem, "_k_apply_cache", None)
+    if cached is not None and cached[0] is data:
+        return cached[1]
+    fn = _build_k_apply(problem, data)
+    problem._k_apply_cache = (data, fn)
+    return fn
+
+
+def _build_k_apply(problem: TrussProblem, data):
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
 
     material = problem.material
@@ -81,13 +96,28 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9) -> float:
     omega_max^2 <= max_i (sum_j |K_ij|) / m_i for the lumped mass; the
     returned dt = safety * 2 / sqrt(bound) is a guaranteed-stable step for
     the undamped central-difference scheme.
+
+    Row sums of |K| are computed WITHOUT materializing K above
+    DENSE_DOF_LIMIT (a dense 2M x 2M K is 16 TB): per-element
+    sum_b |ke[a, b]| = |s| |g_a| sum_b |g_b| scatter-added per DOF.
     """
+    from .newton import DENSE_DOF_LIMIT
+
     data = data if data is not None else problem.to_device()
-    k = assemble_system(data, problem.material,
-                        jnp.zeros(problem.ndof, data.loads.dtype))[0]
     m = lumped_mass(data, problem.material)
     m = jnp.where(m > 0, m, 1.0)
-    bound = jnp.max(jnp.sum(jnp.abs(k), axis=1) / m)
+    if problem.ndof <= DENSE_DOF_LIMIT:
+        k = assemble_system(data, problem.material,
+                            jnp.zeros(problem.ndof, data.loads.dtype))[0]
+        row = jnp.sum(jnp.abs(k), axis=1)
+    else:
+        from ..ops.cg import stiffness_coefficients
+
+        s = stiffness_coefficients(data, problem.material, 1.0)
+        g_abs = jnp.abs(data.gvec)                     # (nelm, 2d)
+        contrib = (jnp.abs(s) * jnp.sum(g_abs, axis=1))[:, None] * g_abs
+        row = jnp.zeros(problem.ndof, s.dtype).at[data.dof_map].add(contrib)
+    bound = jnp.max(row / m)
     return float(safety * 2.0 / jnp.sqrt(bound))
 
 
@@ -209,9 +239,15 @@ def solve_transient(
             jnp.asarray(alpha, dtype), jnp.asarray(beta, dtype), u0, v0,
             probe, n_rec, record_every, use_beta=beta != 0.0)
     elif method == "newmark":
-        recs, u_f, v_f = _newmark_run_host(
-            problem, data, k_apply, m, mask, amp, dt, alpha, beta, u0, v0,
-            probe, n_rec, record_every, newmark_beta, newmark_gamma, cg_tol)
+        solve_eff = _newmark_solve_eff(
+            problem, data, k_apply, m, mask, dt, alpha, beta,
+            newmark_beta, newmark_gamma, cg_tol)
+        recs, u_f, v_f = _newmark_run(
+            k_apply, solve_eff, m, mask, data.loads, amp,
+            jnp.asarray(dt, dtype), jnp.asarray(alpha, dtype),
+            jnp.asarray(beta, dtype), jnp.asarray(newmark_beta, dtype),
+            jnp.asarray(newmark_gamma, dtype), u0, v0, probe,
+            n_rec, record_every, use_beta=beta != 0.0)
     else:
         raise ValueError("method must be 'central' or 'newmark'")
 
@@ -226,32 +262,29 @@ def solve_transient(
     )
 
 
-def _newmark_run_host(problem, data, k_apply, m, mask, amp, dt, alpha, beta,
-                      u0, v0, probe, n_rec, record_every, nb, ng, cg_tol):
-    """Newmark average-acceleration; effective-operator solve per step.
+def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
+                       nb, ng, cg_tol):
+    """Effective-stiffness solver closure, CACHED on the problem (it is a
+    static jit argument — see _k_apply_fn — and the dense path's one-time
+    Cholesky factorization should amortize over every step AND every call).
 
-    Dense path: ONE Cholesky factorization of the masked effective
-    stiffness, reused by every step (two triangular solves per step).
-    Banded path: warm-started fused PCG on the DIA combination
-    (1 + a1*beta) K + (a0 + a1*alpha) M.
+    Dense path: one factorization of the masked effective stiffness, two
+    triangular solves per step.  Banded path: warm-started fused PCG on
+    the DIA combination (1 + a1 beta) K + (a0 + a1 alpha) M.
     """
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
+
+    key = (id(data), float(dt), float(alpha), float(beta), float(nb),
+           float(ng), float(cg_tol))
+    cache = getattr(problem, "_newmark_cache", None)
+    if cache is None:
+        cache = problem._newmark_cache = {}
+    if key in cache:
+        return cache[key]
 
     dtype = data.loads.dtype
     a0 = 1.0 / (nb * dt * dt)
     a1 = ng / (nb * dt)
-    a2 = 1.0 / (nb * dt)
-    a3 = 1.0 / (2.0 * nb) - 1.0
-    a4 = ng / nb - 1.0
-    a5 = 0.5 * dt * (ng / nb - 2.0)
-    a6 = dt * (1.0 - ng)
-    a7 = ng * dt
-
-    def c_apply(v):
-        cv = alpha * (m * v)
-        if beta != 0.0:
-            cv = cv + beta * k_apply(v)
-        return cv
 
     dense = problem.ndof <= DENSE_DOF_LIMIT
     if dense:
@@ -272,7 +305,7 @@ def _newmark_run_host(problem, data, k_apply, m, mask, amp, dt, alpha, beta,
                 "newmark on large meshes requires a banded (DIA) operator; "
                 "renumber the mesh or use method='central'")
         from ..ops.cg import stiffness_coefficients
-        from ..ops.dia import assemble_dia, dia_cg_solve, dia_diagonal
+        from ..ops.dia import assemble_dia, dia_cg_solve
 
         s = stiffness_coefficients(data, problem.material, 1.0)
         kd = assemble_dia(layout, s, data.gvec)
@@ -286,37 +319,58 @@ def _newmark_run_host(problem, data, k_apply, m, mask, amp, dt, alpha, beta,
                                    x0=u_guess, use_pallas=use_pallas)
             return x
 
-    @partial(jax.jit, static_argnames=())
-    def run(u0, v0):
-        f0 = amp[0] * data.loads
-        acc0 = jnp.where(m > 0, 1.0 / m, 0.0) * (
-            (f0 - k_apply(u0) - c_apply(v0)) * mask)
+    cache[key] = solve_eff
+    return solve_eff
 
-        def one_step(i, u, v, a):
-            f = amp[jnp.minimum(i + 1, amp.shape[0] - 1)] * data.loads
-            rhs = (f + m * (a0 * u + a2 * v + a3 * a)
-                   + c_apply(a1 * u + a4 * v + a5 * a))
-            u_new = solve_eff(rhs, u)
-            a_new = a0 * (u_new - u) - a2 * v - a3 * a
-            v_new = v + a6 * a + a7 * a_new
-            return u_new, v_new * mask, a_new * mask
 
-        def chunk(carry, _):
-            u, v, a, i0 = carry
+@partial(jax.jit, static_argnames=("k_apply", "solve_eff", "n_rec",
+                                   "record_every", "use_beta"))
+def _newmark_run(k_apply, solve_eff, m, mask, loads, amp, dt, alpha, beta,
+                 nb, ng, u0, v0, probe, n_rec: int, record_every: int,
+                 use_beta: bool):
+    """Newmark average-acceleration, all steps in one scan program."""
+    a0 = 1.0 / (nb * dt * dt)
+    a1 = ng / (nb * dt)
+    a2 = 1.0 / (nb * dt)
+    a3 = 1.0 / (2.0 * nb) - 1.0
+    a4 = ng / nb - 1.0
+    a5 = 0.5 * dt * (ng / nb - 2.0)
+    a6 = dt * (1.0 - ng)
+    a7 = ng * dt
 
-            def body(j, c):
-                u, v, a = c
-                return one_step(i0 + j, u, v, a)
+    def c_apply(v):
+        cv = alpha * (m * v)
+        if use_beta:
+            cv = cv + beta * k_apply(v)
+        return cv
 
-            u, v, a = jax.lax.fori_loop(0, record_every, body, (u, v, a))
-            ke = 0.5 * jnp.sum(m * v * v)
-            se = 0.5 * jnp.dot(u, k_apply(u))
-            return ((u, v, a, i0 + record_every),
-                    (u[probe], v[probe], ke, se))
+    f0 = amp[0] * loads
+    acc0 = jnp.where(m > 0, 1.0 / m, 0.0) * (
+        (f0 - k_apply(u0) - c_apply(v0)) * mask)
 
-        (u, v, _, _), recs = jax.lax.scan(
-            chunk, (u0, v0, acc0, jnp.zeros((), jnp.int32)), None,
-            length=n_rec)
-        return recs, u, v
+    def one_step(i, u, v, a):
+        f = amp[jnp.minimum(i + 1, amp.shape[0] - 1)] * loads
+        rhs = (f + m * (a0 * u + a2 * v + a3 * a)
+               + c_apply(a1 * u + a4 * v + a5 * a))
+        u_new = solve_eff(rhs, u)
+        a_new = a0 * (u_new - u) - a2 * v - a3 * a
+        v_new = v + a6 * a + a7 * a_new
+        return u_new, v_new * mask, a_new * mask
 
-    return run(u0, v0)
+    def chunk(carry, _):
+        u, v, a, i0 = carry
+
+        def body(j, c):
+            u, v, a = c
+            return one_step(i0 + j, u, v, a)
+
+        u, v, a = jax.lax.fori_loop(0, record_every, body, (u, v, a))
+        ke = 0.5 * jnp.sum(m * v * v)
+        se = 0.5 * jnp.dot(u, k_apply(u))
+        return ((u, v, a, i0 + record_every),
+                (u[probe], v[probe], ke, se))
+
+    (u, v, _, _), recs = jax.lax.scan(
+        chunk, (u0, v0, acc0, jnp.zeros((), jnp.int32)), None,
+        length=n_rec)
+    return recs, u, v

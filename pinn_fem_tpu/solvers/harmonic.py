@@ -1,0 +1,135 @@
+"""Harmonic (steady-state frequency-response) analysis.
+
+For f(t) = Re[F e^{i omega t}] the steady state is u(t) = Re[X e^{i omega t}]
+with (K + i omega C - omega^2 M) X = F and Rayleigh damping
+C = alpha M + beta K.  An extension beyond the reference (statics-only).
+
+Two paths, cross-validated against each other (tests/test_harmonic.py):
+
+  * direct (dense, ndof <= DENSE_DOF_LIMIT): the complex system in REAL
+    block form Z = [[A, -B], [B, A]] with A = K - omega^2 M and
+    B = omega C — float32-native (no complex64 round trips) and, more
+    importantly, BATCHED over the whole frequency sweep with vmap: one
+    (n_freq, 2n, 2n) factorization batch fills the MXU instead of a host
+    loop of small solves.
+  * modal superposition (any size): X(omega) = sum_j phi_j (phi_j^T F) /
+    (omega_j^2 - omega^2 + 2 i zeta_j omega omega_j), with the EXACT
+    Rayleigh modal damping zeta_j = (alpha/omega_j + beta omega_j)/2.
+    Uses modal_analysis, so large banded meshes ride the subspace-
+    iteration path; accuracy is governed by n_modes retained.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import TrussProblem
+from ..ops.assembly import assemble_system
+from ..ops.mass import lumped_mass
+
+
+class HarmonicResult(NamedTuple):
+    omegas: np.ndarray      # (n_freq,) rad/s
+    real: np.ndarray        # (n_freq, n_probe) Re X
+    imag: np.ndarray        # (n_freq, n_probe) Im X
+    amplitude: np.ndarray   # (n_freq, n_probe) |X|
+    phase: np.ndarray       # (n_freq, n_probe) arg X in radians
+
+
+def harmonic_response(
+    problem: TrussProblem,
+    omegas,
+    damping=(0.0, 0.0),
+    method: str = "direct",
+    n_modes: int = 12,
+    data=None,
+    probe_dofs: Optional[np.ndarray] = None,
+) -> HarmonicResult:
+    """Steady-state response X(omega) to the problem's load vector.
+
+    Args:
+        omegas: (n_freq,) angular frequencies (rad/s).
+        damping: Rayleigh (alpha, beta) — C = alpha M + beta K.
+        method: "direct" (dense exact) or "modal" (superposition of the
+            lowest n_modes; any mesh size).
+    """
+    from .newton import DENSE_DOF_LIMIT
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    om = jnp.asarray(np.asarray(omegas, dtype=float).reshape(-1), dtype)
+    probe = (jnp.arange(problem.ndof) if probe_dofs is None
+             else jnp.asarray(np.asarray(probe_dofs, dtype=int)))
+    alpha, beta = float(damping[0]), float(damping[1])
+
+    if method == "direct":
+        if problem.ndof > DENSE_DOF_LIMIT:
+            raise ValueError("direct harmonic response is dense-only; use "
+                             "method='modal' for large meshes")
+        xr, xi = _direct_sweep(problem, data, om, alpha, beta, dtype)
+    elif method == "modal":
+        xr, xi = _modal_sweep(problem, data, om, alpha, beta, n_modes)
+    else:
+        raise ValueError("method must be 'direct' or 'modal'")
+
+    xr = xr[:, probe]
+    xi = xi[:, probe]
+    xr, xi = jax.device_get((xr, xi))
+    xr = np.asarray(xr)
+    xi = np.asarray(xi)
+    return HarmonicResult(
+        omegas=np.asarray(jax.device_get(om)),
+        real=xr, imag=xi,
+        amplitude=np.hypot(xr, xi),
+        phase=np.arctan2(xi, xr),
+    )
+
+
+def _direct_sweep(problem, data, om, alpha, beta, dtype):
+    """Real 2x2-block complex solves, vmapped over the frequency sweep."""
+    mask = data.free_mask
+    k = assemble_system(data, problem.material,
+                        jnp.zeros(problem.ndof, dtype))[0]
+    k = mask[:, None] * k * mask[None, :]
+    m = lumped_mass(data, problem.material) * mask + (1.0 - mask)
+    f = data.loads * mask
+    n = problem.ndof
+
+    def solve_one(w):
+        a = k - (w * w) * jnp.diag(m)
+        # Identity rows on fixed DOFs keep the block system nonsingular.
+        a = a + jnp.diag(1.0 - mask)
+        b = w * (alpha * jnp.diag(m) + beta * k)  # omega C, already masked
+        z = jnp.block([[a, -b], [b, a]])
+        rhs = jnp.concatenate([f, jnp.zeros_like(f)])
+        x = jnp.linalg.solve(z, rhs)
+        return x[:n] * mask, x[n:] * mask
+
+    return jax.vmap(solve_one)(om)
+
+
+def _modal_sweep(problem, data, om, alpha, beta, n_modes):
+    """Modal superposition with exact Rayleigh modal damping."""
+    from .modal import modal_analysis
+
+    res = modal_analysis(problem, n_modes=n_modes, data=data)
+    w2 = jnp.asarray(res.eigenvalues)                  # (J,)
+    wj = jnp.sqrt(jnp.maximum(w2, 1e-30))
+    phi = jnp.asarray(res.shapes)                      # (ndof, J), M-orthonormal
+    f = data.loads * data.free_mask
+    q = phi.T @ f                                      # (J,) modal forces
+    zeta = 0.5 * (alpha / wj + beta * wj)
+
+    def respond(w):
+        den_r = w2 - w * w
+        den_i = 2.0 * zeta * w * wj
+        mag2 = den_r * den_r + den_i * den_i
+        cr = q * den_r / mag2
+        ci = -q * den_i / mag2
+        return phi @ cr, phi @ ci
+
+    return jax.vmap(respond)(om)

@@ -75,19 +75,32 @@ def modal_eigenvalues(problem: TrussProblem, n_modes: int = 6,
 
 
 def modal_eigenpairs(problem: TrussProblem, n_modes: int = 6,
-                     lumped: bool = True, data=None, material=None):
+                     lumped: bool = True, data=None, material=None,
+                     prestress_u=None):
     """Traced (omega^2, shapes) — the differentiable core with mode shapes.
 
     Shapes are (ndof, n_modes), zero on fixed DOFs, M-orthonormal on the
     free block, sign arbitrary (eigenvector sign is not differentiable-
     meaningful; compare sign-invariant quantities such as phi^2 at sensor
     DOFs — see examples/modal_identification.py, where shape data resolves
-    the spectrum-only ill-posedness of density identification)."""
+    the spectrum-only ill-posedness of density identification).
+
+    `prestress_u` adds the initial-stress stiffness K_g(u0) of a static
+    equilibrium state (ops/geometric.py): tension raises transverse
+    frequencies (taut string), compression lowers them toward the buckling
+    point — the frequency-vs-load curve hits zero exactly at the
+    linearized critical load (solvers/buckling.py)."""
     data = data if data is not None else problem.to_device()
     material = material if material is not None else problem.material
     free_idx = jnp.asarray(problem.free_fixed()[0])
     dtype = data.loads.dtype
     k = assemble_system(data, material, jnp.zeros(problem.ndof, dtype))[0]
+    if prestress_u is not None:
+        from ..ops.geometric import assemble_geometric, element_axial_forces
+
+        n_e = element_axial_forces(data, material,
+                                   jnp.asarray(prestress_u, dtype))
+        k = k + assemble_geometric(data, n_e)
     k_ff = k[jnp.ix_(free_idx, free_idx)]
     if lumped:
         m_f = lumped_mass(data, material)[free_idx]
@@ -148,11 +161,13 @@ def modal_analysis(
     n_iter: int = 25,
     cg_tol: float = 1e-8,
     seed: int = 0,
+    prestress_u=None,
 ) -> ModalResult:
     """Lowest natural frequencies and mode shapes.
 
     Dense exact path below DENSE_DOF_LIMIT; banded inverse subspace
-    iteration above (lumped mass only there).
+    iteration above (lumped mass only there).  `prestress_u` adds the
+    initial-stress stiffness of a static state (see modal_eigenpairs).
     """
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
 
@@ -162,9 +177,20 @@ def modal_analysis(
     if n_modes > free_idx.size:
         raise ValueError("n_modes exceeds the number of free DOFs")
 
+    n_e = None
+    if prestress_u is not None:
+        from ..ops.geometric import element_axial_forces
+
+        n_e = element_axial_forces(data, problem.material,
+                                   jnp.asarray(prestress_u, dtype))
+
     if problem.ndof <= DENSE_DOF_LIMIT:
         k = assemble_system(data, problem.material,
                             jnp.zeros(problem.ndof, dtype))[0]
+        if n_e is not None:
+            from ..ops.geometric import assemble_geometric
+
+            k = k + assemble_geometric(data, n_e)
         k_ff = k[np.ix_(free_idx, free_idx)]
         if lumped:
             m_free = lumped_mass(data, problem.material)[
@@ -189,6 +215,10 @@ def modal_analysis(
 
         s = stiffness_coefficients(data, problem.material, 1.0)
         kd = assemble_dia(layout, s, data.gvec)
+        if n_e is not None:
+            from ..ops.geometric import assemble_geometric_dia
+
+            kd = kd + assemble_geometric_dia(layout, data, n_e)
         kd = mask_dia(tuple(int(o) for o in layout.offsets), kd,
                       data.free_mask)
         m_diag = lumped_mass(data, problem.material) * data.free_mask \
@@ -199,8 +229,7 @@ def modal_analysis(
     # Residual check ||K v - lam M v|| / (lam ||M v||).
     k_full = None
     if problem.ndof <= DENSE_DOF_LIMIT:
-        k_full = assemble_system(data, problem.material,
-                                 jnp.zeros(problem.ndof, dtype))[0]
+        k_full = k  # includes the prestress term when requested
 
         def kv(v):
             return (k_full @ v) * data.free_mask

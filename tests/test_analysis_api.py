@@ -12,6 +12,13 @@ import subprocess
 import sys
 import urllib.request
 
+CLI_ENV = {  # force CPU in subprocesses (the box's one TPU must stay free)
+    "PATH": "/usr/bin:/bin",
+    "HOME": "/root",
+    "PYTHONPATH": "/root/repo:/root/.axon_site",
+    "JAX_PLATFORMS": "cpu",
+}
+
 import numpy as np
 import pytest
 
@@ -65,7 +72,8 @@ def test_cli_modal_analysis(tmp_path):
     pf.write_text(json.dumps(doc))
     proc = subprocess.run(
         [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     res = json.loads((tmp_path / "modal.res.json").read_text())
     assert res["success"] and res["analysis"] == "modal"
@@ -97,7 +105,8 @@ def test_cli_transient_analysis(tmp_path):
     pf.write_text(json.dumps(doc))
     proc = subprocess.run(
         [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
     assert proc.returncode == 0, proc.stdout + proc.stderr
     res = json.loads((tmp_path / "trans.res.json").read_text())
     assert res["success"] and res["analysis"] == "transient"
@@ -137,9 +146,55 @@ def test_http_transient_route(server_port):
     assert np.isfinite(np.array(res["displacements"])).all()
 
 
+def test_http_buckling_route(server_port):
+    """Braced-column closed form through the HTTP tier: lam_1 = k_b L/P
+    (tests/test_buckling.py derives it).  Uniform material here, so
+    lam_1 = EA (brace stiffness) with an x-sway mode at node 1."""
+    doc = {
+        "nodes": [[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 10.0, "area": 1.0, "density": 1.0},
+        "loads": [0, 0, 0, -1.0, 0, 0],
+        "fixed_dofs": [0, 1, 4, 5],
+        "solver_type": "fem",
+        "analysis": {"n_modes": 2},
+    }
+    status, body = _post(server_port, "/api/fem/buckling", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["analysis"] == "buckling"
+    np.testing.assert_allclose(res["load_factors"], [10.0, 10.0], rtol=1e-4)
+    np.testing.assert_allclose(res["axial_forces"], [-1.0, 0.0], atol=1e-5)
+
+
+def test_http_harmonic_route(server_port):
+    """SDOF closed form through HTTP: 2-node bar, k = EA/L = 4, m = 1,
+    |X| = 1/sqrt((k - m w^2)^2 + (c w)^2) (tests/test_harmonic.py)."""
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 4.0, "area": 1.0, "density": 2.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"damping": [0.3, 0.05],
+                     "omegas": {"start": 0.5, "stop": 4.0, "num": 15},
+                     "probe_nodes": [1]},
+    }
+    status, body = _post(server_port, "/api/fem/harmonic", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["analysis"] == "harmonic"
+    om = np.array(res["omegas"])
+    c = 0.3 * 1.0 + 0.05 * 4.0
+    expect = 1.0 / np.sqrt((4.0 - om**2) ** 2 + (c * om) ** 2)
+    np.testing.assert_allclose(np.array(res["amplitude"])[:, 0], expect,
+                               rtol=1e-4)
+
+
 def test_bad_analysis_type_errors(server_port):
-    doc = chain_problem_json(analysis={"type": "harmonic"})
+    doc = chain_problem_json(analysis={"type": "spectral"})
     status, body = _post(server_port, "/api/fem/modal", doc)
     # analysis.type explicitly set wins over the route default -> error.
     assert status == 500 and body["success"] is False
-    assert "harmonic" in body["error"]
+    assert "spectral" in body["error"]

@@ -1,0 +1,210 @@
+"""Linearized buckling (solvers/buckling.py) + prestressed modal analysis
+(modal_analysis(prestress_u=...)) vs closed forms.
+
+Braced column closed form: node 1 carries axial compression P through the
+vertical bar (stiffness contribution only along y) and is braced along x
+by a horizontal bar of stiffness k_b = E_b A_b / L_b.  The pencil on node
+1's free DOFs is diag(k_b - lam P/L_v, k_yy - lam P/L_v), so the critical
+multiplier is exactly lam_1 = k_b L_v / P with an x-direction mode.
+
+Taut string closed form: a pretensioned chain (tension T, element length
+h, lumped transverse mass rho A h) has purely GEOMETRIC transverse
+stiffness (T/h) tridiag(-1, 2, -1); fixed-fixed transverse eigenvalues
+are omega_j^2 = (T / (rho A h^2)) (2 - 2 cos(j pi / n))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pinn_fem_tpu import Material, TrussProblem
+from pinn_fem_tpu.ops.geometric import element_axial_forces
+from pinn_fem_tpu.solvers.buckling import (buckling_analysis,
+                                           buckling_eigenvalues)
+from pinn_fem_tpu.solvers.modal import modal_analysis
+
+
+class XKeyedField:
+    """Per-element property keyed on midpoint x (test helper: the Material
+    API evaluates fields at element midpoints, so spatially-split values
+    give elements distinct properties)."""
+
+    is_trainable = False
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def eval_batch(self, x):
+        # assembly_inputs columns for 2D are (load_factor, x, y).
+        return jnp.asarray(self.fn(np.asarray(x[:, 1])))
+
+    def trainable_params(self):
+        return []
+
+
+def braced_column(e_vert=100.0, e_brace=4.0, p=1.0):
+    """Vertical bar 0->1 under axial load P, horizontal brace 1->2."""
+    nodes = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    elements = np.array([[0, 1], [1, 2]])
+    young = XKeyedField(lambda x: np.where(x < 0.25, e_vert, e_brace))
+    loads = np.zeros(6)
+    loads[3] = -p  # compression of the vertical bar
+    return TrussProblem(
+        nodes=nodes, elements=elements,
+        material=Material(young=young, area=1.0, density=1.0),
+        loads=loads, fixed_dofs=np.array([0, 1, 4, 5]), dimension=2)
+
+
+def test_braced_column_closed_form():
+    p = braced_column()
+    res = buckling_analysis(p, n_modes=2)
+    # Base state: uniform compression N = -P in the vertical bar, zero in
+    # the brace.
+    np.testing.assert_allclose(res.axial_forces, [-1.0, 0.0], atol=1e-6)
+    # lam_1 = k_b L_v / P = 4, lam_2 = k_yy L_v / P = 100.
+    np.testing.assert_allclose(res.load_factors, [4.0, 100.0], rtol=1e-5)
+    # First mode: pure x sway of node 1.
+    phi = res.modes[:, 0]
+    assert abs(phi[2]) > 100 * abs(phi[3])
+
+
+def test_buckling_pencil_singular_at_critical():
+    """det(K + lam_c K_g) = 0 on the free block — direct pencil check."""
+    from pinn_fem_tpu.ops.assembly import assemble_system
+    from pinn_fem_tpu.ops.geometric import assemble_geometric
+
+    p = braced_column()
+    data = p.to_device()
+    res = buckling_analysis(p, n_modes=1)
+    lam_c = res.load_factors[0]
+    k = np.asarray(assemble_system(
+        data, p.material, jnp.zeros(p.ndof, jnp.float32))[0])
+    kg = np.asarray(assemble_geometric(
+        data, element_axial_forces(data, p.material,
+                                   jnp.asarray(res.u_base))))
+    free = [2, 3]
+    pencil = k[np.ix_(free, free)] + lam_c * kg[np.ix_(free, free)]
+    assert np.min(np.abs(np.linalg.eigvalsh(pencil))) < 1e-4
+
+
+def test_load_factor_inverse_scaling():
+    """Doubling the applied load halves every critical multiplier."""
+    a = buckling_analysis(braced_column(p=1.0), n_modes=2).load_factors
+    b = buckling_analysis(braced_column(p=2.0), n_modes=2).load_factors
+    np.testing.assert_allclose(a, 2.0 * b, rtol=1e-5)
+
+
+def test_buckling_differentiable():
+    """d lam_c / dE = lam_c / E for a uniform material (N is E-independent
+    in the linear base state, K scales linearly with E)."""
+    nodes = np.array([[0.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    elements = np.array([[0, 1], [1, 2]])
+    loads = np.zeros(6)
+    loads[3] = -1.0
+    e0 = 10.0
+
+    def lam_of_e(e):
+        mat = Material(young=_scalar_field(e), area=1.0, density=1.0)
+        prob = TrussProblem(nodes=nodes, elements=elements, material=mat,
+                            loads=loads, fixed_dofs=np.array([0, 1, 4, 5]),
+                            dimension=2)
+        return buckling_eigenvalues(prob, n_modes=1)[0]
+
+    lam, dlam = jax.value_and_grad(lam_of_e)(jnp.asarray(e0, jnp.float32))
+    np.testing.assert_allclose(float(lam), e0, rtol=1e-5)   # lam_c = E A
+    np.testing.assert_allclose(float(dlam), float(lam) / e0, rtol=1e-4)
+
+
+def _scalar_field(v):
+    from pinn_fem_tpu.models.fields import ScalarField
+
+    return ScalarField(value=jnp.asarray(v, jnp.float32))
+
+
+def test_geometric_dia_matches_dense():
+    """assemble_geometric_dia through the stiffness layout's entry_slot
+    equals the dense geometric stiffness."""
+    from pinn_fem_tpu.ops.assembly import assemble_system
+    from pinn_fem_tpu.ops.dia import dia_layout
+    from pinn_fem_tpu.ops.geometric import (assemble_geometric,
+                                            assemble_geometric_dia)
+
+    p = taut_string(n_elm=6)
+    data = p.to_device()
+    n_e = jnp.asarray(np.linspace(-2.0, 3.0, p.nelm), jnp.float32)
+    dense = np.asarray(jax.device_get(assemble_geometric(data, n_e)))
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    diags = np.asarray(jax.device_get(
+        assemble_geometric_dia(layout, data, n_e)))
+    rebuilt = np.zeros_like(dense)
+    for k, off in enumerate(layout.offsets):
+        for i in range(p.ndof):
+            j = i + int(off)
+            if 0 <= j < p.ndof:
+                rebuilt[i, j] = diags[k, i]
+    np.testing.assert_allclose(rebuilt, dense, atol=1e-6)
+
+
+def taut_string(n_elm=8, tension=1.0, young=1000.0):
+    n = n_elm + 1
+    nodes = np.stack([np.arange(n, dtype=float), np.zeros(n)], axis=1)
+    elements = np.stack([np.arange(n - 1), np.arange(1, n)], axis=1)
+    loads = np.zeros(2 * n)
+    loads[2 * (n - 1)] = tension          # axial pull at the right end
+    fixed = [0, 1, 2 * (n - 1) + 1]       # left pinned, right y only
+    # interior transverse DOFs stay free; transverse stiffness is purely
+    # geometric, so the unstressed transverse block is singular — fix
+    # nothing else.
+    return TrussProblem(
+        nodes=nodes, elements=elements,
+        material=Material(young=young, area=1.0, density=1.0),
+        loads=loads, fixed_dofs=np.array(fixed), dimension=2)
+
+
+def test_taut_string_transverse_spectrum():
+    n_elm = 8
+    p = taut_string(n_elm=n_elm)
+    from pinn_fem_tpu import SolverConfig, solve_nr
+
+    # Static pretension state: solve with ALL transverse DOFs fixed (the
+    # unstressed chain has zero transverse stiffness, so the free-y
+    # tangent is singular — that singularity is exactly what the
+    # prestress then removes).
+    p_static = TrussProblem(
+        nodes=p.nodes, elements=p.elements, material=p.material,
+        loads=p.loads,
+        fixed_dofs=np.array([0] + [2 * i + 1 for i in range(n_elm + 1)]),
+        dimension=2)
+    static = solve_nr(p_static,
+                      SolverConfig(max_iterations=20, tolerance=1e-10),
+                      1.0)
+    res = modal_analysis(p, n_modes=4, prestress_u=static.displacements)
+    # N = T = 1 exactly in every element.
+    data = p.to_device()
+    n_e = np.asarray(jax.device_get(element_axial_forces(
+        data, p.material, jnp.asarray(static.displacements, jnp.float32))))
+    np.testing.assert_allclose(n_e, 1.0, rtol=1e-4)
+    theta = np.pi * np.arange(1, 5) / n_elm
+    expect = 2.0 - 2.0 * np.cos(theta)    # T = rho A h = 1
+    np.testing.assert_allclose(res.eigenvalues, expect, rtol=1e-3)
+    # Without prestress the transverse block is singular: lowest
+    # eigenvalue collapses to ~0 (a truss chain has no flexural stiffness).
+    res0 = modal_analysis(p, n_modes=1)
+    assert res0.eigenvalues[0] < 1e-3 * expect[0]
+
+
+def test_frequency_hits_zero_at_buckling_load():
+    """Compression softens the braced mode: omega^2(s) = (k_b - s P/L)/m
+    crosses zero exactly at the critical multiplier."""
+    p = braced_column()
+    res = buckling_analysis(p, n_modes=1)
+    lam_c = res.load_factors[0]
+    m_node1 = 0.5 * (1.0 + 1.0)  # half of each adjacent element's rho A L
+
+    for s in (0.5, 0.9, 0.99):
+        modal = modal_analysis(p, n_modes=1,
+                               prestress_u=s * lam_c * res.u_base)
+        expect = 4.0 * (1.0 - s) / m_node1   # k_b = 4
+        np.testing.assert_allclose(modal.eigenvalues[0], expect, rtol=1e-3,
+                                   atol=1e-5)

@@ -37,6 +37,7 @@ def load_example(name: str):
 
 
 SCRIPTS.append("modal_identification")
+SCRIPTS.append("dynamics_suite")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
