@@ -201,30 +201,44 @@ def main():
 
     # 2b) Explicit transient dynamics at 2M DOFs: whole time history as
     # one lax.scan; each step is one banded matvec (Pallas on TPU) plus
-    # pointwise updates, so steps should run near the matvec streaming
-    # cost.  One snapshot at the end -> a single device fetch.
+    # pointwise updates, so the MARGINAL step cost should sit at the
+    # matvec streaming bound.  Measured DIFFERENTIALLY — t(N) - t(N/10)
+    # over the extra steps — so the fixed per-call cost (eager setup +
+    # fetching the (2, ndof) final state through the ~30 ms tunnel) does
+    # not pollute the per-step number; the fixed cost is reported too.
     from pinn_fem_tpu.solvers.dynamics import solve_transient, stable_dt
 
     p = chain_problem(1_000_001)
     data = p.to_device()
     dt = stable_dt(p, data)
-    n_steps = 2000
-    run = lambda: solve_transient(
-        p, dt=dt, n_steps=n_steps, method="central",
-        record_every=n_steps, probe_dofs=np.array([p.ndof - 2]),
-        data=data).u_final
+    n_long, n_short = 20_000, 2_000
+
+    def run(n):
+        return solve_transient(
+            p, dt=dt, n_steps=n, method="central",
+            record_every=n, probe_dofs=np.array([p.ndof - 2]),
+            data=data).u_final
+
     t_first0 = time.perf_counter()
-    run()
+    run(n_long)
+    run(n_short)  # compile both lengths
     t_first = time.perf_counter() - t_first0
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        ts.append(time.perf_counter() - t0)
-    t_step = (float(np.median(ts)) - floor) / n_steps
+
+    def med(n, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run(n)
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    t_long, t_short = med(n_long), med(n_short)
+    t_step = (t_long - t_short) / (n_long - n_short)
     emit("transient_central_step", t_step * 1e3, "ms", dofs=p.ndof,
-         steps=n_steps, dt=round(float(dt), 6), backend=backend,
-         first_call_s=round(t_first, 1), steps_per_s=round(1.0 / t_step))
+         steps=n_long, dt=round(float(dt), 6), backend=backend,
+         first_call_s=round(t_first, 1), steps_per_s=round(1.0 / t_step),
+         fixed_call_overhead_ms=round(
+             (t_short - t_step * n_short) * 1e3, 1))
 
     # 3) Batched NR throughput on the benchmark mesh.
     p = chain_problem(4)

@@ -63,6 +63,10 @@ from .solvers.fused import solve_fused  # noqa: E402
 from .solvers.gauss_newton import solve_gauss_newton  # noqa: E402
 from .solvers.gd import solve_gd  # noqa: E402
 from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.transient_inverse import (  # noqa: E402
+    identify_from_transient,
+    transient_probe_response,
+)
 from .solvers.legacy import (  # noqa: E402
     LegacySolverConfig,
     PINNGradientDescentConfig,
@@ -105,6 +109,8 @@ __all__ = [
     "BucklingResult",
     "harmonic_response",
     "HarmonicResult",
+    "identify_from_transient",
+    "transient_probe_response",
     "ModalResult",
     "solve",
     "solve_nr",

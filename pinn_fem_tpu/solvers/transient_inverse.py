@@ -1,0 +1,166 @@
+"""Time-domain PINN identification: material parameters from measured
+transient response.
+
+Statics cannot see density (it cancels from the equilibrium residual —
+the reference never even evaluates it, SURVEY §7.3) and modal
+identification needs extracted frequencies/shapes.  Here the measurement
+is the raw probe displacement HISTORY u_probe(t) under a known load
+history, and the model is the central-difference integrator itself: the
+whole time loop is one differentiable `lax.scan`, so reverse-mode AD
+through the integrator (discrete adjoint) gives exact gradients of the
+trajectory-mismatch loss w.r.t. (log E, log A, log rho) — mass and
+stiffness both, in one shot.
+
+This is a capability genuinely unlocked by the JAX design: the reference
+stack has no integrator to differentiate, and a torch translation of a
+host-stepped loop would build a 10^4-node graph per solve.  Dense-K path
+(identification meshes are small); log-parameterization for conditioning,
+as in scalar_inverse.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.fields import Material, ScalarField
+from ..models.problem import TrussProblem
+from ..ops.assembly import assemble_system
+from ..ops.mass import lumped_mass
+from .phases import ADAM
+
+_PARAM_ORDER = ("young", "area", "density")
+
+
+@partial(jax.jit, static_argnames=("n_steps", "record_every"))
+def _probe_history(k, m, mask, loads, amp, dt, alpha, beta, probe,
+                   n_steps: int, record_every: int):
+    """(n_rec, n_probe) central-difference displacement history with K as
+    a TRACED dense matrix (differentiable w.r.t. k and m)."""
+    inv_m = jnp.where(m > 0, 1.0 / m, 0.0)
+    dt2 = dt * dt
+
+    def force(i):
+        return amp[jnp.minimum(i, amp.shape[0] - 1)] * loads
+
+    def residual(i, u, v_lag):
+        return force(i) - k @ u - alpha * (m * v_lag) - beta * (k @ v_lag)
+
+    u0 = jnp.zeros_like(loads)
+    a0 = inv_m * residual(0, u0, u0) * mask
+    u_prev0 = u0 + 0.5 * dt2 * a0
+
+    def step(carry, i):
+        u, u_prev = carry
+        v_lag = (u - u_prev) / dt
+        u_next = (2.0 * u - u_prev + dt2 * inv_m * residual(i, u, v_lag)
+                  ) * mask
+        return (u_next, u), u_next[probe]
+
+    _, traj = jax.lax.scan(step, (u0, u_prev0),
+                           jnp.arange(n_steps, dtype=jnp.int32))
+    return traj[record_every - 1::record_every]
+
+
+def transient_probe_response(problem: TrussProblem, material: Material,
+                             dt, n_steps: int, amplitude, probe_dofs,
+                             record_every: int = 1, damping=(0.0, 0.0),
+                             data=None):
+    """Traced, differentiable probe-displacement history (see module
+    docstring).  `material` may carry traced parameter pytrees."""
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    k = assemble_system(data, material, jnp.zeros(problem.ndof, dtype))[0]
+    mask = data.free_mask
+    m = lumped_mass(data, material) * mask + (1.0 - mask)
+    return _probe_history(
+        k, m, mask, data.loads, jnp.asarray(amplitude, dtype),
+        jnp.asarray(dt, dtype), jnp.asarray(damping[0], dtype),
+        jnp.asarray(damping[1], dtype),
+        jnp.asarray(np.asarray(probe_dofs, dtype=int)),
+        n_steps, record_every)
+
+
+def identify_from_transient(
+    problem: TrussProblem,
+    measured: np.ndarray,
+    dt: float,
+    n_steps: int,
+    probe_dofs,
+    amplitude=None,
+    params: Sequence[str] = ("young", "density"),
+    record_every: int = 1,
+    damping=(0.0, 0.0),
+    n_iter: int = 300,
+    learning_rate: float = 0.05,
+    initial: Dict[str, float] | None = None,
+    data=None,
+) -> Tuple[Dict[str, float], np.ndarray]:
+    """Recover scalar material parameters from a measured probe history.
+
+    Args:
+        measured: (n_rec, n_probe) displacement history (n_rec =
+            n_steps // record_every).
+        params: which of ("young", "area", "density") to identify; the
+            others stay at problem.material's values.  Note E and A are
+            not separately identifiable from displacements (only EA is);
+            identify one of them at a time.
+        initial: starting guesses per identified parameter (default: the
+            problem material's current values).
+
+    Returns:
+        (identified dict, loss history array).
+    """
+    for p in params:
+        if p not in _PARAM_ORDER:
+            raise ValueError(f"unknown parameter {p!r}")
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    amplitude = (np.ones(n_steps) if amplitude is None
+                 else np.asarray(amplitude, dtype=float))
+    meas = jnp.asarray(np.asarray(measured), dtype)
+    u_scale = jnp.maximum(jnp.max(jnp.abs(meas)), 1e-30)
+
+    base = problem.material
+    init = dict(initial or {})
+    log_p0 = jnp.asarray(
+        [np.log(init.get(p, _scalar_value(base, p))) for p in params], dtype)
+
+    def with_params(log_p):
+        fields = {}
+        for i, p in enumerate(params):
+            fields[p] = ScalarField(value=jnp.exp(log_p[i]))
+        return base.replace(**fields)
+
+    def loss_fn(log_p):
+        traj = transient_probe_response(
+            problem, with_params(log_p), dt, n_steps, amplitude, probe_dofs,
+            record_every, damping, data)
+        return jnp.mean(((traj - meas) / u_scale) ** 2)
+
+    @jax.jit
+    def gd_step(log_p, opt):
+        loss, g = jax.value_and_grad(loss_fn)(log_p)
+        d, opt = ADAM.update(g, opt)
+        return log_p - learning_rate * d, opt, loss
+
+    log_p = log_p0
+    opt = ADAM.init(log_p0)
+    hist = []
+    for _ in range(n_iter):
+        log_p, opt, loss = gd_step(log_p, opt)
+        hist.append(float(loss))
+    values = np.exp(np.asarray(jax.device_get(log_p), dtype=float))
+    return dict(zip(params, values.tolist())), np.asarray(hist)
+
+
+def _scalar_value(material: Material, name: str) -> float:
+    f = getattr(material, name)
+    if not isinstance(f, ScalarField):
+        raise ValueError(f"{name} must be a scalar field to initialize "
+                         "identification from it; pass initial={...}")
+    return float(f.value)

@@ -1,0 +1,88 @@
+"""Time-domain identification (solvers/transient_inverse.py).
+
+The forward model (_probe_history, traced dense K) is cross-validated
+against the production integrator (solvers/dynamics.py, operator
+closures); gradients against finite differences; and the headline
+capability — DENSITY identified from a measured trajectory, which no
+static method can do — is demonstrated end to end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pinn_fem_tpu import Material, TrussProblem, solve_transient
+from pinn_fem_tpu.models.fields import ScalarField
+from pinn_fem_tpu.solvers.transient_inverse import (
+    identify_from_transient, transient_probe_response)
+
+
+def chain(young=2.0, density=3.0, n_nodes=5):
+    nodes = np.arange(n_nodes, dtype=float)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(n_nodes)
+    loads[-1] = 1.0
+    return TrussProblem(nodes, elements,
+                        Material(young=young, area=1.0, density=density),
+                        loads, np.array([0]), 1)
+
+
+DT, N_STEPS = 0.05, 400
+PROBE = np.array([2, 4])
+
+
+def test_forward_matches_production_integrator():
+    p = chain()
+    traj = np.asarray(jax.device_get(transient_probe_response(
+        p, p.material, DT, N_STEPS, np.ones(N_STEPS), PROBE,
+        record_every=4, damping=(0.1, 0.01))))
+    ref = solve_transient(p, dt=DT, n_steps=N_STEPS, damping=(0.1, 0.01),
+                          method="central", record_every=4,
+                          probe_dofs=PROBE)
+    np.testing.assert_allclose(traj, ref.displacements, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_gradient_matches_finite_differences():
+    p = chain()
+    meas = jnp.zeros((N_STEPS, 2))
+
+    def loss(log_rho):
+        mat = p.material.replace(
+            density=ScalarField(value=jnp.exp(log_rho)))
+        traj = transient_probe_response(p, mat, DT, N_STEPS,
+                                        np.ones(N_STEPS), PROBE)
+        return jnp.mean((traj - meas) ** 2)
+
+    x0 = jnp.asarray(np.log(3.0), jnp.float32)
+    g = float(jax.grad(loss)(x0))
+    eps = 1e-3
+    fd = (float(loss(x0 + eps)) - float(loss(x0 - eps))) / (2 * eps)
+    assert g != 0.0
+    np.testing.assert_allclose(g, fd, rtol=2e-2)
+
+
+def test_identify_young_and_density():
+    """E and rho recovered together from one tip trajectory — density is
+    invisible to statics but fully determined by the dynamics."""
+    true = chain(young=2.0, density=3.0)
+    measured = np.asarray(jax.device_get(transient_probe_response(
+        true, true.material, DT, N_STEPS, np.ones(N_STEPS), PROBE,
+        damping=(0.05, 0.0))))
+
+    guess = chain(young=1.0, density=1.0)
+    ident, hist = identify_from_transient(
+        guess, measured, DT, N_STEPS, PROBE,
+        params=("young", "density"), damping=(0.05, 0.0),
+        n_iter=400, learning_rate=0.1)
+    assert hist[-1] < 1e-6, hist[-1]
+    np.testing.assert_allclose(ident["young"], 2.0, rtol=0.02)
+    np.testing.assert_allclose(ident["density"], 3.0, rtol=0.02)
+
+
+def test_unknown_param_rejected():
+    p = chain()
+    with pytest.raises(ValueError, match="unknown parameter"):
+        identify_from_transient(p, np.zeros((10, 2)), DT, 10, PROBE,
+                                params=("poisson",))
