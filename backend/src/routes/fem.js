@@ -33,6 +33,21 @@ router.post('/solve-pinn', solveHandler('PINN', solvePINN));
 router.post('/solve-generic', solveHandler('GENERIC', solveGeneric));
 router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 
+// Dynamic-analysis routes (parity with the Python server's
+// /api/fem/{modal,transient,buckling,harmonic}): the route name fills in
+// analysis.type when absent and delegates to the generic CLI, whose
+// "analysis" block contract is documented in pinn_fem_tpu/io/analysis.py.
+function solveAnalysis(kind) {
+  return (problemData) => {
+    const analysis = { type: kind, ...(problemData.analysis || {}) };
+    return solveGeneric({ ...problemData, analysis });
+  };
+}
+
+for (const kind of ['modal', 'transient', 'buckling', 'harmonic']) {
+  router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
+}
+
 router.get('/info', (req, res) => {
   res.json({
     version: '1.0.0',
@@ -41,7 +56,7 @@ router.get('/info', (req, res) => {
       fem: {
         name: 'Classic FEM',
         description: 'Incremental Newton-Raphson truss solver',
-        element_types: ['truss1d', 'truss2d'],
+        element_types: ['truss1d', 'truss2d', 'truss3d'],
         methods: ['incremental_newton_raphson'],
       },
       pinn: {
@@ -49,6 +64,12 @@ router.get('/info', (req, res) => {
         description: 'Material identification (scalar or NN fields)',
         methods: ['gradient_descent', 'newton_raphson', 'hybrid',
                   'full_newton', 'gauss_newton'],
+      },
+      dynamics: {
+        name: 'Structural dynamics',
+        description: 'Transient (central difference / Newmark-beta), '
+          + 'modal, buckling and harmonic analysis',
+        methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic'],
       },
     },
     backend: 'jax',

@@ -158,8 +158,19 @@ def write_markdown(rows, backend: str, out_path: str) -> None:
         "not pin u; convergence is gated on equilibrium instead.",
         "",
     ]
+    # Preserve any hand-maintained content after the scaling marker
+    # (the scaling section is produced by benchmarks/scaling.py runs).
+    tail = ""
+    marker = "<!-- scaling -->"
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = f.read()
+        if marker in old:
+            tail = old[old.index(marker):]
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
+        if tail:
+            f.write("\n" + tail)
 
 
 def main() -> int:

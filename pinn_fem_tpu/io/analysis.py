@@ -85,7 +85,10 @@ def _probe_dofs(analysis: Dict, problem) -> np.ndarray:
 
 def run_modal(problem, analysis: Dict) -> Dict:
     """Execute a modal analysis block; JSON-serializable result dict."""
-    n_modes = int(analysis.get("n_modes", 6))
+    # Clamp to the free-DOF count (UIs ask for a fixed mode count that
+    # small models cannot supply).
+    n_modes = min(int(analysis.get("n_modes", 6)),
+                  problem.free_fixed()[0].size)
     lumped = bool(analysis.get("lumped", True))
     res = modal_analysis(problem, n_modes=n_modes, lumped=lumped,
                          n_iter=int(analysis.get("n_iter", 25)))

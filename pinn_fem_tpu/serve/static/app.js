@@ -300,6 +300,87 @@ async function calculate() {
   render();
 }
 
+// ---------- dynamics (modal / buckling via the "analysis" block) ----------
+const dyn = { shapes: null, omegas: null, mode: null, t0: 0 };
+
+function showShape(idx) {
+  dyn.mode = idx;
+  state.displacements = dyn.shapes[idx];
+  render();
+  if (document.getElementById("animate").checked) animateShape();
+}
+
+function animateShape() {
+  if (dyn.mode === null || !document.getElementById("animate").checked) return;
+  // Rescale time so every mode oscillates at ~1 Hz on screen.
+  const phase = Math.sin((performance.now() - dyn.t0) / 1000 * 2 * Math.PI);
+  state.displacements = dyn.shapes[dyn.mode].map((v) => v * phase);
+  draw();
+  requestAnimationFrame(animateShape);
+}
+
+function renderModalTable(rows) {
+  const mt = document.getElementById("modal-table");
+  mt.querySelectorAll("tr:not(:first-child)").forEach((r) => r.remove());
+  rows.forEach((row, i) => {
+    const tr = mt.insertRow();
+    tr.insertCell().textContent = i + 1;
+    tr.insertCell().textContent = row.f;
+    tr.insertCell().textContent = row.w;
+    if (dyn.shapes && dyn.shapes[i]) {
+      const btn = document.createElement("button");
+      btn.textContent = "show";
+      btn.addEventListener("click", () => showShape(i));
+      tr.insertCell().appendChild(btn);
+    } else {
+      tr.insertCell();
+    }
+  });
+}
+
+async function runAnalysis(kind, analysis) {
+  const status = document.getElementById("dyn-status");
+  status.textContent = `Running ${kind} analysis…`;
+  try {
+    const problem = buildProblem();
+    problem.analysis = analysis;
+    const resp = await fetch(`/api/fem/${kind}`, {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || `${kind} failed`);
+    const r = data.result;
+    dyn.t0 = performance.now();
+    if (kind === "modal") {
+      dyn.shapes = r.mode_shapes || null;
+      dyn.omegas = r.omegas;
+      renderModalTable(r.frequencies_hz.map((f, i) => ({
+        f: f.toPrecision(5), w: r.omegas[i].toPrecision(5),
+      })));
+      status.textContent =
+        `Lowest frequency: ${r.frequencies_hz[0].toPrecision(5)} Hz`;
+    } else {
+      dyn.shapes = r.buckling_modes || null;
+      dyn.omegas = r.load_factors.map(() => 1);
+      renderModalTable(r.load_factors.map((lam, i) => ({
+        f: lam === null ? "∞" : lam.toPrecision(5), w: "λ" + (i + 1),
+      })));
+      status.textContent = r.load_factors[0] === null
+        ? "No destabilizing mode under this load pattern"
+        : `Critical load factor: ${r.load_factors[0].toPrecision(5)}`;
+    }
+    if (dyn.shapes) showShape(0);
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("modal-btn").addEventListener("click", () =>
+  runAnalysis("modal", { n_modes: 4, include_shapes: true }));
+document.getElementById("buckling-btn").addEventListener("click", () =>
+  runAnalysis("buckling", { n_modes: 4, include_shapes: true }));
+
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {
   document.getElementById(`mode-${m}`).addEventListener("click", () => {

@@ -194,6 +194,7 @@ def solve_transient(
     newmark_gamma: float = 0.5,
     cg_tol: float = 1e-6,
     data=None,
+    fetch_state: bool = True,
 ) -> TransientResult:
     """Integrate M u'' + C u' + K u = amplitude(t) * loads.
 
@@ -204,6 +205,11 @@ def solve_transient(
             (implicit average-acceleration, unconditionally stable).
         record_every: snapshot stride; n_steps must be a multiple.
         probe_dofs: DOFs to record (default: all).
+        fetch_state: when False, u_final/v_final stay on device (jax
+            arrays in the result) — fetching two (ndof,) vectors through
+            a remote attachment costs more than 6000 integration steps
+            at 2M DOFs (~0.5 s vs 0.096 ms/step); probes/energies are
+            always fetched.
     """
     if n_steps % record_every:
         raise ValueError("n_steps must be a multiple of record_every")
@@ -259,12 +265,17 @@ def solve_transient(
 
     (us, vs, kes, ses) = recs
     times = dt * record_every * np.arange(1, n_rec + 1)
-    us, vs, kes, ses, u_f, v_f = jax.device_get((us, vs, kes, ses, u_f, v_f))
+    if fetch_state:
+        us, vs, kes, ses, u_f, v_f = jax.device_get(
+            (us, vs, kes, ses, u_f, v_f))
+        u_f, v_f = np.asarray(u_f), np.asarray(v_f)
+    else:
+        us, vs, kes, ses = jax.device_get((us, vs, kes, ses))
     return TransientResult(
         times=times,
         displacements=np.asarray(us), velocities=np.asarray(vs),
         kinetic_energy=np.asarray(kes), strain_energy=np.asarray(ses),
-        u_final=np.asarray(u_f), v_final=np.asarray(v_f),
+        u_final=u_f, v_final=v_f,
     )
 
 

@@ -74,6 +74,28 @@ def test_static_ui_payload_parses_and_solves():
     np.testing.assert_allclose(r.displacements[:, 0], [0, 1, 2, 3], atol=2e-5)
 
 
+def test_static_ui_modal_payload_served():
+    """The exact Modal-button POST body through the HTTP /api/fem/modal
+    handler: fixed-fixed-ish chain (x free on nodes 1-3, y pinned
+    everywhere) — 3 axial modes + shapes the canvas can overlay."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture("ui_payload_modal.json")
+    out = _solve_analysis("modal")(payload)
+    assert out["success"] and out["analysis"] == "modal"
+    # Only 3 free DOFs (x of nodes 1-3): the requested 4 modes clamp to 3.
+    # Axial fixed-free chain closed form (h=1, E=rho=A=1, n=3 elements,
+    # lumped HALF mass on the free end node): the discrete spectrum is
+    # exactly 2 - 2cos((2j-1)pi/(2n)) = {2-sqrt3, 2, 2+sqrt3}.
+    w = np.asarray(out["eigenvalues"])
+    expect = 2.0 - 2.0 * np.cos((2 * np.arange(1, 4) - 1) * np.pi / 6.0)
+    np.testing.assert_allclose(w, expect, rtol=1e-4)
+    shapes = np.asarray(out["mode_shapes"])
+    assert shapes.shape == (3, 8)
+    # y DOFs are all fixed -> zero rows there.
+    np.testing.assert_allclose(shapes[:, 1::2], 0.0, atol=1e-7)
+
+
 @pytest.mark.parametrize(
     "fixture", ["ui_payload_react.json", "ui_payload_static.json"]
 )
