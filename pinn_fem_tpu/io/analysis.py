@@ -23,7 +23,7 @@ drives a static solve gains:
                              | {"type": "sine", "frequency_hz": f,
                                 "phase": 0.0}
                              | {"type": "pulse", "t_end": seconds},
-                 "record_every": 10,
+                 "record_every": 10, "geometric_nonlinear": false,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
 Routed identically through the CLI (cli/generic.py) and the HTTP tier
@@ -192,6 +192,8 @@ def run_transient(problem, analysis: Dict) -> Dict:
         method=method, record_every=record_every, probe_dofs=probe,
         newmark_beta=float(analysis.get("newmark_beta", 0.25)),
         newmark_gamma=float(analysis.get("newmark_gamma", 0.5)),
+        geometric_nonlinear=bool(analysis.get("geometric_nonlinear",
+                                              False)),
     )
     return {
         "success": True,

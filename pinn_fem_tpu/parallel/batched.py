@@ -264,6 +264,122 @@ def solve_gd_batched_incremental(
     }
 
 
+@partial(jax.jit, static_argnames=("n_steps", "record_every"))
+def _batched_transient_core(k, m, mask, loads_b, amp_b, dt, alpha, beta,
+                            probe, gvec, inv_len, dof_map, young_e,
+                            n_steps: int, record_every: int):
+    """(B,) central-difference ensembles with per-step stress envelopes.
+
+    Same recurrence as solvers/dynamics._central_run, dense K (ensemble
+    meshes are small-to-medium; dense vmaps cleanly and batches onto the
+    MXU), plus a running max |stress| per element — the quantity a design
+    check wants from an ensemble (envelope across the whole history, not
+    snapshots)."""
+    inv_m = jnp.where(m > 0, 1.0 / m, 0.0)
+    dt2 = dt * dt
+
+    def one(loads, amp):
+        def force(i):
+            return amp[jnp.minimum(i, amp.shape[0] - 1)] * loads
+
+        def residual(i, u, v_lag):
+            r = force(i) - k @ u - alpha * (m * v_lag)
+            if beta is not None:
+                r = r - beta * (k @ v_lag)
+            return r
+
+        u0 = jnp.zeros_like(loads)
+        a0 = inv_m * residual(0, u0, u0) * mask
+        u_prev0 = u0 + 0.5 * dt2 * a0
+        env0 = jnp.zeros(dof_map.shape[0], loads.dtype)
+
+        def step(carry, i):
+            u, u_prev, env = carry
+            v_lag = (u - u_prev) / dt
+            u_next = (2.0 * u - u_prev
+                      + dt2 * inv_m * residual(i, u, v_lag)) * mask
+            strain = jnp.sum(gvec * u_next[dof_map], axis=-1) * inv_len
+            env = jnp.maximum(env, jnp.abs(young_e * strain))
+            return (u_next, u, env), u_next[probe]
+
+        (u, u_prev, env), traj = jax.lax.scan(
+            step, (u0, u_prev0, env0),
+            jnp.arange(n_steps, dtype=jnp.int32))
+        v = (u - u_prev) / dt
+        return traj[record_every - 1::record_every], u, v, env
+
+    return jax.vmap(one)(loads_b, amp_b)
+
+
+def solve_transient_batched(
+    problem: TrussProblem,
+    dt: float,
+    n_steps: int,
+    amplitudes: Optional[np.ndarray] = None,
+    loads_batch: Optional[np.ndarray] = None,
+    damping=(0.0, 0.0),
+    probe_dofs: Optional[np.ndarray] = None,
+    record_every: int = 1,
+    mesh: Optional[Mesh] = None,
+):
+    """B transient load cases at once (ensemble dynamics: seismic suites,
+    load-history Monte Carlo), dp-sharded over the mesh when given.
+
+    Args:
+        amplitudes: (B, n_steps) load-scale histories (default: unit
+            steps); rows may instead vary spatially via loads_batch
+            (B, ndof).  Exactly one of the two may be batched; giving
+            neither means B must come from the other.
+
+    Returns dict with displacements (B, n_rec, n_probe), u_final/v_final
+    (B, ndof), and max_stress (B, nelm) — the per-element |stress|
+    envelope over the WHOLE history (every step, not just snapshots).
+    """
+    from ..ops.assembly import assemble_system, material_values
+    from ..ops.mass import lumped_mass
+
+    if amplitudes is None and loads_batch is None:
+        raise ValueError("give amplitudes (B, n_steps) and/or "
+                         "loads_batch (B, ndof)")
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    data = problem.to_device()
+    dtype = data.loads.dtype
+    b = (amplitudes.shape[0] if amplitudes is not None
+         else loads_batch.shape[0])
+    amp_b = (jnp.ones((b, n_steps), dtype) if amplitudes is None
+             else jnp.asarray(np.asarray(amplitudes), dtype))
+    loads_b = (jnp.broadcast_to(data.loads, (b, data.ndof))
+               if loads_batch is None
+               else jnp.asarray(np.asarray(loads_batch), dtype))
+    if amp_b.shape != (b, n_steps) or loads_b.shape != (b, data.ndof):
+        raise ValueError("amplitudes must be (B, n_steps) and loads_batch "
+                         "(B, ndof) with matching B")
+    probe = (jnp.arange(data.ndof) if probe_dofs is None
+             else jnp.asarray(np.asarray(probe_dofs, dtype=int)))
+
+    k = assemble_system(data, problem.material,
+                        jnp.zeros(data.ndof, dtype))[0]
+    mask = data.free_mask
+    m = lumped_mass(data, problem.material) * mask + (1.0 - mask)
+    young_e, _ = material_values(data, problem.material, 1.0)
+
+    if mesh is not None:
+        dp = NamedSharding(mesh, P("dp"))
+        amp_b = jax.device_put(amp_b, dp)
+        loads_b = jax.device_put(loads_b, dp)
+
+    alpha, beta = float(damping[0]), float(damping[1])
+    traj, u_f, v_f, env = _batched_transient_core(
+        k, m, mask, loads_b, amp_b, jnp.asarray(dt, dtype),
+        jnp.asarray(alpha, dtype),
+        jnp.asarray(beta, dtype) if beta != 0.0 else None,
+        probe, data.gvec, data.inv_len, data.dof_map, young_e,
+        n_steps, record_every)
+    return {"displacements": traj, "u_final": u_f, "v_final": v_f,
+            "max_stress": env}
+
+
 def solve_batch_request(body: dict) -> dict:
     """JSON-payload batched solve, shared by the HTTP tier
     (serve/server.py /api/fem/solve-batch) and the process entry point the

@@ -90,6 +90,42 @@ def _build_k_apply(problem: TrussProblem, data):
     return lambda u: dia_matvec(layout, diags, u)
 
 
+def _nl_apply_fn(problem: TrussProblem, data):
+    """(f_int, strain_energy) Green-Lagrange closures, cached like
+    _k_apply_fn.  Matrix-free: only fe_int/e_gl of the element kernel are
+    used (XLA dead-code-eliminates the tangent blocks).  State-dependent
+    force cannot ride the constant-DIA path, so this uses the
+    gather/scatter form — fine at the mesh sizes geometric nonlinearity
+    targets (the static GL solver is dense-K anyway)."""
+    cached = getattr(problem, "_nl_apply_cache", None)
+    if cached is not None and cached[0] is data:
+        return cached[1], cached[2]
+    from ..ops.assembly import material_values
+    from ..ops.elements import truss2d_green_lagrange_batch
+
+    material = problem.material
+    dim = data.dimension
+    young, area = material_values(data, material, 1.0)
+    dx0 = data.gvec[:, dim:] / data.inv_len[:, None]
+    x0 = jnp.stack([data.mid - 0.5 * dx0, data.mid + 0.5 * dx0], axis=1)
+    zeros = jnp.zeros(problem.ndof, data.loads.dtype)
+
+    def f_apply(u):
+        elem = truss2d_green_lagrange_batch(
+            x0, u[data.dof_map], data.inv_len, young, area)
+        return zeros.at[data.dof_map].add(elem.fe_int)
+
+    def se_apply(u):
+        elem = truss2d_green_lagrange_batch(
+            x0, u[data.dof_map], data.inv_len, young, area)
+        # U = sum_e 1/2 E A L0 e_gl^2.
+        return 0.5 * jnp.sum(young * area / data.inv_len
+                             * elem.strain * elem.strain)
+
+    problem._nl_apply_cache = (data, f_apply, se_apply)
+    return f_apply, se_apply
+
+
 def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9) -> float:
     """Gershgorin bound on the critical explicit time step 2 / omega_max.
 
@@ -122,19 +158,26 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9) -> float:
 
 
 @partial(jax.jit, static_argnames=("k_apply", "n_rec", "record_every",
-                                   "use_beta"))
+                                   "use_beta", "f_apply", "se_apply"))
 def _central_run(k_apply, m, mask, loads, amplitude, dt, alpha, beta,
                  u0, v0, probe, n_rec: int, record_every: int,
-                 use_beta: bool):
+                 use_beta: bool, f_apply=None, se_apply=None):
     """Explicit central difference, all steps in nested scan/fori_loop.
 
-    u_{n+1} = 2u - u_prev + dt^2 M^-1 (f_n - K u - C (u - u_prev)/dt),
+    u_{n+1} = 2u - u_prev + dt^2 M^-1 (f_n - f_int(u) - C (u - u_prev)/dt),
     with the damping velocity lagged half a step (standard explicit
-    practice; keeps the update fully diagonal)."""
+    practice; keeps the update fully diagonal).
+
+    Linear kinematics: f_int(u) = K u (f_apply None).  Geometric
+    nonlinearity: f_apply is the Green-Lagrange internal force and
+    se_apply its strain energy; beta (stiffness) damping then uses the
+    INITIAL stiffness K0 via k_apply — the standard explicit-dynamics
+    convention, noted in solve_transient's docstring."""
     inv_m = jnp.where(m > 0, 1.0 / m, 0.0)
     dt2 = dt * dt
 
     n_total = amplitude.shape[0]
+    f_int = f_apply if f_apply is not None else k_apply
 
     def force(i):
         return amplitude[jnp.minimum(i, n_total - 1)] * loads
@@ -143,7 +186,7 @@ def _central_run(k_apply, m, mask, loads, amplitude, dt, alpha, beta,
         cu = alpha * (m * v_lag)
         if use_beta:
             cu = cu + beta * k_apply(v_lag)
-        return force(i) - k_apply(u) - cu
+        return force(i) - f_int(u) - cu
 
     # Consistent u_{-1}: u0 - dt v0 + dt^2/2 a0.
     a0 = inv_m * residual_force(0, u0, v0) * mask
@@ -170,7 +213,8 @@ def _central_run(k_apply, m, mask, loads, amplitude, dt, alpha, beta,
         u_peek, _ = one_step(i_next, u, u_prev)
         v = (u_peek - u_prev) / (2.0 * dt)
         ke = 0.5 * jnp.sum(m * v * v)
-        se = 0.5 * jnp.dot(u, k_apply(u))
+        se = (se_apply(u) if se_apply is not None
+              else 0.5 * jnp.dot(u, k_apply(u)))
         return (u, u_prev, i_next), (u[probe], v[probe], ke, se)
 
     (u, u_prev, _), recs = jax.lax.scan(
@@ -195,8 +239,9 @@ def solve_transient(
     cg_tol: float = 1e-6,
     data=None,
     fetch_state: bool = True,
+    geometric_nonlinear: bool = False,
 ) -> TransientResult:
-    """Integrate M u'' + C u' + K u = amplitude(t) * loads.
+    """Integrate M u'' + C u' + f_int(u) = amplitude(t) * loads.
 
     Args:
         amplitude: (n_steps,) load-scale history (default: unit step).
@@ -205,6 +250,13 @@ def solve_transient(
             (implicit average-acceleration, unconditionally stable).
         record_every: snapshot stride; n_steps must be a multiple.
         probe_dofs: DOFs to record (default: all).
+        geometric_nonlinear: f_int(u) from the Green-Lagrange kernel (the
+            same one the static opt-in uses) instead of K u; explicit
+            central difference only (an implicit nonlinear step would need
+            a Newton iteration per step).  Beta (stiffness) damping then
+            acts through the INITIAL stiffness K0, the standard explicit
+            convention; strain energy uses U = sum 1/2 E A L0 e_gl^2.
+            2D/3D only (like the static GL path).
         fetch_state: when False, u_final/v_final stay on device (jax
             arrays in the result) — fetching two (ndof,) vectors through
             a remote attachment costs more than 6000 integration steps
@@ -245,11 +297,17 @@ def solve_transient(
     n_rec = n_steps // record_every
     k_apply = _k_apply_fn(problem, data)
 
+    if geometric_nonlinear and method != "central":
+        raise ValueError("geometric_nonlinear requires method='central'")
     if method == "central":
+        f_apply = se_apply = None
+        if geometric_nonlinear:
+            f_apply, se_apply = _nl_apply_fn(problem, data)
         recs, u_f, v_f = _central_run(
             k_apply, m, mask, data.loads, amp, jnp.asarray(dt, dtype),
             jnp.asarray(alpha, dtype), jnp.asarray(beta, dtype), u0, v0,
-            probe, n_rec, record_every, use_beta=beta != 0.0)
+            probe, n_rec, record_every, use_beta=beta != 0.0,
+            f_apply=f_apply, se_apply=se_apply)
     elif method == "newmark":
         solve_eff = _newmark_solve_eff(
             problem, data, k_apply, m, mask, dt, alpha, beta,

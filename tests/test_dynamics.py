@@ -179,3 +179,96 @@ def test_newmark_banded_matches_dense():
     scale = np.abs(r_dense.displacements).max()
     np.testing.assert_allclose(r_band.displacements, r_dense.displacements,
                                atol=2e-3 * scale)
+
+
+# ---------------------------------------------------------------------------
+# Geometric nonlinearity (Green-Lagrange f_int in the explicit integrator)
+# ---------------------------------------------------------------------------
+
+
+def _nl_cable(young=100.0):
+    from pinn_fem_tpu import Material, TrussProblem
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    elements = np.array([[0, 1], [1, 2]])
+    loads = np.zeros(6)
+    loads[3] = -1.0  # transverse pull at the center
+    return TrussProblem(
+        nodes=nodes, elements=elements,
+        material=Material(young=young, area=1.0, density=1.0),
+        loads=loads, fixed_dofs=np.array([0, 1, 2, 4, 5]), dimension=2)
+
+
+def test_nonlinear_cable_stiffening_static_limit():
+    """Taut-cable closed form: a 2-bar cable pulled transversely has ZERO
+    linear stiffness; the Green-Lagrange restoring force is EA w^3/L^3, so
+    the damped transient must settle at w = L (F/EA)^(1/3) — a state
+    linear physics cannot produce at all."""
+    from pinn_fem_tpu import solve_transient
+
+    p = _nl_cable(young=100.0)
+    res = solve_transient(p, dt=0.004, n_steps=50000, damping=(2.0, 0.0),
+                          method="central", record_every=1000,
+                          probe_dofs=np.array([3]),
+                          geometric_nonlinear=True)
+    w = -res.displacements[-1, 0]
+    w_exact = (1.0 / 100.0) ** (1.0 / 3.0)
+    np.testing.assert_allclose(w, w_exact, rtol=2e-2)
+
+
+def test_nonlinear_small_amplitude_matches_linear():
+    """Axially loaded chain at tiny strain: GL and linear trajectories
+    agree to the strain order."""
+    from pinn_fem_tpu import Material, TrussProblem, solve_transient
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    p = TrussProblem(
+        nodes=nodes, elements=np.array([[0, 1], [1, 2]]),
+        material=Material(young=1000.0, area=1.0, density=1.0),
+        loads=np.array([0, 0, 0, 0, 1e-2, 0]),
+        fixed_dofs=np.array([0, 1, 3, 5]), dimension=2)
+    kw = dict(dt=0.005, n_steps=2000, record_every=100,
+              probe_dofs=np.array([4]), damping=(0.1, 0.0))
+    lin = solve_transient(p, method="central", **kw)
+    nl = solve_transient(p, method="central", geometric_nonlinear=True,
+                         **kw)
+    # float32 force-evaluation noise at displacement scale 1e-5.
+    np.testing.assert_allclose(nl.displacements, lin.displacements,
+                               rtol=1e-2, atol=1e-9)
+
+
+def test_nonlinear_energy_conserved_free_vibration():
+    """UNFORCED undamped large-amplitude oscillation from an initial
+    transverse displacement: total energy KE + SE must stay near its
+    initial value over 20k steps (a forced system exchanges energy with
+    the load, so conservation only holds load-free)."""
+    from pinn_fem_tpu import Material, TrussProblem, solve_transient
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    p = TrussProblem(
+        nodes=nodes, elements=np.array([[0, 1], [1, 2]]),
+        material=Material(young=50.0, area=1.0, density=1.0),
+        loads=np.zeros(6), fixed_dofs=np.array([0, 1, 2, 4, 5]),
+        dimension=2)
+    u_init = np.zeros(6)
+    u_init[3] = 0.3  # large transverse pluck at the center
+    res = solve_transient(p, dt=0.002, n_steps=20000, damping=(0.0, 0.0),
+                          method="central", record_every=500,
+                          probe_dofs=np.array([3]), u0=u_init,
+                          geometric_nonlinear=True)
+    e = res.kinetic_energy + res.strain_energy
+    assert np.all(np.isfinite(e))
+    e0 = e[0]
+    assert e0 > 0
+    np.testing.assert_allclose(e, e0, rtol=0.05)
+
+
+def test_nonlinear_rejects_newmark():
+    import pytest
+
+    from pinn_fem_tpu import solve_transient
+
+    p = _nl_cable()
+    with pytest.raises(ValueError, match="geometric_nonlinear"):
+        solve_transient(p, dt=0.01, n_steps=10, method="newmark",
+                        geometric_nonlinear=True)
