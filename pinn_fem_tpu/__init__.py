@@ -45,6 +45,7 @@ from .solvers.buckling import (  # noqa: E402
 from .solvers.dynamics import (  # noqa: E402
     TransientResult,
     solve_transient,
+    solve_transient_checkpointed,
     stable_dt,
 )
 from .solvers.harmonic import (  # noqa: E402
@@ -99,6 +100,7 @@ __all__ = [
     "consistent_mass",
     "total_mass",
     "solve_transient",
+    "solve_transient_checkpointed",
     "stable_dt",
     "TransientResult",
     "modal_analysis",

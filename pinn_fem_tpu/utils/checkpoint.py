@@ -45,6 +45,35 @@ def save_increment_state(
     return path
 
 
+def save_transient_state(directory, step: int, u: np.ndarray,
+                         v: np.ndarray, meta: Optional[Dict] = None) -> Path:
+    """Persist (step, u, v) of a transient integration (atomic rename)."""
+    directory = Path(directory)
+    directory.mkdir(parents=True, exist_ok=True)
+    tmp = directory / ".transient.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, u=np.asarray(u), v=np.asarray(v))
+    path = directory / "transient.npz"
+    tmp.replace(path)
+    (directory / "transient_meta.json").write_text(json.dumps({
+        "step": int(step), **(meta or {}),
+    }))
+    return path
+
+
+def load_transient_state(directory):
+    """Restore (step, u, v, meta) or None if no transient checkpoint."""
+    directory = Path(directory)
+    state_file = directory / "transient.npz"
+    meta_file = directory / "transient_meta.json"
+    if not state_file.exists() or not meta_file.exists():
+        return None
+    meta = json.loads(meta_file.read_text())
+    with np.load(state_file) as z:
+        u, v = z["u"], z["v"]
+    return int(meta["step"]), u, v, meta
+
+
 def load_increment_state(directory, theta_template: Any):
     """Restore (increment, u, theta) or None if no checkpoint exists.
 

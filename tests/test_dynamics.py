@@ -272,3 +272,39 @@ def test_nonlinear_rejects_newmark():
     with pytest.raises(ValueError, match="geometric_nonlinear"):
         solve_transient(p, dt=0.01, n_steps=10, method="newmark",
                         geometric_nonlinear=True)
+
+
+def test_checkpointed_transient_resume(tmp_path):
+    """Segmented checkpointed run == uninterrupted run, and a 'preempted'
+    run (first half only) resumed from disk produces the identical
+    remaining records."""
+    from pinn_fem_tpu import solve_transient, solve_transient_checkpointed
+    from pinn_fem_tpu.utils.checkpoint import load_transient_state
+
+    p = _nl_cable(young=100.0)
+    kw = dict(damping=(0.5, 0.0), method="central", record_every=10,
+              probe_dofs=np.array([3]), geometric_nonlinear=True)
+    n, dt = 400, 0.004
+
+    plain = solve_transient(p, dt=dt, n_steps=n, **kw)
+    full = solve_transient_checkpointed(
+        p, dt, n, tmp_path / "a", checkpoint_every=100, **kw)
+    np.testing.assert_allclose(full.displacements, plain.displacements,
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(full.times, plain.times, rtol=1e-6)
+    np.testing.assert_allclose(full.u_final, plain.u_final, rtol=1e-5,
+                               atol=1e-8)
+
+    # Simulate preemption: run only the first 200 steps into dir b...
+    solve_transient_checkpointed(p, dt, 200, tmp_path / "b",
+                                 checkpoint_every=100, **kw)
+    st = load_transient_state(tmp_path / "b")
+    assert st is not None and st[0] == 200
+    # ...then resume the FULL job against the same dir: only the second
+    # half runs, and its records must equal the uninterrupted tail.
+    resumed = solve_transient_checkpointed(
+        p, dt, n, tmp_path / "b", checkpoint_every=100, **kw)
+    np.testing.assert_allclose(resumed.displacements,
+                               plain.displacements[20:], rtol=1e-5,
+                               atol=1e-8)
+    np.testing.assert_allclose(resumed.times, plain.times[20:], rtol=1e-6)
