@@ -73,3 +73,31 @@ def test_bandwidth_exceeding_shard_raises():
     with pytest.raises(ValueError, match="exceeds"):
         dia_cg_solve_sharded(layout, diags, jnp.asarray(data.loads),
                              data.free_mask, tp_mesh(8))
+
+
+def test_sharded_transient_matches_single_device():
+    """The whole-history shard_map integrator (halo-exchange matvec per
+    step, psum probes/energies) reproduces the single-device explicit
+    integrator, including damped and stiffness-damped runs."""
+    from pinn_fem_tpu.parallel.dia_sharded import solve_transient_sharded
+    from pinn_fem_tpu.solvers.dynamics import solve_transient, stable_dt
+
+    p = chain(257)
+    dt = 0.5 * stable_dt(p)
+    probe = np.array([2 * 256, 2 * 128])  # tip + middle x DOFs
+    for damping in [(0.0, 0.0), (0.5, 0.01)]:
+        ref = solve_transient(p, dt=dt, n_steps=400, damping=damping,
+                              method="central", record_every=40,
+                              probe_dofs=probe)
+        sh = solve_transient_sharded(p, dt, 400, tp_mesh(8),
+                                     damping=damping, record_every=40,
+                                     probe_dofs=probe)
+        scale = np.abs(ref.displacements).max()
+        np.testing.assert_allclose(sh.displacements, ref.displacements,
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(sh.u_final, ref.u_final,
+                                   atol=1e-4 * scale)
+        np.testing.assert_allclose(sh.kinetic_energy, ref.kinetic_energy,
+                                   rtol=1e-3, atol=1e-10)
+        np.testing.assert_allclose(sh.strain_energy, ref.strain_energy,
+                                   rtol=1e-3, atol=1e-10)
