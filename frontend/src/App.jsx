@@ -11,6 +11,7 @@ import FEMCanvas from './components/FEMCanvas.jsx';
 import DataTable from './components/DataTable.jsx';
 import PropertiesPanel from './components/PropertiesPanel.jsx';
 import CalculateButton from './components/CalculateButton.jsx';
+import DynamicsPanel from './components/DynamicsPanel.jsx';
 
 const STORAGE_KEY = 'pinn_fem_tpu_model';
 
@@ -28,6 +29,7 @@ export default function App() {
   const [selectedNode, setSelectedNode] = useState(null);
   const [selectedElement, setSelectedElement] = useState(null);
   const [results, setResults] = useState(null);
+  const [shapeOverlay, setShapeOverlay] = useState(null);
   const [status, setStatus] = useState('');
   const [solving, setSolving] = useState(false);
 
@@ -103,6 +105,7 @@ export default function App() {
       });
       const data = await resp.json();
       if (!data.success) throw new Error(data.error || 'solve failed');
+      setShapeOverlay(null);
       setResults(data.result);
       setStatus(
         `Converged: ${data.result.converged} · history entries: ${data.result.iterations}`,
@@ -119,6 +122,7 @@ export default function App() {
     setNodes([]);
     setElements([]);
     setResults(null);
+    setShapeOverlay(null);
     setSelectedNode(null);
     setSelectedElement(null);
   };
@@ -135,7 +139,7 @@ export default function App() {
           <FEMCanvas
             nodes={nodes}
             elements={elements}
-            displacements={results?.displacements ?? null}
+            displacements={shapeOverlay ?? results?.displacements ?? null}
             selectedNode={selectedNode}
             onNodesChange={setNodes}
             onElementsChange={setElements}
@@ -144,6 +148,10 @@ export default function App() {
           />
           <div className="status">{status}</div>
           <CalculateButton onCalculate={handleCalculate} solving={solving} />
+          <DynamicsPanel
+            buildProblem={buildProblem}
+            onShowShape={setShapeOverlay}
+          />
         </section>
         <aside className="side-panel">
           <PropertiesPanel

@@ -96,6 +96,25 @@ def test_static_ui_modal_payload_served():
     np.testing.assert_allclose(shapes[:, 1::2], 0.0, atol=1e-7)
 
 
+def test_react_ui_dynamics_panel_payload_served():
+    """React DynamicsPanel payload: buildProblem() output (solver-type
+    'fem') + the analysis block it injects, through the live modal
+    handler.  The react fixture keeps its young-NN enabled — modal
+    analysis must work with an MLP material field (it evaluates the net
+    at element midpoints like every other consumer)."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture("ui_payload_react.json")
+    payload["solver_type"] = "fem"          # DynamicsPanel runs as 'fem'
+    payload.pop("analysis", None)
+    payload["analysis"] = {"n_modes": 4, "include_shapes": True}
+    out = _solve_analysis("modal")(payload)
+    assert out["success"] and out["analysis"] == "modal"
+    w = np.asarray(out["eigenvalues"])
+    assert w.shape == (3,) and np.all(w > 0)   # clamped to 3 free DOFs
+    assert np.asarray(out["mode_shapes"]).shape == (3, 8)
+
+
 @pytest.mark.parametrize(
     "fixture", ["ui_payload_react.json", "ui_payload_static.json"]
 )
