@@ -38,6 +38,7 @@ def load_example(name: str):
 
 SCRIPTS.append("modal_identification")
 SCRIPTS.append("dynamics_suite")
+SCRIPTS.append("transient_identification")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
@@ -47,6 +48,8 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
         monkeypatch.setenv("MODAL_ID_ITERS", "30")
         monkeypatch.setenv("MODAL_ID_NODES", "11")
         monkeypatch.setenv("MODAL_ID_MODES", "4")
+    if name == "transient_identification":
+        monkeypatch.setenv("TRANS_ID_ITERS", "40")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()
