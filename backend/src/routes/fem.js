@@ -44,7 +44,7 @@ function solveAnalysis(kind) {
   };
 }
 
-for (const kind of ['modal', 'transient', 'buckling', 'harmonic']) {
+for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -69,7 +69,8 @@ router.get('/info', (req, res) => {
         name: 'Structural dynamics',
         description: 'Transient (central difference / Newmark-beta), '
           + 'modal, buckling and harmonic analysis',
-        methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic'],
+        methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
+                  'spectrum'],
       },
     },
     backend: 'jax',

@@ -64,6 +64,10 @@ from .solvers.fused import solve_fused  # noqa: E402
 from .solvers.gauss_newton import solve_gauss_newton  # noqa: E402
 from .solvers.gd import solve_gd  # noqa: E402
 from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.spectrum import (  # noqa: E402
+    SpectrumResult,
+    response_spectrum,
+)
 from .solvers.transient_inverse import (  # noqa: E402
     identify_from_transient,
     transient_probe_response,
@@ -113,6 +117,8 @@ __all__ = [
     "HarmonicResult",
     "identify_from_transient",
     "transient_probe_response",
+    "response_spectrum",
+    "SpectrumResult",
     "ModalResult",
     "solve",
     "solve_nr",

@@ -10,6 +10,11 @@ drives a static solve gains:
 
     "analysis": {"type": "buckling", "n_modes": 4}
 
+    "analysis": {"type": "spectrum", "sa": 2.5 | {"omegas": [..],
+                                                  "values": [..]},
+                 "direction": [1, 0], "n_modes": 6,
+                 "combination": "srss" | "cqc", "damping_ratio": 0.05}
+
     "analysis": {"type": "harmonic", "damping": [alpha, beta],
                  "method": "direct" | "modal", "n_modes": 12,
                  "omegas": [..] | {"start": w0, "stop": w1, "num": 100,
@@ -167,6 +172,37 @@ def run_harmonic(problem, analysis: Dict) -> Dict:
     }
 
 
+def run_spectrum(problem, analysis: Dict) -> Dict:
+    """Execute a response-spectrum block (solvers/spectrum.py)."""
+    from ..solvers.spectrum import response_spectrum
+
+    sa = analysis.get("sa", 1.0)
+    if isinstance(sa, dict):
+        om_tab = np.asarray(sa["omegas"], dtype=float)
+        val_tab = np.asarray(sa["values"], dtype=float)
+
+        def spectrum(om):
+            return np.interp(om, om_tab, val_tab)
+    else:
+        spectrum = float(sa)
+    res = response_spectrum(
+        problem, spectrum,
+        direction=analysis.get("direction"),
+        n_modes=int(analysis.get("n_modes", 6)),
+        combination=analysis.get("combination", "srss"),
+        damping_ratio=float(analysis.get("damping_ratio", 0.05)))
+    return {
+        "success": True,
+        "analysis": "spectrum",
+        "combination": res.combination,
+        "omegas": res.omegas.tolist(),
+        "participation": res.participation.tolist(),
+        "effective_mass": res.effective_mass.tolist(),
+        "mass_fraction": res.mass_fraction,
+        "displacements": res.displacements.tolist(),
+    }
+
+
 def run_transient(problem, analysis: Dict) -> Dict:
     """Execute a transient analysis block; JSON-serializable result dict."""
     n_steps = int(analysis["n_steps"])
@@ -223,5 +259,7 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_buckling(problem, analysis)
     if kind == "harmonic":
         return run_harmonic(problem, analysis)
+    if kind == "spectrum":
+        return run_spectrum(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
-                     f'"buckling" or "harmonic", got {kind!r}')
+                     f'"buckling", "harmonic" or "spectrum", got {kind!r}')

@@ -62,7 +62,7 @@ INFO = {
             "description": "Transient (central difference / Newmark-beta) "
                            "and modal analysis",
             "methods": ["central", "newmark", "modal", "buckling",
-                        "harmonic"],
+                        "harmonic", "spectrum"],
         },
     },
     "backend": "jax",
@@ -133,6 +133,7 @@ _ROUTES = {
     "/api/fem/transient": (_solve_analysis("transient"), PINN_TIMEOUT_S),
     "/api/fem/buckling": (_solve_analysis("buckling"), FEM_TIMEOUT_S),
     "/api/fem/harmonic": (_solve_analysis("harmonic"), FEM_TIMEOUT_S),
+    "/api/fem/spectrum": (_solve_analysis("spectrum"), FEM_TIMEOUT_S),
 }
 
 

@@ -1,0 +1,116 @@
+"""Response-spectrum analysis: peak seismic response by modal combination.
+
+The standard seismic design method (and a natural consumer of the modal
+machinery — nothing like it exists in the statics-only reference): for
+ground acceleration in direction d with design spectrum Sa(omega),
+
+    participation  Gamma_j = phi_j^T M r          (phi M-orthonormal)
+    peak modal     u_j     = Gamma_j phi_j Sa(omega_j) / omega_j^2
+    combination    SRSS    = sqrt(sum_j u_j^2)
+                   CQC     = sqrt(sum_ij rho_ij u_i u_j)   (Der Kiureghian
+                             correlation; reduces to SRSS for
+                             well-separated modes)
+
+where r is the influence vector (unit rigid-body motion of the free DOFs
+along d).  Effective modal masses m_j* = Gamma_j^2 report how much of the
+structure's mass the retained modes capture — the standard completeness
+check (codes require ~90%).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence, Union
+
+import numpy as np
+
+from ..models.problem import TrussProblem
+from ..ops.mass import lumped_mass
+
+
+class SpectrumResult(NamedTuple):
+    displacements: np.ndarray     # (ndof,) peak |u| (combined, >= 0)
+    modal_peaks: np.ndarray       # (n_modes, ndof) signed per-mode peaks
+    omegas: np.ndarray            # (n_modes,)
+    participation: np.ndarray     # (n_modes,) Gamma_j
+    effective_mass: np.ndarray    # (n_modes,) Gamma_j^2
+    mass_fraction: float          # sum(effective_mass) / total direction mass
+    combination: str
+
+
+def _cqc_rho(omegas: np.ndarray, zeta: float) -> np.ndarray:
+    """Der Kiureghian modal correlation coefficients (equal damping)."""
+    r = omegas[None, :] / omegas[:, None]
+    num = 8.0 * zeta**2 * (1.0 + r) * r**1.5
+    den = (1.0 - r**2) ** 2 + 4.0 * zeta**2 * r * (1.0 + r) ** 2
+    return num / den
+
+
+def response_spectrum(
+    problem: TrussProblem,
+    spectrum: Union[Callable[[np.ndarray], np.ndarray], float],
+    direction: Optional[Sequence[float]] = None,
+    n_modes: int = 6,
+    combination: str = "srss",
+    damping_ratio: float = 0.05,
+    data=None,
+) -> SpectrumResult:
+    """Peak response to a ground-acceleration design spectrum.
+
+    Args:
+        spectrum: Sa(omega) callable (rad/s -> acceleration), or a
+            constant Sa.
+        direction: excitation direction (len = problem.dimension;
+            default: first axis).
+        combination: "srss" or "cqc".
+        damping_ratio: modal damping for the CQC correlation.
+    """
+    from .modal import modal_analysis
+
+    data = data if data is not None else problem.to_device()
+    dim = problem.dimension
+    d = np.zeros(dim)
+    if direction is None:
+        d[0] = 1.0
+    else:
+        d[:] = np.asarray(direction, dtype=float)
+        n = np.linalg.norm(d)
+        if n == 0:
+            raise ValueError("direction must be nonzero")
+        d /= n
+
+    free_idx, _ = problem.free_fixed()
+    n_modes = min(n_modes, free_idx.size)
+    res = modal_analysis(problem, n_modes=n_modes, data=data)
+    phi = res.shapes                                  # (ndof, J), M-orthonormal
+    omegas = np.maximum(res.omegas, 1e-30)
+
+    import jax
+
+    m = np.asarray(jax.device_get(
+        lumped_mass(data, problem.material)))
+    mask = np.asarray(jax.device_get(data.free_mask))
+    # Influence vector: unit ground motion along d on the FREE DOFs.
+    r = np.tile(d, problem.ndof // dim) * mask
+
+    gamma = phi.T @ (m * r)                           # (J,)
+    sa = (spectrum(omegas) if callable(spectrum)
+          else float(spectrum) * np.ones_like(omegas))
+    peaks = (gamma * sa / omegas**2)[:, None] * phi.T  # (J, ndof)
+
+    if combination == "srss":
+        combined = np.sqrt(np.sum(peaks**2, axis=0))
+    elif combination == "cqc":
+        rho = _cqc_rho(omegas, float(damping_ratio))
+        combined = np.sqrt(np.maximum(
+            np.einsum("ij,ik,jk->k", rho, peaks, peaks), 0.0))
+    else:
+        raise ValueError('combination must be "srss" or "cqc"')
+
+    total_dir_mass = float(np.sum(m * r * r))
+    eff = gamma**2
+    return SpectrumResult(
+        displacements=combined, modal_peaks=peaks, omegas=omegas,
+        participation=gamma, effective_mass=eff,
+        mass_fraction=float(eff.sum() / max(total_dir_mass, 1e-30)),
+        combination=combination,
+    )

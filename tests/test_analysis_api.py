@@ -192,6 +192,30 @@ def test_http_harmonic_route(server_port):
                                rtol=1e-4)
 
 
+def test_http_spectrum_route(server_port):
+    """SDOF closed form through HTTP: u_peak = Sa m / k (k=4, m=1) with a
+    tabulated Sa interpolated at the mode's omega (omega = 2 -> Sa = 2.5
+    midway on the table)."""
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 4.0, "area": 1.0, "density": 2.0},
+        "loads": [0.0, 0.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"sa": {"omegas": [1.0, 3.0], "values": [2.0, 3.0]},
+                     "n_modes": 1},
+    }
+    status, body = _post(server_port, "/api/fem/spectrum", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["analysis"] == "spectrum"
+    np.testing.assert_allclose(res["omegas"], [2.0], rtol=1e-5)
+    np.testing.assert_allclose(res["displacements"][1], 2.5 / 4.0,
+                               rtol=1e-4)
+    np.testing.assert_allclose(res["mass_fraction"], 1.0, rtol=1e-4)
+
+
 def test_bad_analysis_type_errors(server_port):
     doc = chain_problem_json(analysis={"type": "spectral"})
     status, body = _post(server_port, "/api/fem/modal", doc)
