@@ -240,6 +240,32 @@ def main():
          fixed_call_overhead_ms=round(
              (t_short - t_step * n_short) * 1e3, 1))
 
+    # 2c) Harmonic frequency sweep: the dense direct path vmaps the whole
+    # sweep into one batched real-block solve — n_freq (2n x 2n)
+    # factorizations as a single MXU batch instead of a host loop.
+    from pinn_fem_tpu.solvers.harmonic import harmonic_response
+
+    p = grid_problem(16, 16)  # 512 DOFs -> 1024x1024 blocks
+    n_freq = 256
+    om = np.linspace(0.05, 2.0, n_freq)
+
+    def sweep():
+        return harmonic_response(p, om, damping=(0.05, 0.002),
+                                 probe_dofs=np.array([p.ndof - 2]))
+
+    t0 = time.perf_counter()
+    sweep()
+    t_first = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sweep()
+        ts.append(time.perf_counter() - t0)
+    t_sweep = float(np.median(ts)) - floor
+    emit("harmonic_sweep", t_sweep, "s", dofs=p.ndof, n_freq=n_freq,
+         backend=backend, freqs_per_s=round(n_freq / t_sweep),
+         first_call_s=round(t_first, 1))
+
     # 3) Batched NR throughput on the benchmark mesh.
     p = chain_problem(4)
     batch = 256

@@ -209,7 +209,7 @@ def run_transient(problem, analysis: Dict) -> Dict:
     method = analysis.get("method", "central")
     dt_spec = analysis.get("dt", "auto")
     if dt_spec == "auto":
-        if method != "central":
+        if method not in ("central",):
             raise ValueError('dt="auto" (Gershgorin critical step) is for '
                              'method="central"; give dt explicitly')
         dt = stable_dt(problem)
@@ -230,6 +230,7 @@ def run_transient(problem, analysis: Dict) -> Dict:
         newmark_gamma=float(analysis.get("newmark_gamma", 0.5)),
         geometric_nonlinear=bool(analysis.get("geometric_nonlinear",
                                               False)),
+        n_modes=int(analysis.get("n_modes", 32)),
     )
     return {
         "success": True,

@@ -90,14 +90,23 @@ def harmonic_response(
 
 
 def _direct_sweep(problem, data, om, alpha, beta, dtype):
-    """Real 2x2-block complex solves, vmapped over the frequency sweep."""
+    """Real 2x2-block complex solves, vmapped over the frequency sweep and
+    jitted as ONE program (the whole sweep is a single batched
+    factorization on the MXU)."""
     mask = data.free_mask
     k = assemble_system(data, problem.material,
                         jnp.zeros(problem.ndof, dtype))[0]
     k = mask[:, None] * k * mask[None, :]
     m = lumped_mass(data, problem.material) * mask + (1.0 - mask)
     f = data.loads * mask
-    n = problem.ndof
+    return _direct_sweep_jit(k, m, f, mask, om,
+                             jnp.asarray(alpha, dtype),
+                             jnp.asarray(beta, dtype))
+
+
+@jax.jit
+def _direct_sweep_jit(k, m, f, mask, om, alpha, beta):
+    n = f.shape[0]
 
     def solve_one(w):
         a = k - (w * w) * jnp.diag(m)

@@ -308,3 +308,59 @@ def test_checkpointed_transient_resume(tmp_path):
                                plain.displacements[20:], rtol=1e-5,
                                atol=1e-8)
     np.testing.assert_allclose(resumed.times, plain.times[20:], rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Modal-superposition integration (exact per-step SDOF propagators)
+# ---------------------------------------------------------------------------
+
+
+def test_modal_integration_exact_at_coarse_dt():
+    """The exact-propagator method hits the SDOF closed form at ANY dt —
+    here a quarter period per step, far beyond the explicit limit."""
+    p = bar_1d(2)
+    k, m = 2.0, 0.5
+    om = np.sqrt(k / m)
+    dt = (2 * np.pi / om) / 4.0
+    r = solve_transient(p, dt, 40, method="modal", record_every=1)
+    np.testing.assert_allclose(r.displacements[:, 1],
+                               sdof_expected(r.times, k, m, 1.0),
+                               atol=1e-5 * (2.0 / k))
+
+
+def test_modal_matches_central_all_modes():
+    """All modes retained, fine dt: modal == central (the central error
+    is O(dt^2) dispersion, so compare loosely over a short horizon)."""
+    p = bar_1d(6)
+    dt = 0.05 * stable_dt(p)
+    rc = solve_transient(p, dt, 800, method="central", record_every=80,
+                         damping=(0.2, 0.01))
+    rm = solve_transient(p, dt, 800, method="modal", record_every=80,
+                         damping=(0.2, 0.01), n_modes=5)
+    scale = np.abs(rc.displacements).max()
+    np.testing.assert_allclose(rm.displacements, rc.displacements,
+                               atol=2e-3 * scale)
+    # Central's snapshot KE uses the centered-peek velocity (O(dt w)
+    # residual); compare on the energy scale, not per-entry relative.
+    np.testing.assert_allclose(rm.kinetic_energy, rc.kinetic_energy,
+                               atol=0.01 * rc.kinetic_energy.max())
+
+
+def test_modal_damped_closed_form():
+    """Damped SDOF step response, exact at coarse dt:
+    u = (F/k)[1 - e^{-z w t}(cos wd t + z/sqrt(1-z^2) sin wd t)]."""
+    p = bar_1d(2)
+    k, m = 2.0, 0.5
+    om = np.sqrt(k / m)
+    alpha = 0.4  # zeta = alpha/(2 om)
+    z = alpha / (2 * om)
+    wd = om * np.sqrt(1 - z * z)
+    dt = (2 * np.pi / om) / 6.0
+    r = solve_transient(p, dt, 60, method="modal", record_every=1,
+                        damping=(alpha, 0.0))
+    t = r.times
+    expect = (1.0 / k) * (1.0 - np.exp(-z * om * t)
+                          * (np.cos(wd * t)
+                             + z / np.sqrt(1 - z * z) * np.sin(wd * t)))
+    np.testing.assert_allclose(r.displacements[:, 1], expect,
+                               atol=1e-5 / k)
