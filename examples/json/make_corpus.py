@@ -187,6 +187,58 @@ def build_corpus():
         )
         corpus[name] = ex
 
+    # --- dynamics extension corpus (no reference counterpart: the
+    # "analysis" block contract, pinn_fem_tpu/io/analysis.py) -----------
+    def tower_base():
+        """Small cross-braced 2-story tower, base fixed, lateral top load."""
+        nodes, elements = [], []
+        for s in range(3):
+            nodes += [{"x": 0.0, "y": float(s)}, {"x": 1.0, "y": float(s)}]
+        for s in range(2):
+            a, b, c, d = 2 * s, 2 * s + 1, 2 * s + 2, 2 * s + 3
+            elements += [[a, c], [b, d], [c, d], [a, d], [b, c]]
+        for n in nodes[:2]:
+            n["fixed"] = True
+        loads = [0.0] * 12
+        loads[8] = 0.5
+        loads[10] = 0.5
+        return {
+            "nodes": nodes, "elements": elements, "loads": loads,
+            "material": {"young": 200.0, "area": 1.0, "density": 1.0},
+            "solver_type": "fem",
+        }
+
+    dyn = {
+        "dyn-modal": {"type": "modal", "n_modes": 4,
+                      "include_shapes": True},
+        "dyn-transient": {"type": "transient", "dt": "auto",
+                          "n_steps": 2000, "record_every": 20,
+                          "damping": [0.05, 0.0],
+                          "amplitude": {"type": "step"},
+                          "probe_nodes": [4, 5]},
+        "dyn-buckling": {"type": "buckling", "n_modes": 2},
+        "dyn-harmonic": {"type": "harmonic", "damping": [0.05, 0.001],
+                         "omegas": {"start": 0.5, "stop": 12.0,
+                                    "num": 120},
+                         "probe_nodes": [4]},
+        "dyn-spectrum": {"type": "spectrum", "sa": 2.0,
+                         "direction": [1.0, 0.0], "n_modes": 4,
+                         "combination": "cqc"},
+    }
+    for name, analysis in dyn.items():
+        ex = tower_base()
+        if name == "dyn-buckling":
+            loads = [0.0] * 12
+            loads[9] = -1.0   # axial compression of both columns
+            loads[11] = -1.0
+            ex["loads"] = loads
+        ex["analysis"] = analysis
+        ex["description"] = (
+            f"Dynamics corpus: {analysis['type']} analysis of a braced "
+            "tower (extension; analysis-block contract)"
+        )
+        corpus[name] = ex
+
     return corpus
 
 

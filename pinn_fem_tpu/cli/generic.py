@@ -83,15 +83,23 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             json.dump(output, f, indent=2)
         logger.info("%s", "=" * 60)
         logger.info("ANALYSIS SUMMARY (%s):", output["analysis"])
-        if output["analysis"] == "modal":
+        kind = output["analysis"]
+        if kind == "modal":
             logger.info("  Frequencies (Hz): %s",
                         ["%.6g" % f for f in output["frequencies_hz"]])
-        elif output["analysis"] == "buckling":
+        elif kind == "buckling":
             logger.info("  Critical load factors: %s",
                         output["load_factors"])
-        else:
+        elif kind == "transient":
             logger.info("  Steps: %d (dt=%.3e, method=%s)",
                         output["n_steps"], output["dt"], output["method"])
+        elif kind == "harmonic":
+            logger.info("  Frequencies swept: %d (%s)",
+                        len(output["omegas"]), output["method"])
+        elif kind == "spectrum":
+            logger.info("  Modal mass captured: %.1f%% (%s)",
+                        100.0 * output["mass_fraction"],
+                        output["combination"])
         logger.info("Results written to %s", output_file)
         return output
 

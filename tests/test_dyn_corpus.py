@@ -1,0 +1,66 @@
+"""The dynamics corpus (examples/json/dyn-*.json) end-to-end: every file
+through the real CLI run() path, asserting physically meaningful output
+(the same rot-prevention the static corpus gets in test_examples_e2e)."""
+
+import glob
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+CORPUS = Path(__file__).resolve().parent.parent / "examples" / "json"
+DYN = sorted(os.path.basename(p) for p in glob.glob(str(CORPUS / "dyn-*.json")))
+
+
+def run_cli_inprocess(name, tmp_path):
+    import shutil
+
+    from pinn_fem_tpu.cli.generic import run
+
+    src = CORPUS / name
+    dst = tmp_path / name
+    shutil.copy(src, dst)
+    out = run(str(dst))
+    res_file = tmp_path / f"{Path(name).stem}.res.json"
+    assert res_file.exists()
+    return json.loads(res_file.read_text()), out
+
+
+def test_dyn_corpus_complete():
+    assert DYN == ["dyn-buckling.json", "dyn-harmonic.json",
+                   "dyn-modal.json", "dyn-spectrum.json",
+                   "dyn-transient.json"]
+
+
+@pytest.mark.parametrize("name", DYN)
+def test_dyn_corpus_runs(name, tmp_path):
+    res, _ = run_cli_inprocess(name, tmp_path)
+    assert res["success"]
+    kind = res["analysis"]
+    if kind == "modal":
+        w = np.asarray(res["eigenvalues"])
+        assert w.shape == (4,) and np.all(w > 0)
+        assert np.all(np.diff(w) >= -1e-6)            # ascending
+        assert np.asarray(res["mode_shapes"]).shape == (4, 12)
+    elif kind == "transient":
+        d = np.asarray(res["displacements"])
+        assert d.shape == (100, 4) and np.isfinite(d).all()
+        # Damped step response: late-time lateral displacement near the
+        # static solve of the same load.
+        assert d[-1, 0] > 0
+    elif kind == "buckling":
+        lam = res["load_factors"]
+        assert lam[0] is not None and lam[0] > 0
+        assert np.asarray(res["axial_forces"]).min() < 0  # compression
+    elif kind == "harmonic":
+        amp = np.asarray(res["amplitude"])
+        assert amp.shape == (120, 2) and np.isfinite(amp).all()
+        # A resonance peak exists inside the sweep.
+        assert amp[:, 0].max() > 3.0 * amp[0, 0]
+    elif kind == "spectrum":
+        assert 0.9 < res["mass_fraction"] <= 1.0 + 1e-6
+        assert np.asarray(res["displacements"]).max() > 0
+    else:
+        pytest.fail(f"unknown analysis kind {kind}")
