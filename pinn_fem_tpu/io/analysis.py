@@ -208,19 +208,30 @@ def run_transient(problem, analysis: Dict) -> Dict:
     n_steps = int(analysis["n_steps"])
     method = analysis.get("method", "central")
     dt_spec = analysis.get("dt", "auto")
+    damping = analysis.get("damping", [0.0, 0.0])
     if dt_spec == "auto":
         if method not in ("central",):
             raise ValueError('dt="auto" (Gershgorin critical step) is for '
                              'method="central"; give dt explicitly')
-        dt = stable_dt(problem)
+        # The DAMPED bound: beta damping shrinks the stability limit far
+        # below the undamped 2/omega_max (blows up otherwise).
+        dt = stable_dt(problem,
+                       damping=(float(damping[0]), float(damping[1])))
     else:
         dt = float(dt_spec)
-    damping = analysis.get("damping", [0.0, 0.0])
     record_every = int(analysis.get("record_every", 1))
     if n_steps % record_every:
         raise ValueError("n_steps must be a multiple of record_every")
     amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
     probe = _probe_dofs(analysis, problem)
+    if (probe.size * (n_steps // record_every) > 4 * _SHAPES_JSON_DOF_LIMIT
+            and "probe_dofs" not in analysis
+            and "probe_nodes" not in analysis):
+        raise ValueError(
+            "transient history would serialize "
+            f"{probe.size} DOFs x {n_steps // record_every} snapshots to "
+            "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
+            "to bound the payload")
 
     res = solve_transient(
         problem, dt=dt, n_steps=n_steps, amplitude=amplitude,
@@ -232,7 +243,7 @@ def run_transient(problem, analysis: Dict) -> Dict:
                                               False)),
         n_modes=int(analysis.get("n_modes", 32)),
     )
-    return {
+    out = {
         "success": True,
         "analysis": "transient",
         "method": method,
@@ -245,8 +256,11 @@ def run_transient(problem, analysis: Dict) -> Dict:
         "velocities": res.velocities.tolist(),
         "kinetic_energy": res.kinetic_energy.tolist(),
         "strain_energy": res.strain_energy.tolist(),
-        "u_final": res.u_final.tolist(),
     }
+    if analysis.get("include_final",
+                    problem.ndof <= _SHAPES_JSON_DOF_LIMIT):
+        out["u_final"] = res.u_final.tolist()
+    return out
 
 
 def run_analysis(problem, analysis: Dict) -> Dict:

@@ -56,7 +56,14 @@ def buckling_eigenvalues(problem: TrussProblem, n_modes: int = 4,
 
 def _buckling_traced(problem, n_modes, data, material, u_base):
     from ..ops.linalg import masked_solve
+    from .newton import DENSE_DOF_LIMIT
 
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(
+            f"buckling analysis is dense-only ({problem.ndof} DOFs > "
+            f"{DENSE_DOF_LIMIT}); a 2M-DOF dense K is 16 TB — reduce the "
+            "mesh or track compression via modal_analysis(prestress_u=...) "
+            "on the banded path")
     data = data if data is not None else problem.to_device()
     material = material if material is not None else problem.material
     dtype = data.loads.dtype

@@ -51,12 +51,16 @@ def _k_apply_fn(problem: TrussProblem, data):
     integrators, and static args hash by identity for functions — a fresh
     closure per solve_transient call would recompile the whole time loop
     every call (~35 s at 2M DOFs, measured; the actual step is 0.07 ms).
+    Keyed on BOTH the data and the material object (a mutated
+    problem.material must not reuse a stale K); holding the data
+    reference also prevents id()-reuse aliasing.
     """
     cached = getattr(problem, "_k_apply_cache", None)
-    if cached is not None and cached[0] is data:
-        return cached[1]
+    if (cached is not None and cached[0] is data
+            and cached[1] is problem.material):
+        return cached[2]
     fn = _build_k_apply(problem, data)
-    problem._k_apply_cache = (data, fn)
+    problem._k_apply_cache = (data, problem.material, fn)
     return fn
 
 
@@ -98,8 +102,9 @@ def _nl_apply_fn(problem: TrussProblem, data):
     gather/scatter form — fine at the mesh sizes geometric nonlinearity
     targets (the static GL solver is dense-K anyway)."""
     cached = getattr(problem, "_nl_apply_cache", None)
-    if cached is not None and cached[0] is data:
-        return cached[1], cached[2]
+    if (cached is not None and cached[0] is data
+            and cached[1] is problem.material):
+        return cached[2], cached[3]
     from ..ops.assembly import material_values
     from ..ops.elements import truss2d_green_lagrange_batch
 
@@ -122,16 +127,22 @@ def _nl_apply_fn(problem: TrussProblem, data):
         return 0.5 * jnp.sum(young * area / data.inv_len
                              * elem.strain * elem.strain)
 
-    problem._nl_apply_cache = (data, f_apply, se_apply)
+    problem._nl_apply_cache = (data, material, f_apply, se_apply)
     return f_apply, se_apply
 
 
-def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9) -> float:
-    """Gershgorin bound on the critical explicit time step 2 / omega_max.
+def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
+              damping=(0.0, 0.0)) -> float:
+    """Gershgorin bound on the critical explicit time step.
 
-    omega_max^2 <= max_i (sum_j |K_ij|) / m_i for the lumped mass; the
-    returned dt = safety * 2 / sqrt(bound) is a guaranteed-stable step for
-    the undamped central-difference scheme.
+    Undamped: dt_crit = 2 / omega_max with
+    omega_max^2 <= max_i (sum_j |K_ij|) / m_i for the lumped mass.
+    With Rayleigh damping the central-difference limit SHRINKS:
+    dt_crit = (2/omega_max)(sqrt(1 + zeta^2) - zeta) with the damping
+    ratio at omega_max, zeta = alpha/(2 omega_max) + beta omega_max / 2 —
+    stiffness-proportional (beta) damping dominates there and an
+    undamped-bound step blows up (pass the SAME damping you integrate
+    with).  The returned dt = safety * dt_crit.
 
     Row sums of |K| are computed WITHOUT materializing K above
     DENSE_DOF_LIMIT (a dense 2M x 2M K is 16 TB): per-element
@@ -154,7 +165,11 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9) -> float:
         contrib = (jnp.abs(s) * jnp.sum(g_abs, axis=1))[:, None] * g_abs
         row = jnp.zeros(problem.ndof, s.dtype).at[data.dof_map].add(contrib)
     bound = jnp.max(row / m)
-    return float(safety * 2.0 / jnp.sqrt(bound))
+    w_max = float(jnp.sqrt(bound))
+    alpha, beta = float(damping[0]), float(damping[1])
+    zeta = alpha / (2.0 * max(w_max, 1e-30)) + 0.5 * beta * w_max
+    return float(safety * (2.0 / w_max)
+                 * (np.sqrt(1.0 + zeta * zeta) - zeta))
 
 
 @partial(jax.jit, static_argnames=("k_apply", "n_rec", "record_every",
@@ -291,8 +306,13 @@ def solve_transient(
 
     amplitude = (np.ones(n_steps) if amplitude is None
                  else np.asarray(amplitude, dtype=float))
-    if amplitude.shape != (n_steps,):
-        raise ValueError(f"amplitude must have shape ({n_steps},)")
+    if amplitude.shape not in ((n_steps,), (n_steps + 1,)):
+        # One OPTIONAL extra sample feeds the snapshot peek at the final
+        # step (otherwise clamped) — solve_transient_checkpointed passes
+        # it so segment-boundary velocity records match an uninterrupted
+        # run under time-varying loads.
+        raise ValueError(
+            f"amplitude must have shape ({n_steps},) or ({n_steps + 1},)")
     u0 = jnp.zeros(ndof, dtype) if u0 is None else jnp.asarray(
         np.asarray(u0).reshape(-1), dtype)
     v0 = jnp.zeros(ndof, dtype) if v0 is None else jnp.asarray(
@@ -307,11 +327,12 @@ def solve_transient(
     # Cached per (problem, data): repeated transient calls (serving, the
     # benchmark) shouldn't re-dispatch the eager mass assembly.
     cached = getattr(problem, "_dyn_mass_cache", None)
-    if cached is not None and cached[0] is data:
-        m = cached[1]
+    if (cached is not None and cached[0] is data
+            and cached[1] is problem.material):
+        m = cached[2]
     else:
         m = lumped_mass(data, problem.material) * mask + (1.0 - mask)
-        problem._dyn_mass_cache = (data, m)
+        problem._dyn_mass_cache = (data, problem.material, m)
     alpha, beta = (float(damping[0]), float(damping[1]))
     amp = jnp.asarray(amplitude, dtype)
     n_rec = n_steps // record_every
@@ -392,13 +413,17 @@ def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
     """
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
 
-    key = (id(data), float(dt), float(alpha), float(beta), float(nb),
+    key = (float(dt), float(alpha), float(beta), float(nb),
            float(ng), float(cg_tol))
     cache = getattr(problem, "_newmark_cache", None)
     if cache is None:
         cache = problem._newmark_cache = {}
-    if key in cache:
-        return cache[key]
+    # Entries hold (data, material, solve_eff): identity checks (not ids,
+    # which can be reused after GC) invalidate on data OR material change.
+    entry = cache.get(key)
+    if (entry is not None and entry[0] is data
+            and entry[1] is problem.material):
+        return entry[2]
 
     dtype = data.loads.dtype
     a0 = 1.0 / (nb * dt * dt)
@@ -437,7 +462,7 @@ def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
                                    x0=u_guess, use_pallas=use_pallas)
             return x
 
-    cache[key] = solve_eff
+    cache[key] = (data, problem.material, solve_eff)
     return solve_eff
 
 
@@ -532,14 +557,38 @@ def _modal_run(prop, q_stat_unit, phi_probe, w2, amp,
 def _modal_propagators(omegas: np.ndarray, zetas: np.ndarray,
                        dt: float) -> np.ndarray:
     """(J, 2, 2) exact SDOF propagators e^{M dt},
-    M = [[0, 1], [-w^2, -2 zeta w]] — complex-eig route covers under-,
-    critically- and over-damped modes uniformly."""
-    out = np.zeros((omegas.size, 2, 2))
-    for j, (w, z) in enumerate(zip(omegas, zetas)):
-        m = np.array([[0.0, 1.0], [-w * w, -2.0 * z * w]])
-        vals, vecs = np.linalg.eig(m)
-        a = (vecs @ np.diag(np.exp(vals * dt)) @ np.linalg.inv(vecs)).real
-        out[j] = a
+    M = [[0, 1], [-w^2, -2 zeta w]].
+
+    Closed form, valid for ALL damping levels: with s = zeta w,
+    (M + sI)^2 = -wd^2 I where wd^2 = w^2 (1 - zeta^2), so
+    e^{M dt} = e^{-s dt} (c I + s1 (M + s I)) with
+    c = cos(wd dt), s1 = sin(wd dt)/wd  (underdamped; cosh/sinh for
+    overdamped; series at the defective critically-damped point — an
+    eigendecomposition route breaks exactly there: the eigenvector pair
+    is parallel and inv(vecs) returns garbage WITHOUT raising)."""
+    w = np.asarray(omegas, dtype=float)
+    z = np.asarray(zetas, dtype=float)
+    s = z * w
+    wd2 = w * w * (1.0 - z * z)
+    x2 = wd2 * dt * dt                      # (wd dt)^2, sign carries regime
+    c = np.empty_like(w)
+    s1 = np.empty_like(w)
+    trig = x2 > 1e-8
+    hyp = x2 < -1e-8
+    near = ~(trig | hyp)                    # defective neighborhood
+    wd = np.sqrt(np.abs(wd2))
+    c[trig] = np.cos(wd[trig] * dt)
+    s1[trig] = np.sin(wd[trig] * dt) / wd[trig]
+    c[hyp] = np.cosh(wd[hyp] * dt)
+    s1[hyp] = np.sinh(wd[hyp] * dt) / wd[hyp]
+    c[near] = 1.0 + 0.5 * x2[near]          # second-order series, both signs
+    s1[near] = dt * (1.0 + x2[near] / 6.0)
+    e = np.exp(-s * dt)
+    out = np.empty((w.size, 2, 2))
+    out[:, 0, 0] = e * (c + s * s1)
+    out[:, 0, 1] = e * s1
+    out[:, 1, 0] = e * (-(w * w) * s1)
+    out[:, 1, 1] = e * (c - s * s1)
     return out
 
 
@@ -597,9 +646,14 @@ def solve_transient_checkpointed(
 
     n_seg = checkpoint_every
     for seg_start in range(start_step, n_steps, n_seg):
+        # Include the NEXT segment's first amplitude sample when it
+        # exists: the snapshot-peek at the segment's last step needs it,
+        # or boundary velocity records diverge from an uninterrupted run
+        # under time-varying loads.
         res = solve_transient(
             problem, dt, n_seg,
-            amplitude=amplitude[seg_start:seg_start + n_seg],
+            amplitude=amplitude[seg_start:
+                                min(seg_start + n_seg + 1, n_steps)],
             u0=u, v0=v, data=data, exact_restart=seg_start > 0, **kw)
         u, v = res.u_final, res.v_final
         save_transient_state(checkpoint_dir, seg_start + n_seg, u, v,

@@ -61,7 +61,8 @@ def harmonic_response(
 
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
-    om = jnp.asarray(np.asarray(omegas, dtype=float).reshape(-1), dtype)
+    om_host = np.asarray(omegas, dtype=float).reshape(-1)
+    om = jnp.asarray(om_host, dtype)
     probe = (jnp.arange(problem.ndof) if probe_dofs is None
              else jnp.asarray(np.asarray(probe_dofs, dtype=int)))
     alpha, beta = float(damping[0]), float(damping[1])
@@ -76,36 +77,51 @@ def harmonic_response(
     else:
         raise ValueError("method must be 'direct' or 'modal'")
 
-    xr = xr[:, probe]
-    xi = xi[:, probe]
-    xr, xi = jax.device_get((xr, xi))
+    # ONE device fetch for the whole result (CLAUDE.md: each device_get is
+    # a ~30 ms round trip through the attachment).
+    xr, xi = jax.device_get((xr[:, probe], xi[:, probe]))
     xr = np.asarray(xr)
     xi = np.asarray(xi)
     return HarmonicResult(
-        omegas=np.asarray(jax.device_get(om)),
+        omegas=om_host,
         real=xr, imag=xi,
         amplitude=np.hypot(xr, xi),
         phase=np.arctan2(xi, xr),
     )
 
 
+# Frequencies solved per batched program: bounds the transient
+# (chunk, 2n, 2n) block-matrix memory (at 2048 DOFs a full 100-frequency
+# batch would be ~6.7 GB) while still batching the factorizations.
+_SWEEP_CHUNK = 32
+
+
 def _direct_sweep(problem, data, om, alpha, beta, dtype):
-    """Real 2x2-block complex solves, vmapped over the frequency sweep and
-    jitted as ONE program (the whole sweep is a single batched
-    factorization on the MXU)."""
+    """Real 2x2-block complex solves, vmapped over frequency CHUNKS and
+    jitted as one program per chunk size (batched factorizations on the
+    MXU, memory bounded by _SWEEP_CHUNK blocks at a time)."""
     mask = data.free_mask
     k = assemble_system(data, problem.material,
                         jnp.zeros(problem.ndof, dtype))[0]
     k = mask[:, None] * k * mask[None, :]
-    m = lumped_mass(data, problem.material) * mask + (1.0 - mask)
+    # MASKED mass in the dynamic terms: unit fixed-DOF mass would turn the
+    # fixed rows into (1 - w^2) — exactly singular at w = 1 rad/s with
+    # alpha = 0.  The identity rows below carry the fixed DOFs instead.
+    m = lumped_mass(data, problem.material) * mask
     f = data.loads * mask
-    return _direct_sweep_jit(k, m, f, mask, om,
-                             jnp.asarray(alpha, dtype),
-                             jnp.asarray(beta, dtype))
+    n_freq = om.shape[0]
+    n_pad = -(-n_freq // _SWEEP_CHUNK) * _SWEEP_CHUNK
+    om_p = jnp.concatenate([om, jnp.ones((n_pad - n_freq,), om.dtype)])
+    xr, xi = _direct_sweep_jit(k, m, f, mask,
+                               om_p.reshape(-1, _SWEEP_CHUNK),
+                               jnp.asarray(alpha, dtype),
+                               jnp.asarray(beta, dtype))
+    n = f.shape[0]
+    return xr.reshape(-1, n)[:n_freq], xi.reshape(-1, n)[:n_freq]
 
 
 @jax.jit
-def _direct_sweep_jit(k, m, f, mask, om, alpha, beta):
+def _direct_sweep_jit(k, m, f, mask, om_chunks, alpha, beta):
     n = f.shape[0]
 
     def solve_one(w):
@@ -118,7 +134,7 @@ def _direct_sweep_jit(k, m, f, mask, om, alpha, beta):
         x = jnp.linalg.solve(z, rhs)
         return x[:n] * mask, x[n:] * mask
 
-    return jax.vmap(solve_one)(om)
+    return jax.lax.map(jax.vmap(solve_one), om_chunks)
 
 
 def _modal_sweep(problem, data, om, alpha, beta, n_modes):

@@ -251,8 +251,14 @@ def modal_analysis(
         res.append(num / den)
 
     w, shapes, res = jax.device_get((w, shapes, jnp.stack(res)))
-    w = np.maximum(np.asarray(w), 0.0)
-    omegas = np.sqrt(w)
+    w = np.asarray(w)
+    # Clamp only float noise; a GENUINELY negative eigenvalue (a
+    # prestressed state past the buckling point) must stay visible in
+    # `eigenvalues` — silently reporting 0 Hz would be indistinguishable
+    # from a rigid-body mode, and the residuals correspond to the true w.
+    noise = 1e-6 * max(float(np.max(np.abs(w))), 1e-30)
+    w = np.where((w < 0) & (w > -noise), 0.0, w)
+    omegas = np.sqrt(np.maximum(w, 0.0))
     return ModalResult(
         eigenvalues=np.asarray(w), omegas=omegas,
         frequencies=omegas / (2.0 * np.pi),

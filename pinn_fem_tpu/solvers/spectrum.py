@@ -86,9 +86,12 @@ def response_spectrum(
 
     import jax
 
-    m = np.asarray(jax.device_get(
-        lumped_mass(data, problem.material)))
-    mask = np.asarray(jax.device_get(data.free_mask))
+    # ONE device fetch (CLAUDE.md: each device_get is a ~30 ms round trip
+    # through the attachment).
+    m, mask = jax.device_get((lumped_mass(data, problem.material),
+                              data.free_mask))
+    m = np.asarray(m)
+    mask = np.asarray(mask)
     # Influence vector: unit ground motion along d on the FREE DOFs.
     r = np.tile(d, problem.ndof // dim) * mask
 

@@ -1,0 +1,149 @@
+"""Regression tests for the round-2 code-review findings (each reproduced
+before the fix; see the corresponding commit message)."""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu import (Material, TrussProblem, harmonic_response,
+                          modal_analysis, solve_transient,
+                          solve_transient_checkpointed, stable_dt)
+
+
+def bar_1d(n=2, young=4.0, area=0.5, density=2.0):
+    nodes = np.arange(n, dtype=float)
+    elements = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    loads = np.zeros(n)
+    loads[-1] = 1.0
+    return TrussProblem(nodes, elements,
+                        Material(young=young, area=area, density=density),
+                        loads, np.array([0]), 1)
+
+
+def test_harmonic_finite_at_omega_one_undamped():
+    """w = 1 rad/s with alpha = 0 made the fixed-DOF block rows exactly
+    zero (unit fictitious mass in the -w^2 M term) -> singular solve,
+    all-NaN output.  Closed form must come out instead."""
+    p = bar_1d()
+    k, m = 2.0, 0.5
+    res = harmonic_response(p, [1.0], damping=(0.0, 0.0),
+                            probe_dofs=np.array([1]))
+    assert np.isfinite(res.amplitude).all()
+    np.testing.assert_allclose(res.amplitude[0, 0],
+                               1.0 / abs(k - m * 1.0**2), rtol=1e-5)
+
+
+def test_auto_dt_stable_with_beta_damping():
+    """dt='auto' composed the UNDAMPED Gershgorin bound with beta
+    damping, which shrinks the central-difference limit -> NaN blow-up.
+    The damped bound must integrate stably."""
+    from pinn_fem_tpu.io.analysis import run_transient
+
+    p = bar_1d(6)
+    res = run_transient(p, {"type": "transient", "dt": "auto",
+                            "n_steps": 400, "record_every": 40,
+                            "damping": [0.0, 0.05],
+                            "probe_nodes": [5]})
+    d = np.asarray(res["displacements"])
+    assert np.isfinite(d).all()
+    # Damped bound is strictly below the undamped one.
+    assert res["dt"] < stable_dt(p)
+
+
+def test_checkpoint_boundary_records_with_varying_amplitude():
+    """The segment-end snapshot peek clamped the amplitude at the
+    segment's last sample, so boundary VELOCITY records diverged from an
+    uninterrupted run under time-varying loads (7.4% measured)."""
+    p = bar_1d(4)
+    dt = 0.5 * stable_dt(p)
+    n = 400
+    t = dt * np.arange(n)
+    amp = np.sin(2.0 * np.pi * t / (n * dt) * 3.0)
+    kw = dict(damping=(0.1, 0.0), method="central", record_every=10,
+              probe_dofs=np.array([3]))
+    plain = solve_transient(p, dt=dt, n_steps=n, amplitude=amp, **kw)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        seg = solve_transient_checkpointed(p, dt, n, d, 100,
+                                           amplitude=amp, **kw)
+    # Restart reconstructs u_prev = u - dt*v: one float32 rounding per
+    # boundary (1e-5 relative observed) — far below the 7.4% pre-fix bug.
+    np.testing.assert_allclose(seg.displacements, plain.displacements,
+                               rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(seg.velocities, plain.velocities,
+                               rtol=1e-4, atol=1e-8)
+
+
+def test_buckling_large_mesh_raises():
+    from pinn_fem_tpu import buckling_analysis
+    import pinn_fem_tpu.solvers.newton as newton
+
+    p = bar_1d(50)
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 10
+        with pytest.raises(ValueError, match="dense-only"):
+            buckling_analysis(p, n_modes=1)
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+
+
+def test_material_change_invalidates_dynamics_caches():
+    """Mutating problem.material and re-solving with the SAME data object
+    must rebuild K and M (stale caches silently reused the old ones)."""
+    p = bar_1d(4)
+    data = p.to_device()
+    dt = 0.4 * stable_dt(p)
+    a = solve_transient(p, dt=dt, n_steps=100, record_every=100,
+                        probe_dofs=np.array([3]), data=data)
+    p.material = Material(young=16.0, area=0.5, density=2.0)  # 4x stiffer
+    b = solve_transient(p, dt=dt, n_steps=100, record_every=100,
+                        probe_dofs=np.array([3]), data=data)
+    # 4x stiffness -> materially different trajectory (was: identical).
+    assert abs(float(a.displacements[-1, 0])
+               - float(b.displacements[-1, 0])) > 1e-4
+    # And Newmark's cached factorization too.
+    p2 = bar_1d(4)
+    data2 = p2.to_device()
+    an = solve_transient(p2, dt=dt, n_steps=100, record_every=100,
+                         method="newmark", probe_dofs=np.array([3]),
+                         data=data2)
+    p2.material = Material(young=16.0, area=0.5, density=2.0)
+    bn = solve_transient(p2, dt=dt, n_steps=100, record_every=100,
+                         method="newmark", probe_dofs=np.array([3]),
+                         data=data2)
+    assert abs(float(an.displacements[-1, 0])
+               - float(bn.displacements[-1, 0])) > 1e-4
+
+
+def test_modal_propagator_exact_at_critical_damping():
+    """zeta = 1 exactly: the companion matrix is DEFECTIVE and the old
+    eigendecomposition route returned garbage without raising (27%
+    error); the closed-form propagator must hit the critically damped
+    step response u = (F/k)(1 - e^{-wt}(1 + wt))."""
+    p = bar_1d(2)
+    k, m = 2.0, 0.5
+    w = np.sqrt(k / m)
+    alpha = 2.0 * w                  # zeta = alpha/(2w) = 1 exactly
+    dt = 0.3
+    r = solve_transient(p, dt, 40, method="modal", record_every=1,
+                        damping=(alpha, 0.0))
+    t = r.times
+    expect = (1.0 / k) * (1.0 - np.exp(-w * t) * (1.0 + w * t))
+    np.testing.assert_allclose(r.displacements[:, 1], expect, atol=1e-6)
+
+
+def test_post_buckling_prestress_reports_negative_eigenvalue():
+    """Prestress past the critical load: the softened mode's eigenvalue
+    must surface as NEGATIVE, not be clamped to a silent 0 Hz."""
+    from tests.test_buckling import braced_column
+
+    from pinn_fem_tpu import buckling_analysis
+
+    p = braced_column()
+    res = buckling_analysis(p, n_modes=1)
+    lam_c = res.load_factors[0]
+    modal = modal_analysis(p, n_modes=1,
+                           prestress_u=1.5 * lam_c * res.u_base)
+    assert modal.eigenvalues[0] < -1e-3
+    assert modal.omegas[0] == 0.0
