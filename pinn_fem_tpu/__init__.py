@@ -64,6 +64,10 @@ from .solvers.fused import solve_fused  # noqa: E402
 from .solvers.gauss_newton import solve_gauss_newton  # noqa: E402
 from .solvers.gd import solve_gd  # noqa: E402
 from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.riks import (  # noqa: E402
+    RiksResult,
+    solve_riks,
+)
 from .solvers.spectrum import (  # noqa: E402
     SpectrumResult,
     response_spectrum,
@@ -119,6 +123,8 @@ __all__ = [
     "transient_probe_response",
     "response_spectrum",
     "SpectrumResult",
+    "solve_riks",
+    "RiksResult",
     "ModalResult",
     "solve",
     "solve_nr",
