@@ -225,6 +225,22 @@ def build_corpus():
                          "direction": [1.0, 0.0], "n_modes": 4,
                          "combination": "cqc"},
     }
+    # Arc-length continuation: the von Mises two-bar snap-through (exact
+    # limit load 2 E A g(h(1-1/sqrt3))/L0^3; tests/test_riks.py).
+    corpus["dyn-continuation"] = {
+        "description": "Dynamics corpus: arc-length snap-through of the "
+                       "von Mises two-bar truss (extension)",
+        "nodes": [[-1.0, 0.0], [1.0, 0.0], [0.0, 1.0]],
+        "elements": [[0, 2], [1, 2]],
+        "loads": [0, 0, 0, 0, 0, -1.0],
+        "fixed_dofs": [0, 1, 2, 3, 4],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "solver_type": "fem",
+        "analysis": {"type": "continuation", "n_steps": 400,
+                     "initial_dlambda": 0.01, "stop_lambda_abs": 0.5,
+                     "probe_nodes": [2]},
+    }
+
     for name, analysis in dyn.items():
         ex = tower_base()
         if name == "dyn-buckling":

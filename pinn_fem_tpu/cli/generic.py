@@ -100,6 +100,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Modal mass captured: %.1f%% (%s)",
                         100.0 * output["mass_fraction"],
                         output["combination"])
+        elif kind == "continuation":
+            lf = output["load_factors"]
+            logger.info("  Path points: %d (lambda in [%.4g, %.4g])",
+                        output["n_points"], min(lf), max(lf))
         logger.info("Results written to %s", output_file)
         return output
 

@@ -15,6 +15,10 @@ drives a static solve gains:
                  "direction": [1, 0], "n_modes": 6,
                  "combination": "srss" | "cqc", "damping_ratio": 0.05}
 
+    "analysis": {"type": "continuation", "n_steps": 200,
+                 "initial_dlambda": 0.02, "stop_lambda_abs": 5.0,
+                 "probe_nodes": [..] | "probe_dofs": [..]}
+
     "analysis": {"type": "harmonic", "damping": [alpha, beta],
                  "method": "direct" | "modal", "n_modes": 12,
                  "omegas": [..] | {"start": w0, "stop": w1, "num": 100,
@@ -172,6 +176,34 @@ def run_harmonic(problem, analysis: Dict) -> Dict:
     }
 
 
+def run_continuation(problem, analysis: Dict) -> Dict:
+    """Execute an arc-length continuation block (solvers/riks.py): the
+    equilibrium path lambda(u), traced through limit points."""
+    from ..solvers.riks import solve_riks
+
+    stop_lam = analysis.get("stop_lambda_abs")
+    stop_fn = ((lambda u, lam: abs(lam) > float(stop_lam))
+               if stop_lam is not None else None)
+    res = solve_riks(
+        problem,
+        n_steps=int(analysis.get("n_steps", 200)),
+        initial_dlambda=float(analysis.get("initial_dlambda", 0.02)),
+        tol=float(analysis.get("tolerance", 1e-8)),
+        stop_fn=stop_fn)
+    probe = _probe_dofs(analysis, problem)
+    return {
+        "success": bool(res.converged),
+        "analysis": "continuation",
+        "n_points": int(res.load_factors.size),
+        "load_factors": res.load_factors.tolist(),
+        "probe_dofs": probe.tolist(),
+        "displacements": res.displacements[:, probe].tolist(),
+        "iterations": res.iterations.tolist(),
+        "max_residual": float(res.residuals.max()) if res.residuals.size
+        else None,
+    }
+
+
 def run_spectrum(problem, analysis: Dict) -> Dict:
     """Execute a response-spectrum block (solvers/spectrum.py)."""
     from ..solvers.spectrum import response_spectrum
@@ -276,5 +308,8 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_harmonic(problem, analysis)
     if kind == "spectrum":
         return run_spectrum(problem, analysis)
+    if kind == "continuation":
+        return run_continuation(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
-                     f'"buckling", "harmonic" or "spectrum", got {kind!r}')
+                     f'"buckling", "harmonic", "spectrum" or '
+                     f'"continuation", got {kind!r}')

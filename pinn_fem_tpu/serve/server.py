@@ -134,6 +134,8 @@ _ROUTES = {
     "/api/fem/buckling": (_solve_analysis("buckling"), FEM_TIMEOUT_S),
     "/api/fem/harmonic": (_solve_analysis("harmonic"), FEM_TIMEOUT_S),
     "/api/fem/spectrum": (_solve_analysis("spectrum"), FEM_TIMEOUT_S),
+    "/api/fem/continuation": (_solve_analysis("continuation"),
+                              PINN_TIMEOUT_S),
 }
 
 

@@ -29,9 +29,9 @@ def run_cli_inprocess(name, tmp_path):
 
 
 def test_dyn_corpus_complete():
-    assert DYN == ["dyn-buckling.json", "dyn-harmonic.json",
-                   "dyn-modal.json", "dyn-spectrum.json",
-                   "dyn-transient.json"]
+    assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
+                   "dyn-harmonic.json", "dyn-modal.json",
+                   "dyn-spectrum.json", "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -59,6 +59,17 @@ def test_dyn_corpus_runs(name, tmp_path):
         assert amp.shape == (120, 2) and np.isfinite(amp).all()
         # A resonance peak exists inside the sweep.
         assert amp[:, 0].max() > 3.0 * amp[0, 0]
+    elif kind == "continuation":
+        lam = np.asarray(res["load_factors"])
+        w = -np.asarray(res["displacements"])[:, 1]  # apex y DOF probe
+        # Snap-through signature: positive fold peak at the exact von
+        # Mises limit load, negative between the folds, far side reached.
+        lam_crit = 2.0 * (1.0 * (1 - 1 / np.sqrt(3))
+                          - 1.5 * (1 - 1 / np.sqrt(3)) ** 2
+                          + 0.5 * (1 - 1 / np.sqrt(3)) ** 3) / 2 ** 1.5
+        np.testing.assert_allclose(lam[w < 1.0].max(), lam_crit, rtol=5e-3)
+        assert lam.min() < -0.5 * lam_crit
+        assert w.max() > 2.0
     elif kind == "spectrum":
         assert 0.9 < res["mass_fraction"] <= 1.0 + 1e-6
         assert np.asarray(res["displacements"]).max() > 0
