@@ -39,6 +39,7 @@ def load_example(name: str):
 SCRIPTS.append("modal_identification")
 SCRIPTS.append("dynamics_suite")
 SCRIPTS.append("transient_identification")
+SCRIPTS.append("snap_through")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
