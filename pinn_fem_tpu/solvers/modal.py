@@ -17,6 +17,15 @@ Two paths, selected like the static solvers:
     M-orthonormalization, and a small dense generalized eigenproblem per
     iteration.  Smallest modes converge first, which is exactly the end
     structural analysis wants.
+
+Float32 resolution limit (measured, documented honestly): the lowest
+eigenvalue is resolvable only down to lambda_1/||K|| ~ 1e-6 — computing
+K v for a mode with lambda ~ 1e-6 ||K|| cancels ~7 digits, which is all
+float32 has.  A 40k-DOF 2:1 strip fixed on one edge (lambda_1/||K||
+~ 1e-7) returns residuals ~1e2; the `residuals` field and `ok` flag make
+this LOUD rather than silently wrong (typical structures sit at
+1e-3..1e-4 and resolve fine — every closed-form spectrum in
+tests/test_modal.py does).
 """
 
 from __future__ import annotations
@@ -39,6 +48,9 @@ class ModalResult(NamedTuple):
     shapes: np.ndarray        # (ndof, n_modes), zeros on fixed DOFs,
                               # M-orthonormal on the free block
     residuals: np.ndarray     # (n_modes,) ||K v - lam M v|| / (lam ||M v||)
+    ok: bool = True           # all residuals below the trust threshold
+                              # (False: float32 could not resolve the
+                              # lowest modes — see module docstring)
 
 
 def _dense_eigensolve(k_ff, m_ff_or_diag, n_modes: int, lumped: bool):
@@ -251,6 +263,19 @@ def modal_analysis(
         res.append(num / den)
 
     w, shapes, res = jax.device_get((w, shapes, jnp.stack(res)))
+    res_np = np.asarray(res)
+    ok = bool(res_np.max() < 1e-2)
+    if not ok:
+        import logging
+
+        logging.getLogger("pinn_fem_tpu").warning(
+            "modal_analysis: max residual %.1e — the lowest eigenvalues "
+            "sit below float32 resolution relative to ||K|| "
+            "(lambda_1/||K|| ~ %.1e); treat these modes as unresolved "
+            "(ModalResult.ok=False)",
+            float(res_np.max()),
+            float(np.min(np.abs(np.asarray(w)))
+                  / max(float(np.max(np.abs(np.asarray(w)))), 1e-30)))
     w = np.asarray(w)
     # Clamp only float noise; a GENUINELY negative eigenvalue (a
     # prestressed state past the buckling point) must stay visible in
@@ -262,5 +287,5 @@ def modal_analysis(
     return ModalResult(
         eigenvalues=np.asarray(w), omegas=omegas,
         frequencies=omegas / (2.0 * np.pi),
-        shapes=np.asarray(shapes), residuals=np.asarray(res),
+        shapes=np.asarray(shapes), residuals=res_np, ok=ok,
     )
