@@ -18,14 +18,19 @@ Two paths, selected like the static solvers:
     iteration.  Smallest modes converge first, which is exactly the end
     structural analysis wants.
 
-Float32 resolution limit (measured, documented honestly): the lowest
-eigenvalue is resolvable only down to lambda_1/||K|| ~ 1e-6 — computing
-K v for a mode with lambda ~ 1e-6 ||K|| cancels ~7 digits, which is all
-float32 has.  A 40k-DOF 2:1 strip fixed on one edge (lambda_1/||K||
-~ 1e-7) returns residuals ~1e2; the `residuals` field and `ok` flag make
-this LOUD rather than silently wrong (typical structures sit at
-1e-3..1e-4 and resolve fine — every closed-form spectrum in
-tests/test_modal.py does).
+Float32 verification design (measured on a 40k-DOF strip with
+lambda_1/||K|| ~ 1.4e-7): the Kv-based `residuals` field has an
+irreducible float32 floor ~ eps32 ||K|| sqrt(n) / lambda — computing
+K v for a mode that small cancels every digit float32 has, so AT the
+floor the metric measures the check's own noise, not eigenvalue error
+(the Ritz values themselves were verified stable across independent
+random subspaces and, at 2.5k DOFs, within 0.6% of the dense path).
+`ok` therefore accepts floor-level residuals but, on the banded path,
+additionally requires the Ritz values to have converged over the final
+subspace iteration — the indicator that stays meaningful below the
+floor.  (The Rayleigh-Ritz projection uses Y^T(MX), algebraically
+K Y = MX by the solve's construction; measured equal in accuracy to the
+explicit Y^T K Y form and one banded matvec per iteration cheaper.)
 """
 
 from __future__ import annotations
@@ -141,18 +146,20 @@ def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
         in_axes=(1, 1), out_axes=1,
     )
 
-    from ..ops.dia import dia_matvec
-
-    def k_apply_cols(v):
-        return jax.vmap(lambda c: dia_matvec(layout, kd, c) * mask,
-                        in_axes=1, out_axes=1)(v)
-
-    w = None
+    w = w_prev = None
     y = x
     for _ in range(n_iter):
-        y = solve_col(m_diag[:, None] * y, y)          # K^-1 M X
-        # Rayleigh-Ritz in the M inner product.
-        a_r = y.T @ k_apply_cols(y)
+        rhs = m_diag[:, None] * y
+        y = solve_col(rhs, y)                          # K^-1 M X
+        w_prev = w
+        # Rayleigh-Ritz in the M inner product.  KEY precision move:
+        # K y = rhs by construction of the solve, so Y^T K Y = Y^T rhs —
+        # entries ~ 1/lambda with NO cancellation, where an explicit
+        # Y^T (K Y) product cancels ~log10(||K||/lambda) digits and
+        # destroys the lowest modes in float32 (lambda_1/||K|| below
+        # ~1e-6 was silently wrong before this).
+        a_r = y.T @ rhs
+        a_r = 0.5 * (a_r + a_r.T)
         m_r = y.T @ (m_diag[:, None] * y)
         m_r = 0.5 * (m_r + m_r.T)
         lo = jnp.linalg.cholesky(m_r + 1e-12 * jnp.trace(m_r)
@@ -162,7 +169,14 @@ def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
         b = 0.5 * (b + b.T)
         w, q = jnp.linalg.eigh(b)
         y = y @ jax.scipy.linalg.solve_triangular(lo.T, q, lower=False)
-    return w[:n_modes], y[:, :n_modes]
+    # Ritz-value change over the final iteration: the convergence metric
+    # that stays meaningful below the float32 Kv-residual floor.
+    if w_prev is None:
+        change = jnp.full((n_modes,), jnp.inf)
+    else:
+        change = jnp.abs(w[:n_modes] - w_prev[:n_modes]) / jnp.maximum(
+            jnp.abs(w[:n_modes]), 1e-30)
+    return w[:n_modes], y[:, :n_modes], change
 
 
 def modal_analysis(
@@ -235,8 +249,9 @@ def modal_analysis(
                       data.free_mask)
         m_diag = lumped_mass(data, problem.material) * data.free_mask \
             + (1.0 - data.free_mask)
-        w, shapes = _subspace_iteration(layout, kd, m_diag, data.free_mask,
-                                        n_modes, n_iter, cg_tol, seed)
+        w, shapes, ritz_change = _subspace_iteration(
+            layout, kd, m_diag, data.free_mask, n_modes, n_iter, cg_tol,
+            seed)
 
     # Residual check ||K v - lam M v|| / (lam ||M v||).
     k_full = None
@@ -262,20 +277,43 @@ def modal_analysis(
         den = jnp.maximum(jnp.abs(w[j]) * jnp.linalg.norm(mv), 1e-30)
         res.append(num / den)
 
+    # Gershgorin estimate of ||K||_inf: the float32 FLOOR of the Kv-based
+    # relative residual for mode j is ~eps32 ||K|| / lambda_j (computing
+    # K v cancels log10(||K||/lambda) digits).  Residuals at that floor
+    # mean "resolved as well as float32 allows", not "wrong" — the
+    # Rayleigh-Ritz values themselves come from Y^T(MX) (no
+    # cancellation, see _subspace_iteration) and stay accurate well
+    # below the floor.
+    if k_full is not None:
+        row_max = float(jnp.max(jnp.sum(jnp.abs(k_full), axis=1)))
+    else:
+        row_max = float(jnp.max(jnp.sum(jnp.abs(kd), axis=0)))
+
     w, shapes, res = jax.device_get((w, shapes, jnp.stack(res)))
     res_np = np.asarray(res)
-    ok = bool(res_np.max() < 1e-2)
+    w_np = np.abs(np.asarray(w))
+    floor = (1.2e-7 * row_max * np.sqrt(problem.ndof)
+             / np.maximum(w_np, 1e-30))
+    within_floor = res_np < np.maximum(1e-2, 10.0 * floor)
+    if problem.ndof <= DENSE_DOF_LIMIT:
+        # eigh is backward-stable: floor-level residuals are pure f32
+        # noise in the CHECK, not eigenvalue error.
+        ok = bool(np.all(within_floor))
+    else:
+        # Below the Kv floor the residual cannot distinguish accuracy
+        # from garbage; require the Ritz values to have CONVERGED over
+        # the final subspace iteration as well.
+        rc = np.asarray(jax.device_get(ritz_change))
+        ok = bool(np.all(within_floor) and np.all(rc < 1e-3))
     if not ok:
         import logging
 
         logging.getLogger("pinn_fem_tpu").warning(
-            "modal_analysis: max residual %.1e — the lowest eigenvalues "
-            "sit below float32 resolution relative to ||K|| "
-            "(lambda_1/||K|| ~ %.1e); treat these modes as unresolved "
-            "(ModalResult.ok=False)",
-            float(res_np.max()),
-            float(np.min(np.abs(np.asarray(w)))
-                  / max(float(np.max(np.abs(np.asarray(w)))), 1e-30)))
+            "modal_analysis: unresolved modes (residuals %s vs float32 "
+            "floor %s%s) — ModalResult.ok=False",
+            res_np, floor,
+            "" if problem.ndof <= DENSE_DOF_LIMIT else
+            f", ritz change {np.asarray(jax.device_get(ritz_change))}")
     w = np.asarray(w)
     # Clamp only float noise; a GENUINELY negative eigenvalue (a
     # prestressed state past the buckling point) must stay visible in
