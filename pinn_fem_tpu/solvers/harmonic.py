@@ -48,6 +48,7 @@ def harmonic_response(
     n_modes: int = 12,
     data=None,
     probe_dofs: Optional[np.ndarray] = None,
+    mesh=None,
 ) -> HarmonicResult:
     """Steady-state response X(omega) to the problem's load vector.
 
@@ -56,6 +57,9 @@ def harmonic_response(
         damping: Rayleigh (alpha, beta) — C = alpha M + beta K.
         method: "direct" (dense exact) or "modal" (superposition of the
             lowest n_modes; any mesh size).
+        mesh: optional jax.sharding.Mesh — the FREQUENCY axis shards over
+            its "dp" dimension (frequencies are independent solves, so
+            the sweep scales across chips with zero communication).
     """
     from .newton import DENSE_DOF_LIMIT
 
@@ -71,7 +75,8 @@ def harmonic_response(
         if problem.ndof > DENSE_DOF_LIMIT:
             raise ValueError("direct harmonic response is dense-only; use "
                              "method='modal' for large meshes")
-        xr, xi = _direct_sweep(problem, data, om, alpha, beta, dtype)
+        xr, xi = _direct_sweep(problem, data, om, alpha, beta, dtype,
+                               mesh=mesh)
     elif method == "modal":
         xr, xi = _modal_sweep(problem, data, om, alpha, beta, n_modes)
     else:
@@ -96,7 +101,7 @@ def harmonic_response(
 _SWEEP_CHUNK = 32
 
 
-def _direct_sweep(problem, data, om, alpha, beta, dtype):
+def _direct_sweep(problem, data, om, alpha, beta, dtype, mesh=None):
     """Real 2x2-block complex solves, vmapped over frequency CHUNKS and
     jitted as one program per chunk size (batched factorizations on the
     MXU, memory bounded by _SWEEP_CHUNK blocks at a time)."""
@@ -110,12 +115,32 @@ def _direct_sweep(problem, data, om, alpha, beta, dtype):
     m = lumped_mass(data, problem.material) * mask
     f = data.loads * mask
     n_freq = om.shape[0]
-    n_pad = -(-n_freq // _SWEEP_CHUNK) * _SWEEP_CHUNK
-    om_p = jnp.concatenate([om, jnp.ones((n_pad - n_freq,), om.dtype)])
-    xr, xi = _direct_sweep_jit(k, m, f, mask,
-                               om_p.reshape(-1, _SWEEP_CHUNK),
-                               jnp.asarray(alpha, dtype),
-                               jnp.asarray(beta, dtype))
+    if mesh is not None:
+        # Frequency-parallel across chips: chunks of (dp, _SWEEP_CHUNK)
+        # with the dp axis sharded — lax.map stays over the (replicated)
+        # leading sequence axis, and each mapped step is a dp-sharded
+        # vmapped batch: every device factors its own frequencies, no
+        # collectives.  (Sharding the lax.map axis itself would
+        # SERIALIZE the devices — the map is sequential by construction.)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = mesh.shape["dp"]
+        per = dp * _SWEEP_CHUNK
+        n_pad = -(-n_freq // per) * per
+        om_p = jnp.concatenate([om, jnp.ones((n_pad - n_freq,), om.dtype)])
+        om_c = jax.device_put(om_p.reshape(-1, dp, _SWEEP_CHUNK),
+                              NamedSharding(mesh, P(None, "dp", None)))
+        xr, xi = _direct_sweep_sharded_jit(
+            k, m, f, mask, om_c, jnp.asarray(alpha, dtype),
+            jnp.asarray(beta, dtype))
+    else:
+        n_pad = -(-n_freq // _SWEEP_CHUNK) * _SWEEP_CHUNK
+        om_p = jnp.concatenate([om, jnp.ones((n_pad - n_freq,), om.dtype)])
+        xr, xi = _direct_sweep_jit(k, m, f, mask,
+                                   om_p.reshape(-1, _SWEEP_CHUNK),
+                                   jnp.asarray(alpha, dtype),
+                                   jnp.asarray(beta, dtype))
     n = f.shape[0]
     return xr.reshape(-1, n)[:n_freq], xi.reshape(-1, n)[:n_freq]
 
@@ -135,6 +160,23 @@ def _direct_sweep_jit(k, m, f, mask, om_chunks, alpha, beta):
         return x[:n] * mask, x[n:] * mask
 
     return jax.lax.map(jax.vmap(solve_one), om_chunks)
+
+
+@jax.jit
+def _direct_sweep_sharded_jit(k, m, f, mask, om_chunks, alpha, beta):
+    """(n_seq, dp, chunk) frequency blocks; the middle axis is sharded."""
+    n = f.shape[0]
+
+    def solve_one(w):
+        a = k - (w * w) * jnp.diag(m)
+        a = a + jnp.diag(1.0 - mask)
+        b = w * (alpha * jnp.diag(m) + beta * k)
+        z = jnp.block([[a, -b], [b, a]])
+        rhs = jnp.concatenate([f, jnp.zeros_like(f)])
+        x = jnp.linalg.solve(z, rhs)
+        return x[:n] * mask, x[n:] * mask
+
+    return jax.lax.map(jax.vmap(jax.vmap(solve_one)), om_chunks)
 
 
 def _modal_sweep(problem, data, om, alpha, beta, n_modes):

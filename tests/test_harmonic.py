@@ -81,3 +81,20 @@ def test_resonance_peak_at_natural_frequency():
                             probe_dofs=np.array([6]))
     peak = om[np.argmax(res.amplitude[:, 0])]
     np.testing.assert_allclose(peak, wj, rtol=2e-2)
+
+
+def test_frequency_parallel_sweep_matches():
+    """The dp-sharded frequency sweep equals the single-device one on the
+    8-virtual-device mesh (frequencies are independent: no collectives)."""
+    import jax
+    from jax.sharding import Mesh
+
+    p = chain(n_elm=6)
+    om = np.linspace(0.05, 1.2, 100)     # non-multiple of dp*chunk: padding
+    plain = harmonic_response(p, om, damping=(0.2, 0.03))
+    n_dev = len(jax.devices())
+    mesh = Mesh(np.array(jax.devices()).reshape(n_dev, 1), ("dp", "tp"))
+    shard = harmonic_response(p, om, damping=(0.2, 0.03), mesh=mesh)
+    np.testing.assert_allclose(shard.amplitude, plain.amplitude,
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(shard.phase, plain.phase, atol=1e-5)
