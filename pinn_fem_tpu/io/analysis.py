@@ -27,6 +27,11 @@ drives a static solve gains:
 
     "analysis": {"type": "transient", "dt": "auto" | seconds,
                  "n_steps": 2000, "method": "central" | "newmark",
+                 "amplitudes": [[..], ..],   # (B, n_steps) ENSEMBLE mode:
+                                             # B histories integrate as one
+                                             # vmapped program with
+                                             # per-element |stress|
+                                             # envelopes per row
                  "damping": [alpha, beta],            # Rayleigh
                  "amplitude": [..] | {"type": "step"}
                              | {"type": "sine", "frequency_hz": f,
@@ -117,6 +122,41 @@ def run_modal(problem, analysis: Dict) -> Dict:
         # (n_modes, ndof) rows for readability in JSON.
         out["mode_shapes"] = res.shapes.T.tolist()
     return out
+
+
+def _run_transient_ensemble(problem, analysis, dt, n_steps, method,
+                            damping, record_every, probe) -> Dict:
+    """(B, n_steps) amplitude histories as one vmapped program
+    (parallel/batched.solve_transient_batched): per-row probe records and
+    whole-history per-element |stress| envelopes."""
+    from ..parallel.batched import solve_transient_batched
+
+    if method != "central":
+        raise ValueError("ensemble transient supports method='central'")
+    amps = np.asarray(analysis["amplitudes"], dtype=float)
+    if amps.ndim != 2 or amps.shape[1] != n_steps:
+        raise ValueError(f"amplitudes must be (B, n_steps={n_steps})")
+    out = solve_transient_batched(
+        problem, dt, n_steps, amplitudes=amps,
+        damping=(float(damping[0]), float(damping[1])),
+        probe_dofs=np.asarray(probe), record_every=record_every)
+    import jax
+
+    traj, env = jax.device_get((out["displacements"], out["max_stress"]))
+    return {
+        "success": True,
+        "analysis": "transient",
+        "ensemble": True,
+        "batch": int(amps.shape[0]),
+        "dt": float(dt),
+        "n_steps": n_steps,
+        "record_every": record_every,
+        "probe_dofs": np.asarray(probe).tolist(),
+        "times": (dt * record_every
+                  * np.arange(1, n_steps // record_every + 1)).tolist(),
+        "displacements": np.asarray(traj).tolist(),
+        "max_stress": np.asarray(env).tolist(),
+    }
 
 
 def run_buckling(problem, analysis: Dict) -> Dict:
@@ -254,7 +294,6 @@ def run_transient(problem, analysis: Dict) -> Dict:
     record_every = int(analysis.get("record_every", 1))
     if n_steps % record_every:
         raise ValueError("n_steps must be a multiple of record_every")
-    amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
     probe = _probe_dofs(analysis, problem)
     if (probe.size * (n_steps // record_every) > 4 * _SHAPES_JSON_DOF_LIMIT
             and "probe_dofs" not in analysis
@@ -264,6 +303,11 @@ def run_transient(problem, analysis: Dict) -> Dict:
             f"{probe.size} DOFs x {n_steps // record_every} snapshots to "
             "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
             "to bound the payload")
+    if "amplitudes" in analysis:         # ensemble mode
+        return _run_transient_ensemble(problem, analysis, dt, n_steps,
+                                       method, damping, record_every,
+                                       probe)
+    amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
 
     res = solve_transient(
         problem, dt=dt, n_steps=n_steps, amplitude=amplitude,

@@ -146,6 +146,29 @@ def test_http_transient_route(server_port):
     assert np.isfinite(np.array(res["displacements"])).all()
 
 
+def test_http_transient_ensemble(server_port):
+    """Batched amplitudes through the transient route: per-row probe
+    histories scale with the load (linear), stress envelopes included."""
+    doc = chain_problem_json()
+    doc["fixed_dofs"] = [0]
+    doc["loads"] = [0.0] * 8 + [1.0]
+    doc["analysis"] = {
+        "dt": 0.1, "n_steps": 200, "record_every": 20,
+        "probe_nodes": [8], "damping": [0.1, 0.0],
+        "amplitudes": [[0.5] * 200, [1.0] * 200],
+    }
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["ensemble"] and res["batch"] == 2
+    d = np.array(res["displacements"])      # (2, 10, 1)
+    assert d.shape == (2, 10, 1)
+    np.testing.assert_allclose(d[1], 2.0 * d[0], rtol=1e-4, atol=1e-8)
+    env = np.array(res["max_stress"])       # (2, nelm)
+    assert env.shape == (2, 8)
+    np.testing.assert_allclose(env[1], 2.0 * env[0], rtol=1e-4)
+
+
 def test_http_buckling_route(server_port):
     """Braced-column closed form through the HTTP tier: lam_1 = k_b L/P
     (tests/test_buckling.py derives it).  Uniform material here, so
