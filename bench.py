@@ -37,6 +37,45 @@ def main() -> int:
         rows.append(bench_one(path, repeats=5))
     wall_s = time.time() - t_start
 
+    # Dynamics headline: marginal explicit-transient step cost at 2M DOFs
+    # (differential t(N) - t(N/10), so fixed per-call cost cancels).
+    dyn_extra = {}
+    try:
+        import numpy as np
+
+        from benchmarks.scaling import chain_problem
+        from pinn_fem_tpu.solvers.dynamics import solve_transient, stable_dt
+
+        p = chain_problem(1_000_001)
+        data = p.to_device()
+        dt = stable_dt(p, data)
+        n_long, n_short = 4000, 400
+
+        def run(n):
+            return solve_transient(
+                p, dt=dt, n_steps=n, method="central", record_every=n,
+                probe_dofs=np.array([p.ndof - 2]), data=data,
+                fetch_state=False).displacements
+
+        run(n_long)
+        run(n_short)  # compile both
+
+        def med(n):
+            ts = []
+            for _ in range(3):
+                t0 = time.time()
+                run(n)
+                ts.append(time.time() - t0)
+            return float(np.median(ts))
+
+        t_step = (med(n_long) - med(n_short)) / (n_long - n_short)
+        dyn_extra = {
+            "transient_step_ms_2M_dofs": round(t_step * 1e3, 4),
+            "transient_steps_per_s": round(1.0 / t_step),
+        }
+    except Exception as e:  # the corpus metric must never be lost to this
+        dyn_extra = {"transient_bench_error": str(e)[:200]}
+
     total = sum(r["value"] for r in rows)
     base_total = sum(r["extra"]["baseline_s"] or 0.0 for r in rows)
     per_example = {
@@ -64,6 +103,7 @@ def main() -> int:
             "per_example": per_example,
             "bench_wall_s": round(wall_s, 1),
             "backend": jax.default_backend(),
+            **dyn_extra,
         },
     }))
     return 0
