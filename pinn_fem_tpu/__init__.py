@@ -37,6 +37,10 @@ from .ops.mass import (  # noqa: E402
     lumped_mass,
     total_mass,
 )
+from .ops.thermal import (  # noqa: E402
+    thermal_free_strains,
+    thermal_loads,
+)
 from .solvers.buckling import (  # noqa: E402
     BucklingResult,
     buckling_analysis,
@@ -107,6 +111,8 @@ __all__ = [
     "lumped_mass",
     "consistent_mass",
     "total_mass",
+    "thermal_loads",
+    "thermal_free_strains",
     "solve_transient",
     "solve_transient_checkpointed",
     "stable_dt",

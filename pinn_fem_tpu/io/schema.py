@@ -168,6 +168,22 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
         dimension=problem_dim,
     )
 
+    # Thermal loading extension: {"thermal": {"alpha": a, "delta_t": dT}}
+    # (dT scalar, per-element or per-node) adds the equivalent nodal
+    # forces E A alpha dT g (ops/thermal.py; exact for linear
+    # kinematics) to the load vector at parse time.
+    thermal = data.get("thermal")
+    if thermal:
+        import jax as _jax
+
+        from ..ops.thermal import element_delta_t, thermal_loads
+
+        tdata = problem.to_device()
+        dt_e = element_delta_t(tdata, thermal["delta_t"], n_nodes)
+        f_th = np.asarray(_jax.device_get(thermal_loads(
+            tdata, material, thermal.get("alpha", 1.0), dt_e)))
+        problem.loads = problem.loads + f_th
+
     sc = data.get("solver_config", {})
     pc = data.get("pinn_config", {})
 
@@ -211,6 +227,7 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
             # Dynamic-analysis extension (io/analysis.py); None for the
             # reference's statics-only problems.
             "analysis": data.get("analysis"),
+            "thermal": thermal,
         },
     )
 
