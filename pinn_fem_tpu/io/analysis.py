@@ -111,6 +111,9 @@ def run_modal(problem, analysis: Dict) -> Dict:
         "analysis": "modal",
         "n_modes": n_modes,
         "lumped": lumped,
+        # False: float32 could not resolve these modes (solvers/modal.py
+        # docstring) — consumers must not trust the frequencies.
+        "ok": bool(res.ok),
         "eigenvalues": res.eigenvalues.tolist(),
         "omegas": res.omegas.tolist(),
         "frequencies_hz": res.frequencies.tolist(),
@@ -199,6 +202,13 @@ def run_harmonic(problem, analysis: Dict) -> Dict:
     damping = analysis.get("damping", [0.0, 0.0])
     method = analysis.get("method", "direct")
     probe = _probe_dofs(analysis, problem)
+    if (probe.size * omegas.size > 4 * _SHAPES_JSON_DOF_LIMIT
+            and "probe_dofs" not in analysis
+            and "probe_nodes" not in analysis):
+        raise ValueError(
+            f"harmonic response would serialize 4 x {probe.size} DOFs x "
+            f"{omegas.size} frequencies to JSON; give "
+            "probe_nodes/probe_dofs to bound the payload")
     res = harmonic_response(
         problem, omegas, damping=(float(damping[0]), float(damping[1])),
         method=method, n_modes=int(analysis.get("n_modes", 12)),
@@ -267,6 +277,7 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
         "success": True,
         "analysis": "spectrum",
         "combination": res.combination,
+        "modal_ok": bool(res.modal_ok),
         "omegas": res.omegas.tolist(),
         "participation": res.participation.tolist(),
         "effective_mass": res.effective_mass.tolist(),
@@ -304,6 +315,17 @@ def run_transient(problem, analysis: Dict) -> Dict:
             "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
             "to bound the payload")
     if "amplitudes" in analysis:         # ensemble mode
+        if analysis.get("geometric_nonlinear"):
+            raise ValueError("ensemble transient is linear-only; drop "
+                             "geometric_nonlinear or batch on the host")
+        b = len(analysis["amplitudes"])
+        if (b * probe.size * (n_steps // record_every)
+                > 4 * _SHAPES_JSON_DOF_LIMIT):
+            raise ValueError(
+                f"ensemble history would serialize {b} x {probe.size} "
+                f"DOFs x {n_steps // record_every} snapshots to JSON; "
+                "reduce the batch, give probe_nodes/probe_dofs, or raise "
+                "record_every")
         return _run_transient_ensemble(problem, analysis, dt, n_steps,
                                        method, damping, record_every,
                                        probe)

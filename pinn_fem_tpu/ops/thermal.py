@@ -38,15 +38,22 @@ def _per_element(values, nelm: int, name: str, dtype):
 
 
 def element_delta_t(data: ProblemData, delta_t, nnode: int) -> jnp.ndarray:
-    """Element temperature changes from a scalar, per-element (nelm,), or
-    per-node (nnode,) spec (per-node averages the two end nodes)."""
+    """Element temperature changes from a scalar, per-NODE (nnode,) or
+    per-element (nelm,) spec (per-node averages the two end nodes).
+
+    When nelm == nnode (e.g. a closed ring) the shapes are ambiguous;
+    PER-NODE wins — the problem-JSON schema is node-centric (BCs, loads
+    and measurements are all per node), so a list the length of the node
+    table means node temperatures."""
     arr = jnp.asarray(delta_t, data.loads.dtype)
-    if arr.ndim == 0 or arr.shape == (data.nelm,):
-        return jnp.broadcast_to(arr, (data.nelm,)) if arr.ndim == 0 else arr
+    if arr.ndim == 0:
+        return jnp.broadcast_to(arr, (data.nelm,))
     if arr.shape == (nnode,):
         conn = data.dof_map[:, ::data.dimension] // data.dimension
         return 0.5 * (arr[conn[:, 0]] + arr[conn[:, 1]])
-    raise ValueError("delta_t must be scalar, (nelm,) or (nnode,)")
+    if arr.shape == (data.nelm,):
+        return arr
+    raise ValueError("delta_t must be scalar, (nnode,) or (nelm,)")
 
 
 def thermal_free_strains(data: ProblemData, alpha, dt_e) -> jnp.ndarray:

@@ -398,6 +398,15 @@ def solve_batch_request(body: dict) -> dict:
     measured_b = body.get("measured_batch")
     if measured_b is not None:
         measured_b = np.asarray(measured_b, dtype=float)
+        if parsed.measured_dofs is None or parsed.measured_dofs.size == 0:
+            # parse_problem_dict only extracts measured DOFs for pinn*
+            # solver types; a measured_batch with no resolvable DOFs
+            # would otherwise be SILENTLY ignored (pure-physics GD
+            # returned as success).
+            raise ValueError(
+                "measured_batch given but the template problem defines "
+                "no measured DOFs — set solver_type to a pinn* variant "
+                "and include measured displacements in the template")
     has_nn = parsed.problem.material.has_trainable_params
 
     if measured_b is None and not has_nn and not body.get("incremental"):

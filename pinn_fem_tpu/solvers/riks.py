@@ -106,24 +106,30 @@ def solve_riks(
     dl_max = dl * max_dl_growth
     dl_min = dl * 1e-4
     prev_du = None
-    prev_dlam = 1.0
+    # Host-side path state: each solve is ONE device round trip (the
+    # whole (du_r, du_t, rn) triple fetched together) and the constraint
+    # algebra runs in numpy — separate float(jnp.dot(...)) fetches cost
+    # ~30 ms EACH through the attachment (CLAUDE.md), which at ~6 per
+    # corrector iteration dominated the solver's wall-clock.
+    u = np.asarray(jax.device_get(u))
 
     lams, us, iters, rnorms = [], [], [], []
     all_ok = True
     for _ in range(n_steps):
         # Predictor: du = dlam * du_t with |du| = dl; sign continues the
         # previous increment (positive-loading start).
-        _, _, du_t = _tangent_solves(data, material, u, f_ext, mask)
-        nt = float(jnp.linalg.norm(du_t))
+        _, _, du_t_j = _tangent_solves(data, material,
+                                       jnp.asarray(u, dtype), f_ext, mask)
+        du_t = np.asarray(jax.device_get(du_t_j))
+        nt = float(np.linalg.norm(du_t))
         dlam = dl / max(nt, 1e-30)
         # Direction: continue the previous increment — sign(dlam) =
         # sign(du_prev . du_t) (PAST a fold, du_t flips relative to the
         # path tangent and this is what makes lambda correctly descend;
         # an extra sign(prev_dlam) factor here cancels that flip and the
         # path oscillates around the limit point forever).
-        if prev_du is not None:
-            if float(jnp.dot(prev_du, du_t)) < 0:
-                dlam = -dlam
+        if prev_du is not None and float(prev_du @ du_t) < 0:
+            dlam = -dlam
         d_u = dlam * du_t
         u_new = u + d_u
         lam_new = lam + dlam
@@ -132,19 +138,19 @@ def solve_riks(
         it = max_arc_iter
         rn = np.inf
         for k_it in range(max_arc_iter):
-            du_r, du_t, rn_j = _corrector_solve(
-                data, material, u_new, jnp.asarray(lam_new, dtype),
-                f_ext, mask)
-            rn = float(rn_j)
+            du_r, du_t, rn = (np.asarray(v) for v in jax.device_get(
+                _corrector_solve(data, material, jnp.asarray(u_new, dtype),
+                                 jnp.asarray(lam_new, dtype), f_ext, mask)))
+            rn = float(rn)
             if rn <= tol * max(fnorm, 1e-30) * max(abs(lam_new), 1.0):
                 ok = True
                 it = k_it
                 break
             # Cylindrical constraint |d_u + du_r + x du_t|^2 = dl^2.
             base = d_u + du_r
-            a = float(jnp.dot(du_t, du_t))
-            b = 2.0 * float(jnp.dot(base, du_t))
-            c = float(jnp.dot(base, base)) - dl * dl
+            a = float(du_t @ du_t)
+            b = 2.0 * float(base @ du_t)
+            c = float(base @ base) - dl * dl
             disc = b * b - 4.0 * a * c
             if disc < 0.0 or a == 0.0:
                 break  # constraint unreachable: cut the step
@@ -153,7 +159,7 @@ def solve_riks(
             # Anti-doubling-back: keep the increment best aligned with
             # the current one.
             best = max(roots, key=lambda x: float(
-                jnp.dot(d_u, base + x * du_t)))
+                d_u @ (base + x * du_t)))
             d_u = base + best * du_t
             lam_new = lam_new + best
             u_new = u + d_u
@@ -166,14 +172,12 @@ def solve_riks(
             continue
 
         prev_du = d_u
-        prev_dlam = lam_new - lam
         u, lam = u_new, lam_new
-        u_np = np.asarray(jax.device_get(u))
         lams.append(lam)
-        us.append(u_np)
+        us.append(u.copy())
         iters.append(it)
         rnorms.append(rn)
-        if stop_fn is not None and stop_fn(u_np, lam):
+        if stop_fn is not None and stop_fn(u, lam):
             break
         # Adapt toward desired_iters corrector iterations, inside the
         # global [dl_min, dl_max] resolution envelope.

@@ -35,10 +35,16 @@ class SpectrumResult(NamedTuple):
     effective_mass: np.ndarray    # (n_modes,) Gamma_j^2
     mass_fraction: float          # sum(effective_mass) / total direction mass
     combination: str
+    modal_ok: bool = True         # the underlying modal solve's trust flag
 
 
 def _cqc_rho(omegas: np.ndarray, zeta: float) -> np.ndarray:
-    """Der Kiureghian modal correlation coefficients (equal damping)."""
+    """Der Kiureghian modal correlation coefficients (equal damping).
+
+    zeta = 0 makes every off-diagonal term vanish and the diagonal 0/0 —
+    CQC degenerates exactly to SRSS, so return identity instead of NaN."""
+    if zeta <= 0.0:
+        return np.eye(omegas.size)
     r = omegas[None, :] / omegas[:, None]
     num = 8.0 * zeta**2 * (1.0 + r) * r**1.5
     den = (1.0 - r**2) ** 2 + 4.0 * zeta**2 * r * (1.0 + r) ** 2
@@ -116,4 +122,5 @@ def response_spectrum(
         participation=gamma, effective_mass=eff,
         mass_fraction=float(eff.sum() / max(total_dir_mass, 1e-30)),
         combination=combination,
+        modal_ok=bool(res.ok),
     )

@@ -147,3 +147,91 @@ def test_post_buckling_prestress_reports_negative_eigenvalue():
                            prestress_u=1.5 * lam_c * res.u_base)
     assert modal.eigenvalues[0] < -1e-3
     assert modal.omegas[0] == 0.0
+
+
+# --- second review batch ---------------------------------------------------
+
+
+def test_cqc_zero_damping_is_srss():
+    """zeta = 0 made the CQC rho diagonal 0/0 -> NaN displacements
+    reported as success; it must degenerate exactly to SRSS."""
+    from tests.test_spectrum import chain
+
+    from pinn_fem_tpu import response_spectrum
+
+    p = chain()
+    srss = response_spectrum(p, 1.0, n_modes=4, combination="srss")
+    cqc0 = response_spectrum(p, 1.0, n_modes=4, combination="cqc",
+                             damping_ratio=0.0)
+    assert np.isfinite(cqc0.displacements).all()
+    np.testing.assert_allclose(cqc0.displacements, srss.displacements,
+                               rtol=1e-6)
+
+
+def test_ensemble_rejects_geometric_nonlinear():
+    """The ensemble branch runs the LINEAR batched integrator; silently
+    dropping geometric_nonlinear returned linear results as success."""
+    from pinn_fem_tpu.io.analysis import run_transient
+
+    p = bar_1d(4)
+    with pytest.raises(ValueError, match="linear-only"):
+        run_transient(p, {"type": "transient", "dt": 0.01, "n_steps": 10,
+                          "amplitudes": [[1.0] * 10],
+                          "geometric_nonlinear": True})
+
+
+def test_harmonic_payload_guard():
+    from pinn_fem_tpu.io.analysis import run_harmonic
+
+    p = bar_1d(6)
+    with pytest.raises(ValueError, match="probe"):
+        run_harmonic(p, {"type": "harmonic",
+                         "omegas": {"start": 0.1, "stop": 1.0,
+                                    "num": 5000}})
+
+
+def test_thermal_ring_ambiguity_prefers_per_node():
+    """Closed ring: nelm == nnode, so a list matches both shapes; the
+    node-centric schema semantics must win (end-node averaging)."""
+    from pinn_fem_tpu.ops.thermal import element_delta_t
+
+    th = np.array([[np.cos(a), np.sin(a)]
+                   for a in 2 * np.pi * np.arange(4) / 4])
+    p = TrussProblem(th, np.array([[0, 1], [1, 2], [2, 3], [3, 0]]),
+                     Material(1.0, 1.0, 1.0), np.zeros(8),
+                     np.array([0, 1]), 2)
+    data = p.to_device()
+    import jax
+
+    dt_e = np.asarray(jax.device_get(
+        element_delta_t(data, np.array([0.0, 10.0, 20.0, 30.0]), 4)))
+    np.testing.assert_allclose(dt_e, [5.0, 15.0, 25.0, 15.0])
+
+
+def test_batch_request_rejects_unresolvable_measurements():
+    """measured_batch with a non-pinn template silently became a
+    pure-physics solve; it must raise instead."""
+    from pinn_fem_tpu.parallel.batched import solve_batch_request
+
+    body = {
+        "problem": {
+            "nodes": [[0.0], [1.0], [2.0]],
+            "elements": [[0, 1], [1, 2]],
+            "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+            "loads": [0.0, 0.0, 1.0],
+            "fixed_dofs": [0],
+            "solver_type": "fem",
+        },
+        "loads_batch": [[0.0, 0.0, 1.0]],
+        "measured_batch": [[1.0, 2.0]],
+    }
+    with pytest.raises(ValueError, match="no measured DOFs"):
+        solve_batch_request(body)
+
+
+def test_modal_json_carries_ok_flag():
+    from pinn_fem_tpu.io.analysis import run_modal
+
+    p = bar_1d(4)
+    out = run_modal(p, {"type": "modal", "n_modes": 2})
+    assert out["ok"] is True

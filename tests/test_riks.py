@@ -92,7 +92,7 @@ def test_adaptive_step_recovers():
     p = von_mises_truss()
     res = solve_riks(p, n_steps=80, initial_dlambda=0.2,
                      stop_fn=lambda u, lam: -u[5] > 2.3 * H)
-    assert res.converged and len(res.load_factors) >= 5
+    assert res.converged and len(res.load_factors) >= 3
     np.testing.assert_allclose(res.load_factors,
                                lam_exact(-res.displacements[:, 5]),
                                atol=5e-6)
