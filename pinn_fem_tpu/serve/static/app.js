@@ -381,6 +381,70 @@ document.getElementById("modal-btn").addEventListener("click", () =>
 document.getElementById("buckling-btn").addEventListener("click", () =>
   runAnalysis("buckling", { n_modes: 4, include_shapes: true }));
 
+async function runTransient() {
+  const status = document.getElementById("dyn-status");
+  // Probe the loaded DOFs (fall back to the last node's x).
+  const probeNodes = state.nodes
+    .map((n, i) => (n.fx ? i : -1)).filter((i) => i >= 0);
+  if (!probeNodes.length && state.nodes.length) {
+    probeNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Integrating…";
+  try {
+    const problem = buildProblem();
+    problem.analysis = {
+      type: "transient", dt: "auto", n_steps: 4000, record_every: 20,
+      damping: [0.05, 0.0], probe_nodes: probeNodes,
+      amplitude: { type: "step" },
+    };
+    const resp = await fetch("/api/fem/transient", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "transient failed");
+    const r = data.result;
+    drawTimeSeries(r.times, r.displacements);
+    status.textContent = `Step response: ${r.n_steps} steps `
+      + `(dt=${r.dt.toExponential(2)}), probes: nodes `
+      + probeNodes.join(", ");
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+function drawTimeSeries(times, series) {
+  const cv = document.getElementById("dyn-chart");
+  cv.style.display = "block";
+  const g = cv.getContext("2d");
+  g.clearRect(0, 0, cv.width, cv.height);
+  const cols = series[0].length;
+  let lo = Infinity, hi = -Infinity;
+  for (const row of series) for (const v of row) {
+    if (v < lo) lo = v;
+    if (v > hi) hi = v;
+  }
+  if (hi - lo < 1e-12) { hi = lo + 1; }
+  const x = (i) => 4 + (cv.width - 8) * i / (times.length - 1);
+  const y = (v) => cv.height - 6 - (cv.height - 12) * (v - lo) / (hi - lo);
+  g.strokeStyle = "#2a3342";
+  g.beginPath(); g.moveTo(4, y(0)); g.lineTo(cv.width - 4, y(0)); g.stroke();
+  const colors = ["#4ea1ff", "#39c07f", "#e4b34a", "#e46a6a"];
+  for (let c = 0; c < Math.min(cols, 4); c++) {
+    g.strokeStyle = colors[c];
+    g.lineWidth = 1.5;
+    g.beginPath();
+    series.forEach((row, i) => {
+      if (i === 0) g.moveTo(x(i), y(row[c]));
+      else g.lineTo(x(i), y(row[c]));
+    });
+    g.stroke();
+  }
+}
+
+document.getElementById("transient-btn").addEventListener("click",
+                                                          runTransient);
+
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {
   document.getElementById(`mode-${m}`).addEventListener("click", () => {

@@ -115,6 +115,27 @@ def test_react_ui_dynamics_panel_payload_served():
     assert np.asarray(out["mode_shapes"]).shape == (3, 8)
 
 
+def test_static_ui_transient_payload_served():
+    """The Transient button's POST body (buildProblem() + the analysis
+    block app.js runTransient() attaches, probing the loaded node)
+    through the live handler: the undamped-ish step response must
+    oscillate around the static solution u_x(node3) = 3."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture("ui_payload_modal.json")
+    payload["solver_type"] = "fem"
+    payload["analysis"] = {
+        "type": "transient", "dt": "auto", "n_steps": 4000,
+        "record_every": 20, "damping": [0.05, 0.0],
+        "probe_nodes": [3], "amplitude": {"type": "step"},
+    }
+    out = _solve_analysis("transient")(payload)
+    assert out["success"]
+    ux = np.asarray(out["displacements"])[:, 0]  # node3 x DOF
+    assert ux.max() > 3.0 and ux.min() < 3.0     # straddles static u=3
+    assert np.isfinite(ux).all()
+
+
 @pytest.mark.parametrize(
     "fixture", ["ui_payload_react.json", "ui_payload_static.json"]
 )
