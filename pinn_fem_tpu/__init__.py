@@ -58,9 +58,11 @@ from .solvers.harmonic import (  # noqa: E402
 )
 from .solvers.modal import (  # noqa: E402
     ModalResult,
+    mac,
     modal_analysis,
     modal_eigenpairs,
     modal_eigenvalues,
+    rayleigh_coefficients,
 )
 from .solvers.driver import solve  # noqa: E402
 from .solvers.full_newton import solve_full_nr  # noqa: E402
@@ -120,6 +122,8 @@ __all__ = [
     "modal_analysis",
     "modal_eigenvalues",
     "modal_eigenpairs",
+    "rayleigh_coefficients",
+    "mac",
     "buckling_analysis",
     "buckling_eigenvalues",
     "BucklingResult",

@@ -152,12 +152,10 @@ def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
         rhs = m_diag[:, None] * y
         y = solve_col(rhs, y)                          # K^-1 M X
         w_prev = w
-        # Rayleigh-Ritz in the M inner product.  KEY precision move:
-        # K y = rhs by construction of the solve, so Y^T K Y = Y^T rhs —
-        # entries ~ 1/lambda with NO cancellation, where an explicit
-        # Y^T (K Y) product cancels ~log10(||K||/lambda) digits and
-        # destroys the lowest modes in float32 (lambda_1/||K|| below
-        # ~1e-6 was silently wrong before this).
+        # Rayleigh-Ritz in the M inner product: K y = rhs by the solve's
+        # construction, so Y^T K Y = Y^T rhs — A/B-measured equal in
+        # accuracy to the explicit Y^T (K Y) form (module docstring) and
+        # one banded matvec per iteration cheaper.
         a_r = y.T @ rhs
         a_r = 0.5 * (a_r + a_r.T)
         m_r = y.T @ (m_diag[:, None] * y)
@@ -327,3 +325,35 @@ def modal_analysis(
         frequencies=omegas / (2.0 * np.pi),
         shapes=np.asarray(shapes), residuals=res_np, ok=ok,
     )
+
+
+def rayleigh_coefficients(omega_1: float, zeta_1: float,
+                          omega_2: float, zeta_2: float):
+    """(alpha, beta) giving Rayleigh damping C = alpha M + beta K with the
+    prescribed damping ratios at two angular frequencies.
+
+    From zeta(w) = alpha/(2w) + beta w/2 — the standard calibration
+    engineers run before every transient analysis (pick the first mode
+    and the highest mode of interest).  With zeta_1 = zeta_2 = z:
+    alpha = 2 z w1 w2/(w1+w2), beta = 2 z/(w1+w2)."""
+    if omega_1 <= 0 or omega_2 <= 0 or omega_1 == omega_2:
+        raise ValueError("need two distinct positive frequencies")
+    a = np.array([[1.0 / (2.0 * omega_1), omega_1 / 2.0],
+                  [1.0 / (2.0 * omega_2), omega_2 / 2.0]])
+    alpha, beta = np.linalg.solve(a, np.array([zeta_1, zeta_2]))
+    return float(alpha), float(beta)
+
+
+def mac(phi_a: np.ndarray, phi_b: np.ndarray) -> np.ndarray:
+    """Modal Assurance Criterion matrix between two mode-shape sets.
+
+    MAC_ij = |phi_a_i . phi_b_j|^2 / (|phi_a_i|^2 |phi_b_j|^2) in [0, 1]
+    — 1 on the diagonal means the sets describe the same modes regardless
+    of scaling/sign; the standard test-vs-model shape-correlation metric.
+    Accepts (ndof,) vectors or (ndof, n) matrices."""
+    a = np.atleast_2d(np.asarray(phi_a, dtype=float).T).T
+    b = np.atleast_2d(np.asarray(phi_b, dtype=float).T).T
+    num = (a.T @ b) ** 2
+    den = (np.sum(a * a, axis=0)[:, None]
+           * np.sum(b * b, axis=0)[None, :])
+    return num / np.maximum(den, 1e-300)

@@ -157,3 +157,35 @@ def test_tripod_modal_3d():
     k_z = 3.0 / (2.0 * np.sqrt(2.0))
     # The z mode is decoupled by symmetry; one eigenvalue equals k_z/m.
     assert np.min(np.abs(res.eigenvalues - k_z / m_apex)) < 1e-5
+
+
+def test_rayleigh_coefficients_calibration():
+    """Calibrated (alpha, beta) reproduce the target ratios at both
+    frequencies and the exact modal damping in solve_transient's model."""
+    from pinn_fem_tpu.solvers.modal import rayleigh_coefficients
+
+    w1, w2, z = 2.0, 10.0, 0.03
+    alpha, beta = rayleigh_coefficients(w1, z, w2, z)
+    np.testing.assert_allclose(alpha, 2 * z * w1 * w2 / (w1 + w2))
+    np.testing.assert_allclose(beta, 2 * z / (w1 + w2))
+    for w, zt in ((w1, z), (w2, z)):
+        np.testing.assert_allclose(alpha / (2 * w) + beta * w / 2, zt)
+    # Distinct targets too.
+    alpha, beta = rayleigh_coefficients(1.0, 0.02, 8.0, 0.05)
+    np.testing.assert_allclose(alpha / 2.0 + beta / 2.0, 0.02)
+    np.testing.assert_allclose(alpha / 16.0 + 4.0 * beta, 0.05)
+
+
+def test_mac_identity_and_orthogonal():
+    from pinn_fem_tpu.solvers.modal import mac
+
+    p = fixed_fixed_chain()
+    res = modal_analysis(p, n_modes=4)
+    m = mac(res.shapes, res.shapes)
+    # Same set: unit diagonal; distinct chain modes are near-orthogonal.
+    np.testing.assert_allclose(np.diag(m), 1.0, rtol=1e-6)
+    off = m - np.diag(np.diag(m))
+    assert off.max() < 0.05
+    # Sign/scale invariance.
+    m2 = mac(res.shapes, -3.7 * res.shapes)
+    np.testing.assert_allclose(np.diag(m2), 1.0, rtol=1e-6)
