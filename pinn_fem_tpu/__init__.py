@@ -70,6 +70,15 @@ from .solvers.fused import solve_fused  # noqa: E402
 from .solvers.gauss_newton import solve_gauss_newton  # noqa: E402
 from .solvers.gd import solve_gd  # noqa: E402
 from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.random_response import (  # noqa: E402
+    RandomResponseResult,
+    random_response,
+)
+from .solvers.reduction import (  # noqa: E402
+    ReducedModel,
+    guyan_reduce,
+    reduce_loads,
+)
 from .solvers.riks import (  # noqa: E402
     RiksResult,
     solve_riks,
@@ -135,6 +144,11 @@ __all__ = [
     "SpectrumResult",
     "solve_riks",
     "RiksResult",
+    "random_response",
+    "RandomResponseResult",
+    "guyan_reduce",
+    "reduce_loads",
+    "ReducedModel",
     "ModalResult",
     "solve",
     "solve_nr",

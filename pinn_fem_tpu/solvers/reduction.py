@@ -1,0 +1,90 @@
+"""Guyan reduction (static condensation): exact superelements for statics,
+mass-approximate for dynamics.
+
+Partition DOFs into retained MASTERS m and condensed SLAVES s; with
+T = [I; -K_ss^{-1} K_sm],
+
+    K_red = T^T K T = K_mm - K_ms K_ss^{-1} K_sm      (EXACT for statics:
+        any load applied at masters gives identical master displacements)
+    M_red = T^T M T                                   (Guyan approximation:
+        slave inertia is ignored dynamically; low modes whose shapes are
+        well-captured by static interpolation stay accurate)
+    f_red = T^T f                                     (slave loads carry
+        over consistently)
+
+Classic model-order reduction / substructuring — build once, reuse the
+small (n_m, n_m) superelement for repeated solves, or hand it to the
+dense modal/harmonic machinery.  Fixed DOFs may appear in neither set
+(they are eliminated by masking first).  No counterpart exists in the
+reference."""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import TrussProblem
+from ..ops.assembly import assemble_system
+from ..ops.mass import lumped_mass
+
+
+class ReducedModel(NamedTuple):
+    k_red: np.ndarray        # (n_m, n_m)
+    m_red: np.ndarray        # (n_m, n_m)
+    t: np.ndarray            # (n_free, n_m) recovery basis (master->free)
+    master_dofs: np.ndarray  # (n_m,) global DOF indices
+    free_dofs: np.ndarray    # (n_free,) global DOF order of t's rows
+
+    def expand(self, u_m: np.ndarray, ndof: int) -> np.ndarray:
+        """(n_m,) master displacements -> (ndof,) full vector (zeros on
+        fixed DOFs; slaves recovered by static interpolation)."""
+        u = np.zeros(ndof)
+        u[self.free_dofs] = self.t @ np.asarray(u_m).reshape(-1)
+        return u
+
+
+def guyan_reduce(problem: TrussProblem,
+                 master_dofs: Sequence[int],
+                 data=None) -> ReducedModel:
+    """Condense the free DOFs onto the given masters (global DOF ids;
+    must be free)."""
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    free_idx, _ = problem.free_fixed()
+    free_idx = np.asarray(free_idx)
+    masters = np.asarray(master_dofs, dtype=int)
+    if np.setdiff1d(masters, free_idx).size:
+        raise ValueError("master_dofs must be free DOFs")
+    pos = {int(d): i for i, d in enumerate(free_idx)}
+    m_loc = np.array([pos[int(d)] for d in masters])
+    s_loc = np.setdiff1d(np.arange(free_idx.size), m_loc)
+
+    k = assemble_system(data, problem.material,
+                        jnp.zeros(problem.ndof, dtype))[0]
+    k_ff = np.asarray(jax.device_get(
+        k[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]))
+    m_diag = np.asarray(jax.device_get(
+        lumped_mass(data, problem.material)))[free_idx]
+
+    k_mm = k_ff[np.ix_(m_loc, m_loc)]
+    k_ms = k_ff[np.ix_(m_loc, s_loc)]
+    k_ss = k_ff[np.ix_(s_loc, s_loc)]
+    # T maps master displacements to ALL free DOFs.
+    phi_s = -np.linalg.solve(k_ss, k_ms.T)          # (n_s, n_m)
+    t = np.zeros((free_idx.size, m_loc.size))
+    t[m_loc, np.arange(m_loc.size)] = 1.0
+    t[s_loc] = phi_s
+    k_red = k_mm + k_ms @ phi_s                     # == T^T K T, symmetric
+    k_red = 0.5 * (k_red + k_red.T)
+    m_red = t.T @ (m_diag[:, None] * t)
+    m_red = 0.5 * (m_red + m_red.T)
+    return ReducedModel(k_red=k_red, m_red=m_red, t=t,
+                        master_dofs=masters, free_dofs=free_idx)
+
+
+def reduce_loads(model: ReducedModel, loads: np.ndarray) -> np.ndarray:
+    """(ndof,) loads -> (n_m,) consistent reduced loads f_red = T^T f."""
+    return model.t.T @ np.asarray(loads).reshape(-1)[model.free_dofs]
