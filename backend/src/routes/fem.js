@@ -44,7 +44,8 @@ function solveAnalysis(kind) {
   };
 }
 
-for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum']) {
+for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
+                    'continuation', 'random']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 

@@ -19,6 +19,11 @@ drives a static solve gains:
                  "initial_dlambda": 0.02, "stop_lambda_abs": 5.0,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
+    "analysis": {"type": "random", "psd": S0 | {"omegas": [..],
+                                                "values": [..]},
+                 "omegas": {..}, "damping": [alpha, beta],
+                 "probe_nodes": [..]}
+
     "analysis": {"type": "harmonic", "damping": [alpha, beta],
                  "method": "direct" | "modal", "n_modes": 12,
                  "omegas": [..] | {"start": w0, "stop": w1, "num": 100,
@@ -254,6 +259,45 @@ def run_continuation(problem, analysis: Dict) -> Dict:
     }
 
 
+def run_random(problem, analysis: Dict) -> Dict:
+    """Execute a random-vibration block (solvers/random_response.py)."""
+    from ..solvers.random_response import random_response
+
+    omegas = _omega_array(analysis["omegas"])
+    damping = analysis.get("damping", [0.0, 0.0])
+    probe = _probe_dofs(analysis, problem)
+    if (probe.size * omegas.size > 4 * _SHAPES_JSON_DOF_LIMIT
+            and "probe_dofs" not in analysis
+            and "probe_nodes" not in analysis):
+        raise ValueError(
+            "random-response PSDs would serialize "
+            f"{probe.size} DOFs x {omegas.size} frequencies to JSON; "
+            "give probe_nodes/probe_dofs to bound the payload")
+    psd_spec = analysis.get("psd", 1.0)
+    if isinstance(psd_spec, dict):
+        om_tab = np.asarray(psd_spec["omegas"], dtype=float)
+        val_tab = np.asarray(psd_spec["values"], dtype=float)
+
+        def load_psd(om):
+            return np.interp(om, om_tab, val_tab)
+    else:
+        load_psd = float(psd_spec)
+    res = random_response(
+        problem, load_psd, omegas,
+        damping=(float(damping[0]), float(damping[1])),
+        method=analysis.get("method", "direct"),
+        n_modes=int(analysis.get("n_modes", 12)),
+        probe_dofs=probe)
+    return {
+        "success": True,
+        "analysis": "random",
+        "omegas": res.omegas.tolist(),
+        "probe_dofs": probe.tolist(),
+        "psd": res.psd.tolist(),
+        "rms": res.rms.tolist(),
+    }
+
+
 def run_spectrum(problem, analysis: Dict) -> Dict:
     """Execute a response-spectrum block (solvers/spectrum.py)."""
     from ..solvers.spectrum import response_spectrum
@@ -376,6 +420,8 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_spectrum(problem, analysis)
     if kind == "continuation":
         return run_continuation(problem, analysis)
+    if kind == "random":
+        return run_random(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
-                     f'"buckling", "harmonic", "spectrum" or '
-                     f'"continuation", got {kind!r}')
+                     f'"buckling", "harmonic", "spectrum", '
+                     f'"continuation" or "random", got {kind!r}')

@@ -136,6 +136,7 @@ _ROUTES = {
     "/api/fem/spectrum": (_solve_analysis("spectrum"), FEM_TIMEOUT_S),
     "/api/fem/continuation": (_solve_analysis("continuation"),
                               PINN_TIMEOUT_S),
+    "/api/fem/random": (_solve_analysis("random"), FEM_TIMEOUT_S),
 }
 
 

@@ -245,3 +245,27 @@ def test_bad_analysis_type_errors(server_port):
     # analysis.type explicitly set wins over the route default -> error.
     assert status == 500 and body["success"] is False
     assert "spectral" in body["error"]
+
+
+def test_http_random_route(server_port):
+    """White-noise SDOF through HTTP: rms^2 = pi S0 / (2 k c) within
+    quadrature tolerance (k = 4, c = alpha m = 0.5)."""
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 4.0, "area": 1.0, "density": 2.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"psd": 0.37,
+                     "omegas": {"start": 0.001, "stop": 60.0,
+                                "num": 6000},
+                     "damping": [0.5, 0.0], "probe_nodes": [1]},
+    }
+    status, body = _post(server_port, "/api/fem/random", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["analysis"] == "random"
+    sigma2 = np.array(res["rms"])[0] ** 2
+    np.testing.assert_allclose(sigma2, np.pi * 0.37 / (2 * 4.0 * 0.5),
+                               rtol=0.05)
