@@ -76,6 +76,7 @@ from .solvers.random_response import (  # noqa: E402
 )
 from .solvers.reduction import (  # noqa: E402
     ReducedModel,
+    craig_bampton,
     guyan_reduce,
     reduce_loads,
 )
@@ -147,6 +148,7 @@ __all__ = [
     "random_response",
     "RandomResponseResult",
     "guyan_reduce",
+    "craig_bampton",
     "reduce_loads",
     "ReducedModel",
     "ModalResult",

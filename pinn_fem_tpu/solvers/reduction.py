@@ -88,3 +88,62 @@ def guyan_reduce(problem: TrussProblem,
 def reduce_loads(model: ReducedModel, loads: np.ndarray) -> np.ndarray:
     """(ndof,) loads -> (n_m,) consistent reduced loads f_red = T^T f."""
     return model.t.T @ np.asarray(loads).reshape(-1)[model.free_dofs]
+
+
+def craig_bampton(problem: TrussProblem,
+                  master_dofs: Sequence[int],
+                  n_modes: int = 4,
+                  data=None) -> ReducedModel:
+    """Craig-Bampton reduction: Guyan's static basis AUGMENTED with the
+    first n_modes fixed-interface normal modes of the slave block.
+
+    T = [[I, 0], [-K_ss^{-1} K_sm, Phi_s]], Phi_s the mass-normalized
+    eigenvectors of (K_ss, M_ss).  Statics stay EXACT (the Guyan columns
+    are untouched); dynamics improve dramatically — the slave inertia
+    Guyan drops re-enters through the modal coordinates, so reduced
+    frequencies converge with a handful of interface modes instead of a
+    dense master set (tests/test_reduction.py quantifies the gap).
+
+    The extra columns are generalized coordinates: ReducedModel.t maps
+    [u_m; q] to the free DOFs and expand() recovers the full vector.
+    """
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    free_idx, _ = problem.free_fixed()
+    free_idx = np.asarray(free_idx)
+    masters = np.asarray(master_dofs, dtype=int)
+    if np.setdiff1d(masters, free_idx).size:
+        raise ValueError("master_dofs must be free DOFs")
+    pos = {int(d): i for i, d in enumerate(free_idx)}
+    m_loc = np.array([pos[int(d)] for d in masters])
+    s_loc = np.setdiff1d(np.arange(free_idx.size), m_loc)
+    n_modes = min(n_modes, s_loc.size)
+
+    k = assemble_system(data, problem.material,
+                        jnp.zeros(problem.ndof, dtype))[0]
+    k_ff = np.asarray(jax.device_get(
+        k[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]))
+    m_diag = np.asarray(jax.device_get(
+        lumped_mass(data, problem.material)))[free_idx]
+
+    k_ms = k_ff[np.ix_(m_loc, s_loc)]
+    k_ss = k_ff[np.ix_(s_loc, s_loc)]
+    phi_stat = -np.linalg.solve(k_ss, k_ms.T)        # (n_s, n_m)
+
+    # Fixed-interface modes of (K_ss, diag(m_s)).
+    d = np.sqrt(m_diag[s_loc])
+    b = k_ss / d[:, None] / d[None, :]
+    w2, y = np.linalg.eigh(0.5 * (b + b.T))
+    phi_modes = (y[:, :n_modes] / d[:, None])        # mass-normalized
+
+    n_m = m_loc.size
+    t = np.zeros((free_idx.size, n_m + n_modes))
+    t[m_loc, np.arange(n_m)] = 1.0
+    t[s_loc, :n_m] = phi_stat
+    t[s_loc, n_m:] = phi_modes
+    k_red = t.T @ (k_ff @ t)
+    m_red = t.T @ (m_diag[:, None] * t)
+    k_red = 0.5 * (k_red + k_red.T)
+    m_red = 0.5 * (m_red + m_red.T)
+    return ReducedModel(k_red=k_red, m_red=m_red, t=t,
+                        master_dofs=masters, free_dofs=free_idx)

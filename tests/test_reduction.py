@@ -79,3 +79,36 @@ def test_rejects_fixed_masters():
     p = chain()
     with pytest.raises(ValueError, match="free"):
         guyan_reduce(p, master_dofs=[0, 4])
+
+def test_craig_bampton_beats_guyan():
+    """Same masters: CB with 2 interface modes must reproduce the first
+    TWO full frequencies far better than Guyan, with statics still
+    exact."""
+    from pinn_fem_tpu import modal_analysis
+    from pinn_fem_tpu.solvers.reduction import craig_bampton
+
+    p = chain()
+    full = modal_analysis(p, n_modes=2).eigenvalues
+
+    def lams(model, k=2):
+        lo = np.linalg.cholesky(model.m_red)
+        b = np.linalg.solve(lo, np.linalg.solve(lo, model.k_red.T).T)
+        return np.sort(np.linalg.eigvalsh(0.5 * (b + b.T)))[:k]
+
+    guyan = guyan_reduce(p, master_dofs=[8])
+    cb = craig_bampton(p, master_dofs=[8], n_modes=2)
+    err_g = abs(lams(guyan, 1)[0] - full[0]) / full[0]
+    err_cb0, err_cb1 = np.abs(lams(cb, 2) - full) / full
+    assert err_cb0 < 0.1 * err_g          # an order better on mode 1
+    assert err_cb0 < 2e-3 and err_cb1 < 2e-2
+
+    # Statics still exact: master load through the CB model.
+    f_red = cb.t.T @ p.loads[cb.free_dofs]
+    u_red = np.linalg.solve(cb.k_red, f_red)
+    u = cb.expand(u_red, p.ndof)
+    from pinn_fem_tpu import SolverConfig, solve_nr
+
+    full_static = np.asarray(solve_nr(
+        p, SolverConfig(max_iterations=10, tolerance=1e-12),
+        1.0).displacements).reshape(-1)
+    np.testing.assert_allclose(u, full_static, rtol=1e-4, atol=1e-8)
