@@ -20,6 +20,8 @@ import sys
 from datetime import datetime
 from pathlib import Path
 
+import numpy as np
+
 from ..io.results import result_to_output_dict
 from ..io.schema import parse_problem_file
 from ..solvers.driver import resolve_method
@@ -104,6 +106,29 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             lf = output["load_factors"]
             logger.info("  Path points: %d (lambda in [%.4g, %.4g])",
                         output["n_points"], min(lf), max(lf))
+        logger.info("Results written to %s", output_file)
+        return output
+
+    if parsed.prescribed is not None:
+        # Support settlement: inhomogeneous Dirichlet through the NR path.
+        from ..solvers.driver import resolve_method as _rm
+        from ..solvers.newton import solve_nr
+
+        method = _rm(problem, config, parsed.measured_disp,
+                     parsed.measured_dofs)
+        if method not in ("nr", "auto"):
+            raise ValueError("prescribed_displacements require the "
+                             f"Newton-Raphson path (got method={method!r})")
+        logger.info("Prescribed displacements on %d DOFs",
+                    int(np.count_nonzero(parsed.prescribed)))
+        result = solve_nr(problem, config, 1.0,
+                          prescribed_u=parsed.prescribed)
+        output = result_to_output_dict(result, problem)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
         logger.info("Results written to %s", output_file)
         return output
 

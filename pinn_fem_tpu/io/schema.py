@@ -43,6 +43,8 @@ class ParsedProblem:
     measured_disp: Optional[np.ndarray] = None
     measured_dofs: Optional[np.ndarray] = None
     meta: Dict = field(default_factory=dict)
+    prescribed: Optional[np.ndarray] = None  # (ndof,) nonzero-Dirichlet
+                                             # values (support settlement)
 
 
 def _parse_nodes(nodes_list):
@@ -184,6 +186,24 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
             tdata, material, thermal.get("alpha", 1.0), dt_e)))
         problem.loads = problem.loads + f_th
 
+    # Support-settlement extension: nonzero prescribed displacements at
+    # (or added to) fixed DOFs — {"prescribed_displacements":
+    # {"dofs": [..], "values": [..]}}; served by the NR path
+    # (solve_nr(prescribed_u=...), inhomogeneous Dirichlet).
+    prescribed = None
+    pd = data.get("prescribed_displacements")
+    if pd:
+        pdofs = np.asarray(pd["dofs"], dtype=int)
+        pvals = np.asarray(pd["values"], dtype=float)
+        if pdofs.shape != pvals.shape:
+            raise ValueError("prescribed dofs/values length mismatch")
+        prescribed = np.zeros(n_dofs)
+        prescribed[pdofs] = pvals
+        extra = np.setdiff1d(pdofs, problem.fixed_dofs)
+        if extra.size:  # prescribing a DOF fixes it
+            problem.fixed_dofs = np.sort(
+                np.concatenate([problem.fixed_dofs, extra]))
+
     sc = data.get("solver_config", {})
     pc = data.get("pinn_config", {})
 
@@ -221,6 +241,7 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
         config=config,
         measured_disp=measured_disp,
         measured_dofs=measured_dofs,
+        prescribed=prescribed,
         meta={
             "solver_type": solver_type,
             "description": data.get("description", ""),

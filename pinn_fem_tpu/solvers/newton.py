@@ -247,6 +247,7 @@ def solve_nr(
     linear_solver: str = "auto",
     geometric_nonlinear: bool = False,
     cg_precond: str = "auto",
+    prescribed_u: Optional[np.ndarray] = None,
 ) -> SolverResult:
     """Single-increment NR solve (driven by solvers.driver.solve).
 
@@ -280,6 +281,13 @@ def solve_nr(
         u0 = jnp.asarray(np.asarray(u_initial).reshape(-1), dtype=dtype)
     else:
         u0 = jnp.zeros(problem.ndof, dtype=dtype)
+    if prescribed_u is not None:
+        # Inhomogeneous Dirichlet (support settlement): fixed-DOF entries
+        # seeded here PERSIST — every NR update is masked to the free
+        # DOFs — so f_int(u) carries the prescribed motion and the free
+        # block converges to K_ff u_f = f_f - K_fs u_p exactly.
+        up = jnp.asarray(np.asarray(prescribed_u).reshape(-1), dtype)
+        u0 = u0 * data.free_mask + up * (1.0 - data.free_mask)
 
     if geometric_nonlinear:
         linear_solver = "dense"
