@@ -1,12 +1,22 @@
 """pinn_fem_tpu — TPU-native FEM + PINN inverse-problem framework.
 
 A ground-up JAX/XLA re-design with the capabilities of the reference
-PINN-FEM stack (rpacheco-blazquez/PINN-FEM): 1D/2D truss FEM, NN-
+PINN-FEM stack (rpacheco-blazquez/PINN-FEM): 1D/2D/3D truss FEM, NN-
 parameterized material fields (E, A, rho), and four coupled solvers
 (Newton-Raphson, gradient descent, hybrid GD->NR, full Newton with the
 coupled (u, theta) Hessian) under a universal incremental-loading driver —
 plus Gauss-Newton/Levenberg-Marquardt, multi-device sharding utilities, and
 the reference-compatible JSON CLI contract.
+
+Beyond the reference's statics: transient dynamics (explicit / Newmark /
+exact modal superposition; geometric nonlinearity; ensembles; distributed
+shard_map integration; checkpoint/resume), modal analysis (+prestress),
+linearized buckling, harmonic / response-spectrum / random-vibration
+analysis, arc-length (Riks) continuation through limit points, thermal
+loads, support settlement, Guyan / Craig-Bampton reduction, and
+time-domain material identification by the discrete adjoint — every
+capability validated against closed forms (PARITY.md) and served through
+the same CLI / HTTP / UI tiers as the statics.
 """
 
 from .utils.runtime import configure
