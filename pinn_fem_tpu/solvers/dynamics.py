@@ -57,24 +57,54 @@ def _k_apply_fn(problem: TrussProblem, data):
     """
     cached = getattr(problem, "_k_apply_cache", None)
     if (cached is not None and cached[0] is data
-            and cached[1] is problem.material):
-        return cached[2]
+            and cached[1] is problem.material and cached[2] is None):
+        return cached[3]
     fn = _build_k_apply(problem, data)
-    problem._k_apply_cache = (data, problem.material, fn)
+    problem._k_apply_cache = (data, problem.material, None, fn)
     return fn
 
 
-def _build_k_apply(problem: TrussProblem, data):
+def _k_apply_fn_prestressed(problem: TrussProblem, data, prestress_u):
+    """Prestressed variant of _k_apply_fn (cache key includes the
+    prestress array's identity)."""
+    if prestress_u is None:
+        return _k_apply_fn(problem, data)
+    cached = getattr(problem, "_k_apply_cache", None)
+    if (cached is not None and cached[0] is data
+            and cached[1] is problem.material
+            and cached[2] is prestress_u):
+        return cached[3]
+    fn = _build_k_apply(problem, data, prestress_u)
+    problem._k_apply_cache = (data, problem.material, prestress_u, fn)
+    return fn
+
+
+def _build_k_apply(problem: TrussProblem, data, prestress_u=None):
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
 
     material = problem.material
-    zeros = jnp.zeros(problem.ndof, data.loads.dtype)
+    dtype = data.loads.dtype
+    zeros = jnp.zeros(problem.ndof, dtype)
+    n_e = None
+    if prestress_u is not None:
+        from ..ops.geometric import element_axial_forces
+
+        n_e = element_axial_forces(
+            data, material, jnp.asarray(prestress_u, dtype))
+
     if problem.ndof <= DENSE_DOF_LIMIT:
         k = assemble_system(data, material, zeros)[0]
+        if n_e is not None:
+            from ..ops.geometric import assemble_geometric
+
+            k = k + assemble_geometric(data, n_e)
         return lambda u: k @ u
 
     layout = _dia_layout_of(problem, data)
     if layout is None:
+        if n_e is not None:
+            raise ValueError("large-mesh prestressed dynamics requires a "
+                             "banded (DIA) operator; renumber the mesh")
         from ..ops.cg import apply_stiffness, stiffness_coefficients
 
         s = stiffness_coefficients(data, material, 1.0)
@@ -85,6 +115,13 @@ def _build_k_apply(problem: TrussProblem, data):
 
     s = stiffness_coefficients(data, material, 1.0)
     diags = assemble_dia(layout, s, data.gvec)
+    if n_e is not None:
+        from ..ops.geometric import assemble_geometric_dia
+
+        # K + K_g(u0) shares the stiffness sparsity: taut-string
+        # transverse dynamics (wave speed c = sqrt(T/rho A)) ride the
+        # same banded/Pallas path as unstressed meshes.
+        diags = diags + assemble_geometric_dia(layout, data, n_e)
     if jax.default_backend() == "tpu":
         from ..ops.pallas.dia_kernel import (dia_matvec_packed,
                                              pack_dia_interleaved)
@@ -266,6 +303,7 @@ def solve_transient(
     geometric_nonlinear: bool = False,
     exact_restart: bool = False,
     n_modes: int = 32,
+    prestress_u=None,
 ) -> TransientResult:
     """Integrate M u'' + C u' + f_int(u) = amplitude(t) * loads.
 
@@ -336,7 +374,17 @@ def solve_transient(
     alpha, beta = (float(damping[0]), float(damping[1]))
     amp = jnp.asarray(amplitude, dtype)
     n_rec = n_steps // record_every
-    k_apply = _k_apply_fn(problem, data)
+    if prestress_u is not None and geometric_nonlinear:
+        raise ValueError("prestress_u is the LINEARIZED initial-stress "
+                         "model; geometric_nonlinear already carries the "
+                         "full state dependence — use one or the other")
+    # Linearized prestress: K + K_g(u0) is CONSTANT, so every integrator
+    # path (incl. banded/Pallas) works unchanged about the prestressed
+    # state.  Taut-string transverse waves (c = sqrt(T/rho A)) are the
+    # canonical validation (tests/test_dynamics.py).  stable_dt does NOT
+    # include K_g; tension raises omega_max slightly — keep the safety
+    # margin or pass a reduced dt.
+    k_apply = _k_apply_fn_prestressed(problem, data, prestress_u)
 
     if geometric_nonlinear and method != "central":
         raise ValueError("geometric_nonlinear requires method='central'")
@@ -351,6 +399,10 @@ def solve_transient(
             f_apply=f_apply, se_apply=se_apply,
             exact_restart=exact_restart)
     elif method == "newmark":
+        if prestress_u is not None:
+            raise ValueError("prestress_u supports method='central' and "
+                             "'modal' (the Newmark effective operator "
+                             "does not carry K_g yet)")
         solve_eff = _newmark_solve_eff(
             problem, data, k_apply, m, mask, dt, alpha, beta,
             newmark_beta, newmark_gamma, cg_tol)
@@ -365,7 +417,8 @@ def solve_transient(
 
         free_idx, _ = problem.free_fixed()
         n_modes = min(n_modes, free_idx.size)
-        mres = modal_analysis(problem, n_modes=n_modes, data=data)
+        mres = modal_analysis(problem, n_modes=n_modes, data=data,
+                              prestress_u=prestress_u)
         omegas = np.maximum(mres.omegas, 1e-30)
         phi = jnp.asarray(mres.shapes, dtype)           # (ndof, J)
         zetas = 0.5 * (alpha / omegas + beta * omegas)  # exact Rayleigh

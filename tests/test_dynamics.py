@@ -364,3 +364,73 @@ def test_modal_damped_closed_form():
                              + z / np.sqrt(1 - z * z) * np.sin(wd * t)))
     np.testing.assert_allclose(r.displacements[:, 1], expect,
                                atol=1e-5 / k)
+
+
+# ---------------------------------------------------------------------------
+# Prestressed (linearized initial-stress) transient dynamics
+# ---------------------------------------------------------------------------
+
+
+def _taut_chain(n_nodes=401, tension=1.0, young=100.0):
+    """Pretensioned chain with all axial DOFs fixed (isolates transverse
+    motion); prestress state u_x = (T/EA) x gives N = T exactly."""
+    nodes = np.stack([np.arange(n_nodes, dtype=float),
+                      np.zeros(n_nodes)], 1)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    fixed = [2 * i for i in range(n_nodes)] + [1, 2 * (n_nodes - 1) + 1]
+    p = TrussProblem(nodes, elements,
+                     Material(young=young, area=1.0, density=1.0),
+                     np.zeros(2 * n_nodes), np.array(sorted(fixed)), 2)
+    up = np.zeros(2 * n_nodes)
+    up[0::2] = (tension / young) * np.arange(n_nodes)
+    return p, up
+
+
+def test_prestressed_wave_speed():
+    """Transverse pulse on a taut string travels at c = sqrt(T / rho A)
+    (= 1 here); without prestress there is NO transverse stiffness and
+    nothing propagates."""
+    p, up = _taut_chain()
+    n = 401
+    dt = 0.02                      # transverse CFL: c dt / h = 0.02
+    n_steps = 5000                 # front at c t = 100 of 400 elements
+    amp = np.zeros(n_steps)
+    amp[:50] = 1.0
+    loads = np.zeros(2 * n)
+    loads[3] = 1.0                 # y kick at node 1
+    p = TrussProblem(p.nodes, p.elements, p.material, loads,
+                     p.fixed_dofs, 2)
+    r = solve_transient(p, dt, n_steps, amplitude=amp,
+                        record_every=n_steps,
+                        probe_dofs=np.arange(1, 2 * n, 2),
+                        prestress_u=up)
+    uy = r.displacements[-1]
+    t_end = dt * n_steps
+    front = int(np.ceil(t_end)) + 5          # c = 1
+    assert np.abs(uy[:front]).max() > 1e-4   # wave arrived
+    assert np.abs(uy[min(2 * front, n - 1):]).max() < 1e-7  # far quiet
+
+    # Control: same kick with NO prestress — zero transverse stiffness,
+    # the kicked node moves ballistically and nothing propagates.
+    r0 = solve_transient(p, dt, 500, amplitude=amp[:500],
+                         record_every=500,
+                         probe_dofs=np.arange(1, 2 * n, 2))
+    uy0 = r0.displacements[-1]
+    assert np.abs(uy0[5:]).max() < 1e-9
+
+
+def test_prestressed_modal_matches_central():
+    """method='modal' with prestress uses the prestressed spectrum; at
+    fine dt it matches the prestressed central integrator."""
+    p, up = _taut_chain(n_nodes=11)
+    loads = np.zeros(22)
+    loads[11] = 1.0               # y load mid-string
+    p = TrussProblem(p.nodes, p.elements, p.material, loads,
+                     p.fixed_dofs, 2)
+    kw = dict(n_steps=2000, record_every=200, damping=(0.1, 0.0),
+              probe_dofs=np.array([11]), prestress_u=up)
+    rc = solve_transient(p, 0.01, method="central", **kw)
+    rm = solve_transient(p, 0.01, method="modal", n_modes=9, **kw)
+    scale = np.abs(rc.displacements).max()
+    np.testing.assert_allclose(rm.displacements, rc.displacements,
+                               atol=5e-3 * scale)
