@@ -58,6 +58,7 @@ from .solvers.buckling import (  # noqa: E402
 )
 from .solvers.dynamics import (  # noqa: E402
     TransientResult,
+    moving_load_force_fn,
     solve_transient,
     solve_transient_checkpointed,
     stable_dt,
@@ -137,6 +138,7 @@ __all__ = [
     "thermal_free_strains",
     "solve_transient",
     "solve_transient_checkpointed",
+    "moving_load_force_fn",
     "stable_dt",
     "TransientResult",
     "modal_analysis",

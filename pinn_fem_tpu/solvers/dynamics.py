@@ -211,11 +211,11 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
 
 @partial(jax.jit, static_argnames=("k_apply", "n_rec", "record_every",
                                    "use_beta", "f_apply", "se_apply",
-                                   "exact_restart"))
+                                   "exact_restart", "force_fn"))
 def _central_run(k_apply, m, mask, loads, amplitude, dt, alpha, beta,
                  u0, v0, probe, n_rec: int, record_every: int,
                  use_beta: bool, f_apply=None, se_apply=None,
-                 exact_restart: bool = False):
+                 exact_restart: bool = False, force_fn=None):
     """Explicit central difference, all steps in nested scan/fori_loop.
 
     u_{n+1} = 2u - u_prev + dt^2 M^-1 (f_n - f_int(u) - C (u - u_prev)/dt),
@@ -233,8 +233,14 @@ def _central_run(k_apply, m, mask, loads, amplitude, dt, alpha, beta,
     n_total = amplitude.shape[0]
     f_int = f_apply if f_apply is not None else k_apply
 
-    def force(i):
-        return amplitude[jnp.minimum(i, n_total - 1)] * loads
+    if force_fn is not None:
+        # General time-varying spatial load (e.g. a MOVING load):
+        # force_fn(i) -> (ndof,) traced — the amplitude*loads contract
+        # cannot express a load whose POSITION changes.
+        force = force_fn
+    else:
+        def force(i):
+            return amplitude[jnp.minimum(i, n_total - 1)] * loads
 
     def residual_force(i, u, v_lag):
         cu = alpha * (m * v_lag)
@@ -304,6 +310,7 @@ def solve_transient(
     exact_restart: bool = False,
     n_modes: int = 32,
     prestress_u=None,
+    force_fn=None,
 ) -> TransientResult:
     """Integrate M u'' + C u' + f_int(u) = amplitude(t) * loads.
 
@@ -397,8 +404,10 @@ def solve_transient(
             jnp.asarray(alpha, dtype), jnp.asarray(beta, dtype), u0, v0,
             probe, n_rec, record_every, use_beta=beta != 0.0,
             f_apply=f_apply, se_apply=se_apply,
-            exact_restart=exact_restart)
+            exact_restart=exact_restart, force_fn=force_fn)
     elif method == "newmark":
+        if force_fn is not None:
+            raise ValueError("force_fn supports method='central' only")
         if prestress_u is not None:
             raise ValueError("prestress_u supports method='central' and "
                              "'modal' (the Newmark effective operator "
@@ -413,6 +422,8 @@ def solve_transient(
             jnp.asarray(newmark_gamma, dtype), u0, v0, probe,
             n_rec, record_every, use_beta=beta != 0.0)
     elif method == "modal":
+        if force_fn is not None:
+            raise ValueError("force_fn supports method='central' only")
         from .modal import modal_analysis
 
         free_idx, _ = problem.free_fixed()
@@ -729,3 +740,49 @@ def solve_transient_checkpointed(
         u_final=segments[-1].u_final,
         v_final=segments[-1].v_final,
     )
+
+
+def moving_load_force_fn(problem: TrussProblem, path_nodes, speed: float,
+                         magnitude: float, dt: float, component: int = 1,
+                         data=None):
+    """force_fn for a point load crossing the structure (bridge problem).
+
+    The load of the given magnitude moves at constant speed along the
+    polyline of `path_nodes` (arc length from node coordinates); at each
+    step it is distributed linearly to the two nodes of the segment it
+    occupies (the standard moving-load discretization) on DOF component
+    `component` (0=x, 1=y, ...).  Before entry and after exit the force
+    is zero.  Cached per (problem, parameter) set — force_fn is a static
+    jit argument, so a fresh closure per call would recompile the time
+    loop (the _k_apply_fn lesson).
+    """
+    key = (id(problem), tuple(int(n) for n in path_nodes), float(speed),
+           float(magnitude), float(dt), int(component))
+    cache = getattr(problem, "_moving_load_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    nodes = np.atleast_2d(np.asarray(problem.nodes, dtype=float).T).T
+    path = np.asarray(path_nodes, dtype=int)
+    xy = nodes[path]
+    seg = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+    s_cum = jnp.asarray(np.concatenate([[0.0], np.cumsum(seg)]), dtype)
+    s_total = float(s_cum[-1])
+    dofs = jnp.asarray(problem.dimension * path + component, jnp.int32)
+    ndof = problem.ndof
+
+    def force_fn(i):
+        pos = speed * dt * i
+        inside = jnp.logical_and(pos >= 0.0, pos <= s_total)
+        k = jnp.clip(jnp.searchsorted(s_cum, pos, side="right") - 1,
+                     0, path.size - 2)
+        w = (pos - s_cum[k]) / jnp.maximum(s_cum[k + 1] - s_cum[k], 1e-30)
+        w = jnp.clip(w, 0.0, 1.0)
+        f = jnp.zeros(ndof, dtype)
+        f = f.at[dofs[k]].add(magnitude * (1.0 - w) * inside)
+        f = f.at[dofs[k + 1]].add(magnitude * w * inside)
+        return f
+
+    problem._moving_load_cache = (key, force_fn)
+    return force_fn
