@@ -71,6 +71,12 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
     )
 
     analysis = parsed.meta.get("analysis")
+    if analysis and parsed.prescribed is not None:
+        # schema.py added the prescribed DOFs to fixed_dofs, but their
+        # NONZERO values reach only the NR settlement path — running an
+        # analysis would silently clamp them at zero.
+        raise ValueError("prescribed_displacements cannot be combined "
+                         "with an analysis block")
     if analysis:
         # Dynamic-analysis extension: "analysis" block routes to the
         # modal/transient solvers instead of the static driver.

@@ -176,6 +176,16 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
     # kinematics) to the load vector at parse time.
     thermal = data.get("thermal")
     if thermal:
+        if material.has_trainable_params:
+            # f_th is baked into the load vector HERE, evaluated at the
+            # material's current (random-init) field values — an inverse
+            # solve would then identify against a stale thermal load
+            # that never tracks the evolving E/A.  Refuse rather than
+            # silently bias the identification.
+            raise ValueError(
+                "thermal loading with trainable (NN) material fields is "
+                "not supported: the equivalent loads E A alpha dT would "
+                "be frozen at the initial field values")
         import jax as _jax
 
         from ..ops.thermal import element_delta_t, thermal_loads

@@ -55,27 +55,33 @@ def _k_apply_fn(problem: TrussProblem, data):
     problem.material must not reuse a stale K); holding the data
     reference also prevents id()-reuse aliasing.
     """
-    cached = getattr(problem, "_k_apply_cache", None)
-    if (cached is not None and cached[0] is data
-            and cached[1] is problem.material and cached[2] is None):
-        return cached[3]
-    fn = _build_k_apply(problem, data)
-    problem._k_apply_cache = (data, problem.material, None, fn)
-    return fn
+    return _k_apply_fn_prestressed(problem, data, None)
+
+
+# Closure-cache capacity per problem: enough for a few live operator
+# variants (plain + prestressed states, alternating in a serving loop)
+# without unbounded growth; evicts oldest.
+_K_CACHE_CAP = 4
 
 
 def _k_apply_fn_prestressed(problem: TrussProblem, data, prestress_u):
-    """Prestressed variant of _k_apply_fn (cache key includes the
-    prestress array's identity)."""
-    if prestress_u is None:
-        return _k_apply_fn(problem, data)
-    cached = getattr(problem, "_k_apply_cache", None)
-    if (cached is not None and cached[0] is data
-            and cached[1] is problem.material
-            and cached[2] is prestress_u):
-        return cached[3]
+    """Prestressed variant of _k_apply_fn.  A DICT keyed by the prestress
+    identity — a single-slot cache thrashes when plain and prestressed
+    transients alternate on the same problem (each call would rebuild the
+    closure and recompile the fused time loop)."""
+    cache = getattr(problem, "_k_apply_cache", None)
+    if not isinstance(cache, dict):
+        cache = problem._k_apply_cache = {}
+    key = id(prestress_u) if prestress_u is not None else None
+    entry = cache.get(key)
+    if (entry is not None and entry[0] is data
+            and entry[1] is problem.material
+            and entry[2] is prestress_u):
+        return entry[3]
     fn = _build_k_apply(problem, data, prestress_u)
-    problem._k_apply_cache = (data, problem.material, prestress_u, fn)
+    if len(cache) >= _K_CACHE_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = (data, problem.material, prestress_u, fn)
     return fn
 
 
@@ -526,6 +532,10 @@ def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
                                    x0=u_guess, use_pallas=use_pallas)
             return x
 
+    # Bounded: every dense-path entry pins a full Cholesky factorization
+    # (~200 MB at 5k DOFs) — a dt sweep must not leak one per step size.
+    if len(cache) >= _K_CACHE_CAP:
+        cache.pop(next(iter(cache)))
     cache[key] = (data, problem.material, solve_eff)
     return solve_eff
 

@@ -56,11 +56,19 @@ def random_response(
     om = np.asarray(omegas, dtype=float).reshape(-1)
     if om.size < 2 or np.any(np.diff(om) <= 0):
         raise ValueError("omegas must be an increasing grid (>= 2 points)")
+    if float(damping[0]) == 0.0 and float(damping[1]) == 0.0:
+        # Undamped |H|^2 has non-integrable poles at every resonance: the
+        # quadrature would return grid-dependent garbage (and the direct
+        # solve is singular if the grid lands on an eigenfrequency).
+        raise ValueError("random_response needs nonzero damping — the "
+                         "undamped variance integral diverges")
     h = harmonic_response(problem, om, damping=damping, method=method,
                           n_modes=n_modes, probe_dofs=probe_dofs,
                           data=data)
     sp = (load_psd(om) if callable(load_psd)
           else float(load_psd) * np.ones_like(om))
+    # A callable may return a scalar (white noise): broadcast it.
+    sp = np.broadcast_to(np.asarray(sp, dtype=float), om.shape)
     if np.any(sp < 0):
         raise ValueError("a PSD cannot be negative")
     h2 = h.amplitude.astype(float) ** 2          # (n_freq, n_probe)

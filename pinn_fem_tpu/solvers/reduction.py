@@ -46,16 +46,23 @@ class ReducedModel(NamedTuple):
         return u
 
 
-def guyan_reduce(problem: TrussProblem,
-                 master_dofs: Sequence[int],
-                 data=None) -> ReducedModel:
-    """Condense the free DOFs onto the given masters (global DOF ids;
-    must be free)."""
+def _partition(problem: TrussProblem, master_dofs, data):
+    """Shared setup for Guyan / Craig-Bampton: validate masters, build
+    the free-block partition, and fetch K_ff + lumped mass in ONE device
+    round trip (CLAUDE.md single-fetch rule)."""
+    from .newton import DENSE_DOF_LIMIT
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(
+            f"reduction is dense-only ({problem.ndof} DOFs > "
+            f"{DENSE_DOF_LIMIT}); condense a substructure, not the "
+            "full large mesh")
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
-    free_idx, _ = problem.free_fixed()
-    free_idx = np.asarray(free_idx)
+    free_idx = np.asarray(problem.free_fixed()[0])
     masters = np.asarray(master_dofs, dtype=int)
+    if np.unique(masters).size != masters.size:
+        raise ValueError("master_dofs contains duplicates")
     if np.setdiff1d(masters, free_idx).size:
         raise ValueError("master_dofs must be free DOFs")
     pos = {int(d): i for i, d in enumerate(free_idx)}
@@ -64,10 +71,20 @@ def guyan_reduce(problem: TrussProblem,
 
     k = assemble_system(data, problem.material,
                         jnp.zeros(problem.ndof, dtype))[0]
-    k_ff = np.asarray(jax.device_get(
-        k[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]))
-    m_diag = np.asarray(jax.device_get(
-        lumped_mass(data, problem.material)))[free_idx]
+    k_ff_j = k[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]
+    k_ff, m_all = jax.device_get(
+        (k_ff_j, lumped_mass(data, problem.material)))
+    return (free_idx, masters, m_loc, s_loc, np.asarray(k_ff),
+            np.asarray(m_all)[free_idx])
+
+
+def guyan_reduce(problem: TrussProblem,
+                 master_dofs: Sequence[int],
+                 data=None) -> ReducedModel:
+    """Condense the free DOFs onto the given masters (global DOF ids;
+    must be free)."""
+    free_idx, masters, m_loc, s_loc, k_ff, m_diag = _partition(
+        problem, master_dofs, data)
 
     k_mm = k_ff[np.ix_(m_loc, m_loc)]
     k_ms = k_ff[np.ix_(m_loc, s_loc)]
@@ -107,24 +124,9 @@ def craig_bampton(problem: TrussProblem,
     The extra columns are generalized coordinates: ReducedModel.t maps
     [u_m; q] to the free DOFs and expand() recovers the full vector.
     """
-    data = data if data is not None else problem.to_device()
-    dtype = data.loads.dtype
-    free_idx, _ = problem.free_fixed()
-    free_idx = np.asarray(free_idx)
-    masters = np.asarray(master_dofs, dtype=int)
-    if np.setdiff1d(masters, free_idx).size:
-        raise ValueError("master_dofs must be free DOFs")
-    pos = {int(d): i for i, d in enumerate(free_idx)}
-    m_loc = np.array([pos[int(d)] for d in masters])
-    s_loc = np.setdiff1d(np.arange(free_idx.size), m_loc)
+    free_idx, masters, m_loc, s_loc, k_ff, m_diag = _partition(
+        problem, master_dofs, data)
     n_modes = min(n_modes, s_loc.size)
-
-    k = assemble_system(data, problem.material,
-                        jnp.zeros(problem.ndof, dtype))[0]
-    k_ff = np.asarray(jax.device_get(
-        k[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]))
-    m_diag = np.asarray(jax.device_get(
-        lumped_mass(data, problem.material)))[free_idx]
 
     k_ms = k_ff[np.ix_(m_loc, s_loc)]
     k_ss = k_ff[np.ix_(s_loc, s_loc)]

@@ -59,4 +59,6 @@ def test_rejects_bad_inputs():
         random_response(p, 1.0, [2.0, 1.0])
     with pytest.raises(ValueError, match="negative"):
         random_response(p, lambda w: -np.ones_like(w),
-                        np.linspace(0.1, 1.0, 10))
+                        np.linspace(0.1, 1.0, 10), damping=(0.1, 0.0))
+    with pytest.raises(ValueError, match="damping"):
+        random_response(p, 1.0, np.linspace(0.1, 1.0, 10))

@@ -235,3 +235,94 @@ def test_modal_json_carries_ok_flag():
     p = bar_1d(4)
     out = run_modal(p, {"type": "modal", "n_modes": 2})
     assert out["ok"] is True
+
+
+# --- third review batch ----------------------------------------------------
+
+
+def test_thermal_rejects_trainable_material():
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+
+    doc = {
+        "nodes": [[0.0], [1.0], [2.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "nn_config": {"young": {"enabled": True}},
+        "loads": [0.0, 0.0, 0.0],
+        "fixed_dofs": [0],
+        "solver_type": "pinn-gd",
+        "thermal": {"alpha": 1e-4, "delta_t": 10.0},
+    }
+    with pytest.raises(ValueError, match="trainable"):
+        parse_problem_dict(doc)
+
+
+def test_analysis_plus_prescribed_rejected(tmp_path):
+    import json
+
+    from pinn_fem_tpu.cli.generic import run
+
+    doc = {
+        "nodes": [[0.0], [1.0], [2.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "prescribed_displacements": {"dofs": [2], "values": [0.1]},
+        "analysis": {"type": "modal", "n_modes": 1},
+    }
+    pf = tmp_path / "bad.json"
+    pf.write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="prescribed"):
+        run(str(pf))
+
+
+def test_random_scalar_callable_and_undamped_guard():
+    from tests.test_random_response import sdof_bar
+
+    from pinn_fem_tpu import random_response
+
+    p = sdof_bar()
+    om = np.linspace(0.1, 5.0, 200)
+    res = random_response(p, lambda w: 0.5, om, damping=(0.3, 0.0),
+                          probe_dofs=np.array([1]))
+    assert np.isfinite(res.rms).all()
+    with pytest.raises(ValueError, match="damping"):
+        random_response(p, 1.0, om)
+
+
+def test_reduction_guards():
+    from tests.test_reduction import chain
+
+    from pinn_fem_tpu import guyan_reduce
+    import pinn_fem_tpu.solvers.newton as newton
+
+    p = chain()
+    with pytest.raises(ValueError, match="duplicates"):
+        guyan_reduce(p, master_dofs=[4, 4])
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 4
+        with pytest.raises(ValueError, match="dense-only"):
+            guyan_reduce(p, master_dofs=[4])
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+
+
+def test_alternating_prestress_caches_coexist():
+    """Alternating plain/prestressed transients must not thrash a
+    single-slot operator cache (each thrash = full recompile)."""
+    p = bar_1d(4)
+    data = p.to_device()
+    up = np.zeros(4)
+    up[3] = 0.01
+    kw = dict(dt=0.05, n_steps=20, record_every=20,
+              probe_dofs=np.array([3]), data=data)
+    solve_transient(p, **kw)
+    solve_transient(p, prestress_u=up, **kw)
+    cache = p._k_apply_cache
+    assert isinstance(cache, dict) and len(cache) == 2
+    fn_plain = cache[None][3]
+    solve_transient(p, **kw)          # must HIT, not rebuild
+    assert p._k_apply_cache[None][3] is fn_plain
