@@ -43,6 +43,7 @@ drives a static solve gains:
                                 "phase": 0.0}
                              | {"type": "pulse", "t_end": seconds},
                  "record_every": 10, "geometric_nonlinear": false,
+                 "include_stress_envelope": false,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
 Routed identically through the CLI (cli/generic.py) and the HTTP tier
@@ -399,6 +400,22 @@ def run_transient(problem, analysis: Dict) -> Dict:
         "kinetic_energy": res.kinetic_energy.tolist(),
         "strain_energy": res.strain_energy.tolist(),
     }
+    if analysis.get("include_stress_envelope", False):
+        # Per-element |stress| envelope over EVERY step (the design-check
+        # quantity) via the batched core with B = 1 — linear central only.
+        if method != "central" or analysis.get("geometric_nonlinear"):
+            raise ValueError("include_stress_envelope supports the linear "
+                             "central method")
+        from ..parallel.batched import solve_transient_batched
+
+        env = solve_transient_batched(
+            problem, dt, n_steps, amplitudes=amplitude[None, :n_steps],
+            damping=(float(damping[0]), float(damping[1])),
+            probe_dofs=probe, record_every=record_every)["max_stress"]
+        import jax
+
+        out["max_stress"] = np.asarray(
+            jax.device_get(env))[0].tolist()
     if analysis.get("include_final",
                     problem.ndof <= _SHAPES_JSON_DOF_LIMIT):
         out["u_final"] = res.u_final.tolist()

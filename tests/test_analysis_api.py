@@ -269,3 +269,25 @@ def test_http_random_route(server_port):
     sigma2 = np.array(res["rms"])[0] ** 2
     np.testing.assert_allclose(sigma2, np.pi * 0.37 / (2 * 4.0 * 0.5),
                                rtol=0.05)
+
+
+def test_transient_stress_envelope_option():
+    """include_stress_envelope adds the per-element |stress| envelope to
+    a single-run transient; undamped step response envelope == 2x the
+    static stress on an SDOF bar (dynamic amplification)."""
+    from pinn_fem_tpu.io.analysis import run_transient
+
+    from pinn_fem_tpu import Material, TrussProblem
+
+    p = TrussProblem(
+        nodes=np.array([0.0, 1.0]), elements=np.array([[0, 1]]),
+        material=Material(young=4.0, area=1.0, density=2.0),
+        loads=np.array([0.0, 1.0]), fixed_dofs=np.array([0]), dimension=1)
+    res = run_transient(p, {
+        "type": "transient", "dt": 0.005, "n_steps": 2000,
+        "record_every": 200, "probe_nodes": [1],
+        "include_stress_envelope": True,
+    })
+    env = np.asarray(res["max_stress"])
+    assert env.shape == (1,)
+    np.testing.assert_allclose(env[0], 2.0 * 1.0, rtol=2e-3)  # 2x F/A
