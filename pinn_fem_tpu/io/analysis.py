@@ -46,8 +46,9 @@ drives a static solve gains:
                  "include_stress_envelope": false,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
-Routed identically through the CLI (cli/generic.py) and the HTTP tier
-(serve/server.py: /api/fem/modal, /api/fem/transient).
+Routed identically through the CLI (cli/generic.py), the HTTP tier
+(serve/server.py: /api/fem/{modal,transient,buckling,harmonic,spectrum,
+continuation,random}) and the Node backend (backend/src/routes/fem.js).
 """
 
 from __future__ import annotations
