@@ -81,6 +81,13 @@ def main():
     om = np.linspace(0.3 * w1, 1.4 * w2, 300)
     har = harmonic_response(p, om, damping=(0.05, 0.001), probe_dofs=probe)
 
+    # 3b) Random vibration: white-noise base load through the FRF.
+    from pinn_fem_tpu import random_response
+
+    rnd = random_response(p, 0.01, om, damping=(0.05, 0.001),
+                          probe_dofs=probe)
+    print(f"random vibration: tip RMS {rnd.rms[0]:.4f}")
+
     # 4) Buckling under axial compression of both columns.
     p_axial = TrussProblem(
         nodes=p.nodes, elements=p.elements, material=p.material,
@@ -88,7 +95,7 @@ def main():
     buck = buckling_analysis(p_axial, n_modes=2)
     print("critical load factors:", np.round(buck.load_factors, 3).tolist())
 
-    fig, axes = plt.subplots(2, 2, figsize=(11, 7))
+    fig, axes = plt.subplots(2, 3, figsize=(15, 7))
     ax = axes[0, 0]
     ax.bar(range(1, 5), modal.frequencies, color="C0")
     ax.set_title("Natural frequencies")
@@ -110,6 +117,22 @@ def main():
         ax.axvline(w, color="k", ls=":", lw=0.8)
     ax.set_title("Frequency response (tip)")
     ax.set_xlabel("omega (rad/s)")
+
+    ax = axes[0, 2]
+    ax.semilogy(rnd.omegas, np.maximum(rnd.psd[:, 0], 1e-18), "C4-")
+    ax.set_title(f"Response PSD (tip RMS {rnd.rms[0]:.3f})")
+    ax.set_xlabel("omega (rad/s)")
+    ax.set_ylabel("S_u")
+
+    ax = axes[1, 2]
+    mode1 = modal.shapes[:, 0]
+    scale1 = 0.4 / max(np.abs(mode1).max(), 1e-12)
+    xym = p.nodes + scale1 * mode1.reshape(-1, 2)
+    for i, j in p.elements:
+        ax.plot(p.nodes[[i, j], 0], p.nodes[[i, j], 1], "0.85", lw=1)
+        ax.plot(xym[[i, j], 0], xym[[i, j], 1], "C0-", lw=1.5)
+    ax.set_title(f"Mode 1 ({modal.frequencies[0]:.3f} Hz)")
+    ax.set_aspect("equal")
 
     ax = axes[1, 1]
     scale = 0.4 / max(np.abs(buck.modes[:, 0]).max(), 1e-12)
