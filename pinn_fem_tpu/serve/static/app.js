@@ -445,6 +445,51 @@ function drawTimeSeries(times, series) {
 document.getElementById("transient-btn").addEventListener("click",
                                                           runTransient);
 
+async function runHarmonic() {
+  const status = document.getElementById("dyn-status");
+  const probeNodes = state.nodes
+    .map((n, i) => (n.fx ? i : -1)).filter((i) => i >= 0);
+  if (!probeNodes.length && state.nodes.length) {
+    probeNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Sweeping frequencies…";
+  try {
+    // Bracket the first resonances via a quick modal call.
+    const problem = buildProblem();
+    const mResp = await fetch("/api/fem/modal", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ ...problem,
+                             analysis: { n_modes: 2,
+                                         include_shapes: false } }),
+    });
+    const mData = await mResp.json();
+    if (!mData.success) throw new Error(mData.error || "modal failed");
+    const om = mData.result.omegas;
+    const w1 = om[0] || 1, w2 = om[om.length - 1] || 2 * w1;
+    problem.analysis = {
+      type: "harmonic", damping: [0.05, 0.001],
+      omegas: { start: 0.3 * w1, stop: 1.4 * w2, num: 200 },
+      probe_nodes: probeNodes,
+    };
+    const resp = await fetch("/api/fem/harmonic", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "harmonic failed");
+    const r = data.result;
+    drawTimeSeries(r.omegas, r.amplitude);
+    status.textContent = `|H(ω)| over ω ∈ [${(0.3 * w1).toPrecision(3)}, `
+      + `${(1.4 * w2).toPrecision(3)}] rad/s; resonances at `
+      + om.map((w) => w.toPrecision(4)).join(", ");
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("harmonic-btn").addEventListener("click",
+                                                         runHarmonic);
+
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {
   document.getElementById(`mode-${m}`).addEventListener("click", () => {

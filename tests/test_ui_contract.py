@@ -136,6 +136,34 @@ def test_static_ui_transient_payload_served():
     assert np.isfinite(ux).all()
 
 
+def test_static_ui_harmonic_payload_served():
+    """The Harmonic button's two-step flow through the live handlers:
+    a modal call brackets the resonances, then the sweep runs over
+    [0.3 w1, 1.4 w2] probing the loaded node.  The amplitude curve must
+    peak near a natural frequency."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    base = load_fixture("ui_payload_modal.json")
+    base["solver_type"] = "fem"
+    base.pop("analysis", None)
+    modal = _solve_analysis("modal")(
+        {**base, "analysis": {"n_modes": 2, "include_shapes": False}})
+    om = modal["omegas"]
+    w1, w2 = om[0], om[-1]
+    out = _solve_analysis("harmonic")({**base, "analysis": {
+        "type": "harmonic", "damping": [0.05, 0.001],
+        "omegas": {"start": 0.3 * w1, "stop": 1.4 * w2, "num": 200},
+        "probe_nodes": [3],
+    }})
+    assert out["success"]
+    amp = np.asarray(out["amplitude"])[:, 0]   # node3 x DOF
+    oms = np.asarray(out["omegas"])
+    peak = oms[np.argmax(amp)]
+    # Peak near SOME resonance in the bracket.
+    assert min(abs(peak - w) / w for w in om) < 0.05
+    assert amp.max() > 5.0 * amp[0]
+
+
 @pytest.mark.parametrize(
     "fixture", ["ui_payload_react.json", "ui_payload_static.json"]
 )
