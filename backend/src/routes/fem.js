@@ -45,7 +45,7 @@ function solveAnalysis(kind) {
 }
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
-                    'continuation', 'random']) {
+                    'continuation', 'random', 'reduction']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 

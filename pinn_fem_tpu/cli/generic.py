@@ -112,6 +112,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             lf = output["load_factors"]
             logger.info("  Path points: %d (lambda in [%.4g, %.4g])",
                         output["n_points"], min(lf), max(lf))
+        elif kind == "reduction":
+            logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
+                        output["method"], output["n_reduced_dofs"],
+                        output["reduced_frequencies_hz"][0])
         logger.info("Results written to %s", output_file)
         return output
 

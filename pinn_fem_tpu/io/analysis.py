@@ -6,9 +6,15 @@ generic.py and has no analysis concept).  The same problem JSON that
 drives a static solve gains:
 
     "analysis": {"type": "modal", "n_modes": 6, "lumped": true,
-                 "include_shapes": true}
+                 "include_shapes": true,
+                 "prestress": true | {"loads": [..], "scale": s}
+                            | {"u": [..]}}    # initial-stress K_g(u0)
 
     "analysis": {"type": "buckling", "n_modes": 4}
+
+    "analysis": {"type": "reduction", "method": "guyan"|"craig_bampton",
+                 "master_nodes": [..] | "master_dofs": [..],
+                 "n_modes": 4, "compare_full": true}
 
     "analysis": {"type": "spectrum", "sa": 2.5 | {"omegas": [..],
                                                   "values": [..]},
@@ -42,6 +48,10 @@ drives a static solve gains:
                              | {"type": "sine", "frequency_hz": f,
                                 "phase": 0.0}
                              | {"type": "pulse", "t_end": seconds},
+                 "load": {"type": "moving", "path_nodes": [..],
+                          "speed": v, "magnitude": F, "component": 1},
+                 "prestress": true | {..},   # same contract as modal
+                 "checkpoint": {"dir": p, "every": n, "resume": true},
                  "record_every": 10, "geometric_nonlinear": false,
                  "include_stress_envelope": false,
                  "probe_nodes": [..] | "probe_dofs": [..]}
@@ -104,6 +114,111 @@ def _probe_dofs(analysis: Dict, problem) -> np.ndarray:
     return np.arange(problem.ndof)
 
 
+def _prestress_state(problem, spec):
+    """Resolve a `"prestress"` spec to a static displacement state u0.
+
+    Contract (round-3 VERDICT #2 — every capability reachable from the
+    JSON tier down):
+
+        "prestress": true                      static solve at the
+                                               problem's own loads
+        "prestress": {"scale": s}              s * that state
+        "prestress": {"loads": [..], "scale"}  static solve at the given
+                                               load vector instead
+        "prestress": {"fix_dofs": [..]}        EXTRA DOFs fixed during
+                                               the static solve only —
+                                               a taut string's
+                                               transverse DOFs have no
+                                               stiffness until the
+                                               tension exists, so the
+                                               pretension state must be
+                                               solved with them held
+                                               (cf. tests/
+                                               test_buckling.py's
+                                               p_static pattern)
+        "prestress": {"u": [..]}               an explicit state
+
+    The static solve runs on the HOST below DENSE_DOF_LIMIT (zero device
+    programs) and through solve_nr's banded path above it.
+    """
+    if spec in (None, False):
+        return None
+    loads = None
+    scale = 1.0
+    fix_extra = None
+    if isinstance(spec, dict):
+        if "u" in spec:
+            u = np.asarray(spec["u"], dtype=float).reshape(-1)
+            if u.size != problem.ndof:
+                raise ValueError(f"prestress.u must have {problem.ndof} "
+                                 f"entries, got {u.size}")
+            return float(spec.get("scale", 1.0)) * u
+        if "loads" in spec:
+            loads = np.asarray(spec["loads"], dtype=float).reshape(-1)
+            if loads.size != problem.ndof:
+                raise ValueError(f"prestress.loads must have "
+                                 f"{problem.ndof} entries")
+        if "fix_dofs" in spec:
+            fix_extra = np.asarray(spec["fix_dofs"], dtype=int)
+        scale = float(spec.get("scale", 1.0))
+    elif spec is not True:
+        raise ValueError(f"bad prestress spec: {spec!r}")
+
+    from ..models.problem import TrussProblem
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    p = problem
+    if fix_extra is not None:
+        fixed = np.union1d(problem.fixed_dofs, fix_extra)
+        p = TrussProblem(problem.nodes, problem.elements,
+                         problem.material, problem.loads, fixed,
+                         problem.dimension)
+    if problem.ndof <= DENSE_DOF_LIMIT:
+        from ..ops.host import host_static_solve
+
+        u = host_static_solve(p, loads=loads)
+    else:
+        from ..config import SolverConfig
+        from ..solvers.newton import solve_nr
+
+        if loads is not None:
+            p = TrussProblem(p.nodes, p.elements, p.material, loads,
+                             p.fixed_dofs, p.dimension)
+        res = solve_nr(p, SolverConfig(max_iterations=30,
+                                       tolerance=1e-10), 1.0)
+        u = np.asarray(res.displacements).reshape(-1)
+    return scale * u
+
+
+def _transient_force_fn(problem, analysis, dt):
+    """Resolve a `"load"` spec to a force_fn (currently: moving loads).
+
+        "load": {"type": "moving", "path_nodes": [..], "speed": v,
+                 "magnitude": F, "component": 1}
+
+    -> solvers.dynamics.moving_load_force_fn (central method only; the
+    returned closure carries a .host_eval twin so the host tier serves
+    it too)."""
+    spec = analysis.get("load")
+    if spec is None:
+        return None
+    if not isinstance(spec, dict) or spec.get("type") != "moving":
+        raise ValueError('load spec must be {"type": "moving", ...}')
+    if "amplitude" in analysis or "amplitudes" in analysis:
+        raise ValueError("a moving load replaces the amplitude contract; "
+                         "give one or the other")
+    from ..solvers.dynamics import moving_load_force_fn
+
+    return moving_load_force_fn(
+        problem,
+        path_nodes=np.asarray(spec["path_nodes"], dtype=int),
+        speed=float(spec["speed"]),
+        magnitude=float(spec["magnitude"]),
+        dt=float(dt),
+        component=int(spec.get("component",
+                               1 if problem.dimension > 1 else 0)))
+
+
 def run_modal(problem, analysis: Dict) -> Dict:
     """Execute a modal analysis block; JSON-serializable result dict."""
     # Clamp to the free-DOF count (UIs ask for a fixed mode count that
@@ -111,13 +226,16 @@ def run_modal(problem, analysis: Dict) -> Dict:
     n_modes = min(int(analysis.get("n_modes", 6)),
                   problem.free_fixed()[0].size)
     lumped = bool(analysis.get("lumped", True))
+    prestress_u = _prestress_state(problem, analysis.get("prestress"))
     res = modal_analysis(problem, n_modes=n_modes, lumped=lumped,
-                         n_iter=int(analysis.get("n_iter", 25)))
+                         n_iter=int(analysis.get("n_iter", 25)),
+                         prestress_u=prestress_u)
     out = {
         "success": True,
         "analysis": "modal",
         "n_modes": n_modes,
         "lumped": lumped,
+        "prestressed": prestress_u is not None,
         # False: float32 could not resolve these modes (solvers/modal.py
         # docstring) — consumers must not trust the frequencies.
         "ok": bool(res.ok),
@@ -146,10 +264,12 @@ def _run_transient_ensemble(problem, analysis, dt, n_steps, method,
     amps = np.asarray(analysis["amplitudes"], dtype=float)
     if amps.ndim != 2 or amps.shape[1] != n_steps:
         raise ValueError(f"amplitudes must be (B, n_steps={n_steps})")
+    nonlinear = bool(analysis.get("geometric_nonlinear", False))
     out = solve_transient_batched(
         problem, dt, n_steps, amplitudes=amps,
         damping=(float(damping[0]), float(damping[1])),
-        probe_dofs=np.asarray(probe), record_every=record_every)
+        probe_dofs=np.asarray(probe), record_every=record_every,
+        geometric_nonlinear=nonlinear)
     import jax
 
     traj, env = jax.device_get((out["displacements"], out["max_stress"]))
@@ -157,6 +277,7 @@ def _run_transient_ensemble(problem, analysis, dt, n_steps, method,
         "success": True,
         "analysis": "transient",
         "ensemble": True,
+        "geometric_nonlinear": nonlinear,
         "batch": int(amps.shape[0]),
         "dt": float(dt),
         "n_steps": n_steps,
@@ -360,10 +481,14 @@ def run_transient(problem, analysis: Dict) -> Dict:
             f"{probe.size} DOFs x {n_steps // record_every} snapshots to "
             "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
             "to bound the payload")
+    prestress_u = _prestress_state(problem, analysis.get("prestress"))
+    force_fn = _transient_force_fn(problem, analysis, dt)
+    checkpoint = analysis.get("checkpoint")
     if "amplitudes" in analysis:         # ensemble mode
-        if analysis.get("geometric_nonlinear"):
-            raise ValueError("ensemble transient is linear-only; drop "
-                             "geometric_nonlinear or batch on the host")
+        if prestress_u is not None or force_fn is not None or checkpoint:
+            raise ValueError("ensemble transient composes with "
+                             "geometric_nonlinear only; run prestress/"
+                             "moving-load/checkpoint cases unbatched")
         b = len(analysis["amplitudes"])
         if (b * probe.size * (n_steps // record_every)
                 > 4 * _SHAPES_JSON_DOF_LIMIT):
@@ -377,8 +502,8 @@ def run_transient(problem, analysis: Dict) -> Dict:
                                        probe)
     amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
 
-    res = solve_transient(
-        problem, dt=dt, n_steps=n_steps, amplitude=amplitude,
+    kw = dict(
+        amplitude=amplitude,
         damping=(float(damping[0]), float(damping[1])),
         method=method, record_every=record_every, probe_dofs=probe,
         newmark_beta=float(analysis.get("newmark_beta", 0.25)),
@@ -386,7 +511,27 @@ def run_transient(problem, analysis: Dict) -> Dict:
         geometric_nonlinear=bool(analysis.get("geometric_nonlinear",
                                               False)),
         n_modes=int(analysis.get("n_modes", 32)),
+        prestress_u=prestress_u,
+        force_fn=force_fn,
     )
+    if checkpoint is not None:
+        # Preemption-safe JSON contract (round-3 VERDICT #2):
+        # "checkpoint": {"dir": path, "every": steps, "resume": true}.
+        # A rerun of the same request continues from the last persisted
+        # segment and returns the full stitched history.
+        if not isinstance(checkpoint, dict) or "dir" not in checkpoint \
+                or "every" not in checkpoint:
+            raise ValueError('checkpoint spec must be {"dir": ..., '
+                             '"every": ..., "resume": bool?}')
+        from ..solvers.dynamics import solve_transient_checkpointed
+
+        res = solve_transient_checkpointed(
+            problem, dt, n_steps,
+            checkpoint_dir=checkpoint["dir"],
+            checkpoint_every=int(checkpoint["every"]),
+            resume=bool(checkpoint.get("resume", True)), **kw)
+    else:
+        res = solve_transient(problem, dt=dt, n_steps=n_steps, **kw)
     out = {
         "success": True,
         "analysis": "transient",
@@ -394,6 +539,9 @@ def run_transient(problem, analysis: Dict) -> Dict:
         "dt": float(dt),
         "n_steps": n_steps,
         "record_every": record_every,
+        "prestressed": prestress_u is not None,
+        "moving_load": force_fn is not None,
+        "checkpointed": checkpoint is not None,
         "probe_dofs": probe.tolist(),
         "times": res.times.tolist(),
         "displacements": res.displacements.tolist(),
@@ -423,6 +571,77 @@ def run_transient(problem, analysis: Dict) -> Dict:
     return out
 
 
+def run_reduction(problem, analysis: Dict) -> Dict:
+    """Execute a model-order-reduction block (solvers/reduction.py).
+
+    Contract (round-3 VERDICT #2):
+
+        "analysis": {"type": "reduction",
+                     "method": "guyan" | "craig_bampton",
+                     "master_nodes": [..] | "master_dofs": [..],
+                     "n_modes": 4,          # CB fixed-interface modes
+                     "compare_full": true}  # full-model frequency check
+
+    Returns the reduced natural frequencies (the quantity a
+    substructuring user validates first), the reduced matrices when
+    small, and — with compare_full — the full-model frequencies and
+    per-mode relative errors."""
+    import scipy.linalg
+
+    from ..solvers.reduction import craig_bampton, guyan_reduce
+
+    method = analysis.get("method", "guyan")
+    if "master_dofs" in analysis:
+        masters = np.asarray(analysis["master_dofs"], dtype=int)
+    elif "master_nodes" in analysis:
+        nodes = np.asarray(analysis["master_nodes"], dtype=int)
+        d = problem.dimension
+        cand = (d * nodes[:, None] + np.arange(d)[None, :]).reshape(-1)
+        free = set(problem.free_fixed()[0].tolist())
+        masters = np.asarray([c for c in cand if int(c) in free],
+                             dtype=int)
+        if masters.size == 0:
+            raise ValueError("master_nodes resolve to no free DOFs")
+    else:
+        raise ValueError("reduction needs master_nodes or master_dofs")
+
+    if method == "guyan":
+        model = guyan_reduce(problem, masters)
+    elif method == "craig_bampton":
+        model = craig_bampton(problem, masters,
+                              n_modes=int(analysis.get("n_modes", 4)))
+    else:
+        raise ValueError('reduction method must be "guyan" or '
+                         '"craig_bampton"')
+
+    w2 = scipy.linalg.eigh(model.k_red, model.m_red, eigvals_only=True)
+    w2 = np.maximum(w2, 0.0)
+    omegas = np.sqrt(w2)
+    n_red = int(model.k_red.shape[0])
+    out = {
+        "success": True,
+        "analysis": "reduction",
+        "method": method,
+        "master_dofs": masters.tolist(),
+        "n_reduced_dofs": n_red,
+        "reduced_omegas": omegas.tolist(),
+        "reduced_frequencies_hz": (omegas / (2.0 * np.pi)).tolist(),
+    }
+    if analysis.get("include_matrices", n_red <= 64):
+        out["k_red"] = model.k_red.tolist()
+        out["m_red"] = model.m_red.tolist()
+    if analysis.get("compare_full", True):
+        n_cmp = min(n_red, problem.free_fixed()[0].size,
+                    int(analysis.get("compare_modes", min(n_red, 6))))
+        full = modal_analysis(problem, n_modes=n_cmp)
+        rel = np.abs(omegas[:n_cmp] - full.omegas)
+        rel = rel / np.maximum(full.omegas, 1e-30)
+        out["full_omegas"] = full.omegas.tolist()
+        out["full_frequencies_hz"] = full.frequencies.tolist()
+        out["frequency_rel_error"] = rel.tolist()
+    return out
+
+
 def run_analysis(problem, analysis: Dict) -> Dict:
     """Dispatch an `"analysis"` block (see module docstring)."""
     kind = analysis.get("type")
@@ -440,6 +659,9 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_continuation(problem, analysis)
     if kind == "random":
         return run_random(problem, analysis)
+    if kind == "reduction":
+        return run_reduction(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
                      f'"buckling", "harmonic", "spectrum", '
-                     f'"continuation" or "random", got {kind!r}')
+                     f'"continuation", "random" or "reduction", '
+                     f'got {kind!r}')

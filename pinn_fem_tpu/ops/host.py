@@ -1,0 +1,246 @@
+"""Host-side (numpy, float64) dense operators for the small-problem tier.
+
+WHY THIS EXISTS (round-3 VERDICT #1): on the TPU attachment every NEW XLA
+program pays a 1-3 minute remote compile; a 6-node modal analysis that
+costs microseconds of FLOPs was timing out 60 s HTTP routes because its
+eager eigh/cholesky dispatches each compiled a fresh device program (and
+the TPU eigh program additionally missed the persistent compile cache —
+see BENCHMARKS.md "dynamics serving" notes).  Compile cost is set by
+program complexity, not problem size, so BELOW the dense limit the right
+hardware for eigensolves is the HOST: numpy/LAPACK runs the whole dense
+analysis family (modal, buckling, harmonic, spectrum, random vibration,
+reduction, small transients) in milliseconds, in float64, touching the
+device zero times.
+
+This module therefore re-implements dense assembly in pure numpy.  It is
+NOT a second source of truth for the physics: every function mirrors the
+corresponding jnp op 1:1 (assemble_system <-> host_stiffness, ops/mass <->
+host_lumped/consistent_mass, ops/geometric <-> host_geometric_stiffness)
+and tests/test_host.py pins them against each other.  The differentiable
+traced paths (modal_eigenpairs, buckling_eigenvalues, the fused transient
+programs) are untouched — identification and large-mesh work stay on
+device where gradients and bandwidth live.
+
+MLP material fields are evaluated on host by fetching their weights once
+(np.asarray = pure transfer, no compile) and running the tiny forward in
+numpy; fetched weights are cached per field object.
+
+Reference cites: the reference's own NumPy assembly
+(/root/reference/FEM/python/fem/assembly.py:16-75) is the capability
+ancestor of this path — its element loop replaced by vectorized scatter.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..models.fields import MLPField, ScalarField
+from ..models.problem import TrussProblem
+
+# Fetched-weight cache for MLP fields: keyed by id(field) but HOLDING the
+# field object too — ids are reused after GC (CLAUDE.md), so the identity
+# check below must compare the stored object, not trust the key.
+_FIELD_CACHE: dict = {}
+_FIELD_CACHE_CAP = 32
+
+
+def _field_weights(field: MLPField):
+    entry = _FIELD_CACHE.get(id(field))
+    if entry is not None and entry[0] is field:
+        return entry[1]
+    layers = [(np.asarray(w, dtype=np.float64), np.asarray(b, dtype=np.float64))
+              for w, b in field.layers]
+    scale = float(np.asarray(field.scale))
+    if len(_FIELD_CACHE) >= _FIELD_CACHE_CAP:
+        _FIELD_CACHE.pop(next(iter(_FIELD_CACHE)))
+    _FIELD_CACHE[id(field)] = (field, (layers, scale))
+    return layers, scale
+
+
+def eval_field_host(field, x: np.ndarray) -> np.ndarray:
+    """Numpy mirror of Field.eval_batch: (n, k) inputs -> (n,) values.
+
+    Matches models/fields.py exactly: _adapt_inputs column logic,
+    tanh hidden layers, softplus positivity, scale."""
+    x = np.asarray(x, dtype=np.float64)
+    if isinstance(field, ScalarField):
+        return np.full(x.shape[0], float(np.asarray(field.value)))
+    if not isinstance(field, MLPField):
+        # Duck-typed custom fields (tests define spatially-keyed helpers):
+        # evaluate through their own eval_batch and fetch.  On TPU this
+        # may dispatch tiny device ops — acceptable for the rare custom
+        # field; the shipped field types stay compile-free above.
+        return np.asarray(field.eval_batch(x), dtype=np.float64)
+    layers, scale = _field_weights(field)
+    width = x.shape[1]
+    if field.input_dim < width:
+        cols = np.concatenate([x[:, 1:], x[:, :1]], axis=1)
+        x = cols[:, : field.input_dim]
+    elif field.input_dim > width:
+        x = np.concatenate(
+            [x, np.zeros((x.shape[0], field.input_dim - width))], axis=1)
+    h = x
+    for w, b in layers[:-1]:
+        h = np.tanh(h @ w + b)
+    w, b = layers[-1]
+    out = h @ w + b
+    if field.enforce_positive:
+        # Numerically-stable softplus (overflow-free for large inputs).
+        out = np.logaddexp(0.0, out)
+    return (out * scale)[:, 0]
+
+
+def _geometry(problem: TrussProblem):
+    """(dof_map, gvec, inv_len, mid) in numpy float64, cached per problem."""
+    cached = getattr(problem, "_host_geometry_cache", None)
+    if cached is not None:
+        return cached
+    coords = problem.node_coords_2d.astype(np.float64)
+    i, j = problem.elements[:, 0], problem.elements[:, 1]
+    dx = coords[j] - coords[i]
+    lengths = np.linalg.norm(dx, axis=1)
+    if np.any(lengths <= 0.0):
+        raise ValueError("Element with zero initial length detected")
+    cosines = dx / lengths[:, None]
+    gvec = np.concatenate([-cosines, cosines], axis=1)
+    inv_len = 1.0 / lengths
+    mid = 0.5 * (coords[i] + coords[j])
+    if problem.dimension == 1:
+        dof_map = np.stack([i, j], axis=1)
+    else:
+        d = problem.dimension
+        dof_map = np.concatenate(
+            [np.stack([d * n + c for c in range(d)], axis=1) for n in (i, j)],
+            axis=1)
+    out = (dof_map.astype(np.int64), gvec, inv_len, mid)
+    problem._host_geometry_cache = out
+    return out
+
+
+def _assembly_inputs(problem: TrussProblem, load_factor: float) -> np.ndarray:
+    _, _, _, mid = _geometry(problem)
+    n = mid.shape[0]
+    lf = np.full((n, 1), float(load_factor))
+    return np.concatenate([lf, mid[:, : problem.dimension]], axis=1)
+
+
+def material_values_host(problem: TrussProblem, load_factor: float = 1.0
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """(young, area) at element midpoints, numpy float64."""
+    x = _assembly_inputs(problem, load_factor)
+    return (eval_field_host(problem.material.young, x),
+            eval_field_host(problem.material.area, x))
+
+
+def density_values_host(problem: TrussProblem,
+                        load_factor: float = 1.0) -> np.ndarray:
+    x = _assembly_inputs(problem, load_factor)
+    return eval_field_host(problem.material.density, x)
+
+
+def _scatter_blocks(problem: TrussProblem, ke: np.ndarray) -> np.ndarray:
+    """(nelm, 2d, 2d) element blocks -> dense (ndof, ndof) global matrix."""
+    dof_map, _, _, _ = _geometry(problem)
+    ndof = problem.ndof
+    k = np.zeros((ndof, ndof))
+    rows = dof_map[:, :, None]
+    cols = dof_map[:, None, :]
+    np.add.at(k, (rows, cols), ke)
+    return k
+
+
+def host_stiffness(problem: TrussProblem,
+                   load_factor: float = 1.0) -> np.ndarray:
+    """Dense linear stiffness K (ndof, ndof), float64.
+
+    Mirror of ops/assembly.assemble_system's K for u = 0 (linear
+    kinematics: K is displacement-independent)."""
+    dof_map, gvec, inv_len, _ = _geometry(problem)
+    young, area = material_values_host(problem, load_factor)
+    s = young * area * inv_len                       # (nelm,)
+    ke = s[:, None, None] * gvec[:, :, None] * gvec[:, None, :]
+    return _scatter_blocks(problem, ke)
+
+
+def host_lumped_mass(problem: TrussProblem) -> np.ndarray:
+    """(ndof,) lumped mass vector — mirror of ops/mass.lumped_mass."""
+    dof_map, _, inv_len, _ = _geometry(problem)
+    x = _assembly_inputs(problem, 1.0)
+    rho = eval_field_host(problem.material.density, x)
+    area = eval_field_host(problem.material.area, x)
+    m_e = rho * area / inv_len
+    m = np.zeros(problem.ndof)
+    np.add.at(m, dof_map, np.broadcast_to((0.5 * m_e)[:, None],
+                                          dof_map.shape))
+    return m
+
+
+def host_consistent_mass(problem: TrussProblem) -> np.ndarray:
+    """Dense (ndof, ndof) consistent mass — mirror of
+    ops/mass.consistent_mass."""
+    dof_map, _, inv_len, _ = _geometry(problem)
+    x = _assembly_inputs(problem, 1.0)
+    rho = eval_field_host(problem.material.density, x)
+    area = eval_field_host(problem.material.area, x)
+    m_e = rho * area / inv_len
+    d = problem.dimension
+    eye_d = np.eye(d)
+    pattern = np.block([[2.0 * eye_d, eye_d], [eye_d, 2.0 * eye_d]]) / 6.0
+    me = m_e[:, None, None] * pattern[None, :, :]
+    return _scatter_blocks(problem, me)
+
+
+def host_axial_forces(problem: TrussProblem, u: np.ndarray,
+                      load_factor: float = 1.0) -> np.ndarray:
+    """(nelm,) N_e = E A eps at state u — mirror of
+    ops/geometric.element_axial_forces."""
+    dof_map, gvec, inv_len, _ = _geometry(problem)
+    young, area = material_values_host(problem, load_factor)
+    u_e = np.asarray(u, dtype=np.float64).reshape(-1)[dof_map]
+    strain = np.sum(gvec * u_e, axis=-1) * inv_len
+    return young * area * strain
+
+
+def host_geometric_stiffness(problem: TrussProblem,
+                             n_e: np.ndarray) -> np.ndarray:
+    """Dense (ndof, ndof) geometric stiffness K_g from element axial
+    forces — mirror of ops/geometric.assemble_geometric."""
+    _, _, inv_len, _ = _geometry(problem)
+    d = problem.dimension
+    eye_d = np.eye(d)
+    pattern = np.block([[eye_d, -eye_d], [-eye_d, eye_d]])
+    coef = np.asarray(n_e, dtype=np.float64) * inv_len
+    ke = coef[:, None, None] * pattern[None, :, :]
+    return _scatter_blocks(problem, ke)
+
+
+def host_masks(problem: TrussProblem) -> np.ndarray:
+    """(ndof,) free mask (1.0 free / 0.0 fixed)."""
+    mask = np.ones(problem.ndof)
+    if problem.fixed_dofs.size:
+        mask[np.unique(problem.fixed_dofs)] = 0.0
+    return mask
+
+
+def host_static_solve(problem: TrussProblem,
+                      loads: Optional[np.ndarray] = None,
+                      k: Optional[np.ndarray] = None) -> np.ndarray:
+    """Masked linear static solve K u = f on the free block (numpy).
+
+    Mirror of ops/linalg.masked_solve's contract: zeros on fixed DOFs."""
+    mask = host_masks(problem)
+    k = host_stiffness(problem) if k is None else k
+    f = problem.loads if loads is None else np.asarray(loads, dtype=float)
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    return np.linalg.solve(km, f * mask) * mask
+
+
+def loads_of(problem: TrussProblem, data=None) -> np.ndarray:
+    """Effective load vector: data overrides problem (callers may pass a
+    ProblemData with replaced loads); np.asarray is a transfer, never a
+    compile."""
+    if data is not None:
+        return np.asarray(data.loads, dtype=np.float64)
+    return np.asarray(problem.loads, dtype=np.float64)

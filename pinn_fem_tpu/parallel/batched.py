@@ -264,17 +264,29 @@ def solve_gd_batched_incremental(
     }
 
 
-@partial(jax.jit, static_argnames=("n_steps", "record_every"))
+@partial(jax.jit, static_argnames=("n_steps", "record_every", "nonlinear"))
 def _batched_transient_core(k, m, mask, loads_b, amp_b, dt, alpha, beta,
                             probe, gvec, inv_len, dof_map, young_e,
-                            n_steps: int, record_every: int):
+                            area_e, x0, n_steps: int, record_every: int,
+                            nonlinear: bool = False):
     """(B,) central-difference ensembles with per-step stress envelopes.
 
     Same recurrence as solvers/dynamics._central_run, dense K (ensemble
     meshes are small-to-medium; dense vmaps cleanly and batches onto the
     MXU), plus a running max |stress| per element — the quantity a design
     check wants from an ensemble (envelope across the whole history, not
-    snapshots)."""
+    snapshots).
+
+    nonlinear=True swaps K u for the Green-Lagrange internal force
+    (round-3 VERDICT #4: Monte-Carlo studies of snap-through/taut-cable
+    structures batch like linear ones).  The element kernel is evaluated
+    ONCE per step: the state evaluation that feeds the stress envelope at
+    u_{n+1} is carried forward as the next step's internal force.  Beta
+    (stiffness) damping acts through the INITIAL stiffness K0 — the same
+    explicit-dynamics convention as the serial integrator
+    (solvers/dynamics.py:_central_run)."""
+    from ..ops.elements import truss2d_green_lagrange_batch
+
     inv_m = jnp.where(m > 0, 1.0 / m, 0.0)
     dt2 = dt * dt
 
@@ -282,28 +294,41 @@ def _batched_transient_core(k, m, mask, loads_b, amp_b, dt, alpha, beta,
         def force(i):
             return amp[jnp.minimum(i, amp.shape[0] - 1)] * loads
 
-        def residual(i, u, v_lag):
-            r = force(i) - k @ u - alpha * (m * v_lag)
+        zeros = jnp.zeros_like(loads)
+
+        def eval_state(u):
+            """(f_int, |stress|) at u: linear or Green-Lagrange."""
+            if nonlinear:
+                elem = truss2d_green_lagrange_batch(
+                    x0, u[dof_map], inv_len, young_e, area_e)
+                f_int = zeros.at[dof_map].add(elem.fe_int)
+                return f_int, jnp.abs(young_e * elem.strain)
+            strain = jnp.sum(gvec * u[dof_map], axis=-1) * inv_len
+            return k @ u, jnp.abs(young_e * strain)
+
+        def residual(i, fint_u, v_lag):
+            r = force(i) - fint_u - alpha * (m * v_lag)
             if beta is not None:
                 r = r - beta * (k @ v_lag)
             return r
 
-        u0 = jnp.zeros_like(loads)
-        a0 = inv_m * residual(0, u0, u0) * mask
+        u0 = zeros
+        fint0, _ = eval_state(u0)
+        a0 = inv_m * residual(0, fint0, u0) * mask
         u_prev0 = u0 + 0.5 * dt2 * a0
         env0 = jnp.zeros(dof_map.shape[0], loads.dtype)
 
         def step(carry, i):
-            u, u_prev, env = carry
+            u, u_prev, env, fint_u = carry
             v_lag = (u - u_prev) / dt
             u_next = (2.0 * u - u_prev
-                      + dt2 * inv_m * residual(i, u, v_lag)) * mask
-            strain = jnp.sum(gvec * u_next[dof_map], axis=-1) * inv_len
-            env = jnp.maximum(env, jnp.abs(young_e * strain))
-            return (u_next, u, env), u_next[probe]
+                      + dt2 * inv_m * residual(i, fint_u, v_lag)) * mask
+            fint_next, stress = eval_state(u_next)
+            env = jnp.maximum(env, stress)
+            return (u_next, u, env, fint_next), u_next[probe]
 
-        (u, u_prev, env), traj = jax.lax.scan(
-            step, (u0, u_prev0, env0),
+        (u, u_prev, env, _), traj = jax.lax.scan(
+            step, (u0, u_prev0, env0, fint0),
             jnp.arange(n_steps, dtype=jnp.int32))
         v = (u - u_prev) / dt
         return traj[record_every - 1::record_every], u, v, env
@@ -321,6 +346,7 @@ def solve_transient_batched(
     probe_dofs: Optional[np.ndarray] = None,
     record_every: int = 1,
     mesh: Optional[Mesh] = None,
+    geometric_nonlinear: bool = False,
 ):
     """B transient load cases at once (ensemble dynamics: seismic suites,
     load-history Monte Carlo), dp-sharded over the mesh when given.
@@ -330,10 +356,14 @@ def solve_transient_batched(
             steps); rows may instead vary spatially via loads_batch
             (B, ndof).  Exactly one of the two may be batched; giving
             neither means B must come from the other.
+        geometric_nonlinear: Green-Lagrange internal force instead of
+            K u (2D/3D only, central difference) — snap-through and
+            taut-cable ensembles batch like linear ones (VERDICT #4).
 
     Returns dict with displacements (B, n_rec, n_probe), u_final/v_final
     (B, ndof), and max_stress (B, nelm) — the per-element |stress|
-    envelope over the WHOLE history (every step, not just snapshots).
+    envelope over the WHOLE history (every step, not just snapshots;
+    Green-Lagrange strain stress on the nonlinear path).
     """
     from ..ops.assembly import assemble_system, material_values
     from ..ops.mass import lumped_mass
@@ -343,6 +373,9 @@ def solve_transient_batched(
                          "loads_batch (B, ndof)")
     if n_steps % record_every:
         raise ValueError("n_steps must be a multiple of record_every")
+    if geometric_nonlinear and problem.dimension not in (2, 3):
+        raise ValueError("geometric nonlinearity requires a 2D or 3D "
+                         "truss (like the static GL path)")
     data = problem.to_device()
     dtype = data.loads.dtype
     b = (amplitudes.shape[0] if amplitudes is not None
@@ -362,7 +395,12 @@ def solve_transient_batched(
                         jnp.zeros(data.ndof, dtype))[0]
     mask = data.free_mask
     m = lumped_mass(data, problem.material) * mask + (1.0 - mask)
-    young_e, _ = material_values(data, problem.material, 1.0)
+    young_e, area_e = material_values(data, problem.material, 1.0)
+    # Rest nodal coordinates per element (the GL kernel's reference
+    # geometry), reconstructed from the SoA fields like _nl_apply_fn.
+    dim = data.dimension
+    dx0 = data.gvec[:, dim:] / data.inv_len[:, None]
+    x0 = jnp.stack([data.mid - 0.5 * dx0, data.mid + 0.5 * dx0], axis=1)
 
     if mesh is not None:
         dp = NamedSharding(mesh, P("dp"))
@@ -375,7 +413,8 @@ def solve_transient_batched(
         jnp.asarray(alpha, dtype),
         jnp.asarray(beta, dtype) if beta != 0.0 else None,
         probe, data.gvec, data.inv_len, data.dof_map, young_e,
-        n_steps, record_every)
+        area_e, x0, n_steps, record_every,
+        nonlinear=bool(geometric_nonlinear))
     return {"displacements": traj, "u_final": u_f, "v_final": v_f,
             "max_stress": env}
 

@@ -29,15 +29,23 @@ for stack parity; this server also serves the static UI from serve/static.
 from __future__ import annotations
 
 import json
+import os
 import threading
+import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutureTimeout
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
-FEM_TIMEOUT_S = 60.0
-PINN_TIMEOUT_S = 300.0
+# Compile-aware route budgets (round-3 VERDICT #1).  The small-problem
+# analysis family runs on the HOST tier (zero device programs —
+# ops/host.py), so 60 s is generous even cold; the remaining compile
+# exposure is the static/PINN solver programs on a cold persistent
+# cache, which `warmup()` charges at startup.  Both knobs are
+# env-overridable for attachments with slower compile helpers.
+FEM_TIMEOUT_S = float(os.environ.get("PINN_FEM_TPU_FEM_TIMEOUT", 60.0))
+PINN_TIMEOUT_S = float(os.environ.get("PINN_FEM_TPU_PINN_TIMEOUT", 300.0))
 
 _STATIC_DIR = Path(__file__).parent / "static"
 
@@ -58,11 +66,18 @@ INFO = {
                         "full_newton", "gauss_newton"],
         },
         "dynamics": {
-            "name": "Structural dynamics",
-            "description": "Transient (central difference / Newmark-beta) "
-                           "and modal analysis",
+            "name": "Structural dynamics & analysis",
+            "description": "Transient (central/Newmark/exact-modal, "
+                           "prestress, moving loads, checkpointing, "
+                           "ensembles), modal (+prestress), buckling, "
+                           "harmonic, response spectrum, random "
+                           "vibration, arc-length continuation, "
+                           "Guyan/Craig-Bampton reduction; small "
+                           "problems answer from the host tier "
+                           "(compile-free)",
             "methods": ["central", "newmark", "modal", "buckling",
-                        "harmonic", "spectrum"],
+                        "harmonic", "spectrum", "random",
+                        "continuation", "reduction"],
         },
     },
     "backend": "jax",
@@ -137,6 +152,7 @@ _ROUTES = {
     "/api/fem/continuation": (_solve_analysis("continuation"),
                               PINN_TIMEOUT_S),
     "/api/fem/random": (_solve_analysis("random"), FEM_TIMEOUT_S),
+    "/api/fem/reduction": (_solve_analysis("reduction"), FEM_TIMEOUT_S),
 }
 
 
@@ -226,15 +242,89 @@ class _Handler(BaseHTTPRequestHandler):
             )
 
 
+def _warmup_docs():
+    """Tiny problems covering every advertised route's program shapes."""
+    chain = {
+        "nodes": [[0.0], [1.0], [2.0], [3.0]],
+        "elements": [[0, 1], [1, 2], [2, 3]],
+        "material": {"young": 3.0, "area": 0.7, "density": 2.0},
+        "loads": [0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    arch = {
+        "nodes": [[0.0, 0.0], [1.0, 0.5], [2.0, 0.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 50.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0, -0.1, 0.0, 0.0],
+        "fixed_dofs": [0, 1, 4, 5],
+        "dimension": 2,
+        "solver_type": "fem",
+    }
+    tr = {"dt": "auto", "n_steps": 10, "record_every": 10,
+          "probe_nodes": [1]}
+    om = {"omegas": [0.5, 1.0], "damping": [0.1, 0.01],
+          "probe_nodes": [1]}
+    # /solve uses the reference's node-object schema (cli/_api_common.py).
+    solve_doc = {
+        "nodes": [{"x": 0.0, "y": 0.0, "fixed": True},
+                  {"x": 1.0, "y": 0.0}, {"x": 2.0, "y": 0.0, "fixed": True},
+                  {"x": 1.0, "y": 1.0}],
+        "elements": [{"nodes": [0, 1]}, {"nodes": [1, 2]},
+                     {"nodes": [1, 3]}, {"nodes": [0, 3]},
+                     {"nodes": [2, 3]}],
+        "loads": [0.0, 0.0, 0.0, -1.0, 0.0, 0.0, 0.0, 0.0],
+        "material": {"young": 100.0, "area": 1.0, "density": 1.0},
+        "solver_config": {"n_increments": 2, "max_iterations": 20},
+    }
+    return [
+        ("/api/fem/solve", solve_doc),
+        ("/api/fem/solve-generic", chain),
+        ("/api/fem/modal", {**chain, "analysis": {"n_modes": 2}}),
+        ("/api/fem/transient", {**chain, "analysis": tr}),
+        ("/api/fem/buckling", {**arch, "analysis": {"n_modes": 1}}),
+        ("/api/fem/harmonic", {**chain, "analysis": om}),
+        ("/api/fem/spectrum", {**chain, "analysis": {"n_modes": 2}}),
+        ("/api/fem/random", {**chain, "analysis": {**om, "psd": 1.0}}),
+        ("/api/fem/reduction", {**chain, "analysis": {
+            "method": "guyan", "master_nodes": [2]}}),
+        ("/api/fem/continuation", {**arch, "analysis": {
+            "n_steps": 4, "initial_dlambda": 0.05}}),
+    ]
+
+
+def warmup(quiet: bool = False):
+    """Exercise every advertised route in-process with tiny problems.
+
+    On a cold persistent XLA cache this charges the solver programs the
+    static/PINN routes will need, so the FIRST real request completes
+    inside its timeout — the serving contract the reference's backend
+    honors by construction (pythonRunner.js spawns short-lived CLIs) and
+    a warm-started long-lived server must honor deliberately.  The
+    analysis routes run on the host tier and warm in milliseconds."""
+    for path, body in _warmup_docs():
+        handler, _ = _ROUTES[path]
+        t0 = time.monotonic()
+        try:
+            handler(body)
+            status = "ok"
+        except Exception as e:  # warmup must never kill the server
+            status = f"FAILED: {e}"
+        if not quiet:
+            print(f"warmup {path}: {time.monotonic() - t0:.2f}s {status}")
+
+
 def make_server(port: int = 5000, quiet: bool = False) -> ThreadingHTTPServer:
     handler = type("Handler", (_Handler,), {"quiet": quiet})
     return ThreadingHTTPServer(("0.0.0.0", port), handler)
 
 
-def serve_forever(port: int = 5000):
+def serve_forever(port: int = 5000, do_warmup: bool = False):
     from ..utils.runtime import configure
 
     configure()
+    if do_warmup:
+        warmup()
     httpd = make_server(port)
     print(f"PINN-FEM-TPU backend running on http://localhost:{port}")
     print("API endpoints:")
@@ -254,4 +344,6 @@ def start_background(port: int = 0, quiet: bool = True):
 if __name__ == "__main__":
     import sys
 
-    serve_forever(int(sys.argv[1]) if len(sys.argv) > 1 else 5000)
+    args = [a for a in sys.argv[1:] if a != "--warmup"]
+    serve_forever(int(args[0]) if args else 5000,
+                  do_warmup="--warmup" in sys.argv[1:])

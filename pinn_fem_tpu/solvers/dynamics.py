@@ -175,7 +175,7 @@ def _nl_apply_fn(problem: TrussProblem, data):
 
 
 def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
-              damping=(0.0, 0.0)) -> float:
+              damping=(0.0, 0.0), prestress_u=None) -> float:
     """Gershgorin bound on the critical explicit time step.
 
     Undamped: dt_crit = 2 / omega_max with
@@ -187,11 +187,34 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
     undamped-bound step blows up (pass the SAME damping you integrate
     with).  The returned dt = safety * dt_crit.
 
-    Row sums of |K| are computed WITHOUT materializing K above
-    DENSE_DOF_LIMIT (a dense 2M x 2M K is 16 TB): per-element
-    sum_b |ke[a, b]| = |s| |g_a| sum_b |g_b| scatter-added per DOF.
+    `prestress_u` includes the geometric stiffness K_g(u0) in the bound
+    (round-3 VERDICT #3): tension RAISES omega_max, so a prestressed
+    transient integrated at the unstressed bound would be unstable —
+    pass the same prestress you integrate with.
+
+    Small problems compute the bound on the HOST (numpy — no device
+    program, round-3 VERDICT #1).  Above DENSE_DOF_LIMIT row sums of |K|
+    are computed WITHOUT materializing K (a dense 2M x 2M K is 16 TB):
+    per-element sum_b |ke[a, b]| = |s| |g_a| sum_b |g_b| scatter-added
+    per DOF; K_g adds 2 |N_e| / L0 per element DOF the same way.
     """
     from .newton import DENSE_DOF_LIMIT
+
+    alpha, beta = float(damping[0]), float(damping[1])
+    if problem.ndof <= DENSE_DOF_LIMIT and data is None:
+        from ..ops import host as H
+
+        m_h = H.host_lumped_mass(problem)
+        m_h = np.where(m_h > 0, m_h, 1.0)
+        k_h = H.host_stiffness(problem)
+        if prestress_u is not None:
+            pu = np.asarray(jax.device_get(prestress_u), dtype=float)
+            k_h = k_h + H.host_geometric_stiffness(
+                problem, H.host_axial_forces(problem, pu))
+        w_max = float(np.sqrt(np.max(np.sum(np.abs(k_h), axis=1) / m_h)))
+        zeta = alpha / (2.0 * max(w_max, 1e-30)) + 0.5 * beta * w_max
+        return float(safety * (2.0 / w_max)
+                     * (np.sqrt(1.0 + zeta * zeta) - zeta))
 
     data = data if data is not None else problem.to_device()
     m = lumped_mass(data, problem.material)
@@ -199,6 +222,14 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
     if problem.ndof <= DENSE_DOF_LIMIT:
         k = assemble_system(data, problem.material,
                             jnp.zeros(problem.ndof, data.loads.dtype))[0]
+        if prestress_u is not None:
+            from ..ops.geometric import (assemble_geometric,
+                                         element_axial_forces)
+
+            n_e = element_axial_forces(
+                data, problem.material,
+                jnp.asarray(prestress_u, data.loads.dtype))
+            k = k + assemble_geometric(data, n_e)
         row = jnp.sum(jnp.abs(k), axis=1)
     else:
         from ..ops.cg import stiffness_coefficients
@@ -206,10 +237,19 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
         s = stiffness_coefficients(data, problem.material, 1.0)
         g_abs = jnp.abs(data.gvec)                     # (nelm, 2d)
         contrib = (jnp.abs(s) * jnp.sum(g_abs, axis=1))[:, None] * g_abs
+        if prestress_u is not None:
+            from ..ops.geometric import element_axial_forces
+
+            n_e = element_axial_forces(
+                data, problem.material,
+                jnp.asarray(prestress_u, data.loads.dtype))
+            # |ke_g| row sums: each row of the +/-I block pattern has two
+            # unit entries, so sum_b |ke_g[a, b]| = 2 |N_e| / L0.
+            contrib = contrib + (2.0 * jnp.abs(n_e)
+                                 * data.inv_len)[:, None]
         row = jnp.zeros(problem.ndof, s.dtype).at[data.dof_map].add(contrib)
     bound = jnp.max(row / m)
     w_max = float(jnp.sqrt(bound))
-    alpha, beta = float(damping[0]), float(damping[1])
     zeta = alpha / (2.0 * max(w_max, 1e-30)) + 0.5 * beta * w_max
     return float(safety * (2.0 / w_max)
                  * (np.sqrt(1.0 + zeta * zeta) - zeta))
@@ -317,6 +357,7 @@ def solve_transient(
     n_modes: int = 32,
     prestress_u=None,
     force_fn=None,
+    host: Optional[bool] = None,
 ) -> TransientResult:
     """Integrate M u'' + C u' + f_int(u) = amplitude(t) * loads.
 
@@ -351,9 +392,6 @@ def solve_transient(
     """
     if n_steps % record_every:
         raise ValueError("n_steps must be a multiple of record_every")
-    data = data if data is not None else problem.to_device()
-    dtype = data.loads.dtype
-    ndof = problem.ndof
 
     amplitude = (np.ones(n_steps) if amplitude is None
                  else np.asarray(amplitude, dtype=float))
@@ -364,6 +402,45 @@ def solve_transient(
         # run under time-varying loads.
         raise ValueError(
             f"amplitude must have shape ({n_steps},) or ({n_steps + 1},)")
+    if prestress_u is not None and geometric_nonlinear:
+        raise ValueError("prestress_u is the LINEARIZED initial-stress "
+                         "model; geometric_nonlinear already carries the "
+                         "full state dependence — use one or the other")
+    if geometric_nonlinear and method != "central":
+        raise ValueError("geometric_nonlinear requires method='central'")
+
+    # HOST tier (round-3 VERDICT #1): on the TPU attachment every new
+    # device program pays a 1-3 min remote compile, so SMALL linear
+    # transients (the serving/UI tier) integrate on the host in numpy —
+    # a faithful transcription of the device recurrences below, zero
+    # device programs, milliseconds cold.  Auto only on TPU: on CPU the
+    # device path compiles in seconds and stays the tested reference.
+    if host is None:
+        from ..utils.runtime import is_tpu
+
+        host = (is_tpu() and problem.ndof <= _HOST_TRANSIENT_DOF_LIMIT
+                and not geometric_nonlinear and data is None
+                and method in ("central", "newmark", "modal")
+                and (force_fn is None
+                     or getattr(force_fn, "host_eval", None) is not None))
+    if host:
+        if geometric_nonlinear:
+            raise ValueError("the host transient path is linear-only")
+        if force_fn is not None \
+                and getattr(force_fn, "host_eval", None) is None:
+            raise ValueError("host transient needs a force_fn with a "
+                             ".host_eval numpy twin "
+                             "(moving_load_force_fn provides one)")
+        return _host_transient(
+            problem, float(dt), n_steps, amplitude,
+            (float(damping[0]), float(damping[1])), u0, v0, method,
+            record_every, probe_dofs, float(newmark_beta),
+            float(newmark_gamma), exact_restart, prestress_u, force_fn,
+            n_modes, data)
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    ndof = problem.ndof
     u0 = jnp.zeros(ndof, dtype) if u0 is None else jnp.asarray(
         np.asarray(u0).reshape(-1), dtype)
     v0 = jnp.zeros(ndof, dtype) if v0 is None else jnp.asarray(
@@ -387,20 +464,14 @@ def solve_transient(
     alpha, beta = (float(damping[0]), float(damping[1]))
     amp = jnp.asarray(amplitude, dtype)
     n_rec = n_steps // record_every
-    if prestress_u is not None and geometric_nonlinear:
-        raise ValueError("prestress_u is the LINEARIZED initial-stress "
-                         "model; geometric_nonlinear already carries the "
-                         "full state dependence — use one or the other")
     # Linearized prestress: K + K_g(u0) is CONSTANT, so every integrator
     # path (incl. banded/Pallas) works unchanged about the prestressed
     # state.  Taut-string transverse waves (c = sqrt(T/rho A)) are the
-    # canonical validation (tests/test_dynamics.py).  stable_dt does NOT
-    # include K_g; tension raises omega_max slightly — keep the safety
-    # margin or pass a reduced dt.
+    # canonical validation (tests/test_dynamics.py).  Pass the SAME
+    # prestress_u to stable_dt — tension raises omega_max and shrinks
+    # the explicit limit.
     k_apply = _k_apply_fn_prestressed(problem, data, prestress_u)
 
-    if geometric_nonlinear and method != "central":
-        raise ValueError("geometric_nonlinear requires method='central'")
     if method == "central":
         f_apply = se_apply = None
         if geometric_nonlinear:
@@ -414,13 +485,9 @@ def solve_transient(
     elif method == "newmark":
         if force_fn is not None:
             raise ValueError("force_fn supports method='central' only")
-        if prestress_u is not None:
-            raise ValueError("prestress_u supports method='central' and "
-                             "'modal' (the Newmark effective operator "
-                             "does not carry K_g yet)")
         solve_eff = _newmark_solve_eff(
             problem, data, k_apply, m, mask, dt, alpha, beta,
-            newmark_beta, newmark_gamma, cg_tol)
+            newmark_beta, newmark_gamma, cg_tol, prestress_u=prestress_u)
         recs, u_f, v_f = _newmark_run(
             k_apply, solve_eff, m, mask, data.loads, amp,
             jnp.asarray(dt, dtype), jnp.asarray(alpha, dtype),
@@ -471,15 +538,202 @@ def solve_transient(
     )
 
 
+# Host-tier size bound: above this the banded/Pallas device programs win
+# (and their compile cost amortizes over the mesh size that justified it).
+_HOST_TRANSIENT_DOF_LIMIT = 1024
+
+
+def _host_transient(problem, dt, n_steps, amplitude, damping, u0, v0,
+                    method, record_every, probe_dofs, nb, ng,
+                    exact_restart, prestress_u, force_fn, n_modes,
+                    data) -> TransientResult:
+    """Linear transient integration on the HOST (numpy float64).
+
+    A faithful transcription of _central_run/_newmark_run/_modal_run —
+    same recurrences, same lagged/centered velocity conventions, same
+    amplitude clamping and exact_restart semantics — for the
+    small-problem serving tier where a remote TPU compile would cost
+    1000x the integration itself (round-3 VERDICT #1).  Supports
+    prestress (K + K_g constant operator) on all three methods and
+    moving loads through force_fn.host_eval."""
+    from ..ops import host as H
+
+    alpha, beta = damping
+    ndof = problem.ndof
+    mask = H.host_masks(problem)
+    k = H.host_stiffness(problem)
+    if prestress_u is not None:
+        import jax as _jax
+
+        pu = np.asarray(_jax.device_get(prestress_u), dtype=float)
+        k = k + H.host_geometric_stiffness(
+            problem, H.host_axial_forces(problem, pu))
+    m = H.host_lumped_mass(problem) * mask + (1.0 - mask)
+    loads = H.loads_of(problem, data)
+    amp = np.asarray(amplitude, dtype=float)
+    n_total = amp.shape[0]
+    n_rec = n_steps // record_every
+    probe = (np.arange(ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int))
+    u0 = (np.zeros(ndof) if u0 is None
+          else np.asarray(u0, dtype=float).reshape(-1)) * mask
+    v0 = (np.zeros(ndof) if v0 is None
+          else np.asarray(v0, dtype=float).reshape(-1)) * mask
+
+    force_host = getattr(force_fn, "host_eval", None)
+
+    def force(i):
+        if force_host is not None:
+            return force_host(i)
+        return amp[min(i, n_total - 1)] * loads
+
+    us = np.empty((n_rec, probe.size))
+    vs = np.empty((n_rec, probe.size))
+    kes = np.empty(n_rec)
+    ses = np.empty(n_rec)
+
+    if method == "central":
+        inv_m = np.where(m > 0, 1.0 / m, 0.0)
+        dt2 = dt * dt
+
+        def residual(i, u, v_lag):
+            cu = alpha * (m * v_lag)
+            if beta != 0.0:
+                cu = cu + beta * (k @ v_lag)
+            return force(i) - k @ u - cu
+
+        def one_step(i, u, u_prev):
+            v_lag = (u - u_prev) / dt
+            u_next = (2.0 * u - u_prev
+                      + dt2 * inv_m * residual(i, u, v_lag)) * mask
+            return u_next, u
+
+        if exact_restart:
+            u_prev = u0 - dt * v0
+        else:
+            a0 = inv_m * residual(0, u0, v0) * mask
+            u_prev = u0 - dt * v0 + 0.5 * dt2 * a0
+        u = u0
+        i = 0
+        for r in range(n_rec):
+            for _ in range(record_every):
+                u, u_prev = one_step(i, u, u_prev)
+                i += 1
+            u_peek, _ = one_step(i, u, u_prev)
+            v = (u_peek - u_prev) / (2.0 * dt)
+            us[r], vs[r] = u[probe], v[probe]
+            kes[r] = 0.5 * np.sum(m * v * v)
+            ses[r] = 0.5 * u @ (k @ u)
+        v_final = (u - u_prev) / dt
+        u_final = u
+
+    elif method == "newmark":
+        import scipy.linalg
+
+        a0 = 1.0 / (nb * dt * dt)
+        a1 = ng / (nb * dt)
+        a2 = 1.0 / (nb * dt)
+        a3 = 1.0 / (2.0 * nb) - 1.0
+        a4 = ng / nb - 1.0
+        a5 = 0.5 * dt * (ng / nb - 2.0)
+        a6 = dt * (1.0 - ng)
+        a7 = ng * dt
+
+        k_eff = (1.0 + a1 * beta) * k + (a0 + a1 * alpha) * np.diag(m)
+        k_eff = (mask[:, None] * k_eff * mask[None, :]
+                 + np.diag(1.0 - mask))
+        cho = scipy.linalg.cho_factor(k_eff, lower=True)
+
+        def c_apply(v):
+            cv = alpha * (m * v)
+            if beta != 0.0:
+                cv = cv + beta * (k @ v)
+            return cv
+
+        u, v = u0, v0
+        a = np.where(m > 0, 1.0 / m, 0.0) * (
+            (force(0) - k @ u0 - c_apply(v0)) * mask)
+        i = 0
+        for r in range(n_rec):
+            for _ in range(record_every):
+                f = (force_host(i + 1) if force_host is not None
+                     else amp[min(i + 1, n_total - 1)] * loads)
+                rhs = (f + m * (a0 * u + a2 * v + a3 * a)
+                       + c_apply(a1 * u + a4 * v + a5 * a))
+                u_new = scipy.linalg.cho_solve(cho, rhs * mask) * mask
+                a_new = (a0 * (u_new - u) - a2 * v - a3 * a) * mask
+                v = (v + a6 * a + a7 * a_new) * mask
+                u, a = u_new, a_new
+                i += 1
+            us[r], vs[r] = u[probe], v[probe]
+            kes[r] = 0.5 * np.sum(m * v * v)
+            ses[r] = 0.5 * u @ (k @ u)
+        u_final, v_final = u, v
+
+    elif method == "modal":
+        from .modal import _host_modal
+
+        free_idx, _ = problem.free_fixed()
+        j_modes = min(n_modes, free_idx.size)
+        pu = None
+        if prestress_u is not None:
+            import jax as _jax
+
+            pu = np.asarray(_jax.device_get(prestress_u), dtype=float)
+        mres = _host_modal(problem, j_modes, True, pu)
+        omegas = np.maximum(mres.omegas, 1e-30)
+        phi = mres.shapes                              # (ndof, J)
+        zetas = 0.5 * (alpha / omegas + beta * omegas)
+        prop = _modal_propagators(omegas, zetas, dt)   # (J, 2, 2)
+        w2 = omegas**2
+        f_modal = phi.T @ (loads * mask)
+        q_stat_unit = f_modal / w2
+        q = phi.T @ (m * u0)
+        qd = phi.T @ (m * v0)
+        phi_probe = phi[probe, :]
+        i = 0
+        for r in range(n_rec):
+            for _ in range(record_every):
+                a_i = amp[i]
+                qp = a_i * q_stat_unit
+                dq, dqd = q - qp, qd - 0.0
+                q_new = prop[:, 0, 0] * dq + prop[:, 0, 1] * dqd + qp
+                qd_new = prop[:, 1, 0] * dq + prop[:, 1, 1] * dqd
+                q, qd = q_new, qd_new
+                i += 1
+            us[r] = phi_probe @ q
+            vs[r] = phi_probe @ qd
+            kes[r] = 0.5 * np.sum(qd * qd)
+            ses[r] = 0.5 * np.sum((q * q) * w2)
+        u_final = phi @ q
+        v_final = phi @ qd
+    else:
+        raise ValueError("method must be 'central', 'newmark' or 'modal'")
+
+    times = dt * record_every * np.arange(1, n_rec + 1)
+    return TransientResult(
+        times=times, displacements=us, velocities=vs,
+        kinetic_energy=kes, strain_energy=ses,
+        u_final=np.asarray(u_final), v_final=np.asarray(v_final),
+    )
+
+
 def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
-                       nb, ng, cg_tol):
+                       nb, ng, cg_tol, prestress_u=None):
     """Effective-stiffness solver closure, CACHED on the problem (it is a
     static jit argument — see _k_apply_fn — and the dense path's one-time
     Cholesky factorization should amortize over every step AND every call).
 
     Dense path: one factorization of the masked effective stiffness, two
     triangular solves per step.  Banded path: warm-started fused PCG on
-    the DIA combination (1 + a1 beta) K + (a0 + a1 alpha) M.
+    the DIA combination (1 + a1 beta) (K + K_g) + (a0 + a1 alpha) M.
+    `prestress_u` folds the geometric stiffness K_g(u0) into the
+    effective operator (round-3 VERDICT #3) — it shares the stiffness
+    sparsity, so both paths carry it unchanged; k_apply (used for the C
+    and internal-force terms by the caller) already includes it.
+    Factoring (1 + a1 beta) (K + K_g) treats beta damping as acting
+    through the TANGENT stiffness about the prestressed state, matching
+    the k_apply-based C in _newmark_run.
     """
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
 
@@ -488,21 +742,34 @@ def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
     cache = getattr(problem, "_newmark_cache", None)
     if cache is None:
         cache = problem._newmark_cache = {}
-    # Entries hold (data, material, solve_eff): identity checks (not ids,
-    # which can be reused after GC) invalidate on data OR material change.
+    # Entries hold (data, material, prestress, solve_eff): identity checks
+    # (not ids, which can be reused after GC) invalidate on data, material
+    # OR prestress-state change.
     entry = cache.get(key)
     if (entry is not None and entry[0] is data
-            and entry[1] is problem.material):
-        return entry[2]
+            and entry[1] is problem.material
+            and entry[2] is prestress_u):
+        return entry[3]
 
     dtype = data.loads.dtype
     a0 = 1.0 / (nb * dt * dt)
     a1 = ng / (nb * dt)
 
+    n_e = None
+    if prestress_u is not None:
+        from ..ops.geometric import element_axial_forces
+
+        n_e = element_axial_forces(data, problem.material,
+                                   jnp.asarray(prestress_u, dtype))
+
     dense = problem.ndof <= DENSE_DOF_LIMIT
     if dense:
         k_mat = assemble_system(data, problem.material,
                                 jnp.zeros(problem.ndof, dtype))[0]
+        if n_e is not None:
+            from ..ops.geometric import assemble_geometric
+
+            k_mat = k_mat + assemble_geometric(data, n_e)
         k_eff = (1.0 + a1 * beta) * k_mat + (a0 + a1 * alpha) * jnp.diag(m)
         # Masked BC elimination: M K M + (I - M).
         k_eff = (mask[:, None] * k_eff * mask[None, :]
@@ -522,6 +789,10 @@ def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
 
         s = stiffness_coefficients(data, problem.material, 1.0)
         kd = assemble_dia(layout, s, data.gvec)
+        if n_e is not None:
+            from ..ops.geometric import assemble_geometric_dia
+
+            kd = kd + assemble_geometric_dia(layout, data, n_e)
         k0 = int(np.where(layout.offsets == 0)[0][0])
         eff = ((1.0 + a1 * beta) * kd).at[k0].add((a0 + a1 * alpha) * m)
         use_pallas = jax.default_backend() == "tpu"
@@ -536,7 +807,7 @@ def _newmark_solve_eff(problem, data, k_apply, m, mask, dt, alpha, beta,
     # (~200 MB at 5k DOFs) — a dt sweep must not leak one per step size.
     if len(cache) >= _K_CACHE_CAP:
         cache.pop(next(iter(cache)))
-    cache[key] = (data, problem.material, solve_eff)
+    cache[key] = (data, problem.material, prestress_u, solve_eff)
     return solve_eff
 
 
@@ -700,6 +971,13 @@ def solve_transient_checkpointed(
     if "u0" in kw or "v0" in kw:
         raise ValueError("initial conditions come from the checkpoint; "
                          "run the first segment unchekpointed instead")
+    if kw.get("force_fn") is not None:
+        # force_fn(i) indexes steps from each SEGMENT's start, so a
+        # moving load would jump back to its origin every segment; an
+        # offset closure per segment would re-trigger the
+        # closure-static-arg recompile trap (_k_apply_fn docstring).
+        raise ValueError("checkpointed transients support the amplitude "
+                         "contract only, not force_fn")
     data = data if data is not None else problem.to_device()
     amplitude = (np.ones(n_steps) if amplitude is None
                  else np.asarray(amplitude, dtype=float))
@@ -794,5 +1072,22 @@ def moving_load_force_fn(problem: TrussProblem, path_nodes, speed: float,
         f = f.at[dofs[k + 1]].add(magnitude * w * inside)
         return f
 
+    s_cum_np = np.asarray(s_cum, dtype=float)
+    dofs_np = np.asarray(dofs)
+
+    def host_eval(i):
+        """Numpy twin for the host transient tier (same discretization)."""
+        pos = speed * dt * i
+        inside = 1.0 if (0.0 <= pos <= s_total) else 0.0
+        k = int(np.clip(np.searchsorted(s_cum_np, pos, side="right") - 1,
+                        0, path.size - 2))
+        w = (pos - s_cum_np[k]) / max(s_cum_np[k + 1] - s_cum_np[k], 1e-30)
+        w = float(np.clip(w, 0.0, 1.0))
+        f = np.zeros(ndof)
+        f[dofs_np[k]] += magnitude * (1.0 - w) * inside
+        f[dofs_np[k + 1]] += magnitude * w * inside
+        return f
+
+    force_fn.host_eval = host_eval
     problem._moving_load_cache = (key, force_fn)
     return force_fn

@@ -177,6 +177,61 @@ def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
     return w[:n_modes], y[:, :n_modes], change
 
 
+def _host_modal(problem, n_modes, lumped, prestress_u) -> ModalResult:
+    """Dense modal analysis entirely on the HOST (numpy/LAPACK, float64).
+
+    The default small-problem path (round-3 VERDICT #1): on the TPU
+    attachment every new device program pays a 1-3 min remote compile, so
+    a 12-DOF eigensolve through jitted eigh cost minutes while LAPACK
+    needs microseconds — and float64 removes the f32 Kv-residual floor
+    entirely (module docstring).  The TRACED path (modal_eigenpairs)
+    remains the differentiable core for identification."""
+    import scipy.linalg
+
+    from ..ops import host as H
+
+    free_idx, _ = problem.free_fixed()
+    k = H.host_stiffness(problem)
+    if prestress_u is not None:
+        n_e = H.host_axial_forces(problem, np.asarray(prestress_u))
+        k = k + H.host_geometric_stiffness(problem, n_e)
+    k_ff = k[np.ix_(free_idx, free_idx)]
+    k_ff = 0.5 * (k_ff + k_ff.T)
+    if lumped:
+        m_f = H.host_lumped_mass(problem)[free_idx]
+        d = np.sqrt(m_f)
+        b = k_ff / d[:, None] / d[None, :]
+        w, y = np.linalg.eigh(0.5 * (b + b.T))
+        v = y[:, :n_modes] / d[:, None]               # M-orthonormal
+        mv = m_f[:, None] * v
+    else:
+        m_ff = H.host_consistent_mass(problem)[np.ix_(free_idx, free_idx)]
+        m_ff = 0.5 * (m_ff + m_ff.T)
+        w, y = scipy.linalg.eigh(k_ff, m_ff)
+        v = y[:, :n_modes]                            # M-orthonormal
+        mv = m_ff @ v
+    w = w[:n_modes]
+    num = np.linalg.norm(k_ff @ v - mv * w[None, :], axis=0)
+    den = np.maximum(np.abs(w) * np.linalg.norm(mv, axis=0), 1e-300)
+    res = num / den
+    # Float64 analogue of the f32 floor check below: eigh is backward-
+    # stable, so floor-level residuals are check noise, not error.
+    row_max = float(np.max(np.sum(np.abs(k_ff), axis=1)))
+    floor = (2.3e-16 * row_max * np.sqrt(problem.ndof)
+             / np.maximum(np.abs(w), 1e-300))
+    ok = bool(np.all(res < np.maximum(1e-8, 10.0 * floor)))
+    shapes = np.zeros((problem.ndof, n_modes))
+    shapes[free_idx] = v
+    noise = 1e-12 * max(float(np.max(np.abs(w))), 1e-300)
+    w = np.where((w < 0) & (w > -noise), 0.0, w)
+    omegas = np.sqrt(np.maximum(w, 0.0))
+    return ModalResult(
+        eigenvalues=np.asarray(w), omegas=omegas,
+        frequencies=omegas / (2.0 * np.pi),
+        shapes=shapes, residuals=res, ok=ok,
+    )
+
+
 def modal_analysis(
     problem: TrussProblem,
     n_modes: int = 6,
@@ -186,14 +241,32 @@ def modal_analysis(
     cg_tol: float = 1e-8,
     seed: int = 0,
     prestress_u=None,
+    host: Optional[bool] = None,
 ) -> ModalResult:
     """Lowest natural frequencies and mode shapes.
 
-    Dense exact path below DENSE_DOF_LIMIT; banded inverse subspace
-    iteration above (lumped mass only there).  `prestress_u` adds the
-    initial-stress stiffness of a static state (see modal_eigenpairs).
+    Host (numpy/LAPACK float64) dense path below DENSE_DOF_LIMIT — zero
+    device programs, so a cold process answers in milliseconds instead of
+    paying remote TPU compiles (_host_modal); banded inverse subspace
+    iteration on device above it (lumped mass only there).  `host=False`
+    forces the on-device dense path (e.g. to stay on a TPU-resident data
+    pipeline); `prestress_u` adds the initial-stress stiffness of a
+    static state (see modal_eigenpairs).
     """
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
+
+    if host is None:
+        host = problem.ndof <= DENSE_DOF_LIMIT
+    if host:
+        if problem.ndof > DENSE_DOF_LIMIT:
+            raise ValueError("host modal analysis is dense-only; use the "
+                             "banded device path for large meshes")
+        free_idx, _ = problem.free_fixed()
+        if n_modes > free_idx.size:
+            raise ValueError("n_modes exceeds the number of free DOFs")
+        pu = (None if prestress_u is None
+              else np.asarray(jax.device_get(prestress_u)))
+        return _host_modal(problem, n_modes, lumped, pu)
 
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype

@@ -48,8 +48,11 @@ class ReducedModel(NamedTuple):
 
 def _partition(problem: TrussProblem, master_dofs, data):
     """Shared setup for Guyan / Craig-Bampton: validate masters, build
-    the free-block partition, and fetch K_ff + lumped mass in ONE device
-    round trip (CLAUDE.md single-fetch rule)."""
+    the free-block partition, and assemble K_ff + lumped mass on the
+    HOST (numpy float64 — the whole reduction is LAPACK-sized and must
+    not pay a remote TPU compile, round-3 VERDICT #1; ops/host.py is the
+    pinned mirror of the device assembly)."""
+    from ..ops import host as H
     from .newton import DENSE_DOF_LIMIT
 
     if problem.ndof > DENSE_DOF_LIMIT:
@@ -57,8 +60,6 @@ def _partition(problem: TrussProblem, master_dofs, data):
             f"reduction is dense-only ({problem.ndof} DOFs > "
             f"{DENSE_DOF_LIMIT}); condense a substructure, not the "
             "full large mesh")
-    data = data if data is not None else problem.to_device()
-    dtype = data.loads.dtype
     free_idx = np.asarray(problem.free_fixed()[0])
     masters = np.asarray(master_dofs, dtype=int)
     if np.unique(masters).size != masters.size:
@@ -69,13 +70,9 @@ def _partition(problem: TrussProblem, master_dofs, data):
     m_loc = np.array([pos[int(d)] for d in masters])
     s_loc = np.setdiff1d(np.arange(free_idx.size), m_loc)
 
-    k = assemble_system(data, problem.material,
-                        jnp.zeros(problem.ndof, dtype))[0]
-    k_ff_j = k[jnp.ix_(jnp.asarray(free_idx), jnp.asarray(free_idx))]
-    k_ff, m_all = jax.device_get(
-        (k_ff_j, lumped_mass(data, problem.material)))
-    return (free_idx, masters, m_loc, s_loc, np.asarray(k_ff),
-            np.asarray(m_all)[free_idx])
+    k_ff = H.host_stiffness(problem)[np.ix_(free_idx, free_idx)]
+    m_all = H.host_lumped_mass(problem)
+    return (free_idx, masters, m_loc, s_loc, k_ff, m_all[free_idx])
 
 
 def guyan_reduce(problem: TrussProblem,

@@ -71,8 +71,15 @@ def response_spectrum(
         damping_ratio: modal damping for the CQC correlation.
     """
     from .modal import modal_analysis
+    from .newton import DENSE_DOF_LIMIT
 
-    data = data if data is not None else problem.to_device()
+    # Small problems stay entirely on the HOST (modal_analysis already
+    # routes there): fetching the lumped mass through a device program
+    # would reintroduce the remote-compile latency the host tier exists
+    # to remove (round-3 VERDICT #1).
+    host = data is None and problem.ndof <= DENSE_DOF_LIMIT
+    if not host:
+        data = data if data is not None else problem.to_device()
     dim = problem.dimension
     d = np.zeros(dim)
     if direction is None:
@@ -86,18 +93,25 @@ def response_spectrum(
 
     free_idx, _ = problem.free_fixed()
     n_modes = min(n_modes, free_idx.size)
-    res = modal_analysis(problem, n_modes=n_modes, data=data)
+    res = modal_analysis(problem, n_modes=n_modes,
+                         data=None if host else data)
     phi = res.shapes                                  # (ndof, J), M-orthonormal
     omegas = np.maximum(res.omegas, 1e-30)
 
-    import jax
+    if host:
+        from ..ops.host import host_lumped_mass, host_masks
 
-    # ONE device fetch (CLAUDE.md: each device_get is a ~30 ms round trip
-    # through the attachment).
-    m, mask = jax.device_get((lumped_mass(data, problem.material),
-                              data.free_mask))
-    m = np.asarray(m)
-    mask = np.asarray(mask)
+        m = host_lumped_mass(problem)
+        mask = host_masks(problem)
+    else:
+        import jax
+
+        # ONE device fetch (CLAUDE.md: each device_get is a ~30 ms round
+        # trip through the attachment).
+        m, mask = jax.device_get((lumped_mass(data, problem.material),
+                                  data.free_mask))
+        m = np.asarray(m)
+        mask = np.asarray(mask)
     # Influence vector: unit ground motion along d on the FREE DOFs.
     r = np.tile(d, problem.ndof // dim) * mask
 

@@ -291,3 +291,207 @@ def test_transient_stress_envelope_option():
     env = np.asarray(res["max_stress"])
     assert env.shape == (1,)
     np.testing.assert_allclose(env[0], 2.0 * 1.0, rtol=2e-3)  # 2x F/A
+
+
+# ---------------------------------------------------------------------------
+# Round-3 VERDICT #2: prestress / moving load / checkpoint / reduction
+# reach the JSON + HTTP tiers.
+# ---------------------------------------------------------------------------
+
+
+def taut_chain_json(n_nodes=9, tension=1.0, young=100.0, analysis=None):
+    """2D pretensioned chain (axial DOFs fixed): transverse spectrum is
+    the taut-string closed form (T/(rho A h^2))(2 - 2 cos(j pi/n)) —
+    tests/test_buckling.py derives it."""
+    fixed = sorted([2 * i for i in range(n_nodes)]
+                   + [1, 2 * (n_nodes - 1) + 1])
+    up = [0.0] * (2 * n_nodes)
+    for i in range(n_nodes):
+        up[2 * i] = (tension / young) * i
+    doc = {
+        "nodes": [[float(i), 0.0] for i in range(n_nodes)],
+        "elements": [[i, i + 1] for i in range(n_nodes - 1)],
+        "material": {"young": young, "area": 1.0, "density": 1.0},
+        "loads": [0.0] * (2 * n_nodes),
+        "fixed_dofs": fixed,
+        "dimension": 2,
+        "solver_type": "fem",
+    }
+    if analysis:
+        doc["analysis"] = analysis
+    return doc, up
+
+
+def test_http_modal_prestress(server_port):
+    """Prestressed modal through HTTP: explicit-u prestress spec gives
+    the taut-string spectrum; without prestress the transverse block is
+    singular (lowest eigenvalue ~ 0)."""
+    n = 9
+    doc, up = taut_chain_json(n_nodes=n)
+    doc["analysis"] = {"n_modes": 3, "prestress": {"u": up}}
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["prestressed"] is True
+    theta = np.pi * np.arange(1, 4) / (n - 1)
+    np.testing.assert_allclose(res["eigenvalues"],
+                               2.0 - 2.0 * np.cos(theta), rtol=1e-3)
+    doc["analysis"] = {"n_modes": 1}
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    assert status == 200
+    assert body["result"]["eigenvalues"][0] < 1e-4
+
+
+def test_http_modal_prestress_from_own_loads(server_port):
+    """"prestress": {"fix_dofs": ...} solves the problem's own loads for
+    the base state with the transverse DOFs held (they have no stiffness
+    before tension exists): an axial pull T shifts the transverse
+    spectrum to T * (2 - 2 cos theta)."""
+    n = 9
+    doc, _ = taut_chain_json(n_nodes=n, tension=2.0)
+    # Free the x DOFs (except the anchored left end) so the pull can
+    # stretch the chain; transverse interior DOFs stay free for modes.
+    doc["loads"][2 * (n - 1)] = 2.0   # axial pull at the right end
+    doc["fixed_dofs"] = [0, 1, 2 * (n - 1) + 1]
+    doc["analysis"] = {"n_modes": 2, "prestress": {
+        "fix_dofs": [2 * i + 1 for i in range(n)]}}
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    assert status == 200, body
+    assert body["result"]["prestressed"] is True
+    theta = np.pi * np.arange(1, 3) / (n - 1)
+    # The pulled chain's LOWEST modes are transverse (T=2 string); the
+    # axial modes sit far above (E=100).
+    np.testing.assert_allclose(body["result"]["eigenvalues"],
+                               2.0 * (2.0 - 2.0 * np.cos(theta)),
+                               rtol=1e-3)
+
+
+def test_http_transient_moving_load(server_port):
+    """Moving-load JSON contract: the load spec replaces the amplitude
+    contract; the probe responds while the load crosses."""
+    n = 11
+    doc, up = taut_chain_json(n_nodes=n)
+    doc["analysis"] = {
+        "dt": 0.05, "n_steps": 400, "record_every": 40,
+        "probe_nodes": [n // 2], "damping": [0.2, 0.0],
+        "prestress": {"u": up},
+        "load": {"type": "moving", "path_nodes": list(range(n)),
+                 "speed": 0.5, "magnitude": -1.0, "component": 1},
+    }
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["moving_load"] is True and res["prestressed"] is True
+    uy = np.array(res["displacements"])[:, 1]   # probe y DOF
+    assert np.isfinite(uy).all()
+    assert np.abs(uy).max() > 1e-3              # the crossing load acts
+    # Conflict guard: amplitude + moving load is rejected.
+    doc["analysis"]["amplitude"] = {"type": "step"}
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 500 and "moving load" in body["error"]
+
+
+def test_transient_checkpoint_resume_api(tmp_path):
+    """Checkpoint/resume through the analysis block: a resumed run
+    returns exactly the remaining segments of an uninterrupted history."""
+    from pinn_fem_tpu.io.analysis import run_analysis
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+
+    doc = chain_problem_json()
+    doc["fixed_dofs"] = [0]
+    doc["loads"] = [0.0] * 8 + [1.0]
+    base = {
+        "type": "transient", "dt": 0.05, "n_steps": 200,
+        "record_every": 20, "probe_nodes": [8], "damping": [0.1, 0.0],
+    }
+    problem = parse_problem_dict(doc).problem
+    full = run_analysis(problem, dict(base))
+
+    # Uninterrupted checkpointed run == plain run.
+    d1 = tmp_path / "ck1"
+    out = run_analysis(problem, {**base, "checkpoint": {
+        "dir": str(d1), "every": 100}})
+    assert out["checkpointed"] is True
+    np.testing.assert_allclose(out["displacements"],
+                               full["displacements"], rtol=1e-5,
+                               atol=1e-8)
+
+    # Preempted run: first 100 steps persisted, then a resumed 200-step
+    # request returns the SECOND half, equal to the full history's tail.
+    d2 = tmp_path / "ck2"
+    run_analysis(problem, {**base, "n_steps": 100, "checkpoint": {
+        "dir": str(d2), "every": 100}})
+    tail = run_analysis(problem, {**base, "checkpoint": {
+        "dir": str(d2), "every": 100, "resume": True}})
+    np.testing.assert_allclose(
+        np.array(tail["displacements"]),
+        np.array(full["displacements"])[5:], rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.array(tail["times"]),
+                               np.array(full["times"])[5:], rtol=1e-6)
+
+
+def test_cli_reduction(tmp_path):
+    """Guyan / Craig-Bampton through the CLI: reduced frequencies in the
+    response, CB strictly better than Guyan on the same masters."""
+    doc = chain_problem_json(analysis={
+        "type": "reduction", "method": "guyan", "master_nodes": [4],
+        "compare_full": True})
+    pf = tmp_path / "red.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "red.res.json").read_text())
+    assert res["success"] and res["analysis"] == "reduction"
+    assert res["n_reduced_dofs"] == 1
+    err_guyan = res["frequency_rel_error"][0]
+    assert 0.0 < err_guyan < 0.1       # static tent shape vs sine mode
+    assert "ANALYSIS SUMMARY (reduction)" in (tmp_path / "red.log").read_text()
+
+
+def test_http_reduction_route(server_port):
+    doc = chain_problem_json()
+    doc["analysis"] = {"method": "craig_bampton", "master_nodes": [4],
+                      "n_modes": 2, "compare_full": True}
+    status, body = _post(server_port, "/api/fem/reduction", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["analysis"] == "reduction"
+    assert res["n_reduced_dofs"] == 3          # 1 master + 2 CB modes
+    # CB refines Guyan: first-mode error far below the Guyan-only one.
+    doc["analysis"] = {"method": "guyan", "master_nodes": [4]}
+    status, body2 = _post(server_port, "/api/fem/reduction", doc)
+    assert status == 200
+    assert (res["frequency_rel_error"][0]
+            < 0.1 * body2["result"]["frequency_rel_error"][0])
+
+
+def test_http_transient_nonlinear_ensemble(server_port):
+    """Green-Lagrange ensembles through HTTP (round-3 VERDICT #4): a
+    taut-cable has zero linear transverse stiffness, so only the
+    nonlinear path produces bounded cubic-stiffness responses."""
+    doc = {
+        "nodes": [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 100.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0, -1.0, 0.0, 0.0],
+        "fixed_dofs": [0, 1, 2, 4, 5],
+        "dimension": 2,
+        "solver_type": "fem",
+        "analysis": {
+            "type": "transient", "dt": 0.004, "n_steps": 2000,
+            "record_every": 200, "probe_nodes": [1],
+            "damping": [2.0, 0.0], "geometric_nonlinear": True,
+            "amplitudes": [[0.5] * 2000, [1.0] * 2000],
+        },
+    }
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["ensemble"] is True and res["geometric_nonlinear"] is True
+    w = -np.array(res["displacements"])[:, -1, 1]   # settling y at center
+    # Cubic stiffness: w ~ (F/EA)^(1/3); doubling F scales w by 2^(1/3)
+    # (wide tolerance: 2000 steps is settling, not settled).
+    assert 1.1 < w[1] / w[0] < 1.45

@@ -208,3 +208,128 @@ def test_frequency_hits_zero_at_buckling_load():
         expect = 4.0 * (1.0 - s) / m_node1   # k_b = 4
         np.testing.assert_allclose(modal.eigenvalues[0], expect, rtol=1e-3,
                                    atol=1e-5)
+
+
+def braced_tower(stories=50, young=1000.0, area=1.0, p_top=1.0):
+    """Cross-braced 2-chord tower under vertical tip compression — a
+    banded mesh (sequential story numbering) with a genuine sway
+    buckling mode."""
+    nodes, elements = [], []
+    for s in range(stories + 1):
+        nodes += [[0.0, float(s)], [1.0, float(s)]]
+    for s in range(stories):
+        a, b, c, d = 2 * s, 2 * s + 1, 2 * s + 2, 2 * s + 3
+        elements += [[a, c], [b, d], [c, d], [a, d], [b, c]]
+    nodes = np.array(nodes)
+    loads = np.zeros(2 * len(nodes))
+    loads[2 * (2 * stories) + 1] = -p_top      # top-left, vertical
+    loads[2 * (2 * stories + 1) + 1] = -p_top  # top-right, vertical
+    return TrussProblem(nodes, np.array(elements),
+                        Material(young=young, area=area, density=1.0),
+                        loads, np.array([0, 1, 2, 3]), 2)
+
+
+def test_banded_buckling_matches_dense():
+    """Round-3 VERDICT #5: buckling above DENSE_DOF_LIMIT rides the
+    banded DIA subspace iteration; the critical factors match the dense
+    (host LAPACK float64) path on the same tower.
+
+    Accuracy note (measured, solvers/buckling.py docstring): the float32
+    banded path's error floor is ~eps32 * kappa(K_ff) — kappa = 4e4 here
+    (12 stories) giving ~2e-4 on lam_1; in float64 the paths agree to
+    machine precision (verified at 50 stories / kappa 1.5e7)."""
+    import pinn_fem_tpu.solvers.newton as newton
+
+    p = braced_tower(stories=12)           # 52 DOFs, kappa(K_ff) ~ 4e4
+    dense = buckling_analysis(p, n_modes=2)
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        p2 = braced_tower(stories=12)      # fresh caches
+        banded = buckling_analysis(p2, n_modes=2, n_iter=60)
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    np.testing.assert_allclose(banded.load_factors[0],
+                               dense.load_factors[0], rtol=2e-3)
+    np.testing.assert_allclose(banded.load_factors, dense.load_factors,
+                               rtol=2e-2)
+    np.testing.assert_allclose(banded.axial_forces, dense.axial_forces,
+                               rtol=1e-3, atol=1e-5)
+    # Same fundamental sway shape up to sign/scale (MAC ~ 1).
+    from pinn_fem_tpu.solvers.modal import mac
+
+    m = mac(banded.modes[:, 0], dense.modes[:, 0])
+    assert m[0, 0] > 0.99
+
+
+def test_banded_buckling_refinement_tracks_dense_sequence():
+    """The dense refinement sequence converges monotonically from above
+    (Euler-like); the banded path lands on the same curve at the finest
+    refinement, within the float32 conditioning floor (~eps32 * kappa =
+    ~1.2e-2 at 30 stories, measured)."""
+    import pinn_fem_tpu.solvers.newton as newton
+
+    lams = [buckling_analysis(braced_tower(stories=s),
+                              n_modes=1).load_factors[0]
+            for s in (10, 20, 30)]
+    # Monotone decreasing toward the continuum sway limit.
+    assert lams[0] > lams[1] > lams[2] > 0
+    assert (lams[1] - lams[2]) < (lams[0] - lams[1])
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        lam_banded = buckling_analysis(braced_tower(stories=30),
+                                       n_modes=1,
+                                       n_iter=40).load_factors[0]
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    np.testing.assert_allclose(lam_banded, lams[2], rtol=8e-2)
+
+
+def compressed_grid(rows, cols):
+    """Cross-braced grid strip, left edge fixed, uniform axial
+    compression on the right edge — the wide-grid buckling geometry
+    (well-conditioned: kappa grows with aspect ratio, not DOF count)."""
+    ys, xs = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    nodes = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(float)
+    nid = lambda r, c: r * cols + c
+    elements = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                elements.append([nid(r, c), nid(r, c + 1)])
+            if r + 1 < rows:
+                elements.append([nid(r, c), nid(r + 1, c)])
+            if c + 1 < cols and r + 1 < rows:
+                elements.append([nid(r, c), nid(r + 1, c + 1)])
+                elements.append([nid(r, c + 1), nid(r + 1, c)])
+    loads = np.zeros(2 * rows * cols)
+    fixed = []
+    for r in range(rows):
+        fixed += [2 * nid(r, 0), 2 * nid(r, 0) + 1]
+        loads[2 * nid(r, cols - 1)] = -1.0      # compression
+    return TrussProblem(
+        nodes=nodes, elements=np.array(elements),
+        material=Material(young=100.0, area=1.0, density=1.0),
+        loads=loads, fixed_dofs=np.array(fixed), dimension=2)
+
+
+def test_banded_buckling_compressed_grid_matches_dense():
+    """VERDICT #5's geometry: a compressed GRID resolved by the banded
+    subspace iteration matches the dense float64 factor (the well-
+    conditioned wide-strip case, unlike the slender-tower kappa wall).
+    The 40k-DOF TPU-scale run of the same geometry lives in
+    benchmarks/scaling.py."""
+    import pinn_fem_tpu.solvers.newton as newton
+
+    p = compressed_grid(10, 24)          # 480 DOFs
+    dense = buckling_analysis(p, n_modes=1)
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        p2 = compressed_grid(10, 24)
+        banded = buckling_analysis(p2, n_modes=1, n_iter=40)
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    np.testing.assert_allclose(banded.load_factors[0],
+                               dense.load_factors[0], rtol=1e-2)

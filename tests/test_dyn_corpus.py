@@ -31,6 +31,7 @@ def run_cli_inprocess(name, tmp_path):
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
                    "dyn-harmonic.json", "dyn-modal.json",
+                   "dyn-random.json", "dyn-reduction.json",
                    "dyn-spectrum.json", "dyn-transient.json"]
 
 
@@ -73,5 +74,20 @@ def test_dyn_corpus_runs(name, tmp_path):
     elif kind == "spectrum":
         assert 0.9 < res["mass_fraction"] <= 1.0 + 1e-6
         assert np.asarray(res["displacements"]).max() > 0
+    elif kind == "random":
+        psd = np.asarray(res["psd"])
+        rms = np.asarray(res["rms"])
+        assert psd.shape == (200, 4) and np.isfinite(psd).all()
+        assert np.all(psd >= 0) and np.all(rms > 0)
+        # The lateral (x) tower-top DOFs dominate the RMS under the
+        # lateral load pattern.
+        assert rms[0] > rms[1] and rms[2] > rms[3]
+    elif kind == "reduction":
+        f_red = np.asarray(res["reduced_frequencies_hz"])
+        err = np.asarray(res["frequency_rel_error"])
+        assert res["n_reduced_dofs"] == 8          # 4 master DOFs + 4 CB
+        assert np.all(np.isfinite(f_red)) and np.all(np.diff(f_red) >= 0)
+        # Craig-Bampton with 4 interface modes nails the low modes.
+        assert err[0] < 1e-3 and err[:4].max() < 0.05
     else:
         pytest.fail(f"unknown analysis kind {kind}")

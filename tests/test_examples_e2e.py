@@ -21,14 +21,18 @@ REF = "/root/reference/FEM/python/examples/json"
 ALL = sorted(os.path.basename(p) for p in glob.glob(f"{REF}/example*.json"))
 
 # Examples whose final displacements must match u_x = load_factor * [1, 2, 3]
-# (or [1] for the single-element variants) to loose GD tolerance.
+# (or [1] for the single-element variants).  Bounds are the MEASURED
+# converged error x ~1.5-2 margin (round-3 VERDICT #8 — regressions in
+# Adam/convergence-gate semantics must not hide inside loose 1e-2):
+# scalar-GD ex2 family converges at its gate level ~1.6-2.6e-3; the NN
+# families at 3-9e-5; 5-P finishes on the NR entry (exact).
 _ANALYTIC = {
     "example1.json": 2e-5, "example1-1.json": 2e-5, "example8.json": 2e-5,
-    "example5.json": 2e-5, "example5-P.json": 1e-2,
-    "example2.json": 1e-2, "example2-P.json": 1e-2, "example2-2.json": 1e-2,
-    "example3.json": 1e-3, "example3-P.json": 1e-3,
-    "example4.json": 1e-3, "example4-P.json": 1e-3,
-    "example6-P.json": 1e-3, "example7.json": 1e-3, "example7-P.json": 1e-3,
+    "example5.json": 2e-5, "example5-P.json": 2e-5,
+    "example2.json": 4e-3, "example2-P.json": 4e-3, "example2-2.json": 4e-3,
+    "example3.json": 2e-4, "example3-P.json": 2e-4,
+    "example4.json": 2e-4, "example4-P.json": 2e-4,
+    "example6-P.json": 2e-4, "example7.json": 2e-4, "example7-P.json": 2e-4,
 }
 _EXPECT_FAIL = {"example6.json"}
 # Physics-only full-NR problems: any equilibrium is valid; assert R == 0.
@@ -47,6 +51,12 @@ _PINNED_ITERATIONS = {
     "example2-2.json": 33,
     "example2-P.json": 129,
     "example5-P.json": 86,   # precond GD phase + NR finalization entry
+    # NN families: deterministic under the fixed reference seed (the
+    # seed-matched PARITY runs), so their counts pin too.
+    "example3.json": 139, "example3-P.json": 86,
+    "example4.json": 114, "example4-P.json": 96,
+    "example6-P.json": 86,
+    "example7.json": 114, "example7-P.json": 96,
 }
 
 

@@ -192,3 +192,24 @@ def test_solve_batch_route(server_port):
     for row, s in zip(r["displacements"], scales):
         np.testing.assert_allclose(
             row[2::2], [s, 2 * s, 3 * s], atol=1e-4)
+
+
+def test_warmup_covers_all_routes():
+    """warmup() exercises every advertised route without raising (it
+    charges the XLA cache at server start; failures must be contained
+    but here every doc must actually succeed)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pinn_fem_tpu.serve.server import _ROUTES, _warmup_docs, warmup
+
+    covered = {p for p, _ in _warmup_docs()}
+    expected = {p for p in _ROUTES
+                if p not in ("/api/fem/solve-pinn", "/api/fem/solve-batch")}
+    assert covered == expected
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        warmup(quiet=False)
+    out = buf.getvalue()
+    assert "FAILED" not in out, out
+    assert out.count("warmup ") == len(covered)

@@ -81,3 +81,74 @@ def test_sharded_matches_unsharded():
     np.testing.assert_allclose(np.asarray(shard["max_stress"]),
                                np.asarray(plain["max_stress"]),
                                rtol=1e-3)
+
+
+def shallow_arch(young=50.0, rise=0.2):
+    """Two-bar von Mises arch: pushes through to the mirrored state when
+    the load history is large enough (the snap-through ensemble case)."""
+    nodes = np.array([[0.0, 0.0], [1.0, rise], [2.0, 0.0]])
+    return TrussProblem(
+        nodes=nodes, elements=np.array([[0, 1], [1, 2]]),
+        material=Material(young=young, area=1.0, density=1.0),
+        loads=np.array([0.0, 0.0, 0.0, -1.0, 0.0, 0.0]),
+        fixed_dofs=np.array([0, 1, 4, 5]), dimension=2)
+
+
+def test_batched_nonlinear_rows_match_sequential():
+    """Round-3 VERDICT #4: a Green-Lagrange snap-through ensemble equals
+    the serial nonlinear integrator row for row, and the batch spans
+    distinct basins (small rows oscillate about the arch, large rows
+    snap through)."""
+    p = shallow_arch()
+    dt, n_steps = 0.002, 6000
+    scales = np.array([0.05, 0.3, 1.5])     # below / near / beyond snap
+    amps = scales[:, None] * np.ones((1, n_steps))
+    out = solve_transient_batched(
+        p, dt, n_steps, amplitudes=amps, damping=(0.8, 0.0),
+        probe_dofs=np.array([3]), record_every=100,
+        geometric_nonlinear=True)
+    assert np.asarray(out["displacements"]).shape == (3, 60, 1)
+    for i, s in enumerate(scales):
+        ref = solve_transient(p, dt=dt, n_steps=n_steps,
+                              amplitude=s * np.ones(n_steps),
+                              damping=(0.8, 0.0), method="central",
+                              record_every=100, probe_dofs=np.array([3]),
+                              geometric_nonlinear=True)
+        np.testing.assert_allclose(np.asarray(out["displacements"][i]),
+                                   ref.displacements, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["u_final"][i]),
+                                   ref.u_final, rtol=1e-4, atol=1e-6)
+    # Distinct basins: the damped small row settles above snap-through
+    # (apex stays near its arch height), the large row ends mirrored
+    # (apex below the chord: y displacement < -2*rise).
+    apex_final = np.asarray(out["u_final"])[:, 3]
+    assert apex_final[0] > -0.2          # still on the original side
+    assert apex_final[2] < -0.4          # snapped through (-2*rise)
+    # Nonlinear envelope is NOT an exact linear rescaling across rows
+    # (measured ~5% deviation from load-proportionality here — small
+    # because the snap transient's peak stress still roughly tracks the
+    # load, but far above the 1e-3 float32 noise of the linear case).
+    env = np.asarray(out["max_stress"])
+    ratio = env[2] / np.maximum(env[0], 1e-30)
+    assert np.all(np.isfinite(ratio))
+    assert np.abs(ratio / (scales[2] / scales[0]) - 1.0).max() > 0.02
+
+
+def test_batched_nonlinear_matches_linear_at_tiny_strain():
+    """Sanity: at tiny strain the nonlinear batched path reduces to the
+    linear one (same ensemble, both integrators)."""
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    p = TrussProblem(
+        nodes=nodes, elements=np.array([[0, 1], [1, 2]]),
+        material=Material(young=1000.0, area=1.0, density=1.0),
+        loads=np.array([0, 0, 0, 0, 1e-3, 0.0]),
+        fixed_dofs=np.array([0, 1, 3, 5]), dimension=2)
+    amps = np.array([[1.0], [2.0]]) * np.ones((1, 800))
+    kw = dict(damping=(0.1, 0.0), probe_dofs=np.array([4]),
+              record_every=80)
+    lin = solve_transient_batched(p, 0.005, 800, amplitudes=amps, **kw)
+    nl = solve_transient_batched(p, 0.005, 800, amplitudes=amps,
+                                 geometric_nonlinear=True, **kw)
+    np.testing.assert_allclose(np.asarray(nl.get("displacements")),
+                               np.asarray(lin.get("displacements")),
+                               rtol=1e-2, atol=1e-9)

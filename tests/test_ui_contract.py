@@ -96,23 +96,42 @@ def test_static_ui_modal_payload_served():
     np.testing.assert_allclose(shapes[:, 1::2], 0.0, atol=1e-7)
 
 
-def test_react_ui_dynamics_panel_payload_served():
-    """React DynamicsPanel payload: buildProblem() output (solver-type
-    'fem') + the analysis block it injects, through the live modal
-    handler.  The react fixture keeps its young-NN enabled — modal
-    analysis must work with an MLP material field (it evaluates the net
-    at element midpoints like every other consumer)."""
+def test_react_ui_dynamics_panel_modal_payload_served():
+    """React DynamicsPanel golden fixture (the EXACT run('modal') POST
+    body, VERDICT r2 missing #1) through the live modal handler.  The
+    fixture keeps its young-NN enabled — modal analysis must work with
+    an MLP material field (it evaluates the net at element midpoints
+    like every other consumer), and must return every field the panel
+    renders (frequencies_hz, omegas, mode_shapes rows)."""
     from pinn_fem_tpu.serve.server import _solve_analysis
 
-    payload = load_fixture("ui_payload_react.json")
-    payload["solver_type"] = "fem"          # DynamicsPanel runs as 'fem'
-    payload.pop("analysis", None)
-    payload["analysis"] = {"n_modes": 4, "include_shapes": True}
+    payload = load_fixture("ui_payload_react_dynamics.json")
     out = _solve_analysis("modal")(payload)
     assert out["success"] and out["analysis"] == "modal"
     w = np.asarray(out["eigenvalues"])
     assert w.shape == (3,) and np.all(w > 0)   # clamped to 3 free DOFs
+    # Panel contract: frequencies_hz[i], omegas[i] and mode_shapes[i]
+    # rows must exist and be consistent (DynamicsPanel.jsx:35-40).
+    assert len(out["frequencies_hz"]) == 3 and len(out["omegas"]) == 3
+    np.testing.assert_allclose(
+        np.asarray(out["omegas"]) / (2 * np.pi), out["frequencies_hz"],
+        rtol=1e-6)
     assert np.asarray(out["mode_shapes"]).shape == (3, 8)
+
+
+def test_react_ui_dynamics_panel_buckling_payload_served():
+    """The same golden fixture through run('buckling'): the canonical
+    chain is in TENSION under its Fx load, so there is no destabilizing
+    mode — load_factors must be null (JSON) and buckling_modes present,
+    the exact path DynamicsPanel renders as '∞ (no destabilizing
+    mode)' (DynamicsPanel.jsx:41-47)."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture("ui_payload_react_dynamics.json")
+    out = _solve_analysis("buckling")(payload)
+    assert out["success"] and out["analysis"] == "buckling"
+    assert all(lam is None for lam in out["load_factors"])
+    assert np.asarray(out["buckling_modes"]).shape[1] == 8
 
 
 def test_static_ui_transient_payload_served():
