@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Large-mesh banded buckling benchmark (round-3 VERDICT #5 "Done"
+criterion): a 40k-DOF compressed grid's critical load factor, resolved by
+the banded DIA subspace iteration, must land on the continuum limit that
+a DENSE (host float64 LAPACK) refinement sequence of the same physical
+domain extrapolates to.
+
+Geometry: a 1 x 2 cross-braced strip, left edge clamped, uniform axial
+compression (constant TOTAL load across refinements) on the right edge.
+The discrete critical factor converges with mesh size h; Richardson
+extrapolation of the dense sequence gives the reference value, and the
+banded 40k-DOF run is gated to a few percent of it — the float32
+conditioning floor eps32 * kappa(K_ff) at this aspect ratio (see
+solvers/buckling.py docstring).
+
+Usage: python benchmarks/buckling_scale.py [--n-large 100]
+Emits JSON lines (benchmarks/scaling.py conventions).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pinn_fem_tpu.utils.runtime import configure  # noqa: E402
+
+configure()
+
+import jax  # noqa: E402
+
+from pinn_fem_tpu import Material, TrussProblem  # noqa: E402
+
+
+def refined_grid(n, young=100.0):
+    """1 x 2 strip meshed (n+1) x (2n+1); compressive total load 1.
+
+    Member area scales with the spacing h = 1/n so the lattice
+    approximates a FIXED continuum sheet (EA per unit width constant)
+    and the critical factor has a refinement limit; with area held at 1
+    the structure itself changes with the mesh and lambda grows ~n
+    (measured).  The discrete lambda converges O(h) — lattice boundary
+    layers, not the O(h^2) of smooth interior fields — so the reference
+    value comes from an a + b*h fit (measured fit residual ~1e-3)."""
+    rows, cols = n + 1, 2 * n + 1
+    h = 1.0 / n
+    ys, xs = np.meshgrid(np.arange(rows), np.arange(cols), indexing="ij")
+    nodes = np.stack([xs.ravel() * h, ys.ravel() * h], axis=1)
+    nid = lambda r, c: r * cols + c
+    elements = []
+    for r in range(rows):
+        for c in range(cols):
+            if c + 1 < cols:
+                elements.append([nid(r, c), nid(r, c + 1)])
+            if r + 1 < rows:
+                elements.append([nid(r, c), nid(r + 1, c)])
+            if c + 1 < cols and r + 1 < rows:
+                elements.append([nid(r, c), nid(r + 1, c + 1)])
+                elements.append([nid(r, c + 1), nid(r + 1, c)])
+    loads = np.zeros(2 * rows * cols)
+    fixed = []
+    for r in range(rows):
+        fixed += [2 * nid(r, 0), 2 * nid(r, 0) + 1]
+        loads[2 * nid(r, cols - 1)] = -1.0 / rows   # constant total load
+    return TrussProblem(
+        nodes=nodes, elements=np.array(elements),
+        material=Material(young=young, area=h, density=1.0),
+        loads=loads, fixed_dofs=np.array(fixed), dimension=2)
+
+
+def emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 6),
+                      "unit": unit, **extra}), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-large", type=int, default=100)
+    ap.add_argument("--n-iter", type=int, default=40)
+    args = ap.parse_args()
+    backend = jax.default_backend()
+
+    from pinn_fem_tpu.solvers.buckling import (_host_buckling,
+                                               buckling_analysis)
+
+    # Dense float64 refinement sequence (host LAPACK — no DOF gate).
+    ns = [8, 12, 16, 20]
+    lams = []
+    for n in ns:
+        p = refined_grid(n)
+        t0 = time.time()
+        lam = _host_buckling(p, 1).load_factors[0]
+        lams.append(float(lam))
+        emit("buckling_dense_lambda1", lams[-1], "load-factor",
+             n=n, ndof=p.ndof, wall_s=round(time.time() - t0, 2))
+
+    # O(h) fit lambda(h) = a + b h (see refined_grid docstring).
+    h = np.array([1.0 / n for n in ns])
+    a_mat = np.vstack([np.ones_like(h), h]).T
+    coef, res_fit, *_ = np.linalg.lstsq(a_mat, np.array(lams), rcond=None)
+    lam_pred = float(coef[0] + coef[1] / args.n_large)
+    emit("buckling_lambda1_predicted", lam_pred, "load-factor",
+         n=args.n_large, fit_a=round(float(coef[0]), 4),
+         fit_b=round(float(coef[1]), 4), sequence=lams)
+
+    # Banded large-mesh run (n=100 -> 40,602 DOFs).
+    p = refined_grid(args.n_large)
+    t0 = time.time()
+    res = buckling_analysis(p, n_modes=1, n_iter=args.n_iter)
+    wall = time.time() - t0
+    lam_b = float(res.load_factors[0])
+    rel = abs(lam_b - lam_pred) / lam_pred
+    emit("buckling_banded_lambda1", lam_b, "load-factor",
+         n=args.n_large, ndof=p.ndof, wall_s=round(wall, 2),
+         rel_err_vs_predicted=round(rel, 4), backend=backend)
+    assert rel < 0.05, (
+        f"banded lambda1 {lam_b} vs predicted {lam_pred}: {rel:.3f}")
+    print(f"OK: {p.ndof}-DOF banded buckling within {100 * rel:.2f}% of "
+          f"the dense refinement prediction ({wall:.1f} s on {backend})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

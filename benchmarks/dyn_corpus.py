@@ -63,14 +63,17 @@ def _gate(name: str, res: dict) -> None:
         assert all(np.isfinite(res["reduced_frequencies_hz"])), name
 
 
-def bench_one(path: str, repeats: int, env):
+def bench_fresh(path: str, env):
+    """Fresh-process CLI wall-clock (what a user types) — from a temp
+    copy so .res.json/.log outputs never pollute the corpus dir.
+
+    MUST run before the parent initializes JAX: the attachment exposes
+    ONE chip, and a parent holding it deadlocks every child (measured —
+    the child blocks in attach indefinitely)."""
     import shutil
     import tempfile
 
     name = os.path.splitext(os.path.basename(path))[0]
-
-    # Fresh-process CLI wall-clock (what a user types) — from a temp
-    # copy so the .res.json/.log outputs never pollute the corpus dir.
     with tempfile.TemporaryDirectory() as td:
         run_path = os.path.join(td, os.path.basename(path))
         shutil.copy(path, run_path)
@@ -83,11 +86,16 @@ def bench_one(path: str, repeats: int, env):
         with open(os.path.splitext(run_path)[0] + ".res.json") as f:
             res = json.load(f)
     _gate(name, res)
+    return fresh_s, res
 
-    # Warm in-process latency (what an HTTP client sees after request 1).
+
+def bench_warm(path: str, repeats: int):
+    """Warm in-process latency (what an HTTP client sees after the
+    first request)."""
     from pinn_fem_tpu.io.analysis import run_analysis
     from pinn_fem_tpu.io.schema import parse_problem_file
 
+    name = os.path.splitext(os.path.basename(path))[0]
     parsed = parse_problem_file(path)
     with open(path) as f:
         analysis = json.load(f)["analysis"]
@@ -98,19 +106,7 @@ def bench_one(path: str, repeats: int, env):
         out = run_analysis(parsed.problem, dict(analysis))
         times.append(time.time() - t0)
     _gate(name, out)
-    warm_s = float(np.median(times))
-
-    return {
-        "metric": f"{name}_cli_wall",
-        "value": round(fresh_s, 3),
-        "unit": "s",
-        "vs_baseline": None,   # the reference has no dynamics at all
-        "extra": {
-            "analysis": res["analysis"],
-            "warm_inprocess_s": round(warm_s, 4),
-            "times_s": [round(t, 4) for t in times],
-        },
-    }
+    return float(np.median(times)), times
 
 
 def write_markdown(rows, backend: str, out_path: str) -> None:
@@ -166,22 +162,55 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", ROOT)
+    only = set(args.only.split(",")) if args.only else None
+    paths = [p for p in sorted(glob.glob(os.path.join(CORPUS_DIR,
+                                                      "dyn-*.json")))
+             if ".res." not in p
+             and (not only
+                  or os.path.splitext(os.path.basename(p))[0] in only)]
+
+    # Phase 1: every fresh-process run BEFORE the parent touches JAX
+    # (single-chip attachment — see bench_fresh).  Failures are
+    # contained per problem so one wedged attachment doesn't erase the
+    # whole matrix.
+    fresh = {}
+    for p in paths:
+        nm = os.path.splitext(os.path.basename(p))[0]
+        try:
+            fresh[p] = bench_fresh(p, env)
+            print(json.dumps({"phase1": nm,
+                              "fresh_s": round(fresh[p][0], 2)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"phase1": nm, "error": str(e)[:300]}),
+                  flush=True)
+    paths = [p for p in paths if p in fresh]
+
+    # Phase 2: warm in-process latencies (parent attaches now).
     from pinn_fem_tpu.utils.runtime import configure
 
     configure()
     import jax
 
     backend = jax.default_backend()
-    env = dict(os.environ)
-    env.setdefault("PYTHONPATH", ROOT)
-
-    only = set(args.only.split(",")) if args.only else None
     rows = []
-    for path in sorted(glob.glob(os.path.join(CORPUS_DIR, "dyn-*.json"))):
+    for path in paths:
         name = os.path.splitext(os.path.basename(path))[0]
-        if only and name not in only:
-            continue
-        row = bench_one(path, args.repeats, env)
+        fresh_s, res = fresh[path]
+        warm_s, times = bench_warm(path, args.repeats)
+        row = {
+            "metric": f"{name}_cli_wall",
+            "value": round(fresh_s, 3),
+            "unit": "s",
+            "vs_baseline": None,  # the reference has no dynamics at all
+            "extra": {
+                "analysis": res["analysis"],
+                "warm_inprocess_s": round(warm_s, 4),
+                "times_s": [round(t, 4) for t in times],
+            },
+        }
         print(json.dumps(row), flush=True)
         rows.append(row)
 

@@ -162,11 +162,21 @@ def make_mlp_field(
 
 
 def to_field(value: Any, dtype=None) -> Field:
-    """Coerce float/int/Field -> Field (reference: to_property)."""
+    """Coerce float/int/Field -> Field (reference: to_property).
+
+    Plain numbers become NUMPY 0-d leaves, not device arrays: parsing a
+    problem must not touch the accelerator (the host serving tier,
+    ops/host.py, reads the value back without a device round trip —
+    through a degraded attachment even one scalar fetch costs seconds).
+    The leaf converts on first traced use with identical avals, so jit
+    caches are unaffected; traced constructions
+    (ScalarField(value=jnp.exp(...)), solvers/transient_inverse.py)
+    still carry jnp values."""
     if isinstance(value, (ScalarField, MLPField)):
         return value
     if isinstance(value, (int, float)):
-        return ScalarField(value=jnp.asarray(float(value), dtype=dtype or default_dtype()))
+        return ScalarField(value=np.asarray(float(value),
+                                            dtype=dtype or default_dtype()))
     raise TypeError(f"Cannot convert {type(value)} to a material field")
 
 

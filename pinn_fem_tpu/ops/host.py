@@ -66,7 +66,22 @@ def eval_field_host(field, x: np.ndarray) -> np.ndarray:
     tanh hidden layers, softplus positivity, scale."""
     x = np.asarray(x, dtype=np.float64)
     if isinstance(field, ScalarField):
-        return np.full(x.shape[0], float(np.asarray(field.value)))
+        v = field.value
+        if not isinstance(v, (np.ndarray, float, int, np.floating)):
+            # Device-held scalar (a field built outside to_field): fetch
+            # ONCE and cache — through a degraded attachment every
+            # transfer can cost seconds, and analysis runs evaluate
+            # fields many times (round-3 measurement: repeated scalar
+            # fetches dominated a 6-node reduction's wall-clock).
+            entry = _FIELD_CACHE.get(id(field))
+            if entry is not None and entry[0] is field:
+                return np.full(x.shape[0], entry[1])
+            val = float(np.asarray(v))
+            if len(_FIELD_CACHE) >= _FIELD_CACHE_CAP:
+                _FIELD_CACHE.pop(next(iter(_FIELD_CACHE)))
+            _FIELD_CACHE[id(field)] = (field, val)
+            return np.full(x.shape[0], val)
+        return np.full(x.shape[0], float(np.asarray(v)))
     if not isinstance(field, MLPField):
         # Duck-typed custom fields (tests define spatially-keyed helpers):
         # evaluate through their own eval_batch and fetch.  On TPU this
@@ -214,6 +229,42 @@ def host_geometric_stiffness(problem: TrussProblem,
     coef = np.asarray(n_e, dtype=np.float64) * inv_len
     ke = coef[:, None, None] * pattern[None, :, :]
     return _scatter_blocks(problem, ke)
+
+
+def host_nonlinear_system(problem: TrussProblem, u: np.ndarray,
+                          load_factor: float = 1.0
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """(K_tangent, f_int) of the Green-Lagrange truss at state u —
+    numpy float64 mirror of ops/assembly.assemble_system_nonlinear /
+    ops/elements.truss2d_green_lagrange_batch (same cancellation-free
+    e_gl, same variationally consistent material + initial-stress
+    tangent).  Powers the host tier of the arc-length continuation
+    (solvers/riks.py)."""
+    if problem.dimension not in (2, 3):
+        raise ValueError("geometric nonlinearity requires a 2D or 3D truss")
+    dof_map, gvec, inv_len, _ = _geometry(problem)
+    young, area = material_values_host(problem, load_factor)
+    dim = problem.dimension
+    dx0 = gvec[:, dim:] / inv_len[:, None]
+    u_e = np.asarray(u, dtype=np.float64).reshape(-1)[dof_map]
+    u2 = u_e.reshape(u_e.shape[0], 2, dim)
+    delta = u2[:, 1, :] - u2[:, 0, :]
+    dx = dx0 + delta
+    inv_l0_sq = inv_len * inv_len
+    e_gl = (np.sum(dx0 * delta, axis=-1)
+            + 0.5 * np.sum(delta * delta, axis=-1)) * inv_l0_sq
+    d = np.concatenate([-dx, dx], axis=1)
+    ea_invl = young * area * inv_len
+    ke_mat = (ea_invl * inv_l0_sq)[:, None, None] * (
+        d[:, :, None] * d[:, None, :])
+    eye_d = np.eye(dim)
+    b_geo = np.block([[eye_d, -eye_d], [-eye_d, eye_d]])
+    ke = ke_mat + (ea_invl * e_gl)[:, None, None] * b_geo[None, :, :]
+    fe = (ea_invl * e_gl)[:, None] * d
+    k = _scatter_blocks(problem, ke)
+    f_int = np.zeros(problem.ndof)
+    np.add.at(f_int, dof_map, fe)
+    return k, f_int
 
 
 def host_masks(problem: TrussProblem) -> np.ndarray:

@@ -378,12 +378,14 @@ def solve_transient(
             state restarts exactly by construction).  Used by
             solve_transient_checkpointed.
         geometric_nonlinear: f_int(u) from the Green-Lagrange kernel (the
-            same one the static opt-in uses) instead of K u; explicit
-            central difference only (an implicit nonlinear step would need
-            a Newton iteration per step).  Beta (stiffness) damping then
-            acts through the INITIAL stiffness K0, the standard explicit
-            convention; strain energy uses U = sum 1/2 E A L0 e_gl^2.
-            2D/3D only (like the static GL path).
+            same one the static opt-in uses) instead of K u.  "central"
+            integrates explicitly; "newmark" runs a full Newton solve
+            per implicit step on the dynamic residual (dense-only —
+            _newmark_nl_run), stable far beyond the explicit dt bound.
+            Beta (stiffness) damping acts through the INITIAL stiffness
+            K0 on both paths; strain energy uses
+            U = sum 1/2 E A L0 e_gl^2.  2D/3D only (like the static GL
+            path).
         fetch_state: when False, u_final/v_final stay on device (jax
             arrays in the result) — fetching two (ndof,) vectors through
             a remote attachment costs more than 6000 integration steps
@@ -406,8 +408,10 @@ def solve_transient(
         raise ValueError("prestress_u is the LINEARIZED initial-stress "
                          "model; geometric_nonlinear already carries the "
                          "full state dependence — use one or the other")
-    if geometric_nonlinear and method != "central":
-        raise ValueError("geometric_nonlinear requires method='central'")
+    if geometric_nonlinear and method not in ("central", "newmark"):
+        raise ValueError("geometric_nonlinear requires method='central' "
+                         "or 'newmark' (modal superposition is a linear "
+                         "concept)")
 
     # HOST tier (round-3 VERDICT #1): on the TPU attachment every new
     # device program pays a 1-3 min remote compile, so SMALL linear
@@ -485,15 +489,34 @@ def solve_transient(
     elif method == "newmark":
         if force_fn is not None:
             raise ValueError("force_fn supports method='central' only")
-        solve_eff = _newmark_solve_eff(
-            problem, data, k_apply, m, mask, dt, alpha, beta,
-            newmark_beta, newmark_gamma, cg_tol, prestress_u=prestress_u)
-        recs, u_f, v_f = _newmark_run(
-            k_apply, solve_eff, m, mask, data.loads, amp,
-            jnp.asarray(dt, dtype), jnp.asarray(alpha, dtype),
-            jnp.asarray(beta, dtype), jnp.asarray(newmark_beta, dtype),
-            jnp.asarray(newmark_gamma, dtype), u0, v0, probe,
-            n_rec, record_every, use_beta=beta != 0.0)
+        if geometric_nonlinear:
+            from .newton import DENSE_DOF_LIMIT
+
+            if ndof > DENSE_DOF_LIMIT:
+                raise ValueError("nonlinear Newmark is dense-only (the "
+                                 "tangent changes every Newton "
+                                 "iteration); use method='central' for "
+                                 "large meshes")
+            nl_assemble = _nl_newmark_assemble_fn(problem, data)
+            k_mat = assemble_system(data, problem.material,
+                                    jnp.zeros(ndof, dtype))[0]
+            recs, u_f, v_f = _newmark_nl_run(
+                nl_assemble, k_mat, m, mask, data.loads, amp,
+                jnp.asarray(dt, dtype), jnp.asarray(alpha, dtype),
+                jnp.asarray(beta, dtype), jnp.asarray(newmark_beta, dtype),
+                jnp.asarray(newmark_gamma, dtype), u0, v0, probe,
+                n_rec, record_every, use_beta=beta != 0.0)
+        else:
+            solve_eff = _newmark_solve_eff(
+                problem, data, k_apply, m, mask, dt, alpha, beta,
+                newmark_beta, newmark_gamma, cg_tol,
+                prestress_u=prestress_u)
+            recs, u_f, v_f = _newmark_run(
+                k_apply, solve_eff, m, mask, data.loads, amp,
+                jnp.asarray(dt, dtype), jnp.asarray(alpha, dtype),
+                jnp.asarray(beta, dtype), jnp.asarray(newmark_beta, dtype),
+                jnp.asarray(newmark_gamma, dtype), u0, v0, probe,
+                n_rec, record_every, use_beta=beta != 0.0)
     elif method == "modal":
         if force_fn is not None:
             raise ValueError("force_fn supports method='central' only")
@@ -855,6 +878,118 @@ def _newmark_run(k_apply, solve_eff, m, mask, loads, amp, dt, alpha, beta,
         u, v, a = jax.lax.fori_loop(0, record_every, body, (u, v, a))
         ke = 0.5 * jnp.sum(m * v * v)
         se = 0.5 * jnp.dot(u, k_apply(u))
+        return ((u, v, a, i0 + record_every),
+                (u[probe], v[probe], ke, se))
+
+    (u, v, _, _), recs = jax.lax.scan(
+        chunk, (u0, v0, acc0, jnp.zeros((), jnp.int32)), None,
+        length=n_rec)
+    return recs, u, v
+
+
+def _nl_newmark_assemble_fn(problem: TrussProblem, data):
+    """(K_t(u), f_int(u), strain-energy) Green-Lagrange closure for the
+    implicit nonlinear step, cached like _k_apply_fn (static jit arg —
+    a fresh closure per call would recompile the whole time loop)."""
+    cached = getattr(problem, "_nl_newmark_cache", None)
+    if (cached is not None and cached[0] is data
+            and cached[1] is problem.material):
+        return cached[2]
+    from ..ops.assembly import assemble_system_nonlinear, material_values
+    from ..ops.elements import truss2d_green_lagrange_batch
+
+    material = problem.material
+    dim = data.dimension
+    young, area = material_values(data, material, 1.0)
+    dx0 = data.gvec[:, dim:] / data.inv_len[:, None]
+    x0 = jnp.stack([data.mid - 0.5 * dx0, data.mid + 0.5 * dx0], axis=1)
+
+    def nl_assemble(u):
+        kt, f_int, _ = assemble_system_nonlinear(data, material, u)
+        elem = truss2d_green_lagrange_batch(
+            x0, u[data.dof_map], data.inv_len, young, area)
+        se = 0.5 * jnp.sum(young * area / data.inv_len
+                           * elem.strain * elem.strain)
+        return kt, f_int, se
+
+    problem._nl_newmark_cache = (data, material, nl_assemble)
+    return nl_assemble
+
+
+# Newton iterations per implicit nonlinear step: average-acceleration
+# Newmark converges quadratically from the previous state, so 8 covers
+# even snap-through transits (the limit-point step) at sane dt; a
+# fixed count keeps the scan program free of data-dependent trip counts.
+_NL_NEWMARK_NEWTON_ITERS = 8
+
+
+@partial(jax.jit, static_argnames=("nl_assemble", "n_rec", "record_every",
+                                   "use_beta"))
+def _newmark_nl_run(nl_assemble, k_mat, m, mask, loads, amp, dt, alpha,
+                    beta, nb, ng, u0, v0, probe, n_rec: int,
+                    record_every: int, use_beta: bool):
+    """Implicit NONLINEAR Newmark: a full Newton solve per step on the
+    dynamic residual with the Green-Lagrange internal force,
+
+        R(u) = f_{n+1} - f_int(u) - M a(u) - C v(u),
+        dR/du = -(K_t(u) + a0 M + a1 C),
+
+    (a(u), v(u) from the Newmark kinematic relations).  Unconditionally
+    stable in the linear limit and usable at dt far beyond the explicit
+    bound for stiff nonlinear structures (snap-through at coarse dt,
+    tests/test_dynamics.py).  Rayleigh damping acts through the INITIAL
+    stiffness (C = alpha M + beta K0, constant), matching the explicit
+    path's convention; the Jacobian's C term is therefore constant too.
+    Dense-only: the tangent changes every iteration, so there is no
+    constant banded operator to ride."""
+    a0 = 1.0 / (nb * dt * dt)
+    a2 = 1.0 / (nb * dt)
+    a3 = 1.0 / (2.0 * nb) - 1.0
+    a1 = ng / (nb * dt)
+    a6 = dt * (1.0 - ng)
+    a7 = ng * dt
+    inv_m = jnp.where(m > 0, 1.0 / m, 0.0)
+    n_total = amp.shape[0]
+
+    def c_apply(w):
+        cw = alpha * (m * w)
+        if use_beta:
+            cw = cw + beta * (k_mat @ w)
+        return cw
+
+    c_jac = alpha * jnp.diag(m) + (beta * k_mat if use_beta else 0.0)
+
+    _, f_int0, _ = nl_assemble(u0)
+    acc0 = inv_m * ((amp[0] * loads - f_int0 - c_apply(v0)) * mask)
+
+    def one_step(i, u, v, a):
+        f = amp[jnp.minimum(i + 1, n_total - 1)] * loads
+
+        def newton(_, u_new):
+            a_new = a0 * (u_new - u) - a2 * v - a3 * a
+            v_new = v + a6 * a + a7 * a_new
+            kt, f_int, _ = nl_assemble(u_new)
+            r = (f - f_int - m * a_new - c_apply(v_new)) * mask
+            k_eff = kt + a0 * jnp.diag(m) + a1 * c_jac
+            k_eff = (mask[:, None] * k_eff * mask[None, :]
+                     + jnp.diag(1.0 - mask))
+            return (u_new + jnp.linalg.solve(k_eff, r)) * mask
+
+        u_new = jax.lax.fori_loop(0, _NL_NEWMARK_NEWTON_ITERS, newton, u)
+        a_new = (a0 * (u_new - u) - a2 * v - a3 * a) * mask
+        v_new = (v + a6 * a + a7 * a_new) * mask
+        return u_new, v_new, a_new
+
+    def chunk(carry, _):
+        u, v, a, i0 = carry
+
+        def body(j, c):
+            u, v, a = c
+            return one_step(i0 + j, u, v, a)
+
+        u, v, a = jax.lax.fori_loop(0, record_every, body, (u, v, a))
+        _, _, se = nl_assemble(u)
+        ke = 0.5 * jnp.sum(m * v * v)
         return ((u, v, a, i0 + record_every),
                 (u[probe], v[probe], ke, se))
 

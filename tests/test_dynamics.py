@@ -263,15 +263,64 @@ def test_nonlinear_energy_conserved_free_vibration():
     np.testing.assert_allclose(e, e0, rtol=0.05)
 
 
-def test_nonlinear_rejects_newmark():
+def test_nonlinear_rejects_modal():
+    """Modal superposition is a linear concept; round 3 lifted the
+    Newmark restriction (implicit Newton per step) but modal must still
+    refuse."""
     import pytest
 
     from pinn_fem_tpu import solve_transient
 
     p = _nl_cable()
     with pytest.raises(ValueError, match="geometric_nonlinear"):
-        solve_transient(p, dt=0.01, n_steps=10, method="newmark",
+        solve_transient(p, dt=0.01, n_steps=10, method="modal",
                         geometric_nonlinear=True)
+
+
+def test_nonlinear_newmark_matches_central():
+    """Implicit nonlinear Newmark (Newton per step) at the same fine dt
+    tracks the explicit integrator on the cubic-stiffness cable, and at
+    a dt far beyond the explicit stability bound it still lands on the
+    exact static limit w = L (F/EA)^(1/3)."""
+    from pinn_fem_tpu import solve_transient
+
+    p = _nl_cable(young=100.0)
+    kw = dict(damping=(2.0, 0.0), probe_dofs=np.array([3]))
+    rc = solve_transient(p, dt=0.004, n_steps=10000, record_every=1000,
+                         method="central", geometric_nonlinear=True, **kw)
+    rn = solve_transient(p, dt=0.004, n_steps=10000, record_every=1000,
+                         method="newmark", geometric_nonlinear=True, **kw)
+    scale = np.abs(rc.displacements).max()
+    np.testing.assert_allclose(rn.displacements, rc.displacements,
+                               atol=2e-2 * scale)
+    # Coarse dt: ~40x the explicit transverse bound near the settled
+    # state (local omega ~ sqrt(3 EA w^2/L^3 / m) ~ 2.6) — explicit
+    # would blow up; implicit settles on the closed form.
+    rl = solve_transient(p, dt=1.0, n_steps=60, record_every=60,
+                         method="newmark", geometric_nonlinear=True, **kw)
+    w_exact = (1.0 / 100.0) ** (1.0 / 3.0)
+    np.testing.assert_allclose(-rl.displacements[-1, 0], w_exact,
+                               rtol=2e-2)
+
+
+def test_nonlinear_newmark_small_amplitude_matches_linear():
+    """At tiny strain the nonlinear implicit step reduces to linear
+    Newmark."""
+    from pinn_fem_tpu import Material, TrussProblem, solve_transient
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    p = TrussProblem(
+        nodes=nodes, elements=np.array([[0, 1], [1, 2]]),
+        material=Material(young=1000.0, area=1.0, density=1.0),
+        loads=np.array([0, 0, 0, 0, 1e-2, 0]),
+        fixed_dofs=np.array([0, 1, 3, 5]), dimension=2)
+    kw = dict(dt=0.01, n_steps=800, record_every=80,
+              probe_dofs=np.array([4]), damping=(0.1, 0.01))
+    lin = solve_transient(p, method="newmark", **kw)
+    nl = solve_transient(p, method="newmark", geometric_nonlinear=True,
+                         **kw)
+    np.testing.assert_allclose(nl.displacements, lin.displacements,
+                               rtol=1e-2, atol=1e-9)
 
 
 def test_checkpointed_transient_resume(tmp_path):

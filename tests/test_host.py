@@ -160,3 +160,41 @@ def test_host_mlp_field_eval_matches_device():
             f.eval_batch(jnp.asarray(x, jnp.float32))))
         np.testing.assert_allclose(H.eval_field_host(f, x), dev,
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_host_nonlinear_system_matches_device():
+    """Green-Lagrange tangent + internal force mirror
+    (assemble_system_nonlinear), at small and LARGE displacements."""
+    from pinn_fem_tpu.ops.assembly import assemble_system_nonlinear
+
+    p = tower()
+    data = p.to_device()
+    for scale in (1e-4, 0.3):
+        u = scale * np.sin(np.arange(p.ndof))
+        kt_d, fi_d, _ = jax.device_get(assemble_system_nonlinear(
+            data, p.material, jnp.asarray(u, data.loads.dtype)))
+        kt_h, fi_h = H.host_nonlinear_system(p, u)
+        np.testing.assert_allclose(kt_h, np.asarray(kt_d),
+                                   rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(fi_h, np.asarray(fi_d),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_riks_host_matches_device_path():
+    """The host-tier arc-length continuation traces the same von Mises
+    snap-through path as the device tier."""
+    from pinn_fem_tpu.solvers.riks import solve_riks
+    from tests.test_transient_batched import shallow_arch
+
+    p = shallow_arch(young=50.0, rise=0.3)
+    kw = dict(n_steps=60, initial_dlambda=0.02,
+              stop_fn=lambda u, lam: u[3] < -0.7)
+    a = solve_riks(p, host=True, **kw)
+    b = solve_riks(p, host=False, **kw)
+    assert a.converged and b.converged
+    n = min(a.load_factors.size, b.load_factors.size)
+    scale = np.abs(b.load_factors[:n]).max()
+    np.testing.assert_allclose(a.load_factors[:n], b.load_factors[:n],
+                               atol=2e-3 * scale)
+    np.testing.assert_allclose(a.displacements[:n, 3],
+                               b.displacements[:n, 3], atol=5e-3)
