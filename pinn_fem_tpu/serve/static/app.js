@@ -487,8 +487,94 @@ async function runHarmonic() {
   }
 }
 
+
 document.getElementById("harmonic-btn").addEventListener("click",
                                                          runHarmonic);
+
+async function runRandom() {
+  const status = document.getElementById("dyn-status");
+  const probeNodes = state.nodes
+    .map((n, i) => (n.fx ? i : -1)).filter((i) => i >= 0);
+  if (!probeNodes.length && state.nodes.length) {
+    probeNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Integrating response PSD\u2026";
+  try {
+    // Bracket the resonances so the omega grid resolves every peak.
+    const problem = buildProblem();
+    const mResp = await fetch("/api/fem/modal", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ ...problem,
+                             analysis: { n_modes: 3,
+                                         include_shapes: false } }),
+    });
+    const mData = await mResp.json();
+    if (!mData.success) throw new Error(mData.error || "modal failed");
+    const om = mData.result.omegas;
+    const w1 = om[0] || 1, w2 = om[om.length - 1] || 2 * w1;
+    problem.analysis = {
+      type: "random", psd: 1.0, damping: [0.05, 0.001],
+      omegas: { start: 0.2 * w1, stop: 1.5 * w2, num: 400 },
+      probe_nodes: probeNodes,
+    };
+    const resp = await fetch("/api/fem/random", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "random failed");
+    const r = data.result;
+    drawTimeSeries(r.omegas, r.psd);
+    const rms = r.rms.map((v) => v.toPrecision(4)).join(", ");
+    status.textContent =
+      `Displacement PSD under unit white-noise load; RMS = [${rms}]`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("random-btn").addEventListener("click",
+                                                       runRandom);
+
+async function runReduction() {
+  const status = document.getElementById("dyn-status");
+  // Masters: the loaded nodes (fall back to the last node).
+  const masterNodes = state.nodes
+    .map((n, i) => ((n.fx || n.fy) ? i : -1)).filter((i) => i >= 0);
+  if (!masterNodes.length && state.nodes.length) {
+    masterNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Condensing (Craig-Bampton)\u2026";
+  try {
+    const problem = buildProblem();
+    problem.analysis = {
+      type: "reduction", method: "craig_bampton",
+      master_nodes: masterNodes, n_modes: 4, compare_full: true,
+    };
+    const resp = await fetch("/api/fem/reduction", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "reduction failed");
+    const r = data.result;
+    dyn.shapes = null;
+    renderModalTable(r.reduced_frequencies_hz.map((f, i) => ({
+      f: f.toPrecision(5),
+      w: r.frequency_rel_error && r.frequency_rel_error[i] !== undefined
+        ? "err " + r.frequency_rel_error[i].toExponential(1)
+        : "\u2014",
+    })));
+    status.textContent = `${r.method}: ${r.n_reduced_dofs} reduced DOFs `
+      + `(masters: nodes ${masterNodes.join(", ")}), f1 = `
+      + `${r.reduced_frequencies_hz[0].toPrecision(5)} Hz`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("reduction-btn").addEventListener("click",
+                                                          runReduction);
 
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {

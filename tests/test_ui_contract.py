@@ -195,3 +195,52 @@ def test_ui_payload_served_end_to_end(fixture):
     assert out["success"] and out["converged"]
     ux = np.asarray(out["displacements"])[0::2]
     np.testing.assert_allclose(ux, [0, 1, 2, 3], atol=1e-2)
+
+
+def test_static_ui_random_payload_served():
+    """The Random button's two-step flow (modal bracket -> PSD sweep)
+    through the live handlers (app.js runRandom): finite nonnegative
+    PSDs, positive RMS, peak near a resonance."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    base = load_fixture("ui_payload_modal.json")
+    base["solver_type"] = "fem"
+    base.pop("analysis", None)
+    modal = _solve_analysis("modal")(
+        {**base, "analysis": {"n_modes": 3, "include_shapes": False}})
+    om = modal["omegas"]
+    w1, w2 = om[0], om[-1]
+    out = _solve_analysis("random")({**base, "analysis": {
+        "type": "random", "psd": 1.0, "damping": [0.05, 0.001],
+        "omegas": {"start": 0.2 * w1, "stop": 1.5 * w2, "num": 400},
+        "probe_nodes": [3],
+    }})
+    assert out["success"]
+    psd = np.asarray(out["psd"])
+    assert np.isfinite(psd).all() and (psd >= 0).all()
+    # probe_nodes expand to (x, y) DOFs; node 3's y DOF is FIXED in this
+    # model, so its RMS is exactly zero — the free x DOF must respond.
+    assert out["rms"][0] > 0 and all(r >= 0 for r in out["rms"])
+    oms = np.asarray(out["omegas"])
+    peak = oms[np.argmax(psd[:, 0])]
+    assert min(abs(peak - w) / w for w in om) < 0.05
+
+
+def test_static_ui_reduction_payload_served():
+    """The Reduction button's POST body (app.js runReduction: CB onto
+    the loaded nodes) through the live handler: table fields present,
+    low-mode errors small."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    base = load_fixture("ui_payload_modal.json")
+    base["solver_type"] = "fem"
+    base.pop("analysis", None)
+    out = _solve_analysis("reduction")({**base, "analysis": {
+        "type": "reduction", "method": "craig_bampton",
+        "master_nodes": [3], "n_modes": 4, "compare_full": True,
+    }})
+    assert out["success"] and out["analysis"] == "reduction"
+    f = np.asarray(out["reduced_frequencies_hz"])
+    err = np.asarray(out["frequency_rel_error"])
+    assert f.size == out["n_reduced_dofs"] and np.all(np.diff(f) >= 0)
+    assert err[0] < 1e-3
