@@ -459,6 +459,11 @@ def run_transient(problem, analysis: Dict) -> Dict:
     method = analysis.get("method", "central")
     dt_spec = analysis.get("dt", "auto")
     damping = analysis.get("damping", [0.0, 0.0])
+    # Prestress must be resolved BEFORE the dt="auto" bound: tension
+    # raises omega_max, and integrating K + K_g at the unstressed
+    # critical step blows up (stable_dt docstring — pass the SAME
+    # prestress you integrate with).
+    prestress_u = _prestress_state(problem, analysis.get("prestress"))
     if dt_spec == "auto":
         if method not in ("central",):
             raise ValueError('dt="auto" (Gershgorin critical step) is for '
@@ -466,7 +471,8 @@ def run_transient(problem, analysis: Dict) -> Dict:
         # The DAMPED bound: beta damping shrinks the stability limit far
         # below the undamped 2/omega_max (blows up otherwise).
         dt = stable_dt(problem,
-                       damping=(float(damping[0]), float(damping[1])))
+                       damping=(float(damping[0]), float(damping[1])),
+                       prestress_u=prestress_u)
     else:
         dt = float(dt_spec)
     record_every = int(analysis.get("record_every", 1))
@@ -481,7 +487,6 @@ def run_transient(problem, analysis: Dict) -> Dict:
             f"{probe.size} DOFs x {n_steps // record_every} snapshots to "
             "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
             "to bound the payload")
-    prestress_u = _prestress_state(problem, analysis.get("prestress"))
     force_fn = _transient_force_fn(problem, analysis, dt)
     checkpoint = analysis.get("checkpoint")
     if "amplitudes" in analysis:         # ensemble mode
@@ -551,16 +556,33 @@ def run_transient(problem, analysis: Dict) -> Dict:
     }
     if analysis.get("include_stress_envelope", False):
         # Per-element |stress| envelope over EVERY step (the design-check
-        # quantity) via the batched core with B = 1 — linear central only.
-        if method != "central" or analysis.get("geometric_nonlinear"):
-            raise ValueError("include_stress_envelope supports the linear "
+        # quantity) via the batched core with B = 1 — central method,
+        # amplitude contract only: the batched core carries neither
+        # K_g(u0) nor a moving load, so computing its envelope for a
+        # prestressed/moving-load history would silently describe a
+        # DIFFERENT system than the displacements in the same response
+        # (round-3 review finding #2).  Checkpointed runs are excluded
+        # for the same reason: a resumed response holds only the
+        # remaining segments, while this recompute spans the whole
+        # history.
+        if method != "central":
+            raise ValueError("include_stress_envelope supports the "
                              "central method")
+        if prestress_u is not None or force_fn is not None \
+                or checkpoint is not None:
+            raise ValueError("include_stress_envelope supports the plain "
+                             "amplitude contract only (no prestress, "
+                             "moving load or checkpointing — the batched "
+                             "envelope core integrates K u under "
+                             "amplitude * loads)")
         from ..parallel.batched import solve_transient_batched
 
         env = solve_transient_batched(
             problem, dt, n_steps, amplitudes=amplitude[None, :n_steps],
             damping=(float(damping[0]), float(damping[1])),
-            probe_dofs=probe, record_every=record_every)["max_stress"]
+            probe_dofs=probe, record_every=record_every,
+            geometric_nonlinear=bool(analysis.get("geometric_nonlinear",
+                                                  False)))["max_stress"]
         import jax
 
         out["max_stress"] = np.asarray(

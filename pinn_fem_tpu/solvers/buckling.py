@@ -274,7 +274,16 @@ def buckling_analysis(problem: TrussProblem, n_modes: int = 4,
     if problem.ndof > DENSE_DOF_LIMIT:
         return _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
                                 seed)
-    if host is None or host:
+    if host is None:
+        # Like every sibling host gate (solve_transient, solve_riks,
+        # response_spectrum): an explicitly passed ProblemData may carry
+        # REPLACED loads, which the host path (problem.loads) would
+        # silently ignore — route it to the traced dense path instead.
+        host = data is None
+    if host:
+        if data is not None:
+            raise ValueError("host buckling reads problem.loads; pass "
+                             "host=False to honor a custom ProblemData")
         return _host_buckling(problem, n_modes)
     data = data if data is not None else problem.to_device()
     lam, v, n_e, u_base = _buckling_traced(problem, n_modes, data, None, None)

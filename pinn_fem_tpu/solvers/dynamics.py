@@ -419,6 +419,12 @@ def solve_transient(
     # a faithful transcription of the device recurrences below, zero
     # device programs, milliseconds cold.  Auto only on TPU: on CPU the
     # device path compiles in seconds and stays the tested reference.
+    if force_fn is not None and method != "central":
+        # Shared across tiers (the device paths repeat it defensively):
+        # a host tier that ACCEPTED force_fn for modal/newmark while the
+        # device tier raised would return backend-dependent answers for
+        # identical input (round-3 review finding #1).
+        raise ValueError("force_fn supports method='central' only")
     if host is None:
         from ..utils.runtime import is_tpu
 
@@ -679,8 +685,9 @@ def _host_transient(problem, dt, n_steps, amplitude, damping, u0, v0,
         i = 0
         for r in range(n_rec):
             for _ in range(record_every):
-                f = (force_host(i + 1) if force_host is not None
-                     else amp[min(i + 1, n_total - 1)] * loads)
+                # force_fn is central-only (validated by the caller), so
+                # the implicit step always uses the amplitude contract.
+                f = amp[min(i + 1, n_total - 1)] * loads
                 rhs = (f + m * (a0 * u + a2 * v + a3 * a)
                        + c_apply(a1 * u + a4 * v + a5 * a))
                 u_new = scipy.linalg.cho_solve(cho, rhs * mask) * mask

@@ -168,11 +168,15 @@ def harmonic_response(
     xr, xi = jax.device_get((xr[:, probe], xi[:, probe]))
     xr = np.asarray(xr)
     xi = np.asarray(xi)
+    # Same undamped phase convention as the host tier (-pi for a
+    # negative real FRF, the zero-damping limit from below) — the tiers
+    # must not differ by 2*pi at the same point.
+    xi_ph = np.where(xi == 0.0, -0.0, xi)
     return HarmonicResult(
         omegas=om_host,
         real=xr, imag=xi,
         amplitude=np.hypot(xr, xi),
-        phase=np.arctan2(xi, xr),
+        phase=np.arctan2(xi_ph, xr),
     )
 
 

@@ -22,13 +22,9 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..models.problem import TrussProblem
-from ..ops.assembly import assemble_system
-from ..ops.mass import lumped_mass
 
 
 class ReducedModel(NamedTuple):
@@ -52,6 +48,13 @@ def _partition(problem: TrussProblem, master_dofs, data):
     HOST (numpy float64 — the whole reduction is LAPACK-sized and must
     not pay a remote TPU compile, round-3 VERDICT #1; ops/host.py is the
     pinned mirror of the device assembly)."""
+    if data is not None:
+        # The host rewrite reads problem arrays directly; a custom
+        # ProblemData (e.g. replaced loads) would be silently ignored —
+        # reduction never used loads, but refuse rather than mislead.
+        raise ValueError("reduction assembles on the host from the "
+                         "problem itself; the data argument is no "
+                         "longer consumed — drop it")
     from ..ops import host as H
     from .newton import DENSE_DOF_LIMIT
 

@@ -99,25 +99,35 @@ def solve_riks(
         host = problem.ndof <= DENSE_DOF_LIMIT and data is None
 
     if host:
+        import scipy.linalg
+
         from ..ops import host as H
 
         mask_h = H.host_masks(problem)
         f_ext_h = np.asarray(problem.loads, dtype=float) * mask_h
         km_fix = np.diag(1.0 - mask_h)
 
-        def _solve_masked(k, rhs):
+        def _lu_masked(k):
+            """ONE LU of the masked tangent, reused for every RHS in the
+            same iteration (the corrector needs du_r AND du_t from the
+            SAME tangent — two np.linalg.solve calls paid two O(n^3)
+            factorizations for nothing).  LU, not Cholesky: the tangent
+            is INDEFINITE past a limit point."""
             km = mask_h[:, None] * k * mask_h[None, :] + km_fix
-            return np.linalg.solve(km, rhs * mask_h) * mask_h
+            return scipy.linalg.lu_factor(km)
 
         def tangent_fn(u_np):
             k, _ = H.host_nonlinear_system(problem, u_np)
-            return _solve_masked(k, f_ext_h)
+            lu = _lu_masked(k)
+            return scipy.linalg.lu_solve(lu, f_ext_h) * mask_h
 
         def corrector_fn(u_np, lam_v):
             k, f_int = H.host_nonlinear_system(problem, u_np)
             r = (lam_v * f_ext_h - f_int) * mask_h
-            return (_solve_masked(k, r), _solve_masked(k, f_ext_h),
-                    float(np.linalg.norm(r)))
+            lu = _lu_masked(k)
+            du_r = scipy.linalg.lu_solve(lu, r) * mask_h
+            du_t = scipy.linalg.lu_solve(lu, f_ext_h) * mask_h
+            return du_r, du_t, float(np.linalg.norm(r))
 
         fnorm = float(np.linalg.norm(f_ext_h))
     else:

@@ -334,3 +334,112 @@ def test_alternating_prestress_caches_coexist():
     fn_plain = cache[None][3]
     solve_transient(p, **kw)          # must HIT, not rebuild
     assert p._k_apply_cache[None][3] is fn_plain
+
+
+# ---------------------------------------------------------------------------
+# Round-3 review findings (inline review of the host-tier round)
+# ---------------------------------------------------------------------------
+
+
+def test_force_fn_rejected_for_noncentral_every_tier():
+    """Finding #1: the host tier auto-selected for method='modal' with a
+    moving load and silently ignored it — force_fn must raise for
+    modal/newmark on BOTH tiers."""
+    from pinn_fem_tpu.solvers.dynamics import (moving_load_force_fn,
+                                               solve_transient)
+    from tests.test_host import tower
+
+    p = tower()
+    f_fn = moving_load_force_fn(p, path_nodes=[0, 2, 4], speed=0.5,
+                                magnitude=-1.0, dt=0.1, component=1)
+    for method in ("modal", "newmark"):
+        for host in (True, False, None):
+            with pytest.raises(ValueError, match="central"):
+                solve_transient(p, 0.1, n_steps=10, method=method,
+                                force_fn=f_fn, host=host)
+
+
+def test_stress_envelope_rejects_prestress_and_moving_load():
+    """Finding #2: the envelope recompute integrates amplitude*loads
+    under K only — pairing it with prestress or a moving load would
+    return an envelope of a DIFFERENT system than the displacements."""
+    from pinn_fem_tpu.io.analysis import run_transient
+    from tests.test_dynamics import _taut_chain
+
+    p, up = _taut_chain(n_nodes=5)
+    base = {"type": "transient", "dt": 0.01, "n_steps": 10,
+            "probe_nodes": [2], "include_stress_envelope": True}
+    with pytest.raises(ValueError, match="amplitude contract"):
+        run_transient(p, {**base, "prestress": {"u": list(up)}})
+    with pytest.raises(ValueError, match="amplitude contract"):
+        run_transient(p, {**base, "load": {
+            "type": "moving", "path_nodes": [0, 1, 2, 3, 4],
+            "speed": 0.5, "magnitude": -1.0}})
+
+
+def test_json_auto_dt_uses_prestressed_bound():
+    """Finding #3: dt='auto' with prestress must come from the
+    PRESTRESSED Gershgorin bound (tension raises omega_max) — the
+    returned dt equals stable_dt(prestress_u=u0), strictly below the
+    unstressed bound on a geometric-stiffness-dominated structure."""
+    from pinn_fem_tpu.io.analysis import run_transient
+    from pinn_fem_tpu.solvers.dynamics import stable_dt
+    from tests.test_dynamics import _taut_chain
+
+    p, up = _taut_chain(n_nodes=9, tension=5.0, young=1.0)
+    out = run_transient(p, {
+        "type": "transient", "dt": "auto", "n_steps": 10,
+        "probe_nodes": [4], "prestress": {"u": list(up)}})
+    np.testing.assert_allclose(out["dt"], stable_dt(p, prestress_u=up),
+                               rtol=1e-6)
+    assert out["dt"] < stable_dt(p)
+
+
+def test_buckling_host_gate_honors_data():
+    """Finding #4: an explicitly passed ProblemData may carry replaced
+    loads; the host path (problem.loads) must not silently ignore it."""
+    from pinn_fem_tpu.solvers.buckling import buckling_analysis
+    from tests.test_buckling import braced_column
+
+    p = braced_column()
+    data = p.to_device()
+    # data given -> traced dense path; doubled loads halve the factors.
+    a = buckling_analysis(p, n_modes=1, data=data)
+    data2 = data.replace(loads=2.0 * data.loads)
+    b = buckling_analysis(p, n_modes=1, data=data2)
+    np.testing.assert_allclose(a.load_factors[0],
+                               2.0 * b.load_factors[0], rtol=1e-4)
+    # host=True + data is contradictory -> explicit error.
+    with pytest.raises(ValueError, match="host"):
+        buckling_analysis(p, n_modes=1, data=data2, host=True)
+
+
+def test_harmonic_phase_convention_matches_across_tiers():
+    """Finding #5: undamped negative-real FRF points must give -pi on
+    BOTH tiers (the zero-damping limit from below), not -pi vs +pi."""
+    from pinn_fem_tpu.solvers.harmonic import harmonic_response
+
+    nodes = np.array([0.0, 1.0])
+    p = TrussProblem(nodes, np.array([[0, 1]]),
+                     Material(young=4.0, area=1.0, density=2.0),
+                     np.array([0.0, 1.0]), np.array([0]), 1)
+    om = np.array([2.5])                 # above w0 = 2: negative real FRF
+    h_host = harmonic_response(p, om, damping=(0.0, 0.0),
+                               probe_dofs=np.array([1]), host=True)
+    h_dev = harmonic_response(p, om, damping=(0.0, 0.0),
+                              probe_dofs=np.array([1]), host=False)
+    assert h_host.real[0, 0] < 0 and h_dev.real[0, 0] < 0
+    np.testing.assert_allclose(h_host.phase[0, 0], -np.pi, atol=1e-5)
+    np.testing.assert_allclose(h_dev.phase[0, 0], h_host.phase[0, 0],
+                               atol=1e-4)
+
+
+def test_reduction_rejects_stale_data_argument():
+    """Finding #7: the host rewrite no longer consumes ProblemData —
+    passing one must refuse loudly instead of being silently ignored."""
+    from pinn_fem_tpu.solvers.reduction import guyan_reduce
+    from tests.test_host import tower
+
+    p = tower()
+    with pytest.raises(ValueError, match="no longer consumed"):
+        guyan_reduce(p, [p.ndof - 2], data=p.to_device())
