@@ -34,6 +34,9 @@ drives a static solve gains:
                  "method": "direct" | "modal", "n_modes": 12,
                  "omegas": [..] | {"start": w0, "stop": w1, "num": 100,
                                    "spacing": "linear" | "log"},
+                 "prestress": true | {..},   # K_g(u0), same contract as
+                                             # modal (also on spectrum
+                                             # and random blocks)
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
     "analysis": {"type": "transient", "dt": "auto" | seconds,
@@ -337,14 +340,16 @@ def run_harmonic(problem, analysis: Dict) -> Dict:
             f"harmonic response would serialize 4 x {probe.size} DOFs x "
             f"{omegas.size} frequencies to JSON; give "
             "probe_nodes/probe_dofs to bound the payload")
+    prestress_u = _prestress_state(problem, analysis.get("prestress"))
     res = harmonic_response(
         problem, omegas, damping=(float(damping[0]), float(damping[1])),
         method=method, n_modes=int(analysis.get("n_modes", 12)),
-        probe_dofs=probe)
+        probe_dofs=probe, prestress_u=prestress_u)
     return {
         "success": True,
         "analysis": "harmonic",
         "method": method,
+        "prestressed": prestress_u is not None,
         "omegas": res.omegas.tolist(),
         "probe_dofs": probe.tolist(),
         "real": res.real.tolist(),
@@ -405,15 +410,17 @@ def run_random(problem, analysis: Dict) -> Dict:
             return np.interp(om, om_tab, val_tab)
     else:
         load_psd = float(psd_spec)
+    prestress_u = _prestress_state(problem, analysis.get("prestress"))
     res = random_response(
         problem, load_psd, omegas,
         damping=(float(damping[0]), float(damping[1])),
         method=analysis.get("method", "direct"),
         n_modes=int(analysis.get("n_modes", 12)),
-        probe_dofs=probe)
+        probe_dofs=probe, prestress_u=prestress_u)
     return {
         "success": True,
         "analysis": "random",
+        "prestressed": prestress_u is not None,
         "omegas": res.omegas.tolist(),
         "probe_dofs": probe.tolist(),
         "psd": res.psd.tolist(),
@@ -434,15 +441,18 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
             return np.interp(om, om_tab, val_tab)
     else:
         spectrum = float(sa)
+    prestress_u = _prestress_state(problem, analysis.get("prestress"))
     res = response_spectrum(
         problem, spectrum,
         direction=analysis.get("direction"),
         n_modes=int(analysis.get("n_modes", 6)),
         combination=analysis.get("combination", "srss"),
-        damping_ratio=float(analysis.get("damping_ratio", 0.05)))
+        damping_ratio=float(analysis.get("damping_ratio", 0.05)),
+        prestress_u=prestress_u)
     return {
         "success": True,
         "analysis": "spectrum",
+        "prestressed": prestress_u is not None,
         "combination": res.combination,
         "modal_ok": bool(res.modal_ok),
         "omegas": res.omegas.tolist(),

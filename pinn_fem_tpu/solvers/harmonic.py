@@ -71,10 +71,11 @@ def _host_full_modal_basis(problem, prestress_u=None):
     return out
 
 
-def _host_sweep(problem, loads, om, alpha, beta, n_modes=None):
+def _host_sweep(problem, loads, om, alpha, beta, n_modes=None,
+                prestress_u=None):
     """(n_freq, ndof) complex FRF on the host via full (or truncated)
     modal superposition with exact Rayleigh modal damping."""
-    w2, v, free_idx, mask = _host_full_modal_basis(problem)
+    w2, v, free_idx, mask = _host_full_modal_basis(problem, prestress_u)
     if n_modes is not None:
         w2, v = w2[:n_modes], v[:, :n_modes]
     f = np.asarray(loads, dtype=np.float64) * mask
@@ -102,6 +103,7 @@ def harmonic_response(
     probe_dofs: Optional[np.ndarray] = None,
     mesh=None,
     host: Optional[bool] = None,
+    prestress_u=None,
 ) -> HarmonicResult:
     """Steady-state response X(omega) to the problem's load vector.
 
@@ -119,6 +121,10 @@ def harmonic_response(
             "direct" path is EXACT: the full undamped modal basis
             diagonalizes the dynamic stiffness, so one eigh replaces the
             whole LU sweep (see _host_full_modal_basis).
+        prestress_u: static state whose geometric stiffness K_g(u0) is
+            added to K — the taut-string FRF (resonances at the
+            string's natural frequencies) rides the same paths as
+            prestressed modal analysis.
     """
     from .newton import DENSE_DOF_LIMIT
 
@@ -130,10 +136,13 @@ def harmonic_response(
             and problem.ndof <= DENSE_DOF_LIMIT:
         from ..ops.host import loads_of
 
+        pu = None
+        if prestress_u is not None:
+            pu = np.asarray(jax.device_get(prestress_u), dtype=float)
         loads = loads_of(problem, data)
         xr, xi = _host_sweep(problem, loads, om_host, alpha, beta,
                              n_modes=None if method == "direct"
-                             else n_modes)
+                             else n_modes, prestress_u=pu)
         probe_np = (np.arange(problem.ndof) if probe_dofs is None
                     else np.asarray(probe_dofs, dtype=int))
         xr, xi = xr[:, probe_np], xi[:, probe_np]
@@ -157,9 +166,10 @@ def harmonic_response(
             raise ValueError("direct harmonic response is dense-only; use "
                              "method='modal' for large meshes")
         xr, xi = _direct_sweep(problem, data, om, alpha, beta, dtype,
-                               mesh=mesh)
+                               mesh=mesh, prestress_u=prestress_u)
     elif method == "modal":
-        xr, xi = _modal_sweep(problem, data, om, alpha, beta, n_modes)
+        xr, xi = _modal_sweep(problem, data, om, alpha, beta, n_modes,
+                              prestress_u=prestress_u)
     else:
         raise ValueError("method must be 'direct' or 'modal'")
 
@@ -186,13 +196,20 @@ def harmonic_response(
 _SWEEP_CHUNK = 32
 
 
-def _direct_sweep(problem, data, om, alpha, beta, dtype, mesh=None):
+def _direct_sweep(problem, data, om, alpha, beta, dtype, mesh=None,
+                  prestress_u=None):
     """Real 2x2-block complex solves, vmapped over frequency CHUNKS and
     jitted as one program per chunk size (batched factorizations on the
     MXU, memory bounded by _SWEEP_CHUNK blocks at a time)."""
     mask = data.free_mask
     k = assemble_system(data, problem.material,
                         jnp.zeros(problem.ndof, dtype))[0]
+    if prestress_u is not None:
+        from ..ops.geometric import assemble_geometric, element_axial_forces
+
+        n_e = element_axial_forces(data, problem.material,
+                                   jnp.asarray(prestress_u, dtype))
+        k = k + assemble_geometric(data, n_e)
     k = mask[:, None] * k * mask[None, :]
     # MASKED mass in the dynamic terms: unit fixed-DOF mass would turn the
     # fixed rows into (1 - w^2) — exactly singular at w = 1 rad/s with
@@ -264,11 +281,13 @@ def _direct_sweep_sharded_jit(k, m, f, mask, om_chunks, alpha, beta):
     return jax.lax.map(jax.vmap(jax.vmap(solve_one)), om_chunks)
 
 
-def _modal_sweep(problem, data, om, alpha, beta, n_modes):
+def _modal_sweep(problem, data, om, alpha, beta, n_modes,
+                 prestress_u=None):
     """Modal superposition with exact Rayleigh modal damping."""
     from .modal import modal_analysis
 
-    res = modal_analysis(problem, n_modes=n_modes, data=data)
+    res = modal_analysis(problem, n_modes=n_modes, data=data,
+                         prestress_u=prestress_u)
     w2 = jnp.asarray(res.eigenvalues)                  # (J,)
     wj = jnp.sqrt(jnp.maximum(w2, 1e-30))
     phi = jnp.asarray(res.shapes)                      # (ndof, J), M-orthonormal

@@ -44,6 +44,7 @@ def random_response(
     n_modes: int = 12,
     probe_dofs: Optional[np.ndarray] = None,
     data=None,
+    prestress_u=None,
 ) -> RandomResponseResult:
     """Displacement PSDs and RMS under a stationary random load.
 
@@ -52,6 +53,8 @@ def random_response(
             constant (white noise) or a callable over omega (rad/s).
         omegas: (n_freq,) integration/evaluation grid; must resolve the
             resonance peaks (bandwidth ~ 2 zeta omega_n each).
+        prestress_u: initial-stress state forwarded to the FRF
+            (harmonic_response) — buffeting of taut structures.
     """
     om = np.asarray(omegas, dtype=float).reshape(-1)
     if om.size < 2 or np.any(np.diff(om) <= 0):
@@ -64,7 +67,7 @@ def random_response(
                          "undamped variance integral diverges")
     h = harmonic_response(problem, om, damping=damping, method=method,
                           n_modes=n_modes, probe_dofs=probe_dofs,
-                          data=data)
+                          data=data, prestress_u=prestress_u)
     sp = (load_psd(om) if callable(load_psd)
           else float(load_psd) * np.ones_like(om))
     # A callable may return a scalar (white noise): broadcast it.

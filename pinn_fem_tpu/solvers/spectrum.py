@@ -59,6 +59,7 @@ def response_spectrum(
     combination: str = "srss",
     damping_ratio: float = 0.05,
     data=None,
+    prestress_u=None,
 ) -> SpectrumResult:
     """Peak response to a ground-acceleration design spectrum.
 
@@ -94,7 +95,8 @@ def response_spectrum(
     free_idx, _ = problem.free_fixed()
     n_modes = min(n_modes, free_idx.size)
     res = modal_analysis(problem, n_modes=n_modes,
-                         data=None if host else data)
+                         data=None if host else data,
+                         prestress_u=prestress_u)
     phi = res.shapes                                  # (ndof, J), M-orthonormal
     omegas = np.maximum(res.omegas, 1e-30)
 

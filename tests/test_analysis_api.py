@@ -495,3 +495,34 @@ def test_http_transient_nonlinear_ensemble(server_port):
     # Cubic stiffness: w ~ (F/EA)^(1/3); doubling F scales w by 2^(1/3)
     # (wide tolerance: 2000 steps is settling, not settled).
     assert 1.1 < w[1] / w[0] < 1.45
+
+
+def test_http_harmonic_and_random_prestress(server_port):
+    """"prestress" on harmonic/random blocks: the taut-string FRF and
+    PSD peak at the string's first natural frequency."""
+    n = 9
+    doc, up = taut_chain_json(n_nodes=n)
+    doc["loads"][2 * (n // 2) + 1] = 1.0
+    theta = np.pi / (n - 1)
+    w1 = np.sqrt(2.0 - 2.0 * np.cos(theta))
+    doc["analysis"] = {
+        "omegas": {"start": 0.5 * w1, "stop": 2.0 * w1, "num": 120},
+        "damping": [0.02, 0.0], "probe_dofs": [2 * (n // 2) + 1],
+        "prestress": {"u": up},
+    }
+    status, body = _post(server_port, "/api/fem/harmonic", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["prestressed"] is True
+    om = np.array(res["omegas"])
+    amp = np.array(res["amplitude"])[:, 0]
+    np.testing.assert_allclose(om[amp.argmax()], w1, rtol=0.03)
+
+    doc["analysis"]["psd"] = 1.0
+    status, body = _post(server_port, "/api/fem/random", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["prestressed"] is True
+    psd = np.array(res["psd"])[:, 0]
+    np.testing.assert_allclose(np.array(res["omegas"])[psd.argmax()], w1,
+                               rtol=0.03)

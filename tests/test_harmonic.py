@@ -98,3 +98,71 @@ def test_frequency_parallel_sweep_matches():
     np.testing.assert_allclose(shard.amplitude, plain.amplitude,
                                rtol=1e-5, atol=1e-9)
     np.testing.assert_allclose(shard.phase, plain.phase, atol=1e-5)
+
+
+def test_prestressed_harmonic_taut_string_resonances():
+    """prestress_u threads K_g(u0) through the FRF: the pretensioned
+    chain's transverse resonances sit at the taut-string spectrum
+    omega_j^2 = (T/(rho A h^2))(2 - 2 cos(j pi/n)), on BOTH tiers and
+    both methods; without prestress the transverse FRF diverges at
+    omega -> 0 (zero stiffness)."""
+    from tests.test_buckling import taut_string
+
+    n_elm = 8
+    p = taut_string(n_elm=n_elm)
+    # Pretension state u_x = (T/EA) x (T=1, EA=1000).
+    up = np.zeros(2 * (n_elm + 1))
+    up[0::2] = (1.0 / 1000.0) * np.arange(n_elm + 1)
+    # Transverse load mid-string.
+    loads = np.zeros(2 * (n_elm + 1))
+    loads[2 * (n_elm // 2) + 1] = 1.0
+    p = TrussProblem(p.nodes, p.elements, p.material, loads,
+                     p.fixed_dofs, 2)
+    theta = np.pi * np.arange(1, 3) / n_elm
+    w_exact = np.sqrt(2.0 - 2.0 * np.cos(theta))     # T = rho A h = 1
+    om = np.linspace(0.8 * w_exact[0], 1.2 * w_exact[0], 81)
+    probe = np.array([2 * (n_elm // 2) + 1])
+    kw = dict(damping=(0.01, 0.0), probe_dofs=probe, prestress_u=up)
+    for host in (True, False):
+        res = harmonic_response(p, om, host=host, **kw)
+        peak = om[int(np.argmax(res.amplitude[:, 0]))]
+        np.testing.assert_allclose(peak, w_exact[0], rtol=0.01)
+    # Modal method agrees with direct on the prestressed operator.
+    res_m = harmonic_response(p, om, method="modal", n_modes=7,
+                              host=False, **kw)
+    res_d = harmonic_response(p, om, host=False, **kw)
+    np.testing.assert_allclose(res_m.amplitude, res_d.amplitude,
+                               rtol=5e-2, atol=1e-6)
+
+
+def test_prestressed_random_and_spectrum():
+    """The prestress pass-through reaches random vibration (PSD peak at
+    the taut-string resonance) and response spectrum (nonzero modal
+    mass on the transverse modes)."""
+    from pinn_fem_tpu.solvers.random_response import random_response
+    from pinn_fem_tpu.solvers.spectrum import response_spectrum
+    from tests.test_buckling import taut_string
+
+    n_elm = 8
+    p = taut_string(n_elm=n_elm)
+    up = np.zeros(2 * (n_elm + 1))
+    up[0::2] = (1.0 / 1000.0) * np.arange(n_elm + 1)
+    loads = np.zeros(2 * (n_elm + 1))
+    loads[2 * (n_elm // 2) + 1] = 1.0
+    p = TrussProblem(p.nodes, p.elements, p.material, loads,
+                     p.fixed_dofs, 2)
+    theta = np.pi / n_elm
+    w1 = np.sqrt(2.0 - 2.0 * np.cos(theta))
+    om = np.linspace(0.5 * w1, 2.0 * w1, 200)
+    probe = np.array([2 * (n_elm // 2) + 1])
+    rr = random_response(p, 1.0, om, damping=(0.05, 0.0),
+                         probe_dofs=probe, prestress_u=up)
+    np.testing.assert_allclose(om[int(np.argmax(rr.psd[:, 0]))], w1,
+                               rtol=0.03)
+    # Spectrum: transverse (y) excitation of the prestressed string
+    # engages the string modes (without prestress the transverse block
+    # is singular and the lowest "mode" is spurious near-zero).
+    sp = response_spectrum(p, 1.0, direction=[0.0, 1.0], n_modes=4,
+                           prestress_u=up)
+    assert sp.mass_fraction > 0.8
+    np.testing.assert_allclose(sp.omegas[0], w1, rtol=1e-3)
