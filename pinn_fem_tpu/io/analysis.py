@@ -252,6 +252,46 @@ def run_modal(problem, analysis: Dict) -> Dict:
     if include:
         # (n_modes, ndof) rows for readability in JSON.
         out["mode_shapes"] = res.shapes.T.tolist()
+    cal = analysis.get("damping_calibration")
+    if cal is not None:
+        # Rayleigh (alpha, beta) from target damping ratios at two of
+        # the COMPUTED modes — the calibration every transient analysis
+        # needs, now answerable in the same request
+        # (solvers/modal.rayleigh_coefficients):
+        #   "damping_calibration": {"zeta": 0.02}            same ratio
+        #   ... {"zeta": [z1, z2], "modes": [1, 4]}          per mode
+        from ..solvers.modal import rayleigh_coefficients
+
+        zeta = cal.get("zeta", 0.05)
+        z1, z2 = ((float(zeta), float(zeta))
+                  if not isinstance(zeta, (list, tuple))
+                  else (float(zeta[0]), float(zeta[1])))
+        m1, m2 = cal.get("modes", [1, n_modes])
+        if not (1 <= m1 < m2 <= n_modes):
+            raise ValueError("damping_calibration.modes must be two "
+                             f"distinct 1-based indices within the "
+                             f"{n_modes} computed modes")
+        alpha, beta = rayleigh_coefficients(
+            float(res.omegas[m1 - 1]), z1, float(res.omegas[m2 - 1]), z2)
+        out["rayleigh_damping"] = {
+            "alpha": alpha, "beta": beta,
+            "calibrated_at": {"omegas": [float(res.omegas[m1 - 1]),
+                                         float(res.omegas[m2 - 1])],
+                              "zeta": [z1, z2]},
+        }
+    ref_shapes = analysis.get("compare_shapes")
+    if ref_shapes is not None:
+        # Test-vs-model shape correlation in the response: MAC matrix
+        # between the computed shapes and supplied (n_ref, ndof) rows —
+        # measured mode shapes from an experimental modal analysis
+        # (solvers/modal.mac; scale/sign invariant).
+        from ..solvers.modal import mac
+
+        ref = np.asarray(ref_shapes, dtype=float)
+        if ref.ndim != 2 or ref.shape[1] != problem.ndof:
+            raise ValueError(f"compare_shapes must be (n_ref, "
+                             f"{problem.ndof}) rows")
+        out["mac"] = mac(res.shapes, ref.T).tolist()
     return out
 
 

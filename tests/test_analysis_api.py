@@ -526,3 +526,33 @@ def test_http_harmonic_and_random_prestress(server_port):
     psd = np.array(res["psd"])[:, 0]
     np.testing.assert_allclose(np.array(res["omegas"])[psd.argmax()], w1,
                                rtol=0.03)
+
+
+def test_http_modal_damping_calibration_and_mac(server_port):
+    """Rayleigh calibration + MAC reach the JSON tier: the returned
+    (alpha, beta) reproduce the target ratios at the calibrated modes,
+    and MAC against the model's own shapes is the identity pattern."""
+    doc = chain_problem_json(analysis={
+        "n_modes": 4,
+        "damping_calibration": {"zeta": 0.02, "modes": [1, 4]},
+    })
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    assert status == 200, body
+    res = body["result"]
+    rd = res["rayleigh_damping"]
+    w1, w2 = rd["calibrated_at"]["omegas"]
+    np.testing.assert_allclose(res["omegas"][0], w1)
+    np.testing.assert_allclose(res["omegas"][3], w2)
+    for w in (w1, w2):
+        np.testing.assert_allclose(
+            rd["alpha"] / (2 * w) + rd["beta"] * w / 2, 0.02, rtol=1e-6)
+
+    # MAC against (scaled, sign-flipped) copies of the model's shapes.
+    shapes = np.array(res["mode_shapes"])           # (4, ndof)
+    doc["analysis"] = {"n_modes": 2,
+                       "compare_shapes": (-2.5 * shapes[:2]).tolist()}
+    status, body = _post(server_port, "/api/fem/modal", doc)
+    assert status == 200, body
+    m = np.array(body["result"]["mac"])             # (2, 2)
+    np.testing.assert_allclose(np.diag(m), 1.0, rtol=1e-5)
+    assert m[0, 1] < 0.05 and m[1, 0] < 0.05
