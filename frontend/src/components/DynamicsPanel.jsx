@@ -1,34 +1,87 @@
-// Dynamics panel: modal / buckling analyses over the same problem JSON
-// (the "analysis" block contract, pinn_fem_tpu/io/analysis.py), POSTed to
-// /api/fem/modal and /api/fem/buckling.  Mirrors the zero-dependency UI's
-// dynamics section (serve/static/app.js); mode shapes are displayed by
-// handing the selected shape to FEMCanvas as the displacement overlay.
+// Dynamics panel: modal / buckling / transient / harmonic / random /
+// reduction analyses over the same problem JSON (the "analysis" block
+// contract, pinn_fem_tpu/io/analysis.py), POSTed to /api/fem/<kind>.
+// Mirrors the zero-dependency UI's dynamics section (serve/static/app.js)
+// button-for-button; mode shapes are displayed by handing the selected
+// shape to FEMCanvas as the displacement overlay, curves by an inline SVG
+// chart (no charting dependency).
 
 import { useState } from 'react';
+
+const COLORS = ['#4ea1ff', '#39c07f', '#e4b34a', '#e46a6a'];
+
+function Chart({ xs, series }) {
+  // series: (n_points, n_cols) rows.
+  if (!xs || !series || !series.length) return null;
+  const W = 420, H = 140, PAD = 6;
+  const cols = Math.min(series[0].length, COLORS.length);
+  let lo = Infinity, hi = -Infinity;
+  for (const row of series) for (const v of row) {
+    if (v < lo) lo = v;
+    if (v > hi) hi = v;
+  }
+  if (hi - lo < 1e-12) hi = lo + 1;
+  const x = (i) => PAD + (W - 2 * PAD) * i / (xs.length - 1);
+  const y = (v) => H - PAD - (H - 2 * PAD) * (v - lo) / (hi - lo);
+  const paths = [];
+  for (let c = 0; c < cols; c++) {
+    paths.push(series.map((row, i) =>
+      `${i === 0 ? 'M' : 'L'}${x(i).toFixed(1)},${y(row[c]).toFixed(1)}`
+    ).join(''));
+  }
+  return (
+    <svg width={W} height={H} className="dyn-chart">
+      <line x1={PAD} y1={y(0)} x2={W - PAD} y2={y(0)} stroke="#2a3342" />
+      {paths.map((d, c) => (
+        <path key={c} d={d} fill="none" stroke={COLORS[c]} strokeWidth="1.5" />
+      ))}
+    </svg>
+  );
+}
 
 export default function DynamicsPanel({ buildProblem, onShowShape }) {
   const [rows, setRows] = useState([]);
   const [kind, setKind] = useState(null);
   const [shapes, setShapes] = useState(null);
+  const [chart, setChart] = useState(null);
   const [message, setMessage] = useState('');
+
+  const post = async (which, problem) => {
+    const resp = await fetch(`/api/fem/${which}`, {
+      method: 'POST',
+      headers: { 'Content-Type': 'application/json' },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || `${which} failed`);
+    return data.result;
+  };
+
+  const baseProblem = () => buildProblem({
+    solverType: 'fem', tolerance: 1e-6, maxIterations: 1000,
+    preconditioning: false,
+  });
+
+  // Probe the loaded nodes (fall back to the last node) — the same
+  // heuristic as the static UI (app.js runTransient).
+  const probeNodes = (problem) => {
+    const loads = problem.loads || [];
+    const picked = [];
+    for (let i = 0; i * 2 < loads.length; i++) {
+      if (loads[2 * i] || loads[2 * i + 1]) picked.push(i);
+    }
+    if (!picked.length && loads.length) picked.push(loads.length / 2 - 1);
+    return picked;
+  };
 
   const run = async (which) => {
     setMessage(`Running ${which} analysis…`);
     try {
-      const problem = buildProblem({
-        solverType: 'fem', tolerance: 1e-6, maxIterations: 1000,
-        preconditioning: false,
-      });
+      const problem = baseProblem();
       problem.analysis = { n_modes: 4, include_shapes: true };
-      const resp = await fetch(`/api/fem/${which}`, {
-        method: 'POST',
-        headers: { 'Content-Type': 'application/json' },
-        body: JSON.stringify(problem),
-      });
-      const data = await resp.json();
-      if (!data.success) throw new Error(data.error || `${which} failed`);
-      const r = data.result;
+      const r = await post(which, problem);
       setKind(which);
+      setChart(null);
       if (which === 'modal') {
         setShapes(r.mode_shapes ?? null);
         setRows(r.frequencies_hz.map((f, i) => ({
@@ -47,9 +100,83 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
           : `Critical load factor: ${r.load_factors[0].toPrecision(5)}`);
       }
     } catch (e) {
-      setRows([]);
-      setShapes(null);
+      setRows([]); setShapes(null); setChart(null);
       setMessage(`Error: ${e.message}`);
+    }
+  };
+
+  const runTransient = async () => {
+    setMessage('Integrating…');
+    try {
+      const problem = baseProblem();
+      const probes = probeNodes(problem);
+      problem.analysis = {
+        type: 'transient', dt: 'auto', n_steps: 4000, record_every: 20,
+        damping: [0.05, 0.0], probe_nodes: probes,
+        amplitude: { type: 'step' },
+      };
+      const r = await post('transient', problem);
+      setKind('transient'); setRows([]); setShapes(null);
+      setChart({ xs: r.times, series: r.displacements });
+      setMessage(`Step response: ${r.n_steps} steps `
+        + `(dt=${r.dt.toExponential(2)}), probes: nodes ${probes.join(', ')}`);
+    } catch (e) {
+      setChart(null); setMessage(`Error: ${e.message}`);
+    }
+  };
+
+  const sweep = async (which) => {
+    setMessage(which === 'random'
+      ? 'Integrating response PSD…' : 'Sweeping frequencies…');
+    try {
+      const problem = baseProblem();
+      const probes = probeNodes(problem);
+      // Bracket the resonances with a quick modal call (same two-step
+      // flow as the static UI).
+      const modal = await post('modal', { ...problem,
+        analysis: { n_modes: 3, include_shapes: false } });
+      const om = modal.omegas;
+      const w1 = om[0] || 1, w2 = om[om.length - 1] || 2 * (om[0] || 1);
+      problem.analysis = which === 'random'
+        ? { type: 'random', psd: 1.0, damping: [0.05, 0.001],
+            omegas: { start: 0.2 * w1, stop: 1.5 * w2, num: 400 },
+            probe_nodes: probes }
+        : { type: 'harmonic', damping: [0.05, 0.001],
+            omegas: { start: 0.3 * w1, stop: 1.4 * w2, num: 200 },
+            probe_nodes: probes };
+      const r = await post(which, problem);
+      setKind(which); setRows([]); setShapes(null);
+      setChart({ xs: r.omegas,
+                 series: which === 'random' ? r.psd : r.amplitude });
+      setMessage(which === 'random'
+        ? `Displacement PSD; RMS = [${r.rms.map((v) => v.toPrecision(4)).join(', ')}]`
+        : `|H(ω)|; resonances at ${om.map((w) => w.toPrecision(4)).join(', ')}`);
+    } catch (e) {
+      setChart(null); setMessage(`Error: ${e.message}`);
+    }
+  };
+
+  const runReduction = async () => {
+    setMessage('Condensing (Craig-Bampton)…');
+    try {
+      const problem = baseProblem();
+      const masters = probeNodes(problem);
+      problem.analysis = {
+        type: 'reduction', method: 'craig_bampton',
+        master_nodes: masters, n_modes: 4, compare_full: true,
+      };
+      const r = await post('reduction', problem);
+      setKind('reduction'); setShapes(null); setChart(null);
+      setRows(r.reduced_frequencies_hz.map((f, i) => ({
+        label: `f${i + 1}`,
+        value: `${f.toPrecision(5)} Hz`
+          + (r.frequency_rel_error && r.frequency_rel_error[i] !== undefined
+             ? ` (err ${r.frequency_rel_error[i].toExponential(1)})` : ''),
+      })));
+      setMessage(`${r.method}: ${r.n_reduced_dofs} reduced DOFs `
+        + `(masters: nodes ${masters.join(', ')})`);
+    } catch (e) {
+      setRows([]); setMessage(`Error: ${e.message}`);
     }
   };
 
@@ -59,6 +186,10 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       <div className="row">
         <button onClick={() => run('modal')}>Modal ▶</button>
         <button onClick={() => run('buckling')}>Buckling ▶</button>
+        <button onClick={runTransient}>Transient ▶</button>
+        <button onClick={() => sweep('harmonic')}>Harmonic ▶</button>
+        <button onClick={() => sweep('random')}>Random ▶</button>
+        <button onClick={runReduction}>Reduction ▶</button>
       </div>
       <table>
         <tbody>
@@ -75,6 +206,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
           ))}
         </tbody>
       </table>
+      {chart && <Chart xs={chart.xs} series={chart.series} />}
       <div className="status">{message}</div>
     </div>
   );

@@ -244,3 +244,39 @@ def test_static_ui_reduction_payload_served():
     err = np.asarray(out["frequency_rel_error"])
     assert f.size == out["n_reduced_dofs"] and np.all(np.diff(f) >= 0)
     assert err[0] < 1e-3
+
+
+def test_react_ui_dynamics_panel_transient_and_sweeps_served():
+    """Round-3 DynamicsPanel extension (runTransient/sweep/runReduction,
+    DynamicsPanel.jsx): the golden buildProblem() body + the exact
+    analysis blocks the panel injects, through the live handlers. The
+    panel probes the loaded nodes (node 3 carries Fx=1 in the fixture)."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    base = load_fixture("ui_payload_react_dynamics.json")
+    base.pop("analysis", None)
+
+    tr = _solve_analysis("transient")({**base, "analysis": {
+        "type": "transient", "dt": "auto", "n_steps": 4000,
+        "record_every": 20, "damping": [0.05, 0.0],
+        "probe_nodes": [3], "amplitude": {"type": "step"},
+    }})
+    assert tr["success"] and len(tr["times"]) == 200
+    assert np.isfinite(np.asarray(tr["displacements"])).all()
+
+    modal = _solve_analysis("modal")({**base, "analysis": {
+        "n_modes": 3, "include_shapes": False}})
+    w1, w2 = modal["omegas"][0], modal["omegas"][-1]
+    rnd = _solve_analysis("random")({**base, "analysis": {
+        "type": "random", "psd": 1.0, "damping": [0.05, 0.001],
+        "omegas": {"start": 0.2 * w1, "stop": 1.5 * w2, "num": 400},
+        "probe_nodes": [3],
+    }})
+    assert rnd["success"] and np.asarray(rnd["psd"]).shape == (400, 2)
+
+    red = _solve_analysis("reduction")({**base, "analysis": {
+        "type": "reduction", "method": "craig_bampton",
+        "master_nodes": [3], "n_modes": 4, "compare_full": True,
+    }})
+    assert red["success"]
+    assert len(red["reduced_frequencies_hz"]) == red["n_reduced_dofs"]
