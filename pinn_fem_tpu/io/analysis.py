@@ -344,6 +344,10 @@ def run_buckling(problem, analysis: Dict) -> Dict:
         "success": True,
         "analysis": "buckling",
         "n_modes": len(lam),
+        # False: the banded float32 path could not converge the Ritz
+        # values (solvers/buckling.py) — consumers must not trust the
+        # factors.
+        "ok": bool(res.ok),
         "load_factors": lam,
         "axial_forces": res.axial_forces.tolist(),
         "u_base": res.u_base.tolist(),

@@ -39,6 +39,12 @@ class BucklingResult(NamedTuple):
                                # fixed DOFs, K-orthonormal on the free block
     axial_forces: np.ndarray   # (nelm,) N_e of the base state (tension > 0)
     u_base: np.ndarray         # (ndof,) the linear static base state
+    ok: bool = True            # trust flag (cf. ModalResult.ok): False on
+                               # the banded float32 path when the Ritz
+                               # values had NOT converged over the final
+                               # subspace iteration — consumers must not
+                               # trust the factors (dense/host paths are
+                               # LAPACK-exact and always True)
 
 
 def buckling_eigenvalues(problem: TrussProblem, n_modes: int = 4,
@@ -219,13 +225,14 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
         return mu_all[order], wh @ z[:, order]        # q^T kk q = I
 
     shift = 0.0
-    mu = None
+    mu = mu_prev = None
     key = jax.random.PRNGKey(seed + 1)
     for it in range(n_iter):
         y = solve_col(-kg_mv(x), x)                 # K^{-1} (-K_g X)
         if shift:
             y = y + shift * x
         kk, ag = jax.device_get((y.T @ k_mv(y), y.T @ (-kg_mv(y))))
+        mu_prev = mu
         mu, q = _ritz(np.asarray(ag, np.float64), np.asarray(kk, np.float64))
         x = y @ jnp.asarray(np.ascontiguousarray(q), dtype)
         if q.shape[1] < k_block:
@@ -238,6 +245,27 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
         if it == 0:
             shift = 2.0 * float(np.max(np.abs(mu))) + 1e-12
 
+    # Ritz-value change over the final iteration: the convergence
+    # indicator that stays meaningful below the f32 residual floor
+    # (the same design as modal_analysis's banded path).  Only the
+    # DESTABILIZING (positive-mu) directions gate ok — stabilizing
+    # ones report lambda = inf regardless.
+    ok = True
+    if mu_prev is not None:
+        n_cmp = min(mu.size, mu_prev.size, n_modes)
+        pos = mu[:n_cmp] > 0
+        if np.any(pos):
+            change = np.abs(mu[:n_cmp] - mu_prev[:n_cmp]) / np.maximum(
+                np.abs(mu[:n_cmp]), 1e-30)
+            ok = bool(np.all(change[pos] < 1e-3))
+    if not ok:
+        import logging
+
+        logging.getLogger("pinn_fem_tpu").warning(
+            "buckling_analysis: Ritz values not converged after %d "
+            "subspace iterations — BucklingResult.ok=False (raise "
+            "n_iter)", n_iter)
+
     if mu.size < n_modes:   # rank truncation on the last iteration
         mu = np.concatenate([mu, np.full(n_modes - mu.size, -np.inf)])
     mu_m = mu[:n_modes]
@@ -248,7 +276,7 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
     shapes = np.asarray(sh_free)   # masked throughout: zeros on fixed DOFs
     return BucklingResult(
         load_factors=np.asarray(lam, dtype=float), modes=shapes,
-        axial_forces=np.asarray(n_e_h), u_base=np.asarray(u_h),
+        axial_forces=np.asarray(n_e_h), u_base=np.asarray(u_h), ok=ok,
     )
 
 

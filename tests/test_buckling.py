@@ -333,3 +333,24 @@ def test_banded_buckling_compressed_grid_matches_dense():
         newton.DENSE_DOF_LIMIT = orig
     np.testing.assert_allclose(banded.load_factors[0],
                                dense.load_factors[0], rtol=1e-2)
+
+
+def test_banded_buckling_trust_flag():
+    """ok mirrors the modal trust contract: converged banded runs set
+    True; starving the subspace iteration (n_iter=2) reports False
+    instead of silently returning unconverged factors."""
+    import pinn_fem_tpu.solvers.newton as newton
+
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        good = buckling_analysis(braced_tower(stories=12), n_modes=1,
+                                 n_iter=40)
+        starved = buckling_analysis(braced_tower(stories=12), n_modes=1,
+                                    n_iter=2)
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    assert good.ok
+    assert not starved.ok
+    # Dense/host path is LAPACK-exact: always trusted.
+    assert buckling_analysis(braced_tower(stories=4), n_modes=1).ok
