@@ -46,6 +46,13 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
   const [chart, setChart] = useState(null);
   const [message, setMessage] = useState('');
 
+  const fail = (e) => {
+    // Clear ALL result state: a failed analysis must not leave a stale
+    // table or chart from a previous one under the error message.
+    setRows([]); setShapes(null); setChart(null);
+    setMessage(`Error: ${e.message}`);
+  };
+
   const post = async (which, problem) => {
     const resp = await fetch(`/api/fem/${which}`, {
       method: 'POST',
@@ -100,8 +107,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
           : `Critical load factor: ${r.load_factors[0].toPrecision(5)}`);
       }
     } catch (e) {
-      setRows([]); setShapes(null); setChart(null);
-      setMessage(`Error: ${e.message}`);
+      fail(e);
     }
   };
 
@@ -121,7 +127,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       setMessage(`Step response: ${r.n_steps} steps `
         + `(dt=${r.dt.toExponential(2)}), probes: nodes ${probes.join(', ')}`);
     } catch (e) {
-      setChart(null); setMessage(`Error: ${e.message}`);
+      fail(e);
     }
   };
 
@@ -152,7 +158,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         ? `Displacement PSD; RMS = [${r.rms.map((v) => v.toPrecision(4)).join(', ')}]`
         : `|H(ω)|; resonances at ${om.map((w) => w.toPrecision(4)).join(', ')}`);
     } catch (e) {
-      setChart(null); setMessage(`Error: ${e.message}`);
+      fail(e);
     }
   };
 
@@ -176,7 +182,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       setMessage(`${r.method}: ${r.n_reduced_dofs} reduced DOFs `
         + `(masters: nodes ${masters.join(', ')})`);
     } catch (e) {
-      setRows([]); setMessage(`Error: ${e.message}`);
+      fail(e);
     }
   };
 

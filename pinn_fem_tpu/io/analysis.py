@@ -263,10 +263,19 @@ def run_modal(problem, analysis: Dict) -> Dict:
         from ..solvers.modal import rayleigh_coefficients
 
         zeta = cal.get("zeta", 0.05)
-        z1, z2 = ((float(zeta), float(zeta))
-                  if not isinstance(zeta, (list, tuple))
-                  else (float(zeta[0]), float(zeta[1])))
-        m1, m2 = cal.get("modes", [1, n_modes])
+        if isinstance(zeta, (list, tuple)):
+            if len(zeta) != 2:
+                raise ValueError("damping_calibration.zeta must be a "
+                                 "number or a [zeta_1, zeta_2] pair")
+            z1, z2 = float(zeta[0]), float(zeta[1])
+        else:
+            z1 = z2 = float(zeta)
+        modes = cal.get("modes", [1, n_modes])
+        if (not isinstance(modes, (list, tuple)) or len(modes) != 2
+                or any(int(m) != m for m in modes)):
+            raise ValueError("damping_calibration.modes must be two "
+                             "integer 1-based mode indices")
+        m1, m2 = int(modes[0]), int(modes[1])
         if not (1 <= m1 < m2 <= n_modes):
             raise ValueError("damping_calibration.modes must be two "
                              f"distinct 1-based indices within the "
@@ -543,6 +552,22 @@ def run_transient(problem, analysis: Dict) -> Dict:
             "to bound the payload")
     force_fn = _transient_force_fn(problem, analysis, dt)
     checkpoint = analysis.get("checkpoint")
+    if analysis.get("include_stress_envelope", False):
+        # Validate the envelope's compatibility BEFORE integrating: the
+        # batched envelope core carries neither K_g(u0) nor a moving
+        # load, and a checkpointed response holds only the resumed
+        # segments — rejecting after a minutes-long solve would burn
+        # the whole run on an input error knowable up front.
+        if method != "central":
+            raise ValueError("include_stress_envelope supports the "
+                             "central method")
+        if prestress_u is not None or force_fn is not None \
+                or checkpoint is not None:
+            raise ValueError("include_stress_envelope supports the plain "
+                             "amplitude contract only (no prestress, "
+                             "moving load or checkpointing — the batched "
+                             "envelope core integrates K u under "
+                             "amplitude * loads)")
     if "amplitudes" in analysis:         # ensemble mode
         if prestress_u is not None or force_fn is not None or checkpoint:
             raise ValueError("ensemble transient composes with "
@@ -610,25 +635,8 @@ def run_transient(problem, analysis: Dict) -> Dict:
     }
     if analysis.get("include_stress_envelope", False):
         # Per-element |stress| envelope over EVERY step (the design-check
-        # quantity) via the batched core with B = 1 — central method,
-        # amplitude contract only: the batched core carries neither
-        # K_g(u0) nor a moving load, so computing its envelope for a
-        # prestressed/moving-load history would silently describe a
-        # DIFFERENT system than the displacements in the same response
-        # (round-3 review finding #2).  Checkpointed runs are excluded
-        # for the same reason: a resumed response holds only the
-        # remaining segments, while this recompute spans the whole
-        # history.
-        if method != "central":
-            raise ValueError("include_stress_envelope supports the "
-                             "central method")
-        if prestress_u is not None or force_fn is not None \
-                or checkpoint is not None:
-            raise ValueError("include_stress_envelope supports the plain "
-                             "amplitude contract only (no prestress, "
-                             "moving load or checkpointing — the batched "
-                             "envelope core integrates K u under "
-                             "amplitude * loads)")
+        # quantity) via the batched core with B = 1 — compatibility was
+        # validated BEFORE the integration above.
         from ..parallel.batched import solve_transient_batched
 
         env = solve_transient_batched(

@@ -250,8 +250,12 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
     # (the same design as modal_analysis's banded path).  Only the
     # DESTABILIZING (positive-mu) directions gate ok — stabilizing
     # ones report lambda = inf regardless.
-    ok = True
-    if mu_prev is not None:
+    if mu_prev is None:
+        # n_iter < 2: no convergence evidence exists at all — the flag
+        # must not assert what was never measured.
+        ok = False
+    else:
+        ok = True
         n_cmp = min(mu.size, mu_prev.size, n_modes)
         pos = mu[:n_cmp] > 0
         if np.any(pos):

@@ -348,9 +348,13 @@ def test_banded_buckling_trust_flag():
                                  n_iter=40)
         starved = buckling_analysis(braced_tower(stories=12), n_modes=1,
                                     n_iter=2)
+        # n_iter=1: no Ritz-change evidence EXISTS — must not claim ok.
+        blind = buckling_analysis(braced_tower(stories=12), n_modes=1,
+                                  n_iter=1)
     finally:
         newton.DENSE_DOF_LIMIT = orig
     assert good.ok
     assert not starved.ok
+    assert not blind.ok
     # Dense/host path is LAPACK-exact: always trusted.
     assert buckling_analysis(braced_tower(stories=4), n_modes=1).ok
