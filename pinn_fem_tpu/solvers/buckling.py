@@ -135,7 +135,7 @@ def _host_buckling(problem, n_modes: int) -> BucklingResult:
 
 
 def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
-                     seed) -> BucklingResult:
+                     seed, mesh=None) -> BucklingResult:
     """Large-mesh buckling on the banded DIA operator (round-3 VERDICT
     #5): shifted subspace iteration on A = K^{-1}(-K_g), the SAME
     machinery modal_analysis rides (block banded-PCG solves +
@@ -184,8 +184,20 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
     kd = mask_dia(offsets, assemble_dia(layout, s, data.gvec), mask)
 
     ndof = layout.ndof
-    u_base = dia_cg_solve(layout, kd, data.loads * mask, mask, tol=cg_tol,
-                          max_iter=40 * ndof, use_pallas=False)[0]
+    if mesh is not None:
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+
+        def _solve(b, x0=None):
+            return dia_cg_solve_sharded(layout, kd, b, mask, mesh,
+                                        tol=cg_tol,
+                                        max_iter=40 * ndof)[0]
+    else:
+        def _solve(b, x0=None):
+            return dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
+                                max_iter=40 * ndof, x0=x0,
+                                use_pallas=False)[0]
+
+    u_base = _solve(data.loads * mask)
     n_e = element_axial_forces(data, problem.material, u_base)
     kgd = mask_dia(offsets, assemble_geometric_dia(layout, data, n_e), mask)
     k0 = offsets.index(0)
@@ -200,11 +212,19 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
                      in_axes=1, out_axes=1)
     k_mv = jax.vmap(lambda v: dia_matvec(layout, kd, v),
                     in_axes=1, out_axes=1)
-    solve_col = jax.vmap(
-        lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
-                                   max_iter=40 * ndof, x0=x0,
-                                   use_pallas=False)[0],
-        in_axes=(1, 1), out_axes=1)
+    if mesh is not None:
+        # Multi-chip: each block solve distributes its DOF axis over the
+        # mesh's "tp" row blocks (the same machinery modal rides —
+        # parallel/dia_sharded.py); projections stay replicated.
+        def solve_col(b_cols, _x0):
+            return jnp.stack([_solve(b_cols[:, j])
+                              for j in range(b_cols.shape[1])], axis=1)
+    else:
+        solve_col = jax.vmap(
+            lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
+                                       max_iter=40 * ndof, x0=x0,
+                                       use_pallas=False)[0],
+            in_axes=(1, 1), out_axes=1)
 
     def _ritz(ag, kk):
         """Rank-robust projected generalized eigensolve: float32 CG noise
@@ -287,7 +307,7 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
 def buckling_analysis(problem: TrussProblem, n_modes: int = 4,
                       data=None, host: Optional[bool] = None,
                       n_iter: int = 30, cg_tol: float = 1e-8,
-                      seed: int = 0) -> BucklingResult:
+                      seed: int = 0, mesh=None) -> BucklingResult:
     """Critical load factors and buckling modes (see module docstring).
 
     The mesh's loads define the base load pattern; load_factors scale it:
@@ -305,7 +325,7 @@ def buckling_analysis(problem: TrussProblem, n_modes: int = 4,
     n_modes = min(n_modes, free_idx.size)
     if problem.ndof > DENSE_DOF_LIMIT:
         return _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
-                                seed)
+                                seed, mesh=mesh)
     if host is None:
         # Like every sibling host gate (solve_transient, solve_riks,
         # response_spectrum): an explicitly passed ProblemData may carry

@@ -130,8 +130,14 @@ def modal_eigenpairs(problem: TrussProblem, n_modes: int = 6,
 
 
 def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
-                        seed):
-    """Inverse subspace iteration on the banded operator (lumped mass)."""
+                        seed, mesh=None):
+    """Inverse subspace iteration on the banded operator (lumped mass).
+
+    `mesh`: optional jax.sharding.Mesh — the block solves K Y = M X (the
+    dominant cost: k banded PCG solves per iteration) distribute their
+    DOF axis over the mesh's "tp" row blocks with ppermute halo
+    exchanges (parallel/dia_sharded.py); the Rayleigh-Ritz projections
+    stay replicated (O(ndof * k) work, negligible next to the solves)."""
     from ..ops.dia import dia_cg_solve
 
     k = min(2 * n_modes + 4, int(jnp.sum(mask)))
@@ -139,12 +145,24 @@ def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
     x = jax.random.normal(jax.random.PRNGKey(seed), (ndof, k),
                           dtype=m_diag.dtype) * mask[:, None]
 
-    solve_col = jax.vmap(
-        lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
-                                   max_iter=40 * ndof, x0=x0,
-                                   use_pallas=False)[0],
-        in_axes=(1, 1), out_axes=1,
-    )
+    if mesh is not None:
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+
+        def solve_col(b_cols, _x0):
+            # Column loop, each a tp-distributed solve (k is small; the
+            # parallelism that matters is over the DOF axis).
+            outs = [dia_cg_solve_sharded(layout, kd, b_cols[:, j], mask,
+                                         mesh, tol=cg_tol,
+                                         max_iter=40 * ndof)[0]
+                    for j in range(b_cols.shape[1])]
+            return jnp.stack(outs, axis=1)
+    else:
+        solve_col = jax.vmap(
+            lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
+                                       max_iter=40 * ndof, x0=x0,
+                                       use_pallas=False)[0],
+            in_axes=(1, 1), out_axes=1,
+        )
 
     w = w_prev = None
     y = x
@@ -242,6 +260,7 @@ def modal_analysis(
     seed: int = 0,
     prestress_u=None,
     host: Optional[bool] = None,
+    mesh=None,
 ) -> ModalResult:
     """Lowest natural frequencies and mode shapes.
 
@@ -251,7 +270,10 @@ def modal_analysis(
     iteration on device above it (lumped mass only there).  `host=False`
     forces the on-device dense path (e.g. to stay on a TPU-resident data
     pipeline); `prestress_u` adds the initial-stress stiffness of a
-    static state (see modal_eigenpairs).
+    static state (see modal_eigenpairs); `mesh` distributes the banded
+    path's block solves over the mesh's "tp" row blocks
+    (_subspace_iteration — multi-chip eigensolves for meshes past one
+    device's HBM).
     """
     from .newton import DENSE_DOF_LIMIT, _dia_layout_of
 
@@ -322,7 +344,7 @@ def modal_analysis(
             + (1.0 - data.free_mask)
         w, shapes, ritz_change = _subspace_iteration(
             layout, kd, m_diag, data.free_mask, n_modes, n_iter, cg_tol,
-            seed)
+            seed, mesh=mesh)
 
     # Residual check ||K v - lam M v|| / (lam ||M v||).
     k_full = None

@@ -101,3 +101,47 @@ def test_sharded_transient_matches_single_device():
                                    rtol=1e-3, atol=1e-10)
         np.testing.assert_allclose(sh.strain_energy, ref.strain_energy,
                                    rtol=1e-3, atol=1e-10)
+
+
+def test_sharded_modal_matches_unsharded():
+    """Multi-chip eigensolves: modal_analysis(mesh=...) distributes the
+    subspace block solves over the tp row blocks; spectrum equals the
+    single-device banded path."""
+    import pinn_fem_tpu.solvers.newton as newton
+    from pinn_fem_tpu.solvers.modal import modal_analysis
+    from tests.test_modal import fixed_fixed_chain
+
+    p = fixed_fixed_chain(n_elm=120)
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        plain = modal_analysis(p, n_modes=3, n_iter=25)
+        p2 = fixed_fixed_chain(n_elm=120)
+        shard = modal_analysis(p2, n_modes=3, n_iter=25, mesh=tp_mesh())
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    np.testing.assert_allclose(shard.eigenvalues, plain.eigenvalues,
+                               rtol=1e-3)
+    assert shard.ok
+
+
+def test_sharded_buckling_matches_unsharded():
+    """buckling_analysis(mesh=...): sharded base solve + subspace block
+    solves; critical factor equals the single-device banded path."""
+    import pinn_fem_tpu.solvers.newton as newton
+    from pinn_fem_tpu.solvers.buckling import buckling_analysis
+    from tests.test_buckling import braced_tower
+
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        plain = buckling_analysis(braced_tower(stories=12), n_modes=1,
+                                  n_iter=40)
+        shard = buckling_analysis(braced_tower(stories=12), n_modes=1,
+                                  n_iter=40, mesh=tp_mesh(4))
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    np.testing.assert_allclose(shard.load_factors[0],
+                               plain.load_factors[0], rtol=2e-3)
+    np.testing.assert_allclose(shard.axial_forces, plain.axial_forces,
+                               rtol=1e-3, atol=1e-6)
