@@ -45,7 +45,7 @@ function solveAnalysis(kind) {
 }
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
-                    'continuation', 'random', 'reduction']) {
+                    'continuation', 'random', 'reduction', 'identification']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -69,9 +69,11 @@ router.get('/info', (req, res) => {
       dynamics: {
         name: 'Structural dynamics',
         description: 'Transient (central difference / Newmark-beta), '
-          + 'modal, buckling and harmonic analysis',
+          + 'modal, buckling, harmonic, spectrum, random vibration, '
+          + 'continuation, reduction and time-domain identification',
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
-                  'spectrum'],
+                  'spectrum', 'random', 'continuation', 'reduction',
+                  'identification'],
       },
     },
     backend: 'jax',

@@ -241,6 +241,27 @@ def build_corpus():
                      "probe_nodes": [2]},
     }
 
+    # Time-domain identification: E and rho recovered from a synthetic
+    # tip trajectory (density is invisible to statics; the discrete
+    # adjoint through the integrator sees it — tests/test_transient_
+    # inverse.py uses the same chain and converges to 2% in 400 iters).
+    corpus["dyn-identification"] = {
+        "description": "Dynamics corpus: time-domain identification of "
+                       "Young's modulus and density from a synthetic "
+                       "probe trajectory (extension; discrete adjoint)",
+        "nodes": [[0.0], [1.0], [2.0], [3.0], [4.0]],
+        "elements": [[0, 1], [1, 2], [2, 3], [3, 4]],
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "dt": 0.05,
+                     "n_steps": 400, "params": ["young", "density"],
+                     "synthetic": {"young": 2.0, "density": 3.0},
+                     "probe_nodes": [2, 4], "damping": [0.05, 0.0],
+                     "n_iter": 400, "learning_rate": 0.1},
+    }
+
     for name, analysis in dyn.items():
         ex = tower_base()
         if name == "dyn-buckling":

@@ -186,6 +186,41 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runIdentify = async () => {
+    // Twin-data demo of time-domain identification: the server
+    // integrates a "true" structure (E and ρ scaled off the current
+    // material), adds 1% noise, and recovers both by AD through the
+    // integrator — density is invisible to every static method.
+    setMessage('Identifying E, ρ from a noisy synthetic trajectory…');
+    try {
+      const problem = baseProblem();
+      const probes = probeNodes(problem);
+      const trueE = 1.6 * problem.material.young;
+      const trueRho = 0.7 * (problem.material.density || 1.0);
+      problem.analysis = {
+        type: 'identification', dt: 'auto', n_steps: 800,
+        params: ['young', 'density'],
+        synthetic: { young: trueE, density: trueRho, noise: 0.01, seed: 0 },
+        probe_nodes: probes, damping: [0.05, 0.0],
+        n_iter: 300, learning_rate: 0.1, include_fit: false,
+      };
+      const r = await post('identification', problem);
+      setKind('identification'); setShapes(null);
+      setChart({ xs: r.loss_history.map((_, i) => i),
+                 series: r.loss_history.map((v) => [Math.log10(v + 1e-30)]) });
+      setRows([
+        { label: 'E', value: `${r.identified.young.toPrecision(5)} `
+            + `(true ${trueE.toPrecision(5)})` },
+        { label: 'ρ', value: `${r.identified.density.toPrecision(5)} `
+            + `(true ${trueRho.toPrecision(5)})` },
+      ]);
+      setMessage(`Recovered in ${r.n_iter} iters `
+        + `(final loss ${r.final_loss.toExponential(2)}); chart: log₁₀ loss`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   return (
     <div className="dynamics-panel">
       <h3>Dynamics</h3>
@@ -196,6 +231,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={() => sweep('harmonic')}>Harmonic ▶</button>
         <button onClick={() => sweep('random')}>Random ▶</button>
         <button onClick={runReduction}>Reduction ▶</button>
+        <button onClick={runIdentify}>Identify ▶</button>
       </div>
       <table>
         <tbody>

@@ -116,6 +116,11 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
+        elif kind == "identification":
+            logger.info("  Identified %s in %d iters (final loss %.3e)",
+                        ", ".join(f"{k}={v:.6g}" for k, v
+                                  in output["identified"].items()),
+                        output["n_iter"], output["final_loss"])
         logger.info("Results written to %s", output_file)
         return output
 

@@ -59,9 +59,24 @@ drives a static solve gains:
                  "include_stress_envelope": false,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
+    "analysis": {"type": "identification",
+                 "dt": 0.05, "n_steps": 400,
+                 "params": ["young", "density"],
+                 "measured": [[..], ..]       # (n_rec, n_probe) history
+                   | "synthetic": {"young": E, "density": rho,
+                                   "noise": 0.02, "seed": 0},
+                 "probe_nodes": [..] | "probe_dofs": [..],
+                 "amplitude": <transient contract>, "damping": [a, b],
+                 "n_iter": 300, "learning_rate": 0.05,
+                 "initial": {"young": 1.0}}   # time-domain PINN
+                                              # identification (discrete
+                                              # adjoint through the
+                                              # integrator)
+
 Routed identically through the CLI (cli/generic.py), the HTTP tier
 (serve/server.py: /api/fem/{modal,transient,buckling,harmonic,spectrum,
-continuation,random}) and the Node backend (backend/src/routes/fem.js).
+continuation,random,reduction,identification}) and the Node backend
+(backend/src/routes/fem.js).
 """
 
 from __future__ import annotations
@@ -726,6 +741,208 @@ def run_reduction(problem, analysis: Dict) -> Dict:
     return out
 
 
+def run_identification(problem, analysis: Dict) -> Dict:
+    """Execute a time-domain identification block
+    (solvers/transient_inverse.py): scalar material parameters recovered
+    from a measured probe displacement history by reverse-mode AD through
+    the central-difference integrator (the discrete adjoint).
+
+    Contract (the round-3 tier-gap closure: every capability reachable
+    from the JSON tier down, io/analysis.py:49-51 standard):
+
+        "analysis": {"type": "identification",
+                     "dt": 0.05 | "auto",   # auto: synthetic mode only
+                                            # (a measurement fixes its
+                                            # own grid); Gershgorin
+                                            # critical step of the TRUE
+                                            # material
+                     "n_steps": 400,
+                     "params": ["young", "density"],
+                     "probe_nodes": [..] | "probe_dofs": [..],
+                     "measured": [[..], ..],    # (n_rec, n_probe) rows
+                       | "synthetic": {"young": E, "density": rho,
+                                       "noise": 0.02, "seed": 0},
+                         # twin-data mode: generate the measurement from
+                         # these true values (+ relative Gaussian noise),
+                         # identify starting from the problem's own
+                         # material — the standard validation workflow
+                     "amplitude": <same contract as transient>,
+                     "damping": [alpha, beta],
+                     "record_every": 1,
+                     "n_iter": 300, "learning_rate": 0.05,
+                     "initial": {"young": 1.0},
+                     "include_fit": true}       # fitted probe trajectory
+
+    The model problem's own material supplies the starting guess unless
+    `initial` overrides it.  E and A are not separately identifiable from
+    displacements (only EA is) — identify one of them at a time.
+
+    Identification meshes are small (dense traced K) but the program is a
+    differentiated `lax.scan` the host tier cannot mirror in numpy, so
+    below DENSE_DOF_LIMIT the whole run executes on the LOCAL CPU backend
+    (jax.default_device): compiles are local milliseconds instead of the
+    attachment's minutes-long remote helper, which keeps the HTTP route
+    inside its timeout.  `"on_device": true` opts back into the default
+    accelerator (e.g. to keep a large study TPU-resident).
+    """
+    import jax as _jax
+
+    from ..models.fields import ScalarField
+    from ..solvers.transient_inverse import (_PARAM_ORDER,
+                                             identify_from_transient,
+                                             transient_probe_response)
+
+    n_steps = int(analysis["n_steps"])
+    record_every = int(analysis.get("record_every", 1))
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    n_rec = n_steps // record_every
+    damping = analysis.get("damping", [0.0, 0.0])
+    damping = (float(damping[0]), float(damping[1]))
+    dt_spec = analysis["dt"]
+    if dt_spec == "auto":
+        # Only meaningful in twin-data mode (a real measurement fixes its
+        # own grid); the Gershgorin critical step of the TRUE material
+        # keeps the synthetic integration stable whatever values the
+        # block asks to recover.
+        if analysis.get("synthetic") is None:
+            raise ValueError('dt="auto" needs "synthetic" twin data; a '
+                             'measured history fixes its own dt')
+        from ..models.fields import ScalarField as _SF
+        from ..models.problem import TrussProblem as _TP
+
+        syn = {k: float(v) for k, v in analysis["synthetic"].items()
+               if k in _PARAM_ORDER}
+        true_problem = _TP(
+            problem.nodes, problem.elements,
+            problem.material.replace(
+                **{k: _SF(value=v) for k, v in syn.items()}),
+            problem.loads, problem.fixed_dofs, problem.dimension)
+        # safety=0.45, not the transient default 0.9: the OPTIMIZER
+        # integrates at every parameter value it visits, and a log-space
+        # ADAM overshoot past the true stiffness (or under the true
+        # density) raises omega_max above the truth's — a dt at the
+        # truth's critical step then blows up mid-descent and the loss
+        # goes NaN. 0.45 keeps a 2x stiffness overshoot stable.
+        dt = stable_dt(true_problem, damping=damping, safety=0.45)
+    else:
+        dt = float(dt_spec)
+    params = tuple(analysis.get("params", ["young", "density"]))
+    for p in params:
+        if p not in _PARAM_ORDER:
+            raise ValueError(f"identification params must be among "
+                             f"{list(_PARAM_ORDER)}, got {p!r}")
+    probe = _probe_dofs(analysis, problem)
+    amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
+
+    measured = analysis.get("measured")
+    synthetic = analysis.get("synthetic")
+    if (measured is None) == (synthetic is None):
+        raise ValueError('identification needs exactly one of "measured" '
+                         '(a (n_rec, n_probe) history) or "synthetic" '
+                         '(true parameter values for twin data)')
+
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    if analysis.get("on_device", False) \
+            or problem.ndof > DENSE_DOF_LIMIT:
+        ctx = None
+    else:
+        try:  # local-CPU tier (see docstring); fall back if no cpu backend
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = None
+    import contextlib
+
+    with ctx if ctx is not None else contextlib.nullcontext():
+        noise_rel = 0.0
+        true_vals = None
+        if synthetic is not None:
+            if not isinstance(synthetic, dict):
+                raise ValueError('"synthetic" must be an object of true '
+                                 'parameter values')
+            true_vals = {k: float(v) for k, v in synthetic.items()
+                         if k in _PARAM_ORDER}
+            unknown = set(synthetic) - set(_PARAM_ORDER) - {"noise",
+                                                            "seed"}
+            if unknown:
+                raise ValueError(f"unknown synthetic keys: "
+                                 f"{sorted(unknown)}")
+            true_mat = problem.material.replace(
+                **{k: ScalarField(value=v) for k, v in true_vals.items()})
+            meas = np.asarray(_jax.device_get(transient_probe_response(
+                problem, true_mat, dt, n_steps, amplitude, probe,
+                record_every=record_every, damping=damping)))
+            noise_rel = float(synthetic.get("noise", 0.0))
+            if noise_rel:
+                rng = np.random.default_rng(int(synthetic.get("seed", 0)))
+                meas = meas + noise_rel * np.max(np.abs(meas)) \
+                    * rng.standard_normal(meas.shape)
+        else:
+            meas = np.asarray(measured, dtype=float)
+            if meas.ndim != 2 or meas.shape != (n_rec, probe.size):
+                raise ValueError(
+                    f"measured must be (n_steps/record_every={n_rec}, "
+                    f"n_probe={probe.size}) rows, got {meas.shape}")
+
+        initial = {k: float(v)
+                   for k, v in (analysis.get("initial") or {}).items()}
+        for p in params:
+            # A non-scalar base field (e.g. the UI's young-NN) has no
+            # single value to start from; use its mean over the element
+            # midpoints — identification then REPLACES the field with
+            # the recovered scalar, as identify_from_transient documents.
+            if p not in initial and not isinstance(
+                    getattr(problem.material, p), ScalarField):
+                from ..ops.host import _assembly_inputs, eval_field_host
+
+                vals = eval_field_host(getattr(problem.material, p),
+                                       _assembly_inputs(problem, 1.0))
+                initial[p] = max(float(np.mean(vals)), 1e-12)
+        initial = initial or None
+        ident, hist = identify_from_transient(
+            problem, meas, dt, n_steps, probe,
+            amplitude=amplitude, params=params,
+            record_every=record_every, damping=damping,
+            n_iter=int(analysis.get("n_iter", 300)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)),
+            initial=initial)
+
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "params": list(params),
+            "identified": ident,
+            "dt": dt,
+            "n_steps": n_steps,
+            "record_every": record_every,
+            "probe_dofs": probe.tolist(),
+            "n_iter": len(hist),
+            "final_loss": float(hist[-1]),
+            "loss_history": hist.tolist(),
+        }
+        if true_vals is not None:
+            out["synthetic"] = True
+            out["true_values"] = true_vals
+            out["noise"] = noise_rel
+            out["relative_errors"] = {
+                k: abs(ident[k] - true_vals[k]) / abs(true_vals[k])
+                for k in ident if k in true_vals}
+        if analysis.get("include_fit",
+                        probe.size * n_rec <= 4 * _SHAPES_JSON_DOF_LIMIT):
+            fit_mat = problem.material.replace(
+                **{k: ScalarField(value=v) for k, v in ident.items()})
+            fit = np.asarray(_jax.device_get(transient_probe_response(
+                problem, fit_mat, dt, n_steps, amplitude, probe,
+                record_every=record_every, damping=damping)))
+            scale = max(float(np.max(np.abs(meas))), 1e-30)
+            out["fitted_displacements"] = fit.tolist()
+            out["measured_displacements"] = meas.tolist()
+            out["fit_rmse_rel"] = float(
+                np.sqrt(np.mean((fit - meas) ** 2)) / scale)
+    return out
+
+
 def run_analysis(problem, analysis: Dict) -> Dict:
     """Dispatch an `"analysis"` block (see module docstring)."""
     kind = analysis.get("type")
@@ -745,7 +962,10 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_random(problem, analysis)
     if kind == "reduction":
         return run_reduction(problem, analysis)
+    if kind == "identification":
+        return run_identification(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
                      f'"buckling", "harmonic", "spectrum", '
-                     f'"continuation", "random" or "reduction", '
+                     f'"continuation", "random", "reduction" or '
+                     f'"identification", '
                      f'got {kind!r}')

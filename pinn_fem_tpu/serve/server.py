@@ -72,12 +72,12 @@ INFO = {
                            "ensembles), modal (+prestress), buckling, "
                            "harmonic, response spectrum, random "
                            "vibration, arc-length continuation, "
-                           "Guyan/Craig-Bampton reduction; small "
-                           "problems answer from the host tier "
-                           "(compile-free)",
+                           "Guyan/Craig-Bampton reduction, time-domain "
+                           "identification; small problems answer from "
+                           "the host tier (compile-free)",
             "methods": ["central", "newmark", "modal", "buckling",
                         "harmonic", "spectrum", "random",
-                        "continuation", "reduction"],
+                        "continuation", "reduction", "identification"],
         },
     },
     "backend": "jax",
@@ -153,6 +153,12 @@ _ROUTES = {
                               PINN_TIMEOUT_S),
     "/api/fem/random": (_solve_analysis("random"), FEM_TIMEOUT_S),
     "/api/fem/reduction": (_solve_analysis("reduction"), FEM_TIMEOUT_S),
+    # Identification is a GD loop (hundreds of integrator evaluations),
+    # so it gets the PINN budget; below DENSE_DOF_LIMIT it runs on the
+    # local CPU backend (io/analysis.run_identification), keeping even
+    # cold requests well inside it.
+    "/api/fem/identification": (_solve_analysis("identification"),
+                                PINN_TIMEOUT_S),
 }
 
 
@@ -290,6 +296,10 @@ def _warmup_docs():
             "method": "guyan", "master_nodes": [2]}}),
         ("/api/fem/continuation", {**arch, "analysis": {
             "n_steps": 4, "initial_dlambda": 0.05}}),
+        ("/api/fem/identification", {**chain, "analysis": {
+            "dt": 0.05, "n_steps": 20, "params": ["young"],
+            "synthetic": {"young": 3.5}, "probe_nodes": [3],
+            "n_iter": 3}}),
     ]
 
 

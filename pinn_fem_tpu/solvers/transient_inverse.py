@@ -127,8 +127,12 @@ def identify_from_transient(
 
     base = problem.material
     init = dict(initial or {})
+    # Lazy fallback: dict.get(key, default) would evaluate _scalar_value
+    # even when `initial` supplies the value — raising for NN base fields
+    # the caller deliberately provided a starting guess for.
     log_p0 = jnp.asarray(
-        [np.log(init.get(p, _scalar_value(base, p))) for p in params], dtype)
+        [np.log(init[p] if p in init else _scalar_value(base, p))
+         for p in params], dtype)
 
     def with_params(log_p):
         fields = {}

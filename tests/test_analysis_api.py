@@ -556,3 +556,124 @@ def test_http_modal_damping_calibration_and_mac(server_port):
     m = np.array(body["result"]["mac"])             # (2, 2)
     np.testing.assert_allclose(np.diag(m), 1.0, rtol=1e-5)
     assert m[0, 1] < 0.05 and m[1, 0] < 0.05
+
+
+def test_http_identification_route(server_port):
+    """Time-domain identification reaches the HTTP tier: a noisy
+    synthetic twin trajectory posted to /api/fem/identification recovers
+    Young's modulus and reports the fit."""
+    doc = {
+        "nodes": [[float(i)] for i in range(5)],
+        "elements": [[i, i + 1] for i in range(4)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"dt": 0.05, "n_steps": 400, "params": ["young"],
+                     "synthetic": {"young": 2.0, "noise": 0.01,
+                                   "seed": 1},
+                     "probe_nodes": [4], "damping": [0.05, 0.0],
+                     "n_iter": 250, "learning_rate": 0.1},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["analysis"] == "identification"
+    assert res["synthetic"] is True and res["noise"] == 0.01
+    np.testing.assert_allclose(res["identified"]["young"], 2.0, rtol=0.05)
+    assert res["relative_errors"]["young"] < 0.05
+    # The fit cannot beat the injected noise floor, but must reach it.
+    assert res["fit_rmse_rel"] < 0.05
+    fit = np.asarray(res["fitted_displacements"])
+    meas = np.asarray(res["measured_displacements"])
+    assert fit.shape == meas.shape == (400, 1)
+
+
+def test_http_identification_measured(server_port):
+    """The "measured" branch: a user-supplied probe history (generated
+    out-of-band here) drives the same recovery."""
+    import jax
+
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+    from pinn_fem_tpu.solvers.transient_inverse import (
+        transient_probe_response)
+
+    doc = {
+        "nodes": [[float(i)] for i in range(5)],
+        "elements": [[i, i + 1] for i in range(4)],
+        "material": {"young": 1.0, "area": 1.0, "density": 3.0},
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    p = parse_problem_dict(doc).problem
+    true_mat = p.material.replace(young=type(p.material.young)(value=2.0))
+    meas = np.asarray(jax.device_get(transient_probe_response(
+        p, true_mat, 0.05, 400, np.ones(400), np.array([4]),
+        damping=(0.05, 0.0))))
+    doc["analysis"] = {"type": "identification", "dt": 0.05,
+                       "n_steps": 400, "params": ["young"],
+                       "measured": meas.tolist(), "probe_nodes": [4],
+                       "damping": [0.05, 0.0], "n_iter": 250,
+                       "learning_rate": 0.1, "include_fit": False}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    np.testing.assert_allclose(res["identified"]["young"], 2.0, rtol=0.02)
+    assert "fitted_displacements" not in res
+
+
+def test_identification_input_errors(server_port):
+    base = {
+        "nodes": [[0.0], [1.0], [2.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    # Neither measured nor synthetic.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "exactly one" in body["error"]
+    # Wrong measured shape.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "measured": [[0.0]] * 7,
+                                "probe_dofs": [2]}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "measured must be" in body["error"]
+    # Unknown parameter.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "params": ["poisson"],
+                                "synthetic": {"young": 2.0}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "params must be among" in body["error"]
+    # dt="auto" needs twin data (a measurement fixes its own grid).
+    doc = {**base, "analysis": {"dt": "auto", "n_steps": 10,
+                                "measured": [[0.0]] * 10,
+                                "probe_dofs": [2]}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "synthetic" in body["error"]
+
+
+def test_identification_dt_auto(server_port):
+    """dt="auto" (Gershgorin step of the TRUE material) in twin mode:
+    stable integration and recovery without a hand-picked step."""
+    doc = {
+        "nodes": [[float(i)] for i in range(5)],
+        "elements": [[i, i + 1] for i in range(4)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"dt": "auto", "n_steps": 800, "params": ["young"],
+                     "synthetic": {"young": 2.5},
+                     "probe_nodes": [4], "damping": [0.05, 0.0],
+                     "n_iter": 250, "learning_rate": 0.1,
+                     "include_fit": False},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["dt"] > 0
+    np.testing.assert_allclose(res["identified"]["young"], 2.5, rtol=0.03)

@@ -30,9 +30,10 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-harmonic.json", "dyn-modal.json",
-                   "dyn-random.json", "dyn-reduction.json",
-                   "dyn-spectrum.json", "dyn-transient.json"]
+                   "dyn-harmonic.json", "dyn-identification.json",
+                   "dyn-modal.json", "dyn-random.json",
+                   "dyn-reduction.json", "dyn-spectrum.json",
+                   "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -82,6 +83,18 @@ def test_dyn_corpus_runs(name, tmp_path):
         # The lateral (x) tower-top DOFs dominate the RMS under the
         # lateral load pattern.
         assert rms[0] > rms[1] and rms[2] > rms[3]
+    elif kind == "identification":
+        # Twin-data recovery: E and rho to 2% (density is invisible to
+        # statics; the discrete adjoint through the integrator sees it).
+        np.testing.assert_allclose(res["identified"]["young"],
+                                   res["true_values"]["young"], rtol=0.02)
+        np.testing.assert_allclose(res["identified"]["density"],
+                                   res["true_values"]["density"],
+                                   rtol=0.02)
+        assert res["final_loss"] < 1e-6
+        hist = np.asarray(res["loss_history"])
+        assert hist[-1] < 1e-3 * hist[0]               # actually converged
+        assert res["fit_rmse_rel"] < 1e-2
     elif kind == "reduction":
         f_red = np.asarray(res["reduced_frequencies_hz"])
         err = np.asarray(res["frequency_rel_error"])

@@ -280,3 +280,57 @@ def test_react_ui_dynamics_panel_transient_and_sweeps_served():
     }})
     assert red["success"]
     assert len(red["reduced_frequencies_hz"]) == red["n_reduced_dofs"]
+
+
+def test_static_ui_identify_payload_served():
+    """The Identify button's POST body (app.js runIdentify: twin-data
+    identification with true E = 1.6E, rho = 0.7rho and 1% noise)
+    through the live handler: both parameters recovered near the truth,
+    loss history monotone enough to chart."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    base = load_fixture("ui_payload_modal.json")
+    base["solver_type"] = "fem"
+    base.pop("analysis", None)
+    e0 = base["material"]["young"]
+    rho0 = base["material"].get("density", 1.0)
+    out = _solve_analysis("identification")({**base, "analysis": {
+        "type": "identification", "dt": "auto", "n_steps": 800,
+        "params": ["young", "density"],
+        "synthetic": {"young": 1.6 * e0, "density": 0.7 * rho0,
+                      "noise": 0.01, "seed": 0},
+        "probe_nodes": [3], "damping": [0.05, 0.0],
+        "n_iter": 300, "learning_rate": 0.1, "include_fit": False,
+    }})
+    assert out["success"] and out["analysis"] == "identification"
+    np.testing.assert_allclose(out["identified"]["young"], 1.6 * e0,
+                               rtol=0.05)
+    np.testing.assert_allclose(out["identified"]["density"], 0.7 * rho0,
+                               rtol=0.05)
+    hist = np.asarray(out["loss_history"])
+    assert hist[-1] < 1e-2 * hist[0]
+
+
+def test_react_ui_dynamics_panel_identify_served():
+    """DynamicsPanel runIdentify golden flow: the fixture keeps its
+    young-NN enabled, so the handler must derive the starting guess from
+    the NN field's centroid mean before recovering the scalar truth."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    base = load_fixture("ui_payload_react_dynamics.json")
+    base.pop("analysis", None)
+    e0 = base["material"]["young"]
+    rho0 = base["material"]["density"]
+    out = _solve_analysis("identification")({**base, "analysis": {
+        "type": "identification", "dt": "auto", "n_steps": 800,
+        "params": ["young", "density"],
+        "synthetic": {"young": 1.6 * e0, "density": 0.7 * rho0,
+                      "noise": 0.01, "seed": 0},
+        "probe_nodes": [3], "damping": [0.05, 0.0],
+        "n_iter": 300, "learning_rate": 0.1, "include_fit": False,
+    }})
+    assert out["success"]
+    np.testing.assert_allclose(out["identified"]["young"], 1.6 * e0,
+                               rtol=0.05)
+    np.testing.assert_allclose(out["identified"]["density"], 0.7 * rho0,
+                               rtol=0.05)
