@@ -152,6 +152,124 @@ def _sharded_cg(d_s, m_s, b_s, tol, max_iter, offsets: tuple, halo: int,
     return sm(d_s, m_s, b_s, tol, max_iter)
 
 
+@partial(jax.jit, static_argnames=("offsets", "halo", "mesh"))
+def _sharded_cg_block(d_s, m_s, b_s, tol, max_iter, offsets: tuple,
+                      halo: int, mesh: Mesh):
+    """Block Jacobi-PCG: k right-hand sides in ONE sharded program.
+
+    The eigensolvers' subspace iteration needs k = O(n_modes) solves per
+    sweep; running them as k separate `_sharded_cg` programs costs k
+    dispatches and k× the collective count.  Here the (nr, k) local
+    block shares every halo exchange (ONE pair of ppermutes moves all k
+    columns' ghosts) and the per-column CG scalars batch into (k,)
+    psums.  Columns converge independently: a finished column freezes
+    (alpha = 0, direction held) while the rest iterate — the standard
+    masked block iteration."""
+
+    def body_fn(d_loc, m_loc, b_loc, tol, max_iter):
+        nr, kcols = b_loc.shape
+        mcol = m_loc[:, None]
+
+        def a_op(x_loc):
+            xm = x_loc * mcol
+            halo_x = _halo_exchange(xm, halo, "tp")
+            acc = jnp.zeros_like(x_loc)
+            for j, off in enumerate(offsets):
+                acc = acc + d_loc[j][:, None] * jax.lax.dynamic_slice(
+                    halo_x, (halo + off, 0), (nr, kcols))
+            return acc * mcol + x_loc * (1.0 - mcol)
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.sum(a * b, axis=0), "tp")
+
+        k0 = offsets.index(0)
+        diag = d_loc[k0] * m_loc + (1.0 - m_loc)
+        inv_diag = (1.0 / diag)[:, None]
+        b_vec = b_loc * mcol
+        b_norm = jnp.sqrt(jnp.maximum(pdot(b_vec, b_vec), 1e-30))
+
+        r0 = b_vec - a_op(jnp.zeros_like(b_vec))
+        z0 = inv_diag * r0
+        rz0 = pdot(r0, z0)
+        active0 = jnp.sqrt(pdot(r0, r0)) > tol * b_norm
+
+        def cond(c):
+            it, _, _, _, _, active = c
+            return jnp.logical_and(it < max_iter, jnp.any(active))
+
+        def body(c):
+            it, x, r, p, rz, active = c
+            ap = a_op(p)
+            denom = pdot(p, ap)
+            alpha = jnp.where(
+                active,
+                rz / jnp.where(jnp.abs(denom) > 0, denom, 1e-30), 0.0)
+            x = x + alpha[None, :] * p
+            r = r - alpha[None, :] * ap
+            z = inv_diag * r
+            rz_new = pdot(r, z)
+            beta = jnp.where(rz != 0, rz_new / rz, 0.0)
+            p = jnp.where(active[None, :], z + beta[None, :] * p, p)
+            rn = jnp.sqrt(pdot(r, r))
+            ok = jnp.logical_and(jnp.isfinite(rz_new), rz_new > 0)
+            active = jnp.logical_and(
+                active, jnp.logical_and(ok, rn > tol * b_norm))
+            return (it + 1, x, r, p, rz_new, active)
+
+        init = (jnp.zeros((), jnp.int32), jnp.zeros_like(b_vec), r0, z0,
+                rz0, active0)
+        it, x, r, _, _, _ = jax.lax.while_loop(cond, body, init)
+        rel = jnp.sqrt(pdot(r, r)) / b_norm
+        return x * mcol, it, rel
+
+    sm = jax.shard_map(
+        body_fn, mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp"), P("tp", None), P(), P()),
+        out_specs=(P("tp", None), P(), P()),
+        check_vma=False,
+    )
+    return sm(d_s, m_s, b_s, tol, max_iter)
+
+
+def dia_cg_solve_sharded_block(
+    layout: DiaLayout,
+    diags: jnp.ndarray,
+    rhs_cols: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    mesh: Mesh,
+    tol: float = 1e-6,
+    max_iter: int = 100000,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k-column variant of dia_cg_solve_sharded: rhs_cols is (ndof, k),
+    returns (x (ndof, k), iterations, per-column relative residuals).
+    One program, one halo-exchange pair per A-application for ALL
+    columns — the multi-chip eigensolvers' block-solve engine."""
+    tp = mesh.shape["tp"]
+    ndof = layout.ndof
+    n_pad = _pad_rows(ndof, tp)
+    nr = n_pad // tp
+    halo = int(layout.bandwidth)
+    if halo > nr:
+        raise ValueError(
+            f"bandwidth {halo} exceeds the {nr}-row shard; use fewer shards"
+        )
+    kcols = rhs_cols.shape[1]
+    dtype = rhs_cols.dtype
+    d = jnp.zeros((diags.shape[0], n_pad), diags.dtype
+                  ).at[:, :ndof].set(diags)
+    m = jnp.zeros((n_pad,), dtype).at[:ndof].set(free_mask)
+    b = jnp.zeros((n_pad, kcols), dtype).at[:ndof, :].set(rhs_cols)
+    d_s = jax.device_put(d, NamedSharding(mesh, P(None, "tp")))
+    m_s = jax.device_put(m, NamedSharding(mesh, P("tp")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("tp", None)))
+    x, it, rel = _sharded_cg_block(
+        d_s, m_s, b_s, jnp.asarray(tol, dtype),
+        jnp.asarray(max_iter, jnp.int32),
+        offsets=tuple(int(o) for o in layout.offsets), halo=halo,
+        mesh=mesh)
+    return x[:ndof, :], it, rel
+
+
 @partial(jax.jit, static_argnames=("offsets", "halo", "mesh", "n_rec",
                                    "record_every", "use_beta"))
 def _sharded_central(d_s, m_s, mask_s, loads_s, amp, dt, alpha, beta,

@@ -213,12 +213,16 @@ def _banded_buckling(problem, n_modes, data, n_iter, cg_tol,
     k_mv = jax.vmap(lambda v: dia_matvec(layout, kd, v),
                     in_axes=1, out_axes=1)
     if mesh is not None:
-        # Multi-chip: each block solve distributes its DOF axis over the
-        # mesh's "tp" row blocks (the same machinery modal rides —
-        # parallel/dia_sharded.py); projections stay replicated.
+        # Multi-chip: the block solves distribute their DOF axis over the
+        # mesh's "tp" row blocks, all k columns in ONE sharded program
+        # (the same machinery modal rides — dia_cg_solve_sharded_block);
+        # projections stay replicated.
+        from ..parallel.dia_sharded import dia_cg_solve_sharded_block
+
         def solve_col(b_cols, _x0):
-            return jnp.stack([_solve(b_cols[:, j])
-                              for j in range(b_cols.shape[1])], axis=1)
+            return dia_cg_solve_sharded_block(layout, kd, b_cols, mask,
+                                              mesh, tol=cg_tol,
+                                              max_iter=40 * ndof)[0]
     else:
         solve_col = jax.vmap(
             lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,

@@ -146,16 +146,15 @@ def _subspace_iteration(layout, kd, m_diag, mask, n_modes, n_iter, cg_tol,
                           dtype=m_diag.dtype) * mask[:, None]
 
     if mesh is not None:
-        from ..parallel.dia_sharded import dia_cg_solve_sharded
+        from ..parallel.dia_sharded import dia_cg_solve_sharded_block
 
         def solve_col(b_cols, _x0):
-            # Column loop, each a tp-distributed solve (k is small; the
-            # parallelism that matters is over the DOF axis).
-            outs = [dia_cg_solve_sharded(layout, kd, b_cols[:, j], mask,
-                                         mesh, tol=cg_tol,
-                                         max_iter=40 * ndof)[0]
-                    for j in range(b_cols.shape[1])]
-            return jnp.stack(outs, axis=1)
+            # All k block solves in ONE sharded program: every halo
+            # exchange moves all columns' ghosts together and the CG
+            # scalars batch into (k,) psums (dia_cg_solve_sharded_block).
+            return dia_cg_solve_sharded_block(layout, kd, b_cols, mask,
+                                              mesh, tol=cg_tol,
+                                              max_iter=40 * ndof)[0]
     else:
         solve_col = jax.vmap(
             lambda b, x0: dia_cg_solve(layout, kd, b, mask, tol=cg_tol,
