@@ -799,13 +799,28 @@ def run_identification(problem, analysis: Dict) -> Dict:
     n_rec = n_steps // record_every
     damping = analysis.get("damping", [0.0, 0.0])
     damping = (float(damping[0]), float(damping[1]))
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        # The forward model traces a DENSE (ndof, ndof) K through the
+        # scan (transient_inverse._probe_history) — fine for the small
+        # meshes identification targets, quadratic memory past the dense
+        # limit. Fail the request up front instead of OOMing mid-solve.
+        raise ValueError(
+            f"time-domain identification is dense-only "
+            f"({problem.ndof} DOFs > {DENSE_DOF_LIMIT}); identify on a "
+            f"coarser model of the structure")
+    synthetic_spec = analysis.get("synthetic")
+    if synthetic_spec is not None and not isinstance(synthetic_spec, dict):
+        raise ValueError('"synthetic" must be an object of true '
+                         'parameter values')
     dt_spec = analysis["dt"]
     if dt_spec == "auto":
         # Only meaningful in twin-data mode (a real measurement fixes its
         # own grid); the Gershgorin critical step of the TRUE material
         # keeps the synthetic integration stable whatever values the
         # block asks to recover.
-        if analysis.get("synthetic") is None:
+        if synthetic_spec is None:
             raise ValueError('dt="auto" needs "synthetic" twin data; a '
                              'measured history fixes its own dt')
         from ..models.fields import ScalarField as _SF
@@ -836,16 +851,13 @@ def run_identification(problem, analysis: Dict) -> Dict:
     amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
 
     measured = analysis.get("measured")
-    synthetic = analysis.get("synthetic")
+    synthetic = synthetic_spec
     if (measured is None) == (synthetic is None):
         raise ValueError('identification needs exactly one of "measured" '
                          '(a (n_rec, n_probe) history) or "synthetic" '
                          '(true parameter values for twin data)')
 
-    from ..solvers.newton import DENSE_DOF_LIMIT
-
-    if analysis.get("on_device", False) \
-            or problem.ndof > DENSE_DOF_LIMIT:
+    if analysis.get("on_device", False):
         ctx = None
     else:
         try:  # local-CPU tier (see docstring); fall back if no cpu backend
@@ -858,9 +870,6 @@ def run_identification(problem, analysis: Dict) -> Dict:
         noise_rel = 0.0
         true_vals = None
         if synthetic is not None:
-            if not isinstance(synthetic, dict):
-                raise ValueError('"synthetic" must be an object of true '
-                                 'parameter values')
             true_vals = {k: float(v) for k, v in synthetic.items()
                          if k in _PARAM_ORDER}
             unknown = set(synthetic) - set(_PARAM_ORDER) - {"noise",

@@ -654,6 +654,34 @@ def test_identification_input_errors(server_port):
                                 "probe_dofs": [2]}}
     status, body = _post(server_port, "/api/fem/identification", doc)
     assert status == 500 and "synthetic" in body["error"]
+    # synthetic must be an object, validated before any solve work.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "synthetic": [2.0, 3.0]}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "must be an object" in body["error"]
+
+
+def test_identification_rejects_above_dense_limit():
+    """The forward model traces a dense (ndof, ndof) K; past
+    DENSE_DOF_LIMIT the request must fail up front (clear error)
+    instead of OOMing mid-scan."""
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+    from pinn_fem_tpu.io.analysis import run_identification
+    from pinn_fem_tpu.solvers.newton import DENSE_DOF_LIMIT
+
+    n = DENSE_DOF_LIMIT + 2  # 1D chain: ndof == n_nodes
+    doc = {
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n - 1)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0] * (n - 1) + [1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    problem = parse_problem_dict(doc).problem
+    with pytest.raises(ValueError, match="dense-only"):
+        run_identification(problem, {"dt": 0.05, "n_steps": 10,
+                                     "synthetic": {"young": 2.0}})
 
 
 def test_identification_dt_auto(server_port):
