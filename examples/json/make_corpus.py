@@ -262,6 +262,34 @@ def build_corpus():
                      "n_iter": 400, "learning_rate": 0.1},
     }
 
+    # Field-mode identification: a linear E(x) profile recovered as an
+    # MLP field from four probes' transient histories (the reference's
+    # NN-property inverse driven by dynamics — a wave sweeping the chain
+    # interrogates each element's stiffness in sequence).
+    n = 9
+    mids = [0.5 + i for i in range(n - 1)]
+    corpus["dyn-identification-field"] = {
+        "description": "Dynamics corpus: spatial E(x) profile identified "
+                       "as an MLP field from transient probe histories "
+                       "(extension; discrete adjoint, field mode)",
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n - 1)],
+        "loads": [0.0] * (n - 1) + [1.0],
+        "fixed_dofs": [0],
+        "material": {"young": 1.5, "area": 1.0, "density": 1.0},
+        "solver_type": "fem",
+        "analysis": {"type": "identification",
+                     "field": {"name": "young", "hidden_layers": 1,
+                               "neurons_per_layer": 8, "input_dim": 1,
+                               "scale": 1.5, "seed": 0},
+                     "dt": 0.05, "n_steps": 600,
+                     "synthetic": {"young": [1.0 + m / mids[-1]
+                                             for m in mids]},
+                     "probe_nodes": [2, 4, 6, 8], "damping": [0.05, 0.0],
+                     "n_iter": 800, "learning_rate": 0.05,
+                     "include_fit": False},
+    }
+
     for name, analysis in dyn.items():
         ex = tower_base()
         if name == "dyn-buckling":

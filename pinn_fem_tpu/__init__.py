@@ -100,6 +100,7 @@ from .solvers.spectrum import (  # noqa: E402
     response_spectrum,
 )
 from .solvers.transient_inverse import (  # noqa: E402
+    identify_field_from_transient,
     identify_from_transient,
     transient_probe_response,
 )
@@ -151,6 +152,7 @@ __all__ = [
     "BucklingResult",
     "harmonic_response",
     "HarmonicResult",
+    "identify_field_from_transient",
     "identify_from_transient",
     "transient_probe_response",
     "response_spectrum",

@@ -117,10 +117,19 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
         elif kind == "identification":
-            logger.info("  Identified %s in %d iters (final loss %.3e)",
-                        ", ".join(f"{k}={v:.6g}" for k, v
-                                  in output["identified"].items()),
-                        output["n_iter"], output["final_loss"])
+            if output.get("mode") == "field":
+                vals = output["identified_field"]["at_elements"]["values"]
+                logger.info(
+                    "  Identified %s(x) field over %d elements in %d "
+                    "iters (range %.6g..%.6g, final loss %.3e)",
+                    output["field"], len(vals), output["n_iter"],
+                    min(vals), max(vals), output["final_loss"])
+            else:
+                logger.info(
+                    "  Identified %s in %d iters (final loss %.3e)",
+                    ", ".join(f"{k}={v:.6g}" for k, v
+                              in output["identified"].items()),
+                    output["n_iter"], output["final_loss"])
         logger.info("Results written to %s", output_file)
         return output
 

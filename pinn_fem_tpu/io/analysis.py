@@ -68,10 +68,16 @@ drives a static solve gains:
                  "probe_nodes": [..] | "probe_dofs": [..],
                  "amplitude": <transient contract>, "damping": [a, b],
                  "n_iter": 300, "learning_rate": 0.05,
-                 "initial": {"young": 1.0}}   # time-domain PINN
+                 "initial": {"young": 1.0},
+                 "field": {"name": "young", "hidden_layers": 1,
+                           "neurons_per_layer": 8}}
+                                              # time-domain PINN
                                               # identification (discrete
                                               # adjoint through the
-                                              # integrator)
+                                              # integrator); with "field"
+                                              # a spatial MLP profile is
+                                              # recovered instead of
+                                              # scalars
 
 Routed identically through the CLI (cli/generic.py), the HTTP tier
 (serve/server.py: /api/fem/{modal,transient,buckling,harmonic,spectrum,
@@ -741,6 +747,216 @@ def run_reduction(problem, analysis: Dict) -> Dict:
     return out
 
 
+def _run_field_identification(problem, analysis: Dict, n_steps: int,
+                              record_every: int, n_rec: int, damping,
+                              synthetic_spec) -> Dict:
+    """Field-mode identification: a spatially-varying material profile
+    (an MLP field, the reference's NN-property parameterization) trained
+    against the transient probe history instead of a static deflection
+    (solvers/transient_inverse.identify_field_from_transient).
+
+    Contract (extends the scalar identification block):
+
+        "analysis": {"type": "identification",
+                     "field": {"name": "young",        # | "area" | "density"
+                               "hidden_layers": 1,
+                               "neurons_per_layer": 8,
+                               "input_dim": <problem dim>,  # spatial net
+                               "scale": <mean of current field>,
+                               "seed": 0},
+                     "dt": 0.02 | "auto", "n_steps": 600,
+                     "probe_nodes": [..] | "probe_dofs": [..],
+                     "measured": [[..], ..]
+                       | "synthetic": {"young": [..nelm true values..] | E,
+                                       "noise": 0.01, "seed": 0},
+                     ...}   # amplitude/damping/n_iter/learning_rate as
+                            # in scalar mode
+
+    In twin-data mode the truth is a PER-ELEMENT value array (a tabulated
+    profile needs no Field object — transient_probe_response_elem feeds
+    it to the element kernel directly); the response reports the
+    recovered field at the nodes and element centroids in the
+    identified_properties "at_nodes"/"at_elements" shape (io/results.py)
+    plus per-element relative errors against the truth."""
+    import contextlib
+
+    import jax as _jax
+
+    from ..models.fields import make_mlp_field, point_inputs_dict_order
+    from ..ops.host import _assembly_inputs, eval_field_host
+    from ..solvers.transient_inverse import (
+        _PARAM_ORDER, identify_field_from_transient,
+        transient_probe_response, transient_probe_response_elem)
+
+    spec = analysis["field"]
+    if isinstance(spec, str):
+        spec = {"name": spec}
+    if not isinstance(spec, dict):
+        raise ValueError('"field" must be an object (or a field name)')
+    name = spec.get("name", "young")
+    if name not in _PARAM_ORDER:
+        raise ValueError(f'field.name must be among {list(_PARAM_ORDER)}, '
+                         f'got {name!r}')
+    unknown = set(spec) - {"name", "hidden_layers", "neurons_per_layer",
+                           "input_dim", "scale", "seed"}
+    if unknown:
+        raise ValueError(f"unknown field keys: {sorted(unknown)}")
+
+    nelm = len(problem.elements)
+    x_mid = _assembly_inputs(problem, 1.0)
+    cur = {p: np.asarray(eval_field_host(getattr(problem.material, p),
+                                         x_mid), dtype=float)
+           for p in _PARAM_ORDER}
+
+    measured = analysis.get("measured")
+    if (measured is None) == (synthetic_spec is None):
+        raise ValueError('identification needs exactly one of "measured" '
+                         'or "synthetic"')
+    true_e = None
+    if synthetic_spec is not None:
+        unknown = set(synthetic_spec) - {name, "noise", "seed"}
+        if unknown:
+            raise ValueError(
+                f'field-mode synthetic takes only "{name}", "noise" and '
+                f'"seed"; got {sorted(unknown)}')
+        if name not in synthetic_spec:
+            raise ValueError(f'field-mode synthetic must provide the true '
+                             f'"{name}" profile (per-element values or a '
+                             f'constant)')
+        tv = synthetic_spec[name]
+        true_e = (np.full(nelm, float(tv)) if np.isscalar(tv)
+                  else np.asarray(tv, dtype=float))
+        if true_e.shape != (nelm,):
+            raise ValueError(f"true {name} profile must have one value "
+                             f"per element ({nelm}), got {true_e.shape}")
+        if not (np.all(np.isfinite(true_e)) and np.all(true_e > 0)):
+            raise ValueError(f"true {name} values must be positive finite")
+
+    dt_spec = analysis["dt"]
+    if dt_spec == "auto":
+        if true_e is None:
+            raise ValueError('dt="auto" needs "synthetic" twin data; a '
+                             'measured history fixes its own dt')
+        from ..models.fields import ScalarField as _SF
+        from ..models.problem import TrussProblem as _TP
+
+        # Gershgorin bound of the TRUE profile: omega_max grows with
+        # stiffness (young/area) and shrinks with mass (density), so the
+        # critical dt comes from the stiffest/lightest element.
+        bound = (np.max if name in ("young", "area") else np.min)(true_e)
+        true_problem = _TP(
+            problem.nodes, problem.elements,
+            problem.material.replace(**{name: _SF(value=float(bound))}),
+            problem.loads, problem.fixed_dofs, problem.dimension)
+        # Same safety=0.45 rationale as scalar mode: the optimizer
+        # integrates every profile it visits, including overshoots.
+        dt = stable_dt(true_problem, damping=damping, safety=0.45)
+    else:
+        dt = float(dt_spec)
+    probe = _probe_dofs(analysis, problem)
+    amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
+
+    if analysis.get("on_device", False):
+        ctx = None
+    else:
+        try:  # local-CPU tier (run_identification docstring)
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = None
+
+    with ctx if ctx is not None else contextlib.nullcontext():
+        noise_rel = 0.0
+        if true_e is not None:
+            vals = dict(cur)
+            vals[name] = true_e
+            meas = np.asarray(_jax.device_get(transient_probe_response_elem(
+                problem, vals["young"], vals["area"], vals["density"],
+                dt, n_steps, amplitude, probe, record_every=record_every,
+                damping=damping)))
+            noise_rel = float(synthetic_spec.get("noise", 0.0))
+            if noise_rel:
+                rng = np.random.default_rng(
+                    int(synthetic_spec.get("seed", 0)))
+                meas = meas + noise_rel * np.max(np.abs(meas)) \
+                    * rng.standard_normal(meas.shape)
+        else:
+            meas = np.asarray(measured, dtype=float)
+            if meas.ndim != 2 or meas.shape != (n_rec, probe.size):
+                raise ValueError(
+                    f"measured must be (n_steps/record_every={n_rec}, "
+                    f"n_probe={probe.size}) rows, got {meas.shape}")
+
+        nn = make_mlp_field(
+            _jax.random.PRNGKey(int(spec.get("seed", 0))),
+            hidden_layers=int(spec.get("hidden_layers", 1)),
+            neurons_per_layer=int(spec.get("neurons_per_layer", 8)),
+            input_dim=int(spec.get("input_dim", problem.dimension)),
+            scale=float(spec.get("scale",
+                                 max(float(np.mean(cur[name])), 1e-12))))
+        trained, hist = identify_field_from_transient(
+            problem, meas, dt, n_steps, probe, field=name, nn_field=nn,
+            amplitude=amplitude, record_every=record_every,
+            damping=damping, n_iter=int(analysis.get("n_iter", 600)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)))
+
+        # Field evaluation uses the SAME column convention assembly
+        # trained it under: dict-order (load_factor, x[, y]) rows at
+        # lf=1, narrowed spatially-first by MLPField._adapt_inputs.
+        dim = problem.dimension
+        centroids = problem.element_midpoints()
+        node_coords = problem.node_coords_2d
+        vals_e = np.asarray(trained.eval_batch(
+            point_inputs_dict_order(centroids, dim, 1.0)), dtype=float)
+        vals_n = np.asarray(trained.eval_batch(
+            point_inputs_dict_order(node_coords, dim, 1.0)), dtype=float)
+
+        def _coords(c):
+            c = np.asarray(c)
+            return (c.reshape(-1).tolist() if dim == 1 else c.tolist())
+
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "mode": "field",
+            "field": name,
+            "identified_field": {
+                "at_nodes": {"coords": _coords(problem.nodes if dim == 1
+                                               else node_coords),
+                             "values": vals_n.tolist()},
+                "at_elements": {"centroids": _coords(centroids),
+                                "values": vals_e.tolist()},
+                "type": "nn",
+                "input_dim": nn.input_dim,
+            },
+            "dt": dt,
+            "n_steps": n_steps,
+            "record_every": record_every,
+            "probe_dofs": probe.tolist(),
+            "n_iter": len(hist),
+            "final_loss": float(hist[-1]),
+            "loss_history": hist.tolist(),
+        }
+        if true_e is not None:
+            rel = np.abs(vals_e - true_e) / np.abs(true_e)
+            out["synthetic"] = True
+            out["true_values"] = true_e.tolist()
+            out["noise"] = noise_rel
+            out["field_max_rel_error"] = float(np.max(rel))
+            out["field_rmse_rel"] = float(np.sqrt(np.mean(rel * rel)))
+        if analysis.get("include_fit",
+                        probe.size * n_rec <= 4 * _SHAPES_JSON_DOF_LIMIT):
+            fit_mat = problem.material.replace(**{name: trained})
+            fit = np.asarray(_jax.device_get(transient_probe_response(
+                problem, fit_mat, dt, n_steps, amplitude, probe,
+                record_every=record_every, damping=damping)))
+            scale = max(float(np.max(np.abs(meas))), 1e-30)
+            out["fitted_displacements"] = fit.tolist()
+            out["measured_displacements"] = meas.tolist()
+            out["fit_rmse_rel"] = float(
+                np.sqrt(np.mean((fit - meas) ** 2)) / scale)
+    return out
+
+
 def run_identification(problem, analysis: Dict) -> Dict:
     """Execute a time-domain identification block
     (solvers/transient_inverse.py): scalar material parameters recovered
@@ -772,6 +988,11 @@ def run_identification(problem, analysis: Dict) -> Dict:
                      "n_iter": 300, "learning_rate": 0.05,
                      "initial": {"young": 1.0},
                      "include_fit": true}       # fitted probe trajectory
+
+    With a "field" key the block switches to FIELD mode — a spatially-
+    varying MLP profile (the reference's NN-property parameterization)
+    trained against the trajectory instead of scalar parameters; see
+    _run_field_identification for that contract.
 
     The model problem's own material supplies the starting guess unless
     `initial` overrides it.  E and A are not separately identifiable from
@@ -814,6 +1035,12 @@ def run_identification(problem, analysis: Dict) -> Dict:
     if synthetic_spec is not None and not isinstance(synthetic_spec, dict):
         raise ValueError('"synthetic" must be an object of true '
                          'parameter values')
+    if analysis.get("field") is not None:
+        # Field mode: a spatial MLP profile instead of scalar parameters
+        # (see _run_field_identification for the contract).
+        return _run_field_identification(problem, analysis, n_steps,
+                                         record_every, n_rec, damping,
+                                         synthetic_spec)
     dt_spec = analysis["dt"]
     if dt_spec == "auto":
         # Only meaningful in twin-data mode (a real measurement fixes its

@@ -172,3 +172,125 @@ def _scalar_value(material: Material, name: str) -> float:
         raise ValueError(f"{name} must be a scalar field to initialize "
                          "identification from it; pass initial={...}")
     return float(f.value)
+
+
+def transient_probe_response_elem(problem: TrussProblem, young_e, area_e,
+                                  rho_e, dt, n_steps: int, amplitude,
+                                  probe_dofs, record_every: int = 1,
+                                  damping=(0.0, 0.0), data=None):
+    """Probe history with PER-ELEMENT material values.
+
+    The truth model for field-identification twin data: a tabulated
+    E(x_mid) per element needs no Field object — the (nelm,) arrays feed
+    the element kernel (ops/elements.truss_linear_batch) and the lumped
+    mass split directly, exactly what assemble_system/lumped_mass would
+    produce for a field evaluating to these values at the midpoints."""
+    from ..ops.elements import truss_linear_batch
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    young_e = jnp.asarray(young_e, dtype)
+    area_e = jnp.broadcast_to(jnp.asarray(area_e, dtype), young_e.shape)
+    rho_e = jnp.broadcast_to(jnp.asarray(rho_e, dtype), young_e.shape)
+
+    u_e = jnp.zeros(data.dof_map.shape, dtype)
+    elem = truss_linear_batch(data.gvec, data.inv_len, u_e, young_e, area_e)
+    rows = data.dof_map[:, :, None]
+    cols = data.dof_map[:, None, :]
+    k = jnp.zeros((data.ndof, data.ndof), dtype).at[rows, cols].add(elem.ke)
+
+    mask = data.free_mask
+    m_e = rho_e * area_e / data.inv_len
+    contrib = jnp.broadcast_to((0.5 * m_e)[:, None], data.dof_map.shape)
+    m = jnp.zeros(data.ndof, dtype).at[data.dof_map].add(contrib)
+    m = m * mask + (1.0 - mask)
+
+    amplitude = (np.ones(n_steps) if amplitude is None else amplitude)
+    return _probe_history(
+        k, m, mask, data.loads, jnp.asarray(amplitude, dtype),
+        jnp.asarray(dt, dtype), jnp.asarray(damping[0], dtype),
+        jnp.asarray(damping[1], dtype),
+        jnp.asarray(np.asarray(probe_dofs, dtype=int)),
+        n_steps, record_every)
+
+
+def identify_field_from_transient(
+    problem: TrussProblem,
+    measured: np.ndarray,
+    dt: float,
+    n_steps: int,
+    probe_dofs,
+    field: str = "young",
+    nn_field=None,
+    amplitude=None,
+    record_every: int = 1,
+    damping=(0.0, 0.0),
+    n_iter: int = 600,
+    learning_rate: float = 0.05,
+    data=None,
+):
+    """Recover a SPATIALLY-VARYING material field from a probe history.
+
+    The reference identifies NN property fields from STATIC measured
+    displacements (its flagship inverse capability, SURVEY §3.2); here the
+    same MLP parameterization (models/fields.MLPField — softplus·scale,
+    reference architecture/init) trains against a transient trajectory
+    instead: reverse-mode AD through the central-difference `lax.scan`
+    gives exact gradients of the trajectory mismatch w.r.t. every network
+    weight, through stiffness AND mass simultaneously.  A wave sweeping
+    the structure interrogates each element's stiffness in sequence, so a
+    few probes' histories constrain the whole profile — information a
+    single static deflection cannot carry.
+
+    Args:
+        field: which material field the network parameterizes ("young",
+            "area" or "density"); the others stay at problem.material's
+            values.
+        nn_field: the MLPField to train (architecture + starting weights).
+            Default: `getattr(problem.material, field)`, which must then
+            be an MLPField.
+
+    Returns:
+        (trained MLPField, loss history array).
+    """
+    from ..models.fields import MLPField
+
+    if field not in _PARAM_ORDER:
+        raise ValueError(f"unknown parameter {field!r}")
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    base = problem.material
+    fld = nn_field if nn_field is not None else getattr(base, field)
+    if not isinstance(fld, MLPField):
+        raise ValueError(f"{field} must be an MLPField to identify a "
+                         "spatial profile; pass nn_field=make_mlp_field(...)")
+    amplitude = (np.ones(n_steps) if amplitude is None
+                 else np.asarray(amplitude, dtype=float))
+    meas = jnp.asarray(np.asarray(measured), dtype)
+    u_scale = jnp.maximum(jnp.max(jnp.abs(meas)), 1e-30)
+
+    def loss_fn(layers):
+        mat = base.replace(**{field: fld.replace(layers=layers)})
+        traj = transient_probe_response(
+            problem, mat, dt, n_steps, amplitude, probe_dofs,
+            record_every, damping, data)
+        return jnp.mean(((traj - meas) / u_scale) ** 2)
+
+    @jax.jit
+    def gd_step(layers, opt):
+        loss, g = jax.value_and_grad(loss_fn)(layers)
+        d, opt = ADAM.update(g, opt)
+        layers = jax.tree_util.tree_map(
+            lambda p, di: p - learning_rate * di, layers, d)
+        return layers, opt, loss
+
+    layers = fld.layers
+    opt = ADAM.init(layers)
+    hist = []
+    for _ in range(n_iter):
+        layers, opt, loss = gd_step(layers, opt)
+        hist.append(loss)          # device scalar: no per-iteration sync
+    # ONE device fetch (identify_from_transient's round-trip rule).
+    layers, hist = jax.device_get((layers, hist))
+    trained = fld.replace(layers=jax.tree_util.tree_map(jnp.asarray, layers))
+    return trained, np.asarray(hist, dtype=float)

@@ -684,6 +684,72 @@ def test_identification_rejects_above_dense_limit():
                                      "synthetic": {"young": 2.0}})
 
 
+def test_http_field_identification(server_port):
+    """Field mode over HTTP: a linear per-element E(x) truth profile
+    recovered as an MLP field — the reference's NN-property inverse
+    driven by transient twin data instead of a static deflection."""
+    n = 9
+    mids = [0.5 + i for i in range(n - 1)]
+    true_e = [1.0 + m / mids[-1] for m in mids]      # linear 1 -> 2
+    doc = {
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n - 1)],
+        "material": {"young": 1.5, "area": 1.0, "density": 1.0},
+        "loads": [0.0] * (n - 1) + [1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"type": "identification",
+                     "field": {"name": "young", "hidden_layers": 1,
+                               "neurons_per_layer": 8, "input_dim": 1,
+                               "scale": 1.5, "seed": 0},
+                     "dt": 0.05, "n_steps": 600,
+                     "synthetic": {"young": true_e},
+                     "probe_nodes": [2, 4, 6, 8], "damping": [0.05, 0.0],
+                     "n_iter": 800, "learning_rate": 0.05,
+                     "include_fit": False},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["mode"] == "field"
+    assert res["field"] == "young" and res["synthetic"] is True
+    fld = res["identified_field"]
+    assert fld["type"] == "nn" and len(fld["at_nodes"]["values"]) == n
+    vals = np.asarray(fld["at_elements"]["values"])
+    np.testing.assert_allclose(vals, np.asarray(true_e), rtol=0.06)
+    assert res["field_max_rel_error"] < 0.06
+    assert res["final_loss"] < 1e-3 * res["loss_history"][0]
+
+
+def test_field_identification_input_errors(server_port):
+    base = {
+        "nodes": [[0.0], [1.0], [2.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    # Unknown field-spec key.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "field": {"name": "young", "depth": 3},
+                                "synthetic": {"young": 2.0}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "unknown field keys" in body["error"]
+    # Synthetic must carry the identified field's true profile.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "field": "young",
+                                "synthetic": {"density": 2.0}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "synthetic takes only" in body["error"]
+    # Profile length must match the element count.
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "field": "young",
+                                "synthetic": {"young": [1.0, 2.0, 3.0]}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "per element" in body["error"]
+
+
 def test_identification_dt_auto(server_port):
     """dt="auto" (Gershgorin step of the TRUE material) in twin mode:
     stable integration and recovery without a hand-picked step."""

@@ -30,10 +30,10 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-harmonic.json", "dyn-identification.json",
-                   "dyn-modal.json", "dyn-random.json",
-                   "dyn-reduction.json", "dyn-spectrum.json",
-                   "dyn-transient.json"]
+                   "dyn-harmonic.json", "dyn-identification-field.json",
+                   "dyn-identification.json", "dyn-modal.json",
+                   "dyn-random.json", "dyn-reduction.json",
+                   "dyn-spectrum.json", "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -83,6 +83,16 @@ def test_dyn_corpus_runs(name, tmp_path):
         # The lateral (x) tower-top DOFs dominate the RMS under the
         # lateral load pattern.
         assert rms[0] > rms[1] and rms[2] > rms[3]
+    elif kind == "identification" and res.get("mode") == "field":
+        # Spatial E(x) profile recovered as an MLP field, element by
+        # element, to 6% (tests/test_transient_inverse.py measures 2.5%
+        # worst-case on this exact configuration).
+        vals = np.asarray(res["identified_field"]["at_elements"]["values"])
+        true = np.asarray(res["true_values"])
+        np.testing.assert_allclose(vals, true, rtol=0.06)
+        assert res["field_max_rel_error"] < 0.06
+        hist = np.asarray(res["loss_history"])
+        assert hist[-1] < 1e-3 * hist[0]
     elif kind == "identification":
         # Twin-data recovery: E and rho to 2% (density is invisible to
         # statics; the discrete adjoint through the integrator sees it).

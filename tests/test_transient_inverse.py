@@ -86,3 +86,71 @@ def test_unknown_param_rejected():
     with pytest.raises(ValueError, match="unknown parameter"):
         identify_from_transient(p, np.zeros((10, 2)), DT, 10, PROBE,
                                 params=("poisson",))
+
+
+# ---------- field identification (spatial MLP profile) ----------
+
+from pinn_fem_tpu.solvers.transient_inverse import (  # noqa: E402
+    identify_field_from_transient, transient_probe_response_elem)
+
+
+def test_elem_response_matches_field_response():
+    """The per-element truth model (tabulated values, no Field object)
+    must integrate identically to the Field path evaluated to the same
+    midpoint values — it IS what assemble_system/lumped_mass produce."""
+    p = chain(young=2.0, density=3.0)
+    nelm = len(p.elements)
+    via_field = np.asarray(jax.device_get(transient_probe_response(
+        p, p.material, DT, N_STEPS, np.ones(N_STEPS), PROBE,
+        record_every=4, damping=(0.1, 0.01))))
+    via_elem = np.asarray(jax.device_get(transient_probe_response_elem(
+        p, np.full(nelm, 2.0), np.ones(nelm), np.full(nelm, 3.0),
+        DT, N_STEPS, np.ones(N_STEPS), PROBE,
+        record_every=4, damping=(0.1, 0.01))))
+    np.testing.assert_allclose(via_elem, via_field, rtol=1e-6, atol=1e-7)
+
+
+def test_identify_young_profile():
+    """A linear E(x) gradient recovered element-by-element from four
+    probes' transient histories — the reference's NN-property inverse
+    (static) driven by dynamics: a wave sweeping the chain interrogates
+    each element's stiffness in sequence."""
+    from pinn_fem_tpu.models.fields import (make_mlp_field,
+                                            point_inputs_direct)
+
+    n_nodes = 9
+    nodes = np.arange(n_nodes, dtype=float)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(n_nodes)
+    loads[-1] = 1.0
+    mids = 0.5 * (nodes[:-1] + nodes[1:])
+    true_e = 1.0 + mids / mids.max()          # linear 1 -> 2
+
+    nn = make_mlp_field(jax.random.PRNGKey(0), hidden_layers=1,
+                        neurons_per_layer=8, input_dim=1, scale=1.5)
+    prob = TrussProblem(nodes, elements,
+                        Material(young=nn, area=1.0, density=1.0),
+                        loads, np.array([0]), 1)
+
+    dt, n_steps = 0.05, 600
+    probe = np.array([2, 4, 6, 8])
+    amp = np.ones(n_steps)
+    meas = np.asarray(jax.device_get(transient_probe_response_elem(
+        prob, true_e, 1.0, 1.0, dt, n_steps, amp, probe,
+        damping=(0.05, 0.0))))
+
+    trained, hist = identify_field_from_transient(
+        prob, meas, dt, n_steps, probe, field="young",
+        amplitude=amp, damping=(0.05, 0.0), n_iter=800,
+        learning_rate=0.05)
+    assert hist[-1] < 1e-3 * hist[0], (hist[0], hist[-1])
+    vals = np.asarray(trained.eval_batch(
+        point_inputs_direct(mids[:, None], 1)))
+    np.testing.assert_allclose(vals, true_e, rtol=0.06)
+
+
+def test_identify_field_requires_mlp():
+    p = chain()
+    with pytest.raises(ValueError, match="MLPField"):
+        identify_field_from_transient(p, np.zeros((10, 2)), DT, 10, PROBE,
+                                      field="young")
