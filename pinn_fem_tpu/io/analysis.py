@@ -1038,6 +1038,10 @@ def run_identification(problem, analysis: Dict) -> Dict:
     if analysis.get("field") is not None:
         # Field mode: a spatial MLP profile instead of scalar parameters
         # (see _run_field_identification for the contract).
+        if "params" in analysis:
+            raise ValueError('"params" and "field" are mutually exclusive: '
+                             'field mode recovers one spatial profile, not '
+                             'scalar parameters')
         return _run_field_identification(problem, analysis, n_steps,
                                          record_every, n_rec, damping,
                                          synthetic_spec)

@@ -748,6 +748,12 @@ def test_field_identification_input_errors(server_port):
                                 "synthetic": {"young": [1.0, 2.0, 3.0]}}}
     status, body = _post(server_port, "/api/fem/identification", doc)
     assert status == 500 and "per element" in body["error"]
+    # params and field are mutually exclusive (no silent ignoring).
+    doc = {**base, "analysis": {"dt": 0.05, "n_steps": 10,
+                                "field": "young", "params": ["young"],
+                                "synthetic": {"young": 2.0}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "mutually exclusive" in body["error"]
 
 
 def test_identification_dt_auto(server_port):

@@ -51,6 +51,7 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
         monkeypatch.setenv("MODAL_ID_MODES", "4")
     if name == "transient_identification":
         monkeypatch.setenv("TRANS_ID_ITERS", "40")
+        monkeypatch.setenv("TRANS_ID_FIELD_ITERS", "40")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()

@@ -149,6 +149,56 @@ def test_identify_young_profile():
     np.testing.assert_allclose(vals, true_e, rtol=0.06)
 
 
+def test_identify_young_profile_2d():
+    """Generality beyond chains: E(x, y) growing with height over a 2D
+    braced tower (20 elements), recovered from the story nodes' lateral
+    histories with an input_dim=2 spatial net (measured 3.6% worst-case
+    on this exact configuration)."""
+    from pinn_fem_tpu.models.fields import (make_mlp_field,
+                                            point_inputs_dict_order)
+
+    stories, w, h = 4, 1.0, 1.0
+    nodes = []
+    for s in range(stories + 1):
+        nodes.append([0.0, s * h])
+        nodes.append([w, s * h])
+    nodes = np.asarray(nodes, float)
+    elems = []
+    for s in range(stories):
+        a, b, c, d = 2 * s, 2 * s + 1, 2 * s + 2, 2 * s + 3
+        elems += [[a, c], [b, d], [c, d], [a, d], [b, c]]
+    elems = np.asarray(elems)
+    n_nodes = len(nodes)
+    loads = np.zeros(2 * n_nodes)
+    loads[2 * (n_nodes - 2)] = 1.0          # lateral tip load
+    loads[2 * (n_nodes - 1)] = 1.0
+    mids = 0.5 * (nodes[elems[:, 0]] + nodes[elems[:, 1]])
+    true_e = 1.0 + mids[:, 1] / mids[:, 1].max()   # E grows with height
+
+    nn = make_mlp_field(jax.random.PRNGKey(0), hidden_layers=1,
+                        neurons_per_layer=8, input_dim=2, scale=1.5)
+    prob = TrussProblem(nodes, elems,
+                        Material(young=nn, area=1.0, density=1.0),
+                        loads, np.array([0, 1, 2, 3]), 2)
+
+    dt, n_steps = 0.04, 800
+    probe = np.asarray([2 * (2 * s) for s in range(1, stories + 1)]
+                       + [2 * (2 * s) + 1 for s in range(1, stories + 1)])
+    amp = np.ones(n_steps)
+    meas = np.asarray(jax.device_get(transient_probe_response_elem(
+        prob, true_e, 1.0, 1.0, dt, n_steps, amp, probe,
+        damping=(0.05, 0.0))))
+
+    trained, hist = identify_field_from_transient(
+        prob, meas, dt, n_steps, probe, field="young",
+        amplitude=amp, damping=(0.05, 0.0), n_iter=1200,
+        learning_rate=0.03)
+    assert hist[-1] < 1e-3 * hist[0], (hist[0], hist[-1])
+    vals = np.asarray(trained.eval_batch(
+        point_inputs_dict_order(mids, 2, 1.0)))
+    np.testing.assert_allclose(vals, true_e, rtol=0.08)
+
+
 def test_identify_field_requires_mlp():
     p = chain()
     with pytest.raises(ValueError, match="MLPField"):
