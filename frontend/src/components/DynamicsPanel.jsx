@@ -221,6 +221,49 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runIdentifyField = async () => {
+    // Field-mode demo: a linear stiffness gradient E(x) rising 50%
+    // across the span is synthesized per element; the server recovers
+    // it as an MLP field (the PINN NN-property parameterization) from
+    // the probe nodes' transient histories.
+    setMessage('Identifying the E(x) profile from transient histories…');
+    try {
+      const problem = baseProblem();
+      const probes = probeNodes(problem);
+      const xs = problem.nodes.map((n) => n.x);
+      const cx = problem.elements.map(([i, j]) => 0.5 * (xs[i] + xs[j]));
+      const xmin = Math.min(...cx);
+      const span = Math.max(Math.max(...cx) - xmin, 1e-9);
+      const e0 = problem.material.young;
+      const trueE = cx.map((x) => e0 * (1 + 0.5 * (x - xmin) / span));
+      problem.analysis = {
+        type: 'identification',
+        field: { name: 'young', hidden_layers: 1, neurons_per_layer: 8,
+                 seed: 0 },
+        dt: 'auto', n_steps: 600,
+        synthetic: { young: trueE },
+        probe_nodes: probes, damping: [0.05, 0.0],
+        n_iter: 600, learning_rate: 0.05, include_fit: false,
+      };
+      const r = await post('identification', problem);
+      setKind('identification'); setShapes(null);
+      const fit = r.identified_field.at_elements.values;
+      setChart({ xs: fit.map((_, i) => i),
+                 series: fit.map((v, i) => [trueE[i], v]) });
+      setRows([
+        { label: 'elements', value: `${fit.length}` },
+        { label: 'max error',
+          value: `${(100 * r.field_max_rel_error).toFixed(1)}%` },
+        { label: 'E range', value: `${Math.min(...fit).toPrecision(4)} – `
+            + `${Math.max(...fit).toPrecision(4)}` },
+      ]);
+      setMessage(`Recovered E(x) in ${r.n_iter} iters; chart: true vs `
+        + 'identified profile by element');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   return (
     <div className="dynamics-panel">
       <h3>Dynamics</h3>
@@ -232,6 +275,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={() => sweep('random')}>Random ▶</button>
         <button onClick={runReduction}>Reduction ▶</button>
         <button onClick={runIdentify}>Identify ▶</button>
+        <button onClick={runIdentifyField}>Identify E(x) ▶</button>
       </div>
       <table>
         <tbody>

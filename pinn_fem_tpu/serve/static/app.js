@@ -623,6 +623,59 @@ async function runIdentify() {
 document.getElementById("identify-btn").addEventListener("click",
                                                          runIdentify);
 
+async function runIdentifyField() {
+  // Field-mode demo: a linear stiffness gradient E(x) rising 50% across
+  // the span is synthesized per element; the server recovers it as an
+  // MLP field (the PINN NN-property parameterization) from the probe
+  // nodes' transient histories, and the chart overlays both profiles
+  // by element index.
+  const status = document.getElementById("dyn-status");
+  const probeNodes = state.nodes
+    .map((n, i) => ((n.fx || n.fy) ? i : -1)).filter((i) => i >= 0);
+  if (!probeNodes.length && state.nodes.length) {
+    probeNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Identifying the E(x) profile from transient "
+    + "probe histories…";
+  try {
+    const problem = buildProblem();
+    const xs = state.nodes.map((n) => n.x);
+    const cx = state.elements.map(([i, j]) => 0.5 * (xs[i] + xs[j]));
+    const xmin = Math.min(...cx);
+    const span = Math.max(Math.max(...cx) - xmin, 1e-9);
+    const e0 = problem.material.young;
+    const trueE = cx.map((x) => e0 * (1 + 0.5 * (x - xmin) / span));
+    problem.analysis = {
+      type: "identification",
+      field: { name: "young", hidden_layers: 1, neurons_per_layer: 8,
+               seed: 0 },
+      dt: "auto", n_steps: 600,
+      synthetic: { young: trueE },
+      probe_nodes: probeNodes, damping: [0.05, 0.0],
+      n_iter: 600, learning_rate: 0.05, include_fit: false,
+    };
+    const resp = await fetch("/api/fem/identification", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "identification failed");
+    const r = data.result;
+    const fit = r.identified_field.at_elements.values;
+    drawTimeSeries(cx.map((_, i) => i),
+                   fit.map((v, i) => [trueE[i], v]));
+    status.textContent =
+      `Recovered E(x) over ${fit.length} elements — max element error `
+      + `${(100 * r.field_max_rel_error).toFixed(1)}% in ${r.n_iter} `
+      + `iters; chart: true vs identified profile by element`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("identify-field-btn").addEventListener(
+  "click", runIdentifyField);
+
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {
   document.getElementById(`mode-${m}`).addEventListener("click", () => {
