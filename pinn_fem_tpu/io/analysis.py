@@ -974,9 +974,15 @@ def run_identification(problem, analysis: Dict) -> Dict:
                                             # material
                      "n_steps": 400,
                      "params": ["young", "density"],
+                         # any of young/area/density and the Rayleigh
+                         # damping coefficients alpha/beta (identified
+                         # through the decay envelope; their starting
+                         # guess is the "damping" entry — a zero start
+                         # needs "initial", log parameterization)
                      "probe_nodes": [..] | "probe_dofs": [..],
                      "measured": [[..], ..],    # (n_rec, n_probe) rows
                        | "synthetic": {"young": E, "density": rho,
+                                       "alpha": a, "beta": b,
                                        "noise": 0.02, "seed": 0},
                          # twin-data mode: generate the measurement from
                          # these true values (+ relative Gaussian noise),
@@ -1009,7 +1015,7 @@ def run_identification(problem, analysis: Dict) -> Dict:
     import jax as _jax
 
     from ..models.fields import ScalarField
-    from ..solvers.transient_inverse import (_PARAM_ORDER,
+    from ..solvers.transient_inverse import (_DAMP_PARAMS, _PARAM_ORDER,
                                              identify_from_transient,
                                              transient_probe_response)
 
@@ -1070,14 +1076,19 @@ def run_identification(problem, analysis: Dict) -> Dict:
         # density) raises omega_max above the truth's — a dt at the
         # truth's critical step then blows up mid-descent and the loss
         # goes NaN. 0.45 keeps a 2x stiffness overshoot stable.
-        dt = stable_dt(true_problem, damping=damping, safety=0.45)
+        # The truth integrates with ITS damping (synthetic alpha/beta
+        # override the guesses), and damping SHRINKS the critical step.
+        dt_damp = (float(analysis["synthetic"].get("alpha", damping[0])),
+                   float(analysis["synthetic"].get("beta", damping[1])))
+        dt = stable_dt(true_problem, damping=dt_damp, safety=0.45)
     else:
         dt = float(dt_spec)
     params = tuple(analysis.get("params", ["young", "density"]))
     for p in params:
-        if p not in _PARAM_ORDER:
+        if p not in _PARAM_ORDER + _DAMP_PARAMS:
             raise ValueError(f"identification params must be among "
-                             f"{list(_PARAM_ORDER)}, got {p!r}")
+                             f"{list(_PARAM_ORDER + _DAMP_PARAMS)}, "
+                             f"got {p!r}")
     probe = _probe_dofs(analysis, problem)
     amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
 
@@ -1102,17 +1113,22 @@ def run_identification(problem, analysis: Dict) -> Dict:
         true_vals = None
         if synthetic is not None:
             true_vals = {k: float(v) for k, v in synthetic.items()
-                         if k in _PARAM_ORDER}
-            unknown = set(synthetic) - set(_PARAM_ORDER) - {"noise",
-                                                            "seed"}
+                         if k in _PARAM_ORDER + _DAMP_PARAMS}
+            unknown = (set(synthetic) - set(_PARAM_ORDER)
+                       - set(_DAMP_PARAMS) - {"noise", "seed"})
             if unknown:
                 raise ValueError(f"unknown synthetic keys: "
                                  f"{sorted(unknown)}")
             true_mat = problem.material.replace(
-                **{k: ScalarField(value=v) for k, v in true_vals.items()})
+                **{k: ScalarField(value=v) for k, v in true_vals.items()
+                   if k in _PARAM_ORDER})
+            # The truth integrates with ITS damping: synthetic alpha/beta
+            # override the block's (which stays the starting guess).
+            true_damp = (true_vals.get("alpha", damping[0]),
+                         true_vals.get("beta", damping[1]))
             meas = np.asarray(_jax.device_get(transient_probe_response(
                 problem, true_mat, dt, n_steps, amplitude, probe,
-                record_every=record_every, damping=damping)))
+                record_every=record_every, damping=true_damp)))
             noise_rel = float(synthetic.get("noise", 0.0))
             if noise_rel:
                 rng = np.random.default_rng(int(synthetic.get("seed", 0)))
@@ -1132,6 +1148,9 @@ def run_identification(problem, analysis: Dict) -> Dict:
             # single value to start from; use its mean over the element
             # midpoints — identification then REPLACES the field with
             # the recovered scalar, as identify_from_transient documents.
+            # (Damping coefficients start from the block's "damping".)
+            if p not in _PARAM_ORDER:
+                continue
             if p not in initial and not isinstance(
                     getattr(problem.material, p), ScalarField):
                 from ..ops.host import _assembly_inputs, eval_field_host
@@ -1171,10 +1190,13 @@ def run_identification(problem, analysis: Dict) -> Dict:
         if analysis.get("include_fit",
                         probe.size * n_rec <= 4 * _SHAPES_JSON_DOF_LIMIT):
             fit_mat = problem.material.replace(
-                **{k: ScalarField(value=v) for k, v in ident.items()})
+                **{k: ScalarField(value=v) for k, v in ident.items()
+                   if k in _PARAM_ORDER})
+            fit_damp = (ident.get("alpha", damping[0]),
+                        ident.get("beta", damping[1]))
             fit = np.asarray(_jax.device_get(transient_probe_response(
                 problem, fit_mat, dt, n_steps, amplitude, probe,
-                record_every=record_every, damping=damping)))
+                record_every=record_every, damping=fit_damp)))
             scale = max(float(np.max(np.abs(meas))), 1e-30)
             out["fitted_displacements"] = fit.tolist()
             out["measured_displacements"] = meas.tolist()

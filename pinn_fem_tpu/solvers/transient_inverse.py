@@ -34,6 +34,10 @@ from ..ops.mass import lumped_mass
 from .phases import ADAM
 
 _PARAM_ORDER = ("young", "area", "density")
+# Rayleigh damping coefficients, identifiable alongside the material:
+# C = alpha M + beta K enters the residual through the lagged velocity,
+# so the discrete adjoint reaches both through the decay envelope.
+_DAMP_PARAMS = ("alpha", "beta")
 
 
 @partial(jax.jit, static_argnames=("n_steps", "record_every"))
@@ -105,18 +109,27 @@ def identify_from_transient(
     Args:
         measured: (n_rec, n_probe) displacement history (n_rec =
             n_steps // record_every).
-        params: which of ("young", "area", "density") to identify; the
-            others stay at problem.material's values.  Note E and A are
-            not separately identifiable from displacements (only EA is);
-            identify one of them at a time.
+        params: which of ("young", "area", "density") — and/or the
+            Rayleigh damping coefficients ("alpha", "beta") — to
+            identify; material parameters not listed stay at
+            problem.material's values, damping coefficients not listed
+            stay at the `damping` argument's.  Note E and A are not
+            separately identifiable from displacements (only EA is);
+            identify one of them at a time.  Damping is observed through
+            the decay envelope, so the window must span enough periods
+            for the decay to register above the noise.
+        damping: fixed Rayleigh (alpha, beta) — and the starting guess
+            for whichever of them `params` identifies (a coefficient
+            started at exactly 0 needs `initial`: the log
+            parameterization has no gradient there).
         initial: starting guesses per identified parameter (default: the
-            problem material's current values).
+            problem material's / `damping`'s current values).
 
     Returns:
         (identified dict, loss history array).
     """
     for p in params:
-        if p not in _PARAM_ORDER:
+        if p not in _PARAM_ORDER + _DAMP_PARAMS:
             raise ValueError(f"unknown parameter {p!r}")
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
@@ -127,23 +140,44 @@ def identify_from_transient(
 
     base = problem.material
     init = dict(initial or {})
+
+    def _start(p):
+        if p in init:
+            return init[p]
+        if p in _DAMP_PARAMS:
+            v = float(damping[_DAMP_PARAMS.index(p)])
+            if v <= 0.0:
+                raise ValueError(
+                    f"identifying {p!r} from a zero starting value needs "
+                    f"initial={{{p!r}: <positive guess>}} (log "
+                    f"parameterization)")
+            return v
+        return _scalar_value(base, p)
+
     # Lazy fallback: dict.get(key, default) would evaluate _scalar_value
     # even when `initial` supplies the value — raising for NN base fields
     # the caller deliberately provided a starting guess for.
-    log_p0 = jnp.asarray(
-        [np.log(init[p] if p in init else _scalar_value(base, p))
-         for p in params], dtype)
+    log_p0 = jnp.asarray([np.log(_start(p)) for p in params], dtype)
 
     def with_params(log_p):
         fields = {}
         for i, p in enumerate(params):
-            fields[p] = ScalarField(value=jnp.exp(log_p[i]))
+            if p in _PARAM_ORDER:
+                fields[p] = ScalarField(value=jnp.exp(log_p[i]))
         return base.replace(**fields)
+
+    def damping_of(log_p):
+        out = [jnp.asarray(damping[0], dtype), jnp.asarray(damping[1],
+                                                           dtype)]
+        for i, p in enumerate(params):
+            if p in _DAMP_PARAMS:
+                out[_DAMP_PARAMS.index(p)] = jnp.exp(log_p[i])
+        return tuple(out)
 
     def loss_fn(log_p):
         traj = transient_probe_response(
             problem, with_params(log_p), dt, n_steps, amplitude, probe_dofs,
-            record_every, damping, data)
+            record_every, damping_of(log_p), data)
         return jnp.mean(((traj - meas) / u_scale) ** 2)
 
     @jax.jit

@@ -684,6 +684,39 @@ def test_identification_rejects_above_dense_limit():
                                      "synthetic": {"young": 2.0}})
 
 
+def test_http_identification_damping(server_port):
+    """Rayleigh alpha/beta identified alongside E over HTTP: the
+    synthetic truth integrates with ITS damping, the block's "damping"
+    is the starting guess, and the fit uses the identified values."""
+    doc = {
+        "nodes": [[float(i)] for i in range(5)],
+        "elements": [[i, i + 1] for i in range(4)],
+        "material": {"young": 1.0, "area": 1.0, "density": 3.0},
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "dt": 0.05,
+                     "n_steps": 800,
+                     "params": ["young", "alpha", "beta"],
+                     "synthetic": {"young": 2.0, "alpha": 0.08,
+                                   "beta": 0.02},
+                     "probe_nodes": [2, 4], "damping": [0.02, 0.005],
+                     "n_iter": 600, "learning_rate": 0.08},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"]
+    np.testing.assert_allclose(res["identified"]["young"], 2.0, rtol=0.02)
+    np.testing.assert_allclose(res["identified"]["alpha"], 0.08,
+                               rtol=0.05)
+    np.testing.assert_allclose(res["identified"]["beta"], 0.02, rtol=0.05)
+    assert res["relative_errors"]["alpha"] < 0.05
+    # The fit integrates with the IDENTIFIED damping, so it must land on
+    # the noise-free measurement.
+    assert res["fit_rmse_rel"] < 1e-3
+
+
 def test_http_field_identification(server_port):
     """Field mode over HTTP: a linear per-element E(x) truth profile
     recovered as an MLP field — the reference's NN-property inverse
