@@ -262,6 +262,30 @@ def build_corpus():
                      "n_iter": 400, "learning_rate": 0.1},
     }
 
+    # Frequency-domain identification: E, rho AND the Rayleigh damping
+    # pair fitted to a synthetic FRF amplitude sweep (model updating
+    # from shaker data; resonance positions pin stiffness/mass, peak
+    # widths pin the damping).
+    corpus["dyn-identification-frf"] = {
+        "description": "Dynamics corpus: frequency-domain identification "
+                       "of E, rho, alpha, beta from an FRF amplitude "
+                       "sweep (extension; differentiable harmonic "
+                       "forward model)",
+        "nodes": [[0.0], [1.0], [2.0], [3.0], [4.0]],
+        "elements": [[0, 1], [1, 2], [2, 3], [3, 4]],
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "domain": "frequency",
+                     "omegas": {"start": 0.05, "stop": 1.2, "num": 120},
+                     "params": ["young", "density", "alpha", "beta"],
+                     "synthetic": {"young": 2.0, "density": 3.0,
+                                   "alpha": 0.08, "beta": 0.02},
+                     "probe_nodes": [2, 4], "damping": [0.02, 0.005],
+                     "n_iter": 800, "learning_rate": 0.08},
+    }
+
     # Field-mode identification: a linear E(x) profile recovered as an
     # MLP field from four probes' transient histories (the reference's
     # NN-property inverse driven by dynamics — a wave sweeping the chain

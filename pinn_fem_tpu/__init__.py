@@ -99,6 +99,10 @@ from .solvers.spectrum import (  # noqa: E402
     SpectrumResult,
     response_spectrum,
 )
+from .solvers.frequency_inverse import (  # noqa: E402
+    frf_probe_amplitudes,
+    identify_from_frf,
+)
 from .solvers.transient_inverse import (  # noqa: E402
     identify_field_from_transient,
     identify_from_transient,
@@ -152,7 +156,9 @@ __all__ = [
     "BucklingResult",
     "harmonic_response",
     "HarmonicResult",
+    "frf_probe_amplitudes",
     "identify_field_from_transient",
+    "identify_from_frf",
     "identify_from_transient",
     "transient_probe_response",
     "response_spectrum",

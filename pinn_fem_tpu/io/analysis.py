@@ -957,6 +957,167 @@ def _run_field_identification(problem, analysis: Dict, n_steps: int,
     return out
 
 
+def _run_frf_identification(problem, analysis: Dict) -> Dict:
+    """Frequency-domain identification block
+    (solvers/frequency_inverse.py): material and Rayleigh damping fitted
+    to measured FRF amplitudes — the classic model-updating workflow
+    (shaker sweep in, parameters out).
+
+    Contract:
+
+        "analysis": {"type": "identification", "domain": "frequency",
+                     "omegas": [..] | {"start": w0, "stop": w1,
+                                       "num": 120},
+                     "params": ["young", "density", "alpha", "beta"],
+                     "damping": [a0, b0],   # fixed values / start guess
+                     "probe_nodes": [..] | "probe_dofs": [..],
+                     "measured_amplitude": [[..], ..]  # (n_freq, n_probe)
+                       | "synthetic": {"young": E, "density": rho,
+                                       "alpha": a, "beta": b,
+                                       "noise": 0.02, "seed": 0},
+                     "n_iter": 400, "learning_rate": 0.08,
+                     "initial": {..}, "include_fit": true}
+
+    Twin-data noise is MULTIPLICATIVE (per-point relative,
+    amp * (1 + noise * randn)): an FRF spans decades between
+    anti-resonances and peaks, so additive noise at a fraction of the
+    peak would swamp the low-amplitude structure the log-loss fits.
+    Runs on the local CPU tier like the time-domain block (the program
+    is a differentiated frequency sweep the numpy host tier cannot
+    mirror)."""
+    import contextlib
+
+    import jax as _jax
+
+    from ..models.fields import ScalarField
+    from ..solvers.frequency_inverse import (frf_probe_amplitudes,
+                                             identify_from_frf)
+    from ..solvers.newton import DENSE_DOF_LIMIT
+    from ..solvers.transient_inverse import _DAMP_PARAMS, _PARAM_ORDER
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(
+            f"frequency-domain identification is dense-only "
+            f"({problem.ndof} DOFs > {DENSE_DOF_LIMIT}); identify on a "
+            f"coarser model of the structure")
+    omegas = _omega_array(analysis["omegas"])
+    damping = analysis.get("damping", [0.0, 0.0])
+    damping = (float(damping[0]), float(damping[1]))
+    params = tuple(analysis.get("params", ["young", "density"]))
+    for p in params:
+        if p not in _PARAM_ORDER + _DAMP_PARAMS:
+            raise ValueError(f"identification params must be among "
+                             f"{list(_PARAM_ORDER + _DAMP_PARAMS)}, "
+                             f"got {p!r}")
+    probe = _probe_dofs(analysis, problem)
+
+    measured = analysis.get("measured_amplitude")
+    synthetic = analysis.get("synthetic")
+    if synthetic is not None and not isinstance(synthetic, dict):
+        raise ValueError('"synthetic" must be an object of true '
+                         'parameter values')
+    if (measured is None) == (synthetic is None):
+        raise ValueError('frequency-domain identification needs exactly '
+                         'one of "measured_amplitude" (an '
+                         '(n_freq, n_probe) |X| table) or "synthetic" '
+                         '(true parameter values for twin data)')
+
+    if analysis.get("on_device", False):
+        ctx = None
+    else:
+        try:  # local-CPU tier (run_identification docstring)
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = None
+
+    with ctx if ctx is not None else contextlib.nullcontext():
+        noise_rel = 0.0
+        true_vals = None
+        if synthetic is not None:
+            true_vals = {k: float(v) for k, v in synthetic.items()
+                         if k in _PARAM_ORDER + _DAMP_PARAMS}
+            unknown = (set(synthetic) - set(_PARAM_ORDER)
+                       - set(_DAMP_PARAMS) - {"noise", "seed"})
+            if unknown:
+                raise ValueError(f"unknown synthetic keys: "
+                                 f"{sorted(unknown)}")
+            true_mat = problem.material.replace(
+                **{k: ScalarField(value=v) for k, v in true_vals.items()
+                   if k in _PARAM_ORDER})
+            true_damp = (true_vals.get("alpha", damping[0]),
+                         true_vals.get("beta", damping[1]))
+            meas = np.asarray(_jax.device_get(frf_probe_amplitudes(
+                problem, true_mat, omegas, true_damp, probe)))
+            noise_rel = float(synthetic.get("noise", 0.0))
+            if noise_rel:
+                rng = np.random.default_rng(int(synthetic.get("seed", 0)))
+                meas = meas * (1.0 + noise_rel
+                               * rng.standard_normal(meas.shape))
+                meas = np.abs(meas)       # amplitudes stay nonnegative
+        else:
+            meas = np.asarray(measured, dtype=float)
+            if meas.ndim != 2 or meas.shape != (omegas.size, probe.size):
+                raise ValueError(
+                    f"measured_amplitude must be (n_freq={omegas.size}, "
+                    f"n_probe={probe.size}), got {meas.shape}")
+
+        initial = {k: float(v)
+                   for k, v in (analysis.get("initial") or {}).items()}
+        for p in params:
+            if p not in _PARAM_ORDER:
+                continue
+            if p not in initial and not isinstance(
+                    getattr(problem.material, p), ScalarField):
+                from ..ops.host import _assembly_inputs, eval_field_host
+
+                vals = eval_field_host(getattr(problem.material, p),
+                                       _assembly_inputs(problem, 1.0))
+                initial[p] = max(float(np.mean(vals)), 1e-12)
+        initial = initial or None
+        ident, hist = identify_from_frf(
+            problem, meas, omegas, probe, params=params, damping=damping,
+            n_iter=int(analysis.get("n_iter", 400)),
+            learning_rate=float(analysis.get("learning_rate", 0.08)),
+            initial=initial)
+
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "domain": "frequency",
+            "params": list(params),
+            "identified": ident,
+            "omegas": omegas.tolist(),
+            "probe_dofs": probe.tolist(),
+            "n_iter": len(hist),
+            "final_loss": float(hist[-1]),
+            "loss_history": hist.tolist(),
+        }
+        if true_vals is not None:
+            out["synthetic"] = True
+            out["true_values"] = true_vals
+            out["noise"] = noise_rel
+            out["relative_errors"] = {
+                k: abs(ident[k] - true_vals[k]) / abs(true_vals[k])
+                for k in ident if k in true_vals}
+        if analysis.get("include_fit",
+                        probe.size * omegas.size
+                        <= 4 * _SHAPES_JSON_DOF_LIMIT):
+            fit_mat = problem.material.replace(
+                **{k: ScalarField(value=v) for k, v in ident.items()
+                   if k in _PARAM_ORDER})
+            fit_damp = (ident.get("alpha", damping[0]),
+                        ident.get("beta", damping[1]))
+            fit = np.asarray(_jax.device_get(frf_probe_amplitudes(
+                problem, fit_mat, omegas, fit_damp, probe)))
+            floor = 1e-12 * max(float(np.max(meas)), 1e-30)
+            out["fitted_amplitude"] = fit.tolist()
+            out["measured_amplitude"] = meas.tolist()
+            # Log-space RMS, the quantity the fit minimizes.
+            out["fit_rms_log"] = float(np.sqrt(np.mean(
+                (np.log(fit + floor) - np.log(meas + floor)) ** 2)))
+    return out
+
+
 def run_identification(problem, analysis: Dict) -> Dict:
     """Execute a time-domain identification block
     (solvers/transient_inverse.py): scalar material parameters recovered
@@ -998,7 +1159,10 @@ def run_identification(problem, analysis: Dict) -> Dict:
     With a "field" key the block switches to FIELD mode — a spatially-
     varying MLP profile (the reference's NN-property parameterization)
     trained against the trajectory instead of scalar parameters; see
-    _run_field_identification for that contract.
+    _run_field_identification for that contract.  With
+    "domain": "frequency" the measurement is an FRF amplitude sweep
+    instead of a trajectory (model updating from shaker data); see
+    _run_frf_identification.
 
     The model problem's own material supplies the starting guess unless
     `initial` overrides it.  E and A are not separately identifiable from
@@ -1018,6 +1182,16 @@ def run_identification(problem, analysis: Dict) -> Dict:
     from ..solvers.transient_inverse import (_DAMP_PARAMS, _PARAM_ORDER,
                                              identify_from_transient,
                                              transient_probe_response)
+
+    domain = analysis.get("domain", "time")
+    if domain == "frequency":
+        # FRF-amplitude fitting (see _run_frf_identification).
+        if analysis.get("field") is not None:
+            raise ValueError("field mode is time-domain only")
+        return _run_frf_identification(problem, analysis)
+    if domain != "time":
+        raise ValueError(f'identification domain must be "time" or '
+                         f'"frequency", got {domain!r}')
 
     n_steps = int(analysis["n_steps"])
     record_every = int(analysis.get("record_every", 1))

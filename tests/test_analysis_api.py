@@ -717,6 +717,75 @@ def test_http_identification_damping(server_port):
     assert res["fit_rmse_rel"] < 1e-3
 
 
+def test_http_frequency_identification(server_port):
+    """Frequency-domain identification over HTTP: E, rho, alpha, beta
+    fitted to a synthetic FRF amplitude sweep (model updating from
+    shaker data), with the log-space fit metric reported."""
+    doc = {
+        "nodes": [[float(i)] for i in range(5)],
+        "elements": [[i, i + 1] for i in range(4)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "domain": "frequency",
+                     "omegas": {"start": 0.05, "stop": 1.2, "num": 120},
+                     "params": ["young", "density", "alpha", "beta"],
+                     "synthetic": {"young": 2.0, "density": 3.0,
+                                   "alpha": 0.08, "beta": 0.02},
+                     "probe_nodes": [2, 4], "damping": [0.02, 0.005],
+                     "n_iter": 800, "learning_rate": 0.08},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["domain"] == "frequency"
+    np.testing.assert_allclose(res["identified"]["young"], 2.0, rtol=0.01)
+    np.testing.assert_allclose(res["identified"]["density"], 3.0,
+                               rtol=0.01)
+    np.testing.assert_allclose(res["identified"]["alpha"], 0.08,
+                               rtol=0.02)
+    np.testing.assert_allclose(res["identified"]["beta"], 0.02, rtol=0.02)
+    assert res["relative_errors"]["young"] < 0.01
+    assert res["fit_rms_log"] < 1e-3
+    fit = np.asarray(res["fitted_amplitude"])
+    assert fit.shape == (120, 2) and np.all(fit > 0)
+
+
+def test_frequency_identification_input_errors(server_port):
+    base = {
+        "nodes": [[0.0], [1.0], [2.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 0.0, 1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    om = {"start": 0.1, "stop": 1.0, "num": 10}
+    # Neither measured_amplitude nor synthetic.
+    doc = {**base, "analysis": {"domain": "frequency", "omegas": om}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "exactly one" in body["error"]
+    # Wrong amplitude-table shape.
+    doc = {**base, "analysis": {"domain": "frequency", "omegas": om,
+                                "measured_amplitude": [[1.0]] * 7,
+                                "probe_dofs": [2]}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "measured_amplitude must be" in body["error"]
+    # field mode is time-domain only.
+    doc = {**base, "analysis": {"domain": "frequency", "omegas": om,
+                                "field": "young",
+                                "synthetic": {"young": 2.0}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "time-domain only" in body["error"]
+    # Unknown domain.
+    doc = {**base, "analysis": {"domain": "modal", "dt": 0.05,
+                                "n_steps": 10,
+                                "synthetic": {"young": 2.0}}}
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "domain must be" in body["error"]
+
+
 def test_http_field_identification(server_port):
     """Field mode over HTTP: a linear per-element E(x) truth profile
     recovered as an MLP field — the reference's NN-property inverse

@@ -31,6 +31,7 @@ def run_cli_inprocess(name, tmp_path):
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
                    "dyn-harmonic.json", "dyn-identification-field.json",
+                   "dyn-identification-frf.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-spectrum.json", "dyn-transient.json"]
@@ -83,6 +84,14 @@ def test_dyn_corpus_runs(name, tmp_path):
         # The lateral (x) tower-top DOFs dominate the RMS under the
         # lateral load pattern.
         assert rms[0] > rms[1] and rms[2] > rms[3]
+    elif kind == "identification" and res.get("domain") == "frequency":
+        # FRF model updating: all four parameters from one sweep.
+        for k, true in res["true_values"].items():
+            np.testing.assert_allclose(res["identified"][k], true,
+                                       rtol=0.02)
+        assert res["fit_rms_log"] < 1e-3
+        hist = np.asarray(res["loss_history"])
+        assert hist[-1] < 1e-6 * hist[0]
     elif kind == "identification" and res.get("mode") == "field":
         # Spatial E(x) profile recovered as an MLP field, element by
         # element, to 6% (tests/test_transient_inverse.py measures 2.5%
