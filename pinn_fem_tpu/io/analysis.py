@@ -976,6 +976,9 @@ def _run_frf_identification(problem, analysis: Dict) -> Dict:
                                        "alpha": a, "beta": b,
                                        "noise": 0.02, "seed": 0},
                      "n_iter": 400, "learning_rate": 0.08,
+                     "restarts": 3,   # multi-start (FRF fitting is
+                                      # multi-modal; see
+                                      # identify_from_frf)
                      "initial": {..}, "include_fit": true}
 
     Twin-data noise is MULTIPLICATIVE (per-point relative,
@@ -1078,7 +1081,11 @@ def _run_frf_identification(problem, analysis: Dict) -> Dict:
             problem, meas, omegas, probe, params=params, damping=damping,
             n_iter=int(analysis.get("n_iter", 400)),
             learning_rate=float(analysis.get("learning_rate", 0.08)),
-            initial=initial)
+            initial=initial,
+            # Multi-start by default: FRF fitting is multi-modal (a far
+            # starting stiffness locks onto the wrong resonance), and a
+            # JSON caller has no cheap way to probe the basin.
+            restarts=int(analysis.get("restarts", 3)))
 
         out = {
             "success": True,
