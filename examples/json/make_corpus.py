@@ -262,6 +262,28 @@ def build_corpus():
                      "n_iter": 400, "learning_rate": 0.1},
     }
 
+    # Modal-domain identification: the EMA workflow — E and rho from
+    # extracted frequencies + phi^2 sensor data (the spectrum alone only
+    # sees EA/rho; the sensors break the scaling degeneracy).
+    corpus["dyn-identification-modal"] = {
+        "description": "Dynamics corpus: modal-domain identification of "
+                       "E and rho from extracted natural frequencies "
+                       "plus phi^2 sensor data (extension; "
+                       "differentiable eigensolve)",
+        "nodes": [[float(i)] for i in range(7)],
+        "elements": [[i, i + 1] for i in range(6)],
+        "loads": [0.0] * 6 + [1.0],
+        "fixed_dofs": [0],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "domain": "modal",
+                     "params": ["young", "density"],
+                     "synthetic": {"young": 2.0, "density": 3.0,
+                                   "n_modes": 4},
+                     "sensor_nodes": [2, 4, 6],
+                     "n_iter": 600, "learning_rate": 0.05},
+    }
+
     # Frequency-domain identification: E, rho AND the Rayleigh damping
     # pair fitted to a synthetic FRF amplitude sweep (model updating
     # from shaker data; resonance positions pin stiffness/mass, peak

@@ -103,6 +103,10 @@ from .solvers.frequency_inverse import (  # noqa: E402
     frf_probe_amplitudes,
     identify_from_frf,
 )
+from .solvers.modal_inverse import (  # noqa: E402
+    identify_from_modal,
+    modal_observables,
+)
 from .solvers.transient_inverse import (  # noqa: E402
     identify_field_from_transient,
     identify_from_transient,
@@ -159,6 +163,8 @@ __all__ = [
     "frf_probe_amplitudes",
     "identify_field_from_transient",
     "identify_from_frf",
+    "identify_from_modal",
+    "modal_observables",
     "identify_from_transient",
     "transient_probe_response",
     "response_spectrum",

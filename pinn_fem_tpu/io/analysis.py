@@ -957,6 +957,179 @@ def _run_field_identification(problem, analysis: Dict, n_steps: int,
     return out
 
 
+def _run_modal_identification(problem, analysis: Dict) -> Dict:
+    """Modal-domain identification block (solvers/modal_inverse.py):
+    parameters fitted to extracted natural frequencies — the
+    experimental-modal-analysis workflow.
+
+    Contract:
+
+        "analysis": {"type": "identification", "domain": "modal",
+                     "params": ["young"],   # any of young/area/density;
+                                            # a stiffness param TOGETHER
+                                            # with density needs sensor
+                                            # shape data (omega^2 ~
+                                            # EA/rho: a spectrum alone
+                                            # sees only the ratio)
+                     "measured_frequencies_hz": [..k lowest..]
+                       | "synthetic": {"young": E, "density": rho,
+                                       "n_modes": 4, "noise": 0.01,
+                                       "seed": 0},
+                     "sensor_nodes": [..] | "sensor_dofs": [..],
+                     "measured_shapes2": [[..], ..],  # (n_sensor, k)
+                                            # phi^2, M-orthonormal
+                                            # (synthetic mode generates
+                                            # it when sensors are given)
+                     "n_iter": 300, "learning_rate": 0.05,
+                     "initial": {..}}
+
+    Twin-data noise is relative on the frequencies (and on phi^2).
+    Rayleigh damping is invisible to undamped frequencies — use the
+    time-domain or FRF routes for alpha/beta."""
+    import contextlib
+
+    import jax as _jax
+
+    from ..solvers.modal_inverse import (identify_from_modal,
+                                         modal_observables)
+    from ..solvers.newton import DENSE_DOF_LIMIT
+    from ..solvers.transient_inverse import _PARAM_ORDER
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(
+            f"modal-domain identification is dense-only "
+            f"({problem.ndof} DOFs > {DENSE_DOF_LIMIT}); identify on a "
+            f"coarser model of the structure")
+    params = tuple(analysis.get("params", ["young"]))
+    for p in params:
+        if p not in _PARAM_ORDER:
+            raise ValueError(
+                f"modal identification params must be among "
+                f"{list(_PARAM_ORDER)} (damping is invisible to "
+                f"undamped frequencies), got {p!r}")
+
+    sensors = None
+    if "sensor_dofs" in analysis or "sensor_nodes" in analysis:
+        sensors = _probe_dofs({"probe_dofs": analysis["sensor_dofs"]}
+                              if "sensor_dofs" in analysis
+                              else {"probe_nodes":
+                                    analysis["sensor_nodes"]}, problem)
+
+    measured = analysis.get("measured_frequencies_hz")
+    synthetic = analysis.get("synthetic")
+    if synthetic is not None and not isinstance(synthetic, dict):
+        raise ValueError('"synthetic" must be an object of true '
+                         'parameter values')
+    if (measured is None) == (synthetic is None):
+        raise ValueError('modal identification needs exactly one of '
+                         '"measured_frequencies_hz" or "synthetic" '
+                         '(true parameter values for twin data)')
+    shapes2 = analysis.get("measured_shapes2")
+    if shapes2 is not None and sensors is None:
+        raise ValueError('"measured_shapes2" needs "sensor_nodes" or '
+                         '"sensor_dofs"')
+
+    if analysis.get("on_device", False):
+        ctx = None
+    else:
+        try:  # local-CPU tier (run_identification docstring)
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = None
+
+    with ctx if ctx is not None else contextlib.nullcontext():
+        noise_rel = 0.0
+        true_vals = None
+        if synthetic is not None:
+            true_vals = {k: float(v) for k, v in synthetic.items()
+                         if k in _PARAM_ORDER}
+            unknown = (set(synthetic) - set(_PARAM_ORDER)
+                       - {"n_modes", "noise", "seed"})
+            if unknown:
+                raise ValueError(f"unknown synthetic keys: "
+                                 f"{sorted(unknown)}")
+            from ..models.fields import ScalarField as _SF
+
+            true_mat = problem.material.replace(
+                **{k: _SF(value=v) for k, v in true_vals.items()})
+            n_modes = int(synthetic.get("n_modes", 4))
+            lam, s2 = modal_observables(problem, true_mat, n_modes,
+                                        sensor_dofs=sensors)
+            lam = np.asarray(_jax.device_get(lam))
+            f_meas = np.sqrt(np.maximum(lam, 0.0)) / (2.0 * np.pi)
+            if sensors is not None:
+                shapes2 = np.asarray(_jax.device_get(s2))
+            noise_rel = float(synthetic.get("noise", 0.0))
+            if noise_rel:
+                rng = np.random.default_rng(int(synthetic.get("seed", 0)))
+                f_meas = f_meas * (1.0 + noise_rel
+                                   * rng.standard_normal(f_meas.shape))
+                if shapes2 is not None:
+                    shapes2 = np.abs(shapes2 * (
+                        1.0 + noise_rel
+                        * rng.standard_normal(shapes2.shape)))
+        else:
+            f_meas = np.asarray(measured, dtype=float).reshape(-1)
+            if shapes2 is not None:
+                shapes2 = np.asarray(shapes2, dtype=float)
+
+        initial = {k: float(v)
+                   for k, v in (analysis.get("initial") or {}).items()}
+        for p in params:
+            from ..models.fields import ScalarField
+
+            if p not in initial and not isinstance(
+                    getattr(problem.material, p), ScalarField):
+                from ..ops.host import _assembly_inputs, eval_field_host
+
+                vals = eval_field_host(getattr(problem.material, p),
+                                       _assembly_inputs(problem, 1.0))
+                initial[p] = max(float(np.mean(vals)), 1e-12)
+        initial = initial or None
+        ident, hist = identify_from_modal(
+            problem, f_meas, sensor_dofs=sensors,
+            measured_shapes2=shapes2, params=params,
+            n_iter=int(analysis.get("n_iter", 300)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)),
+            initial=initial)
+
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "domain": "modal",
+            "params": list(params),
+            "identified": ident,
+            "measured_frequencies_hz": np.asarray(f_meas).tolist(),
+            "n_iter": len(hist),
+            "final_loss": float(hist[-1]),
+            "loss_history": hist.tolist(),
+        }
+        if sensors is not None:
+            out["sensor_dofs"] = sensors.tolist()
+        if true_vals is not None:
+            out["synthetic"] = True
+            out["true_values"] = true_vals
+            out["noise"] = noise_rel
+            out["relative_errors"] = {
+                k: abs(ident[k] - true_vals[k]) / abs(true_vals[k])
+                for k in ident if k in true_vals}
+        # The fitted spectrum (and its relative error) always fits in
+        # JSON — a handful of modes.
+        from ..models.fields import ScalarField
+
+        fit_mat = problem.material.replace(
+            **{k: ScalarField(value=v) for k, v in ident.items()})
+        lam_fit, _ = modal_observables(problem, fit_mat, len(f_meas),
+                                       sensor_dofs=None)
+        lam_fit = np.asarray(_jax.device_get(lam_fit))
+        f_fit = np.sqrt(np.maximum(lam_fit, 0.0)) / (2.0 * np.pi)
+        out["fitted_frequencies_hz"] = f_fit.tolist()
+        out["frequency_rel_error"] = (
+            np.abs(f_fit - f_meas) / np.maximum(np.abs(f_meas), 1e-30)
+        ).tolist()
+    return out
+
+
 def _run_frf_identification(problem, analysis: Dict) -> Dict:
     """Frequency-domain identification block
     (solvers/frequency_inverse.py): material and Rayleigh damping fitted
@@ -1191,14 +1364,17 @@ def run_identification(problem, analysis: Dict) -> Dict:
                                              transient_probe_response)
 
     domain = analysis.get("domain", "time")
-    if domain == "frequency":
-        # FRF-amplitude fitting (see _run_frf_identification).
+    if domain in ("frequency", "modal"):
         if analysis.get("field") is not None:
             raise ValueError("field mode is time-domain only")
-        return _run_frf_identification(problem, analysis)
+        if domain == "frequency":
+            # FRF-amplitude fitting (see _run_frf_identification).
+            return _run_frf_identification(problem, analysis)
+        # Extracted-frequency fitting (see _run_modal_identification).
+        return _run_modal_identification(problem, analysis)
     if domain != "time":
-        raise ValueError(f'identification domain must be "time" or '
-                         f'"frequency", got {domain!r}')
+        raise ValueError(f'identification domain must be "time", '
+                         f'"frequency" or "modal", got {domain!r}')
 
     n_steps = int(analysis["n_steps"])
     record_every = int(analysis.get("record_every", 1))

@@ -779,11 +779,44 @@ def test_frequency_identification_input_errors(server_port):
     status, body = _post(server_port, "/api/fem/identification", doc)
     assert status == 500 and "time-domain only" in body["error"]
     # Unknown domain.
-    doc = {**base, "analysis": {"domain": "modal", "dt": 0.05,
+    doc = {**base, "analysis": {"domain": "laplace", "dt": 0.05,
                                 "n_steps": 10,
                                 "synthetic": {"young": 2.0}}}
     status, body = _post(server_port, "/api/fem/identification", doc)
     assert status == 500 and "domain must be" in body["error"]
+
+
+def test_http_modal_identification(server_port):
+    """Modal-domain identification over HTTP: E and rho recovered from
+    synthetic frequencies + phi^2 sensor data (the EMA workflow; the
+    spectrum alone only sees the EA/rho ratio)."""
+    doc = {
+        "nodes": [[float(i)] for i in range(7)],
+        "elements": [[i, i + 1] for i in range(6)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0] * 6 + [1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "domain": "modal",
+                     "params": ["young", "density"],
+                     "synthetic": {"young": 2.0, "density": 3.0,
+                                   "n_modes": 4},
+                     "sensor_nodes": [2, 4, 6],
+                     "n_iter": 600, "learning_rate": 0.05},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["domain"] == "modal"
+    np.testing.assert_allclose(res["identified"]["young"], 2.0, rtol=0.01)
+    np.testing.assert_allclose(res["identified"]["density"], 3.0,
+                               rtol=0.01)
+    assert max(res["frequency_rel_error"]) < 1e-3
+    assert len(res["fitted_frequencies_hz"]) == 4
+    # Without sensors the same request must refuse with the physics.
+    doc["analysis"].pop("sensor_nodes")
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "RATIO" in body["error"]
 
 
 def test_http_field_identification(server_port):

@@ -32,6 +32,7 @@ def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
                    "dyn-harmonic.json", "dyn-identification-field.json",
                    "dyn-identification-frf.json",
+                   "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-spectrum.json", "dyn-transient.json"]
@@ -84,6 +85,12 @@ def test_dyn_corpus_runs(name, tmp_path):
         # The lateral (x) tower-top DOFs dominate the RMS under the
         # lateral load pattern.
         assert rms[0] > rms[1] and rms[2] > rms[3]
+    elif kind == "identification" and res.get("domain") == "modal":
+        # EMA: E and rho from frequencies + phi^2 sensors.
+        for k, true in res["true_values"].items():
+            np.testing.assert_allclose(res["identified"][k], true,
+                                       rtol=0.02)
+        assert max(res["frequency_rel_error"]) < 1e-3
     elif kind == "identification" and res.get("domain") == "frequency":
         # FRF model updating: all four parameters from one sweep.
         for k, true in res["true_values"].items():

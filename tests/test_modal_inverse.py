@@ -1,0 +1,79 @@
+"""Modal-domain identification (solvers/modal_inverse.py): parameters
+from extracted natural frequencies, the EMA workflow — including the
+enforced physics that a spectrum alone cannot split stiffness from mass
+(omega^2 ~ EA/rho) until sign-invariant phi^2 sensor data is added."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pinn_fem_tpu import Material, TrussProblem
+from pinn_fem_tpu.solvers.modal_inverse import (identify_from_modal,
+                                                modal_observables)
+
+
+def chain(young=2.0, density=3.0, n_nodes=7):
+    nodes = np.arange(n_nodes, dtype=float)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(n_nodes)
+    loads[-1] = 1.0
+    return TrussProblem(nodes, elements,
+                        Material(young=young, area=1.0, density=density),
+                        loads, np.array([0]), 1)
+
+
+SENSORS = [2, 4, 6]
+
+
+def _truth_data():
+    truth = chain()
+    lam, s2 = modal_observables(truth, truth.material, 4,
+                                sensor_dofs=SENSORS)
+    lam, s2 = jax.device_get((lam, s2))
+    return np.sqrt(np.asarray(lam)) / (2 * np.pi), np.asarray(s2)
+
+
+def test_identify_young_from_frequencies():
+    f_hz, _ = _truth_data()
+    ident, hist = identify_from_modal(chain(young=1.0), f_hz,
+                                      params=("young",), n_iter=300)
+    assert hist[-1] < 1e-8
+    np.testing.assert_allclose(ident["young"], 2.0, rtol=1e-3)
+
+
+def test_identify_density_from_frequencies():
+    f_hz, _ = _truth_data()
+    ident, hist = identify_from_modal(chain(density=1.0), f_hz,
+                                      params=("density",), n_iter=300)
+    assert hist[-1] < 1e-8
+    np.testing.assert_allclose(ident["density"], 3.0, rtol=1e-3)
+
+
+def test_stiffness_and_density_need_shape_data():
+    """The enforced scaling degeneracy: E and rho together from a
+    spectrum alone must be refused, and phi^2 sensor data unlocks it."""
+    f_hz, s2 = _truth_data()
+    with pytest.raises(ValueError, match="RATIO"):
+        identify_from_modal(chain(1.0, 1.0), f_hz,
+                            params=("young", "density"))
+
+    ident, hist = identify_from_modal(
+        chain(1.0, 1.0), f_hz, sensor_dofs=SENSORS, measured_shapes2=s2,
+        params=("young", "density"), n_iter=600)
+    assert hist[-1] < 1e-8
+    np.testing.assert_allclose(ident["young"], 2.0, rtol=1e-2)
+    np.testing.assert_allclose(ident["density"], 3.0, rtol=1e-2)
+
+
+def test_input_errors():
+    f_hz, s2 = _truth_data()
+    p = chain()
+    with pytest.raises(ValueError, match="unknown parameter"):
+        identify_from_modal(p, f_hz, params=("alpha",))
+    with pytest.raises(ValueError, match="go together"):
+        identify_from_modal(p, f_hz, measured_shapes2=s2)
+    with pytest.raises(ValueError, match="measured_shapes2 must be"):
+        identify_from_modal(p, f_hz, sensor_dofs=SENSORS,
+                            measured_shapes2=s2[:, :2],
+                            params=("density",))
