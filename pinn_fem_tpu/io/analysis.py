@@ -52,7 +52,10 @@ drives a static solve gains:
                                 "phase": 0.0}
                              | {"type": "pulse", "t_end": seconds},
                  "load": {"type": "moving", "path_nodes": [..],
-                          "speed": v, "magnitude": F, "component": 1},
+                          "speed": v, "magnitude": F, "component": 1}
+                        | {"type": "base_acceleration",
+                           "history": <amplitude contract>,
+                           "direction": [..], "scale": 1.0},
                  "prestress": true | {..},   # same contract as modal
                  "checkpoint": {"dir": p, "every": n, "resume": true},
                  "record_every": 10, "geometric_nonlinear": false,
@@ -215,32 +218,50 @@ def _prestress_state(problem, spec):
 
 
 def _transient_force_fn(problem, analysis, dt):
-    """Resolve a `"load"` spec to a force_fn (currently: moving loads).
+    """Resolve a `"load"` spec to a force_fn.
 
         "load": {"type": "moving", "path_nodes": [..], "speed": v,
                  "magnitude": F, "component": 1}
+        "load": {"type": "base_acceleration",
+                 "history": [..] | {"type": "sine", ...},  # a_g(t),
+                                       # the amplitude contract
+                 "direction": [1, 0],  # shaking direction (default x)
+                 "scale": 1.0}
 
-    -> solvers.dynamics.moving_load_force_fn (central method only; the
-    returned closure carries a .host_eval twin so the host tier serves
-    it too)."""
+    -> solvers.dynamics.moving_load_force_fn /
+    base_excitation_force_fn (central method only; the returned
+    closures carry a .host_eval twin so the host tier serves them too).
+    Base acceleration solves in RELATIVE coordinates (f_eff =
+    -M iota a_g), the seismic time-history complement of the response-
+    spectrum block."""
     spec = analysis.get("load")
     if spec is None:
         return None
-    if not isinstance(spec, dict) or spec.get("type") != "moving":
-        raise ValueError('load spec must be {"type": "moving", ...}')
+    kind = spec.get("type") if isinstance(spec, dict) else None
+    if kind not in ("moving", "base_acceleration"):
+        raise ValueError('load spec must be {"type": "moving", ...} or '
+                         '{"type": "base_acceleration", ...}')
     if "amplitude" in analysis or "amplitudes" in analysis:
-        raise ValueError("a moving load replaces the amplitude contract; "
-                         "give one or the other")
-    from ..solvers.dynamics import moving_load_force_fn
+        raise ValueError(f"a {kind} load replaces the amplitude "
+                         "contract; give one or the other")
+    if kind == "moving":
+        from ..solvers.dynamics import moving_load_force_fn
 
-    return moving_load_force_fn(
-        problem,
-        path_nodes=np.asarray(spec["path_nodes"], dtype=int),
-        speed=float(spec["speed"]),
-        magnitude=float(spec["magnitude"]),
-        dt=float(dt),
-        component=int(spec.get("component",
-                               1 if problem.dimension > 1 else 0)))
+        return moving_load_force_fn(
+            problem,
+            path_nodes=np.asarray(spec["path_nodes"], dtype=int),
+            speed=float(spec["speed"]),
+            magnitude=float(spec["magnitude"]),
+            dt=float(dt),
+            component=int(spec.get("component",
+                                   1 if problem.dimension > 1 else 0)))
+    from ..solvers.dynamics import base_excitation_force_fn
+
+    history = _amplitude_array(spec.get("history"),
+                               int(analysis["n_steps"]), float(dt))
+    history = float(spec.get("scale", 1.0)) * history
+    return base_excitation_force_fn(
+        problem, history, direction=spec.get("direction"))
 
 
 def run_modal(problem, analysis: Dict) -> Dict:
@@ -645,7 +666,12 @@ def run_transient(problem, analysis: Dict) -> Dict:
         "n_steps": n_steps,
         "record_every": record_every,
         "prestressed": prestress_u is not None,
-        "moving_load": force_fn is not None,
+        # The load kind when a "load" spec drove the run ("moving" |
+        # "base_acceleration"); "moving_load" kept for back-compat.
+        "load_type": (analysis["load"].get("type")
+                      if force_fn is not None else None),
+        "moving_load": (force_fn is not None
+                        and analysis["load"].get("type") == "moving"),
         "checkpointed": checkpoint is not None,
         "probe_dofs": probe.tolist(),
         "times": res.times.tolist(),

@@ -1233,3 +1233,57 @@ def moving_load_force_fn(problem: TrussProblem, path_nodes, speed: float,
     force_fn.host_eval = host_eval
     problem._moving_load_cache = (key, force_fn)
     return force_fn
+
+
+def base_excitation_force_fn(problem: TrussProblem, accel_history,
+                             direction=None, data=None):
+    """force_fn for uniform support (base) acceleration — the seismic
+    time-history complement of response_spectrum.
+
+    Relative-displacement formulation: with every support shaking
+    together at a_g(t), the equation of motion in coordinates RELATIVE
+    to the ground is M u'' + C u' + K u = -M iota a_g(t), where iota is
+    the rigid-body influence vector of the shaking direction (the
+    direction components tiled over the nodes).  The returned solution
+    is therefore displacement relative to the ground, the quantity
+    element forces depend on.  Cached per (problem, history, direction)
+    like moving_load_force_fn — force_fn is a static jit argument, and a
+    fresh closure per call would recompile the time loop.
+    """
+    from ..ops.mass import lumped_mass
+
+    accel_np = np.asarray(accel_history, dtype=float).reshape(-1)
+    dim = problem.dimension
+    dir_np = (np.asarray(direction, dtype=float).reshape(-1)
+              if direction is not None
+              else np.eye(dim)[0])
+    if dir_np.size != dim:
+        raise ValueError(f"direction must have {dim} components, "
+                         f"got {dir_np.size}")
+    key = (id(problem), accel_np.tobytes(), dir_np.tobytes())
+    cache = getattr(problem, "_base_excitation_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    n_nodes = problem.ndof // dim
+    iota = np.tile(dir_np, n_nodes)                        # (ndof,)
+    m = lumped_mass(data, problem.material)
+    miota = -(m * jnp.asarray(iota, dtype))
+    acc = jnp.asarray(accel_np, dtype)
+    n_hist = accel_np.size
+
+    def force_fn(i):
+        return miota * acc[jnp.minimum(i, n_hist - 1)]
+
+    from ..ops.host import host_lumped_mass
+
+    miota_np = -(host_lumped_mass(problem) * iota)
+
+    def host_eval(i):
+        """Numpy twin for the host transient tier."""
+        return miota_np * accel_np[min(int(i), n_hist - 1)]
+
+    force_fn.host_eval = host_eval
+    problem._base_excitation_cache = (key, force_fn)
+    return force_fn

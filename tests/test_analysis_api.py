@@ -391,6 +391,45 @@ def test_http_transient_moving_load(server_port):
     assert status == 500 and "moving load" in body["error"]
 
 
+def test_http_transient_base_excitation(server_port):
+    """Seismic base-excitation JSON contract: -M iota a_g(t) effective
+    forces (relative coordinates) from a sine ground-acceleration
+    history; served from the host tier like every small transient."""
+    n = 6
+    doc = {
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n - 1)],
+        "material": {"young": 2.0, "area": 1.0, "density": 3.0},
+        "loads": [0.0] * n,
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {
+            "dt": 0.05, "n_steps": 400, "record_every": 10,
+            "probe_nodes": [n - 1], "damping": [0.05, 0.0],
+            "load": {"type": "base_acceleration",
+                     "history": {"type": "sine",
+                                 "frequency_hz": 0.3 / (2 * np.pi)},
+                     "scale": 0.5},
+        },
+    }
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["load_type"] == "base_acceleration"
+    assert res["moving_load"] is False
+    u = np.array(res["displacements"])[:, 0]
+    assert np.isfinite(u).all() and np.abs(u).max() > 1e-3
+    # Conflict guard: amplitude + base acceleration is rejected.
+    doc["analysis"]["amplitude"] = {"type": "step"}
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 500 and "base_acceleration load" in body["error"]
+    # Direction must match the problem dimension.
+    del doc["analysis"]["amplitude"]
+    doc["analysis"]["load"]["direction"] = [1.0, 0.0]
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 500 and "direction" in body["error"]
+
+
 def test_transient_checkpoint_resume_api(tmp_path):
     """Checkpoint/resume through the analysis block: a resumed run
     returns exactly the remaining segments of an uninterrupted history."""
