@@ -61,6 +61,16 @@ def _gate(name: str, res: dict) -> None:
         assert res["n_points"] > 0, name
     elif kind == "reduction":
         assert all(np.isfinite(res["reduced_frequencies_hz"])), name
+    elif kind == "identification":
+        # Twin-data recovery, whatever the mode/domain: the identified
+        # values must land on the committed truths.
+        if res.get("mode") == "field":
+            assert res["field_max_rel_error"] < 0.06, name
+        else:
+            assert res["synthetic"] is True, name
+            assert max(res["relative_errors"].values()) < 0.05, name
+        hist = np.asarray(res["loss_history"], dtype=float)
+        assert hist[-1] < 1e-2 * hist[0], name
 
 
 def bench_fresh(path: str, env):
@@ -111,6 +121,7 @@ def bench_warm(path: str, repeats: int):
 
 def write_markdown(rows, backend: str, out_path: str) -> None:
     marker = "<!-- dyn -->"
+    end_marker = "<!-- /dyn -->"
     lines = [
         marker,
         "",
@@ -137,6 +148,7 @@ def write_markdown(rows, backend: str, out_path: str) -> None:
         lines.append(f'| {name} | {e["analysis"]} | {r["value"]:.2f} '
                      f'| {e["warm_inprocess_s"]:.4f} |')
     lines.append("")
+    lines.append(end_marker)
 
     old = ""
     if os.path.exists(out_path):
@@ -144,10 +156,16 @@ def write_markdown(rows, backend: str, out_path: str) -> None:
             old = f.read()
     if marker in old:
         head, _, tail = old.partition(marker)
-        # Replace up to the next section marker (or end).
-        rest = tail.split("<!-- ", 1)
-        tail = ("<!-- " + rest[1]) if len(rest) > 1 else ""
-        new = head + "\n".join(lines) + "\n" + tail
+        # Replace ONLY our own section: cut the tail at the closing
+        # marker (hand-written evidence sections after it survive; a
+        # previous version cut at the next "<!-- " and silently ate
+        # everything to EOF when none followed).
+        if end_marker in tail:
+            tail = tail.partition(end_marker)[2]
+        else:
+            rest = tail.split("<!-- ", 1)
+            tail = ("<!-- " + rest[1]) if len(rest) > 1 else ""
+        new = head + "\n".join(lines) + tail
     else:
         new = old + ("\n" if old and not old.endswith("\n") else "") \
             + "\n".join(lines) + "\n"

@@ -82,6 +82,29 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         # modal/transient solvers instead of the static driver.
         from ..io.analysis import run_analysis
 
+        if (analysis.get("type") == "identification"
+                and not analysis.get("on_device", False)):
+            # Identification below the dense limit runs entirely on the
+            # local CPU tier — but jax.devices("cpu") initializes EVERY
+            # registered platform first, and under the axon attachment
+            # that is a 60-260 s tunnel attach (measured, BENCHMARKS.md
+            # dyn-corpus table before this pin) for a run whose whole
+            # point is to never touch the device.  This CLI process
+            # serves exactly this one document and nothing before this
+            # line initializes a backend (parsing is transfer-free), so
+            # pin the platform list to cpu outright.
+            from ..solvers.newton import DENSE_DOF_LIMIT
+
+            if problem.ndof <= DENSE_DOF_LIMIT:
+                import jax
+
+                try:
+                    jax.config.update("jax_platforms", "cpu")
+                    logger.info("Identification document: pinned "
+                                "jax_platforms=cpu (local tier)")
+                except Exception:
+                    pass  # backends already up: the ctx still works
+
         logger.info("Analysis block: %s", analysis.get("type"))
         output = run_analysis(problem, analysis)
         if output_file is None:
