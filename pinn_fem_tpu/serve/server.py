@@ -300,6 +300,23 @@ def _warmup_docs():
             "dt": 0.05, "n_steps": 20, "params": ["young"],
             "synthetic": {"young": 3.5}, "probe_nodes": [3],
             "n_iter": 3}}),
+        # The other identification modes compile DIFFERENT local-CPU
+        # programs (differentiated FRF sweep, eigensolve, field scan) —
+        # charge each so a cold route stays inside its budget.
+        ("/api/fem/identification", {**chain, "analysis": {
+            "domain": "frequency", "omegas": [0.5, 1.0],
+            "params": ["young"], "synthetic": {"young": 3.5},
+            "probe_nodes": [3], "n_iter": 3, "restarts": 1}}),
+        ("/api/fem/identification", {**chain, "analysis": {
+            "domain": "modal", "params": ["young"],
+            "synthetic": {"young": 3.5, "n_modes": 2},
+            "n_iter": 3}}),
+        ("/api/fem/identification", {**chain, "analysis": {
+            "field": {"name": "young", "hidden_layers": 1,
+                      "neurons_per_layer": 4, "seed": 0},
+            "dt": 0.05, "n_steps": 20,
+            "synthetic": {"young": [3.5, 3.5, 3.5]},
+            "probe_nodes": [3], "n_iter": 3, "include_fit": False}}),
     ]
 
 
