@@ -1260,10 +1260,14 @@ def base_excitation_force_fn(problem: TrussProblem, accel_history,
     if dir_np.size != dim:
         raise ValueError(f"direction must have {dim} components, "
                          f"got {dir_np.size}")
-    key = (id(problem), accel_np.tobytes(), dir_np.tobytes())
+    key = (accel_np.tobytes(), dir_np.tobytes())
     cache = getattr(problem, "_base_excitation_cache", None)
-    if cache is not None and cache[0] == key:
-        return cache[1]
+    # Hold the material REFERENCE in the cache (identity check, not id():
+    # the closure bakes in the lumped mass, so a replaced material must
+    # invalidate — and ids get reused after GC).
+    if (cache is not None and cache[0] == key
+            and cache[1] is problem.material):
+        return cache[2]
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
     n_nodes = problem.ndof // dim
@@ -1285,5 +1289,5 @@ def base_excitation_force_fn(problem: TrussProblem, accel_history,
         return miota_np * accel_np[min(int(i), n_hist - 1)]
 
     force_fn.host_eval = host_eval
-    problem._base_excitation_cache = (key, force_fn)
+    problem._base_excitation_cache = (key, problem.material, force_fn)
     return force_fn

@@ -34,7 +34,8 @@ from ..models.problem import TrussProblem
 from ..ops.assembly import assemble_system
 from ..ops.mass import lumped_mass
 from .phases import ADAM
-from .transient_inverse import _DAMP_PARAMS, _PARAM_ORDER, _scalar_value
+from .transient_inverse import (_DAMP_PARAMS, _PARAM_ORDER,
+                                _reject_ea_pair, _scalar_value)
 
 
 @jax.jit
@@ -112,6 +113,7 @@ def identify_from_frf(
     for p in params:
         if p not in _PARAM_ORDER + _DAMP_PARAMS:
             raise ValueError(f"unknown parameter {p!r}")
+    _reject_ea_pair(params)
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
     om = jnp.asarray(np.asarray(omegas, dtype=float).reshape(-1), dtype)

@@ -34,7 +34,8 @@ from ..models.fields import Material, ScalarField
 from ..models.problem import TrussProblem
 from .modal import modal_eigenpairs
 from .phases import ADAM
-from .transient_inverse import _PARAM_ORDER, _scalar_value
+from .transient_inverse import (_PARAM_ORDER, _reject_ea_pair,
+                                _scalar_value)
 
 _STIFF_PARAMS = ("young", "area")
 
@@ -86,6 +87,7 @@ def identify_from_modal(
         if p not in _PARAM_ORDER:
             raise ValueError(f"unknown parameter {p!r} (damping is "
                              "invisible to undamped frequencies)")
+    _reject_ea_pair(params)
     has_stiff = any(p in _STIFF_PARAMS for p in params)
     if has_stiff and "density" in params and measured_shapes2 is None:
         raise ValueError(

@@ -40,6 +40,19 @@ _PARAM_ORDER = ("young", "area", "density")
 _DAMP_PARAMS = ("alpha", "beta")
 
 
+def _reject_ea_pair(params):
+    """E and A enter the truss physics ONLY as the product EA (stiffness
+    s = EA/L0; even the mass is rho*A*L0, so A pairs with rho the same
+    way) — identifying both from response data of any domain is exactly
+    degenerate, and the optimizer would return an arbitrary split.
+    Every identification route refuses the pair up front."""
+    if "young" in params and "area" in params:
+        raise ValueError(
+            "young and area are not separately identifiable (only the "
+            "product EA enters the physics); identify one and fix the "
+            "other")
+
+
 @partial(jax.jit, static_argnames=("n_steps", "record_every"))
 def _probe_history(k, m, mask, loads, amp, dt, alpha, beta, probe,
                    n_steps: int, record_every: int):
@@ -131,6 +144,7 @@ def identify_from_transient(
     for p in params:
         if p not in _PARAM_ORDER + _DAMP_PARAMS:
             raise ValueError(f"unknown parameter {p!r}")
+    _reject_ea_pair(params)
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
     amplitude = (np.ones(n_steps) if amplitude is None

@@ -66,6 +66,28 @@ def test_stiffness_and_density_need_shape_data():
     np.testing.assert_allclose(ident["density"], 3.0, rtol=1e-2)
 
 
+def test_ea_pair_rejected_in_every_domain():
+    """E and A enter the physics only as EA — all three identification
+    routes refuse the degenerate pair up front."""
+    from pinn_fem_tpu.solvers.frequency_inverse import identify_from_frf
+    from pinn_fem_tpu.solvers.transient_inverse import \
+        identify_from_transient
+
+    p = chain()
+    f_hz, _ = _truth_data()
+    for call in (
+        lambda: identify_from_modal(p, f_hz, params=("young", "area")),
+        lambda: identify_from_frf(p, np.ones((4, 2)),
+                                  [0.1, 0.2, 0.3, 0.4], SENSORS[:2],
+                                  params=("young", "area")),
+        lambda: identify_from_transient(p, np.zeros((10, 2)), 0.05, 10,
+                                        np.array([2, 4]),
+                                        params=("young", "area")),
+    ):
+        with pytest.raises(ValueError, match="not separately"):
+            call()
+
+
 def test_input_errors():
     f_hz, s2 = _truth_data()
     p = chain()
