@@ -131,6 +131,31 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runQuake = async () => {
+    // Seismic demo: sine ground acceleration on every support
+    // (base_acceleration load spec, relative coordinates).
+    setMessage('Shaking the supports…');
+    try {
+      const problem = baseProblem();
+      const probes = probeNodes(problem);
+      problem.analysis = {
+        type: 'transient', dt: 'auto', n_steps: 4000, record_every: 20,
+        damping: [0.05, 0.0], probe_nodes: probes,
+        load: { type: 'base_acceleration',
+                history: { type: 'sine', frequency_hz: 0.05 },
+                direction: [1, 0], scale: 1.0 },
+      };
+      const r = await post('transient', problem);
+      setKind('transient'); setRows([]); setShapes(null);
+      setChart({ xs: r.times, series: r.displacements });
+      setMessage(`Base excitation: ${r.n_steps} steps `
+        + `(dt=${r.dt.toExponential(2)}); chart: displacement RELATIVE `
+        + `to the ground at nodes ${probes.join(', ')}`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const sweep = async (which) => {
     setMessage(which === 'random'
       ? 'Integrating response PSD…' : 'Sweeping frequencies…');
@@ -276,6 +301,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runReduction}>Reduction ▶</button>
         <button onClick={runIdentify}>Identify ▶</button>
         <button onClick={runIdentifyField}>Identify E(x) ▶</button>
+        <button onClick={runQuake}>Quake ▶</button>
       </div>
       <table>
         <tbody>

@@ -445,6 +445,45 @@ function drawTimeSeries(times, series) {
 document.getElementById("transient-btn").addEventListener("click",
                                                           runTransient);
 
+async function runQuake() {
+  // Seismic demo: a sine ground acceleration shakes every support in x
+  // (base_acceleration load spec, relative coordinates — the
+  // time-history complement of the response-spectrum analysis); the
+  // chart shows the probes' relative displacement.
+  const status = document.getElementById("dyn-status");
+  const probeNodes = state.nodes
+    .map((n, i) => ((n.fx || n.fy) ? i : -1)).filter((i) => i >= 0);
+  if (!probeNodes.length && state.nodes.length) {
+    probeNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Shaking the supports…";
+  try {
+    const problem = buildProblem();
+    problem.analysis = {
+      type: "transient", dt: "auto", n_steps: 4000, record_every: 20,
+      damping: [0.05, 0.0], probe_nodes: probeNodes,
+      load: { type: "base_acceleration",
+              history: { type: "sine", frequency_hz: 0.05 },
+              direction: [1, 0], scale: 1.0 },
+    };
+    const resp = await fetch("/api/fem/transient", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "transient failed");
+    const r = data.result;
+    drawTimeSeries(r.times, r.displacements);
+    status.textContent = `Base excitation (${r.load_type}): ${r.n_steps} `
+      + `steps (dt=${r.dt.toExponential(2)}); chart: displacement `
+      + "RELATIVE to the ground at nodes " + probeNodes.join(", ");
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("quake-btn").addEventListener("click", runQuake);
+
 async function runHarmonic() {
   const status = document.getElementById("dyn-status");
   const probeNodes = state.nodes

@@ -311,6 +311,31 @@ def test_static_ui_identify_payload_served():
     assert hist[-1] < 1e-2 * hist[0]
 
 
+def test_ui_quake_payload_served():
+    """The Quake buttons' POST body (app.js runQuake / DynamicsPanel
+    runQuake): sine base acceleration in x, relative-coordinate
+    response — both UIs send the identical analysis block, pinned here
+    through the live handler on both fixtures."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    for fixture in ("ui_payload_modal.json", "ui_payload_react_dynamics.json"):
+        base = load_fixture(fixture)
+        base["solver_type"] = "fem"
+        base.pop("analysis", None)
+        out = _solve_analysis("transient")({**base, "analysis": {
+            "type": "transient", "dt": "auto", "n_steps": 4000,
+            "record_every": 20, "damping": [0.05, 0.0],
+            "probe_nodes": [3],
+            "load": {"type": "base_acceleration",
+                     "history": {"type": "sine", "frequency_hz": 0.05},
+                     "direction": [1, 0], "scale": 1.0},
+        }})
+        assert out["success"], fixture
+        assert out["load_type"] == "base_acceleration"
+        u = np.asarray(out["displacements"])
+        assert np.isfinite(u).all() and np.abs(u).max() > 1e-6, fixture
+
+
 def _field_payload(base):
     """The Identify E(x) buttons' POST body (app.js runIdentifyField /
     DynamicsPanel runIdentifyField): a linear E(x) gradient rising 50%
