@@ -10,13 +10,17 @@ the reference-compatible JSON CLI contract.
 
 Beyond the reference's statics: transient dynamics (explicit / Newmark /
 exact modal superposition; geometric nonlinearity; ensembles; distributed
-shard_map integration; checkpoint/resume), modal analysis (+prestress),
-linearized buckling, harmonic / response-spectrum / random-vibration
-analysis, arc-length (Riks) continuation through limit points, thermal
-loads, support settlement, Guyan / Craig-Bampton reduction, and
-time-domain material identification by the discrete adjoint — every
-capability validated against closed forms (PARITY.md) and served through
-the same CLI / HTTP / UI tiers as the statics.
+shard_map integration; checkpoint/resume; moving loads and seismic base
+excitation), modal analysis (+prestress), linearized buckling, harmonic /
+response-spectrum / random-vibration analysis, arc-length (Riks)
+continuation through limit points, thermal loads, support settlement,
+Guyan / Craig-Bampton reduction, and an identification family spanning
+three data domains — transient trajectories (discrete adjoint through
+the integrator, incl. Rayleigh damping and spatial MLP property fields),
+FRF amplitude sweeps (multi-start log-amplitude fitting), and extracted
+natural frequencies (EMA, with the EA/rho scaling degeneracies enforced)
+— every capability validated against closed forms (PARITY.md) and served
+through the same CLI / HTTP / UI tiers as the statics.
 """
 
 from .utils.runtime import configure
