@@ -231,6 +231,64 @@ def test_identify_young_profile_2d():
     np.testing.assert_allclose(vals, true_e, rtol=0.08)
 
 
+def test_identify_young_profile_3d():
+    """Full dimensional generality: E(z) growing with height over a
+    3-story 4-leg 3D lattice tower (48 elements) recovered with an
+    input_dim=3 spatial net from the stories' lateral histories
+    (measured 2.2% worst-case on this exact configuration)."""
+    from pinn_fem_tpu.models.fields import (make_mlp_field,
+                                            point_inputs_dict_order)
+
+    stories, width, h = 3, 1.0, 1.0
+    nodes = []
+    for s in range(stories + 1):
+        for cx, cy in ((0, 0), (width, 0), (width, width), (0, width)):
+            nodes.append([cx, cy, s * h])
+    nodes = np.array(nodes, float)
+
+    def nid(s, c):
+        return 4 * s + c
+
+    elements = []
+    for s in range(stories):
+        lo = [nid(s, c) for c in range(4)]
+        hi = [nid(s + 1, c) for c in range(4)]
+        for c in range(4):
+            elements += [[lo[c], hi[c]], [hi[c], hi[(c + 1) % 4]],
+                         [lo[c], hi[(c + 1) % 4]],
+                         [lo[(c + 1) % 4], hi[c]]]
+    elements = np.array(elements)
+    nnode = len(nodes)
+    loads = np.zeros(3 * nnode)
+    for c in range(4):
+        loads[3 * (nnode - 4 + c)] = 1.0    # lateral +x at the top ring
+    mids = 0.5 * (nodes[elements[:, 0]] + nodes[elements[:, 1]])
+    true_e = 1.0 + mids[:, 2] / mids[:, 2].max()   # E grows with height
+
+    nn = make_mlp_field(jax.random.PRNGKey(0), hidden_layers=1,
+                        neurons_per_layer=8, input_dim=3, scale=1.5)
+    prob = TrussProblem(nodes, elements,
+                        Material(young=nn, area=1.0, density=1.0),
+                        loads, np.arange(12), 3)   # base ring fixed
+
+    dt, n_steps = 0.04, 800
+    probe = np.asarray([3 * nid(s, c) for s in range(1, stories + 1)
+                        for c in range(4)])
+    amp = np.ones(n_steps)
+    meas = np.asarray(jax.device_get(transient_probe_response_elem(
+        prob, true_e, 1.0, 1.0, dt, n_steps, amp, probe,
+        damping=(0.05, 0.0))))
+
+    trained, hist = identify_field_from_transient(
+        prob, meas, dt, n_steps, probe, field="young",
+        amplitude=amp, damping=(0.05, 0.0), n_iter=1500,
+        learning_rate=0.03)
+    assert hist[-1] < 1e-3 * hist[0], (hist[0], hist[-1])
+    vals = np.asarray(trained.eval_batch(
+        point_inputs_dict_order(mids, 3, 1.0)))
+    np.testing.assert_allclose(vals, true_e, rtol=0.06)
+
+
 def test_identify_field_requires_mlp():
     p = chain()
     with pytest.raises(ValueError, match="MLPField"):
