@@ -62,6 +62,7 @@ from .solvers.buckling import (  # noqa: E402
 )
 from .solvers.dynamics import (  # noqa: E402
     TransientResult,
+    base_excitation_force_fn,
     moving_load_force_fn,
     solve_transient,
     solve_transient_checkpointed,
@@ -108,6 +109,7 @@ from .solvers.frequency_inverse import (  # noqa: E402
     identify_from_frf,
 )
 from .solvers.modal_inverse import (  # noqa: E402
+    identify_field_from_modal,
     identify_from_modal,
     modal_observables,
 )
@@ -151,6 +153,7 @@ __all__ = [
     "thermal_free_strains",
     "solve_transient",
     "solve_transient_checkpointed",
+    "base_excitation_force_fn",
     "moving_load_force_fn",
     "stable_dt",
     "TransientResult",
@@ -167,6 +170,7 @@ __all__ = [
     "frf_probe_amplitudes",
     "identify_field_from_transient",
     "identify_from_frf",
+    "identify_field_from_modal",
     "identify_from_modal",
     "modal_observables",
     "identify_from_transient",

@@ -983,6 +983,203 @@ def _run_field_identification(problem, analysis: Dict, n_steps: int,
     return out
 
 
+def _run_modal_field_identification(problem, analysis: Dict) -> Dict:
+    """Field mode of the modal-domain block
+    (solvers/modal_inverse.identify_field_from_modal): a spatial MLP
+    profile — canonically rho(x), which no static method sees at all —
+    recovered from natural frequencies plus phi^2 sensor rows
+    (examples/modal_identification.py's workflow, productized).
+
+    Contract (the modal sibling of the transient field mode):
+
+        "analysis": {"type": "identification", "domain": "modal",
+                     "field": {"name": "density", "hidden_layers": 1,
+                               "neurons_per_layer": 8,
+                               "input_dim": <problem dim>,
+                               "scale": <mean of current field>,
+                               "seed": 0},
+                     "sensor_nodes": [..] | "sensor_dofs": [..],  # REQUIRED
+                     "measured_frequencies_hz": [..k..]
+                       + "measured_shapes2": [[..], ..]  # (n_sensor, k)
+                       | "synthetic": {"density":
+                                           [..nelm true values..] | rho,
+                                       "n_modes": 6, "noise": 0.0,
+                                       "seed": 0},
+                     "n_iter": 800, "learning_rate": 0.02}
+    """
+    import contextlib
+
+    import jax as _jax
+
+    from ..models.fields import make_mlp_field, point_inputs_dict_order
+    from ..ops.host import _assembly_inputs, eval_field_host
+    from ..solvers.modal_inverse import (identify_field_from_modal,
+                                         modal_observables,
+                                         modal_observables_elem)
+    from ..solvers.transient_inverse import _PARAM_ORDER
+
+    spec = analysis["field"]
+    if isinstance(spec, str):
+        spec = {"name": spec}
+    if not isinstance(spec, dict):
+        raise ValueError('"field" must be an object (or a field name)')
+    name = spec.get("name", "density")
+    if name not in _PARAM_ORDER:
+        raise ValueError(f'field.name must be among {list(_PARAM_ORDER)}, '
+                         f'got {name!r}')
+    unknown = set(spec) - {"name", "hidden_layers", "neurons_per_layer",
+                           "input_dim", "scale", "seed"}
+    if unknown:
+        raise ValueError(f"unknown field keys: {sorted(unknown)}")
+
+    sensors = None
+    if "sensor_dofs" in analysis or "sensor_nodes" in analysis:
+        sensors = _probe_dofs({"probe_dofs": analysis["sensor_dofs"]}
+                              if "sensor_dofs" in analysis
+                              else {"probe_nodes":
+                                    analysis["sensor_nodes"]}, problem)
+    if sensors is None:
+        raise ValueError(
+            "modal field identification needs sensor_nodes/sensor_dofs "
+            "(frequencies alone underdetermine a spatial profile)")
+
+    nelm = len(problem.elements)
+    x_mid = _assembly_inputs(problem, 1.0)
+    cur = {p: np.asarray(eval_field_host(getattr(problem.material, p),
+                                         x_mid), dtype=float)
+           for p in _PARAM_ORDER}
+
+    measured = analysis.get("measured_frequencies_hz")
+    synthetic = analysis.get("synthetic")
+    if synthetic is not None and not isinstance(synthetic, dict):
+        raise ValueError('"synthetic" must be an object of true '
+                         'parameter values')
+    if (measured is None) == (synthetic is None):
+        raise ValueError('modal identification needs exactly one of '
+                         '"measured_frequencies_hz" or "synthetic"')
+
+    true_e = None
+    if synthetic is not None:
+        unknown = set(synthetic) - {name, "n_modes", "noise", "seed"}
+        if unknown:
+            raise ValueError(
+                f'field-mode synthetic takes only "{name}", "n_modes", '
+                f'"noise" and "seed"; got {sorted(unknown)}')
+        if name not in synthetic:
+            raise ValueError(f'field-mode synthetic must provide the '
+                             f'true "{name}" profile')
+        tv = synthetic[name]
+        true_e = (np.full(nelm, float(tv)) if np.isscalar(tv)
+                  else np.asarray(tv, dtype=float))
+        if true_e.shape != (nelm,):
+            raise ValueError(f"true {name} profile must have one value "
+                             f"per element ({nelm}), got {true_e.shape}")
+        if not (np.all(np.isfinite(true_e)) and np.all(true_e > 0)):
+            raise ValueError(f"true {name} values must be positive finite")
+
+    if analysis.get("on_device", False):
+        ctx = None
+    else:
+        try:  # local-CPU tier (run_identification docstring)
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except RuntimeError:
+            ctx = None
+
+    with ctx if ctx is not None else contextlib.nullcontext():
+        noise_rel = 0.0
+        if true_e is not None:
+            vals = dict(cur)
+            vals[name] = true_e
+            n_modes = int(synthetic.get("n_modes", 6))
+            lam, s2 = modal_observables_elem(
+                problem, vals["young"], vals["area"], vals["density"],
+                n_modes, sensor_dofs=sensors)
+            lam = np.asarray(_jax.device_get(lam))
+            f_meas = np.sqrt(np.maximum(lam, 0.0)) / (2.0 * np.pi)
+            shapes2 = np.asarray(_jax.device_get(s2))
+            noise_rel = float(synthetic.get("noise", 0.0))
+            if noise_rel:
+                rng = np.random.default_rng(int(synthetic.get("seed", 0)))
+                f_meas = f_meas * (1.0 + noise_rel
+                                   * rng.standard_normal(f_meas.shape))
+                shapes2 = np.abs(shapes2 * (
+                    1.0 + noise_rel
+                    * rng.standard_normal(shapes2.shape)))
+        else:
+            f_meas = np.asarray(measured, dtype=float).reshape(-1)
+            shapes2 = analysis.get("measured_shapes2")
+            if shapes2 is None:
+                raise ValueError('modal field identification needs '
+                                 '"measured_shapes2" alongside the '
+                                 'measured frequencies')
+            shapes2 = np.asarray(shapes2, dtype=float)
+
+        nn = make_mlp_field(
+            _jax.random.PRNGKey(int(spec.get("seed", 0))),
+            hidden_layers=int(spec.get("hidden_layers", 1)),
+            neurons_per_layer=int(spec.get("neurons_per_layer", 8)),
+            input_dim=int(spec.get("input_dim", problem.dimension)),
+            scale=float(spec.get("scale",
+                                 max(float(np.mean(cur[name])), 1e-12))))
+        trained, hist = identify_field_from_modal(
+            problem, f_meas, sensor_dofs=sensors,
+            measured_shapes2=shapes2, field=name, nn_field=nn,
+            n_iter=int(analysis.get("n_iter", 800)),
+            learning_rate=float(analysis.get("learning_rate", 0.02)))
+
+        dim = problem.dimension
+        centroids = problem.element_midpoints()
+        node_coords = problem.node_coords_2d
+        vals_e = np.asarray(trained.eval_batch(
+            point_inputs_dict_order(centroids, dim, 1.0)), dtype=float)
+        vals_n = np.asarray(trained.eval_batch(
+            point_inputs_dict_order(node_coords, dim, 1.0)), dtype=float)
+
+        def _coords(c):
+            c = np.asarray(c)
+            return (c.reshape(-1).tolist() if dim == 1 else c.tolist())
+
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "domain": "modal",
+            "mode": "field",
+            "field": name,
+            "identified_field": {
+                "at_nodes": {"coords": _coords(problem.nodes if dim == 1
+                                               else node_coords),
+                             "values": vals_n.tolist()},
+                "at_elements": {"centroids": _coords(centroids),
+                                "values": vals_e.tolist()},
+                "type": "nn",
+                "input_dim": nn.input_dim,
+            },
+            "measured_frequencies_hz": np.asarray(f_meas).tolist(),
+            "sensor_dofs": sensors.tolist(),
+            "n_iter": len(hist),
+            "final_loss": float(hist[-1]),
+            "loss_history": hist.tolist(),
+        }
+        if true_e is not None:
+            rel = np.abs(vals_e - true_e) / np.abs(true_e)
+            out["synthetic"] = True
+            out["true_values"] = true_e.tolist()
+            out["noise"] = noise_rel
+            out["field_max_rel_error"] = float(np.max(rel))
+            out["field_rmse_rel"] = float(np.sqrt(np.mean(rel * rel)))
+        # Fitted spectrum with the trained field in place.
+        fit_mat = problem.material.replace(**{name: trained})
+        lam_fit, _ = modal_observables(problem, fit_mat, len(f_meas),
+                                       sensor_dofs=None)
+        lam_fit = np.asarray(_jax.device_get(lam_fit))
+        f_fit = np.sqrt(np.maximum(lam_fit, 0.0)) / (2.0 * np.pi)
+        out["fitted_frequencies_hz"] = f_fit.tolist()
+        out["frequency_rel_error"] = (
+            np.abs(f_fit - f_meas) / np.maximum(np.abs(f_meas), 1e-30)
+        ).tolist()
+    return out
+
+
 def _run_modal_identification(problem, analysis: Dict) -> Dict:
     """Modal-domain identification block (solvers/modal_inverse.py):
     parameters fitted to extracted natural frequencies — the
@@ -1026,6 +1223,15 @@ def _run_modal_identification(problem, analysis: Dict) -> Dict:
             f"modal-domain identification is dense-only "
             f"({problem.ndof} DOFs > {DENSE_DOF_LIMIT}); identify on a "
             f"coarser model of the structure")
+    if analysis.get("field") is not None:
+        # Field mode: a spatial MLP profile (canonically rho(x)) from
+        # frequencies + phi^2 sensors (see
+        # _run_modal_field_identification).
+        if "params" in analysis:
+            raise ValueError('"params" and "field" are mutually '
+                             'exclusive: field mode recovers one spatial '
+                             'profile, not scalar parameters')
+        return _run_modal_field_identification(problem, analysis)
     params = tuple(analysis.get("params", ["young"]))
     for p in params:
         if p not in _PARAM_ORDER:
@@ -1390,13 +1596,15 @@ def run_identification(problem, analysis: Dict) -> Dict:
                                              transient_probe_response)
 
     domain = analysis.get("domain", "time")
-    if domain in ("frequency", "modal"):
+    if domain == "frequency":
         if analysis.get("field") is not None:
-            raise ValueError("field mode is time-domain only")
-        if domain == "frequency":
-            # FRF-amplitude fitting (see _run_frf_identification).
-            return _run_frf_identification(problem, analysis)
-        # Extracted-frequency fitting (see _run_modal_identification).
+            raise ValueError("field mode supports the time and modal "
+                             "domains, not FRF fitting")
+        # FRF-amplitude fitting (see _run_frf_identification).
+        return _run_frf_identification(problem, analysis)
+    if domain == "modal":
+        # Extracted-frequency fitting, scalar or field (see
+        # _run_modal_identification).
         return _run_modal_identification(problem, analysis)
     if domain != "time":
         raise ValueError(f'identification domain must be "time", '

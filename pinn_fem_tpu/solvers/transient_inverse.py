@@ -237,9 +237,10 @@ def transient_probe_response_elem(problem: TrussProblem, young_e, area_e,
 
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
-    young_e = jnp.asarray(young_e, dtype)
-    area_e = jnp.broadcast_to(jnp.asarray(area_e, dtype), young_e.shape)
-    rho_e = jnp.broadcast_to(jnp.asarray(rho_e, dtype), young_e.shape)
+    nelm = data.dof_map.shape[0]
+    young_e = jnp.broadcast_to(jnp.asarray(young_e, dtype), (nelm,))
+    area_e = jnp.broadcast_to(jnp.asarray(area_e, dtype), (nelm,))
+    rho_e = jnp.broadcast_to(jnp.asarray(rho_e, dtype), (nelm,))
 
     u_e = jnp.zeros(data.dof_map.shape, dtype)
     elem = truss_linear_batch(data.gvec, data.inv_len, u_e, young_e, area_e)

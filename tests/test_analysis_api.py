@@ -811,12 +811,12 @@ def test_frequency_identification_input_errors(server_port):
                                 "probe_dofs": [2]}}
     status, body = _post(server_port, "/api/fem/identification", doc)
     assert status == 500 and "measured_amplitude must be" in body["error"]
-    # field mode is time-domain only.
+    # field mode does not apply to FRF fitting.
     doc = {**base, "analysis": {"domain": "frequency", "omegas": om,
                                 "field": "young",
                                 "synthetic": {"young": 2.0}}}
     status, body = _post(server_port, "/api/fem/identification", doc)
-    assert status == 500 and "time-domain only" in body["error"]
+    assert status == 500 and "not FRF fitting" in body["error"]
     # Unknown domain.
     doc = {**base, "analysis": {"domain": "laplace", "dt": 0.05,
                                 "n_steps": 10,
@@ -856,6 +856,42 @@ def test_http_modal_identification(server_port):
     doc["analysis"].pop("sensor_nodes")
     status, body = _post(server_port, "/api/fem/identification", doc)
     assert status == 500 and "RATIO" in body["error"]
+
+
+def test_http_modal_field_identification(server_port):
+    """Modal-domain FIELD mode over HTTP: a linear rho(x) profile
+    recovered from synthetic frequencies + phi^2 sensors."""
+    n = 11
+    mids = [0.5 + i for i in range(n - 1)]
+    true_rho = [1.0 + m / mids[-1] for m in mids]
+    doc = {
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n - 1)],
+        "material": {"young": 2.0, "area": 1.0, "density": 1.5},
+        "loads": [0.0] * (n - 1) + [1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+        "analysis": {"type": "identification", "domain": "modal",
+                     "field": {"name": "density", "hidden_layers": 1,
+                               "neurons_per_layer": 8, "input_dim": 1,
+                               "scale": 1.5, "seed": 0},
+                     "sensor_nodes": list(range(1, n)),
+                     "synthetic": {"density": true_rho, "n_modes": 6},
+                     "n_iter": 1500, "learning_rate": 0.02},
+    }
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["domain"] == "modal"
+    assert res["mode"] == "field" and res["field"] == "density"
+    vals = np.asarray(res["identified_field"]["at_elements"]["values"])
+    np.testing.assert_allclose(vals, np.asarray(true_rho), rtol=0.05)
+    assert res["field_max_rel_error"] < 0.05
+    assert max(res["frequency_rel_error"]) < 5e-3
+    # Field mode without sensors must refuse with the physics.
+    doc["analysis"].pop("sensor_nodes")
+    status, body = _post(server_port, "/api/fem/identification", doc)
+    assert status == 500 and "underdetermine" in body["error"]
 
 
 def test_http_field_identification(server_port):

@@ -66,6 +66,48 @@ def test_stiffness_and_density_need_shape_data():
     np.testing.assert_allclose(ident["density"], 3.0, rtol=1e-2)
 
 
+def test_identify_density_field_from_modal():
+    """rho(x) — invisible to every static method — recovered as an MLP
+    field from 6 frequencies + phi^2 sensor rows (the
+    examples/modal_identification.py workflow productized; measured
+    0.7% worst-case on this exact configuration)."""
+    from pinn_fem_tpu.models.fields import (make_mlp_field,
+                                            point_inputs_dict_order)
+    from pinn_fem_tpu.solvers.modal_inverse import (
+        identify_field_from_modal, modal_observables_elem)
+
+    n = 11
+    nodes = np.arange(n, dtype=float)
+    el = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    loads = np.zeros(n)
+    loads[-1] = 1.0
+    mids = 0.5 * (nodes[:-1] + nodes[1:])
+    true_rho = 1.0 + mids / mids.max()
+
+    nn = make_mlp_field(jax.random.PRNGKey(0), hidden_layers=1,
+                        neurons_per_layer=8, input_dim=1, scale=1.5)
+    prob = TrussProblem(nodes, el,
+                        Material(young=2.0, area=1.0, density=nn),
+                        loads, np.array([0]), 1)
+    sensors = np.arange(1, n)
+    lam, s2 = modal_observables_elem(prob, 2.0, 1.0, true_rho, 6,
+                                     sensor_dofs=sensors)
+    lam, s2 = jax.device_get((lam, s2))
+    f_hz = np.sqrt(np.asarray(lam)) / (2 * np.pi)
+
+    trained, hist = identify_field_from_modal(
+        prob, f_hz, sensor_dofs=sensors, measured_shapes2=s2,
+        field="density", n_iter=1500, learning_rate=0.02)
+    assert hist[-1] < 1e-3 * hist[0], (hist[0], hist[-1])
+    vals = np.asarray(trained.eval_batch(
+        point_inputs_dict_order(mids[:, None], 1, 1.0)))
+    np.testing.assert_allclose(vals, true_rho, rtol=0.05)
+
+    # Frequencies alone must be refused for a field profile.
+    with pytest.raises(ValueError, match="underdetermines"):
+        identify_field_from_modal(prob, f_hz, field="density")
+
+
 def test_ea_pair_rejected_in_every_domain():
     """E and A enter the physics only as EA — all three identification
     routes refuse the degenerate pair up front."""
