@@ -181,6 +181,45 @@ def test_identify_young_profile():
     np.testing.assert_allclose(vals, true_e, rtol=0.06)
 
 
+def test_identify_density_profile():
+    """The field inverse reaches the MASS side too: rho(x) — invisible
+    to statics — recovered from the same four probes' histories
+    (measured 5.3% worst-case; looser than the modal-domain route's
+    0.7%, as forced-response data carries weaker mass information)."""
+    from pinn_fem_tpu.models.fields import (make_mlp_field,
+                                            point_inputs_direct)
+
+    n_nodes = 9
+    nodes = np.arange(n_nodes, dtype=float)
+    elements = np.stack([np.arange(n_nodes - 1), np.arange(1, n_nodes)], 1)
+    loads = np.zeros(n_nodes)
+    loads[-1] = 1.0
+    mids = 0.5 * (nodes[:-1] + nodes[1:])
+    true_rho = 1.0 + mids / mids.max()
+
+    nn = make_mlp_field(jax.random.PRNGKey(0), hidden_layers=1,
+                        neurons_per_layer=8, input_dim=1, scale=1.5)
+    prob = TrussProblem(nodes, elements,
+                        Material(young=2.0, area=1.0, density=nn),
+                        loads, np.array([0]), 1)
+
+    dt, n_steps = 0.04, 800
+    probe = np.array([2, 4, 6, 8])
+    amp = np.ones(n_steps)
+    meas = np.asarray(jax.device_get(transient_probe_response_elem(
+        prob, 2.0, 1.0, true_rho, dt, n_steps, amp, probe,
+        damping=(0.05, 0.0))))
+
+    trained, hist = identify_field_from_transient(
+        prob, meas, dt, n_steps, probe, field="density",
+        amplitude=amp, damping=(0.05, 0.0), n_iter=1200,
+        learning_rate=0.03)
+    assert hist[-1] < 1e-2 * hist[0], (hist[0], hist[-1])
+    vals = np.asarray(trained.eval_batch(
+        point_inputs_direct(mids[:, None], 1)))
+    np.testing.assert_allclose(vals, true_rho, rtol=0.10)
+
+
 def test_identify_young_profile_2d():
     """Generality beyond chains: E(x, y) growing with height over a 2D
     braced tower (20 elements), recovered from the story nodes' lateral
