@@ -212,4 +212,6 @@ def test_warmup_covers_all_routes():
         warmup(quiet=False)
     out = buf.getvalue()
     assert "FAILED" not in out, out
-    assert out.count("warmup ") == len(covered)
+    # One line per warmup DOC (a route may warm several program
+    # families — identification charges all four).
+    assert out.count("warmup ") == len(_warmup_docs())
