@@ -1250,8 +1250,6 @@ def base_excitation_force_fn(problem: TrussProblem, accel_history,
     like moving_load_force_fn — force_fn is a static jit argument, and a
     fresh closure per call would recompile the time loop.
     """
-    from ..ops.mass import lumped_mass
-
     accel_np = np.asarray(accel_history, dtype=float).reshape(-1)
     dim = problem.dimension
     dir_np = (np.asarray(direction, dtype=float).reshape(-1)
@@ -1268,21 +1266,25 @@ def base_excitation_force_fn(problem: TrussProblem, accel_history,
     if (cache is not None and cache[0] == key
             and cache[1] is problem.material):
         return cache[2]
-    data = data if data is not None else problem.to_device()
-    dtype = data.loads.dtype
+    from ..ops.host import host_lumped_mass
+    from ..utils.runtime import default_dtype
+
     n_nodes = problem.ndof // dim
     iota = np.tile(dir_np, n_nodes)                        # (ndof,)
-    m = lumped_mass(data, problem.material)
-    miota = -(m * jnp.asarray(iota, dtype))
+    # -M iota from the HOST mass (numpy mirror of lumped_mass,
+    # tests/test_host.py pins them 1:1): building it with the device op
+    # dispatched an EAGER scatter program — a ~10 s remote compile on
+    # the attachment for a request the host tier then serves with zero
+    # device work (measured in BENCHMARKS.md's transcript).  The traced
+    # path below only ever sees the resulting constant array.
+    dtype = (data.loads.dtype if data is not None else default_dtype())
+    miota_np = -(host_lumped_mass(problem) * iota)
+    miota = jnp.asarray(miota_np, dtype)
     acc = jnp.asarray(accel_np, dtype)
     n_hist = accel_np.size
 
     def force_fn(i):
         return miota * acc[jnp.minimum(i, n_hist - 1)]
-
-    from ..ops.host import host_lumped_mass
-
-    miota_np = -(host_lumped_mass(problem) * iota)
 
     def host_eval(i):
         """Numpy twin for the host transient tier."""
