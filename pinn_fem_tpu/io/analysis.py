@@ -773,6 +773,23 @@ def run_reduction(problem, analysis: Dict) -> Dict:
     return out
 
 
+def _local_cpu_ctx(analysis: Dict):
+    """Context manager for the identification family's LOCAL-CPU tier
+    (run_identification docstring): jit on the host CPU backend unless
+    "on_device" opts back into the default accelerator.  Falls back to a
+    null context when no cpu backend exists."""
+    import contextlib
+
+    import jax as _jax
+
+    if analysis.get("on_device", False):
+        return contextlib.nullcontext()
+    try:
+        return _jax.default_device(_jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
+
+
 def _run_field_identification(problem, analysis: Dict, n_steps: int,
                               record_every: int, n_rec: int, damping,
                               synthetic_spec) -> Dict:
@@ -804,7 +821,6 @@ def _run_field_identification(problem, analysis: Dict, n_steps: int,
     recovered field at the nodes and element centroids in the
     identified_properties "at_nodes"/"at_elements" shape (io/results.py)
     plus per-element relative errors against the truth."""
-    import contextlib
 
     import jax as _jax
 
@@ -882,15 +898,7 @@ def _run_field_identification(problem, analysis: Dict, n_steps: int,
     probe = _probe_dofs(analysis, problem)
     amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
 
-    if analysis.get("on_device", False):
-        ctx = None
-    else:
-        try:  # local-CPU tier (run_identification docstring)
-            ctx = _jax.default_device(_jax.devices("cpu")[0])
-        except RuntimeError:
-            ctx = None
-
-    with ctx if ctx is not None else contextlib.nullcontext():
+    with _local_cpu_ctx(analysis):
         noise_rel = 0.0
         if true_e is not None:
             vals = dict(cur)
@@ -1007,7 +1015,6 @@ def _run_modal_field_identification(problem, analysis: Dict) -> Dict:
                                        "seed": 0},
                      "n_iter": 800, "learning_rate": 0.02}
     """
-    import contextlib
 
     import jax as _jax
 
@@ -1077,15 +1084,7 @@ def _run_modal_field_identification(problem, analysis: Dict) -> Dict:
         if not (np.all(np.isfinite(true_e)) and np.all(true_e > 0)):
             raise ValueError(f"true {name} values must be positive finite")
 
-    if analysis.get("on_device", False):
-        ctx = None
-    else:
-        try:  # local-CPU tier (run_identification docstring)
-            ctx = _jax.default_device(_jax.devices("cpu")[0])
-        except RuntimeError:
-            ctx = None
-
-    with ctx if ctx is not None else contextlib.nullcontext():
+    with _local_cpu_ctx(analysis):
         noise_rel = 0.0
         if true_e is not None:
             vals = dict(cur)
@@ -1209,7 +1208,6 @@ def _run_modal_identification(problem, analysis: Dict) -> Dict:
     Twin-data noise is relative on the frequencies (and on phi^2).
     Rayleigh damping is invisible to undamped frequencies — use the
     time-domain or FRF routes for alpha/beta."""
-    import contextlib
 
     import jax as _jax
 
@@ -1261,15 +1259,7 @@ def _run_modal_identification(problem, analysis: Dict) -> Dict:
         raise ValueError('"measured_shapes2" needs "sensor_nodes" or '
                          '"sensor_dofs"')
 
-    if analysis.get("on_device", False):
-        ctx = None
-    else:
-        try:  # local-CPU tier (run_identification docstring)
-            ctx = _jax.default_device(_jax.devices("cpu")[0])
-        except RuntimeError:
-            ctx = None
-
-    with ctx if ctx is not None else contextlib.nullcontext():
+    with _local_cpu_ctx(analysis):
         noise_rel = 0.0
         true_vals = None
         if synthetic is not None:
@@ -1393,7 +1383,6 @@ def _run_frf_identification(problem, analysis: Dict) -> Dict:
     Runs on the local CPU tier like the time-domain block (the program
     is a differentiated frequency sweep the numpy host tier cannot
     mirror)."""
-    import contextlib
 
     import jax as _jax
 
@@ -1430,15 +1419,7 @@ def _run_frf_identification(problem, analysis: Dict) -> Dict:
                          '(n_freq, n_probe) |X| table) or "synthetic" '
                          '(true parameter values for twin data)')
 
-    if analysis.get("on_device", False):
-        ctx = None
-    else:
-        try:  # local-CPU tier (run_identification docstring)
-            ctx = _jax.default_device(_jax.devices("cpu")[0])
-        except RuntimeError:
-            ctx = None
-
-    with ctx if ctx is not None else contextlib.nullcontext():
+    with _local_cpu_ctx(analysis):
         noise_rel = 0.0
         true_vals = None
         if synthetic is not None:
@@ -1690,16 +1671,7 @@ def run_identification(problem, analysis: Dict) -> Dict:
                          '(a (n_rec, n_probe) history) or "synthetic" '
                          '(true parameter values for twin data)')
 
-    if analysis.get("on_device", False):
-        ctx = None
-    else:
-        try:  # local-CPU tier (see docstring); fall back if no cpu backend
-            ctx = _jax.default_device(_jax.devices("cpu")[0])
-        except RuntimeError:
-            ctx = None
-    import contextlib
-
-    with ctx if ctx is not None else contextlib.nullcontext():
+    with _local_cpu_ctx(analysis):
         noise_rel = 0.0
         true_vals = None
         if synthetic is not None:
