@@ -250,8 +250,13 @@ def main():
     om = np.linspace(0.05, 2.0, n_freq)
 
     def sweep():
+        # host=False: this row measures the DEVICE block-solve batch
+        # (the description below); without it the post-round-3 host
+        # tier would serve a 512-DOF problem from numpy and the number
+        # would measure the wrong path.
         return harmonic_response(p, om, damping=(0.05, 0.002),
-                                 probe_dofs=np.array([p.ndof - 2]))
+                                 probe_dofs=np.array([p.ndof - 2]),
+                                 host=False)
 
     t0 = time.perf_counter()
     sweep()
