@@ -118,6 +118,12 @@ from .solvers.transient_inverse import (  # noqa: E402
     identify_from_transient,
     transient_probe_response,
 )
+from .solvers.sizing import (  # noqa: E402
+    SizingResult,
+    fully_stressed_design,
+    optimize_sizing,
+    static_response_elem,
+)
 from .solvers.legacy import (  # noqa: E402
     LegacySolverConfig,
     PINNGradientDescentConfig,
@@ -177,6 +183,10 @@ __all__ = [
     "transient_probe_response",
     "response_spectrum",
     "SpectrumResult",
+    "SizingResult",
+    "fully_stressed_design",
+    "optimize_sizing",
+    "static_response_elem",
     "solve_riks",
     "RiksResult",
     "random_response",

@@ -1,0 +1,219 @@
+"""Sizing (design) optimization: solvers/sizing.py.
+
+Validation strategy mirrors the identification family's: exact closed
+forms where they exist (FSD on statically determinate trusses IS the
+stress-constrained optimum; compliance optima equalize strain-energy
+density), an independent optimizer (scipy SLSQP with exact constraints)
+where they don't, and mirror checks against the float64 host tier.
+"""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu import Material, TrussProblem
+from pinn_fem_tpu.solvers.sizing import (fully_stressed_design,
+                                         optimize_sizing,
+                                         static_response_elem,
+                                         _host_area_solve)
+
+
+def two_bar(area=1.0, rho=1.0):
+    """Symmetric determinate 2-bar: supports (0,0), (2,0), apex (1,1),
+    unit downward tip load."""
+    nodes = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 1.0]])
+    elements = np.array([[0, 2], [1, 2]])
+    loads = np.array([0.0, 0.0, 0.0, 0.0, 0.0, -1.0])
+    return TrussProblem(nodes, elements,
+                        Material(young=1.0, area=area, density=rho),
+                        loads, np.arange(4), 2)
+
+
+def three_bar(area=1.0):
+    """Classic indeterminate 3-bar: supports at (-1,1), (0,1), (1,1),
+    free node at the origin, skewed load."""
+    nodes = np.array([[-1.0, 1.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]])
+    elements = np.array([[0, 3], [1, 3], [2, 3]])
+    loads = np.zeros(8)
+    loads[6], loads[7] = 0.6, -1.0
+    return TrussProblem(nodes, elements,
+                        Material(young=1.0, area=area, density=1.0),
+                        loads, np.arange(6), 2)
+
+
+def test_static_response_elem_mirrors_host():
+    """The traced per-element-area solve matches the float64 host mirror
+    at the problem's own areas."""
+    p = three_bar(area=0.7)
+    areas = np.array([0.4, 0.9, 0.6])
+    u_h, sigma_h = _host_area_solve(p, areas)
+    u, sigma, n_ax, mass = static_response_elem(p, areas)
+    np.testing.assert_allclose(np.asarray(u), u_h, rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sigma), sigma_h,
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(n_ax), sigma_h * areas,
+                               rtol=2e-5, atol=1e-7)
+    lengths = np.array([np.sqrt(2.0), 1.0, np.sqrt(2.0)])
+    assert abs(float(mass) - np.sum(areas * lengths)) < 1e-5
+
+
+def test_fsd_determinate_is_exact():
+    """Determinate truss: member forces don't depend on areas, so the
+    FSD fixpoint converges immediately and every loaded member sits
+    exactly at the stress limit."""
+    limit = 0.8
+    res = fully_stressed_design(two_bar(area=3.0), stress_limit=limit,
+                                min_area=1e-9)
+    assert res.converged and res.n_iter <= 3
+    # Both bars carry |N| = P/sqrt(2); fully stressed: |sigma| = limit.
+    np.testing.assert_allclose(np.abs(res.stress), limit, rtol=1e-9)
+    n_true = 1.0 / np.sqrt(2.0)
+    np.testing.assert_allclose(res.areas, n_true / limit, rtol=1e-9)
+    # mass = sum rho L |N| / limit.
+    mass_true = 2.0 * np.sqrt(2.0) * n_true / limit
+    assert abs(res.mass - mass_true) / mass_true < 1e-9
+    assert res.mass < res.mass_initial
+
+
+def test_fsd_zero_force_member_goes_to_gauge():
+    """A zero-force member cannot be sized by stress — it lands on the
+    min_area gauge."""
+    # Vertical bar (1,2) carries the whole vertical load; the diagonal
+    # (0,2) is zero-force (no horizontal load component).
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    elements = np.array([[0, 2], [1, 2]])
+    loads = np.array([0.0, 0.0, 0.0, 0.0, 0.0, -1.0])
+    p = TrussProblem(nodes, elements, Material(1.0, 1.0, 1.0),
+                     loads, np.arange(4), 2)
+    res = fully_stressed_design(p, stress_limit=0.5, min_area=1e-4)
+    assert abs(res.areas[0] - 1e-4) < 1e-12          # zero-force: gauge
+    np.testing.assert_allclose(res.areas[1], 2.0, rtol=1e-9)   # |N|=1
+
+
+def test_optimize_mass_matches_fsd_on_determinate():
+    """Gradient sizing reaches the known (FSD) optimum on the
+    determinate 2-bar, and the polish pass guarantees feasibility."""
+    limit = 0.8
+    p = two_bar(area=3.0)
+    fsd = fully_stressed_design(p, stress_limit=limit, min_area=1e-6)
+    res = optimize_sizing(p, objective="mass", stress_limit=limit,
+                          min_area=1e-6, n_iter=250, outer_rounds=3,
+                          learning_rate=0.08)
+    assert res.max_stress_ratio <= 1.0 + 1e-6        # feasible (polish)
+    assert res.mass <= fsd.mass * 1.02               # within 2% of exact
+    assert res.mass < res.mass_initial * 0.5         # actually optimized
+
+
+def test_optimize_mass_indeterminate_not_worse_than_fsd():
+    """On the indeterminate 3-bar the gradient method must at least tie
+    the FSD heuristic (it can redistribute force paths; FSD cannot)."""
+    limit = 0.5
+    p = three_bar(area=2.0)
+    fsd = fully_stressed_design(p, stress_limit=limit, min_area=1e-5)
+    assert fsd.max_stress_ratio <= 1.0 + 1e-9
+    res = optimize_sizing(p, objective="mass", stress_limit=limit,
+                          min_area=1e-5, n_iter=300, outer_rounds=4,
+                          learning_rate=0.08)
+    assert res.max_stress_ratio <= 1.0 + 1e-6
+    assert res.mass <= fsd.mass * 1.01
+
+
+def test_optimize_vs_scipy_slsqp():
+    """Independent optimizer check: scipy SLSQP with exact constraints
+    on the 3-bar problem; our mass within 1.5% of its optimum."""
+    import scipy.optimize
+
+    limit = 0.5
+    min_area = 1e-5
+    p = three_bar(area=2.0)
+
+    def max_ratio(a):
+        _, sigma = _host_area_solve(p, np.asarray(a, dtype=float))
+        return np.abs(sigma) / limit
+
+    lengths = np.array([np.sqrt(2.0), 1.0, np.sqrt(2.0)])
+    sol = scipy.optimize.minimize(
+        lambda a: float(np.dot(lengths, a)), np.full(3, 2.0),
+        method="SLSQP",
+        bounds=[(min_area, None)] * 3,
+        constraints=[{"type": "ineq",
+                      "fun": lambda a: 1.0 - max_ratio(a)}],
+        options={"maxiter": 200, "ftol": 1e-12})
+    assert sol.success
+    res = optimize_sizing(p, objective="mass", stress_limit=limit,
+                          min_area=min_area, n_iter=300, outer_rounds=4,
+                          learning_rate=0.08)
+    assert res.max_stress_ratio <= 1.0 + 1e-6
+    assert res.mass <= float(sol.fun) * 1.015
+
+
+def test_optimize_displacement_constrained():
+    """Stress limit inactive, tip-displacement limit active: mass drops
+    until the tip sits at the limit."""
+    p = two_bar(area=5.0)
+    u0, _ = _host_area_solve(p, np.full(2, 5.0))
+    d_lim = 4.0 * abs(u0[5])         # 4x the starting deflection
+    res = optimize_sizing(p, objective="mass",
+                          displacement_limit=d_lim,
+                          probe_dofs=np.array([5]),
+                          min_area=1e-6, n_iter=300, outer_rounds=4,
+                          learning_rate=0.08)
+    # The active constraint pins the optimum: ratio -> 1.
+    assert 0.97 <= res.max_displacement_ratio <= 1.03
+    # Determinate + symmetric: u scales as 1/A, so the optimal area is
+    # a0/4 and the optimal mass a quarter of the start.
+    assert abs(res.mass - res.mass_initial / 4.0) \
+        < 0.05 * res.mass_initial / 4.0
+
+
+def test_optimize_compliance_equalizes_energy_density():
+    """Compliance at fixed volume: the optimality criterion is equal
+    strain-energy density per unit volume across active members."""
+    # Asymmetric 2-bar (different lengths and angles).
+    nodes = np.array([[0.0, 0.0], [3.0, 0.0], [1.0, 1.2]])
+    elements = np.array([[0, 2], [1, 2]])
+    loads = np.array([0.0, 0.0, 0.0, 0.0, 0.4, -1.0])
+    p = TrussProblem(nodes, elements, Material(1.0, 1.0, 1.0),
+                     loads, np.arange(4), 2)
+    lengths = np.array([np.linalg.norm([1.0, 1.2]),
+                        np.linalg.norm([2.0, 1.2])])
+    vol = float(np.sum(lengths))     # the uniform-area volume budget
+    res = optimize_sizing(p, objective="compliance", volume=vol,
+                          min_area=1e-6, n_iter=400, outer_rounds=1,
+                          learning_rate=0.05)
+    # Volume projection is exact.
+    assert abs(float(np.sum(res.areas * lengths)) - vol) < 1e-6 * vol
+    # Energy density sigma^2 / 2E equal across members (E = 1).
+    dens = res.stress ** 2
+    assert abs(dens[0] - dens[1]) / np.max(dens) < 0.02
+    # And the optimized design beats the uniform start.
+    u_uni, _ = _host_area_solve(p, np.ones(2))
+    c_uni = float(np.dot(p.loads, u_uni))
+    c_opt = float(np.dot(p.loads, res.displacements))
+    assert c_opt < c_uni
+
+
+def test_optimize_respects_max_area_bound():
+    """The box parameterization keeps every iterate inside the bounds."""
+    p = two_bar(area=1.0)
+    res = optimize_sizing(p, objective="mass", stress_limit=0.2,
+                          min_area=0.05, max_area=3.0,
+                          n_iter=150, outer_rounds=2, polish=False,
+                          learning_rate=0.1)
+    assert np.all(res.areas >= 0.05 - 1e-9)
+    assert np.all(res.areas <= 3.0 + 1e-9)
+
+
+def test_sizing_input_validation():
+    p = two_bar()
+    with pytest.raises(ValueError, match="stress_limit and/or"):
+        optimize_sizing(p, objective="mass")
+    with pytest.raises(ValueError, match="volume"):
+        optimize_sizing(p, objective="compliance")
+    with pytest.raises(ValueError, match="min_area"):
+        optimize_sizing(p, stress_limit=1.0, min_area=0.0)
+    with pytest.raises(ValueError, match="max_area"):
+        optimize_sizing(p, stress_limit=1.0, min_area=1.0, max_area=0.5)
+    with pytest.raises(ValueError, match="objective"):
+        optimize_sizing(p, objective="weight", stress_limit=1.0)
+    with pytest.raises(ValueError, match="stress_limit"):
+        fully_stressed_design(p, stress_limit=-1.0)
