@@ -45,7 +45,8 @@ function solveAnalysis(kind) {
 }
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
-                    'continuation', 'random', 'reduction', 'identification']) {
+                    'continuation', 'random', 'reduction', 'identification',
+                    'sizing']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -70,10 +71,11 @@ router.get('/info', (req, res) => {
         name: 'Structural dynamics',
         description: 'Transient (central difference / Newmark-beta), '
           + 'modal, buckling, harmonic, spectrum, random vibration, '
-          + 'continuation, reduction and time-domain identification',
+          + 'continuation, reduction, identification (time/FRF/modal) '
+          + 'and sizing optimization',
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
                   'spectrum', 'random', 'continuation', 'reduction',
-                  'identification'],
+                  'identification', 'sizing'],
       },
     },
     backend: 'jax',

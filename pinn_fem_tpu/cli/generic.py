@@ -82,10 +82,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         # modal/transient solvers instead of the static driver.
         from ..io.analysis import run_analysis
 
-        if (analysis.get("type") == "identification"
+        if (analysis.get("type") in ("identification", "sizing")
                 and not analysis.get("on_device", False)):
-            # Identification below the dense limit runs entirely on the
-            # local CPU tier — but jax.devices("cpu") initializes EVERY
+            # Identification/sizing below the dense limit runs entirely
+            # on the local CPU tier — but jax.devices("cpu") initializes EVERY
             # registered platform first, and under the axon attachment
             # that is a 60-260 s tunnel attach (measured, BENCHMARKS.md
             # dyn-corpus table before this pin) for a run whose whole
@@ -100,8 +100,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
 
                 try:
                     jax.config.update("jax_platforms", "cpu")
-                    logger.info("Identification document: pinned "
-                                "jax_platforms=cpu (local tier)")
+                    logger.info("%s document: pinned "
+                                "jax_platforms=cpu (local tier)",
+                                analysis["type"].capitalize())
                 except Exception:
                     pass  # backends already up: the ctx still works
 
@@ -139,6 +140,15 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
+        elif kind == "sizing":
+            logger.info(
+                "  %s sizing (%s): mass %.6g -> %.6g (%.1f%% lighter), "
+                "max stress ratio %s",
+                output["objective"], output["method"],
+                output["mass_initial"], output["mass"],
+                100.0 * output["mass_reduction"],
+                ("%.4f" % output["max_stress_ratio"])
+                if "max_stress_ratio" in output else "n/a")
         elif kind == "identification":
             if output.get("mode") == "field":
                 vals = output["identified_field"]["at_elements"]["values"]

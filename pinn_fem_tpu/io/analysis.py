@@ -62,6 +62,23 @@ drives a static solve gains:
                  "include_stress_envelope": false,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
+    "analysis": {"type": "sizing",
+                 "objective": "mass" | "compliance",
+                 "method": "adam" | "fsd",    # fsd: stress-only host
+                                              # fixpoint (exact for
+                                              # determinate trusses)
+                 "stress_limit": 0.8,
+                 "displacement_limit": 0.5,
+                 "probe_nodes": [..] | "probe_dofs": [..],
+                 "volume": V,                 # compliance objective
+                 "min_area": 1e-6, "max_area": 10.0,
+                 "initial_areas": [..],
+                 "n_iter": 300, "outer_rounds": 4,
+                 "learning_rate": 0.05, "penalty": 10.0,
+                 "polish": true}              # design-side inverse:
+                                              # member areas from load
+                                              # paths (solvers/sizing)
+
     "analysis": {"type": "identification",
                  "dt": 0.05, "n_steps": 400,
                  "params": ["young", "density"],
@@ -1511,6 +1528,114 @@ def _run_frf_identification(problem, analysis: Dict) -> Dict:
     return out
 
 
+def run_sizing(problem, analysis: Dict) -> Dict:
+    """Execute a sizing (design-optimization) block — the design-side
+    inverse: member areas from load paths (solvers/sizing.py).
+
+    Contract (module docstring):
+
+        "analysis": {"type": "sizing",
+                     "objective": "mass" | "compliance",
+                     "method": "adam" | "fsd",
+                     "stress_limit": s, "displacement_limit": d,
+                     "probe_nodes"/"probe_dofs": [..],   # where d applies
+                     "volume": V, "min_area": a0, "max_area": a1,
+                     "initial_areas": [..], "n_iter": 300,
+                     "outer_rounds": 4, "learning_rate": 0.05,
+                     "penalty": 10.0, "polish": true}
+
+    "fsd" is the classic fully-stressed-design fixpoint — float64 host,
+    zero device programs, exact for statically determinate trusses, but
+    stress-constrained mass only.  "adam" (default) is the augmented-
+    Lagrangian gradient method and handles displacement constraints and
+    compliance/volume objectives; like the identification family it is
+    dense-only and runs on the LOCAL CPU tier ("on_device": true opts
+    back into the accelerator)."""
+    from ..solvers.newton import DENSE_DOF_LIMIT
+    from ..solvers.sizing import fully_stressed_design, optimize_sizing
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(
+            f"sizing optimization is dense-only ({problem.ndof} DOFs > "
+            f"{DENSE_DOF_LIMIT}); size on a coarser model of the "
+            f"structure")
+    method = analysis.get("method", "adam")
+    objective = analysis.get("objective", "mass")
+    stress_limit = analysis.get("stress_limit")
+    stress_limit = None if stress_limit is None else float(stress_limit)
+    disp_limit = analysis.get("displacement_limit")
+    disp_limit = None if disp_limit is None else float(disp_limit)
+    volume = analysis.get("volume")
+    volume = None if volume is None else float(volume)
+    min_area = float(analysis.get("min_area", 1e-6))
+    max_area = analysis.get("max_area")
+    max_area = None if max_area is None else float(max_area)
+    probe = None
+    if "probe_dofs" in analysis or "probe_nodes" in analysis:
+        probe = _probe_dofs(analysis, problem)
+    initial_areas = analysis.get("initial_areas")
+    if initial_areas is not None:
+        initial_areas = np.asarray(initial_areas, dtype=float)
+
+    if method == "fsd":
+        if objective != "mass" or disp_limit is not None \
+                or volume is not None:
+            raise ValueError(
+                'method "fsd" solves the stress-constrained mass '
+                'problem only; use method "adam" for displacement '
+                'limits or compliance objectives')
+        if stress_limit is None:
+            raise ValueError('method "fsd" needs stress_limit')
+        res = fully_stressed_design(
+            problem, stress_limit, min_area=min_area, max_area=max_area,
+            n_iter=int(analysis.get("n_iter", 50)))
+    elif method == "adam":
+        with _local_cpu_ctx(analysis):
+            res = optimize_sizing(
+                problem, objective=objective, stress_limit=stress_limit,
+                displacement_limit=disp_limit, probe_dofs=probe,
+                volume=volume, min_area=min_area, max_area=max_area,
+                initial_areas=initial_areas,
+                n_iter=int(analysis.get("n_iter", 300)),
+                outer_rounds=int(analysis.get("outer_rounds", 4)),
+                penalty=float(analysis.get("penalty", 10.0)),
+                learning_rate=float(analysis.get("learning_rate", 0.05)),
+                polish=bool(analysis.get("polish", True)))
+    else:
+        raise ValueError(f'sizing method must be "adam" or "fsd", '
+                         f'got {method!r}')
+
+    out = {
+        "success": True,
+        "analysis": "sizing",
+        "method": method,
+        "objective": objective,
+        "converged": bool(res.converged),
+        "areas": res.areas.tolist(),
+        "mass": float(res.mass),
+        "mass_initial": float(res.mass_initial),
+        "mass_reduction": float(1.0 - res.mass / res.mass_initial)
+        if res.mass_initial else 0.0,
+        "stress": res.stress.tolist(),
+        "axial_forces": res.axial_forces.tolist(),
+        "n_iter": int(res.n_iter),
+    }
+    if stress_limit is not None:
+        out["stress_limit"] = stress_limit
+        out["max_stress_ratio"] = float(res.max_stress_ratio)
+    if disp_limit is not None:
+        out["displacement_limit"] = disp_limit
+        out["max_displacement_ratio"] = float(res.max_displacement_ratio)
+    if volume is not None:
+        out["volume"] = volume
+    if analysis.get("include_history", True):
+        out["history"] = res.history.tolist()
+    if analysis.get("include_displacements",
+                    problem.ndof <= _SHAPES_JSON_DOF_LIMIT):
+        out["displacements"] = res.displacements.tolist()
+    return out
+
+
 def run_identification(problem, analysis: Dict) -> Dict:
     """Execute a time-domain identification block
     (solvers/transient_inverse.py): scalar material parameters recovered
@@ -1789,8 +1914,10 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_reduction(problem, analysis)
     if kind == "identification":
         return run_identification(problem, analysis)
+    if kind == "sizing":
+        return run_sizing(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
                      f'"buckling", "harmonic", "spectrum", '
-                     f'"continuation", "random", "reduction" or '
-                     f'"identification", '
+                     f'"continuation", "random", "reduction", '
+                     f'"identification" or "sizing", '
                      f'got {kind!r}')

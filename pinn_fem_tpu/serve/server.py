@@ -159,6 +159,9 @@ _ROUTES = {
     # cold requests well inside it.
     "/api/fem/identification": (_solve_analysis("identification"),
                                 PINN_TIMEOUT_S),
+    # Sizing is the same shape of workload (a local-CPU GD loop over
+    # differentiated dense solves) — same budget.
+    "/api/fem/sizing": (_solve_analysis("sizing"), PINN_TIMEOUT_S),
 }
 
 
@@ -317,6 +320,8 @@ def _warmup_docs():
             "dt": 0.05, "n_steps": 20,
             "synthetic": {"young": [3.5, 3.5, 3.5]},
             "probe_nodes": [3], "n_iter": 3, "include_fit": False}}),
+        ("/api/fem/sizing", {**arch, "analysis": {
+            "stress_limit": 0.5, "n_iter": 3, "outer_rounds": 1}}),
     ]
 
 

@@ -987,3 +987,118 @@ def test_identification_dt_auto(server_port):
     res = body["result"]
     assert res["dt"] > 0
     np.testing.assert_allclose(res["identified"]["young"], 2.5, rtol=0.03)
+
+
+# ---------------------------------------------------------------- sizing
+
+
+def two_bar_json(analysis=None, area=3.0):
+    """Symmetric determinate 2-bar (tests/test_sizing.py geometry)."""
+    doc = {
+        "description": "symmetric two-bar",
+        "nodes": [[0.0, 0.0], [2.0, 0.0], [1.0, 1.0]],
+        "elements": [[0, 2], [1, 2]],
+        "material": {"young": 1.0, "area": area, "density": 1.0},
+        "loads": [0.0, 0.0, 0.0, 0.0, 0.0, -1.0],
+        "fixed_dofs": [0, 1, 2, 3],
+        "dimension": 2,
+        "solver_type": "fem",
+    }
+    if analysis:
+        doc["analysis"] = analysis
+    return doc
+
+
+def test_cli_sizing_fsd(tmp_path):
+    """Determinate truss through the CLI: FSD is the exact
+    stress-constrained optimum (both bars fully stressed)."""
+    limit = 0.8
+    doc = two_bar_json(analysis={"type": "sizing", "method": "fsd",
+                                 "stress_limit": limit,
+                                 "min_area": 1e-9})
+    pf = tmp_path / "sizing.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "sizing.res.json").read_text())
+    assert res["success"] and res["analysis"] == "sizing"
+    assert res["converged"] and res["method"] == "fsd"
+    a_true = (1.0 / np.sqrt(2.0)) / limit        # |N| / sigma_max
+    np.testing.assert_allclose(res["areas"], a_true, rtol=1e-9)
+    np.testing.assert_allclose(res["max_stress_ratio"], 1.0, rtol=1e-9)
+    assert res["mass"] < res["mass_initial"]
+    assert "sizing" in proc.stdout or (tmp_path / "sizing.log").exists()
+
+
+def test_http_sizing_adam(server_port):
+    """Gradient sizing over HTTP: feasible design near the FSD optimum."""
+    limit = 0.8
+    doc = two_bar_json(analysis={
+        "type": "sizing", "stress_limit": limit, "min_area": 1e-6,
+        "n_iter": 120, "outer_rounds": 2, "learning_rate": 0.08})
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["method"] == "adam"
+    assert res["max_stress_ratio"] <= 1.0 + 1e-6     # polish guarantees
+    mass_fsd = 2.0 * np.sqrt(2.0) * (1.0 / np.sqrt(2.0)) / limit
+    assert res["mass"] <= mass_fsd * 1.1
+    assert res["mass_reduction"] > 0.4
+    assert len(res["history"]) == 240
+
+
+def test_http_sizing_compliance(server_port):
+    """Compliance mode over HTTP: volume held, compliance improves."""
+    doc = two_bar_json(area=1.0, analysis={
+        "type": "sizing", "objective": "compliance",
+        "volume": 2.0 * np.sqrt(2.0), "n_iter": 100, "outer_rounds": 1})
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 200, body
+    res = body["result"]
+    lengths = np.full(2, np.sqrt(2.0))
+    vol = float(np.dot(res["areas"], lengths))
+    np.testing.assert_allclose(vol, 2.0 * np.sqrt(2.0), rtol=1e-5)
+    # Symmetric problem: the optimum IS the uniform start; the solver
+    # must hold it (no drift off the symmetric optimum).
+    np.testing.assert_allclose(res["areas"][0], res["areas"][1],
+                               rtol=1e-3)
+
+
+def test_sizing_input_errors(server_port):
+    """Invalid sizing specs fail with clear messages, not stack dumps."""
+    cases = [
+        ({"type": "sizing", "method": "fsd"}, "stress_limit"),
+        ({"type": "sizing", "method": "fsd", "stress_limit": 0.5,
+          "displacement_limit": 1.0}, "stress-constrained"),
+        ({"type": "sizing", "method": "simplex", "stress_limit": 0.5},
+         "adam"),
+        ({"type": "sizing"}, "stress_limit and/or"),
+        ({"type": "sizing", "objective": "compliance"}, "volume"),
+    ]
+    for analysis, frag in cases:
+        status, body = _post(server_port, "/api/fem/sizing",
+                             two_bar_json(analysis=analysis))
+        assert status == 500, (analysis, body)
+        assert frag in body["error"], (analysis, body["error"])
+
+
+def test_sizing_rejects_above_dense_limit():
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+    from pinn_fem_tpu.io.analysis import run_sizing
+    from pinn_fem_tpu.solvers.newton import DENSE_DOF_LIMIT
+
+    n = DENSE_DOF_LIMIT + 2
+    doc = {
+        "nodes": [[float(i)] for i in range(n)],
+        "elements": [[i, i + 1] for i in range(n - 1)],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0] * (n - 1) + [1.0],
+        "fixed_dofs": [0],
+        "solver_type": "fem",
+    }
+    problem = parse_problem_dict(doc).problem
+    with pytest.raises(ValueError, match="dense-only"):
+        run_sizing(problem, {"stress_limit": 0.5})
