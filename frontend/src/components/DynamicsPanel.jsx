@@ -289,6 +289,39 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runOptimize = async () => {
+    // Sizing demo (the design-side inverse): minimum-mass member areas
+    // under an allowable-stress limit of 5% of E (a strain allowable,
+    // so the demo works in any unit system).
+    setMessage('Sizing members for minimum mass…');
+    try {
+      const problem = baseProblem();
+      const limit = 0.05 * problem.material.young;
+      problem.analysis = {
+        type: 'sizing', stress_limit: limit,
+        min_area: 1e-4 * (problem.material.area || 1.0),
+        n_iter: 150, outer_rounds: 4, learning_rate: 0.08,
+      };
+      const r = await post('sizing', problem);
+      setKind('sizing'); setShapes(null);
+      setChart({ xs: r.history.map((_, i) => i),
+                 series: r.history.map((v) => [Math.log10(v + 1e-30)]) });
+      setRows([
+        { label: 'mass', value: `${r.mass_initial.toPrecision(5)} → `
+            + `${r.mass.toPrecision(5)} `
+            + `(−${(100 * r.mass_reduction).toFixed(1)}%)` },
+        { label: 'areas', value: `${Math.min(...r.areas).toPrecision(4)} – `
+            + `${Math.max(...r.areas).toPrecision(4)}` },
+        { label: 'max |σ|/σ_allow',
+          value: r.max_stress_ratio.toPrecision(4) },
+      ]);
+      setMessage(`Optimized ${r.areas.length} member areas in `
+        + `${r.n_iter} ADAM iterations; chart: log₁₀ loss`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   return (
     <div className="dynamics-panel">
       <h3>Dynamics</h3>
@@ -302,6 +335,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runIdentify}>Identify ▶</button>
         <button onClick={runIdentifyField}>Identify E(x) ▶</button>
         <button onClick={runQuake}>Quake ▶</button>
+        <button onClick={runOptimize}>Optimize ▶</button>
       </div>
       <table>
         <tbody>

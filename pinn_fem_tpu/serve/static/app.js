@@ -715,6 +715,47 @@ async function runIdentifyField() {
 document.getElementById("identify-field-btn").addEventListener(
   "click", runIdentifyField);
 
+async function runOptimize() {
+  // Sizing demo (the design-side inverse): minimum-mass member areas
+  // under an allowable-stress limit of 5% of E (a strain allowable, so
+  // the demo works whatever units the sketch uses). The chart shows the
+  // augmented-Lagrangian loss; the status line the mass saving and the
+  // governing stress ratio.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Sizing members for minimum mass…";
+  try {
+    const problem = buildProblem();
+    const limit = 0.05 * problem.material.young;
+    problem.analysis = {
+      type: "sizing", stress_limit: limit,
+      min_area: 1e-4 * (problem.material.area || 1.0),
+      n_iter: 150, outer_rounds: 4, learning_rate: 0.08,
+    };
+    const resp = await fetch("/api/fem/sizing", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "sizing failed");
+    const r = data.result;
+    drawTimeSeries(r.history.map((_, i) => i),
+                   r.history.map((v) => [Math.log10(v + 1e-30)]));
+    const fmt = (v) => Number(v).toPrecision(4);
+    const amin = Math.min(...r.areas);
+    const amax = Math.max(...r.areas);
+    status.textContent =
+      `Mass ${fmt(r.mass_initial)} → ${fmt(r.mass)} `
+      + `(${(100 * r.mass_reduction).toFixed(1)}% lighter); areas `
+      + `${fmt(amin)}–${fmt(amax)}, max |σ|/σ_allow = `
+      + `${fmt(r.max_stress_ratio)}; chart: log10 loss`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("optimize-btn").addEventListener("click",
+                                                         runOptimize);
+
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {
   document.getElementById(`mode-${m}`).addEventListener("click", () => {

@@ -413,3 +413,34 @@ def test_react_ui_dynamics_panel_identify_served():
                                rtol=0.05)
     np.testing.assert_allclose(out["identified"]["density"], 0.7 * rho0,
                                rtol=0.05)
+
+
+def test_react_ui_dynamics_panel_sizing_payload_served():
+    """The Optimize button's POST body: the same golden fixture plus the
+    EXACT analysis block DynamicsPanel.runOptimize() attaches
+    (stress_limit = 0.05 * young, min_area = 1e-4 * area, n_iter 150 x
+    3 outer rounds; identical in app.js runOptimize()).  The canonical
+    chain carries N = 1 in every member under its tip Fx load, so the
+    stress-constrained optimum is A = N/sigma_allow = 20 per member —
+    regardless of the fixture's young-NN field (sigma = N/A).  Every
+    field the panel renders must be present."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture("ui_payload_react_dynamics.json")
+    payload["analysis"] = {
+        "type": "sizing", "stress_limit": 0.05 * 1,
+        "min_area": 1e-4 * 1.0,
+        "n_iter": 150, "outer_rounds": 4, "learning_rate": 0.08,
+    }
+    out = _solve_analysis("sizing")(payload)
+    assert out["success"] and out["analysis"] == "sizing"
+    assert out["max_stress_ratio"] <= 1.0 + 1e-6
+    np.testing.assert_allclose(out["areas"], 20.0, rtol=0.02)
+    # Panel contract: history (chart), mass/mass_initial/mass_reduction,
+    # areas range and n_iter rows (DynamicsPanel.jsx runOptimize).
+    assert len(out["history"]) == 600
+    assert out["n_iter"] == 600
+    # The fixture's unit start is underdesigned for a 5%-of-E allowable:
+    # the optimizer must report the mass INCREASE honestly.
+    assert out["mass"] > out["mass_initial"]
+    assert out["mass_reduction"] < 0.0
