@@ -70,7 +70,13 @@ def _gate(name: str, res: dict) -> None:
             assert res["synthetic"] is True, name
             assert max(res["relative_errors"].values()) < 0.05, name
         hist = np.asarray(res["loss_history"], dtype=float)
-        assert hist[-1] < 1e-2 * hist[0], name
+        assert hist[-1] < 1e-2 * hist[0]
+    elif kind == "sizing":
+        assert res["converged"], name
+        assert res["max_stress_ratio"] <= 1.0 + 1e-6, name
+        assert res["mass"] < res["mass_initial"], name
+        assert np.isfinite(np.asarray(res["areas"], dtype=float)).all(), \
+            name, name
 
 
 def bench_fresh(path: str, env):

@@ -35,7 +35,8 @@ def test_dyn_corpus_complete():
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-random.json", "dyn-reduction.json",
-                   "dyn-spectrum.json", "dyn-transient.json"]
+                   "dyn-sizing.json", "dyn-spectrum.json",
+                   "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -121,6 +122,25 @@ def test_dyn_corpus_runs(name, tmp_path):
         hist = np.asarray(res["loss_history"])
         assert hist[-1] < 1e-3 * hist[0]               # actually converged
         assert res["fit_rmse_rel"] < 1e-2
+    elif kind == "sizing":
+        # 10-bar cantilever: the AL optimum must tie the FSD fixpoint
+        # (solver-level exactness is pinned in tests/test_sizing.py).
+        from pinn_fem_tpu.io.schema import parse_problem_file
+        from pinn_fem_tpu.solvers.sizing import fully_stressed_design
+
+        assert res["converged"]
+        assert res["max_stress_ratio"] <= 1.0 + 1e-6
+        assert res["mass"] < 0.3 * res["mass_initial"]
+        areas = np.asarray(res["areas"])
+        assert np.all(areas >= 0.001 - 1e-12)
+        p = parse_problem_file(str(CORPUS / name)).problem
+        fsd = fully_stressed_design(p, 2.0, min_area=0.001)
+        assert res["mass"] <= fsd.mass * 1.01
+        # Classic force paths: loaded diagonals at A = sqrt(2)/2 / 1,
+        # the unloaded verticals/tip members at the gauge.
+        np.testing.assert_allclose(areas[[6, 7, 8]], np.sqrt(2.0) / 2.0,
+                                   rtol=0.02)
+        assert areas[4] < 0.01 and areas[5] < 0.01
     elif kind == "reduction":
         f_red = np.asarray(res["reduced_frequencies_hz"])
         err = np.asarray(res["frequency_rel_error"])
