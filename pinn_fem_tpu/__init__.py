@@ -19,8 +19,11 @@ three data domains — transient trajectories (discrete adjoint through
 the integrator, incl. Rayleigh damping and spatial MLP property fields),
 FRF amplitude sweeps (multi-start log-amplitude fitting), and extracted
 natural frequencies (EMA, with the EA/rho scaling degeneracies enforced)
-— every capability validated against closed forms (PARITY.md) and served
-through the same CLI / HTTP / UI tiers as the statics.
+— plus the design-side inverse: sizing optimization (minimum-mass member
+areas under stress/displacement limits via FSD or augmented-Lagrangian
+adjoint descent, and compliance at fixed volume) — every capability
+validated against closed forms (PARITY.md) and served through the same
+CLI / HTTP / UI tiers as the statics.
 """
 
 from .utils.runtime import configure

@@ -216,8 +216,12 @@ def optimize_sizing(
         differentiable, so no equality penalty is needed).  At the
         optimum every active member carries equal strain-energy density
         per unit volume (the classic optimality criterion — tested in
-        tests/test_sizing.py).  `stress_limit` may be added as a
-        penalty on top.
+        tests/test_sizing.py); members the load path does not need sink
+        toward zero.  NOTE: the projection rescales the whole design,
+        so in this mode `min_area` floors only the pre-projection
+        parameterization (a soft gauge) — useless members may end below
+        it, though never at zero (K stays SPD).  `stress_limit` may be
+        added as a penalty on top.
 
     Areas are box-parameterized (min + (max−min)·sigmoid(t), or
     min + exp(t) when unbounded above) so the bounds hold exactly at

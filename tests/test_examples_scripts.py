@@ -40,6 +40,7 @@ SCRIPTS.append("modal_identification")
 SCRIPTS.append("dynamics_suite")
 SCRIPTS.append("transient_identification")
 SCRIPTS.append("snap_through")
+SCRIPTS.append("sizing_optimization")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
@@ -52,6 +53,8 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
     if name == "transient_identification":
         monkeypatch.setenv("TRANS_ID_ITERS", "40")
         monkeypatch.setenv("TRANS_ID_FIELD_ITERS", "40")
+    if name == "sizing_optimization":
+        monkeypatch.setenv("SIZING_ITERS", "60")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()
