@@ -71,6 +71,11 @@ drives a static solve gains:
                  "displacement_limit": 0.5,
                  "probe_nodes": [..] | "probe_dofs": [..],
                  "volume": V,                 # compliance objective
+                 "load_cases": [[..ndof..], ..],   # envelope sizing:
+                                              # constraints hold for
+                                              # EVERY case (multi-RHS
+                                              # batch per iteration)
+                 "case_weights": [..],        # compliance Σ w_c f_c·u_c
                  "min_area": 1e-6, "max_area": 10.0,
                  "initial_areas": [..],
                  "n_iter": 300, "outer_rounds": 4,
@@ -1540,6 +1545,8 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                      "stress_limit": s, "displacement_limit": d,
                      "probe_nodes"/"probe_dofs": [..],   # where d applies
                      "volume": V, "min_area": a0, "max_area": a1,
+                     "load_cases": [[..], ..],  # (C, ndof) envelope
+                     "case_weights": [..],      # compliance weighting
                      "initial_areas": [..], "n_iter": 300,
                      "outer_rounds": 4, "learning_rate": 0.05,
                      "penalty": 10.0, "polish": true}
@@ -1576,6 +1583,11 @@ def run_sizing(problem, analysis: Dict) -> Dict:
     initial_areas = analysis.get("initial_areas")
     if initial_areas is not None:
         initial_areas = np.asarray(initial_areas, dtype=float)
+    load_cases = analysis.get("load_cases")
+    if load_cases is not None:
+        # A real structure is sized for an ENVELOPE: (C, ndof) rows,
+        # each a full load vector; constraints hold for every case.
+        load_cases = np.asarray(load_cases, dtype=float)
 
     if method == "fsd":
         if objective != "mass" or disp_limit is not None \
@@ -1588,7 +1600,8 @@ def run_sizing(problem, analysis: Dict) -> Dict:
             raise ValueError('method "fsd" needs stress_limit')
         res = fully_stressed_design(
             problem, stress_limit, min_area=min_area, max_area=max_area,
-            n_iter=int(analysis.get("n_iter", 50)))
+            n_iter=int(analysis.get("n_iter", 50)),
+            load_cases=load_cases)
     elif method == "adam":
         with _local_cpu_ctx(analysis):
             res = optimize_sizing(
@@ -1596,6 +1609,8 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                 displacement_limit=disp_limit, probe_dofs=probe,
                 volume=volume, min_area=min_area, max_area=max_area,
                 initial_areas=initial_areas,
+                load_cases=load_cases,
+                case_weights=analysis.get("case_weights"),
                 n_iter=int(analysis.get("n_iter", 300)),
                 outer_rounds=int(analysis.get("outer_rounds", 4)),
                 penalty=float(analysis.get("penalty", 10.0)),
@@ -1620,6 +1635,8 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         "axial_forces": res.axial_forces.tolist(),
         "n_iter": int(res.n_iter),
     }
+    if load_cases is not None:
+        out["n_load_cases"] = int(load_cases.shape[0])
     if stress_limit is not None:
         out["stress_limit"] = stress_limit
         out["max_stress_ratio"] = float(res.max_stress_ratio)

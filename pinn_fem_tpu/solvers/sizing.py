@@ -51,7 +51,9 @@ class SizingResult:
     mass: float                    # final sum(rho A L)
     mass_initial: float            # mass at the starting areas
     displacements: np.ndarray      # (ndof,) at the optimized areas
-    stress: np.ndarray             # (nelm,) sigma = E eps
+    #                                ((n_cases, ndof) with load_cases)
+    stress: np.ndarray             # (nelm,) sigma = E eps (the signed
+    #                                governing case with load_cases)
     axial_forces: np.ndarray       # (nelm,) N = sigma A
     max_stress_ratio: float        # max |sigma| / stress_limit (nan if none)
     max_displacement_ratio: float  # max |u_probe| / limit (nan if none)
@@ -60,11 +62,13 @@ class SizingResult:
     n_iter: int
 
 
-def _host_area_solve(problem: TrussProblem, areas: np.ndarray
+def _host_area_solve(problem: TrussProblem, areas: np.ndarray,
+                     loads: Optional[np.ndarray] = None
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """(u, sigma) at the given per-element areas — float64 host mirror
-    of `static_response_elem` (ops/host.py machinery)."""
-    from ..ops.host import (_geometry, _scatter_blocks, host_static_solve,
+    of `static_response_elem` (ops/host.py machinery).  With a
+    (C, ndof) `loads` table, u is (C, ndof) and sigma (C, nelm)."""
+    from ..ops.host import (_geometry, _scatter_blocks, host_masks,
                             material_values_host)
 
     dof_map, gvec, inv_len, _ = _geometry(problem)
@@ -72,8 +76,14 @@ def _host_area_solve(problem: TrussProblem, areas: np.ndarray
     s = young * areas * inv_len
     ke = s[:, None, None] * gvec[:, :, None] * gvec[:, None, :]
     k = _scatter_blocks(problem, ke)
-    u = host_static_solve(problem, k=k)
-    strain = np.sum(gvec * u[dof_map], axis=-1) * inv_len
+    mask = host_masks(problem)
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    f = np.asarray(problem.loads if loads is None else loads, dtype=float)
+    batched = f.ndim == 2
+    # One multi-RHS factorization serves every load case.
+    u = (np.linalg.solve(km, (f * mask).T).T * mask
+         if batched else np.linalg.solve(km, f * mask) * mask)
+    strain = np.sum(gvec * u[..., dof_map], axis=-1) * inv_len
     return u, young * strain
 
 
@@ -91,17 +101,22 @@ def fully_stressed_design(
     max_area: Optional[float] = None,
     n_iter: int = 50,
     tol: float = 1e-12,
+    load_cases=None,
 ) -> SizingResult:
-    """FSD fixpoint A ← clip(|N(A)| / σ_max, min, max) on the host tier.
+    """FSD fixpoint A ← clip(max_c |N_c(A)| / σ_max, min, max), host tier.
 
     Exact for statically determinate trusses (forces independent of
     areas: converges in one step); the standard heuristic otherwise.
     Members carrying no force go to `min_area` (the gauge constraint).
+    With a (C, ndof) `load_cases` table each member is sized by its
+    governing case (the classic envelope FSD — one multi-RHS
+    factorization per iteration serves every case).
     """
     if stress_limit <= 0.0:
         raise ValueError("stress_limit must be positive")
     from ..ops.host import material_values_host
 
+    loads = _load_cases_array(problem, load_cases)
     areas = np.asarray(material_values_host(problem, 1.0)[1], dtype=float)
     areas = np.clip(areas, min_area, max_area)
     mass_init = _host_mass(problem, areas)
@@ -109,23 +124,25 @@ def fully_stressed_design(
     converged = False
     it = 0
     for it in range(1, n_iter + 1):
-        _, sigma = _host_area_solve(problem, areas)
-        new = np.clip(np.abs(sigma) * areas / stress_limit,
-                      min_area, max_area)
+        _, sigma = _host_area_solve(problem, areas, loads=loads)
+        env = np.max(np.abs(sigma), axis=0) if sigma.ndim == 2 \
+            else np.abs(sigma)
+        new = np.clip(env * areas / stress_limit, min_area, max_area)
         hist.append(_host_mass(problem, new))
         step = float(np.max(np.abs(new - areas) / np.maximum(areas, 1e-30)))
         areas = new
         if step < tol:
             converged = True
             break
-    u, sigma = _host_area_solve(problem, areas)
+    u, sigma = _host_area_solve(problem, areas, loads=loads)
+    env = _signed_envelope(sigma)
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
         mass_initial=mass_init,
         displacements=u,
-        stress=sigma,
-        axial_forces=sigma * areas,
+        stress=env,
+        axial_forces=env * areas,
         max_stress_ratio=float(np.max(np.abs(sigma)) / stress_limit),
         max_displacement_ratio=float("nan"),
         history=np.asarray(hist, dtype=float),
@@ -134,8 +151,31 @@ def fully_stressed_design(
     )
 
 
+def _signed_envelope(sigma: np.ndarray) -> np.ndarray:
+    """(nelm,) stress of each member's GOVERNING case — the signed value
+    whose magnitude is the envelope.  Pass-through for a single case."""
+    if sigma.ndim == 1:
+        return sigma
+    idx = np.argmax(np.abs(sigma), axis=0)
+    return sigma[idx, np.arange(sigma.shape[1])]
+
+
+def _load_cases_array(problem: TrussProblem, load_cases):
+    """None (use the problem's own loads) or a validated (C, ndof)
+    float table."""
+    if load_cases is None:
+        return None
+    arr = np.asarray(load_cases, dtype=float)
+    if arr.ndim != 2 or arr.shape[1] != problem.ndof:
+        raise ValueError(f"load_cases must be (n_cases, {problem.ndof}) "
+                         f"rows, got {arr.shape}")
+    if arr.shape[0] < 1:
+        raise ValueError("load_cases needs at least one case")
+    return arr
+
+
 def static_response_elem(problem: TrussProblem, area_e, data=None,
-                         young_e=None, rho_e=None):
+                         young_e=None, rho_e=None, loads=None):
     """Traced, differentiable static solve with PER-ELEMENT areas.
 
     Returns (u, sigma, n_axial, mass): the dense masked solve
@@ -143,7 +183,10 @@ def static_response_elem(problem: TrussProblem, area_e, data=None,
     stresses σ = E ε, axial forces N = σ A, and the design mass
     Σ ρ A L — every output differentiable w.r.t. `area_e` (and the
     optional traced `young_e`/`rho_e` overrides), so one reverse pass
-    is the adjoint solve for all members at once."""
+    is the adjoint solve for all members at once.  A (C, ndof) `loads`
+    table solves every case against ONE factorization (a multi-RHS
+    triangular solve — an MXU batch, not C separate programs); u and
+    sigma then carry a leading case axis."""
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
     nelm = data.dof_map.shape[0]
@@ -167,9 +210,14 @@ def static_response_elem(problem: TrussProblem, area_e, data=None,
 
     mask = data.free_mask
     km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
-    u = jnp.linalg.solve(km, data.loads * mask) * mask
+    f = data.loads if loads is None else jnp.asarray(loads, dtype)
+    if f.ndim == 2:
+        u = (jnp.linalg.solve(km, (f * mask).T).T * mask)
+    else:
+        u = jnp.linalg.solve(km, f * mask) * mask
 
-    strain = jnp.sum(data.gvec * u[data.dof_map], axis=-1) * data.inv_len
+    strain = jnp.sum(data.gvec * u[..., data.dof_map],
+                     axis=-1) * data.inv_len
     sigma = young_e * strain
     mass = jnp.sum(rho_e * area_e / data.inv_len)
     return u, sigma, sigma * area_e, mass
@@ -182,6 +230,8 @@ def optimize_sizing(
     displacement_limit: Optional[float] = None,
     probe_dofs=None,
     volume: Optional[float] = None,
+    load_cases=None,
+    case_weights=None,
     min_area: float = 1e-6,
     max_area: Optional[float] = None,
     initial_areas=None,
@@ -226,6 +276,16 @@ def optimize_sizing(
     Areas are box-parameterized (min + (max−min)·sigmoid(t), or
     min + exp(t) when unbounded above) so the bounds hold exactly at
     every iterate, not just at convergence.
+
+    load_cases: optional (C, ndof) table — a real structure is sized
+        for an ENVELOPE, not one load.  Constraints then hold for every
+        case simultaneously; each iteration solves all cases against
+        one factorization (a multi-RHS MXU batch, see
+        static_response_elem).  The compliance objective becomes the
+        weighted sum Σ_c w_c f_c·u_c (`case_weights`, default equal).
+        The result's stress/axial_forces report each member's governing
+        case (signed envelope) and displacements carry the (C, ndof)
+        case axis.
     """
     if objective not in ("mass", "compliance"):
         raise ValueError('objective must be "mass" or "compliance"')
@@ -284,6 +344,19 @@ def optimize_sizing(
         def areas_of(t):
             return min_area + (max_area - min_area) * jax.nn.sigmoid(t)
 
+    cases_np = _load_cases_array(problem, load_cases)
+    n_cases = 1 if cases_np is None else cases_np.shape[0]
+    loads_dev = (None if cases_np is None
+                 else jnp.asarray(cases_np, dtype))
+    if case_weights is not None and cases_np is None:
+        raise ValueError("case_weights needs load_cases")
+    w_np = (np.ones(n_cases) if case_weights is None
+            else np.asarray(case_weights, dtype=float).reshape(-1))
+    if w_np.shape != (n_cases,):
+        raise ValueError(f"case_weights must have one weight per case "
+                         f"({n_cases}), got {w_np.shape}")
+    weights = jnp.asarray(w_np, dtype)
+
     mass0 = float(np.sum(rho_np * area0_np * lengths_np))
     # Reference scales keep the penalty ratio meaningful across unit
     # systems: the loss is dimensionless throughout.
@@ -291,13 +364,15 @@ def optimize_sizing(
     if objective == "compliance":
         a_proj0 = area0_np * float(volume) / float(
             np.sum(area0_np * lengths_np))
-        u0, _ = _host_area_solve(problem, a_proj0)
-        compliance0 = max(abs(float(np.dot(
-            np.asarray(problem.loads, dtype=float), u0))), 1e-30)
+        u0, _ = _host_area_solve(problem, a_proj0, loads=cases_np)
+        f0 = (np.asarray(problem.loads, dtype=float) if cases_np is None
+              else cases_np)
+        compliance0 = max(abs(float(np.sum(w_np * np.atleast_1d(
+            np.sum(np.atleast_2d(f0 * u0), axis=-1))))), 1e-30)
 
-    n_con = ((nelm if stress_limit is not None else 0)
-             + (int(probe_np.size) if displacement_limit is not None
-                else 0))
+    n_con = n_cases * ((nelm if stress_limit is not None else 0)
+                       + (int(probe_np.size)
+                          if displacement_limit is not None else 0))
 
     def objective_and_constraints(t):
         """(objective, g) with g the stacked constraint values — g ≤ 0
@@ -306,16 +381,21 @@ def optimize_sizing(
         if objective == "compliance":
             a = a * (volume / jnp.sum(a * lengths))
         u, sigma, _, mass = static_response_elem(
-            problem, a, data=data, young_e=young_e, rho_e=rho_e)
+            problem, a, data=data, young_e=young_e, rho_e=rho_e,
+            loads=loads_dev)
         if objective == "compliance":
-            obj = jnp.dot(data.loads, u) / compliance0
+            f = data.loads if loads_dev is None else loads_dev
+            # Σ_c w_c f_c·u_c (a plain dot for the single-case path).
+            obj = jnp.sum(weights * jnp.atleast_1d(
+                jnp.sum(jnp.atleast_2d(f * u), axis=-1))) / compliance0
         else:
             obj = mass / mass0
         gs = []
         if stress_limit is not None:
-            gs.append(jnp.abs(sigma) / stress_limit - 1.0)
+            gs.append((jnp.abs(sigma) / stress_limit - 1.0).reshape(-1))
         if displacement_limit is not None:
-            gs.append(jnp.abs(u[probe]) / displacement_limit - 1.0)
+            gs.append((jnp.abs(u[..., probe]) / displacement_limit
+                       - 1.0).reshape(-1))
         g = (jnp.concatenate(gs) if gs
              else jnp.zeros((0,), dtype))
         return obj, g
@@ -370,8 +450,10 @@ def optimize_sizing(
         # for near-optimal designs the added mass is the penalty
         # method's remaining violation, a fraction of a percent.
         for _ in range(20):
-            _, sigma = _host_area_solve(problem, areas)
+            _, sigma = _host_area_solve(problem, areas, loads=cases_np)
             ratio = np.abs(sigma) / stress_limit
+            if ratio.ndim == 2:
+                ratio = np.max(ratio, axis=0)      # envelope per member
             if float(np.max(ratio)) <= 1.0 + 1e-9:
                 break
             scale = np.maximum(ratio, 1.0)
@@ -382,19 +464,20 @@ def optimize_sizing(
             else:
                 areas = areas * scale
 
-    u, sigma = _host_area_solve(problem, areas)
+    u, sigma = _host_area_solve(problem, areas, loads=cases_np)
+    env = _signed_envelope(sigma)
     abs_sigma = float(np.max(np.abs(sigma))) if nelm else 0.0
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
         mass_initial=mass0,
         displacements=u,
-        stress=sigma,
-        axial_forces=sigma * areas,
+        stress=env,
+        axial_forces=env * areas,
         max_stress_ratio=(abs_sigma / stress_limit
                           if stress_limit is not None else float("nan")),
         max_displacement_ratio=(
-            float(np.max(np.abs(u[probe_np])) / displacement_limit)
+            float(np.max(np.abs(u[..., probe_np])) / displacement_limit)
             if displacement_limit is not None else float("nan")),
         history=np.asarray(hist, dtype=float),
         converged=True,

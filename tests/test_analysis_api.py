@@ -1102,3 +1102,33 @@ def test_sizing_rejects_above_dense_limit():
     problem = parse_problem_dict(doc).problem
     with pytest.raises(ValueError, match="dense-only"):
         run_sizing(problem, {"stress_limit": 0.5})
+
+
+def test_http_sizing_load_cases(server_port):
+    """Envelope sizing over HTTP: mirrored skew cases, constraints hold
+    for BOTH cases, symmetric design."""
+    limit = 0.8
+    doc = two_bar_json(area=3.0)
+    ca = [0.0] * 4 + [0.8, -1.0]
+    cb = [0.0] * 4 + [-0.8, -1.0]
+    doc["analysis"] = {
+        "type": "sizing", "stress_limit": limit, "min_area": 1e-6,
+        "load_cases": [ca, cb],
+        "n_iter": 120, "outer_rounds": 3, "learning_rate": 0.08}
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["n_load_cases"] == 2
+    assert res["max_stress_ratio"] <= 1.0 + 1e-6
+    areas = np.asarray(res["areas"])
+    np.testing.assert_allclose(areas[0], areas[1], rtol=1e-3)
+    # Per-case displacements: (C, ndof) rows.
+    assert np.asarray(res["displacements"]).shape == (2, 6)
+    # FSD envelope through the same route must agree.
+    doc["analysis"] = {"type": "sizing", "method": "fsd",
+                       "stress_limit": limit, "min_area": 1e-6,
+                       "load_cases": [ca, cb]}
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 200, body
+    fsd = body["result"]
+    assert res["mass"] <= fsd["mass"] * 1.02

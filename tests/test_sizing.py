@@ -217,3 +217,89 @@ def test_sizing_input_validation():
         optimize_sizing(p, objective="weight", stress_limit=1.0)
     with pytest.raises(ValueError, match="stress_limit"):
         fully_stressed_design(p, stress_limit=-1.0)
+
+
+# ------------------------------------------------------------ load cases
+
+
+def two_bar_cases():
+    """Mirrored skew loads at the apex: each case governs one bar."""
+    p = two_bar(area=3.0)
+    ca = np.zeros(6); ca[4], ca[5] = 0.8, -1.0
+    cb = np.zeros(6); cb[4], cb[5] = -0.8, -1.0
+    return p, np.stack([ca, cb])
+
+
+def test_fsd_envelope_sizes_each_member_by_its_governing_case():
+    limit = 0.8
+    p, cases = two_bar_cases()
+    res = fully_stressed_design(p, stress_limit=limit, min_area=1e-9,
+                                load_cases=cases)
+    assert res.converged
+    # Symmetric case pair -> symmetric envelope design.
+    np.testing.assert_allclose(res.areas[0], res.areas[1], rtol=1e-9)
+    # Every member fully stressed by its governing case.
+    _, sigma = _host_area_solve(p, res.areas, loads=cases)
+    np.testing.assert_allclose(np.max(np.abs(sigma), axis=0), limit,
+                               rtol=1e-9)
+    assert abs(res.max_stress_ratio - 1.0) < 1e-9
+
+
+def test_single_case_design_fails_the_envelope():
+    """Why envelopes exist: the design for case A alone is overstressed
+    under case B."""
+    limit = 0.8
+    p, cases = two_bar_cases()
+    from pinn_fem_tpu.models.problem import TrussProblem as TP
+
+    p_a = TP(p.nodes, p.elements, p.material, cases[0], p.fixed_dofs, 2)
+    res_a = fully_stressed_design(p_a, stress_limit=limit, min_area=1e-9)
+    _, sigma_b = _host_area_solve(p, res_a.areas, loads=cases[1:])
+    assert np.max(np.abs(sigma_b)) / limit > 1.5
+    # And the honest envelope design is heavier than the one-case one.
+    env = fully_stressed_design(p, stress_limit=limit, min_area=1e-9,
+                                load_cases=cases)
+    assert env.mass > res_a.mass * 1.2
+
+
+def test_optimize_envelope_matches_fsd():
+    limit = 0.8
+    p, cases = two_bar_cases()
+    fsd = fully_stressed_design(p, stress_limit=limit, min_area=1e-6,
+                                load_cases=cases)
+    res = optimize_sizing(p, objective="mass", stress_limit=limit,
+                          load_cases=cases, min_area=1e-6,
+                          n_iter=250, outer_rounds=4, learning_rate=0.08)
+    assert res.max_stress_ratio <= 1.0 + 1e-6     # envelope feasibility
+    assert res.mass <= fsd.mass * 1.02
+    # Result contract: signed governing stress per member, (C, ndof)
+    # displacements.
+    assert res.stress.shape == (2,)
+    assert res.displacements.shape == (2, 6)
+    _, sigma = _host_area_solve(p, res.areas, loads=cases)
+    np.testing.assert_allclose(np.abs(res.stress),
+                               np.max(np.abs(sigma), axis=0), rtol=1e-12)
+
+
+def test_compliance_weighted_cases_stay_symmetric():
+    """Equal-weight mirrored cases -> the symmetric compliance design."""
+    p, cases = two_bar_cases()
+    vol = 2.0 * np.sqrt(2.0)
+    res = optimize_sizing(p, objective="compliance", volume=vol,
+                          load_cases=cases, case_weights=[1.0, 1.0],
+                          min_area=1e-6, n_iter=200, outer_rounds=1)
+    np.testing.assert_allclose(res.areas[0], res.areas[1], rtol=5e-3)
+    lengths = np.full(2, np.sqrt(2.0))
+    np.testing.assert_allclose(float(np.sum(res.areas * lengths)), vol,
+                               rtol=1e-5)
+
+
+def test_load_cases_validation():
+    p, cases = two_bar_cases()
+    with pytest.raises(ValueError, match="load_cases"):
+        optimize_sizing(p, stress_limit=1.0, load_cases=[[1.0, 2.0]])
+    with pytest.raises(ValueError, match="case_weights"):
+        optimize_sizing(p, stress_limit=1.0, case_weights=[1.0])
+    with pytest.raises(ValueError, match="one weight per case"):
+        optimize_sizing(p, stress_limit=1.0, load_cases=cases,
+                        case_weights=[1.0, 2.0, 3.0])
