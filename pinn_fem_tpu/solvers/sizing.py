@@ -297,6 +297,10 @@ def optimize_sizing(
     if objective == "compliance" and volume is None:
         raise ValueError("compliance minimization needs the volume "
                          "budget (volume=...)")
+    if stress_limit is not None and stress_limit <= 0.0:
+        raise ValueError("stress_limit must be positive")
+    if displacement_limit is not None and displacement_limit <= 0.0:
+        raise ValueError("displacement_limit must be positive")
     if min_area <= 0.0:
         raise ValueError("min_area must be positive (a zero-area member "
                          "makes K singular)")
@@ -355,6 +359,9 @@ def optimize_sizing(
     if w_np.shape != (n_cases,):
         raise ValueError(f"case_weights must have one weight per case "
                          f"({n_cases}), got {w_np.shape}")
+    if np.any(w_np < 0.0) or not np.any(w_np > 0.0):
+        raise ValueError("case_weights must be nonnegative with at "
+                         "least one positive entry")
     weights = jnp.asarray(w_np, dtype)
 
     mass0 = float(np.sum(rho_np * area0_np * lengths_np))
@@ -444,11 +451,14 @@ def optimize_sizing(
     if objective == "compliance":
         areas = areas * float(volume) / float(np.sum(areas * lengths_np))
 
-    if polish and stress_limit is not None:
+    if polish and stress_limit is not None and objective != "compliance":
         # Feasibility polish (float64 host): scale overstressed members
         # up until the limit holds.  Monotone — areas only grow — and
         # for near-optimal designs the added mass is the penalty
         # method's remaining violation, a fraction of a percent.
+        # Compliance mode SKIPS it: growing members would break the
+        # exact volume budget, which is that mode's hard constraint
+        # (its stress_limit is a soft penalty by contract).
         for _ in range(20):
             _, sigma = _host_area_solve(problem, areas, loads=cases_np)
             ratio = np.abs(sigma) / stress_limit

@@ -303,3 +303,26 @@ def test_load_cases_validation():
     with pytest.raises(ValueError, match="one weight per case"):
         optimize_sizing(p, stress_limit=1.0, load_cases=cases,
                         case_weights=[1.0, 2.0, 3.0])
+
+
+def test_review_fixes_validation_and_compliance_polish():
+    """Review-pass pins: nonpositive limits refused up front; negative
+    case weights refused; compliance mode never lets the stress polish
+    break its exact volume budget."""
+    p, cases = two_bar_cases()
+    with pytest.raises(ValueError, match="stress_limit"):
+        optimize_sizing(p, stress_limit=-1.0)
+    with pytest.raises(ValueError, match="displacement_limit"):
+        optimize_sizing(p, displacement_limit=0.0)
+    with pytest.raises(ValueError, match="nonnegative"):
+        optimize_sizing(p, stress_limit=1.0, load_cases=cases,
+                        case_weights=[1.0, -1.0])
+    # Compliance + a (soft) stress limit the start violates: volume must
+    # hold EXACTLY even though some member may stay overstressed.
+    vol = 2.0 * np.sqrt(2.0)
+    res = optimize_sizing(p, objective="compliance", volume=vol,
+                          stress_limit=1e-4, min_area=1e-6,
+                          n_iter=60, outer_rounds=2)
+    lengths = np.full(2, np.sqrt(2.0))
+    np.testing.assert_allclose(float(np.sum(res.areas * lengths)), vol,
+                               rtol=1e-6)
