@@ -124,6 +124,7 @@ from .solvers.transient_inverse import (  # noqa: E402
 from .solvers.sizing import (  # noqa: E402
     SizingResult,
     fully_stressed_design,
+    optimize_compliance_oc,
     optimize_sizing,
     static_response_elem,
 )
@@ -188,6 +189,7 @@ __all__ = [
     "SpectrumResult",
     "SizingResult",
     "fully_stressed_design",
+    "optimize_compliance_oc",
     "optimize_sizing",
     "static_response_elem",
     "solve_riks",

@@ -64,7 +64,7 @@ drives a static solve gains:
 
     "analysis": {"type": "sizing",
                  "objective": "mass" | "compliance",
-                 "method": "adam" | "fsd",    # fsd: stress-only host
+                 "method": "adam" | "fsd" | "oc",  # fsd: stress-only host
                                               # fixpoint (exact for
                                               # determinate trusses)
                  "stress_limit": 0.8,
@@ -1541,7 +1541,7 @@ def run_sizing(problem, analysis: Dict) -> Dict:
 
         "analysis": {"type": "sizing",
                      "objective": "mass" | "compliance",
-                     "method": "adam" | "fsd",
+                     "method": "adam" | "fsd" | "oc",
                      "stress_limit": s, "displacement_limit": d,
                      "probe_nodes"/"probe_dofs": [..],   # where d applies
                      "volume": V, "min_area": a0, "max_area": a1,
@@ -1557,16 +1557,22 @@ def run_sizing(problem, analysis: Dict) -> Dict:
     Lagrangian gradient method and handles displacement constraints and
     compliance/volume objectives; like the identification family it is
     dense-only and runs on the LOCAL CPU tier ("on_device": true opts
-    back into the accelerator)."""
+    back into the accelerator).  "oc" is the LARGE-MESH compliance path
+    (optimality criteria on the banded DIA/PCG machinery — one banded
+    solve per iteration): the only method allowed past DENSE_DOF_LIMIT,
+    compliance objective + volume only, and it runs on the default
+    accelerator (its solves are the large-mesh statics' solves)."""
     from ..solvers.newton import DENSE_DOF_LIMIT
-    from ..solvers.sizing import fully_stressed_design, optimize_sizing
+    from ..solvers.sizing import (fully_stressed_design,
+                                  optimize_compliance_oc, optimize_sizing)
 
-    if problem.ndof > DENSE_DOF_LIMIT:
-        raise ValueError(
-            f"sizing optimization is dense-only ({problem.ndof} DOFs > "
-            f"{DENSE_DOF_LIMIT}); size on a coarser model of the "
-            f"structure")
     method = analysis.get("method", "adam")
+    if problem.ndof > DENSE_DOF_LIMIT and method != "oc":
+        raise ValueError(
+            f"sizing methods adam/fsd are dense-only ({problem.ndof} "
+            f"DOFs > {DENSE_DOF_LIMIT}); use method \"oc\" (banded "
+            f"optimality-criteria compliance) or size on a coarser "
+            f"model")
     objective = analysis.get("objective", "mass")
     stress_limit = analysis.get("stress_limit")
     stress_limit = None if stress_limit is None else float(stress_limit)
@@ -1602,6 +1608,26 @@ def run_sizing(problem, analysis: Dict) -> Dict:
             problem, stress_limit, min_area=min_area, max_area=max_area,
             n_iter=int(analysis.get("n_iter", 50)),
             load_cases=load_cases)
+    elif method == "oc":
+        if objective != "compliance":
+            raise ValueError('method "oc" is the compliance path; set '
+                             '"objective": "compliance" (use "adam"/'
+                             '"fsd" for stress/displacement-constrained '
+                             'mass)')
+        if volume is None:
+            raise ValueError('method "oc" needs the volume budget '
+                             '("volume": ...)')
+        if load_cases is not None:
+            raise ValueError('method "oc" sizes for the problem\'s own '
+                             'load vector; load_cases needs method '
+                             '"adam"')
+        res = optimize_compliance_oc(
+            problem, volume, min_area=min_area, max_area=max_area,
+            initial_areas=initial_areas,
+            n_iter=int(analysis.get("n_iter", 40)),
+            move=float(analysis.get("move", 0.2)),
+            tol=float(analysis.get("tolerance", 1e-3)),
+            cg_tol=float(analysis.get("cg_tol", 1e-6)))
     elif method == "adam":
         with _local_cpu_ctx(analysis):
             res = optimize_sizing(
@@ -1626,15 +1652,20 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         "method": method,
         "objective": objective,
         "converged": bool(res.converged),
-        "areas": res.areas.tolist(),
         "mass": float(res.mass),
         "mass_initial": float(res.mass_initial),
         "mass_reduction": float(1.0 - res.mass / res.mass_initial)
         if res.mass_initial else 0.0,
-        "stress": res.stress.tolist(),
-        "axial_forces": res.axial_forces.tolist(),
         "n_iter": int(res.n_iter),
     }
+    # Per-element tables can be huge on the OC large-mesh path — same
+    # payload-size gate as mode shapes.
+    if analysis.get("include_areas",
+                    res.areas.size <= 4 * _SHAPES_JSON_DOF_LIMIT):
+        out["areas"] = res.areas.tolist()
+        out["stress"] = res.stress.tolist()
+        out["axial_forces"] = res.axial_forces.tolist()
+    out["area_range"] = [float(res.areas.min()), float(res.areas.max())]
     if load_cases is not None:
         out["n_load_cases"] = int(load_cases.shape[0])
     if stress_limit is not None:

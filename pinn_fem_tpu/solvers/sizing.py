@@ -223,6 +223,166 @@ def static_response_elem(problem: TrussProblem, area_e, data=None,
     return u, sigma, sigma * area_e, mass
 
 
+def optimize_compliance_oc(
+    problem: TrussProblem,
+    volume: float,
+    n_iter: int = 40,
+    min_area: float = 1e-6,
+    max_area: Optional[float] = None,
+    move: float = 0.2,
+    eta: float = 0.5,
+    tol: float = 1e-3,
+    cg_tol: float = 1e-6,
+    cg_max_iter: int = 20000,
+    initial_areas=None,
+    data=None,
+    use_pallas: bool = False,
+    precond: str = "jacobi",
+) -> SizingResult:
+    """Large-mesh compliance sizing by OPTIMALITY CRITERIA on the banded
+    DIA/PCG path — design optimization past DENSE_DOF_LIMIT.
+
+    The dense `optimize_sizing` traces a (ndof, ndof) solve and stops at
+    the dense limit.  Compliance-at-fixed-volume has a classical
+    structure that needs no global AD at all: at the optimum every
+    non-bound member carries equal strain-energy density per unit
+    volume, and the OC fixpoint
+
+        A ← clip(A · (d_e/Λ)^η,  move and gauge bounds),
+        d_e = σ_e²/2E   (energy density at the CURRENT solve),
+        Λ from bisection so Σ A L = V exactly
+
+    converges to it with one banded PCG solve per iteration — the same
+    assemble_dia + dia_cg_solve machinery (and optional Pallas kernel /
+    MG preconditioner) the large-mesh statics ride, warm-started from
+    the previous iterate's displacement field.  The whole iteration
+    (assembly, solve, energies, 60-step Λ bisection, clamped update) is
+    ONE jitted program; the Python loop just re-dispatches it.
+
+    Unlike the dense compliance mode, the gauge bounds here are HARD:
+    the Λ bisection redistributes volume among free members with the
+    clamp in place, so Σ A L = V and min ≤ A ≤ max hold simultaneously.
+
+    Irregular meshes must be banded first (ops/reorder.rcm_permutation)
+    — dia_layout raises otherwise, same contract as the large-mesh
+    statics.
+
+    Returns a SizingResult: history carries per-iteration compliance,
+    converged means the last relative area move fell below `tol` (with
+    a healthy final CG solve).
+    """
+    if volume is None or volume <= 0.0:
+        raise ValueError("optimize_compliance_oc needs a positive volume")
+    if min_area <= 0.0:
+        raise ValueError("min_area must be positive (a zero-area member "
+                         "makes K singular)")
+    if max_area is not None and max_area <= min_area:
+        raise ValueError("max_area must exceed min_area")
+    if not (0.0 < move <= 1.0):
+        raise ValueError("move must be in (0, 1]")
+
+    from ..ops.dia import assemble_dia, dia_cg_solve, dia_layout
+    from ..ops.host import (_geometry, density_values_host,
+                            material_values_host)
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    nelm = data.dof_map.shape[0]
+    young_np, area0_np = material_values_host(problem, 1.0)
+    rho_np = density_values_host(problem, 1.0)
+    _, _, inv_len_np, _ = _geometry(problem)
+    lengths_np = 1.0 / inv_len_np
+    if initial_areas is not None:
+        area0_np = np.broadcast_to(
+            np.asarray(initial_areas, dtype=float), (nelm,)).copy()
+    # Feasible start: project onto the volume, then clamp to the gauge.
+    area0_np = area0_np * float(volume) / float(
+        np.sum(area0_np * lengths_np))
+    area0_np = np.clip(area0_np, min_area, max_area)
+    if float(np.sum(np.full(nelm, min_area) * lengths_np)) > volume:
+        raise ValueError("volume is below the min_area gauge volume — "
+                         "infeasible")
+
+    layout = dia_layout(np.asarray(data.dof_map), problem.ndof)
+    young_e = jnp.asarray(young_np, dtype)
+    lengths = jnp.asarray(lengths_np, dtype)
+    f = data.loads
+    mask = data.free_mask
+    vol_t = jnp.asarray(float(volume), dtype)
+
+    def oc_iteration(areas, u_prev):
+        s = young_e * areas * data.inv_len
+        diags = assemble_dia(layout, s, data.gvec)
+        u, cg_its, cg_res = dia_cg_solve(
+            layout, diags, f, mask, tol=cg_tol, max_iter=cg_max_iter,
+            x0=u_prev, use_pallas=use_pallas, precond=precond)
+        strain = jnp.sum(data.gvec * u[data.dof_map],
+                         axis=-1) * data.inv_len
+        dens = 0.5 * young_e * strain * strain      # sigma^2 / 2E
+        compliance = jnp.dot(f, u)
+
+        lower = jnp.maximum(min_area, (1.0 - move) * areas)
+        upper = (1.0 + move) * areas
+        if max_area is not None:
+            upper = jnp.minimum(max_area, upper)
+
+        def clamped(lam):
+            b = (dens / lam) ** eta
+            return jnp.clip(areas * b, lower, upper)
+
+        # Λ bisection in log space: Σ A(Λ) L is monotone decreasing.
+        d_max = jnp.maximum(jnp.max(dens), 1e-30)
+        lo0 = 1e-9 * d_max
+        hi0 = 1e9 * d_max
+
+        def bisect(_, c):
+            lo, hi = c
+            mid = jnp.sqrt(lo * hi)
+            too_big = jnp.sum(clamped(mid) * lengths) > vol_t
+            return (jnp.where(too_big, mid, lo),
+                    jnp.where(too_big, hi, mid))
+
+        lo, hi = jax.lax.fori_loop(0, 60, bisect, (lo0, hi0))
+        new = clamped(jnp.sqrt(lo * hi))
+        change = jnp.max(jnp.abs(new - areas)
+                         / jnp.maximum(areas, 1e-30))
+        return new, u, compliance, change, cg_its, cg_res
+
+    oc_jit = jax.jit(oc_iteration)
+    areas_d = jnp.asarray(area0_np, dtype)
+    u_d = jnp.zeros_like(f)
+    hist, changes, resids = [], [], []
+    for _ in range(n_iter):
+        areas_d, u_d, c, ch, _, res = oc_jit(areas_d, u_d)
+        hist.append(c)
+        changes.append(ch)
+        resids.append(res)
+    # ONE device fetch for the whole run.
+    areas, u, hist, changes, resids = jax.device_get(
+        (areas_d, u_d, hist, changes, resids))
+    areas = np.asarray(areas, dtype=float)
+    u = np.asarray(u, dtype=float)
+
+    # Final element state at the returned design (device quantities; the
+    # dense host mirror would not scale to the meshes this serves).
+    strain = np.sum(np.asarray(data.gvec) * u[np.asarray(data.dof_map)],
+                    axis=-1) * inv_len_np
+    sigma = young_np * strain
+    return SizingResult(
+        areas=areas,
+        mass=float(np.sum(rho_np * areas * lengths_np)),
+        mass_initial=float(np.sum(rho_np * area0_np * lengths_np)),
+        displacements=u,
+        stress=sigma,
+        axial_forces=sigma * areas,
+        max_stress_ratio=float("nan"),
+        max_displacement_ratio=float("nan"),
+        history=np.asarray(hist, dtype=float),
+        converged=bool(changes[-1] < tol and resids[-1] <= 2.0 * cg_tol),
+        n_iter=n_iter,
+    )
+
+
 def optimize_sizing(
     problem: TrussProblem,
     objective: str = "mass",

@@ -1132,3 +1132,42 @@ def test_http_sizing_load_cases(server_port):
     assert status == 200, body
     fsd = body["result"]
     assert res["mass"] <= fsd["mass"] * 1.02
+
+
+def test_sizing_oc_past_dense_limit():
+    """method "oc": the only sizing method allowed past DENSE_DOF_LIMIT
+    (banded optimality criteria; one PCG solve per iteration), with the
+    per-element payload gate engaged by include_areas=false."""
+    from pinn_fem_tpu.io.analysis import run_sizing
+    from pinn_fem_tpu.solvers.newton import DENSE_DOF_LIMIT
+    from tests.test_mg import grid_problem
+
+    p = grid_problem(24, 48)
+    assert p.ndof > DENSE_DOF_LIMIT
+    lengths = np.linalg.norm(
+        p.nodes[p.elements[:, 1]] - p.nodes[p.elements[:, 0]], axis=1)
+    vol = float(np.sum(lengths))
+    # adam/fsd refuse past the dense limit; oc is the documented out.
+    with pytest.raises(ValueError, match='method "oc"'):
+        run_sizing(p, {"stress_limit": 0.5})
+    out = run_sizing(p, {"method": "oc", "objective": "compliance",
+                         "volume": vol, "n_iter": 25,
+                         "include_areas": False,
+                         "include_displacements": False})
+    assert out["success"] and out["method"] == "oc"
+    assert "areas" not in out and "displacements" not in out
+    lo, hi = out["area_range"]
+    assert 0 < lo < hi
+    hist = np.asarray(out["history"])
+    assert hist[-1] < 0.6 * hist[0]          # compliance drops
+
+
+def test_sizing_oc_input_errors(server_port):
+    doc = two_bar_json(analysis={"type": "sizing", "method": "oc",
+                                 "stress_limit": 0.5})
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 500 and "compliance" in body["error"]
+    doc = two_bar_json(analysis={"type": "sizing", "method": "oc",
+                                 "objective": "compliance"})
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 500 and "volume" in body["error"]

@@ -326,3 +326,77 @@ def test_review_fixes_validation_and_compliance_polish():
     lengths = np.full(2, np.sqrt(2.0))
     np.testing.assert_allclose(float(np.sum(res.areas * lengths)), vol,
                                rtol=1e-6)
+
+
+# ------------------------------------------------ OC (large-mesh) path
+
+
+def test_oc_matches_dense_compliance_on_small_problem():
+    """The OC fixpoint and the dense AL path converge to the same
+    compliance design (equal-energy-density optimum)."""
+    from pinn_fem_tpu.solvers.sizing import optimize_compliance_oc
+
+    nodes = np.array([[0.0, 0.0], [3.0, 0.0], [1.0, 1.2]])
+    elements = np.array([[0, 2], [1, 2]])
+    loads = np.array([0.0, 0.0, 0.0, 0.0, 0.4, -1.0])
+    p = TrussProblem(nodes, elements, Material(1.0, 1.0, 1.0),
+                     loads, np.arange(4), 2)
+    lengths = np.array([np.linalg.norm([1.0, 1.2]),
+                        np.linalg.norm([2.0, 1.2])])
+    vol = float(np.sum(lengths))
+    dense = optimize_sizing(p, objective="compliance", volume=vol,
+                            min_area=1e-6, n_iter=400, outer_rounds=1,
+                            learning_rate=0.05)
+    oc = optimize_compliance_oc(p, vol, n_iter=60, min_area=1e-6)
+    assert oc.converged
+    np.testing.assert_allclose(oc.areas, dense.areas, rtol=0.01)
+    np.testing.assert_allclose(float(np.sum(oc.areas * lengths)), vol,
+                               rtol=1e-5)
+
+
+def test_oc_sizes_a_grid_past_the_dense_limit():
+    """The point of the OC path: compliance design on a banded mesh the
+    dense tier refuses (2304 DOFs > DENSE_DOF_LIMIT), one PCG solve per
+    iteration."""
+    from pinn_fem_tpu.solvers.newton import DENSE_DOF_LIMIT
+    from pinn_fem_tpu.solvers.sizing import optimize_compliance_oc
+    from tests.test_mg import grid_problem
+
+    p = grid_problem(24, 48)
+    assert p.ndof > DENSE_DOF_LIMIT
+    lengths = np.linalg.norm(
+        p.nodes[p.elements[:, 1]] - p.nodes[p.elements[:, 0]], axis=1)
+    vol = float(np.sum(lengths))          # uniform-start volume
+    res = optimize_compliance_oc(p, vol, n_iter=80, min_area=1e-4,
+                                 cg_tol=1e-7)
+    assert res.converged
+    # Volume held exactly through every clamped OC update.
+    np.testing.assert_allclose(float(np.sum(res.areas * lengths)), vol,
+                               rtol=1e-4)
+    # The optimized design beats the uniform start decisively.
+    c0, cN = res.history[0], res.history[-1]
+    assert cN < 0.35 * c0
+    # Monotone descent (OC with move limits; tiny float32 noise allowed).
+    assert np.all(np.diff(res.history) < 1e-3 * abs(c0))
+    # KKT structure: the converged design is bipolar — load-path members
+    # off the gauge all carry THE SAME energy density (= Λ, measured
+    # spread 3e-5), and every gauge member sits below it (it would shed
+    # volume if it could).
+    dens = res.stress ** 2
+    off_gauge = res.areas > 10 * 1e-4
+    assert off_gauge.sum() > 100
+    lam = dens[off_gauge].mean()
+    assert dens[off_gauge].std() / lam < 0.01
+    assert dens[~off_gauge].max() <= lam * 1.01
+
+
+def test_oc_input_validation():
+    from pinn_fem_tpu.solvers.sizing import optimize_compliance_oc
+
+    p = two_bar()
+    with pytest.raises(ValueError, match="volume"):
+        optimize_compliance_oc(p, 0.0)
+    with pytest.raises(ValueError, match="move"):
+        optimize_compliance_oc(p, 1.0, move=0.0)
+    with pytest.raises(ValueError, match="infeasible"):
+        optimize_compliance_oc(p, 1e-9, min_area=1.0)
