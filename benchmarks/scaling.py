@@ -199,6 +199,28 @@ def main():
          converged=bool(result.converged), first_call_s=round(t_first, 1),
          backend=backend)
 
+    # 2a) OC compliance sizing on the same 40k-DOF grid: per-iteration
+    # cost of the large-mesh design loop (one banded PCG solve + Λ
+    # bisection per iteration, all one jitted program, warm-started).
+    # Measured differentially — t(12) - t(2) over 10 iterations — so
+    # the shared compile/attach cost cancels.
+    from pinn_fem_tpu.solvers.sizing import optimize_compliance_oc
+
+    lengths = np.linalg.norm(
+        p.nodes[p.elements[:, 1]] - p.nodes[p.elements[:, 0]], axis=1)
+    vol = float(np.sum(lengths))
+    optimize_compliance_oc(p, vol, n_iter=2, min_area=1e-4)   # warm
+    t0 = time.perf_counter()
+    optimize_compliance_oc(p, vol, n_iter=2, min_area=1e-4)
+    t_2 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res_oc = optimize_compliance_oc(p, vol, n_iter=12, min_area=1e-4)
+    t_12 = time.perf_counter() - t0
+    emit("oc_sizing_iteration", (t_12 - t_2) / 10.0 * 1e3, "ms",
+         dofs=p.ndof, elements=p.nelm, backend=backend,
+         compliance_drop_12it=round(
+             float(res_oc.history[0] / res_oc.history[-1]), 2))
+
     # 2b) Explicit transient dynamics at 2M DOFs: whole time history as
     # one lax.scan; each step is one banded matvec (Pallas on TPU) plus
     # pointwise updates, so the MARGINAL step cost should sit at the
