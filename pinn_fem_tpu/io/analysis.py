@@ -69,6 +69,11 @@ drives a static solve gains:
                                               # determinate trusses)
                  "stress_limit": 0.8,
                  "displacement_limit": 0.5,
+                 "min_frequency_hz": 2.0,     # f1 floor (needs payload
+                                              # "point_masses" to be
+                                              # enforceable — frequencies
+                                              # are scale-invariant when
+                                              # all mass is structural)
                  "probe_nodes": [..] | "probe_dofs": [..],
                  "volume": V,                 # compliance objective
                  "load_cases": [[..ndof..], ..],   # envelope sizing:
@@ -1543,6 +1548,7 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                      "objective": "mass" | "compliance",
                      "method": "adam" | "fsd" | "oc",
                      "stress_limit": s, "displacement_limit": d,
+                     "min_frequency_hz": f,     # adam only
                      "probe_nodes"/"probe_dofs": [..],   # where d applies
                      "volume": V, "min_area": a0, "max_area": a1,
                      "load_cases": [[..], ..],  # (C, ndof) envelope
@@ -1633,6 +1639,9 @@ def run_sizing(problem, analysis: Dict) -> Dict:
             res = optimize_sizing(
                 problem, objective=objective, stress_limit=stress_limit,
                 displacement_limit=disp_limit, probe_dofs=probe,
+                min_frequency_hz=(
+                    None if analysis.get("min_frequency_hz") is None
+                    else float(analysis["min_frequency_hz"])),
                 volume=volume, min_area=min_area, max_area=max_area,
                 initial_areas=initial_areas,
                 load_cases=load_cases,

@@ -161,6 +161,28 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
         mdofs, mvals = _parse_measured(data, nodes_list, problem_dim)
         measured_dofs, measured_disp = mdofs, mvals
 
+    # Payload-mass extension: non-structural point masses for the
+    # dynamics family (models/problem.py point_masses).  Two forms:
+    #   "point_masses": [m_0, ..., m_{nnode-1}]      full per-node table
+    #   "point_masses": [[node, m], [node, m], ...]  sparse pairs
+    point_masses = None
+    pm_spec = data.get("point_masses")
+    if pm_spec is not None:
+        arr = np.asarray(pm_spec, dtype=float)
+        if arr.ndim == 2 and arr.shape[1] == 2:
+            point_masses = np.zeros(n_nodes)
+            idx = arr[:, 0]
+            if np.any(idx != np.round(idx)) or np.any(idx < 0) \
+                    or np.any(idx >= n_nodes):
+                raise ValueError("point_masses pairs need valid node "
+                                 "indices")
+            np.add.at(point_masses, idx.astype(int), arr[:, 1])
+        elif arr.ndim == 1:
+            point_masses = arr
+        else:
+            raise ValueError("point_masses must be a per-node list or "
+                             "[node, mass] pairs")
+
     problem = TrussProblem(
         nodes=nodes,
         elements=elements,
@@ -168,6 +190,7 @@ def parse_problem_dict(data: Dict, seed: int = 0) -> ParsedProblem:
         loads=loads,
         fixed_dofs=fixed_dofs,
         dimension=problem_dim,
+        point_masses=point_masses,
     )
 
     # Thermal loading extension: {"thermal": {"alpha": a, "delta_t": dT}}

@@ -73,6 +73,12 @@ class ProblemData:
     # Transposed incidence (ndof, max_valence) for scatter-free accumulation
     # (see ops/scatter.py).
     gather_map: jnp.ndarray = None
+    # (ndof,) non-structural (payload) mass per DOF — a node's point mass
+    # replicated onto each of its translational DOFs; zeros by default.
+    # ops/mass adds it to every lumped/consistent matrix, so the whole
+    # dynamics family (modal, transient, spectrum, harmonic, random,
+    # identification, sizing) sees payload mass through one field.
+    point_mass: jnp.ndarray = None
     dimension: int = struct.field(pytree_node=False, default=2)
 
     @property
@@ -97,12 +103,31 @@ class TrussProblem:
     loads: np.ndarray          # (ndof,)
     fixed_dofs: np.ndarray     # (nfixed,) int
     dimension: int = 2
+    # Optional (nnode,) non-structural (payload) point masses — equipment,
+    # deck loads, tuned-mass hardware.  Each node's mass acts on all of
+    # its translational DOFs (the standard lumped payload idealization).
+    # The reference has no mass concept at all (statics-only; SURVEY
+    # §7.3); this extends the dynamics family the natural way.
+    point_masses: Optional[np.ndarray] = None
 
     def __post_init__(self) -> None:
         self.nodes = np.asarray(self.nodes, dtype=float)
         self.elements = np.asarray(self.elements, dtype=int)
         self.loads = np.asarray(self.loads, dtype=float).reshape(-1)
         self.fixed_dofs = np.asarray(self.fixed_dofs, dtype=int).reshape(-1)
+        if self.point_masses is not None:
+            self.point_masses = np.asarray(self.point_masses,
+                                           dtype=float).reshape(-1)
+            if self.point_masses.size != self.nnode:
+                raise ValueError(
+                    f"point_masses must have one value per node "
+                    f"({self.nnode}), got {self.point_masses.size}")
+            if not np.all(np.isfinite(self.point_masses)) \
+                    or np.any(self.point_masses < 0.0):
+                raise ValueError("point_masses must be finite and "
+                                 "nonnegative")
+            if not np.any(self.point_masses):
+                self.point_masses = None       # all-zero == absent
 
         if self.dimension not in (1, 2, 3):
             raise ValueError("dimension must be 1, 2 or 3")
@@ -143,6 +168,13 @@ class TrussProblem:
 
     def free_fixed(self) -> Tuple[np.ndarray, np.ndarray]:
         return free_and_fixed_dofs(self.ndof, self.fixed_dofs)
+
+    def point_mass_dof(self) -> np.ndarray:
+        """(ndof,) payload mass per DOF (each node's point mass on all
+        of its translational DOFs); zeros when absent."""
+        if self.point_masses is None:
+            return np.zeros(self.ndof)
+        return np.repeat(self.point_masses, self.dimension)
 
     def element_midpoints(self) -> np.ndarray:
         coords = self.node_coords_2d
@@ -217,5 +249,6 @@ class TrussProblem:
             free_mask=jnp.asarray(free_mask, dtype=dtype),
             fixed_mask=jnp.asarray(1.0 - free_mask, dtype=dtype),
             gather_map=jnp.asarray(gather_map, dtype=jnp.int32),
+            point_mass=jnp.asarray(self.point_mass_dof(), dtype=dtype),
             dimension=self.dimension,
         )

@@ -189,7 +189,7 @@ def host_lumped_mass(problem: TrussProblem) -> np.ndarray:
     m = np.zeros(problem.ndof)
     np.add.at(m, dof_map, np.broadcast_to((0.5 * m_e)[:, None],
                                           dof_map.shape))
-    return m
+    return m + problem.point_mass_dof()
 
 
 def host_consistent_mass(problem: TrussProblem) -> np.ndarray:
@@ -204,7 +204,7 @@ def host_consistent_mass(problem: TrussProblem) -> np.ndarray:
     eye_d = np.eye(d)
     pattern = np.block([[2.0 * eye_d, eye_d], [eye_d, 2.0 * eye_d]]) / 6.0
     me = m_e[:, None, None] * pattern[None, :, :]
-    return _scatter_blocks(problem, me)
+    return _scatter_blocks(problem, me) + np.diag(problem.point_mass_dof())
 
 
 def host_axial_forces(problem: TrussProblem, u: np.ndarray,

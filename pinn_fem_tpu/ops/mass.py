@@ -49,13 +49,17 @@ def lumped_mass(
     """Diagonal (ndof,) lumped mass vector.
 
     Half of each element's mass lands on every translational DOF of each
-    of its two end nodes.
+    of its two end nodes; non-structural payload mass
+    (data.point_mass, models/problem.py) adds directly per DOF.
     """
     m_e = element_masses(data, material, load_factor)       # (nelm,)
     contrib = jnp.broadcast_to(
         (0.5 * m_e)[:, None], data.dof_map.shape
     )                                                        # (nelm, 2d)
-    return jnp.zeros(data.ndof, m_e.dtype).at[data.dof_map].add(contrib)
+    m = jnp.zeros(data.ndof, m_e.dtype).at[data.dof_map].add(contrib)
+    if data.point_mass is not None:
+        m = m + data.point_mass
+    return m
 
 
 def _consistent_me(data: ProblemData, m_e: jnp.ndarray) -> jnp.ndarray:
@@ -70,12 +74,17 @@ def _consistent_me(data: ProblemData, m_e: jnp.ndarray) -> jnp.ndarray:
 def consistent_mass(
     data: ProblemData, material: Material, load_factor=1.0
 ) -> jnp.ndarray:
-    """Dense (ndof, ndof) consistent mass matrix."""
+    """Dense (ndof, ndof) consistent mass matrix (payload point mass on
+    the diagonal — a lumped payload stays lumped under any shape
+    functions)."""
     me = _consistent_me(data, element_masses(data, material, load_factor))
     rows = data.dof_map[:, :, None]
     cols = data.dof_map[:, None, :]
     ndof = data.ndof
-    return jnp.zeros((ndof, ndof), me.dtype).at[rows, cols].add(me)
+    m = jnp.zeros((ndof, ndof), me.dtype).at[rows, cols].add(me)
+    if data.point_mass is not None:
+        m = m + jnp.diag(data.point_mass)
+    return m
 
 
 def consistent_mass_dia(
@@ -90,7 +99,13 @@ def consistent_mass_dia(
     me = _consistent_me(data, element_masses(data, material, load_factor))
     flat = jnp.zeros((layout.n_diags * layout.ndof,), me.dtype)
     flat = flat.at[jnp.asarray(layout.entry_slot)].add(me)
-    return flat.reshape(layout.n_diags, layout.ndof)
+    diags = flat.reshape(layout.n_diags, layout.ndof)
+    if data.point_mass is not None:
+        import numpy as _np
+
+        k0 = int(_np.where(_np.asarray(layout.offsets) == 0)[0][0])
+        diags = diags.at[k0].add(data.point_mass)
+    return diags
 
 
 def total_mass(data: ProblemData, material: Material) -> jnp.ndarray:

@@ -169,6 +169,9 @@ function renderTables() {
     tr.insertCell().appendChild(checkbox(n.fixedY, (v) => { n.fixedY = v; }));
     tr.insertCell().appendChild(numInput(n.fx, (v) => { n.fx = v; }));
     tr.insertCell().appendChild(numInput(n.measuredUx, (v) => { n.measuredUx = v; }));
+    // Payload (non-structural) mass — feeds "point_masses" and with it
+    // every mass matrix of the dynamics family (ops/mass.py).
+    tr.insertCell().appendChild(numInput(n.pm || 0, (v) => { n.pm = v; }));
     const del = document.createElement("button"); del.textContent = "✕";
     del.addEventListener("click", () => {
       state.nodes.splice(i, 1);
@@ -260,6 +263,12 @@ function buildProblem() {
     problem.solver_config.method = solverType;
   } else {
     problem.solver_type = solverType;
+  }
+  // Payload masses: emitted only when some node carries one, so plain
+  // sketches keep the exact payload-free POST body the golden fixtures
+  // pin (tests/test_ui_contract.py).
+  if (state.nodes.some((n) => n.pm)) {
+    problem.point_masses = state.nodes.map((n) => n.pm || 0);
   }
   return problem;
 }

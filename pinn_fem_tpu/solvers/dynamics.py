@@ -211,7 +211,20 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
             pu = np.asarray(jax.device_get(prestress_u), dtype=float)
             k_h = k_h + H.host_geometric_stiffness(
                 problem, H.host_axial_forces(problem, pu))
-        w_max = float(np.sqrt(np.max(np.sum(np.abs(k_h), axis=1) / m_h)))
+        # FREE rows only: fixed DOFs never integrate (the central scheme
+        # masks them), and a support row — full stiffness over half an
+        # element's mass, no payload — otherwise dominates the max and
+        # makes the bound up to ~sqrt(2) conservative (and blind to
+        # payload mass entirely).
+        free = H.host_masks(problem) > 0.0
+        ratio = np.sum(np.abs(k_h), axis=1) / m_h
+        r_max = float(np.max(ratio[free])) if np.any(free) else 0.0
+        if r_max <= 0.0:
+            # Degenerate free block (e.g. an unstressed straight chain's
+            # transverse DOFs carry no stiffness): fall back to the
+            # all-rows bound so the caller still gets a sane time scale.
+            r_max = float(np.max(ratio))
+        w_max = float(np.sqrt(r_max))
         zeta = alpha / (2.0 * max(w_max, 1e-30)) + 0.5 * beta * w_max
         return float(safety * (2.0 / w_max)
                      * (np.sqrt(1.0 + zeta * zeta) - zeta))
@@ -248,7 +261,10 @@ def stable_dt(problem: TrussProblem, data=None, safety: float = 0.9,
             contrib = contrib + (2.0 * jnp.abs(n_e)
                                  * data.inv_len)[:, None]
         row = jnp.zeros(problem.ndof, s.dtype).at[data.dof_map].add(contrib)
-    bound = jnp.max(row / m)
+    # FREE rows only, with the same degenerate-block fallback as the
+    # host path above.
+    bound = jnp.max(jnp.where(data.free_mask > 0, row / m, 0.0))
+    bound = jnp.where(bound > 0, bound, jnp.max(row / m))
     w_max = float(jnp.sqrt(bound))
     zeta = alpha / (2.0 * max(w_max, 1e-30)) + 0.5 * beta * w_max
     return float(safety * (2.0 / w_max)

@@ -82,6 +82,8 @@ def modal_observables_elem(problem: TrussProblem, young_e, area_e, rho_e,
     m_e = rho_e * area_e / data.inv_len
     contrib = jnp.broadcast_to((0.5 * m_e)[:, None], data.dof_map.shape)
     m = jnp.zeros(data.ndof, dtype).at[data.dof_map].add(contrib)
+    if data.point_mass is not None:          # payload mass (ops/mass)
+        m = m + data.point_mass
 
     free_idx = jnp.asarray(problem.free_fixed()[0])
     k_ff = k[jnp.ix_(free_idx, free_idx)]

@@ -389,6 +389,7 @@ def optimize_sizing(
     stress_limit: Optional[float] = None,
     displacement_limit: Optional[float] = None,
     probe_dofs=None,
+    min_frequency_hz: Optional[float] = None,
     volume: Optional[float] = None,
     load_cases=None,
     case_weights=None,
@@ -437,6 +438,19 @@ def optimize_sizing(
     min + exp(t) when unbounded above) so the bounds hold exactly at
     every iterate, not just at convergence.
 
+    min_frequency_hz: optional lowest-natural-frequency floor — the
+        classic dynamic design requirement (keep the structure's f₁
+        above an excitation band).  The constraint
+        g = 1 − λ₁/(2π f_min)² differentiates through the dense
+        generalized eigensolve with K(A) AND M(A) traced (the
+        identification family's modal_observables_elem), so mass added
+        for stiffness is charged against the very frequency it buys.
+        NOTE: frequencies are invariant under uniform area scaling when
+        ALL mass is structural (K and M both scale with A) — a
+        frequency floor is only meaningfully enforceable on structures
+        carrying non-structural `point_masses` (models/problem.py), the
+        standard setting for this problem class.
+
     load_cases: optional (C, ndof) table — a real structure is sized
         for an ENVELOPE, not one load.  Constraints then hold for every
         case simultaneously; each iteration solves all cases against
@@ -450,10 +464,13 @@ def optimize_sizing(
     if objective not in ("mass", "compliance"):
         raise ValueError('objective must be "mass" or "compliance"')
     if objective == "mass" and stress_limit is None \
-            and displacement_limit is None:
-        raise ValueError("mass minimization needs stress_limit and/or "
-                         "displacement_limit (otherwise the optimum is "
-                         "the gauge minimum everywhere)")
+            and displacement_limit is None and min_frequency_hz is None:
+        raise ValueError("mass minimization needs stress_limit, "
+                         "displacement_limit and/or min_frequency_hz "
+                         "(otherwise the optimum is the gauge minimum "
+                         "everywhere)")
+    if min_frequency_hz is not None and min_frequency_hz <= 0.0:
+        raise ValueError("min_frequency_hz must be positive")
     if objective == "compliance" and volume is None:
         raise ValueError("compliance minimization needs the volume "
                          "budget (volume=...)")
@@ -537,9 +554,13 @@ def optimize_sizing(
         compliance0 = max(abs(float(np.sum(w_np * np.atleast_1d(
             np.sum(np.atleast_2d(f0 * u0), axis=-1))))), 1e-30)
 
+    lam_req = (None if min_frequency_hz is None
+               else float((2.0 * np.pi * min_frequency_hz) ** 2))
+
     n_con = n_cases * ((nelm if stress_limit is not None else 0)
                        + (int(probe_np.size)
-                          if displacement_limit is not None else 0))
+                          if displacement_limit is not None else 0)) \
+        + (1 if lam_req is not None else 0)
 
     def objective_and_constraints(t):
         """(objective, g) with g the stacked constraint values — g ≤ 0
@@ -563,6 +584,14 @@ def optimize_sizing(
         if displacement_limit is not None:
             gs.append((jnp.abs(u[..., probe]) / displacement_limit
                        - 1.0).reshape(-1))
+        if lam_req is not None:
+            # λ₁ ≥ (2π f_min)² through the differentiable generalized
+            # eigensolve — K(A) and M(A) both traced (see docstring).
+            from .modal_inverse import modal_observables_elem
+
+            lam, _ = modal_observables_elem(problem, young_e, a, rho_e,
+                                            1, data=data)
+            gs.append((1.0 - lam[0] / lam_req).reshape(1))
         g = (jnp.concatenate(gs) if gs
              else jnp.zeros((0,), dtype))
         return obj, g

@@ -252,6 +252,8 @@ def transient_probe_response_elem(problem: TrussProblem, young_e, area_e,
     m_e = rho_e * area_e / data.inv_len
     contrib = jnp.broadcast_to((0.5 * m_e)[:, None], data.dof_map.shape)
     m = jnp.zeros(data.ndof, dtype).at[data.dof_map].add(contrib)
+    if data.point_mass is not None:          # payload mass (ops/mass)
+        m = m + data.point_mass
     m = m * mask + (1.0 - mask)
 
     amplitude = (np.ones(n_steps) if amplitude is None else amplitude)

@@ -1075,7 +1075,7 @@ def test_sizing_input_errors(server_port):
           "displacement_limit": 1.0}, "stress-constrained"),
         ({"type": "sizing", "method": "simplex", "stress_limit": 0.5},
          "adam"),
-        ({"type": "sizing"}, "stress_limit and/or"),
+        ({"type": "sizing"}, "gauge minimum"),
         ({"type": "sizing", "objective": "compliance"}, "volume"),
     ]
     for analysis, frag in cases:

@@ -205,7 +205,7 @@ def test_optimize_respects_max_area_bound():
 
 def test_sizing_input_validation():
     p = two_bar()
-    with pytest.raises(ValueError, match="stress_limit and/or"):
+    with pytest.raises(ValueError, match="gauge minimum"):
         optimize_sizing(p, objective="mass")
     with pytest.raises(ValueError, match="volume"):
         optimize_sizing(p, objective="compliance")
@@ -400,3 +400,60 @@ def test_oc_input_validation():
         optimize_compliance_oc(p, 1.0, move=0.0)
     with pytest.raises(ValueError, match="infeasible"):
         optimize_compliance_oc(p, 1e-9, min_area=1.0)
+
+
+# ------------------------------------------- frequency-constrained mass
+
+
+def test_optimize_frequency_constrained_closed_form():
+    """Tip-mass bar, minimize mass s.t. f1 >= f_req: the SDOF closed
+    form A* = w^2 m_tip / (E/L - w^2 rho L / 2) — the frequency
+    constraint differentiates through K(A) AND M(A), so the optimizer
+    charges added area against the structural mass it brings."""
+    E, L, rho, m_tip = 1.0, 1.0, 0.1, 2.0
+    w_req = 0.5
+    f_req = w_req / (2.0 * np.pi)
+    p = TrussProblem(np.array([0.0, L]), np.array([[0, 1]]),
+                     Material(young=E, area=0.05, density=rho),
+                     np.array([0.0, 0.0]), np.array([0]), 1,
+                     point_masses=np.array([0.0, m_tip]))
+    a_true = w_req ** 2 * m_tip / (E / L - w_req ** 2 * rho * L / 2.0)
+    res = optimize_sizing(p, objective="mass", min_frequency_hz=f_req,
+                          min_area=1e-6, n_iter=250, outer_rounds=4,
+                          learning_rate=0.08)
+    np.testing.assert_allclose(res.areas[0], a_true, rtol=0.01)
+    # And the resulting frequency sits on the floor.
+    from pinn_fem_tpu import modal_analysis
+
+    p_opt = TrussProblem(p.nodes, p.elements,
+                         Material(young=E, area=float(res.areas[0]),
+                                  density=rho),
+                         p.loads, p.fixed_dofs, 1,
+                         point_masses=p.point_masses)
+    f1 = modal_analysis(p_opt, n_modes=1).frequencies[0]
+    np.testing.assert_allclose(f1, f_req, rtol=0.01)
+
+
+def test_frequency_constraint_json_tier():
+    """min_frequency_hz through run_sizing (adam only)."""
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+    from pinn_fem_tpu.io.analysis import run_sizing
+
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 1.0, "area": 0.05, "density": 0.1},
+        "loads": [0.0, 0.0],
+        "fixed_dofs": [0],
+        "point_masses": [[1, 2.0]],
+        "solver_type": "fem",
+    }
+    w_req = 0.5
+    p = parse_problem_dict(doc).problem
+    out = run_sizing(p, {"min_frequency_hz": w_req / (2.0 * np.pi),
+                         "n_iter": 250, "outer_rounds": 4,
+                         "learning_rate": 0.08, "min_area": 1e-6})
+    a_true = w_req ** 2 * 2.0 / (1.0 - w_req ** 2 * 0.1 / 2.0)
+    np.testing.assert_allclose(out["areas"][0], a_true, rtol=0.01)
+    with pytest.raises(ValueError, match="min_frequency_hz"):
+        run_sizing(p, {"min_frequency_hz": -1.0})

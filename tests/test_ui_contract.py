@@ -444,3 +444,24 @@ def test_react_ui_dynamics_panel_sizing_payload_served():
     # the optimizer must report the mass INCREASE honestly.
     assert out["mass"] > out["mass_initial"]
     assert out["mass_reduction"] < 0.0
+
+
+def test_static_ui_point_mass_payload_parses():
+    """The static UI's node-table mass column emits "point_masses" as a
+    full per-node list ONLY when some node carries one (plain sketches
+    keep the payload-free fixture body).  The parsed problem must carry
+    it into the mass matrices."""
+    from pinn_fem_tpu.ops.host import host_lumped_mass
+
+    payload = load_fixture("ui_payload_static.json")
+    n = len(payload["nodes"])
+    base = parse_problem_dict(payload).problem
+    assert base.point_masses is None
+    masses = [0.0] * n
+    masses[-1] = 2.5
+    payload["point_masses"] = masses         # exact builder emission
+    p = parse_problem_dict(payload).problem
+    np.testing.assert_allclose(p.point_masses, masses)
+    np.testing.assert_allclose(
+        host_lumped_mass(p) - host_lumped_mass(base),
+        np.repeat(masses, p.dimension), atol=1e-12)
