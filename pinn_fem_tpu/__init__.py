@@ -104,8 +104,10 @@ from .solvers.riks import (  # noqa: E402
     solve_riks,
 )
 from .solvers.spectrum import (  # noqa: E402
+    SpectrumCurve,
     SpectrumResult,
     response_spectrum,
+    spectrum_from_history,
 )
 from .solvers.frequency_inverse import (  # noqa: E402
     frf_probe_amplitudes,
@@ -186,6 +188,8 @@ __all__ = [
     "identify_from_transient",
     "transient_probe_response",
     "response_spectrum",
+    "spectrum_from_history",
+    "SpectrumCurve",
     "SpectrumResult",
     "SizingResult",
     "fully_stressed_design",

@@ -17,7 +17,12 @@ drives a static solve gains:
                  "n_modes": 4, "compare_full": true}
 
     "analysis": {"type": "spectrum", "sa": 2.5 | {"omegas": [..],
-                                                  "values": [..]},
+                                                  "values": [..]}
+                     | {"history": <amplitude contract>, "dt": 0.01,
+                        "n_steps": 4000, "damping_ratio": 0.05,
+                        "curve_omegas": [..]},   # GENERATE Sa from an
+                                                 # accelerogram (exact
+                                                 # at modal frequencies)
                  "direction": [1, 0], "n_modes": 6,
                  "combination": "srss" | "cqc", "damping_ratio": 0.05}
 
@@ -551,11 +556,48 @@ def run_random(problem, analysis: Dict) -> Dict:
 
 
 def run_spectrum(problem, analysis: Dict) -> Dict:
-    """Execute a response-spectrum block (solvers/spectrum.py)."""
+    """Execute a response-spectrum block (solvers/spectrum.py).
+
+    Three Sa sources:
+        "sa": 2.5                              flat
+        "sa": {"omegas": [..], "values": [..]} tabulated (interpolated)
+        "sa": {"history": <amplitude contract>,   # a_g(t) RECORD
+               "dt": 0.01, "n_steps": 4000,    # n_steps optional for a
+                                               # literal list
+               "scale": 1.0,
+               "damping_ratio": 0.05,          # default: the block's
+               "curve_omegas": [..] | {..}}    # optionally return the
+                                               # generated curve
+    The history form GENERATES the spectrum from the record
+    (spectrum_from_history: vectorized SDOF Newmark sweep, float64
+    host) and evaluates it EXACTLY at the modal frequencies — no
+    interpolation between the generation and the combination."""
     from ..solvers.spectrum import response_spectrum
 
     sa = analysis.get("sa", 1.0)
-    if isinstance(sa, dict):
+    curve_request = None
+    if isinstance(sa, dict) and "history" in sa:
+        from ..solvers.spectrum import spectrum_from_history
+
+        if "dt" not in sa:
+            raise ValueError('a history spectrum needs its record "dt"')
+        dt_h = float(sa["dt"])
+        hist_spec = sa["history"]
+        n = int(sa.get("n_steps",
+                       len(hist_spec)
+                       if isinstance(hist_spec, (list, tuple)) else 0))
+        if n <= 0:
+            raise ValueError('a synthetic history spectrum needs '
+                             '"n_steps"')
+        accel = (_amplitude_array(hist_spec, n, dt_h)
+                 * float(sa.get("scale", 1.0)))
+        zeta_g = float(sa.get("damping_ratio",
+                              analysis.get("damping_ratio", 0.05)))
+        curve_request = sa.get("curve_omegas")
+
+        def spectrum(om):
+            return spectrum_from_history(accel, dt_h, om, zeta_g).psa
+    elif isinstance(sa, dict):
         om_tab = np.asarray(sa["omegas"], dtype=float)
         val_tab = np.asarray(sa["values"], dtype=float)
 
@@ -571,7 +613,7 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
         combination=analysis.get("combination", "srss"),
         damping_ratio=float(analysis.get("damping_ratio", 0.05)),
         prestress_u=prestress_u)
-    return {
+    out = {
         "success": True,
         "analysis": "spectrum",
         "prestressed": prestress_u is not None,
@@ -583,6 +625,28 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
         "mass_fraction": res.mass_fraction,
         "displacements": res.displacements.tolist(),
     }
+    if callable(spectrum):
+        out["sa_at_modes"] = np.asarray(
+            spectrum(res.omegas), dtype=float).tolist()
+    if isinstance(sa, dict) and "history" in sa:
+        out["sa_source"] = "history"
+        if curve_request is not None:
+            from ..solvers.spectrum import spectrum_from_history
+
+            om_c = _omega_array(curve_request)
+            curve = spectrum_from_history(
+                accel, dt_h, om_c,
+                float(sa.get("damping_ratio",
+                             analysis.get("damping_ratio", 0.05))))
+            out["spectrum_curve"] = {
+                "omegas": om_c.tolist(),
+                "sd": curve.sd.tolist(),
+                "psv": curve.psv.tolist(),
+                "psa": curve.psa.tolist(),
+                "sa_abs": curve.sa_abs.tolist(),
+                "damping_ratio": curve.damping_ratio,
+            }
+    return out
 
 
 def run_transient(problem, analysis: Dict) -> Dict:

@@ -140,3 +140,76 @@ def response_spectrum(
         combination=combination,
         modal_ok=bool(res.ok),
     )
+
+
+class SpectrumCurve(NamedTuple):
+    """Response spectra of a ground-acceleration record."""
+    omegas: np.ndarray        # (n_w,) rad/s
+    sd: np.ndarray            # (n_w,) peak relative displacement
+    psv: np.ndarray           # (n_w,) pseudo-velocity  omega * Sd
+    psa: np.ndarray           # (n_w,) pseudo-acceleration  omega^2 * Sd
+    sa_abs: np.ndarray        # (n_w,) TRUE peak absolute acceleration
+    damping_ratio: float
+    dt: float
+
+
+def spectrum_from_history(accel, dt: float, omegas,
+                          damping_ratio: float = 0.05) -> SpectrumCurve:
+    """Response spectra FROM a ground-motion record — the generation
+    side of the spectrum workflow (an accelerogram in, the design curve
+    out), so a measured or synthetic quake can drive the modal
+    combination above with NO interpolation: `response_spectrum` takes
+    Sa as a callable and this integrates exactly at the modal
+    frequencies it asks for.
+
+    One unit-mass SDOF per omega, u'' + 2 zeta w u' + w^2 u = -a_g(t),
+    all integrated SIMULTANEOUSLY by Newmark average acceleration
+    (unconditionally stable: a coarse record never forces sub-stepping
+    of the stiff oscillators; Chopra's standard coefficient form),
+    tracking running peaks of |u| (Sd) and |u'' + a_g| (true absolute
+    Sa).  Pseudo-spectra are PSv = w Sd, PSa = w^2 Sd.
+
+    Float64 HOST on purpose (the round-3 serving lesson): the record is
+    plain data, the sweep is a few thousand vectorized numpy steps, and
+    the HTTP route stays compile-free.
+    """
+    a_g = np.asarray(accel, dtype=float).reshape(-1)
+    w = np.asarray(omegas, dtype=float).reshape(-1)
+    if np.any(w <= 0.0):
+        raise ValueError("spectrum omegas must be positive")
+    if a_g.size < 2:
+        raise ValueError("the acceleration record needs >= 2 samples")
+    z = float(damping_ratio)
+    dt = float(dt)
+
+    c = 2.0 * z * w
+    k = w * w
+    beta, gamma = 0.25, 0.5                   # average acceleration
+    a0 = 1.0 / (beta * dt * dt)
+    a1 = gamma / (beta * dt)
+    a2 = 1.0 / (beta * dt)
+    a3 = 1.0 / (2.0 * beta) - 1.0
+    a4 = gamma / beta - 1.0
+    a5 = dt * (gamma / (2.0 * beta) - 1.0)
+    khat = k + a0 + a1 * c
+
+    u = np.zeros_like(w)
+    v = np.zeros_like(w)
+    acc = np.full_like(w, -a_g[0])            # equilibrium at t=0
+    sd = np.zeros_like(w)
+    sa_abs = np.abs(acc + a_g[0]) * np.ones_like(w)
+    for i in range(1, a_g.size):
+        phat = (-a_g[i]
+                + (a0 * u + a2 * v + a3 * acc)
+                + c * (a1 * u + a4 * v + a5 * acc))
+        u_new = phat / khat
+        v = a1 * (u_new - u) - a4 * v - a5 * acc
+        # a_{i+1} from the equation of motion directly (exact; avoids
+        # compounding the kinematic update's rounding):
+        acc = -a_g[i] - c * v - k * u_new
+        u = u_new
+        sd = np.maximum(sd, np.abs(u))
+        sa_abs = np.maximum(sa_abs, np.abs(acc + a_g[i]))
+    return SpectrumCurve(
+        omegas=w, sd=sd, psv=w * sd, psa=k * sd, sa_abs=sa_abs,
+        damping_ratio=z, dt=dt)

@@ -6,6 +6,7 @@ Gamma = phi m r and phi = 1/sqrt(m): u = Sa m / k.  Effective modal mass
 must equal the full direction mass (100% participation with all modes)."""
 
 import numpy as np
+import pytest
 
 from pinn_fem_tpu import Material, TrussProblem
 from pinn_fem_tpu.solvers.spectrum import response_spectrum
@@ -88,3 +89,99 @@ def test_sdof_matches_transient_peak():
     res = response_spectrum(p, 2.0 * a_g, n_modes=1)
     np.testing.assert_allclose(res.displacements[1],
                                2.0 * a_g * 1.0 / 4.0, rtol=1e-5)
+
+
+# ------------------------------------- spectrum GENERATION (from a_g(t))
+
+
+def test_spectrum_from_history_resonance_and_zpa():
+    """Closed forms of the SDOF sweep: at resonance the peak equals the
+    steady-state amplitude A/(2 zeta w^2) (the transient only ever
+    approaches it from below there), and the rigid-oscillator limit
+    recovers the peak ground acceleration (ZPA)."""
+    from pinn_fem_tpu.solvers.spectrum import spectrum_from_history
+
+    A, Om, z = 1.3, 2.0, 0.05
+    dt = 0.005
+    t = dt * np.arange(40000)              # 200 s >> 1/(z w) settle time
+    ag = A * np.sin(Om * t)
+    cur = spectrum_from_history(ag, dt, np.array([Om, 60.0]),
+                                damping_ratio=z)
+    np.testing.assert_allclose(cur.sd[0], A / (2 * z * Om * Om),
+                               rtol=1e-3)
+    np.testing.assert_allclose(cur.psa[1], A, rtol=5e-3)     # ZPA
+    np.testing.assert_allclose(cur.sa_abs[1], A, rtol=5e-3)
+    # Pseudo-spectra identities.
+    np.testing.assert_allclose(cur.psv, cur.omegas * cur.sd, rtol=1e-12)
+    np.testing.assert_allclose(cur.psa, cur.omegas ** 2 * cur.sd,
+                               rtol=1e-12)
+
+
+def test_spectrum_from_history_matches_transient_integrator():
+    """Independent cross-check: the SDOF Newmark sweep's Sd equals the
+    peak relative displacement of the full base-excitation transient
+    (central difference, relative-coordinate -M iota a_g) on a matched
+    tip-mass oscillator — two implementations, one physics."""
+    from pinn_fem_tpu.io.analysis import run_transient
+    from pinn_fem_tpu.solvers.spectrum import spectrum_from_history
+
+    m_tip, k = 2.0, 1.0                    # w = sqrt(k/m)
+    w = np.sqrt(k / m_tip)
+    z = 0.04
+    p = TrussProblem(np.array([0.0, 1.0]), np.array([[0, 1]]),
+                     Material(young=1.0, area=1.0, density=1e-7),
+                     np.array([0.0, 0.0]), np.array([0]), 1,
+                     point_masses=np.array([0.0, m_tip]))
+    dt, n = 0.02, 6000
+    hist = {"type": "sine", "frequency_hz": 0.9 * w / (2 * np.pi)}
+    out = run_transient(p, {
+        "type": "transient", "dt": dt, "n_steps": n,
+        "damping": [2.0 * z * w, 0.0],     # alpha-only: zeta(w) = z
+        "load": {"type": "base_acceleration", "history": hist,
+                 "direction": [1.0]},
+        "probe_nodes": [1], "record_every": 1})
+    peak_transient = np.max(np.abs(np.asarray(out["displacements"])))
+    t = dt * np.arange(n)
+    ag = np.sin(2.0 * np.pi * float(hist["frequency_hz"]) * t)
+    cur = spectrum_from_history(ag, dt, np.array([w]), damping_ratio=z)
+    np.testing.assert_allclose(cur.sd[0], peak_transient, rtol=5e-3)
+
+
+def test_spectrum_block_from_history_json():
+    """The "sa": {"history": ...} contract end-to-end: generated Sa at
+    the modal frequencies + the optional returned curve, and for the
+    SDOF structure the combined peak equals the curve's Sd exactly."""
+    from pinn_fem_tpu.io.analysis import run_spectrum
+    from pinn_fem_tpu.solvers.spectrum import spectrum_from_history
+
+    m_tip = 2.0
+    w = np.sqrt(1.0 / m_tip)
+    p = TrussProblem(np.array([0.0, 1.0]), np.array([[0, 1]]),
+                     Material(young=1.0, area=1.0, density=1e-7),
+                     np.array([0.0, 0.0]), np.array([0]), 1,
+                     point_masses=np.array([0.0, m_tip]))
+    dt, n = 0.02, 4000
+    spec = {"history": {"type": "sine",
+                        "frequency_hz": 0.8 * w / (2 * np.pi)},
+            "dt": dt, "n_steps": n, "damping_ratio": 0.05,
+            "curve_omegas": {"start": 0.3, "stop": 3.0, "num": 12}}
+    out = run_spectrum(p, {"sa": spec, "direction": [1.0],
+                           "n_modes": 1, "damping_ratio": 0.05})
+    assert out["success"] and out["sa_source"] == "history"
+    assert out["mass_fraction"] > 0.999999   # SDOF: one mode is all
+    # sa_at_modes is the generated curve at the modal frequency.
+    t = dt * np.arange(n)
+    ag = np.sin(0.8 * w * t)
+    cur = spectrum_from_history(ag, dt, np.asarray(out["omegas"]), 0.05)
+    np.testing.assert_allclose(out["sa_at_modes"], cur.psa, rtol=1e-9)
+    # SDOF: combined peak displacement == Sd(w1) (Gamma*phi = 1).
+    np.testing.assert_allclose(np.max(out["displacements"]),
+                               cur.sd[0], rtol=1e-4)
+    assert len(out["spectrum_curve"]["psa"]) == 12
+    # Error paths.
+    with pytest.raises(ValueError, match='"dt"'):
+        run_spectrum(p, {"sa": {"history": [0.0, 1.0]}})
+    with pytest.raises(ValueError, match="n_steps"):
+        run_spectrum(p, {"sa": {"history": {"type": "sine",
+                                            "frequency_hz": 1.0},
+                                "dt": 0.01}})
