@@ -73,6 +73,9 @@ drives a static solve gains:
                                               # fixpoint (exact for
                                               # determinate trusses)
                  "stress_limit": 0.8,
+                 "buckling_shape_factor": 0.0796,  # c in I = c A^2:
+                                              # Euler compression check
+                                              # sigma_cr = pi^2 E c A/L^2
                  "displacement_limit": 0.5,
                  "min_frequency_hz": 2.0,     # f1 floor (needs payload
                                               # "point_masses" to be
@@ -1646,6 +1649,8 @@ def run_sizing(problem, analysis: Dict) -> Dict:
     objective = analysis.get("objective", "mass")
     stress_limit = analysis.get("stress_limit")
     stress_limit = None if stress_limit is None else float(stress_limit)
+    buckling_c = analysis.get("buckling_shape_factor")
+    buckling_c = None if buckling_c is None else float(buckling_c)
     disp_limit = analysis.get("displacement_limit")
     disp_limit = None if disp_limit is None else float(disp_limit)
     volume = analysis.get("volume")
@@ -1677,7 +1682,8 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         res = fully_stressed_design(
             problem, stress_limit, min_area=min_area, max_area=max_area,
             n_iter=int(analysis.get("n_iter", 50)),
-            load_cases=load_cases)
+            load_cases=load_cases,
+            buckling_shape_factor=buckling_c)
     elif method == "oc":
         if objective != "compliance":
             raise ValueError('method "oc" is the compliance path; set '
@@ -1691,6 +1697,11 @@ def run_sizing(problem, analysis: Dict) -> Dict:
             raise ValueError('method "oc" sizes for the problem\'s own '
                              'load vector; load_cases needs method '
                              '"adam"')
+        if buckling_c is not None \
+                or analysis.get("min_frequency_hz") is not None:
+            raise ValueError('method "oc" solves the pure compliance/'
+                             'volume problem; buckling and frequency '
+                             'constraints need method "adam"')
         res = optimize_compliance_oc(
             problem, volume, min_area=min_area, max_area=max_area,
             initial_areas=initial_areas,
@@ -1702,6 +1713,7 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         with _local_cpu_ctx(analysis):
             res = optimize_sizing(
                 problem, objective=objective, stress_limit=stress_limit,
+                buckling_shape_factor=buckling_c,
                 displacement_limit=disp_limit, probe_dofs=probe,
                 min_frequency_hz=(
                     None if analysis.get("min_frequency_hz") is None
@@ -1744,6 +1756,9 @@ def run_sizing(problem, analysis: Dict) -> Dict:
     if stress_limit is not None:
         out["stress_limit"] = stress_limit
         out["max_stress_ratio"] = float(res.max_stress_ratio)
+    if buckling_c is not None:
+        out["buckling_shape_factor"] = buckling_c
+        out["max_buckling_ratio"] = float(res.max_buckling_ratio)
     if disp_limit is not None:
         out["displacement_limit"] = disp_limit
         out["max_displacement_ratio"] = float(res.max_displacement_ratio)

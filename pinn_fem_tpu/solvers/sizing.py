@@ -60,6 +60,9 @@ class SizingResult:
     history: np.ndarray            # per-iteration loss (or mass for FSD)
     converged: bool
     n_iter: int
+    # max (-sigma) / sigma_cr over compression members, sigma_cr =
+    # pi^2 E c A / L^2 (Euler, I = c A^2); nan when no buckling factor.
+    max_buckling_ratio: float = float("nan")
 
 
 def _host_area_solve(problem: TrussProblem, areas: np.ndarray,
@@ -102,6 +105,7 @@ def fully_stressed_design(
     n_iter: int = 50,
     tol: float = 1e-12,
     load_cases=None,
+    buckling_shape_factor: Optional[float] = None,
 ) -> SizingResult:
     """FSD fixpoint A ← clip(max_c |N_c(A)| / σ_max, min, max), host tier.
 
@@ -111,15 +115,25 @@ def fully_stressed_design(
     With a (C, ndof) `load_cases` table each member is sized by its
     governing case (the classic envelope FSD — one multi-RHS
     factorization per iteration serves every case).
+
+    `buckling_shape_factor` (c in I = c A², e.g. 1/4π for a solid
+    circle) adds the Euler compression check: σ_cr = π² E c A / L², so
+    a compression member additionally needs A ≥ √(|N| L²/(π² E c)) —
+    the stress-ratio resizing classic.  Exact for determinate trusses
+    like the strength branch (both targets depend only on |N|).
     """
     if stress_limit <= 0.0:
         raise ValueError("stress_limit must be positive")
-    from ..ops.host import material_values_host
+    if buckling_shape_factor is not None and buckling_shape_factor <= 0.0:
+        raise ValueError("buckling_shape_factor must be positive")
+    from ..ops.host import _geometry, material_values_host
 
     loads = _load_cases_array(problem, load_cases)
-    areas = np.asarray(material_values_host(problem, 1.0)[1], dtype=float)
-    areas = np.clip(areas, min_area, max_area)
+    young_np, areas = material_values_host(problem, 1.0)
+    areas = np.clip(np.asarray(areas, dtype=float), min_area, max_area)
+    _, _, inv_len_np, _ = _geometry(problem)
     mass_init = _host_mass(problem, areas)
+    c_b = buckling_shape_factor
     hist = []
     converged = False
     it = 0
@@ -127,7 +141,14 @@ def fully_stressed_design(
         _, sigma = _host_area_solve(problem, areas, loads=loads)
         env = np.max(np.abs(sigma), axis=0) if sigma.ndim == 2 \
             else np.abs(sigma)
-        new = np.clip(env * areas / stress_limit, min_area, max_area)
+        target = env * areas / stress_limit        # |N| / sigma_max
+        if c_b is not None:
+            comp = np.max(-sigma, axis=0) if sigma.ndim == 2 else -sigma
+            n_comp = np.maximum(comp, 0.0) * areas       # |N| compression
+            a_buck = np.sqrt(n_comp / (np.pi ** 2 * young_np * c_b)
+                             ) / inv_len_np
+            target = np.maximum(target, a_buck)
+        new = np.clip(target, min_area, max_area)
         hist.append(_host_mass(problem, new))
         step = float(np.max(np.abs(new - areas) / np.maximum(areas, 1e-30)))
         areas = new
@@ -136,6 +157,11 @@ def fully_stressed_design(
             break
     u, sigma = _host_area_solve(problem, areas, loads=loads)
     env = _signed_envelope(sigma)
+    buck_ratio = float("nan")
+    if c_b is not None:
+        comp = np.maximum(-sigma, 0.0)
+        sig_cr = np.pi ** 2 * young_np * c_b * areas * inv_len_np ** 2
+        buck_ratio = float(np.max(comp / sig_cr))
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
@@ -148,6 +174,7 @@ def fully_stressed_design(
         history=np.asarray(hist, dtype=float),
         converged=converged,
         n_iter=it,
+        max_buckling_ratio=buck_ratio,
     )
 
 
@@ -387,6 +414,7 @@ def optimize_sizing(
     problem: TrussProblem,
     objective: str = "mass",
     stress_limit: Optional[float] = None,
+    buckling_shape_factor: Optional[float] = None,
     displacement_limit: Optional[float] = None,
     probe_dofs=None,
     min_frequency_hz: Optional[float] = None,
@@ -438,6 +466,14 @@ def optimize_sizing(
     min + exp(t) when unbounded above) so the bounds hold exactly at
     every iterate, not just at convergence.
 
+    buckling_shape_factor: optional c in I = c A² (geometrically
+        similar sections; 1/4π for a solid circle) — adds the Euler
+        compression constraint (−σ_e) ≤ σ_cr = π² E c A_e / L_e².
+        Unlike the strength limit it is AREA-DEPENDENT (σ_cr grows with
+        A), which is exactly why compression members come out heavier
+        than tension members of equal force.  Requires stress_limit
+        (the tension side still needs an allowable).
+
     min_frequency_hz: optional lowest-natural-frequency floor — the
         classic dynamic design requirement (keep the structure's f₁
         above an excitation band).  The constraint
@@ -471,6 +507,13 @@ def optimize_sizing(
                          "everywhere)")
     if min_frequency_hz is not None and min_frequency_hz <= 0.0:
         raise ValueError("min_frequency_hz must be positive")
+    if buckling_shape_factor is not None:
+        if buckling_shape_factor <= 0.0:
+            raise ValueError("buckling_shape_factor must be positive")
+        if stress_limit is None:
+            raise ValueError("buckling_shape_factor needs stress_limit "
+                             "(the tension side still needs an "
+                             "allowable)")
     if objective == "compliance" and volume is None:
         raise ValueError("compliance minimization needs the volume "
                          "budget (volume=...)")
@@ -558,9 +601,13 @@ def optimize_sizing(
                else float((2.0 * np.pi * min_frequency_hz) ** 2))
 
     n_con = n_cases * ((nelm if stress_limit is not None else 0)
+                       + (nelm if buckling_shape_factor is not None
+                          else 0)
                        + (int(probe_np.size)
                           if displacement_limit is not None else 0)) \
         + (1 if lam_req is not None else 0)
+    pi2c = (None if buckling_shape_factor is None
+            else np.pi ** 2 * float(buckling_shape_factor))
 
     def objective_and_constraints(t):
         """(objective, g) with g the stacked constraint values — g ≤ 0
@@ -581,6 +628,11 @@ def optimize_sizing(
         gs = []
         if stress_limit is not None:
             gs.append((jnp.abs(sigma) / stress_limit - 1.0).reshape(-1))
+        if pi2c is not None:
+            # Euler: (-sigma) <= pi^2 E c A / L^2 per member (tension
+            # rows go deeply negative — inactive by construction).
+            sig_cr = pi2c * young_e * a * data.inv_len ** 2
+            gs.append(((-sigma) / sig_cr - 1.0).reshape(-1))
         if displacement_limit is not None:
             gs.append((jnp.abs(u[..., probe]) / displacement_limit
                        - 1.0).reshape(-1))
@@ -651,6 +703,12 @@ def optimize_sizing(
         for _ in range(20):
             _, sigma = _host_area_solve(problem, areas, loads=cases_np)
             ratio = np.abs(sigma) / stress_limit
+            if pi2c is not None:
+                # Buckling ratio falls as 1/A^2 at fixed force, so the
+                # corrective scale is its square root.
+                sig_cr = pi2c * young_np * areas * inv_len_np ** 2
+                rb = np.maximum(-sigma, 0.0) / sig_cr
+                ratio = np.maximum(ratio, np.sqrt(rb))
             if ratio.ndim == 2:
                 ratio = np.max(ratio, axis=0)      # envelope per member
             if float(np.max(ratio)) <= 1.0 + 1e-9:
@@ -666,6 +724,10 @@ def optimize_sizing(
     u, sigma = _host_area_solve(problem, areas, loads=cases_np)
     env = _signed_envelope(sigma)
     abs_sigma = float(np.max(np.abs(sigma))) if nelm else 0.0
+    buck_ratio = float("nan")
+    if pi2c is not None:
+        sig_cr = pi2c * young_np * areas * inv_len_np ** 2
+        buck_ratio = float(np.max(np.maximum(-sigma, 0.0) / sig_cr))
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
@@ -681,4 +743,5 @@ def optimize_sizing(
         history=np.asarray(hist, dtype=float),
         converged=True,
         n_iter=len(hist),
+        max_buckling_ratio=buck_ratio,
     )

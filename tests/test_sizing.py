@@ -457,3 +457,68 @@ def test_frequency_constraint_json_tier():
     np.testing.assert_allclose(out["areas"][0], a_true, rtol=0.01)
     with pytest.raises(ValueError, match="min_frequency_hz"):
         run_sizing(p, {"min_frequency_hz": -1.0})
+
+
+# --------------------------------------------- Euler buckling constraint
+
+
+def test_fsd_buckling_governs_compression():
+    """Downward load puts both 2-bar members in COMPRESSION; with the
+    Euler factor the governing requirement flips from strength to
+    stability, with the closed form A = sqrt(|N| L^2 / (pi^2 E c))."""
+    limit, c = 0.8, 1.0 / (4.0 * np.pi)       # solid circular section
+    p = two_bar(area=3.0)                      # load (0, -1): compression
+    n_force = 1.0 / np.sqrt(2.0)
+    a_strength = n_force / limit
+    a_buckling = np.sqrt(n_force * 2.0 / (np.pi ** 2 * 1.0 * c))
+    assert a_buckling > a_strength             # stability governs here
+    res = fully_stressed_design(p, stress_limit=limit, min_area=1e-9,
+                                buckling_shape_factor=c)
+    assert res.converged
+    np.testing.assert_allclose(res.areas, a_buckling, rtol=1e-9)
+    np.testing.assert_allclose(res.max_buckling_ratio, 1.0, rtol=1e-9)
+    assert res.max_stress_ratio < 1.0          # strength now slack
+    # Tension members are untouched by the Euler check: flip the load.
+    from pinn_fem_tpu.models.problem import TrussProblem as TP
+
+    loads_up = -p.loads
+    p_t = TP(p.nodes, p.elements, p.material, loads_up, p.fixed_dofs, 2)
+    res_t = fully_stressed_design(p_t, stress_limit=limit, min_area=1e-9,
+                                  buckling_shape_factor=c)
+    np.testing.assert_allclose(res_t.areas, a_strength, rtol=1e-9)
+    assert res_t.max_buckling_ratio == 0.0
+
+
+def test_optimize_buckling_matches_fsd():
+    """The AL path with the area-dependent Euler constraint reaches the
+    same stability-governed optimum."""
+    limit, c = 0.8, 1.0 / (4.0 * np.pi)
+    p = two_bar(area=3.0)
+    fsd = fully_stressed_design(p, stress_limit=limit, min_area=1e-9,
+                                buckling_shape_factor=c)
+    res = optimize_sizing(p, objective="mass", stress_limit=limit,
+                          buckling_shape_factor=c, min_area=1e-6,
+                          n_iter=250, outer_rounds=4, learning_rate=0.08)
+    assert res.max_stress_ratio <= 1.0 + 1e-6
+    assert res.max_buckling_ratio <= 1.0 + 1e-6   # polish covers Euler
+    assert res.mass <= fsd.mass * 1.02
+    with pytest.raises(ValueError, match="needs stress_limit"):
+        optimize_sizing(p, buckling_shape_factor=c)
+    with pytest.raises(ValueError, match="buckling_shape_factor"):
+        optimize_sizing(p, stress_limit=1.0, buckling_shape_factor=-1.0)
+
+
+def test_buckling_sizing_json_tier():
+    from pinn_fem_tpu.io.analysis import run_sizing
+
+    limit, c = 0.8, 1.0 / (4.0 * np.pi)
+    p = two_bar(area=3.0)
+    out = run_sizing(p, {"method": "fsd", "stress_limit": limit,
+                         "buckling_shape_factor": c, "min_area": 1e-9})
+    a_buckling = np.sqrt((1.0 / np.sqrt(2.0)) * 2.0 / (np.pi ** 2 * c))
+    np.testing.assert_allclose(out["areas"], a_buckling, rtol=1e-9)
+    np.testing.assert_allclose(out["max_buckling_ratio"], 1.0,
+                               rtol=1e-9)
+    with pytest.raises(ValueError, match='method "oc"'):
+        run_sizing(p, {"method": "oc", "objective": "compliance",
+                       "volume": 1.0, "buckling_shape_factor": c})
