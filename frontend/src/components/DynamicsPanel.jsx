@@ -289,6 +289,40 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runSpectrum = async () => {
+    // Spectrum-generation demo: the Quake record generates a response
+    // spectrum (vectorized SDOF sweep) driving the modal combination,
+    // evaluated exactly at the modal frequencies.
+    setMessage('Generating the response spectrum…');
+    try {
+      const problem = baseProblem();
+      const modal = await post('modal', { ...problem,
+        analysis: { n_modes: 4, include_shapes: false } });
+      const om = modal.omegas;
+      const w1 = om[0] || 1, wN = om[om.length - 1] || 2 * (om[0] || 1);
+      problem.analysis = {
+        type: 'spectrum', direction: [1, 0], n_modes: 4,
+        combination: 'cqc', damping_ratio: 0.05,
+        sa: { history: { type: 'sine', frequency_hz: 0.05 },
+              dt: 0.05, n_steps: 4000, damping_ratio: 0.05,
+              curve_omegas: { start: 0.2 * w1, stop: 2.0 * wN,
+                              num: 120 } },
+      };
+      const r = await post('spectrum', problem);
+      setKind('spectrum'); setShapes(null);
+      const curve = r.spectrum_curve;
+      setChart({ xs: curve.omegas, series: curve.psa.map((v) => [v]) });
+      setRows(r.sa_at_modes.map((sa, i) => ({
+        label: `Sa(ω${i + 1})`, value: sa.toPrecision(4),
+      })));
+      setMessage(`${r.combination.toUpperCase()} peak |u| = `
+        + `${Math.max(...r.displacements).toPrecision(4)}, modal mass `
+        + `${(100 * r.mass_fraction).toFixed(1)}%; chart: PSa(ω)`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runOptimize = async () => {
     // Sizing demo (the design-side inverse): minimum-mass member areas
     // under an allowable-stress limit of 5% of E (a strain allowable,
@@ -335,6 +369,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runIdentify}>Identify ▶</button>
         <button onClick={runIdentifyField}>Identify E(x) ▶</button>
         <button onClick={runQuake}>Quake ▶</button>
+        <button onClick={runSpectrum}>Spectrum ▶</button>
         <button onClick={runOptimize}>Optimize ▶</button>
       </div>
       <table>

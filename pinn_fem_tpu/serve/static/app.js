@@ -493,6 +493,57 @@ async function runQuake() {
 
 document.getElementById("quake-btn").addEventListener("click", runQuake);
 
+async function runSpectrum() {
+  // Spectrum-generation demo: the same synthetic quake record as the
+  // Quake button, but run through the OTHER seismic workflow — the
+  // record generates a response spectrum (vectorized SDOF sweep) that
+  // drives the modal combination, evaluated exactly at the modal
+  // frequencies. Chart: the generated PSa(ω) curve bracketing the
+  // structure's modes.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Generating the response spectrum…";
+  try {
+    const problem = buildProblem();
+    const modalResp = await fetch("/api/fem/modal", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify({ ...problem,
+        analysis: { n_modes: 4, include_shapes: false } }),
+    });
+    const modal = await modalResp.json();
+    if (!modal.success) throw new Error(modal.error || "modal failed");
+    const om = modal.result.omegas;
+    const w1 = om[0] || 1, wN = om[om.length - 1] || 2 * (om[0] || 1);
+    problem.analysis = {
+      type: "spectrum", direction: [1, 0], n_modes: 4,
+      combination: "cqc", damping_ratio: 0.05,
+      sa: { history: { type: "sine", frequency_hz: 0.05 },
+            dt: 0.05, n_steps: 4000, damping_ratio: 0.05,
+            curve_omegas: { start: 0.2 * w1, stop: 2.0 * wN,
+                            num: 120 } },
+    };
+    const resp = await fetch("/api/fem/spectrum", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "spectrum failed");
+    const r = data.result;
+    const curve = r.spectrum_curve;
+    drawTimeSeries(curve.omegas, curve.psa.map((v) => [v]));
+    const fmt = (v) => Number(v).toPrecision(4);
+    status.textContent =
+      `Generated spectrum (${r.combination.toUpperCase()}): Sa at `
+      + `modes [${r.sa_at_modes.map(fmt).join(", ")}], peak combined `
+      + `|u| = ${fmt(Math.max(...r.displacements))}, modal mass `
+      + `${(100 * r.mass_fraction).toFixed(1)}%; chart: PSa(ω)`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("spectrum-btn").addEventListener("click",
+                                                         runSpectrum);
+
 async function runHarmonic() {
   const status = document.getElementById("dyn-status");
   const probeNodes = state.nodes

@@ -465,3 +465,42 @@ def test_static_ui_point_mass_payload_parses():
     np.testing.assert_allclose(
         host_lumped_mass(p) - host_lumped_mass(base),
         np.repeat(masses, p.dimension), atol=1e-12)
+
+
+def test_react_ui_dynamics_panel_spectrum_payload_served():
+    """The Spectrum button's two-step flow (modal brackets the modes,
+    then the EXACT runSpectrum() analysis block — a generated-from-
+    history Sa with a returned curve — identical in app.js).  Every
+    field the panel renders must be present and self-consistent."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture("ui_payload_react_dynamics.json")
+    modal = _solve_analysis("modal")(
+        {**payload, "analysis": {"n_modes": 4, "include_shapes": False}})
+    om = modal["omegas"]
+    w1, wn = om[0], om[-1]
+    payload["analysis"] = {
+        "type": "spectrum", "direction": [1, 0], "n_modes": 4,
+        "combination": "cqc", "damping_ratio": 0.05,
+        "sa": {"history": {"type": "sine", "frequency_hz": 0.05},
+               "dt": 0.05, "n_steps": 4000, "damping_ratio": 0.05,
+               "curve_omegas": {"start": 0.2 * w1, "stop": 2.0 * wn,
+                                "num": 120}},
+    }
+    out = _solve_analysis("spectrum")(payload)
+    assert out["success"] and out["sa_source"] == "history"
+    assert out["combination"] == "cqc"
+    curve = out["spectrum_curve"]
+    assert len(curve["omegas"]) == 120 and len(curve["psa"]) == 120
+    assert np.all(np.asarray(curve["psa"]) >= 0)
+    # sa_at_modes = the curve's generator evaluated at the modal
+    # frequencies (exactly — no interpolation).
+    from pinn_fem_tpu.solvers.spectrum import spectrum_from_history
+
+    t = 0.05 * np.arange(4000)
+    ag = np.sin(2 * np.pi * 0.05 * t)
+    ref = spectrum_from_history(ag, 0.05, np.asarray(out["omegas"]),
+                                0.05)
+    np.testing.assert_allclose(out["sa_at_modes"], ref.psa, rtol=1e-9)
+    assert 0.999 <= out["mass_fraction"] <= 1.0 + 1e-6
+    assert max(out["displacements"]) > 0
