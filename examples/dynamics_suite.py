@@ -101,15 +101,36 @@ def main():
     t_q = dt * np.arange(n)
     a_g = 0.3 * np.sin(w_g * t_q)
     f_quake = base_excitation_force_fn(p, a_g, direction=[1.0, 0.0])
+    # Probe the whole left column so the time history yields a peak
+    # story profile to compare against the spectrum methods.
+    left_x = np.array([2 * (2 * s_) for s_ in range(p.nnode // 2)])
     quake = solve_transient(p, dt=dt, n_steps=n, damping=(0.05, 0.0),
                             method="central", record_every=10,
-                            probe_dofs=probe, force_fn=f_quake)
+                            probe_dofs=left_x, force_fn=f_quake)
     spec = response_spectrum(p, 0.3, direction=[1.0, 0.0], n_modes=4,
                              damping_ratio=0.05)
     # (Different loadings: the sine dwells NEAR resonance, so its peak
     # exceeds the broadband design-spectrum value — no contradiction.)
+    # 5b) Close the loop: GENERATE the spectrum of the actual record
+    # (spectrum_from_history, vectorized SDOF sweep) at the time
+    # history's own first-mode damping ratio (alpha-only Rayleigh:
+    # zeta_j = alpha / 2 w_j), and combine — the modal-combination peak
+    # profile should track the measured time-history envelope.
+    from pinn_fem_tpu import spectrum_from_history
+
+    zeta1 = 0.05 / (2.0 * w1)
+    spec_gen = response_spectrum(
+        p, lambda om_: spectrum_from_history(a_g, dt, om_, zeta1).psa,
+        direction=[1.0, 0.0], n_modes=4, combination="cqc",
+        damping_ratio=zeta1)
+    envelope = np.abs(np.asarray(quake.displacements)).max(axis=0)
+    peak_meas = float(envelope[-1])
+    peak_gen = float(spec_gen.displacements[tip])
     print(f"base excitation (near-resonant sine): peak relative tip "
-          f"{np.abs(quake.displacements).max():.4f}")
+          f"{peak_meas:.4f}")
+    print(f"generated-spectrum CQC peak tip {peak_gen:.4f} "
+          f"({100 * abs(peak_gen - peak_meas) / peak_meas:.1f}% vs the "
+          f"measured envelope)")
     print(f"design spectrum (flat Sa=0.3, SRSS): peak tip "
           f"{spec.displacements[tip]:.4f}, "
           f"{100 * spec.mass_fraction:.1f}% modal mass captured")
@@ -170,22 +191,26 @@ def main():
     ax.set_aspect("equal")
 
     ax = axes[0, 3]
-    ax.plot(quake.times, quake.displacements[:, 0], "C5-", lw=0.9)
+    ax.plot(quake.times, quake.displacements[:, -1], "C5-", lw=0.9)
     ax.set_title(f"Base excitation (a_g sine @ 0.8 w1)")
     ax.set_xlabel("t")
     ax.set_ylabel("tip u relative to ground")
 
     ax = axes[1, 3]
-    # Peak story drift profile from the spectrum: x-DOF peaks up the
-    # left column vs the quake run's measured envelope scaled to Sa.
-    left_x = [2 * (2 * s_) for s_ in range(p.nnode // 2)]
-    ax.plot(spec.displacements[left_x],
-            [p.nodes[i // 2, 1] for i in left_x], "C6o-", lw=1.2,
-            label="SRSS spectrum peak")
-    ax.set_title(f"Spectrum peaks ({100 * spec.mass_fraction:.0f}% mass)")
+    # Peak story profile, three ways: the measured time-history
+    # envelope, the CQC combination of the spectrum GENERATED from the
+    # same record (they must track), and the flat design spectrum.
+    heights = [p.nodes[i // 2, 1] for i in left_x]
+    ax.plot(envelope, heights, "C5s-", lw=1.2, label="time history")
+    ax.plot(spec_gen.displacements[left_x], heights, "C0o--", lw=1.2,
+            label="generated-spectrum CQC")
+    ax.plot(spec.displacements[left_x], heights, "C6^:", lw=1.0,
+            label="flat Sa=0.3 SRSS")
+    ax.set_title(f"Peak story profile ({100 * spec.mass_fraction:.0f}%"
+                 " mass)")
     ax.set_xlabel("peak |u_x|")
     ax.set_ylabel("height")
-    ax.legend()
+    ax.legend(fontsize=8)
 
     fig.tight_layout()
     out = Path.cwd() / "dynamics_suite.png"
