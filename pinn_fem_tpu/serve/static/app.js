@@ -102,6 +102,13 @@ function draw() {
       ctx.lineTo(px + 20 * dir, py - 5); ctx.moveTo(px + 28 * dir, py);
       ctx.lineTo(px + 20 * dir, py + 5); ctx.stroke();
     }
+    if (n.fy) {  // vertical load arrow (screen y grows downward)
+      ctx.strokeStyle = "#39c07f"; ctx.lineWidth = 2;
+      const d = n.fy > 0 ? -1 : 1;
+      ctx.beginPath(); ctx.moveTo(px, py); ctx.lineTo(px, py + 28 * d);
+      ctx.lineTo(px - 5, py + 20 * d); ctx.moveTo(px, py + 28 * d);
+      ctx.lineTo(px + 5, py + 20 * d); ctx.stroke();
+    }
     ctx.fillStyle = "#8b97a8"; ctx.font = "11px system-ui";
     ctx.fillText(String(i), px + 8, py - 8);
   });
@@ -168,6 +175,7 @@ function renderTables() {
     tr.insertCell().appendChild(checkbox(n.fixedX, (v) => { n.fixedX = v; }));
     tr.insertCell().appendChild(checkbox(n.fixedY, (v) => { n.fixedY = v; }));
     tr.insertCell().appendChild(numInput(n.fx, (v) => { n.fx = v; }));
+    tr.insertCell().appendChild(numInput(n.fy || 0, (v) => { n.fy = v; }));
     tr.insertCell().appendChild(numInput(n.measuredUx, (v) => { n.measuredUx = v; }));
     // Payload (non-structural) mass — feeds "point_masses" and with it
     // every mass matrix of the dynamics family (ops/mass.py).
@@ -238,7 +246,7 @@ function buildProblem() {
     measured_ux: n.measuredUx || 0,
   }));
   const loads = [];
-  state.nodes.forEach((n) => { loads.push(n.fx || 0, 0); });
+  state.nodes.forEach((n) => { loads.push(n.fx || 0, n.fy || 0); });
   const solverType = document.getElementById("solver-type").value;
   const tol = parseFloat(document.getElementById("tol").value) || 1e-6;
   const maxit = parseInt(document.getElementById("maxit").value) || 5000;
@@ -544,6 +552,51 @@ async function runSpectrum() {
 document.getElementById("spectrum-btn").addEventListener("click",
                                                          runSpectrum);
 
+async function runSnap() {
+  // Arc-length continuation (Riks): trace the CURRENT sketch's
+  // equilibrium path lambda(u) THROUGH limit points — press "Load arch
+  // demo" for the canonical von Mises snap-through. Chart: lambda and
+  // the probe displacement (rescaled) per arc-length step.
+  const status = document.getElementById("dyn-status");
+  const probeNodes = state.nodes
+    .map((n, i) => ((n.fx || n.fy) ? i : -1)).filter((i) => i >= 0);
+  if (!probeNodes.length && state.nodes.length) {
+    probeNodes.push(state.nodes.length - 1);
+  }
+  status.textContent = "Tracing the equilibrium path…";
+  try {
+    const problem = buildProblem();
+    problem.analysis = {
+      type: "continuation", n_steps: 400, initial_dlambda: 0.01,
+      stop_lambda_abs: 0.5, probe_nodes: probeNodes,
+    };
+    const resp = await fetch("/api/fem/continuation", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "continuation failed");
+    const r = data.result;
+    const lam = r.load_factors;
+    const u = r.displacements.map((row) => row[1] !== undefined
+      ? row[1] : row[0]);                    // probe y DOF if present
+    const lamMax = Math.max(...lam.map(Math.abs), 1e-12);
+    const uMax = Math.max(...u.map(Math.abs), 1e-12);
+    drawTimeSeries(lam.map((_, i) => i),
+                   lam.map((l, i) => [l, u[i] * lamMax / uMax]));
+    const fmt = (v) => Number(v).toPrecision(4);
+    const fold = Math.max(...lam);
+    status.textContent =
+      `Equilibrium path: ${r.n_points} points, fold at λ = ${fmt(fold)}`
+      + `, λ ∈ [${fmt(Math.min(...lam))}, ${fmt(fold)}]; chart: λ (and `
+      + `scaled probe u) per arc-length step`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("snap-btn").addEventListener("click", runSnap);
+
 async function runHarmonic() {
   const status = document.getElementById("dyn-status");
   const probeNodes = state.nodes
@@ -837,6 +890,19 @@ document.getElementById("demo").addEventListener("click", () => {
     { x: 3, y: 0, fixedX: false, fixedY: true, fx: 1, measuredUx: 3 },
   ];
   state.elements = [[0, 1], [1, 2], [2, 3]];
+  state.displacements = null; save(); render();
+});
+document.getElementById("demo-arch").addEventListener("click", () => {
+  // The canonical von Mises snap-through arch (the dyn-continuation
+  // corpus geometry: apex x pinned for symmetry): press Snap ▶ to
+  // trace its path through both folds.
+  state.nodes = [
+    { x: 0, y: 0, fixedX: true, fixedY: true, fx: 0, measuredUx: 0 },
+    { x: 1, y: 1, fixedX: true, fixedY: false, fx: 0, fy: -1,
+      measuredUx: 0 },
+    { x: 2, y: 0, fixedX: true, fixedY: true, fx: 0, measuredUx: 0 },
+  ];
+  state.elements = [[0, 1], [1, 2]];
   state.displacements = null; save(); render();
 });
 document.getElementById("defscale").addEventListener("input", (e) => {

@@ -504,3 +504,44 @@ def test_react_ui_dynamics_panel_spectrum_payload_served():
     np.testing.assert_allclose(out["sa_at_modes"], ref.psa, rtol=1e-9)
     assert 0.999 <= out["mass_fraction"] <= 1.0 + 1e-6
     assert max(out["displacements"]) > 0
+
+
+def test_static_ui_snap_arch_payload_served():
+    """The arch-demo sketch + Snap button: the EXACT POST body app.js
+    builds (Fy column now feeds the load vector — loads.push(fx, fy))
+    through the live continuation handler.  The von Mises arch must
+    snap: a positive fold, negative lambdas between the folds, and the
+    far side reached."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = {
+        "nodes": [
+            {"x": 0, "y": 0, "fixed_x": True, "fixed_y": True,
+             "measured_ux": 0},
+            {"x": 1, "y": 1, "fixed_x": True, "fixed_y": False,
+             "measured_ux": 0},
+            {"x": 2, "y": 0, "fixed_x": True, "fixed_y": True,
+             "measured_ux": 0},
+        ],
+        "elements": [[0, 1], [1, 2]],
+        "loads": [0, 0, 0, -1, 0, 0],
+        "material": {"young": 1, "area": 1, "density": 1},
+        "solver_type": "fem",
+        "solver_config": {"max_iterations": 5000, "tolerance": 1e-6},
+        "analysis": {"type": "continuation", "n_steps": 400,
+                     "initial_dlambda": 0.01, "stop_lambda_abs": 0.5,
+                     "probe_nodes": [1]},
+    }
+    out = _solve_analysis("continuation")(payload)
+    assert out["success"]
+    lam = np.asarray(out["load_factors"])
+    disp = np.asarray(out["displacements"])
+    assert disp.shape[1] == 2                  # apex x and y DOFs
+    w = -disp[:, 1]                            # apex drop
+    assert lam.max() > 0 and lam.min() < 0     # both folds crossed
+    assert w.max() > 1.5                       # far side reached (2h=2)
+    # Fold at the exact von Mises limit load (corpus closed form).
+    lam_crit = 2.0 * (1.0 * (1 - 1 / np.sqrt(3))
+                      - 1.5 * (1 - 1 / np.sqrt(3)) ** 2
+                      + 0.5 * (1 - 1 / np.sqrt(3)) ** 3) / 2 ** 1.5
+    np.testing.assert_allclose(lam[w < 1.0].max(), lam_crit, rtol=5e-3)
