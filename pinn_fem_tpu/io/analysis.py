@@ -627,6 +627,10 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
         "effective_mass": res.effective_mass.tolist(),
         "mass_fraction": res.mass_fraction,
         "displacements": res.displacements.tolist(),
+        # Combined PER RESPONSE QUANTITY (modal member forces combined
+        # directly — the force of the combined displacement field would
+        # be wrong; solvers/spectrum.py).
+        "axial_forces": res.axial_forces.tolist(),
     }
     if callable(spectrum):
         out["sa_at_modes"] = np.asarray(

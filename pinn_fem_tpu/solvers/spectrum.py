@@ -36,6 +36,12 @@ class SpectrumResult(NamedTuple):
     mass_fraction: float          # sum(effective_mass) / total direction mass
     combination: str
     modal_ok: bool = True         # the underlying modal solve's trust flag
+    # (nelm,) peak |N| per member, combined PER RESPONSE QUANTITY (the
+    # textbook rule: modal member forces are combined directly — the
+    # force of the combined displacement field would be wrong, since
+    # SRSS/CQC destroys the modal sign structure forces depend on).
+    axial_forces: np.ndarray = None
+    modal_axial_forces: np.ndarray = None   # (n_modes, nelm) signed
 
 
 def _cqc_rho(omegas: np.ndarray, zeta: float) -> np.ndarray:
@@ -131,6 +137,19 @@ def response_spectrum(
     else:
         raise ValueError('combination must be "srss" or "cqc"')
 
+    # Member forces: combine the MODAL member forces (linear in each
+    # mode's peak vector), never the force of the combined displacement.
+    from ..ops.host import host_axial_forces
+
+    n_modal = np.stack([host_axial_forces(problem, peaks[j])
+                        for j in range(peaks.shape[0])]) \
+        if peaks.shape[0] else np.zeros((0, problem.nelm))
+    if combination == "srss":
+        n_comb = np.sqrt(np.sum(n_modal**2, axis=0))
+    else:
+        n_comb = np.sqrt(np.maximum(
+            np.einsum("ij,ik,jk->k", rho, n_modal, n_modal), 0.0))
+
     total_dir_mass = float(np.sum(m * r * r))
     eff = gamma**2
     return SpectrumResult(
@@ -139,6 +158,8 @@ def response_spectrum(
         mass_fraction=float(eff.sum() / max(total_dir_mass, 1e-30)),
         combination=combination,
         modal_ok=bool(res.ok),
+        axial_forces=n_comb,
+        modal_axial_forces=n_modal,
     )
 
 

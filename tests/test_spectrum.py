@@ -185,3 +185,47 @@ def test_spectrum_block_from_history_json():
         run_spectrum(p, {"sa": {"history": {"type": "sine",
                                             "frequency_hz": 1.0},
                                 "dt": 0.01}})
+
+
+def test_spectrum_member_forces_combined_per_quantity():
+    """Member forces are combined PER RESPONSE QUANTITY.  SDOF: one
+    mode, so the combined |N| equals the force at the modal peak
+    exactly.  Two modes: the naive force-of-combined-displacements is
+    provably different (and wrong) wherever modal forces carry opposite
+    signs."""
+    from pinn_fem_tpu.io.analysis import run_spectrum
+    from pinn_fem_tpu.ops.host import host_axial_forces
+
+    # SDOF exactness.
+    m_tip = 2.0
+    p = TrussProblem(np.array([0.0, 1.0]), np.array([[0, 1]]),
+                     Material(young=1.0, area=1.0, density=1e-7),
+                     np.array([0.0, 0.0]), np.array([0]), 1,
+                     point_masses=np.array([0.0, m_tip]))
+    res = response_spectrum(p, 0.4, direction=[1.0], n_modes=1)
+    n_exact = np.abs(host_axial_forces(p, res.modal_peaks[0]))
+    np.testing.assert_allclose(res.axial_forces, n_exact, rtol=1e-12)
+
+    # Multi-mode chain: per-quantity SRSS of modal forces differs from
+    # the force of the SRSS displacement field.
+    n_nodes = 6
+    pc = TrussProblem(np.arange(float(n_nodes)),
+                      np.stack([np.arange(n_nodes - 1),
+                                np.arange(1, n_nodes)], 1),
+                      Material(3.0, 0.7, 2.0),
+                      np.zeros(n_nodes), np.array([0]), 1)
+    rc = response_spectrum(pc, 1.0, direction=[1.0], n_modes=4)
+    srss_of_forces = np.sqrt(np.sum(
+        np.stack([host_axial_forces(pc, rc.modal_peaks[j])
+                  for j in range(4)]) ** 2, axis=0))
+    np.testing.assert_allclose(rc.axial_forces, srss_of_forces,
+                               rtol=1e-12)
+    wrong = np.abs(host_axial_forces(pc, rc.displacements))
+    assert np.max(np.abs(wrong - rc.axial_forces)
+                  / np.maximum(rc.axial_forces, 1e-30)) > 0.03
+
+    # JSON tier carries it.
+    out = run_spectrum(pc, {"sa": 1.0, "direction": [1.0],
+                            "n_modes": 4})
+    np.testing.assert_allclose(out["axial_forces"], rc.axial_forces,
+                               rtol=1e-10)
