@@ -1712,7 +1712,11 @@ def run_sizing(problem, analysis: Dict) -> Dict:
             n_iter=int(analysis.get("n_iter", 40)),
             move=float(analysis.get("move", 0.2)),
             tol=float(analysis.get("tolerance", 1e-3)),
-            cg_tol=float(analysis.get("cg_tol", 1e-6)))
+            cg_tol=float(analysis.get("cg_tol", 1e-6)),
+            # Large-mesh knobs (same contract as the statics' banded
+            # path): the Pallas stencil matvec and the MG V-cycle.
+            use_pallas=bool(analysis.get("use_pallas", False)),
+            precond=analysis.get("precond", "jacobi"))
     elif method == "adam":
         with _local_cpu_ctx(analysis):
             res = optimize_sizing(

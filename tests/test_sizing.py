@@ -522,3 +522,23 @@ def test_buckling_sizing_json_tier():
     with pytest.raises(ValueError, match='method "oc"'):
         run_sizing(p, {"method": "oc", "objective": "compliance",
                        "volume": 1.0, "buckling_shape_factor": c})
+
+
+def test_oc_mg_preconditioner_path():
+    """The OC JSON contract passes the large-mesh knobs through: the MG
+    V-cycle preconditioner reaches the same design as Jacobi."""
+    from pinn_fem_tpu.io.analysis import run_sizing
+    from tests.test_mg import grid_problem
+
+    p = grid_problem(12, 24)
+    lengths = np.linalg.norm(
+        p.nodes[p.elements[:, 1]] - p.nodes[p.elements[:, 0]], axis=1)
+    vol = float(np.sum(lengths))
+    kw = {"method": "oc", "objective": "compliance", "volume": vol,
+          "n_iter": 25, "min_area": 1e-4, "include_displacements": False}
+    jac = run_sizing(p, dict(kw))
+    mg = run_sizing(p, dict(kw, precond="mg"))
+    np.testing.assert_allclose(mg["areas"], jac["areas"], rtol=5e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(mg["history"][-1], jac["history"][-1],
+                               rtol=1e-3)
