@@ -41,6 +41,7 @@ SCRIPTS.append("dynamics_suite")
 SCRIPTS.append("transient_identification")
 SCRIPTS.append("snap_through")
 SCRIPTS.append("sizing_optimization")
+SCRIPTS.append("twin_workflow")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
@@ -55,6 +56,9 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
         monkeypatch.setenv("TRANS_ID_FIELD_ITERS", "40")
     if name == "sizing_optimization":
         monkeypatch.setenv("SIZING_ITERS", "60")
+    if name == "twin_workflow":
+        monkeypatch.setenv("TWIN_ID_ITERS", "60")
+        monkeypatch.setenv("TWIN_SZ_ITERS", "60")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()
