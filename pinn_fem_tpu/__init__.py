@@ -104,8 +104,10 @@ from .solvers.riks import (  # noqa: E402
     solve_riks,
 )
 from .solvers.spectrum import (  # noqa: E402
+    DirectionalSpectrumResult,
     SpectrumCurve,
     SpectrumResult,
+    directional_combination,
     response_spectrum,
     spectrum_from_history,
 )
@@ -189,6 +191,8 @@ __all__ = [
     "transient_probe_response",
     "response_spectrum",
     "spectrum_from_history",
+    "directional_combination",
+    "DirectionalSpectrumResult",
     "SpectrumCurve",
     "SpectrumResult",
     "SizingResult",

@@ -129,9 +129,17 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Frequencies swept: %d (%s)",
                         len(output["omegas"]), output["method"])
         elif kind == "spectrum":
-            logger.info("  Modal mass captured: %.1f%% (%s)",
-                        100.0 * output["mass_fraction"],
-                        output["combination"])
+            if "per_direction" in output:      # multi-direction response
+                logger.info(
+                    "  %d directions (%s rule), modal mass %s",
+                    len(output["per_direction"]),
+                    output["directional_rule"],
+                    ", ".join("%.1f%%" % (100.0 * d["mass_fraction"])
+                              for d in output["per_direction"]))
+            else:
+                logger.info("  Modal mass captured: %.1f%% (%s)",
+                            100.0 * output["mass_fraction"],
+                            output["combination"])
         elif kind == "continuation":
             lf = output["load_factors"]
             logger.info("  Path points: %d (lambda in [%.4g, %.4g])",

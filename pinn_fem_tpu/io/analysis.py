@@ -24,6 +24,8 @@ drives a static solve gains:
                                                  # accelerogram (exact
                                                  # at modal frequencies)
                  "direction": [1, 0], "n_modes": 6,
+                 "directions": [[1,0], [0,1]],    # multi-direction
+                 "directional_rule": "srss" | "100-30",
                  "combination": "srss" | "cqc", "damping_ratio": 0.05}
 
     "analysis": {"type": "continuation", "n_steps": 200,
@@ -609,13 +611,48 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
     else:
         spectrum = float(sa)
     prestress_u = _prestress_state(problem, analysis.get("prestress"))
+    kw = dict(n_modes=int(analysis.get("n_modes", 6)),
+              combination=analysis.get("combination", "srss"),
+              damping_ratio=float(analysis.get("damping_ratio", 0.05)),
+              prestress_u=prestress_u)
+    if "directions" in analysis:
+        # Multi-direction combination (codes: SRSS over orthogonal
+        # components or the 100-30 rule), per response quantity:
+        #   "directions": [[1,0],[0,1]],
+        #   "directional_rule": "srss" | "100-30"
+        from ..solvers.spectrum import directional_combination
+
+        if "direction" in analysis:
+            raise ValueError('give "direction" (single) or '
+                             '"directions" (combined), not both')
+        mres = directional_combination(
+            problem, spectrum, analysis["directions"],
+            rule=analysis.get("directional_rule", "srss"), **kw)
+        first = mres.per_direction[0]
+        return {
+            "success": True,
+            "analysis": "spectrum",
+            "prestressed": prestress_u is not None,
+            "combination": first.combination,
+            "directional_rule": mres.rule,
+            "modal_ok": bool(mres.modal_ok),
+            "omegas": first.omegas.tolist(),
+            "displacements": mres.displacements.tolist(),
+            "axial_forces": mres.axial_forces.tolist(),
+            "per_direction": [
+                {"direction": list(map(float, np.asarray(d).reshape(-1))),
+                 "participation": r.participation.tolist(),
+                 "effective_mass": r.effective_mass.tolist(),
+                 "mass_fraction": r.mass_fraction}
+                for d, r in zip(analysis["directions"],
+                                mres.per_direction)],
+            **({"sa_at_modes": np.asarray(
+                spectrum(first.omegas), dtype=float).tolist()}
+               if callable(spectrum) else {}),
+        }
     res = response_spectrum(
         problem, spectrum,
-        direction=analysis.get("direction"),
-        n_modes=int(analysis.get("n_modes", 6)),
-        combination=analysis.get("combination", "srss"),
-        damping_ratio=float(analysis.get("damping_ratio", 0.05)),
-        prestress_u=prestress_u)
+        direction=analysis.get("direction"), **kw)
     out = {
         "success": True,
         "analysis": "spectrum",

@@ -234,3 +234,54 @@ def spectrum_from_history(accel, dt: float, omegas,
     return SpectrumCurve(
         omegas=w, sd=sd, psv=w * sd, psa=k * sd, sa_abs=sa_abs,
         damping_ratio=z, dt=dt)
+
+
+class DirectionalSpectrumResult(NamedTuple):
+    """Multi-direction combination (codes: SRSS or the 100-30 rule)."""
+    displacements: np.ndarray     # (ndof,) combined over directions
+    axial_forces: np.ndarray      # (nelm,) combined over directions
+    rule: str
+    per_direction: tuple          # the underlying SpectrumResult per dir
+    modal_ok: bool
+
+
+def directional_combination(
+    problem: TrussProblem,
+    spectrum,
+    directions,
+    rule: str = "srss",
+    **kwargs,
+) -> DirectionalSpectrumResult:
+    """Seismic combination over SEVERAL excitation directions.
+
+    Codes require the orthogonal components combined — either SRSS over
+    directions, R = sqrt(Σ_d R_d²), or the 100-30 percent rule,
+    R = max_i (R_i + 0.3 Σ_{j≠i} R_j).  Both are applied PER RESPONSE
+    QUANTITY (displacements and member forces separately — same
+    principle as the modal combination itself).  Each direction runs
+    the full modal combination (`response_spectrum`, kwargs forwarded:
+    n_modes / combination / damping_ratio / prestress_u...)."""
+    dirs = [np.asarray(d, dtype=float) for d in directions]
+    if len(dirs) < 2:
+        raise ValueError("directional combination needs >= 2 directions "
+                         "(use response_spectrum for one)")
+    results = [response_spectrum(problem, spectrum, direction=d, **kwargs)
+               for d in dirs]
+    u = np.stack([r.displacements for r in results])     # (D, ndof)
+    n = np.stack([r.axial_forces for r in results])      # (D, nelm)
+    if rule == "srss":
+        u_c = np.sqrt(np.sum(u * u, axis=0))
+        n_c = np.sqrt(np.sum(n * n, axis=0))
+    elif rule in ("100-30", "100_30"):
+        def pct(q):
+            total = np.sum(q, axis=0)
+            # R_i + 0.3 (ΣR - R_i), maximized over the leading direction.
+            return np.max(0.7 * q + 0.3 * total[None, :], axis=0)
+
+        u_c, n_c = pct(u), pct(n)
+    else:
+        raise ValueError('directional rule must be "srss" or "100-30"')
+    return DirectionalSpectrumResult(
+        displacements=u_c, axial_forces=n_c, rule=rule,
+        per_direction=tuple(results),
+        modal_ok=all(r.modal_ok for r in results))

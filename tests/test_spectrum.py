@@ -229,3 +229,77 @@ def test_spectrum_member_forces_combined_per_quantity():
                             "n_modes": 4})
     np.testing.assert_allclose(out["axial_forces"], rc.axial_forces,
                                rtol=1e-10)
+
+
+def corner_fan():
+    """Free corner node tied by x, y and diagonal bars — invariant under
+    the x<->y swap (the diagonal maps to itself), and NOT a mechanism
+    (a lone diagonal truss bar would carry a zero-frequency transverse
+    mode whose Sa/omega^2 response is garbage — caught live, kept here
+    as the counterexample shape to avoid)."""
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    elements = np.array([[0, 1], [0, 2], [0, 3]])
+    return TrussProblem(nodes, elements, Material(1.0, 1.0, 2.0),
+                        np.zeros(8), np.arange(2, 8), 2)
+
+
+def test_directional_combination_symmetry_closed_forms():
+    """x<->y symmetry gives exact factors on the DIAGONAL member (it
+    responds identically to both directions): SRSS = sqrt(2) x single,
+    100-30 = 1.3 x single; displacement fields swap under the symmetry
+    and combine by the stated formulas."""
+    from pinn_fem_tpu.solvers.spectrum import directional_combination
+
+    p = corner_fan()
+    sx = response_spectrum(p, 0.5, direction=[1.0, 0.0], n_modes=2)
+    sy = response_spectrum(p, 0.5, direction=[0.0, 1.0], n_modes=2)
+    # Symmetry: the y-excitation response is the x one with DOFs and
+    # the x/y bars swapped.
+    np.testing.assert_allclose(sy.displacements[0], sx.displacements[1],
+                               rtol=1e-9)
+    np.testing.assert_allclose(sy.axial_forces[[1, 0, 2]],
+                               sx.axial_forces, rtol=1e-9)
+    srss = directional_combination(p, 0.5, [[1, 0], [0, 1]],
+                                   rule="srss", n_modes=2)
+    pct = directional_combination(p, 0.5, [[1, 0], [0, 1]],
+                                  rule="100-30", n_modes=2)
+    # Exact symmetry factors on the diagonal member.
+    np.testing.assert_allclose(srss.axial_forces[2],
+                               np.sqrt(2.0) * sx.axial_forces[2],
+                               rtol=1e-9)
+    np.testing.assert_allclose(pct.axial_forces[2],
+                               1.3 * sx.axial_forces[2], rtol=1e-9)
+    # And the stated formulas hold per quantity across the board.
+    np.testing.assert_allclose(
+        srss.displacements,
+        np.sqrt(sx.displacements ** 2 + sy.displacements ** 2),
+        rtol=1e-12)
+    np.testing.assert_allclose(
+        pct.axial_forces,
+        np.maximum(sx.axial_forces + 0.3 * sy.axial_forces,
+                   sy.axial_forces + 0.3 * sx.axial_forces),
+        rtol=1e-12)
+    with pytest.raises(ValueError, match=">= 2 directions"):
+        directional_combination(p, 0.5, [[1, 0]])
+    with pytest.raises(ValueError, match="directional rule"):
+        directional_combination(p, 0.5, [[1, 0], [0, 1]], rule="abs")
+
+
+def test_directional_combination_json_tier():
+    from pinn_fem_tpu.io.analysis import run_spectrum
+
+    p = corner_fan()
+    out = run_spectrum(p, {"sa": 0.5, "directions": [[1, 0], [0, 1]],
+                           "directional_rule": "100-30", "n_modes": 2})
+    one = run_spectrum(p, {"sa": 0.5, "direction": [1, 0],
+                           "n_modes": 2})
+    # Exact 1.3 factor on the diagonal member (x<->y symmetry).
+    np.testing.assert_allclose(out["axial_forces"][2],
+                               1.3 * one["axial_forces"][2], rtol=1e-9)
+    assert out["directional_rule"] == "100-30"
+    assert len(out["per_direction"]) == 2
+    for d in out["per_direction"]:
+        assert 0.0 < d["mass_fraction"] <= 1.0 + 1e-6
+    with pytest.raises(ValueError, match="not both"):
+        run_spectrum(p, {"sa": 0.5, "direction": [1, 0],
+                         "directions": [[1, 0], [0, 1]]})
