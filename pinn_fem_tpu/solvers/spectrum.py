@@ -105,6 +105,26 @@ def response_spectrum(
                          prestress_u=prestress_u)
     phi = res.shapes                                  # (ndof, J), M-orthonormal
     omegas = np.maximum(res.omegas, 1e-30)
+    # Mechanism guard: a (near-)zero-frequency mode makes the peak
+    # Sa/omega^2 response unbounded — the combination would SILENTLY
+    # return astronomically large garbage (measured 1e59 on a lone
+    # diagonal truss bar, whose transverse DOF carries no stiffness).
+    # Relative-to-omega_max tests cannot see it (with n_modes = 1 the
+    # mechanism IS the only mode), so the scale is the Gershgorin bound
+    # omega_bound = 2 / dt_crit (stable_dt, host or device path):
+    # mechanisms sit at the eigensolve's noise floor, lambda ~
+    # eps * lambda_bound, decades below any genuine structural mode.
+    from .dynamics import stable_dt
+
+    lam_bound = (2.0 / stable_dt(problem, data=None if host else data,
+                                 safety=1.0)) ** 2
+    if omegas.size and float(omegas.min()) ** 2 < 1e-6 * lam_bound:
+        raise ValueError(
+            "the structure carries a (near-)zero-frequency mechanism "
+            f"mode (lambda_min/lambda_bound = "
+            f"{omegas.min() ** 2 / lam_bound:.1e}); its Sa/omega^2 "
+            "peak response is unbounded — brace the mechanism (a lone "
+            "diagonal truss bar has no transverse stiffness)")
 
     if host:
         from ..ops.host import host_lumped_mass, host_masks

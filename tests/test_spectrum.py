@@ -303,3 +303,25 @@ def test_directional_combination_json_tier():
     with pytest.raises(ValueError, match="not both"):
         run_spectrum(p, {"sa": 0.5, "direction": [1, 0],
                          "directions": [[1, 0], [0, 1]]})
+
+
+def test_spectrum_mechanism_guard():
+    """A lone diagonal truss bar is a transverse mechanism: the
+    zero-frequency mode's Sa/omega^2 peak is unbounded, and the
+    combination must refuse loudly instead of returning 1e59 garbage
+    (which it silently did before the guard — caught live)."""
+    p = TrussProblem(np.array([[0.0, 0.0], [1.0, 1.0]]),
+                     np.array([[0, 1]]),
+                     Material(1.0, 1.0, 2.0),
+                     np.zeros(4), np.array([0, 1]), 2)
+    with pytest.raises(ValueError, match="mechanism"):
+        response_spectrum(p, 0.5, direction=[1.0, 0.0], n_modes=2)
+    # The Gershgorin-scaled guard sees it even when the mechanism is
+    # the ONLY computed mode (a relative-to-omega_max test cannot).
+    with pytest.raises(ValueError, match="mechanism"):
+        response_spectrum(p, 0.5, direction=[1.0, 0.0], n_modes=1)
+    # A braced (well-posed) structure passes untouched.
+    res = response_spectrum(corner_fan(), 0.5, direction=[1.0, 0.0],
+                            n_modes=2)
+    assert np.all(np.isfinite(res.displacements))
+    assert res.displacements.max() < 1e3
