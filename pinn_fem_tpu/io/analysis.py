@@ -473,11 +473,20 @@ def run_harmonic(problem, analysis: Dict) -> Dict:
             f"{omegas.size} frequencies to JSON; give "
             "probe_nodes/probe_dofs to bound the payload")
     prestress_u = _prestress_state(problem, analysis.get("prestress"))
+    probe_elements = analysis.get("probe_elements")
+    if probe_elements is not None:
+        probe_elements = np.asarray(probe_elements, dtype=int)
+        if probe_elements.size * omegas.size > 4 * _SHAPES_JSON_DOF_LIMIT:
+            raise ValueError(
+                f"member-force FRFs would serialize "
+                f"{probe_elements.size} elements x {omegas.size} "
+                "frequencies to JSON; probe fewer elements")
     res = harmonic_response(
         problem, omegas, damping=(float(damping[0]), float(damping[1])),
         method=method, n_modes=int(analysis.get("n_modes", 12)),
-        probe_dofs=probe, prestress_u=prestress_u)
-    return {
+        probe_dofs=probe, probe_elements=probe_elements,
+        prestress_u=prestress_u)
+    out = {
         "success": True,
         "analysis": "harmonic",
         "method": method,
@@ -489,6 +498,13 @@ def run_harmonic(problem, analysis: Dict) -> Dict:
         "amplitude": res.amplitude.tolist(),
         "phase": res.phase.tolist(),
     }
+    if probe_elements is not None:
+        # Member-force FRFs (the fatigue design quantity).
+        out["probe_elements"] = probe_elements.tolist()
+        out["force_real"] = res.force_real.tolist()
+        out["force_imag"] = res.force_imag.tolist()
+        out["force_amplitude"] = res.force_amplitude.tolist()
+    return out
 
 
 def run_continuation(problem, analysis: Dict) -> Dict:

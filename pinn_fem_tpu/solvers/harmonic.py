@@ -38,6 +38,11 @@ class HarmonicResult(NamedTuple):
     imag: np.ndarray        # (n_freq, n_probe) Im X
     amplitude: np.ndarray   # (n_freq, n_probe) |X|
     phase: np.ndarray       # (n_freq, n_probe) arg X in radians
+    # Member-force FRFs at `probe_elements` (the fatigue design
+    # quantity): N_e(omega) = (EA/L) g . u_e(omega), complex.
+    force_real: np.ndarray = None       # (n_freq, n_probe_elm)
+    force_imag: np.ndarray = None
+    force_amplitude: np.ndarray = None
 
 
 def _host_full_modal_basis(problem, prestress_u=None):
@@ -101,6 +106,7 @@ def harmonic_response(
     n_modes: int = 12,
     data=None,
     probe_dofs: Optional[np.ndarray] = None,
+    probe_elements: Optional[np.ndarray] = None,
     mesh=None,
     host: Optional[bool] = None,
     prestress_u=None,
@@ -121,6 +127,11 @@ def harmonic_response(
             "direct" path is EXACT: the full undamped modal basis
             diagonalizes the dynamic stiffness, so one eigh replaces the
             whole LU sweep (see _host_full_modal_basis).
+        probe_elements: optional element indices — the result then
+            carries the MEMBER-FORCE FRFs N_e(omega) = (EA/L) g.u_e
+            (the fatigue design quantity), computed from the full
+            displacement field before probe slicing on whichever tier
+            ran the sweep.
         prestress_u: static state whose geometric stiffness K_g(u0) is
             added to K — the taut-string FRF (resonances at the
             string's natural frequencies) rides the same paths as
@@ -143,6 +154,13 @@ def harmonic_response(
         xr, xi = _host_sweep(problem, loads, om_host, alpha, beta,
                              n_modes=None if method == "direct"
                              else n_modes, prestress_u=pu)
+        fr = fi = fa = None
+        if probe_elements is not None:
+            sel, s_sel, gvec_sel, dm_sel = _element_frf_constants(
+                problem, probe_elements)
+            fr = s_sel * np.sum(gvec_sel * xr[:, dm_sel], axis=-1)
+            fi = s_sel * np.sum(gvec_sel * xi[:, dm_sel], axis=-1)
+            fa = np.hypot(fr, fi)
         probe_np = (np.arange(problem.ndof) if probe_dofs is None
                     else np.asarray(probe_dofs, dtype=int))
         xr, xi = xr[:, probe_np], xi[:, probe_np]
@@ -153,6 +171,7 @@ def harmonic_response(
         return HarmonicResult(
             omegas=om_host, real=xr, imag=xi,
             amplitude=np.hypot(xr, xi), phase=np.arctan2(xi_ph, xr),
+            force_real=fr, force_imag=fi, force_amplitude=fa,
         )
 
     data = data if data is not None else problem.to_device()
@@ -173,11 +192,26 @@ def harmonic_response(
     else:
         raise ValueError("method must be 'direct' or 'modal'")
 
+    fr_d = fi_d = None
+    if probe_elements is not None:
+        # Member forces from the FULL device field, inside the same
+        # fetch (no extra round trip; no full-field transfer).
+        sel, s_sel, gvec_sel, dm_sel = _element_frf_constants(
+            problem, probe_elements)
+        s_j = jnp.asarray(s_sel, dtype)
+        g_j = jnp.asarray(gvec_sel, dtype)
+        dm_j = jnp.asarray(dm_sel)
+        fr_d = s_j * jnp.sum(g_j * xr[:, dm_j], axis=-1)
+        fi_d = s_j * jnp.sum(g_j * xi[:, dm_j], axis=-1)
+
     # ONE device fetch for the whole result (CLAUDE.md: each device_get is
     # a ~30 ms round trip through the attachment).
-    xr, xi = jax.device_get((xr[:, probe], xi[:, probe]))
+    xr, xi, fr, fi = jax.device_get(
+        (xr[:, probe], xi[:, probe], fr_d, fi_d))
     xr = np.asarray(xr)
     xi = np.asarray(xi)
+    if fr is not None:
+        fr, fi = np.asarray(fr), np.asarray(fi)
     # Same undamped phase convention as the host tier (-pi for a
     # negative real FRF, the zero-damping limit from below) — the tiers
     # must not differ by 2*pi at the same point.
@@ -187,7 +221,25 @@ def harmonic_response(
         real=xr, imag=xi,
         amplitude=np.hypot(xr, xi),
         phase=np.arctan2(xi_ph, xr),
+        force_real=fr, force_imag=fi,
+        force_amplitude=None if fr is None else np.hypot(fr, fi),
     )
+
+
+def _element_frf_constants(problem, probe_elements):
+    """(sel, EA/L, gvec, dof_map) rows for the selected elements —
+    host-evaluated material constants (identical to what assembly uses
+    at the element midpoints)."""
+    from ..ops.host import _geometry, material_values_host
+
+    sel = np.asarray(probe_elements, dtype=int).reshape(-1)
+    if sel.size and (sel.min() < 0 or sel.max() >= problem.nelm):
+        raise ValueError(f"probe_elements must be valid element indices "
+                         f"(< {problem.nelm})")
+    dof_map, gvec, inv_len, _ = _geometry(problem)
+    young, area = material_values_host(problem, 1.0)
+    s = (young * area * inv_len)[sel]
+    return sel, s, gvec[sel], dof_map[sel]
 
 
 # Frequencies solved per batched program: bounds the transient

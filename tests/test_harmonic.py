@@ -166,3 +166,62 @@ def test_prestressed_random_and_spectrum():
                            prestress_u=up)
     assert sp.mass_fraction > 0.8
     np.testing.assert_allclose(sp.omegas[0], w1, rtol=1e-3)
+
+
+# ----------------------------------------------------- member-force FRFs
+
+
+def test_harmonic_member_force_frf_static_limit_and_mirror():
+    """N_e(omega) = (EA/L) g.u_e(omega): at omega -> 0 it equals the
+    static axial force exactly, and the host and device tiers agree."""
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [1.0, 1.0]])
+    elements = np.array([[0, 1], [1, 2], [1, 3], [0, 3], [2, 3]])
+    loads = np.zeros(8)
+    loads[7] = -1.0
+    p = TrussProblem(nodes, elements, Material(10.0, 1.0, 1.0),
+                     loads, np.array([0, 1, 4, 5]), 2)
+    om = np.array([1e-4, 0.5, 1.0])
+    sel = np.arange(5)
+    res = harmonic_response(p, om, damping=(0.02, 0.001),
+                            probe_dofs=np.array([7]),
+                            probe_elements=sel)
+    assert res.force_amplitude.shape == (3, 5)
+    # Static limit: the omega->0 row equals the static member forces.
+    from pinn_fem_tpu.ops.host import host_axial_forces, host_static_solve
+
+    n_static = host_axial_forces(p, host_static_solve(p))
+    np.testing.assert_allclose(res.force_real[0], n_static,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(res.force_amplitude[0], np.abs(n_static),
+                               rtol=1e-6, atol=1e-6)
+    # Host vs device tier.
+    res_d = harmonic_response(p, om, damping=(0.02, 0.001),
+                              probe_dofs=np.array([7]),
+                              probe_elements=sel, host=False)
+    np.testing.assert_allclose(res_d.force_amplitude,
+                               res.force_amplitude, rtol=2e-3,
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="valid element"):
+        harmonic_response(p, om, probe_elements=np.array([7]))
+
+
+def test_harmonic_member_force_frf_json_tier():
+    from pinn_fem_tpu.io.analysis import run_harmonic
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [1.0, 1.0]])
+    elements = np.array([[0, 1], [1, 2], [1, 3], [0, 3], [2, 3]])
+    loads = np.zeros(8)
+    loads[7] = -1.0
+    p = TrussProblem(nodes, elements, Material(10.0, 1.0, 1.0),
+                     loads, np.array([0, 1, 4, 5]), 2)
+    out = run_harmonic(p, {"omegas": [0.2, 0.6], "damping": [0.02, 0.0],
+                           "probe_nodes": [3],
+                           "probe_elements": [2, 4]})
+    assert out["probe_elements"] == [2, 4]
+    fa = np.asarray(out["force_amplitude"])
+    assert fa.shape == (2, 2) and np.all(np.isfinite(fa))
+    with pytest.raises(ValueError, match="probe fewer"):
+        run_harmonic(p, {"omegas": {"start": 0.1, "stop": 1.0,
+                                    "num": 5000},
+                         "probe_nodes": [3],
+                         "probe_elements": list(range(5))})
