@@ -559,13 +559,22 @@ def run_random(problem, analysis: Dict) -> Dict:
     else:
         load_psd = float(psd_spec)
     prestress_u = _prestress_state(problem, analysis.get("prestress"))
+    probe_elements = analysis.get("probe_elements")
+    if probe_elements is not None:
+        probe_elements = np.asarray(probe_elements, dtype=int)
+        if probe_elements.size * omegas.size > 4 * _SHAPES_JSON_DOF_LIMIT:
+            raise ValueError(
+                f"member-force PSDs would serialize "
+                f"{probe_elements.size} elements x {omegas.size} "
+                "frequencies to JSON; probe fewer elements")
     res = random_response(
         problem, load_psd, omegas,
         damping=(float(damping[0]), float(damping[1])),
         method=analysis.get("method", "direct"),
         n_modes=int(analysis.get("n_modes", 12)),
-        probe_dofs=probe, prestress_u=prestress_u)
-    return {
+        probe_dofs=probe, probe_elements=probe_elements,
+        prestress_u=prestress_u)
+    out = {
         "success": True,
         "analysis": "random",
         "prestressed": prestress_u is not None,
@@ -574,6 +583,12 @@ def run_random(problem, analysis: Dict) -> Dict:
         "psd": res.psd.tolist(),
         "rms": res.rms.tolist(),
     }
+    if probe_elements is not None:
+        # Member-force statistics (fatigue inputs).
+        out["probe_elements"] = probe_elements.tolist()
+        out["force_psd"] = res.force_psd.tolist()
+        out["force_rms"] = res.force_rms.tolist()
+    return out
 
 
 def run_spectrum(problem, analysis: Dict) -> Dict:

@@ -33,6 +33,10 @@ class RandomResponseResult(NamedTuple):
     psd: np.ndarray          # (n_freq, n_probe) one-sided S_u(omega)
     rms: np.ndarray          # (n_probe,) sqrt(integral S_u d omega)
     frf_amplitude: np.ndarray  # (n_freq, n_probe) |H|
+    # Member-force statistics at `probe_elements` (fatigue inputs:
+    # S_N = |H_N|^2 S_p through the force FRF).
+    force_psd: np.ndarray = None    # (n_freq, n_probe_elm)
+    force_rms: np.ndarray = None    # (n_probe_elm,)
 
 
 def random_response(
@@ -43,6 +47,7 @@ def random_response(
     method: str = "direct",
     n_modes: int = 12,
     probe_dofs: Optional[np.ndarray] = None,
+    probe_elements: Optional[np.ndarray] = None,
     data=None,
     prestress_u=None,
 ) -> RandomResponseResult:
@@ -67,6 +72,7 @@ def random_response(
                          "undamped variance integral diverges")
     h = harmonic_response(problem, om, damping=damping, method=method,
                           n_modes=n_modes, probe_dofs=probe_dofs,
+                          probe_elements=probe_elements,
                           data=data, prestress_u=prestress_u)
     sp = (load_psd(om) if callable(load_psd)
           else float(load_psd) * np.ones_like(om))
@@ -77,7 +83,12 @@ def random_response(
     h2 = h.amplitude.astype(float) ** 2          # (n_freq, n_probe)
     s_u = h2 * sp[:, None]
     var = np.trapezoid(s_u, om, axis=0)
+    s_n = n_rms = None
+    if probe_elements is not None:
+        s_n = h.force_amplitude.astype(float) ** 2 * sp[:, None]
+        n_rms = np.sqrt(np.trapezoid(s_n, om, axis=0))
     return RandomResponseResult(
         omegas=om, psd=s_u, rms=np.sqrt(var),
         frf_amplitude=h.amplitude,
+        force_psd=s_n, force_rms=n_rms,
     )

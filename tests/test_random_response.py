@@ -62,3 +62,31 @@ def test_rejects_bad_inputs():
                         np.linspace(0.1, 1.0, 10), damping=(0.1, 0.0))
     with pytest.raises(ValueError, match="damping"):
         random_response(p, 1.0, np.linspace(0.1, 1.0, 10))
+
+
+def test_random_member_force_rms_sdof_closed_form():
+    """Single bar: N = k u exactly, so the force RMS is k times the
+    displacement RMS (and the white-noise SDOF sigma_N^2 =
+    k^2 pi S0/(2 k c) closed form follows)."""
+    from pinn_fem_tpu.io.analysis import run_random
+
+    k, m, c = 4.0, 2.0, 0.2                  # E=A=L=1 -> k=E A/L
+    p = TrussProblem(np.array([0.0, 1.0]), np.array([[0, 1]]),
+                     Material(young=k, area=1.0, density=2.0 * m),
+                     np.array([0.0, 1.0]), np.array([0]), 1)
+    wn = np.sqrt(k / m)
+    om = np.linspace(1e-3, 12.0 * wn, 6000)
+    s0 = 0.7
+    res = random_response(p, s0, om, damping=(c / m, 0.0),
+                          probe_dofs=np.array([1]),
+                          probe_elements=np.array([0]))
+    sigma_u2 = np.pi * s0 / (2.0 * k * c)
+    np.testing.assert_allclose(res.rms[0] ** 2, sigma_u2, rtol=2e-2)
+    np.testing.assert_allclose(res.force_rms[0], k * res.rms[0],
+                               rtol=1e-10)
+    # JSON tier.
+    out = run_random(p, {"psd": s0, "omegas": om.tolist(),
+                         "damping": [c / m, 0.0], "probe_nodes": [1],
+                         "probe_elements": [0]})
+    np.testing.assert_allclose(out["force_rms"], [res.force_rms[0]],
+                               rtol=1e-10)
