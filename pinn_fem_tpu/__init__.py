@@ -89,6 +89,17 @@ from .solvers.fused import solve_fused  # noqa: E402
 from .solvers.gauss_newton import solve_gauss_newton  # noqa: E402
 from .solvers.gd import solve_gd  # noqa: E402
 from .solvers.hybrid import solve_hybrid  # noqa: E402
+from .solvers.fatigue import (  # noqa: E402
+    SpectralFatigue,
+    davenport_peak_factor,
+    dirlik_damage_rate,
+    narrowband_damage_rate,
+    rainflow_cycles,
+    rainflow_damage,
+    spectral_fatigue,
+    spectral_moments,
+    synthesize_gaussian_history,
+)
 from .solvers.random_response import (  # noqa: E402
     RandomResponseResult,
     random_response,
@@ -203,6 +214,15 @@ __all__ = [
     "solve_riks",
     "RiksResult",
     "random_response",
+    "SpectralFatigue",
+    "davenport_peak_factor",
+    "dirlik_damage_rate",
+    "narrowband_damage_rate",
+    "rainflow_cycles",
+    "rainflow_damage",
+    "spectral_fatigue",
+    "spectral_moments",
+    "synthesize_gaussian_history",
     "RandomResponseResult",
     "guyan_reduce",
     "craig_bampton",

@@ -535,6 +535,68 @@ def run_continuation(problem, analysis: Dict) -> Dict:
     }
 
 
+def _sn_params(fat: Dict):
+    """Basquin S-N parameters from a "fatigue" spec: {"sn": {"exponent":
+    m, "coefficient": C}} with N S^m = C, S = stress amplitude."""
+    sn = fat.get("sn")
+    if not isinstance(sn, dict) or "exponent" not in sn \
+            or "coefficient" not in sn:
+        raise ValueError('fatigue spec needs "sn": {"exponent": m, '
+                         '"coefficient": C} (Basquin N S^m = C)')
+    m = float(sn["exponent"])
+    c = float(sn["coefficient"])
+    if m <= 0.0 or c <= 0.0:
+        raise ValueError("S-N exponent and coefficient must be positive")
+    return m, c
+
+
+def _element_areas(problem, elm_sel):
+    """Cross-section areas of the selected elements (stress = N/A)."""
+    from ..ops.host import material_values_host
+
+    return material_values_host(problem, 1.0)[1][elm_sel]
+
+
+def _transient_fatigue(problem, fat: Dict, elm_sel, n_hist, times) -> Dict:
+    """Rainflow/Miner damage per probed element from force histories.
+
+    Contract: "fatigue": {"sn": {"exponent": m, "coefficient": C}} on a
+    transient block with probe_elements.  Stress history is N_e(t)/A_e;
+    damage is the ASTM E1049 rainflow count through the Basquin curve
+    (solvers/fatigue.py) — the time-domain ground truth the random
+    block's spectral methods approximate."""
+    from ..solvers.fatigue import rainflow_damage
+
+    m, c = _sn_params(fat)
+    if fat.get("method", "rainflow") != "rainflow":
+        raise ValueError('transient fatigue is time-domain: method must '
+                         'be "rainflow" (spectral methods live on the '
+                         'random block)')
+    t = np.asarray(times, dtype=float)
+    duration = float(t[-1] - t[0])
+    if duration <= 0.0:
+        raise ValueError("fatigue needs a transient spanning > 0 s")
+    areas = _element_areas(problem, elm_sel)
+    stress = np.asarray(n_hist, dtype=float) / areas[None, :]
+    rates, counts = zip(*(rainflow_damage(stress[:, e], duration, m, c)
+                          for e in range(stress.shape[1])))
+    rates = np.asarray(rates, dtype=float)
+    with np.errstate(divide="ignore"):
+        life = np.where(rates > 0.0, 1.0 / np.maximum(rates, 1e-300),
+                        np.inf)
+    return {
+        "method": "rainflow",
+        "sn": {"exponent": m, "coefficient": c},
+        "duration": duration,
+        "probe_elements": elm_sel.tolist(),
+        "stress_rms": np.std(stress, axis=0).tolist(),
+        "cycle_count": list(counts),
+        "damage_rate": rates.tolist(),
+        "life_s": [None if not np.isfinite(v) else float(v)
+                   for v in life],
+    }
+
+
 def run_random(problem, analysis: Dict) -> Dict:
     """Execute a random-vibration block (solvers/random_response.py)."""
     from ..solvers.random_response import random_response
@@ -588,6 +650,46 @@ def run_random(problem, analysis: Dict) -> Dict:
         out["probe_elements"] = probe_elements.tolist()
         out["force_psd"] = res.force_psd.tolist()
         out["force_rms"] = res.force_rms.tolist()
+    fat = analysis.get("fatigue")
+    if fat is not None:
+        # Frequency-domain fatigue: stress PSDs S_sigma = S_N / A^2
+        # through Dirlik (default) or the narrow-band bound.
+        # Contract: "fatigue": {"sn": {"exponent": m, "coefficient": C},
+        #                       "method": "dirlik" | "narrowband",
+        #                       "duration": T}   # optional: adds the
+        #                                        # Davenport peak estimate
+        from ..solvers.fatigue import spectral_fatigue
+
+        if probe_elements is None:
+            raise ValueError("random-block fatigue needs probe_elements "
+                             "(damage is computed from member-STRESS "
+                             "PSDs)")
+        m, c = _sn_params(fat)
+        duration = fat.get("duration")
+        areas = _element_areas(problem, probe_elements)
+        stress_psd = np.asarray(res.force_psd, dtype=float) \
+            / (areas ** 2)[None, :]
+        sf = spectral_fatigue(
+            res.omegas, stress_psd, m, c,
+            method=fat.get("method", "dirlik"),
+            duration=None if duration is None else float(duration))
+        out["fatigue"] = {
+            "method": sf.method,
+            "sn": {"exponent": m, "coefficient": c},
+            "probe_elements": probe_elements.tolist(),
+            "stress_rms": sf.rms.tolist(),
+            "nu0_hz": sf.nu0.tolist(),
+            "nu_peak_hz": sf.nu_peak.tolist(),
+            "alpha2": sf.alpha2.tolist(),
+            "damage_rate": sf.damage_rate.tolist(),
+            "life_s": [None if not np.isfinite(v) else float(v)
+                       for v in sf.life],
+        }
+        if duration is not None:
+            out["fatigue"]["duration"] = float(duration)
+            out["fatigue"]["peak_factor"] = sf.peak_factor.tolist()
+            out["fatigue"]["expected_peak_stress"] = \
+                sf.expected_peak.tolist()
     return out
 
 
@@ -758,6 +860,36 @@ def run_transient(problem, analysis: Dict) -> Dict:
             f"{probe.size} DOFs x {n_steps // record_every} snapshots to "
             "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
             "to bound the payload")
+    # Member-force histories (the time-domain fatigue quantity): record
+    # the probed elements' DOFs alongside the user's probe and recover
+    # N_e(t) on the host afterwards — same per-quantity principle as the
+    # harmonic force FRFs (linear g.u recovery; the Green-Lagrange
+    # quadratic term is added for geometric_nonlinear runs so the
+    # reported force is the one the integrator actually applied).
+    probe_elements = analysis.get("probe_elements")
+    elm_sel = s_sel = gvec_sel = dm_sel = inv_len_sel = None
+    rec_probe = probe
+    if probe_elements is not None:
+        from ..ops.host import _geometry
+        from ..solvers.harmonic import _element_frf_constants
+
+        elm_sel = np.asarray(probe_elements, dtype=int).reshape(-1)
+        if elm_sel.size * (n_steps // record_every) \
+                > 4 * _SHAPES_JSON_DOF_LIMIT:
+            raise ValueError(
+                f"member-force histories would serialize {elm_sel.size} "
+                f"elements x {n_steps // record_every} snapshots to JSON; "
+                "probe fewer elements or raise record_every")
+        if "amplitudes" in analysis:
+            raise ValueError("probe_elements composes with single-run "
+                             "transients; the ensemble path reports the "
+                             "stress envelope instead "
+                             "(include_stress_envelope)")
+        elm_sel, s_sel, gvec_sel, dm_sel = _element_frf_constants(
+            problem, elm_sel)
+        inv_len_sel = _geometry(problem)[2][elm_sel]
+        rec_probe = np.unique(np.concatenate([probe,
+                                              dm_sel.reshape(-1)]))
     force_fn = _transient_force_fn(problem, analysis, dt)
     checkpoint = analysis.get("checkpoint")
     if analysis.get("include_stress_envelope", False):
@@ -797,7 +929,7 @@ def run_transient(problem, analysis: Dict) -> Dict:
     kw = dict(
         amplitude=amplitude,
         damping=(float(damping[0]), float(damping[1])),
-        method=method, record_every=record_every, probe_dofs=probe,
+        method=method, record_every=record_every, probe_dofs=rec_probe,
         newmark_beta=float(analysis.get("newmark_beta", 0.25)),
         newmark_gamma=float(analysis.get("newmark_gamma", 0.5)),
         geometric_nonlinear=bool(analysis.get("geometric_nonlinear",
@@ -841,11 +973,34 @@ def run_transient(problem, analysis: Dict) -> Dict:
         "checkpointed": checkpoint is not None,
         "probe_dofs": probe.tolist(),
         "times": res.times.tolist(),
-        "displacements": res.displacements.tolist(),
-        "velocities": res.velocities.tolist(),
         "kinetic_energy": res.kinetic_energy.tolist(),
         "strain_energy": res.strain_energy.tolist(),
     }
+    disp = np.asarray(res.displacements, dtype=float)
+    velo = np.asarray(res.velocities, dtype=float)
+    if probe_elements is None:
+        out["displacements"] = disp.tolist()
+        out["velocities"] = velo.tolist()
+    else:
+        # The solver recorded the UNION of the user's probe and the
+        # probed elements' DOFs; slice the user's view back out and
+        # recover the member forces from the element columns.
+        pos = np.searchsorted(rec_probe, probe)
+        out["displacements"] = disp[:, pos].tolist()
+        out["velocities"] = velo[:, pos].tolist()
+        u_e = disp[:, np.searchsorted(rec_probe, dm_sel)]  # (n_rec, n_e, 2d)
+        n_hist = s_sel[None, :] * np.sum(gvec_sel[None] * u_e, axis=-1)
+        if bool(analysis.get("geometric_nonlinear", False)):
+            d = problem.dimension
+            du_rel = u_e[:, :, d:] - u_e[:, :, :d]
+            n_hist = n_hist + 0.5 * s_sel[None, :] * inv_len_sel[None, :] \
+                * np.sum(du_rel * du_rel, axis=-1)
+        out["probe_elements"] = elm_sel.tolist()
+        out["force_histories"] = n_hist.tolist()
+        fat = analysis.get("fatigue")
+        if fat is not None:
+            out["fatigue"] = _transient_fatigue(problem, fat, elm_sel,
+                                                n_hist, res.times)
     if analysis.get("include_stress_envelope", False):
         # Per-element |stress| envelope over EVERY step (the design-check
         # quantity) via the batched core with B = 1 — compatibility was
