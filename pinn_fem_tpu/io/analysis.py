@@ -664,7 +664,12 @@ def run_random(problem, analysis: Dict) -> Dict:
             raise ValueError("random-block fatigue needs probe_elements "
                              "(damage is computed from member-STRESS "
                              "PSDs)")
-        m, c = _sn_params(fat)
+        # "sn" is optional: without it the summary is statistics-only
+        # (stress RMS, crossing rates, peak factor — no material curve
+        # needed, so UIs can show it with zero configuration).
+        m = c = None
+        if fat.get("sn") is not None:
+            m, c = _sn_params(fat)
         duration = fat.get("duration")
         areas = _element_areas(problem, probe_elements)
         stress_psd = np.asarray(res.force_psd, dtype=float) \
@@ -675,16 +680,18 @@ def run_random(problem, analysis: Dict) -> Dict:
             duration=None if duration is None else float(duration))
         out["fatigue"] = {
             "method": sf.method,
-            "sn": {"exponent": m, "coefficient": c},
             "probe_elements": probe_elements.tolist(),
             "stress_rms": sf.rms.tolist(),
             "nu0_hz": sf.nu0.tolist(),
             "nu_peak_hz": sf.nu_peak.tolist(),
             "alpha2": sf.alpha2.tolist(),
-            "damage_rate": sf.damage_rate.tolist(),
-            "life_s": [None if not np.isfinite(v) else float(v)
-                       for v in sf.life],
         }
+        if m is not None:
+            out["fatigue"]["sn"] = {"exponent": m, "coefficient": c}
+            out["fatigue"]["damage_rate"] = sf.damage_rate.tolist()
+            out["fatigue"]["life_s"] = [
+                None if not np.isfinite(v) else float(v)
+                for v in sf.life]
         if duration is not None:
             out["fatigue"]["duration"] = float(duration)
             out["fatigue"]["peak_factor"] = sf.peak_factor.tolist()

@@ -664,10 +664,18 @@ async function runRandom() {
     if (!mData.success) throw new Error(mData.error || "modal failed");
     const om = mData.result.omegas;
     const w1 = om[0] || 1, w2 = om[om.length - 1] || 2 * w1;
+    // Member fatigue statistics (stress RMS, crossing rate, Davenport
+    // expected peak over an hour) need no S-N constants — probe every
+    // element (bounded; the payload guard caps PSD serialization).
+    const nElm = state.elements.length;
+    const probeElements = Array.from(
+      { length: Math.min(nElm, 16) }, (_, i) => i);
     problem.analysis = {
       type: "random", psd: 1.0, damping: [0.05, 0.001],
       omegas: { start: 0.2 * w1, stop: 1.5 * w2, num: 400 },
       probe_nodes: probeNodes,
+      probe_elements: probeElements,
+      fatigue: { duration: 3600.0 },
     };
     const resp = await fetch("/api/fem/random", {
       method: "POST", headers: { "Content-Type": "application/json" },
@@ -678,8 +686,20 @@ async function runRandom() {
     const r = data.result;
     drawTimeSeries(r.omegas, r.psd);
     const rms = r.rms.map((v) => v.toPrecision(4)).join(", ");
+    let fatigueNote = "";
+    if (r.fatigue) {
+      const srms = r.fatigue.stress_rms;
+      const worst = srms.indexOf(Math.max(...srms));
+      fatigueNote =
+        `; worst member e${r.fatigue.probe_elements[worst]}: ` +
+        `σ_rms = ${srms[worst].toPrecision(3)}, ` +
+        `ν₀ = ${r.fatigue.nu0_hz[worst].toPrecision(3)} Hz, ` +
+        `1 h peak ≈ ` +
+        `${r.fatigue.expected_peak_stress[worst].toPrecision(3)}`;
+    }
     status.textContent =
-      `Displacement PSD under unit white-noise load; RMS = [${rms}]`;
+      `Displacement PSD under unit white-noise load; RMS = [${rms}]` +
+      fatigueNote;
   } catch (e) {
     status.textContent = "Error: " + e.message;
   }

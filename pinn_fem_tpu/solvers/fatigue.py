@@ -171,7 +171,7 @@ class SpectralFatigue(NamedTuple):
     expected_peak: Optional[np.ndarray] = None  # (n_q,) g * rms
 
 
-def spectral_fatigue(omegas, psd, sn_exponent, sn_coefficient,
+def spectral_fatigue(omegas, psd, sn_exponent=None, sn_coefficient=None,
                      method: str = "dirlik",
                      duration: Optional[float] = None) -> SpectralFatigue:
     """One-call frequency-domain fatigue summary of stress PSD(s).
@@ -182,6 +182,9 @@ def spectral_fatigue(omegas, psd, sn_exponent, sn_coefficient,
         psd: (n_freq,) or (n_freq, n_q) one-sided STRESS PSDs.  (Feed
             force PSDs divided by area^2; run_random does.)
         sn_exponent / sn_coefficient: Basquin N S^m = C, S = amplitude.
+            Omit both for the STATISTICS-ONLY summary (moments, crossing
+            rates, peak factor — no material curve needed; damage_rate
+            and life come back None).
         method: "dirlik" (default — rainflow-calibrated) or
             "narrowband" (conservative Rayleigh/Miner bound).
         duration: optional record length [s] — adds the Davenport
@@ -189,6 +192,9 @@ def spectral_fatigue(omegas, psd, sn_exponent, sn_coefficient,
     """
     if method not in ("dirlik", "narrowband"):
         raise ValueError('fatigue method must be "dirlik" or "narrowband"')
+    if (sn_exponent is None) != (sn_coefficient is None):
+        raise ValueError("give both sn_exponent and sn_coefficient, or "
+                         "neither (statistics-only)")
     moms = spectral_moments(omegas, psd, orders=(0, 1, 2, 4))
     m0, m1, m2, m4 = moms
     one_d = np.ndim(m0) == 0
@@ -197,20 +203,26 @@ def spectral_fatigue(omegas, psd, sn_exponent, sn_coefficient,
         raise ValueError("a stress PSD with zero variance has no fatigue "
                          "content — check the probe/grid")
     nu0, nup, alpha2 = crossing_rates(m0, m2, m4)
-    if method == "dirlik":
-        rate = dirlik_damage_rate(m0, m1, m2, m4,
-                                  sn_exponent, sn_coefficient)
+    if sn_exponent is None:
+        rate = life = None
     else:
-        rate = narrowband_damage_rate(m0, nu0, sn_exponent, sn_coefficient)
-    with np.errstate(divide="ignore"):
-        life = np.where(rate > 0.0, 1.0 / np.maximum(rate, 1e-300), np.inf)
+        if method == "dirlik":
+            rate = dirlik_damage_rate(m0, m1, m2, m4,
+                                      sn_exponent, sn_coefficient)
+        else:
+            rate = narrowband_damage_rate(m0, nu0,
+                                          sn_exponent, sn_coefficient)
+        with np.errstate(divide="ignore"):
+            life = np.where(rate > 0.0, 1.0 / np.maximum(rate, 1e-300),
+                            np.inf)
     g = peak = None
     if duration is not None:
         g = davenport_peak_factor(nu0, duration)
         peak = g * np.sqrt(m0)
     if one_d:
-        (m0, nu0, nup, alpha2, rate, life) = (
-            v[0] for v in (m0, nu0, nup, alpha2, rate, life))
+        (m0, nu0, nup, alpha2) = (v[0] for v in (m0, nu0, nup, alpha2))
+        if rate is not None:
+            rate, life = rate[0], life[0]
         if g is not None:
             g, peak = g[0], peak[0]
     return SpectralFatigue(m0=m0, rms=np.sqrt(m0), nu0=nu0, nu_peak=nup,

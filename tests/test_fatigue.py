@@ -160,6 +160,12 @@ def test_spectral_fatigue_validation():
         spectral_fatigue(om, np.ones_like(om), 3.0, 1.0, method="welch")
     with pytest.raises(ValueError, match="variance"):
         spectral_fatigue(om, np.zeros_like(om), 3.0, 1.0)
+    with pytest.raises(ValueError, match="both"):
+        spectral_fatigue(om, np.ones_like(om), 3.0, None)
+    # Statistics-only: no S-N curve, no damage fields.
+    sf = spectral_fatigue(om, np.ones_like(om))
+    assert sf.damage_rate is None and sf.life is None
+    assert sf.nu0 > 0
 
 
 # ------------------------------------------------------------ JSON tiers
@@ -214,7 +220,25 @@ def test_random_block_fatigue_needs_probe_elements():
         run_analysis(p, {"type": "random", "psd": 1.0,
                          "omegas": np.linspace(0.1, 10, 50).tolist(),
                          "damping": [0.5, 0.0], "probe_dofs": [1],
-                         "probe_elements": [0], "fatigue": {}})
+                         "probe_elements": [0], "fatigue": {"sn": {}}})
+
+
+def test_random_block_fatigue_statistics_only():
+    """Without an S-N curve the fatigue key returns the statistical
+    summary (no material constants needed — what a UI shows by
+    default); damage keys are absent."""
+    p = sdof_bar()
+    out = run_analysis(p, {"type": "random", "psd": 1.0,
+                           "omegas": np.linspace(0.1, 10, 400).tolist(),
+                           "damping": [0.5, 0.0], "probe_dofs": [1],
+                           "probe_elements": [0],
+                           "fatigue": {"duration": 600.0}})
+    f = out["fatigue"]
+    assert "damage_rate" not in f and "sn" not in f
+    np.testing.assert_allclose(f["stress_rms"], out["force_rms"],
+                               rtol=1e-12)
+    assert f["nu0_hz"][0] > 0 and 0 < f["alpha2"][0] <= 1
+    assert f["expected_peak_stress"][0] > 2 * f["stress_rms"][0]
 
 
 def test_transient_force_histories_quasi_static():

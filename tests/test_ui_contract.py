@@ -214,6 +214,11 @@ def test_static_ui_random_payload_served():
         "type": "random", "psd": 1.0, "damping": [0.05, 0.001],
         "omegas": {"start": 0.2 * w1, "stop": 1.5 * w2, "num": 400},
         "probe_nodes": [3],
+        # The button also requests member fatigue STATISTICS (no S-N
+        # constants needed): app.js probes min(nelm, 16) elements with
+        # a one-hour Davenport duration.
+        "probe_elements": [0, 1, 2],
+        "fatigue": {"duration": 3600.0},
     }})
     assert out["success"]
     psd = np.asarray(out["psd"])
@@ -224,6 +229,18 @@ def test_static_ui_random_payload_served():
     oms = np.asarray(out["omegas"])
     peak = oms[np.argmax(psd[:, 0])]
     assert min(abs(peak - w) / w for w in om) < 0.05
+    # Fatigue statistics the status line renders: per-element stress
+    # RMS, crossing rate, expected 1 h peak (statistics-only — no
+    # damage keys without an S-N curve).
+    fat = out["fatigue"]
+    assert fat["probe_elements"] == [0, 1, 2]
+    assert "damage_rate" not in fat
+    assert all(v >= 0 for v in fat["stress_rms"])
+    assert max(fat["stress_rms"]) > 0
+    worst = int(np.argmax(fat["stress_rms"]))
+    assert fat["expected_peak_stress"][worst] \
+        > 2.0 * fat["stress_rms"][worst]
+    assert fat["nu0_hz"][worst] > 0
 
 
 def test_static_ui_reduction_payload_served():
