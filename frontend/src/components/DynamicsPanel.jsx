@@ -168,10 +168,18 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         analysis: { n_modes: 3, include_shapes: false } });
       const om = modal.omegas;
       const w1 = om[0] || 1, w2 = om[om.length - 1] || 2 * (om[0] || 1);
+      // Member fatigue statistics ride the random sweep for free: no
+      // S-N constants needed (stress RMS, crossing rate, Davenport
+      // 1 h expected peak), bounded to 16 probed elements.
+      const nElm = (problem.elements || []).length;
+      const probeElements = Array.from(
+        { length: Math.min(nElm, 16) }, (_, i) => i);
       problem.analysis = which === 'random'
         ? { type: 'random', psd: 1.0, damping: [0.05, 0.001],
             omegas: { start: 0.2 * w1, stop: 1.5 * w2, num: 400 },
-            probe_nodes: probes }
+            probe_nodes: probes,
+            probe_elements: probeElements,
+            fatigue: { duration: 3600.0 } }
         : { type: 'harmonic', damping: [0.05, 0.001],
             omegas: { start: 0.3 * w1, stop: 1.4 * w2, num: 200 },
             probe_nodes: probes };
@@ -179,8 +187,17 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       setKind(which); setRows([]); setShapes(null);
       setChart({ xs: r.omegas,
                  series: which === 'random' ? r.psd : r.amplitude });
+      let fatigueNote = '';
+      if (which === 'random' && r.fatigue) {
+        const srms = r.fatigue.stress_rms;
+        const worst = srms.indexOf(Math.max(...srms));
+        fatigueNote = `; worst member e${r.fatigue.probe_elements[worst]}`
+          + `: σ_rms=${srms[worst].toPrecision(3)}, `
+          + `ν₀=${r.fatigue.nu0_hz[worst].toPrecision(3)} Hz, `
+          + `1 h peak≈${r.fatigue.expected_peak_stress[worst].toPrecision(3)}`;
+      }
       setMessage(which === 'random'
-        ? `Displacement PSD; RMS = [${r.rms.map((v) => v.toPrecision(4)).join(', ')}]`
+        ? `Displacement PSD; RMS = [${r.rms.map((v) => v.toPrecision(4)).join(', ')}]${fatigueNote}`
         : `|H(ω)|; resonances at ${om.map((w) => w.toPrecision(4)).join(', ')}`);
     } catch (e) {
       fail(e);

@@ -288,8 +288,19 @@ def test_react_ui_dynamics_panel_transient_and_sweeps_served():
         "type": "random", "psd": 1.0, "damping": [0.05, 0.001],
         "omegas": {"start": 0.2 * w1, "stop": 1.5 * w2, "num": 400},
         "probe_nodes": [3],
+        # The panel also requests the material-free member fatigue
+        # statistics (probe min(nelm, 16) elements, 1 h Davenport).
+        "probe_elements": list(range(
+            min(len(base["elements"]), 16))),
+        "fatigue": {"duration": 3600.0},
     }})
     assert rnd["success"] and np.asarray(rnd["psd"]).shape == (400, 2)
+    fat = rnd["fatigue"]
+    assert "damage_rate" not in fat          # statistics-only
+    assert max(fat["stress_rms"]) > 0
+    worst = int(np.argmax(fat["stress_rms"]))
+    assert fat["expected_peak_stress"][worst] \
+        > 2.0 * fat["stress_rms"][worst]
 
     red = _solve_analysis("reduction")({**base, "analysis": {
         "type": "reduction", "method": "craig_bampton",
