@@ -881,12 +881,27 @@ def run_transient(problem, analysis: Dict) -> Dict:
         from ..solvers.harmonic import _element_frf_constants
 
         elm_sel = np.asarray(probe_elements, dtype=int).reshape(-1)
-        if elm_sel.size * (n_steps // record_every) \
-                > 4 * _SHAPES_JSON_DOF_LIMIT:
-            raise ValueError(
-                f"member-force histories would serialize {elm_sel.size} "
-                f"elements x {n_steps // record_every} snapshots to JSON; "
-                "probe fewer elements or raise record_every")
+        # Payload policy: the guard protects the JSON, not the compute —
+        # fatigue wants the FULL-RATE history (decimation destroys
+        # cycles), so "include_force_histories": false computes damage
+        # on the full record and serializes only the summary.
+        hist_fits = (elm_sel.size * (n_steps // record_every)
+                     <= 4 * _SHAPES_JSON_DOF_LIMIT)
+        include_hist = analysis.get("include_force_histories")
+        if include_hist is None:
+            include_hist = hist_fits
+            if not hist_fits and "fatigue" not in analysis:
+                raise ValueError(
+                    f"member-force histories would serialize "
+                    f"{elm_sel.size} elements x "
+                    f"{n_steps // record_every} snapshots to JSON; "
+                    "probe fewer elements, raise record_every, or add a "
+                    '"fatigue" block (the summary serializes without '
+                    "the histories)")
+        else:
+            # Explicit is trusted either way (same philosophy as an
+            # explicit probe_dofs overriding the displacement guard).
+            include_hist = bool(include_hist)
         if "amplitudes" in analysis:
             raise ValueError("probe_elements composes with single-run "
                              "transients; the ensemble path reports the "
@@ -1003,7 +1018,8 @@ def run_transient(problem, analysis: Dict) -> Dict:
             n_hist = n_hist + 0.5 * s_sel[None, :] * inv_len_sel[None, :] \
                 * np.sum(du_rel * du_rel, axis=-1)
         out["probe_elements"] = elm_sel.tolist()
-        out["force_histories"] = n_hist.tolist()
+        if include_hist:
+            out["force_histories"] = n_hist.tolist()
         fat = analysis.get("fatigue")
         if fat is not None:
             out["fatigue"] = _transient_fatigue(problem, fat, elm_sel,

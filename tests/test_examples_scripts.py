@@ -42,6 +42,7 @@ SCRIPTS.append("transient_identification")
 SCRIPTS.append("snap_through")
 SCRIPTS.append("sizing_optimization")
 SCRIPTS.append("twin_workflow")
+SCRIPTS.append("fatigue_assessment")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
@@ -59,6 +60,8 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
     if name == "twin_workflow":
         monkeypatch.setenv("TWIN_ID_ITERS", "60")
         monkeypatch.setenv("TWIN_SZ_ITERS", "60")
+    if name == "fatigue_assessment":  # short record for the smoke run
+        monkeypatch.setenv("FATIGUE_STEPS", "12000")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()

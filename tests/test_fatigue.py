@@ -278,6 +278,30 @@ def test_transient_force_histories_quasi_static():
                                out_plain["displacements"], rtol=1e-12)
 
 
+def test_transient_force_history_payload_policy():
+    """The JSON guard protects the payload, not the compute: a long
+    full-rate record + fatigue auto-drops the serialized histories (the
+    summary survives); without fatigue it refuses with guidance;
+    explicit include_force_histories is trusted either way."""
+    p = sdof_bar()
+    big = {"type": "transient", "dt": 0.01, "n_steps": 20000,
+           "method": "newmark", "damping": [0.5, 0.0],
+           "amplitude": {"type": "sine", "frequency_hz": 0.16},
+           "probe_dofs": [1], "probe_elements": [0]}
+    sn = {"sn": {"exponent": 3.0, "coefficient": 1e6}}
+    out = run_analysis(p, {**big, "fatigue": sn})
+    assert "force_histories" not in out        # auto-dropped (too big)
+    assert out["fatigue"]["cycle_count"][0] > 0
+    with pytest.raises(ValueError, match="fatigue.*block|serializes"):
+        run_analysis(p, big)                   # no fatigue, no point
+    out2 = run_analysis(p, {**big, "include_force_histories": True,
+                            "fatigue": sn})    # explicit: trusted
+    assert len(out2["force_histories"]) == 20000
+    out3 = run_analysis(p, {**big, "n_steps": 100,
+                            "include_force_histories": False})
+    assert "force_histories" not in out3 and "fatigue" not in out3
+
+
 def test_transient_fatigue_validation():
     p = sdof_bar()
     base = {"type": "transient", "dt": 0.01, "n_steps": 16,
