@@ -2013,6 +2013,10 @@ def run_sizing(problem, analysis: Dict) -> Dict:
     if buckling_c is not None:
         out["buckling_shape_factor"] = buckling_c
         out["max_buckling_ratio"] = float(res.max_buckling_ratio)
+    if analysis.get("min_frequency_hz") is not None:
+        out["min_frequency_hz"] = float(analysis["min_frequency_hz"])
+        out["fundamental_frequency_hz"] = \
+            float(res.fundamental_frequency_hz)
     if disp_limit is not None:
         out["displacement_limit"] = disp_limit
         out["max_displacement_ratio"] = float(res.max_displacement_ratio)

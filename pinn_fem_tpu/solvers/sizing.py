@@ -63,6 +63,10 @@ class SizingResult:
     # max (-sigma) / sigma_cr over compression members, sigma_cr =
     # pi^2 E c A / L^2 (Euler, I = c A^2); nan when no buckling factor.
     max_buckling_ratio: float = float("nan")
+    # Achieved fundamental frequency of the optimized design [Hz];
+    # nan unless a min_frequency_hz floor was active (the designer's
+    # first validation: did the design land ON the floor?).
+    fundamental_frequency_hz: float = float("nan")
 
 
 def _host_area_solve(problem: TrussProblem, areas: np.ndarray,
@@ -728,6 +732,16 @@ def optimize_sizing(
     if pi2c is not None:
         sig_cr = pi2c * young_np * areas * inv_len_np ** 2
         buck_ratio = float(np.max(np.maximum(-sigma, 0.0) / sig_cr))
+    f1_hz = float("nan")
+    if lam_req is not None:
+        # Achieved f1 of the FINAL areas (polish may have grown members)
+        # through the same eigensolve the constraint differentiated.
+        from .modal_inverse import modal_observables_elem
+
+        lam1 = np.asarray(jax.device_get(modal_observables_elem(
+            problem, young_e, jnp.asarray(areas, dtype), rho_e, 1,
+            data=data)[0]), dtype=float)[0]
+        f1_hz = float(np.sqrt(max(lam1, 0.0)) / (2.0 * np.pi))
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
@@ -744,4 +758,5 @@ def optimize_sizing(
         converged=True,
         n_iter=len(hist),
         max_buckling_ratio=buck_ratio,
+        fundamental_frequency_hz=f1_hz,
     )

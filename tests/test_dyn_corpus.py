@@ -35,8 +35,8 @@ def test_dyn_corpus_complete():
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-random.json", "dyn-reduction.json",
-                   "dyn-sizing.json", "dyn-spectrum.json",
-                   "dyn-transient.json"]
+                   "dyn-sizing-dynamic.json", "dyn-sizing.json",
+                   "dyn-spectrum.json", "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -122,6 +122,22 @@ def test_dyn_corpus_runs(name, tmp_path):
         hist = np.asarray(res["loss_history"])
         assert hist[-1] < 1e-3 * hist[0]               # actually converged
         assert res["fit_rmse_rel"] < 1e-2
+    elif kind == "sizing" and name == "dyn-sizing-dynamic.json":
+        # Payload-carrying 10-bar under stress + Euler buckling + an f1
+        # floor: all three constraints must be satisfied AND binding
+        # (the measured design: mass 14.0 vs 5.5 stress-only, stress
+        # ratio 0.98, buckling ratio 0.95, f1 exactly on the floor).
+        assert res["converged"]
+        assert res["max_stress_ratio"] <= 1.0 + 1e-6
+        assert res["max_buckling_ratio"] <= 1.0 + 1e-6
+        floor = res["min_frequency_hz"]
+        f1 = res["fundamental_frequency_hz"]
+        assert floor * (1.0 - 1e-3) <= f1 <= floor * 1.05
+        # The dynamic constraints cost real mass over the stress-only
+        # optimum (5.51): anything near that would mean they didn't act.
+        assert res["mass"] > 2.0 * 5.51
+        assert max(res["max_stress_ratio"],
+                   res["max_buckling_ratio"]) > 0.9   # binding, not slack
     elif kind == "sizing":
         # 10-bar cantilever: the AL optimum must tie the FSD fixpoint
         # (solver-level exactness is pinned in tests/test_sizing.py).
