@@ -30,7 +30,8 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-harmonic.json", "dyn-identification-field.json",
+                   "dyn-fatigue.json", "dyn-harmonic.json",
+                   "dyn-identification-field.json",
                    "dyn-identification-frf.json",
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
@@ -78,6 +79,30 @@ def test_dyn_corpus_runs(name, tmp_path):
     elif kind == "spectrum":
         assert 0.9 < res["mass_fraction"] <= 1.0 + 1e-6
         assert np.asarray(res["displacements"]).max() > 0
+    elif kind == "random" and name == "dyn-fatigue.json":
+        # Braced 3-story tower under white-noise wind: the full fatigue
+        # chain (member-stress PSDs -> Dirlik damage -> Basquin life +
+        # Davenport peak).  examples/fatigue_assessment.py validates the
+        # same numbers against the rainflow-counted transient.
+        f = res["fatigue"]
+        dr = np.asarray(f["damage_rate"])
+        crit = int(np.argmax(dr))
+        assert crit == 0                     # first-story column governs
+        np.testing.assert_allclose(f["stress_rms"][crit], 3.7527,
+                                   rtol=1e-3)
+        np.testing.assert_allclose(f["nu0_hz"][crit], 0.6545, rtol=1e-3)
+        np.testing.assert_allclose(f["life_s"][crit] / 3600.0, 343.7,
+                                   rtol=0.01)
+        assert all(v is not None and v > 0 for v in f["life_s"])
+        # Internal consistency: the spectral-moment RMS must agree with
+        # random_response's own trapezoid RMS (area = 1 -> stress==force).
+        np.testing.assert_allclose(f["stress_rms"], res["force_rms"],
+                                   rtol=1e-6)
+        # Davenport peak factor sits in its physical band for 1 h.
+        g = np.asarray(f["peak_factor"])
+        assert np.all((g > 2.5) & (g < 6.0))
+        assert np.all(np.asarray(f["expected_peak_stress"])
+                      > 2.5 * np.asarray(f["stress_rms"]))
     elif kind == "random":
         psd = np.asarray(res["psd"])
         rms = np.asarray(res["rms"])
