@@ -138,7 +138,9 @@ from .solvers.transient_inverse import (  # noqa: E402
 )
 from .solvers.sizing import (  # noqa: E402
     SizingResult,
+    fatigue_life_ratio,
     fully_stressed_design,
+    member_force_frf_sq,
     optimize_compliance_oc,
     optimize_sizing,
     static_response_elem,
@@ -210,6 +212,8 @@ __all__ = [
     "fully_stressed_design",
     "optimize_compliance_oc",
     "optimize_sizing",
+    "fatigue_life_ratio",
+    "member_force_frf_sq",
     "static_response_elem",
     "solve_riks",
     "RiksResult",

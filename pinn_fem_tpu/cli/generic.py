@@ -157,6 +157,14 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                 100.0 * output["mass_reduction"],
                 ("%.4f" % output["max_stress_ratio"])
                 if "max_stress_ratio" in output else "n/a")
+            if "min_fatigue_life_s" in output:
+                logger.info(
+                    "  Fatigue (%s): min life %.6g h over the members "
+                    "(floor %.6g h, critical e%d)",
+                    output["fatigue_method"],
+                    output["min_fatigue_life_s"] / 3600.0,
+                    output["fatigue_min_life_s"] / 3600.0,
+                    output["fatigue_critical_element"])
         elif kind == "identification":
             if output.get("mode") == "field":
                 vals = output["identified_field"]["at_elements"]["values"]

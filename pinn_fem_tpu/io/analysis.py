@@ -84,6 +84,14 @@ drives a static solve gains:
                                               # enforceable — frequencies
                                               # are scale-invariant when
                                               # all mass is structural)
+                 "fatigue": {                 # fatigue-life floor under
+                     "psd": S_p,              # stationary random load
+                     "omegas": [..] | {..},   # (scalar white noise or a
+                     "damping": [a, b],       # curve on the sweep); see
+                     "sn": {"exponent": m,    # solvers/sizing.py
+                            "coefficient": C},
+                     "min_life_s": T,         # | "min_life_hours"
+                     "method": "dirlik"},
                  "probe_nodes": [..] | "probe_dofs": [..],
                  "volume": V,                 # compliance objective
                  "load_cases": [[..ndof..], ..],   # envelope sizing:
@@ -1866,6 +1874,10 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                      "method": "adam" | "fsd" | "oc",
                      "stress_limit": s, "displacement_limit": d,
                      "min_frequency_hz": f,     # adam only
+                     "fatigue": {"psd": S, "omegas": [..] | {..},
+                                 "damping": [a, b], "sn": {..},
+                                 "min_life_s": T | "min_life_hours": h,
+                                 "method": "dirlik"},   # adam only
                      "probe_nodes"/"probe_dofs": [..],   # where d applies
                      "volume": V, "min_area": a0, "max_area": a1,
                      "load_cases": [[..], ..],  # (C, ndof) envelope
@@ -1919,6 +1931,19 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         # A real structure is sized for an ENVELOPE: (C, ndof) rows,
         # each a full load vector; constraints hold for every case.
         load_cases = np.asarray(load_cases, dtype=float)
+    fatigue = analysis.get("fatigue")
+    if fatigue is not None:
+        if method != "adam":
+            raise ValueError('a fatigue life floor needs method "adam" '
+                             '(it differentiates the member-force FRF '
+                             'sweep)')
+        fatigue = dict(fatigue)
+        if "omegas" in fatigue:
+            fatigue["omegas"] = _omega_array(fatigue["omegas"])
+        if fatigue.get("min_life_s") is None \
+                and fatigue.get("min_life_hours") is not None:
+            fatigue["min_life_s"] = \
+                3600.0 * float(fatigue.pop("min_life_hours"))
 
     if method == "fsd":
         if objective != "mass" or disp_limit is not None \
@@ -1972,6 +1997,7 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                 min_frequency_hz=(
                     None if analysis.get("min_frequency_hz") is None
                     else float(analysis["min_frequency_hz"])),
+                fatigue=fatigue,
                 volume=volume, min_area=min_area, max_area=max_area,
                 initial_areas=initial_areas,
                 load_cases=load_cases,
@@ -2017,6 +2043,16 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         out["min_frequency_hz"] = float(analysis["min_frequency_hz"])
         out["fundamental_frequency_hz"] = \
             float(res.fundamental_frequency_hz)
+    if fatigue is not None:
+        # Achieved lives at the returned design (host-authority recompute
+        # — see SizingResult.fatigue_life_s).
+        out["fatigue_min_life_s"] = float(fatigue["min_life_s"])
+        out["min_fatigue_life_s"] = float(res.min_fatigue_life_s)
+        life = np.asarray(res.fatigue_life_s, dtype=float)
+        out["fatigue_life_s"] = [
+            None if not np.isfinite(v) else float(v) for v in life]
+        out["fatigue_critical_element"] = int(np.argmin(life))
+        out["fatigue_method"] = fatigue.get("method", "dirlik")
     if disp_limit is not None:
         out["displacement_limit"] = disp_limit
         out["max_displacement_ratio"] = float(res.max_displacement_ratio)

@@ -32,8 +32,9 @@ CPU tier when routed through `io/analysis.py`.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,6 +68,13 @@ class SizingResult:
     # nan unless a min_frequency_hz floor was active (the designer's
     # first validation: did the design land ON the floor?).
     fundamental_frequency_hz: float = float("nan")
+    # Achieved fatigue lives of the optimized design [s] per element
+    # (inf for zero-stress members) and their minimum; None/nan unless
+    # a `fatigue` life floor was active.  Recomputed at the final areas
+    # through the float64 HOST spectral path (solvers/fatigue.py) — the
+    # authority the traced constraint mirrors.
+    fatigue_life_s: Optional[np.ndarray] = None
+    min_fatigue_life_s: float = float("nan")
 
 
 def _host_area_solve(problem: TrussProblem, areas: np.ndarray,
@@ -254,6 +262,125 @@ def static_response_elem(problem: TrussProblem, area_e, data=None,
     return u, sigma, sigma * area_e, mass
 
 
+def member_force_frf_sq(data, young_e, area_e, rho_e, omegas,
+                        alpha, beta):
+    """(n_freq, nelm) |H_N(ω)|² member-force FRF magnitude squared under
+    the problem's load pattern — traced and differentiable w.r.t. the
+    per-element areas (through K(A), the lumped M(A), AND the E·A/L
+    force recovery).
+
+    Same real 2n×2n block form as frequency_inverse._frf_amplitudes
+    (identity rows keep fixed DOFs nonsingular), same lumped-mass
+    assembly as modal_inverse.modal_observables_elem (point masses
+    included).  Sizing meshes are dense-tier small, so a plain vmap
+    over the sweep is the whole scheduling story.
+    """
+    dtype = data.loads.dtype
+    nelm = data.dof_map.shape[0]
+    young_e = jnp.broadcast_to(jnp.asarray(young_e, dtype), (nelm,))
+    area_e = jnp.broadcast_to(jnp.asarray(area_e, dtype), (nelm,))
+    rho_e = jnp.broadcast_to(jnp.asarray(rho_e, dtype), (nelm,))
+
+    u_e0 = jnp.zeros(data.dof_map.shape, dtype)
+    elem = truss_linear_batch(data.gvec, data.inv_len, u_e0, young_e,
+                              area_e)
+    rows = data.dof_map[:, :, None]
+    cols = data.dof_map[:, None, :]
+    k = jnp.zeros((data.ndof, data.ndof), dtype).at[rows, cols].add(
+        elem.ke)
+    mask = data.free_mask
+    k = mask[:, None] * k * mask[None, :]
+    m_e = rho_e * area_e / data.inv_len
+    contrib = jnp.broadcast_to((0.5 * m_e)[:, None], data.dof_map.shape)
+    m = jnp.zeros(data.ndof, dtype).at[data.dof_map].add(contrib)
+    if data.point_mass is not None:
+        m = m + data.point_mass
+    m = m * mask
+    f = data.loads * mask
+    n = f.shape[0]
+    om = jnp.asarray(omegas, dtype)
+    alpha = jnp.asarray(alpha, dtype)
+    beta = jnp.asarray(beta, dtype)
+    ea_invl = young_e * area_e * data.inv_len
+
+    def solve_one(w):
+        a = k - (w * w) * jnp.diag(m) + jnp.diag(1.0 - mask)
+        b = w * (alpha * jnp.diag(m) + beta * k)
+        z = jnp.block([[a, -b], [b, a]])
+        x = jnp.linalg.solve(z, jnp.concatenate([f, jnp.zeros_like(f)]))
+        xr, xi = x[:n] * mask, x[n:] * mask
+        nr = ea_invl * jnp.sum(data.gvec * xr[data.dof_map], axis=-1)
+        ni = ea_invl * jnp.sum(data.gvec * xi[data.dof_map], axis=-1)
+        return nr * nr + ni * ni
+
+    return jax.vmap(solve_one)(om)
+
+
+def _trapz(y, x, axis=0):
+    """Trapezoid rule, traced (explicit — no jnp version dependence)."""
+    dx = jnp.diff(x)
+    sl = [slice(None)] * y.ndim
+    sl[axis] = slice(1, None)
+    hi = y[tuple(sl)]
+    sl[axis] = slice(None, -1)
+    lo = y[tuple(sl)]
+    shape = [1] * y.ndim
+    shape[axis] = dx.shape[0]
+    return jnp.sum(0.5 * (hi + lo) * dx.reshape(shape), axis=axis)
+
+
+def fatigue_life_ratio(omegas, stress_psd, sn_exponent, sn_coefficient,
+                       life_s, method: str = "dirlik"):
+    """(n_q,) per-quantity r = (E[D]/T_unit · T_req)^(1/m): the fatigue
+    analogue of a stress ratio (r ≤ 1 ⟺ life ≥ T_req; scales ~1/A at
+    fixed force, so AL multipliers and the feasibility polish treat it
+    exactly like |σ|/σ_allow).
+
+    Traced jnp MIRROR of the host authority chain
+    fatigue.spectral_moments → dirlik/narrowband_damage_rate —
+    tests/test_sizing.py pins the two paths 1:1, the same mirror
+    discipline ops/host.py lives under.  Zero-PSD quantities (members
+    the load pattern never stresses) get r = 0 through a double-where,
+    so reverse-mode AD sees a constant there instead of d(x^(1/m))/dx
+    at x = 0.
+    """
+    mexp = float(sn_exponent)
+    om = jnp.asarray(omegas)
+    m0 = _trapz(stress_psd, om)
+    m2 = _trapz((om ** 2)[:, None] * stress_psd, om)
+    active = m0 > 0.0
+    m0s = jnp.where(active, m0, 1.0)
+    m2s = jnp.where(active, m2, 1.0)
+    if method == "narrowband":
+        nu0 = jnp.sqrt(m2s / m0s) / (2.0 * jnp.pi)
+        rate = (nu0 / float(sn_coefficient)
+                * jnp.sqrt(2.0 * m0s) ** mexp
+                * math.gamma(1.0 + mexp / 2.0))
+    elif method == "dirlik":
+        m1 = _trapz(om[:, None] * stress_psd, om)
+        m4 = _trapz((om ** 4)[:, None] * stress_psd, om)
+        m1s = jnp.where(active, m1, 1.0)
+        m4s = jnp.where(active, m4, 1.0)
+        xm = m1s / m0s * jnp.sqrt(m2s / m4s)
+        alpha2 = m2s / jnp.sqrt(m0s * m4s)
+        d1 = 2.0 * (xm - alpha2 ** 2) / (1.0 + alpha2 ** 2)
+        r = ((alpha2 - xm - d1 ** 2)
+             / (1.0 - alpha2 - d1 + d1 ** 2))
+        d2 = (1.0 - alpha2 - d1 + d1 ** 2) / (1.0 - r)
+        d3 = 1.0 - d1 - d2
+        q = 1.25 * (alpha2 - d3 - d2 * r) / d1
+        nup = jnp.sqrt(m4s / m2s) / (2.0 * jnp.pi)
+        rate = (nup / float(sn_coefficient) * jnp.sqrt(m0s) ** mexp
+                * (d1 * q ** mexp * math.gamma(1.0 + mexp)
+                   + jnp.sqrt(2.0) ** mexp
+                   * math.gamma(1.0 + mexp / 2.0)
+                   * (d2 * jnp.abs(r) ** mexp + d3)))
+    else:
+        raise ValueError('fatigue method must be "dirlik" or '
+                         '"narrowband"')
+    return jnp.where(active, (rate * float(life_s)) ** (1.0 / mexp), 0.0)
+
+
 def optimize_compliance_oc(
     problem: TrussProblem,
     volume: float,
@@ -422,6 +549,7 @@ def optimize_sizing(
     displacement_limit: Optional[float] = None,
     probe_dofs=None,
     min_frequency_hz: Optional[float] = None,
+    fatigue: Optional[Dict] = None,
     volume: Optional[float] = None,
     load_cases=None,
     case_weights=None,
@@ -491,6 +619,29 @@ def optimize_sizing(
         carrying non-structural `point_masses` (models/problem.py), the
         standard setting for this problem class.
 
+    fatigue: optional fatigue-life floor under stationary random
+        loading — minimum-mass design against the OTHER dynamic failure
+        mode (damage accumulation, not strength).  Dict:
+        {"psd": S_p,              # load PSD: scalar white noise or a
+                                  # (n_freq,) curve on `omegas`
+         "omegas": [..],          # (n_freq,) ascending sweep [rad/s] —
+                                  # must bracket the modes that matter
+         "damping": [α, β],       # Rayleigh
+         "sn": {"exponent": m, "coefficient": C},   # Basquin N S^m = C
+         "min_life_s": T,         # required life of EVERY member
+         "method": "dirlik"}      # | "narrowband" (conservative)
+        The load pattern is the problem's own load vector (the PSD
+        scales it).  Each iteration re-sweeps the member-force FRFs at
+        the CURRENT areas (member_force_frf_sq: K(A), M(A) and the
+        E·A/L recovery all traced), divides by A² for stress PSDs, and
+        closes the Dirlik/narrow-band damage rate in spectral-moment
+        form (fatigue_life_ratio) — so the AL multipliers push each
+        member toward life = T along the exact gradient, through
+        resonance shifts the redesign itself causes.  The returned
+        design's lives are recomputed on the float64 HOST authority
+        path (solvers/fatigue.py) into `fatigue_life_s` /
+        `min_fatigue_life_s`.
+
     load_cases: optional (C, ndof) table — a real structure is sized
         for an ENVELOPE, not one load.  Constraints then hold for every
         case simultaneously; each iteration solves all cases against
@@ -504,11 +655,12 @@ def optimize_sizing(
     if objective not in ("mass", "compliance"):
         raise ValueError('objective must be "mass" or "compliance"')
     if objective == "mass" and stress_limit is None \
-            and displacement_limit is None and min_frequency_hz is None:
+            and displacement_limit is None and min_frequency_hz is None \
+            and fatigue is None:
         raise ValueError("mass minimization needs stress_limit, "
-                         "displacement_limit and/or min_frequency_hz "
-                         "(otherwise the optimum is the gauge minimum "
-                         "everywhere)")
+                         "displacement_limit, min_frequency_hz and/or "
+                         "a fatigue life floor (otherwise the optimum "
+                         "is the gauge minimum everywhere)")
     if min_frequency_hz is not None and min_frequency_hz <= 0.0:
         raise ValueError("min_frequency_hz must be positive")
     if buckling_shape_factor is not None:
@@ -530,6 +682,43 @@ def optimize_sizing(
                          "makes K singular)")
     if max_area is not None and max_area <= min_area:
         raise ValueError("max_area must exceed min_area")
+    fat = None
+    if fatigue is not None:
+        if fatigue.get("sn") is None:
+            raise ValueError('fatigue needs "sn": {"exponent": m, '
+                             '"coefficient": C}')
+        f_m = float(fatigue["sn"]["exponent"])
+        f_c = float(fatigue["sn"]["coefficient"])
+        if f_m <= 0.0 or f_c <= 0.0:
+            raise ValueError("fatigue S-N exponent and coefficient "
+                             "must be positive")
+        if fatigue.get("min_life_s") is None:
+            raise ValueError('fatigue needs "min_life_s" (the required '
+                             'life of every member, seconds)')
+        f_life = float(fatigue["min_life_s"])
+        if f_life <= 0.0:
+            raise ValueError("fatigue min_life_s must be positive")
+        f_om = np.asarray(fatigue.get("omegas", ()),
+                          dtype=float).reshape(-1)
+        if f_om.size < 4 or np.any(np.diff(f_om) <= 0.0) \
+                or f_om[0] <= 0.0:
+            raise ValueError('fatigue needs an ascending positive '
+                             '"omegas" sweep (>= 4 points) bracketing '
+                             'the structure\'s modes')
+        f_psd = np.broadcast_to(
+            np.asarray(fatigue.get("psd", 1.0), dtype=float),
+            f_om.shape).copy()
+        if np.any(f_psd < 0.0) or not np.any(f_psd > 0.0):
+            raise ValueError("fatigue psd must be nonnegative with "
+                             "some positive band")
+        f_damp = fatigue.get("damping", (0.0, 0.0))
+        f_method = fatigue.get("method", "dirlik")
+        if f_method not in ("dirlik", "narrowband"):
+            raise ValueError('fatigue method must be "dirlik" or '
+                             '"narrowband"')
+        fat = {"m": f_m, "c": f_c, "life": f_life, "om": f_om,
+               "psd": f_psd, "alpha": float(f_damp[0]),
+               "beta": float(f_damp[1]), "method": f_method}
 
     from ..ops.host import (_geometry, density_values_host,
                             material_values_host)
@@ -609,9 +798,24 @@ def optimize_sizing(
                           else 0)
                        + (int(probe_np.size)
                           if displacement_limit is not None else 0)) \
-        + (1 if lam_req is not None else 0)
+        + (1 if lam_req is not None else 0) \
+        + (nelm if fat is not None else 0)
     pi2c = (None if buckling_shape_factor is None
             else np.pi ** 2 * float(buckling_shape_factor))
+    if fat is not None:
+        fat_om = jnp.asarray(fat["om"], dtype)
+        fat_psd = jnp.asarray(fat["psd"], dtype)
+
+        def fatigue_ratio_of(a):
+            """r_e = (D_e·T_req)^(1/m) at areas `a` (traced)."""
+            h2 = member_force_frf_sq(data, young_e, a, rho_e, fat_om,
+                                     fat["alpha"], fat["beta"])
+            s_sigma = h2 * fat_psd[:, None] / (a * a)
+            return fatigue_life_ratio(fat_om, s_sigma, fat["m"],
+                                      fat["c"], fat["life"],
+                                      method=fat["method"])
+
+        fatigue_ratio_jit = jax.jit(fatigue_ratio_of)
 
     def objective_and_constraints(t):
         """(objective, g) with g the stacked constraint values — g ≤ 0
@@ -648,6 +852,10 @@ def optimize_sizing(
             lam, _ = modal_observables_elem(problem, young_e, a, rho_e,
                                             1, data=data)
             gs.append((1.0 - lam[0] / lam_req).reshape(1))
+        if fat is not None:
+            # Life floor per member: (D_e·T_req)^(1/m) ≤ 1, the fatigue
+            # stress-ratio analogue (see `fatigue` in the docstring).
+            gs.append((fatigue_ratio_of(a) - 1.0).reshape(-1))
         g = (jnp.concatenate(gs) if gs
              else jnp.zeros((0,), dtype))
         return obj, g
@@ -696,34 +904,60 @@ def optimize_sizing(
     if objective == "compliance":
         areas = areas * float(volume) / float(np.sum(areas * lengths_np))
 
-    if polish and stress_limit is not None and objective != "compliance":
-        # Feasibility polish (float64 host): scale overstressed members
-        # up until the limit holds.  Monotone — areas only grow — and
-        # for near-optimal designs the added mass is the penalty
-        # method's remaining violation, a fraction of a percent.
-        # Compliance mode SKIPS it: growing members would break the
-        # exact volume budget, which is that mode's hard constraint
-        # (its stress_limit is a soft penalty by contract).
-        for _ in range(20):
-            _, sigma = _host_area_solve(problem, areas, loads=cases_np)
-            ratio = np.abs(sigma) / stress_limit
-            if pi2c is not None:
-                # Buckling ratio falls as 1/A^2 at fixed force, so the
-                # corrective scale is its square root.
-                sig_cr = pi2c * young_np * areas * inv_len_np ** 2
-                rb = np.maximum(-sigma, 0.0) / sig_cr
-                ratio = np.maximum(ratio, np.sqrt(rb))
-            if ratio.ndim == 2:
-                ratio = np.max(ratio, axis=0)      # envelope per member
-            if float(np.max(ratio)) <= 1.0 + 1e-9:
+    if polish and objective != "compliance" \
+            and (stress_limit is not None or fat is not None):
+        # Feasibility polish (float64 host): scale members up until the
+        # limits hold.  Monotone — areas only grow — and for
+        # near-optimal designs the added mass is the penalty method's
+        # remaining violation, a fraction of a percent.  Stress/buckling
+        # scale PER MEMBER (|sigma| ~ 1/A at fixed force); the fatigue
+        # ratio scales UNIFORMLY: under A -> sA with structural mass
+        # K, M and C = alpha M + beta K all scale by s, so the
+        # member-force FRFs are exactly invariant and every stress
+        # ratio falls as 1/s — whereas growing ONE member attracts
+        # force to it and can make ITS ratio worse (measured: a braced
+        # tower's per-member fatigue polish diverged 1.0008 -> 1.88 in
+        # 20 passes; uniform converges in one).  The best evaluated
+        # iterate is kept, so polish never returns a design worse than
+        # it measured.  Compliance mode SKIPS polish: growing members
+        # would break the exact volume budget, which is that mode's
+        # hard constraint (its stress_limit is a soft penalty by
+        # contract).
+        best_viol, best_areas = float("inf"), areas.copy()
+        for it_polish in range(21):
+            ratio = np.zeros(nelm)
+            if stress_limit is not None:
+                _, sigma = _host_area_solve(problem, areas,
+                                            loads=cases_np)
+                ratio = np.abs(sigma) / stress_limit
+                if pi2c is not None:
+                    # Buckling ratio falls as 1/A^2 at fixed force, so
+                    # the corrective scale is its square root.
+                    sig_cr = pi2c * young_np * areas * inv_len_np ** 2
+                    rb = np.maximum(-sigma, 0.0) / sig_cr
+                    ratio = np.maximum(ratio, np.sqrt(rb))
+                if ratio.ndim == 2:
+                    ratio = np.max(ratio, axis=0)  # envelope per member
+            fat_viol = 0.0
+            if fat is not None:
+                fat_viol = float(np.max(np.asarray(jax.device_get(
+                    fatigue_ratio_jit(jnp.asarray(areas, dtype))),
+                    dtype=float)))
+            viol = max(float(np.max(ratio)), fat_viol)
+            if viol < best_viol:
+                best_viol, best_areas = viol, areas.copy()
+            if viol <= 1.0 + 1e-9 or it_polish == 20:
                 break
             scale = np.maximum(ratio, 1.0)
+            if fat is not None:
+                scale = np.maximum(scale, fat_viol)   # uniform (above)
             if max_area is not None:
                 areas = np.minimum(areas * scale, max_area)
                 if np.all((areas >= max_area - 1e-15) | (scale <= 1.0)):
                     break          # bound-limited: cannot polish further
             else:
                 areas = areas * scale
+        areas = best_areas
 
     u, sigma = _host_area_solve(problem, areas, loads=cases_np)
     env = _signed_envelope(sigma)
@@ -742,6 +976,31 @@ def optimize_sizing(
             problem, young_e, jnp.asarray(areas, dtype), rho_e, 1,
             data=data)[0]), dtype=float)[0]
         f1_hz = float(np.sqrt(max(lam1, 0.0)) / (2.0 * np.pi))
+    fat_life = None
+    min_life = float("nan")
+    if fat is not None:
+        # Achieved lives of the FINAL areas through the float64 HOST
+        # authority (spectral_fatigue) — only the FRF sweep itself runs
+        # traced (there is no host per-element-area FRF; the two damage
+        # chains are pinned against each other in tests/test_sizing.py).
+        from .fatigue import spectral_fatigue
+
+        h2 = np.asarray(jax.device_get(member_force_frf_sq(
+            data, young_e, jnp.asarray(areas, dtype), rho_e,
+            jnp.asarray(fat["om"], dtype), fat["alpha"], fat["beta"])),
+            dtype=float)
+        s_sigma = h2 * fat["psd"][:, None] / (areas ** 2)[None, :]
+        # spectral_fatigue refuses zero-variance PSDs by contract;
+        # members the load pattern never stresses simply live forever.
+        active = np.trapezoid(s_sigma, fat["om"], axis=0) > 0.0
+        fat_life = np.full(nelm, np.inf)
+        if np.any(active):
+            sf = spectral_fatigue(fat["om"], s_sigma[:, active],
+                                  fat["m"], fat["c"],
+                                  method=fat["method"])
+            fat_life[active] = np.atleast_1d(sf.life)
+        min_life = float(np.min(fat_life)) if fat_life.size else float(
+            "inf")
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
@@ -759,4 +1018,6 @@ def optimize_sizing(
         n_iter=len(hist),
         max_buckling_ratio=buck_ratio,
         fundamental_frequency_hz=f1_hz,
+        fatigue_life_s=fat_life,
+        min_fatigue_life_s=min_life,
     )

@@ -36,8 +36,9 @@ def test_dyn_corpus_complete():
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-random.json", "dyn-reduction.json",
-                   "dyn-sizing-dynamic.json", "dyn-sizing.json",
-                   "dyn-spectrum.json", "dyn-transient.json"]
+                   "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
+                   "dyn-sizing.json", "dyn-spectrum.json",
+                   "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -147,6 +148,26 @@ def test_dyn_corpus_runs(name, tmp_path):
         hist = np.asarray(res["loss_history"])
         assert hist[-1] < 1e-3 * hist[0]               # actually converged
         assert res["fit_rmse_rel"] < 1e-2
+    elif kind == "sizing" and name == "dyn-sizing-fatigue.json":
+        # Fatigue-life-floor sizing of the braced tower: every member
+        # must survive 200 h of the white-noise wind.  Feasible (the
+        # polish guarantees it), binding within AL slack, and the
+        # critical first/second-story members sit ON the floor (the
+        # measured design: mass 4.45, lives 200.0-220.5 h).
+        assert res["converged"]
+        floor = res["fatigue_min_life_s"]
+        assert floor == 200.0 * 3600.0
+        assert res["min_fatigue_life_s"] >= floor * (1.0 - 1e-3)
+        assert res["min_fatigue_life_s"] <= floor * 1.25
+        life = res["fatigue_life_s"]
+        crit = res["fatigue_critical_element"]
+        finite = [v for v in life if v is not None]
+        assert life[crit] == min(finite)
+        # The constraint really acted: the design is far off the gauge
+        # and the two zero-stress panel members live forever.
+        assert res["mass"] > 3.0
+        assert sum(1 for v in life if v is None) == 0
+        assert max(finite) > 1e9 * 3600.0    # unstressed chords
     elif kind == "sizing" and name == "dyn-sizing-dynamic.json":
         # Payload-carrying 10-bar under stress + Euler buckling + an f1
         # floor: all three constraints must be satisfied AND binding

@@ -542,3 +542,238 @@ def test_oc_mg_preconditioner_path():
                                atol=1e-5)
     np.testing.assert_allclose(mg["history"][-1], jac["history"][-1],
                                rtol=1e-3)
+
+
+# ----------------------------------------------- fatigue life constraint
+
+
+def braced_tower(n_story=2, young=500.0):
+    """Cross-braced 2-column tower, lateral white-noise load at the top
+    (the examples/fatigue_assessment.py structure)."""
+    nodes, elements = [], []
+    for s in range(n_story + 1):
+        nodes += [[0.0, float(s)], [1.0, float(s)]]
+    for s in range(n_story):
+        a, b, c, d = 2 * s, 2 * s + 1, 2 * s + 2, 2 * s + 3
+        elements += [[a, c], [b, d], [c, d], [a, d], [b, c]]
+    nnode = 2 * (n_story + 1)
+    loads = np.zeros(2 * nnode)
+    loads[2 * (nnode - 2)] = 0.5
+    loads[2 * (nnode - 1)] = 0.5
+    return TrussProblem(np.asarray(nodes, dtype=float),
+                        np.asarray(elements, dtype=int),
+                        Material(young=young, area=1.0, density=1.0),
+                        loads, np.array([0, 1, 2, 3]), 2)
+
+
+def test_member_force_frf_matches_harmonic():
+    """member_force_frf_sq (traced, per-element areas) against the
+    harmonic solver's float64 host member-force FRF at uniform areas —
+    two independent sweep implementations, one number."""
+    import jax
+    import jax.numpy as jnp
+
+    from pinn_fem_tpu import harmonic_response
+    from pinn_fem_tpu.solvers.sizing import member_force_frf_sq
+
+    p = braced_tower()
+    om = np.linspace(0.5, 40.0, 60)
+    hr = harmonic_response(p, om, damping=(0.08, 2e-4), host=True,
+                           probe_elements=np.arange(p.nelm))
+    data = p.to_device()
+    dt = data.loads.dtype
+    h2 = np.asarray(jax.device_get(member_force_frf_sq(
+        data, 500.0, jnp.ones(p.nelm, dt), 1.0, jnp.asarray(om, dt),
+        0.08, 2e-4)))
+    np.testing.assert_allclose(h2, hr.force_amplitude ** 2,
+                               rtol=2e-3, atol=1e-10)
+
+
+def test_fatigue_ratio_traced_matches_host():
+    """fatigue_life_ratio is a 1:1 jnp mirror of the host authority
+    chain (spectral_moments -> dirlik/narrowband damage) — the
+    ops/host.py mirror discipline."""
+    import jax.numpy as jnp
+
+    from pinn_fem_tpu.solvers.fatigue import spectral_fatigue
+    from pinn_fem_tpu.solvers.sizing import fatigue_life_ratio
+
+    om = np.linspace(0.3, 50.0, 300)
+    # Two broad resonance humps + a flat floor; three quantities, one
+    # of them identically zero (the double-where inactive path).
+    s = np.stack([
+        1e-4 + 2.0 / (1.0 + ((om - 8.0) / 1.5) ** 4),
+        5e-5 + 0.7 / (1.0 + ((om - 25.0) / 4.0) ** 2),
+        np.zeros_like(om)], axis=1)
+    T = 3600.0
+    for method in ("dirlik", "narrowband"):
+        # The host authority refuses zero-variance PSDs by contract —
+        # compare the live columns, and pin the traced double-where's
+        # r = 0 on the dead one.
+        sf = spectral_fatigue(om, s[:, :2], 3.0, 1e8, method=method)
+        want = (sf.damage_rate * T) ** (1.0 / 3.0)
+        got = np.asarray(fatigue_life_ratio(
+            jnp.asarray(om), jnp.asarray(s), 3.0, 1e8, T,
+            method=method))
+        np.testing.assert_allclose(got[:2], want, rtol=1e-4)
+        assert got[2] == 0.0
+    # Narrow-band is the conservative bound for broad-band processes.
+    nb = np.asarray(fatigue_life_ratio(jnp.asarray(om), jnp.asarray(s),
+                                       3.0, 1e8, T, method="narrowband"))
+    dk = np.asarray(fatigue_life_ratio(jnp.asarray(om), jnp.asarray(s),
+                                       3.0, 1e8, T, method="dirlik"))
+    assert np.all(nb[:2] >= dk[:2])
+
+
+def test_fatigue_sizing_sdof_closed_form():
+    """Tip-mass bar + mass-proportional damping + narrow-band model:
+    the fatigue-optimal area has a CLOSED FORM.  One-sided white-noise
+    force PSD S0 on an SDOF gives m0_x = pi S0 / (2 k c); with
+    sigma = (E/L) x, k = E A / L, c = alpha m_tip (A-independent) and
+    nu0 = sqrt(k/m)/2pi, Basquin m = 3 makes
+
+        rate(A) = nu0/C (2 m0_sigma)^{3/2} Gamma(5/2)  ~  1/A,
+
+    so rate(A*) T = 1 is solvable exactly.  (Structural mass ~ 0 keeps
+    m and c area-independent; the finite sweep band-limits the moments,
+    hence the 3% tolerance.)"""
+    E, L, m_tip, alpha, S0, C = 1.0, 1.0, 2.0, 0.12, 1e-4, 1.0
+    T = 5000.0
+    p = TrussProblem(np.array([0.0, L]), np.array([[0, 1]]),
+                     Material(young=E, area=0.05, density=1e-6),
+                     np.array([0.0, 1.0]), np.array([0]), 1,
+                     point_masses=np.array([0.0, m_tip]))
+    import math
+
+    c_damp = alpha * m_tip
+    k0 = (np.sqrt(E / (L * m_tip)) / (2.0 * np.pi) / C
+          * (np.pi * S0 * E / (L * c_damp)) ** 1.5 * math.gamma(2.5))
+    a_true = k0 * T                       # rate = k0 / A, rate*T = 1
+    wn = np.sqrt(E * a_true / (L * m_tip))
+    om = np.concatenate([np.linspace(0.02 * wn, 3.0 * wn, 400),
+                         np.linspace(3.0 * wn, 12.0 * wn, 200)[1:]])
+    res = optimize_sizing(
+        p, fatigue={"psd": S0, "omegas": om, "damping": [alpha, 0.0],
+                    "sn": {"exponent": 3.0, "coefficient": C},
+                    "min_life_s": T, "method": "narrowband"},
+        min_area=1e-6, n_iter=250, outer_rounds=4, learning_rate=0.08)
+    # 5%: the band-limited moments bias the numeric rate ~3% below the
+    # infinite-band closed form (zeta ~ 0.46 here — broad tails).
+    np.testing.assert_allclose(res.areas[0], a_true, rtol=0.05)
+    np.testing.assert_allclose(res.min_fatigue_life_s, T, rtol=0.05)
+
+
+def test_fatigue_sizing_vs_scipy_slsqp():
+    """Independent optimizer check on the indeterminate 3-bar: scipy
+    SLSQP with the exact (host-chain) life constraint; our mass within
+    2% of its optimum."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.optimize
+
+    from pinn_fem_tpu.solvers.fatigue import spectral_fatigue
+    from pinn_fem_tpu.solvers.sizing import member_force_frf_sq
+
+    p = three_bar(area=1.0)
+    om = np.linspace(0.05, 6.0, 160)
+    S0, mexp, coeff = 1e-3, 3.0, 1.0
+    T = 2000.0
+    damping = (0.3, 1e-3)
+    data = p.to_device()
+    dt = data.loads.dtype
+    om_d = jnp.asarray(om, dt)
+
+    frf = jax.jit(lambda a: member_force_frf_sq(
+        data, 1.0, a, 1.0, om_d, damping[0], damping[1]))
+
+    def lives(a):
+        a = np.asarray(a, dtype=float)
+        h2 = np.asarray(jax.device_get(frf(jnp.asarray(a, dt))),
+                        dtype=float)
+        s_sigma = h2 * S0 / (a ** 2)[None, :]
+        return spectral_fatigue(om, s_sigma, mexp, coeff,
+                                method="dirlik").life
+
+    lengths = np.array([np.sqrt(2.0), 1.0, np.sqrt(2.0)])
+    # One smooth inequality per member (a min() kink stalls SLSQP).
+    cons = [{"type": "ineq",
+             "fun": (lambda a, e=e: lives(a)[e] / T - 1.0)}
+            for e in range(3)]
+    sol = scipy.optimize.minimize(
+        lambda a: float(np.dot(lengths, a)), np.full(3, 0.5),
+        method="SLSQP", bounds=[(1e-3, None)] * 3,
+        constraints=cons, options={"maxiter": 300, "ftol": 1e-9})
+    assert sol.success
+    res = optimize_sizing(
+        p, fatigue={"psd": S0, "omegas": om, "damping": list(damping),
+                    "sn": {"exponent": mexp, "coefficient": coeff},
+                    "min_life_s": T},
+        min_area=1e-3, n_iter=250, outer_rounds=4, learning_rate=0.08)
+    assert res.min_fatigue_life_s >= T * (1.0 - 1e-3)   # feasible
+    assert res.mass <= float(sol.fun) * 1.02            # near-optimal
+    # The result's achieved lives are the host-authority recompute
+    # (1e-6: two separately jitted FRF programs differ at f32 fusion
+    # level).
+    np.testing.assert_allclose(res.fatigue_life_s, lives(res.areas),
+                               rtol=1e-6)
+
+
+def test_fatigue_sizing_json_tier():
+    """The "fatigue" block through run_sizing: omegas spec dict,
+    min_life_hours convenience, output keys, and the method guards."""
+    from pinn_fem_tpu.io.analysis import run_sizing
+    from pinn_fem_tpu.io.schema import parse_problem_dict
+
+    doc = {
+        "nodes": [{"x": 0.0, "y": 0.0, "fixed": True},
+                  {"x": 1.0, "y": 0.0, "fixed": True},
+                  {"x": 0.0, "y": 1.0}, {"x": 1.0, "y": 1.0},
+                  {"x": 0.0, "y": 2.0}, {"x": 1.0, "y": 2.0}],
+        "elements": [[0, 2], [1, 3], [2, 3], [0, 3], [1, 2],
+                     [2, 4], [3, 5], [4, 5], [2, 5], [3, 4]],
+        "material": {"young": 500.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0] * 8 + [0.5, 0.0, 0.5, 0.0],
+        "solver_type": "fem",
+    }
+    p = parse_problem_dict(doc).problem
+    spec = {"fatigue": {"psd": 0.02,
+                        "omegas": {"start": 0.5, "stop": 60.0,
+                                   "num": 120},
+                        "damping": [0.08, 2e-4],
+                        "sn": {"exponent": 3.0, "coefficient": 1e8},
+                        "min_life_hours": 200.0},
+            "min_area": 0.01, "n_iter": 150, "outer_rounds": 3}
+    out = run_sizing(p, spec)
+    assert out["success"] and out["converged"]
+    assert out["fatigue_min_life_s"] == 200.0 * 3600.0
+    # Feasible (polish guarantees it) and binding within AL slack.
+    assert out["min_fatigue_life_s"] >= 200.0 * 3600.0 * (1.0 - 1e-3)
+    assert out["min_fatigue_life_s"] <= 200.0 * 3600.0 * 1.25
+    life = out["fatigue_life_s"]
+    assert len(life) == 10
+    crit = out["fatigue_critical_element"]
+    finite = [v for v in life if v is not None]
+    assert life[crit] == min(finite)
+    assert out["fatigue_method"] == "dirlik"
+    with pytest.raises(ValueError, match='method "adam"'):
+        run_sizing(p, {"method": "fsd", "stress_limit": 1.0,
+                       "fatigue": spec["fatigue"]})
+
+
+def test_fatigue_input_validation():
+    p = braced_tower()
+    om = np.linspace(0.5, 40.0, 60)
+    base = {"psd": 0.02, "omegas": om, "damping": [0.08, 2e-4],
+            "sn": {"exponent": 3.0, "coefficient": 1e8},
+            "min_life_s": 100.0}
+    with pytest.raises(ValueError, match="sn"):
+        optimize_sizing(p, fatigue={k: v for k, v in base.items()
+                                    if k != "sn"})
+    with pytest.raises(ValueError, match="min_life_s"):
+        optimize_sizing(p, fatigue={**base, "min_life_s": None})
+    with pytest.raises(ValueError, match="omegas"):
+        optimize_sizing(p, fatigue={**base, "omegas": [1.0, 0.5]})
+    with pytest.raises(ValueError, match="method"):
+        optimize_sizing(p, fatigue={**base, "method": "rainflow"})
+    with pytest.raises(ValueError, match="psd"):
+        optimize_sizing(p, fatigue={**base, "psd": -1.0})
