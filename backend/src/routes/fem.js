@@ -46,7 +46,7 @@ function solveAnalysis(kind) {
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
                     'continuation', 'random', 'reduction', 'identification',
-                    'sizing']) {
+                    'sizing', 'reliability']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -71,11 +71,11 @@ router.get('/info', (req, res) => {
         name: 'Structural dynamics',
         description: 'Transient (central difference / Newmark-beta), '
           + 'modal, buckling, harmonic, spectrum, random vibration, '
-          + 'continuation, reduction, identification (time/FRF/modal) '
-          + 'and sizing optimization',
+          + 'continuation, reduction, identification (time/FRF/modal), '
+          + 'sizing optimization and FORM reliability',
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
                   'spectrum', 'random', 'continuation', 'reduction',
-                  'identification', 'sizing'],
+                  'identification', 'sizing', 'reliability'],
       },
     },
     backend: 'jax',

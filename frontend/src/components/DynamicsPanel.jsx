@@ -373,6 +373,67 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runReliability = async () => {
+    // FORM reliability demo (the assessment-side inverse): a statics
+    // solve fixes the mean-load stress level, every member gets a
+    // resistance 30% above it (lognormal, 10% scatter), and FORM asks:
+    // with ±20% load and 5% stiffness scatter, how likely is ANY
+    // member to exceed it?  Mirrors app.js runReliability().
+    setMessage('Assessing failure probability (FORM)…');
+    try {
+      const problem = baseProblem();
+      // Mean-load stress level from the generic statics route (the
+      // classic route's reference BC quirk breaks fixed_x + fixed_y
+      // sketches); member stresses recovered here: eps = g·u_e / L².
+      // Scalar-material statics (an attached NN young field is
+      // dropped — the uncertainty model scatters the scalar value).
+      const s = await post('solve-generic',
+                           { ...problem, analysis: undefined,
+                             nn_config: undefined });
+      const u = s.displacements;
+      const E = problem.material.young;
+      const stresses = problem.elements.map(([i, j2]) => {
+        const dx = problem.nodes[j2].x - problem.nodes[i].x;
+        const dy = problem.nodes[j2].y - problem.nodes[i].y;
+        const l2 = dx * dx + dy * dy;
+        const eps = ((u[2 * j2] - u[2 * i]) * dx
+                     + (u[2 * j2 + 1] - u[2 * i + 1]) * dy) / l2;
+        return E * eps;
+      });
+      const smax = Math.max(...stresses.map(Math.abs));
+      if (!(smax > 0)) throw new Error('no stressed members to assess');
+      problem.analysis = {
+        type: 'reliability',
+        variables: [
+          { name: 'E', kind: 'young', distribution: 'lognormal',
+            mean: problem.material.young, cov: 0.05 },
+          { name: 'S', kind: 'load_scale', distribution: 'normal',
+            mean: 1.0, std: 0.2 },
+          { name: 'R', kind: 'resistance', distribution: 'lognormal',
+            mean: 1.3 * smax, cov: 0.1 },
+        ],
+        limit_state: { type: 'stress', variable: 'R' },
+      };
+      const r = await post('reliability', problem);
+      setKind('reliability'); setShapes(null);
+      setChart({ xs: r.beta.map((_, i) => i),
+                 series: r.beta.map((v) => [Math.min(v, 8)]) });
+      const crit = r.critical_limit_state;
+      const [lo, hi] = r.system_pf_bounds;
+      setRows([
+        { label: 'min β',
+          value: `${r.beta_min.toPrecision(4)} (${r.labels[crit]})` },
+        { label: 'pf (critical)', value: r.pf[crit].toExponential(2) },
+        { label: 'system pf',
+          value: `[${lo.toExponential(2)}, ${hi.toExponential(2)}]` },
+      ]);
+      setMessage(`FORM over ${r.labels.length} limit states `
+        + `(resistance 1.3× the mean-load stress); chart: β per member`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   return (
     <div className="dynamics-panel">
       <h3>Dynamics</h3>
@@ -388,6 +449,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runQuake}>Quake ▶</button>
         <button onClick={runSpectrum}>Spectrum ▶</button>
         <button onClick={runOptimize}>Optimize ▶</button>
+        <button onClick={runReliability}>Reliability ▶</button>
       </div>
       <table>
         <tbody>

@@ -104,6 +104,10 @@ from .solvers.random_response import (  # noqa: E402
     RandomResponseResult,
     random_response,
 )
+from .solvers.reliability import (  # noqa: E402
+    ReliabilityResult,
+    form_reliability,
+)
 from .solvers.reduction import (  # noqa: E402
     ReducedModel,
     craig_bampton,
@@ -228,6 +232,8 @@ __all__ = [
     "spectral_moments",
     "synthesize_gaussian_history",
     "RandomResponseResult",
+    "form_reliability",
+    "ReliabilityResult",
     "guyan_reduce",
     "craig_bampton",
     "reduce_loads",

@@ -82,7 +82,8 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         # modal/transient solvers instead of the static driver.
         from ..io.analysis import run_analysis
 
-        if (analysis.get("type") in ("identification", "sizing")
+        if (analysis.get("type") in ("identification", "sizing",
+                                     "reliability")
                 and not analysis.get("on_device", False)):
             # Identification/sizing below the dense limit runs entirely
             # on the local CPU tier — but jax.devices("cpu") initializes EVERY
@@ -165,6 +166,20 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                     output["min_fatigue_life_s"] / 3600.0,
                     output["fatigue_min_life_s"] / 3600.0,
                     output["fatigue_critical_element"])
+        elif kind == "reliability":
+            worst = output["critical_limit_state"]
+            logger.info(
+                "  FORM over %d limit states: min beta %.4f "
+                "(pf %.3e, %s); system pf in [%.3e, %.3e]",
+                len(output["labels"]), output["beta_min"],
+                output["pf"][worst], output["labels"][worst],
+                output["system_pf_bounds"][0],
+                output["system_pf_bounds"][1])
+            if "mc" in output:
+                logger.info(
+                    "  Monte-Carlo check: pf %.3e +/- %.1e (%d samples)",
+                    output["mc"]["pf"], output["mc"]["std_error"],
+                    output["mc"]["n_samples"])
         elif kind == "identification":
             if output.get("mode") == "field":
                 vals = output["identified_field"]["at_elements"]["values"]

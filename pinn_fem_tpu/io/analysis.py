@@ -107,6 +107,20 @@ drives a static solve gains:
                                               # member areas from load
                                               # paths (solvers/sizing)
 
+    "analysis": {"type": "reliability",       # FORM failure probability
+                 "variables": [{"name": "S", "kind": "load_scale",
+                                "distribution": "normal",
+                                "mean": 1.0, "std": 0.2}, ..],
+                 "limit_state": {"type": "stress",
+                                 "limit": R | "variable": "R",
+                                 "elements": [..]}
+                             | {"type": "displacement", "limit": d,
+                                "probe_nodes": [..]},
+                 "validate_mc": 20000, "seed": 0}
+                                              # per-member beta / p_f,
+                                              # series bounds, MC check
+                                              # (solvers/reliability)
+
     "analysis": {"type": "identification",
                  "dt": 0.05, "n_steps": 400,
                  "params": ["young", "density"],
@@ -2323,6 +2337,77 @@ def run_identification(problem, analysis: Dict) -> Dict:
     return out
 
 
+def run_reliability(problem, analysis: Dict) -> Dict:
+    """Execute a reliability (FORM) block — failure probability of the
+    design under uncertain material/load/resistance
+    (solvers/reliability.py).
+
+    Contract:
+
+        "analysis": {"type": "reliability",
+                     "variables": [
+                        {"name": "E", "kind": "young",      # | "area"
+                         "distribution": "lognormal",       # | "density"
+                         "mean": 500.0, "cov": 0.1,         # or "std"
+                         "elements": [..]},                 # optional
+                        {"name": "S", "kind": "load_scale",
+                         "distribution": "normal",
+                         "mean": 1.0, "std": 0.2},
+                        {"name": "R", "kind": "resistance",
+                         "distribution": "lognormal",
+                         "mean": 2.0, "cov": 0.08}],
+                     "limit_state":
+                        {"type": "stress",
+                         "limit": 2.0 | "variable": "R",
+                         "elements": [..]}                  # default all
+                      | {"type": "displacement", "limit": 0.5,
+                         "probe_nodes"/"probe_dofs": [..]},
+                     "n_iter": 50,
+                     "validate_mc": 20000, "seed": 0}   # optional MC
+
+    One limit state per member (or probed DOF); the response reports
+    per-limit-state beta / p_f / MPP plus the series-system bounds and
+    the alpha correlation matrix.  Runs on the LOCAL CPU tier like the
+    rest of the inverse family ("on_device": true opts out); dense-only
+    by the same guard.
+    """
+    from ..solvers.reliability import form_reliability
+
+    ls = dict(analysis.get("limit_state") or {})
+    if ls.get("type", "stress") == "displacement" \
+            and ("probe_nodes" in ls or "probe_dofs" in ls):
+        ls["probe_dofs"] = _probe_dofs(ls, problem).tolist()
+    with _local_cpu_ctx(analysis):
+        res = form_reliability(
+            problem, analysis.get("variables"), ls,
+            n_iter=int(analysis.get("n_iter", 50)),
+            mc_samples=int(analysis.get("validate_mc", 0)),
+            mc_seed=int(analysis.get("seed", 0)))
+    worst = int(np.argmin(res.beta)) if res.beta.size else -1
+    out = {
+        "success": True,
+        "analysis": "reliability",
+        "labels": res.labels,
+        "variables": res.variables,
+        "beta": res.beta.tolist(),
+        "pf": res.pf.tolist(),
+        "alpha": res.alpha.tolist(),
+        "design_points": res.design_point.tolist(),
+        "converged": [bool(v) for v in res.converged],
+        "critical_limit_state": worst,
+        "beta_min": float(res.beta[worst]) if worst >= 0 else None,
+        "system_pf_bounds": [res.system_pf_lower, res.system_pf_upper],
+    }
+    if analysis.get("include_correlation",
+                    len(res.labels) <= _SHAPES_JSON_DOF_LIMIT):
+        out["alpha_correlation"] = res.alpha_correlation.tolist()
+    if res.mc_pf is not None:
+        out["mc"] = {"pf": res.mc_pf, "std_error": res.mc_std_error,
+                     "n_samples": res.mc_n,
+                     "pf_per_limit_state": res.mc_pf_per_ls.tolist()}
+    return out
+
+
 def run_analysis(problem, analysis: Dict) -> Dict:
     """Dispatch an `"analysis"` block (see module docstring)."""
     kind = analysis.get("type")
@@ -2346,8 +2431,10 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_identification(problem, analysis)
     if kind == "sizing":
         return run_sizing(problem, analysis)
+    if kind == "reliability":
+        return run_reliability(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
                      f'"buckling", "harmonic", "spectrum", '
                      f'"continuation", "random", "reduction", '
-                     f'"identification" or "sizing", '
+                     f'"identification", "sizing" or "reliability", '
                      f'got {kind!r}')

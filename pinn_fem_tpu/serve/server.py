@@ -162,6 +162,10 @@ _ROUTES = {
     # Sizing is the same shape of workload (a local-CPU GD loop over
     # differentiated dense solves) — same budget.
     "/api/fem/sizing": (_solve_analysis("sizing"), PINN_TIMEOUT_S),
+    # Reliability: vmapped HL-RF on the same local-CPU dense machinery
+    # (+ optional Monte-Carlo chunks) — same budget.
+    "/api/fem/reliability": (_solve_analysis("reliability"),
+                             PINN_TIMEOUT_S),
 }
 
 
@@ -322,6 +326,15 @@ def _warmup_docs():
             "probe_nodes": [3], "n_iter": 3, "include_fit": False}}),
         ("/api/fem/sizing", {**arch, "analysis": {
             "stress_limit": 0.5, "n_iter": 3, "outer_rounds": 1}}),
+        ("/api/fem/reliability", {**arch, "analysis": {
+            "variables": [
+                {"name": "S", "kind": "load_scale",
+                 "distribution": "normal", "mean": 1.0, "std": 0.2},
+                {"name": "R", "kind": "resistance",
+                 "distribution": "lognormal", "mean": 2.0,
+                 "cov": 0.1}],
+            "limit_state": {"type": "stress", "variable": "R"},
+            "n_iter": 5}}),
     ]
 
 

@@ -889,6 +889,79 @@ async function runOptimize() {
 document.getElementById("optimize-btn").addEventListener("click",
                                                          runOptimize);
 
+async function runReliability() {
+  // FORM reliability demo (the assessment-side inverse): first a
+  // statics solve fixes the mean-load stress level, then every member
+  // gets a resistance drawn 30% above that level (lognormal, 10%
+  // scatter) and the question becomes: with +/-20% load and 5%
+  // stiffness scatter, how likely is ANY member to exceed it?  The
+  // chart shows beta per member; the status line the critical member
+  // and the series-system failure-probability bounds.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Assessing failure probability (FORM)…";
+  try {
+    const problem = buildProblem();
+    // Mean-load stress level from the generic statics route (the same
+    // path Calculate uses — the classic route's reference BC quirk
+    // makes it unusable for sketches pinned via fixed_x + fixed_y),
+    // with member stresses recovered client-side: eps = g·u_e / L².
+    const sresp = await fetch("/api/fem/solve-generic", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      // Scalar-material statics: the demo's uncertainty model scatters
+      // the SCALAR young, so an attached NN field is dropped here.
+      body: JSON.stringify({ ...problem, analysis: undefined,
+                             nn_config: undefined }),
+    });
+    const sdata = await sresp.json();
+    if (!sdata.success) throw new Error(sdata.error || "statics failed");
+    const u = sdata.result.displacements;
+    const E = problem.material.young;
+    const stresses = problem.elements.map(([i, j]) => {
+      const dx = problem.nodes[j].x - problem.nodes[i].x;
+      const dy = problem.nodes[j].y - problem.nodes[i].y;
+      const l2 = dx * dx + dy * dy;
+      const eps = ((u[2 * j] - u[2 * i]) * dx
+                   + (u[2 * j + 1] - u[2 * i + 1]) * dy) / l2;
+      return E * eps;
+    });
+    const smax = Math.max(...stresses.map(Math.abs));
+    if (!(smax > 0)) throw new Error("no stressed members to assess");
+    problem.analysis = {
+      type: "reliability",
+      variables: [
+        { name: "E", kind: "young", distribution: "lognormal",
+          mean: problem.material.young, cov: 0.05 },
+        { name: "S", kind: "load_scale", distribution: "normal",
+          mean: 1.0, std: 0.2 },
+        { name: "R", kind: "resistance", distribution: "lognormal",
+          mean: 1.3 * smax, cov: 0.1 },
+      ],
+      limit_state: { type: "stress", variable: "R" },
+    };
+    const resp = await fetch("/api/fem/reliability", {
+      method: "POST", headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(problem),
+    });
+    const data = await resp.json();
+    if (!data.success) throw new Error(data.error || "reliability failed");
+    const r = data.result;
+    drawTimeSeries(r.beta.map((_, i) => i),
+                   r.beta.map((v) => [Math.min(v, 8)]));
+    const fmt = (v) => Number(v).toPrecision(3);
+    const crit = r.critical_limit_state;
+    const [lo, hi] = r.system_pf_bounds;
+    status.textContent =
+      `Min β = ${fmt(r.beta_min)} (pf ${r.pf[crit].toExponential(2)}, `
+      + `${r.labels[crit]}); system pf ∈ [${lo.toExponential(2)}, `
+      + `${hi.toExponential(2)}]; chart: β per member (capped at 8)`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+
+document.getElementById("reliability-btn").addEventListener(
+  "click", runReliability);
+
 // ---------- wiring ----------
 for (const m of ["select", "node", "element"]) {
   document.getElementById(`mode-${m}`).addEventListener("click", () => {

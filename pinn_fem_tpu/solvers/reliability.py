@@ -1,0 +1,396 @@
+"""FORM structural reliability: failure probabilities from the traced
+solve.
+
+The sizing family answers "what design carries the load"; this module
+answers the ASSESSMENT question a design code actually encodes — "how
+likely is THIS design to fail" under uncertain material, load and
+resistance.  No counterpart exists in the reference
+(rpacheco-blazquez/PINN-FEM is deterministic statics end to end); this
+is the natural next use of the same differentiable machinery the
+identification and sizing families run on: the Hasofer-Lind
+reliability index is a CONSTRAINED OPTIMIZATION on the solve
+(min ‖u‖ s.t. g(x(u)) = 0), and reverse-mode AD through
+`static_response_elem` gives the exact limit-state gradients the HL-RF
+iteration needs — no finite differences, any number of random
+variables for one backward solve.
+
+Method (first-order reliability, FORM):
+
+1. Random variables X_v (normal or lognormal; Young's modulus / areas
+   over element subsets, a global load scale, a resistance) map to
+   independent standard normals by the exact marginal transform
+   x = μ + σu (normal) or x = exp(λ + ζu) (lognormal, ζ² = ln(1+δ²),
+   λ = ln μ − ζ²/2).
+2. Each limit state g_i ≤ 0 = failure (member stress ratio or probe
+   displacement ratio) defines a surface in u-space; the HL-RF
+   fixpoint u ← (∇g·u − g)/‖∇g‖² ∇g walks to the most probable
+   failure point (MPP) u*, and β_i = sign(g(0))·‖u*‖,
+   p_f,i = Φ(−β_i).  FORM is invariant to how g parameterizes its
+   surface — {1 − |σ|/R = 0} and {R − |σ| = 0} give the SAME β — which
+   is what makes the closed-form anchors below exact.
+3. All limit states run as ONE vmapped, jitted HL-RF program (each
+   element's MPP search is independent — the same batching story as
+   the harmonic sweep), and the series-system failure probability gets
+   the simple bounds max_i p_f,i ≤ p_f,sys ≤ Σ_i p_f,i plus the
+   α_i·α_j correlation matrix that tells a reader how far apart the
+   failure modes are.
+4. `monte_carlo_pf` cross-validates with the crude-Monte-Carlo
+   estimate on the SAME traced response, vmapped over sample chunks —
+   the brute-force ground truth FORM approximates (and the TPU-shaped
+   way to compute it: thousands of dense solves as one batched
+   program).
+
+Closed-form anchors (tests/test_reliability.py): a determinate truss
+makes member force N = c·S exactly linear in the load scale, so
+R ~ N(μ_R, σ_R) vs S ~ N(μ_S, σ_S) has the EXACT index
+β = (μ_R − |c|μ_S)/√(σ_R² + c²σ_S²), and the lognormal pair has
+β = (λ_R − λ_S − ln|c|)/√(ζ_R² + ζ_S²).
+
+Dense-tier only (the MPP search traces the dense masked solve, like
+the rest of the inverse family) and runs on the local CPU tier through
+`io/analysis.py`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import TrussProblem
+from .sizing import static_response_elem
+
+_DISTS = ("normal", "lognormal")
+_KINDS = ("young", "area", "density", "load_scale", "resistance")
+
+
+@dataclass
+class ReliabilityResult:
+    """FORM output + the Monte-Carlo cross-check when requested."""
+    beta: np.ndarray            # (n_ls,) Hasofer-Lind indices
+    pf: np.ndarray              # (n_ls,) Φ(−β)
+    alpha: np.ndarray           # (n_ls, n_vars) MPP direction cosines
+    design_point: np.ndarray    # (n_ls, n_vars) MPP in PHYSICAL space
+    g_final: np.ndarray         # (n_ls,) residual g at the MPP
+    converged: np.ndarray       # (n_ls,) bool
+    labels: List[str]           # limit-state labels ("stress e3", ...)
+    variables: List[str]        # variable names, alpha column order
+    # Series-system bounds: max p_f,i <= p_f <= min(1, sum p_f,i).
+    system_pf_lower: float = float("nan")
+    system_pf_upper: float = float("nan")
+    alpha_correlation: Optional[np.ndarray] = None   # (n_ls, n_ls)
+    n_iter: int = 0
+    # Monte-Carlo cross-check (None unless run): series-system estimate.
+    mc_pf: Optional[float] = None
+    mc_std_error: Optional[float] = None
+    mc_n: Optional[int] = None
+    mc_pf_per_ls: Optional[np.ndarray] = None
+    history: np.ndarray = field(
+        default_factory=lambda: np.zeros(0))     # per-iter max |g|
+
+
+def _norm_cdf(x):
+    from math import erf, sqrt
+
+    x = np.asarray(x, dtype=float)
+    return 0.5 * (1.0 + np.vectorize(
+        lambda v: erf(v / sqrt(2.0)))(x))
+
+
+def _parse_variables(variables, nelm: int):
+    """Validate + normalize the variable specs (see module docstring).
+
+    Returns a list of dicts with: name, kind, dist, a/b (transform
+    x = a + b·u for normal, x = exp(a + b·u) for lognormal), and an
+    (nelm,) float mask for the element-field kinds.
+    """
+    if not variables:
+        raise ValueError("reliability needs at least one random "
+                         "variable")
+    out = []
+    names = set()
+    for spec in variables:
+        name = spec.get("name")
+        if not name or name in names:
+            raise ValueError("every variable needs a unique name")
+        names.add(name)
+        kind = spec.get("kind")
+        if kind not in _KINDS:
+            raise ValueError(f"variable kind must be one of {_KINDS}, "
+                             f"got {kind!r}")
+        dist = spec.get("distribution", "lognormal"
+                        if kind != "load_scale" else "normal")
+        if dist not in _DISTS:
+            raise ValueError(f"distribution must be one of {_DISTS}, "
+                             f"got {dist!r}")
+        mean = float(spec["mean"])
+        if "std" in spec:
+            std = float(spec["std"])
+        elif "cov" in spec:
+            std = float(spec["cov"]) * abs(mean)
+        else:
+            raise ValueError(f'variable "{name}" needs "std" or "cov"')
+        if std <= 0.0:
+            raise ValueError(f'variable "{name}" needs positive spread')
+        if dist == "lognormal":
+            if mean <= 0.0:
+                raise ValueError(f'lognormal "{name}" needs a positive '
+                                 f'mean')
+            delta = std / mean
+            zeta = float(np.sqrt(np.log1p(delta * delta)))
+            lam = float(np.log(mean) - 0.5 * zeta * zeta)
+            a, b = lam, zeta
+        else:
+            a, b = mean, std
+        mask = None
+        if kind in ("young", "area", "density"):
+            m = np.zeros(nelm)
+            elems = spec.get("elements")
+            if elems is None:
+                m[:] = 1.0
+            else:
+                idx = np.asarray(elems, dtype=int).reshape(-1)
+                if idx.size == 0 or np.any(idx < 0) \
+                        or np.any(idx >= nelm):
+                    raise ValueError(f'variable "{name}": bad element '
+                                     f'subset')
+                m[idx] = 1.0
+            mask = m
+        out.append({"name": name, "kind": kind, "dist": dist,
+                    "a": a, "b": b, "mask": mask, "mean": mean})
+    return out
+
+
+def _physical(var, u):
+    """x_v(u_v), traced."""
+    x = var["a"] + var["b"] * u
+    return jnp.exp(x) if var["dist"] == "lognormal" else x
+
+
+def form_reliability(
+    problem: TrussProblem,
+    variables: List[Dict],
+    limit_state: Dict,
+    n_iter: int = 50,
+    tol: float = 1e-8,
+    mc_samples: int = 0,
+    mc_seed: int = 0,
+    mc_chunk: int = 1024,
+    data=None,
+) -> ReliabilityResult:
+    """FORM β / p_f for every requested limit state (module docstring).
+
+    limit_state: {"type": "stress", "limit": R | "variable": name,
+                  "elements": [..]}          # default: all members
+              or {"type": "displacement", "limit": d,
+                  "probe_dofs": [..]}        # one LS per probed DOF
+    mc_samples > 0 adds the crude-Monte-Carlo cross-check (series
+    system and per-limit-state), chunk-vmapped over the same traced
+    response.
+    """
+    from ..ops.host import (_geometry, density_values_host,
+                            material_values_host)
+    from .newton import DENSE_DOF_LIMIT
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(f"FORM traces the dense solve "
+                         f"({problem.ndof} DOFs > {DENSE_DOF_LIMIT}); "
+                         f"assess on a coarser model")
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    nelm = data.dof_map.shape[0]
+    varspecs = _parse_variables(variables, nelm)
+    n_vars = len(varspecs)
+    var_names = [v["name"] for v in varspecs]
+
+    young_np, area_np = material_values_host(problem, 1.0)
+    rho_np = density_values_host(problem, 1.0)
+    base = {"young": jnp.asarray(young_np, dtype),
+            "area": jnp.asarray(area_np, dtype),
+            "density": jnp.asarray(rho_np, dtype)}
+    masks = {i: jnp.asarray(v["mask"], dtype)
+             for i, v in enumerate(varspecs) if v["mask"] is not None}
+
+    ls_type = limit_state.get("type", "stress")
+    res_var = None
+    if ls_type == "stress":
+        if limit_state.get("variable") is not None:
+            rname = limit_state["variable"]
+            if rname not in var_names:
+                raise ValueError(f'limit-state resistance variable '
+                                 f'{rname!r} is not defined')
+            res_var = var_names.index(rname)
+            if varspecs[res_var]["kind"] != "resistance":
+                raise ValueError(f'{rname!r} must have kind '
+                                 f'"resistance"')
+        elif limit_state.get("limit") is None:
+            raise ValueError('stress limit state needs "limit" or '
+                             '"variable"')
+        elems = limit_state.get("elements")
+        ls_idx = (np.arange(nelm) if elems is None
+                  else np.asarray(elems, dtype=int).reshape(-1))
+        if np.any(ls_idx < 0) or np.any(ls_idx >= nelm):
+            raise ValueError("limit-state elements out of range")
+        labels = [f"stress e{int(e)}" for e in ls_idx]
+    elif ls_type == "displacement":
+        if limit_state.get("limit") is None:
+            raise ValueError('displacement limit state needs "limit"')
+        pd = limit_state.get("probe_dofs")
+        if pd is None:
+            raise ValueError("displacement limit state needs "
+                             "probe_dofs")
+        ls_idx = np.asarray(pd, dtype=int).reshape(-1)
+        if np.any(ls_idx < 0) or np.any(ls_idx >= problem.ndof):
+            raise ValueError("probe_dofs out of range")
+        labels = [f"displacement dof{int(d)}" for d in ls_idx]
+    else:
+        raise ValueError('limit_state type must be "stress" or '
+                         '"displacement"')
+    limit_c = (None if limit_state.get("limit") is None
+               else float(limit_state["limit"]))
+    n_ls = int(ls_idx.size)
+    ls_idx_d = jnp.asarray(ls_idx)
+
+    def response(u):
+        """(u_field, sigma) at standard-normal coordinates u."""
+        young_e = base["young"]
+        area_e = base["area"]
+        rho_e = base["density"]
+        scale = jnp.asarray(1.0, dtype)
+        for i, v in enumerate(varspecs):
+            x = _physical(v, u[i])
+            if v["kind"] == "load_scale":
+                scale = scale * x
+            elif v["kind"] != "resistance":
+                m = masks[i]
+                arr = {"young": young_e, "area": area_e,
+                       "density": rho_e}[v["kind"]]
+                arr = arr * (1.0 - m) + x * m
+                if v["kind"] == "young":
+                    young_e = arr
+                elif v["kind"] == "area":
+                    area_e = arr
+                else:
+                    rho_e = arr
+        uu, sigma, _, _ = static_response_elem(
+            problem, area_e, data=data, young_e=young_e, rho_e=rho_e,
+            loads=data.loads * scale)
+        return uu, sigma
+
+    def g_one(u, i):
+        """Limit state i at u: g > 0 safe, g <= 0 failed."""
+        uu, sigma = response(u)
+        if ls_type == "stress":
+            demand = jnp.abs(sigma)[ls_idx_d[i]]
+            if res_var is not None:
+                r = _physical(varspecs[res_var], u[res_var])
+            else:
+                r = jnp.asarray(limit_c, dtype)
+        else:
+            demand = jnp.abs(uu)[ls_idx_d[i]]
+            r = jnp.asarray(limit_c, dtype)
+        return 1.0 - demand / r
+
+    g_grad = jax.value_and_grad(g_one)
+
+    def hlrf(i):
+        """HL-RF fixpoint for limit state i; (u*, g*, iters of |g|)."""
+        u0 = jnp.zeros((n_vars,), dtype)
+
+        def body(_, carry):
+            u, hist_g, k = carry
+            g, dg = g_grad(u, i)
+            nrm2 = jnp.maximum(jnp.dot(dg, dg), 1e-30)
+            u_new = (jnp.dot(dg, u) - g) / nrm2 * dg
+            return u_new, hist_g.at[k].set(jnp.abs(g)), k + 1
+
+        hist0 = jnp.zeros((n_iter,), dtype)
+        u_star, hist, _ = jax.lax.fori_loop(0, n_iter, body,
+                                            (u0, hist0, 0))
+        g_star, dg_star = g_grad(u_star, i)
+        g_mean = g_one(jnp.zeros((n_vars,), dtype), i)
+        beta = jnp.sign(g_mean) * jnp.linalg.norm(u_star)
+        nrm = jnp.maximum(jnp.linalg.norm(dg_star), 1e-30)
+        alpha = -dg_star / nrm
+        return beta, alpha, u_star, g_star, hist
+
+    betas, alphas, u_stars, g_stars, hists = jax.jit(
+        jax.vmap(hlrf))(jnp.arange(n_ls))
+    betas, alphas, u_stars, g_stars, hists = (np.asarray(v, dtype=float)
+                                              for v in jax.device_get(
+        (betas, alphas, u_stars, g_stars, hists)))
+
+    # Physical-space design points (host, float64).
+    xp = np.zeros((n_ls, n_vars))
+    for j, v in enumerate(varspecs):
+        x = v["a"] + v["b"] * u_stars[:, j]
+        xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
+
+    # Convergence: the MPP must sit ON the surface.  g is a ratio
+    # (O(1) by construction), so the absolute tolerance IS relative.
+    converged = (np.abs(g_stars) < 1e-4) & np.isfinite(betas)
+    pf = _norm_cdf(-betas)
+
+    sys_lo = float(np.max(pf)) if n_ls else float("nan")
+    sys_hi = float(min(1.0, np.sum(pf))) if n_ls else float("nan")
+    corr = alphas @ alphas.T if n_ls else None
+
+    result = ReliabilityResult(
+        beta=betas, pf=pf, alpha=alphas, design_point=xp,
+        g_final=g_stars, converged=converged, labels=labels,
+        variables=var_names, system_pf_lower=sys_lo,
+        system_pf_upper=sys_hi, alpha_correlation=corr, n_iter=n_iter,
+        history=np.max(hists, axis=0) if n_ls else np.zeros(0))
+
+    if mc_samples and mc_samples > 0:
+        result = _attach_monte_carlo(result, response, varspecs,
+                                     ls_type, ls_idx_d, res_var,
+                                     limit_c, int(mc_samples),
+                                     int(mc_seed), int(mc_chunk),
+                                     dtype, n_vars)
+    return result
+
+
+def _attach_monte_carlo(result, response, varspecs, ls_type, ls_idx_d,
+                        res_var, limit_c, n_samples, seed, chunk,
+                        dtype, n_vars):
+    """Crude Monte Carlo on the same traced response, chunk-vmapped —
+    the ground truth FORM approximates, shaped as batched dense solves
+    (the TPU-scalable form of the estimate)."""
+
+    def fail_one(u):
+        uu, sigma = response(u)
+        if ls_type == "stress":
+            demand = jnp.abs(sigma)[ls_idx_d]
+            if res_var is not None:
+                r = _physical(varspecs[res_var], u[res_var])
+            else:
+                r = jnp.asarray(limit_c, dtype)
+        else:
+            demand = jnp.abs(uu)[ls_idx_d]
+            r = jnp.asarray(limit_c, dtype)
+        return demand / r >= 1.0          # (n_ls,) bool
+
+    fail_batch = jax.jit(jax.vmap(fail_one))
+    rng = np.random.default_rng(seed)
+    n_fail_sys = 0
+    n_fail_ls = np.zeros(ls_idx_d.shape[0], dtype=np.int64)
+    done = 0
+    while done < n_samples:
+        b = min(chunk, n_samples - done)
+        u = rng.standard_normal((b, n_vars))
+        f = np.asarray(jax.device_get(
+            fail_batch(jnp.asarray(u, dtype))))
+        n_fail_sys += int(np.sum(np.any(f, axis=1)))
+        n_fail_ls += np.sum(f, axis=0)
+        done += b
+    pf_mc = n_fail_sys / n_samples
+    result.mc_pf = float(pf_mc)
+    result.mc_std_error = float(
+        np.sqrt(max(pf_mc * (1.0 - pf_mc), 1e-300) / n_samples))
+    result.mc_n = n_samples
+    result.mc_pf_per_ls = n_fail_ls / n_samples
+    return result

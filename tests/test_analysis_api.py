@@ -1171,3 +1171,73 @@ def test_sizing_oc_input_errors(server_port):
                                  "objective": "compliance"})
     status, body = _post(server_port, "/api/fem/sizing", doc)
     assert status == 500 and "volume" in body["error"]
+
+
+def test_http_sizing_fatigue(server_port):
+    """Fatigue-life-floor sizing over HTTP: the life keys come back and
+    the returned design satisfies the floor (polish guarantees)."""
+    doc = two_bar_json(area=1.0, analysis={
+        "type": "sizing",
+        "fatigue": {"psd": 1e-3,
+                    "omegas": {"start": 0.05, "stop": 3.0, "num": 80},
+                    "damping": [0.3, 0.001],
+                    "sn": {"exponent": 3.0, "coefficient": 1.0},
+                    "min_life_hours": 1.0},
+        "min_area": 1e-3, "n_iter": 100, "outer_rounds": 2})
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"]
+    assert res["fatigue_min_life_s"] == 3600.0
+    assert res["min_fatigue_life_s"] >= 3600.0 * (1.0 - 1e-3)
+    assert len(res["fatigue_life_s"]) == 2
+    assert res["fatigue_method"] == "dirlik"
+
+
+# ------------------------------------------------------------ reliability
+
+
+def test_http_reliability_route(server_port):
+    """FORM over HTTP: the determinate 2-bar's exact normal R-S beta
+    (tests/test_reliability.py closed form) through the full tier."""
+    c = (1.0 / np.sqrt(2.0)) / 3.0          # |sigma| at area=3, S=1
+    muR, sR, muS, sS = 1.0, 0.1, 1.0, 0.3
+    doc = two_bar_json(analysis={
+        "type": "reliability",
+        "variables": [
+            {"name": "S", "kind": "load_scale",
+             "distribution": "normal", "mean": muS, "std": sS},
+            {"name": "R", "kind": "resistance",
+             "distribution": "normal", "mean": muR, "std": sR}],
+        "limit_state": {"type": "stress", "variable": "R",
+                        "elements": [0]}})
+    status, body = _post(server_port, "/api/fem/reliability", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["analysis"] == "reliability"
+    beta_exact = (muR - c * muS) / np.hypot(sR, c * sS)
+    np.testing.assert_allclose(res["beta"][0], beta_exact, rtol=1e-4)
+    assert res["converged"] == [True]
+    assert res["labels"] == ["stress e0"]
+    lo, hi = res["system_pf_bounds"]
+    np.testing.assert_allclose([lo, hi], [res["pf"][0]] * 2, rtol=1e-9)
+
+
+def test_reliability_input_errors(server_port):
+    cases = [
+        ({"type": "reliability"}, "random"),
+        ({"type": "reliability",
+          "variables": [{"name": "S", "kind": "load_scale",
+                         "mean": 1.0, "std": 0.1}],
+          "limit_state": {"type": "nope"}}, "stress"),
+        ({"type": "reliability",
+          "variables": [{"name": "S", "kind": "load_scale",
+                         "mean": 1.0, "std": 0.1}],
+          "limit_state": {"type": "stress", "variable": "R"}},
+         "not defined"),
+    ]
+    for analysis, needle in cases:
+        doc = two_bar_json(analysis=analysis)
+        status, body = _post(server_port, "/api/fem/reliability", doc)
+        assert status == 500 and needle in body["error"], (analysis,
+                                                           body)

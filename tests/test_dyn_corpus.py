@@ -36,6 +36,7 @@ def test_dyn_corpus_complete():
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-random.json", "dyn-reduction.json",
+                   "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing.json", "dyn-spectrum.json",
                    "dyn-transient.json"]
@@ -148,6 +149,24 @@ def test_dyn_corpus_runs(name, tmp_path):
         hist = np.asarray(res["loss_history"])
         assert hist[-1] < 1e-3 * hist[0]               # actually converged
         assert res["fit_rmse_rel"] < 1e-2
+    elif kind == "reliability":
+        # FORM on the 10-bar: the critical limit state is the most
+        # stressed member (e2), its beta is pinned (1.914 measured,
+        # seed-free deterministic), and the 20000-sample Monte-Carlo
+        # estimate agrees with the FORM system bounds to first order.
+        assert all(res["converged"])
+        assert res["labels"][res["critical_limit_state"]] == "stress e2"
+        np.testing.assert_allclose(res["beta_min"], 1.914, rtol=5e-3)
+        lo, hi = res["system_pf_bounds"]
+        assert 0 < lo <= hi <= 1
+        mc = res["mc"]
+        assert mc["n_samples"] == 20000
+        # FORM linearization error + MC noise: one-sided slack bands.
+        assert 0.6 * lo <= mc["pf"] <= 1.3 * hi
+        # alpha rows are unit direction cosines.
+        a = np.asarray(res["alpha"])
+        np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0,
+                                   atol=1e-5)
     elif kind == "sizing" and name == "dyn-sizing-fatigue.json":
         # Fatigue-life-floor sizing of the braced tower: every member
         # must survive 200 h of the white-noise wind.  Feasible (the

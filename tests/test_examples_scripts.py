@@ -43,6 +43,7 @@ SCRIPTS.append("snap_through")
 SCRIPTS.append("sizing_optimization")
 SCRIPTS.append("twin_workflow")
 SCRIPTS.append("fatigue_assessment")
+SCRIPTS.append("reliability_assessment")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
@@ -62,6 +63,8 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
         monkeypatch.setenv("TWIN_SZ_ITERS", "60")
     if name == "fatigue_assessment":  # short record for the smoke run
         monkeypatch.setenv("FATIGUE_STEPS", "12000")
+    if name == "reliability_assessment":
+        monkeypatch.setenv("RELIAB_MC", "8000")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()

@@ -1,0 +1,212 @@
+"""FORM reliability: solvers/reliability.py.
+
+Validation strategy: EXACT closed forms where the limit-state surface
+is linear in the standard normals (determinate trusses make member
+force ∝ load scale, so normal R-S and lognormal R/S both have textbook
+β), crude Monte Carlo on the same traced response as the ground truth
+for the nonlinear/indeterminate cases, and contract checks through the
+JSON tier.
+"""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu import Material, TrussProblem
+from pinn_fem_tpu.solvers.reliability import form_reliability
+from pinn_fem_tpu.solvers.sizing import _host_area_solve
+
+
+def two_bar():
+    """Symmetric determinate 2-bar, unit downward tip load: each member
+    carries |N| = 1/sqrt(2) regardless of areas."""
+    nodes = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 1.0]])
+    elements = np.array([[0, 2], [1, 2]])
+    loads = np.array([0.0, 0.0, 0.0, 0.0, 0.0, -1.0])
+    return TrussProblem(nodes, elements,
+                        Material(young=1.0, area=1.0, density=1.0),
+                        loads, np.arange(4), 2)
+
+
+def three_bar():
+    nodes = np.array([[-1.0, 1.0], [0.0, 1.0], [1.0, 1.0], [0.0, 0.0]])
+    elements = np.array([[0, 3], [1, 3], [2, 3]])
+    loads = np.zeros(8)
+    loads[6], loads[7] = 0.6, -1.0
+    return TrussProblem(nodes, elements,
+                        Material(young=1.0, area=1.0, density=1.0),
+                        loads, np.arange(6), 2)
+
+
+def test_form_normal_rs_closed_form():
+    """Determinate member: sigma = c*S exactly, so normal R vs normal S
+    has beta = (mu_R - c mu_S)/sqrt(s_R^2 + c^2 s_S^2) EXACTLY (FORM is
+    invariant to the g-parameterization of the same surface)."""
+    p = two_bar()
+    _, sig = _host_area_solve(p, np.ones(2))
+    c = abs(sig[0])
+    muR, sR, muS, sS = 2.0, 0.2, 1.0, 0.25
+    res = form_reliability(
+        p,
+        variables=[{"name": "S", "kind": "load_scale",
+                    "distribution": "normal", "mean": muS, "std": sS},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "normal", "mean": muR, "std": sR}],
+        limit_state={"type": "stress", "variable": "R",
+                     "elements": [0]})
+    beta_exact = (muR - c * muS) / np.hypot(sR, c * sS)
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-5)
+    assert res.converged[0]
+    # alpha points the failure direction: load UP (positive u_S), R
+    # DOWN (negative u_R).
+    assert res.alpha[0, 0] > 0 > res.alpha[0, 1]
+    np.testing.assert_allclose(np.linalg.norm(res.alpha[0]), 1.0,
+                               rtol=1e-6)
+    # The MPP sits on the surface in physical space: |sigma(x*)| = R*.
+    s_star, r_star = res.design_point[0]
+    np.testing.assert_allclose(c * s_star, r_star, rtol=1e-4)
+
+
+def test_form_lognormal_rs_closed_form():
+    """Lognormal R / lognormal S: ln R - ln(cS) is linear in the
+    standard normals, so beta = (lam_R - lam_S - ln c)/
+    sqrt(zeta_R^2 + zeta_S^2) exactly."""
+    import math
+
+    p = two_bar()
+    _, sig = _host_area_solve(p, np.ones(2))
+    c = abs(sig[0])
+    muR, dR, muS, dS = 2.0, 0.1, 1.0, 0.2
+    zR = math.sqrt(math.log1p(dR * dR))
+    lR = math.log(muR) - zR * zR / 2.0
+    zS = math.sqrt(math.log1p(dS * dS))
+    lS = math.log(muS) - zS * zS / 2.0
+    beta_exact = (lR - lS - math.log(c)) / math.hypot(zR, zS)
+    res = form_reliability(
+        p,
+        variables=[{"name": "S", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": muS,
+                    "cov": dS},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": muR,
+                    "cov": dR}],
+        limit_state={"type": "stress", "variable": "R",
+                     "elements": [0]})
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-5)
+
+
+def test_form_monte_carlo_cross_check():
+    """Indeterminate 3-bar with random E field + load + resistance:
+    FORM's system bounds against 40000-sample crude MC on the same
+    traced response (pf ~ 2e-2 keeps the MC standard error at 7e-4)."""
+    p = three_bar()
+    res = form_reliability(
+        p,
+        variables=[{"name": "E", "kind": "young",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.15},
+                   {"name": "S", "kind": "load_scale",
+                    "distribution": "normal", "mean": 1.0,
+                    "std": 0.25},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": 1.15,
+                    "cov": 0.1}],
+        limit_state={"type": "stress", "variable": "R"},
+        mc_samples=40000, mc_seed=7)
+    assert np.all(res.converged)
+    lo, hi = res.system_pf_lower, res.system_pf_upper
+    assert 1e-4 < lo <= hi < 0.5
+    # FORM linearization error + 3-sigma MC noise.
+    band = 3.0 * res.mc_std_error
+    assert 0.6 * lo - band <= res.mc_pf <= 1.4 * hi + band
+    # Per-limit-state: FORM pf within 30% + noise of its MC estimate
+    # for the dominant mode.
+    worst = int(np.argmin(res.beta))
+    pf_mc = res.mc_pf_per_ls[worst]
+    assert abs(res.pf[worst] - pf_mc) < 0.3 * max(pf_mc, 1e-3) + band
+
+
+def test_form_displacement_limit_state():
+    """Displacement limit state on the 3-bar tip: beta must match the
+    equivalent hand-built scalar reliability (u_tip is proportional to
+    S/E when only those two are random — exact lognormal/lognormal
+    closed form again)."""
+    import math
+
+    p = three_bar()
+    u0, _ = _host_area_solve(p, np.ones(3))
+    u_tip = abs(u0[7])                      # tip y DOF at mean
+    limit = 2.0 * u_tip
+    dE, dS = 0.1, 0.2
+    # u = u0 * S / E: ln u linear in ln S, ln E.
+    zE = math.sqrt(math.log1p(dE * dE))
+    lE = math.log(1.0) - zE * zE / 2.0
+    zS = math.sqrt(math.log1p(dS * dS))
+    lS = math.log(1.0) - zS * zS / 2.0
+    beta_exact = ((math.log(limit) - math.log(u_tip)) - lS + lE) \
+        / math.hypot(zE, zS)
+    res = form_reliability(
+        p,
+        variables=[{"name": "E", "kind": "young",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": dE},
+                   {"name": "S", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": dS}],
+        limit_state={"type": "displacement", "limit": limit,
+                     "probe_dofs": [7]})
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-4)
+
+
+def test_reliability_validation():
+    p = two_bar()
+    S = {"name": "S", "kind": "load_scale", "distribution": "normal",
+         "mean": 1.0, "std": 0.2}
+    ls = {"type": "stress", "limit": 2.0}
+    with pytest.raises(ValueError, match="random"):
+        form_reliability(p, [], ls)
+    with pytest.raises(ValueError, match="unique"):
+        form_reliability(p, [S, dict(S)], ls)
+    with pytest.raises(ValueError, match="kind"):
+        form_reliability(p, [{**S, "kind": "nope"}], ls)
+    with pytest.raises(ValueError, match="distribution"):
+        form_reliability(p, [{**S, "distribution": "uniform"}], ls)
+    with pytest.raises(ValueError, match="std"):
+        form_reliability(p, [{"name": "S", "kind": "load_scale",
+                              "mean": 1.0}], ls)
+    with pytest.raises(ValueError, match="positive"):
+        form_reliability(p, [{**S, "std": -1.0}], ls)
+    with pytest.raises(ValueError, match="limit"):
+        form_reliability(p, [S], {"type": "stress"})
+    with pytest.raises(ValueError, match="resistance"):
+        form_reliability(p, [S], {"type": "stress", "variable": "S"})
+    with pytest.raises(ValueError, match="not defined"):
+        form_reliability(p, [S], {"type": "stress", "variable": "X"})
+    with pytest.raises(ValueError, match="probe_dofs"):
+        form_reliability(p, [S], {"type": "displacement",
+                                  "limit": 0.5})
+
+
+def test_reliability_json_tier():
+    """The "reliability" block through run_analysis: probe_nodes
+    resolution, output keys, and the dispatch registration."""
+    from pinn_fem_tpu.io.analysis import run_analysis
+
+    p = three_bar()
+    out = run_analysis(p, {
+        "type": "reliability",
+        "variables": [
+            {"name": "E", "kind": "young", "distribution": "lognormal",
+             "mean": 1.0, "cov": 0.1},
+            {"name": "S", "kind": "load_scale",
+             "distribution": "lognormal", "mean": 1.0, "cov": 0.2}],
+        "limit_state": {"type": "displacement", "limit": 5.0,
+                        "probe_nodes": [3]}})
+    assert out["success"] and out["analysis"] == "reliability"
+    assert len(out["beta"]) == 2                 # node 3: x and y DOFs
+    assert out["labels"] == ["displacement dof6", "displacement dof7"]
+    assert all(out["converged"])
+    assert out["beta_min"] == min(out["beta"])
+    lo, hi = out["system_pf_bounds"]
+    assert 0 <= lo <= hi <= 1
+    assert np.asarray(out["alpha_correlation"]).shape == (2, 2)
+    assert "mc" not in out                       # not requested

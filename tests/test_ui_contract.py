@@ -573,3 +573,59 @@ def test_static_ui_snap_arch_payload_served():
                       - 1.5 * (1 - 1 / np.sqrt(3)) ** 2
                       + 0.5 * (1 - 1 / np.sqrt(3)) ** 3) / 2 ** 1.5
     np.testing.assert_allclose(lam[w < 1.0].max(), lam_crit, rtol=5e-3)
+
+
+def test_ui_reliability_payload_served():
+    """The Reliability button's two-step POST (identical in app.js
+    runReliability() and DynamicsPanel.runReliability()): first
+    /api/fem/solve fixes the mean-load stress level smax, then the
+    reliability block draws every member's resistance at 1.3 x smax
+    (lognormal, 10% scatter) under +/-20% load and 5% stiffness
+    scatter.  The critical member must be the max-stressed one, its
+    beta must be positive and finite (the 30% margin buys real but not
+    absolute safety), and every panel-rendered field must be present."""
+    from pinn_fem_tpu.serve.server import _solve_analysis, _solve_generic
+
+    payload = load_fixture("ui_payload_react_dynamics.json")
+    # Pre-solve through the generic route + CLIENT-side stress recovery
+    # eps = g.u_e / L^2 — exactly what both handlers do (the classic
+    # route's reference BC quirk breaks fixed_x + fixed_y sketches).
+    stat = _solve_generic({k: v for k, v in payload.items()
+                           if k not in ("analysis", "nn_config")})
+    u = np.asarray(stat["displacements"], dtype=float)
+    nodes = payload["nodes"]
+    stresses = []
+    for i, j in payload["elements"]:
+        dx = nodes[j]["x"] - nodes[i]["x"]
+        dy = nodes[j]["y"] - nodes[i]["y"]
+        l2 = dx * dx + dy * dy
+        eps = ((u[2 * j] - u[2 * i]) * dx
+               + (u[2 * j + 1] - u[2 * i + 1]) * dy) / l2
+        stresses.append(1.0 * eps)           # fixture young = 1
+    stresses = np.asarray(stresses)
+    smax = float(np.max(np.abs(stresses)))
+    assert smax > 0
+    crit_expected = int(np.argmax(np.abs(stresses)))
+    payload["analysis"] = {
+        "type": "reliability",
+        "variables": [
+            {"name": "E", "kind": "young", "distribution": "lognormal",
+             "mean": 1.0, "cov": 0.05},
+            {"name": "S", "kind": "load_scale",
+             "distribution": "normal", "mean": 1.0, "std": 0.2},
+            {"name": "R", "kind": "resistance",
+             "distribution": "lognormal", "mean": 1.3 * smax,
+             "cov": 0.1}],
+        "limit_state": {"type": "stress", "variable": "R"},
+    }
+    out = _solve_analysis("reliability")(payload)
+    assert out["success"] and out["analysis"] == "reliability"
+    # Panel contract: beta (chart), beta_min/labels/critical (rows),
+    # pf, system_pf_bounds.
+    assert all(out["converged"])
+    crit = out["critical_limit_state"]
+    assert out["labels"][crit] == f"stress e{crit_expected}"
+    assert 0.5 < out["beta_min"] < 4.0       # 30% margin, 23% scatter
+    lo, hi = out["system_pf_bounds"]
+    assert 0 < lo <= hi <= 1
+    assert len(out["beta"]) == len(stresses)
