@@ -158,6 +158,12 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                 100.0 * output["mass_reduction"],
                 ("%.4f" % output["max_stress_ratio"])
                 if "max_stress_ratio" in output else "n/a")
+            if "min_reliability_beta" in output:
+                logger.info(
+                    "  RBDO: achieved min beta %.4f over the members "
+                    "(target %.4f)",
+                    output["min_reliability_beta"],
+                    output["target_beta"])
             if "min_fatigue_life_s" in output:
                 logger.info(
                     "  Fatigue (%s): min life %.6g h over the members "

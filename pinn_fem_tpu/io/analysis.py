@@ -84,6 +84,10 @@ drives a static solve gains:
                                               # enforceable — frequencies
                                               # are scale-invariant when
                                               # all mass is structural)
+                 "reliability": {             # RBDO: every member keeps
+                     "variables": [..],       # a FORM beta >= target
+                     "target_beta": 3.0,      # (PMA/AMV inner loop;
+                     "limit_state": {..}},    # see solvers/sizing.py)
                  "fatigue": {                 # fatigue-life floor under
                      "psd": S_p,              # stationary random load
                      "omegas": [..] | {..},   # (scalar white noise or a
@@ -1892,6 +1896,9 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                                  "damping": [a, b], "sn": {..},
                                  "min_life_s": T | "min_life_hours": h,
                                  "method": "dirlik"},   # adam only
+                     "reliability": {"variables": [..],
+                                     "target_beta": 3.0,
+                                     "limit_state": {..}},  # adam only
                      "probe_nodes"/"probe_dofs": [..],   # where d applies
                      "volume": V, "min_area": a0, "max_area": a1,
                      "load_cases": [[..], ..],  # (C, ndof) envelope
@@ -1959,6 +1966,12 @@ def run_sizing(problem, analysis: Dict) -> Dict:
             fatigue["min_life_s"] = \
                 3600.0 * float(fatigue.pop("min_life_hours"))
 
+    reliability = analysis.get("reliability")
+    if reliability is not None and method != "adam":
+        raise ValueError('an RBDO reliability target needs method '
+                         '"adam" (the PMA constraint rides the '
+                         'differentiable solve)')
+
     if method == "fsd":
         if objective != "mass" or disp_limit is not None \
                 or volume is not None:
@@ -2011,7 +2024,7 @@ def run_sizing(problem, analysis: Dict) -> Dict:
                 min_frequency_hz=(
                     None if analysis.get("min_frequency_hz") is None
                     else float(analysis["min_frequency_hz"])),
-                fatigue=fatigue,
+                fatigue=fatigue, reliability=reliability,
                 volume=volume, min_area=min_area, max_area=max_area,
                 initial_areas=initial_areas,
                 load_cases=load_cases,
@@ -2057,6 +2070,14 @@ def run_sizing(problem, analysis: Dict) -> Dict:
         out["min_frequency_hz"] = float(analysis["min_frequency_hz"])
         out["fundamental_frequency_hz"] = \
             float(res.fundamental_frequency_hz)
+    if reliability is not None:
+        # Achieved betas at the returned design (full HL-RF authority
+        # recompute — see SizingResult.reliability_beta).
+        out["target_beta"] = float(reliability["target_beta"])
+        out["min_reliability_beta"] = float(res.min_reliability_beta)
+        out["reliability_beta"] = [
+            None if not np.isfinite(v) else float(v)
+            for v in res.reliability_beta]   # None = never stressed
     if fatigue is not None:
         # Achieved lives at the returned design (host-authority recompute
         # — see SizingResult.fatigue_life_s).
@@ -2389,7 +2410,8 @@ def run_reliability(problem, analysis: Dict) -> Dict:
         "analysis": "reliability",
         "labels": res.labels,
         "variables": res.variables,
-        "beta": res.beta.tolist(),
+        "beta": [None if not np.isfinite(v) else float(v)
+                 for v in res.beta],     # inf = unreachable surface
         "pf": res.pf.tolist(),
         "alpha": res.alpha.tolist(),
         "design_points": res.design_point.tolist(),

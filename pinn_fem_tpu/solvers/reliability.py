@@ -180,6 +180,7 @@ def form_reliability(
     mc_seed: int = 0,
     mc_chunk: int = 1024,
     data=None,
+    areas=None,
 ) -> ReliabilityResult:
     """FORM β / p_f for every requested limit state (module docstring).
 
@@ -189,7 +190,9 @@ def form_reliability(
                   "probe_dofs": [..]}        # one LS per probed DOF
     mc_samples > 0 adds the crude-Monte-Carlo cross-check (series
     system and per-limit-state), chunk-vmapped over the same traced
-    response.
+    response.  `areas` (nelm,) overrides the problem's member areas —
+    how RBDO re-assesses ITS design (optimize_sizing's final authority
+    check) without rebuilding the problem.
     """
     from ..ops.host import (_geometry, density_values_host,
                             material_values_host)
@@ -207,6 +210,9 @@ def form_reliability(
     var_names = [v["name"] for v in varspecs]
 
     young_np, area_np = material_values_host(problem, 1.0)
+    if areas is not None:
+        area_np = np.broadcast_to(np.asarray(areas, dtype=float),
+                                  (nelm,))
     rho_np = density_values_host(problem, 1.0)
     base = {"young": jnp.asarray(young_np, dtype),
             "area": jnp.asarray(area_np, dtype),
@@ -329,9 +335,24 @@ def form_reliability(
         x = v["a"] + v["b"] * u_stars[:, j]
         xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
 
+    # Unreachable surfaces: a member the load pattern never stresses
+    # has g ≈ 1 everywhere (demand/R ~ 0), no zero crossing for HL-RF
+    # to find — the honest answer is β = ∞, p_f = 0, not a NaN from
+    # the degenerate fixpoint (observed on gauge members in RBDO's
+    # authority recompute).
+    g0s = np.asarray(jax.device_get(jax.jit(jax.vmap(
+        lambda i: g_one(jnp.zeros((n_vars,), dtype), i)))(
+        jnp.arange(n_ls))), dtype=float)
+    unreachable = (~np.isfinite(betas) | (np.abs(g_stars) >= 1e-4)) \
+        & (g0s > 1.0 - 1e-3)
+    betas[unreachable] = np.inf
+    g_stars[unreachable] = 0.0
+    alphas[unreachable] = 0.0
+
     # Convergence: the MPP must sit ON the surface.  g is a ratio
     # (O(1) by construction), so the absolute tolerance IS relative.
-    converged = (np.abs(g_stars) < 1e-4) & np.isfinite(betas)
+    converged = ((np.abs(g_stars) < 1e-4) & np.isfinite(betas)) \
+        | unreachable
     pf = _norm_cdf(-betas)
 
     sys_lo = float(np.max(pf)) if n_ls else float("nan")

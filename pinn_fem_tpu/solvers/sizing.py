@@ -75,6 +75,13 @@ class SizingResult:
     # authority the traced constraint mirrors.
     fatigue_life_s: Optional[np.ndarray] = None
     min_fatigue_life_s: float = float("nan")
+    # Achieved FORM reliability indices of the optimized design (one
+    # per limit state) and their minimum; None/nan unless an RBDO
+    # `reliability` block was active.  Recomputed at the final areas by
+    # the full HL-RF search (solvers/reliability.form_reliability) —
+    # the authority the PMA constraint approximates from inside.
+    reliability_beta: Optional[np.ndarray] = None
+    min_reliability_beta: float = float("nan")
 
 
 def _host_area_solve(problem: TrussProblem, areas: np.ndarray,
@@ -381,6 +388,84 @@ def fatigue_life_ratio(omegas, stress_psd, sn_exponent, sn_coefficient,
     return jnp.where(active, (rate * float(life_s)) ** (1.0 / mexp), 0.0)
 
 
+def pma_stress_ratios(problem, data, young_e, rho_e, area_e, varspecs,
+                      res_var, limit_c, target_beta, ls_idx,
+                      n_amv: int = 10):
+    """(n_ls,) PMA stress ratios at the target-β design points — the
+    RBDO constraint in the Performance Measure Approach.
+
+    For each limit state, the Advanced Mean Value fixpoint
+    u ← −β_t·∇_u g/‖∇_u g‖ finds the worst point u* on the β_t-sphere
+    (the inverse-FORM problem), and the constraint becomes the plain
+    stress ratio |σ(A, x(u*))| / R(u*) ≤ 1 — "the member must survive
+    the β_t-quantile realization".  Because u* is an argmin over a
+    FIXED sphere, Danskin's theorem says d(ratio)/dA needs no
+    differentiation of u*(A): u* is stop-gradded, so the outer ADAM
+    sees only the cheap ∂g/∂A at the design point — no second-order AD
+    through the inner fixpoint.  PMA is the standard efficient RBDO
+    formulation precisely because of this structure (and AMV converges
+    in a handful of iterations where the RIA/HL-RF inner loop can
+    oscillate).
+
+    Variables follow reliability._parse_variables (young / load_scale /
+    resistance; "area" is the DESIGN vector here and is rejected
+    upstream).  Shares the solve with `static_response_elem`; one
+    vmapped program covers every limit state.
+    """
+    from .reliability import _physical
+
+    dtype = data.loads.dtype
+    n_vars = len(varspecs)
+    masks = {i: jnp.asarray(v["mask"], dtype)
+             for i, v in enumerate(varspecs) if v["mask"] is not None}
+    ls_idx_d = jnp.asarray(np.asarray(ls_idx, dtype=int))
+    bt = jnp.asarray(float(target_beta), dtype)
+
+    def demand_resistance(u, i):
+        young = young_e
+        rho = rho_e
+        scale = jnp.asarray(1.0, dtype)
+        for k, v in enumerate(varspecs):
+            x = _physical(v, u[k])
+            if v["kind"] == "load_scale":
+                scale = scale * x
+            elif v["kind"] == "young":
+                m = masks[k]
+                young = young * (1.0 - m) + x * m
+        _, sigma, _, _ = static_response_elem(
+            problem, area_e, data=data, young_e=young, rho_e=rho,
+            loads=data.loads * scale)
+        demand = jnp.abs(sigma)[ls_idx_d[i]]
+        if res_var is not None:
+            r = _physical(varspecs[res_var], u[res_var])
+        else:
+            r = jnp.asarray(limit_c, dtype)
+        return demand, r
+
+    def g_of(u, i):
+        demand, r = demand_resistance(u, i)
+        return 1.0 - demand / r
+
+    g_grad = jax.grad(g_of)
+
+    def amv(i):
+        u0 = jnp.zeros((n_vars,), dtype)
+
+        def body(_, u):
+            dg = g_grad(u, i)
+            nrm = jnp.maximum(jnp.linalg.norm(dg), 1e-30)
+            return -bt * dg / nrm
+
+        u_star = jax.lax.fori_loop(0, n_amv, body, u0)
+        # Danskin: the constraint gradient w.r.t. the DESIGN needs only
+        # the partial at the fixed design point.
+        u_star = jax.lax.stop_gradient(u_star)
+        demand, r = demand_resistance(u_star, i)
+        return demand / r
+
+    return jax.vmap(amv)(jnp.arange(ls_idx_d.shape[0]))
+
+
 def optimize_compliance_oc(
     problem: TrussProblem,
     volume: float,
@@ -550,6 +635,7 @@ def optimize_sizing(
     probe_dofs=None,
     min_frequency_hz: Optional[float] = None,
     fatigue: Optional[Dict] = None,
+    reliability: Optional[Dict] = None,
     volume: Optional[float] = None,
     load_cases=None,
     case_weights=None,
@@ -642,6 +728,27 @@ def optimize_sizing(
         path (solvers/fatigue.py) into `fatigue_life_s` /
         `min_fatigue_life_s`.
 
+    reliability: optional RBDO block — minimum mass subject to every
+        member keeping a FORM reliability index of at least
+        `target_beta` under uncertain stiffness/load/resistance (the
+        design-under-uncertainty loop: the `fatigue`/`stress` limits
+        bound the DETERMINISTIC response; this bounds the FAILURE
+        PROBABILITY).  Dict:
+        {"variables": [..],        # reliability.py specs; kinds
+                                   # young / load_scale / resistance
+                                   # ("area" IS the design vector)
+         "target_beta": 3.0,       # beta floor (pf ~ Phi(-beta))
+         "limit_state": {"type": "stress",
+                         "limit": R | "variable": "R",
+                         "elements": [..]}}    # default: all members
+        Implemented by the Performance Measure Approach: an inner AMV
+        fixpoint finds each member's worst point on the target-beta
+        sphere and the constraint becomes the stress ratio AT that
+        design point (pma_stress_ratios — Danskin's theorem makes the
+        outer gradient need no differentiation of the inner argmin).
+        The returned design's achieved betas are recomputed by the full
+        HL-RF search (`reliability_beta` / `min_reliability_beta`).
+
     load_cases: optional (C, ndof) table — a real structure is sized
         for an ENVELOPE, not one load.  Constraints then hold for every
         case simultaneously; each iteration solves all cases against
@@ -656,11 +763,12 @@ def optimize_sizing(
         raise ValueError('objective must be "mass" or "compliance"')
     if objective == "mass" and stress_limit is None \
             and displacement_limit is None and min_frequency_hz is None \
-            and fatigue is None:
+            and fatigue is None and reliability is None:
         raise ValueError("mass minimization needs stress_limit, "
-                         "displacement_limit, min_frequency_hz and/or "
-                         "a fatigue life floor (otherwise the optimum "
-                         "is the gauge minimum everywhere)")
+                         "displacement_limit, min_frequency_hz, a "
+                         "fatigue life floor and/or a reliability "
+                         "target (otherwise the optimum is the gauge "
+                         "minimum everywhere)")
     if min_frequency_hz is not None and min_frequency_hz <= 0.0:
         raise ValueError("min_frequency_hz must be positive")
     if buckling_shape_factor is not None:
@@ -719,6 +827,49 @@ def optimize_sizing(
         fat = {"m": f_m, "c": f_c, "life": f_life, "om": f_om,
                "psd": f_psd, "alpha": float(f_damp[0]),
                "beta": float(f_damp[1]), "method": f_method}
+    rel = None
+    if reliability is not None:
+        from .reliability import _parse_variables
+
+        if reliability.get("target_beta") is None:
+            raise ValueError('reliability (RBDO) needs "target_beta"')
+        beta_t = float(reliability["target_beta"])
+        if beta_t <= 0.0:
+            raise ValueError("target_beta must be positive")
+        nelm_ = problem.nelm
+        r_vars = _parse_variables(reliability.get("variables"), nelm_)
+        for v in r_vars:
+            if v["kind"] in ("area", "density"):
+                raise ValueError(
+                    'RBDO variables must be young / load_scale / '
+                    'resistance ("area" is the design vector; '
+                    '"density" does not enter the static limit state)')
+        r_names = [v["name"] for v in r_vars]
+        r_ls = dict(reliability.get("limit_state") or {})
+        if r_ls.get("type", "stress") != "stress":
+            raise ValueError("RBDO supports the stress limit state")
+        r_res = None
+        r_limit = None
+        if r_ls.get("variable") is not None:
+            rn = r_ls["variable"]
+            if rn not in r_names:
+                raise ValueError(f"RBDO resistance variable {rn!r} is "
+                                 f"not defined")
+            r_res = r_names.index(rn)
+            if r_vars[r_res]["kind"] != "resistance":
+                raise ValueError(f'{rn!r} must have kind "resistance"')
+        elif r_ls.get("limit") is not None:
+            r_limit = float(r_ls["limit"])
+        else:
+            raise ValueError('RBDO limit_state needs "limit" or '
+                             '"variable"')
+        r_elems = r_ls.get("elements")
+        r_idx = (np.arange(nelm_) if r_elems is None
+                 else np.asarray(r_elems, dtype=int).reshape(-1))
+        if np.any(r_idx < 0) or np.any(r_idx >= nelm_):
+            raise ValueError("RBDO limit-state elements out of range")
+        rel = {"varspecs": r_vars, "res_var": r_res, "limit_c": r_limit,
+               "beta_t": beta_t, "ls_idx": r_idx}
 
     from ..ops.host import (_geometry, density_values_host,
                             material_values_host)
@@ -799,7 +950,8 @@ def optimize_sizing(
                        + (int(probe_np.size)
                           if displacement_limit is not None else 0)) \
         + (1 if lam_req is not None else 0) \
-        + (nelm if fat is not None else 0)
+        + (nelm if fat is not None else 0) \
+        + (int(rel["ls_idx"].size) if rel is not None else 0)
     pi2c = (None if buckling_shape_factor is None
             else np.pi ** 2 * float(buckling_shape_factor))
     if fat is not None:
@@ -816,6 +968,15 @@ def optimize_sizing(
                                       method=fat["method"])
 
         fatigue_ratio_jit = jax.jit(fatigue_ratio_of)
+    if rel is not None:
+        def rbdo_ratio_of(a):
+            """PMA stress ratios at the target-beta design points."""
+            return pma_stress_ratios(
+                problem, data, young_e, rho_e, a, rel["varspecs"],
+                rel["res_var"], rel["limit_c"], rel["beta_t"],
+                rel["ls_idx"])
+
+        rbdo_ratio_jit = jax.jit(rbdo_ratio_of)
 
     def objective_and_constraints(t):
         """(objective, g) with g the stacked constraint values — g ≤ 0
@@ -856,6 +1017,10 @@ def optimize_sizing(
             # Life floor per member: (D_e·T_req)^(1/m) ≤ 1, the fatigue
             # stress-ratio analogue (see `fatigue` in the docstring).
             gs.append((fatigue_ratio_of(a) - 1.0).reshape(-1))
+        if rel is not None:
+            # RBDO (PMA): the stress ratio at each member's target-beta
+            # design point (see `reliability` in the docstring).
+            gs.append((rbdo_ratio_of(a) - 1.0).reshape(-1))
         g = (jnp.concatenate(gs) if gs
              else jnp.zeros((0,), dtype))
         return obj, g
@@ -901,11 +1066,19 @@ def optimize_sizing(
 
     areas = np.asarray(jax.device_get(areas_of(jnp.asarray(t, dtype))),
                        dtype=float)
+    if not np.all(np.isfinite(areas)):
+        # A silent NaN design (observed: a document that lost its
+        # supports made K singular and the nan rode ADAM to the end,
+        # reporting SUCCESS) must fail loudly instead.
+        raise ValueError("sizing diverged to non-finite areas — check "
+                         "supports (fixed_dofs), units and "
+                         "learning_rate")
     if objective == "compliance":
         areas = areas * float(volume) / float(np.sum(areas * lengths_np))
 
     if polish and objective != "compliance" \
-            and (stress_limit is not None or fat is not None):
+            and (stress_limit is not None or fat is not None
+                 or rel is not None):
         # Feasibility polish (float64 host): scale members up until the
         # limits hold.  Monotone — areas only grow — and for
         # near-optimal designs the added mass is the penalty method's
@@ -943,7 +1116,15 @@ def optimize_sizing(
                 fat_viol = float(np.max(np.asarray(jax.device_get(
                     fatigue_ratio_jit(jnp.asarray(areas, dtype))),
                     dtype=float)))
-            viol = max(float(np.max(ratio)), fat_viol)
+            rel_viol = 0.0
+            if rel is not None:
+                # PMA ratio is a stress ratio at a FIXED u*-quantile
+                # point: exactly 1/s under uniform scaling, same
+                # uniform-polish argument as fatigue.
+                rel_viol = float(np.max(np.asarray(jax.device_get(
+                    rbdo_ratio_jit(jnp.asarray(areas, dtype))),
+                    dtype=float)))
+            viol = max(float(np.max(ratio)), fat_viol, rel_viol)
             if viol < best_viol:
                 best_viol, best_areas = viol, areas.copy()
             if viol <= 1.0 + 1e-9 or it_polish == 20:
@@ -951,6 +1132,8 @@ def optimize_sizing(
             scale = np.maximum(ratio, 1.0)
             if fat is not None:
                 scale = np.maximum(scale, fat_viol)   # uniform (above)
+            if rel is not None:
+                scale = np.maximum(scale, rel_viol)   # uniform (above)
             if max_area is not None:
                 areas = np.minimum(areas * scale, max_area)
                 if np.all((areas >= max_area - 1e-15) | (scale <= 1.0)):
@@ -1001,6 +1184,20 @@ def optimize_sizing(
             fat_life[active] = np.atleast_1d(sf.life)
         min_life = float(np.min(fat_life)) if fat_life.size else float(
             "inf")
+    rel_beta = None
+    min_rel_beta = float("nan")
+    if rel is not None:
+        # Achieved betas of the FINAL areas by the FULL HL-RF search —
+        # the authority the inner PMA/AMV loop approximates.
+        from .reliability import form_reliability
+
+        rres = form_reliability(
+            problem, reliability["variables"],
+            dict(reliability.get("limit_state") or {}),
+            data=data, areas=areas)
+        rel_beta = np.asarray(rres.beta, dtype=float)
+        min_rel_beta = float(np.min(rel_beta)) if rel_beta.size \
+            else float("inf")
     return SizingResult(
         areas=areas,
         mass=_host_mass(problem, areas),
@@ -1020,4 +1217,6 @@ def optimize_sizing(
         fundamental_frequency_hz=f1_hz,
         fatigue_life_s=fat_life,
         min_fatigue_life_s=min_life,
+        reliability_beta=rel_beta,
+        min_reliability_beta=min_rel_beta,
     )

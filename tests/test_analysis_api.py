@@ -1241,3 +1241,49 @@ def test_reliability_input_errors(server_port):
         status, body = _post(server_port, "/api/fem/reliability", doc)
         assert status == 500 and needle in body["error"], (analysis,
                                                            body)
+
+
+def test_http_sizing_rbdo(server_port):
+    """RBDO over HTTP: the tip-bar closed form through the full tier
+    (tests/test_sizing.py test_rbdo_tip_bar_closed_form numbers)."""
+    muR, sR, muS, sS, bt = 2.0, 0.2, 1.0, 0.25, 3.0
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 1.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "dimension": 1,
+        "solver_type": "fem",
+        "analysis": {
+            "type": "sizing",
+            "reliability": {
+                "variables": [
+                    {"name": "S", "kind": "load_scale",
+                     "distribution": "normal", "mean": muS, "std": sS},
+                    {"name": "R", "kind": "resistance",
+                     "distribution": "normal", "mean": muR,
+                     "std": sR}],
+                "target_beta": bt,
+                "limit_state": {"type": "stress", "variable": "R"}},
+            "min_area": 1e-4, "n_iter": 200, "outer_rounds": 3,
+            "learning_rate": 0.08},
+    }
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"]
+    a_q = muS ** 2 - bt ** 2 * sS ** 2
+    roots = np.roots([a_q, -2.0 * muR * muS,
+                      muR ** 2 - bt ** 2 * sR ** 2])
+    a_true = 1.0 / min(r for r in roots if r > 0)
+    np.testing.assert_allclose(res["areas"][0], a_true, rtol=1e-3)
+    np.testing.assert_allclose(res["min_reliability_beta"], bt,
+                               rtol=1e-3)
+    assert res["target_beta"] == bt
+    assert len(res["reliability_beta"]) == 1
+    # Guard: RBDO is adam-only.
+    doc["analysis"]["method"] = "fsd"
+    doc["analysis"]["stress_limit"] = 1.0
+    status, body = _post(server_port, "/api/fem/sizing", doc)
+    assert status == 500 and "adam" in body["error"]

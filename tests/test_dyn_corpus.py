@@ -38,8 +38,8 @@ def test_dyn_corpus_complete():
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
-                   "dyn-sizing.json", "dyn-spectrum.json",
-                   "dyn-transient.json"]
+                   "dyn-sizing-rbdo.json", "dyn-sizing.json",
+                   "dyn-spectrum.json", "dyn-transient.json"]
 
 
 @pytest.mark.parametrize("name", DYN)
@@ -167,6 +167,26 @@ def test_dyn_corpus_runs(name, tmp_path):
         a = np.asarray(res["alpha"])
         np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0,
                                    atol=1e-5)
+    elif kind == "sizing" and name == "dyn-sizing-rbdo.json":
+        # The assess-then-redesign arc: dyn-reliability measures the
+        # uniform design at beta_min 1.91; this doc redesigns the same
+        # 10-bar to beta >= 3 everywhere.  The achieved betas are the
+        # FULL HL-RF authority recompute, so "on the floor" here means
+        # the PMA inner loop and the HL-RF search agree.
+        assert res["converged"]
+        assert res["target_beta"] == 3.0
+        b = res["reliability_beta"]
+        finite = [v for v in b if v is not None]
+        assert res["min_reliability_beta"] == min(finite)
+        assert min(finite) >= 3.0 * (1.0 - 1e-3)
+        # Binding: most members sit ON the beta-3 surface (measured:
+        # six within 1e-4, the bracing at 4.59-4.75, one gauge member
+        # never stressed -> None).
+        assert sum(1 for v in finite if v <= 3.0 * 1.001) >= 5
+        assert b.count(None) == 1
+        # The redesign costs real mass over the beta-1.91 original
+        # (uniform areas, mass 23.3 start -> 13.3 optimized).
+        np.testing.assert_allclose(res["mass"], 13.32, rtol=0.02)
     elif kind == "sizing" and name == "dyn-sizing-fatigue.json":
         # Fatigue-life-floor sizing of the braced tower: every member
         # must survive 200 h of the white-noise wind.  Feasible (the

@@ -65,6 +65,7 @@ def test_example_script_runs(name, tmp_path, monkeypatch, capsys):
         monkeypatch.setenv("FATIGUE_STEPS", "12000")
     if name == "reliability_assessment":
         monkeypatch.setenv("RELIAB_MC", "8000")
+        monkeypatch.setenv("RELIAB_RBDO_ITERS", "60")
     mod = load_example(name)
     assert hasattr(mod, "main"), f"{name}.py must expose main()"
     mod.main()

@@ -777,3 +777,91 @@ def test_fatigue_input_validation():
         optimize_sizing(p, fatigue={**base, "method": "rainflow"})
     with pytest.raises(ValueError, match="psd"):
         optimize_sizing(p, fatigue={**base, "psd": -1.0})
+
+
+# -------------------------------------------------- RBDO (reliability)
+
+
+def test_rbdo_tip_bar_closed_form():
+    """Single bar, axial load: sigma = S/A exactly (E drops out), so
+    beta(A) = (mu_R - mu_S/A)/sqrt(s_R^2 + (s_S/A)^2) and
+    beta(A*) = beta_t is a quadratic in 1/A — an EXACT anchor for the
+    whole PMA/AMV + Danskin chain.  The achieved beta (full HL-RF
+    authority recompute) must sit on the target."""
+    muR, sR, muS, sS, bt = 2.0, 0.2, 1.0, 0.25, 3.0
+    p = TrussProblem(np.array([0.0, 1.0]), np.array([[0, 1]]),
+                     Material(young=1.0, area=1.0, density=1.0),
+                     np.array([0.0, 1.0]), np.array([0]), 1)
+    a_q = muS ** 2 - bt ** 2 * sS ** 2
+    b_q = -2.0 * muR * muS
+    c_q = muR ** 2 - bt ** 2 * sR ** 2
+    roots = np.roots([a_q, b_q, c_q])
+    q = min(r for r in roots if r > 0)       # the safe-side crossing
+    a_true = 1.0 / q
+    res = optimize_sizing(
+        p,
+        reliability={"variables": [
+            {"name": "S", "kind": "load_scale",
+             "distribution": "normal", "mean": muS, "std": sS},
+            {"name": "R", "kind": "resistance",
+             "distribution": "normal", "mean": muR, "std": sR}],
+            "target_beta": bt,
+            "limit_state": {"type": "stress", "variable": "R"}},
+        min_area=1e-4, n_iter=200, outer_rounds=3, learning_rate=0.08)
+    np.testing.assert_allclose(res.areas[0], a_true, rtol=1e-3)
+    np.testing.assert_allclose(res.min_reliability_beta, bt, rtol=1e-3)
+
+
+def test_rbdo_mass_grows_with_target():
+    """More reliability costs more mass — and every returned design's
+    authority-recomputed beta respects its own floor."""
+    p = three_bar(area=1.0)
+    masses = []
+    for bt in (1.5, 2.5):
+        res = optimize_sizing(
+            p,
+            reliability={"variables": [
+                {"name": "S", "kind": "load_scale",
+                 "distribution": "normal", "mean": 1.0, "std": 0.2},
+                {"name": "R", "kind": "resistance",
+                 "distribution": "lognormal", "mean": 1.0,
+                 "cov": 0.1}],
+                "target_beta": bt,
+                "limit_state": {"type": "stress", "variable": "R"}},
+            min_area=1e-3, n_iter=150, outer_rounds=3,
+            learning_rate=0.08)
+        assert res.min_reliability_beta >= bt * (1.0 - 1e-3)
+        masses.append(res.mass)
+    assert masses[1] > masses[0] * 1.05
+
+
+def test_rbdo_validation():
+    p = three_bar(area=1.0)
+    S = {"name": "S", "kind": "load_scale", "distribution": "normal",
+         "mean": 1.0, "std": 0.2}
+    with pytest.raises(ValueError, match="target_beta"):
+        optimize_sizing(p, reliability={"variables": [S]})
+    with pytest.raises(ValueError, match="design vector"):
+        optimize_sizing(p, reliability={
+            "variables": [S, {"name": "A", "kind": "area",
+                              "distribution": "normal", "mean": 1.0,
+                              "std": 0.1}],
+            "target_beta": 2.0,
+            "limit_state": {"type": "stress", "limit": 1.0}})
+    with pytest.raises(ValueError, match="stress limit state"):
+        optimize_sizing(p, reliability={
+            "variables": [S], "target_beta": 2.0,
+            "limit_state": {"type": "displacement", "limit": 1.0}})
+    with pytest.raises(ValueError, match='"limit" or'):
+        optimize_sizing(p, reliability={
+            "variables": [S], "target_beta": 2.0})
+    with pytest.raises(ValueError, match="non-finite"):
+        # A free-floating problem (no supports) must fail loudly, not
+        # return a NaN design marked converged (measured regression).
+        free = TrussProblem(np.array([[0.0, 0.0], [1.0, 0.0]]),
+                            np.array([[0, 1]]),
+                            Material(young=1.0, area=1.0, density=1.0),
+                            np.array([0.0, 0.0, 1.0, 0.0]),
+                            np.zeros(0, dtype=int), 2)
+        optimize_sizing(free, stress_limit=1.0, n_iter=20,
+                        outer_rounds=1)
