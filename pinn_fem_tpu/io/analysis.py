@@ -2382,7 +2382,16 @@ def run_reliability(problem, analysis: Dict) -> Dict:
                          "limit": 2.0 | "variable": "R",
                          "elements": [..]}                  # default all
                       | {"type": "displacement", "limit": 0.5,
-                         "probe_nodes"/"probe_dofs": [..]},
+                         "probe_nodes"/"probe_dofs": [..]}
+                      | {"type": "fatigue",       # life under random
+                         "min_life_s": T | "min_life_hours": h,
+                         "variable": "C",         # Basquin C random, or
+                                                  # sn.coefficient fixed
+                         "fatigue": {"psd": S, "omegas": [..] | {..},
+                                     "damping": [a, b],
+                                     "sn": {"exponent": m},
+                                     "method": "dirlik"},
+                         "elements": [..]},
                      "n_iter": 50,
                      "validate_mc": 20000, "seed": 0}   # optional MC
 
@@ -2398,6 +2407,15 @@ def run_reliability(problem, analysis: Dict) -> Dict:
     if ls.get("type", "stress") == "displacement" \
             and ("probe_nodes" in ls or "probe_dofs" in ls):
         ls["probe_dofs"] = _probe_dofs(ls, problem).tolist()
+    if ls.get("type") == "fatigue":
+        if isinstance(ls.get("fatigue"), dict):
+            ls["fatigue"] = dict(ls["fatigue"])
+            if "omegas" in ls["fatigue"]:
+                ls["fatigue"]["omegas"] = \
+                    _omega_array(ls["fatigue"]["omegas"])
+        if ls.get("min_life_s") is None \
+                and ls.get("min_life_hours") is not None:
+            ls["min_life_s"] = 3600.0 * float(ls.pop("min_life_hours"))
     with _local_cpu_ctx(analysis):
         res = form_reliability(
             problem, analysis.get("variables"), ls,

@@ -252,16 +252,77 @@ def form_reliability(
         if np.any(ls_idx < 0) or np.any(ls_idx >= problem.ndof):
             raise ValueError("probe_dofs out of range")
         labels = [f"displacement dof{int(d)}" for d in ls_idx]
+    elif ls_type == "fatigue":
+        # Fatigue reliability: the member's Dirlik/narrow-band life
+        # under a stationary random load becomes the limit state,
+        # r = (D·T_req)^(1/m) — the whole spectral chain (FRF sweep →
+        # stress PSD → closed-form damage) sits INSIDE g, so the MPP
+        # search differentiates through resonance shifts and the S-N
+        # curve.  The Basquin C may be the resistance variable (the
+        # standard uncertain-material-curve setting).
+        fat_ls = limit_state.get("fatigue")
+        if not fat_ls:
+            raise ValueError('fatigue limit state needs a "fatigue" '
+                             'spec {psd, omegas, damping, sn, method}')
+        if limit_state.get("min_life_s") is None:
+            raise ValueError('fatigue limit state needs "min_life_s"')
+        f_life = float(limit_state["min_life_s"])
+        if f_life <= 0.0:
+            raise ValueError("min_life_s must be positive")
+        sn = fat_ls.get("sn") or {}
+        if sn.get("exponent") is None:
+            raise ValueError('fatigue limit state needs "sn": '
+                             '{"exponent": m, ...}')
+        f_m = float(sn["exponent"])
+        if f_m <= 0.0:
+            raise ValueError("S-N exponent must be positive")
+        if limit_state.get("variable") is not None:
+            rname = limit_state["variable"]
+            if rname not in var_names:
+                raise ValueError(f'limit-state resistance variable '
+                                 f'{rname!r} is not defined')
+            res_var = var_names.index(rname)
+            if varspecs[res_var]["kind"] != "resistance":
+                raise ValueError(f'{rname!r} must have kind '
+                                 f'"resistance"')
+        elif sn.get("coefficient") is None:
+            raise ValueError('fatigue limit state needs '
+                             'sn.coefficient or a resistance '
+                             '"variable" playing the Basquin C')
+        f_om = np.asarray(fat_ls.get("omegas", ()),
+                          dtype=float).reshape(-1)
+        if f_om.size < 4 or np.any(np.diff(f_om) <= 0.0) \
+                or f_om[0] <= 0.0:
+            raise ValueError('fatigue limit state needs an ascending '
+                             'positive "omegas" sweep (>= 4 points)')
+        f_psd = np.broadcast_to(
+            np.asarray(fat_ls.get("psd", 1.0), dtype=float),
+            f_om.shape).copy()
+        f_damp = fat_ls.get("damping", (0.0, 0.0))
+        f_method = fat_ls.get("method", "dirlik")
+        if f_method not in ("dirlik", "narrowband"):
+            raise ValueError('fatigue method must be "dirlik" or '
+                             '"narrowband"')
+        elems = limit_state.get("elements")
+        ls_idx = (np.arange(nelm) if elems is None
+                  else np.asarray(elems, dtype=int).reshape(-1))
+        if np.any(ls_idx < 0) or np.any(ls_idx >= nelm):
+            raise ValueError("limit-state elements out of range")
+        labels = [f"fatigue e{int(e)}" for e in ls_idx]
+        f_om_d = jnp.asarray(f_om, dtype)
+        f_psd_d = jnp.asarray(f_psd, dtype)
+        f_coeff = (None if sn.get("coefficient") is None
+                   else float(sn["coefficient"]))
     else:
-        raise ValueError('limit_state type must be "stress" or '
-                         '"displacement"')
+        raise ValueError('limit_state type must be "stress", '
+                         '"displacement" or "fatigue"')
     limit_c = (None if limit_state.get("limit") is None
                else float(limit_state["limit"]))
     n_ls = int(ls_idx.size)
     ls_idx_d = jnp.asarray(ls_idx)
 
-    def response(u):
-        """(u_field, sigma) at standard-normal coordinates u."""
+    def fields(u):
+        """Per-element material fields + load scale at coordinates u."""
         young_e = base["young"]
         area_e = base["area"]
         rho_e = base["density"]
@@ -281,24 +342,51 @@ def form_reliability(
                     area_e = arr
                 else:
                     rho_e = arr
+        return young_e, area_e, rho_e, scale
+
+    def response(u):
+        """(u_field, sigma) at standard-normal coordinates u."""
+        young_e, area_e, rho_e, scale = fields(u)
         uu, sigma, _, _ = static_response_elem(
             problem, area_e, data=data, young_e=young_e, rho_e=rho_e,
             loads=data.loads * scale)
         return uu, sigma
 
-    def g_one(u, i):
-        """Limit state i at u: g > 0 safe, g <= 0 failed."""
+    def ratios_all(u):
+        """(n_ls,) demand/capacity ratios — failure iff ratio >= 1.
+        The single definition serves g (FORM), the MC indicator and the
+        unreachable-surface test."""
+        if ls_type == "fatigue":
+            from .sizing import fatigue_life_ratio, member_force_frf_sq
+
+            young_e, area_e, rho_e, scale = fields(u)
+            h2 = member_force_frf_sq(
+                data, young_e, area_e, rho_e, f_om_d,
+                float(f_damp[0]), float(f_damp[1]))[:, ls_idx_d]
+            a_sel = area_e[ls_idx_d]
+            s_sigma = h2 * (f_psd_d * scale * scale)[:, None] \
+                / (a_sel * a_sel)[None, :]
+            if res_var is not None:
+                c = _physical(varspecs[res_var], u[res_var])
+            else:
+                c = jnp.asarray(f_coeff, dtype)
+            return fatigue_life_ratio(f_om_d, s_sigma, f_m, c, f_life,
+                                      method=f_method)
         uu, sigma = response(u)
         if ls_type == "stress":
-            demand = jnp.abs(sigma)[ls_idx_d[i]]
+            demand = jnp.abs(sigma)[ls_idx_d]
             if res_var is not None:
                 r = _physical(varspecs[res_var], u[res_var])
             else:
                 r = jnp.asarray(limit_c, dtype)
         else:
-            demand = jnp.abs(uu)[ls_idx_d[i]]
+            demand = jnp.abs(uu)[ls_idx_d]
             r = jnp.asarray(limit_c, dtype)
-        return 1.0 - demand / r
+        return demand / r
+
+    def g_one(u, i):
+        """Limit state i at u: g > 0 safe, g <= 0 failed."""
+        return 1.0 - ratios_all(u)[i]
 
     g_grad = jax.value_and_grad(g_one)
 
@@ -367,38 +455,22 @@ def form_reliability(
         history=np.max(hists, axis=0) if n_ls else np.zeros(0))
 
     if mc_samples and mc_samples > 0:
-        result = _attach_monte_carlo(result, response, varspecs,
-                                     ls_type, ls_idx_d, res_var,
-                                     limit_c, int(mc_samples),
-                                     int(mc_seed), int(mc_chunk),
-                                     dtype, n_vars)
+        result = _attach_monte_carlo(result, ratios_all, n_ls,
+                                     int(mc_samples), int(mc_seed),
+                                     int(mc_chunk), dtype, n_vars)
     return result
 
 
-def _attach_monte_carlo(result, response, varspecs, ls_type, ls_idx_d,
-                        res_var, limit_c, n_samples, seed, chunk,
-                        dtype, n_vars):
-    """Crude Monte Carlo on the same traced response, chunk-vmapped —
-    the ground truth FORM approximates, shaped as batched dense solves
-    (the TPU-scalable form of the estimate)."""
+def _attach_monte_carlo(result, ratios_all, n_ls, n_samples, seed,
+                        chunk, dtype, n_vars):
+    """Crude Monte Carlo on the same traced demand/capacity ratios,
+    chunk-vmapped — the ground truth FORM approximates, shaped as
+    batched dense solves (the TPU-scalable form of the estimate)."""
 
-    def fail_one(u):
-        uu, sigma = response(u)
-        if ls_type == "stress":
-            demand = jnp.abs(sigma)[ls_idx_d]
-            if res_var is not None:
-                r = _physical(varspecs[res_var], u[res_var])
-            else:
-                r = jnp.asarray(limit_c, dtype)
-        else:
-            demand = jnp.abs(uu)[ls_idx_d]
-            r = jnp.asarray(limit_c, dtype)
-        return demand / r >= 1.0          # (n_ls,) bool
-
-    fail_batch = jax.jit(jax.vmap(fail_one))
+    fail_batch = jax.jit(jax.vmap(lambda u: ratios_all(u) >= 1.0))
     rng = np.random.default_rng(seed)
     n_fail_sys = 0
-    n_fail_ls = np.zeros(ls_idx_d.shape[0], dtype=np.int64)
+    n_fail_ls = np.zeros(n_ls, dtype=np.int64)
     done = 0
     while done < n_samples:
         b = min(chunk, n_samples - done)

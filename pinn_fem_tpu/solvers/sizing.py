@@ -343,6 +343,10 @@ def fatigue_life_ratio(omegas, stress_psd, sn_exponent, sn_coefficient,
     fixed force, so AL multipliers and the feasibility polish treat it
     exactly like |σ|/σ_allow).
 
+    `sn_coefficient` may be a TRACED scalar (fatigue-reliability
+    treats the Basquin C as a random variable); the exponent stays
+    static (it parameterizes Gamma functions).
+
     Traced jnp MIRROR of the host authority chain
     fatigue.spectral_moments → dirlik/narrowband_damage_rate —
     tests/test_sizing.py pins the two paths 1:1, the same mirror
@@ -360,7 +364,7 @@ def fatigue_life_ratio(omegas, stress_psd, sn_exponent, sn_coefficient,
     m2s = jnp.where(active, m2, 1.0)
     if method == "narrowband":
         nu0 = jnp.sqrt(m2s / m0s) / (2.0 * jnp.pi)
-        rate = (nu0 / float(sn_coefficient)
+        rate = (nu0 / jnp.asarray(sn_coefficient)
                 * jnp.sqrt(2.0 * m0s) ** mexp
                 * math.gamma(1.0 + mexp / 2.0))
     elif method == "dirlik":
@@ -377,7 +381,8 @@ def fatigue_life_ratio(omegas, stress_psd, sn_exponent, sn_coefficient,
         d3 = 1.0 - d1 - d2
         q = 1.25 * (alpha2 - d3 - d2 * r) / d1
         nup = jnp.sqrt(m4s / m2s) / (2.0 * jnp.pi)
-        rate = (nup / float(sn_coefficient) * jnp.sqrt(m0s) ** mexp
+        rate = (nup / jnp.asarray(sn_coefficient)
+                * jnp.sqrt(m0s) ** mexp
                 * (d1 * q ** mexp * math.gamma(1.0 + mexp)
                    + jnp.sqrt(2.0) ** mexp
                    * math.gamma(1.0 + mexp / 2.0)

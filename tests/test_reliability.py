@@ -210,3 +210,99 @@ def test_reliability_json_tier():
     assert 0 <= lo <= hi <= 1
     assert np.asarray(out["alpha_correlation"]).shape == (2, 2)
     assert "mc" not in out                       # not requested
+
+
+def test_form_fatigue_lognormal_closed_form():
+    """Fatigue limit state: D = D0 S^m / C for lognormal load scale S
+    and Basquin C, so ln r is LINEAR in the standard normals and
+    beta = (-(1/m) ln(D0 T) - lam_S + lam_C/m) / sqrt(z_S^2 + z_C^2/m^2)
+    EXACTLY, with D0 the deterministic damage rate at S = C = 1 — the
+    whole traced chain (FRF sweep -> stress PSD -> Dirlik) sits inside
+    g and must still land on the closed form."""
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from pinn_fem_tpu.solvers.fatigue import spectral_fatigue
+    from pinn_fem_tpu.solvers.sizing import member_force_frf_sq
+
+    p = three_bar()
+    om = np.linspace(0.05, 6.0, 120)
+    S0, mexp, T = 1e-3, 3.0, 1e4
+    damp = (0.3, 1e-3)
+    data = p.to_device()
+    dt = data.loads.dtype
+    h2 = np.asarray(jax.device_get(member_force_frf_sq(
+        data, 1.0, jnp.ones(3, dt), 1.0, jnp.asarray(om, dt), *damp)))
+    d0 = spectral_fatigue(om, h2 * S0, mexp, 1.0,
+                          method="dirlik").damage_rate
+    crit = int(np.argmax(d0))
+    muS, dS, muC, dC = 1.0, 0.2, 1.2, 0.3
+    zS = math.sqrt(math.log1p(dS * dS))
+    lS = math.log(muS) - zS * zS / 2.0
+    zC = math.sqrt(math.log1p(dC * dC))
+    lC = math.log(muC) - zC * zC / 2.0
+    beta_exact = (-(1.0 / mexp) * math.log(d0[crit] * T) - lS
+                  + lC / mexp) / math.hypot(zS, zC / mexp)
+    res = form_reliability(
+        p,
+        variables=[{"name": "S", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": muS,
+                    "cov": dS},
+                   {"name": "C", "kind": "resistance",
+                    "distribution": "lognormal", "mean": muC,
+                    "cov": dC}],
+        limit_state={"type": "fatigue", "variable": "C",
+                     "min_life_s": T,
+                     "fatigue": {"psd": S0, "omegas": om,
+                                 "damping": list(damp),
+                                 "sn": {"exponent": mexp}}},
+        mc_samples=4000, mc_seed=5)
+    assert res.labels[crit] == f"fatigue e{crit}"
+    np.testing.assert_allclose(res.beta[crit], beta_exact, rtol=1e-4)
+    assert np.all(res.converged)
+    # MC agreement at a beta ~ 2 level: 3-sigma band around the FORM
+    # system bounds (the limit states are strongly correlated through
+    # S and C, so pf_sys ~ pf_max).
+    band = 3.0 * res.mc_std_error
+    assert res.system_pf_lower - band <= res.mc_pf \
+        <= 1.5 * res.system_pf_upper + band
+
+
+def test_form_fatigue_validation_and_json_tier():
+    from pinn_fem_tpu.io.analysis import run_analysis
+
+    p = three_bar()
+    om = {"start": 0.05, "stop": 6.0, "num": 60}
+    S = {"name": "S", "kind": "load_scale", "distribution": "lognormal",
+         "mean": 1.0, "cov": 0.2}
+    base_ls = {"type": "fatigue", "min_life_s": 1e4,
+               "fatigue": {"psd": 1e-3, "omegas": np.linspace(
+                   0.05, 6.0, 60), "damping": [0.3, 1e-3],
+                   "sn": {"exponent": 3.0, "coefficient": 14.5}}}
+    with pytest.raises(ValueError, match="min_life_s"):
+        form_reliability(p, [S], {**base_ls, "min_life_s": None})
+    with pytest.raises(ValueError, match="exponent"):
+        form_reliability(p, [S], {**base_ls, "fatigue": {
+            **base_ls["fatigue"], "sn": {}}})
+    with pytest.raises(ValueError, match="coefficient"):
+        form_reliability(p, [S], {**base_ls, "fatigue": {
+            **base_ls["fatigue"], "sn": {"exponent": 3.0}}})
+    with pytest.raises(ValueError, match="omegas"):
+        form_reliability(p, [S], {**base_ls, "fatigue": {
+            **base_ls["fatigue"], "omegas": [1.0]}})
+    # JSON tier: omegas spec dict + min_life_hours convenience.
+    out = run_analysis(p, {
+        "type": "reliability",
+        "variables": [S],
+        "limit_state": {"type": "fatigue", "min_life_hours": 1e4 / 3600,
+                        "fatigue": {"psd": 1e-3, "omegas": om,
+                                    "damping": [0.3, 1e-3],
+                                    "sn": {"exponent": 3.0,
+                                           "coefficient": 14.5}},
+                        "elements": [1]}})
+    assert out["success"]
+    assert out["labels"] == ["fatigue e1"]
+    assert out["converged"] == [True]
+    assert 0.5 < out["beta"][0] < 10.0

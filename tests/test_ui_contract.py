@@ -624,7 +624,11 @@ def test_ui_reliability_payload_served():
     # pf, system_pf_bounds.
     assert all(out["converged"])
     crit = out["critical_limit_state"]
-    assert out["labels"][crit] == f"stress e{crit_expected}"
+    # The canonical chain carries N = 1 in EVERY member, so the
+    # critical element is a float-level tie — assert the critical
+    # member's demand ties the max, not a specific index.
+    assert abs(abs(stresses[crit]) - smax) <= 1e-6 * smax
+    assert abs(abs(stresses[crit_expected]) - smax) <= 1e-6 * smax
     assert 0.5 < out["beta_min"] < 4.0       # 30% margin, 23% scatter
     lo, hi = out["system_pf_bounds"]
     assert 0 < lo <= hi <= 1
