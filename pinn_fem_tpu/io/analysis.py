@@ -2393,7 +2393,9 @@ def run_reliability(problem, analysis: Dict) -> Dict:
                                      "method": "dirlik"},
                          "elements": [..]},
                      "n_iter": 50,
-                     "validate_mc": 20000, "seed": 0}   # optional MC
+                     "sorm": false,             # Breitung correction
+                     "validate_mc": 20000, "seed": 0,
+                     "mc_method": "crude" | "importance"}
 
     One limit state per member (or probed DOF); the response reports
     per-limit-state beta / p_f / MPP plus the series-system bounds and
@@ -2421,7 +2423,9 @@ def run_reliability(problem, analysis: Dict) -> Dict:
             problem, analysis.get("variables"), ls,
             n_iter=int(analysis.get("n_iter", 50)),
             mc_samples=int(analysis.get("validate_mc", 0)),
-            mc_seed=int(analysis.get("seed", 0)))
+            mc_seed=int(analysis.get("seed", 0)),
+            mc_method=analysis.get("mc_method", "crude"),
+            sorm=bool(analysis.get("sorm", False)))
     worst = int(np.argmin(res.beta)) if res.beta.size else -1
     out = {
         "success": True,
@@ -2441,9 +2445,13 @@ def run_reliability(problem, analysis: Dict) -> Dict:
     if analysis.get("include_correlation",
                     len(res.labels) <= _SHAPES_JSON_DOF_LIMIT):
         out["alpha_correlation"] = res.alpha_correlation.tolist()
+    if res.pf_sorm is not None:
+        out["pf_sorm"] = res.pf_sorm.tolist()
+        out["system_pf_sorm_bounds"] = [res.system_pf_sorm_lower,
+                                        res.system_pf_sorm_upper]
     if res.mc_pf is not None:
         out["mc"] = {"pf": res.mc_pf, "std_error": res.mc_std_error,
-                     "n_samples": res.mc_n,
+                     "n_samples": res.mc_n, "method": res.mc_method,
                      "pf_per_limit_state": res.mc_pf_per_ls.tolist()}
     return out
 

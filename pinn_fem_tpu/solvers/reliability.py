@@ -83,11 +83,19 @@ class ReliabilityResult:
     system_pf_upper: float = float("nan")
     alpha_correlation: Optional[np.ndarray] = None   # (n_ls, n_ls)
     n_iter: int = 0
+    # SORM (Breitung) curvature-corrected probabilities (None unless
+    # sorm=True): pf·det(I + β·A)^(-1/2) with A the limit surface's
+    # scaled tangent Hessian at the MPP; falls back to the FORM value
+    # where the asymptotic factor degenerates (1 + β·a_j ≤ 0.01).
+    pf_sorm: Optional[np.ndarray] = None
+    system_pf_sorm_lower: float = float("nan")
+    system_pf_sorm_upper: float = float("nan")
     # Monte-Carlo cross-check (None unless run): series-system estimate.
     mc_pf: Optional[float] = None
     mc_std_error: Optional[float] = None
     mc_n: Optional[int] = None
     mc_pf_per_ls: Optional[np.ndarray] = None
+    mc_method: Optional[str] = None      # "crude" | "importance"
     history: np.ndarray = field(
         default_factory=lambda: np.zeros(0))     # per-iter max |g|
 
@@ -179,6 +187,8 @@ def form_reliability(
     mc_samples: int = 0,
     mc_seed: int = 0,
     mc_chunk: int = 1024,
+    mc_method: str = "crude",
+    sorm: bool = False,
     data=None,
     areas=None,
 ) -> ReliabilityResult:
@@ -188,9 +198,17 @@ def form_reliability(
                   "elements": [..]}          # default: all members
               or {"type": "displacement", "limit": d,
                   "probe_dofs": [..]}        # one LS per probed DOF
-    mc_samples > 0 adds the crude-Monte-Carlo cross-check (series
-    system and per-limit-state), chunk-vmapped over the same traced
-    response.  `areas` (nelm,) overrides the problem's member areas —
+    mc_samples > 0 adds the Monte-Carlo cross-check (series system and
+    per-limit-state), chunk-vmapped over the same traced response.
+    mc_method "importance" centers a mixture proposal on the dominant
+    MPPs (β ≤ β_min + 2) so small failure probabilities (β ≳ 3, where
+    crude MC sees nothing) are estimated with a few thousand samples —
+    the variance-reduced ground truth for exactly the regimes FORM is
+    used in.  sorm=True adds the Breitung second-order correction
+    pf·det(I + βA)^(-1/2) (A = TᵀHT/‖∇g‖ at the MPP, jax.hessian
+    through the whole traced chain): exact for the parabolic surface
+    pf = Φ(−β)·(1+2aβ)^(-1/2), and a strict no-op on surfaces linear
+    in u.  `areas` (nelm,) overrides the problem's member areas —
     how RBDO re-assesses ITS design (optimize_sizing's final authority
     check) without rebuilding the problem.
     """
@@ -454,36 +472,108 @@ def form_reliability(
         system_pf_upper=sys_hi, alpha_correlation=corr, n_iter=n_iter,
         history=np.max(hists, axis=0) if n_ls else np.zeros(0))
 
+    if sorm and n_ls:
+        # Breitung: pf·det(I_{n−1} + β·A)^(−1/2), A = TᵀHT/‖∇g‖ at the
+        # MPP with T an orthonormal tangent basis (QR completion of α).
+        # Derivation: on the surface, the distance along α is
+        # β + ½tᵀAt, so pf = E_t[Φ(−β−½tᵀAt)] ≈ Φ(−β)·E[e^(−β·½tᵀAt)].
+        def tangent_eigs(i, u_star):
+            h = jax.hessian(g_one)(u_star, i)
+            _, dg = g_grad(u_star, i)
+            nrm = jnp.maximum(jnp.linalg.norm(dg), 1e-30)
+            alpha_v = -dg / nrm
+            q, _ = jnp.linalg.qr(alpha_v[:, None], mode="complete")
+            t_basis = q[:, 1:]
+            a_mat = t_basis.T @ h @ t_basis / nrm
+            return jnp.linalg.eigvalsh(a_mat)
+
+        safe_u = np.where(np.isfinite(u_stars), u_stars, 0.0)
+        eigs = np.asarray(jax.device_get(jax.jit(jax.vmap(
+            tangent_eigs))(jnp.arange(n_ls),
+                           jnp.asarray(safe_u, dtype))), dtype=float)
+        with np.errstate(invalid="ignore"):
+            factors = 1.0 + betas[:, None] * eigs
+        ok_rows = np.isfinite(betas) & np.all(factors > 0.01, axis=1)
+        det_fac = np.where(ok_rows,
+                           np.prod(np.where(ok_rows[:, None],
+                                            np.maximum(factors, 0.01),
+                                            1.0), axis=1) ** -0.5,
+                           1.0)
+        pf_sorm = np.where(np.isfinite(betas), pf * det_fac, 0.0)
+        result.pf_sorm = pf_sorm
+        result.system_pf_sorm_lower = float(np.max(pf_sorm))
+        result.system_pf_sorm_upper = float(min(1.0, np.sum(pf_sorm)))
+
     if mc_samples and mc_samples > 0:
+        if mc_method not in ("crude", "importance"):
+            raise ValueError('mc_method must be "crude" or '
+                             '"importance"')
         result = _attach_monte_carlo(result, ratios_all, n_ls,
                                      int(mc_samples), int(mc_seed),
-                                     int(mc_chunk), dtype, n_vars)
+                                     int(mc_chunk), dtype, n_vars,
+                                     method=mc_method, betas=betas,
+                                     u_stars=u_stars)
     return result
 
 
 def _attach_monte_carlo(result, ratios_all, n_ls, n_samples, seed,
-                        chunk, dtype, n_vars):
-    """Crude Monte Carlo on the same traced demand/capacity ratios,
+                        chunk, dtype, n_vars, method="crude",
+                        betas=None, u_stars=None):
+    """Monte Carlo on the same traced demand/capacity ratios,
     chunk-vmapped — the ground truth FORM approximates, shaped as
-    batched dense solves (the TPU-scalable form of the estimate)."""
+    batched dense solves (the TPU-scalable form of the estimate).
 
+    method "crude": u ~ N(0, I), pf = mean(fail).
+    method "importance": the proposal is an equal-weight Gaussian
+    mixture centered on the DOMINANT MPPs (finite β ≤ β_min + 2) —
+    every sample lands near a failure surface, so β ≳ 3 probabilities
+    (invisible to crude MC) get tight estimates from a few thousand
+    samples.  The likelihood ratio w = φ(u)/q(u) is computed host-side
+    in float64 via logsumexp; estimates are the standard
+    self-normalization-free IS mean and its sample standard error.
+    """
     fail_batch = jax.jit(jax.vmap(lambda u: ratios_all(u) >= 1.0))
     rng = np.random.default_rng(seed)
-    n_fail_sys = 0
-    n_fail_ls = np.zeros(n_ls, dtype=np.int64)
+    centers = None
+    if method == "importance":
+        finite = np.isfinite(betas)
+        if not np.any(finite):
+            raise ValueError("importance sampling needs at least one "
+                             "finite-beta limit state")
+        bmin = float(np.min(betas[finite]))
+        dom = finite & (betas <= bmin + 2.0)
+        centers = np.asarray(u_stars[dom], dtype=float)   # (K, n)
+    s_w_sys = s_w2_sys = 0.0
+    s_w_ls = np.zeros(n_ls)
+    s_w2_ls = np.zeros(n_ls)
     done = 0
     while done < n_samples:
         b = min(chunk, n_samples - done)
-        u = rng.standard_normal((b, n_vars))
+        if centers is None:
+            u = rng.standard_normal((b, n_vars))
+            w = np.ones(b)
+        else:
+            k = rng.integers(0, centers.shape[0], size=b)
+            u = centers[k] + rng.standard_normal((b, n_vars))
+            # w = φ(u)/q(u) = K / Σ_k exp(u·c_k − ‖c_k‖²/2)
+            lg = u @ centers.T - 0.5 * np.sum(centers ** 2, axis=1)
+            m = np.max(lg, axis=1, keepdims=True)
+            w = centers.shape[0] * np.exp(
+                -(m[:, 0] + np.log(np.sum(np.exp(lg - m), axis=1))))
         f = np.asarray(jax.device_get(
             fail_batch(jnp.asarray(u, dtype))))
-        n_fail_sys += int(np.sum(np.any(f, axis=1)))
-        n_fail_ls += np.sum(f, axis=0)
+        wi_sys = w * np.any(f, axis=1)
+        s_w_sys += float(np.sum(wi_sys))
+        s_w2_sys += float(np.sum(wi_sys ** 2))
+        wi_ls = w[:, None] * f
+        s_w_ls += np.sum(wi_ls, axis=0)
+        s_w2_ls += np.sum(wi_ls ** 2, axis=0)
         done += b
-    pf_mc = n_fail_sys / n_samples
+    pf_mc = s_w_sys / n_samples
+    var = max(s_w2_sys / n_samples - pf_mc ** 2, 0.0)
     result.mc_pf = float(pf_mc)
-    result.mc_std_error = float(
-        np.sqrt(max(pf_mc * (1.0 - pf_mc), 1e-300) / n_samples))
+    result.mc_std_error = float(np.sqrt(max(var, 1e-300) / n_samples))
     result.mc_n = n_samples
-    result.mc_pf_per_ls = n_fail_ls / n_samples
+    result.mc_pf_per_ls = s_w_ls / n_samples
+    result.mc_method = method
     return result

@@ -167,6 +167,12 @@ def test_dyn_corpus_runs(name, tmp_path):
         a = np.asarray(res["alpha"])
         np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0,
                                    atol=1e-5)
+        # Breitung correction present and mild at these curvatures.
+        ps = np.asarray(res["pf_sorm"])
+        pf = np.asarray(res["pf"])
+        assert ps.shape == pf.shape
+        m = pf > 1e-12
+        np.testing.assert_allclose(ps[m], pf[m], rtol=0.15)
     elif kind == "sizing" and name == "dyn-sizing-rbdo.json":
         # The assess-then-redesign arc: dyn-reliability measures the
         # uniform design at beta_min 1.91; this doc redesigns the same
