@@ -2393,6 +2393,7 @@ def run_reliability(problem, analysis: Dict) -> Dict:
                                      "method": "dirlik"},
                          "elements": [..]},
                      "n_iter": 50,
+                     "correlation": [["S", "R", -0.3], ..],  # Nataf
                      "sorm": false,             # Breitung correction
                      "validate_mc": 20000, "seed": 0,
                      "mc_method": "crude" | "importance"}
@@ -2425,7 +2426,8 @@ def run_reliability(problem, analysis: Dict) -> Dict:
             mc_samples=int(analysis.get("validate_mc", 0)),
             mc_seed=int(analysis.get("seed", 0)),
             mc_method=analysis.get("mc_method", "crude"),
-            sorm=bool(analysis.get("sorm", False)))
+            sorm=bool(analysis.get("sorm", False)),
+            correlation=analysis.get("correlation"))
     worst = int(np.argmin(res.beta)) if res.beta.size else -1
     out = {
         "success": True,

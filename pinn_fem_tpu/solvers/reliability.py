@@ -178,6 +178,59 @@ def _physical(var, u):
     return jnp.exp(x) if var["dist"] == "lognormal" else x
 
 
+def _nataf_cholesky(varspecs, correlation):
+    """Lower Cholesky factor of the GAUSSIAN-space correlation matrix
+    (Nataf / Gaussian-copula model) from pairwise PHYSICAL-space
+    correlations [[name_i, name_j, rho], ...].
+
+    For the marginals here the copula adjustment is CLOSED FORM — no
+    integral equation: normal–normal keeps rho; lognormal–lognormal
+    uses rho_z = ln(1 + rho*delta_i*delta_j)/(zeta_i*zeta_j); a
+    normal–lognormal pair uses rho_z = rho*delta_ln/zeta_ln.  (delta is
+    the physical CoV, zeta the log-std.)  Returns None when no
+    correlation is given.
+    """
+    if not correlation:
+        return None
+    names = [v["name"] for v in varspecs]
+    n = len(varspecs)
+    rz = np.eye(n)
+    for entry in correlation:
+        if len(entry) != 3:
+            raise ValueError('correlation entries are '
+                             '[name_i, name_j, rho]')
+        na, nb, rho = entry
+        if na not in names or nb not in names or na == nb:
+            raise ValueError(f"bad correlation pair ({na!r}, {nb!r})")
+        rho = float(rho)
+        if not -1.0 < rho < 1.0:
+            raise ValueError("correlation must be in (-1, 1)")
+        i, j = names.index(na), names.index(nb)
+        vi, vj = varspecs[i], varspecs[j]
+
+        def delta(v):
+            # physical CoV of a lognormal from its zeta
+            return float(np.sqrt(np.expm1(v["b"] ** 2)))
+
+        if vi["dist"] == "normal" and vj["dist"] == "normal":
+            r = rho
+        elif vi["dist"] == "lognormal" and vj["dist"] == "lognormal":
+            r = float(np.log1p(rho * delta(vi) * delta(vj))
+                      / (vi["b"] * vj["b"]))
+        else:
+            ln = vi if vi["dist"] == "lognormal" else vj
+            r = rho * delta(ln) / ln["b"]
+        if not -1.0 < r < 1.0:
+            raise ValueError(f"correlation ({na}, {nb}) = {rho} is "
+                             f"infeasible for these marginals "
+                             f"(Gaussian-space {r:.3f})")
+        rz[i, j] = rz[j, i] = r
+    try:
+        return np.linalg.cholesky(rz)
+    except np.linalg.LinAlgError:
+        raise ValueError("correlation matrix is not positive definite")
+
+
 def form_reliability(
     problem: TrussProblem,
     variables: List[Dict],
@@ -189,6 +242,7 @@ def form_reliability(
     mc_chunk: int = 1024,
     mc_method: str = "crude",
     sorm: bool = False,
+    correlation=None,
     data=None,
     areas=None,
 ) -> ReliabilityResult:
@@ -237,6 +291,13 @@ def form_reliability(
             "density": jnp.asarray(rho_np, dtype)}
     masks = {i: jnp.asarray(v["mask"], dtype)
              for i, v in enumerate(varspecs) if v["mask"] is not None}
+    chol = _nataf_cholesky(varspecs, correlation)
+    chol_d = None if chol is None else jnp.asarray(chol, dtype)
+
+    def z_of(u):
+        """Correlated Gaussian coordinates (identity without a
+        correlation model)."""
+        return u if chol_d is None else chol_d @ u
 
     ls_type = limit_state.get("type", "stress")
     res_var = None
@@ -341,12 +402,13 @@ def form_reliability(
 
     def fields(u):
         """Per-element material fields + load scale at coordinates u."""
+        z = z_of(u)
         young_e = base["young"]
         area_e = base["area"]
         rho_e = base["density"]
         scale = jnp.asarray(1.0, dtype)
         for i, v in enumerate(varspecs):
-            x = _physical(v, u[i])
+            x = _physical(v, z[i])
             if v["kind"] == "load_scale":
                 scale = scale * x
             elif v["kind"] != "resistance":
@@ -385,7 +447,7 @@ def form_reliability(
             s_sigma = h2 * (f_psd_d * scale * scale)[:, None] \
                 / (a_sel * a_sel)[None, :]
             if res_var is not None:
-                c = _physical(varspecs[res_var], u[res_var])
+                c = _physical(varspecs[res_var], z_of(u)[res_var])
             else:
                 c = jnp.asarray(f_coeff, dtype)
             return fatigue_life_ratio(f_om_d, s_sigma, f_m, c, f_life,
@@ -394,7 +456,7 @@ def form_reliability(
         if ls_type == "stress":
             demand = jnp.abs(sigma)[ls_idx_d]
             if res_var is not None:
-                r = _physical(varspecs[res_var], u[res_var])
+                r = _physical(varspecs[res_var], z_of(u)[res_var])
             else:
                 r = jnp.asarray(limit_c, dtype)
         else:
@@ -435,10 +497,12 @@ def form_reliability(
                                               for v in jax.device_get(
         (betas, alphas, u_stars, g_stars, hists)))
 
-    # Physical-space design points (host, float64).
+    # Physical-space design points (host, float64) — through the
+    # dependence model when one is installed.
+    z_stars = u_stars if chol is None else u_stars @ chol.T
     xp = np.zeros((n_ls, n_vars))
     for j, v in enumerate(varspecs):
-        x = v["a"] + v["b"] * u_stars[:, j]
+        x = v["a"] + v["b"] * z_stars[:, j]
         xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
 
     # Unreachable surfaces: a member the load pattern never stresses

@@ -410,3 +410,90 @@ def test_sorm_and_is_json_tier():
                               "std": 0.25}],
                          {"type": "stress", "limit": 2.0},
                          mc_samples=10, mc_method="quasi")
+
+
+def test_nataf_correlated_closed_forms():
+    """Nataf dependence model, exact anchors: (a) correlated normal
+    R-S has Var[M] = s_R^2 + c^2 s_S^2 - 2 rho c s_R s_S; (b)
+    correlated lognormal R/S stays log-linear with the CLOSED-FORM
+    Gaussian-space rho_z = ln(1 + rho dR dS)/(zR zS); (c) rho = 0
+    reproduces the independent result exactly."""
+    import math
+
+    p = two_bar()
+    _, sig = _host_area_solve(p, np.ones(2))
+    c = abs(sig[0])
+    muR, sR, muS, sS, rho = 2.0, 0.2, 1.0, 0.25, 0.5
+    vs_n = [{"name": "S", "kind": "load_scale",
+             "distribution": "normal", "mean": muS, "std": sS},
+            {"name": "R", "kind": "resistance",
+             "distribution": "normal", "mean": muR, "std": sR}]
+    ls = {"type": "stress", "variable": "R", "elements": [0]}
+    res = form_reliability(p, vs_n, ls,
+                           correlation=[["S", "R", rho]])
+    var_m = sR ** 2 + (c * sS) ** 2 - 2.0 * rho * c * sR * sS
+    beta_exact = (muR - c * muS) / math.sqrt(var_m)
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-5)
+    # Positive R-S correlation REDUCES risk: beta above independent.
+    res0 = form_reliability(p, vs_n, ls)
+    assert res.beta[0] > res0.beta[0]
+
+    dR, dS = 0.1, 0.2
+    vs_ln = [{"name": "S", "kind": "load_scale",
+              "distribution": "lognormal", "mean": muS, "cov": dS},
+             {"name": "R", "kind": "resistance",
+              "distribution": "lognormal", "mean": muR, "cov": dR}]
+    zR = math.sqrt(math.log1p(dR * dR))
+    lR = math.log(muR) - zR * zR / 2.0
+    zS = math.sqrt(math.log1p(dS * dS))
+    lS = math.log(muS) - zS * zS / 2.0
+    rho_z = math.log1p(rho * dR * dS) / (zR * zS)
+    beta_ln = (lR - lS - math.log(c)) / math.sqrt(
+        zR * zR + zS * zS - 2.0 * rho_z * zR * zS)
+    res_ln = form_reliability(p, vs_ln, ls,
+                              correlation=[["S", "R", rho]])
+    np.testing.assert_allclose(res_ln.beta[0], beta_ln, rtol=1e-5)
+    # rho = 0 == independent.
+    r_zero = form_reliability(p, vs_ln, ls,
+                              correlation=[["S", "R", 0.0]])
+    r_ind = form_reliability(p, vs_ln, ls)
+    np.testing.assert_allclose(r_zero.beta[0], r_ind.beta[0],
+                               rtol=1e-6)
+
+
+def test_nataf_monte_carlo_consistency():
+    """Correlated 3-bar at beta ~ 2: FORM bounds vs crude MC through
+    the SAME z = L·u model (dependence reaches the sampler through the
+    one shared transform)."""
+    res = form_reliability(
+        three_bar(),
+        variables=[{"name": "S", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.25},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": 1.35,
+                    "cov": 0.12}],
+        limit_state={"type": "stress", "variable": "R"},
+        correlation=[["S", "R", -0.4]],     # adverse: amplifies risk
+        mc_samples=40000, mc_seed=11)
+    assert np.all(res.converged)
+    band = 3.0 * res.mc_std_error
+    assert 0.6 * res.system_pf_lower - band <= res.mc_pf \
+        <= 1.4 * res.system_pf_upper + band
+
+
+def test_nataf_validation():
+    p = two_bar()
+    vs = [{"name": "S", "kind": "load_scale", "distribution": "normal",
+           "mean": 1.0, "std": 0.25},
+          {"name": "R", "kind": "resistance", "distribution": "normal",
+           "mean": 2.0, "std": 0.2}]
+    ls = {"type": "stress", "variable": "R"}
+    with pytest.raises(ValueError, match="pair"):
+        form_reliability(p, vs, ls, correlation=[["S", "X", 0.3]])
+    with pytest.raises(ValueError, match="pair"):
+        form_reliability(p, vs, ls, correlation=[["S", "S", 0.3]])
+    with pytest.raises(ValueError, match=r"\(-1, 1\)"):
+        form_reliability(p, vs, ls, correlation=[["S", "R", 1.0]])
+    with pytest.raises(ValueError, match="name_i"):
+        form_reliability(p, vs, ls, correlation=[["S", 0.3]])
