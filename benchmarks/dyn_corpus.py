@@ -73,10 +73,24 @@ def _gate(name: str, res: dict) -> None:
         assert hist[-1] < 1e-2 * hist[0]
     elif kind == "sizing":
         assert res["converged"], name
-        assert res["max_stress_ratio"] <= 1.0 + 1e-6, name
+        if "max_stress_ratio" in res:
+            assert res["max_stress_ratio"] <= 1.0 + 1e-6, name
+        if "min_fatigue_life_s" in res:           # fatigue-floor sizing
+            assert res["min_fatigue_life_s"] >= \
+                res["fatigue_min_life_s"] * (1.0 - 1e-3), name
+        if "min_reliability_beta" in res:         # RBDO
+            assert res["min_reliability_beta"] >= \
+                res["target_beta"] * (1.0 - 1e-3), name
         assert res["mass"] < res["mass_initial"], name
         assert np.isfinite(np.asarray(res["areas"], dtype=float)).all(), \
-            name, name
+            name
+    elif kind == "reliability":
+        assert all(res["converged"]), name
+        assert res["beta_min"] > 0, name
+        lo, hi = res["system_pf_bounds"]
+        assert 0 <= lo <= hi <= 1, name
+        if "mc" in res:
+            assert 0 <= res["mc"]["pf"] <= 1, name
 
 
 def bench_fresh(path: str, env):
