@@ -417,7 +417,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       const r = await post('reliability', problem);
       setKind('reliability'); setShapes(null);
       setChart({ xs: r.beta.map((_, i) => i),
-                 series: r.beta.map((v) => [Math.min(v, 8)]) });
+                 series: r.beta.map((v) => [v === null ? 8 : Math.min(v, 8)])  // null = unreachable (infinitely safe): cap, not 0 });
       const crit = r.critical_limit_state;
       const [lo, hi] = r.system_pf_bounds;
       setRows([

@@ -2098,7 +2098,7 @@ def run_sizing(problem, analysis: Dict) -> Dict:
     if analysis.get("include_displacements",
                     problem.ndof <= _SHAPES_JSON_DOF_LIMIT):
         out["displacements"] = res.displacements.tolist()
-    return out
+    return _json_finite(out)
 
 
 def run_identification(problem, analysis: Dict) -> Dict:
@@ -2358,6 +2358,21 @@ def run_identification(problem, analysis: Dict) -> Dict:
     return out
 
 
+def _json_finite(obj):
+    """Replace non-finite floats with None, recursively.  json.dump's
+    default allow_nan=True would emit NaN/Infinity tokens that strict
+    JSON.parse (the Node backend's pythonRunner, both browser UIs'
+    resp.json()) rejects — one stray inf would make an otherwise
+    successful response unreadable at every downstream tier."""
+    if isinstance(obj, float):
+        return obj if np.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _json_finite(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_json_finite(v) for v in obj]
+    return obj
+
+
 def run_reliability(problem, analysis: Dict) -> Dict:
     """Execute a reliability (FORM) block — failure probability of the
     design under uncertain material/load/resistance
@@ -2455,7 +2470,7 @@ def run_reliability(problem, analysis: Dict) -> Dict:
         out["mc"] = {"pf": res.mc_pf, "std_error": res.mc_std_error,
                      "n_samples": res.mc_n, "method": res.mc_method,
                      "pf_per_limit_state": res.mc_pf_per_ls.tolist()}
-    return out
+    return _json_finite(out)
 
 
 def run_analysis(problem, analysis: Dict) -> Dict:

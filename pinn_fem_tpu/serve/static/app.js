@@ -946,7 +946,7 @@ async function runReliability() {
     if (!data.success) throw new Error(data.error || "reliability failed");
     const r = data.result;
     drawTimeSeries(r.beta.map((_, i) => i),
-                   r.beta.map((v) => [Math.min(v, 8)]));
+                   r.beta.map((v) => [v === null ? 8 : Math.min(v, 8)])  // null = unreachable (infinitely safe): cap, not 0);
     const fmt = (v) => Number(v).toPrecision(3);
     const crit = r.critical_limit_state;
     const [lo, hi] = r.system_pf_bounds;

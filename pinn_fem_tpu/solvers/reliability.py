@@ -236,7 +236,7 @@ def form_reliability(
     variables: List[Dict],
     limit_state: Dict,
     n_iter: int = 50,
-    tol: float = 1e-8,
+    tol: float = 1e-4,
     mc_samples: int = 0,
     mc_seed: int = 0,
     mc_chunk: int = 1024,
@@ -489,39 +489,42 @@ def form_reliability(
         beta = jnp.sign(g_mean) * jnp.linalg.norm(u_star)
         nrm = jnp.maximum(jnp.linalg.norm(dg_star), 1e-30)
         alpha = -dg_star / nrm
-        return beta, alpha, u_star, g_star, hist
+        return beta, alpha, u_star, g_star, g_mean, hist
 
-    betas, alphas, u_stars, g_stars, hists = jax.jit(
+    betas, alphas, u_stars, g_stars, g0s, hists = jax.jit(
         jax.vmap(hlrf))(jnp.arange(n_ls))
-    betas, alphas, u_stars, g_stars, hists = (np.asarray(v, dtype=float)
-                                              for v in jax.device_get(
-        (betas, alphas, u_stars, g_stars, hists)))
-
-    # Physical-space design points (host, float64) — through the
-    # dependence model when one is installed.
-    z_stars = u_stars if chol is None else u_stars @ chol.T
-    xp = np.zeros((n_ls, n_vars))
-    for j, v in enumerate(varspecs):
-        x = v["a"] + v["b"] * z_stars[:, j]
-        xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
+    betas, alphas, u_stars, g_stars, g0s, hists = (
+        np.asarray(v, dtype=float) for v in jax.device_get(
+            (betas, alphas, u_stars, g_stars, g0s, hists)))
 
     # Unreachable surfaces: a member the load pattern never stresses
     # has g ≈ 1 everywhere (demand/R ~ 0), no zero crossing for HL-RF
     # to find — the honest answer is β = ∞, p_f = 0, not a NaN from
     # the degenerate fixpoint (observed on gauge members in RBDO's
     # authority recompute).
-    g0s = np.asarray(jax.device_get(jax.jit(jax.vmap(
-        lambda i: g_one(jnp.zeros((n_vars,), dtype), i)))(
-        jnp.arange(n_ls))), dtype=float)
-    unreachable = (~np.isfinite(betas) | (np.abs(g_stars) >= 1e-4)) \
+    unreachable = (~np.isfinite(betas) | (np.abs(g_stars) >= tol)) \
         & (g0s > 1.0 - 1e-3)
     betas[unreachable] = np.inf
     g_stars[unreachable] = 0.0
     alphas[unreachable] = 0.0
+    u_stars[unreachable] = 0.0      # design point = the mean (finite)
+
+    # Physical-space design points (host, float64) — through the
+    # dependence model when one is installed, AFTER the unreachable
+    # rows were reset (their u* from the degenerate fixpoint can be
+    # NaN/huge; the mean is the honest design point).
+    z_stars = u_stars if chol is None else u_stars @ chol.T
+    xp = np.zeros((n_ls, n_vars))
+    for j, v in enumerate(varspecs):
+        x = v["a"] + v["b"] * z_stars[:, j]
+        xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
 
     # Convergence: the MPP must sit ON the surface.  g is a ratio
-    # (O(1) by construction), so the absolute tolerance IS relative.
-    converged = ((np.abs(g_stars) < 1e-4) & np.isfinite(betas)) \
+    # (O(1) by construction), so `tol` is an absolute-IS-relative
+    # threshold on |g(u*)| (the classification knob; the fixpoint
+    # itself always runs n_iter vmapped steps — lanes converge at
+    # different rates and a fixed fori_loop is the batched form).
+    converged = ((np.abs(g_stars) < tol) & np.isfinite(betas)) \
         | unreachable
     pf = _norm_cdf(-betas)
 
@@ -624,6 +627,11 @@ def _attach_monte_carlo(result, ratios_all, n_ls, n_samples, seed,
             m = np.max(lg, axis=1, keepdims=True)
             w = centers.shape[0] * np.exp(
                 -(m[:, 0] + np.log(np.sum(np.exp(lg - m), axis=1))))
+        if b < chunk:
+            # Pad the remainder to the chunk shape (zero-weight rows)
+            # so the vmapped solve program compiles exactly once.
+            u = np.concatenate([u, np.zeros((chunk - b, n_vars))])
+            w = np.concatenate([w, np.zeros(chunk - b)])
         f = np.asarray(jax.device_get(
             fail_batch(jnp.asarray(u, dtype))))
         wi_sys = w * np.any(f, axis=1)

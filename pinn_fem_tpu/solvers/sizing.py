@@ -395,7 +395,7 @@ def fatigue_life_ratio(omegas, stress_psd, sn_exponent, sn_coefficient,
 
 def pma_stress_ratios(problem, data, young_e, rho_e, area_e, varspecs,
                       res_var, limit_c, target_beta, ls_idx,
-                      n_amv: int = 10):
+                      n_amv: int = 10, chol=None):
     """(n_ls,) PMA stress ratios at the target-β design points — the
     RBDO constraint in the Performance Measure Approach.
 
@@ -425,13 +425,17 @@ def pma_stress_ratios(problem, data, young_e, rho_e, area_e, varspecs,
              for i, v in enumerate(varspecs) if v["mask"] is not None}
     ls_idx_d = jnp.asarray(np.asarray(ls_idx, dtype=int))
     bt = jnp.asarray(float(target_beta), dtype)
+    chol_d = None if chol is None else jnp.asarray(chol, dtype)
 
     def demand_resistance(u, i):
+        # Nataf dependence: z = L·u feeds the marginals (the same one
+        # shared transform form_reliability uses).
+        z = u if chol_d is None else chol_d @ u
         young = young_e
         rho = rho_e
         scale = jnp.asarray(1.0, dtype)
         for k, v in enumerate(varspecs):
-            x = _physical(v, u[k])
+            x = _physical(v, z[k])
             if v["kind"] == "load_scale":
                 scale = scale * x
             elif v["kind"] == "young":
@@ -442,7 +446,7 @@ def pma_stress_ratios(problem, data, young_e, rho_e, area_e, varspecs,
             loads=data.loads * scale)
         demand = jnp.abs(sigma)[ls_idx_d[i]]
         if res_var is not None:
-            r = _physical(varspecs[res_var], u[res_var])
+            r = _physical(varspecs[res_var], z[res_var])
         else:
             r = jnp.asarray(limit_c, dtype)
         return demand, r
@@ -873,8 +877,11 @@ def optimize_sizing(
                  else np.asarray(r_elems, dtype=int).reshape(-1))
         if np.any(r_idx < 0) or np.any(r_idx >= nelm_):
             raise ValueError("RBDO limit-state elements out of range")
+        from .reliability import _nataf_cholesky
+
+        r_chol = _nataf_cholesky(r_vars, reliability.get("correlation"))
         rel = {"varspecs": r_vars, "res_var": r_res, "limit_c": r_limit,
-               "beta_t": beta_t, "ls_idx": r_idx}
+               "beta_t": beta_t, "ls_idx": r_idx, "chol": r_chol}
 
     from ..ops.host import (_geometry, density_values_host,
                             material_values_host)
@@ -979,7 +986,7 @@ def optimize_sizing(
             return pma_stress_ratios(
                 problem, data, young_e, rho_e, a, rel["varspecs"],
                 rel["res_var"], rel["limit_c"], rel["beta_t"],
-                rel["ls_idx"])
+                rel["ls_idx"], chol=rel["chol"])
 
         rbdo_ratio_jit = jax.jit(rbdo_ratio_of)
 
@@ -1081,6 +1088,7 @@ def optimize_sizing(
     if objective == "compliance":
         areas = areas * float(volume) / float(np.sum(areas * lengths_np))
 
+    polish_viol = None
     if polish and objective != "compliance" \
             and (stress_limit is not None or fat is not None
                  or rel is not None):
@@ -1102,6 +1110,12 @@ def optimize_sizing(
         # hard constraint (its stress_limit is a soft penalty by
         # contract).
         best_viol, best_areas = float("inf"), areas.copy()
+        # NOTE the uniform-scaling invariance is EXACT only with all-
+        # structural mass: point_masses do not scale with A, so FRFs
+        # shift under A -> sA and the fatigue/PMA ratio is only ~1/s.
+        # The loop iterates to absorb that, the best evaluated iterate
+        # is kept, and the RETURNED `converged` flag reports whether
+        # feasibility was actually reached (no silent failure).
         for it_polish in range(21):
             ratio = np.zeros(nelm)
             if stress_limit is not None:
@@ -1146,6 +1160,7 @@ def optimize_sizing(
             else:
                 areas = areas * scale
         areas = best_areas
+        polish_viol = best_viol
 
     u, sigma = _host_area_solve(problem, areas, loads=cases_np)
     env = _signed_envelope(sigma)
@@ -1199,6 +1214,7 @@ def optimize_sizing(
         rres = form_reliability(
             problem, reliability["variables"],
             dict(reliability.get("limit_state") or {}),
+            correlation=reliability.get("correlation"),
             data=data, areas=areas)
         rel_beta = np.asarray(rres.beta, dtype=float)
         min_rel_beta = float(np.min(rel_beta)) if rel_beta.size \
@@ -1216,7 +1232,8 @@ def optimize_sizing(
             float(np.max(np.abs(u[..., probe_np])) / displacement_limit)
             if displacement_limit is not None else float("nan")),
         history=np.asarray(hist, dtype=float),
-        converged=True,
+        converged=bool(polish_viol is None
+                       or polish_viol <= 1.0 + 1e-6),
         n_iter=len(hist),
         max_buckling_ratio=buck_ratio,
         fundamental_frequency_hz=f1_hz,

@@ -497,3 +497,36 @@ def test_nataf_validation():
         form_reliability(p, vs, ls, correlation=[["S", "R", 1.0]])
     with pytest.raises(ValueError, match="name_i"):
         form_reliability(p, vs, ls, correlation=[["S", 0.3]])
+
+
+def test_output_is_strict_json_with_infinite_betas():
+    """Review regression: a result whose limit states are unreachable
+    (zero-force member) must serialize as STRICT JSON — json.dump's
+    NaN/Infinity tokens would break JSON.parse in the Node backend and
+    both browser UIs."""
+    import json
+
+    from pinn_fem_tpu.io.analysis import run_analysis
+
+    # Vertical 2-bar where the diagonal is zero-force: its stress limit
+    # state is unreachable -> beta = inf end to end.
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]])
+    elements = np.array([[0, 2], [1, 2]])
+    loads = np.array([0.0, 0.0, 0.0, 0.0, 0.0, -1.0])
+    p = TrussProblem(nodes, elements, Material(1.0, 1.0, 1.0),
+                     loads, np.arange(4), 2)
+    out = run_analysis(p, {
+        "type": "reliability",
+        "variables": [
+            {"name": "S", "kind": "load_scale",
+             "distribution": "normal", "mean": 1.0, "std": 0.2},
+            {"name": "R", "kind": "resistance",
+             "distribution": "lognormal", "mean": 2.0, "cov": 0.1}],
+        "limit_state": {"type": "stress", "variable": "R"},
+        "sorm": True})
+    json.dumps(out, allow_nan=False)        # raises on NaN/Infinity
+    assert out["beta"][0] is None           # unreachable -> null
+    assert out["pf"][0] == 0.0
+    assert all(out["converged"])
+    # The unreachable design point is the mean, not a NaN vector.
+    assert all(np.isfinite(v) for v in out["design_points"][0])

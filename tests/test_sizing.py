@@ -865,3 +865,41 @@ def test_rbdo_validation():
                             np.zeros(0, dtype=int), 2)
         optimize_sizing(free, stress_limit=1.0, n_iter=20,
                         outer_rounds=1)
+
+
+def test_rbdo_honors_correlation():
+    """Review regression: the RBDO `correlation` key must reach BOTH
+    the PMA constraint and the authority recompute.  Tip bar with
+    correlated normal R-S: beta(A) has the closed form with the
+    -2*rho*sR*sS/A cross term, so the correlated optimum differs from
+    the independent one by a computable amount."""
+    muR, sR, muS, sS, bt, rho = 2.0, 0.2, 1.0, 0.25, 3.0, 0.5
+    p = TrussProblem(np.array([0.0, 1.0]), np.array([[0, 1]]),
+                     Material(young=1.0, area=1.0, density=1.0),
+                     np.array([0.0, 1.0]), np.array([0]), 1)
+    # (muR - q muS)^2 = bt^2 (sR^2 + q^2 sS^2 - 2 rho q sR sS), q = 1/A
+    a_q = muS ** 2 - bt ** 2 * sS ** 2
+    b_q = -2.0 * muR * muS + 2.0 * bt ** 2 * rho * sR * sS
+    c_q = muR ** 2 - bt ** 2 * sR ** 2
+    q = min(r for r in np.roots([a_q, b_q, c_q]) if r > 0)
+    a_true = 1.0 / q
+    rel = {"variables": [
+        {"name": "S", "kind": "load_scale",
+         "distribution": "normal", "mean": muS, "std": sS},
+        {"name": "R", "kind": "resistance",
+         "distribution": "normal", "mean": muR, "std": sR}],
+        "target_beta": bt,
+        "limit_state": {"type": "stress", "variable": "R"},
+        "correlation": [["S", "R", rho]]}
+    res = optimize_sizing(p, reliability=rel, min_area=1e-4,
+                          n_iter=200, outer_rounds=3,
+                          learning_rate=0.08)
+    np.testing.assert_allclose(res.areas[0], a_true, rtol=1e-3)
+    np.testing.assert_allclose(res.min_reliability_beta, bt, rtol=1e-3)
+    # Positive R-S correlation helps: less area than independent.
+    ind = dict(rel)
+    ind.pop("correlation")
+    res0 = optimize_sizing(p, reliability=ind, min_area=1e-4,
+                           n_iter=200, outer_rounds=3,
+                           learning_rate=0.08)
+    assert res.areas[0] < res0.areas[0] * 0.98
