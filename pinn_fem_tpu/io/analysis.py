@@ -2385,7 +2385,11 @@ def run_reliability(problem, analysis: Dict) -> Dict:
                         {"name": "E", "kind": "young",      # | "area"
                          "distribution": "lognormal",       # | "density"
                          "mean": 500.0, "cov": 0.1,         # or "std"
-                         "elements": [..]},                 # optional
+                         "elements": [..],                  # optional
+                         "field": {"correlation_length": 2.0}},
+                                        # optional: spatially correlated
+                                        # RANDOM FIELD (one variable per
+                                        # element, exp(-d/L) model)
                         {"name": "S", "kind": "load_scale",
                          "distribution": "normal",
                          "mean": 1.0, "std": 0.2},

@@ -121,6 +121,11 @@ def _parse_variables(variables, nelm: int):
     out = []
     names = set()
     for spec in variables:
+        if "field" in spec:
+            raise ValueError('"field" variables (spatially correlated '
+                             'random fields) are supported by the '
+                             'reliability analysis only — expand or '
+                             'drop the field spec here')
         name = spec.get("name")
         if not name or name in names:
             raise ValueError("every variable needs a unique name")
@@ -172,13 +177,77 @@ def _parse_variables(variables, nelm: int):
     return out
 
 
+def _parse_variables_with_fields(variables, nelm: int, midpoints):
+    """_parse_variables plus RANDOM-FIELD expansion: a material
+    variable carrying {"field": {"correlation_length": L}} becomes one
+    variable PER ELEMENT (same marginal, one-hot mask) with the
+    exponential spatial model rho_phys(d) = exp(-d/L) between element
+    midpoints — the classic stochastic-FEM discretization (midpoint
+    method), riding the same Nataf machinery as user correlations.
+
+    Returns (varspecs, rz_base): the expanded spec list and the
+    Gaussian-space correlation matrix seeded with the field blocks
+    (identity elsewhere; None when no field is present).  User
+    `correlation` pairs may not name a field variable (its name no
+    longer exists after expansion — the pair validator rejects it).
+    """
+    expanded = []
+    field_groups = []            # (first_index, element_ids, L, spec)
+    for spec in variables:
+        fld = spec.get("field")
+        if fld is None:
+            expanded.append(dict(spec))
+            continue
+        if spec.get("kind") not in ("young", "area", "density"):
+            raise ValueError('"field" needs a material kind '
+                             '(young / area / density)')
+        ln = float(fld.get("correlation_length", 0.0))
+        if ln <= 0.0:
+            raise ValueError('"field" needs a positive '
+                             '"correlation_length"')
+        elems = spec.get("elements")
+        ids = (np.arange(nelm) if elems is None
+               else np.asarray(elems, dtype=int).reshape(-1))
+        first = len(expanded)
+        for e in ids:
+            sub = {k: v for k, v in spec.items()
+                   if k not in ("field", "elements", "name")}
+            sub["name"] = f'{spec["name"]}#e{int(e)}'
+            sub["elements"] = [int(e)]
+            expanded.append(sub)
+        field_groups.append((first, ids, ln, spec))
+    varspecs = _parse_variables(
+        [{k: v for k, v in sp.items()} for sp in expanded], nelm)
+    if not field_groups:
+        return varspecs, None
+    n = len(varspecs)
+    rz = np.eye(n)
+    for first, ids, ln, spec in field_groups:
+        for a in range(ids.size):
+            va = varspecs[first + a]
+            for b in range(a + 1, ids.size):
+                vb = varspecs[first + b]
+                d = float(np.linalg.norm(midpoints[ids[a]]
+                                         - midpoints[ids[b]]))
+                rho = float(np.exp(-d / ln))
+                if va["dist"] == "lognormal":
+                    delta = float(np.sqrt(np.expm1(va["b"] ** 2)))
+                    r = float(np.log1p(rho * delta * delta)
+                              / (va["b"] * vb["b"]))
+                else:
+                    r = rho
+                rz[first + a, first + b] = r
+                rz[first + b, first + a] = r
+    return varspecs, rz
+
+
 def _physical(var, u):
     """x_v(u_v), traced."""
     x = var["a"] + var["b"] * u
     return jnp.exp(x) if var["dist"] == "lognormal" else x
 
 
-def _nataf_cholesky(varspecs, correlation):
+def _nataf_cholesky(varspecs, correlation, rz_base=None):
     """Lower Cholesky factor of the GAUSSIAN-space correlation matrix
     (Nataf / Gaussian-copula model) from pairwise PHYSICAL-space
     correlations [[name_i, name_j, rho], ...].
@@ -190,12 +259,13 @@ def _nataf_cholesky(varspecs, correlation):
     the physical CoV, zeta the log-std.)  Returns None when no
     correlation is given.
     """
-    if not correlation:
+    if not correlation and rz_base is None:
         return None
     names = [v["name"] for v in varspecs]
     n = len(varspecs)
-    rz = np.eye(n)
-    for entry in correlation:
+    rz = np.eye(n) if rz_base is None else np.asarray(rz_base,
+                                                     dtype=float).copy()
+    for entry in (correlation or ()):
         if len(entry) != 3:
             raise ValueError('correlation entries are '
                              '[name_i, name_j, rho]')
@@ -277,7 +347,9 @@ def form_reliability(
     data = data if data is not None else problem.to_device()
     dtype = data.loads.dtype
     nelm = data.dof_map.shape[0]
-    varspecs = _parse_variables(variables, nelm)
+    midpoints = _geometry(problem)[3]
+    varspecs, rz_base = _parse_variables_with_fields(
+        variables, nelm, midpoints)
     n_vars = len(varspecs)
     var_names = [v["name"] for v in varspecs]
 
@@ -291,7 +363,7 @@ def form_reliability(
             "density": jnp.asarray(rho_np, dtype)}
     masks = {i: jnp.asarray(v["mask"], dtype)
              for i, v in enumerate(varspecs) if v["mask"] is not None}
-    chol = _nataf_cholesky(varspecs, correlation)
+    chol = _nataf_cholesky(varspecs, correlation, rz_base=rz_base)
     chol_d = None if chol is None else jnp.asarray(chol, dtype)
 
     def z_of(u):

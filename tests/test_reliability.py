@@ -530,3 +530,69 @@ def test_output_is_strict_json_with_infinite_betas():
     assert all(out["converged"])
     # The unreachable design point is the mean, not a NaN vector.
     assert all(np.isfinite(v) for v in out["design_points"][0])
+
+
+def test_random_field_limits_and_mc():
+    """Spatially correlated E field ({"field": {"correlation_length"}},
+    midpoint stochastic-FEM discretization): (a) L -> inf reproduces
+    the single shared-E model EXACTLY (rho -> 1); (b) L -> 0 decouples
+    the elements and spatial averaging RAISES beta (displacement limit
+    state: u depends on both members' E); (c) the decoupled case's
+    FORM pf agrees with 40000-sample crude MC through the same
+    z = L*u transform."""
+    p = two_bar()
+    u0, _ = _host_area_solve(p, np.ones(2))
+    limit = 2.0 * abs(u0[5])
+    base = {"kind": "young", "distribution": "lognormal",
+            "mean": 1.0, "cov": 0.15}
+    S = {"name": "S", "kind": "load_scale",
+         "distribution": "lognormal", "mean": 1.0, "cov": 0.2}
+    ls = {"type": "displacement", "limit": limit, "probe_dofs": [5]}
+    shared = form_reliability(p, [{**base, "name": "E"}, S], ls)
+    field_inf = form_reliability(
+        p, [{**base, "name": "E",
+             "field": {"correlation_length": 1e9}}, S], ls)
+    np.testing.assert_allclose(field_inf.beta[0], shared.beta[0],
+                               rtol=1e-5)
+    assert field_inf.variables == ["E#e0", "E#e1", "S"]
+    field_0 = form_reliability(
+        p, [{**base, "name": "E",
+             "field": {"correlation_length": 1e-6}}, S], ls,
+        mc_samples=40000, mc_seed=13)
+    assert field_0.beta[0] > shared.beta[0] + 0.2    # averaging helps
+    band = 3.0 * field_0.mc_std_error
+    assert abs(field_0.mc_pf - field_0.pf[0]) <= band + 0.3 * \
+        field_0.pf[0]
+
+
+def test_random_field_validation():
+    p = two_bar()
+    S = {"name": "S", "kind": "load_scale", "distribution": "normal",
+         "mean": 1.0, "std": 0.2}
+    ls = {"type": "stress", "limit": 2.0}
+    with pytest.raises(ValueError, match="material kind"):
+        form_reliability(p, [{**S, "field":
+                              {"correlation_length": 1.0}}], ls)
+    with pytest.raises(ValueError, match="correlation_length"):
+        form_reliability(p, [{"name": "E", "kind": "young",
+                              "distribution": "lognormal", "mean": 1.0,
+                              "cov": 0.1, "field": {}}, S], ls)
+    # A user correlation pair may not name a field variable (the name
+    # no longer exists after per-element expansion).
+    with pytest.raises(ValueError, match="pair"):
+        form_reliability(p, [{"name": "E", "kind": "young",
+                              "distribution": "lognormal", "mean": 1.0,
+                              "cov": 0.1,
+                              "field": {"correlation_length": 1.0}},
+                             S], ls, correlation=[["E", "S", 0.3]])
+    # And the sizing/RBDO path rejects field specs outright.
+    from pinn_fem_tpu.solvers.sizing import optimize_sizing
+
+    with pytest.raises(ValueError, match="reliability analysis only"):
+        optimize_sizing(p, reliability={
+            "variables": [{"name": "E", "kind": "young",
+                           "distribution": "lognormal", "mean": 1.0,
+                           "cov": 0.1,
+                           "field": {"correlation_length": 1.0}}, S],
+            "target_beta": 2.0,
+            "limit_state": {"type": "stress", "limit": 2.0}})
