@@ -93,6 +93,7 @@ from .solvers.fatigue import (  # noqa: E402
     SpectralFatigue,
     davenport_peak_factor,
     dirlik_damage_rate,
+    first_passage_probability,
     narrowband_damage_rate,
     rainflow_cycles,
     rainflow_damage,
@@ -225,6 +226,7 @@ __all__ = [
     "SpectralFatigue",
     "davenport_peak_factor",
     "dirlik_damage_rate",
+    "first_passage_probability",
     "narrowband_damage_rate",
     "rainflow_cycles",
     "rainflow_damage",

@@ -32,7 +32,12 @@ drives a static solve gains:
                  "initial_dlambda": 0.02, "stop_lambda_abs": 5.0,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
-    "analysis": {"type": "random", "psd": S0 | {"omegas": [..],
+    "analysis": {"type": "random",            # + optional
+                                              # "first_passage":
+                                              # {"barrier": b,
+                                              #  "duration": T} —
+                                              # Rice/Poisson survival
+                 "psd": S0 | {"omegas": [..],
                                                 "values": [..]},
                  "omegas": {..}, "damping": [alpha, beta],
                  "probe_nodes": [..]}
@@ -676,6 +681,31 @@ def run_random(problem, analysis: Dict) -> Dict:
         out["probe_elements"] = probe_elements.tolist()
         out["force_psd"] = res.force_psd.tolist()
         out["force_rms"] = res.force_rms.tolist()
+    fp = analysis.get("first_passage")
+    if fp is not None:
+        # Barrier-crossing survival: Rice rate + Poisson approximation
+        # on the PROBE-DOF displacement PSDs (solvers/fatigue.py).
+        # Contract: "first_passage": {"barrier": b | [b per probe],
+        #                             "duration": T,
+        #                             "two_sided": true}
+        from ..solvers.fatigue import first_passage_probability
+
+        if fp.get("barrier") is None or fp.get("duration") is None:
+            raise ValueError('first_passage needs "barrier" and '
+                             '"duration"')
+        nu_b, pf_fp = first_passage_probability(
+            res.omegas, np.asarray(res.psd, dtype=float),
+            fp["barrier"], float(fp["duration"]),
+            two_sided=bool(fp.get("two_sided", True)))
+        out["first_passage"] = {
+            "barrier": np.broadcast_to(
+                np.asarray(fp["barrier"], dtype=float),
+                np.atleast_1d(nu_b).shape).tolist(),
+            "duration": float(fp["duration"]),
+            "two_sided": bool(fp.get("two_sided", True)),
+            "crossing_rate_hz": np.atleast_1d(nu_b).tolist(),
+            "pf": np.atleast_1d(pf_fp).tolist(),
+        }
     fat = analysis.get("fatigue")
     if fat is not None:
         # Frequency-domain fatigue: stress PSDs S_sigma = S_N / A^2

@@ -49,7 +49,7 @@ __all__ = [
     "spectral_moments", "crossing_rates", "davenport_peak_factor",
     "narrowband_damage_rate", "dirlik_damage_rate",
     "rainflow_cycles", "rainflow_damage", "synthesize_gaussian_history",
-    "SpectralFatigue", "spectral_fatigue",
+    "SpectralFatigue", "spectral_fatigue", "first_passage_probability",
 ]
 
 _EULER_GAMMA = 0.5772156649015329
@@ -229,6 +229,49 @@ def spectral_fatigue(omegas, psd, sn_exponent=None, sn_coefficient=None,
                            alpha2=alpha2, damage_rate=rate, life=life,
                            method=method, peak_factor=g,
                            expected_peak=peak)
+
+
+def first_passage_probability(omegas, psd, barrier, duration,
+                              two_sided: bool = True):
+    """(crossing_rate_hz, pf) of a stationary Gaussian response
+    exceeding a barrier within a duration — the serviceability/survival
+    question the random-vibration block's PSDs answer.
+
+    Rice's formula gives the up-crossing rate of level b as
+    nu(b) = nu_0 exp(-b^2 / 2 m_0) (nu_0 = sqrt(m2/m0)/2pi from the
+    response PSD); with |x| barriers (the usual case) the rate doubles.
+    The Poisson approximation P = 1 - exp(-nu(b) T) assumes independent
+    crossings — asymptotically exact for high barriers, conservative
+    for narrow-band response at low ones (clumping), which is the
+    standard engineering direction of error.  Cross-validated against
+    first-passage counting on synthesized Gaussian sample paths
+    (tests/test_fatigue.py).
+
+    Args:
+        omegas: (n_freq,) rad/s grid.
+        psd: (n_freq,) or (n_freq, n_q) one-sided response PSD(s).
+        barrier: level b > 0 (scalar or per-quantity).
+        duration: exposure T [s].
+        two_sided: count |x| >= b (default) or up-crossings of +b only.
+
+    Returns:
+        (nu_b, pf): crossing rate(s) [Hz] and first-passage
+        probability(ies), shaped like the PSD's quantity axis.
+    """
+    b = np.asarray(barrier, dtype=float)
+    if np.any(b <= 0.0):
+        raise ValueError("barrier must be positive")
+    if duration <= 0.0:
+        raise ValueError("duration must be positive")
+    m0, m2 = spectral_moments(omegas, psd, orders=(0, 2))
+    if np.any(m0 <= 0.0):
+        raise ValueError("a response PSD with zero variance has no "
+                         "crossings — check the probe/grid")
+    nu0 = np.sqrt(m2 / m0) / (2.0 * np.pi)
+    nu_b = nu0 * np.exp(-b * b / (2.0 * m0))
+    if two_sided:
+        nu_b = 2.0 * nu_b
+    return nu_b, -np.expm1(-nu_b * float(duration))
 
 
 def _reversals(series: np.ndarray) -> np.ndarray:

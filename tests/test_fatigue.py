@@ -335,3 +335,83 @@ def test_transient_force_history_geometric_nonlinear():
     n_hist = np.asarray(out["force_histories"])[:, 0]
     np.testing.assert_allclose(n_hist, 100.0 * v ** 2 / 2.0,
                                rtol=1e-8, atol=1e-12)
+
+
+def test_first_passage_vs_sample_paths():
+    """Rice/Poisson first-passage against brute-force counting on
+    synthesized Gaussian sample paths: a band-limited PSD, |x| barrier
+    at 2.5 sigma, duration chosen for pf ~ 0.2.  The Poisson model is
+    asymptotically exact for rare independent crossings and
+    conservative for clumped (narrow-band) ones — so assert agreement
+    within the binomial band PLUS a one-sided conservative allowance."""
+    from pinn_fem_tpu.solvers.fatigue import (first_passage_probability,
+                                              synthesize_gaussian_history)
+
+    om = np.linspace(0.5, 12.0, 240)
+    psd = 1.0 / (1.0 + ((om - 5.0) / 2.5) ** 4)     # broad hump
+    m0, = spectral_moments(om, psd, orders=(0,))
+    sigma = math.sqrt(float(m0))
+    b = 2.5 * sigma
+    T = 40.0
+    dt = 0.01
+    n_steps = int(T / dt)
+    nu_b, pf = first_passage_probability(om, psd, b, T)
+    hits = 0
+    n_paths = 300
+    for seed in range(n_paths):
+        x = synthesize_gaussian_history(om, psd, dt, n_steps, seed=seed)
+        hits += bool(np.any(np.abs(x) >= b))
+    pf_mc = hits / n_paths
+    se = math.sqrt(max(pf_mc * (1 - pf_mc), 1e-6) / n_paths)
+    # Poisson >= truth (conservative) up to sampling noise; and not
+    # absurdly conservative at this bandwidth (within 40%).
+    assert pf >= pf_mc - 3.0 * se
+    assert pf <= pf_mc * 1.4 + 3.0 * se
+    # Rate sanity: nu(b) < nu0 and the one-sided rate is half.
+    nu1, _ = first_passage_probability(om, psd, b, T, two_sided=False)
+    np.testing.assert_allclose(nu1, nu_b / 2.0, rtol=1e-12)
+
+
+def test_first_passage_validation_and_api():
+    from pinn_fem_tpu.solvers.fatigue import first_passage_probability
+
+    om = np.linspace(0.5, 12.0, 60)
+    psd = np.ones_like(om)
+    with pytest.raises(ValueError, match="barrier"):
+        first_passage_probability(om, psd, -1.0, 10.0)
+    with pytest.raises(ValueError, match="duration"):
+        first_passage_probability(om, psd, 1.0, 0.0)
+    with pytest.raises(ValueError, match="variance"):
+        first_passage_probability(om, np.zeros_like(om), 1.0, 10.0)
+
+    # JSON tier: the first_passage block rides the random analysis.
+    nodes = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]
+    elements = [[0, 2], [1, 3], [2, 3], [1, 2], [0, 3]]
+    loads = np.zeros(8)
+    loads[4] = 1.0
+    p = TrussProblem(np.asarray(nodes, dtype=float),
+                     np.asarray(elements, dtype=int),
+                     Material(young=200.0, area=1.0, density=1.0),
+                     loads, np.array([0, 1, 2, 3]), 2)
+    out = run_analysis(p, {
+        "type": "random", "psd": 0.01,
+        "omegas": {"start": 1.0, "stop": 40.0, "num": 200},
+        "damping": [0.3, 0.002], "probe_nodes": [2],
+        "first_passage": {"barrier": 0.01, "duration": 3600.0}})
+    fp = out["first_passage"]
+    assert len(fp["pf"]) == 2 and len(fp["crossing_rate_hz"]) == 2
+    assert all(0.0 <= v <= 1.0 for v in fp["pf"])
+    assert fp["two_sided"] is True
+    # Independent recompute from the returned PSD.
+    from pinn_fem_tpu.solvers.fatigue import first_passage_probability \
+        as fpp
+
+    nu, pf2 = fpp(np.asarray(out["omegas"]),
+                  np.asarray(out["psd"], dtype=float), 0.01, 3600.0)
+    np.testing.assert_allclose(fp["pf"], pf2, rtol=1e-9)
+    with pytest.raises(ValueError, match="first_passage"):
+        run_analysis(p, {
+            "type": "random", "psd": 0.01,
+            "omegas": {"start": 1.0, "stop": 40.0, "num": 50},
+            "damping": [0.3, 0.002], "probe_nodes": [2],
+            "first_passage": {"barrier": 0.01}})
