@@ -2492,6 +2492,8 @@ def run_reliability(problem, analysis: Dict) -> Dict:
         "critical_limit_state": worst,
         "beta_min": float(res.beta[worst]) if worst >= 0 else None,
         "system_pf_bounds": [res.system_pf_lower, res.system_pf_upper],
+        "system_pf_ditlevsen_bounds": [res.system_pf_ditlevsen_lower,
+                                       res.system_pf_ditlevsen_upper],
     }
     if analysis.get("include_correlation",
                     len(res.labels) <= _SHAPES_JSON_DOF_LIMIT):

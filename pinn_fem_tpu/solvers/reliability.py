@@ -82,6 +82,11 @@ class ReliabilityResult:
     system_pf_lower: float = float("nan")
     system_pf_upper: float = float("nan")
     alpha_correlation: Optional[np.ndarray] = None   # (n_ls, n_ls)
+    # Ditlevsen second-order series bounds (pairwise bivariate-normal
+    # joint probabilities on the FORM linearizations) — always at least
+    # as tight as the simple bounds above.
+    system_pf_ditlevsen_lower: float = float("nan")
+    system_pf_ditlevsen_upper: float = float("nan")
     n_iter: int = 0
     # SORM (Breitung) curvature-corrected probabilities (None unless
     # sorm=True): pf·det(I + β·A)^(-1/2) with A the limit surface's
@@ -175,6 +180,63 @@ def _parse_variables(variables, nelm: int):
         out.append({"name": name, "kind": kind, "dist": dist,
                     "a": a, "b": b, "mask": mask, "mean": mean})
     return out
+
+
+def _phi2(a, b, rho, n_gauss: int = 64):
+    """P(Z1 <= a, Z2 <= b) for standard bivariate normal with
+    correlation rho — Owen's single-integral form
+    Phi2 = Phi(a)Phi(b) + \int_0^rho phi2(a, b; r) dr, Gauss-Legendre
+    on r (dependency-free; pinned against scipy's mvn in the tests).
+    Degenerate |rho| -> 1 handled analytically."""
+    a = float(a)
+    b = float(b)
+    rho = float(rho)
+    pa, pb = float(_norm_cdf(a)), float(_norm_cdf(b))
+    # f32 alpha dot products land within ~1e-7 of ±1 for (anti)parallel
+    # events, where the Gauss integral is near-singular — take the
+    # analytic degenerate value well before that.
+    if rho >= 1.0 - 1e-6:
+        return min(pa, pb)
+    if rho <= -1.0 + 1e-6:
+        return max(0.0, pa + pb - 1.0)
+    if abs(rho) < 1e-14:
+        return pa * pb
+    x, w = np.polynomial.legendre.leggauss(n_gauss)
+    r = 0.5 * rho * (x + 1.0)
+    jac = 0.5 * rho
+    one = 1.0 - r * r
+    dens = np.exp(-(a * a - 2.0 * r * a * b + b * b) / (2.0 * one)) \
+        / (2.0 * np.pi * np.sqrt(one))
+    return pa * pb + float(jac * np.dot(w, dens))
+
+
+def _ditlevsen_bounds(betas, alphas):
+    """Second-order series-system bounds (Ditlevsen 1979) from the
+    FORM pairwise joint probabilities p_ij = Phi2(-b_i, -b_j; a_i·a_j),
+    events ordered by descending p_f (the standard tightest ordering).
+    Infinite-beta (unreachable) events drop out.  Returns (lo, hi)."""
+    finite = np.isfinite(betas)
+    bs = np.asarray(betas, dtype=float)[finite]
+    al = np.asarray(alphas, dtype=float)[finite]
+    if bs.size == 0:
+        return 0.0, 0.0
+    pf = _norm_cdf(-bs)
+    order = np.argsort(-pf)
+    bs, al, pf = bs[order], al[order], pf[order]
+    n = bs.size
+    if n == 1:
+        return float(pf[0]), float(pf[0])
+    pij = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i):
+            rho = float(np.clip(al[i] @ al[j], -1.0, 1.0))
+            pij[i, j] = _phi2(-bs[i], -bs[j], rho)
+    lo = pf[0]
+    hi = pf[0]
+    for i in range(1, n):
+        lo += max(0.0, pf[i] - float(np.sum(pij[i, :i])))
+        hi += pf[i] - float(np.max(pij[i, :i]))
+    return float(min(lo, 1.0)), float(min(max(hi, lo), 1.0))
 
 
 def _parse_variables_with_fields(variables, nelm: int, midpoints):
@@ -602,13 +664,18 @@ def form_reliability(
 
     sys_lo = float(np.max(pf)) if n_ls else float("nan")
     sys_hi = float(min(1.0, np.sum(pf))) if n_ls else float("nan")
+    dit_lo, dit_hi = _ditlevsen_bounds(betas, alphas) if n_ls \
+        else (float("nan"), float("nan"))
     corr = alphas @ alphas.T if n_ls else None
 
     result = ReliabilityResult(
         beta=betas, pf=pf, alpha=alphas, design_point=xp,
         g_final=g_stars, converged=converged, labels=labels,
         variables=var_names, system_pf_lower=sys_lo,
-        system_pf_upper=sys_hi, alpha_correlation=corr, n_iter=n_iter,
+        system_pf_upper=sys_hi,
+        system_pf_ditlevsen_lower=dit_lo,
+        system_pf_ditlevsen_upper=dit_hi,
+        alpha_correlation=corr, n_iter=n_iter,
         history=np.max(hists, axis=0) if n_ls else np.zeros(0))
 
     if sorm and n_ls:

@@ -596,3 +596,64 @@ def test_random_field_validation():
                            "field": {"correlation_length": 1.0}}, S],
             "target_beta": 2.0,
             "limit_state": {"type": "stress", "limit": 2.0}})
+
+
+def test_phi2_against_scipy_and_ditlevsen_anchors():
+    """Phi2 pinned against scipy's bivariate normal; Ditlevsen bounds
+    hit two exact anchors: (a) duplicated limit states (rho = 1)
+    collapse both bounds onto the single-event pf; (b) the 3-bar
+    system bounds are at least as tight as the simple bounds and
+    contain the 40000-sample MC estimate."""
+    import scipy.stats
+
+    from pinn_fem_tpu.solvers.reliability import _phi2
+
+    rng = np.random.default_rng(0)
+    for _ in range(12):
+        a, b = rng.normal(size=2) * 2.0
+        rho = rng.uniform(-0.95, 0.95)
+        want = scipy.stats.multivariate_normal(
+            mean=[0.0, 0.0],
+            cov=[[1.0, rho], [rho, 1.0]]).cdf([a, b])
+        np.testing.assert_allclose(_phi2(a, b, rho), want,
+                                   rtol=1e-8, atol=1e-12)
+
+    # (a) identical events: elements [0, 0] -> rho = 1 exactly.
+    p = two_bar()
+    res_dup = form_reliability(
+        p,
+        variables=[{"name": "S", "kind": "load_scale",
+                    "distribution": "normal", "mean": 1.0, "std": 0.3},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": 1.2,
+                    "cov": 0.1}],
+        limit_state={"type": "stress", "variable": "R",
+                     "elements": [0, 0]})
+    # 1e-5: the duplicated lanes' f32 HL-RF betas agree to ~1e-7 rel.
+    np.testing.assert_allclose(res_dup.system_pf_ditlevsen_lower,
+                               res_dup.pf[0], rtol=1e-5)
+    np.testing.assert_allclose(res_dup.system_pf_ditlevsen_upper,
+                               res_dup.pf[0], rtol=1e-5)
+
+    # (b) 3-bar: tighter than simple, contains MC.
+    res = form_reliability(
+        three_bar(),
+        variables=[{"name": "E", "kind": "young",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.15},
+                   {"name": "S", "kind": "load_scale",
+                    "distribution": "normal", "mean": 1.0,
+                    "std": 0.25},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": 1.15,
+                    "cov": 0.1}],
+        limit_state={"type": "stress", "variable": "R"},
+        mc_samples=40000, mc_seed=7)
+    lo, hi = res.system_pf_ditlevsen_lower, res.system_pf_ditlevsen_upper
+    assert res.system_pf_lower - 1e-12 <= lo <= hi \
+        <= res.system_pf_upper + 1e-12
+    assert (hi - lo) < (res.system_pf_upper - res.system_pf_lower)
+    band = 3.0 * res.mc_std_error
+    # FORM linearization bias allowance (the same slack the simple-
+    # bounds check uses) + MC noise.
+    assert 0.9 * lo - band <= res.mc_pf <= 1.1 * hi + band
