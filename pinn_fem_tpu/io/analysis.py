@@ -2432,6 +2432,9 @@ def run_reliability(problem, analysis: Dict) -> Dict:
                          "elements": [..]}                  # default all
                       | {"type": "displacement", "limit": 0.5,
                          "probe_nodes"/"probe_dofs": [..]}
+                      | {"type": "frequency",     # f1 floor under
+                         "min_frequency_hz": 2.0}   # stiffness/mass
+                                                    # scatter
                       | {"type": "fatigue",       # life under random
                          "min_life_s": T | "min_life_hours": h,
                          "variable": "C",         # Basquin C random, or

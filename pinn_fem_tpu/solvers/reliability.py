@@ -185,7 +185,7 @@ def _parse_variables(variables, nelm: int):
 def _phi2(a, b, rho, n_gauss: int = 64):
     """P(Z1 <= a, Z2 <= b) for standard bivariate normal with
     correlation rho — Owen's single-integral form
-    Phi2 = Phi(a)Phi(b) + \int_0^rho phi2(a, b; r) dr, Gauss-Legendre
+    Phi2 = Phi(a)Phi(b) + integral_0^rho phi2(a, b; r) dr, Gauss-Legendre
     on r (dependency-free; pinned against scipy's mvn in the tests).
     Degenerate |rho| -> 1 handled analytically."""
     a = float(a)
@@ -526,9 +526,26 @@ def form_reliability(
         f_psd_d = jnp.asarray(f_psd, dtype)
         f_coeff = (None if sn.get("coefficient") is None
                    else float(sn["coefficient"]))
+    elif ls_type == "frequency":
+        # Natural-frequency floor as a limit state: failure when the
+        # structure's f1 drops below the requirement under stiffness/
+        # mass scatter (the dynamic serviceability complement of the
+        # sizing family's deterministic min_frequency_hz).  Rides the
+        # same traced generalized eigensolve the identification and
+        # RBDO families use (modal_inverse.modal_observables_elem), so
+        # the MPP search differentiates K(X) AND M(X).
+        if limit_state.get("min_frequency_hz") is None:
+            raise ValueError('frequency limit state needs '
+                             '"min_frequency_hz"')
+        f_req = float(limit_state["min_frequency_hz"])
+        if f_req <= 0.0:
+            raise ValueError("min_frequency_hz must be positive")
+        lam_req = (2.0 * np.pi * f_req) ** 2
+        ls_idx = np.zeros(1, dtype=int)
+        labels = [f"frequency f1>={f_req:g}Hz"]
     else:
         raise ValueError('limit_state type must be "stress", '
-                         '"displacement" or "fatigue"')
+                         '"displacement", "fatigue" or "frequency"')
     limit_c = (None if limit_state.get("limit") is None
                else float(limit_state["limit"]))
     n_ls = int(ls_idx.size)
@@ -586,6 +603,15 @@ def form_reliability(
                 c = jnp.asarray(f_coeff, dtype)
             return fatigue_life_ratio(f_om_d, s_sigma, f_m, c, f_life,
                                       method=f_method)
+        if ls_type == "frequency":
+            from .modal_inverse import modal_observables_elem
+
+            young_e, area_e, rho_e, _ = fields(u)
+            lam1 = modal_observables_elem(problem, young_e, area_e,
+                                          rho_e, 1, data=data)[0][0]
+            # failure iff lam1 <= lam_req: ratio = lam_req / lam1.
+            return (jnp.asarray(lam_req, dtype)
+                    / jnp.maximum(lam1, 1e-30)).reshape(1)
         uu, sigma = response(u)
         if ls_type == "stress":
             demand = jnp.abs(sigma)[ls_idx_d]

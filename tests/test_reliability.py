@@ -657,3 +657,50 @@ def test_phi2_against_scipy_and_ditlevsen_anchors():
     # FORM linearization bias allowance (the same slack the simple-
     # bounds check uses) + MC noise.
     assert 0.9 * lo - band <= res.mc_pf <= 1.1 * hi + band
+
+
+def test_frequency_limit_state_closed_form():
+    """f1 floor as a limit state: for the tip-mass bar lam1 is
+    PROPORTIONAL to E (stiffness-only scatter, payload-dominated
+    mass), so the surface is ln E = 2 ln(f_req/f1) and lognormal E
+    gives an exact beta — through the traced generalized eigensolve."""
+    import math
+
+    from pinn_fem_tpu import modal_analysis
+    from pinn_fem_tpu.io.analysis import run_analysis
+
+    E0, L, m_tip = 1.0, 1.0, 2.0
+    p = TrussProblem(np.array([0.0, L]), np.array([[0, 1]]),
+                     Material(young=E0, area=0.05, density=1e-6),
+                     np.array([0.0, 0.0]), np.array([0]), 1,
+                     point_masses=np.array([0.0, m_tip]))
+    f1 = float(modal_analysis(p, n_modes=1).frequencies[0])
+    f_req = 0.8 * f1
+    dE = 0.12
+    zE = math.sqrt(math.log1p(dE * dE))
+    lE = -zE * zE / 2.0
+    beta_exact = (lE - 2.0 * math.log(0.8)) / zE
+    res = form_reliability(
+        p,
+        variables=[{"name": "E", "kind": "young",
+                    "distribution": "lognormal", "mean": E0,
+                    "cov": dE}],
+        limit_state={"type": "frequency", "min_frequency_hz": f_req},
+        mc_samples=20000, mc_seed=3)
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-4)
+    assert res.labels == [f"frequency f1>={f_req:g}Hz"]
+    band = 3.0 * max(res.mc_std_error, 1e-6)
+    assert abs(res.mc_pf - res.pf[0]) <= band + 0.2 * res.pf[0]
+    # JSON tier + validation.
+    out = run_analysis(p, {
+        "type": "reliability",
+        "variables": [{"name": "E", "kind": "young",
+                       "distribution": "lognormal", "mean": E0,
+                       "cov": dE}],
+        "limit_state": {"type": "frequency",
+                        "min_frequency_hz": f_req}})
+    np.testing.assert_allclose(out["beta"][0], beta_exact, rtol=1e-4)
+    with pytest.raises(ValueError, match="min_frequency_hz"):
+        form_reliability(p, [{"name": "E", "kind": "young",
+                              "distribution": "lognormal", "mean": E0,
+                              "cov": dE}], {"type": "frequency"})
