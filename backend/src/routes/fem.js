@@ -46,7 +46,7 @@ function solveAnalysis(kind) {
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
                     'continuation', 'random', 'reduction', 'identification',
-                    'sizing', 'reliability']) {
+                    'sizing', 'reliability', 'frame']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -75,7 +75,7 @@ router.get('/info', (req, res) => {
           + 'sizing optimization and FORM reliability',
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
                   'spectrum', 'random', 'continuation', 'reduction',
-                  'identification', 'sizing', 'reliability'],
+                  'identification', 'sizing', 'reliability', 'frame'],
       },
     },
     backend: 'jax',

@@ -38,6 +38,13 @@ from .models.fields import (  # noqa: E402
     make_mlp_field,
     to_field,
 )
+from .models.frame import (  # noqa: E402
+    FrameProblem,
+    frame_buckling,
+    frame_matrices,
+    frame_modal,
+    solve_frame_static,
+)
 from .models.problem import (  # noqa: E402
     ProblemData,
     TrussProblem,
@@ -172,6 +179,11 @@ __all__ = [
     "make_mlp_field",
     "to_field",
     "ProblemData",
+    "FrameProblem",
+    "solve_frame_static",
+    "frame_modal",
+    "frame_buckling",
+    "frame_matrices",
     "TrussProblem",
     "element_dofs",
     "free_and_fixed_dofs",

@@ -56,6 +56,38 @@ def setup_logging(problem_file: str) -> Path:
 
 def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dict:
     configure()
+    with open(problem_file) as fh:
+        raw = json.load(fh)
+    if raw.get("element_type") == "frame":
+        # Frame documents are self-describing (three DOFs per node —
+        # the truss schema cannot carry them); the whole family runs
+        # on the host tier (io/frame_io.py), so no backend ever
+        # initializes.
+        from ..io.frame_io import run_frame_document
+
+        logger.info("Frame document: %d nodes, %d elements",
+                    len(raw.get("nodes", ())),
+                    len(raw.get("elements", ())))
+        output = run_frame_document(raw)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("FRAME ANALYSIS SUMMARY (%s):", output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % v for v in output["frequencies_hz"]])
+        elif output["analysis"] == "buckling":
+            logger.info("  Critical load factors: %s",
+                        ["%.6g" % v for v in output["load_factors"]])
+        else:
+            m = np.max(np.abs(np.asarray(output["end_moments"])))
+            logger.info("  Max |end moment|: %.6g (member forces in "
+                        "the result)", m)
+        logger.info("Results written to %s", output_file)
+        return output
     parsed = parse_problem_file(problem_file, seed=seed)
     problem, config = parsed.problem, parsed.config
 

@@ -1,0 +1,129 @@
+"""JSON tier for the 2D frame family (models/frame.py).
+
+A frame document is self-describing via `"element_type": "frame"` —
+the truss schema cannot carry it (three DOFs per node change every
+array contract), so the CLI and servers PEEK at that key and route
+here before the truss parser runs:
+
+    {"element_type": "frame",
+     "nodes": [[x, y], ..],
+     "elements": [[i, j], ..],
+     "material": {"young": E, "area": A, "inertia": I,
+                  "density": rho},          # scalars or per-element
+     "loads": [Fx0, Fy0, M0, Fx1, ..],      # 3 per node
+     "fixed_nodes": [..]                    # fully clamped nodes
+       | "fixed_dofs": [..],                # or raw 3n-DOF indices
+     "point_masses": [[node, m], ..] | [..per node..],
+     "analysis": {"type": "static" | "modal" | "buckling",
+                  "n_modes": 4}}
+
+Outputs mirror the truss analysis family's result shapes (frequencies
+in Hz + eigenvalues + shapes for modal; load factors + modes for
+buckling; displacements + member end forces for static).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.frame import (FrameProblem, frame_buckling, frame_modal,
+                            solve_frame_static)
+
+
+def is_frame_document(doc: Dict) -> bool:
+    return isinstance(doc, dict) \
+        and doc.get("element_type") == "frame"
+
+
+def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
+    nodes = np.asarray(doc["nodes"], dtype=float)
+    elements = np.asarray(doc["elements"], dtype=int)
+    mat = doc.get("material", {})
+    if mat.get("inertia") is None:
+        raise ValueError('frame material needs "inertia" (second '
+                         'moment I) — bending is the point')
+    nnode = nodes.shape[0]
+    loads = np.asarray(doc.get("loads", np.zeros(3 * nnode)),
+                       dtype=float)
+    if "fixed_dofs" in doc:
+        fixed = np.asarray(doc["fixed_dofs"], dtype=int)
+    elif "fixed_nodes" in doc:
+        fn = np.asarray(doc["fixed_nodes"], dtype=int).reshape(-1)
+        fixed = np.concatenate([3 * fn, 3 * fn + 1, 3 * fn + 2])
+    else:
+        raise ValueError('frame document needs "fixed_nodes" or '
+                         '"fixed_dofs"')
+    pm = doc.get("point_masses")
+    if pm is not None:
+        arr = np.asarray(pm, dtype=float)
+        if arr.ndim == 2:                      # [[node, mass], ...]
+            full = np.zeros(nnode)
+            for node, mass in arr:
+                full[int(node)] += float(mass)
+            pm = full
+        else:
+            pm = arr
+    problem = FrameProblem(
+        nodes=nodes, elements=elements,
+        young=mat.get("young", 1.0), area=mat.get("area", 1.0),
+        inertia=mat["inertia"], density=mat.get("density", 1.0),
+        loads=loads, fixed_dofs=np.sort(np.unique(fixed)),
+        point_masses=pm)
+    return problem, dict(doc.get("analysis")
+                         or {"type": "static"})
+
+
+def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
+    kind = analysis.get("type", "static")
+    if kind == "frame":
+        # The Node /api/fem/frame route injects type="frame" when the
+        # document carries no analysis block — that means "statics".
+        kind = "static"
+    if kind == "static":
+        res = solve_frame_static(problem)
+        return {
+            "success": True,
+            "analysis": "static",
+            "element_type": "frame",
+            "displacements": res.displacements.tolist(),
+            "member_end_forces": res.member_end_forces.tolist(),
+            "axial_forces": res.axial.tolist(),
+            "end_moments": res.moments.tolist(),
+            "reactions": res.reactions.tolist(),
+        }
+    if kind == "modal":
+        res = frame_modal(problem,
+                          n_modes=int(analysis.get("n_modes", 4)))
+        out = {
+            "success": True,
+            "analysis": "modal",
+            "element_type": "frame",
+            "frequencies_hz": res.frequencies_hz.tolist(),
+            "omegas": res.omegas.tolist(),
+            "eigenvalues": res.eigenvalues.tolist(),
+        }
+        if analysis.get("include_shapes", True):
+            out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    if kind == "buckling":
+        res = frame_buckling(problem,
+                             n_modes=int(analysis.get("n_modes", 2)))
+        out = {
+            "success": True,
+            "analysis": "buckling",
+            "element_type": "frame",
+            "load_factors": res.load_factors.tolist(),
+            "axial_forces": res.axial.tolist(),
+        }
+        if analysis.get("include_shapes", True):
+            out["buckling_modes"] = res.modes.tolist()
+        return out
+    raise ValueError('frame analysis type must be "static", "modal" '
+                     'or "buckling"')
+
+
+def run_frame_document(doc: Dict) -> Dict:
+    problem, analysis = parse_frame_document(doc)
+    return run_frame_analysis(problem, analysis)

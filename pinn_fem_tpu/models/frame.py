@@ -1,0 +1,336 @@
+"""2D Euler-Bernoulli frame elements — bending joins the framework.
+
+The reference (and every family above) is truss-only: two force DOFs
+per node, axial stiffness, no moments.  Real structures carry BENDING
+— portal frames, beams, towers with rigid joints — so this module adds
+the classic 2D frame element: three DOFs per node (u, v, θ), cubic
+Hermite bending + linear axial interpolation, exact within
+Euler-Bernoulli theory for nodal loads (a single element reproduces
+the PL³/3EI cantilever tip deflection to machine precision — the
+anchor tests/test_frame.py opens with).
+
+Execution tier: frames serve the same small-model regime as the dense
+analysis family, so everything here runs on the HOST tier (numpy
+float64, zero device programs — the design doctrine ops/host.py set:
+below DENSE_DOF_LIMIT the analysis family stays off the accelerator
+entirely, making cold CLI/HTTP latency import-bound).  The batched
+(nelm, 6, 6) block construction + one scatter-add mirrors the truss
+stack's shape so a traced jnp twin can follow the established
+host-mirror pattern when a differentiable frame path is needed.
+
+Element matrices (local axes, DOFs [u1 v1 θ1 u2 v2 θ2], standard
+closed forms):
+
+    axial     EA/L  ·  [[1, −1], [−1, 1]]                 on (u1, u2)
+    bending   EI/L³ ·  [[ 12,  6L, −12,  6L],
+                        [ 6L, 4L², −6L, 2L²],
+                        [−12, −6L,  12, −6L],
+                        [ 6L, 2L², −6L, 4L²]]     on (v1, θ1, v2, θ2)
+    mass      ρAL/420 · consistent (156/22L/54/−13L …) + axial 2/1 ρAL/6
+    geometric N/(30L) · (36/3L/−36/3L …)          (P-Δ, buckling)
+
+Verification anchors are ALL textbook closed forms: cantilever
+PL³/3EI and PL²/2EI (exact, one element), simply-supported PL³/48EI,
+the cantilever frequency (β₁L)² = 1.8751² with consistent-mass
+convergence from above, and Euler column buckling π²EI/(KL)² for
+pinned-pinned (K=1) and clamped-free (K=2) columns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass
+class FrameProblem:
+    """2D frame: nodes (n, 2), elements (m, 2), per-element E/A/I/rho
+    (scalars broadcast), nodal loads (3n,) as [Fx, Fy, M]*n, fixed
+    DOFs on the 3-DOF-per-node numbering u_i = 3i, v_i = 3i+1,
+    θ_i = 3i+2; optional per-node translational point masses."""
+    nodes: np.ndarray
+    elements: np.ndarray
+    young: np.ndarray          # (m,) or scalar
+    area: np.ndarray
+    inertia: np.ndarray        # second moment I
+    density: np.ndarray
+    loads: np.ndarray          # (3n,)
+    fixed_dofs: np.ndarray
+    point_masses: Optional[np.ndarray] = None   # (n,) translational
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=float)
+        self.elements = np.asarray(self.elements, dtype=int)
+        m = self.elements.shape[0]
+        for name in ("young", "area", "inertia", "density"):
+            v = np.broadcast_to(
+                np.asarray(getattr(self, name), dtype=float), (m,))
+            setattr(self, name, np.array(v))
+        self.loads = np.asarray(self.loads, dtype=float)
+        self.fixed_dofs = np.asarray(self.fixed_dofs,
+                                     dtype=int).reshape(-1)
+        if self.nodes.ndim != 2 or self.nodes.shape[1] != 2:
+            raise ValueError("frame nodes must be (n, 2)")
+        if self.loads.shape != (3 * self.nnode,):
+            raise ValueError(f"frame loads must be (3*{self.nnode},)")
+        if self.fixed_dofs.size and (self.fixed_dofs.min() < 0
+                                     or self.fixed_dofs.max()
+                                     >= self.ndof):
+            raise ValueError("fixed_dofs out of range")
+        if self.point_masses is not None:
+            self.point_masses = np.broadcast_to(
+                np.asarray(self.point_masses, dtype=float),
+                (self.nnode,)).copy()
+        if np.any(_geometry(self)[0] <= 0.0):
+            raise ValueError("zero-length frame element")
+
+    @property
+    def nnode(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def nelm(self) -> int:
+        return self.elements.shape[0]
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.nnode
+
+    def free_mask(self) -> np.ndarray:
+        m = np.ones(self.ndof)
+        m[self.fixed_dofs] = 0.0
+        return m
+
+    def dof_map(self) -> np.ndarray:
+        """(m, 6) global DOF indices per element."""
+        i, j = self.elements[:, 0], self.elements[:, 1]
+        return np.stack([3 * i, 3 * i + 1, 3 * i + 2,
+                         3 * j, 3 * j + 1, 3 * j + 2], axis=1)
+
+
+def _geometry(problem: FrameProblem):
+    d = problem.nodes[problem.elements[:, 1]] \
+        - problem.nodes[problem.elements[:, 0]]
+    length = np.hypot(d[:, 0], d[:, 1])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        c = np.where(length > 0.0, d[:, 0] / length, 1.0)
+        s = np.where(length > 0.0, d[:, 1] / length, 0.0)
+    return length, c, s
+
+
+def _rotation(c, s):
+    """(m, 6, 6) local <- global transformation."""
+    m = c.shape[0]
+    t = np.zeros((m, 6, 6))
+    for off in (0, 3):
+        t[:, off + 0, off + 0] = c
+        t[:, off + 0, off + 1] = s
+        t[:, off + 1, off + 0] = -s
+        t[:, off + 1, off + 1] = c
+        t[:, off + 2, off + 2] = 1.0
+    return t
+
+
+_BEND = (1, 2, 4, 5)      # (v1, θ1, v2, θ2) rows/cols
+
+
+def _fill_bending(mat, block):
+    for a, ia in enumerate(_BEND):
+        for b, ib in enumerate(_BEND):
+            mat[:, ia, ib] += block[:, a, b]
+
+
+def _k_local(young, area, inertia, length):
+    """(m, 6, 6) local stiffness (standard closed form)."""
+    m = length.shape[0]
+    ea = young * area / length
+    ei = young * inertia
+    k = np.zeros((m, 6, 6))
+    k[:, 0, 0] = k[:, 3, 3] = ea
+    k[:, 0, 3] = k[:, 3, 0] = -ea
+    b12 = 12.0 * ei / length ** 3
+    b6 = 6.0 * ei / length ** 2
+    b4 = 4.0 * ei / length
+    b2 = 2.0 * ei / length
+    bb = np.stack([
+        np.stack([b12, b6, -b12, b6], axis=-1),
+        np.stack([b6, b4, -b6, b2], axis=-1),
+        np.stack([-b12, -b6, b12, -b6], axis=-1),
+        np.stack([b6, b2, -b6, b4], axis=-1)], axis=-2)
+    _fill_bending(k, bb)
+    return k
+
+
+def _m_local(density, area, length):
+    """(m, 6, 6) consistent mass (ρAL/420 closed form + axial ρAL/6)."""
+    m = length.shape[0]
+    rho_al = density * area * length
+    mm = np.zeros((m, 6, 6))
+    ax = rho_al / 6.0
+    mm[:, 0, 0] = mm[:, 3, 3] = 2.0 * ax
+    mm[:, 0, 3] = mm[:, 3, 0] = ax
+    f = rho_al / 420.0
+    l1 = length
+    bb = np.stack([
+        np.stack([156.0 * f, 22.0 * f * l1, 54.0 * f,
+                  -13.0 * f * l1], axis=-1),
+        np.stack([22.0 * f * l1, 4.0 * f * l1 ** 2, 13.0 * f * l1,
+                  -3.0 * f * l1 ** 2], axis=-1),
+        np.stack([54.0 * f, 13.0 * f * l1, 156.0 * f,
+                  -22.0 * f * l1], axis=-1),
+        np.stack([-13.0 * f * l1, -3.0 * f * l1 ** 2, -22.0 * f * l1,
+                  4.0 * f * l1 ** 2], axis=-1)], axis=-2)
+    _fill_bending(mm, bb)
+    return mm
+
+
+def _kg_local(axial_n, length):
+    """(m, 6, 6) geometric stiffness from member axial force N
+    (tension positive; N/(30L) closed form)."""
+    m = length.shape[0]
+    f = axial_n / (30.0 * length)
+    l1 = length
+    kg = np.zeros((m, 6, 6))
+    bb = np.stack([
+        np.stack([36.0 * f, 3.0 * f * l1, -36.0 * f,
+                  3.0 * f * l1], axis=-1),
+        np.stack([3.0 * f * l1, 4.0 * f * l1 ** 2, -3.0 * f * l1,
+                  -f * l1 ** 2], axis=-1),
+        np.stack([-36.0 * f, -3.0 * f * l1, 36.0 * f,
+                  -3.0 * f * l1], axis=-1),
+        np.stack([3.0 * f * l1, -f * l1 ** 2, -3.0 * f * l1,
+                  4.0 * f * l1 ** 2], axis=-1)], axis=-2)
+    _fill_bending(kg, bb)
+    return kg
+
+
+def _assemble(problem: FrameProblem, blocks: np.ndarray) -> np.ndarray:
+    """(m, 6, 6) global-axes blocks -> dense (ndof, ndof)."""
+    dm = problem.dof_map()
+    k = np.zeros((problem.ndof, problem.ndof))
+    np.add.at(k, (dm[:, :, None], dm[:, None, :]), blocks)
+    return k
+
+
+def frame_matrices(problem: FrameProblem, with_mass: bool = True):
+    """(K, M) dense global matrices (M None unless with_mass) — the
+    one assembly every frame solver shares (host float64)."""
+    length, c, s = _geometry(problem)
+    t = _rotation(c, s)
+    kl = _k_local(problem.young, problem.area, problem.inertia, length)
+    kg = np.einsum("mji,mjk,mkl->mil", t, kl, t)
+    k = _assemble(problem, kg)
+    mmat = None
+    if with_mass:
+        ml = _m_local(problem.density, problem.area, length)
+        mg = np.einsum("mji,mjk,mkl->mil", t, ml, t)
+        mmat = _assemble(problem, mg)
+        if problem.point_masses is not None:
+            pm = np.zeros(problem.ndof)
+            pm[0::3] += problem.point_masses
+            pm[1::3] += problem.point_masses
+            mmat = mmat + np.diag(pm)
+    return k, mmat
+
+
+@dataclass
+class FrameStaticResult:
+    displacements: np.ndarray      # (3n,)
+    member_end_forces: np.ndarray  # (m, 6) LOCAL [N1,V1,M1,N2,V2,M2]
+    axial: np.ndarray              # (m,) axial force (tension +)
+    moments: np.ndarray            # (m, 2) end bending moments
+    reactions: np.ndarray          # (3n,) K u − f on fixed DOFs
+
+
+def solve_frame_static(problem: FrameProblem) -> FrameStaticResult:
+    """Dense masked static solve + local member end-force recovery.
+
+    Euler-Bernoulli with cubic Hermite shapes is EXACT for nodal
+    loads, so the cantilever anchors hold to machine precision with
+    one element (tests/test_frame.py)."""
+    k, _ = frame_matrices(problem, with_mass=False)
+    mask = problem.free_mask()
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    f = problem.loads
+    u = np.linalg.solve(km, f * mask) * mask
+
+    length, c, s = _geometry(problem)
+    t = _rotation(c, s)
+    kl = _k_local(problem.young, problem.area, problem.inertia, length)
+    u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc)
+    reactions = (k @ u - f) * (1.0 - mask)
+    return FrameStaticResult(
+        displacements=u,
+        member_end_forces=f_loc,
+        axial=-f_loc[:, 0],           # node-1 local x force: tension +
+        moments=f_loc[:, [2, 5]],
+        reactions=reactions)
+
+
+@dataclass
+class FrameModalResult:
+    frequencies_hz: np.ndarray
+    omegas: np.ndarray
+    eigenvalues: np.ndarray
+    mode_shapes: np.ndarray        # (n_modes, 3n)
+
+
+def frame_modal(problem: FrameProblem,
+                n_modes: int = 4) -> FrameModalResult:
+    """Generalized K φ = λ M φ on the free block (consistent mass) —
+    dense host-tier eigensolve, like the truss analysis family below
+    DENSE_DOF_LIMIT."""
+    import scipy.linalg
+
+    k, m = frame_matrices(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    n_modes = min(n_modes, lam.size)
+    lam = np.maximum(lam[:n_modes], 0.0)
+    shapes = np.zeros((n_modes, problem.ndof))
+    shapes[:, free] = vec[:, :n_modes].T
+    om = np.sqrt(lam)
+    return FrameModalResult(frequencies_hz=om / (2.0 * np.pi),
+                            omegas=om, eigenvalues=lam,
+                            mode_shapes=shapes)
+
+
+@dataclass
+class FrameBucklingResult:
+    load_factors: np.ndarray       # ascending positive λ_cr
+    modes: np.ndarray              # (n_modes, 3n)
+    axial: np.ndarray              # (m,) member N at unit load
+
+
+def frame_buckling(problem: FrameProblem,
+                   n_modes: int = 2) -> FrameBucklingResult:
+    """Linearized (P-Δ) buckling: statics gives member axial forces N,
+    K_g(N) is assembled, and (K + λ K_g) φ = 0 on the free block —
+    λ_cr scales the APPLIED LOAD PATTERN (Euler columns hit
+    π²EI/(KL)² with mesh refinement, tests/test_frame.py)."""
+    import scipy.linalg
+
+    stat = solve_frame_static(problem)
+    length, c, s = _geometry(problem)
+    t = _rotation(c, s)
+    kgl = _kg_local(stat.axial, length)
+    kg = _assemble(problem, np.einsum("mji,mjk,mkl->mil", t, kgl, t))
+    k, _ = frame_matrices(problem, with_mass=False)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    gf = kg[np.ix_(free, free)]
+    # K φ = λ (−K_g) φ: positive λ are the destabilizing factors.
+    lam, vec = scipy.linalg.eig(kf, -gf)
+    good = np.isfinite(lam) & (np.abs(np.imag(lam))
+                               <= 1e-8 * np.abs(lam)) \
+        & (np.real(lam) > 1e-9)
+    lam_r = np.real(lam[good])
+    order = np.argsort(lam_r)[:n_modes]
+    modes = np.zeros((order.size, problem.ndof))
+    modes[:, free] = np.real(vec[:, good][:, order]).T
+    return FrameBucklingResult(load_factors=lam_r[order], modes=modes,
+                               axial=stat.axial)

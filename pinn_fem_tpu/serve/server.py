@@ -77,7 +77,8 @@ INFO = {
                            "the host tier (compile-free)",
             "methods": ["central", "newmark", "modal", "buckling",
                         "harmonic", "spectrum", "random",
-                        "continuation", "reduction", "identification"],
+                        "continuation", "reduction", "identification",
+                        "sizing", "reliability", "frame"],
         },
     },
     "backend": "jax",
@@ -98,6 +99,12 @@ def _solve_pinn(body):
     else:
         from ..cli.api_pinn_gd import parse_and_solve
     return parse_and_solve(body)
+
+
+def _solve_frame(body):
+    from ..io.frame_io import run_frame_document
+
+    return run_frame_document({**body, "element_type": "frame"})
 
 
 def _solve_generic(body):
@@ -166,6 +173,8 @@ _ROUTES = {
     # (+ optional Monte-Carlo chunks) — same budget.
     "/api/fem/reliability": (_solve_analysis("reliability"),
                              PINN_TIMEOUT_S),
+    # 2D frame family (bending): host-tier dense solves, FEM budget.
+    "/api/fem/frame": (_solve_frame, FEM_TIMEOUT_S),
 }
 
 
@@ -326,6 +335,15 @@ def _warmup_docs():
             "probe_nodes": [3], "n_iter": 3, "include_fit": False}}),
         ("/api/fem/sizing", {**arch, "analysis": {
             "stress_limit": 0.5, "n_iter": 3, "outer_rounds": 1}}),
+        ("/api/fem/frame", {
+            "element_type": "frame",
+            "nodes": [[0.0, 0.0], [4.0, 0.0]],
+            "elements": [[0, 1]],
+            "material": {"young": 200.0, "area": 1.0, "inertia": 0.05,
+                         "density": 1.0},
+            "loads": [0, 0, 0, 0, -1.0, 0],
+            "fixed_nodes": [0],
+            "analysis": {"type": "static"}}),
         ("/api/fem/reliability", {**arch, "analysis": {
             "variables": [
                 {"name": "S", "kind": "load_scale",

@@ -253,6 +253,9 @@ def _parse_variables_with_fields(variables, nelm: int, midpoints):
     `correlation` pairs may not name a field variable (its name no
     longer exists after expansion — the pair validator rejects it).
     """
+    if not variables:
+        raise ValueError("reliability needs at least one random "
+                         "variable")
     expanded = []
     field_groups = []            # (first_index, element_ids, L, spec)
     for spec in variables:

@@ -1287,3 +1287,38 @@ def test_http_sizing_rbdo(server_port):
     doc["analysis"]["stress_limit"] = 1.0
     status, body = _post(server_port, "/api/fem/sizing", doc)
     assert status == 500 and "adam" in body["error"]
+
+
+# ----------------------------------------------------------------- frame
+
+
+def test_http_frame_route(server_port):
+    """The 2D frame family over HTTP: the one-element cantilever's
+    machine-precision PL^3/3EI identity through the full tier."""
+    doc = {
+        "nodes": [[0.0, 0.0], [4.0, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 200.0, "area": 1.0, "inertia": 0.05,
+                     "density": 1.0},
+        "loads": [0, 0, 0, 0, -1.0, 0],
+        "fixed_nodes": [0],
+        "analysis": {"type": "static"},
+    }
+    status, body = _post(server_port, "/api/fem/frame", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["element_type"] == "frame"
+    np.testing.assert_allclose(res["displacements"][4],
+                               -4.0 ** 3 / (3 * 200.0 * 0.05),
+                               rtol=1e-12)
+    np.testing.assert_allclose(res["end_moments"][0][0], 4.0,
+                               rtol=1e-10)
+    # Modal through the same route.
+    status, body = _post(server_port, "/api/fem/frame",
+                         {**doc, "analysis": {"type": "modal",
+                                              "n_modes": 2}})
+    assert status == 200 and len(body["result"]["frequencies_hz"]) == 2
+    # Error contract: missing inertia -> 500 with a clear message.
+    bad = {**doc, "material": {"young": 200.0, "area": 1.0}}
+    status, body = _post(server_port, "/api/fem/frame", bad)
+    assert status == 500 and "inertia" in body["error"]

@@ -30,7 +30,8 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-fatigue.json", "dyn-harmonic.json",
+                   "dyn-fatigue.json", "dyn-frame.json",
+                   "dyn-harmonic.json",
                    "dyn-identification-field.json",
                    "dyn-identification-frf.json",
                    "dyn-identification-modal.json",
@@ -47,7 +48,18 @@ def test_dyn_corpus_runs(name, tmp_path):
     res, _ = run_cli_inprocess(name, tmp_path)
     assert res["success"]
     kind = res["analysis"]
-    if kind == "modal":
+    if name == "dyn-frame.json":
+        # Two-story portal frame sway modes: positive ascending
+        # frequencies, translational fundamental (x-sway of the roof
+        # dominates its rotation DOF), 3-DOF-per-node shapes.
+        f = np.asarray(res["frequencies_hz"])
+        assert f.shape == (4,) and np.all(f > 0)
+        assert np.all(np.diff(f) >= -1e-9)
+        np.testing.assert_allclose(f[0], 0.06535, rtol=1e-3)
+        shapes = np.asarray(res["mode_shapes"])
+        assert shapes.shape == (4, 18)
+        assert abs(shapes[0][3 * 4]) > 5.0 * abs(shapes[0][3 * 4 + 2])
+    elif kind == "modal":
         w = np.asarray(res["eigenvalues"])
         assert w.shape == (4,) and np.all(w > 0)
         assert np.all(np.diff(w) >= -1e-6)            # ascending

@@ -44,6 +44,7 @@ SCRIPTS.append("sizing_optimization")
 SCRIPTS.append("twin_workflow")
 SCRIPTS.append("fatigue_assessment")
 SCRIPTS.append("reliability_assessment")
+SCRIPTS.append("frame_analysis")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)

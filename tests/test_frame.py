@@ -1,0 +1,243 @@
+"""2D Euler-Bernoulli frame family: models/frame.py + io/frame_io.py.
+
+Every anchor is a textbook closed form: the cubic Hermite element is
+EXACT for nodal loads (machine-precision cantilever with one element),
+consistent-mass frequencies converge from above onto (βL)² formulas,
+and linearized buckling converges onto Euler's π²EI/(KL)².
+"""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.models.frame import (FrameProblem, frame_buckling,
+                                       frame_matrices, frame_modal,
+                                       solve_frame_static)
+
+E, A, I, RHO = 200.0, 1.0, 0.05, 1.2
+L = 4.0
+
+
+def cantilever(n, tip_load=(-1.0, "v")):
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    mag, which = tip_load
+    loads[3 * n + {"u": 0, "v": 1, "m": 2}[which]] = mag
+    return FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                        np.array([0, 1, 2]))
+
+
+def test_cantilever_exact_with_one_element():
+    """Cubic Hermite + nodal load: PL³/3EI, PL²/2EI, root moment PL —
+    all to machine precision with a SINGLE element."""
+    P = 1.0
+    st = solve_frame_static(cantilever(1, (-P, "v")))
+    np.testing.assert_allclose(st.displacements[4],
+                               -P * L ** 3 / (3 * E * I), rtol=1e-14)
+    np.testing.assert_allclose(st.displacements[5],
+                               -P * L ** 2 / (2 * E * I), rtol=1e-14)
+    np.testing.assert_allclose(st.moments[0, 0], P * L, rtol=1e-12)
+    # Reactions balance the load exactly.
+    np.testing.assert_allclose(st.reactions[1], P, rtol=1e-12)
+    np.testing.assert_allclose(st.reactions[2], P * L, rtol=1e-12)
+    # End moment at the tip is zero (free end).
+    np.testing.assert_allclose(st.moments[0, 1], 0.0, atol=1e-12)
+
+
+def test_cantilever_axial_and_end_moment_cases():
+    """Axial tip load: u = PL/EA (beam = bar axially); tip moment:
+    θ = ML/EI, v = ML²/2EI."""
+    st = solve_frame_static(cantilever(3, (2.0, "u")))
+    np.testing.assert_allclose(st.displacements[3 * 3],
+                               2.0 * L / (E * A), rtol=1e-12)
+    np.testing.assert_allclose(st.axial, 2.0, rtol=1e-12)
+    st2 = solve_frame_static(cantilever(2, (0.5, "m")))
+    np.testing.assert_allclose(st2.displacements[3 * 2 + 2],
+                               0.5 * L / (E * I), rtol=1e-12)
+    np.testing.assert_allclose(st2.displacements[3 * 2 + 1],
+                               0.5 * L ** 2 / (2 * E * I), rtol=1e-12)
+
+
+def test_simply_supported_midspan():
+    """Pinned-pinned beam, midspan point load: v = PL³/48EI (exact —
+    nodal load again)."""
+    n = 4
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    loads[3 * 2 + 1] = -1.0
+    # Pins: translations fixed, rotations free; plus axial symmetry.
+    p = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                     np.array([0, 1, 3 * n + 1]))
+    st = solve_frame_static(p)
+    np.testing.assert_allclose(st.displacements[3 * 2 + 1],
+                               -L ** 3 / (48 * E * I), rtol=1e-12)
+    # Midspan moment PL/4 appears at the loaded node's element end.
+    np.testing.assert_allclose(abs(st.moments[1, 1]), L / 4.0,
+                               rtol=1e-10)
+
+
+def test_cantilever_frequencies_converge_from_above():
+    """Consistent mass: f_i -> (β_i L)²√(EI/ρA)/(2πL²) from ABOVE
+    (Rayleigh quotient overestimates), 1e-4 at 8 elements for the
+    first two bending modes."""
+    beta_l = np.array([1.8751040687, 4.6940911330])
+    f_exact = beta_l ** 2 * np.sqrt(E * I / (RHO * A)) \
+        / (2.0 * np.pi * L ** 2)
+    md = frame_modal(cantilever(8), n_modes=4)
+    # The first two BENDING modes (the axial mode sits far above).
+    f_bend = md.frequencies_hz[:2]
+    np.testing.assert_allclose(f_bend, f_exact, rtol=1e-4)
+    assert np.all(f_bend >= f_exact * (1.0 - 1e-12))
+    # Refinement monotonicity: 4 -> 8 elements tightens f1 downward.
+    f4 = frame_modal(cantilever(4), n_modes=1).frequencies_hz[0]
+    assert f4 >= f_bend[0] >= f_exact[0]
+
+
+def test_point_masses_lower_frequencies():
+    p = cantilever(4)
+    f0 = frame_modal(p, n_modes=1).frequencies_hz[0]
+    p_m = FrameProblem(p.nodes, p.elements, E, A, I, RHO, p.loads,
+                       p.fixed_dofs,
+                       point_masses=np.array([0, 0, 0, 0, 5.0]))
+    f1 = frame_modal(p_m, n_modes=1).frequencies_hz[0]
+    assert f1 < 0.7 * f0
+
+
+def column(n, fixed, load_node=None):
+    nodes = np.stack([np.zeros(n + 1), np.linspace(0.0, L, n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    loads[3 * (load_node if load_node is not None else n) + 1] = -1.0
+    return FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                        np.asarray(fixed, dtype=int))
+
+
+def test_euler_buckling_clamped_free_and_pinned():
+    """λ_cr -> π²EI/(KL)²: clamped-free K = 2 and pinned-pinned K = 1,
+    both within 1e-4 at 8 elements (linearized K_g converges from
+    below... the discretization converges from ABOVE on λ)."""
+    bk = frame_buckling(column(8, [0, 1, 2]), n_modes=1)
+    p_cf = np.pi ** 2 * E * I / (2.0 * L) ** 2
+    np.testing.assert_allclose(bk.load_factors[0], p_cf, rtol=1e-4)
+    # Pinned-pinned: translations fixed both ends, rotations free.
+    n = 8
+    bk2 = frame_buckling(column(n, [0, 1, 3 * n], ), n_modes=1)
+    p_pp = np.pi ** 2 * E * I / L ** 2
+    np.testing.assert_allclose(bk2.load_factors[0], p_pp, rtol=1e-4)
+    # The member axial force under the unit pattern is −1 (compression).
+    np.testing.assert_allclose(bk.axial, -1.0, rtol=1e-10)
+
+
+def test_portal_frame_sway_physics():
+    """Portal frame under lateral load: sway displacement matches the
+    textbook shear-frame bound ~H³/(24EI) within the frame-action
+    band, both column bases carry moment, and the modal fundamental is
+    the sway mode (translational, not rotational)."""
+    H, W = 3.0, 4.0
+    nodes = np.array([[0.0, 0.0], [0.0, H], [W, H], [W, 0.0]])
+    elements = np.array([[0, 1], [1, 2], [2, 3]])
+    loads = np.zeros(12)
+    loads[3 * 1] = 1.0                  # lateral at the top-left joint
+    p = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                     np.array([0, 1, 2, 9, 10, 11]))
+    st = solve_frame_static(p)
+    sway = st.displacements[3]
+    # Fixed-base portal: the sway sits between the rigid-beam
+    # shear-frame limit H³/(24EI)·(1/2 columns... per-column H³/12EI,
+    # two columns sharing -> H³/24EI) and the beamless pair of
+    # cantilevers H³/(2·3EI) = H³/6EI.
+    lo = H ** 3 / (24.0 * E * I) * 0.9
+    hi = H ** 3 / (6.0 * E * I)
+    assert lo < sway < hi
+    # Both columns bend: base moments nonzero and of the same sign
+    # pattern for sway.
+    assert abs(st.moments[0, 0]) > 1e-3
+    assert abs(st.moments[2, 1]) > 1e-3
+    # The top joints differ by exactly the beam's AXIAL shortening
+    # N_beam·W/(EA) — frame elements carry axial force too.
+    n_beam = st.axial[1]
+    np.testing.assert_allclose(
+        st.displacements[3] - st.displacements[6],
+        -n_beam * W / (E * A), rtol=1e-6)
+    md = frame_modal(p, n_modes=1)
+    shape = md.mode_shapes[0]
+    assert abs(shape[3]) > 5.0 * abs(shape[4])     # x-sway dominates
+
+
+def test_frame_matrices_symmetric_and_consistent():
+    p = cantilever(3)
+    k, m = frame_matrices(p)
+    np.testing.assert_allclose(k, k.T, atol=1e-9)
+    np.testing.assert_allclose(m, m.T, atol=1e-12)
+    # Total translational mass: each direction sums to rho A L_total.
+    total = RHO * A * L
+    ones_x = np.zeros(p.ndof)
+    ones_x[0::3] = 1.0
+    np.testing.assert_allclose(ones_x @ m @ ones_x, total, rtol=1e-12)
+    ones_y = np.zeros(p.ndof)
+    ones_y[1::3] = 1.0
+    np.testing.assert_allclose(ones_y @ m @ ones_y, total, rtol=1e-12)
+    # Rigid-body translation produces zero stiffness force.
+    np.testing.assert_allclose(k @ ones_x, 0.0, atol=1e-9)
+
+
+def test_frame_validation():
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0]])
+    el = np.array([[0, 1]])
+    with pytest.raises(ValueError, match="loads"):
+        FrameProblem(nodes, el, 1.0, 1.0, 1.0, 1.0,
+                     np.zeros(4), np.array([0]))
+    with pytest.raises(ValueError, match="zero-length"):
+        FrameProblem(np.array([[0.0, 0.0], [0.0, 0.0]]), el,
+                     1.0, 1.0, 1.0, 1.0, np.zeros(6), np.array([0]))
+    with pytest.raises(ValueError, match="fixed_dofs"):
+        FrameProblem(nodes, el, 1.0, 1.0, 1.0, 1.0,
+                     np.zeros(6), np.array([7]))
+
+
+def test_frame_json_document():
+    """io/frame_io.py: the self-describing frame document through
+    parse + all three analysis types."""
+    from pinn_fem_tpu.io.frame_io import (is_frame_document,
+                                          run_frame_document)
+
+    doc = {
+        "element_type": "frame",
+        "nodes": [[0.0, 0.0], [0.0, 3.0], [4.0, 3.0], [4.0, 0.0]],
+        "elements": [[0, 1], [1, 2], [2, 3]],
+        "material": {"young": E, "area": A, "inertia": I,
+                     "density": RHO},
+        "loads": [0, 0, 0, 1.0, 0, 0, 0, 0, 0, 0, 0, 0],
+        "fixed_nodes": [0, 3],
+        "analysis": {"type": "static"},
+    }
+    assert is_frame_document(doc)
+    out = run_frame_document(doc)
+    assert out["success"] and out["element_type"] == "frame"
+    assert len(out["displacements"]) == 12
+    assert len(out["member_end_forces"]) == 3
+    out_m = run_frame_document({**doc, "analysis": {"type": "modal",
+                                                    "n_modes": 3}})
+    assert len(out_m["frequencies_hz"]) == 3
+    assert np.all(np.diff(out_m["frequencies_hz"]) >= -1e-9)
+    # Buckling needs a compressive pattern: push down on the beam.
+    doc_b = dict(doc)
+    doc_b["loads"] = [0, 0, 0, 0, -1.0, 0, 0, -1.0, 0, 0, 0, 0]
+    out_b = run_frame_document({**doc_b,
+                                "analysis": {"type": "buckling"}})
+    assert out_b["load_factors"][0] > 0
+    with pytest.raises(ValueError, match="inertia"):
+        run_frame_document({**doc, "material": {"young": E,
+                                                "area": A}})
+    with pytest.raises(ValueError, match="static"):
+        run_frame_document({**doc, "analysis": {"type": "nope"}})
+    # point_masses table form parses and lowers f1.
+    out_pm = run_frame_document({**doc,
+                                 "point_masses": [[1, 10.0], [2, 10.0]],
+                                 "analysis": {"type": "modal",
+                                              "n_modes": 1}})
+    assert out_pm["frequencies_hz"][0] < out_m["frequencies_hz"][0]
