@@ -44,6 +44,7 @@ from .models.frame import (  # noqa: E402
     frame_matrices,
     frame_modal,
     solve_frame_static,
+    solve_frame_transient,
 )
 from .models.problem import (  # noqa: E402
     ProblemData,
@@ -184,6 +185,7 @@ __all__ = [
     "frame_modal",
     "frame_buckling",
     "frame_matrices",
+    "solve_frame_transient",
     "TrussProblem",
     "element_dofs",
     "free_and_fixed_dofs",

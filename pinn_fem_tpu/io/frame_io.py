@@ -14,8 +14,14 @@ here before the truss parser runs:
      "fixed_nodes": [..]                    # fully clamped nodes
        | "fixed_dofs": [..],                # or raw 3n-DOF indices
      "point_masses": [[node, m], ..] | [..per node..],
+     "member_loads": [[elem, wx, wy], ..]   # uniform distributed
+       | [[wx, wy] per element],            # loads, GLOBAL axes
      "analysis": {"type": "static" | "modal" | "buckling",
-                  "n_modes": 4}}
+                  "n_modes": 4}
+               | {"type": "transient", "dt": 0.01, "n_steps": 500,
+                  "damping": [a, b], "probe_nodes": [..],
+                  "amplitude": {"type": "step"} | [..],
+                  "record_every": 1}}
 
 Outputs mirror the truss analysis family's result shapes (frequencies
 in Hz + eigenvalues + shapes for modal; load factors + modes for
@@ -29,7 +35,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from ..models.frame import (FrameProblem, frame_buckling, frame_modal,
-                            solve_frame_static)
+                            solve_frame_static, solve_frame_transient)
 
 
 def is_frame_document(doc: Dict) -> bool:
@@ -55,6 +61,21 @@ def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
     else:
         raise ValueError('frame document needs "fixed_nodes" or '
                          '"fixed_dofs"')
+    ml = doc.get("member_loads")
+    if ml is not None:
+        arr = np.asarray(ml, dtype=float)
+        if arr.ndim != 2:
+            raise ValueError("member_loads must be a table")
+        if arr.shape[1] == 3:                  # [[elem, wx, wy], ...]
+            full = np.zeros((elements.shape[0], 2))
+            for e, wx, wy in arr:
+                full[int(e)] += (wx, wy)
+            ml = full
+        elif arr.shape[1] == 2:
+            ml = arr
+        else:
+            raise ValueError("member_loads rows must be "
+                             "[elem, wx, wy] or [wx, wy]")
     pm = doc.get("point_masses")
     if pm is not None:
         arr = np.asarray(pm, dtype=float)
@@ -70,7 +91,7 @@ def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
         young=mat.get("young", 1.0), area=mat.get("area", 1.0),
         inertia=mat["inertia"], density=mat.get("density", 1.0),
         loads=loads, fixed_dofs=np.sort(np.unique(fixed)),
-        point_masses=pm)
+        point_masses=pm, member_loads=ml)
     return problem, dict(doc.get("analysis")
                          or {"type": "static"})
 
@@ -120,8 +141,44 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
         if analysis.get("include_shapes", True):
             out["buckling_modes"] = res.modes.tolist()
         return out
-    raise ValueError('frame analysis type must be "static", "modal" '
-                     'or "buckling"')
+    if kind == "transient":
+        if analysis.get("dt") is None or analysis.get("n_steps") is None:
+            raise ValueError('frame transient needs "dt" and '
+                             '"n_steps"')
+        n_steps = int(analysis["n_steps"])
+        amp = analysis.get("amplitude")
+        if isinstance(amp, dict):
+            t = np.arange(n_steps) * float(analysis["dt"])
+            if amp.get("type", "step") == "step":
+                amp = np.ones(n_steps)
+            elif amp.get("type") == "sine":
+                f_hz = float(amp.get("frequency_hz", 1.0))
+                amp = np.sin(2.0 * np.pi * f_hz * t)
+            else:
+                raise ValueError('frame amplitude type must be '
+                                 '"step" or "sine" (or a list)')
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            pn = np.asarray(analysis["probe_nodes"],
+                            dtype=int).reshape(-1)
+            probe = np.stack([3 * pn, 3 * pn + 1],
+                             axis=1).reshape(-1)   # u, v per node
+        res = solve_frame_transient(
+            problem, float(analysis["dt"]), n_steps,
+            damping=analysis.get("damping", (0.0, 0.0)),
+            amplitude=amp, probe_dofs=probe,
+            record_every=int(analysis.get("record_every", 1)))
+        return {
+            "success": True,
+            "analysis": "transient",
+            "element_type": "frame",
+            "times": res.times.tolist(),
+            "displacements": res.displacements.tolist(),
+            "dt": res.dt,
+            "n_steps": res.n_steps,
+        }
+    raise ValueError('frame analysis type must be "static", "modal", '
+                     '"buckling" or "transient"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

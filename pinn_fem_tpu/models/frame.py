@@ -59,6 +59,10 @@ class FrameProblem:
     loads: np.ndarray          # (3n,)
     fixed_dofs: np.ndarray
     point_masses: Optional[np.ndarray] = None   # (n,) translational
+    # (m, 2) uniform distributed member loads [wx, wy] in GLOBAL axes
+    # (force/length) — converted to consistent nodal loads and the
+    # fixed-end corrections the member-force recovery needs.
+    member_loads: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -83,6 +87,10 @@ class FrameProblem:
             self.point_masses = np.broadcast_to(
                 np.asarray(self.point_masses, dtype=float),
                 (self.nnode,)).copy()
+        if self.member_loads is not None:
+            self.member_loads = np.broadcast_to(
+                np.asarray(self.member_loads, dtype=float),
+                (self.nelm, 2)).copy()
         if np.any(_geometry(self)[0] <= 0.0):
             raise ValueError("zero-length frame element")
 
@@ -206,6 +214,37 @@ def _kg_local(axial_n, length):
     return kg
 
 
+def _member_load_vectors(problem: FrameProblem):
+    """(f_nodal (3n,), f_fixed_local (m, 6)) for uniform member loads.
+
+    A uniform local transverse load w gives the classic consistent
+    (fixed-end) vector [wL/2, wL²/12] at each end (moments opposing),
+    and a uniform local axial load q gives qL/2 axially.  The HERMITE
+    exact-at-nodes property makes the resulting NODAL displacements
+    exact for uniform loads too — wL⁴/8EI with one element
+    (tests/test_frame.py).  Member end forces then need the fixed-end
+    correction f_local = k_local T u_e − f_fixed_local."""
+    if problem.member_loads is None:
+        return np.zeros(problem.ndof), np.zeros((problem.nelm, 6))
+    length, c, s_ = _geometry(problem)
+    wx, wy = problem.member_loads[:, 0], problem.member_loads[:, 1]
+    # Global (wx, wy) -> local (axial q, transverse w).
+    q = c * wx + s_ * wy
+    w = -s_ * wx + c * wy
+    f_loc = np.zeros((problem.nelm, 6))
+    f_loc[:, 0] = q * length / 2.0
+    f_loc[:, 3] = q * length / 2.0
+    f_loc[:, 1] = w * length / 2.0
+    f_loc[:, 4] = w * length / 2.0
+    f_loc[:, 2] = w * length ** 2 / 12.0
+    f_loc[:, 5] = -w * length ** 2 / 12.0
+    t = _rotation(c, s_)
+    f_glob = np.einsum("mji,mj->mi", t, f_loc)     # Tᵀ f_local
+    f = np.zeros(problem.ndof)
+    np.add.at(f, problem.dof_map(), f_glob)
+    return f, f_loc
+
+
 def _assemble(problem: FrameProblem, blocks: np.ndarray) -> np.ndarray:
     """(m, 6, 6) global-axes blocks -> dense (ndof, ndof)."""
     dm = problem.dof_map()
@@ -253,14 +292,15 @@ def solve_frame_static(problem: FrameProblem) -> FrameStaticResult:
     k, _ = frame_matrices(problem, with_mass=False)
     mask = problem.free_mask()
     km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
-    f = problem.loads
+    f_member, f_fixed = _member_load_vectors(problem)
+    f = problem.loads + f_member
     u = np.linalg.solve(km, f * mask) * mask
 
     length, c, s = _geometry(problem)
     t = _rotation(c, s)
     kl = _k_local(problem.young, problem.area, problem.inertia, length)
     u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
-    f_loc = np.einsum("mij,mj->mi", kl, u_loc)
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
     reactions = (k @ u - f) * (1.0 - mask)
     return FrameStaticResult(
         displacements=u,
@@ -334,3 +374,72 @@ def frame_buckling(problem: FrameProblem,
     modes[:, free] = np.real(vec[:, good][:, order]).T
     return FrameBucklingResult(load_factors=lam_r[order], modes=modes,
                                axial=stat.axial)
+
+
+@dataclass
+class FrameTransientResult:
+    times: np.ndarray
+    displacements: np.ndarray      # (n_rec, n_probe)
+    dt: float
+    n_steps: int
+
+
+def solve_frame_transient(problem: FrameProblem, dt: float,
+                          n_steps: int, damping=(0.0, 0.0),
+                          amplitude=None, probe_dofs=None,
+                          record_every: int = 1
+                          ) -> FrameTransientResult:
+    """Newmark (average acceleration, unconditionally stable) on the
+    dense frame K/M — one LU factorization of the effective operator
+    serves every step (host float64, the frame family's tier).
+
+    amplitude: (n_steps,) load-scale history a(t) multiplying the
+    problem's nodal + member loads (None = unit step).  Rayleigh
+    C = αM + βK.  Cross-validated against exact modal superposition
+    of the undamped step response (tests/test_frame.py).
+    """
+    import scipy.linalg
+
+    if dt <= 0.0 or n_steps <= 0:
+        raise ValueError("transient needs positive dt and n_steps")
+    k, m = frame_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f_member, _ = _member_load_vectors(problem)
+    f0 = problem.loads + f_member
+    amp = (np.ones(n_steps) if amplitude is None
+           else np.broadcast_to(np.asarray(amplitude, dtype=float),
+                                (n_steps,)))
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    a0 = 4.0 / dt ** 2
+    a1 = 2.0 / dt
+    keff = kf + a0 * mf + a1 * cf
+    lu = scipy.linalg.lu_factor(keff)
+
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    n = free.size
+    u = np.zeros(n)
+    v = np.zeros(n)
+    a_acc = np.linalg.solve(mf + 1e-300 * np.eye(n),
+                            ff * amp[0] - cf @ v - kf @ u)         if n else np.zeros(0)
+    rec_t, rec_u = [], []
+    full = np.zeros(problem.ndof)
+    for step in range(n_steps):
+        f_t = ff * amp[step]
+        rhs = f_t + mf @ (a0 * u + 2.0 * a1 * v + a_acc)             + cf @ (a1 * u + v)
+        u_new = scipy.linalg.lu_solve(lu, rhs)
+        v_new = a1 * (u_new - u) - v
+        a_new = a0 * (u_new - u) - 2.0 * a1 * v - a_acc
+        u, v, a_acc = u_new, v_new, a_new
+        if step % record_every == 0:
+            full[free] = u
+            rec_t.append((step + 1) * dt)
+            rec_u.append(full[probe].copy())
+    return FrameTransientResult(
+        times=np.asarray(rec_t), displacements=np.asarray(rec_u),
+        dt=float(dt), n_steps=int(n_steps))
