@@ -43,6 +43,8 @@ from .models.frame import (  # noqa: E402
     frame_buckling,
     frame_matrices,
     frame_modal,
+    frame_static_response,
+    identify_frame_properties,
     solve_frame_static,
     solve_frame_transient,
 )
@@ -186,6 +188,8 @@ __all__ = [
     "frame_buckling",
     "frame_matrices",
     "solve_frame_transient",
+    "frame_static_response",
+    "identify_frame_properties",
     "TrussProblem",
     "element_dofs",
     "free_and_fixed_dofs",

@@ -443,3 +443,136 @@ def solve_frame_transient(problem: FrameProblem, dt: float,
     return FrameTransientResult(
         times=np.asarray(rec_t), displacements=np.asarray(rec_u),
         dt=float(dt), n_steps=int(n_steps))
+
+
+# --------------------------------------------------------------------
+# Traced twin (jnp): the differentiable frame statics the inverse
+# families ride — the same host-mirror discipline as ops/host.py, in
+# the opposite direction (here the HOST numpy path above is the
+# authority and the traced path mirrors it; tests/test_frame.py pins
+# them 1:1).
+
+
+def frame_static_response(problem: "FrameProblem", young_e=None,
+                          area_e=None, inertia_e=None, loads=None,
+                          dtype=None):
+    """Traced, differentiable frame statics with per-element
+    properties.
+
+    Returns (u, end_moments, axial): the masked dense solve
+    K(E, A, I) u = f plus the local member-force recovery — every
+    output differentiable w.r.t. the traced property arrays, so one
+    reverse pass is the adjoint for all members (the truss sizing/
+    identification machinery's pattern).  Distributed member loads are
+    folded in exactly like the host path (consistent vector +
+    fixed-end correction).
+    """
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    m = problem.nelm
+    length_np, c_np, s_np = _geometry(problem)
+    length = jnp.asarray(length_np, dtype)
+    c = jnp.asarray(c_np, dtype)
+    s = jnp.asarray(s_np, dtype)
+    young = jnp.broadcast_to(jnp.asarray(
+        problem.young if young_e is None else young_e, dtype), (m,))
+    area = jnp.broadcast_to(jnp.asarray(
+        problem.area if area_e is None else area_e, dtype), (m,))
+    inertia = jnp.broadcast_to(jnp.asarray(
+        problem.inertia if inertia_e is None else inertia_e, dtype),
+        (m,))
+
+    # local stiffness blocks (jnp mirror of _k_local)
+    ea = young * area / length
+    ei = young * inertia
+    z = jnp.zeros_like(length)
+    b12 = 12.0 * ei / length ** 3
+    b6 = 6.0 * ei / length ** 2
+    b4 = 4.0 * ei / length
+    b2 = 2.0 * ei / length
+    rows = []
+    rows.append(jnp.stack([ea, z, z, -ea, z, z], axis=-1))
+    rows.append(jnp.stack([z, b12, b6, z, -b12, b6], axis=-1))
+    rows.append(jnp.stack([z, b6, b4, z, -b6, b2], axis=-1))
+    rows.append(jnp.stack([-ea, z, z, ea, z, z], axis=-1))
+    rows.append(jnp.stack([z, -b12, -b6, z, b12, -b6], axis=-1))
+    rows.append(jnp.stack([z, b6, b2, z, -b6, b4], axis=-1))
+    kl = jnp.stack(rows, axis=-2)                    # (m, 6, 6)
+
+    # rotation (jnp mirror of _rotation)
+    one = jnp.ones_like(c)
+    r3 = jnp.stack([
+        jnp.stack([c, s, z], axis=-1),
+        jnp.stack([-s, c, z], axis=-1),
+        jnp.stack([z, z, one], axis=-1)], axis=-2)
+    t = jnp.zeros((m, 6, 6), dtype)
+    t = t.at[:, :3, :3].set(r3)
+    t = t.at[:, 3:, 3:].set(r3)
+
+    kg_blocks = jnp.einsum("mji,mjk,mkl->mil", t, kl, t)
+    dm = jnp.asarray(problem.dof_map())
+    k = jnp.zeros((problem.ndof, problem.ndof), dtype).at[
+        dm[:, :, None], dm[:, None, :]].add(kg_blocks)
+
+    f_member_np, f_fixed_np = _member_load_vectors(problem)
+    f = jnp.asarray(problem.loads + f_member_np
+                    if loads is None else loads, dtype)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
+    u = jnp.linalg.solve(km, f * mask) * mask
+
+    u_loc = jnp.einsum("mij,mj->mi", t, u[dm])
+    f_loc = jnp.einsum("mij,mj->mi", kl, u_loc) \
+        - jnp.asarray(f_fixed_np, dtype)
+    return u, f_loc[:, jnp.array([2, 5])], -f_loc[:, 0]
+
+
+def identify_frame_properties(problem: "FrameProblem", measured_dofs,
+                              measured_disp, param: str = "inertia",
+                              n_iter: int = 400,
+                              learning_rate: float = 0.05):
+    """Recover per-element frame properties from measured static
+    displacements — the reference's flagship inverse (material from
+    displacements) carried to BENDING structures.
+
+    param "inertia" recovers the per-element I profile (with E fixed:
+    bending response determines only the PRODUCT EI, the frame
+    counterpart of the truss EA degeneracy — recovering I at known E
+    is that product); "young" recovers E per element (A, I fixed).
+    ADAM on log-parameters through the traced solve; returns
+    (values (m,), loss_history).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    if param not in ("inertia", "young"):
+        raise ValueError('param must be "inertia" or "young"')
+    meas_idx = jnp.asarray(np.asarray(measured_dofs, dtype=int))
+    meas = jnp.asarray(np.asarray(measured_disp, dtype=float))
+    base = getattr(problem, param)
+    log0 = jnp.log(jnp.asarray(base))
+
+    def loss_fn(log_p):
+        vals = jnp.exp(log_p)
+        kw = {f"{'inertia' if param == 'inertia' else 'young'}_e":
+              vals}
+        u, _, _ = frame_static_response(problem, **kw)
+        return jnp.mean((u[meas_idx] - meas) ** 2)
+
+    opt = optax.adam(learning_rate)
+    state = opt.init(log0)
+    log_p = log0
+    hist = []
+
+    @jax.jit
+    def step(log_p, state):
+        loss, g = jax.value_and_grad(loss_fn)(log_p)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(log_p, updates), state, loss
+
+    for _ in range(n_iter):
+        log_p, state, loss = step(log_p, state)
+        hist.append(float(loss))
+    return np.asarray(jnp.exp(log_p)), np.asarray(hist)

@@ -372,3 +372,60 @@ def test_frame_transient_json_and_validation():
                                rtol=0.02)
     with pytest.raises(ValueError, match="dt"):
         run_frame_document({**doc, "analysis": {"type": "transient"}})
+
+
+def test_traced_frame_mirrors_host():
+    """frame_static_response (traced f32) against solve_frame_static
+    (host f64 authority), u / moments / axial 1:1 at f32 precision."""
+    import jax
+
+    from pinn_fem_tpu.models.frame import frame_static_response
+
+    n = 6
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    loads[3 * n + 1] = -1.0
+    p = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                     np.array([0, 1, 2]),
+                     member_loads=np.tile([[0.0, -0.1]], (n, 1)))
+    st = solve_frame_static(p)
+    u, mom, ax = (np.asarray(v) for v in
+                  jax.device_get(frame_static_response(p)))
+    scale = np.max(np.abs(st.displacements))
+    np.testing.assert_allclose(u, st.displacements, atol=5e-4 * scale)
+    np.testing.assert_allclose(mom, st.moments, atol=1e-3)
+    np.testing.assert_allclose(ax, st.axial, atol=1e-3)
+
+
+def test_identify_frame_inertia_profile():
+    """The flagship inverse on a BENDING structure: a tapered I(x)
+    profile recovered per element from measured static displacements
+    and rotations through the traced solve (E fixed — bending
+    determines only the EI product, the frame counterpart of the truss
+    EA degeneracy)."""
+    from pinn_fem_tpu.models.frame import identify_frame_properties
+
+    n = 6
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    loads[3 * n + 1] = -1.0
+    i_true = I * (1.0 + 0.5 * np.linspace(0.0, 1.0, n))
+    p_true = FrameProblem(nodes, elements, E, A, i_true, RHO, loads,
+                          np.array([0, 1, 2]))
+    u_true = solve_frame_static(p_true).displacements
+    p0 = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                      np.array([0, 1, 2]))
+    vdofs = [3 * k + 1 for k in range(1, n + 1)] \
+        + [3 * k + 2 for k in range(1, n + 1)]
+    vals, hist = identify_frame_properties(
+        p0, vdofs, u_true[vdofs], param="inertia", n_iter=2000,
+        learning_rate=0.03)
+    np.testing.assert_allclose(vals, i_true, rtol=0.01)
+    assert hist[-1] < 1e-4 * hist[0]
+    with pytest.raises(ValueError, match="param"):
+        identify_frame_properties(p0, vdofs, u_true[vdofs],
+                                  param="area")
