@@ -43,6 +43,7 @@ from .models.frame import (  # noqa: E402
     frame_buckling,
     frame_matrices,
     frame_modal,
+    frame_harmonic,
     frame_static_response,
     identify_frame_properties,
     solve_frame_static,
@@ -189,6 +190,7 @@ __all__ = [
     "frame_matrices",
     "solve_frame_transient",
     "frame_static_response",
+    "frame_harmonic",
     "identify_frame_properties",
     "TrussProblem",
     "element_dofs",

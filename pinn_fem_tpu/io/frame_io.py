@@ -34,7 +34,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from ..models.frame import (FrameProblem, frame_buckling, frame_modal,
+from ..models.frame import (FrameProblem, frame_buckling,
+                            frame_harmonic, frame_modal,
                             solve_frame_static, solve_frame_transient)
 
 
@@ -177,8 +178,31 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "dt": res.dt,
             "n_steps": res.n_steps,
         }
+    if kind == "harmonic":
+        om = analysis.get("omegas")
+        if om is None:
+            raise ValueError('frame harmonic needs "omegas"')
+        if isinstance(om, dict):
+            om = np.linspace(float(om["start"]), float(om["stop"]),
+                             int(om.get("num", 50)))
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            pn = np.asarray(analysis["probe_nodes"],
+                            dtype=int).reshape(-1)
+            probe = np.stack([3 * pn, 3 * pn + 1],
+                             axis=1).reshape(-1)
+        res = frame_harmonic(
+            problem, om, damping=analysis.get("damping", (0.0, 0.0)),
+            probe_dofs=probe)
+        return {
+            "success": True,
+            "analysis": "harmonic",
+            "element_type": "frame",
+            "omegas": res.omegas.tolist(),
+            "amplitude": res.amplitude.tolist(),
+        }
     raise ValueError('frame analysis type must be "static", "modal", '
-                     '"buckling" or "transient"')
+                     '"buckling", "transient" or "harmonic"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

@@ -576,3 +576,43 @@ def identify_frame_properties(problem: "FrameProblem", measured_dofs,
         log_p, state, loss = step(log_p, state)
         hist.append(float(loss))
     return np.asarray(jnp.exp(log_p)), np.asarray(hist)
+
+
+@dataclass
+class FrameHarmonicResult:
+    omegas: np.ndarray
+    amplitude: np.ndarray          # (n_freq, n_probe) |X|
+    real: np.ndarray
+    imag: np.ndarray
+
+
+def frame_harmonic(problem: FrameProblem, omegas,
+                   damping=(0.0, 0.0), probe_dofs=None
+                   ) -> FrameHarmonicResult:
+    """Steady-state X(ω) to the frame's load pattern: direct dense
+    complex solves (K − ω²M + iωC) X = f per frequency, host float64.
+    Rayleigh C = αM + βK.  With proportional damping this equals the
+    ALL-modes superposition Σ φφᵀf/(m_j(ω_j²−ω²+iω(α+βω_j²)))
+    EXACTLY — the 1e-8 cross-check in tests/test_frame.py."""
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, m = frame_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f_member, _ = _member_load_vectors(problem)
+    f0 = problem.loads + f_member
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    full = np.zeros(problem.ndof, dtype=complex)
+    xs = np.zeros((om.size, probe.size), dtype=complex)
+    for i, w in enumerate(om):
+        z = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(z, ff)
+        xs[i] = full[probe]
+    return FrameHarmonicResult(omegas=om, amplitude=np.abs(xs),
+                               real=xs.real, imag=xs.imag)

@@ -429,3 +429,47 @@ def test_identify_frame_inertia_profile():
     with pytest.raises(ValueError, match="param"):
         identify_frame_properties(p0, vdofs, u_true[vdofs],
                                   param="area")
+
+
+def test_frame_harmonic_matches_modal_superposition():
+    """Direct complex sweep vs the ALL-modes superposition (exact for
+    proportional damping): 1e-8, resonance peaks at the modal
+    frequencies, and ω -> 0 recovers the static deflection."""
+    from pinn_fem_tpu.models.frame import frame_harmonic
+
+    n = 4
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    loads[3 * n + 1] = -1.0
+    p = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                     np.array([0, 1, 2]))
+    md = frame_modal(p, n_modes=3 * n)       # ALL free modes
+    k, m = frame_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    tip = 3 * n + 1
+    alpha, beta = 0.2, 1e-3
+    om = np.linspace(0.05 * md.omegas[0], 3.0 * md.omegas[1], 160)
+    hr = frame_harmonic(p, om, damping=(alpha, beta),
+                        probe_dofs=[tip])
+    x_modal = np.zeros(om.size, dtype=complex)
+    for j in range(len(md.omegas)):
+        phi = md.mode_shapes[j][free]
+        mj = phi @ m[np.ix_(free, free)] @ phi
+        qj = phi @ loads[free]
+        wj2 = md.omegas[j] ** 2
+        x_modal += md.mode_shapes[j][tip] * qj / (
+            mj * (wj2 - om ** 2 + 1j * om * (alpha + beta * wj2)))
+    np.testing.assert_allclose(hr.real[:, 0], x_modal.real, rtol=1e-8,
+                               atol=1e-12)
+    np.testing.assert_allclose(hr.imag[:, 0], x_modal.imag, rtol=1e-8,
+                               atol=1e-12)
+    # omega -> 0 limit: the static deflection.
+    st = solve_frame_static(p)
+    hr0 = frame_harmonic(p, [1e-6], probe_dofs=[tip])
+    np.testing.assert_allclose(hr0.amplitude[0, 0],
+                               abs(st.displacements[tip]), rtol=1e-8)
+    # A resonance peak near f1.
+    peak_om = om[np.argmax(hr.amplitude[:, 0])]
+    np.testing.assert_allclose(peak_om, md.omegas[0], rtol=0.05)
