@@ -46,6 +46,7 @@ from .models.frame import (  # noqa: E402
     frame_harmonic,
     frame_static_response,
     identify_frame_properties,
+    optimize_frame_inertia,
     solve_frame_static,
     solve_frame_transient,
 )
@@ -192,6 +193,7 @@ __all__ = [
     "frame_static_response",
     "frame_harmonic",
     "identify_frame_properties",
+    "optimize_frame_inertia",
     "TrussProblem",
     "element_dofs",
     "free_and_fixed_dofs",

@@ -473,3 +473,55 @@ def test_frame_harmonic_matches_modal_superposition():
     # A resonance peak near f1.
     peak_om = om[np.argmax(hr.amplitude[:, 0])]
     np.testing.assert_allclose(peak_om, md.omegas[0], rtol=0.05)
+
+
+def test_optimize_frame_inertia_closed_form_and_slsqp():
+    """Minimum-weight inertia sizing on the traced twin: (a) one
+    design variable has the closed form I* = PL^3/(3E v_lim) — hit to
+    1e-12 (the constraint binds and is monotone); (b) the 4-element
+    profile ties scipy SLSQP with exact constraints on both the design
+    AND the weight, with the tip exactly on the limit."""
+    import scipy.optimize
+
+    from pinn_fem_tpu.models.frame import optimize_frame_inertia
+
+    P, v_lim = 1.0, 1.0
+    p1 = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                      np.array([[0, 1]]), E, A, I, RHO,
+                      np.array([0, 0, 0, 0, -P, 0.0]),
+                      np.array([0, 1, 2]))
+    i_e, w, hist = optimize_frame_inertia(p1, v_lim, [4],
+                                          n_iter=200, outer_rounds=3)
+    np.testing.assert_allclose(i_e[0], P * L ** 3 / (3 * E * v_lim),
+                               rtol=1e-12)
+
+    n = 4
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1)],
+                     axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(3 * (n + 1))
+    loads[3 * n + 1] = -P
+    p = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                     np.array([0, 1, 2]))
+    lengths = np.full(n, L / n)
+
+    def tip(ii):
+        st = solve_frame_static(FrameProblem(
+            nodes, elements, E, A, ii, RHO, loads,
+            np.array([0, 1, 2])))
+        return abs(st.displacements[3 * n + 1])
+
+    sol = scipy.optimize.minimize(
+        lambda x: float(np.sum(np.sqrt(x) * lengths)),
+        np.full(n, I), method="SLSQP", bounds=[(1e-8, None)] * n,
+        constraints=[{"type": "ineq",
+                      "fun": lambda x: 1.0 - tip(x) / v_lim}],
+        options={"maxiter": 300, "ftol": 1e-12})
+    assert sol.success
+    i_e2, w2, _ = optimize_frame_inertia(p, v_lim, [3 * n + 1],
+                                         n_iter=300, outer_rounds=4)
+    np.testing.assert_allclose(i_e2, sol.x, rtol=1e-3)
+    np.testing.assert_allclose(w2, float(sol.fun), rtol=1e-4)
+    np.testing.assert_allclose(tip(i_e2), v_lim, rtol=1e-6)
+    with pytest.raises(ValueError, match="displacement_limit"):
+        optimize_frame_inertia(p, -1.0, [3 * n + 1])
