@@ -40,7 +40,10 @@ router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 function solveAnalysis(kind) {
   return (problemData) => {
     const analysis = { type: kind, ...(problemData.analysis || {}) };
-    return solveGeneric({ ...problemData, analysis });
+    const body = kind === 'frame'
+      ? { ...problemData, element_type: 'frame', analysis }
+      : { ...problemData, analysis };
+    return solveGeneric(body);
   };
 }
 

@@ -57,8 +57,11 @@ def setup_logging(problem_file: str) -> Path:
 def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dict:
     configure()
     with open(problem_file) as fh:
-        raw = json.load(fh)
-    if raw.get("element_type") == "frame":
+        raw = json.load(fh)     # cheap peek; parse_problem_file
+        #                         re-reads (one extra parse per process)
+    from ..io.frame_io import is_frame_document
+
+    if is_frame_document(raw):
         # Frame documents are self-describing (three DOFs per node —
         # the truss schema cannot carry them); the whole family runs
         # on the host tier (io/frame_io.py), so no backend ever
@@ -82,6 +85,12 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "buckling":
             logger.info("  Critical load factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
+        elif output["analysis"] == "transient":
+            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                        output["dt"])
+        elif output["analysis"] == "harmonic":
+            logger.info("  Frequencies swept: %d",
+                        len(output["omegas"]))
         else:
             m = np.max(np.abs(np.asarray(output["end_moments"])))
             logger.info("  Max |end moment|: %.6g (member forces in "

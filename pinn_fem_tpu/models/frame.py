@@ -430,7 +430,10 @@ def solve_frame_transient(problem: FrameProblem, dt: float,
     rec_t, rec_u = [], []
     full = np.zeros(problem.ndof)
     for step in range(n_steps):
-        f_t = ff * amp[step]
+        # State advances to t = (step+1)·dt, so the forcing is
+        # a((step+1)·dt) — the truss Newmark's amp[i+1] convention
+        # (solvers/dynamics.py); the final step holds the last value.
+        f_t = ff * amp[min(step + 1, n_steps - 1)]
         rhs = f_t + mf @ (a0 * u + 2.0 * a1 * v + a_acc)             + cf @ (a1 * u + v)
         u_new = scipy.linalg.lu_solve(lu, rhs)
         v_new = a1 * (u_new - u) - v
@@ -516,15 +519,21 @@ def frame_static_response(problem: "FrameProblem", young_e=None,
         dm[:, :, None], dm[:, None, :]].add(kg_blocks)
 
     f_member_np, f_fixed_np = _member_load_vectors(problem)
-    f = jnp.asarray(problem.loads + f_member_np
-                    if loads is None else loads, dtype)
+    if loads is None:
+        f = jnp.asarray(problem.loads + f_member_np, dtype)
+        f_fixed = jnp.asarray(f_fixed_np, dtype)
+    else:
+        # An explicit override REPLACES the load model entirely — the
+        # member-load consistent vector is not applied, so its
+        # fixed-end correction must not be subtracted either.
+        f = jnp.asarray(loads, dtype)
+        f_fixed = jnp.zeros((m, 6), dtype)
     mask = jnp.asarray(problem.free_mask(), dtype)
     km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
     u = jnp.linalg.solve(km, f * mask) * mask
 
     u_loc = jnp.einsum("mij,mj->mi", t, u[dm])
-    f_loc = jnp.einsum("mij,mj->mi", kl, u_loc) \
-        - jnp.asarray(f_fixed_np, dtype)
+    f_loc = jnp.einsum("mij,mj->mi", kl, u_loc) - f_fixed
     return u, f_loc[:, jnp.array([2, 5])], -f_loc[:, 0]
 
 
@@ -556,8 +565,7 @@ def identify_frame_properties(problem: "FrameProblem", measured_dofs,
 
     def loss_fn(log_p):
         vals = jnp.exp(log_p)
-        kw = {f"{'inertia' if param == 'inertia' else 'young'}_e":
-              vals}
+        kw = {f"{param}_e": vals}
         u, _, _ = frame_static_response(problem, **kw)
         return jnp.mean((u[meas_idx] - meas) ** 2)
 
@@ -712,5 +720,14 @@ def optimize_frame_inertia(problem: FrameProblem,
         if ratio <= 1.0 + 1e-9:
             break
         i_e = i_e * ratio
+    else:
+        # Axial (inertia-independent) deformation sets a deflection
+        # floor the I-scaling cannot cross — fail loudly instead of
+        # returning an infeasible design.
+        raise ValueError(
+            f"displacement_limit {displacement_limit} unreachable by "
+            f"inertia scaling (residual ratio {ratio:.3f}) — the "
+            f"probe deflection has an axial component EA cannot "
+            f"reduce; raise the limit or size areas too")
     weight = float(np.sum(i_e ** q * length_np))
     return i_e, weight, np.asarray(hist)

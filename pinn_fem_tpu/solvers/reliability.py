@@ -182,6 +182,9 @@ def _parse_variables(variables, nelm: int):
     return out
 
 
+_PHI2_GAUSS: dict = {}     # cached Gauss-Legendre rules (per order)
+
+
 def _phi2(a, b, rho, n_gauss: int = 64):
     """P(Z1 <= a, Z2 <= b) for standard bivariate normal with
     correlation rho — Owen's single-integral form
@@ -201,7 +204,9 @@ def _phi2(a, b, rho, n_gauss: int = 64):
         return max(0.0, pa + pb - 1.0)
     if abs(rho) < 1e-14:
         return pa * pb
-    x, w = np.polynomial.legendre.leggauss(n_gauss)
+    if n_gauss not in _PHI2_GAUSS:
+        _PHI2_GAUSS[n_gauss] = np.polynomial.legendre.leggauss(n_gauss)
+    x, w = _PHI2_GAUSS[n_gauss]
     r = 0.5 * rho * (x + 1.0)
     jac = 0.5 * rho
     one = 1.0 - r * r
