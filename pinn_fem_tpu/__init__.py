@@ -44,6 +44,7 @@ from .models.frame import (  # noqa: E402
     frame_matrices,
     frame_modal,
     frame_harmonic,
+    frame_reliability,
     frame_static_response,
     identify_frame_properties,
     optimize_frame_inertia,
@@ -192,6 +193,7 @@ __all__ = [
     "solve_frame_transient",
     "frame_static_response",
     "frame_harmonic",
+    "frame_reliability",
     "identify_frame_properties",
     "optimize_frame_inertia",
     "TrussProblem",

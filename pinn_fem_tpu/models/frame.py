@@ -731,3 +731,145 @@ def optimize_frame_inertia(problem: FrameProblem,
             f"reduce; raise the limit or size areas too")
     weight = float(np.sum(i_e ** q * length_np))
     return i_e, weight, np.asarray(hist)
+
+
+def frame_reliability(problem: FrameProblem, variables, limit_state,
+                      n_iter: int = 50, tol: float = 1e-4,
+                      mc_samples: int = 0, mc_seed: int = 0,
+                      correlation=None):
+    """FORM on the FRAME family: probe-displacement limit states
+    through the traced frame twin, reusing the reliability module's
+    generic machinery (marginal transforms, Nataf copula, HL-RF,
+    Ditlevsen bounds, crude MC).
+
+    Variable kinds: young / inertia / area over element subsets (each
+    normal or lognormal, same spec dicts as the truss reliability
+    family — "inertia" is frame-specific), a global load_scale, and a
+    resistance (unused here; displacement limits are deterministic).
+    limit_state: {"type": "displacement", "limit": d,
+                  "probe_dofs": [..]}.
+
+    EXACT anchor (tests/test_frame.py): the cantilever tip deflection
+    is PL³/(3·E·I) — v ∝ S/(E·I) — so lognormal (E, I, S) make ln v
+    linear in the standard normals and
+    β = (ln(limit/v₀) + λ_E + λ_I − λ_S)/√(ζ_E² + ζ_I² + ζ_S²)
+    exactly.  Returns a solvers.reliability.ReliabilityResult.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..solvers.reliability import (ReliabilityResult, _ditlevsen_bounds,
+                                       _nataf_cholesky, _norm_cdf,
+                                       _physical)
+    from ..solvers.reliability import _parse_variables as _pv
+
+    m = problem.nelm
+    # Reuse the truss parser by aliasing "inertia" onto its "density"
+    # slot (same shape: a per-element material field with an optional
+    # element subset); the alias is purely internal.
+    alias = []
+    kinds = []
+    for spec in variables or ():
+        sp = dict(spec)
+        kinds.append(sp.get("kind"))
+        if sp.get("kind") == "inertia":
+            sp["kind"] = "density"
+        alias.append(sp)
+    varspecs = _pv(alias, m)
+    for v, orig_kind in zip(varspecs, kinds):
+        v["kind"] = orig_kind
+    n_vars = len(varspecs)
+    chol = _nataf_cholesky(varspecs, correlation)
+    dtype = jnp.asarray(1.0).dtype
+    chol_d = None if chol is None else jnp.asarray(chol, dtype)
+    masks = {i: jnp.asarray(v["mask"], dtype)
+             for i, v in enumerate(varspecs) if v["mask"] is not None}
+
+    ls = dict(limit_state or {})
+    if ls.get("type", "displacement") != "displacement":
+        raise ValueError("frame_reliability supports the displacement "
+                         "limit state (stress needs a section modulus "
+                         "model — future work)")
+    if ls.get("limit") is None or ls.get("probe_dofs") is None:
+        raise ValueError('frame displacement limit state needs '
+                         '"limit" and "probe_dofs"')
+    limit = float(ls["limit"])
+    probe = np.asarray(ls["probe_dofs"], dtype=int).reshape(-1)
+    probe_d = jnp.asarray(probe)
+    labels = [f"displacement dof{int(d)}" for d in probe]
+    n_ls = probe.size
+
+    def ratios_all(u):
+        z = u if chol_d is None else chol_d @ u
+        young = jnp.asarray(problem.young, dtype)
+        area = jnp.asarray(problem.area, dtype)
+        inertia = jnp.asarray(problem.inertia, dtype)
+        scale = jnp.asarray(1.0, dtype)
+        for i, v in enumerate(varspecs):
+            x = _physical(v, z[i])
+            if v["kind"] == "load_scale":
+                scale = scale * x
+            elif v["kind"] == "resistance":
+                pass
+            else:
+                mk = masks[i]
+                if v["kind"] == "young":
+                    young = young * (1.0 - mk) + x * mk
+                elif v["kind"] == "inertia":
+                    inertia = inertia * (1.0 - mk) + x * mk
+                elif v["kind"] == "area":
+                    area = area * (1.0 - mk) + x * mk
+        f_member_np, _ = _member_load_vectors(problem)
+        uu, _, _ = frame_static_response(
+            problem, young_e=young, area_e=area, inertia_e=inertia,
+            loads=jnp.asarray(problem.loads + f_member_np,
+                              dtype) * scale)
+        return jnp.abs(uu)[probe_d] / limit
+
+    def g_one(u, i):
+        return 1.0 - ratios_all(u)[i]
+
+    g_grad = jax.value_and_grad(g_one)
+
+    def hlrf(i):
+        u0 = jnp.zeros((n_vars,), dtype)
+
+        def body(_, u):
+            g, dg = g_grad(u, i)
+            nrm2 = jnp.maximum(jnp.dot(dg, dg), 1e-30)
+            return (jnp.dot(dg, u) - g) / nrm2 * dg
+
+        u_star = jax.lax.fori_loop(0, n_iter, body, u0)
+        g_star, dg_star = g_grad(u_star, i)
+        g_mean = g_one(u0, i)
+        beta = jnp.sign(g_mean) * jnp.linalg.norm(u_star)
+        nrm = jnp.maximum(jnp.linalg.norm(dg_star), 1e-30)
+        return beta, -dg_star / nrm, u_star, g_star
+
+    betas, alphas, u_stars, g_stars = (
+        np.asarray(v, dtype=float) for v in jax.device_get(
+            jax.jit(jax.vmap(hlrf))(jnp.arange(n_ls))))
+    converged = (np.abs(g_stars) < tol) & np.isfinite(betas)
+    pf = _norm_cdf(-betas)
+    z_stars = u_stars if chol is None else u_stars @ chol.T
+    xp = np.zeros((n_ls, n_vars))
+    for j, v in enumerate(varspecs):
+        x = v["a"] + v["b"] * z_stars[:, j]
+        xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
+    dit_lo, dit_hi = _ditlevsen_bounds(betas, alphas)
+    result = ReliabilityResult(
+        beta=betas, pf=pf, alpha=alphas, design_point=xp,
+        g_final=g_stars, converged=converged, labels=labels,
+        variables=[v["name"] for v in varspecs],
+        system_pf_lower=float(np.max(pf)),
+        system_pf_upper=float(min(1.0, np.sum(pf))),
+        system_pf_ditlevsen_lower=dit_lo,
+        system_pf_ditlevsen_upper=dit_hi,
+        alpha_correlation=alphas @ alphas.T, n_iter=n_iter)
+    if mc_samples:
+        from ..solvers.reliability import _attach_monte_carlo
+
+        result = _attach_monte_carlo(result, ratios_all, n_ls,
+                                     int(mc_samples), int(mc_seed),
+                                     1024, dtype, n_vars)
+    return result

@@ -525,3 +525,53 @@ def test_optimize_frame_inertia_closed_form_and_slsqp():
     np.testing.assert_allclose(tip(i_e2), v_lim, rtol=1e-6)
     with pytest.raises(ValueError, match="displacement_limit"):
         optimize_frame_inertia(p, -1.0, [3 * n + 1])
+
+
+def test_frame_reliability_exact_three_variable_anchor():
+    """FORM on the frame twin: tip deflection v = PL^3/(3EI) makes
+    ln v linear in lognormal (E, I, S), so beta is EXACT:
+    (ln(limit/v0) + lam_E + lam_I - lam_S)/sqrt(z_E^2+z_I^2+z_S^2) —
+    and 40000-sample crude MC through the same transform agrees."""
+    import math
+
+    from pinn_fem_tpu.models.frame import frame_reliability
+
+    P = 1.0
+    p = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                     np.array([[0, 1]]), E, A, I, RHO,
+                     np.array([0, 0, 0, 0, -P, 0.0]),
+                     np.array([0, 1, 2]))
+    v0 = abs(solve_frame_static(p).displacements[4])
+    limit = 2.0 * v0
+    dE, dI, dS = 0.08, 0.15, 0.2
+
+    def lz(d):
+        return math.sqrt(math.log1p(d * d))
+
+    zE, zI, zS = lz(dE), lz(dI), lz(dS)
+    beta_exact = (math.log(limit / v0) - zE * zE / 2 - zI * zI / 2
+                  + zS * zS / 2) / math.sqrt(zE ** 2 + zI ** 2
+                                             + zS ** 2)
+    res = frame_reliability(
+        p,
+        variables=[
+            {"name": "E", "kind": "young",
+             "distribution": "lognormal", "mean": E, "cov": dE},
+            {"name": "I", "kind": "inertia",
+             "distribution": "lognormal", "mean": I, "cov": dI},
+            {"name": "S", "kind": "load_scale",
+             "distribution": "lognormal", "mean": 1.0, "cov": dS}],
+        limit_state={"type": "displacement", "limit": limit,
+                     "probe_dofs": [4]},
+        mc_samples=40000, mc_seed=17)
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-5)
+    assert res.converged[0]
+    band = 3.0 * res.mc_std_error
+    assert abs(res.mc_pf - res.pf[0]) <= band + 0.1 * res.pf[0]
+    # alpha: load pushes toward failure, stiffness variables away.
+    assert res.alpha[0, 2] > 0 > res.alpha[0, 0]
+    with pytest.raises(ValueError, match="displacement"):
+        frame_reliability(p, [{"name": "S", "kind": "load_scale",
+                               "distribution": "normal", "mean": 1.0,
+                               "std": 0.2}],
+                          {"type": "stress", "limit": 1.0})
