@@ -38,6 +38,16 @@ CORPUS_DIR = os.path.join(ROOT, "examples", "json")
 def _gate(name: str, res: dict) -> None:
     assert res.get("success"), f"{name}: success=False"
     kind = res["analysis"]
+    if res.get("element_type") == "frame":
+        if kind == "modal":
+            f = np.asarray(res["frequencies_hz"], dtype=float)
+            assert np.isfinite(f).all() and np.all(np.diff(f) >= -1e-9)
+        elif kind == "buckling":
+            assert all(np.isfinite(res["load_factors"])), name
+        else:
+            assert np.isfinite(np.asarray(res["displacements"],
+                                          dtype=float)).all(), name
+        return
     if kind == "modal":
         assert res["ok"], f"{name}: modal ok=False"
         assert all(np.isfinite(res["frequencies_hz"])), name
@@ -126,14 +136,24 @@ def bench_warm(path: str, repeats: int):
     from pinn_fem_tpu.io.schema import parse_problem_file
 
     name = os.path.splitext(os.path.basename(path))[0]
-    parsed = parse_problem_file(path)
     with open(path) as f:
-        analysis = json.load(f)["analysis"]
-    run_analysis(parsed.problem, dict(analysis))      # charge caches
+        raw = json.load(f)
+    if raw.get("element_type") == "frame":
+        from pinn_fem_tpu.io.frame_io import run_frame_document
+
+        def once():
+            return run_frame_document(raw)
+    else:
+        parsed = parse_problem_file(path)
+        analysis = raw["analysis"]
+
+        def once():
+            return run_analysis(parsed.problem, dict(analysis))
+    once()                                            # charge caches
     times = []
     for _ in range(repeats):
         t0 = time.time()
-        out = run_analysis(parsed.problem, dict(analysis))
+        out = once()
         times.append(time.time() - t0)
     _gate(name, out)
     return float(np.median(times)), times
