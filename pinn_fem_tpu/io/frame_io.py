@@ -92,7 +92,8 @@ def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
         young=mat.get("young", 1.0), area=mat.get("area", 1.0),
         inertia=mat["inertia"], density=mat.get("density", 1.0),
         loads=loads, fixed_dofs=np.sort(np.unique(fixed)),
-        point_masses=pm, member_loads=ml)
+        point_masses=pm, member_loads=ml,
+        section_modulus=mat.get("section_modulus"))
     return problem, dict(doc.get("analysis")
                          or {"type": "static"})
 
@@ -114,6 +115,8 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "axial_forces": res.axial.tolist(),
             "end_moments": res.moments.tolist(),
             "reactions": res.reactions.tolist(),
+            **({"max_stress": res.max_stress.tolist()}
+               if res.max_stress is not None else {}),
         }
     if kind == "modal":
         res = frame_modal(problem,

@@ -63,6 +63,9 @@ class FrameProblem:
     # (force/length) — converted to consistent nodal loads and the
     # fixed-end corrections the member-force recovery needs.
     member_loads: Optional[np.ndarray] = None
+    # (m,) elastic section modulus S = I/c (scalar broadcast) — enables
+    # extreme-fiber stress recovery sigma = |N|/A + |M|/S.
+    section_modulus: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -91,6 +94,12 @@ class FrameProblem:
             self.member_loads = np.broadcast_to(
                 np.asarray(self.member_loads, dtype=float),
                 (self.nelm, 2)).copy()
+        if self.section_modulus is not None:
+            self.section_modulus = np.broadcast_to(
+                np.asarray(self.section_modulus, dtype=float),
+                (self.nelm,)).copy()
+            if np.any(self.section_modulus <= 0.0):
+                raise ValueError("section_modulus must be positive")
         if np.any(_geometry(self)[0] <= 0.0):
             raise ValueError("zero-length frame element")
 
@@ -281,6 +290,9 @@ class FrameStaticResult:
     axial: np.ndarray              # (m,) axial force (tension +)
     moments: np.ndarray            # (m, 2) end bending moments
     reactions: np.ndarray          # (3n,) K u − f on fixed DOFs
+    # (m,) extreme-fiber combined stress |N|/A + max|M|/S (None unless
+    # the problem carries a section_modulus).
+    max_stress: Optional[np.ndarray] = None
 
 
 def solve_frame_static(problem: FrameProblem) -> FrameStaticResult:
@@ -302,12 +314,23 @@ def solve_frame_static(problem: FrameProblem) -> FrameStaticResult:
     u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
     f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
     reactions = (k @ u - f) * (1.0 - mask)
+    max_stress = None
+    if problem.section_modulus is not None:
+        # Extreme-fiber combined stress at the governing end: the end
+        # moments bound |M(x)| for nodal loading (M is linear between
+        # ends); with member loads the parabolic interior can exceed
+        # them slightly — the standard end-check convention.
+        axial_n = -f_loc[:, 0]
+        m_max = np.max(np.abs(f_loc[:, [2, 5]]), axis=1)
+        max_stress = np.abs(axial_n) / problem.area \
+            + m_max / problem.section_modulus
     return FrameStaticResult(
         displacements=u,
         member_end_forces=f_loc,
         axial=-f_loc[:, 0],           # node-1 local x force: tension +
         moments=f_loc[:, [2, 5]],
-        reactions=reactions)
+        reactions=reactions,
+        max_stress=max_stress)
 
 
 @dataclass

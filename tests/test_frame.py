@@ -575,3 +575,35 @@ def test_frame_reliability_exact_three_variable_anchor():
                                "distribution": "normal", "mean": 1.0,
                                "std": 0.2}],
                           {"type": "stress", "limit": 1.0})
+
+
+def test_section_stress_recovery():
+    """Extreme-fiber stress |N|/A + |M|/S: the cantilever root stress
+    is PL/S exactly (pure bending) and an added axial load
+    superimposes P_ax/A — both to machine precision."""
+    P, S = 1.0, 0.25
+    p = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                     np.array([[0, 1]]), E, A, I, RHO,
+                     np.array([0, 0, 0, 0.5, -P, 0.0]),
+                     np.array([0, 1, 2]), section_modulus=S)
+    st = solve_frame_static(p)
+    np.testing.assert_allclose(st.max_stress[0],
+                               P * L / S + 0.5 / A, rtol=1e-12)
+    with pytest.raises(ValueError, match="section_modulus"):
+        FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                     np.array([[0, 1]]), E, A, I, RHO, np.zeros(6),
+                     np.array([0, 1, 2]), section_modulus=-1.0)
+    # JSON tier carries it through material.section_modulus.
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+
+    out = run_frame_document({
+        "element_type": "frame",
+        "nodes": [[0.0, 0.0], [L, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "area": A, "inertia": I,
+                     "density": RHO, "section_modulus": S},
+        "loads": [0, 0, 0, 0, -P, 0],
+        "fixed_nodes": [0],
+        "analysis": {"type": "static"}})
+    np.testing.assert_allclose(out["max_stress"][0], P * L / S,
+                               rtol=1e-12)
