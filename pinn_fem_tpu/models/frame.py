@@ -809,17 +809,44 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
              for i, v in enumerate(varspecs) if v["mask"] is not None}
 
     ls = dict(limit_state or {})
-    if ls.get("type", "displacement") != "displacement":
-        raise ValueError("frame_reliability supports the displacement "
-                         "limit state (stress needs a section modulus "
-                         "model — future work)")
-    if ls.get("limit") is None or ls.get("probe_dofs") is None:
-        raise ValueError('frame displacement limit state needs '
-                         '"limit" and "probe_dofs"')
-    limit = float(ls["limit"])
-    probe = np.asarray(ls["probe_dofs"], dtype=int).reshape(-1)
+    ls_type = ls.get("type", "displacement")
+    var_names = [v["name"] for v in varspecs]
+    res_var = None
+    if ls_type == "displacement":
+        if ls.get("limit") is None or ls.get("probe_dofs") is None:
+            raise ValueError('frame displacement limit state needs '
+                             '"limit" and "probe_dofs"')
+        limit = float(ls["limit"])
+        probe = np.asarray(ls["probe_dofs"], dtype=int).reshape(-1)
+        labels = [f"displacement dof{int(d)}" for d in probe]
+    elif ls_type == "stress":
+        # Extreme-fiber combined stress |N|/A + |M|/S per member — the
+        # section_modulus unlocks it (solve_frame_static's recovery).
+        if problem.section_modulus is None:
+            raise ValueError("frame stress limit state needs the "
+                             "problem's section_modulus")
+        if ls.get("variable") is not None:
+            rn = ls["variable"]
+            if rn not in var_names:
+                raise ValueError(f"resistance variable {rn!r} is not "
+                                 f"defined")
+            res_var = var_names.index(rn)
+            if varspecs[res_var]["kind"] != "resistance":
+                raise ValueError(f'{rn!r} must have kind "resistance"')
+            limit = None
+        elif ls.get("limit") is not None:
+            limit = float(ls["limit"])
+        else:
+            raise ValueError('frame stress limit state needs "limit" '
+                             'or "variable"')
+        elems = ls.get("elements")
+        probe = (np.arange(m) if elems is None
+                 else np.asarray(elems, dtype=int).reshape(-1))
+        labels = [f"stress e{int(e)}" for e in probe]
+    else:
+        raise ValueError('frame limit_state type must be '
+                         '"displacement" or "stress"')
     probe_d = jnp.asarray(probe)
-    labels = [f"displacement dof{int(d)}" for d in probe]
     n_ls = probe.size
 
     def ratios_all(u):
@@ -843,10 +870,20 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
                 elif v["kind"] == "area":
                     area = area * (1.0 - mk) + x * mk
         f_member_np, _ = _member_load_vectors(problem)
-        uu, _, _ = frame_static_response(
+        uu, mom, ax = frame_static_response(
             problem, young_e=young, area_e=area, inertia_e=inertia,
             loads=jnp.asarray(problem.loads + f_member_np,
                               dtype) * scale)
+        if ls_type == "stress":
+            s_mod = jnp.asarray(problem.section_modulus, dtype)
+            sigma = jnp.abs(ax) / area \
+                + jnp.max(jnp.abs(mom), axis=1) / s_mod
+            demand = sigma[probe_d]
+            if res_var is not None:
+                r = _physical(varspecs[res_var], z[res_var])
+            else:
+                r = jnp.asarray(limit, dtype)
+            return demand / r
         return jnp.abs(uu)[probe_d] / limit
 
     def g_one(u, i):

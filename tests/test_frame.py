@@ -570,11 +570,11 @@ def test_frame_reliability_exact_three_variable_anchor():
     assert abs(res.mc_pf - res.pf[0]) <= band + 0.1 * res.pf[0]
     # alpha: load pushes toward failure, stiffness variables away.
     assert res.alpha[0, 2] > 0 > res.alpha[0, 0]
-    with pytest.raises(ValueError, match="displacement"):
+    with pytest.raises(ValueError, match="limit_state type"):
         frame_reliability(p, [{"name": "S", "kind": "load_scale",
                                "distribution": "normal", "mean": 1.0,
                                "std": 0.2}],
-                          {"type": "stress", "limit": 1.0})
+                          {"type": "fatigue", "limit": 1.0})
 
 
 def test_section_stress_recovery():
@@ -607,3 +607,48 @@ def test_section_stress_recovery():
         "analysis": {"type": "static"}})
     np.testing.assert_allclose(out["max_stress"][0], P * L / S,
                                rtol=1e-12)
+
+
+def test_frame_stress_limit_state_exact():
+    """Frame stress reliability: the determinate cantilever's root
+    stress is (PL/S)·scale EXACTLY (E and I drop out), so lognormal
+    R vs load scale is the textbook log-linear beta — and crude MC
+    through the same transform lands on the FORM pf to its noise."""
+    import math
+
+    from pinn_fem_tpu.models.frame import frame_reliability
+
+    P, S = 1.2, 0.25
+    p = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                     np.array([[0, 1]]), E, A, I, RHO,
+                     np.array([0, 0, 0, 0, -P, 0.0]),
+                     np.array([0, 1, 2]), section_modulus=S)
+    sig0 = P * L / S
+    muR, dR, dS = 1.6 * sig0, 0.1, 0.2
+    zR = math.sqrt(math.log1p(dR * dR))
+    zS = math.sqrt(math.log1p(dS * dS))
+    beta_exact = (math.log(muR / sig0) - zR * zR / 2 + zS * zS / 2) \
+        / math.hypot(zR, zS)
+    res = frame_reliability(
+        p,
+        variables=[{"name": "Sc", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": dS},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": muR,
+                    "cov": dR}],
+        limit_state={"type": "stress", "variable": "R"},
+        mc_samples=40000, mc_seed=23)
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-5)
+    band = 3.0 * res.mc_std_error
+    assert abs(res.mc_pf - res.pf[0]) <= band
+    # Guard: stress limit state without a section modulus.
+    p2 = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                      np.array([[0, 1]]), E, A, I, RHO,
+                      np.array([0, 0, 0, 0, -P, 0.0]),
+                      np.array([0, 1, 2]))
+    with pytest.raises(ValueError, match="section_modulus"):
+        frame_reliability(p2, [{"name": "Sc", "kind": "load_scale",
+                                "distribution": "normal", "mean": 1.0,
+                                "std": 0.2}],
+                          {"type": "stress", "limit": 1.0})
