@@ -481,7 +481,7 @@ def solve_frame_transient(problem: FrameProblem, dt: float,
 
 def frame_static_response(problem: "FrameProblem", young_e=None,
                           area_e=None, inertia_e=None, loads=None,
-                          dtype=None):
+                          load_scale=None, dtype=None):
     """Traced, differentiable frame statics with per-element
     properties.
 
@@ -551,6 +551,15 @@ def frame_static_response(problem: "FrameProblem", young_e=None,
         # fixed-end correction must not be subtracted either.
         f = jnp.asarray(loads, dtype)
         f_fixed = jnp.zeros((m, 6), dtype)
+    if load_scale is not None:
+        # A traced scalar scaling the WHOLE load model — nodal loads,
+        # member consistent vector AND its fixed-end correction stay
+        # consistent (the reliability load_scale variable's route; an
+        # explicit `loads` override with a separate scale would lose
+        # the correction, the measured non-conservative-stress bug).
+        scale = jnp.asarray(load_scale, dtype)
+        f = f * scale
+        f_fixed = f_fixed * scale
     mask = jnp.asarray(problem.free_mask(), dtype)
     km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
     u = jnp.linalg.solve(km, f * mask) * mask
@@ -760,40 +769,44 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
                       n_iter: int = 50, tol: float = 1e-4,
                       mc_samples: int = 0, mc_seed: int = 0,
                       correlation=None):
-    """FORM on the FRAME family: probe-displacement limit states
-    through the traced frame twin, reusing the reliability module's
-    generic machinery (marginal transforms, Nataf copula, HL-RF,
+    """FORM on the FRAME family: displacement and extreme-fiber stress
+    limit states through the traced frame twin, delegating to the
+    reliability module's shared `form_core` driver (marginal
+    transforms, Nataf copula, HL-RF, unreachable-surface reset,
     Ditlevsen bounds, crude MC).
 
-    Variable kinds: young / inertia / area over element subsets (each
-    normal or lognormal, same spec dicts as the truss reliability
-    family — "inertia" is frame-specific), a global load_scale, and a
-    resistance (unused here; displacement limits are deterministic).
-    limit_state: {"type": "displacement", "limit": d,
-                  "probe_dofs": [..]}.
+    Variable kinds: young / inertia / area over element subsets
+    ("inertia" is frame-specific; "density" is rejected — it does not
+    enter frame statics), a global load_scale, and a resistance for
+    stress limit states.  Limit states:
+    {"type": "displacement", "limit": d, "probe_dofs": [..]} or
+    {"type": "stress", "limit": R | "variable": name,
+     "elements": [..]} (needs the problem's section_modulus).
 
-    EXACT anchor (tests/test_frame.py): the cantilever tip deflection
-    is PL³/(3·E·I) — v ∝ S/(E·I) — so lognormal (E, I, S) make ln v
-    linear in the standard normals and
-    β = (ln(limit/v₀) + λ_E + λ_I − λ_S)/√(ζ_E² + ζ_I² + ζ_S²)
-    exactly.  Returns a solvers.reliability.ReliabilityResult.
+    EXACT anchors (tests/test_frame.py): the cantilever tip deflection
+    v = PL³/(3EI) makes the three-variable lognormal (E, I, S) β
+    closed-form, and the determinate root stress (PL/S)·scale drops E
+    and I entirely for the textbook log-linear R−S β.
     """
-    import jax
     import jax.numpy as jnp
 
-    from ..solvers.reliability import (ReliabilityResult, _ditlevsen_bounds,
-                                       _nataf_cholesky, _norm_cdf,
-                                       _physical)
+    from ..solvers.reliability import (_nataf_cholesky, _physical,
+                                       form_core)
     from ..solvers.reliability import _parse_variables as _pv
 
     m = problem.nelm
     # Reuse the truss parser by aliasing "inertia" onto its "density"
     # slot (same shape: a per-element material field with an optional
-    # element subset); the alias is purely internal.
+    # element subset); the alias is purely internal.  True "density"
+    # is rejected — it does not enter frame statics.
     alias = []
     kinds = []
     for spec in variables or ():
         sp = dict(spec)
+        if sp.get("kind") == "density":
+            raise ValueError('"density" does not enter frame statics '
+                             '— use young / inertia / area / '
+                             'load_scale / resistance')
         kinds.append(sp.get("kind"))
         if sp.get("kind") == "inertia":
             sp["kind"] = "density"
@@ -818,6 +831,9 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
                              '"limit" and "probe_dofs"')
         limit = float(ls["limit"])
         probe = np.asarray(ls["probe_dofs"], dtype=int).reshape(-1)
+        if probe.size and (probe.min() < 0
+                           or probe.max() >= problem.ndof):
+            raise ValueError("probe_dofs out of range")
         labels = [f"displacement dof{int(d)}" for d in probe]
     elif ls_type == "stress":
         # Extreme-fiber combined stress |N|/A + |M|/S per member — the
@@ -842,12 +858,13 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
         elems = ls.get("elements")
         probe = (np.arange(m) if elems is None
                  else np.asarray(elems, dtype=int).reshape(-1))
+        if probe.size and (probe.min() < 0 or probe.max() >= m):
+            raise ValueError("limit-state elements out of range")
         labels = [f"stress e{int(e)}" for e in probe]
     else:
         raise ValueError('frame limit_state type must be '
                          '"displacement" or "stress"')
     probe_d = jnp.asarray(probe)
-    n_ls = probe.size
 
     def ratios_all(u):
         z = u if chol_d is None else chol_d @ u
@@ -869,11 +886,12 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
                     inertia = inertia * (1.0 - mk) + x * mk
                 elif v["kind"] == "area":
                     area = area * (1.0 - mk) + x * mk
-        f_member_np, _ = _member_load_vectors(problem)
+        # load_scale= keeps the member-load fixed-end correction
+        # consistent with the scaled loads (a plain `loads` override
+        # would drop it and misreport member stresses).
         uu, mom, ax = frame_static_response(
             problem, young_e=young, area_e=area, inertia_e=inertia,
-            loads=jnp.asarray(problem.loads + f_member_np,
-                              dtype) * scale)
+            load_scale=scale)
         if ls_type == "stress":
             s_mod = jnp.asarray(problem.section_modulus, dtype)
             sigma = jnp.abs(ax) / area \
@@ -886,50 +904,6 @@ def frame_reliability(problem: FrameProblem, variables, limit_state,
             return demand / r
         return jnp.abs(uu)[probe_d] / limit
 
-    def g_one(u, i):
-        return 1.0 - ratios_all(u)[i]
-
-    g_grad = jax.value_and_grad(g_one)
-
-    def hlrf(i):
-        u0 = jnp.zeros((n_vars,), dtype)
-
-        def body(_, u):
-            g, dg = g_grad(u, i)
-            nrm2 = jnp.maximum(jnp.dot(dg, dg), 1e-30)
-            return (jnp.dot(dg, u) - g) / nrm2 * dg
-
-        u_star = jax.lax.fori_loop(0, n_iter, body, u0)
-        g_star, dg_star = g_grad(u_star, i)
-        g_mean = g_one(u0, i)
-        beta = jnp.sign(g_mean) * jnp.linalg.norm(u_star)
-        nrm = jnp.maximum(jnp.linalg.norm(dg_star), 1e-30)
-        return beta, -dg_star / nrm, u_star, g_star
-
-    betas, alphas, u_stars, g_stars = (
-        np.asarray(v, dtype=float) for v in jax.device_get(
-            jax.jit(jax.vmap(hlrf))(jnp.arange(n_ls))))
-    converged = (np.abs(g_stars) < tol) & np.isfinite(betas)
-    pf = _norm_cdf(-betas)
-    z_stars = u_stars if chol is None else u_stars @ chol.T
-    xp = np.zeros((n_ls, n_vars))
-    for j, v in enumerate(varspecs):
-        x = v["a"] + v["b"] * z_stars[:, j]
-        xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
-    dit_lo, dit_hi = _ditlevsen_bounds(betas, alphas)
-    result = ReliabilityResult(
-        beta=betas, pf=pf, alpha=alphas, design_point=xp,
-        g_final=g_stars, converged=converged, labels=labels,
-        variables=[v["name"] for v in varspecs],
-        system_pf_lower=float(np.max(pf)),
-        system_pf_upper=float(min(1.0, np.sum(pf))),
-        system_pf_ditlevsen_lower=dit_lo,
-        system_pf_ditlevsen_upper=dit_hi,
-        alpha_correlation=alphas @ alphas.T, n_iter=n_iter)
-    if mc_samples:
-        from ..solvers.reliability import _attach_monte_carlo
-
-        result = _attach_monte_carlo(result, ratios_all, n_ls,
-                                     int(mc_samples), int(mc_seed),
-                                     1024, dtype, n_vars)
-    return result
+    return form_core(ratios_all, varspecs, chol, labels,
+                     n_iter=n_iter, tol=tol, mc_samples=mc_samples,
+                     mc_seed=mc_seed)

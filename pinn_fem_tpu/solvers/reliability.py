@@ -371,6 +371,76 @@ def _nataf_cholesky(varspecs, correlation, rz_base=None):
         raise ValueError("correlation matrix is not positive definite")
 
 
+def form_core(ratios_all, varspecs, chol, labels, n_iter: int = 50,
+              tol: float = 1e-4, mc_samples: int = 0,
+              mc_seed: int = 0):
+    """Shared FORM driver over a traced demand/capacity `ratios_all`:
+    vmapped HL-RF, unreachable-surface reset (zero-demand limit states
+    are β = ∞ / p_f = 0, NOT β = 0 / p_f = 0.5 — the measured frame
+    regression), physical design points through the optional Nataf
+    factor, simple + Ditlevsen bounds, optional crude MC.  Used by the
+    frame family; form_reliability below predates it and keeps its own
+    driver for the SORM/importance extensions — fixes to convergence
+    semantics belong HERE first and there second.
+    """
+    n_vars = len(varspecs)
+    n_ls = len(labels)
+    dtype = jnp.asarray(1.0).dtype
+
+    def g_one(u, i):
+        return 1.0 - ratios_all(u)[i]
+
+    g_grad = jax.value_and_grad(g_one)
+
+    def hlrf(i):
+        u0 = jnp.zeros((n_vars,), dtype)
+
+        def body(_, u):
+            g, dg = g_grad(u, i)
+            nrm2 = jnp.maximum(jnp.dot(dg, dg), 1e-30)
+            return (jnp.dot(dg, u) - g) / nrm2 * dg
+
+        u_star = jax.lax.fori_loop(0, n_iter, body, u0)
+        g_star, dg_star = g_grad(u_star, i)
+        g_mean = g_one(u0, i)
+        beta = jnp.sign(g_mean) * jnp.linalg.norm(u_star)
+        nrm = jnp.maximum(jnp.linalg.norm(dg_star), 1e-30)
+        return beta, -dg_star / nrm, u_star, g_star, g_mean
+
+    betas, alphas, u_stars, g_stars, g0s = (
+        np.asarray(v, dtype=float) for v in jax.device_get(
+            jax.jit(jax.vmap(hlrf))(jnp.arange(n_ls))))
+    unreachable = (~np.isfinite(betas) | (np.abs(g_stars) >= tol)
+                   | (np.abs(betas) < 1e-12)) & (g0s > 1.0 - 1e-3)
+    betas[unreachable] = np.inf
+    g_stars[unreachable] = 0.0
+    alphas[unreachable] = 0.0
+    u_stars[unreachable] = 0.0
+    converged = ((np.abs(g_stars) < tol) & np.isfinite(betas)) \
+        | unreachable
+    pf = _norm_cdf(-betas)
+    z_stars = u_stars if chol is None else u_stars @ chol.T
+    xp = np.zeros((n_ls, n_vars))
+    for j, v in enumerate(varspecs):
+        x = v["a"] + v["b"] * z_stars[:, j]
+        xp[:, j] = np.exp(x) if v["dist"] == "lognormal" else x
+    dit_lo, dit_hi = _ditlevsen_bounds(betas, alphas)
+    result = ReliabilityResult(
+        beta=betas, pf=pf, alpha=alphas, design_point=xp,
+        g_final=g_stars, converged=converged, labels=list(labels),
+        variables=[v["name"] for v in varspecs],
+        system_pf_lower=float(np.max(pf)),
+        system_pf_upper=float(min(1.0, np.sum(pf))),
+        system_pf_ditlevsen_lower=dit_lo,
+        system_pf_ditlevsen_upper=dit_hi,
+        alpha_correlation=alphas @ alphas.T, n_iter=n_iter)
+    if mc_samples:
+        result = _attach_monte_carlo(result, ratios_all, n_ls,
+                                     int(mc_samples), int(mc_seed),
+                                     1024, dtype, n_vars)
+    return result
+
+
 def form_reliability(
     problem: TrussProblem,
     variables: List[Dict],

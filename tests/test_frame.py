@@ -652,3 +652,83 @@ def test_frame_stress_limit_state_exact():
                                 "distribution": "normal", "mean": 1.0,
                                 "std": 0.2}],
                           {"type": "stress", "limit": 1.0})
+
+
+def test_frame_reliability_review_regressions():
+    """Three confirmed review bugs pinned: (a) a zero-demand member in
+    the default all-members stress probe is beta = inf / pf = 0 (NOT
+    beta = 0 / pf = 0.5 poisoning the system bounds); (b) member-load
+    stress demand includes the fixed-end correction (the mean-point
+    demand ties the host solve exactly); (c) out-of-range probes raise
+    instead of silently clamping."""
+    from pinn_fem_tpu.models.frame import frame_reliability
+
+    S = 0.25
+    # (a) mid-loaded two-element cantilever: outboard member unstressed.
+    nodes = np.array([[0.0, 0.0], [L / 2, 0.0], [L, 0.0]])
+    elements = np.array([[0, 1], [1, 2]])
+    loads = np.zeros(9)
+    loads[4] = -1.0
+    p = FrameProblem(nodes, elements, E, A, I, RHO, loads,
+                     np.array([0, 1, 2]), section_modulus=S)
+    res = frame_reliability(
+        p,
+        variables=[{"name": "Sc", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.2},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal",
+                    "mean": 1.6 * 1.0 * (L / 2) / S, "cov": 0.1}],
+        limit_state={"type": "stress", "variable": "R"})
+    assert np.isinf(res.beta[1]) and res.pf[1] == 0.0
+    assert res.converged[1]
+    assert res.system_pf_lower < 0.1          # not poisoned to 0.5
+    assert np.isfinite(res.beta[0]) and 1.0 < res.beta[0] < 4.0
+
+    # (b) member-loaded cantilever: the mean-point demand equals the
+    # host recovery wL^2/2 / S (fixed-end correction included), so a
+    # limit BELOW it must report failure at the mean (beta < 0).
+    w = 1.0
+    p2 = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                      np.array([[0, 1]]), E, A, I, RHO, np.zeros(6),
+                      np.array([0, 1, 2]), section_modulus=1.0,
+                      member_loads=np.array([[0.0, -w]]))
+    sig0 = w * L ** 2 / 2.0
+    res2 = frame_reliability(
+        p2,
+        variables=[{"name": "Sc", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.2}],
+        limit_state={"type": "stress", "limit": 0.9 * sig0})
+    assert res2.beta[0] < 0                  # mean point already fails
+    res3 = frame_reliability(
+        p2,
+        variables=[{"name": "Sc", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.2}],
+        limit_state={"type": "stress", "limit": 1.5 * sig0})
+    # Exact log-linear anchor through the member-load demand.
+    import math
+
+    zS = math.sqrt(math.log1p(0.04))
+    beta_exact = (math.log(1.5) + zS * zS / 2.0) / zS
+    np.testing.assert_allclose(res3.beta[0], beta_exact, rtol=1e-5)
+
+    # (c) range validation.
+    with pytest.raises(ValueError, match="probe_dofs out of range"):
+        frame_reliability(p2, [{"name": "Sc", "kind": "load_scale",
+                                "distribution": "normal", "mean": 1.0,
+                                "std": 0.2}],
+                          {"type": "displacement", "limit": 1.0,
+                           "probe_dofs": [99]})
+    with pytest.raises(ValueError, match="elements out of range"):
+        frame_reliability(p2, [{"name": "Sc", "kind": "load_scale",
+                                "distribution": "normal", "mean": 1.0,
+                                "std": 0.2}],
+                          {"type": "stress", "limit": 1.0,
+                           "elements": [5]})
+    with pytest.raises(ValueError, match="density"):
+        frame_reliability(p2, [{"name": "D", "kind": "density",
+                                "distribution": "normal", "mean": 1.0,
+                                "std": 0.1}],
+                          {"type": "stress", "limit": 1.0})
