@@ -21,7 +21,12 @@ here before the truss parser runs:
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step"} | [..],
-                  "record_every": 1}}
+                  "record_every": 1}
+               | {"type": "reliability", "variables": [..],
+                  "limit_state": {..}, "validate_mc": N}
+               | {"type": "sizing",
+                  "displacement_limit": d, "probe_dofs": [..],
+                  "n_iter": 300}}
 
 Outputs mirror the truss analysis family's result shapes (frequencies
 in Hz + eigenvalues + shapes for modal; load factors + modes for
@@ -36,6 +41,7 @@ import numpy as np
 
 from ..models.frame import (FrameProblem, frame_buckling,
                             frame_harmonic, frame_modal,
+                            frame_reliability, optimize_frame_inertia,
                             solve_frame_static, solve_frame_transient)
 
 
@@ -204,8 +210,69 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "omegas": res.omegas.tolist(),
             "amplitude": res.amplitude.tolist(),
         }
+    if kind == "reliability":
+        res = frame_reliability(
+            problem, analysis.get("variables"),
+            analysis.get("limit_state"),
+            n_iter=int(analysis.get("n_iter", 50)),
+            mc_samples=int(analysis.get("validate_mc", 0)),
+            mc_seed=int(analysis.get("seed", 0)),
+            correlation=analysis.get("correlation"))
+        worst = int(np.argmin(res.beta)) if res.beta.size else -1
+        out = {
+            "success": True,
+            "analysis": "reliability",
+            "element_type": "frame",
+            "labels": res.labels,
+            "variables": res.variables,
+            "beta": [None if not np.isfinite(v) else float(v)
+                     for v in res.beta],
+            "pf": res.pf.tolist(),
+            "alpha": res.alpha.tolist(),
+            "converged": [bool(v) for v in res.converged],
+            "critical_limit_state": worst,
+            "beta_min": (None if worst < 0
+                         or not np.isfinite(res.beta[worst])
+                         else float(res.beta[worst])),
+            "system_pf_bounds": [res.system_pf_lower,
+                                 res.system_pf_upper],
+            "system_pf_ditlevsen_bounds": [
+                res.system_pf_ditlevsen_lower,
+                res.system_pf_ditlevsen_upper],
+        }
+        if res.mc_pf is not None:
+            out["mc"] = {"pf": res.mc_pf,
+                         "std_error": res.mc_std_error,
+                         "n_samples": res.mc_n,
+                         "method": res.mc_method}
+        return out
+    if kind == "sizing":
+        if analysis.get("displacement_limit") is None \
+                or analysis.get("probe_dofs") is None:
+            raise ValueError('frame sizing needs "displacement_limit" '
+                             'and "probe_dofs"')
+        i_e, weight, hist = optimize_frame_inertia(
+            problem, float(analysis["displacement_limit"]),
+            analysis["probe_dofs"],
+            weight_exponent=float(analysis.get("weight_exponent",
+                                               0.5)),
+            min_inertia=float(analysis.get("min_inertia", 1e-8)),
+            n_iter=int(analysis.get("n_iter", 300)),
+            outer_rounds=int(analysis.get("outer_rounds", 4)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)))
+        return {
+            "success": True,
+            "analysis": "sizing",
+            "element_type": "frame",
+            "inertia": i_e.tolist(),
+            "weight": weight,
+            "displacement_limit": float(analysis[
+                "displacement_limit"]),
+            "history": hist.tolist(),
+        }
     raise ValueError('frame analysis type must be "static", "modal", '
-                     '"buckling", "transient" or "harmonic"')
+                     '"buckling", "transient", "harmonic", '
+                     '"reliability" or "sizing"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

@@ -732,3 +732,47 @@ def test_frame_reliability_review_regressions():
                                 "distribution": "normal", "mean": 1.0,
                                 "std": 0.1}],
                           {"type": "stress", "limit": 1.0})
+
+
+def test_frame_reliability_and_sizing_json():
+    """Frame reliability and sizing through the JSON document tier."""
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+
+    P = 1.0
+    base = {
+        "element_type": "frame",
+        "nodes": [[0.0, 0.0], [L, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "area": A, "inertia": I,
+                     "density": RHO},
+        "loads": [0, 0, 0, 0, -P, 0],
+        "fixed_nodes": [0],
+    }
+    v0 = P * L ** 3 / (3 * E * I)
+    out = run_frame_document({**base, "analysis": {
+        "type": "reliability",
+        "variables": [
+            {"name": "Sc", "kind": "load_scale",
+             "distribution": "lognormal", "mean": 1.0, "cov": 0.2}],
+        "limit_state": {"type": "displacement", "limit": 2.0 * v0,
+                        "probe_dofs": [4]},
+        "validate_mc": 2000}})
+    assert out["success"] and out["element_type"] == "frame"
+    import math
+
+    zS = math.sqrt(math.log1p(0.04))
+    beta_exact = (math.log(2.0) + zS * zS / 2.0) / zS
+    np.testing.assert_allclose(out["beta"][0], beta_exact, rtol=1e-5)
+    assert out["mc"]["n_samples"] == 2000
+    import json
+
+    json.dumps(out, allow_nan=False)
+
+    out2 = run_frame_document({**base, "analysis": {
+        "type": "sizing", "displacement_limit": v0 / 2.0,
+        "probe_dofs": [4], "n_iter": 150, "outer_rounds": 3}})
+    # Halving the allowed deflection doubles the required inertia
+    # (single variable, v ~ 1/I exactly).
+    np.testing.assert_allclose(out2["inertia"][0], 2.0 * I, rtol=1e-6)
+    with pytest.raises(ValueError, match="displacement_limit"):
+        run_frame_document({**base, "analysis": {"type": "sizing"}})
