@@ -704,3 +704,38 @@ def test_frequency_limit_state_closed_form():
         form_reliability(p, [{"name": "E", "kind": "young",
                               "distribution": "lognormal", "mean": E0,
                               "cov": dE}], {"type": "frequency"})
+
+
+def test_form_works_in_3d():
+    """The whole FORM machinery is dimension-agnostic: a 3D tripod
+    under vertical load has symmetric leg stresses c·S, and the
+    lognormal R/S closed form holds to 1e-5 — same code path, third
+    dimension."""
+    import math
+
+    nodes = np.array([[1.0, 0.0, 0.0], [-0.5, 0.866, 0.0],
+                      [-0.5, -0.866, 0.0], [0.0, 0.0, 1.5]])
+    elements = np.array([[0, 3], [1, 3], [2, 3]])
+    loads = np.zeros(12)
+    loads[11] = -1.0
+    p = TrussProblem(nodes, elements, Material(1.0, 1.0, 1.0), loads,
+                     np.arange(9), 3)
+    _, sig = _host_area_solve(p, np.ones(3))
+    c = abs(sig[0])
+    muR, dR, dS = 2.0 * c, 0.1, 0.2
+    zR = math.sqrt(math.log1p(dR * dR))
+    zS = math.sqrt(math.log1p(dS * dS))
+    beta_exact = (math.log(muR / c) - zR * zR / 2 + zS * zS / 2) \
+        / math.hypot(zR, zS)
+    res = form_reliability(
+        p,
+        variables=[{"name": "S", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": dS},
+                   {"name": "R", "kind": "resistance",
+                    "distribution": "lognormal", "mean": muR,
+                    "cov": dR}],
+        limit_state={"type": "stress", "variable": "R"})
+    np.testing.assert_allclose(res.beta[0], beta_exact, rtol=1e-5)
+    # Symmetry: all three legs carry the same beta.
+    np.testing.assert_allclose(res.beta, res.beta[0], rtol=1e-4)
