@@ -48,6 +48,7 @@ from .models.frame import (  # noqa: E402
     frame_static_response,
     identify_frame_properties,
     optimize_frame_inertia,
+    optimize_frame_inertia_rbdo,
     solve_frame_static,
     solve_frame_transient,
 )
@@ -196,6 +197,7 @@ __all__ = [
     "frame_reliability",
     "identify_frame_properties",
     "optimize_frame_inertia",
+    "optimize_frame_inertia_rbdo",
     "TrussProblem",
     "element_dofs",
     "free_and_fixed_dofs",

@@ -776,3 +776,45 @@ def test_frame_reliability_and_sizing_json():
     np.testing.assert_allclose(out2["inertia"][0], 2.0 * I, rtol=1e-6)
     with pytest.raises(ValueError, match="displacement_limit"):
         run_frame_document({**base, "analysis": {"type": "sizing"}})
+
+
+def test_frame_rbdo_closed_form():
+    """RBDO on the frame twin: one design variable with lognormal
+    (E, S) has ln v linear, so beta(I) is closed-form and the
+    minimum-weight design sits exactly where beta(I*) = beta_t — the
+    achieved beta (full HL-RF authority recompute) lands on the
+    target."""
+    import math
+
+    from pinn_fem_tpu.models.frame import optimize_frame_inertia_rbdo
+
+    P, v_lim, bt, dE, dS = 1.0, 1.0, 2.5, 0.1, 0.2
+    p = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                     np.array([[0, 1]]), E, A, I, RHO,
+                     np.array([0, 0, 0, 0, -P, 0.0]),
+                     np.array([0, 1, 2]))
+
+    def lz(d):
+        return math.sqrt(math.log1p(d * d))
+
+    zE, zS = lz(dE), lz(dS)
+    lhs = bt * math.hypot(zE, zS) - math.log(v_lim) - math.log(E) \
+        + zE * zE / 2 - zS * zS / 2
+    i_true = math.exp(lhs) * P * L ** 3 / 3.0
+    i_e, w, betas, hist = optimize_frame_inertia_rbdo(
+        p, [{"name": "E", "kind": "young",
+             "distribution": "lognormal", "mean": E, "cov": dE},
+            {"name": "S", "kind": "load_scale",
+             "distribution": "lognormal", "mean": 1.0, "cov": dS}],
+        v_lim, [4], bt, n_iter=200, outer_rounds=3)
+    np.testing.assert_allclose(i_e[0], i_true, rtol=1e-3)
+    np.testing.assert_allclose(betas[0], bt, rtol=1e-3)
+    # More reliability costs more stiffness than the deterministic
+    # design at the same limit.
+    det = P * L ** 3 / (3 * E * v_lim)
+    assert i_e[0] > 1.5 * det
+    with pytest.raises(ValueError, match="design vector"):
+        optimize_frame_inertia_rbdo(
+            p, [{"name": "I", "kind": "inertia",
+                 "distribution": "lognormal", "mean": I, "cov": 0.1}],
+            v_lim, [4], bt)
