@@ -42,6 +42,7 @@ import numpy as np
 from ..models.frame import (FrameProblem, frame_buckling,
                             frame_harmonic, frame_modal,
                             frame_reliability, optimize_frame_inertia,
+                            optimize_frame_inertia_rbdo,
                             solve_frame_static, solve_frame_transient)
 
 
@@ -245,21 +246,54 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
                          "std_error": res.mc_std_error,
                          "n_samples": res.mc_n,
                          "method": res.mc_method}
-        return out
+        from .analysis import _json_finite
+
+        return _json_finite(out)
     if kind == "sizing":
         if analysis.get("displacement_limit") is None \
                 or analysis.get("probe_dofs") is None:
             raise ValueError('frame sizing needs "displacement_limit" '
                              'and "probe_dofs"')
-        i_e, weight, hist = optimize_frame_inertia(
-            problem, float(analysis["displacement_limit"]),
-            analysis["probe_dofs"],
+        rel = analysis.get("reliability")
+        common = dict(
             weight_exponent=float(analysis.get("weight_exponent",
                                                0.5)),
             min_inertia=float(analysis.get("min_inertia", 1e-8)),
             n_iter=int(analysis.get("n_iter", 300)),
             outer_rounds=int(analysis.get("outer_rounds", 4)),
             learning_rate=float(analysis.get("learning_rate", 0.05)))
+        if rel is not None:
+            # RBDO: the truss sizing schema's reliability sub-block —
+            # silently downgrading it to the deterministic design
+            # would ship an unmargined structure as if beta held.
+            if rel.get("target_beta") is None \
+                    or rel.get("variables") is None:
+                raise ValueError('frame RBDO needs reliability '
+                                 '{"variables": [..], '
+                                 '"target_beta": b}')
+            i_e, weight, betas, hist = optimize_frame_inertia_rbdo(
+                problem, rel["variables"],
+                float(analysis["displacement_limit"]),
+                analysis["probe_dofs"],
+                float(rel["target_beta"]), **common)
+            from .analysis import _json_finite
+
+            return _json_finite({
+                "success": True,
+                "analysis": "sizing",
+                "element_type": "frame",
+                "inertia": i_e.tolist(),
+                "weight": weight,
+                "displacement_limit": float(analysis[
+                    "displacement_limit"]),
+                "target_beta": float(rel["target_beta"]),
+                "reliability_beta": betas.tolist(),
+                "min_reliability_beta": float(np.min(betas)),
+                "history": hist.tolist(),
+            })
+        i_e, weight, hist = optimize_frame_inertia(
+            problem, float(analysis["displacement_limit"]),
+            analysis["probe_dofs"], **common)
         return {
             "success": True,
             "analysis": "sizing",

@@ -658,6 +658,49 @@ def frame_harmonic(problem: FrameProblem, omegas,
                                real=xs.real, imag=xs.imag)
 
 
+def _al_minimize(obj_g, t0, n_con, n_iter, outer_rounds, penalty,
+                 learning_rate):
+    """Shared augmented-Lagrangian ADAM driver (Rockafellar
+    multipliers, fresh optimizer state + halved lr per outer round —
+    the truss sizing family's measured recipe).  obj_g(t) returns
+    (objective, constraint vector g ≤ 0).  Returns (t, history)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    def loss_fn(t, lam, mu):
+        obj, g = obj_g(t)
+        return obj + mu * jnp.sum(
+            jnp.maximum(g + lam / (2.0 * mu), 0.0) ** 2)
+
+    opt = optax.adam(1.0)
+
+    @jax.jit
+    def gd_step(t, state, lam, mu, lr):
+        loss, grad = jax.value_and_grad(loss_fn)(t, lam, mu)
+        updates, state = opt.update(grad, state)
+        return t + lr * jnp.asarray(updates), state, loss
+
+    @jax.jit
+    def lam_update(t, lam, mu):
+        _, g = obj_g(t)
+        return jnp.maximum(lam + 2.0 * mu * g, 0.0)
+
+    lam = jnp.zeros(n_con)
+    mu = jnp.asarray(float(penalty))
+    t = t0
+    hist = []
+    for r in range(outer_rounds):
+        lr = jnp.asarray(learning_rate * 0.5 ** r)
+        state = opt.init(t)
+        for _ in range(n_iter):
+            t, state, loss = gd_step(t, state, lam, mu, lr)
+            hist.append(float(loss))
+        lam = lam_update(t, lam, mu)
+        mu = 2.0 * mu
+    return t, np.asarray(hist)
+
+
 def optimize_frame_inertia(problem: FrameProblem,
                            displacement_limit: float,
                            probe_dofs,
@@ -692,8 +735,12 @@ def optimize_frame_inertia(problem: FrameProblem,
     length_np = _geometry(problem)[0]
     lengths = jnp.asarray(length_np)
     q = float(weight_exponent)
-    t0 = jnp.log(jnp.asarray(problem.inertia) - min_inertia + 1e-30)
-    w0 = float(np.sum(np.asarray(problem.inertia) ** q * length_np))
+    # Clamp the start ABOVE the gauge (an initial I below min_inertia
+    # would make log(I − min) NaN and poison the whole run).
+    i_start = np.maximum(np.asarray(problem.inertia),
+                         min_inertia * (1.0 + 1e-9))
+    t0 = jnp.log(jnp.asarray(i_start) - min_inertia)
+    w0 = float(np.sum(i_start ** q * length_np))
 
     def weight_of(i_e):
         return jnp.sum(i_e ** q * lengths) / w0
@@ -704,37 +751,8 @@ def optimize_frame_inertia(problem: FrameProblem,
         g = jnp.abs(u[probe]) / displacement_limit - 1.0
         return weight_of(i_e), g
 
-    def loss_fn(t, lam, mu):
-        obj, g = obj_g(t)
-        return obj + mu * jnp.sum(
-            jnp.maximum(g + lam / (2.0 * mu), 0.0) ** 2)
-
-    opt = optax.adam(1.0)
-
-    @jax.jit
-    def gd_step(t, state, lam, mu, lr):
-        loss, grad = jax.value_and_grad(loss_fn)(t, lam, mu)
-        updates, state = opt.update(grad, state)
-        return t + lr * jnp.asarray(updates), state, loss
-
-    @jax.jit
-    def lam_update(t, lam, mu):
-        _, g = obj_g(t)
-        return jnp.maximum(lam + 2.0 * mu * g, 0.0)
-
-    lam = jnp.zeros(probe.shape[0])
-    mu = jnp.asarray(float(penalty))
-    t = t0
-    hist = []
-    for r in range(outer_rounds):
-        lr = learning_rate * 0.5 ** r
-        state = opt.init(t)
-        for _ in range(n_iter):
-            t, state, loss = gd_step(t, state, lam, mu,
-                                     jnp.asarray(lr))
-            hist.append(float(loss))
-        lam = lam_update(t, lam, mu)
-        mu = 2.0 * mu
+    t, hist = _al_minimize(obj_g, t0, int(probe.shape[0]), n_iter,
+                           outer_rounds, penalty, learning_rate)
     i_e = np.asarray(jax.device_get(min_inertia + jnp.exp(t)),
                      dtype=float)
     # Feasibility polish: the deflection is monotone decreasing in a
@@ -941,19 +959,20 @@ def optimize_frame_inertia_rbdo(problem: FrameProblem, variables,
     import jax.numpy as jnp
     import optax
 
-    from ..solvers.reliability import _nataf_cholesky, _physical
+    from ..solvers.reliability import _physical
     from ..solvers.reliability import _parse_variables as _pv
 
     if limit <= 0.0 or target_beta <= 0.0:
         raise ValueError("limit and target_beta must be positive")
     for spec in variables or ():
-        if spec.get("kind") in ("inertia", "density", "area"):
-            raise ValueError('frame RBDO variables must be young / '
-                             'load_scale / resistance ("inertia" is '
-                             'the design vector)')
+        if spec.get("kind") in ("inertia", "density", "area",
+                                "resistance"):
+            raise ValueError('frame RBDO variables must be young or '
+                             'load_scale ("inertia" is the design '
+                             'vector; a resistance cannot bind a '
+                             'displacement limit state)')
     varspecs = _pv(variables, problem.nelm)
     n_vars = len(varspecs)
-    chol = _nataf_cholesky(varspecs, None)
     dtype = jnp.asarray(1.0).dtype
     masks = {i: jnp.asarray(v["mask"], dtype)
              for i, v in enumerate(varspecs) if v["mask"] is not None}
@@ -965,7 +984,8 @@ def optimize_frame_inertia_rbdo(problem: FrameProblem, variables,
     length_np = _geometry(problem)[0]
     lengths = jnp.asarray(length_np)
     q = float(weight_exponent)
-    w0 = float(np.sum(np.asarray(problem.inertia) ** q * length_np))
+    w0 = float(np.sum(np.maximum(np.asarray(problem.inertia),
+                                 min_inertia) ** q * length_np))
 
     def ratio_one(i_e, u, p_idx):
         young = jnp.asarray(problem.young, dtype)
@@ -998,49 +1018,24 @@ def optimize_frame_inertia_rbdo(problem: FrameProblem, variables,
 
         return jax.vmap(amv)(jnp.arange(probe.size))
 
-    t0 = jnp.log(jnp.asarray(problem.inertia) - min_inertia + 1e-30)
+    i_start = np.maximum(np.asarray(problem.inertia),
+                         min_inertia * (1.0 + 1e-9))
+    t0 = jnp.log(jnp.asarray(i_start) - min_inertia)
 
     def obj_g(t):
         i_e = min_inertia + jnp.exp(t)
         g = pma_ratios(i_e) - 1.0
         return jnp.sum(i_e ** q * lengths) / w0, g
 
-    def loss_fn(t, lam, mu):
-        obj, g = obj_g(t)
-        return obj + mu * jnp.sum(
-            jnp.maximum(g + lam / (2.0 * mu), 0.0) ** 2)
-
-    opt = optax.adam(1.0)
-
-    @jax.jit
-    def gd_step(t, state, lam, mu, lr):
-        loss, grad = jax.value_and_grad(loss_fn)(t, lam, mu)
-        updates, state = opt.update(grad, state)
-        return t + lr * jnp.asarray(updates), state, loss
-
-    @jax.jit
-    def lam_update(t, lam, mu):
-        _, g = obj_g(t)
-        return jnp.maximum(lam + 2.0 * mu * g, 0.0)
-
-    lam = jnp.zeros(probe.size)
-    mu = jnp.asarray(float(penalty))
-    t = t0
-    hist = []
-    for r in range(outer_rounds):
-        lr = learning_rate * 0.5 ** r
-        state = opt.init(t)
-        for _ in range(n_iter):
-            t, state, loss = gd_step(t, state, lam, mu,
-                                     jnp.asarray(lr))
-            hist.append(float(loss))
-        lam = lam_update(t, lam, mu)
-        mu = 2.0 * mu
+    t, hist = _al_minimize(obj_g, t0, int(probe.size), n_iter,
+                           outer_rounds, penalty, learning_rate)
     i_e = np.asarray(jax.device_get(min_inertia + jnp.exp(t)),
                      dtype=float)
-    # Uniform PMA polish (the displacement ratio at the FIXED design
-    # point falls ~1/s under a uniform inertia scale), best evaluated
-    # iterate kept via the monotone loop.
+    # Uniform PMA polish: the displacement ratio at the FIXED design
+    # point falls ~1/s under a uniform inertia scale — and if 20
+    # scalings cannot reach it, an inertia-independent (axial)
+    # deflection floor makes the target unreachable: fail loudly like
+    # the deterministic sibling.
     pma_jit = jax.jit(lambda ii: pma_ratios(ii))
     for _ in range(20):
         r_max = float(np.max(np.asarray(jax.device_get(
@@ -1048,6 +1043,12 @@ def optimize_frame_inertia_rbdo(problem: FrameProblem, variables,
         if r_max <= 1.0 + 1e-6:
             break
         i_e = i_e * r_max
+    else:
+        raise ValueError(
+            f"target_beta {target_beta} at limit {limit} unreachable "
+            f"by inertia scaling (residual PMA ratio {r_max:.3f}) — "
+            f"the probe deflection has an axial component EA cannot "
+            f"reduce; raise the limit or size areas too")
     p_final = FrameProblem(problem.nodes, problem.elements,
                            problem.young, problem.area, i_e,
                            problem.density, problem.loads,

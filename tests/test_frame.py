@@ -818,3 +818,67 @@ def test_frame_rbdo_closed_form():
             p, [{"name": "I", "kind": "inertia",
                  "distribution": "lognormal", "mean": I, "cov": 0.1}],
             v_lim, [4], bt)
+
+
+def test_frame_rbdo_json_and_infeasible_raise():
+    """Review regressions: (a) the sizing JSON reliability sub-block
+    routes to RBDO (silently downgrading it would ship an unmargined
+    design as if beta held); (b) an axial deflection floor makes RBDO
+    fail loudly like the deterministic sibling."""
+    import math
+
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+    from pinn_fem_tpu.models.frame import optimize_frame_inertia_rbdo
+
+    P, v_lim, bt, dE, dS = 1.0, 1.0, 2.0, 0.1, 0.2
+    doc = {
+        "element_type": "frame",
+        "nodes": [[0.0, 0.0], [L, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "area": A, "inertia": I,
+                     "density": RHO},
+        "loads": [0, 0, 0, 0, -P, 0],
+        "fixed_nodes": [0],
+        "analysis": {"type": "sizing", "displacement_limit": v_lim,
+                     "probe_dofs": [4], "n_iter": 150,
+                     "outer_rounds": 3,
+                     "reliability": {"variables": [
+                         {"name": "E", "kind": "young",
+                          "distribution": "lognormal", "mean": E,
+                          "cov": dE},
+                         {"name": "S", "kind": "load_scale",
+                          "distribution": "lognormal", "mean": 1.0,
+                          "cov": dS}],
+                         "target_beta": bt}},
+    }
+    out = run_frame_document(doc)
+    assert out["target_beta"] == bt
+    np.testing.assert_allclose(out["min_reliability_beta"], bt,
+                               rtol=2e-3)
+
+    def lz(d):
+        return math.sqrt(math.log1p(d * d))
+
+    zE, zS = lz(dE), lz(dS)
+    lhs = bt * math.hypot(zE, zS) - math.log(v_lim) - math.log(E) \
+        + zE * zE / 2 - zS * zS / 2
+    np.testing.assert_allclose(out["inertia"][0],
+                               math.exp(lhs) * P * L ** 3 / 3.0,
+                               rtol=2e-3)
+    bad = {**doc, "analysis": {**doc["analysis"],
+                               "reliability": {"target_beta": bt}}}
+    with pytest.raises(ValueError, match="variables"):
+        run_frame_document(bad)
+
+    # (b) axial tip load: u = PL/EA regardless of I -> loud failure.
+    p_ax = FrameProblem(np.array([[0.0, 0.0], [L, 0.0]]),
+                        np.array([[0, 1]]), E, A, I, RHO,
+                        np.array([0, 0, 0, 100.0, 0.0, 0.0]),
+                        np.array([0, 1, 2]))
+    with pytest.raises(ValueError, match="unreachable"):
+        optimize_frame_inertia_rbdo(
+            p_ax, [{"name": "S", "kind": "load_scale",
+                    "distribution": "lognormal", "mean": 1.0,
+                    "cov": 0.2}],
+            0.5 * 100.0 * L / (E * A), [3], 2.0, n_iter=50,
+            outer_rounds=2)
