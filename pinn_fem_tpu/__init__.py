@@ -129,6 +129,10 @@ from .solvers.reduction import (  # noqa: E402
     guyan_reduce,
     reduce_loads,
 )
+from .solvers.plasticity import (  # noqa: E402
+    PlasticStaticResult,
+    solve_elastoplastic,
+)
 from .solvers.riks import (  # noqa: E402
     RiksResult,
     solve_riks,
@@ -246,6 +250,8 @@ __all__ = [
     "fatigue_life_ratio",
     "member_force_frf_sq",
     "static_response_elem",
+    "PlasticStaticResult",
+    "solve_elastoplastic",
     "solve_riks",
     "RiksResult",
     "random_response",

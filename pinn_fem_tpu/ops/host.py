@@ -267,6 +267,53 @@ def host_nonlinear_system(problem: TrussProblem, u: np.ndarray,
     return k, f_int
 
 
+def host_return_map(eps: np.ndarray, eps_p: np.ndarray, alpha: np.ndarray,
+                    back: np.ndarray, young: np.ndarray, sigma_y: np.ndarray,
+                    h_iso: np.ndarray, h_kin: np.ndarray):
+    """Numpy float64 mirror of ops/plastic.return_map (same radial return,
+    same algorithmic tangent).  State is passed/returned as bare arrays so
+    this file keeps zero jax imports.
+
+    Returns (sigma, e_tan, eps_p_new, alpha_new, back_new)."""
+    sigma_tr = young * (eps - eps_p)
+    xi = sigma_tr - back
+    sgn = np.sign(xi)
+    f_tr = np.abs(xi) - (sigma_y + h_iso * alpha)
+    denom = young + h_iso + h_kin
+    dgamma = np.maximum(f_tr, 0.0) / denom
+    plastic = f_tr > 0.0
+    sigma = sigma_tr - young * dgamma * sgn
+    e_tan = np.where(plastic, young * (h_iso + h_kin) / denom, young)
+    return (sigma, e_tan, eps_p + dgamma * sgn, alpha + dgamma,
+            back + h_kin * dgamma * sgn)
+
+
+def host_plastic_system(problem: TrussProblem, u: np.ndarray,
+                        eps_p: np.ndarray, alpha: np.ndarray,
+                        back: np.ndarray, sigma_y: np.ndarray,
+                        h_iso: np.ndarray, h_kin: np.ndarray,
+                        load_factor: float = 1.0,
+                        tangent_floor: float = 1e-8):
+    """(K_t, f_int, sigma, new_state_arrays) of the elastoplastic truss —
+    float64 mirror of ops/plastic.assemble_plastic_system (same small-
+    strain kinematics eps = g.u_e / L0, same stabilized tangent floor).
+    Powers the host tier of solvers/plasticity.py below DENSE_DOF_LIMIT."""
+    dof_map, gvec, inv_len, _ = _geometry(problem)
+    young, area = material_values_host(problem, load_factor)
+    u_e = np.asarray(u, dtype=np.float64).reshape(-1)[dof_map]
+    eps = np.sum(gvec * u_e, axis=-1) * inv_len
+    sigma, e_tan, eps_p_n, alpha_n, back_n = host_return_map(
+        eps, eps_p, alpha, back, young, sigma_y, h_iso, h_kin)
+    e_stab = np.maximum(e_tan, tangent_floor * young)
+    s_tan = e_stab * area * inv_len
+    ke = s_tan[:, None, None] * gvec[:, :, None] * gvec[:, None, :]
+    k_t = _scatter_blocks(problem, ke)
+    fe = (area * sigma)[:, None] * gvec
+    f_int = np.zeros(problem.ndof)
+    np.add.at(f_int, dof_map, fe)
+    return k_t, f_int, sigma, (eps_p_n, alpha_n, back_n)
+
+
 def host_masks(problem: TrussProblem) -> np.ndarray:
     """(ndof,) free mask (1.0 free / 0.0 fixed)."""
     mask = np.ones(problem.ndof)

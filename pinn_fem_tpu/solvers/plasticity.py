@@ -1,0 +1,282 @@
+"""Incremental elastoplastic statics: load stepping + Newton with the
+algorithmic tangent, over the radial-return truss kernel (ops/plastic.py).
+
+Material nonlinearity does not exist in the reference in any form (its
+element library is linear elastic, /root/reference/FEM/python/fem/
+element.py); this family extends the framework exactly like the dynamics
+family did, on both execution tiers:
+
+  * HOST tier (numpy float64, zero device programs) below
+    DENSE_DOF_LIMIT — the serving default, like every small dense
+    analysis (see ops/host.py's module docstring for why: per-program
+    remote TPU compiles cost minutes while the FLOPs cost microseconds).
+  * DEVICE tier: ONE jitted program — lax.scan over the load schedule
+    with an inner Newton lax.while_loop — so a 100-step cyclic history
+    is a single XLA launch.  The load schedule is padded to a power-of-
+    two bucket (repeating the final factor, which converges in zero
+    iterations) so one compiled program serves every schedule length of
+    a shape class (CLAUDE.md bucket rule).
+
+Path dependence is handled the standard backward-Euler way: within a load
+step the trial state is the COMMITTED state of the previous step, Newton
+iterates on the displacement with the return-mapped stress and consistent
+tangent, and the internal variables commit only at step convergence.
+Because the consistent tangent of linear hardening is piecewise constant,
+Newton converges in 1 iteration per elastic/plastic regime and needs one
+extra iteration per element set that changes regime within a step.
+
+Residuals are normalized by the LOAD PATTERN norm |f_ext|, not the step's
+|lf * f_ext|: an unloading step ends at lf = 0 with residual self-stress
+(the whole point of plasticity) and a step-scaled norm would be 0/0 there.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.problem import TrussProblem
+from ..ops.linalg import masked_solve
+from ..ops.plastic import (PlasticParams, PlasticState,
+                           assemble_plastic_system, params_arrays)
+
+
+class PlasticStaticResult(NamedTuple):
+    load_factors: np.ndarray    # (n_steps,)
+    displacements: np.ndarray   # (n_steps, ndof)
+    stresses: np.ndarray        # (n_steps, nelm) return-mapped axial stress
+    plastic_strain: np.ndarray  # (n_steps, nelm) eps_p
+    alpha: np.ndarray           # (n_steps, nelm) accumulated plastic strain
+    back_stress: np.ndarray     # (n_steps, nelm) kinematic center q
+    iterations: np.ndarray      # (n_steps,) Newton iterations per step
+    residuals: np.ndarray       # (n_steps,) final |R|/|f_ext| per step
+    converged: bool             # every step converged
+    n_plastic: np.ndarray       # (n_steps,) elements actively yielding
+
+
+def ramp_schedule(target: float, n_steps: int) -> np.ndarray:
+    """Proportional ramp 0 -> target in n_steps equal increments."""
+    return np.linspace(target / n_steps, target, n_steps)
+
+
+def _host_solve(problem, sy, hi, hk, lfs, tol, max_iter, tangent_floor,
+                min_denom):
+    from ..ops import host as H
+
+    mask = H.host_masks(problem)
+    f_ext = np.asarray(problem.loads, dtype=np.float64) * mask
+    fnorm = max(float(np.linalg.norm(f_ext)), min_denom)
+    km_fix = np.diag(1.0 - mask)
+    nelm = problem.nelm
+
+    u = np.zeros(problem.ndof)
+    eps_p = np.zeros(nelm)
+    alpha = np.zeros(nelm)
+    back = np.zeros(nelm)
+
+    rows = {k: [] for k in ("u", "sig", "ep", "al", "bk", "it", "res", "np_")}
+    all_ok = True
+    for lf in lfs:
+        alpha_prev = alpha
+        ok = False
+        sigma = None
+        st = (eps_p, alpha, back)
+        res = np.inf
+        it_used = max_iter
+        for it in range(max_iter):
+            k_t, f_int, sigma, st = H.host_plastic_system(
+                problem, u, eps_p, alpha, back, sy, hi, hk,
+                load_factor=lf, tangent_floor=tangent_floor)
+            r = (lf * f_ext - f_int) * mask
+            res = float(np.linalg.norm(r)) / fnorm
+            if res <= tol:
+                ok = True
+                it_used = it
+                break
+            km = mask[:, None] * k_t * mask[None, :] + km_fix
+            u = u + np.linalg.solve(km, r) * mask
+        all_ok &= ok
+        # Commit: st/sigma were evaluated at the CURRENT u (top of the
+        # loop body), so on break they are the converged-state values.
+        eps_p, alpha, back = st
+        rows["u"].append(u.copy())
+        rows["sig"].append(sigma.copy())
+        rows["ep"].append(eps_p.copy())
+        rows["al"].append(alpha.copy())
+        rows["bk"].append(back.copy())
+        rows["it"].append(it_used)
+        rows["res"].append(res)
+        rows["np_"].append(int(np.count_nonzero(alpha > alpha_prev)))
+    return PlasticStaticResult(
+        load_factors=np.asarray(lfs, dtype=float),
+        displacements=np.asarray(rows["u"]),
+        stresses=np.asarray(rows["sig"]),
+        plastic_strain=np.asarray(rows["ep"]),
+        alpha=np.asarray(rows["al"]),
+        back_stress=np.asarray(rows["bk"]),
+        iterations=np.asarray(rows["it"], dtype=int),
+        residuals=np.asarray(rows["res"]),
+        converged=bool(all_ok),
+        n_plastic=np.asarray(rows["np_"], dtype=int),
+    )
+
+
+_DEVICE_CORE_CACHE: dict = {}
+
+
+def _device_core(n_steps: int):
+    """Jitted scan-over-steps elastoplastic driver, cached per padded
+    schedule length (shapes are static under jit; everything else —
+    schedule values, hardening, tolerances — is traced)."""
+    core = _DEVICE_CORE_CACHE.get(n_steps)
+    if core is not None:
+        return core
+
+    @jax.jit
+    def core(data, material, lfs, sy, hi, hk, tol, max_iter, tangent_floor,
+             min_denom):
+        params = PlasticParams(sigma_y=sy, h_iso=hi, h_kin=hk)
+        mask = data.free_mask
+        f_ext = data.loads * mask
+        fnorm = jnp.maximum(jnp.linalg.norm(f_ext), min_denom)
+        dtype = f_ext.dtype
+        nelm = data.nelm
+
+        def newton_cond(carry):
+            it, _, _, res, done = carry
+            return jnp.logical_and(it < max_iter, jnp.logical_not(done))
+
+        def step(carry, lf):
+            u0, state0 = carry
+
+            def newton_body(carry):
+                it, u, st, res_prev, _ = carry
+                k_t, f_int, _, st_new = assemble_plastic_system(
+                    data, material, u, state0, params, lf, tangent_floor)
+                r = (lf * f_ext - f_int) * mask
+                res = jnp.linalg.norm(r) / fnorm
+                # Float32-floor stall stop, but ONLY once the residual is
+                # already small (inside sqrt(tol)): plastic Newton is
+                # legitimately non-monotone while the active set is still
+                # changing — the residual RISES on the iteration where
+                # elements first switch regime, and a blanket monotone-
+                # acceptance rule (the elastic _nr_core_cg pattern) was
+                # measured to abandon those steps at res ~ 0.7.
+                stalled = jnp.logical_and(res >= res_prev,
+                                          res_prev <= jnp.sqrt(tol))
+                done = jnp.logical_or(res <= tol, stalled)
+                # LU, not Cholesky: a near-floor plastic tangent can be
+                # numerically indefinite in float32.
+                du = masked_solve(k_t, r, mask, assume_spd=False)
+                u_new = jnp.where(done, u, u + du)
+                res_keep = jnp.minimum(res, res_prev)
+                return (it + jnp.where(done, 0, 1), u_new, st_new,
+                        res_keep, done)
+
+            init = (jnp.zeros((), jnp.int32), u0, state0,
+                    jnp.asarray(jnp.inf, dtype), jnp.zeros((), bool))
+            it, u, st, res, done = jax.lax.while_loop(
+                newton_cond, newton_body, init)
+            # One final evaluation pins (sigma, state) to the FINAL u —
+            # the loop's st lags u by one update on non-converged exits.
+            _, f_int, sigma, st = assemble_plastic_system(
+                data, material, u, state0, params, lf, tangent_floor)
+            res = jnp.linalg.norm((lf * f_ext - f_int) * mask) / fnorm
+            n_pl = jnp.sum((st.alpha > state0.alpha).astype(jnp.int32))
+            out = (u, sigma, st.eps_p, st.alpha, st.back, it, res,
+                   res <= tol, n_pl)
+            return (u, st), out
+
+        z = jnp.zeros(nelm, dtype=dtype)
+        state0 = PlasticState(eps_p=z, alpha=z, back=z)
+        u0 = jnp.zeros(data.ndof, dtype=dtype)
+        _, outs = jax.lax.scan(step, (u0, state0), lfs)
+        return outs
+
+    _DEVICE_CORE_CACHE[n_steps] = core
+    return core
+
+
+def solve_elastoplastic(
+    problem: TrussProblem,
+    sigma_y,
+    hardening_iso=0.0,
+    hardening_kin=0.0,
+    load_factors: Optional[Sequence[float]] = None,
+    n_steps: int = 20,
+    target_load_factor: float = 1.0,
+    tol: float = 1e-9,
+    max_iter: int = 30,
+    tangent_floor: float = 1e-8,
+    min_denom: float = 1e-12,
+    host: Optional[bool] = None,
+    data=None,
+) -> PlasticStaticResult:
+    """Trace the elastoplastic response along a load-factor history.
+
+    Args:
+        sigma_y, hardening_iso, hardening_kin: scalar or (nelm,) yield
+            stress and linear hardening moduli (ops/plastic.py for the
+            constitutive model).
+        load_factors: explicit history (cyclic loading, unloading —
+            anything); default is a proportional ramp
+            `ramp_schedule(target_load_factor, n_steps)`.
+        tol: force-residual tolerance relative to the load-pattern norm
+            |f_ext| (NOT the step's scaled load — see module docstring).
+        host: run on the host tier (float64). Default: True below
+            DENSE_DOF_LIMIT, matching the serving convention of every
+            small dense analysis.
+    """
+    from .newton import DENSE_DOF_LIMIT
+
+    if load_factors is None:
+        load_factors = ramp_schedule(float(target_load_factor), int(n_steps))
+    lfs = np.asarray(load_factors, dtype=float).reshape(-1)
+    if lfs.size == 0:
+        raise ValueError("load_factors must be non-empty")
+
+    sy, hi, hk = params_arrays(problem.nelm, sigma_y, hardening_iso,
+                               hardening_kin)
+    if host is None:
+        host = problem.ndof <= DENSE_DOF_LIMIT and data is None
+    if host:
+        # float64 host tolerance can be meaningfully tighter than the
+        # device default; honor the caller's value as-is.
+        return _host_solve(problem, sy, hi, hk, lfs, tol, max_iter,
+                           tangent_floor, min_denom)
+
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    # float32 device floor: the force residual itself bottoms out near
+    # eps32 * |K u| / |f| (measured ~5e-6 on the 10-bar cyclic history);
+    # don't demand more than ~1e-5 relative.
+    tol_dev = max(float(tol), 1e-5) if dtype == jnp.float32 else float(tol)
+
+    n = lfs.size
+    n_pad = 1 << (n - 1).bit_length()
+    lfs_pad = np.concatenate([lfs, np.full(n_pad - n, lfs[-1])])
+
+    core = _device_core(n_pad)
+    outs = jax.device_get(core(
+        data, problem.material, jnp.asarray(lfs_pad, dtype),
+        jnp.asarray(sy, dtype), jnp.asarray(hi, dtype),
+        jnp.asarray(hk, dtype),
+        jnp.asarray(tol_dev, dtype), jnp.asarray(max_iter, jnp.int32),
+        jnp.asarray(tangent_floor, dtype), jnp.asarray(min_denom, dtype)))
+    (u, sigma, eps_p, alpha, back, iters, res, conv, n_pl) = (
+        np.asarray(o)[:n] for o in outs)
+    return PlasticStaticResult(
+        load_factors=lfs,
+        displacements=u.astype(float),
+        stresses=sigma.astype(float),
+        plastic_strain=eps_p.astype(float),
+        alpha=alpha.astype(float),
+        back_stress=back.astype(float),
+        iterations=iters.astype(int),
+        residuals=res.astype(float),
+        converged=bool(np.all(conv)),
+        n_plastic=n_pl.astype(int),
+    )
