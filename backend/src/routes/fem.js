@@ -48,8 +48,8 @@ function solveAnalysis(kind) {
 }
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
-                    'continuation', 'random', 'reduction', 'identification',
-                    'sizing', 'reliability', 'frame']) {
+                    'continuation', 'plastic', 'random', 'reduction',
+                    'identification', 'sizing', 'reliability', 'frame']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -74,11 +74,13 @@ router.get('/info', (req, res) => {
         name: 'Structural dynamics',
         description: 'Transient (central difference / Newmark-beta), '
           + 'modal, buckling, harmonic, spectrum, random vibration, '
-          + 'continuation, reduction, identification (time/FRF/modal), '
+          + 'continuation, elastoplastic statics, reduction, '
+          + 'identification (time/FRF/modal), '
           + 'sizing optimization and FORM reliability',
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
-                  'spectrum', 'random', 'continuation', 'reduction',
-                  'identification', 'sizing', 'reliability', 'frame'],
+                  'spectrum', 'random', 'continuation', 'plastic',
+                  'reduction', 'identification', 'sizing', 'reliability',
+                  'frame'],
       },
     },
     backend: 'jax',

@@ -32,6 +32,18 @@ drives a static solve gains:
                  "initial_dlambda": 0.02, "stop_lambda_abs": 5.0,
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
+    "analysis": {"type": "plastic",           # elastoplastic statics
+                 "sigma_y": 1.5 | [..],       # yield stress (per element)
+                 "hardening": H,              # linear isotropic modulus
+                 "kinematic_hardening": Hk,   # linear kinematic modulus
+                 "target": 1.5, "n_steps": 20 # proportional ramp, or an
+                 | "load_factors": [..],      # explicit (cyclic) history
+                 "include_history": true,     # per-step stress/eps_p
+                 "probe_nodes": [..] | "probe_dofs": [..]}
+                                              # radial return, combined
+                                              # hardening
+                                              # (solvers/plasticity)
+
     "analysis": {"type": "random",            # + optional
                                               # "first_passage":
                                               # {"barrier": b,
@@ -564,6 +576,58 @@ def run_continuation(problem, analysis: Dict) -> Dict:
         "max_residual": float(res.residuals.max()) if res.residuals.size
         else None,
     }
+
+
+def run_plastic(problem, analysis: Dict) -> Dict:
+    """Execute an elastoplastic-statics block (solvers/plasticity.py):
+    incremental radial-return solve along a load-factor history."""
+    from ..solvers.plasticity import solve_elastoplastic
+
+    if "sigma_y" not in analysis:
+        raise ValueError('plastic analysis requires "sigma_y"')
+    kwargs = dict(
+        sigma_y=analysis["sigma_y"],
+        hardening_iso=analysis.get("hardening", 0.0),
+        hardening_kin=analysis.get("kinematic_hardening", 0.0),
+        tol=float(analysis.get("tolerance", 1e-9)),
+        max_iter=int(analysis.get("max_iterations", 30)),
+    )
+    if "load_factors" in analysis:
+        kwargs["load_factors"] = np.asarray(analysis["load_factors"],
+                                            dtype=float)
+    else:
+        kwargs["target_load_factor"] = float(analysis.get("target", 1.0))
+        kwargs["n_steps"] = int(analysis.get("n_steps", 20))
+    res = solve_elastoplastic(problem, **kwargs)
+
+    probe = _probe_dofs(analysis, problem)
+    yielded = np.flatnonzero(res.alpha[-1] > 0.0)
+    out = {
+        "success": bool(res.converged),
+        "analysis": "plastic",
+        "n_steps": int(res.load_factors.size),
+        "load_factors": res.load_factors.tolist(),
+        "probe_dofs": probe.tolist(),
+        "displacements": res.displacements[:, probe].tolist(),
+        "iterations": res.iterations.tolist(),
+        "max_residual": float(res.residuals.max()),
+        "n_plastic": res.n_plastic.tolist(),
+        "yielded_elements": yielded.tolist(),
+        "max_abs_stress": np.abs(res.stresses).max(axis=1).tolist(),
+        "final": {
+            "stresses": res.stresses[-1].tolist(),
+            "plastic_strain": res.plastic_strain[-1].tolist(),
+            "accumulated_plastic_strain": res.alpha[-1].tolist(),
+            "back_stress": res.back_stress[-1].tolist(),
+            "displacements": res.displacements[-1].tolist(),
+        },
+    }
+    if analysis.get("include_history"):
+        out["history"] = {
+            "stresses": res.stresses.tolist(),
+            "plastic_strain": res.plastic_strain.tolist(),
+        }
+    return _json_finite(out)
 
 
 def _sn_params(fat: Dict):
@@ -2527,6 +2591,8 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_spectrum(problem, analysis)
     if kind == "continuation":
         return run_continuation(problem, analysis)
+    if kind == "plastic":
+        return run_plastic(problem, analysis)
     if kind == "random":
         return run_random(problem, analysis)
     if kind == "reduction":
@@ -2539,6 +2605,6 @@ def run_analysis(problem, analysis: Dict) -> Dict:
         return run_reliability(problem, analysis)
     raise ValueError(f'analysis.type must be "modal", "transient", '
                      f'"buckling", "harmonic", "spectrum", '
-                     f'"continuation", "random", "reduction", '
+                     f'"continuation", "plastic", "random", "reduction", '
                      f'"identification", "sizing" or "reliability", '
                      f'got {kind!r}')

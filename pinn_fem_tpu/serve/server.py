@@ -72,13 +72,15 @@ INFO = {
                            "ensembles), modal (+prestress), buckling, "
                            "harmonic, response spectrum, random "
                            "vibration, arc-length continuation, "
+                           "elastoplastic statics, "
                            "Guyan/Craig-Bampton reduction, time-domain "
                            "identification; small problems answer from "
                            "the host tier (compile-free)",
             "methods": ["central", "newmark", "modal", "buckling",
                         "harmonic", "spectrum", "random",
-                        "continuation", "reduction", "identification",
-                        "sizing", "reliability", "frame"],
+                        "continuation", "plastic", "reduction",
+                        "identification", "sizing", "reliability",
+                        "frame"],
         },
     },
     "backend": "jax",
@@ -158,6 +160,9 @@ _ROUTES = {
     "/api/fem/spectrum": (_solve_analysis("spectrum"), FEM_TIMEOUT_S),
     "/api/fem/continuation": (_solve_analysis("continuation"),
                               PINN_TIMEOUT_S),
+    # Elastoplastic statics: host-tier incremental Newton below
+    # DENSE_DOF_LIMIT (compile-free), FEM budget.
+    "/api/fem/plastic": (_solve_analysis("plastic"), FEM_TIMEOUT_S),
     "/api/fem/random": (_solve_analysis("random"), FEM_TIMEOUT_S),
     "/api/fem/reduction": (_solve_analysis("reduction"), FEM_TIMEOUT_S),
     # Identification is a GD loop (hundreds of integrator evaluations),
@@ -312,6 +317,9 @@ def _warmup_docs():
             "method": "guyan", "master_nodes": [2]}}),
         ("/api/fem/continuation", {**arch, "analysis": {
             "n_steps": 4, "initial_dlambda": 0.05}}),
+        ("/api/fem/plastic", {**chain, "analysis": {
+            "sigma_y": 0.5, "hardening": 10.0, "target": 1.0,
+            "n_steps": 4}}),
         ("/api/fem/identification", {**chain, "analysis": {
             "dt": 0.05, "n_steps": 20, "params": ["young"],
             "synthetic": {"young": 3.5}, "probe_nodes": [3],

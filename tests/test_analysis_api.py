@@ -1322,3 +1322,80 @@ def test_http_frame_route(server_port):
     bad = {**doc, "material": {"young": 200.0, "area": 1.0}}
     status, body = _post(server_port, "/api/fem/frame", bad)
     assert status == 500 and "inertia" in body["error"]
+
+
+def test_cli_plastic_analysis(tmp_path):
+    """Elastoplastic statics through the CLI: the single bar's exact
+    bilinear endpoint u = L (sigma/E + (sigma - sy)/H) and the residual
+    state after an explicit unloading history."""
+    doc = {
+        "nodes": [[0.0], [2.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 100.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "analysis": {"type": "plastic", "sigma_y": 1.0, "hardening": 10.0,
+                     "target": 1.5, "n_steps": 15, "probe_nodes": [1],
+                     "include_history": True},
+    }
+    pf = tmp_path / "plastic.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "plastic.res.json").read_text())
+    assert res["success"] and res["analysis"] == "plastic"
+    # Exact bilinear endpoint: u = L (1.5/E + (1.5 - 1)/H) = 0.13.
+    np.testing.assert_allclose(res["displacements"][-1][0], 0.13,
+                               rtol=1e-9)
+    np.testing.assert_allclose(res["final"]["plastic_strain"][0], 0.05,
+                               rtol=1e-9)
+    assert res["yielded_elements"] == [0]
+    assert len(res["history"]["stresses"]) == 15
+    # First yield on the ramp happens past lf = 1.0 only.
+    lf = np.array(res["load_factors"])
+    npl = np.array(res["n_plastic"])
+    assert npl[lf <= 1.0].sum() == 0 and npl[lf > 1.0].all()
+
+
+def test_http_plastic_route(server_port):
+    """Cyclic load history over HTTP: residual displacement L eps_p at
+    the explicit zero-load step (the plasticity signature)."""
+    doc = {
+        "nodes": [[0.0], [2.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 100.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "analysis": {"sigma_y": 1.0, "hardening": 10.0,
+                     "load_factors": [0.5, 1.0, 1.25, 1.5, 0.75, 0.0],
+                     "probe_nodes": [1]},
+    }
+    status, body = _post(server_port, "/api/fem/plastic", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert body["success"] and res["analysis"] == "plastic"
+    u = np.array(res["displacements"])[:, 0]
+    np.testing.assert_allclose(u[-1], 2.0 * 0.05, rtol=1e-9)
+    np.testing.assert_allclose(res["final"]["stresses"][0], 0.0,
+                               atol=1e-12)
+    # Unloading is elastic: same slope as the initial branch.
+    np.testing.assert_allclose(u[3] - u[-1], u[1] * 1.5, rtol=1e-9)
+
+
+def test_plastic_input_errors(server_port):
+    doc = {
+        "nodes": [[0.0], [2.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 100.0, "area": 1.0, "density": 1.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "analysis": {"hardening": 10.0},
+    }
+    status, body = _post(server_port, "/api/fem/plastic", doc)
+    assert status == 500 and "sigma_y" in body["error"]
+    doc["analysis"] = {"sigma_y": -1.0}
+    status, body = _post(server_port, "/api/fem/plastic", doc)
+    assert status == 500 and "sigma_y" in body["error"]
