@@ -131,7 +131,9 @@ from .solvers.reduction import (  # noqa: E402
 )
 from .solvers.plasticity import (  # noqa: E402
     PlasticStaticResult,
+    PlasticTransientResult,
     solve_elastoplastic,
+    solve_transient_plastic,
 )
 from .solvers.riks import (  # noqa: E402
     RiksResult,
@@ -251,7 +253,9 @@ __all__ = [
     "member_force_frf_sq",
     "static_response_elem",
     "PlasticStaticResult",
+    "PlasticTransientResult",
     "solve_elastoplastic",
+    "solve_transient_plastic",
     "solve_riks",
     "RiksResult",
     "random_response",

@@ -84,6 +84,13 @@ drives a static solve gains:
                  "checkpoint": {"dir": p, "every": n, "resume": true},
                  "record_every": 10, "geometric_nonlinear": false,
                  "include_stress_envelope": false,
+                 "plasticity": {"sigma_y": 1.5 | [..],   # explicit elasto-
+                                "hardening": H,          # plastic transient
+                                "kinematic_hardening": Hk},
+                                             # radial return committed per
+                                             # step; plain amplitude
+                                             # contract only (see
+                                             # _run_transient_plastic)
                  "probe_nodes": [..] | "probe_dofs": [..]}
 
     "analysis": {"type": "sizing",
@@ -953,8 +960,106 @@ def run_spectrum(problem, analysis: Dict) -> Dict:
     return out
 
 
+def _run_transient_plastic(problem, analysis: Dict) -> Dict:
+    """Execute a transient block carrying a "plasticity" material spec
+    (solvers/plasticity.solve_transient_plastic): explicit central-
+    difference integration with the radial return committed every step.
+
+    Composes with the plain amplitude contract only.  The elastoplastic
+    integrator carries committed internal state (eps_p, alpha, back
+    stress) through the scan, so prestress K_g(u0), moving loads,
+    checkpoint/resume, ensembles and linear member-force recovery
+    (which would misreport a yielded member's force) are rejected
+    loudly rather than returned silently wrong; the integrator reports
+    its own exact per-element |stress| envelope instead.
+    """
+    from ..solvers.plasticity import solve_transient_plastic
+
+    spec = analysis["plasticity"]
+    if not isinstance(spec, dict) or "sigma_y" not in spec:
+        raise ValueError('transient "plasticity" spec must be a dict '
+                         'with "sigma_y"')
+    for key, why in (
+            ("prestress", "initial-stress K_g"),
+            ("load", "moving/base-acceleration loads"),
+            ("checkpoint", "checkpoint/resume"),
+            ("amplitudes", "ensemble mode"),
+            ("probe_elements", "linear member-force recovery"),
+            ("include_stress_envelope", "the linear batched envelope — "
+                                        "stress_envelope is always "
+                                        "reported"),
+            ("geometric_nonlinear", "the Green-Lagrange kernel")):
+        if analysis.get(key):
+            raise ValueError(f'"plasticity" does not compose with '
+                             f'"{key}" ({why})')
+    method = analysis.get("method", "central")
+    if method != "central":
+        raise ValueError('"plasticity" supports method="central" only '
+                         "(explicit integration commits one radial "
+                         "return per step)")
+    n_steps = int(analysis["n_steps"])
+    damping = analysis.get("damping", [0.0, 0.0])
+    dt_spec = analysis.get("dt", "auto")
+    if dt_spec == "auto":
+        # The ELASTIC damped bound applies: yielding only LOWERS the
+        # tangent modulus, so the elastic Courant estimate stays
+        # conservative (solve_transient_plastic docstring).
+        dt = stable_dt(problem, damping=(float(damping[0]),
+                                         float(damping[1])))
+    else:
+        dt = float(dt_spec)
+    record_every = int(analysis.get("record_every", 1))
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    probe = _probe_dofs(analysis, problem)
+    if (probe.size * (n_steps // record_every) > 4 * _SHAPES_JSON_DOF_LIMIT
+            and "probe_dofs" not in analysis
+            and "probe_nodes" not in analysis):
+        raise ValueError(
+            "transient history would serialize "
+            f"{probe.size} DOFs x {n_steps // record_every} snapshots to "
+            "JSON; give probe_nodes/probe_dofs (or a larger record_every) "
+            "to bound the payload")
+    amplitude = _amplitude_array(analysis.get("amplitude"), n_steps, dt)
+    res = solve_transient_plastic(
+        problem,
+        sigma_y=spec["sigma_y"],
+        hardening_iso=spec.get("hardening", 0.0),
+        hardening_kin=spec.get("kinematic_hardening", 0.0),
+        dt=dt, n_steps=n_steps, amplitude=amplitude,
+        damping=(float(damping[0]), float(damping[1])),
+        record_every=record_every, probe_dofs=probe)
+    yielded = np.flatnonzero(res.final_alpha > 0.0)
+    return _json_finite({
+        "success": True,
+        "analysis": "transient",
+        "plastic": True,
+        "method": "central",
+        "dt": float(res.dt),
+        "n_steps": n_steps,
+        "record_every": record_every,
+        "probe_dofs": probe.tolist(),
+        "times": res.times.tolist(),
+        "displacements": res.displacements.tolist(),
+        "velocities": res.velocities.tolist(),
+        "kinetic_energy": res.kinetic_energy.tolist(),
+        "strain_energy": res.strain_energy.tolist(),
+        "plastic_work": res.plastic_work.tolist(),
+        "external_work": res.external_work.tolist(),
+        "stress_envelope": res.stress_envelope.tolist(),
+        "yielded_elements": yielded.tolist(),
+        "final": {
+            "displacements": res.final_displacement.tolist(),
+            "plastic_strain": res.final_plastic_strain.tolist(),
+            "accumulated_plastic_strain": res.final_alpha.tolist(),
+        },
+    })
+
+
 def run_transient(problem, analysis: Dict) -> Dict:
     """Execute a transient analysis block; JSON-serializable result dict."""
+    if "plasticity" in analysis:
+        return _run_transient_plastic(problem, analysis)
     n_steps = int(analysis["n_steps"])
     method = analysis.get("method", "central")
     dt_spec = analysis.get("dt", "auto")

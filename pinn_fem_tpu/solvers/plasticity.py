@@ -124,6 +124,289 @@ def _host_solve(problem, sy, hi, hk, lfs, tol, max_iter, tangent_floor,
     )
 
 
+class PlasticTransientResult(NamedTuple):
+    times: np.ndarray           # (n_rec,) record instants
+    displacements: np.ndarray   # (n_rec, n_probe)
+    velocities: np.ndarray      # (n_rec, n_probe)
+    kinetic_energy: np.ndarray  # (n_rec,)
+    strain_energy: np.ndarray   # (n_rec,) ELASTIC stored energy
+    plastic_work: np.ndarray    # (n_rec,) cumulative int sigma deps_p dV
+    external_work: np.ndarray   # (n_rec,) cumulative f_ext . du
+    stress_envelope: np.ndarray  # (nelm,) max |sigma| over all steps
+    final_displacement: np.ndarray   # (ndof,)
+    final_plastic_strain: np.ndarray  # (nelm,)
+    final_alpha: np.ndarray     # (nelm,)
+    dt: float
+
+
+def solve_transient_plastic(
+    problem: TrussProblem,
+    sigma_y,
+    hardening_iso=0.0,
+    hardening_kin=0.0,
+    dt: Optional[float] = None,
+    n_steps: int = 1000,
+    amplitude: Optional[np.ndarray] = None,
+    damping=(0.0, 0.0),
+    record_every: int = 1,
+    probe_dofs: Optional[np.ndarray] = None,
+    tangent_floor: float = 1e-8,
+    host: Optional[bool] = None,
+    data=None,
+) -> PlasticTransientResult:
+    """Explicit central-difference transient with elastoplastic elements.
+
+    Each step IS a committed strain increment (explicit integration
+    evaluates internal force once per step), so the radial return runs
+    from the previous step's committed state and commits unconditionally
+    — the standard explicit elastoplastic update.  The elastic stable-dt
+    bound applies unchanged: yielding only LOWERS the tangent modulus,
+    so the elastic Courant estimate (dynamics.stable_dt) is conservative.
+
+    Rayleigh damping: alpha on the mass, beta on the INITIAL elastic
+    stiffness K0 (the standard explicit-dynamics convention for
+    nonlinear materials — the tangent K would make damping jump
+    discontinuously at yield; cf. solvers/dynamics.py's identical
+    convention for geometric nonlinearity).
+
+    Energy bookkeeping (the test invariant): KE + SE_elastic +
+    W_plastic = W_external to integrator accuracy, where W_plastic =
+    int sigma deps_p dV is the total plastic work (dissipation plus the
+    energy stored in hardening) and W_external accumulates
+    f(t_n) . (u_{n+1} - u_n) at the force of the step being advanced.
+
+    Returns probe histories, cumulative energies, the per-element
+    |stress| envelope, and the final internal-variable state (residual
+    deformation = final_displacement at zero load).
+    """
+    from .dynamics import stable_dt
+    from ..ops import host as H
+
+    alpha_c, beta_c = (float(damping[0]), float(damping[1]))
+    if dt is None:
+        dt = stable_dt(problem, data=data)
+    dt = float(dt)
+    n_steps = int(n_steps)
+    record_every = int(record_every)
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    n_rec = n_steps // record_every
+
+    if amplitude is None:
+        amp = np.ones(n_steps)
+    else:
+        amp = np.asarray(amplitude, dtype=float).reshape(-1)
+        if amp.size != n_steps:
+            raise ValueError(f"amplitude must have n_steps={n_steps} "
+                             f"entries, got {amp.size}")
+    sy, hi, hk = params_arrays(problem.nelm, sigma_y, hardening_iso,
+                               hardening_kin)
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    times = dt * record_every * (np.arange(n_rec) + 1.0)
+
+    from .newton import DENSE_DOF_LIMIT
+
+    if host is None:
+        host = problem.ndof <= DENSE_DOF_LIMIT and data is None
+
+    if host:
+        dof_map, gvec, inv_len, _ = H._geometry(problem)
+        young, area = H.material_values_host(problem)
+        mask = H.host_masks(problem)
+        m = H.host_lumped_mass(problem) * mask + (1.0 - mask)
+        inv_m = np.where(m > 0, 1.0 / m, 0.0)
+        k0 = H.host_stiffness(problem) if beta_c else None
+        loads = H.loads_of(problem, data) * mask
+        vol = area / inv_len                      # A * L0 per element
+
+        u = np.zeros(problem.ndof)
+        eps_p = np.zeros(problem.nelm)
+        al = np.zeros(problem.nelm)
+        bk = np.zeros(problem.nelm)
+        w_p = w_ext = 0.0
+        env = np.zeros(problem.nelm)
+        dt2 = dt * dt
+
+        def f_int_of(u_v, ep, a_v, b_v):
+            eps = np.sum(gvec * u_v[dof_map], axis=-1) * inv_len
+            sig, _, ep_n, a_n, b_n = H.host_return_map(
+                eps, ep, a_v, b_v, young, sy, hi, hk)
+            f = np.zeros(problem.ndof)
+            np.add.at(f, dof_map, (area * sig)[:, None] * gvec)
+            return f, sig, eps, ep_n, a_n, b_n
+
+        # Consistent u_{-1} = u0 - dt v0 + dt^2/2 a0 with u0 = v0 = 0
+        # (the same start as dynamics._central_run): the first update
+        # then gives u_1 = dt^2/2 a0, the exact constant-acceleration
+        # small-time limit.
+        a0 = inv_m * (amp[0] * loads) * mask
+        u_prev = 0.5 * dt2 * a0
+
+        recs = {k: [] for k in ("u", "v", "ke", "se", "wp", "we")}
+        for i in range(n_steps):
+            f, sig, eps, ep_n, a_n, b_n = f_int_of(u, eps_p, al, bk)
+            w_p += float(np.sum(sig * (ep_n - eps_p) * vol))
+            env = np.maximum(env, np.abs(sig))
+            eps_p, al, bk = ep_n, a_n, b_n
+            v_lag = (u - u_prev) / dt
+            cu = alpha_c * (m * v_lag)
+            if beta_c:
+                cu = cu + beta_c * (k0 @ v_lag)
+            fi = amp[i] * loads
+            u_next = (2.0 * u - u_prev + dt2 * inv_m * (fi - f - cu)) * mask
+            w_ext += float(fi @ (u_next - u))
+            u_prev, u = u, u_next
+            if (i + 1) % record_every == 0:
+                v = (u - u_prev) / dt
+                se = 0.5 * float(np.sum(
+                    young * (np.sum(gvec * u[dof_map], axis=-1) * inv_len
+                             - eps_p) ** 2 * vol))
+                recs["u"].append(u[probe].copy())
+                recs["v"].append(v[probe].copy())
+                recs["ke"].append(0.5 * float(np.sum(m * v * v)))
+                recs["se"].append(se)
+                recs["wp"].append(w_p)
+                recs["we"].append(w_ext)
+        return PlasticTransientResult(
+            times=times,
+            displacements=np.asarray(recs["u"]),
+            velocities=np.asarray(recs["v"]),
+            kinetic_energy=np.asarray(recs["ke"]),
+            strain_energy=np.asarray(recs["se"]),
+            plastic_work=np.asarray(recs["wp"]),
+            external_work=np.asarray(recs["we"]),
+            stress_envelope=env,
+            final_displacement=u,
+            final_plastic_strain=eps_p,
+            final_alpha=al,
+            dt=dt,
+        )
+
+    # ---- device tier: one jitted scan program -------------------------
+    data = data if data is not None else problem.to_device()
+    dtype = data.loads.dtype
+    core = _transient_device_core(n_rec, record_every, beta_c != 0.0)
+    outs = jax.device_get(core(
+        data, problem.material, jnp.asarray(amp, dtype),
+        jnp.asarray(sy, dtype), jnp.asarray(hi, dtype),
+        jnp.asarray(hk, dtype), jnp.asarray(dt, dtype),
+        jnp.asarray(alpha_c, dtype), jnp.asarray(beta_c, dtype),
+        jnp.asarray(probe, jnp.int32)))
+    (us, vs, kes, ses, wps, wes, env, u_f, ep_f, al_f) = (
+        np.asarray(o) for o in outs)
+    return PlasticTransientResult(
+        times=times,
+        displacements=us.astype(float),
+        velocities=vs.astype(float),
+        kinetic_energy=kes.astype(float),
+        strain_energy=ses.astype(float),
+        plastic_work=wps.astype(float),
+        external_work=wes.astype(float),
+        stress_envelope=env.astype(float),
+        final_displacement=u_f.astype(float),
+        final_plastic_strain=ep_f.astype(float),
+        final_alpha=al_f.astype(float),
+        dt=dt,
+    )
+
+
+_TRANSIENT_CORE_CACHE: dict = {}
+
+
+def _transient_device_core(n_rec: int, record_every: int, use_beta: bool):
+    """Jitted explicit elastoplastic integrator, cached per
+    (record count, chunk, beta-damping) signature."""
+    key = (n_rec, record_every, use_beta)
+    core = _TRANSIENT_CORE_CACHE.get(key)
+    if core is not None:
+        return core
+
+    from ..ops.assembly import material_values
+    from ..ops.plastic import return_map
+    from ..ops.scatter import segment_sum_dofs
+
+    @jax.jit
+    def core(data, material, amp, sy, hi, hk, dt, alpha_c, beta_c, probe):
+        params = PlasticParams(sigma_y=sy, h_iso=hi, h_kin=hk)
+        young, area = material_values(data, material, jnp.asarray(1.0,
+                                                                  amp.dtype))
+        from ..ops.mass import lumped_mass
+
+        mask = data.free_mask
+        m = lumped_mass(data, material) * mask + (1.0 - mask)
+        inv_m = jnp.where(m > 0, 1.0 / m, 0.0)
+        loads = data.loads * mask
+        vol = area / data.inv_len
+        s0 = young * area * data.inv_len          # elastic K0 coefficients
+        dt2 = dt * dt
+        n_total = amp.shape[0]
+
+        def strain(u):
+            return (jnp.sum(data.gvec * u[data.dof_map], axis=-1)
+                    * data.inv_len)
+
+        def k0_apply(v):
+            gu = jnp.sum(data.gvec * v[data.dof_map], axis=-1)
+            fe = (s0 * gu)[:, None] * data.gvec
+            return segment_sum_dofs(fe, data.gather_map, data.dof_map)
+
+        def one_step(i, u, u_prev, state, w_p, w_ext, env):
+            eps = strain(u)
+            sig, _, st_new = return_map(eps, state, young, params)
+            fe = (area * sig)[:, None] * data.gvec
+            f_int = segment_sum_dofs(fe, data.gather_map, data.dof_map)
+            w_p = w_p + jnp.sum(sig * (st_new.eps_p - state.eps_p) * vol)
+            env = jnp.maximum(env, jnp.abs(sig))
+            v_lag = (u - u_prev) / dt
+            cu = alpha_c * (m * v_lag)
+            if use_beta:
+                cu = cu + beta_c * k0_apply(v_lag)
+            fi = amp[jnp.minimum(i, n_total - 1)] * loads
+            u_next = (2.0 * u - u_prev
+                      + dt2 * inv_m * (fi - f_int - cu)) * mask
+            w_ext = w_ext + jnp.dot(fi, u_next - u)
+            return u_next, u, st_new, w_p, w_ext, env
+
+        def chunk(carry, _):
+            u, u_prev, state, w_p, w_ext, env, i0 = carry
+
+            def body(j, c):
+                u, u_prev, st, w_p, w_ext, env = c
+                return one_step(i0 + j, u, u_prev, st, w_p, w_ext, env)
+
+            u, u_prev, state, w_p, w_ext, env = jax.lax.fori_loop(
+                0, record_every, body,
+                (u, u_prev, state, w_p, w_ext, env))
+            v = (u - u_prev) / dt
+            ke = 0.5 * jnp.sum(m * v * v)
+            se = 0.5 * jnp.sum(young * (strain(u) - state.eps_p) ** 2 * vol)
+            i_next = i0 + record_every
+            return ((u, u_prev, state, w_p, w_ext, env, i_next),
+                    (u[probe], v[probe], ke, se, w_p, w_ext))
+
+        ndof = data.ndof
+        nelm = data.nelm
+        dtype = loads.dtype
+        z = jnp.zeros(nelm, dtype=dtype)
+        state0 = PlasticState(eps_p=z, alpha=z, back=z)
+        u0 = jnp.zeros(ndof, dtype=dtype)
+        # Consistent u_{-1} = u0 - dt v0 + dt^2/2 a0 with u0 = v0 = 0.
+        a0 = inv_m * (amp[0] * loads) * mask
+        u_prev0 = 0.5 * dt2 * a0
+        zero = jnp.zeros((), dtype)
+        (u, _, state, _, _, env, _), recs = jax.lax.scan(
+            chunk,
+            (u0, u_prev0, state0, zero, zero, jnp.zeros(nelm, dtype),
+             jnp.zeros((), jnp.int32)),
+            None, length=n_rec)
+        us, vs, kes, ses, wps, wes = recs
+        return us, vs, kes, ses, wps, wes, env, u, state.eps_p, state.alpha
+
+    _TRANSIENT_CORE_CACHE[key] = core
+    return core
+
+
 _DEVICE_CORE_CACHE: dict = {}
 
 

@@ -1399,3 +1399,82 @@ def test_plastic_input_errors(server_port):
     doc["analysis"] = {"sigma_y": -1.0}
     status, body = _post(server_port, "/api/fem/plastic", doc)
     assert status == 500 and "sigma_y" in body["error"]
+
+
+def test_cli_transient_plastic(tmp_path):
+    """Elastoplastic transient through the CLI ("plasticity" sub-block
+    on a transient analysis): a step load past yield on the SDOF bar
+    balances KE + SE_el + W_plastic against the external work and
+    shakes down to elastic oscillation about the plastic-strain-shifted
+    center u_c = L (eps_p + s/E) — the invariants of
+    tests/test_plasticity.py, here exercised end-to-end through JSON."""
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 100.0, "area": 1.0, "density": 2.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "analysis": {"type": "transient", "n_steps": 4000,
+                     "record_every": 10, "probe_nodes": [1],
+                     "plasticity": {"sigma_y": 1.0, "hardening": 10.0}},
+    }
+    pf = tmp_path / "tp.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "tp.res.json").read_text())
+    assert res["success"] and res["analysis"] == "transient"
+    assert res["plastic"] and res["yielded_elements"] == [0]
+    w_in = np.array(res["external_work"])
+    e_sum = (np.array(res["kinetic_energy"])
+             + np.array(res["strain_energy"])
+             + np.array(res["plastic_work"]))
+    scale = np.abs(w_in).max()
+    np.testing.assert_allclose(e_sum, w_in, atol=0.02 * scale)
+    assert res["plastic_work"][-1] > 0.05 * scale
+    u = np.array(res["displacements"])[:, 0]
+    u_c = res["final"]["plastic_strain"][0] + 1.0 / 100.0
+    i_q = len(u) // 4
+    assert abs(np.mean(u[i_q:]) - u_c) < 0.05 * u_c
+    # Envelope: yielded, so above sigma_y but below the elastic
+    # overshoot 2 P/A that a linear run would report.
+    assert 1.0 < res["stress_envelope"][0] < 2.0
+
+
+def test_http_transient_plastic_route(server_port):
+    """Transient plasticity over HTTP, plus the loud non-composition
+    contract (prestress / envelope / non-central methods rejected)."""
+    doc = {
+        "nodes": [[0.0], [1.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 100.0, "area": 1.0, "density": 2.0},
+        "loads": [0.0, 1.0],
+        "fixed_dofs": [0],
+        "analysis": {"type": "transient", "n_steps": 800,
+                     "record_every": 10, "probe_nodes": [1],
+                     "plasticity": {"sigma_y": 1.0, "hardening": 10.0}},
+    }
+    status, body = _post(server_port, "/api/fem/transient", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["plastic"] and res["plastic_work"][-1] > 0.0
+    assert res["final"]["accumulated_plastic_strain"][0] > 0.0
+
+    bad = json.loads(json.dumps(doc))
+    bad["analysis"]["prestress"] = True
+    status, body = _post(server_port, "/api/fem/transient", bad)
+    assert status == 500 and "prestress" in body["error"]
+
+    bad = json.loads(json.dumps(doc))
+    bad["analysis"]["include_stress_envelope"] = True
+    status, body = _post(server_port, "/api/fem/transient", bad)
+    assert status == 500 and "envelope" in body["error"]
+
+    bad = json.loads(json.dumps(doc))
+    bad["analysis"]["method"] = "newmark"
+    bad["analysis"]["dt"] = 0.01
+    status, body = _post(server_port, "/api/fem/transient", bad)
+    assert status == 500 and "central" in body["error"]

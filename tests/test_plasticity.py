@@ -216,3 +216,129 @@ def test_validation_errors():
         solve_elastoplastic(bar_1d(), sigma_y=1.0, hardening_iso=-1.0)
     with pytest.raises(ValueError, match="non-empty"):
         solve_elastoplastic(bar_1d(), sigma_y=1.0, load_factors=[])
+
+
+# ---------------------------------------------------------------------------
+# Explicit elastoplastic transient (solve_transient_plastic)
+# ---------------------------------------------------------------------------
+
+from pinn_fem_tpu.solvers.plasticity import solve_transient_plastic  # noqa: E402
+
+
+def sdof_bar(rho=2.0):
+    """One element, mass lumped at the free node: an elastoplastic SDOF
+    oscillator (k = EA/L = 100, m = rho A L / 2 = 1, omega_el = 10)."""
+    return TrussProblem(
+        nodes=np.array([0.0, 1.0]),
+        elements=np.array([[0, 1]]),
+        material=Material(young=E, area=A, density=rho),
+        loads=np.array([0.0, 1.0]),
+        fixed_dofs=np.array([0]),
+        dimension=1)
+
+
+def test_transient_elastic_limit_matches_linear():
+    """Unreachable yield stress: the plastic integrator IS the linear
+    central-difference host integrator, displacement-for-displacement."""
+    from pinn_fem_tpu.solvers.dynamics import solve_transient
+
+    p = sdof_bar()
+    n = 400
+    res = solve_transient_plastic(p, sigma_y=1e9, n_steps=n,
+                                  record_every=10, probe_dofs=[1])
+    lin = solve_transient(p, dt=res.dt, n_steps=n, record_every=10,
+                          probe_dofs=np.array([1]), method="central",
+                          host=True)
+    np.testing.assert_allclose(res.displacements, lin.displacements,
+                               rtol=1e-12, atol=1e-15)
+    assert res.plastic_work[-1] == 0.0
+
+
+def test_transient_energy_balance_and_shakedown():
+    """Step load past yield: (1) KE + SE_el + W_plastic tracks the
+    external work to integrator accuracy at EVERY record; (2) after the
+    first plastic excursion the response shakes down to elastic
+    oscillation (W_plastic constant); (3) it oscillates about the
+    bilinear static equilibrium, not the elastic one."""
+    p = sdof_bar()
+    n = 4000
+    res = solve_transient_plastic(p, sigma_y=SY, hardening_iso=H,
+                                  n_steps=n, record_every=10,
+                                  probe_dofs=[1])
+    w_in = res.external_work
+    e_sum = res.kinetic_energy + res.strain_energy + res.plastic_work
+    scale = np.abs(w_in).max()
+    np.testing.assert_allclose(e_sum, w_in, atol=0.02 * scale)
+    assert res.plastic_work[-1] > 0.05 * scale
+    # Shakedown: essentially no plastic work accumulates over the last
+    # three quarters.  After the first excursion the elastic oscillation
+    # peak sits exactly ON the expanded yield surface (a step load past
+    # yield always shakes down to grazing contact), so explicit steps
+    # commit O(eps) micro-increments each cycle — measured 2e-6 relative
+    # over 3000 steps; 1e-4 bounds it with margin while still failing on
+    # any real ratcheting.
+    i_q = len(w_in) // 4
+    np.testing.assert_allclose(res.plastic_work[i_q:],
+                               res.plastic_work[-1],
+                               rtol=1e-4)
+    # Oscillation center: after shakedown the bar oscillates ELASTICALLY
+    # about the plastic-strain-shifted equilibrium u_c = L (eps_p + s/E)
+    # with s = P/A.  (The static bilinear curve is NOT the right center:
+    # here P/A = SY exactly, so the static formula has no plastic term,
+    # while the dynamic overshoot accumulates eps_p ~ 2.7 EY.)
+    u = res.displacements[:, 0]
+    u_el = 1.0 / E                  # purely elastic center, L = 1
+    u_c = res.final_plastic_strain[0] + u_el
+    assert abs(np.mean(u[i_q:]) - u_c) < 0.05 * u_c
+    # Plasticity moved the center well above the elastic one, and the
+    # motion never returns near the elastic center.
+    assert u_c > 2.0 * u_el
+    assert u[i_q:].min() > 2.0 * u_el
+
+
+def test_transient_residual_deformation():
+    """A short pulse drives the bar plastic; with mass damping the
+    motion settles onto the RESIDUAL state u = L eps_p, zero stress."""
+    p = sdof_bar()
+    n = 8000
+    amp = np.zeros(n)
+    amp[:400] = 1.5                 # pulse well past yield
+    res = solve_transient_plastic(p, sigma_y=SY, hardening_iso=H,
+                                  n_steps=n, amplitude=amp,
+                                  damping=(2.0, 0.0), record_every=40,
+                                  probe_dofs=[1])
+    ep = res.final_plastic_strain[0]
+    assert ep > 1e-3                # it DID yield
+    np.testing.assert_allclose(res.final_displacement[1], 1.0 * ep,
+                               rtol=2e-3)
+    np.testing.assert_allclose(res.velocities[-1, 0], 0.0, atol=1e-5)
+    # Stress envelope saw the plastic plateau, final state is unloaded.
+    assert res.stress_envelope[0] > SY
+
+
+def test_transient_device_matches_host():
+    """f32 device scan vs f64 host loop on a 2D truss pulse past yield —
+    the explicit-recurrence mirror bound (tests/test_host.py family)."""
+    p = ten_bar_2d()
+    n = 400
+    amp = np.concatenate([np.linspace(0, 4.0, 200), np.zeros(200)])
+    kw = dict(sigma_y=2.0, hardening_iso=20.0, n_steps=n, amplitude=amp,
+              damping=(0.5, 0.0), record_every=20, probe_dofs=[9, 11])
+    h = solve_transient_plastic(p, host=True, **kw)
+    d = solve_transient_plastic(p, host=False, **kw)
+    scale = np.abs(h.displacements).max()
+    np.testing.assert_allclose(d.displacements, h.displacements,
+                               atol=5e-4 * scale)
+    np.testing.assert_allclose(d.plastic_work[-1], h.plastic_work[-1],
+                               rtol=5e-3, atol=1e-8)
+    np.testing.assert_allclose(d.final_plastic_strain,
+                               h.final_plastic_strain, atol=1e-6)
+
+
+def test_transient_validation():
+    p = sdof_bar()
+    with pytest.raises(ValueError, match="multiple"):
+        solve_transient_plastic(p, sigma_y=1.0, n_steps=11, record_every=2)
+    with pytest.raises(ValueError, match="amplitude"):
+        solve_transient_plastic(p, sigma_y=1.0, n_steps=10,
+                                amplitude=[1.0, 2.0])
