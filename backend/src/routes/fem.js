@@ -40,8 +40,8 @@ router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 function solveAnalysis(kind) {
   return (problemData) => {
     const analysis = { type: kind, ...(problemData.analysis || {}) };
-    const body = kind === 'frame'
-      ? { ...problemData, element_type: 'frame', analysis }
+    const body = (kind === 'frame' || kind === 'plane')
+      ? { ...problemData, element_type: kind, analysis }
       : { ...problemData, analysis };
     return solveGeneric(body);
   };
@@ -49,7 +49,8 @@ function solveAnalysis(kind) {
 
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
                     'continuation', 'plastic', 'random', 'reduction',
-                    'identification', 'sizing', 'reliability', 'frame']) {
+                    'identification', 'sizing', 'reliability', 'frame',
+                    'plane']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -80,7 +81,7 @@ router.get('/info', (req, res) => {
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
                   'spectrum', 'random', 'continuation', 'plastic',
                   'reduction', 'identification', 'sizing', 'reliability',
-                  'frame'],
+                  'frame', 'plane'],
       },
     },
     backend: 'jax',

@@ -52,6 +52,15 @@ from .models.frame import (  # noqa: E402
     solve_frame_static,
     solve_frame_transient,
 )
+from .models.plane import (  # noqa: E402
+    PlaneProblem,
+    edge_load,
+    plane_matrices,
+    plane_modal,
+    rect_mesh,
+    solve_plane_static,
+    solve_plane_transient,
+)
 from .models.problem import (  # noqa: E402
     ProblemData,
     TrussProblem,
@@ -193,6 +202,13 @@ __all__ = [
     "to_field",
     "ProblemData",
     "FrameProblem",
+    "PlaneProblem",
+    "solve_plane_static",
+    "solve_plane_transient",
+    "plane_modal",
+    "plane_matrices",
+    "rect_mesh",
+    "edge_load",
     "solve_frame_static",
     "frame_modal",
     "frame_buckling",

@@ -97,6 +97,38 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         "the result)", m)
         logger.info("Results written to %s", output_file)
         return output
+    from ..io.plane_io import is_plane_document
+
+    if is_plane_document(raw):
+        # Plane (continuum) documents are likewise self-describing
+        # (2 DOFs per node but a different material/element contract);
+        # the family runs on the host tier (io/plane_io.py).
+        from ..io.plane_io import run_plane_document
+
+        logger.info("Plane document: %s",
+                    "generated mesh" if "mesh" in raw else
+                    f"{len(raw.get('nodes', ()))} nodes, "
+                    f"{len(raw.get('elements', ()))} elements")
+        output = run_plane_document(raw)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("PLANE ANALYSIS SUMMARY (%s):", output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % v for v in output["frequencies_hz"]])
+        elif output["analysis"] == "transient":
+            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                        output["dt"])
+        else:
+            logger.info("  Max von Mises: %.6g (element %d)",
+                        output["max_von_mises"],
+                        output["max_von_mises_element"])
+        logger.info("Results written to %s", output_file)
+        return output
     parsed = parse_problem_file(problem_file, seed=seed)
     problem, config = parsed.problem, parsed.config
 

@@ -1,0 +1,229 @@
+"""JSON tier for the 2D plane-stress/strain family (models/plane.py).
+
+A plane document is self-describing via `"element_type": "plane"` —
+like frames (io/frame_io.py), the truss schema cannot carry it, so
+the CLI and servers peek at that key and route here:
+
+    {"element_type": "plane",
+     "nodes": [[x, y], ..],
+     "elements": [[i, j, k], ..]         # CST triangles
+                | [[i, j, k, l], ..],    # Q4 quads (CCW)
+       | "mesh": {"type": "rect", "width": W, "height": H,
+                  "nx": 8, "ny": 4, "element": "quad" | "tri"},
+     "material": {"young": E, "poisson": nu, "thickness": t,
+                  "density": rho},       # scalars or per-element
+     "plane_strain": false,
+     "loads": [Fx0, Fy0, Fx1, ..],       # 2 per node (optional)
+     "edge_loads": [{"nodes": [..path..],          # uniform traction
+                     "traction": [tx, ty]}, ..],   # (force/area)
+     "body_force": [bx, by],             # force/volume (e.g. [0,-ρg])
+     "fixed_nodes": [..]                 # both DOFs clamped
+       | "fixed_dofs": [..],             # raw 2n-DOF indices
+     "fixed_x_nodes": [..], "fixed_y_nodes": [..],  # rollers/symmetry
+     "prescribed": [[dof, value], ..],   # settlement / driven supports
+     "point_masses": [[node, m], ..] | [..per node..],
+     "analysis": {"type": "static"}
+               | {"type": "modal", "n_modes": 6,
+                  "include_shapes": true}
+               | {"type": "transient", "dt": 0.01, "n_steps": 500,
+                  "damping": [a, b], "probe_nodes": [..],
+                  "amplitude": {"type": "step" | "sine"} | [..],
+                  "record_every": 1}}
+
+Static results carry centroid stresses (Voigt [xx, yy, xy]), von
+Mises, principal stresses and reactions; modal/transient mirror the
+frame family's result shapes.  Everything runs on the HOST tier
+(models/plane.py doctrine): zero device programs, import-bound cold
+latency.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.plane import (PlaneProblem, edge_load, plane_modal,
+                            rect_mesh, solve_plane_static,
+                            solve_plane_transient)
+
+
+def is_plane_document(doc: Dict) -> bool:
+    return isinstance(doc, dict) \
+        and doc.get("element_type") == "plane"
+
+
+def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
+    mesh = doc.get("mesh")
+    if mesh is not None:
+        if mesh.get("type", "rect") != "rect":
+            raise ValueError('mesh.type must be "rect"')
+        nodes, elements = rect_mesh(
+            float(mesh["width"]), float(mesh["height"]),
+            int(mesh["nx"]), int(mesh["ny"]),
+            mesh.get("element", "quad"))
+    else:
+        if "nodes" not in doc or "elements" not in doc:
+            raise ValueError('plane document needs "nodes" + '
+                             '"elements" or a "mesh" spec')
+        nodes = np.asarray(doc["nodes"], dtype=float)
+        elements = np.asarray(doc["elements"], dtype=int)
+    mat = doc.get("material", {})
+    if mat.get("poisson") is None:
+        raise ValueError('plane material needs "poisson" — the 2D '
+                         "constitutive law is the point")
+    nnode = nodes.shape[0]
+    loads = np.asarray(doc.get("loads", np.zeros(2 * nnode)),
+                       dtype=float).reshape(-1)
+    thickness = mat.get("thickness", 1.0)
+    for spec in doc.get("edge_loads", []):
+        if "nodes" not in spec or "traction" not in spec:
+            raise ValueError('edge_loads entries need "nodes" (path '
+                             'order) and "traction" [tx, ty]')
+        t_arr = np.asarray(thickness, dtype=float).reshape(-1)
+        if t_arr.size != 1:
+            raise ValueError("edge_loads need a scalar material "
+                             "thickness (per-element thickness makes "
+                             "the edge share ambiguous)")
+        loads = loads + edge_load(nodes, spec["nodes"],
+                                  spec["traction"], float(t_arr[0]),
+                                  ndof=2 * nnode)
+
+    fixed_parts = []
+    if "fixed_dofs" in doc:
+        fixed_parts.append(np.asarray(doc["fixed_dofs"], dtype=int))
+    if "fixed_nodes" in doc:
+        fn = np.asarray(doc["fixed_nodes"], dtype=int).reshape(-1)
+        fixed_parts.append(np.concatenate([2 * fn, 2 * fn + 1]))
+    if "fixed_x_nodes" in doc:
+        fn = np.asarray(doc["fixed_x_nodes"], dtype=int).reshape(-1)
+        fixed_parts.append(2 * fn)
+    if "fixed_y_nodes" in doc:
+        fn = np.asarray(doc["fixed_y_nodes"], dtype=int).reshape(-1)
+        fixed_parts.append(2 * fn + 1)
+    prescribed_pairs = doc.get("prescribed")
+    if prescribed_pairs is not None:
+        arr = np.asarray(prescribed_pairs, dtype=float)
+        if arr.ndim != 2 or arr.shape[1] != 2:
+            raise ValueError('prescribed must be [[dof, value], ..]')
+        fixed_parts.append(arr[:, 0].astype(int))
+    if not fixed_parts:
+        raise ValueError('plane document needs supports: "fixed_nodes",'
+                         ' "fixed_dofs", "fixed_x_nodes"/"fixed_y_nodes"'
+                         ' or "prescribed"')
+    fixed = np.unique(np.concatenate(fixed_parts))
+    prescribed = None
+    if prescribed_pairs is not None:
+        arr = np.asarray(prescribed_pairs, dtype=float)
+        prescribed = np.zeros(fixed.size)
+        idx = np.searchsorted(fixed, arr[:, 0].astype(int))
+        prescribed[idx] = arr[:, 1]
+
+    pm = doc.get("point_masses")
+    if pm is not None:
+        arr = np.asarray(pm, dtype=float)
+        if arr.ndim == 2:                       # [[node, mass], ...]
+            full = np.zeros(nnode)
+            for node, mass in arr:
+                full[int(node)] += float(mass)
+            pm = full
+        else:
+            pm = arr
+
+    problem = PlaneProblem(
+        nodes=nodes, elements=elements,
+        young=mat.get("young", 1.0), poisson=mat["poisson"],
+        thickness=thickness, density=mat.get("density", 1.0),
+        loads=loads, fixed_dofs=fixed,
+        plane_strain=bool(doc.get("plane_strain", False)),
+        prescribed=prescribed,
+        body_force=doc.get("body_force"),
+        point_masses=pm)
+    return problem, dict(doc.get("analysis") or {"type": "static"})
+
+
+def _probe_dofs(analysis: Dict, problem: PlaneProblem):
+    probe = analysis.get("probe_dofs")
+    if probe is None and analysis.get("probe_nodes") is not None:
+        pn = np.asarray(analysis["probe_nodes"], dtype=int).reshape(-1)
+        probe = np.stack([2 * pn, 2 * pn + 1], axis=1).reshape(-1)
+    return probe
+
+
+def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
+    kind = analysis.get("type", "static")
+    if kind == "plane":
+        # The Node /api/fem/plane route injects type="plane" when the
+        # document carries no analysis block — that means "statics".
+        kind = "static"
+    if kind == "static":
+        res = solve_plane_static(problem)
+        worst = int(np.argmax(res.von_mises)) if res.von_mises.size \
+            else -1
+        return {
+            "success": True,
+            "analysis": "static",
+            "element_type": "plane",
+            "plane_strain": bool(problem.plane_strain),
+            "displacements": res.displacements.tolist(),
+            "stresses": res.stresses.tolist(),
+            "von_mises": res.von_mises.tolist(),
+            "principal": res.principal.tolist(),
+            "strains": res.strains.tolist(),
+            "reactions": res.reactions.tolist(),
+            "max_von_mises": (float(res.von_mises[worst])
+                              if worst >= 0 else None),
+            "max_von_mises_element": worst,
+        }
+    if kind == "modal":
+        res = plane_modal(problem,
+                          n_modes=int(analysis.get("n_modes", 6)))
+        out = {
+            "success": True,
+            "analysis": "modal",
+            "element_type": "plane",
+            "frequencies_hz": res.frequencies_hz.tolist(),
+            "omegas": res.omegas.tolist(),
+            "eigenvalues": res.eigenvalues.tolist(),
+        }
+        if analysis.get("include_shapes", True):
+            out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    if kind == "transient":
+        if analysis.get("dt") is None or analysis.get("n_steps") is None:
+            raise ValueError('plane transient needs "dt" and '
+                             '"n_steps"')
+        n_steps = int(analysis["n_steps"])
+        amp = analysis.get("amplitude")
+        if isinstance(amp, dict):
+            t = np.arange(n_steps) * float(analysis["dt"])
+            if amp.get("type", "step") == "step":
+                amp = np.ones(n_steps)
+            elif amp.get("type") == "sine":
+                f_hz = float(amp.get("frequency_hz", 1.0))
+                amp = np.sin(2.0 * np.pi * f_hz * t)
+            else:
+                raise ValueError('plane amplitude type must be '
+                                 '"step" or "sine" (or a list)')
+        res = solve_plane_transient(
+            problem, float(analysis["dt"]), n_steps,
+            damping=analysis.get("damping", (0.0, 0.0)),
+            amplitude=amp, probe_dofs=_probe_dofs(analysis, problem),
+            record_every=int(analysis.get("record_every", 1)))
+        return {
+            "success": True,
+            "analysis": "transient",
+            "element_type": "plane",
+            "times": res.times.tolist(),
+            "displacements": res.displacements.tolist(),
+            "velocities": res.velocities.tolist(),
+            "dt": res.dt,
+            "n_steps": res.n_steps,
+        }
+    raise ValueError(f'plane analysis.type must be "static", "modal" '
+                     f'or "transient", got {kind!r}')
+
+
+def run_plane_document(doc: Dict) -> Dict:
+    problem, analysis = parse_plane_document(doc)
+    return run_plane_analysis(problem, analysis)

@@ -1,0 +1,576 @@
+"""2D plane-stress / plane-strain continuum elements — membranes join
+the framework.
+
+The reference (rpacheco-blazquez/PINN-FEM) and every family above it
+are LINE elements: truss (two force DOFs, axial only,
+/root/reference/FEM/python/fem/element.py:15-133) and this build's
+Euler-Bernoulli frames (models/frame.py).  Real 2D components — shear
+walls, gusset plates, dam cross-sections, membrane skins — are
+continua, so this module adds the two classic isoparametric membrane
+elements:
+
+    CST  3-node constant-strain triangle: B constant, closed-form
+         K_e = t A Bᵀ D B (6×6) — exact for any constant-strain field
+         on any (non-degenerate) mesh, the patch-test anchor.
+    Q4   4-node bilinear quadrilateral, 2×2 Gauss quadrature:
+         K_e = Σ_g w_g t Bᵀ(ξ_g) D B(ξ_g) |J(ξ_g)| (8×8) — the
+         workhorse element, one order better than CST per DOF in
+         bending-dominated fields.
+
+Constitutive matrices (σ = D ε, Voigt [σxx, σyy, σxy]):
+
+    plane stress  D = E/(1−ν²) [[1, ν, 0], [ν, 1, 0],
+                                [0, 0, (1−ν)/2]]
+    plane strain  D = E/((1+ν)(1−2ν)) [[1−ν, ν, 0], [ν, 1−ν, 0],
+                                       [0, 0, (1−2ν)/2]]
+
+Execution tier: like frames, plane meshes in the interactive regime
+run on the HOST tier (numpy float64, zero device programs — the
+doctrine ops/host.py set for everything below DENSE_DOF_LIMIT).  All
+element math is BATCHED over elements ((m, nen, 2) coordinate blocks,
+einsum contractions, one scatter-add), so the traced jnp twin
+(plane_static_response below) reuses the same closed forms verbatim —
+batched (m, 8, 8) blocks are exactly the shape XLA tiles onto the MXU
+when the identification families trace through it.
+
+Verification anchors (tests/test_plane.py) are textbook closed forms:
+the constant-stress patch test on distorted meshes (CST and Q4, exact
+to machine precision), uniaxial plane stress u_x = qx/E with lateral
+contraction −νqy/E, plane-strain uniaxial ε_xx = q(1−ν²)/E, the
+end-loaded cantilever vs the 2D elasticity (Timoshenko) closed form
+under mesh refinement, axial rod frequencies f_k = (2k−1)c/(4L) with
+consistent-mass convergence from above, and Newmark-vs-modal
+cross-validation of the step response.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+# 2×2 Gauss points / weights on [-1, 1]²; corner order is CCW
+# (-1,-1), (1,-1), (1,1), (-1,1) — node ordering must match.
+_GP = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0], [-1.0, 1.0]]
+               ) / np.sqrt(3.0)
+_CORNERS = np.array([[-1.0, -1.0], [1.0, -1.0], [1.0, 1.0],
+                     [-1.0, 1.0]])
+
+
+@dataclass
+class PlaneProblem:
+    """2D membrane: nodes (n, 2); elements (m, 3) CST triangles or
+    (m, 4) Q4 quadrilaterals (counterclockwise); per-element material
+    (scalars broadcast); nodal loads (2n,) as [Fx, Fy]*n; fixed DOFs
+    on the 2-DOF numbering u_i = 2i, v_i = 2i+1.  Optional: prescribed
+    nonzero values at fixed DOFs (settlement / patch-test driving),
+    a global body-force density [bx, by] (force/volume, e.g. ρg),
+    per-node point masses."""
+    nodes: np.ndarray
+    elements: np.ndarray
+    young: np.ndarray            # (m,) or scalar
+    poisson: np.ndarray
+    thickness: np.ndarray
+    density: np.ndarray
+    loads: np.ndarray            # (2n,)
+    fixed_dofs: np.ndarray
+    plane_strain: bool = False
+    prescribed: Optional[np.ndarray] = None     # (len(fixed_dofs),)
+    body_force: Optional[np.ndarray] = None     # (2,)
+    point_masses: Optional[np.ndarray] = None   # (n,)
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=float)
+        if self.nodes.ndim != 2 or self.nodes.shape[1] != 2:
+            raise ValueError("plane nodes must be (n, 2)")
+        self.elements = np.asarray(self.elements, dtype=int)
+        if self.elements.ndim != 2 or self.elements.shape[1] not in (3, 4):
+            raise ValueError("plane elements must be (m, 3) triangles "
+                             "or (m, 4) quadrilaterals")
+        n, m = self.nodes.shape[0], self.elements.shape[0]
+        if self.elements.min(initial=0) < 0 \
+                or self.elements.max(initial=-1) >= n:
+            raise ValueError("element connectivity out of node range")
+        for name in ("young", "poisson", "thickness", "density"):
+            v = np.broadcast_to(
+                np.asarray(getattr(self, name), dtype=float), (m,))
+            setattr(self, name, np.array(v))
+        if np.any(self.young <= 0) or np.any(self.thickness <= 0):
+            raise ValueError("young and thickness must be positive")
+        nu_max = 0.5 if self.plane_strain else 1.0
+        if np.any(self.poisson < 0) or np.any(self.poisson >= nu_max):
+            raise ValueError(f"poisson must lie in [0, {nu_max})")
+        self.loads = np.asarray(self.loads, dtype=float).reshape(-1)
+        if self.loads.size != 2 * n:
+            raise ValueError(f"loads must have 2*nnode = {2 * n} "
+                             f"entries, got {self.loads.size}")
+        self.fixed_dofs = np.asarray(self.fixed_dofs,
+                                     dtype=int).reshape(-1)
+        if self.fixed_dofs.size and (self.fixed_dofs.min() < 0
+                                     or self.fixed_dofs.max() >= 2 * n):
+            raise ValueError("fixed_dofs out of range")
+        if self.prescribed is not None:
+            self.prescribed = np.asarray(self.prescribed,
+                                         dtype=float).reshape(-1)
+            if self.prescribed.size != self.fixed_dofs.size:
+                raise ValueError("prescribed must pair one value per "
+                                 "fixed DOF")
+        if self.body_force is not None:
+            self.body_force = np.asarray(self.body_force,
+                                         dtype=float).reshape(2)
+        if self.point_masses is not None:
+            self.point_masses = np.broadcast_to(
+                np.asarray(self.point_masses, dtype=float), (n,)).copy()
+        # Orientation/degeneracy is a hard input error: detJ ≤ 0
+        # silently flips stiffness signs otherwise.
+        if self.nen == 3:
+            if np.any(_tri_area(self.coords()) <= 0.0):
+                raise ValueError("triangles must be counterclockwise "
+                                 "with positive area")
+        else:
+            if np.any(_q4_detj(self.coords()) <= 0.0):
+                raise ValueError("quadrilaterals must be "
+                                 "counterclockwise and convex enough "
+                                 "for positive Jacobians at all Gauss "
+                                 "points")
+
+    @property
+    def nnode(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def nelm(self) -> int:
+        return self.elements.shape[0]
+
+    @property
+    def nen(self) -> int:
+        return self.elements.shape[1]
+
+    @property
+    def ndof(self) -> int:
+        return 2 * self.nnode
+
+    def coords(self) -> np.ndarray:
+        """(m, nen, 2) element corner coordinates."""
+        return self.nodes[self.elements]
+
+    def dof_map(self) -> np.ndarray:
+        """(m, 2*nen) global DOFs, [u1 v1 u2 v2 ...] per element."""
+        e = self.elements
+        dm = np.empty((self.nelm, 2 * self.nen), dtype=int)
+        dm[:, 0::2] = 2 * e
+        dm[:, 1::2] = 2 * e + 1
+        return dm
+
+    def free_mask(self) -> np.ndarray:
+        mask = np.ones(self.ndof)
+        mask[self.fixed_dofs] = 0.0
+        return mask
+
+
+# --------------------------------------------------------------------
+# Element closed forms (batched over elements; numpy = jnp compatible
+# primitives only so the traced twin reuses them)
+
+
+def _dmat(young, poisson, plane_strain: bool, xp=np):
+    """(m, 3, 3) constitutive matrices, Voigt [xx, yy, xy]."""
+    e, nu = young, poisson
+    z = xp.zeros_like(e)
+    if plane_strain:
+        c = e / ((1.0 + nu) * (1.0 - 2.0 * nu))
+        rows = [[c * (1.0 - nu), c * nu, z],
+                [c * nu, c * (1.0 - nu), z],
+                [z, z, c * (1.0 - 2.0 * nu) / 2.0]]
+    else:
+        c = e / (1.0 - nu * nu)
+        rows = [[c, c * nu, z],
+                [c * nu, c, z],
+                [z, z, c * (1.0 - nu) / 2.0]]
+    return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def _tri_area(coords, xp=np):
+    """(m,) signed triangle areas (positive = counterclockwise)."""
+    d1 = coords[:, 1] - coords[:, 0]
+    d2 = coords[:, 2] - coords[:, 0]
+    return 0.5 * (d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0])
+
+
+def _cst_b(coords, xp=np):
+    """CST strain-displacement matrices: (m, 3, 6) B with constant
+    entries b_i = (y_j − y_k)/2A, c_i = (x_k − x_j)/2A, plus (m,)
+    areas."""
+    x, y = coords[..., 0], coords[..., 1]
+    area = _tri_area(coords, xp)
+    j, k = [1, 2, 0], [2, 0, 1]
+    b = (y[:, j] - y[:, k]) / (2.0 * area)[:, None]   # (m, 3) dN/dx
+    c = (x[:, k] - x[:, j]) / (2.0 * area)[:, None]   # (m, 3) dN/dy
+    z = xp.zeros_like(b)
+    row1 = xp.stack([b[:, 0], z[:, 0], b[:, 1], z[:, 0],
+                     b[:, 2], z[:, 0]], axis=-1)
+    row2 = xp.stack([z[:, 0], c[:, 0], z[:, 0], c[:, 1],
+                     z[:, 0], c[:, 2]], axis=-1)
+    row3 = xp.stack([c[:, 0], b[:, 0], c[:, 1], b[:, 1],
+                     c[:, 2], b[:, 2]], axis=-1)
+    return xp.stack([row1, row2, row3], axis=-2), area
+
+
+def _q4_dn(xi, eta):
+    """(2, 4) bilinear shape derivatives in natural coords."""
+    xa, ea = _CORNERS[:, 0], _CORNERS[:, 1]
+    return np.stack([0.25 * xa * (1.0 + ea * eta),
+                     0.25 * ea * (1.0 + xa * xi)])
+
+
+def _q4_point(coords, xi, eta, xp=np):
+    """B (m, 3, 8) and detJ (m,) at one natural point."""
+    dn = _q4_dn(xi, eta)                        # (2, 4) constant
+    jac = xp.einsum("an,mnc->mac", xp.asarray(dn), coords)  # (m, 2, 2)
+    det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
+    inv = xp.stack([
+        xp.stack([jac[:, 1, 1], -jac[:, 0, 1]], axis=-1),
+        xp.stack([-jac[:, 1, 0], jac[:, 0, 0]], axis=-1)],
+        axis=-2) / det[:, None, None]
+    dxy = xp.einsum("mab,bn->man", inv, xp.asarray(dn))  # (m, 2, 4)
+    dx, dy = dxy[:, 0], dxy[:, 1]               # (m, 4) each
+    z = xp.zeros_like(dx)
+    row1 = xp.stack([dx[:, 0], z[:, 0], dx[:, 1], z[:, 0],
+                     dx[:, 2], z[:, 0], dx[:, 3], z[:, 0]], axis=-1)
+    row2 = xp.stack([z[:, 0], dy[:, 0], z[:, 0], dy[:, 1],
+                     z[:, 0], dy[:, 2], z[:, 0], dy[:, 3]], axis=-1)
+    row3 = xp.stack([dy[:, 0], dx[:, 0], dy[:, 1], dx[:, 1],
+                     dy[:, 2], dx[:, 2], dy[:, 3], dx[:, 3]], axis=-1)
+    return xp.stack([row1, row2, row3], axis=-2), det
+
+
+def _q4_detj(coords):
+    """(m, 4) Jacobian determinants at the Gauss points (validation)."""
+    return np.stack([_q4_point(coords, xi, eta)[1]
+                     for xi, eta in _GP], axis=-1)
+
+
+def _k_blocks(coords, dmat, thickness, nen: int, xp=np):
+    """(m, 2nen, 2nen) stiffness blocks (CST closed form or Q4 2×2
+    Gauss) — shared by the host assembly and the traced twin."""
+    if nen == 3:
+        b, area = _cst_b(coords, xp)
+        scale = (thickness * area)[:, None, None]
+        return scale * xp.einsum("mia,mij,mjb->mab", b, dmat, b)
+    k = None
+    for xi, eta in _GP:                 # weights are 1.0 for 2×2
+        b, det = _q4_point(coords, xi, eta, xp)
+        kg = (thickness * det)[:, None, None] \
+            * xp.einsum("mia,mij,mjb->mab", b, dmat, b)
+        k = kg if k is None else k + kg
+    return k
+
+
+def _m_blocks(coords, density, thickness, nen: int):
+    """(m, 2nen, 2nen) CONSISTENT mass blocks."""
+    if nen == 3:
+        area = _tri_area(coords)
+        scal = density * thickness * area / 12.0
+        base = np.array([[2.0, 1.0, 1.0],
+                         [1.0, 2.0, 1.0],
+                         [1.0, 1.0, 2.0]])
+        m = np.zeros((coords.shape[0], 6, 6))
+        m[:, 0::2, 0::2] = scal[:, None, None] * base
+        m[:, 1::2, 1::2] = scal[:, None, None] * base
+        return m
+    m = np.zeros((coords.shape[0], 8, 8))
+    for xi, eta in _GP:
+        xa, ea = _CORNERS[:, 0], _CORNERS[:, 1]
+        n = 0.25 * (1.0 + xa * xi) * (1.0 + ea * eta)   # (4,)
+        _, det = _q4_point(coords, xi, eta)
+        scal = density * thickness * det
+        nn = np.outer(n, n)
+        m[:, 0::2, 0::2] += scal[:, None, None] * nn
+        m[:, 1::2, 1::2] += scal[:, None, None] * nn
+    return m
+
+
+def _body_force_vectors(problem: PlaneProblem) -> np.ndarray:
+    """(2n,) consistent nodal loads of a uniform body-force density
+    [bx, by]: ∫ N b t dΩ — CST gets t·A·b/3 per node (exact), Q4 the
+    2×2 Gauss sum (exact for bilinear geometry)."""
+    f = np.zeros(problem.ndof)
+    if problem.body_force is None:
+        return f
+    bx, by = problem.body_force
+    coords = problem.coords()
+    dm = problem.dof_map()
+    if problem.nen == 3:
+        share = problem.thickness * _tri_area(coords) / 3.0   # (m,)
+        fe = np.zeros((problem.nelm, 6))
+        fe[:, 0::2] = share[:, None] * bx
+        fe[:, 1::2] = share[:, None] * by
+    else:
+        fe = np.zeros((problem.nelm, 8))
+        xa, ea = _CORNERS[:, 0], _CORNERS[:, 1]
+        for xi, eta in _GP:
+            n = 0.25 * (1.0 + xa * xi) * (1.0 + ea * eta)
+            _, det = _q4_point(coords, xi, eta)
+            w = problem.thickness * det
+            fe[:, 0::2] += w[:, None] * n[None, :] * bx
+            fe[:, 1::2] += w[:, None] * n[None, :] * by
+    np.add.at(f, dm, fe)
+    return f
+
+
+def _assemble(problem: PlaneProblem, blocks: np.ndarray) -> np.ndarray:
+    """(m, 2nen, 2nen) blocks -> dense (ndof, ndof)."""
+    dm = problem.dof_map()
+    k = np.zeros((problem.ndof, problem.ndof))
+    np.add.at(k, (dm[:, :, None], dm[:, None, :]), blocks)
+    return k
+
+
+def plane_matrices(problem: PlaneProblem, with_mass: bool = True):
+    """(K, M) dense global matrices (M None unless with_mass) — the
+    one assembly every plane solver shares (host float64)."""
+    coords = problem.coords()
+    dmat = _dmat(problem.young, problem.poisson, problem.plane_strain)
+    k = _assemble(problem, _k_blocks(coords, dmat, problem.thickness,
+                                     problem.nen))
+    mmat = None
+    if with_mass:
+        mmat = _assemble(problem, _m_blocks(coords, problem.density,
+                                            problem.thickness,
+                                            problem.nen))
+        if problem.point_masses is not None:
+            pm = np.zeros(problem.ndof)
+            pm[0::2] += problem.point_masses
+            pm[1::2] += problem.point_masses
+            mmat = mmat + np.diag(pm)
+    return k, mmat
+
+
+def _centroid_b(problem: PlaneProblem):
+    """(m, 3, 2nen) strain-displacement at element centroids (CST: the
+    constant B; Q4: ξ = η = 0, the superconvergent stress point)."""
+    coords = problem.coords()
+    if problem.nen == 3:
+        return _cst_b(coords)[0]
+    return _q4_point(coords, 0.0, 0.0)[0]
+
+
+def recover_stresses(problem: PlaneProblem, u: np.ndarray):
+    """Centroid stresses from a displacement field: (m, 3) Voigt
+    [σxx, σyy, σxy], von Mises (m,), principal (m, 2) [σ1 ≥ σ2].
+    Plane strain includes σzz = ν(σxx + σyy) in the von Mises."""
+    b = _centroid_b(problem)
+    dmat = _dmat(problem.young, problem.poisson, problem.plane_strain)
+    u_e = u[problem.dof_map()]
+    eps = np.einsum("mia,ma->mi", b, u_e)
+    sig = np.einsum("mij,mj->mi", dmat, eps)
+    sxx, syy, sxy = sig[:, 0], sig[:, 1], sig[:, 2]
+    if problem.plane_strain:
+        szz = problem.poisson * (sxx + syy)
+        vm = np.sqrt(0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2
+                            + (szz - sxx) ** 2) + 3.0 * sxy ** 2)
+    else:
+        vm = np.sqrt(sxx ** 2 - sxx * syy + syy ** 2 + 3.0 * sxy ** 2)
+    mean = 0.5 * (sxx + syy)
+    rad = np.sqrt((0.5 * (sxx - syy)) ** 2 + sxy ** 2)
+    principal = np.stack([mean + rad, mean - rad], axis=-1)
+    return sig, vm, principal
+
+
+@dataclass
+class PlaneStaticResult:
+    displacements: np.ndarray    # (2n,)
+    stresses: np.ndarray         # (m, 3) centroid Voigt [xx, yy, xy]
+    von_mises: np.ndarray        # (m,)
+    principal: np.ndarray        # (m, 2) [σ1, σ2]
+    strains: np.ndarray          # (m, 3) centroid Voigt
+    reactions: np.ndarray        # (2n,) K u − f on fixed DOFs
+
+
+def solve_plane_static(problem: PlaneProblem) -> PlaneStaticResult:
+    """Dense masked static solve + centroid stress recovery.
+
+    Prescribed nonzero fixed-DOF values enter as the standard
+    inhomogeneous-Dirichlet lift: solve the masked system for
+    f − K u_p on the free block, then add u_p back."""
+    k, _ = plane_matrices(problem, with_mass=False)
+    mask = problem.free_mask()
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    f = problem.loads + _body_force_vectors(problem)
+    u_p = np.zeros(problem.ndof)
+    if problem.prescribed is not None:
+        u_p[problem.fixed_dofs] = problem.prescribed
+        rhs = (f - k @ u_p) * mask
+    else:
+        rhs = f * mask
+    u = np.linalg.solve(km, rhs) * mask + u_p
+    sig, vm, principal = recover_stresses(problem, u)
+    b = _centroid_b(problem)
+    eps = np.einsum("mia,ma->mi", b, u[problem.dof_map()])
+    reactions = (k @ u - f) * (1.0 - mask)
+    return PlaneStaticResult(displacements=u, stresses=sig,
+                             von_mises=vm, principal=principal,
+                             strains=eps, reactions=reactions)
+
+
+@dataclass
+class PlaneModalResult:
+    frequencies_hz: np.ndarray
+    omegas: np.ndarray
+    eigenvalues: np.ndarray
+    mode_shapes: np.ndarray      # (n_modes, 2n)
+
+
+def plane_modal(problem: PlaneProblem,
+                n_modes: int = 6) -> PlaneModalResult:
+    """Generalized K φ = λ M φ on the free block (consistent mass) —
+    dense host-tier eigensolve, the frame/truss analysis pattern."""
+    import scipy.linalg
+
+    k, m = plane_matrices(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    n_modes = min(n_modes, lam.size)
+    lam = np.maximum(lam[:n_modes], 0.0)
+    shapes = np.zeros((n_modes, problem.ndof))
+    shapes[:, free] = vec[:, :n_modes].T
+    om = np.sqrt(lam)
+    return PlaneModalResult(frequencies_hz=om / (2.0 * np.pi),
+                            omegas=om, eigenvalues=lam,
+                            mode_shapes=shapes)
+
+
+@dataclass
+class PlaneTransientResult:
+    times: np.ndarray
+    displacements: np.ndarray    # (n_rec, n_probe)
+    velocities: np.ndarray       # (n_rec, n_probe)
+    dt: float
+    n_steps: int
+
+
+def solve_plane_transient(problem: PlaneProblem, dt: float,
+                          n_steps: int, damping=(0.0, 0.0),
+                          amplitude=None, probe_dofs=None,
+                          record_every: int = 1
+                          ) -> PlaneTransientResult:
+    """Newmark (average acceleration) on the dense plane K/M — one LU
+    factorization serves every step; the frame family's integrator
+    with 2-DOF nodes.  amplitude: (n_steps,) load-scale history
+    multiplying nodal + body-force loads (None = unit step); Rayleigh
+    C = αM + βK.  Cross-validated against exact modal superposition
+    of the undamped step response (tests/test_plane.py)."""
+    import scipy.linalg
+
+    if dt <= 0.0 or n_steps <= 0:
+        raise ValueError("transient needs positive dt and n_steps")
+    if problem.prescribed is not None and np.any(problem.prescribed):
+        raise ValueError("transient supports homogeneous supports only")
+    k, m = plane_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _body_force_vectors(problem)
+    amp = (np.ones(n_steps) if amplitude is None
+           else np.broadcast_to(np.asarray(amplitude, dtype=float),
+                                (n_steps,)))
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    a0 = 4.0 / dt ** 2
+    a1 = 2.0 / dt
+    keff = kf + a0 * mf + a1 * cf
+    lu = scipy.linalg.lu_factor(keff)
+
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    n = free.size
+    u = np.zeros(n)
+    v = np.zeros(n)
+    a_acc = (np.linalg.solve(mf, ff * amp[0]) if n else np.zeros(0))
+    rec_t, rec_u, rec_v = [], [], []
+    full_u = np.zeros(problem.ndof)
+    full_v = np.zeros(problem.ndof)
+    for step in range(n_steps):
+        # State advances to t = (step+1)·dt; the forcing is
+        # a((step+1)·dt) — the frame/truss Newmark convention
+        # (solvers/dynamics.py); the final step holds the last value.
+        f_t = ff * amp[min(step + 1, n_steps - 1)]
+        rhs = f_t + mf @ (a0 * u + 2.0 * a1 * v + a_acc) \
+            + cf @ (a1 * u + v)
+        u_new = scipy.linalg.lu_solve(lu, rhs)
+        v_new = a1 * (u_new - u) - v
+        a_new = a0 * (u_new - u) - 2.0 * a1 * v - a_acc
+        u, v, a_acc = u_new, v_new, a_new
+        if (step + 1) % record_every == 0:
+            full_u[free] = u
+            full_v[free] = v
+            rec_t.append((step + 1) * dt)
+            rec_u.append(full_u[probe].copy())
+            rec_v.append(full_v[probe].copy())
+    return PlaneTransientResult(
+        times=np.asarray(rec_t), displacements=np.asarray(rec_u),
+        velocities=np.asarray(rec_v), dt=float(dt), n_steps=int(n_steps))
+
+
+# --------------------------------------------------------------------
+# Structured-mesh generator: the convergence studies and the corpus
+# problems all need rectangular grids; one canonical builder keeps
+# node ordering (and therefore DOF numbering) consistent everywhere.
+
+
+def rect_mesh(width: float, height: float, nx: int, ny: int,
+              element: str = "quad"):
+    """Structured (nx × ny)-element rectangle on [0, W] × [0, H].
+
+    Returns (nodes (n, 2), elements (m, 3|4)).  Node (i, j) sits at
+    index j*(nx+1)+i (x fastest), so the left edge is i = 0 — the
+    cantilever anchors clamp it.  "quad" gives CCW Q4s; "tri" splits
+    each cell along its SW-NE diagonal into two CCW CSTs."""
+    if nx < 1 or ny < 1:
+        raise ValueError("rect_mesh needs nx, ny >= 1")
+    xs = np.linspace(0.0, float(width), nx + 1)
+    ys = np.linspace(0.0, float(height), ny + 1)
+    gx, gy = np.meshgrid(xs, ys)                # (ny+1, nx+1)
+    nodes = np.stack([gx.ravel(), gy.ravel()], axis=-1)
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    elems = []
+    for j in range(ny):
+        for i in range(nx):
+            n00, n10 = nid(i, j), nid(i + 1, j)
+            n11, n01 = nid(i + 1, j + 1), nid(i, j + 1)
+            if element == "quad":
+                elems.append([n00, n10, n11, n01])
+            elif element == "tri":
+                elems.append([n00, n10, n11])
+                elems.append([n00, n11, n01])
+            else:
+                raise ValueError('element must be "quad" or "tri"')
+    return nodes, np.asarray(elems, dtype=int)
+
+
+def edge_load(nodes: np.ndarray, node_ids: np.ndarray, traction,
+              thickness: float, ndof: Optional[int] = None
+              ) -> np.ndarray:
+    """(2n,) consistent nodal loads of a uniform traction [tx, ty]
+    (force/area) applied along the polyline through `node_ids` (in
+    path order): each segment contributes t·L·t_vec/2 to both ends —
+    exact for the linear edge shapes both CST and Q4 have."""
+    nodes = np.asarray(nodes, dtype=float)
+    ids = np.asarray(node_ids, dtype=int).reshape(-1)
+    tx, ty = np.asarray(traction, dtype=float).reshape(2)
+    f = np.zeros(2 * nodes.shape[0] if ndof is None else ndof)
+    seg = np.linalg.norm(np.diff(nodes[ids], axis=0), axis=1)
+    for a, (i, j) in enumerate(zip(ids[:-1], ids[1:])):
+        w = 0.5 * thickness * seg[a]
+        f[2 * i] += w * tx
+        f[2 * i + 1] += w * ty
+        f[2 * j] += w * tx
+        f[2 * j + 1] += w * ty
+    return f

@@ -80,7 +80,7 @@ INFO = {
                         "harmonic", "spectrum", "random",
                         "continuation", "plastic", "reduction",
                         "identification", "sizing", "reliability",
-                        "frame"],
+                        "frame", "plane"],
         },
     },
     "backend": "jax",
@@ -107,6 +107,12 @@ def _solve_frame(body):
     from ..io.frame_io import run_frame_document
 
     return run_frame_document({**body, "element_type": "frame"})
+
+
+def _solve_plane(body):
+    from ..io.plane_io import run_plane_document
+
+    return run_plane_document({**body, "element_type": "plane"})
 
 
 def _solve_generic(body):
@@ -180,6 +186,8 @@ _ROUTES = {
                              PINN_TIMEOUT_S),
     # 2D frame family (bending): host-tier dense solves, FEM budget.
     "/api/fem/frame": (_solve_frame, FEM_TIMEOUT_S),
+    # 2D plane-stress/strain continuum family: host-tier dense solves.
+    "/api/fem/plane": (_solve_plane, FEM_TIMEOUT_S),
 }
 
 

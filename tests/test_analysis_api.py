@@ -1478,3 +1478,75 @@ def test_http_transient_plastic_route(server_port):
     bad["analysis"]["dt"] = 0.01
     status, body = _post(server_port, "/api/fem/transient", bad)
     assert status == 500 and "central" in body["error"]
+
+
+def test_cli_plane_static(tmp_path):
+    """Plane-stress uniaxial tension through the CLI (mesh spec +
+    edge_loads): the constant-strain closed form u = qx/E,
+    v = -nu q y/E is EXACT for Q4, so the JSON tier must hit it to
+    round-off."""
+    q, w, h = 10.0, 4.0, 2.0
+    doc = {
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": w, "height": h,
+                 "nx": 4, "ny": 2, "element": "quad"},
+        "material": {"young": 200.0, "poisson": 0.3, "thickness": 0.5,
+                     "density": 1.0},
+        # rect_mesh numbering: x fastest, so with nx=4 the left edge is
+        # nodes 0,5,10 and the right edge 4,9,14 (bottom row y=0 is 0-4).
+        "fixed_x_nodes": [0, 5, 10],
+        "fixed_y_nodes": [0, 1, 2, 3, 4],
+        "edge_loads": [{"nodes": [4, 9, 14], "traction": [q, 0.0]}],
+    }
+    pf = tmp_path / "plane.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "plane.res.json").read_text())
+    assert res["success"] and res["element_type"] == "plane"
+    u = np.array(res["displacements"])
+    # Right-top node (index 14): u = qW/E, v = -nu q H / E.
+    np.testing.assert_allclose(u[2 * 14], q * w / 200.0, rtol=1e-10)
+    np.testing.assert_allclose(u[2 * 14 + 1], -0.3 * q * h / 200.0,
+                               rtol=1e-10)
+    np.testing.assert_allclose(res["von_mises"], q, rtol=1e-9)
+    np.testing.assert_allclose(np.array(res["stresses"])[:, 0], q,
+                               rtol=1e-9)
+
+
+def test_http_plane_route(server_port):
+    """Plane family over HTTP: statics + modal through /api/fem/plane,
+    plus the error contract (missing poisson -> 500)."""
+    doc = {
+        "mesh": {"type": "rect", "width": 10.0, "height": 1.0,
+                 "nx": 20, "ny": 1, "element": "quad"},
+        "material": {"young": 200.0, "poisson": 0.0, "thickness": 0.5,
+                     "density": 2.0},
+        # Rod limit: clamp left edge x, all y fixed (42 nodes).
+        "fixed_x_nodes": [0, 21],
+        "fixed_y_nodes": list(range(42)),
+        "analysis": {"type": "modal", "n_modes": 2,
+                     "include_shapes": False},
+    }
+    status, body = _post(server_port, "/api/fem/plane", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["element_type"] == "plane"
+    # Fixed-free rod: f_1 = c/(4L), c = sqrt(E/rho) = 10 -> 0.25 Hz.
+    c = np.sqrt(200.0 / 2.0)
+    np.testing.assert_allclose(res["frequencies_hz"][0],
+                               c / (4.0 * 10.0), rtol=1e-2)
+    # Statics through the same route (type filled in by the route).
+    doc2 = {k: v for k, v in doc.items() if k != "analysis"}
+    doc2["loads"] = [0.0] * (2 * 42)
+    doc2["loads"][2 * 41] = 1.0   # axial tip load on the right edge
+    status, body = _post(server_port, "/api/fem/plane", doc2)
+    assert status == 200, body
+    assert body["result"]["analysis"] == "static"
+    bad = {k: v for k, v in doc.items()}
+    bad["material"] = {"young": 200.0, "thickness": 0.5}
+    status, body = _post(server_port, "/api/fem/plane", bad)
+    assert status == 500 and "poisson" in body["error"]

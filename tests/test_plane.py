@@ -1,0 +1,279 @@
+"""Plane-stress/strain continuum family (models/plane.py).
+
+Anchors are textbook closed forms:
+  * constant-stress patch tests on distorted CST and Q4 meshes
+    (exact to machine precision — THE correctness gate for any
+    displacement element),
+  * uniaxial tension u_x = qx/E, u_y = −νqy/E (plane stress) and
+    ε_xx = (1−ν²)q/E (plane strain),
+  * end-loaded cantilever vs beam + shear theory under refinement,
+  * axial rod frequencies f_k = (2k−1)c/(4L) with consistent-mass
+    convergence from above,
+  * Newmark step response vs exact modal superposition,
+  * hanging strip under gravity: tip displacement ρgL²/2E.
+"""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.models.plane import (
+    PlaneProblem, PlaneStaticResult, edge_load, plane_matrices,
+    plane_modal, rect_mesh, solve_plane_static, solve_plane_transient)
+
+E, NU, T, RHO = 200.0, 0.3, 0.5, 2.0
+
+
+def _patch_problem(element: str) -> PlaneProblem:
+    """Distorted 5-node (tri) / 5-node (quad) patch: unit square with
+    one interior node well off-center, ALL boundary DOFs prescribed
+    from the linear field u = 0.1 + 0.2x + 0.3y, v = −0.05 + 0.15x
+    − 0.25y; the interior node is free and must land exactly on the
+    field (constant strain is representable by both elements)."""
+    if element == "tri":
+        nodes = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0],
+                          [0.0, 1.0], [0.61, 0.37]])
+        elems = np.array([[0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4]])
+    else:
+        nodes = np.array([[0.0, 0.0], [0.5, 0.0], [1.0, 0.0],
+                          [1.0, 0.5], [1.0, 1.0], [0.5, 1.0],
+                          [0.0, 1.0], [0.0, 0.5], [0.58, 0.41]])
+        elems = np.array([[0, 1, 8, 7], [1, 2, 3, 8],
+                          [8, 3, 4, 5], [7, 8, 5, 6]])
+    n = nodes.shape[0]
+    boundary = np.arange(n - 1)           # all but the last (interior)
+    fixed = np.concatenate([2 * boundary, 2 * boundary + 1])
+    ux = 0.1 + 0.2 * nodes[:, 0] + 0.3 * nodes[:, 1]
+    uy = -0.05 + 0.15 * nodes[:, 0] - 0.25 * nodes[:, 1]
+    prescribed = np.concatenate([ux[boundary], uy[boundary]])
+    return PlaneProblem(
+        nodes=nodes, elements=elems, young=E, poisson=NU, thickness=T,
+        density=RHO, loads=np.zeros(2 * n), fixed_dofs=fixed,
+        prescribed=prescribed)
+
+
+@pytest.mark.parametrize("element", ["tri", "quad"])
+def test_patch_test_exact(element):
+    p = _patch_problem(element)
+    res = solve_plane_static(p)
+    nodes = p.nodes
+    ux = 0.1 + 0.2 * nodes[:, 0] + 0.3 * nodes[:, 1]
+    uy = -0.05 + 0.15 * nodes[:, 0] - 0.25 * nodes[:, 1]
+    np.testing.assert_allclose(res.displacements[0::2], ux, atol=1e-12)
+    np.testing.assert_allclose(res.displacements[1::2], uy, atol=1e-12)
+    # Constant strain [0.2, −0.25, 0.3 + 0.15] in every element, so
+    # constant stress D ε — identical across elements to round-off.
+    eps = np.array([0.2, -0.25, 0.45])
+    c = E / (1.0 - NU * NU)
+    sig = np.array([c * (eps[0] + NU * eps[1]),
+                    c * (NU * eps[0] + eps[1]),
+                    c * (1 - NU) / 2 * eps[2]])
+    np.testing.assert_allclose(
+        res.stresses, np.broadcast_to(sig, res.stresses.shape),
+        rtol=1e-10)
+
+
+@pytest.mark.parametrize("element", ["tri", "quad"])
+def test_uniaxial_plane_stress_exact(element):
+    """σ_xx = q uniform: u = qx/E, v = −νqy/E, von Mises = q —
+    constant strain, so EXACT on any mesh for both elements."""
+    w, h, q = 4.0, 2.0, 10.0
+    nodes, elems = rect_mesh(w, h, 4, 2, element)
+    n = nodes.shape[0]
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], T)
+    p = PlaneProblem(nodes=nodes, elements=elems, young=E, poisson=NU,
+                     thickness=T, density=RHO, loads=loads,
+                     fixed_dofs=fixed)
+    res = solve_plane_static(p)
+    np.testing.assert_allclose(res.displacements[0::2],
+                               q * nodes[:, 0] / E, atol=1e-12)
+    np.testing.assert_allclose(res.displacements[1::2],
+                               -NU * q * nodes[:, 1] / E, atol=1e-12)
+    np.testing.assert_allclose(res.stresses[:, 0], q, rtol=1e-10)
+    np.testing.assert_allclose(res.stresses[:, 1:], 0.0, atol=1e-9)
+    np.testing.assert_allclose(res.von_mises, q, rtol=1e-10)
+    np.testing.assert_allclose(res.principal[:, 0], q, rtol=1e-10)
+    # Reactions balance the applied edge load exactly.
+    np.testing.assert_allclose(res.reactions[2 * left].sum(),
+                               -q * h * T, rtol=1e-10)
+
+
+def test_uniaxial_plane_strain():
+    """Plane strain, free lateral contraction: ε_xx = (1−ν²)q/E,
+    ε_yy = −ν(1+ν)q/E (σ_zz = ν q carried by the thickness)."""
+    w, h, q = 4.0, 2.0, 10.0
+    nodes, elems = rect_mesh(w, h, 2, 1, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], T)
+    p = PlaneProblem(nodes=nodes, elements=elems, young=E, poisson=NU,
+                     thickness=T, density=RHO, loads=loads,
+                     fixed_dofs=fixed, plane_strain=True)
+    res = solve_plane_static(p)
+    exx = (1.0 - NU * NU) * q / E
+    eyy = -NU * (1.0 + NU) * q / E
+    np.testing.assert_allclose(res.displacements[0::2],
+                               exx * nodes[:, 0], atol=1e-12)
+    np.testing.assert_allclose(res.displacements[1::2],
+                               eyy * nodes[:, 1], atol=1e-12)
+    np.testing.assert_allclose(res.stresses[:, 0], q, rtol=1e-10)
+
+
+def _cantilever(nx, ny, element="quad"):
+    length, h, p_tot = 8.0, 2.0, 5.0
+    nodes, elems = rect_mesh(length, h, nx, ny, element)
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * left + 1])
+    right = np.flatnonzero(nodes[:, 0] == length)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [0.0, -p_tot / (h * T)], T)
+    prob = PlaneProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=NU, thickness=T, density=RHO,
+                        loads=loads, fixed_dofs=fixed)
+    res = solve_plane_static(prob)
+    # Tip deflection at the mid-height right node.
+    tip = right[np.argmin(np.abs(nodes[right, 1] - h / 2.0))]
+    return prob, res, -res.displacements[2 * tip + 1], length, h, p_tot
+
+
+def test_cantilever_convergence_and_shear_theory():
+    """End-loaded deep cantilever (L/H = 4): Q4 tip deflection
+    converges monotonically from below (displacement FEM is too
+    stiff) to beam + shear theory δ = PL³/3EI + PL/(κGA)
+    (κ = 10(1+ν)/(12+11ν) for a rectangle) within 3%, and Q4 beats
+    CST at identical DOF count."""
+    deltas = [
+        _cantilever(nx, ny)[2] for nx, ny in [(8, 2), (16, 4), (32, 8)]]
+    assert deltas[0] < deltas[1] < deltas[2]
+    _, _, d_tri, length, h, p_tot = _cantilever(32, 8, "tri")
+    inertia = T * h ** 3 / 12.0
+    g = E / (2.0 * (1.0 + NU))
+    kappa = 10.0 * (1.0 + NU) / (12.0 + 11.0 * NU)
+    d_theory = (p_tot * length ** 3 / (3.0 * E * inertia)
+                + p_tot * length / (kappa * g * h * T))
+    assert abs(deltas[2] - d_theory) < 0.03 * d_theory
+    # CST is stiffer than Q4 on the same mesh (same nodes, same DOFs).
+    assert d_tri < deltas[2]
+
+
+def _rod_problem(nx=40, ny=2, length=10.0):
+    """Long strip constrained to axial motion (ν = 0, all v fixed):
+    a 1D rod in plane clothing."""
+    nodes, elems = rect_mesh(length, 1.0, nx, ny, "quad")
+    n = nodes.shape[0]
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * np.arange(n) + 1])
+    loads = np.zeros(2 * n)
+    right = np.flatnonzero(nodes[:, 0] == length)
+    loads[2 * right] = 1.0 / right.size
+    return PlaneProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=0.0, thickness=T, density=RHO,
+                        loads=loads, fixed_dofs=fixed), length
+
+
+def test_modal_rod_frequencies():
+    """Fixed-free rod: f_k = (2k−1)c/4L, c = √(E/ρ); consistent mass
+    converges from ABOVE (the classic upper-bound property)."""
+    p, length = _rod_problem()
+    res = plane_modal(p, n_modes=3)
+    c = np.sqrt(E / RHO)
+    exact = np.array([1.0, 3.0, 5.0]) * c / (4.0 * length)
+    assert np.all(res.frequencies_hz >= exact * (1.0 - 1e-12))
+    np.testing.assert_allclose(res.frequencies_hz, exact, rtol=1e-2)
+    # Refinement tightens mode 1 monotonically toward the closed form.
+    f_coarse = plane_modal(_rod_problem(nx=20)[0],
+                           n_modes=1).frequencies_hz[0]
+    assert exact[0] <= res.frequencies_hz[0] <= f_coarse
+
+
+def test_transient_matches_modal_superposition():
+    """Undamped step response: Newmark at fine dt vs the exact modal
+    superposition u(t) = Σ φ (φᵀf/ω²)(1 − cos ωt) over ALL modes."""
+    p, length = _rod_problem(nx=8, ny=1)
+    k, m = plane_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    res = plane_modal(p, n_modes=free.size)
+    f = p.loads[free]
+    t_end, n_steps = 2.0, 2000
+    dt = t_end / n_steps
+    tr = solve_plane_transient(p, dt=dt, n_steps=n_steps,
+                               record_every=50)
+    phi = res.mode_shapes[:, free]                   # (k, nf)
+    mf = m[np.ix_(free, free)]
+    # Shapes are M-orthonormal from eigh; exact modal step response.
+    q = phi @ f / res.omegas ** 2                    # (k,)
+    u_exact = np.einsum("kt,kn->tn",
+                        q[:, None] * (1.0 - np.cos(
+                            np.outer(res.omegas, tr.times))), phi)
+    u_newmark = tr.displacements[:, free]
+    scale = np.abs(u_exact).max()
+    np.testing.assert_allclose(u_newmark, u_exact, atol=2e-3 * scale)
+    assert np.allclose(phi @ mf @ phi.T, np.eye(phi.shape[0]),
+                       atol=1e-9)
+
+
+def test_gravity_strip():
+    """Strip hanging under its own weight (body force), fixed top:
+    tip displacement ρ g L² / 2E within 1% (ν = 0 rod limit)."""
+    length, grav = 10.0, 9.81
+    nodes, elems = rect_mesh(1.0, length, 2, 40, "quad")
+    n = nodes.shape[0]
+    top = np.flatnonzero(nodes[:, 1] == length)
+    fixed = np.concatenate([2 * top + 1, 2 * np.arange(n)])
+    p = PlaneProblem(nodes=nodes, elements=elems, young=E, poisson=0.0,
+                     thickness=T, density=RHO, loads=np.zeros(2 * n),
+                     fixed_dofs=fixed, body_force=[0.0, -RHO * grav])
+    res = solve_plane_static(p)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    tip = -res.displacements[2 * bottom + 1]
+    np.testing.assert_allclose(tip, RHO * grav * length ** 2 / (2 * E),
+                               rtol=1e-2)
+    # Total reaction carries the full weight.
+    weight = RHO * grav * (1.0 * length * T)
+    np.testing.assert_allclose(res.reactions[2 * top + 1].sum(), weight,
+                               rtol=1e-10)
+
+
+def test_edge_load_total_force():
+    nodes, _ = rect_mesh(4.0, 2.0, 4, 4, "quad")
+    right = np.flatnonzero(nodes[:, 0] == 4.0)
+    order = right[np.argsort(nodes[right, 1])]
+    f = edge_load(nodes, order, [3.0, -1.0], T)
+    np.testing.assert_allclose(f[0::2].sum(), 3.0 * 2.0 * T)
+    np.testing.assert_allclose(f[1::2].sum(), -1.0 * 2.0 * T)
+    # Interior edge nodes carry twice the corner share.
+    corner, mid = order[0], order[1]
+    np.testing.assert_allclose(f[2 * mid], 2.0 * f[2 * corner])
+
+
+def test_validation_errors():
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    good = dict(young=E, poisson=NU, thickness=T, density=RHO,
+                loads=np.zeros(6), fixed_dofs=[0, 1])
+    with pytest.raises(ValueError, match="counterclockwise"):
+        PlaneProblem(nodes=nodes, elements=[[0, 2, 1]], **good)
+    with pytest.raises(ValueError, match="poisson"):
+        PlaneProblem(nodes=nodes, elements=[[0, 1, 2]],
+                     **{**good, "poisson": 1.0})
+    with pytest.raises(ValueError, match="poisson"):
+        PlaneProblem(nodes=nodes, elements=[[0, 1, 2]],
+                     **{**good, "poisson": 0.5, "plane_strain": True})
+    with pytest.raises(ValueError, match="loads"):
+        PlaneProblem(nodes=nodes, elements=[[0, 1, 2]],
+                     **{**good, "loads": np.zeros(5)})
+    with pytest.raises(ValueError, match="prescribed"):
+        PlaneProblem(nodes=nodes, elements=[[0, 1, 2]],
+                     **{**good, "prescribed": [1.0]})
+    # Q4 with a reentrant (bowtie) geometry: negative Jacobian.
+    qn = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    with pytest.raises(ValueError, match="Jacobian"):
+        PlaneProblem(nodes=qn, elements=[[0, 1, 2, 3]],
+                     young=E, poisson=NU, thickness=T, density=RHO,
+                     loads=np.zeros(8), fixed_dofs=[0])
