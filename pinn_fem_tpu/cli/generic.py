@@ -123,6 +123,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "transient":
             logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
                         output["dt"])
+        elif output["analysis"] == "identification":
+            logger.info("  Identified E in [%.6g, %.6g], final loss "
+                        "%.3e", min(output["young"]),
+                        max(output["young"]), output["final_loss"])
         else:
             logger.info("  Max von Mises: %.6g (element %d)",
                         output["max_von_mises"],

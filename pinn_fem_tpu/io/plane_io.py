@@ -28,7 +28,14 @@ the CLI and servers peek at that key and route here:
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
-                  "record_every": 1}}
+                  "record_every": 1}
+               | {"type": "identification",       # recover E from
+                  "measured_dofs": [..],          # measured static
+                  "measured_u": [..],             # displacements
+                  "field": false,     # true: E(x, y) MLP (PINN form)
+                  "n_iter": 800, "learning_rate": 0.05,
+                  "hidden_layers": 2, "neurons_per_layer": 16,
+                  "seed": 0}}
 
 Static results carry centroid stresses (Voigt [xx, yy, xy]), von
 Mises, principal stresses and reactions; modal/transient mirror the
@@ -220,8 +227,37 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             "dt": res.dt,
             "n_steps": res.n_steps,
         }
-    raise ValueError(f'plane analysis.type must be "static", "modal" '
-                     f'or "transient", got {kind!r}')
+    if kind == "identification":
+        from ..models.plane import identify_plane_young
+
+        if "measured_dofs" not in analysis \
+                or "measured_u" not in analysis:
+            raise ValueError('plane identification needs '
+                             '"measured_dofs" and "measured_u"')
+        vals, hist, fld = identify_plane_young(
+            problem,
+            analysis["measured_dofs"], analysis["measured_u"],
+            n_iter=int(analysis.get("n_iter", 800)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)),
+            field=bool(analysis.get("field", False)),
+            seed=int(analysis.get("seed", 0)),
+            hidden_layers=int(analysis.get("hidden_layers", 2)),
+            neurons_per_layer=int(analysis.get("neurons_per_layer",
+                                               16)))
+        centroids = problem.coords().mean(axis=1)
+        return {
+            "success": True,
+            "analysis": "identification",
+            "element_type": "plane",
+            "parameter": "young",
+            "field": bool(analysis.get("field", False)),
+            "young": vals.tolist(),
+            "centroids": centroids.tolist(),
+            "loss_history": hist[:: max(1, hist.size // 200)].tolist(),
+            "final_loss": float(hist[-1]) if hist.size else None,
+        }
+    raise ValueError(f'plane analysis.type must be "static", "modal", '
+                     f'"transient" or "identification", got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

@@ -574,3 +574,151 @@ def edge_load(nodes: np.ndarray, node_ids: np.ndarray, traction,
         f[2 * j] += w * tx
         f[2 * j + 1] += w * ty
     return f
+
+
+# --------------------------------------------------------------------
+# Traced twin (jnp): the differentiable plane statics the inverse
+# family rides.  The HOST numpy path above is the authority; this
+# mirrors it 1:1 (tests/test_plane.py pins them) by REUSING the same
+# closed-form kernels through their xp parameter — there is no second
+# implementation of the element math to drift.
+
+
+def plane_static_response(problem: "PlaneProblem", young_e=None,
+                          poisson_e=None, thickness_e=None, loads=None,
+                          load_scale=None, dtype=None):
+    """Traced, differentiable plane statics with per-element
+    properties.
+
+    Returns (u, stresses, von_mises): the masked dense solve
+    K(E, ν, t) u = f plus centroid stress recovery — every output
+    differentiable w.r.t. the traced property arrays, so one reverse
+    pass is the adjoint for all elements (the truss/frame sizing and
+    identification machinery's pattern).  Batched (m, 2nen, 2nen)
+    block construction contracts on the MXU when jitted on TPU."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    m = problem.nelm
+    coords = jnp.asarray(problem.coords(), dtype)
+    young = jnp.broadcast_to(jnp.asarray(
+        problem.young if young_e is None else young_e, dtype), (m,))
+    poisson = jnp.broadcast_to(jnp.asarray(
+        problem.poisson if poisson_e is None else poisson_e, dtype),
+        (m,))
+    thickness = jnp.broadcast_to(jnp.asarray(
+        problem.thickness if thickness_e is None else thickness_e,
+        dtype), (m,))
+    dmat = _dmat(young, poisson, problem.plane_strain, xp=jnp)
+    blocks = _k_blocks(coords, dmat, thickness, problem.nen, xp=jnp)
+    dm = jnp.asarray(problem.dof_map())
+    k = jnp.zeros((problem.ndof, problem.ndof), dtype).at[
+        dm[:, :, None], dm[:, None, :]].add(blocks)
+
+    if loads is None:
+        f = jnp.asarray(problem.loads + _body_force_vectors(problem),
+                        dtype)
+    else:
+        f = jnp.asarray(loads, dtype)
+    if load_scale is not None:
+        f = f * jnp.asarray(load_scale, dtype)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
+    if problem.prescribed is not None:
+        u_p = np.zeros(problem.ndof)
+        u_p[problem.fixed_dofs] = problem.prescribed
+        u_p = jnp.asarray(u_p, dtype)
+        u = jnp.linalg.solve(km, (f - k @ u_p) * mask) * mask + u_p
+    else:
+        u = jnp.linalg.solve(km, f * mask) * mask
+
+    b = jnp.asarray(_centroid_b(problem), dtype)
+    eps = jnp.einsum("mia,ma->mi", b, u[dm])
+    sig = jnp.einsum("mij,mj->mi", dmat, eps)
+    sxx, syy, sxy = sig[:, 0], sig[:, 1], sig[:, 2]
+    if problem.plane_strain:
+        szz = poisson * (sxx + syy)
+        vm = jnp.sqrt(0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2
+                             + (szz - sxx) ** 2) + 3.0 * sxy ** 2)
+    else:
+        vm = jnp.sqrt(sxx ** 2 - sxx * syy + syy ** 2
+                      + 3.0 * sxy ** 2)
+    return u, sig, vm
+
+
+def identify_plane_young(problem: "PlaneProblem", measured_dofs,
+                         measured_disp, n_iter: int = 800,
+                         learning_rate: float = 0.05,
+                         field: bool = False, seed: int = 0,
+                         hidden_layers: int = 2,
+                         neurons_per_layer: int = 16):
+    """Recover Young's modulus from measured static displacements —
+    the reference's flagship inverse (PINN material identification,
+    /root/reference/FEM/python/examples/pinn_inverse_problem.py:96-230)
+    carried to CONTINUUM structures.
+
+    field=False: per-element log-E ADAM — m independent values, the
+    direct parameterization (exactly identifiable when every element
+    carries strain under the applied load).
+
+    field=True: a smooth E(x, y) MLP (models/fields.py — the
+    reference's SimpleNN architecture + softplus·scale positivity,
+    input_dim=2) evaluated at element centroids, trained through the
+    traced solve — the PINN form, regularizing by smoothness where
+    per-element values would be underdetermined.
+
+    Returns (young (m,), loss_history, mlp_field_or_None)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    meas_idx = jnp.asarray(np.asarray(measured_dofs,
+                                      dtype=int).reshape(-1))
+    meas = jnp.asarray(np.asarray(measured_disp,
+                                  dtype=float).reshape(-1))
+    centroids = jnp.asarray(problem.coords().mean(axis=1))
+
+    def u_of(young_e):
+        u, _, _ = plane_static_response(problem, young_e=young_e)
+        return u
+
+    if field:
+        from .fields import make_mlp_field
+
+        fld0 = make_mlp_field(jax.random.PRNGKey(seed),
+                              hidden_layers=hidden_layers,
+                              neurons_per_layer=neurons_per_layer,
+                              input_dim=2,
+                              scale=float(np.mean(problem.young)))
+
+        def loss_fn(fld):
+            young_e = fld.eval_batch(centroids)
+            u = u_of(young_e)
+            return jnp.mean((u[meas_idx] - meas) ** 2)
+
+        params0 = fld0
+    else:
+        params0 = jnp.log(jnp.asarray(problem.young))
+
+        def loss_fn(log_e):
+            u = u_of(jnp.exp(log_e))
+            return jnp.mean((u[meas_idx] - meas) ** 2)
+
+    opt = optax.adam(learning_rate)
+    state = opt.init(params0)
+    params = params0
+    hist = []
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    for _ in range(int(n_iter)):
+        params, state, loss = step(params, state)
+        hist.append(float(loss))
+    if field:
+        young = np.asarray(params.eval_batch(centroids))
+        return young, np.asarray(hist), params
+    return np.asarray(jnp.exp(params)), np.asarray(hist), None

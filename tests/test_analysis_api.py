@@ -1550,3 +1550,50 @@ def test_http_plane_route(server_port):
     bad["material"] = {"young": 200.0, "thickness": 0.5}
     status, body = _post(server_port, "/api/fem/plane", bad)
     assert status == 500 and "poisson" in body["error"]
+
+
+def test_cli_plane_identification(tmp_path):
+    """Continuum E identification through the CLI: a soft inclusion
+    (one element at half stiffness) recovered per element from
+    synthetic full-field measurements."""
+    q, w, h = 10.0, 4.0, 2.0
+    from pinn_fem_tpu.models.plane import (PlaneProblem, edge_load,
+                                           rect_mesh,
+                                           solve_plane_static)
+    nodes, elems = rect_mesh(w, h, 4, 2, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], 0.5)
+    e_true = np.full(elems.shape[0], 200.0)
+    e_true[3] = 100.0
+    u_true = solve_plane_static(PlaneProblem(
+        nodes=nodes, elements=elems, young=e_true, poisson=0.3,
+        thickness=0.5, density=1.0, loads=loads,
+        fixed_dofs=fixed)).displacements
+    free = np.setdiff1d(np.arange(u_true.size), fixed)
+    doc = {
+        "element_type": "plane",
+        "nodes": nodes.tolist(), "elements": elems.tolist(),
+        "material": {"young": 200.0, "poisson": 0.3, "thickness": 0.5,
+                     "density": 1.0},
+        "fixed_dofs": fixed.tolist(),
+        "loads": loads.tolist(),
+        "analysis": {"type": "identification",
+                     "measured_dofs": free.tolist(),
+                     "measured_u": u_true[free].tolist(),
+                     "n_iter": 1500, "learning_rate": 0.05},
+    }
+    pf = tmp_path / "pid.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "pid.res.json").read_text())
+    assert res["success"] and res["analysis"] == "identification"
+    np.testing.assert_allclose(res["young"], e_true, rtol=0.03)
+    assert res["final_loss"] < 1e-10

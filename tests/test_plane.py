@@ -277,3 +277,92 @@ def test_validation_errors():
         PlaneProblem(nodes=qn, elements=[[0, 1, 2, 3]],
                      young=E, poisson=NU, thickness=T, density=RHO,
                      loads=np.zeros(8), fixed_dofs=[0])
+
+
+def test_traced_plane_mirrors_host():
+    """plane_static_response (traced f32) against solve_plane_static
+    (host f64 authority): displacements, stresses and von Mises 1:1
+    at f32 precision — the kernels are SHARED (xp parameter), so any
+    drift is a wiring bug, not numerics."""
+    import jax
+
+    from pinn_fem_tpu.models.plane import plane_static_response
+
+    _, res, _, length, h, p_tot = _cantilever(8, 2)
+    prob = _cantilever(8, 2)[0]
+    u, sig, vm = (np.asarray(v) for v in
+                  jax.device_get(plane_static_response(prob)))
+    scale = np.max(np.abs(res.displacements))
+    np.testing.assert_allclose(u, res.displacements,
+                               atol=5e-4 * scale)
+    np.testing.assert_allclose(vm, res.von_mises,
+                               atol=1e-3 * res.von_mises.max())
+    # And a plane-strain patch problem with prescribed supports.
+    p2 = _patch_problem("quad")
+    r2 = solve_plane_static(p2)
+    from pinn_fem_tpu.models.plane import plane_static_response as psr
+    u2 = np.asarray(jax.device_get(psr(p2)[0]))
+    np.testing.assert_allclose(u2, r2.displacements, atol=5e-6)
+
+
+def test_identify_plane_young_per_element():
+    """Two-zone plate under uniaxial tension: per-element E recovered
+    from full-field measured displacements through the traced solve —
+    the reference's flagship inverse on a continuum."""
+    from pinn_fem_tpu.models.plane import identify_plane_young
+
+    w, h, q = 4.0, 2.0, 10.0
+    nodes, elems = rect_mesh(w, h, 4, 2, "quad")
+    n = nodes.shape[0]
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], T)
+    centroids = nodes[elems].mean(axis=1)
+    e_true = np.where(centroids[:, 0] < w / 2.0, 200.0, 100.0)
+    p_true = PlaneProblem(nodes=nodes, elements=elems, young=e_true,
+                          poisson=NU, thickness=T, density=RHO,
+                          loads=loads, fixed_dofs=fixed)
+    u_true = solve_plane_static(p_true).displacements
+    free = np.setdiff1d(np.arange(p_true.ndof), fixed)
+    p0 = PlaneProblem(nodes=nodes, elements=elems, young=150.0,
+                      poisson=NU, thickness=T, density=RHO,
+                      loads=loads, fixed_dofs=fixed)
+    vals, hist, fld = identify_plane_young(
+        p0, free, u_true[free], n_iter=1500, learning_rate=0.05)
+    assert fld is None
+    np.testing.assert_allclose(vals, e_true, rtol=0.02)
+    assert hist[-1] < 1e-6 * hist[0]
+
+
+def test_identify_plane_young_field():
+    """Smooth E(x) gradient recovered as an MLP FIELD E(x, y) (the
+    PINN form): centroid values within 5% across the plate."""
+    from pinn_fem_tpu.models.plane import identify_plane_young
+
+    w, h, q = 4.0, 2.0, 10.0
+    nodes, elems = rect_mesh(w, h, 8, 2, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], T)
+    centroids = nodes[elems].mean(axis=1)
+    e_true = 100.0 * (1.0 + centroids[:, 0] / w)
+    p_true = PlaneProblem(nodes=nodes, elements=elems, young=e_true,
+                          poisson=NU, thickness=T, density=RHO,
+                          loads=loads, fixed_dofs=fixed)
+    u_true = solve_plane_static(p_true).displacements
+    free = np.setdiff1d(np.arange(p_true.ndof), fixed)
+    p0 = PlaneProblem(nodes=nodes, elements=elems, young=150.0,
+                      poisson=NU, thickness=T, density=RHO,
+                      loads=loads, fixed_dofs=fixed)
+    vals, hist, fld = identify_plane_young(
+        p0, free, u_true[free], n_iter=1500, learning_rate=0.01,
+        field=True)
+    assert fld is not None
+    np.testing.assert_allclose(vals, e_true, rtol=0.05)
+    assert hist[-1] < hist[0] * 1e-3
