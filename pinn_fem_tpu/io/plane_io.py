@@ -29,6 +29,9 @@ the CLI and servers peek at that key and route here:
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
                   "record_every": 1}
+               | {"type": "harmonic", "omegas": [..] | {"start": w0,
+                  "stop": w1, "num": 50}, "damping": [a, b],
+                  "probe_nodes": [..]}
                | {"type": "identification",       # recover E from
                   "measured_dofs": [..],          # measured static
                   "measured_u": [..],             # displacements
@@ -164,24 +167,70 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         # document carries no analysis block — that means "statics".
         kind = "static"
     if kind == "static":
-        res = solve_plane_static(problem)
+        from ..solvers.newton import DENSE_DOF_LIMIT
+
+        large = problem.ndof > DENSE_DOF_LIMIT
+        iterations = residual = None
+        if large:
+            # Device tier: banded DIA + PCG (models/plane.py) — the
+            # dense O(n^3) solve is intractable here, and so is
+            # serializing the full field to JSON; the payload carries
+            # probe displacements + stress summaries instead.
+            from ..models.plane import solve_plane_static_banded
+
+            res, iterations, residual = solve_plane_static_banded(
+                problem,
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iterations", 20000)),
+                use_pallas=bool(analysis.get("use_pallas", False)),
+                precond=analysis.get("precond", "mg"))
+        else:
+            res = solve_plane_static(problem)
         worst = int(np.argmax(res.von_mises)) if res.von_mises.size \
             else -1
-        return {
+        out = {
             "success": True,
             "analysis": "static",
             "element_type": "plane",
             "plane_strain": bool(problem.plane_strain),
-            "displacements": res.displacements.tolist(),
-            "stresses": res.stresses.tolist(),
-            "von_mises": res.von_mises.tolist(),
-            "principal": res.principal.tolist(),
-            "strains": res.strains.tolist(),
-            "reactions": res.reactions.tolist(),
             "max_von_mises": (float(res.von_mises[worst])
                               if worst >= 0 else None),
             "max_von_mises_element": worst,
         }
+        if large:
+            u = res.displacements
+            probe = _probe_dofs(analysis, problem)
+            i_max = int(np.argmax(np.abs(u)))
+            out.update({
+                "tier": "banded",
+                "iterations": int(iterations),
+                "relative_residual": float(residual),
+                "max_abs_displacement": float(np.abs(u[i_max])),
+                "max_abs_displacement_dof": i_max,
+                "principal_range": [float(res.principal[:, 1].min()),
+                                    float(res.principal[:, 0].max())],
+            })
+            if probe is not None:
+                probe = np.asarray(probe, dtype=int).reshape(-1)
+                out["probe_dofs"] = probe.tolist()
+                out["displacements"] = u[probe].tolist()
+        else:
+            out.update({
+                "displacements": res.displacements.tolist(),
+                "stresses": res.stresses.tolist(),
+                "von_mises": res.von_mises.tolist(),
+                "principal": res.principal.tolist(),
+                "strains": res.strains.tolist(),
+                "reactions": res.reactions.tolist(),
+            })
+        return out
+    if kind in ("modal", "transient", "harmonic", "identification") \
+            and problem.ndof > 4 * 2048:
+        raise ValueError(
+            f"plane {kind} runs on the dense host tier; {problem.ndof} "
+            "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
+            "on one core) — coarsen the mesh; only statics has a "
+            "banded large-mesh path so far")
     if kind == "modal":
         res = plane_modal(problem,
                           n_modes=int(analysis.get("n_modes", 6)))
@@ -227,6 +276,25 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             "dt": res.dt,
             "n_steps": res.n_steps,
         }
+    if kind == "harmonic":
+        from ..models.plane import plane_harmonic
+
+        om = analysis.get("omegas")
+        if om is None:
+            raise ValueError('plane harmonic needs "omegas"')
+        if isinstance(om, dict):
+            om = np.linspace(float(om["start"]), float(om["stop"]),
+                             int(om.get("num", 50)))
+        res = plane_harmonic(
+            problem, om, damping=analysis.get("damping", (0.0, 0.0)),
+            probe_dofs=_probe_dofs(analysis, problem))
+        return {
+            "success": True,
+            "analysis": "harmonic",
+            "element_type": "plane",
+            "omegas": res.omegas.tolist(),
+            "amplitude": res.amplitude.tolist(),
+        }
     if kind == "identification":
         from ..models.plane import identify_plane_young
 
@@ -257,7 +325,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             "final_loss": float(hist[-1]) if hist.size else None,
         }
     raise ValueError(f'plane analysis.type must be "static", "modal", '
-                     f'"transient" or "identification", got {kind!r}')
+                     f'"transient", "harmonic" or "identification", '
+                     f'got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

@@ -722,3 +722,107 @@ def identify_plane_young(problem: "PlaneProblem", measured_dofs,
         young = np.asarray(params.eval_batch(centroids))
         return young, np.asarray(hist), params
     return np.asarray(jnp.exp(params)), np.asarray(hist), None
+
+
+def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
+                              max_iter: int = 20000,
+                              use_pallas: bool = False,
+                              precond: str = "mg", dtype=None):
+    """Large-mesh plane statics on the DEVICE tier.
+
+    Structured 2D continuum meshes are the banded-operator sweet spot:
+    a Q4 grid's stiffness has ≤ 27 distinct diagonals (9 node
+    neighbours × 3 DOF offsets under interleaved numbering), so the
+    whole solve rides the truss family's DIA pipeline — element blocks
+    built BATCHED on device ((m, 8, 8) einsum contractions on the
+    MXU), one scatter into diagonal storage (ops/dia.assemble_dia_
+    blocks), then streaming-rate PCG (ops/dia.dia_cg_solve) with the
+    banded smoothed-aggregation multigrid preconditioner (components=2
+    keeps u/v aggregation nodal).  use_pallas selects the fused
+    stencil kernel for the matvec.
+
+    Host-tier mirror: tests/test_plane.py pins this against
+    solve_plane_static 1:1 on small grids; above DENSE_DOF_LIMIT this
+    is the only tractable path (the dense solve is O(n³)).
+
+    Returns (PlaneStaticResult, iterations, relative_residual) — the
+    stress recovery runs on the host from the fetched displacement
+    field (ONE device_get, the corpus-benchmark lesson)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks, dia_cg_solve, dia_layout
+
+    if problem.prescribed is not None and np.any(problem.prescribed):
+        raise ValueError("the banded path supports homogeneous "
+                         "supports only (lift the prescribed field "
+                         "into loads, or use the dense tier)")
+    dtype = dtype or jnp.asarray(1.0).dtype
+    coords = jnp.asarray(problem.coords(), dtype)
+    dmat = _dmat(jnp.asarray(problem.young, dtype),
+                 jnp.asarray(problem.poisson, dtype),
+                 problem.plane_strain, xp=jnp)
+    blocks = _k_blocks(coords, dmat,
+                       jnp.asarray(problem.thickness, dtype),
+                       problem.nen, xp=jnp)
+    layout = dia_layout(problem.dof_map(), problem.ndof)
+    diags = assemble_dia_blocks(layout, blocks)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    f = jnp.asarray(problem.loads + _body_force_vectors(problem),
+                    dtype)
+    x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
+                                 max_iter=max_iter,
+                                 use_pallas=use_pallas,
+                                 precond=precond, components=2)
+    from ..ops.dia import dia_matvec
+
+    reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+    u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    u = np.asarray(u, dtype=float)
+    sig, vm, principal = recover_stresses(problem, u)
+    b = _centroid_b(problem)
+    eps = np.einsum("mia,ma->mi", b, u[problem.dof_map()])
+    res = PlaneStaticResult(displacements=u, stresses=sig,
+                            von_mises=vm, principal=principal,
+                            strains=eps,
+                            reactions=np.asarray(reac, dtype=float))
+    return res, int(iters), float(rel)
+
+
+@dataclass
+class PlaneHarmonicResult:
+    omegas: np.ndarray
+    amplitude: np.ndarray          # (n_freq, n_probe) |X|
+    real: np.ndarray
+    imag: np.ndarray
+
+
+def plane_harmonic(problem: PlaneProblem, omegas,
+                   damping=(0.0, 0.0), probe_dofs=None
+                   ) -> PlaneHarmonicResult:
+    """Steady-state X(ω) to the plane load pattern: direct dense
+    complex solves (K − ω²M + iωC) X = f per frequency, host float64;
+    Rayleigh C = αM + βK.  With proportional damping this equals the
+    ALL-modes superposition exactly — the same 1e-8 cross-check as the
+    frame family (tests/test_plane.py)."""
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, m = plane_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _body_force_vectors(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    full = np.zeros(problem.ndof, dtype=complex)
+    xs = np.zeros((om.size, probe.size), dtype=complex)
+    for i, w in enumerate(om):
+        z = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(z, ff)
+        xs[i] = full[probe]
+    return PlaneHarmonicResult(omegas=om, amplitude=np.abs(xs),
+                               real=xs.real, imag=xs.imag)

@@ -103,8 +103,19 @@ def assemble_dia(layout: DiaLayout, s: jnp.ndarray, gvec: jnp.ndarray
     to gather).
     """
     ke = s[:, None, None] * gvec[:, :, None] * gvec[:, None, :]
-    flat = jnp.zeros((layout.n_diags * layout.ndof,), s.dtype)
-    flat = flat.at[jnp.asarray(layout.entry_slot)].add(ke)
+    return assemble_dia_blocks(layout, ke)
+
+
+def assemble_dia_blocks(layout: DiaLayout, blocks: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Diagonals (nd, ndof) from FULL element blocks (nelm, w, w).
+
+    The rank-1 form above is the truss special case ke = s g gᵀ; full
+    blocks carry any element family whose dof_map built the layout —
+    Q4/CST continuum (models/plane.py), frames — through the same
+    banded pipeline.  Differentiable w.r.t. blocks."""
+    flat = jnp.zeros((layout.n_diags * layout.ndof,), blocks.dtype)
+    flat = flat.at[jnp.asarray(layout.entry_slot)].add(blocks)
     return flat.reshape(layout.n_diags, layout.ndof)
 
 

@@ -1597,3 +1597,58 @@ def test_cli_plane_identification(tmp_path):
     assert res["success"] and res["analysis"] == "identification"
     np.testing.assert_allclose(res["young"], e_true, rtol=0.03)
     assert res["final_loss"] < 1e-10
+
+
+def test_cli_plane_banded_large(tmp_path):
+    """Above DENSE_DOF_LIMIT the plane static JSON route switches to
+    the banded device tier: payload carries probe displacements +
+    summaries, and the uniaxial closed form still holds."""
+    q, w, h = 10.0, 4.0, 1.0
+    nx, ny = 64, 16
+    n_right = ny + 1
+    right_first = ny * 0 + nx      # rect_mesh: x fastest
+    right_nodes = [j * (nx + 1) + nx for j in range(ny + 1)]
+    doc = {
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": w, "height": h,
+                 "nx": nx, "ny": ny, "element": "quad"},
+        "material": {"young": 200.0, "poisson": 0.3, "thickness": 0.5,
+                     "density": 1.0},
+        "fixed_x_nodes": [j * (nx + 1) for j in range(ny + 1)],
+        "fixed_y_nodes": list(range(nx + 1)),
+        "edge_loads": [{"nodes": right_nodes, "traction": [q, 0.0]}],
+        "analysis": {"type": "static", "probe_nodes": [right_nodes[0]],
+                     "tolerance": 1e-9},
+    }
+    pf = tmp_path / "big.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "big.res.json").read_text())
+    assert res["success"] and res["tier"] == "banded"
+    assert res["relative_residual"] < 1e-8
+    # Probe = right-bottom corner: u = qW/E exactly (constant strain).
+    np.testing.assert_allclose(res["displacements"][0],
+                               q * w / 200.0, rtol=1e-3)
+    np.testing.assert_allclose(res["max_von_mises"], q, rtol=2e-3)
+    # No full-field payload at this size.
+    assert "stresses" not in res and "reactions" not in res
+    # Dense-tier analyses refuse loudly past their 8192-DOF budget.
+    bad = json.loads(json.dumps(doc))
+    bad["mesh"]["nx"], bad["mesh"]["ny"] = 128, 32   # 8514 DOFs
+    bad["fixed_x_nodes"] = [j * 129 for j in range(33)]
+    bad["fixed_y_nodes"] = list(range(129))
+    del bad["edge_loads"]
+    bad["analysis"] = {"type": "modal", "n_modes": 2}
+    pf2 = tmp_path / "bigmodal.json"
+    pf2.write_text(json.dumps(bad))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf2)],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode != 0
+    log = (tmp_path / "bigmodal.log").read_text()
+    assert "8192" in log or "budget" in log

@@ -366,3 +366,84 @@ def test_identify_plane_young_field():
     assert fld is not None
     np.testing.assert_allclose(vals, e_true, rtol=0.05)
     assert hist[-1] < hist[0] * 1e-3
+
+
+def test_banded_matches_dense():
+    """Device-tier banded PCG (DIA + MG) against the host dense
+    authority on a cantilever grid, displacements and stresses 1:1 at
+    f32-PCG precision; reactions balance the load."""
+    from pinn_fem_tpu.models.plane import solve_plane_static_banded
+
+    prob, dense, _, _, _, p_tot = _cantilever(16, 4)
+    res, iters, rel = solve_plane_static_banded(prob, tol=1e-9,
+                                                precond="jacobi")
+    assert rel < 1e-8 and iters > 0
+    # f32 accuracy floor: eps32 * kappa(K_ff) with kappa = 2.4e4
+    # (measured) bounds the attainable error at ~3e-3 of scale;
+    # measured error 4.7e-4 -> 2e-3 holds with margin while still
+    # catching assembly/BC bugs (which are O(1)).
+    scale = np.abs(dense.displacements).max()
+    np.testing.assert_allclose(res.displacements, dense.displacements,
+                               atol=2e-3 * scale)
+    np.testing.assert_allclose(res.von_mises, dense.von_mises,
+                               atol=2e-3 * dense.von_mises.max())
+    np.testing.assert_allclose(res.reactions[1::2].sum(), p_tot,
+                               rtol=2e-3)
+    # MG preconditioning: same answer, fewer iterations.
+    res_mg, it_mg, rel_mg = solve_plane_static_banded(prob, tol=1e-9,
+                                                      precond="mg")
+    assert rel_mg < 1e-8
+    np.testing.assert_allclose(res_mg.displacements,
+                               dense.displacements, atol=2e-3 * scale)
+    # Measured: 3 MG iterations vs 139 Jacobi on this grid.
+    assert it_mg < iters // 4
+
+
+def test_banded_uniaxial_exact_on_larger_grid():
+    """64x16 grid (2210 DOFs, past the dense comfort zone on this
+    box): the banded path hits the uniaxial closed form."""
+    from pinn_fem_tpu.models.plane import solve_plane_static_banded
+
+    w, h, q = 4.0, 1.0, 10.0
+    nodes, elems = rect_mesh(w, h, 64, 16, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], T)
+    p = PlaneProblem(nodes=nodes, elements=elems, young=E, poisson=NU,
+                     thickness=T, density=RHO, loads=loads,
+                     fixed_dofs=fixed)
+    res, iters, rel = solve_plane_static_banded(p, tol=1e-9)
+    assert rel < 1e-8
+    scale = q * w / E
+    # Measured f32 error 1.7e-4 of scale (well-conditioned problem).
+    np.testing.assert_allclose(res.displacements[0::2],
+                               q * nodes[:, 0] / E,
+                               atol=7e-4 * scale)
+    np.testing.assert_allclose(res.von_mises, q, rtol=2e-3)
+
+
+def test_plane_harmonic_matches_modal_superposition():
+    """Direct complex sweep vs the ALL-modes superposition (exact for
+    Rayleigh damping): X(w) = sum phi phi^T f / (w_j^2 - w^2
+    + i w (alpha + beta w_j^2)) with M-orthonormal shapes."""
+    from pinn_fem_tpu.models.plane import plane_harmonic
+
+    p, _ = _rod_problem(nx=6, ny=1)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    res = plane_modal(p, n_modes=free.size)
+    alpha, beta = 0.02, 1e-3
+    om = np.linspace(0.1, 1.5 * res.omegas[1], 40)
+    hr = plane_harmonic(p, om, damping=(alpha, beta),
+                        probe_dofs=free)
+    phi = res.mode_shapes[:, free]
+    f = p.loads[free]
+    gen = phi @ f
+    denom = (res.omegas[:, None] ** 2 - om[None, :] ** 2
+             + 1j * om[None, :] * (alpha
+                                   + beta * res.omegas[:, None] ** 2))
+    x_modal = np.einsum("kw,kn->wn", gen[:, None] / denom, phi)
+    np.testing.assert_allclose(hr.real + 1j * hr.imag, x_modal,
+                               atol=1e-8 * np.abs(x_modal).max())
