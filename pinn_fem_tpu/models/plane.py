@@ -747,36 +747,40 @@ def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
 
     Returns (PlaneStaticResult, iterations, relative_residual) — the
     stress recovery runs on the host from the fetched displacement
-    field (ONE device_get, the corpus-benchmark lesson)."""
+    field (ONE device_get, the corpus-benchmark lesson).
+
+    The whole device portion — block build, diagonal scatter, PCG,
+    reaction matvec — is ONE jitted program, cached at module level
+    keyed by the layout/material SIGNATURE (never by closure identity
+    — the recompile trap documented on solve_transient) with the big
+    arrays (coords, entry_slot, loads) as traced arguments, so the
+    1M-element index table never gets baked into the HLO as a
+    constant and a second mesh of the same shape class reuses the
+    compiled program."""
     import jax
     import jax.numpy as jnp
 
-    from ..ops.dia import assemble_dia_blocks, dia_cg_solve, dia_layout
+    from ..ops.dia import dia_layout
 
     if problem.prescribed is not None and np.any(problem.prescribed):
         raise ValueError("the banded path supports homogeneous "
                          "supports only (lift the prescribed field "
                          "into loads, or use the dense tier)")
     dtype = dtype or jnp.asarray(1.0).dtype
-    coords = jnp.asarray(problem.coords(), dtype)
-    dmat = _dmat(jnp.asarray(problem.young, dtype),
-                 jnp.asarray(problem.poisson, dtype),
-                 problem.plane_strain, xp=jnp)
-    blocks = _k_blocks(coords, dmat,
-                       jnp.asarray(problem.thickness, dtype),
-                       problem.nen, xp=jnp)
     layout = dia_layout(problem.dof_map(), problem.ndof)
-    diags = assemble_dia_blocks(layout, blocks)
-    mask = jnp.asarray(problem.free_mask(), dtype)
-    f = jnp.asarray(problem.loads + _body_force_vectors(problem),
-                    dtype)
-    x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
-                                 max_iter=max_iter,
-                                 use_pallas=use_pallas,
-                                 precond=precond, components=2)
-    from ..ops.dia import dia_matvec
-
-    reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+    core = _banded_static_core(layout, problem.nen,
+                               problem.plane_strain, precond,
+                               use_pallas, int(max_iter))
+    f_np = problem.loads + _body_force_vectors(problem)
+    x, reac, iters, rel = core(
+        jnp.asarray(problem.coords(), dtype),
+        jnp.asarray(problem.young, dtype),
+        jnp.asarray(problem.poisson, dtype),
+        jnp.asarray(problem.thickness, dtype),
+        jnp.asarray(layout.entry_slot),
+        jnp.asarray(f_np, dtype),
+        jnp.asarray(problem.free_mask(), dtype),
+        jnp.asarray(tol, dtype))
     u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
     u = np.asarray(u, dtype=float)
     sig, vm, principal = recover_stresses(problem, u)
@@ -787,6 +791,45 @@ def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
                             strains=eps,
                             reactions=np.asarray(reac, dtype=float))
     return res, int(iters), float(rel)
+
+
+_BANDED_CORE_CACHE: dict = {}
+
+
+def _banded_static_core(layout, nen: int, plane_strain: bool,
+                        precond: str, use_pallas: bool, max_iter: int):
+    """Jitted banded-statics program, cached per structural signature
+    (diagonal offsets + sizes + element/material class), NOT per
+    problem object."""
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.bandwidth, layout.entry_slot.shape, nen,
+           plane_strain, precond, use_pallas, max_iter)
+    core = _BANDED_CORE_CACHE.get(key)
+    if core is not None:
+        return core
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import dia_cg_solve, dia_matvec
+
+    @jax.jit
+    def core(coords, young, poisson, thickness, entry_slot, f, mask,
+             tol):
+        dmat = _dmat(young, poisson, plane_strain, xp=jnp)
+        blocks = _k_blocks(coords, dmat, thickness, nen, xp=jnp)
+        flat = jnp.zeros((layout.n_diags * layout.ndof,), blocks.dtype)
+        diags = flat.at[entry_slot].add(blocks).reshape(
+            layout.n_diags, layout.ndof)
+        x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
+                                     max_iter=max_iter,
+                                     use_pallas=use_pallas,
+                                     precond=precond, components=2)
+        reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+        return x, reac, iters, rel
+
+    _BANDED_CORE_CACHE[key] = core
+    return core
 
 
 @dataclass
