@@ -302,6 +302,90 @@ def main():
     emit("batched_nr_throughput", batch / t, "problems/s", batch=batch,
          backend=backend)
 
+    plane_section(backend)
+
+
+def plane_section(backend):
+    """4) Large-mesh plane continuum statics through the banded device
+    tier (models/plane.solve_plane_static_banded): Q4 grid in
+    uniaxial tension, gated against the closed form.  The second
+    problem (same shape class, different material) measures the
+    signature-keyed program cache — its first call must not pay a
+    recompile.  Runnable alone: python benchmarks/scaling.py plane"""
+    from pinn_fem_tpu.models.plane import (
+        PlaneProblem,
+        edge_load,
+        rect_mesh,
+        solve_plane_static_banded,
+    )
+
+    # x is the fast node-numbering direction (rect_mesh), so the SHORT
+    # side goes on x to keep the DIA bandwidth at 2(nx+2) = 260 DOFs
+    # (the tall orientation would be 1026 and blow the Pallas halo).
+    nx, ny = 128, 512
+    w, h, q, E, T = 1.0, 4.0, 10.0, 1000.0, 0.1
+    nodes, elems = rect_mesh(w, h, nx, ny, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    fixed = np.concatenate([2 * left, 2 * bottom + 1])
+    right = np.flatnonzero(nodes[:, 0] == w)
+    order = right[np.argsort(nodes[right, 1])]
+    loads = edge_load(nodes, order, [q, 0.0], T)
+
+    def plane_problem(young):
+        return PlaneProblem(nodes=nodes, elements=elems, young=young,
+                            poisson=0.3, thickness=T, density=1.0,
+                            loads=loads, fixed_dofs=fixed)
+
+    p1 = plane_problem(E)
+    t0 = time.perf_counter()
+    res, iters, rel = solve_plane_static_banded(p1, tol=1e-7)
+    t_first = time.perf_counter() - t0
+    ux = res.displacements[0::2]
+    err = float(np.max(np.abs(ux - q * nodes[:, 0] / E))) / (q * w / E)
+    assert err < 2e-3 and rel < 1e-6, (err, rel)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_plane_static_banded(p1, tol=1e-7)
+        ts.append(time.perf_counter() - t0)
+    emit("plane_static_banded", float(np.median(ts)), "s",
+         dofs=p1.ndof, elements=elems.shape[0], iterations=int(iters),
+         rel_residual=float(rel), closed_form_err=round(err, 6),
+         first_call_s=round(t_first, 1), backend=backend)
+
+    if backend == "tpu":
+        # Fused two-Pallas-kernel CG on the same problem/gate.
+        solve_plane_static_banded(p1, tol=1e-7, use_pallas=True)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res_p, it_p, rel_p = solve_plane_static_banded(
+                p1, tol=1e-7, use_pallas=True)
+            ts.append(time.perf_counter() - t0)
+        err_p = float(np.max(np.abs(res_p.displacements[0::2]
+                                    - q * nodes[:, 0] / E))) / (q * w / E)
+        assert err_p < 2e-3, err_p
+        emit("plane_static_banded_pallas", float(np.median(ts)), "s",
+             dofs=p1.ndof, iterations=int(it_p),
+             closed_form_err=round(err_p, 6), backend=backend)
+
+    p2 = plane_problem(2.0 * E)
+    t0 = time.perf_counter()
+    res2, _, _ = solve_plane_static_banded(p2, tol=1e-7)
+    t_reuse = time.perf_counter() - t0
+    err2 = float(np.max(np.abs(res2.displacements[0::2]
+                               - q * nodes[:, 0] / (2.0 * E)))) \
+        / (q * w / (2.0 * E))
+    assert err2 < 2e-3, err2
+    emit("plane_static_banded_program_reuse", t_reuse, "s",
+         dofs=p2.ndof, backend=backend,
+         note="first call on a NEW problem of the same shape class; "
+              "a recompile here would cost minutes on this box")
+
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "plane":
+        plane_section(jax.default_backend())
+    else:
+        main()

@@ -183,7 +183,7 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
                 tol=float(analysis.get("tolerance", 1e-7)),
                 max_iter=int(analysis.get("max_iterations", 20000)),
                 use_pallas=bool(analysis.get("use_pallas", False)),
-                precond=analysis.get("precond", "mg"))
+                precond=analysis.get("precond", "auto"))
         else:
             res = solve_plane_static(problem)
         worst = int(np.argmax(res.von_mises)) if res.von_mises.size \

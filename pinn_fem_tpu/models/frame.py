@@ -536,7 +536,11 @@ def frame_static_response(problem: "FrameProblem", young_e=None,
     t = t.at[:, :3, :3].set(r3)
     t = t.at[:, 3:, 3:].set(r3)
 
-    kg_blocks = jnp.einsum("mji,mjk,mkl->mil", t, kl, t)
+    # precision="highest": TPU dot_general defaults to bf16 on the
+    # MXU; ~1e-2 rounding makes T' K T lose symmetry (measured
+    # PCG breakdown on the plane family, models/plane.py:_einsum).
+    kg_blocks = jnp.einsum("mji,mjk,mkl->mil", t, kl, t,
+                           precision="highest")
     dm = jnp.asarray(problem.dof_map())
     k = jnp.zeros((problem.ndof, problem.ndof), dtype).at[
         dm[:, :, None], dm[:, None, :]].add(kg_blocks)
@@ -564,8 +568,9 @@ def frame_static_response(problem: "FrameProblem", young_e=None,
     km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
     u = jnp.linalg.solve(km, f * mask) * mask
 
-    u_loc = jnp.einsum("mij,mj->mi", t, u[dm])
-    f_loc = jnp.einsum("mij,mj->mi", kl, u_loc) - f_fixed
+    u_loc = jnp.einsum("mij,mj->mi", t, u[dm], precision="highest")
+    f_loc = jnp.einsum("mij,mj->mi", kl, u_loc,
+                       precision="highest") - f_fixed
     return u, f_loc[:, jnp.array([2, 5])], -f_loc[:, 0]
 
 

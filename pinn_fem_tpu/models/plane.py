@@ -191,6 +191,20 @@ def _dmat(young, poisson, plane_strain: bool, xp=np):
     return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2)
 
 
+def _einsum(xp, spec, *ops):
+    """Contraction with full-f32 accumulation under jnp.
+
+    TPU dot_general defaults to bf16 inputs on the MXU; with ~1e-2
+    relative rounding the (a, b)/(b, a) stiffness contributions round
+    differently, K loses symmetry, and banded PCG breaks down (first
+    real-TPU run of the banded plane tier returned rel=nan while CPU
+    f32 converged in 2695 iterations).  The contraction dims here are
+    tiny (≤ 8), so precision="highest" costs nothing."""
+    if xp is np:
+        return np.einsum(spec, *ops)
+    return xp.einsum(spec, *ops, precision="highest")
+
+
 def _tri_area(coords, xp=np):
     """(m,) signed triangle areas (positive = counterclockwise)."""
     d1 = coords[:, 1] - coords[:, 0]
@@ -227,13 +241,13 @@ def _q4_dn(xi, eta):
 def _q4_point(coords, xi, eta, xp=np):
     """B (m, 3, 8) and detJ (m,) at one natural point."""
     dn = _q4_dn(xi, eta)                        # (2, 4) constant
-    jac = xp.einsum("an,mnc->mac", xp.asarray(dn), coords)  # (m, 2, 2)
+    jac = _einsum(xp, "an,mnc->mac", xp.asarray(dn), coords)  # (m, 2, 2)
     det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
     inv = xp.stack([
         xp.stack([jac[:, 1, 1], -jac[:, 0, 1]], axis=-1),
         xp.stack([-jac[:, 1, 0], jac[:, 0, 0]], axis=-1)],
         axis=-2) / det[:, None, None]
-    dxy = xp.einsum("mab,bn->man", inv, xp.asarray(dn))  # (m, 2, 4)
+    dxy = _einsum(xp, "mab,bn->man", inv, xp.asarray(dn))  # (m, 2, 4)
     dx, dy = dxy[:, 0], dxy[:, 1]               # (m, 4) each
     z = xp.zeros_like(dx)
     row1 = xp.stack([dx[:, 0], z[:, 0], dx[:, 1], z[:, 0],
@@ -257,12 +271,12 @@ def _k_blocks(coords, dmat, thickness, nen: int, xp=np):
     if nen == 3:
         b, area = _cst_b(coords, xp)
         scale = (thickness * area)[:, None, None]
-        return scale * xp.einsum("mia,mij,mjb->mab", b, dmat, b)
+        return scale * _einsum(xp, "mia,mij,mjb->mab", b, dmat, b)
     k = None
     for xi, eta in _GP:                 # weights are 1.0 for 2×2
         b, det = _q4_point(coords, xi, eta, xp)
         kg = (thickness * det)[:, None, None] \
-            * xp.einsum("mia,mij,mjb->mab", b, dmat, b)
+            * _einsum(xp, "mia,mij,mjb->mab", b, dmat, b)
         k = kg if k is None else k + kg
     return k
 
@@ -633,8 +647,8 @@ def plane_static_response(problem: "PlaneProblem", young_e=None,
         u = jnp.linalg.solve(km, f * mask) * mask
 
     b = jnp.asarray(_centroid_b(problem), dtype)
-    eps = jnp.einsum("mia,ma->mi", b, u[dm])
-    sig = jnp.einsum("mij,mj->mi", dmat, eps)
+    eps = _einsum(jnp, "mia,ma->mi", b, u[dm])
+    sig = _einsum(jnp, "mij,mj->mi", dmat, eps)
     sxx, syy, sxy = sig[:, 0], sig[:, 1], sig[:, 2]
     if problem.plane_strain:
         szz = poisson * (sxx + syy)
@@ -727,7 +741,7 @@ def identify_plane_young(problem: "PlaneProblem", measured_dofs,
 def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
                               max_iter: int = 20000,
                               use_pallas: bool = False,
-                              precond: str = "mg", dtype=None):
+                              precond: str = "auto", dtype=None):
     """Large-mesh plane statics on the DEVICE tier.
 
     Structured 2D continuum meshes are the banded-operator sweet spot:
@@ -736,10 +750,20 @@ def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
     whole solve rides the truss family's DIA pipeline — element blocks
     built BATCHED on device ((m, 8, 8) einsum contractions on the
     MXU), one scatter into diagonal storage (ops/dia.assemble_dia_
-    blocks), then streaming-rate PCG (ops/dia.dia_cg_solve) with the
-    banded smoothed-aggregation multigrid preconditioner (components=2
-    keeps u/v aggregation nodal).  use_pallas selects the fused
-    stencil kernel for the matvec.
+    blocks), then streaming-rate PCG (ops/dia.dia_cg_solve).
+    use_pallas selects the fused stencil kernel for the matvec.
+
+    precond: "auto"/"jacobi" or "mg" (banded smoothed-aggregation
+    multigrid, components=2 keeps u/v aggregation nodal).  Measured
+    on the 64x16 uniaxial grid (2210 DOFs, CPU backend): jacobi
+    compiles in 1.4 s and solves warm in 11 ms at 278 iterations; the
+    jitted MG V-cycle sends XLA's algebraic simplifier into a
+    circular-rewrite loop and compiles in ~400 s for a 13-iteration,
+    237 ms warm solve.  "auto" therefore picks jacobi — the same
+    tradeoff solve_nr's cg_precond documents for the truss family —
+    and mg stays opt-in for slender/ill-conditioned meshes where the
+    Jacobi iteration count grows like cond ~ n^2 and the one-off
+    compile amortizes.
 
     Host-tier mirror: tests/test_plane.py pins this against
     solve_plane_static 1:1 on small grids; above DENSE_DOF_LIMIT this
@@ -767,7 +791,19 @@ def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
                          "supports only (lift the prescribed field "
                          "into loads, or use the dense tier)")
     dtype = dtype or jnp.asarray(1.0).dtype
-    layout = dia_layout(problem.dof_map(), problem.ndof)
+    if precond == "auto":
+        precond = "jacobi"  # see docstring for the measured tradeoff
+    # Layout cached on the instance: the host build is O(nelm·(2nen)²)
+    # numpy work (~3 s at 65k Q4s on this box — it dominated the warm
+    # call before caching) and depends only on connectivity, which
+    # PlaneProblem fixes at construction.
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof)
+        problem._dia_layout_cache = layout
+        # The slot table is the one big transfer (nelm·(2nen)² int32 =
+        # 67 MB at 65k Q4s): push it once and keep the device handle.
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
     core = _banded_static_core(layout, problem.nen,
                                problem.plane_strain, precond,
                                use_pallas, int(max_iter))
@@ -777,7 +813,7 @@ def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
         jnp.asarray(problem.young, dtype),
         jnp.asarray(problem.poisson, dtype),
         jnp.asarray(problem.thickness, dtype),
-        jnp.asarray(layout.entry_slot),
+        problem._dia_entry_slot_dev,
         jnp.asarray(f_np, dtype),
         jnp.asarray(problem.free_mask(), dtype),
         jnp.asarray(tol, dtype))
