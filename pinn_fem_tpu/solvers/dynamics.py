@@ -554,16 +554,17 @@ def solve_transient(
         prop = jnp.asarray(
             _modal_propagators(omegas, zetas, float(dt)), dtype)
         w2 = jnp.asarray(omegas**2, dtype)
-        f_modal = phi.T @ (data.loads * mask)
+        hi = dict(precision="highest")  # bf16 MXU default, see _modal_run
+        f_modal = jnp.matmul(phi.T, data.loads * mask, **hi)
         q_stat_unit = f_modal / w2
         # M-orthonormal projection: q = phi^T M u.
-        q0 = phi.T @ (m * u0)
-        qd0 = phi.T @ (m * v0)
+        q0 = jnp.matmul(phi.T, m * u0, **hi)
+        qd0 = jnp.matmul(phi.T, m * v0, **hi)
         recs, q_f, qd_f = _modal_run(
             prop, q_stat_unit, phi[probe, :], w2, amp, q0, qd0,
             n_rec, record_every)
-        u_f = phi @ q_f
-        v_f = phi @ qd_f
+        u_f = jnp.matmul(phi, q_f, **hi)
+        v_f = jnp.matmul(phi, qd_f, **hi)
     else:
         raise ValueError("method must be 'central', 'newmark' or 'modal'")
 
@@ -1037,14 +1038,19 @@ def _modal_run(prop, q_stat_unit, phi_probe, w2, amp,
     def step(s, a_i):
         qp = a_i * q_stat_unit                     # (J,)
         sp = jnp.stack([qp, jnp.zeros_like(qp)], axis=1)
-        s = jnp.einsum("jab,jb->ja", prop, s - sp) + sp
+        # precision="highest": a bf16 MXU contraction here compounds
+        # ~1e-2 per step through the recurrence and the "exact" claim
+        # dies on TPU (the plane family's measured failure class,
+        # models/plane.py:_einsum); 2x2 blocks cost nothing in f32.
+        s = jnp.einsum("jab,jb->ja", prop, s - sp,
+                       precision="highest") + sp
         return s, None
 
     def chunk(s, a_chunk):
         s, _ = jax.lax.scan(step, s, a_chunk)
         q, qd = s[:, 0], s[:, 1]
-        u_probe = phi_probe @ q
-        v_probe = phi_probe @ qd
+        u_probe = jnp.matmul(phi_probe, q, precision="highest")
+        v_probe = jnp.matmul(phi_probe, qd, precision="highest")
         # Modal coordinates are M-orthonormal: KE = 1/2 sum qd^2,
         # SE = 1/2 sum w^2 q^2.
         ke = 0.5 * jnp.sum(qd * qd)

@@ -344,7 +344,8 @@ def _modal_sweep(problem, data, om, alpha, beta, n_modes,
     wj = jnp.sqrt(jnp.maximum(w2, 1e-30))
     phi = jnp.asarray(res.shapes)                      # (ndof, J), M-orthonormal
     f = data.loads * data.free_mask
-    q = phi.T @ f                                      # (J,) modal forces
+    q = jnp.matmul(phi.T, f,  # bf16 MXU default, see dynamics._modal_run
+                   precision="highest")       # (J,) modal forces
     zeta = 0.5 * (alpha / wj + beta * wj)
 
     def respond(w):
