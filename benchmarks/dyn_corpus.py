@@ -51,6 +51,14 @@ def _gate(name: str, res: dict) -> None:
             assert np.isfinite(np.asarray(res["displacements"],
                                           dtype=float)).all(), name
         return
+    if res.get("element_type") == "plane":
+        if kind == "modal":
+            f = np.asarray(res["frequencies_hz"], dtype=float)
+            assert np.isfinite(f).all() and np.all(f > 0), name
+        else:
+            assert np.isfinite(np.asarray(res["displacements"],
+                                          dtype=float)).all(), name
+        return
     if kind == "modal":
         assert res["ok"], f"{name}: modal ok=False"
         assert all(np.isfinite(res["frequencies_hz"])), name
@@ -104,6 +112,10 @@ def _gate(name: str, res: dict) -> None:
         assert 0 <= lo <= hi <= 1, name
         if "mc" in res:
             assert 0 <= res["mc"]["pf"] <= 1, name
+    elif kind == "plastic":
+        d = np.asarray(res["displacements"], dtype=float)
+        assert np.isfinite(d).all(), name
+        assert len(res["yielded_elements"]) > 0, name
 
 
 def bench_fresh(path: str, env):
@@ -151,6 +163,14 @@ def bench_warm(path: str, repeats: int):
             # Parse once outside the timed loop — the truss path's
             # convention, so warm numbers compare like for like.
             return run_frame_analysis(problem, dict(analysis))
+    elif raw.get("element_type") == "plane":
+        from pinn_fem_tpu.io.plane_io import (parse_plane_document,
+                                              run_plane_analysis)
+
+        problem, analysis = parse_plane_document(raw)
+
+        def once():
+            return run_plane_analysis(problem, dict(analysis))
     else:
         parsed = parse_problem_file(path)
         analysis = raw["analysis"]

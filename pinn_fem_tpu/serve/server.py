@@ -369,6 +369,15 @@ def _warmup_docs():
                  "cov": 0.1}],
             "limit_state": {"type": "stress", "variable": "R"},
             "n_iter": 5}}),
+        ("/api/fem/plane", {
+            "element_type": "plane",
+            "mesh": {"type": "rect", "width": 2.0, "height": 1.0,
+                     "nx": 2, "ny": 1, "element": "quad"},
+            "material": {"young": 100.0, "poisson": 0.3,
+                         "thickness": 0.1, "density": 1.0},
+            "edge_loads": [{"nodes": [2, 5], "traction": [1.0, 0.0]}],
+            "fixed_nodes": [0, 3],
+            "analysis": {"type": "static"}}),
     ]
 
 

@@ -36,6 +36,7 @@ def test_dyn_corpus_complete():
                    "dyn-identification-frf.json",
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
+                   "dyn-plane.json", "dyn-plastic.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
@@ -59,6 +60,25 @@ def test_dyn_corpus_runs(name, tmp_path):
         shapes = np.asarray(res["mode_shapes"])
         assert shapes.shape == (4, 18)
         assert abs(shapes[0][3 * 4]) > 5.0 * abs(shapes[0][3 * 4 + 2])
+    elif name == "dyn-plane.json":
+        # Axial-rod membrane strip (ν = 0, all y DOFs fixed): the Q4
+        # consistent-mass frequencies converge to f_k = (2k−1)c/4L from
+        # above (models/plane.py verification anchors).
+        f = np.asarray(res["frequencies_hz"])
+        c = np.sqrt(1000.0 / 1.0)
+        exact = (2.0 * np.arange(1, 5) - 1.0) * c / (4.0 * 4.0)
+        assert np.all(f >= exact * (1.0 - 1e-9))      # from above
+        np.testing.assert_allclose(f, exact, rtol=2.5e-2)
+        np.testing.assert_allclose(f[0], exact[0], rtol=1e-3)
+        assert np.asarray(res["mode_shapes"]).shape == (4, 102)
+    elif name == "dyn-plastic.json":
+        # Two-bar serial chain, bilinear hardening: exact endpoint
+        # u = 2 L_e (σ/E + (σ − σ_y)/H) = 0.13 at σ = 1.5.
+        np.testing.assert_allclose(res["displacements"][-1][0], 0.13,
+                                   rtol=1e-9)
+        np.testing.assert_allclose(res["final"]["plastic_strain"],
+                                   [0.05, 0.05], rtol=1e-9)
+        assert res["yielded_elements"] == [0, 1]
     elif kind == "modal":
         w = np.asarray(res["eigenvalues"])
         assert w.shape == (4,) and np.all(w > 0)
