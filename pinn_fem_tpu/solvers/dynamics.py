@@ -442,9 +442,12 @@ def solve_transient(
         # identical input (round-3 review finding #1).
         raise ValueError("force_fn supports method='central' only")
     if host is None:
-        from ..utils.runtime import is_tpu
+        from ..utils.runtime import tpu_likely
 
-        host = (is_tpu() and problem.ndof <= _HOST_TRANSIENT_DOF_LIMIT
+        # tpu_likely, NOT is_tpu: the predicate must not initialize a
+        # backend (a fresh CLI process whose whole run is host-tier
+        # numpy paid a measured ~11 s tunnel attach just to ask).
+        host = (tpu_likely() and problem.ndof <= _HOST_TRANSIENT_DOF_LIMIT
                 and not geometric_nonlinear and data is None
                 and method in ("central", "newmark", "modal")
                 and (force_fn is None

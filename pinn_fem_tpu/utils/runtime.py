@@ -75,3 +75,31 @@ def is_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:
         return False
+
+
+def tpu_likely() -> bool:
+    """is_tpu() WITHOUT initializing a backend.
+
+    `jax.devices()` through the axon attachment costs seconds to
+    minutes of tunnel attach (measured: consistently-11 s fresh-process
+    `dyn-transient` CLI runs whose ONLY device touch was the
+    `is_tpu()` tier predicate; first-fetch stalls reach 444.9 s).
+    Tier decisions must not pay that: if backends are already up, ask
+    the real one (free); otherwise read the CONFIGURED platform list —
+    the axon plugin force-sets `jax_platforms="axon,cpu"` at
+    interpreter startup, so its presence is a reliable attached-TPU
+    signal, and tests/CLI pins set "cpu" explicitly."""
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge._backends:
+            return is_tpu()
+    except Exception:
+        return is_tpu()
+    try:
+        plats = jax.config.jax_platforms or ""
+    except Exception:
+        plats = ""
+    plats = plats or os.environ.get("JAX_PLATFORMS", "")
+    first = plats.split(",")[0].strip().lower()
+    return first in ("tpu", "axon")
