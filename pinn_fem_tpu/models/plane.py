@@ -885,6 +885,11 @@ def plane_harmonic(problem: PlaneProblem, omegas,
     ALL-modes superposition exactly — the same 1e-8 cross-check as the
     frame family (tests/test_plane.py)."""
     om = np.asarray(omegas, dtype=float).reshape(-1)
+    if problem.prescribed is not None and np.any(problem.prescribed):
+        # A driven-support FRF needs the support-motion participation
+        # term; silently returning the homogeneous-support response
+        # would be wrong (ADVICE r3 — match solve_plane_transient).
+        raise ValueError("harmonic supports homogeneous supports only")
     k, m = plane_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k

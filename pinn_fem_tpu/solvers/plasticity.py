@@ -99,6 +99,16 @@ def _host_solve(problem, sy, hi, hk, lfs, tol, max_iter, tangent_floor,
             km = mask[:, None] * k_t * mask[None, :] + km_fix
             u = u + np.linalg.solve(km, r) * mask
         all_ok &= ok
+        if not ok:
+            # The loop body updates u AFTER assembling, so on max_iter
+            # exhaustion sigma/st lag the final u by one update.  Re-pin
+            # them at the final u — the device tier (_device_core) does
+            # the same final evaluation, and the 1:1 host/device mirror
+            # must agree on non-converged steps too (ADVICE r3).
+            _, f_int, sigma, st = H.host_plastic_system(
+                problem, u, eps_p, alpha, back, sy, hi, hk,
+                load_factor=lf, tangent_floor=tangent_floor)
+            res = float(np.linalg.norm((lf * f_ext - f_int) * mask)) / fnorm
         # Commit: st/sigma were evaluated at the CURRENT u (top of the
         # loop body), so on break they are the converged-state values.
         eps_p, alpha, back = st
@@ -184,7 +194,10 @@ def solve_transient_plastic(
 
     alpha_c, beta_c = (float(damping[0]), float(damping[1]))
     if dt is None:
-        dt = stable_dt(problem, data=data)
+        # Forward the damping: stiffness-proportional (beta) Rayleigh
+        # damping SHRINKS the central-difference limit and an undamped
+        # bound would be unstable (stable_dt's docstring; ADVICE r3).
+        dt = stable_dt(problem, data=data, damping=(alpha_c, beta_c))
     dt = float(dt)
     n_steps = int(n_steps)
     record_every = int(record_every)

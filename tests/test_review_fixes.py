@@ -443,3 +443,55 @@ def test_reduction_rejects_stale_data_argument():
     p = tower()
     with pytest.raises(ValueError, match="no longer consumed"):
         guyan_reduce(p, [p.ndof - 2], data=p.to_device())
+
+
+def test_plastic_transient_auto_dt_forwards_damping():
+    """ADVICE r3 (medium): solve_transient_plastic's default dt ignored
+    the damping it was about to integrate with; beta-Rayleigh damping
+    shrinks the explicit limit, so the undamped bound blows up."""
+    from pinn_fem_tpu.solvers.plasticity import solve_transient_plastic
+
+    p = bar_1d(n=4)
+    beta = 0.02
+    res = solve_transient_plastic(p, sigma_y=1e9, damping=(0.0, beta),
+                                  n_steps=400,
+                                  probe_dofs=np.array([p.ndof - 1]))
+    assert np.isfinite(res.displacements).all()
+    assert res.dt <= stable_dt(p, damping=(0.0, beta)) * (1 + 1e-12)
+    assert res.dt < stable_dt(p)          # strictly tighter than undamped
+
+
+def test_plastic_host_nonconverged_state_pinned_to_final_u():
+    """ADVICE r3 (low): on a non-converged load step the host tier
+    reported sigma at the PRE-update displacement while u included the
+    final Newton update; the device tier re-evaluates at the final u.
+    With max_iter=1 on a yielding step the two must still agree."""
+    from pinn_fem_tpu.solvers.plasticity import solve_elastoplastic
+
+    p = bar_1d(n=3, young=100.0, area=1.0)
+    kw = dict(sigma_y=0.5, hardening_iso=10.0, load_factors=[2.0],
+              max_iter=1, tol=1e-12)
+    h = solve_elastoplastic(p, host=True, **kw)
+    d = solve_elastoplastic(p, host=False, **kw)
+    assert not h.converged and not d.converged
+    np.testing.assert_allclose(h.displacements, d.displacements,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(h.stresses, d.stresses, rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_plane_harmonic_rejects_driven_supports():
+    """ADVICE r3 (low): a driven-support plane harmonic document must
+    refuse loudly, not return the homogeneous-support FRF."""
+    from pinn_fem_tpu.models.plane import PlaneProblem, plane_harmonic
+
+    nodes = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    elems = np.array([[0, 1, 2, 3]])
+    loads = np.zeros(8)
+    loads[5] = 1.0
+    p = PlaneProblem(nodes=nodes, elements=elems, young=1.0, poisson=0.3,
+                     thickness=1.0, density=1.0, loads=loads,
+                     fixed_dofs=np.array([0, 1, 6, 7]),
+                     prescribed=np.array([0.0, 0.1, 0.0, 0.0]))
+    with pytest.raises(ValueError, match="homogeneous"):
+        plane_harmonic(p, [1.0])
