@@ -54,9 +54,11 @@ from .models.frame import (  # noqa: E402
 )
 from .models.plane import (  # noqa: E402
     PlaneProblem,
+    annulus_mesh,
     edge_load,
     plane_matrices,
     plane_modal,
+    pressure_load,
     rect_mesh,
     solve_plane_static,
     solve_plane_transient,
@@ -138,6 +140,10 @@ from .solvers.reduction import (  # noqa: E402
     guyan_reduce,
     reduce_loads,
 )
+from .solvers.plane_plasticity import (  # noqa: E402
+    PlanePlasticResult,
+    solve_plane_plastic,
+)
 from .solvers.plasticity import (  # noqa: E402
     PlasticStaticResult,
     PlasticTransientResult,
@@ -208,7 +214,10 @@ __all__ = [
     "plane_modal",
     "plane_matrices",
     "rect_mesh",
+    "annulus_mesh",
     "edge_load",
+    "pressure_load",
+    "solve_plane_plastic",
     "solve_frame_static",
     "frame_modal",
     "frame_buckling",
@@ -271,6 +280,7 @@ __all__ = [
     "PlasticStaticResult",
     "PlasticTransientResult",
     "solve_elastoplastic",
+    "PlanePlasticResult",
     "solve_transient_plastic",
     "solve_riks",
     "RiksResult",

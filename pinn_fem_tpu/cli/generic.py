@@ -127,6 +127,11 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Identified E in [%.6g, %.6g], final loss "
                         "%.3e", min(output["young"]),
                         max(output["young"]), output["final_loss"])
+        elif output["analysis"] == "plastic":
+            logger.info("  Steps: %d, yielded elements: %d, peak von "
+                        "Mises: %.6g", output["n_steps"],
+                        len(output["yielded_elements"]),
+                        max(output["max_von_mises"]))
         else:
             logger.info("  Max von Mises: %.6g (element %d)",
                         output["max_von_mises"],

@@ -9,13 +9,17 @@ the CLI and servers peek at that key and route here:
      "elements": [[i, j, k], ..]         # CST triangles
                 | [[i, j, k, l], ..],    # Q4 quads (CCW)
        | "mesh": {"type": "rect", "width": W, "height": H,
-                  "nx": 8, "ny": 4, "element": "quad" | "tri"},
+                  "nx": 8, "ny": 4, "element": "quad" | "tri"}
+       | "mesh": {"type": "annulus", "r_inner": a, "r_outer": b,
+                  "nr": 8, "nt": 12, "sweep": 1.5707963},
      "material": {"young": E, "poisson": nu, "thickness": t,
                   "density": rho},       # scalars or per-element
      "plane_strain": false,
      "loads": [Fx0, Fy0, Fx1, ..],       # 2 per node (optional)
      "edge_loads": [{"nodes": [..path..],          # uniform traction
-                     "traction": [tx, ty]}, ..],   # (force/area)
+                     "traction": [tx, ty]}         # (force/area)
+                  | {"nodes": [..path..],          # normal pressure
+                     "pressure": p}, ..],  # (material on path's left)
      "body_force": [bx, by],             # force/volume (e.g. [0,-ρg])
      "fixed_nodes": [..]                 # both DOFs clamped
        | "fixed_dofs": [..],             # raw 2n-DOF indices
@@ -32,6 +36,12 @@ the CLI and servers peek at that key and route here:
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
                   "stop": w1, "num": 50}, "damping": [a, b],
                   "probe_nodes": [..]}
+               | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
+                  "hardening": Hi, "kinematic_hardening": Hk,
+                  "load_factors": [..] | "target"+"n_steps",
+                  "bbar": true,      # mean-dilatation (plane strain)
+                  "tolerance": 1e-9, "max_iterations": 30,
+                  "probe_nodes": [..], "include_history": false}
                | {"type": "identification",       # recover E from
                   "measured_dofs": [..],          # measured static
                   "measured_u": [..],             # displacements
@@ -66,12 +76,21 @@ def is_plane_document(doc: Dict) -> bool:
 def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
     mesh = doc.get("mesh")
     if mesh is not None:
-        if mesh.get("type", "rect") != "rect":
-            raise ValueError('mesh.type must be "rect"')
-        nodes, elements = rect_mesh(
-            float(mesh["width"]), float(mesh["height"]),
-            int(mesh["nx"]), int(mesh["ny"]),
-            mesh.get("element", "quad"))
+        mtype = mesh.get("type", "rect")
+        if mtype == "rect":
+            nodes, elements = rect_mesh(
+                float(mesh["width"]), float(mesh["height"]),
+                int(mesh["nx"]), int(mesh["ny"]),
+                mesh.get("element", "quad"))
+        elif mtype == "annulus":
+            from ..models.plane import annulus_mesh
+
+            nodes, elements = annulus_mesh(
+                float(mesh["r_inner"]), float(mesh["r_outer"]),
+                int(mesh["nr"]), int(mesh["nt"]),
+                sweep=float(mesh.get("sweep", 0.5 * np.pi)))
+        else:
+            raise ValueError('mesh.type must be "rect" or "annulus"')
     else:
         if "nodes" not in doc or "elements" not in doc:
             raise ValueError('plane document needs "nodes" + '
@@ -87,17 +106,29 @@ def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
                        dtype=float).reshape(-1)
     thickness = mat.get("thickness", 1.0)
     for spec in doc.get("edge_loads", []):
-        if "nodes" not in spec or "traction" not in spec:
+        has_traction = "traction" in spec
+        has_pressure = "pressure" in spec
+        if "nodes" not in spec or has_traction == has_pressure:
             raise ValueError('edge_loads entries need "nodes" (path '
-                             'order) and "traction" [tx, ty]')
+                             'order) and exactly one of "traction" '
+                             '[tx, ty] or "pressure" p (normal, '
+                             'material on the path\'s left)')
         t_arr = np.asarray(thickness, dtype=float).reshape(-1)
         if t_arr.size != 1:
             raise ValueError("edge_loads need a scalar material "
                              "thickness (per-element thickness makes "
                              "the edge share ambiguous)")
-        loads = loads + edge_load(nodes, spec["nodes"],
-                                  spec["traction"], float(t_arr[0]),
-                                  ndof=2 * nnode)
+        if has_traction:
+            loads = loads + edge_load(nodes, spec["nodes"],
+                                      spec["traction"], float(t_arr[0]),
+                                      ndof=2 * nnode)
+        else:
+            from ..models.plane import pressure_load
+
+            loads = loads + pressure_load(nodes, spec["nodes"],
+                                          float(spec["pressure"]),
+                                          float(t_arr[0]),
+                                          ndof=2 * nnode)
 
     fixed_parts = []
     if "fixed_dofs" in doc:
@@ -224,13 +255,68 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
                 "reactions": res.reactions.tolist(),
             })
         return out
-    if kind in ("modal", "transient", "harmonic", "identification") \
-            and problem.ndof > 4 * 2048:
+    if kind in ("modal", "transient", "harmonic", "identification",
+                "plastic") and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plane {kind} runs on the dense host tier; {problem.ndof} "
             "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
             "on one core) — coarsen the mesh; only statics has a "
             "banded large-mesh path so far")
+    if kind == "plastic":
+        from ..solvers.plane_plasticity import solve_plane_plastic
+
+        if "sigma_y" not in analysis:
+            raise ValueError('plastic analysis requires "sigma_y"')
+        kwargs = dict(
+            sigma_y=analysis["sigma_y"],
+            hardening_iso=analysis.get("hardening", 0.0),
+            hardening_kin=analysis.get("kinematic_hardening", 0.0),
+            tol=float(analysis.get("tolerance", 1e-9)),
+            max_iter=int(analysis.get("max_iterations", 30)),
+        )
+        if analysis.get("bbar") is not None:
+            kwargs["bbar"] = bool(analysis["bbar"])
+        if "load_factors" in analysis:
+            kwargs["load_factors"] = np.asarray(
+                analysis["load_factors"], dtype=float)
+        else:
+            kwargs["target_load_factor"] = float(
+                analysis.get("target", 1.0))
+            kwargs["n_steps"] = int(analysis.get("n_steps", 20))
+        res = solve_plane_plastic(problem, **kwargs)
+        probe = _probe_dofs(analysis, problem)
+        if probe is None:
+            probe = np.arange(problem.ndof)
+        probe = np.asarray(probe, dtype=int).reshape(-1)
+        yielded = np.flatnonzero(res.eq_plastic[-1] > 0.0)
+        out = {
+            "success": bool(res.converged),
+            "analysis": "plastic",
+            "element_type": "plane",
+            "plane_strain": bool(problem.plane_strain),
+            "n_steps": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements[:, probe].tolist(),
+            "iterations": res.iterations.tolist(),
+            "max_residual": float(res.residuals.max()),
+            "n_plastic": res.n_plastic.tolist(),
+            "yielded_elements": yielded.tolist(),
+            "max_von_mises": res.von_mises.max(axis=1).tolist(),
+            "final": {
+                "stresses": res.stresses[-1].tolist(),
+                "sigma_zz": res.sigma_zz[-1].tolist(),
+                "von_mises": res.von_mises[-1].tolist(),
+                "eq_plastic_strain": res.eq_plastic[-1].tolist(),
+                "displacements": res.displacements[-1].tolist(),
+            },
+        }
+        if analysis.get("include_history"):
+            out["history"] = {
+                "von_mises": res.von_mises.tolist(),
+                "eq_plastic_strain": res.eq_plastic.tolist(),
+            }
+        return out
     if kind == "modal":
         res = plane_modal(problem,
                           n_modes=int(analysis.get("n_modes", 6)))
@@ -325,8 +411,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             "final_loss": float(hist[-1]) if hist.size else None,
         }
     raise ValueError(f'plane analysis.type must be "static", "modal", '
-                     f'"transient", "harmonic" or "identification", '
-                     f'got {kind!r}')
+                     f'"transient", "harmonic", "plastic" or '
+                     f'"identification", got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

@@ -569,6 +569,65 @@ def rect_mesh(width: float, height: float, nx: int, ny: int,
     return nodes, np.asarray(elems, dtype=int)
 
 
+def annulus_mesh(r_inner: float, r_outer: float, nr: int, nt: int,
+                 sweep: float = 0.5 * np.pi):
+    """Structured quarter-annulus (or `sweep`-radian sector) Q4 mesh.
+
+    The thick-wall-cylinder verification family (Lame elastic field,
+    von Mises limit pressure) lives on this geometry; one canonical
+    builder keeps node ordering consistent between the tests, the
+    corpus problems and the JSON tier (the rect_mesh doctrine).
+
+    Node (i, j) = (radial, angular) sits at index j*(nr+1)+i, so the
+    inner arc is i = 0 (`np.arange(0, nnode, nr+1)`), the theta=0 edge
+    is j = 0 (`np.arange(nr+1)`) and the theta=sweep edge is j = nt.
+    Elements are CCW Q4s."""
+    if nr < 1 or nt < 1:
+        raise ValueError("annulus_mesh needs nr, nt >= 1")
+    if not 0.0 < r_inner < r_outer:
+        raise ValueError("annulus_mesh needs 0 < r_inner < r_outer")
+    rs = np.linspace(float(r_inner), float(r_outer), nr + 1)
+    ts = np.linspace(0.0, float(sweep), nt + 1)
+    rg, tg = np.meshgrid(rs, ts)                  # (nt+1, nr+1)
+    nodes = np.stack([(rg * np.cos(tg)).ravel(),
+                      (rg * np.sin(tg)).ravel()], axis=-1)
+
+    def nid(i, j):
+        return j * (nr + 1) + i
+
+    elems = []
+    for j in range(nt):
+        for i in range(nr):
+            elems.append([nid(i, j), nid(i + 1, j),
+                          nid(i + 1, j + 1), nid(i, j + 1)])
+    return nodes, np.asarray(elems, dtype=int)
+
+
+def pressure_load(nodes: np.ndarray, node_ids: np.ndarray,
+                  pressure: float, thickness: float,
+                  ndof: Optional[int] = None) -> np.ndarray:
+    """(2n,) consistent nodal loads of a NORMAL pressure along the
+    polyline through `node_ids`: each straight segment P1 -> P2
+    contributes p·t·(dy, -dx)/2 to both ends — the exact integral of
+    a constant pressure on a straight edge, with the normal the
+    -90-degree rotation of the path direction.  Walk the path so the
+    material lies on its LEFT and a positive pressure pushes INTO the
+    material (an inner-bore arc walked counterclockwise gets the
+    radially-outward push a contained fluid exerts)."""
+    nodes = np.asarray(nodes, dtype=float)
+    ids = np.asarray(node_ids, dtype=int).reshape(-1)
+    f = np.zeros(2 * nodes.shape[0] if ndof is None else ndof)
+    p = float(pressure) * float(thickness)
+    for i, j in zip(ids[:-1], ids[1:]):
+        d = nodes[j] - nodes[i]
+        fx, fy = p * d[1], -p * d[0]
+        f[2 * i] += 0.5 * fx
+        f[2 * i + 1] += 0.5 * fy
+        f[2 * j] += 0.5 * fx
+        f[2 * j + 1] += 0.5 * fy
+    return f
+
+
 def edge_load(nodes: np.ndarray, node_ids: np.ndarray, traction,
               thickness: float, ndof: Optional[int] = None
               ) -> np.ndarray:

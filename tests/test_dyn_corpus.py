@@ -36,7 +36,8 @@ def test_dyn_corpus_complete():
                    "dyn-identification-frf.json",
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
-                   "dyn-plane.json", "dyn-plastic.json",
+                   "dyn-plane-plastic.json", "dyn-plane.json",
+                   "dyn-plastic.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
@@ -71,6 +72,18 @@ def test_dyn_corpus_runs(name, tmp_path):
         np.testing.assert_allclose(f, exact, rtol=2.5e-2)
         np.testing.assert_allclose(f[0], exact[0], rtol=1e-3)
         assert np.asarray(res["mode_shapes"]).shape == (4, 102)
+    elif name == "dyn-plane-plastic.json":
+        # Thick-wall cylinder at 0.99 p_lim: plastic front has spread
+        # from the bore but not collapsed; von Mises capped at sigma_y
+        # (perfect plasticity); bore displacement above the elastic
+        # extrapolation of the first (elastic) step.
+        assert res["element_type"] == "plane" and res["plane_strain"]
+        npl = res["n_plastic"]
+        assert npl[0] == 0 and npl[-1] > 0
+        assert max(res["max_von_mises"]) <= 1.0 * 1.001
+        u = np.asarray(res["displacements"])     # (4 steps, 4 dofs)
+        lf = np.asarray(res["load_factors"])
+        assert u[-1, 0] > u[0, 0] * lf[-1] / lf[0] * 1.02
     elif name == "dyn-plastic.json":
         # Two-bar serial chain, bilinear hardening: exact endpoint
         # u = 2 L_e (σ/E + (σ − σ_y)/H) = 0.13 at σ = 1.5.
