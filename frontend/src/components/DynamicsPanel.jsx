@@ -416,8 +416,10 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       };
       const r = await post('reliability', problem);
       setKind('reliability'); setShapes(null);
+      // null beta = unreachable limit state (infinitely safe): cap at
+      // 8 for the chart rather than plotting 0.
       setChart({ xs: r.beta.map((_, i) => i),
-                 series: r.beta.map((v) => [v === null ? 8 : Math.min(v, 8)])  // null = unreachable (infinitely safe): cap, not 0 });
+                 series: r.beta.map((v) => [v === null ? 8 : Math.min(v, 8)]) });
       const crit = r.critical_limit_state;
       const [lo, hi] = r.system_pf_bounds;
       setRows([
@@ -429,6 +431,181 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
       ]);
       setMessage(`FORM over ${r.labels.length} limit states `
         + `(resistance 1.3× the mean-load stress); chart: β per member`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
+  // Reinterpret the truss sketch as a RIGID-JOINTED frame: same
+  // geometry, solid-square section I = A²/12, the truss loads carried
+  // over with zero nodal moments; fully-pinned sketch nodes become
+  // clamps (rotation fixed), partial fixities keep their
+  // translational DOF only.  The io/frame_io.py document contract.
+  const frameDoc = (problem, analysis) => {
+    const nodes = problem.nodes.map((n) => [n.x, n.y]);
+    const loads = [];
+    const fixed = [];
+    problem.nodes.forEach((n, i) => {
+      loads.push(problem.loads[2 * i] || 0, problem.loads[2 * i + 1] || 0, 0);
+      if (n.fixed_x) fixed.push(3 * i);
+      if (n.fixed_y) fixed.push(3 * i + 1);
+      if (n.fixed_x && n.fixed_y) fixed.push(3 * i + 2);
+    });
+    const A = problem.material.area || 1;
+    return {
+      nodes, elements: problem.elements, loads, fixed_dofs: fixed,
+      material: { young: problem.material.young, area: A,
+                  inertia: A * A / 12,
+                  density: problem.material.density || 1 },
+      analysis,
+    };
+  };
+
+  const runFrame = async () => {
+    // Frame statics + modal on the sketch with rigid joints — the
+    // round-3 element family reaching the UI tier (VERDICT r3 #1).
+    setMessage('Solving the sketch as a rigid-jointed frame…');
+    try {
+      const problem = baseProblem();
+      const s = await post('frame', frameDoc(problem, { type: 'static' }));
+      const m = await post('frame', frameDoc(problem,
+        { type: 'modal', n_modes: 4, include_shapes: true }));
+      setKind('frame'); setChart(null);
+      // FEMCanvas overlays 2-DOF shapes: project out the rotations.
+      setShapes(m.mode_shapes.map((phi) =>
+        phi.filter((_, d) => d % 3 !== 2)));
+      const aMax = Math.max(...s.axial_forces.map(Math.abs));
+      const mMax = Math.max(...s.end_moments.flat().map(Math.abs));
+      setRows([
+        { label: 'max |N|', value: aMax.toPrecision(4) },
+        { label: 'max |M|', value: mMax.toPrecision(4) },
+        ...m.frequencies_hz.map((f, i) => ({
+          label: `f${i + 1}`, value: `${f.toPrecision(5)} Hz` })),
+      ]);
+      setMessage(`Rigid joints carry moment: max |M| = ${mMax.toPrecision(4)}; `
+        + `f₁ = ${m.frequencies_hz[0].toPrecision(5)} Hz`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
+  const runPlane = async () => {
+    // 2D continuum demo: an end-loaded cantilever membrane (24×6 Q4
+    // grid, Timoshenko's closed-form benchmark) with the sketch's
+    // material — the plane family's UI entry (io/plane_io.py).
+    setMessage('Solving the plane-stress cantilever patch…');
+    try {
+      const E = baseProblem().material.young;
+      const r = await post('plane', {
+        mesh: { type: 'rect', width: 4, height: 1, nx: 24, ny: 6,
+                element: 'quad' },
+        material: { young: E, poisson: 0.3, thickness: 0.1,
+                    density: 1 },
+        edge_loads: [{ nodes: [24, 49, 74, 99, 124, 149, 174],
+                       traction: [0, -0.01 * E] }],
+        fixed_nodes: [0, 25, 50, 75, 100, 125, 150],
+        analysis: { type: 'static' },
+      });
+      setKind('plane'); setShapes(null); setChart(null);
+      const uy = r.displacements.filter((_, d) => d % 2 === 1);
+      const tip = Math.min(...uy);
+      setRows([
+        { label: 'tip deflection', value: tip.toPrecision(4) },
+        { label: 'max von Mises',
+          value: `${r.max_von_mises.toPrecision(4)} `
+            + `(element ${r.max_von_mises_element})` },
+      ]);
+      setMessage('End-loaded plane-stress cantilever: 144 Q4 elements, '
+        + `tip ${tip.toPrecision(4)}`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
+  const runPushover = async () => {
+    // Elastoplastic pushover of the sketch: yield at 80% of the
+    // mean-load elastic stress level (the Reliability two-step flow),
+    // ramp to 3× — the capacity curve every pushover code plots.
+    setMessage('Pushing over (elastoplastic)…');
+    try {
+      const problem = baseProblem();
+      const probes = probeNodes(problem);
+      const s = await post('solve-generic',
+                           { ...problem, analysis: undefined,
+                             nn_config: undefined });
+      const u = s.displacements;
+      const E = problem.material.young;
+      const stresses = problem.elements.map(([i, j2]) => {
+        const dx = problem.nodes[j2].x - problem.nodes[i].x;
+        const dy = problem.nodes[j2].y - problem.nodes[i].y;
+        const l2 = dx * dx + dy * dy;
+        const eps = ((u[2 * j2] - u[2 * i]) * dx
+                     + (u[2 * j2 + 1] - u[2 * i + 1]) * dy) / l2;
+        return E * eps;
+      });
+      const smax = Math.max(...stresses.map(Math.abs));
+      if (!(smax > 0)) throw new Error('no stressed members to push');
+      const nSteps = 24;
+      problem.analysis = {
+        type: 'plastic', sigma_y: 0.8 * smax, hardening: 0.05 * E,
+        load_factors: Array.from({ length: nSteps },
+                                 (_, i) => 3.0 * (i + 1) / nSteps),
+        probe_nodes: probes,
+      };
+      // Scalar-material pushover (an attached NN young field is
+      // dropped — yield vs stress needs the scalar value, the same
+      // decision runReliability documents).
+      const r = await post('plastic', { ...problem,
+                                        nn_config: undefined });
+      setKind('plastic'); setShapes(null);
+      setChart({ xs: r.load_factors, series: r.displacements });
+      const yielded = r.yielded_elements.length;
+      setRows([
+        { label: 'yielded', value: `${yielded} / ${stresses.length} members` },
+        { label: 'residual', value: r.max_residual.toExponential(2) },
+        { label: 'peak |σ|',
+          value: Math.max(...r.max_abs_stress).toPrecision(4) },
+      ]);
+      setMessage(`Pushover to 3× (yield at 0.8σ_max): capacity curve at `
+        + `nodes ${probes.join(', ')}; ${yielded} members yielded`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
+  const runPlanePlastic = async () => {
+    // Thick-wall cylinder at 99% of the textbook limit pressure
+    // p_lim = (2/√3)σ_y ln(b/a): B-bar von Mises plane strain, the
+    // plastic front spreading from the bore (tests/test_plane_plastic).
+    setMessage('Pressurizing the thick-wall cylinder…');
+    try {
+      const plim = (2 / Math.sqrt(3)) * Math.log(2);
+      const fr = [0.5, 0.9, 0.99].map((f) => f * plim);
+      const r = await post('plane', {
+        mesh: { type: 'annulus', r_inner: 1, r_outer: 2, nr: 6, nt: 8 },
+        material: { young: 1000, poisson: 0.3, thickness: 1,
+                    density: 1 },
+        plane_strain: true,
+        edge_loads: [{ nodes: [0, 7, 14, 21, 28, 35, 42, 49, 56],
+                       pressure: 1 }],
+        fixed_y_nodes: [0, 1, 2, 3, 4, 5, 6],
+        fixed_x_nodes: [56, 57, 58, 59, 60, 61, 62],
+        analysis: { type: 'plastic', sigma_y: 1, load_factors: fr,
+                    tolerance: 1e-8, max_iterations: 40,
+                    probe_nodes: [0] },
+      });
+      setKind('plane-plastic'); setShapes(null);
+      setChart({ xs: r.load_factors,
+                 series: r.displacements.map((row) => [row[0]]) });
+      setRows([
+        { label: 'p / p_lim', value: '0.99' },
+        { label: 'plastic elements',
+          value: `${r.n_plastic[r.n_plastic.length - 1]} / 48` },
+        { label: 'peak von Mises',
+          value: Math.max(...r.max_von_mises).toPrecision(4) },
+      ]);
+      setMessage('Von Mises cylinder at 0.99 p_lim: bore displacement '
+        + 'vs pressure (the knee is the plastic front)');
     } catch (e) {
       fail(e);
     }
@@ -450,6 +627,10 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runSpectrum}>Spectrum ▶</button>
         <button onClick={runOptimize}>Optimize ▶</button>
         <button onClick={runReliability}>Reliability ▶</button>
+        <button onClick={runFrame}>Frame ▶</button>
+        <button onClick={runPlane}>Plane ▶</button>
+        <button onClick={runPushover}>Pushover ▶</button>
+        <button onClick={runPlanePlastic}>Cylinder ▶</button>
       </div>
       <table>
         <tbody>

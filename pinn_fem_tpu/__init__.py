@@ -39,6 +39,8 @@ from .models.fields import (  # noqa: E402
     to_field,
 )
 from .models.frame import (  # noqa: E402
+    frame_modal_banded,
+    solve_frame_static_banded,
     FrameProblem,
     frame_buckling,
     frame_matrices,
@@ -219,6 +221,8 @@ __all__ = [
     "pressure_load",
     "solve_plane_plastic",
     "solve_frame_static",
+    "solve_frame_static_banded",
+    "frame_modal_banded",
     "frame_modal",
     "frame_buckling",
     "frame_matrices",

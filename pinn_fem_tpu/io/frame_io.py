@@ -111,7 +111,52 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
         # The Node /api/fem/frame route injects type="frame" when the
         # document carries no analysis block — that means "statics".
         kind = "static"
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    large = problem.ndof > DENSE_DOF_LIMIT
     if kind == "static":
+        if large:
+            # Device tier: banded DIA + PCG (models/frame.py, round-4
+            # VERDICT #2) — the dense O(n^3) solve is intractable and
+            # so is a full-field JSON payload; probes + member-force
+            # summaries instead (the plane-family convention).
+            from ..models.frame import solve_frame_static_banded
+
+            res, iterations, residual = solve_frame_static_banded(
+                problem,
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iterations", 20000)),
+                use_pallas=bool(analysis.get("use_pallas", False)),
+                precond=analysis.get("precond", "auto"))
+            u = res.displacements
+            i_max = int(np.argmax(np.abs(u)))
+            out = {
+                "success": True,
+                "analysis": "static",
+                "element_type": "frame",
+                "tier": "banded",
+                "iterations": int(iterations),
+                "relative_residual": float(residual),
+                "max_abs_displacement": float(np.abs(u[i_max])),
+                "max_abs_displacement_dof": i_max,
+                "max_abs_axial": float(np.abs(res.axial).max()),
+                "max_abs_moment": float(np.abs(res.moments).max()),
+            }
+            if res.max_stress is not None:
+                out["max_stress"] = float(res.max_stress.max())
+                out["max_stress_element"] = int(
+                    np.argmax(res.max_stress))
+            probe = analysis.get("probe_dofs")
+            if probe is None and analysis.get("probe_nodes") is not None:
+                pn = np.asarray(analysis["probe_nodes"],
+                                dtype=int).reshape(-1)
+                probe = np.stack([3 * pn, 3 * pn + 1, 3 * pn + 2],
+                                 axis=1).reshape(-1)
+            if probe is not None:
+                probe = np.asarray(probe, dtype=int).reshape(-1)
+                out["probe_dofs"] = probe.tolist()
+                out["displacements"] = u[probe].tolist()
+            return out
         res = solve_frame_static(problem)
         return {
             "success": True,
@@ -126,6 +171,33 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
                if res.max_stress is not None else {}),
         }
     if kind == "modal":
+        if large:
+            from ..models.frame import frame_modal_banded
+
+            res = frame_modal_banded(
+                problem, n_modes=int(analysis.get("n_modes", 4)),
+                n_iter=int(analysis.get("n_iter", 30)),
+                cg_tol=float(analysis.get("cg_tolerance", 1e-7)))
+            out = {
+                "success": True,
+                "analysis": "modal",
+                "element_type": "frame",
+                "tier": "banded",
+                "mass": "lumped",
+                "frequencies_hz": res.frequencies_hz.tolist(),
+                "omegas": res.omegas.tolist(),
+                "eigenvalues": res.eigenvalues.tolist(),
+            }
+            # Full (n_modes, 3n) shapes would dwarf the payload at
+            # banded sizes; probe them instead.
+            pn = analysis.get("probe_nodes")
+            if pn is not None:
+                pn = np.asarray(pn, dtype=int).reshape(-1)
+                dofs = np.stack([3 * pn, 3 * pn + 1, 3 * pn + 2],
+                                axis=1).reshape(-1)
+                out["probe_nodes"] = pn.tolist()
+                out["mode_shapes"] = res.mode_shapes[:, dofs].tolist()
+            return out
         res = frame_modal(problem,
                           n_modes=int(analysis.get("n_modes", 4)))
         out = {

@@ -1067,3 +1067,246 @@ def optimize_frame_inertia_rbdo(problem: FrameProblem, variables,
     weight = float(np.sum(i_e ** q * length_np))
     return i_e, weight, np.asarray(rres.beta, dtype=float), \
         np.asarray(hist)
+
+
+# --------------------------------------------------------------------
+# Banded DEVICE tier (round-4 VERDICT #2): DIA + PCG statics and
+# subspace-iteration modal, so a 50-story / 40k-DOF frame solves on
+# chip — the solve_plane_static_banded pattern with 6x6 bending blocks.
+
+
+def _frame_blocks_jnp(length, c, s, young, area, inertia):
+    """(kl, t, kg_blocks) traced jnp element matrices from traced
+    geometry/property arrays — the block builder
+    frame_static_response inlines, factored so the banded tier builds
+    them INSIDE its jitted program.  precision="highest" on the T'KT
+    contraction: TPU einsum defaults to bf16 on the MXU and the
+    rounding asymmetry breaks PCG (models/plane.py:_einsum,
+    CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    m = length.shape[0]
+    dtype = length.dtype
+    ea = young * area / length
+    ei = young * inertia
+    z = jnp.zeros_like(length)
+    b12 = 12.0 * ei / length ** 3
+    b6 = 6.0 * ei / length ** 2
+    b4 = 4.0 * ei / length
+    b2 = 2.0 * ei / length
+    rows = [jnp.stack([ea, z, z, -ea, z, z], axis=-1),
+            jnp.stack([z, b12, b6, z, -b12, b6], axis=-1),
+            jnp.stack([z, b6, b4, z, -b6, b2], axis=-1),
+            jnp.stack([-ea, z, z, ea, z, z], axis=-1),
+            jnp.stack([z, -b12, -b6, z, b12, -b6], axis=-1),
+            jnp.stack([z, b6, b2, z, -b6, b4], axis=-1)]
+    kl = jnp.stack(rows, axis=-2)
+
+    one = jnp.ones_like(c)
+    r3 = jnp.stack([
+        jnp.stack([c, s, z], axis=-1),
+        jnp.stack([-s, c, z], axis=-1),
+        jnp.stack([z, z, one], axis=-1)], axis=-2)
+    t = jnp.zeros((m, 6, 6), dtype)
+    t = t.at[:, :3, :3].set(r3)
+    t = t.at[:, 3:, 3:].set(r3)
+    kg_blocks = jnp.einsum("mji,mjk,mkl->mil", t, kl, t,
+                           precision="highest")
+    return kl, t, kg_blocks
+
+
+def _frame_dia_layout(problem: "FrameProblem"):
+    """DIA layout cached on the instance (the plane-family rule: the
+    host layout build is O(nelm*36) numpy work and depends only on
+    connectivity, fixed at construction)."""
+    import jax.numpy as jnp
+
+    from ..ops.dia import dia_layout
+
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+    return layout
+
+
+_FRAME_BANDED_CACHE: dict = {}
+
+
+def _frame_banded_core(layout, precond: str, use_pallas: bool,
+                       max_iter: int, nelm: int):
+    """Jitted banded frame statics, cached per structural signature
+    (never per problem object — the closure recompile trap,
+    CLAUDE.md)."""
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.bandwidth, nelm, precond, use_pallas, max_iter)
+    core = _FRAME_BANDED_CACHE.get(key)
+    if core is not None:
+        return core
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks, dia_cg_solve, dia_matvec
+
+    @jax.jit
+    def core(length, c, s, young, area, inertia, entry_slot, f, mask,
+             tol):
+        _, _, kg_blocks = _frame_blocks_jnp(length, c, s, young, area,
+                                            inertia)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, entry_slot), kg_blocks)
+        x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
+                                     max_iter=max_iter,
+                                     use_pallas=use_pallas,
+                                     precond=precond, components=3)
+        reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+        return x, reac, iters, rel
+
+    _FRAME_BANDED_CACHE[key] = core
+    return core
+
+
+class DiaLayoutView:
+    """A layout whose entry_slot is a TRACED device array: keeps the
+    67 MB slot table out of the compiled HLO as a constant (the plane
+    banded tier passes entry_slot as an argument for the same
+    reason)."""
+
+    def __init__(self, layout, entry_slot):
+        self._layout = layout
+        self.entry_slot = entry_slot
+
+    def __getattr__(self, name):
+        return getattr(self._layout, name)
+
+
+def solve_frame_static_banded(problem: "FrameProblem",
+                              tol: float = 1e-7,
+                              max_iter: int = 20000,
+                              use_pallas: bool = False,
+                              precond: str = "auto", dtype=None):
+    """Large-mesh frame statics on the DEVICE tier.
+
+    Tall regular frames (story grids, lattice towers) are banded under
+    nodal numbering: 6 DOFs couple per node pair, so the stiffness has
+    a few dozen distinct diagonals and the whole solve rides the DIA
+    pipeline the truss and plane families built (ops/dia.py):
+    batched (m, 6, 6) T'KT blocks contracted on the MXU, one scatter
+    into diagonal storage, streaming-rate Jacobi-PCG.  The mixed
+    axial/flexural/rotational DOF scales make Jacobi scaling (not no
+    preconditioning) load-bearing here.
+
+    Returns (FrameStaticResult, iterations, relative_residual); member
+    end-force recovery runs on the host from the fetched displacement
+    field (ONE device_get, the corpus-benchmark rule).  Pinned 1:1
+    against solve_frame_static on refinement sequences in
+    tests/test_frame.py; above DENSE_DOF_LIMIT this is the only
+    tractable path."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    if precond == "auto":
+        precond = "jacobi"  # the measured plane-family tradeoff
+    layout = _frame_dia_layout(problem)
+    core = _frame_banded_core(layout, precond, use_pallas,
+                              int(max_iter), problem.nelm)
+    length_np, c_np, s_np = _geometry(problem)
+    f_member, f_fixed = _member_load_vectors(problem)
+    f_np = problem.loads + f_member
+    x, reac, iters, rel = core(
+        jnp.asarray(length_np, dtype), jnp.asarray(c_np, dtype),
+        jnp.asarray(s_np, dtype), jnp.asarray(problem.young, dtype),
+        jnp.asarray(problem.area, dtype),
+        jnp.asarray(problem.inertia, dtype),
+        problem._dia_entry_slot_dev,
+        jnp.asarray(f_np, dtype),
+        jnp.asarray(problem.free_mask(), dtype),
+        jnp.asarray(tol, dtype))
+    u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    u = np.asarray(u, dtype=float)
+
+    length, c, s = _geometry(problem)
+    t = _rotation(c, s)
+    kl = _k_local(problem.young, problem.area, problem.inertia, length)
+    u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
+    max_stress = None
+    if problem.section_modulus is not None:
+        axial_n = -f_loc[:, 0]
+        m_max = np.max(np.abs(f_loc[:, [2, 5]]), axis=1)
+        max_stress = np.abs(axial_n) / problem.area \
+            + m_max / problem.section_modulus
+    res = FrameStaticResult(
+        displacements=u,
+        member_end_forces=f_loc,
+        axial=-f_loc[:, 0],
+        moments=f_loc[:, [2, 5]],
+        reactions=np.asarray(reac, dtype=float),
+        max_stress=max_stress)
+    return res, int(iters), float(rel)
+
+
+def frame_lumped_mass_diag(problem: "FrameProblem") -> np.ndarray:
+    """(3n,) HRZ-lumped mass diagonal: scale the consistent diagonal
+    so each member's translational total is preserved — rho A L / 2
+    per end translation and rho A L^3 / 78 rotary inertia (the
+    4 L^2/420 consistent diagonal through the 420/312 HRZ factor).
+    Nonsingular on every DOF, which the banded modal M-inner product
+    needs; point masses add translationally."""
+    length, _, _ = _geometry(problem)
+    rho_al = problem.density * problem.area * length
+    tr = 0.5 * rho_al
+    rot = rho_al * length ** 2 / 78.0
+    diag = np.zeros(problem.ndof)
+    dm = problem.dof_map()
+    fe = np.stack([tr, tr, rot, tr, tr, rot], axis=-1)
+    np.add.at(diag, dm, fe)
+    if problem.point_masses is not None:
+        diag[0::3] += problem.point_masses
+        diag[1::3] += problem.point_masses
+    return diag
+
+
+def frame_modal_banded(problem: "FrameProblem", n_modes: int = 4,
+                       n_iter: int = 30, cg_tol: float = 1e-7,
+                       seed: int = 0, dtype=None,
+                       mesh=None) -> FrameModalResult:
+    """Large-mesh frame modal analysis: inverse subspace iteration on
+    the banded operator with HRZ-lumped mass — the truss family's
+    _subspace_iteration (solvers/modal.py) riding the frame DIA
+    diagonals unchanged (it is layout-generic).  Lumped-mass
+    frequencies converge from BELOW under refinement while the
+    consistent host tier converges from above; tests pin banded-vs-
+    dense on the SAME lumped discrete problem instead.  `mesh`
+    distributes the block solves (parallel/dia_sharded.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks
+    from ..solvers.modal import _subspace_iteration
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    layout = _frame_dia_layout(problem)
+    length_np, c_np, s_np = _geometry(problem)
+    _, _, kg_blocks = _frame_blocks_jnp(
+        jnp.asarray(length_np, dtype), jnp.asarray(c_np, dtype),
+        jnp.asarray(s_np, dtype), jnp.asarray(problem.young, dtype),
+        jnp.asarray(problem.area, dtype),
+        jnp.asarray(problem.inertia, dtype))
+    diags = assemble_dia_blocks(
+        DiaLayoutView(layout, problem._dia_entry_slot_dev), kg_blocks)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    m_diag = jnp.asarray(frame_lumped_mass_diag(problem), dtype)
+    m_diag = m_diag * mask + (1.0 - mask)
+    w, y, change = _subspace_iteration(
+        layout, diags, m_diag, mask, int(n_modes), int(n_iter),
+        cg_tol, int(seed), mesh=mesh)
+    lam, shapes = jax.device_get((w, (y * mask[:, None]).T))
+    lam = np.maximum(np.asarray(lam, dtype=float), 0.0)
+    om = np.sqrt(lam)
+    return FrameModalResult(frequencies_hz=om / (2.0 * np.pi),
+                            omegas=om, eigenvalues=lam,
+                            mode_shapes=np.asarray(shapes, dtype=float))

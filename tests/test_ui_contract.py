@@ -633,3 +633,104 @@ def test_ui_reliability_payload_served():
     lo, hi = out["system_pf_bounds"]
     assert 0 < lo <= hi <= 1
     assert len(out["beta"]) == len(stresses)
+
+
+# --------------------------------------------------------------------
+# Round-3 element families reach the UI tier (round-4 VERDICT #3):
+# frame / plane / plastic actions in BOTH UIs, POST bodies pinned.
+
+
+def test_ui_frame_payload_served():
+    """Both UIs' Frame action (frameDoc(): the sketch reinterpreted as
+    a rigid-jointed frame) through the live /api/fem/frame handler:
+    statics reproduces the truss chain axially (M = 0 on a straight
+    axial chain), and the modal variant returns renderable rows."""
+    from pinn_fem_tpu.serve.server import _solve_frame
+
+    payload = load_fixture("ui_payload_frame.json")
+    out = _solve_frame(payload)
+    assert out["success"] and out["analysis"] == "static"
+    u = np.asarray(out["displacements"])
+    # Axial chain: u_x = [0, 1, 2, 3] like the truss; zero moments.
+    np.testing.assert_allclose(u[0::3], [0, 1, 2, 3], atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out["end_moments"]), 0.0,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(out["axial_forces"]), 1.0,
+                               atol=1e-9)
+
+    modal = {**payload, "analysis": {"type": "modal", "n_modes": 4,
+                                     "include_shapes": True}}
+    outm = _solve_frame(modal)
+    assert outm["success"] and outm["analysis"] == "modal"
+    f = np.asarray(outm["frequencies_hz"])
+    assert f.shape == (4,) and np.all(f > 0) and np.all(np.diff(f) > 0)
+    # The panel projects rotations out for the canvas: 3 DOFs/node.
+    assert np.asarray(outm["mode_shapes"]).shape == (4, 12)
+
+
+def test_ui_plane_payload_served():
+    """Both UIs' Plane action (the end-loaded cantilever membrane
+    patch) through the live /api/fem/plane handler: downward tip
+    deflection near the Euler-Bernoulli estimate, positive von
+    Mises with the documented panel fields present."""
+    from pinn_fem_tpu.serve.server import _solve_plane
+
+    payload = load_fixture("ui_payload_plane.json")
+    out = _solve_plane(payload)
+    assert out["success"] and out["analysis"] == "static"
+    u = np.asarray(out["displacements"])
+    tip = u[1::2].min()
+    # P L^3/3EI with P = 0.01*E*1*0.1, I = 0.1/12: tip = -2.56; the
+    # shear-deformable membrane sits within ~15% of the beam estimate.
+    p_total = 0.01 * 1.0 * 0.1
+    beam = -p_total * 4.0**3 / (3.0 * 1.0 * (0.1 / 12.0))
+    assert beam * 1.15 < tip < beam * 0.8
+    assert out["max_von_mises"] > 0
+    assert isinstance(out["max_von_mises_element"], int)
+
+
+@pytest.mark.parametrize("fixture", ["ui_payload_react_pushover.json",
+                                     "ui_payload_pushover.json"])
+def test_ui_pushover_payload_served(fixture):
+    """Both UIs' Pushover action through the live /api/fem/plastic
+    handler: the capacity curve softens past yield (secant stiffness
+    drops), every member yields by 3x, and the chart fields the
+    panels consume (load_factors x displacements rows) are present
+    and aligned."""
+    from pinn_fem_tpu.serve.server import _solve_analysis
+
+    payload = load_fixture(fixture)
+    out = _solve_analysis("plastic")(payload)
+    assert out["success"] and out["analysis"] == "plastic"
+    lf = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    assert d.shape == (24, 2) and lf.shape == (24,)
+    ux = d[:, 0]                      # loaded node 3, x DOF
+    # Elastic secant up to yield (sigma_y = 0.8): u = 3 lf there.
+    np.testing.assert_allclose(ux[lf <= 0.8], 3.0 * lf[lf <= 0.8],
+                               rtol=1e-6)
+    # Past yield the tangent drops to E H/(E+H): secant stiffness
+    # strictly softer.
+    assert ux[-1] / lf[-1] > 1.5 * (ux[0] / lf[0])
+    assert sorted(out["yielded_elements"]) == [0, 1, 2]
+
+
+def test_ui_cylinder_payload_served():
+    """Both UIs' Cylinder action (thick-wall von Mises cylinder at
+    0.99 p_lim) through the live /api/fem/plane handler: plastic
+    front spreading, von Mises capped at sigma_y, bore-displacement
+    chart fields aligned."""
+    from pinn_fem_tpu.serve.server import _solve_plane
+
+    payload = load_fixture("ui_payload_cylinder.json")
+    out = _solve_plane(payload)
+    assert out["success"] and out["analysis"] == "plastic"
+    assert out["plane_strain"] is True
+    npl = out["n_plastic"]
+    assert npl[0] == 0 and npl[-1] > 0
+    assert max(out["max_von_mises"]) <= 1.0 * 1.001
+    d = np.asarray(out["displacements"])
+    assert d.shape == (3, 2)          # 3 steps, node 0 (u, v)
+    lf = np.asarray(out["load_factors"])
+    # The knee: bore displacement grows faster than linearly in p.
+    assert d[2, 0] / lf[2] > 1.02 * d[0, 0] / lf[0]
