@@ -1186,7 +1186,8 @@ def solve_frame_static_banded(problem: "FrameProblem",
                               tol: float = 1e-7,
                               max_iter: int = 20000,
                               use_pallas: bool = False,
-                              precond: str = "auto", dtype=None):
+                              precond: str = "auto", dtype=None,
+                              mesh=None):
     """Large-mesh frame statics on the DEVICE tier.
 
     Tall regular frames (story grids, lattice towers) are banded under
@@ -1211,21 +1212,47 @@ def solve_frame_static_banded(problem: "FrameProblem",
     if precond == "auto":
         precond = "jacobi"  # the measured plane-family tradeoff
     layout = _frame_dia_layout(problem)
-    core = _frame_banded_core(layout, precond, use_pallas,
-                              int(max_iter), problem.nelm)
     length_np, c_np, s_np = _geometry(problem)
     f_member, f_fixed = _member_load_vectors(problem)
     f_np = problem.loads + f_member
-    x, reac, iters, rel = core(
-        jnp.asarray(length_np, dtype), jnp.asarray(c_np, dtype),
-        jnp.asarray(s_np, dtype), jnp.asarray(problem.young, dtype),
-        jnp.asarray(problem.area, dtype),
-        jnp.asarray(problem.inertia, dtype),
-        problem._dia_entry_slot_dev,
-        jnp.asarray(f_np, dtype),
-        jnp.asarray(problem.free_mask(), dtype),
-        jnp.asarray(tol, dtype))
-    u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    if mesh is not None:
+        # Multi-chip path: the banded solve rides parallel/
+        # dia_sharded.dia_cg_solve_sharded with the DOF axis
+        # row-block-sharded over "tp" (the plane family's pattern,
+        # round-4 VERDICT #4).
+        from ..ops.dia import assemble_dia_blocks, dia_matvec
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+
+        _, _, kg_blocks = _frame_blocks_jnp(
+            jnp.asarray(length_np, dtype), jnp.asarray(c_np, dtype),
+            jnp.asarray(s_np, dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.area, dtype),
+            jnp.asarray(problem.inertia, dtype))
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, problem._dia_entry_slot_dev),
+            kg_blocks)
+        f_dev = jnp.asarray(f_np, dtype)
+        mask_dev = jnp.asarray(problem.free_mask(), dtype)
+        x, iters, rel = dia_cg_solve_sharded(
+            layout, diags, f_dev, mask_dev, mesh, tol=float(tol),
+            max_iter=int(max_iter))
+        reac = (dia_matvec(layout, diags, x) - f_dev) \
+            * (1.0 - mask_dev)
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    else:
+        core = _frame_banded_core(layout, precond, use_pallas,
+                                  int(max_iter), problem.nelm)
+        x, reac, iters, rel = core(
+            jnp.asarray(length_np, dtype), jnp.asarray(c_np, dtype),
+            jnp.asarray(s_np, dtype), jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.area, dtype),
+            jnp.asarray(problem.inertia, dtype),
+            problem._dia_entry_slot_dev,
+            jnp.asarray(f_np, dtype),
+            jnp.asarray(problem.free_mask(), dtype),
+            jnp.asarray(tol, dtype))
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
     u = np.asarray(u, dtype=float)
 
     length, c, s = _geometry(problem)

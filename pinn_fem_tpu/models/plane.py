@@ -800,7 +800,8 @@ def identify_plane_young(problem: "PlaneProblem", measured_dofs,
 def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
                               max_iter: int = 20000,
                               use_pallas: bool = False,
-                              precond: str = "auto", dtype=None):
+                              precond: str = "auto", dtype=None,
+                              mesh=None):
     """Large-mesh plane statics on the DEVICE tier.
 
     Structured 2D continuum meshes are the banded-operator sweet spot:
@@ -863,20 +864,46 @@ def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,
         # The slot table is the one big transfer (nelm·(2nen)² int32 =
         # 67 MB at 65k Q4s): push it once and keep the device handle.
         problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
-    core = _banded_static_core(layout, problem.nen,
-                               problem.plane_strain, precond,
-                               use_pallas, int(max_iter))
     f_np = problem.loads + _body_force_vectors(problem)
-    x, reac, iters, rel = core(
-        jnp.asarray(problem.coords(), dtype),
-        jnp.asarray(problem.young, dtype),
-        jnp.asarray(problem.poisson, dtype),
-        jnp.asarray(problem.thickness, dtype),
-        problem._dia_entry_slot_dev,
-        jnp.asarray(f_np, dtype),
-        jnp.asarray(problem.free_mask(), dtype),
-        jnp.asarray(tol, dtype))
-    u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    if mesh is not None:
+        # Multi-chip path (round-4 VERDICT #4a): the banded solve IS
+        # parallel/dia_sharded.dia_cg_solve_sharded — the DOF axis
+        # row-block-shards over the mesh's "tp" axis with ppermute
+        # halo exchanges; only the diagonal assembly and the reaction
+        # matvec stay single-program.  n-dev == 1-dev is pinned by
+        # tests/test_parallel.py and __graft_entry__.dryrun_multichip.
+        from ..ops.dia import dia_matvec
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+
+        diags_core = _banded_diags_core(layout, problem.nen,
+                                        problem.plane_strain)
+        diags = diags_core(
+            jnp.asarray(problem.coords(), dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.poisson, dtype),
+            jnp.asarray(problem.thickness, dtype),
+            problem._dia_entry_slot_dev)
+        f_dev = jnp.asarray(f_np, dtype)
+        mask_dev = jnp.asarray(problem.free_mask(), dtype)
+        x, iters, rel = dia_cg_solve_sharded(
+            layout, diags, f_dev, mask_dev, mesh, tol=float(tol),
+            max_iter=int(max_iter))
+        reac = (dia_matvec(layout, diags, x) - f_dev) * (1.0 - mask_dev)
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    else:
+        core = _banded_static_core(layout, problem.nen,
+                                   problem.plane_strain, precond,
+                                   use_pallas, int(max_iter))
+        x, reac, iters, rel = core(
+            jnp.asarray(problem.coords(), dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.poisson, dtype),
+            jnp.asarray(problem.thickness, dtype),
+            problem._dia_entry_slot_dev,
+            jnp.asarray(f_np, dtype),
+            jnp.asarray(problem.free_mask(), dtype),
+            jnp.asarray(tol, dtype))
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
     u = np.asarray(u, dtype=float)
     sig, vm, principal = recover_stresses(problem, u)
     b = _centroid_b(problem)
@@ -922,6 +949,31 @@ def _banded_static_core(layout, nen: int, plane_strain: bool,
                                      precond=precond, components=2)
         reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
         return x, reac, iters, rel
+
+    _BANDED_CORE_CACHE[key] = core
+    return core
+
+
+def _banded_diags_core(layout, nen: int, plane_strain: bool):
+    """Jitted diagonal-assembly program (blocks -> DIA storage) for
+    the SHARDED path, cached per structural signature like the full
+    core above."""
+    key = ("diags", tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.entry_slot.shape, nen, plane_strain)
+    core = _BANDED_CORE_CACHE.get(key)
+    if core is not None:
+        return core
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def core(coords, young, poisson, thickness, entry_slot):
+        dmat = _dmat(young, poisson, plane_strain, xp=jnp)
+        blocks = _k_blocks(coords, dmat, thickness, nen, xp=jnp)
+        flat = jnp.zeros((layout.n_diags * layout.ndof,), blocks.dtype)
+        return flat.at[entry_slot].add(blocks).reshape(
+            layout.n_diags, layout.ndof)
 
     _BANDED_CORE_CACHE[key] = core
     return core

@@ -183,3 +183,101 @@ def test_sharded_block_cg_matches_per_column():
             return np.linalg.norm(r)
 
         assert true_res(xb[:, j]) <= 3.0 * true_res(xj) + 1e-6
+
+
+def test_sharded_plane_banded_matches_single_device():
+    """solve_plane_static_banded(mesh=...) rides the row-block-sharded
+    CG (round-4 VERDICT #4a) and must equal the single-device banded
+    tier to f32 drift."""
+    from pinn_fem_tpu.models.plane import (PlaneProblem, edge_load,
+                                           rect_mesh,
+                                           solve_plane_static_banded)
+
+    nodes, elems = rect_mesh(1.0, 4.0, 8, 48, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    right = np.flatnonzero(nodes[:, 0] == 1.0)
+    loads = edge_load(nodes, right[np.argsort(nodes[right, 1])],
+                      [10.0, 0.0], 0.1)
+    p = PlaneProblem(nodes=nodes, elements=elems, young=1000.0,
+                     poisson=0.3, thickness=0.1, density=1.0,
+                     loads=loads,
+                     fixed_dofs=np.concatenate([2 * left,
+                                                2 * bottom + 1]))
+    r1, _, _ = solve_plane_static_banded(p, tol=1e-7)
+    rn, iters, rel = solve_plane_static_banded(p, tol=1e-7,
+                                               mesh=tp_mesh(4))
+    assert rel < 1e-6 and iters > 0
+    scale = np.abs(r1.displacements).max()
+    np.testing.assert_allclose(rn.displacements / scale,
+                               r1.displacements / scale, atol=1e-5)
+    np.testing.assert_allclose(rn.von_mises, r1.von_mises,
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_frame_banded_matches_single_device():
+    """solve_frame_static_banded(mesh=...): 6-DOF bending blocks
+    through the same sharded banded pipeline == single-device."""
+    from pinn_fem_tpu.models.frame import (FrameProblem,
+                                           solve_frame_static_banded)
+
+    n = 24
+    nodes = np.array([[0.0, 3.0 * i] for i in range(n)])
+    elems = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    loads = np.zeros(3 * n)
+    loads[3 * (n - 1)] = 1000.0
+    p = FrameProblem(nodes=nodes, elements=elems, young=200e9,
+                     area=0.01, inertia=1e-4, density=7850.0,
+                     loads=loads, fixed_dofs=np.array([0, 1, 2]))
+    r1, _, _ = solve_frame_static_banded(p, tol=1e-8)
+    rn, _, rel = solve_frame_static_banded(p, tol=1e-8,
+                                           mesh=tp_mesh(4))
+    assert rel < 1e-7
+    # Bending-dominated cantilever: f32 CG at rel 1e-8 still leaves
+    # conditioning-amplified solution differences between iteration
+    # paths (~4e-4 measured) — same tolerance as banded-vs-dense.
+    scale = np.abs(r1.displacements).max()
+    np.testing.assert_allclose(rn.displacements / scale,
+                               r1.displacements / scale, atol=1e-3)
+    # Transverse tip load on a vertical column: axial forces are ~0,
+    # so compare on the moment scale (nonzero), not a 0/0 ratio.
+    m_scale = np.abs(r1.moments).max()
+    assert m_scale > 0.0
+    np.testing.assert_allclose(rn.moments / m_scale,
+                               r1.moments / m_scale, atol=1e-3)
+    np.testing.assert_allclose(rn.axial / m_scale * 3.0,
+                               r1.axial / m_scale * 3.0, atol=1e-3)
+
+
+def test_sharded_monte_carlo_pf_matches_single_device():
+    """dp-sharded Monte-Carlo reliability (round-4 VERDICT #4b): the
+    sample axis shards over "dp" and the estimate is EXACTLY the
+    single-device one (same rng stream; zero-weight padding rows)."""
+    from pinn_fem_tpu.solvers.reliability import form_reliability
+
+    p = TrussProblem(
+        nodes=np.array([[0.0, 0.0], [1.0, 0.0]]),
+        elements=np.array([[0, 1]]),
+        material=Material(young=1.0, area=1.0, density=1.0),
+        loads=np.array([0.0, 0.0, 1.0, 0.0]),
+        fixed_dofs=np.array([0, 1, 3]), dimension=2)
+    kw = dict(
+        variables=[
+            {"name": "S", "kind": "load_scale",
+             "distribution": "normal", "mean": 1.0, "std": 0.2},
+            {"name": "R", "kind": "resistance",
+             "distribution": "normal", "mean": 1.6, "std": 0.1},
+        ],
+        limit_state={"type": "stress", "variable": "R"},
+        mc_samples=4096, mc_seed=3, mc_chunk=512)
+    r1 = form_reliability(p, **kw)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("dp", "tp"))
+    rn = form_reliability(p, mesh=mesh, **kw)
+    assert rn.mc_pf == r1.mc_pf
+    assert rn.mc_pf > 0.0
+    np.testing.assert_array_equal(rn.mc_pf_per_ls, r1.mc_pf_per_ls)
+    # Sanity vs the exact closed form beta = 0.6/sqrt(0.05) = 2.683:
+    # pf ~ 3.6e-3; 4096 crude samples put the estimate within ~4 sigma.
+    from math import erf, sqrt
+    pf_exact = 0.5 * (1.0 - erf(2.6833 / sqrt(2.0)))
+    assert abs(rn.mc_pf - pf_exact) < 5.0 * r1.mc_std_error + 1e-4
