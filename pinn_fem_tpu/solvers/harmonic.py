@@ -43,6 +43,21 @@ class HarmonicResult(NamedTuple):
     force_real: np.ndarray = None       # (n_freq, n_probe_elm)
     force_imag: np.ndarray = None
     force_amplitude: np.ndarray = None
+    # Honesty guard (round-4 VERDICT #6): per-frequency relative
+    # residual ||(K + i w C - w^2 M) X - F|| / ||F|| of the RETURNED
+    # solution, and the points whose residual exceeds residual_tol.
+    # On the direct device tier this is the true post-refinement LU
+    # residual (one f32 iterative-refinement step on the reused
+    # factorization); on the modal tiers it is the truncated-basis
+    # load residual ||F - M Phi q||/||F||, which IS the exact
+    # frequency-independent residual of modal superposition (the
+    # retained-mode part of F cancels identically at every omega).
+    # A backward-stable LU keeps ||r|| ~ eps*||Z||*||X|| even when X
+    # itself drifts, so near-resonant amplification shows up here as
+    # residual growth proportional to the amplification — the ~50%
+    # dense-spectrum f32 drift this guards against flags at ~1e-3.
+    residual: np.ndarray = None         # (n_freq,)
+    flagged: np.ndarray = None          # (n_freq,) bool
 
 
 def _host_full_modal_basis(problem, prestress_u=None):
@@ -78,13 +93,27 @@ def _host_full_modal_basis(problem, prestress_u=None):
 
 def _host_sweep(problem, loads, om, alpha, beta, n_modes=None,
                 prestress_u=None):
-    """(n_freq, ndof) complex FRF on the host via full (or truncated)
-    modal superposition with exact Rayleigh modal damping."""
+    """(n_freq, ndof, + residual) complex FRF on the host via full (or
+    truncated) modal superposition with exact Rayleigh modal damping.
+
+    The returned residual is the truncated-basis load residual
+    ||F - M V q||/||F|| — EXACT and frequency-independent for modal
+    superposition (see _modal_sweep); ~1e-15 for the full basis."""
     w2, v, free_idx, mask = _host_full_modal_basis(problem, prestress_u)
+    m_f = None
     if n_modes is not None:
         w2, v = w2[:n_modes], v[:, :n_modes]
+        from ..ops import host as H
+
+        m_f = H.host_lumped_mass(problem)[free_idx]
     f = np.asarray(loads, dtype=np.float64) * mask
     q = v.T @ f[free_idx]                              # (J,)
+    if m_f is not None:
+        r_trunc = f[free_idx] - m_f * (v @ q)
+        res_rel = float(np.linalg.norm(r_trunc)
+                        / max(np.linalg.norm(f[free_idx]), 1e-300))
+    else:
+        res_rel = 0.0   # full basis: exact superposition
     om = np.asarray(om, dtype=np.float64)
     den_r = w2[None, :] - (om * om)[:, None]
     den_i = om[:, None] * (alpha + beta * w2)[None, :]
@@ -95,7 +124,7 @@ def _host_sweep(problem, loads, om, alpha, beta, n_modes=None,
     xi = np.zeros((om.size, problem.ndof))
     xr[:, free_idx] = cr @ v.T
     xi[:, free_idx] = ci @ v.T
-    return xr, xi
+    return xr, xi, np.full(om.size, res_rel)
 
 
 def harmonic_response(
@@ -110,6 +139,7 @@ def harmonic_response(
     mesh=None,
     host: Optional[bool] = None,
     prestress_u=None,
+    residual_tol: float = 1e-3,
 ) -> HarmonicResult:
     """Steady-state response X(omega) to the problem's load vector.
 
@@ -136,6 +166,10 @@ def harmonic_response(
             added to K — the taut-string FRF (resonances at the
             string's natural frequencies) rides the same paths as
             prestressed modal analysis.
+        residual_tol: per-frequency relative-residual threshold above
+            which a point is marked in `result.flagged` (round-4
+            VERDICT #6 honesty guard — a dense f32 spectrum can drift
+            badly near resonances while still returning success).
     """
     from .newton import DENSE_DOF_LIMIT
 
@@ -151,9 +185,9 @@ def harmonic_response(
         if prestress_u is not None:
             pu = np.asarray(jax.device_get(prestress_u), dtype=float)
         loads = loads_of(problem, data)
-        xr, xi = _host_sweep(problem, loads, om_host, alpha, beta,
-                             n_modes=None if method == "direct"
-                             else n_modes, prestress_u=pu)
+        xr, xi, res = _host_sweep(problem, loads, om_host, alpha, beta,
+                                  n_modes=None if method == "direct"
+                                  else n_modes, prestress_u=pu)
         fr = fi = fa = None
         if probe_elements is not None:
             sel, s_sel, gvec_sel, dm_sel = _element_frf_constants(
@@ -172,6 +206,7 @@ def harmonic_response(
             omegas=om_host, real=xr, imag=xi,
             amplitude=np.hypot(xr, xi), phase=np.arctan2(xi_ph, xr),
             force_real=fr, force_imag=fi, force_amplitude=fa,
+            residual=res, flagged=res > float(residual_tol),
         )
 
     data = data if data is not None else problem.to_device()
@@ -184,11 +219,12 @@ def harmonic_response(
         if problem.ndof > DENSE_DOF_LIMIT:
             raise ValueError("direct harmonic response is dense-only; use "
                              "method='modal' for large meshes")
-        xr, xi = _direct_sweep(problem, data, om, alpha, beta, dtype,
-                               mesh=mesh, prestress_u=prestress_u)
+        xr, xi, res_d = _direct_sweep(problem, data, om, alpha, beta,
+                                      dtype, mesh=mesh,
+                                      prestress_u=prestress_u)
     elif method == "modal":
-        xr, xi = _modal_sweep(problem, data, om, alpha, beta, n_modes,
-                              prestress_u=prestress_u)
+        xr, xi, res_d = _modal_sweep(problem, data, om, alpha, beta,
+                                     n_modes, prestress_u=prestress_u)
     else:
         raise ValueError("method must be 'direct' or 'modal'")
 
@@ -206,10 +242,11 @@ def harmonic_response(
 
     # ONE device fetch for the whole result (CLAUDE.md: each device_get is
     # a ~30 ms round trip through the attachment).
-    xr, xi, fr, fi = jax.device_get(
-        (xr[:, probe], xi[:, probe], fr_d, fi_d))
+    xr, xi, fr, fi, res = jax.device_get(
+        (xr[:, probe], xi[:, probe], fr_d, fi_d, res_d))
     xr = np.asarray(xr)
     xi = np.asarray(xi)
+    res = np.asarray(res, dtype=float)
     if fr is not None:
         fr, fi = np.asarray(fr), np.asarray(fi)
     # Same undamped phase convention as the host tier (-pi for a
@@ -223,6 +260,7 @@ def harmonic_response(
         phase=np.arctan2(xi_ph, xr),
         force_real=fr, force_imag=fi,
         force_amplitude=None if fr is None else np.hypot(fr, fi),
+        residual=res, flagged=res > float(residual_tol),
     )
 
 
@@ -285,33 +323,52 @@ def _direct_sweep(problem, data, om, alpha, beta, dtype, mesh=None,
         om_p = jnp.concatenate([om, jnp.ones((n_pad - n_freq,), om.dtype)])
         om_c = jax.device_put(om_p.reshape(-1, dp, _SWEEP_CHUNK),
                               NamedSharding(mesh, P(None, "dp", None)))
-        xr, xi = _direct_sweep_sharded_jit(
+        xr, xi, res = _direct_sweep_sharded_jit(
             k, m, f, mask, om_c, jnp.asarray(alpha, dtype),
             jnp.asarray(beta, dtype))
     else:
         n_pad = -(-n_freq // _SWEEP_CHUNK) * _SWEEP_CHUNK
         om_p = jnp.concatenate([om, jnp.ones((n_pad - n_freq,), om.dtype)])
-        xr, xi = _direct_sweep_jit(k, m, f, mask,
-                                   om_p.reshape(-1, _SWEEP_CHUNK),
-                                   jnp.asarray(alpha, dtype),
-                                   jnp.asarray(beta, dtype))
+        xr, xi, res = _direct_sweep_jit(k, m, f, mask,
+                                        om_p.reshape(-1, _SWEEP_CHUNK),
+                                        jnp.asarray(alpha, dtype),
+                                        jnp.asarray(beta, dtype))
     n = f.shape[0]
-    return xr.reshape(-1, n)[:n_freq], xi.reshape(-1, n)[:n_freq]
+    return (xr.reshape(-1, n)[:n_freq], xi.reshape(-1, n)[:n_freq],
+            res.reshape(-1)[:n_freq])
+
+
+def _solve_one_refined(k, m, f, mask, w, alpha, beta):
+    """One frequency of the direct sweep: LU factor once, solve, ONE
+    iterative-refinement step on the reused factorization (O(n^2) after
+    the O(n^3) factor), and the true relative residual of the returned
+    solution.  jnp.linalg.solve would hide the factors; lu_factor/
+    lu_solve keeps refinement at back-substitution cost.  The residual
+    matmuls pin precision="highest" — on TPU the bf16 MXU default would
+    measure its own rounding, not the solve's (CLAUDE.md)."""
+    from jax.scipy.linalg import lu_factor, lu_solve
+
+    n = f.shape[0]
+    a = k - (w * w) * jnp.diag(m)
+    # Identity rows on fixed DOFs keep the block system nonsingular.
+    a = a + jnp.diag(1.0 - mask)
+    b = w * (alpha * jnp.diag(m) + beta * k)  # omega C, already masked
+    z = jnp.block([[a, -b], [b, a]])
+    rhs = jnp.concatenate([f, jnp.zeros_like(f)])
+    lu_piv = lu_factor(z)
+    x = lu_solve(lu_piv, rhs)
+    r = rhs - jnp.matmul(z, x, precision="highest")
+    x = x + lu_solve(lu_piv, r)
+    r = rhs - jnp.matmul(z, x, precision="highest")
+    res = jnp.linalg.norm(r) / jnp.maximum(jnp.linalg.norm(rhs),
+                                           jnp.finfo(f.dtype).tiny)
+    return x[:n] * mask, x[n:] * mask, res
 
 
 @jax.jit
 def _direct_sweep_jit(k, m, f, mask, om_chunks, alpha, beta):
-    n = f.shape[0]
-
     def solve_one(w):
-        a = k - (w * w) * jnp.diag(m)
-        # Identity rows on fixed DOFs keep the block system nonsingular.
-        a = a + jnp.diag(1.0 - mask)
-        b = w * (alpha * jnp.diag(m) + beta * k)  # omega C, already masked
-        z = jnp.block([[a, -b], [b, a]])
-        rhs = jnp.concatenate([f, jnp.zeros_like(f)])
-        x = jnp.linalg.solve(z, rhs)
-        return x[:n] * mask, x[n:] * mask
+        return _solve_one_refined(k, m, f, mask, w, alpha, beta)
 
     return jax.lax.map(jax.vmap(solve_one), om_chunks)
 
@@ -319,23 +376,21 @@ def _direct_sweep_jit(k, m, f, mask, om_chunks, alpha, beta):
 @jax.jit
 def _direct_sweep_sharded_jit(k, m, f, mask, om_chunks, alpha, beta):
     """(n_seq, dp, chunk) frequency blocks; the middle axis is sharded."""
-    n = f.shape[0]
-
     def solve_one(w):
-        a = k - (w * w) * jnp.diag(m)
-        a = a + jnp.diag(1.0 - mask)
-        b = w * (alpha * jnp.diag(m) + beta * k)
-        z = jnp.block([[a, -b], [b, a]])
-        rhs = jnp.concatenate([f, jnp.zeros_like(f)])
-        x = jnp.linalg.solve(z, rhs)
-        return x[:n] * mask, x[n:] * mask
+        return _solve_one_refined(k, m, f, mask, w, alpha, beta)
 
     return jax.lax.map(jax.vmap(jax.vmap(solve_one)), om_chunks)
 
 
 def _modal_sweep(problem, data, om, alpha, beta, n_modes,
                  prestress_u=None):
-    """Modal superposition with exact Rayleigh modal damping."""
+    """Modal superposition with exact Rayleigh modal damping.
+
+    The truncated-basis residual is FREQUENCY-INDEPENDENT and exact:
+    (K + i w C - w^2 M) Phi c = M Phi q for the Rayleigh-damped pencil
+    (the retained-mode denominators cancel identically), so
+    r = F - M Phi q at every omega — the load component the retained
+    modes cannot carry."""
     from .modal import modal_analysis
 
     res = modal_analysis(problem, n_modes=n_modes, data=data,
@@ -348,6 +403,11 @@ def _modal_sweep(problem, data, om, alpha, beta, n_modes,
                    precision="highest")       # (J,) modal forces
     zeta = 0.5 * (alpha / wj + beta * wj)
 
+    m_lump = lumped_mass(data, problem.material) * data.free_mask
+    r_trunc = f - m_lump * jnp.matmul(phi, q, precision="highest")
+    res_rel = jnp.linalg.norm(r_trunc) / jnp.maximum(
+        jnp.linalg.norm(f), jnp.finfo(f.dtype).tiny)
+
     def respond(w):
         den_r = w2 - w * w
         den_i = 2.0 * zeta * w * wj
@@ -356,4 +416,5 @@ def _modal_sweep(problem, data, om, alpha, beta, n_modes,
         ci = -q * den_i / mag2
         return phi @ cr, phi @ ci
 
-    return jax.vmap(respond)(om)
+    xr, xi = jax.vmap(respond)(om)
+    return xr, xi, jnp.broadcast_to(res_rel, om.shape)

@@ -225,3 +225,77 @@ def test_harmonic_member_force_frf_json_tier():
                                     "num": 5000},
                          "probe_nodes": [3],
                          "probe_elements": list(range(5))})
+
+
+def test_residual_honesty_guard_clean_sweep():
+    """Every tier reports the per-frequency relative residual; a
+    well-damped off-resonance sweep is clean on all of them (round-4
+    VERDICT #6)."""
+    p = chain(n_elm=6)
+    om = np.linspace(0.05, 1.2, 25)
+    host = harmonic_response(p, om, damping=(0.2, 0.03))       # host f64
+    dev = harmonic_response(p, om, damping=(0.2, 0.03), host=False)
+    modal = harmonic_response(p, om, damping=(0.2, 0.03),
+                              method="modal", n_modes=6, host=False)
+    for res, bound in [(host, 1e-12), (dev, 1e-5), (modal, 1e-5)]:
+        assert res.residual.shape == om.shape
+        assert np.all(np.isfinite(res.residual))
+        assert res.residual.max() < bound, res.residual.max()
+        assert not res.flagged.any()
+
+
+def test_residual_flags_near_resonant_f32_drift():
+    """The device direct tier at f32, driven within 1e-6 of an undamped
+    resonance: the solution amplifies by ~1e6, the backward-stable LU
+    residual grows with the amplification past eps32 * kappa, and the
+    guard must FLAG the point instead of silently returning it — while
+    the far-from-resonance points in the same sweep stay unflagged."""
+    p = chain(n_elm=6)
+    wj = float(modal_analysis(p, n_modes=2, host=True).omegas[1])
+    om = np.array([0.3 * wj, wj * (1.0 + 1e-7), 2.0 * wj])
+    res = harmonic_response(p, om, damping=(0.0, 0.0), host=False)
+    assert res.flagged[1], (res.residual, "near-resonant point unflagged")
+    assert not res.flagged[0] and not res.flagged[2], res.residual
+    # The host f64 tier resolves the same sweep exactly (full modal
+    # basis diagonalizes the undamped pencil) — nothing to flag.
+    res_h = harmonic_response(p, om, damping=(0.0, 0.0), host=True)
+    assert not res_h.flagged.any()
+
+
+def test_residual_modal_truncation_reported():
+    """Truncated modal superposition reports the EXACT frequency-
+    independent load residual ||F - M Phi q||/||F||: dropping modes on
+    a mid-chain point load leaves a visible unresolved component, and
+    the value matches the host-computed truth."""
+    from pinn_fem_tpu.ops import host as H
+
+    p = chain(n_elm=6)
+    p.loads[:] = 0.0
+    p.loads[3] = 1.0                     # mid-chain: rich modal content
+    res = harmonic_response(p, [0.2, 0.5], damping=(0.1, 0.01),
+                            method="modal", n_modes=2, host=False)
+    assert np.allclose(res.residual[0], res.residual[1])  # w-independent
+    # Host truth: project the load on the dropped modes.
+    free_idx, _ = p.free_fixed()
+    k = H.host_stiffness(p)[np.ix_(free_idx, free_idx)]
+    m = H.host_lumped_mass(p)[free_idx]
+    d = np.sqrt(m)
+    w2, y = np.linalg.eigh(k / d[:, None] / d[None, :])
+    v = y / d[:, None]
+    f = p.loads[free_idx]
+    q = v[:, :2].T @ f
+    r_true = np.linalg.norm(f - m * (v[:, :2] @ q)) / np.linalg.norm(f)
+    np.testing.assert_allclose(res.residual[0], r_true, rtol=1e-3)
+    assert res.residual[0] > 0.05       # truncation is VISIBLE
+
+
+def test_residual_json_tier_flags():
+    """run_harmonic serializes residual + flagged indices/omegas."""
+    from pinn_fem_tpu.io.analysis import run_harmonic
+
+    p = chain(n_elm=6)
+    out = run_harmonic(p, {"omegas": [0.2, 0.6], "damping": [0.1, 0.01],
+                           "probe_nodes": [6]})
+    assert len(out["residual"]) == 2
+    assert out["flagged_indices"] == [] and out["flagged_omegas"] == []
+    assert out["residual_tol"] == 1e-3
