@@ -45,10 +45,29 @@ the CLI and servers peek at that key and route here:
                | {"type": "identification",       # recover E from
                   "measured_dofs": [..],          # measured static
                   "measured_u": [..],             # displacements
+                    | "synthetic": {"young": E | [..per element..]
+                                    | "zone_young": [..per zone..],
+                                    "noise": 0.0, "seed": 0},
+                                      # twin data generated on the
+                                      # banded tier; probes via
+                                      # "measured_dofs"/"probe_nodes"
                   "field": false,     # true: E(x, y) MLP (PINN form)
+                  "zones": [[elem ids..]           # one E per zone
+                            | {"y_max": 2.0, ..}, ..],  # centroid box
+                                      # (damage localization; banded)
+                  "banded": null,     # force the banded adjoint tier;
+                                      # default: auto above
+                                      # DENSE_DOF_LIMIT or with zones
+                  "tolerance": 1e-7, "max_iter": 20000,  # banded PCG
                   "n_iter": 800, "learning_rate": 0.05,
                   "hidden_layers": 2, "neurons_per_layer": 16,
                   "seed": 0}}
+
+    Every node-selecting key (fixed_nodes, fixed_x/y_nodes,
+    edge_loads[].nodes, probe_nodes, measured filters) also accepts a
+    named boundary edge "left"/"right"/"bottom"/"top" (resolved on
+    coordinates, path-ordered) — generated meshes never hard-code the
+    generator's node numbering.
 
 Static results carry centroid stresses (Voigt [xx, yy, xy]), von
 Mises, principal stresses and reactions; modal/transient mirror the
@@ -71,6 +90,26 @@ from ..models.plane import (PlaneProblem, edge_load, plane_modal,
 def is_plane_document(doc: Dict) -> bool:
     return isinstance(doc, dict) \
         and doc.get("element_type") == "plane"
+
+
+def _named_nodes(nodes: np.ndarray, name):
+    """Boundary-edge selector: "left"/"right" (x extreme) or
+    "bottom"/"top" (y extreme) -> node ids on that edge, ordered ALONG
+    it (path order, as edge_loads requires).  Id lists pass through —
+    every node-selecting key accepts either form, so documents with
+    generated meshes never hard-code generator numbering."""
+    if not isinstance(name, str):
+        return np.asarray(name, dtype=int).reshape(-1)
+    axis, pick = {"left": (0, np.min), "right": (0, np.max),
+                  "bottom": (1, np.min), "top": (1, np.max)}.get(
+                      name, (None, None))
+    if axis is None:
+        raise ValueError(f'named node selector must be "left", '
+                         f'"right", "bottom" or "top", got {name!r}')
+    coord = nodes[:, axis]
+    span = max(float(coord.max() - coord.min()), 1.0)
+    ids = np.flatnonzero(np.abs(coord - pick(coord)) <= 1e-9 * span)
+    return ids[np.argsort(nodes[ids, 1 - axis])]
 
 
 def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
@@ -118,14 +157,15 @@ def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
             raise ValueError("edge_loads need a scalar material "
                              "thickness (per-element thickness makes "
                              "the edge share ambiguous)")
+        path = _named_nodes(nodes, spec["nodes"])
         if has_traction:
-            loads = loads + edge_load(nodes, spec["nodes"],
+            loads = loads + edge_load(nodes, path,
                                       spec["traction"], float(t_arr[0]),
                                       ndof=2 * nnode)
         else:
             from ..models.plane import pressure_load
 
-            loads = loads + pressure_load(nodes, spec["nodes"],
+            loads = loads + pressure_load(nodes, path,
                                           float(spec["pressure"]),
                                           float(t_arr[0]),
                                           ndof=2 * nnode)
@@ -134,13 +174,13 @@ def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
     if "fixed_dofs" in doc:
         fixed_parts.append(np.asarray(doc["fixed_dofs"], dtype=int))
     if "fixed_nodes" in doc:
-        fn = np.asarray(doc["fixed_nodes"], dtype=int).reshape(-1)
+        fn = _named_nodes(nodes, doc["fixed_nodes"])
         fixed_parts.append(np.concatenate([2 * fn, 2 * fn + 1]))
     if "fixed_x_nodes" in doc:
-        fn = np.asarray(doc["fixed_x_nodes"], dtype=int).reshape(-1)
+        fn = _named_nodes(nodes, doc["fixed_x_nodes"])
         fixed_parts.append(2 * fn)
     if "fixed_y_nodes" in doc:
-        fn = np.asarray(doc["fixed_y_nodes"], dtype=int).reshape(-1)
+        fn = _named_nodes(nodes, doc["fixed_y_nodes"])
         fixed_parts.append(2 * fn + 1)
     prescribed_pairs = doc.get("prescribed")
     if prescribed_pairs is not None:
@@ -183,10 +223,39 @@ def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
     return problem, dict(doc.get("analysis") or {"type": "static"})
 
 
+def _resolve_zones(problem: PlaneProblem, zones):
+    """Zone specs -> element-id arrays.  Each entry is an explicit id
+    list or a centroid bounding box {"x_min", "x_max", "y_min",
+    "y_max"} (any subset) — the JSON-friendly way to mark a damage
+    region on a generated mesh."""
+    cent = problem.coords().mean(axis=1)
+    out = []
+    for z in zones:
+        if isinstance(z, dict):
+            unknown = set(z) - {"x_min", "x_max", "y_min", "y_max"}
+            if unknown:
+                raise ValueError(f"unknown zone keys: {sorted(unknown)}")
+            sel = np.ones(problem.nelm, dtype=bool)
+            if "x_min" in z:
+                sel &= cent[:, 0] >= float(z["x_min"])
+            if "x_max" in z:
+                sel &= cent[:, 0] <= float(z["x_max"])
+            if "y_min" in z:
+                sel &= cent[:, 1] >= float(z["y_min"])
+            if "y_max" in z:
+                sel &= cent[:, 1] <= float(z["y_max"])
+            out.append(np.flatnonzero(sel))
+        else:
+            out.append(np.asarray(z, dtype=int).reshape(-1))
+        if out[-1].size == 0:
+            raise ValueError(f"zone {len(out) - 1} selects no elements")
+    return out
+
+
 def _probe_dofs(analysis: Dict, problem: PlaneProblem):
     probe = analysis.get("probe_dofs")
     if probe is None and analysis.get("probe_nodes") is not None:
-        pn = np.asarray(analysis["probe_nodes"], dtype=int).reshape(-1)
+        pn = _named_nodes(problem.nodes, analysis["probe_nodes"])
         probe = np.stack([2 * pn, 2 * pn + 1], axis=1).reshape(-1)
     return probe
 
@@ -382,34 +451,138 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             "amplitude": res.amplitude.tolist(),
         }
     if kind == "identification":
-        from ..models.plane import identify_plane_young
+        from ..models.plane import (identify_plane_young,
+                                    identify_plane_young_banded)
+        from ..solvers.newton import DENSE_DOF_LIMIT
 
+        zones = analysis.get("zones")
+        if zones is not None:
+            zones = _resolve_zones(problem, zones)
+        synthetic = analysis.get("synthetic")
+        true_young = None
+        if synthetic is not None:
+            # Twin-data mode (the truss identification family's
+            # contract): generate the measurement from the given true
+            # field on the BANDED tier, then identify from the
+            # problem's own (wrong) material.
+            if "measured_u" in analysis:
+                raise ValueError('give "measured_u" or "synthetic", '
+                                 'not both')
+            md = analysis.get("measured_dofs")
+            if md is None:
+                md = _probe_dofs(analysis, problem)
+            if md is None:
+                raise ValueError('synthetic plane identification needs '
+                                 '"measured_dofs" or "probe_nodes"')
+            measured_dofs = np.asarray(md, dtype=int).reshape(-1)
+            if "zone_young" in synthetic:
+                if zones is None:
+                    raise ValueError('"zone_young" needs "zones"')
+                true_young = np.broadcast_to(
+                    np.asarray(problem.young, dtype=float),
+                    (problem.nelm,)).copy()
+                for ids, e in zip(zones, synthetic["zone_young"]):
+                    true_young[ids] = float(e)
+            else:
+                tv = synthetic["young"]
+                true_young = (np.full(problem.nelm, float(tv))
+                              if np.isscalar(tv)
+                              else np.asarray(tv, dtype=float))
+            from ..models.plane import (PlaneProblem as _PP,
+                                        solve_plane_static_banded)
+
+            p_true = _PP(nodes=problem.nodes, elements=problem.elements,
+                         young=true_young, poisson=problem.poisson,
+                         thickness=problem.thickness,
+                         density=problem.density, loads=problem.loads,
+                         fixed_dofs=problem.fixed_dofs,
+                         plane_strain=problem.plane_strain,
+                         body_force=problem.body_force)
+            r_true, _, _ = solve_plane_static_banded(
+                p_true, tol=float(analysis.get("tolerance", 1e-7)) * 0.01)
+            measured_u = r_true.displacements[measured_dofs]
+            noise = float(synthetic.get("noise", 0.0))
+            if noise:
+                rng = np.random.default_rng(int(synthetic.get("seed",
+                                                              0)))
+                measured_u = measured_u + noise * np.max(
+                    np.abs(measured_u)) * rng.standard_normal(
+                        measured_u.shape)
+            analysis = dict(analysis,
+                            measured_dofs=measured_dofs.tolist(),
+                            measured_u=measured_u.tolist())
         if "measured_dofs" not in analysis \
                 or "measured_u" not in analysis:
             raise ValueError('plane identification needs '
-                             '"measured_dofs" and "measured_u"')
-        vals, hist, fld = identify_plane_young(
-            problem,
-            analysis["measured_dofs"], analysis["measured_u"],
-            n_iter=int(analysis.get("n_iter", 800)),
-            learning_rate=float(analysis.get("learning_rate", 0.05)),
-            field=bool(analysis.get("field", False)),
-            seed=int(analysis.get("seed", 0)),
-            hidden_layers=int(analysis.get("hidden_layers", 2)),
-            neurons_per_layer=int(analysis.get("neurons_per_layer",
-                                               16)))
+                             '"measured_dofs" and "measured_u" (or '
+                             '"synthetic" twin data)')
+        # The banded adjoint tier (round-4 VERDICT #5) is the ONLY
+        # path past DENSE_DOF_LIMIT (the dense path traces an
+        # (ndof, ndof) K through the optimizer) and the natural one
+        # for zone parameterizations at any size.
+        banded = analysis.get("banded")
+        if banded is None:
+            banded = problem.ndof > DENSE_DOF_LIMIT or zones is not None
+        if banded:
+            vals, hist, fld = identify_plane_young_banded(
+                problem,
+                analysis["measured_dofs"], analysis["measured_u"],
+                n_iter=int(analysis.get("n_iter", 300)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)),
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iter", 20000)),
+                zones=zones,
+                field=bool(analysis.get("field", False)),
+                seed=int(analysis.get("seed", 0)),
+                hidden_layers=int(analysis.get("hidden_layers", 2)),
+                neurons_per_layer=int(analysis.get("neurons_per_layer",
+                                                   16)))
+        else:
+            if zones is not None:
+                raise ValueError('"zones" rides the banded tier; drop '
+                                 '"banded": false')
+            vals, hist, fld = identify_plane_young(
+                problem,
+                analysis["measured_dofs"], analysis["measured_u"],
+                n_iter=int(analysis.get("n_iter", 800)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)),
+                field=bool(analysis.get("field", False)),
+                seed=int(analysis.get("seed", 0)),
+                hidden_layers=int(analysis.get("hidden_layers", 2)),
+                neurons_per_layer=int(analysis.get("neurons_per_layer",
+                                                   16)))
         centroids = problem.coords().mean(axis=1)
-        return {
+        out = {
             "success": True,
             "analysis": "identification",
             "element_type": "plane",
             "parameter": "young",
+            "method": "banded" if banded else "dense",
             "field": bool(analysis.get("field", False)),
             "young": vals.tolist(),
             "centroids": centroids.tolist(),
             "loss_history": hist[:: max(1, hist.size // 200)].tolist(),
             "final_loss": float(hist[-1]) if hist.size else None,
         }
+        if zones is not None:
+            out["zones"] = [np.asarray(z, dtype=int).tolist()
+                            for z in zones]
+            out["zone_young"] = [
+                float(np.mean(vals[np.asarray(z, dtype=int)]))
+                for z in zones]
+        if true_young is not None:
+            out["synthetic"] = True
+            rel = np.abs(vals - true_young) / np.abs(true_young)
+            out["max_rel_error"] = float(rel.max())
+            if zones is not None and "zone_young" in synthetic:
+                out["true_zone_young"] = [float(v) for v in
+                                          synthetic["zone_young"]]
+                out["zone_rel_error"] = [
+                    abs(zy - ty) / abs(ty) for zy, ty in
+                    zip(out["zone_young"], out["true_zone_young"])]
+        return out
     raise ValueError(f'plane analysis.type must be "static", "modal", '
                      f'"transient", "harmonic", "plastic" or '
                      f'"identification", got {kind!r}')

@@ -239,3 +239,43 @@ def dia_cg_solve(
     init = (jnp.zeros((), jnp.int32), x0, r0, z0, rz0, jnp.asarray(jnp.inf, b_vec.dtype))
     it, x, r, _, _, _ = jax.lax.while_loop(cond, body, init)
     return x * mask, it, jnp.linalg.norm(r) / b_norm
+
+
+def dia_solve_diff(layout: DiaLayout, diags: jnp.ndarray,
+                   rhs: jnp.ndarray, free_mask: jnp.ndarray,
+                   tol=1e-7, max_iter=20000,
+                   precond: str = "jacobi") -> jnp.ndarray:
+    """DIFFERENTIABLE banded solve: u = K(diags)^{-1} rhs with
+    gradients w.r.t. `diags` and `rhs` by the adjoint method.
+
+    dia_cg_solve's while_loop cannot be reverse-differentiated (and
+    unrolling a 10^3-iteration PCG would be absurd); wrapping it in
+    lax.custom_linear_solve(symmetric=True) instead gives the implicit-
+    function-theorem rule du/dtheta = -K^{-1} (dK/dtheta) u — the
+    reverse pass is ONE MORE PCG with the SAME operator (K is SPD, so
+    the adjoint system is the forward system), then the scatter-add in
+    assemble_dia_blocks transposes to a gather back onto the element
+    blocks.  This is what lifts the identification family past
+    DENSE_DOF_LIMIT (round-4 VERDICT #5): memory stays O(band*ndof)
+    where the dense traced solve is O(ndof^2).
+
+    Fixed DOFs ride the usual mask convention (identity rows, masked
+    rhs) so the returned u is zero there and no spurious gradient
+    leaks through the supports.
+    """
+    mask = free_mask
+
+    def mv(x):
+        return (dia_matvec(layout, diags, x * mask) * mask
+                + x * (1.0 - mask))
+
+    def solve(_unused_mv, b):
+        # custom_linear_solve never differentiates through here — the
+        # stop_gradient documents that and guards against misuse.
+        x, _, _ = dia_cg_solve(layout, jax.lax.stop_gradient(diags), b,
+                               mask, tol=tol, max_iter=max_iter,
+                               precond=precond)
+        return x
+
+    return jax.lax.custom_linear_solve(mv, rhs * mask, solve,
+                                       symmetric=True)

@@ -140,3 +140,53 @@ def test_dia_assembly_differentiable_wrt_s():
         sm = s0.at[e].add(-eps)
         fd = (energy(sp) - energy(sm)) / (2 * eps)
         assert np.isclose(float(g[e]), float(fd), rtol=1e-2)
+
+
+def test_dia_solve_diff_adjoint_gradient():
+    """dia_solve_diff (round-4 VERDICT #5): the custom_linear_solve
+    wrapper's reverse pass is ONE adjoint PCG — the gradient of a
+    functional of u = K(s)^{-1} f w.r.t. the element stiffness
+    coefficients must match the analytic serial-spring rule (finite
+    differences at f32 are noisier than the adjoint itself, so the
+    closed form is the reference)."""
+    import jax
+
+    from pinn_fem_tpu.ops.dia import dia_solve_diff
+
+    n = 6
+    dof_map = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
+    lay = dia_layout(dof_map, n)
+    g = jnp.asarray(np.tile(np.array([-1.0, 1.0]), (n - 1, 1)))
+    mask = jnp.asarray((np.arange(n) > 0).astype(float))
+    rhs = jnp.asarray(np.r_[np.zeros(n - 1), 1.0])
+
+    def loss(s):
+        diags = assemble_dia(lay, s, g)
+        u = dia_solve_diff(lay, diags, rhs, mask, tol=1e-12)
+        return jnp.sum(u ** 2)
+
+    k = 2.0
+    grad = np.asarray(jax.grad(loss)(jnp.full(n - 1, k)))
+    # Serial springs under a unit tip load: u_i = i/k, du_i/dk_j =
+    # -1/k^2 for i >= j, so dL/dk_j = -(2/k^2) sum_{i>=j} u_i.
+    u = np.arange(1, n) / k
+    expect = np.array([-(2.0 / k ** 2) * u[j:].sum()
+                       for j in range(n - 1)])
+    np.testing.assert_allclose(grad, expect, rtol=1e-4)
+
+
+def test_dia_solve_diff_matches_cg_forward():
+    """Forward value of dia_solve_diff == dia_cg_solve (same solver)."""
+    p = tower(12)
+    data = p.to_device()
+    layout = dia_layout(np.asarray(data.dof_map), p.ndof)
+    s = stiffness_coefficients(data, p.material, 1.0)
+    from pinn_fem_tpu.ops.dia import dia_solve_diff
+
+    diags = assemble_dia(layout, s, data.gvec)
+    x_ref, _, _ = dia_cg_solve(layout, diags, data.loads, data.free_mask,
+                               tol=1e-10)
+    x = dia_solve_diff(layout, diags, data.loads, data.free_mask,
+                       tol=1e-10)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                               rtol=1e-6, atol=1e-9)

@@ -447,3 +447,75 @@ def test_plane_harmonic_matches_modal_superposition():
     x_modal = np.einsum("kw,kn->wn", gen[:, None] / denom, phi)
     np.testing.assert_allclose(hr.real + 1j * hr.imag, x_modal,
                                atol=1e-8 * np.abs(x_modal).max())
+
+
+def test_identify_plane_young_banded_two_zone():
+    """Round-4 VERDICT #5: the banded adjoint lifts identification past
+    DENSE_DOF_LIMIT — a two-zone E field on a 2754-DOF Q4 wall (> 2048)
+    recovered to 0.5% from sparse probe displacements, with memory
+    O(band*ndof) (the dense path would trace a 2754^2 K per step)."""
+    from pinn_fem_tpu.models.plane import (identify_plane_young_banded,
+                                           solve_plane_static_banded)
+    from pinn_fem_tpu.solvers.newton import DENSE_DOF_LIMIT
+
+    nodes, elems = rect_mesh(1.0, 4.0, 16, 80, "quad")
+    ndof = 2 * nodes.shape[0]
+    assert ndof > DENSE_DOF_LIMIT
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    top = np.flatnonzero(nodes[:, 1] == 4.0)
+    loads = edge_load(nodes, top[np.argsort(nodes[top, 0])],
+                      [0.0, 5.0], 0.1)
+    cent_y = nodes[elems].mean(axis=1)[:, 1]
+    zones = [np.flatnonzero(cent_y < 2.0).tolist(),
+             np.flatnonzero(cent_y >= 2.0).tolist()]
+    true_young = np.where(cent_y < 2.0, 800.0, 1400.0)
+    kw = dict(poisson=0.3, thickness=0.1, density=1.0, loads=loads,
+              fixed_dofs=np.concatenate([2 * bottom, 2 * bottom + 1]))
+    p_true = PlaneProblem(nodes=nodes, elements=elems,
+                          young=true_young, **kw)
+    r, _, _ = solve_plane_static_banded(p_true, tol=1e-9)
+    probe = np.arange(ndof)[np.abs(r.displacements) > 1e-12][::11]
+    p_guess = PlaneProblem(nodes=nodes, elements=elems, young=1000.0,
+                           **kw)
+    young, hist, _ = identify_plane_young_banded(
+        p_guess, probe, r.displacements[probe], zones=zones,
+        n_iter=120, learning_rate=0.2, tol=1e-8)
+    assert hist[-1] < 1e-3 * hist[0]
+    np.testing.assert_allclose(young[zones[0]].mean(), 800.0, rtol=5e-3)
+    np.testing.assert_allclose(young[zones[1]].mean(), 1400.0,
+                               rtol=5e-3)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        identify_plane_young_banded(p_guess, probe,
+                                    r.displacements[probe],
+                                    zones=zones, field=True, n_iter=1)
+    with pytest.raises(ValueError, match="overlaps"):
+        identify_plane_young_banded(p_guess, probe,
+                                    r.displacements[probe],
+                                    zones=[zones[0], zones[0]], n_iter=1)
+
+
+def test_identify_plane_banded_json_tier_named_edges():
+    """The dyn-plane-identify contract pieces: named boundary
+    selectors, centroid-box zones, synthetic zone twin data — through
+    run_plane_document on a small (fast) grid, forced banded."""
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+
+    out = run_plane_document({
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": 1.0, "height": 2.0,
+                 "nx": 6, "ny": 12, "element": "quad"},
+        "material": {"young": 1000.0, "poisson": 0.3,
+                     "thickness": 0.1, "density": 1.0},
+        "edge_loads": [{"nodes": "top", "traction": [0.0, 5.0]}],
+        "fixed_nodes": "bottom",
+        "analysis": {"type": "identification",
+                     "zones": [{"y_max": 1.0}, {"y_min": 1.0}],
+                     "synthetic": {"zone_young": [800.0, 1400.0]},
+                     "probe_nodes": "right",
+                     "n_iter": 120, "learning_rate": 0.2,
+                     "tolerance": 1e-9}})
+    assert out["success"] and out["method"] == "banded"
+    assert out["synthetic"]
+    assert max(out["zone_rel_error"]) < 5e-3
+    # the zone boxes partitioned every element
+    assert sorted(sum(out["zones"], [])) == list(range(72))
