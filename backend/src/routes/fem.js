@@ -40,7 +40,7 @@ router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 function solveAnalysis(kind) {
   return (problemData) => {
     const analysis = { type: kind, ...(problemData.analysis || {}) };
-    const body = (kind === 'frame' || kind === 'plane')
+    const body = (kind === 'frame' || kind === 'plane' || kind === 'solid')
       ? { ...problemData, element_type: kind, analysis }
       : { ...problemData, analysis };
     return solveGeneric(body);
@@ -50,7 +50,7 @@ function solveAnalysis(kind) {
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
                     'continuation', 'plastic', 'random', 'reduction',
                     'identification', 'sizing', 'reliability', 'frame',
-                    'plane']) {
+                    'plane', 'solid']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 

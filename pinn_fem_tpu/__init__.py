@@ -65,6 +65,16 @@ from .models.plane import (  # noqa: E402
     solve_plane_static,
     solve_plane_transient,
 )
+from .models.solid import (  # noqa: E402
+    SolidProblem,
+    box_mesh,
+    solid_matrices,
+    solid_modal,
+    solve_solid_static,
+    solve_solid_static_banded,
+    solve_solid_transient,
+    surface_load,
+)
 from .models.problem import (  # noqa: E402
     ProblemData,
     TrussProblem,
@@ -211,6 +221,14 @@ __all__ = [
     "ProblemData",
     "FrameProblem",
     "PlaneProblem",
+    "SolidProblem",
+    "solve_solid_static",
+    "solve_solid_static_banded",
+    "solve_solid_transient",
+    "solid_modal",
+    "solid_matrices",
+    "box_mesh",
+    "surface_load",
     "solve_plane_static",
     "solve_plane_transient",
     "plane_modal",

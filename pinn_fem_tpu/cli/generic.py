@@ -138,6 +138,38 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         output["max_von_mises_element"])
         logger.info("Results written to %s", output_file)
         return output
+    from ..io.solid_io import is_solid_document
+
+    if is_solid_document(raw):
+        # 3D solid (hex8) documents: self-describing, 3 DOFs per node
+        # (io/solid_io.py); dense analyses on the host tier, large
+        # statics on the banded DIA device tier.
+        from ..io.solid_io import run_solid_document
+
+        logger.info("Solid document: %s",
+                    "generated mesh" if "mesh" in raw else
+                    f"{len(raw.get('nodes', ()))} nodes, "
+                    f"{len(raw.get('elements', ()))} elements")
+        output = run_solid_document(raw)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("SOLID ANALYSIS SUMMARY (%s):", output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % v for v in output["frequencies_hz"]])
+        elif output["analysis"] == "transient":
+            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                        output["dt"])
+        else:
+            logger.info("  Max |u|: %.6g, max von Mises: %.6g (%s)",
+                        output["max_displacement"],
+                        output["max_von_mises"], output["method"])
+        logger.info("Results written to %s", output_file)
+        return output
     parsed = parse_problem_file(problem_file, seed=seed)
     problem, config = parsed.problem, parsed.config
 

@@ -1,0 +1,275 @@
+"""JSON tier for the 3D solid hex8 family (models/solid.py).
+
+A solid document is self-describing via `"element_type": "solid"` —
+the CLI and servers peek at that key and route here (the frame_io /
+plane_io pattern):
+
+    {"element_type": "solid",
+     "nodes": [[x, y, z], ..],
+     "elements": [[n0..n7], ..]            # hex8, bottom quad CCW
+       | "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 4.0,
+                  "nx": 2, "ny": 2, "nz": 8},
+     "material": {"young": E, "poisson": nu, "density": rho},
+     "loads": [Fx0, Fy0, Fz0, ..],         # 3 per node (optional)
+     "surface_loads": [{"face": "z_max" | [[quad node ids], ..],
+                        "traction": [tx, ty, tz]}, ..],  # force/area
+     "body_force": [bx, by, bz],           # force/volume
+     "fixed_nodes": [..] | "z_min" | ..,   # all three DOFs clamped
+       | "fixed_dofs": [..],               # raw 3n-DOF indices
+     "fixed_x_nodes"/"fixed_y_nodes"/"fixed_z_nodes": [..] | "x_min",
+                                           # single-component rollers
+     "prescribed": [[dof, value], ..],
+     "point_masses": [[node, m], ..] | [..per node..],
+     "analysis": {"type": "static",
+                  "banded": null,     # force the DIA device tier;
+                                      # default auto > DENSE_DOF_LIMIT
+                  "tolerance": 1e-7, "max_iter": 50000}
+               | {"type": "modal", "n_modes": 6,
+                  "include_shapes": true}
+               | {"type": "transient", "dt": 0.01, "n_steps": 500,
+                  "damping": [a, b], "probe_nodes": [..],
+                  "amplitude": {"type": "step" | "sine"} | [..],
+                  "record_every": 1}}
+
+    Every node-selecting key also accepts a named boundary FACE
+    "x_min"/"x_max"/"y_min"/"y_max"/"z_min"/"z_max" (resolved on
+    coordinates) — generated box meshes never hard-code node
+    numbering.  surface_loads with a named face resolve to the
+    element boundary quads on that plane (consistent 2x2 Gauss
+    integration, models/solid.py:surface_load).
+
+Static results carry centroid stresses (Voigt [xx, yy, zz, yz, xz,
+xy]), von Mises, principal stresses and reactions; modal/transient
+mirror the plane family's result shapes.  Dense analyses run on the
+HOST tier (float64, zero device programs); statics above
+DENSE_DOF_LIMIT rides the banded DIA device tier.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.solid import (SolidProblem, boundary_quads, box_mesh,
+                            solid_modal, solve_solid_static,
+                            solve_solid_static_banded,
+                            solve_solid_transient, surface_load)
+
+_FACE_NAMES = {"x_min": (0, -1), "x_max": (0, +1),
+               "y_min": (1, -1), "y_max": (1, +1),
+               "z_min": (2, -1), "z_max": (2, +1)}
+
+
+def is_solid_document(doc: Dict) -> bool:
+    return isinstance(doc, dict) \
+        and doc.get("element_type") == "solid"
+
+
+def _named_face_nodes(nodes: np.ndarray, name):
+    """Node ids on a named boundary plane (or an id list verbatim)."""
+    if not isinstance(name, str):
+        return np.asarray(name, dtype=int).reshape(-1)
+    if name not in _FACE_NAMES:
+        raise ValueError(f"named face must be one of "
+                         f"{sorted(_FACE_NAMES)}, got {name!r}")
+    axis, side = _FACE_NAMES[name]
+    coord = nodes[:, axis]
+    target = coord.min() if side < 0 else coord.max()
+    span = max(float(coord.max() - coord.min()), 1.0)
+    return np.flatnonzero(np.abs(coord - target) <= 1e-9 * span)
+
+
+def parse_solid_document(doc: Dict) -> Tuple[SolidProblem, Dict]:
+    mesh = doc.get("mesh")
+    if mesh is not None:
+        if mesh.get("type", "box") != "box":
+            raise ValueError('solid mesh.type must be "box"')
+        nodes, elements = box_mesh(
+            float(mesh["lx"]), float(mesh["ly"]), float(mesh["lz"]),
+            int(mesh["nx"]), int(mesh["ny"]), int(mesh["nz"]))
+    else:
+        if "nodes" not in doc or "elements" not in doc:
+            raise ValueError('solid document needs "nodes" + '
+                             '"elements" or a "mesh" spec')
+        nodes = np.asarray(doc["nodes"], dtype=float)
+        elements = np.asarray(doc["elements"], dtype=int)
+    mat = doc.get("material", {})
+    if mat.get("poisson") is None:
+        raise ValueError('solid material needs "poisson"')
+    nnode = nodes.shape[0]
+    loads = np.asarray(doc.get("loads", np.zeros(3 * nnode)),
+                       dtype=float).reshape(-1)
+
+    fixed_parts = []
+    if "fixed_dofs" in doc:
+        fixed_parts.append(np.asarray(doc["fixed_dofs"], dtype=int))
+    if "fixed_nodes" in doc:
+        fn = _named_face_nodes(nodes, doc["fixed_nodes"])
+        fixed_parts.append(
+            (3 * fn[:, None] + np.arange(3)).reshape(-1))
+    for key, comp in (("fixed_x_nodes", 0), ("fixed_y_nodes", 1),
+                      ("fixed_z_nodes", 2)):
+        if key in doc:
+            fn = _named_face_nodes(nodes, doc[key])
+            fixed_parts.append(3 * fn + comp)
+    prescribed_pairs = doc.get("prescribed")
+    if prescribed_pairs is not None:
+        arr = np.asarray(prescribed_pairs, dtype=float)
+        if arr.ndim != 2 or arr.shape[1] != 2:
+            raise ValueError('prescribed must be [[dof, value], ..]')
+        fixed_parts.append(arr[:, 0].astype(int))
+    if not fixed_parts:
+        raise ValueError('solid document needs supports: '
+                         '"fixed_nodes", "fixed_dofs", '
+                         '"fixed_*_nodes" or "prescribed"')
+    fixed = np.unique(np.concatenate(fixed_parts))
+    prescribed = None
+    if prescribed_pairs is not None:
+        arr = np.asarray(prescribed_pairs, dtype=float)
+        prescribed = np.zeros(fixed.size)
+        idx = np.searchsorted(fixed, arr[:, 0].astype(int))
+        prescribed[idx] = arr[:, 1]
+
+    pm = doc.get("point_masses")
+    if pm is not None:
+        arr = np.asarray(pm, dtype=float)
+        if arr.ndim == 2:
+            full = np.zeros(nnode)
+            for node, mass in arr:
+                full[int(node)] += float(mass)
+            pm = full
+        else:
+            pm = arr
+
+    problem = SolidProblem(
+        nodes=nodes, elements=elements,
+        young=mat.get("young", 1.0), poisson=mat["poisson"],
+        density=mat.get("density", 1.0),
+        loads=loads, fixed_dofs=fixed, prescribed=prescribed,
+        body_force=doc.get("body_force"), point_masses=pm)
+
+    # Surface loads resolve AFTER the problem exists (named faces need
+    # the element boundary quads).
+    for spec in doc.get("surface_loads", []):
+        if "face" not in spec or "traction" not in spec:
+            raise ValueError('surface_loads entries need "face" (a '
+                             'named plane or explicit quads) and '
+                             '"traction" [tx, ty, tz]')
+        face = spec["face"]
+        if isinstance(face, str):
+            if face not in _FACE_NAMES:
+                raise ValueError(f"named face must be one of "
+                                 f"{sorted(_FACE_NAMES)}, got {face!r}")
+            axis, side = _FACE_NAMES[face]
+            quads = boundary_quads(problem, axis, side)
+        else:
+            quads = np.asarray(face, dtype=int)
+        problem.loads = problem.loads + surface_load(
+            nodes, quads, spec["traction"], ndof=3 * nnode)
+    return problem, dict(doc.get("analysis") or {"type": "static"})
+
+
+def _probe_dofs(analysis: Dict, problem: SolidProblem):
+    probe = analysis.get("probe_dofs")
+    if probe is None and analysis.get("probe_nodes") is not None:
+        pn = _named_face_nodes(problem.nodes, analysis["probe_nodes"])
+        probe = (3 * pn[:, None] + np.arange(3)).reshape(-1)
+    return probe
+
+
+def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
+    kind = analysis.get("type", "static")
+    if kind == "solid":
+        # The Node /api/fem/solid route injects type="solid" when the
+        # document carries no analysis block — that means statics.
+        kind = "static"
+    if kind == "static":
+        from ..solvers.newton import DENSE_DOF_LIMIT
+
+        banded = analysis.get("banded")
+        if banded is None:
+            banded = problem.ndof > DENSE_DOF_LIMIT
+        if banded:
+            res, iters, rel = solve_solid_static_banded(
+                problem, tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iter", 50000)))
+        else:
+            res = solve_solid_static(problem)
+            iters = rel = None
+        out = {
+            "success": True,
+            "analysis": "static",
+            "element_type": "solid",
+            "method": "banded" if banded else "dense",
+            "max_displacement": float(
+                np.abs(res.displacements).max()),
+            "max_von_mises": float(res.von_mises.max()),
+        }
+        if banded:
+            out["iterations"] = iters
+            out["relative_residual"] = rel
+        # Payload gate: full fields only below the JSON size limit
+        # (io/_common._SHAPES_JSON_DOF_LIMIT doctrine).
+        from ._common import _SHAPES_JSON_DOF_LIMIT, _json_finite
+
+        if analysis.get("include_fields",
+                        problem.ndof <= _SHAPES_JSON_DOF_LIMIT):
+            out["displacements"] = res.displacements.tolist()
+            out["stresses"] = res.stresses.tolist()
+            out["von_mises"] = res.von_mises.tolist()
+            out["principal"] = res.principal.tolist()
+            out["reactions"] = res.reactions.tolist()
+        return _json_finite(out)
+    if kind == "modal":
+        n_modes = int(analysis.get("n_modes", 6))
+        res = solid_modal(problem, n_modes=n_modes)
+        out = {
+            "success": True,
+            "analysis": "modal",
+            "element_type": "solid",
+            "frequencies_hz": res.frequencies_hz.tolist(),
+            "omegas": res.omegas.tolist(),
+            "eigenvalues": res.eigenvalues.tolist(),
+        }
+        from ._common import _SHAPES_JSON_DOF_LIMIT
+
+        if analysis.get("include_shapes",
+                        problem.ndof <= _SHAPES_JSON_DOF_LIMIT):
+            out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    if kind == "transient":
+        if "dt" not in analysis or "n_steps" not in analysis:
+            raise ValueError('solid transient needs "dt" and '
+                             '"n_steps"')
+        n_steps = int(analysis["n_steps"])
+        amp_spec = analysis.get("amplitude")
+        amp = None
+        if amp_spec is not None:
+            from ._common import _amplitude_array
+
+            amp = _amplitude_array(amp_spec, n_steps,
+                                   float(analysis["dt"]))
+        probe = _probe_dofs(analysis, problem)
+        res = solve_solid_transient(
+            problem, float(analysis["dt"]), n_steps,
+            damping=tuple(analysis.get("damping", (0.0, 0.0))),
+            amplitude=amp, probe_dofs=probe,
+            record_every=int(analysis.get("record_every", 1)))
+        return {
+            "success": True,
+            "analysis": "transient",
+            "element_type": "solid",
+            "dt": res.dt,
+            "n_steps": res.n_steps,
+            "times": res.times.tolist(),
+            "displacements": res.displacements.tolist(),
+            "velocities": res.velocities.tolist(),
+        }
+    raise ValueError(f'solid analysis.type must be "static", "modal" '
+                     f'or "transient", got {kind!r}')
+
+
+def run_solid_document(doc: Dict) -> Dict:
+    problem, analysis = parse_solid_document(doc)
+    return run_solid_analysis(problem, analysis)

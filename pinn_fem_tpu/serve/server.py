@@ -80,7 +80,7 @@ INFO = {
                         "harmonic", "spectrum", "random",
                         "continuation", "plastic", "reduction",
                         "identification", "sizing", "reliability",
-                        "frame", "plane"],
+                        "frame", "plane", "solid"],
         },
     },
     "backend": "jax",
@@ -113,6 +113,12 @@ def _solve_plane(body):
     from ..io.plane_io import run_plane_document
 
     return run_plane_document({**body, "element_type": "plane"})
+
+
+def _solve_solid(body):
+    from ..io.solid_io import run_solid_document
+
+    return run_solid_document({**body, "element_type": "solid"})
 
 
 def _solve_generic(body):
@@ -188,6 +194,9 @@ _ROUTES = {
     "/api/fem/frame": (_solve_frame, FEM_TIMEOUT_S),
     # 2D plane-stress/strain continuum family: host-tier dense solves.
     "/api/fem/plane": (_solve_plane, FEM_TIMEOUT_S),
+    # 3D solid hex8 family: dense host tier, banded DIA device tier
+    # for large statics.
+    "/api/fem/solid": (_solve_solid, FEM_TIMEOUT_S),
 }
 
 

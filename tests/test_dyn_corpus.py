@@ -43,6 +43,7 @@ def test_dyn_corpus_complete():
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing-rbdo.json", "dyn-sizing.json",
+                   "dyn-solid.json",
                    "dyn-spectrum.json", "dyn-transient.json"]
 
 
@@ -84,6 +85,16 @@ def test_dyn_corpus_runs(name, tmp_path):
         assert sorted(zones[0] + zones[1]) == list(range(16 * 80))
         hist = np.asarray(res["loss_history"])
         assert hist[-1] < 1e-2 * hist[0]
+    elif name == "dyn-solid.json":
+        # 3D hex8 column at 6075 DOFs (> DENSE_DOF_LIMIT) through the
+        # banded DIA tier: homogeneous uniaxial closed form, exact.
+        assert res["element_type"] == "solid"
+        assert res["method"] == "banded" and res["iterations"] > 0
+        assert res["relative_residual"] < 1e-8
+        np.testing.assert_allclose(res["max_displacement"],
+                                   5.0 / 200.0 * 4.0, rtol=1e-4)
+        np.testing.assert_allclose(res["max_von_mises"], 5.0,
+                                   rtol=1e-4)
     elif name == "dyn-plane-plastic.json":
         # Thick-wall cylinder at 0.99 p_lim: plastic front has spread
         # from the bore but not collapsed; von Mises capped at sigma_y
