@@ -522,6 +522,41 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runSolid = async () => {
+    // 3D continuum demo: a hex8 box column under uniaxial top
+    // traction with symmetry supports — exact closed form
+    // u_z = 0.05·E·4/E = 0.2, von Mises = 0.05·E everywhere
+    // (io/solid_io.py; POST body pinned as
+    // tests/fixtures/ui_payload_solid.json, byte-identical to the
+    // static UI's solidDoc()).
+    setMessage('Solving the 3D hex8 column…');
+    try {
+      const E = baseProblem().material.young;
+      const r = await post('solid', {
+        mesh: { type: 'box', lx: 1, ly: 1, lz: 4, nx: 2, ny: 2,
+                nz: 8 },
+        material: { young: E, poisson: 0.3, density: 1 },
+        fixed_z_nodes: 'z_min',
+        fixed_x_nodes: 'x_min',
+        fixed_y_nodes: 'y_min',
+        surface_loads: [{ face: 'z_max',
+                          traction: [0, 0, 0.05 * E] }],
+        analysis: { type: 'static' },
+      });
+      setKind('solid'); setShapes(null); setChart(null);
+      setRows([
+        { label: 'max |u|',
+          value: `${r.max_displacement.toPrecision(4)} (exact 0.2000)` },
+        { label: 'max von Mises',
+          value: `${r.max_von_mises.toPrecision(4)} (exact 0.05·E)` },
+      ]);
+      setMessage('3D hex8 column (2×2×8 box): uniaxial closed form '
+        + `reproduced, max |u| ${r.max_displacement.toPrecision(4)}`);
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runPushover = async () => {
     // Elastoplastic pushover of the sketch: yield at 80% of the
     // mean-load elastic stress level (the Reliability two-step flow),
@@ -631,6 +666,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runPlane}>Plane ▶</button>
         <button onClick={runPushover}>Pushover ▶</button>
         <button onClick={runPlanePlastic}>Cylinder ▶</button>
+        <button onClick={runSolid}>Solid ▶</button>
       </div>
       <table>
         <tbody>

@@ -1099,6 +1099,38 @@ async function runPlane() {
 }
 document.getElementById("plane-btn").addEventListener("click", runPlane);
 
+function solidDoc(E) {
+  // Canonical 3D demo (pinned as tests/fixtures/ui_payload_solid.json,
+  // byte-identical to the React panel's runSolid): uniaxial box column
+  // with symmetry supports — closed form u_z = 0.05*E*4/E = 0.2,
+  // von Mises = 0.05*E everywhere (models/solid.py anchors).
+  return {
+    mesh: { type: "box", lx: 1, ly: 1, lz: 4, nx: 2, ny: 2, nz: 8 },
+    material: { young: E, poisson: 0.3, density: 1 },
+    fixed_z_nodes: "z_min",
+    fixed_x_nodes: "x_min",
+    fixed_y_nodes: "y_min",
+    surface_loads: [{ face: "z_max", traction: [0, 0, 0.05 * E] }],
+    analysis: { type: "static" },
+  };
+}
+
+async function runSolid() {
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Solving the 3D hex8 column…";
+  try {
+    const E = buildProblem().material.young;
+    const r = await postDoc("solid", solidDoc(E));
+    status.textContent = `3D hex8 column (2x2x8 box, uniaxial): `
+      + `max |u| ${r.max_displacement.toPrecision(4)} `
+      + `(closed form 0.2000), von Mises `
+      + `${r.max_von_mises.toPrecision(4)} (exact 0.05·E)`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("solid-btn").addEventListener("click", runSolid);
+
 async function runPushover() {
   // Elastoplastic pushover of the sketch: yield at 80% of the
   // mean-load elastic stress, ramp to 3x — capacity curve at the

@@ -734,3 +734,20 @@ def test_ui_cylinder_payload_served():
     lf = np.asarray(out["load_factors"])
     # The knee: bore displacement grows faster than linearly in p.
     assert d[2, 0] / lf[2] > 1.02 * d[0, 0] / lf[0]
+
+
+def test_ui_solid_payload_served():
+    """Both UIs' Solid action (the uniaxial hex8 box column with named
+    face supports) through the live /api/fem/solid handler: the exact
+    closed form u_z = 0.05*E*L/E = 0.2 and von Mises = 0.05*E gate the
+    whole path (named-face parsing, surface loads, dense solve)."""
+    from pinn_fem_tpu.serve.server import _solve_solid
+
+    payload = load_fixture("ui_payload_solid.json")
+    out = _solve_solid(payload)
+    assert out["success"] and out["analysis"] == "static"
+    assert out["element_type"] == "solid" and out["method"] == "dense"
+    np.testing.assert_allclose(out["max_displacement"], 0.2, rtol=1e-9)
+    np.testing.assert_allclose(out["max_von_mises"], 0.05, rtol=1e-9)
+    u = np.asarray(out["displacements"])
+    assert u.shape == (3 * 3 * 3 * 9,) and np.isfinite(u).all()
