@@ -55,9 +55,21 @@ def _gate(name: str, res: dict) -> None:
         if kind == "modal":
             f = np.asarray(res["frequencies_hz"], dtype=float)
             assert np.isfinite(f).all() and np.all(f > 0), name
+        elif kind == "identification":
+            # Two-zone banded twin recovery to 0.5% (round-4 VERDICT
+            # #5; tests/test_dyn_corpus.py pins the same bound).
+            assert res["method"] == "banded", name
+            assert max(res["zone_rel_error"]) < 5e-3, name
         else:
             assert np.isfinite(np.asarray(res["displacements"],
                                           dtype=float)).all(), name
+        return
+    if res.get("element_type") == "solid":
+        # Uniaxial hex8 column through the banded device tier: the
+        # EXACT closed form u_z = sigma L / E, von Mises = sigma.
+        assert res["method"] == "banded", name
+        assert abs(res["max_displacement"] - 0.1) < 1e-4, name
+        assert abs(res["max_von_mises"] - 5.0) < 1e-2, name
         return
     if kind == "modal":
         assert res["ok"], f"{name}: modal ok=False"
@@ -171,6 +183,14 @@ def bench_warm(path: str, repeats: int):
 
         def once():
             return run_plane_analysis(problem, dict(analysis))
+    elif raw.get("element_type") == "solid":
+        from pinn_fem_tpu.io.solid_io import (parse_solid_document,
+                                              run_solid_analysis)
+
+        problem, analysis = parse_solid_document(raw)
+
+        def once():
+            return run_solid_analysis(problem, dict(analysis))
     else:
         parsed = parse_problem_file(path)
         analysis = raw["analysis"]
@@ -203,7 +223,13 @@ def write_markdown(rows, backend: str, out_path: str) -> None:
         "analysis family executes on the HOST tier (ops/host.py) — zero "
         "device programs, so cold latency is import-bound, not "
         "compile-bound (the round-2 60 s-timeout failure mode is "
-        "structurally gone).  `python benchmarks/dyn_corpus.py` "
+        "structurally gone).  The DEVICE-tier entry (dyn-solid at "
+        "6,075 DOFs > DENSE_DOF_LIMIT) pays the runtime attach in its "
+        "fresh number by design — the honest cost of a large-mesh run "
+        "on this box, amortized away in the warm column; "
+        "dyn-plane-identify runs its banded-adjoint ADAM loop on the "
+        "pinned local-CPU tier like the rest of the identification "
+        "family.  `python benchmarks/dyn_corpus.py` "
         "regenerates this section.  The reference has no dynamics tier "
         "to compare against (SURVEY §7.3).",
         "",

@@ -304,6 +304,7 @@ def main():
 
     plane_section(backend)
     frame_section(backend)
+    solid_section(backend)
 
 
 def plane_section(backend):
@@ -470,10 +471,65 @@ def frame_section(backend):
          f1_hz=round(float(f[0]), 4), backend=backend)
 
 
+def solid_section(backend):
+    """6) Large-mesh 3D SOLID statics through the banded device tier
+    (models/solid.solve_solid_static_banded): a 16x16x96 hex8 column
+    (84k DOFs, 24.6k bricks) in uniaxial tension with symmetry
+    supports, gated against the EXACT homogeneous closed form
+    u_z = sigma z / E (linear in z at every node).  The short sides go
+    on x/y (node numbering is x-fastest) so the DIA bandwidth stays at
+    3((nx+1)(ny+1) + nx + 2) + 2 ~ 920 regardless of column height —
+    the same short-axis rule the plane/frame grids use; the 3D stencil
+    has ~135 distinct diagonals (27 node neighbours x 5 DOF offsets).
+    Runnable alone: python benchmarks/scaling.py solid"""
+    from pinn_fem_tpu.models.solid import (
+        SolidProblem,
+        boundary_quads,
+        box_mesh,
+        solve_solid_static_banded,
+        surface_load,
+    )
+
+    nx, ny, nz = 16, 16, 96
+    E, sigma, L = 200.0, 5.0, 4.0
+    nodes, elems = box_mesh(1.0, 1.0, L, nx, ny, nz)
+    n = nodes.shape[0]
+    bot = np.flatnonzero(np.abs(nodes[:, 2]) < 1e-12)
+    x0 = np.flatnonzero(np.abs(nodes[:, 0]) < 1e-12)
+    y0 = np.flatnonzero(np.abs(nodes[:, 1]) < 1e-12)
+    fixed = np.concatenate([3 * bot + 2, 3 * x0, 3 * y0 + 1])
+    p = SolidProblem(nodes=nodes, elements=elems, young=E, poisson=0.3,
+                     density=2.0, loads=np.zeros(3 * n),
+                     fixed_dofs=fixed)
+    loads = surface_load(nodes, boundary_quads(p, 2, +1),
+                         [0.0, 0.0, sigma])
+    p = SolidProblem(nodes=nodes, elements=elems, young=E, poisson=0.3,
+                     density=2.0, loads=loads, fixed_dofs=fixed)
+
+    t0 = time.perf_counter()
+    res, iters, rel = solve_solid_static_banded(p, tol=1e-8)
+    t_first = time.perf_counter() - t0
+    uz = res.displacements[2::3]
+    err = float(np.max(np.abs(uz - sigma * nodes[:, 2] / E))) \
+        / (sigma * L / E)
+    assert err < 2e-3 and rel < 1e-6, (err, rel)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_solid_static_banded(p, tol=1e-8)
+        ts.append(time.perf_counter() - t0)
+    emit("solid_static_banded", float(np.median(ts)), "s",
+         dofs=p.ndof, elements=elems.shape[0], iterations=int(iters),
+         rel_residual=float(rel), closed_form_err=round(err, 8),
+         first_call_s=round(t_first, 1), backend=backend)
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "plane":
         plane_section(jax.default_backend())
     elif len(sys.argv) > 1 and sys.argv[1] == "frame":
         frame_section(jax.default_backend())
+    elif len(sys.argv) > 1 and sys.argv[1] == "solid":
+        solid_section(jax.default_backend())
     else:
         main()

@@ -70,6 +70,7 @@ from .models.solid import (  # noqa: E402
     box_mesh,
     solid_matrices,
     solid_modal,
+    solid_modal_banded,
     solve_solid_static,
     solve_solid_static_banded,
     solve_solid_transient,
@@ -226,6 +227,7 @@ __all__ = [
     "solve_solid_static_banded",
     "solve_solid_transient",
     "solid_modal",
+    "solid_modal_banded",
     "solid_matrices",
     "box_mesh",
     "surface_load",

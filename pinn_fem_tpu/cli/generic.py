@@ -109,6 +109,21 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                     "generated mesh" if "mesh" in raw else
                     f"{len(raw.get('nodes', ()))} nodes, "
                     f"{len(raw.get('elements', ()))} elements")
+        plane_analysis = raw.get("analysis") or {}
+        if (plane_analysis.get("type") == "identification"
+                and not plane_analysis.get("on_device", False)):
+            # Same local-tier pin as the truss identification family
+            # (below): the ADAM loop and its twin-data solve run on
+            # the local CPU backend, and initializing it must not pay
+            # the axon tunnel attach.
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+                logger.info("Plane identification: pinned "
+                            "jax_platforms=cpu (local tier)")
+            except Exception:
+                pass  # backends already up: the ctx still works
         output = run_plane_document(raw)
         if output_file is None:
             p = Path(problem_file)

@@ -524,20 +524,28 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         if banded is None:
             banded = problem.ndof > DENSE_DOF_LIMIT or zones is not None
         if banded:
-            vals, hist, fld = identify_plane_young_banded(
-                problem,
-                analysis["measured_dofs"], analysis["measured_u"],
-                n_iter=int(analysis.get("n_iter", 300)),
-                learning_rate=float(analysis.get("learning_rate",
-                                                 0.05)),
-                tol=float(analysis.get("tolerance", 1e-7)),
-                max_iter=int(analysis.get("max_iter", 20000)),
-                zones=zones,
-                field=bool(analysis.get("field", False)),
-                seed=int(analysis.get("seed", 0)),
-                hidden_layers=int(analysis.get("hidden_layers", 2)),
-                neurons_per_layer=int(analysis.get("neurons_per_layer",
-                                                   16)))
+            # Identification-family doctrine (io/identification_io.py):
+            # the ADAM loop runs on the LOCAL CPU tier unless
+            # "on_device": true opts into the accelerator — per-step
+            # device round trips through the attachment would dominate
+            # a 90-iteration loop whose solves are milliseconds.
+            from ._common import _local_cpu_ctx
+
+            with _local_cpu_ctx(analysis):
+                vals, hist, fld = identify_plane_young_banded(
+                    problem,
+                    analysis["measured_dofs"], analysis["measured_u"],
+                    n_iter=int(analysis.get("n_iter", 300)),
+                    learning_rate=float(analysis.get("learning_rate",
+                                                     0.05)),
+                    tol=float(analysis.get("tolerance", 1e-7)),
+                    max_iter=int(analysis.get("max_iter", 20000)),
+                    zones=zones,
+                    field=bool(analysis.get("field", False)),
+                    seed=int(analysis.get("seed", 0)),
+                    hidden_layers=int(analysis.get("hidden_layers", 2)),
+                    neurons_per_layer=int(
+                        analysis.get("neurons_per_layer", 16)))
         else:
             if zones is not None:
                 raise ValueError('"zones" rides the banded tier; drop '

@@ -25,7 +25,11 @@ plane_io pattern):
                                       # default auto > DENSE_DOF_LIMIT
                   "tolerance": 1e-7, "max_iter": 50000}
                | {"type": "modal", "n_modes": 6,
-                  "include_shapes": true}
+                  "include_shapes": true,
+                  "banded": null,     # subspace iteration on the DIA
+                                      # tier (lumped mass); default
+                                      # auto > DENSE_DOF_LIMIT
+                  "n_iter": 30, "cg_tol": 1e-7}
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
@@ -222,12 +226,26 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             out["reactions"] = res.reactions.tolist()
         return _json_finite(out)
     if kind == "modal":
+        from ..solvers.newton import DENSE_DOF_LIMIT
+
         n_modes = int(analysis.get("n_modes", 6))
-        res = solid_modal(problem, n_modes=n_modes)
+        banded = analysis.get("banded")
+        if banded is None:
+            banded = problem.ndof > DENSE_DOF_LIMIT
+        if banded:
+            from ..models.solid import solid_modal_banded
+
+            res = solid_modal_banded(
+                problem, n_modes=n_modes,
+                n_iter=int(analysis.get("n_iter", 30)),
+                cg_tol=float(analysis.get("cg_tol", 1e-7)))
+        else:
+            res = solid_modal(problem, n_modes=n_modes)
         out = {
             "success": True,
             "analysis": "modal",
             "element_type": "solid",
+            "method": "banded" if banded else "dense",
             "frequencies_hz": res.frequencies_hz.tolist(),
             "omegas": res.omegas.tolist(),
             "eigenvalues": res.eigenvalues.tolist(),

@@ -625,3 +625,67 @@ def solve_solid_static_banded(problem: SolidProblem, tol: float = 1e-7,
                             strains=eps,
                             reactions=np.asarray(reac, dtype=float))
     return res, int(iters), float(rel)
+
+
+def solid_lumped_mass_diag(problem: SolidProblem) -> np.ndarray:
+    """(3n,) row-sum (partition-of-unity) lumped mass: for trilinear
+    shapes sum_b N_a N_b = N_a, so the row sum of the consistent block
+    is the exact integral of density N_a — positive for every hex8,
+    total mass preserved.  Point masses add per node."""
+    m_node = np.zeros(problem.nodes.shape[0])
+    coords = problem.coords()
+    for xi, eta, zeta in _GP3:
+        n = _hex_n(xi, eta, zeta)
+        _, det = _hex_point(coords, xi, eta, zeta)
+        np.add.at(m_node, problem.elements,
+                  (problem.density * det)[:, None] * n[None, :])
+    if problem.point_masses is not None:
+        m_node = m_node + problem.point_masses
+    return np.repeat(m_node, 3)
+
+
+def solid_modal_banded(problem: SolidProblem, n_modes: int = 4,
+                       n_iter: int = 30, cg_tol: float = 1e-7,
+                       seed: int = 0, dtype=None,
+                       mesh=None) -> SolidModalResult:
+    """Large-mesh 3D modal analysis: inverse subspace iteration on the
+    banded hex8 operator with row-sum-lumped mass — the truss family's
+    _subspace_iteration (solvers/modal.py) riding the solid DIA
+    diagonals unchanged (it is layout-generic; the frame family set
+    the pattern, models/frame.py:frame_modal_banded).  Lumped-mass
+    frequencies converge from BELOW under refinement while the
+    consistent host tier converges from above; tests pin banded
+    against a dense eigensolve of the SAME lumped discrete problem.
+    `mesh` distributes the block solves (parallel/dia_sharded.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks, dia_layout
+    from ..solvers.modal import _subspace_iteration
+    from .plane import _DiaLayoutView
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof,
+                            max_diags=160)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+    dmat = _dmat3(jnp.asarray(problem.young, dtype),
+                  jnp.asarray(problem.poisson, dtype), xp=jnp)
+    blocks = _k_blocks3(jnp.asarray(problem.coords(), dtype), dmat,
+                        xp=jnp)
+    diags = assemble_dia_blocks(
+        _DiaLayoutView(layout, problem._dia_entry_slot_dev), blocks)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    m_diag = jnp.asarray(solid_lumped_mass_diag(problem), dtype)
+    m_diag = m_diag * mask + (1.0 - mask)
+    w, y, _change = _subspace_iteration(
+        layout, diags, m_diag, mask, int(n_modes), int(n_iter),
+        cg_tol, int(seed), mesh=mesh)
+    lam, shapes = jax.device_get((w, (y * mask[:, None]).T))
+    lam = np.maximum(np.asarray(lam, dtype=float), 0.0)
+    om = np.sqrt(lam)
+    return SolidModalResult(frequencies_hz=om / (2.0 * np.pi),
+                            omegas=om, eigenvalues=lam,
+                            mode_shapes=np.asarray(shapes, dtype=float))

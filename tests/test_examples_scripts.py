@@ -45,6 +45,7 @@ SCRIPTS.append("twin_workflow")
 SCRIPTS.append("fatigue_assessment")
 SCRIPTS.append("reliability_assessment")
 SCRIPTS.append("frame_analysis")
+SCRIPTS.append("solid_analysis")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)

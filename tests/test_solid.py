@@ -290,3 +290,37 @@ def test_solid_json_tier_contract():
     with pytest.raises(ValueError, match="supports"):
         run_solid_document({k: v for k, v in doc.items()
                             if not k.startswith("fixed")})
+
+
+def test_solid_modal_banded_matches_dense_lumped():
+    """solid_modal_banded (layout-generic subspace iteration on the
+    hex8 DIA diagonals, row-sum-lumped mass) == a dense eigensolve of
+    the SAME lumped discrete problem — and total lumped mass is exact
+    (partition of unity)."""
+    import scipy.linalg
+
+    from pinn_fem_tpu.models.solid import (solid_lumped_mass_diag,
+                                           solid_modal_banded)
+
+    p = _uniaxial_problem(nx=1, ny=1, nz=10)
+    m_diag = solid_lumped_mass_diag(p)
+    np.testing.assert_allclose(m_diag.sum() / 3.0,
+                               RHO * 1.0 * 1.0 * 4.0, rtol=1e-12)
+    k, _ = solid_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    lam_dense = scipy.linalg.eigh(
+        k[np.ix_(free, free)], np.diag(m_diag[free]),
+        eigvals_only=True)[:3]
+    res = solid_modal_banded(p, n_modes=3, n_iter=40, cg_tol=1e-9)
+    np.testing.assert_allclose(res.eigenvalues, lam_dense, rtol=2e-3)
+    assert res.mode_shapes.shape == (3, p.ndof)
+    # Sharded block solves == single device (the frame pattern).
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(1, 4),
+                ("dp", "tp"))
+    res_s = solid_modal_banded(p, n_modes=3, n_iter=40, cg_tol=1e-9,
+                               mesh=mesh)
+    np.testing.assert_allclose(res_s.eigenvalues, res.eigenvalues,
+                               rtol=1e-3)
