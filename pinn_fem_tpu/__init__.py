@@ -71,9 +71,11 @@ from .models.solid import (  # noqa: E402
     solid_matrices,
     solid_modal,
     solid_modal_banded,
+    solid_stable_dt,
     solve_solid_static,
     solve_solid_static_banded,
     solve_solid_transient,
+    solve_solid_transient_banded,
     surface_load,
 )
 from .models.problem import (  # noqa: E402
@@ -226,6 +228,8 @@ __all__ = [
     "solve_solid_static",
     "solve_solid_static_banded",
     "solve_solid_transient",
+    "solve_solid_transient_banded",
+    "solid_stable_dt",
     "solid_modal",
     "solid_modal_banded",
     "solid_matrices",

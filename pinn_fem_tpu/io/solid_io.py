@@ -30,9 +30,14 @@ plane_io pattern):
                                       # tier (lumped mass); default
                                       # auto > DENSE_DOF_LIMIT
                   "n_iter": 30, "cg_tol": 1e-7}
-               | {"type": "transient", "dt": 0.01, "n_steps": 500,
+               | {"type": "transient", "dt": 0.01 | "auto",
+                  "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
+                  "banded": null,     # explicit central difference on
+                                      # the DIA matvec (lumped mass);
+                                      # default auto > DENSE_DOF_LIMIT;
+                                      # dt "auto" = Gershgorin step
                   "record_every": 1}}
 
     Every node-selecting key also accepts a named boundary FACE
@@ -257,27 +262,51 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             out["mode_shapes"] = res.mode_shapes.tolist()
         return out
     if kind == "transient":
+        from ..solvers.newton import DENSE_DOF_LIMIT
+
         if "dt" not in analysis or "n_steps" not in analysis:
             raise ValueError('solid transient needs "dt" and '
                              '"n_steps"')
         n_steps = int(analysis["n_steps"])
+        damping = tuple(analysis.get("damping", (0.0, 0.0)))
+        banded = analysis.get("banded")
+        if banded is None:
+            banded = problem.ndof > DENSE_DOF_LIMIT
+        dt_spec = analysis["dt"]
+        if dt_spec == "auto":
+            if not banded:
+                raise ValueError('dt="auto" (Gershgorin critical step) '
+                                 'applies to the banded explicit tier; '
+                                 'the dense Newmark path is '
+                                 'unconditionally stable — give dt')
+            from ..models.solid import solid_stable_dt
+
+            dt = solid_stable_dt(problem, damping=damping)
+        else:
+            dt = float(dt_spec)
         amp_spec = analysis.get("amplitude")
         amp = None
         if amp_spec is not None:
             from ._common import _amplitude_array
 
-            amp = _amplitude_array(amp_spec, n_steps,
-                                   float(analysis["dt"]))
+            amp = _amplitude_array(amp_spec, n_steps, dt)
         probe = _probe_dofs(analysis, problem)
-        res = solve_solid_transient(
-            problem, float(analysis["dt"]), n_steps,
-            damping=tuple(analysis.get("damping", (0.0, 0.0))),
-            amplitude=amp, probe_dofs=probe,
-            record_every=int(analysis.get("record_every", 1)))
+        record_every = int(analysis.get("record_every", 1))
+        if banded:
+            from ..models.solid import solve_solid_transient_banded
+
+            res = solve_solid_transient_banded(
+                problem, dt, n_steps, damping=damping, amplitude=amp,
+                probe_dofs=probe, record_every=record_every)
+        else:
+            res = solve_solid_transient(
+                problem, dt, n_steps, damping=damping, amplitude=amp,
+                probe_dofs=probe, record_every=record_every)
         return {
             "success": True,
             "analysis": "transient",
             "element_type": "solid",
+            "method": ("central-banded" if banded else "newmark"),
             "dt": res.dt,
             "n_steps": res.n_steps,
             "times": res.times.tolist(),

@@ -689,3 +689,113 @@ def solid_modal_banded(problem: SolidProblem, n_modes: int = 4,
     return SolidModalResult(frequencies_hz=om / (2.0 * np.pi),
                             omegas=om, eigenvalues=lam,
                             mode_shapes=np.asarray(shapes, dtype=float))
+
+
+def solid_stable_dt(problem: SolidProblem, safety: float = 0.9,
+                    damping=(0.0, 0.0)) -> float:
+    """Gershgorin bound on the explicit critical step for the hex8
+    mesh: omega_max^2 <= max_i sum_j |K_ij| / m_i over FREE rows
+    (support rows carry full stiffness over partial tributary mass and
+    would be up to sqrt(2) conservative — the truss stable_dt lesson,
+    solvers/dynamics.py:177), with the all-rows fallback for
+    degenerate free blocks.  Rayleigh damping SHRINKS the limit:
+    dt = (2/w)(sqrt(1+zeta^2) - zeta), zeta = alpha/2w + beta w/2."""
+    k, _ = solid_matrices(problem, with_mass=False)
+    m = solid_lumped_mass_diag(problem)
+    row = np.abs(k).sum(axis=1) / m
+    free = problem.free_mask() > 0
+    w2 = float(row[free].max()) if free.any() and row[free].max() > 0 \
+        else float(row.max())
+    w = np.sqrt(max(w2, 1e-30))
+    alpha, beta = float(damping[0]), float(damping[1])
+    zeta = 0.5 * alpha / w + 0.5 * beta * w
+    return safety * (2.0 / w) * (np.sqrt(1.0 + zeta * zeta) - zeta)
+
+
+_SOLID_TRANSIENT_CACHE: dict = {}
+
+
+def solve_solid_transient_banded(problem: SolidProblem, dt: float,
+                                 n_steps: int, amplitude=None,
+                                 damping=(0.0, 0.0), probe_dofs=None,
+                                 record_every: int = 1,
+                                 dtype=None) -> SolidTransientResult:
+    """Large-mesh 3D explicit dynamics: central difference on the
+    banded hex8 operator with row-sum-lumped mass — the truss family's
+    _central_run (solvers/dynamics.py:277) riding the solid DIA
+    matvec unchanged (it is k_apply-generic), whole history as ONE
+    lax.scan, probes + energies fetched in one device_get.
+
+    The marginal step cost is one banded matvec plus pointwise
+    updates, so 3D explicit dynamics runs at the DIA streaming bound
+    like the 2M-DOF truss transient (BENCHMARKS.md
+    transient_central_step).  Program cached per (layout signature,
+    n_steps/record_every, damping shape) — dt, damping values and the
+    amplitude history stay traced, so one compiled program serves
+    every load case of a shape class."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks, dia_layout, dia_matvec
+    from .plane import _DiaLayoutView
+
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    if problem.prescribed is not None and np.any(problem.prescribed):
+        raise ValueError("transient supports homogeneous supports only")
+    dtype = dtype or jnp.asarray(1.0).dtype
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof,
+                            max_diags=160)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+    dmat = _dmat3(jnp.asarray(problem.young, dtype),
+                  jnp.asarray(problem.poisson, dtype), xp=jnp)
+    blocks = _k_blocks3(jnp.asarray(problem.coords(), dtype), dmat,
+                        xp=jnp)
+    diags = assemble_dia_blocks(
+        _DiaLayoutView(layout, problem._dia_entry_slot_dev), blocks)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    m_diag = jnp.asarray(solid_lumped_mass_diag(problem), dtype)
+    m_diag = m_diag * mask + (1.0 - mask)
+    f0 = jnp.asarray(problem.loads + _body_force_vectors3(problem),
+                     dtype)
+    amp = (np.ones(n_steps) if amplitude is None
+           else np.broadcast_to(np.asarray(amplitude, dtype=float),
+                                (n_steps,)))
+    probe_np = (np.arange(problem.ndof) if probe_dofs is None
+                else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    n_rec = n_steps // record_every
+    alpha, beta = float(damping[0]), float(damping[1])
+    use_beta = beta != 0.0
+
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.entry_slot.shape, n_rec, record_every, use_beta,
+           probe_np.size)
+    core = _SOLID_TRANSIENT_CACHE.get(key)
+    if core is None:
+        from ..solvers.dynamics import _central_run
+
+        @jax.jit
+        def core(diags, m, mask, loads, amplitude, probe, dt_t,
+                 alpha_t, beta_t):
+            def k_apply(u):
+                return dia_matvec(layout, diags, u * mask) * mask
+
+            zeros = jnp.zeros_like(loads)
+            return _central_run(k_apply, m, mask, loads, amplitude,
+                                dt_t, alpha_t, beta_t, zeros, zeros,
+                                probe, n_rec, record_every, use_beta)
+
+        _SOLID_TRANSIENT_CACHE[key] = core
+    recs, _u_f, _v_f = core(
+        diags, m_diag, mask, f0, jnp.asarray(amp, dtype),
+        jnp.asarray(probe_np), jnp.asarray(dt, dtype),
+        jnp.asarray(alpha, dtype), jnp.asarray(beta, dtype))
+    u_rec, v_rec, _ke, _se = jax.device_get(recs)   # ONE fetch
+    times = dt * record_every * np.arange(1, n_rec + 1)
+    return SolidTransientResult(
+        times=times, displacements=np.asarray(u_rec, dtype=float),
+        velocities=np.asarray(v_rec, dtype=float), dt=float(dt),
+        n_steps=int(n_steps))

@@ -324,3 +324,79 @@ def test_solid_modal_banded_matches_dense_lumped():
                                mesh=mesh)
     np.testing.assert_allclose(res_s.eigenvalues, res.eigenvalues,
                                rtol=1e-3)
+
+
+def test_solid_explicit_banded_matches_newmark():
+    """solve_solid_transient_banded (central difference on the DIA
+    matvec, lumped mass) vs the host Newmark trajectory with lumped
+    point-mass equivalents: both converge to the same physics, and at
+    dt << dt_crit the explicit probe trajectory matches the exact
+    modal superposition of the SAME lumped discrete problem."""
+    import scipy.linalg
+
+    from pinn_fem_tpu.models.solid import (solid_lumped_mass_diag,
+                                           solid_stable_dt,
+                                           solve_solid_transient_banded)
+
+    p = _uniaxial_problem(nx=1, ny=1, nz=6, sigma=2.0)
+    dt_c = solid_stable_dt(p, safety=1.0)
+    # 0.05 dt_crit: central-difference period dispersion is
+    # O((w dt)^2) per cycle (measured 1.25e-2 at 0.2 dt_crit over this
+    # window) — the comparison needs the integrator's error below the
+    # 5e-3 gate, not at it.
+    dt = 0.05 * dt_c
+    n_steps = 600
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    probe = np.array([free[-1]])
+    res = solve_solid_transient_banded(p, dt, n_steps,
+                                       probe_dofs=probe,
+                                       record_every=2)
+    assert np.isfinite(res.displacements).all()
+    # Exact modal superposition of the lumped discrete problem.
+    k, _ = solid_matrices(p)
+    m_diag = solid_lumped_mass_diag(p)
+    kf = k[np.ix_(free, free)]
+    d = np.sqrt(m_diag[free])
+    lam, y = scipy.linalg.eigh(kf / d[:, None] / d[None, :])
+    v = y / d[:, None]
+    q = v.T @ p.loads[free]
+    w = np.sqrt(np.maximum(lam, 1e-30))
+    j = np.flatnonzero(free == probe[0])[0]
+    u_exact = np.zeros(res.times.size)
+    for kk in range(lam.size):
+        u_exact += v[j, kk] * q[kk] / lam[kk] \
+            * (1.0 - np.cos(w[kk] * res.times))
+    scale = np.abs(u_exact).max()
+    np.testing.assert_allclose(res.displacements[:, 0] / scale,
+                               u_exact / scale, atol=5e-3)
+    # Stability guard: the Gershgorin step keeps a long run bounded.
+    res_long = solve_solid_transient_banded(
+        p, solid_stable_dt(p), 2000, probe_dofs=probe,
+        record_every=100)
+    assert np.abs(res_long.displacements).max() < 10.0 * scale
+
+
+def test_solid_transient_banded_json_tier():
+    """"banded": true + dt "auto" through run_solid_document."""
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+
+    out = run_solid_document({
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 3.0,
+                 "nx": 1, "ny": 1, "nz": 6},
+        "material": {"young": 200.0, "poisson": 0.3, "density": 2.0},
+        "fixed_z_nodes": "z_min",
+        "fixed_x_nodes": "x_min",
+        "fixed_y_nodes": "y_min",
+        "surface_loads": [{"face": "z_max",
+                           "traction": [0.0, 0.0, 2.0]}],
+        "analysis": {"type": "transient", "dt": "auto",
+                     "n_steps": 200, "banded": True,
+                     "probe_nodes": "z_max", "record_every": 10}})
+    assert out["success"] and out["method"] == "central-banded"
+    d = np.asarray(out["displacements"])
+    assert d.shape[0] == 20 and np.isfinite(d).all()
+    # Step response oscillates about the static closed form 2*3/200.
+    u_static = 2.0 * 3.0 / 200.0
+    probe_z = np.asarray(out["displacements"])[:, 2::3]
+    assert 0.5 * u_static < probe_z.max() < 2.5 * u_static
