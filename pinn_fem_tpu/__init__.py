@@ -68,6 +68,7 @@ from .models.plane import (  # noqa: E402
 from .models.solid import (  # noqa: E402
     SolidProblem,
     box_mesh,
+    identify_solid_young_banded,
     solid_matrices,
     solid_modal,
     solid_modal_banded,
@@ -233,6 +234,7 @@ __all__ = [
     "solid_modal",
     "solid_modal_banded",
     "solid_matrices",
+    "identify_solid_young_banded",
     "box_mesh",
     "surface_load",
     "solve_plane_static",

@@ -38,7 +38,20 @@ plane_io pattern):
                                       # the DIA matvec (lumped mass);
                                       # default auto > DENSE_DOF_LIMIT;
                                       # dt "auto" = Gershgorin step
-                  "record_every": 1}}
+                  "record_every": 1}
+               | {"type": "identification",  # recover E from static
+                  "measured_dofs": [..], "measured_u": [..]
+                    | "synthetic": {"young": E | [..]
+                                    | "zone_young": [..per zone..],
+                                    "noise": 0.0, "seed": 0},
+                  "zones": [[elem ids..]
+                            | {"z_max": 2.0, ..}, ..],  # centroid box
+                  "field": false,     # true: E(x, y, z) MLP
+                  "tolerance": 1e-7, "max_iter": 20000,
+                  "n_iter": 300, "learning_rate": 0.05,
+                  "seed": 0}}         # banded adjoint (solvers/
+                                      # banded_inverse), local-CPU
+                                      # tier unless "on_device"
 
     Every node-selecting key also accepts a named boundary FACE
     "x_min"/"x_max"/"y_min"/"y_max"/"z_min"/"z_max" (resolved on
@@ -179,6 +192,36 @@ def parse_solid_document(doc: Dict) -> Tuple[SolidProblem, Dict]:
     return problem, dict(doc.get("analysis") or {"type": "static"})
 
 
+def _resolve_zones(problem: SolidProblem, zones):
+    """Zone specs -> element-id arrays: explicit id lists or centroid
+    bounding boxes {"x_min".."z_max"} (any subset) — the plane
+    family's contract in 3D."""
+    cent = problem.coords().mean(axis=1)
+    out = []
+    keys = {"x_min": (0, +1), "x_max": (0, -1), "y_min": (1, +1),
+            "y_max": (1, -1), "z_min": (2, +1), "z_max": (2, -1)}
+    for z in zones:
+        if isinstance(z, dict):
+            unknown = set(z) - set(keys)
+            if unknown:
+                raise ValueError(f"unknown zone keys: "
+                                 f"{sorted(unknown)}")
+            sel = np.ones(problem.nelm, dtype=bool)
+            for k, (axis, sign) in keys.items():
+                if k in z:
+                    if sign > 0:
+                        sel &= cent[:, axis] >= float(z[k])
+                    else:
+                        sel &= cent[:, axis] <= float(z[k])
+            out.append(np.flatnonzero(sel))
+        else:
+            out.append(np.asarray(z, dtype=int).reshape(-1))
+        if out[-1].size == 0:
+            raise ValueError(f"zone {len(out) - 1} selects no "
+                             f"elements")
+    return out
+
+
 def _probe_dofs(analysis: Dict, problem: SolidProblem):
     probe = analysis.get("probe_dofs")
     if probe is None and analysis.get("probe_nodes") is not None:
@@ -313,8 +356,113 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             "displacements": res.displacements.tolist(),
             "velocities": res.velocities.tolist(),
         }
-    raise ValueError(f'solid analysis.type must be "static", "modal" '
-                     f'or "transient", got {kind!r}')
+    if kind == "identification":
+        from ..models.solid import identify_solid_young_banded
+        from ._common import _local_cpu_ctx
+
+        zones = analysis.get("zones")
+        if zones is not None:
+            zones = _resolve_zones(problem, zones)
+        synthetic = analysis.get("synthetic")
+        true_young = None
+        if synthetic is not None:
+            # Twin-data mode (the plane family's contract in 3D):
+            # generate the measurement on the banded tier from the
+            # given true field.
+            if "measured_u" in analysis:
+                raise ValueError('give "measured_u" or "synthetic", '
+                                 'not both')
+            md = analysis.get("measured_dofs")
+            if md is None:
+                md = _probe_dofs(analysis, problem)
+            if md is None:
+                raise ValueError('synthetic solid identification '
+                                 'needs "measured_dofs" or '
+                                 '"probe_nodes"')
+            measured_dofs = np.asarray(md, dtype=int).reshape(-1)
+            if "zone_young" in synthetic:
+                if zones is None:
+                    raise ValueError('"zone_young" needs "zones"')
+                true_young = problem.young.copy()
+                for ids, e in zip(zones, synthetic["zone_young"]):
+                    true_young[ids] = float(e)
+            else:
+                tv = synthetic["young"]
+                true_young = (np.full(problem.nelm, float(tv))
+                              if np.isscalar(tv)
+                              else np.asarray(tv, dtype=float))
+            p_true = SolidProblem(
+                nodes=problem.nodes, elements=problem.elements,
+                young=true_young, poisson=problem.poisson,
+                density=problem.density, loads=problem.loads,
+                fixed_dofs=problem.fixed_dofs,
+                body_force=problem.body_force)
+            r_true, _, _ = solve_solid_static_banded(
+                p_true,
+                tol=float(analysis.get("tolerance", 1e-7)) * 0.01)
+            measured_u = r_true.displacements[measured_dofs]
+            noise = float(synthetic.get("noise", 0.0))
+            if noise:
+                rng = np.random.default_rng(
+                    int(synthetic.get("seed", 0)))
+                measured_u = measured_u + noise * np.max(
+                    np.abs(measured_u)) * rng.standard_normal(
+                        measured_u.shape)
+            analysis = dict(analysis,
+                            measured_dofs=measured_dofs.tolist(),
+                            measured_u=measured_u.tolist())
+        if "measured_dofs" not in analysis \
+                or "measured_u" not in analysis:
+            raise ValueError('solid identification needs '
+                             '"measured_dofs" and "measured_u" (or '
+                             '"synthetic" twin data)')
+        with _local_cpu_ctx(analysis):
+            vals, hist, fld = identify_solid_young_banded(
+                problem,
+                analysis["measured_dofs"], analysis["measured_u"],
+                n_iter=int(analysis.get("n_iter", 300)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)),
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iter", 20000)),
+                zones=zones,
+                field=bool(analysis.get("field", False)),
+                seed=int(analysis.get("seed", 0)),
+                hidden_layers=int(analysis.get("hidden_layers", 2)),
+                neurons_per_layer=int(analysis.get("neurons_per_layer",
+                                                   16)))
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "element_type": "solid",
+            "parameter": "young",
+            "method": "banded",
+            "field": bool(analysis.get("field", False)),
+            "young": vals.tolist(),
+            "loss_history": hist[:: max(1, hist.size // 200)].tolist(),
+            "final_loss": float(hist[-1]) if hist.size else None,
+        }
+        if zones is not None:
+            out["zones"] = [np.asarray(z, dtype=int).tolist()
+                            for z in zones]
+            out["zone_young"] = [
+                float(np.mean(vals[np.asarray(z, dtype=int)]))
+                for z in zones]
+        if true_young is not None:
+            out["synthetic"] = True
+            rel = np.abs(vals - true_young) / np.abs(true_young)
+            out["max_rel_error"] = float(rel.max())
+            if zones is not None and "zone_young" in synthetic:
+                out["true_zone_young"] = [float(v) for v in
+                                          synthetic["zone_young"]]
+                out["zone_rel_error"] = [
+                    abs(zy - ty) / abs(ty) for zy, ty in
+                    zip(out["zone_young"], out["true_zone_young"])]
+        from ._common import _json_finite
+
+        return _json_finite(out)
+    raise ValueError(f'solid analysis.type must be "static", "modal", '
+                     f'"transient" or "identification", got {kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

@@ -1168,18 +1168,9 @@ def _frame_banded_core(layout, precond: str, use_pallas: bool,
     return core
 
 
-class DiaLayoutView:
-    """A layout whose entry_slot is a TRACED device array: keeps the
-    67 MB slot table out of the compiled HLO as a constant (the plane
-    banded tier passes entry_slot as an argument for the same
-    reason)."""
-
-    def __init__(self, layout, entry_slot):
-        self._layout = layout
-        self.entry_slot = entry_slot
-
-    def __getattr__(self, name):
-        return getattr(self._layout, name)
+# The traced-entry-slot layout proxy is shared across families
+# (solvers/banded_inverse.DiaLayoutView).
+from ..solvers.banded_inverse import DiaLayoutView  # noqa: E402
 
 
 def solve_frame_static_banded(problem: "FrameProblem",

@@ -809,30 +809,19 @@ def identify_plane_young_banded(problem: "PlaneProblem", measured_dofs,
     the forward model is the BANDED PCG solve (ops/dia.dia_solve_diff),
     so the reverse pass is one adjoint PCG with the same SPD operator —
     memory O(band·ndof) instead of the dense path's traced
-    (ndof, ndof) K, which is what capped the flagship differentiable
-    capability at 2048 DOFs.
+    (ndof, ndof) K.  The generic ADAM-over-banded-adjoint loop lives in
+    solvers/banded_inverse.identify_young_banded (shared with the solid
+    hex8 family); only the Q4/CST block builder is plane-specific here.
 
-    Parameterizations (most- to least-determined):
+    Parameterizations: zones=[[elem ids..], ..] (one log-E per zone —
+    damage localization), field=True (smooth E(x, y) MLP at centroids),
+    default per-element log-E.
 
-      zones=[[elem ids..], ..]: one log-E per zone (the two-zone
-          damage-localization workflow — exactly identifiable from a
-          handful of probes).  Unlisted elements keep problem.young.
-      field=True: a smooth E(x, y) MLP evaluated at element centroids
-          (the reference's NN-property form, smoothness-regularized).
-      default: per-element log-E (needs every element strained and
-          probes rich enough to determine m values).
-
-    Returns (young (m,), loss_history, mlp_field_or_None).  Each ADAM
-    iteration costs exactly two banded PCG solves (forward + adjoint);
-    the step is ONE jitted program with the entry-slot table passed as
-    a traced argument (never baked into the HLO — the 67 MB lesson on
-    solve_plane_static_banded)."""
-    import jax
+    Returns (young (m,), loss_history, mlp_field_or_None)."""
     import jax.numpy as jnp
-    import optax
 
-    from ..ops.dia import (assemble_dia_blocks, dia_layout,
-                           dia_solve_diff)
+    from ..ops.dia import dia_layout
+    from ..solvers.banded_inverse import identify_young_banded
 
     layout = getattr(problem, "_dia_layout_cache", None)
     if layout is None:
@@ -842,101 +831,33 @@ def identify_plane_young_banded(problem: "PlaneProblem", measured_dofs,
 
     m = problem.nelm
     dtype = jnp.asarray(1.0).dtype
-    meas_idx = jnp.asarray(np.asarray(measured_dofs,
-                                      dtype=int).reshape(-1))
-    meas = jnp.asarray(np.asarray(measured_disp, dtype=float)
-                       .reshape(-1), dtype)
     coords = jnp.asarray(problem.coords(), dtype)
     poisson = jnp.broadcast_to(jnp.asarray(problem.poisson, dtype),
                                (m,))
     thickness = jnp.broadcast_to(jnp.asarray(problem.thickness, dtype),
                                  (m,))
-    f = jnp.asarray(problem.loads + _body_force_vectors(problem), dtype)
-    mask = jnp.asarray(problem.free_mask(), dtype)
-    base_young = np.broadcast_to(np.asarray(problem.young, dtype=float),
-                                 (m,)).copy()
     nen, plane_strain = problem.nen, problem.plane_strain
 
-    if zones is not None and field:
-        raise ValueError("zones and field are mutually exclusive "
-                         "parameterizations")
-    if zones is not None:
-        zone_of = np.full(m, -1, dtype=int)
-        for z, ids in enumerate(zones):
-            ids = np.asarray(ids, dtype=int).reshape(-1)
-            if ids.size and (ids.min() < 0 or ids.max() >= m):
-                raise ValueError(f"zone {z} has element ids outside "
-                                 f"[0, {m})")
-            if np.any(zone_of[ids] >= 0):
-                raise ValueError(f"zone {z} overlaps an earlier zone")
-            zone_of[ids] = z
-        zone_of_j = jnp.asarray(zone_of)
-        base_j = jnp.asarray(base_young, dtype)
-        starts = np.array([max(float(np.mean(base_young[zone_of == z])),
-                               1e-12) for z in range(len(zones))])
-        params0 = jnp.log(jnp.asarray(starts, dtype))
+    def blocks_of(young_e):
+        dmat = _dmat(young_e, poisson, plane_strain, xp=jnp)
+        return _k_blocks(coords, dmat, thickness, nen, xp=jnp)
 
-        def young_of(params):
-            zone_e = jnp.exp(params)[jnp.clip(zone_of_j, 0)]
-            return jnp.where(zone_of_j >= 0, zone_e, base_j)
-    elif field:
-        from .fields import make_mlp_field
-
-        centroids = jnp.asarray(problem.coords().mean(axis=1), dtype)
-        params0 = make_mlp_field(jax.random.PRNGKey(seed),
-                                 hidden_layers=hidden_layers,
-                                 neurons_per_layer=neurons_per_layer,
-                                 input_dim=2,
-                                 scale=float(np.mean(base_young)))
-
-        def young_of(fld):
-            return fld.eval_batch(centroids)
-    else:
-        params0 = jnp.log(jnp.asarray(base_young, dtype))
-
-        def young_of(params):
-            return jnp.exp(params)
-
-    def loss_fn(params, entry_slot):
-        view = _DiaLayoutView(layout, entry_slot)
-        dmat = _dmat(young_of(params), poisson, plane_strain, xp=jnp)
-        blocks = _k_blocks(coords, dmat, thickness, nen, xp=jnp)
-        diags = assemble_dia_blocks(view, blocks)
-        u = dia_solve_diff(layout, diags, f, mask, tol=tol,
-                           max_iter=int(max_iter))
-        return jnp.mean((u[meas_idx] - meas) ** 2)
-
-    opt = optax.adam(learning_rate)
-    state = opt.init(params0)
-    params = params0
-    hist = []
-
-    @jax.jit
-    def step(params, state, entry_slot):
-        loss, g = jax.value_and_grad(loss_fn)(params, entry_slot)
-        updates, state = opt.update(g, state)
-        return optax.apply_updates(params, updates), state, loss
-
-    slot_dev = problem._dia_entry_slot_dev
-    for _ in range(int(n_iter)):
-        params, state, loss = step(params, state, slot_dev)
-        hist.append(float(loss))
-    young = np.asarray(jax.device_get(young_of(params)), dtype=float)
-    return young, np.asarray(hist), (params if field else None)
+    return identify_young_banded(
+        layout, problem._dia_entry_slot_dev, blocks_of,
+        np.broadcast_to(np.asarray(problem.young, dtype=float),
+                        (m,)).copy(),
+        problem.coords().mean(axis=1),
+        problem.loads + _body_force_vectors(problem),
+        problem.free_mask(), measured_dofs, measured_disp,
+        n_iter=n_iter, learning_rate=learning_rate, tol=tol,
+        max_iter=max_iter, zones=zones, field=field, seed=seed,
+        hidden_layers=hidden_layers,
+        neurons_per_layer=neurons_per_layer, input_dim=2)
 
 
-class _DiaLayoutView:
-    """DiaLayout proxy whose entry_slot is a TRACED device array:
-    assemble_dia_blocks reads .entry_slot/.n_diags/.ndof only, and
-    passing the (nelm·(2nen)²)-entry table as a jit argument keeps it
-    out of the compiled program's constants."""
-
-    def __init__(self, layout, entry_slot):
-        self._layout = layout
-        self.entry_slot = entry_slot
-
-    def __getattr__(self, name):
-        return getattr(self._layout, name)
+# Back-compat alias: the shared proxy moved to solvers/banded_inverse
+# (models/solid.py and the banded cores import it from here).
+from ..solvers.banded_inverse import DiaLayoutView as _DiaLayoutView  # noqa: E402,E501
 
 
 def solve_plane_static_banded(problem: "PlaneProblem", tol: float = 1e-7,

@@ -592,7 +592,8 @@ def solve_solid_static_banded(problem: SolidProblem, tol: float = 1e-7,
     if mesh is not None:
         from ..ops.dia import assemble_dia_blocks, dia_matvec
         from ..parallel.dia_sharded import dia_cg_solve_sharded
-        from .plane import _DiaLayoutView
+        from ..solvers.banded_inverse import \
+            DiaLayoutView as _DiaLayoutView
 
         view = _DiaLayoutView(layout, problem._dia_entry_slot_dev)
         dmat = _dmat3(jnp.asarray(problem.young, dtype),
@@ -662,7 +663,8 @@ def solid_modal_banded(problem: SolidProblem, n_modes: int = 4,
 
     from ..ops.dia import assemble_dia_blocks, dia_layout
     from ..solvers.modal import _subspace_iteration
-    from .plane import _DiaLayoutView
+    from ..solvers.banded_inverse import \
+            DiaLayoutView as _DiaLayoutView
 
     dtype = dtype or jnp.asarray(1.0).dtype
     layout = getattr(problem, "_dia_layout_cache", None)
@@ -737,7 +739,8 @@ def solve_solid_transient_banded(problem: SolidProblem, dt: float,
     import jax.numpy as jnp
 
     from ..ops.dia import assemble_dia_blocks, dia_layout, dia_matvec
-    from .plane import _DiaLayoutView
+    from ..solvers.banded_inverse import \
+            DiaLayoutView as _DiaLayoutView
 
     if n_steps % record_every:
         raise ValueError("n_steps must be a multiple of record_every")
@@ -799,3 +802,53 @@ def solve_solid_transient_banded(problem: SolidProblem, dt: float,
         times=times, displacements=np.asarray(u_rec, dtype=float),
         velocities=np.asarray(v_rec, dtype=float), dt=float(dt),
         n_steps=int(n_steps))
+
+
+def identify_solid_young_banded(problem: SolidProblem, measured_dofs,
+                                measured_disp, n_iter: int = 300,
+                                learning_rate: float = 0.05,
+                                tol: float = 1e-7,
+                                max_iter: int = 20000,
+                                zones=None, field: bool = False,
+                                seed: int = 0, hidden_layers: int = 2,
+                                neurons_per_layer: int = 16):
+    """Young-modulus identification on the 3D hex8 family through the
+    banded adjoint — the generic ADAM-over-banded-adjoint loop
+    (solvers/banded_inverse.identify_young_banded, shared with the
+    plane family); only the hex8 block builder is solid-specific.
+    Parameterizations: zones (one log-E per zone — 3D damage
+    localization), field=True (E(x, y, z) MLP at centroids,
+    input_dim=3), default per-element log-E.
+
+    Returns (young (m,), loss_history, mlp_field_or_None)."""
+    import jax.numpy as jnp
+
+    from ..ops.dia import dia_layout
+    from ..solvers.banded_inverse import identify_young_banded
+
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof,
+                            max_diags=160)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+
+    m = problem.nelm
+    dtype = jnp.asarray(1.0).dtype
+    coords = jnp.asarray(problem.coords(), dtype)
+    poisson = jnp.broadcast_to(jnp.asarray(problem.poisson, dtype),
+                               (m,))
+
+    def blocks_of(young_e):
+        return _k_blocks3(coords, _dmat3(young_e, poisson, xp=jnp),
+                          xp=jnp)
+
+    return identify_young_banded(
+        layout, problem._dia_entry_slot_dev, blocks_of,
+        problem.young.copy(), problem.coords().mean(axis=1),
+        problem.loads + _body_force_vectors3(problem),
+        problem.free_mask(), measured_dofs, measured_disp,
+        n_iter=n_iter, learning_rate=learning_rate, tol=tol,
+        max_iter=max_iter, zones=zones, field=field, seed=seed,
+        hidden_layers=hidden_layers,
+        neurons_per_layer=neurons_per_layer, input_dim=3)
