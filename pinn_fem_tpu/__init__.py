@@ -68,6 +68,7 @@ from .models.plane import (  # noqa: E402
 from .models.solid import (  # noqa: E402
     SolidProblem,
     box_mesh,
+    extrude_mesh,
     identify_solid_young_banded,
     solid_matrices,
     solid_modal,
@@ -160,6 +161,10 @@ from .solvers.plane_plasticity import (  # noqa: E402
     PlanePlasticResult,
     solve_plane_plastic,
 )
+from .solvers.solid_plasticity import (  # noqa: E402
+    SolidPlasticResult,
+    solve_solid_plastic,
+)
 from .solvers.plasticity import (  # noqa: E402
     PlasticStaticResult,
     PlasticTransientResult,
@@ -236,6 +241,7 @@ __all__ = [
     "solid_matrices",
     "identify_solid_young_banded",
     "box_mesh",
+    "extrude_mesh",
     "surface_load",
     "solve_plane_static",
     "solve_plane_transient",
@@ -246,6 +252,7 @@ __all__ = [
     "edge_load",
     "pressure_load",
     "solve_plane_plastic",
+    "solve_solid_plastic",
     "solve_frame_static",
     "solve_frame_static_banded",
     "frame_modal_banded",

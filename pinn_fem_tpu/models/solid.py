@@ -852,3 +852,28 @@ def identify_solid_young_banded(problem: SolidProblem, measured_dofs,
         max_iter=max_iter, zones=zones, field=field, seed=seed,
         hidden_layers=hidden_layers,
         neurons_per_layer=neurons_per_layer, input_dim=3)
+
+
+def extrude_mesh(nodes2d: np.ndarray, quads: np.ndarray,
+                 thickness: float, nz: int = 1):
+    """Extrude a 2D quad mesh (models/plane.rect_mesh / annulus_mesh
+    output, CCW quads) into `nz` hex8 layers of total `thickness`
+    along +z.  Node l * n2d + i is 2D node i at layer l, so 2D DOF k
+    of node i maps to 3D DOF 3*(l*n2d + i) + k — the plane-strain
+    cross-validation (fix all z DOFs) needs no index gymnastics.
+    CCW-in-plane quads become positively-oriented bricks (bottom quad
+    CCW viewed from +z, models/solid.py convention)."""
+    nodes2d = np.asarray(nodes2d, dtype=float)
+    quads = np.asarray(quads, dtype=int)
+    if quads.ndim != 2 or quads.shape[1] != 4:
+        raise ValueError("extrude_mesh needs (m, 4) quads")
+    n2d = nodes2d.shape[0]
+    zs = np.linspace(0.0, float(thickness), nz + 1)
+    nodes = np.concatenate([
+        np.concatenate([nodes2d, np.full((n2d, 1), z)], axis=1)
+        for z in zs])
+    elems = []
+    for l in range(nz):
+        lo, hi = l * n2d, (l + 1) * n2d
+        elems.append(np.concatenate([quads + lo, quads + hi], axis=1))
+    return nodes, np.concatenate(elems, axis=0)
