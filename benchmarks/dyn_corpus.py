@@ -65,6 +65,14 @@ def _gate(name: str, res: dict) -> None:
                                           dtype=float)).all(), name
         return
     if res.get("element_type") == "solid":
+        if kind == "plastic":
+            # 3D J2 uniaxial bilinear anchor: exact endpoint tip
+            # displacement L (sigma/E + (sigma - sigma_y)/H) = 0.065.
+            u = np.abs(np.asarray(res["displacements"][-1],
+                                  dtype=float))
+            assert abs(u.max() - 0.065) < 1e-8, name
+            assert len(res["yielded_elements"]) == 24, name
+            return
         # Uniaxial hex8 column through the banded device tier: the
         # EXACT closed form u_z = sigma L / E, von Mises = sigma.
         assert res["method"] == "banded", name

@@ -179,6 +179,15 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "transient":
             logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
                         output["dt"])
+        elif output["analysis"] == "plastic":
+            logger.info("  Steps: %d, yielded elements: %d, "
+                        "max von Mises: %.6g", output["n_steps"],
+                        len(output["yielded_elements"]),
+                        max(output["max_von_mises"]))
+        elif output["analysis"] == "identification":
+            logger.info("  Identified %s (%s tier), final loss %.3e",
+                        output["parameter"], output["method"],
+                        output["final_loss"])
         else:
             logger.info("  Max |u|: %.6g, max von Mises: %.6g (%s)",
                         output["max_displacement"],

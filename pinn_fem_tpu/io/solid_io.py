@@ -39,6 +39,15 @@ plane_io pattern):
                                       # default auto > DENSE_DOF_LIMIT;
                                       # dt "auto" = Gershgorin step
                   "record_every": 1}
+               | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
+                  "hardening": Hi, "kinematic_hardening": Hk,
+                  "load_factors": [..] | "target"+"n_steps",
+                  "bbar": true,      # mean-dilatation B-bar (hex8
+                                     # locks in incompressible flow)
+                  "tolerance": 1e-9, "max_iterations": 30,
+                  "probe_nodes": [..], "include_history": false}
+                                      # host f64 below DENSE_DOF_LIMIT,
+                                      # jitted scan device tier above
                | {"type": "identification",  # recover E from static
                   "measured_dofs": [..], "measured_u": [..]
                     | "synthetic": {"young": E | [..]
@@ -356,6 +365,64 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             "displacements": res.displacements.tolist(),
             "velocities": res.velocities.tolist(),
         }
+    if kind == "plastic":
+        from ..solvers.solid_plasticity import solve_solid_plastic
+
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"solid plastic runs dense Newton per load step; "
+                f"{problem.ndof} DOFs exceeds its 8192-DOF budget "
+                "(dense LU per iteration) — coarsen the mesh")
+        if "sigma_y" not in analysis:
+            raise ValueError('plastic analysis requires "sigma_y"')
+        kwargs = dict(
+            sigma_y=analysis["sigma_y"],
+            hardening_iso=analysis.get("hardening", 0.0),
+            hardening_kin=analysis.get("kinematic_hardening", 0.0),
+            tol=float(analysis.get("tolerance", 1e-9)),
+            max_iter=int(analysis.get("max_iterations", 30)),
+        )
+        if analysis.get("bbar") is not None:
+            kwargs["bbar"] = bool(analysis["bbar"])
+        if "load_factors" in analysis:
+            kwargs["load_factors"] = np.asarray(
+                analysis["load_factors"], dtype=float)
+        else:
+            kwargs["target_load_factor"] = float(
+                analysis.get("target", 1.0))
+            kwargs["n_steps"] = int(analysis.get("n_steps", 20))
+        res = solve_solid_plastic(problem, **kwargs)
+        probe = _probe_dofs(analysis, problem)
+        if probe is None:
+            probe = np.arange(problem.ndof)
+        probe = np.asarray(probe, dtype=int).reshape(-1)
+        yielded = np.flatnonzero(res.eq_plastic[-1] > 0.0)
+        out = {
+            "success": bool(res.converged),
+            "analysis": "plastic",
+            "element_type": "solid",
+            "n_steps": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements[:, probe].tolist(),
+            "iterations": res.iterations.tolist(),
+            "max_residual": float(res.residuals.max()),
+            "n_plastic": res.n_plastic.tolist(),
+            "yielded_elements": yielded.tolist(),
+            "max_von_mises": res.von_mises.max(axis=1).tolist(),
+            "final": {
+                "stresses": res.stresses[-1].tolist(),
+                "von_mises": res.von_mises[-1].tolist(),
+                "eq_plastic_strain": res.eq_plastic[-1].tolist(),
+                "displacements": res.displacements[-1].tolist(),
+            },
+        }
+        if analysis.get("include_history"):
+            out["history"] = {
+                "von_mises": res.von_mises.tolist(),
+                "eq_plastic_strain": res.eq_plastic.tolist(),
+            }
+        return out
     if kind == "identification":
         from ..models.solid import identify_solid_young_banded
         from ._common import _local_cpu_ctx
@@ -462,7 +529,8 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
 
         return _json_finite(out)
     raise ValueError(f'solid analysis.type must be "static", "modal", '
-                     f'"transient" or "identification", got {kind!r}')
+                     f'"transient", "plastic" or "identification", '
+                     f'got {kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

@@ -43,7 +43,7 @@ def test_dyn_corpus_complete():
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing-rbdo.json", "dyn-sizing.json",
-                   "dyn-solid.json",
+                   "dyn-solid-plastic.json", "dyn-solid.json",
                    "dyn-spectrum.json", "dyn-transient.json"]
 
 
@@ -95,6 +95,19 @@ def test_dyn_corpus_runs(name, tmp_path):
                                    5.0 / 200.0 * 4.0, rtol=1e-4)
         np.testing.assert_allclose(res["max_von_mises"], 5.0,
                                    rtol=1e-4)
+    elif name == "dyn-solid-plastic.json":
+        # 3D J2 uniaxial bilinear anchor: exact endpoint
+        # u_z = L (sigma/E + (sigma - sigma_y)/H) = 0.065, all 24
+        # elements yielded, von Mises == sigma at every plastic step.
+        assert res["element_type"] == "solid"
+        u = np.abs(np.asarray(res["displacements"][-1]))
+        np.testing.assert_allclose(u.max(), 0.065, rtol=1e-8)
+        sig = 1.5 * np.asarray(res["load_factors"])
+        np.testing.assert_allclose(res["max_von_mises"][-1], sig[-1],
+                                   rtol=1e-8)
+        assert res["n_plastic"][0] == 0        # sigma = 0.6 < sigma_y
+        assert res["n_plastic"][-1] == 24
+        assert len(res["yielded_elements"]) == 24
     elif name == "dyn-plane-plastic.json":
         # Thick-wall cylinder at 0.99 p_lim: plastic front has spread
         # from the bore but not collapsed; von Mises capped at sigma_y

@@ -118,6 +118,60 @@ def test_host_matches_device_tier():
                                rtol=5e-3, atol=1e-7)
 
 
+def test_json_tier_plastic():
+    """The document surface routes analysis.type == "plastic" to the
+    solid J2 driver: the uniaxial-bar bilinear anchor reproduced
+    through run_solid_document, with the plane family's result
+    contract (final fields, n_plastic, yielded_elements)."""
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+
+    sy, h = 1.0, 0.1 * E
+    doc = {
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 2.0,
+                 "nx": 1, "ny": 1, "nz": 2},
+        "material": {"young": E, "poisson": NU, "density": RHO},
+        "fixed_z_nodes": "z_min",
+        "fixed_x_nodes": "x_min",
+        "fixed_y_nodes": "y_min",
+        "surface_loads": [{"face": "z_max",
+                           "traction": [0.0, 0.0, 1.5]}],
+        "analysis": {"type": "plastic", "sigma_y": sy, "hardening": h,
+                     "load_factors": [0.4, 0.8, 1.0],
+                     "tolerance": 1e-11},
+    }
+    out = run_solid_document(doc)
+    assert out["success"]
+    assert out["analysis"] == "plastic"
+    sig = 1.5 * np.asarray(out["load_factors"])
+    # Exact bilinear check on the final step's stress.
+    eps_p = (sig[-1] - sy) / h
+    np.testing.assert_allclose(out["max_von_mises"][-1], sig[-1],
+                               rtol=1e-8)
+    u_final = np.asarray(out["final"]["displacements"])
+    uz_max = np.abs(u_final).max()
+    np.testing.assert_allclose(uz_max, 2.0 * (sig[-1] / E + eps_p),
+                               rtol=1e-7)
+    assert out["n_plastic"][0] == 0
+    assert out["n_plastic"][-1] == 2
+    assert len(out["yielded_elements"]) == 2
+
+
+def test_json_tier_plastic_validation():
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+
+    doc = {
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 1.0,
+                 "nx": 1, "ny": 1, "nz": 1},
+        "material": {"young": E, "poisson": NU, "density": RHO},
+        "fixed_nodes": "z_min",
+        "analysis": {"type": "plastic"},
+    }
+    with pytest.raises(ValueError, match="sigma_y"):
+        run_solid_document(doc)
+
+
 def test_extruded_cylinder_limit_load_bbar():
     """Extruded thick-wall von Mises cylinder (plane-strain BCs: all z
     DOFs fixed) under internal pressure: with B-bar the response
