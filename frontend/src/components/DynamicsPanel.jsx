@@ -557,6 +557,51 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runSolidPlastic = async () => {
+    // 3D J2 bilinear column (POST body pinned as
+    // tests/fixtures/ui_payload_solid_plastic.json, byte-identical to
+    // the static UI's runSolidPlastic): free lateral contraction makes
+    // 3D von Mises reproduce the 1D bilinear law EXACTLY, so the tip
+    // u_z = L(σ/E + (σ−σ_y)/H) = 0.065 and the capacity curve kinks
+    // at σ_y = 1 (ops/solid_plastic.py anchors).
+    setMessage('Yielding the 3D hex8 column…');
+    try {
+      const r = await post('solid', {
+        mesh: { type: 'box', lx: 1, ly: 1, lz: 2, nx: 2, ny: 2,
+                nz: 6 },
+        material: { young: 200, poisson: 0.3, density: 2 },
+        fixed_z_nodes: 'z_min',
+        fixed_x_nodes: 'x_min',
+        fixed_y_nodes: 'y_min',
+        surface_loads: [{ face: 'z_max', traction: [0, 0, 1.5] }],
+        analysis: {
+          type: 'plastic', sigma_y: 1, hardening: 20,
+          load_factors: [0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+                         0.875, 1],
+          tolerance: 1e-10, probe_nodes: 'z_max',
+        },
+      });
+      const tipZ = r.displacements.map((row) => {
+        const zs = row.filter((_, d) => d % 3 === 2);
+        return [zs.reduce((a, b) => a + b, 0) / zs.length];
+      });
+      setKind('solid-plastic'); setShapes(null);
+      setChart({ xs: r.load_factors, series: tipZ });
+      setRows([
+        { label: 'tip u_z',
+          value: `${tipZ[tipZ.length - 1][0].toPrecision(4)} (exact 0.065)` },
+        { label: 'yielded',
+          value: `${r.yielded_elements.length} / 24 elements` },
+        { label: 'peak von Mises',
+          value: Math.max(...r.max_von_mises).toPrecision(4) },
+      ]);
+      setMessage('3D J2 bilinear column: capacity curve kinks at σ_y '
+        + '(exact endpoint 0.065)');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runPushover = async () => {
     // Elastoplastic pushover of the sketch: yield at 80% of the
     // mean-load elastic stress level (the Reliability two-step flow),
@@ -667,6 +712,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runPushover}>Pushover ▶</button>
         <button onClick={runPlanePlastic}>Cylinder ▶</button>
         <button onClick={runSolid}>Solid ▶</button>
+        <button onClick={runSolidPlastic}>Solid plastic ▶</button>
       </div>
       <table>
         <tbody>

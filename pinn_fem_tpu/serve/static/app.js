@@ -1131,6 +1131,47 @@ async function runSolid() {
 }
 document.getElementById("solid-btn").addEventListener("click", runSolid);
 
+async function runSolidPlastic() {
+  // 3D J2 bilinear column (pinned as
+  // tests/fixtures/ui_payload_solid_plastic.json, byte-identical to
+  // the React panel's runSolidPlastic): free lateral contraction
+  // makes 3D von Mises reproduce the 1D bilinear law EXACTLY, so the
+  // endpoint tip u_z = L(σ/E + (σ−σ_y)/H) = 0.065 and the capacity
+  // curve kinks at σ_y = 1 (ops/solid_plastic.py anchors).
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Yielding the 3D hex8 column…";
+  try {
+    const r = await postDoc("solid", {
+      mesh: { type: "box", lx: 1, ly: 1, lz: 2, nx: 2, ny: 2, nz: 6 },
+      material: { young: 200, poisson: 0.3, density: 2 },
+      fixed_z_nodes: "z_min",
+      fixed_x_nodes: "x_min",
+      fixed_y_nodes: "y_min",
+      surface_loads: [{ face: "z_max", traction: [0, 0, 1.5] }],
+      analysis: {
+        type: "plastic", sigma_y: 1, hardening: 20,
+        load_factors: [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875, 1],
+        tolerance: 1e-10, probe_nodes: "z_max",
+      },
+    });
+    // Chart: mean tip z displacement (every 3rd probe DOF) vs load.
+    const tipZ = r.displacements.map((row) => {
+      const zs = row.filter((_, d) => d % 3 === 2);
+      return [zs.reduce((a, b) => a + b, 0) / zs.length];
+    });
+    drawTimeSeries(r.load_factors, tipZ);
+    const uEnd = tipZ[tipZ.length - 1][0];
+    status.textContent = `3D J2 bilinear column: tip `
+      + `${uEnd.toPrecision(4)} (exact 0.065), `
+      + `${r.yielded_elements.length}/24 elements yielded; `
+      + `chart: capacity curve (kink at σ_y)`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("solid-plastic-btn")
+  .addEventListener("click", runSolidPlastic);
+
 async function runPushover() {
   // Elastoplastic pushover of the sketch: yield at 80% of the
   // mean-load elastic stress, ramp to 3x — capacity curve at the

@@ -751,3 +751,33 @@ def test_ui_solid_payload_served():
     np.testing.assert_allclose(out["max_von_mises"], 0.05, rtol=1e-9)
     u = np.asarray(out["displacements"])
     assert u.shape == (3 * 3 * 3 * 9,) and np.isfinite(u).all()
+
+
+def test_ui_solid_plastic_payload_served():
+    """Both UIs' Solid-plastic action (the 3D J2 bilinear column)
+    through the live /api/fem/solid handler: free lateral contraction
+    makes 3D von Mises reproduce the 1D bilinear law, so the chart's
+    endpoint tip displacement is EXACTLY L(σ/E + (σ−σ_y)/H) = 0.065,
+    the capacity curve kinks at σ_y, and all 24 elements yield."""
+    from pinn_fem_tpu.serve.server import _solve_solid
+
+    payload = load_fixture("ui_payload_solid_plastic.json")
+    out = _solve_solid(payload)
+    assert out["success"] and out["analysis"] == "plastic"
+    assert out["element_type"] == "solid"
+    lf = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    # Probe = z_max face (9 nodes x 3 DOFs); the panels chart the mean
+    # of every 3rd column (z components).
+    assert d.shape == (8, 27)
+    tip = d[:, 2::3].mean(axis=1)
+    np.testing.assert_allclose(tip[-1], 0.065, rtol=1e-8)
+    # Elastic secant up to yield (sigma = 1.5 lf <= 1): u = L sigma/E.
+    el = 1.5 * lf <= 1.0
+    np.testing.assert_allclose(tip[el], 2.0 * 1.5 * lf[el] / 200.0,
+                               rtol=1e-7)
+    # Past yield the secant softens.
+    assert tip[-1] / lf[-1] > 2.0 * (tip[0] / lf[0])
+    assert len(out["yielded_elements"]) == 24
+    np.testing.assert_allclose(out["max_von_mises"][-1], 1.5,
+                               rtol=1e-8)
