@@ -70,6 +70,7 @@ from .models.solid import (  # noqa: E402
     box_mesh,
     extrude_mesh,
     identify_solid_young_banded,
+    solid_harmonic,
     solid_matrices,
     solid_modal,
     solid_modal_banded,
@@ -238,6 +239,7 @@ __all__ = [
     "solid_stable_dt",
     "solid_modal",
     "solid_modal_banded",
+    "solid_harmonic",
     "solid_matrices",
     "identify_solid_young_banded",
     "box_mesh",

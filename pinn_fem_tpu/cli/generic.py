@@ -184,6 +184,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         "max von Mises: %.6g", output["n_steps"],
                         len(output["yielded_elements"]),
                         max(output["max_von_mises"]))
+        elif output["analysis"] == "harmonic":
+            logger.info("  Sweep: %d frequencies, peak |X| %.6g",
+                        len(output["omegas"]),
+                        max(max(row) for row in output["amplitude"]))
         elif output["analysis"] == "identification":
             logger.info("  Identified %s (%s tier), final loss %.3e",
                         output["parameter"], output["method"],

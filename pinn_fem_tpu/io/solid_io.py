@@ -39,6 +39,9 @@ plane_io pattern):
                                       # default auto > DENSE_DOF_LIMIT;
                                       # dt "auto" = Gershgorin step
                   "record_every": 1}
+               | {"type": "harmonic", "omegas": [..] | {"start": w0,
+                  "stop": w1, "num": 50}, "damping": [a, b],
+                  "probe_nodes": [..]}   # dense host FRF sweep
                | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
                   "hardening": Hi, "kinematic_hardening": Hk,
                   "load_factors": [..] | "target"+"n_steps",
@@ -365,6 +368,30 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             "displacements": res.displacements.tolist(),
             "velocities": res.velocities.tolist(),
         }
+    if kind == "harmonic":
+        from ..models.solid import solid_harmonic
+
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"solid harmonic runs dense complex solves per "
+                f"frequency; {problem.ndof} DOFs exceeds its 8192-DOF "
+                "budget — coarsen the mesh")
+        om = analysis.get("omegas")
+        if om is None:
+            raise ValueError('solid harmonic needs "omegas"')
+        if isinstance(om, dict):
+            om = np.linspace(float(om["start"]), float(om["stop"]),
+                             int(om.get("num", 50)))
+        res = solid_harmonic(
+            problem, om, damping=analysis.get("damping", (0.0, 0.0)),
+            probe_dofs=_probe_dofs(analysis, problem))
+        return {
+            "success": True,
+            "analysis": "harmonic",
+            "element_type": "solid",
+            "omegas": res.omegas.tolist(),
+            "amplitude": res.amplitude.tolist(),
+        }
     if kind == "plastic":
         from ..solvers.solid_plasticity import solve_solid_plastic
 
@@ -529,8 +556,8 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
 
         return _json_finite(out)
     raise ValueError(f'solid analysis.type must be "static", "modal", '
-                     f'"transient", "plastic" or "identification", '
-                     f'got {kind!r}')
+                     f'"transient", "harmonic", "plastic" or '
+                     f'"identification", got {kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

@@ -443,6 +443,50 @@ def solve_solid_transient(problem: SolidProblem, dt: float,
         velocities=np.asarray(rec_v), dt=float(dt), n_steps=int(n_steps))
 
 
+@dataclass
+class SolidHarmonicResult:
+    omegas: np.ndarray
+    amplitude: np.ndarray          # (n_freq, n_probe) |X|
+    real: np.ndarray
+    imag: np.ndarray
+
+
+def solid_harmonic(problem: SolidProblem, omegas,
+                   damping=(0.0, 0.0), probe_dofs=None
+                   ) -> SolidHarmonicResult:
+    """Steady-state X(ω) to the solid load pattern: direct dense
+    complex solves (K − ω²M + iωC) X = f per frequency, host float64;
+    Rayleigh C = αM + βK — plane_harmonic with 3-DOF nodes (same
+    ALL-modes-superposition exactness cross-check,
+    tests/test_solid.py)."""
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    if problem.prescribed is not None and np.any(problem.prescribed):
+        # Driven-support FRFs need the support-motion participation
+        # term; silently returning the homogeneous-support response
+        # would be wrong (the plane family's guard).
+        raise ValueError("harmonic supports homogeneous supports only")
+    k, m = solid_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _body_force_vectors3(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    full = np.zeros(problem.ndof, dtype=complex)
+    xs = np.zeros((om.size, probe.size), dtype=complex)
+    for i, w in enumerate(om):
+        z = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(z, ff)
+        xs[i] = full[probe]
+    return SolidHarmonicResult(omegas=om, amplitude=np.abs(xs),
+                               real=xs.real, imag=xs.imag)
+
+
 # --------------------------------------------------------------------
 # Mesh generation + surface loading
 

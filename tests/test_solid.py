@@ -469,3 +469,68 @@ def test_solid_identification_json_tier():
     assert out["synthetic"]
     assert max(out["zone_rel_error"]) < 5e-3
     assert sorted(sum(out["zones"], [])) == list(range(2 * 2 * 10))
+
+
+def test_solid_harmonic_matches_modal_superposition():
+    """Direct complex sweep vs the ALL-modes superposition (exact for
+    Rayleigh damping): X(w) = sum phi phi^T f / (w_j^2 - w^2
+    + i w (alpha + beta w_j^2)) with M-orthonormal shapes — the plane
+    family's exactness anchor with 3-DOF nodes."""
+    from pinn_fem_tpu.models.solid import solid_harmonic
+
+    p = _uniaxial_problem(nx=1, ny=1, nz=4)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    res = solid_modal(p, n_modes=free.size)
+    alpha, beta = 0.02, 1e-3
+    om = np.linspace(0.1, 1.5 * res.omegas[1], 30)
+    hr = solid_harmonic(p, om, damping=(alpha, beta), probe_dofs=free)
+    phi = res.mode_shapes[:, free]
+    _, m = solid_matrices(p)
+    mf = m[np.ix_(free, free)]
+    # scipy.eigh shapes are M-orthonormal already; assert, don't trust.
+    np.testing.assert_allclose(phi @ mf @ phi.T, np.eye(free.size),
+                               atol=1e-8)
+    f = p.loads[free]
+    gen = phi @ f
+    denom = (res.omegas[:, None] ** 2 - om[None, :] ** 2
+             + 1j * om[None, :] * (alpha
+                                   + beta * res.omegas[:, None] ** 2))
+    x_modal = np.einsum("kw,kn->wn", gen[:, None] / denom, phi)
+    np.testing.assert_allclose(hr.real + 1j * hr.imag, x_modal,
+                               atol=1e-8 * np.abs(x_modal).max())
+
+
+def test_solid_harmonic_json_tier():
+    """Harmonic through run_solid_document: a resonance peak inside
+    the sweep, driven-support guard raising."""
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+
+    doc = {
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 4.0,
+                 "nx": 1, "ny": 1, "nz": 4},
+        "material": {"young": 200.0, "poisson": 0.3, "density": 2.0},
+        "fixed_z_nodes": "z_min",
+        "fixed_x_nodes": "x_min",
+        "fixed_y_nodes": "y_min",
+        "surface_loads": [{"face": "z_max",
+                           "traction": [0.0, 0.0, 5.0]}],
+        "analysis": {"type": "harmonic",
+                     "omegas": {"start": 0.5, "stop": 6.0, "num": 60},
+                     "damping": [0.02, 1e-3],
+                     "probe_nodes": "z_max"},
+    }
+    out = run_solid_document(doc)
+    assert out["success"] and out["analysis"] == "harmonic"
+    amp = np.asarray(out["amplitude"])
+    assert amp.shape == (60, 12) and np.isfinite(amp).all()
+    # First axial resonance (f1 ~ c/4L -> omega ~ 2pi*0.625/... ): a
+    # peak strictly inside the sweep, above the static end.
+    zcols = amp[:, 2::3].max(axis=1)
+    assert zcols.max() > 3.0 * zcols[0]
+    assert 0 < int(np.argmax(zcols)) < 59
+
+    bad = dict(doc)
+    bad["prescribed"] = [[2, 0.1]]
+    with pytest.raises(ValueError, match="homogeneous"):
+        run_solid_document(bad)
