@@ -58,6 +58,8 @@ from .models.plane import (  # noqa: E402
     PlaneProblem,
     annulus_mesh,
     edge_load,
+    plane_buckling,
+    plane_harmonic,
     plane_matrices,
     plane_modal,
     pressure_load,
@@ -70,6 +72,7 @@ from .models.solid import (  # noqa: E402
     box_mesh,
     extrude_mesh,
     identify_solid_young_banded,
+    solid_buckling,
     solid_harmonic,
     solid_matrices,
     solid_modal,
@@ -239,6 +242,7 @@ __all__ = [
     "solid_stable_dt",
     "solid_modal",
     "solid_modal_banded",
+    "solid_buckling",
     "solid_harmonic",
     "solid_matrices",
     "identify_solid_young_banded",
@@ -247,6 +251,8 @@ __all__ = [
     "surface_load",
     "solve_plane_static",
     "solve_plane_transient",
+    "plane_buckling",
+    "plane_harmonic",
     "plane_modal",
     "plane_matrices",
     "rect_mesh",

@@ -147,6 +147,13 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         "Mises: %.6g", output["n_steps"],
                         len(output["yielded_elements"]),
                         max(output["max_von_mises"]))
+        elif output["analysis"] == "harmonic":
+            logger.info("  Sweep: %d frequencies, peak |X| %.6g",
+                        len(output["omegas"]),
+                        max(max(row) for row in output["amplitude"]))
+        elif output["analysis"] == "buckling":
+            logger.info("  Load factors: %s",
+                        ["%.6g" % v for v in output["load_factors"]])
         else:
             logger.info("  Max von Mises: %.6g (element %d)",
                         output["max_von_mises"],
@@ -192,6 +199,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Identified %s (%s tier), final loss %.3e",
                         output["parameter"], output["method"],
                         output["final_loss"])
+        elif output["analysis"] == "buckling":
+            logger.info("  Load factors: %s",
+                        ["%.6g" % v for v in output["load_factors"]])
         else:
             logger.info("  Max |u|: %.6g, max von Mises: %.6g (%s)",
                         output["max_displacement"],

@@ -36,6 +36,8 @@ the CLI and servers peek at that key and route here:
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
                   "stop": w1, "num": 50}, "damping": [a, b],
                   "probe_nodes": [..]}
+               | {"type": "buckling", "n_modes": 4,
+                  "include_shapes": true}   # (K + λ K_g(σ)) φ = 0
                | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
                   "hardening": Hi, "kinematic_hardening": Hk,
                   "load_factors": [..] | "target"+"n_steps",
@@ -325,12 +327,27 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             })
         return out
     if kind in ("modal", "transient", "harmonic", "identification",
-                "plastic") and problem.ndof > 4 * 2048:
+                "plastic", "buckling") and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plane {kind} runs on the dense host tier; {problem.ndof} "
             "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
             "on one core) — coarsen the mesh; only statics has a "
             "banded large-mesh path so far")
+    if kind == "buckling":
+        from ..models.plane import plane_buckling
+
+        res = plane_buckling(problem,
+                             n_modes=int(analysis.get("n_modes", 4)))
+        out = {
+            "success": True,
+            "analysis": "buckling",
+            "element_type": "plane",
+            "load_factors": res.load_factors.tolist(),
+            "von_mises": res.von_mises.tolist(),
+        }
+        if analysis.get("include_shapes", True):
+            out["buckling_modes"] = res.modes.tolist()
+        return out
     if kind == "plastic":
         from ..solvers.plane_plasticity import solve_plane_plastic
 
@@ -592,8 +609,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
                     zip(out["zone_young"], out["true_zone_young"])]
         return out
     raise ValueError(f'plane analysis.type must be "static", "modal", '
-                     f'"transient", "harmonic", "plastic" or '
-                     f'"identification", got {kind!r}')
+                     f'"transient", "harmonic", "buckling", "plastic" '
+                     f'or "identification", got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

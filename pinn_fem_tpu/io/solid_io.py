@@ -39,6 +39,8 @@ plane_io pattern):
                                       # default auto > DENSE_DOF_LIMIT;
                                       # dt "auto" = Gershgorin step
                   "record_every": 1}
+               | {"type": "buckling", "n_modes": 4,
+                  "include_shapes": true}   # (K + λ K_g(σ)) φ = 0
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
                   "stop": w1, "num": 50}, "damping": [a, b],
                   "probe_nodes": [..]}   # dense host FRF sweep
@@ -368,6 +370,26 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             "displacements": res.displacements.tolist(),
             "velocities": res.velocities.tolist(),
         }
+    if kind == "buckling":
+        from ..models.solid import solid_buckling
+
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"solid buckling runs a dense symmetric pencil; "
+                f"{problem.ndof} DOFs exceeds its 8192-DOF budget — "
+                "coarsen the mesh")
+        res = solid_buckling(problem,
+                             n_modes=int(analysis.get("n_modes", 4)))
+        out = {
+            "success": True,
+            "analysis": "buckling",
+            "element_type": "solid",
+            "load_factors": res.load_factors.tolist(),
+            "von_mises": res.von_mises.tolist(),
+        }
+        if analysis.get("include_shapes", True):
+            out["buckling_modes"] = res.modes.tolist()
+        return out
     if kind == "harmonic":
         from ..models.solid import solid_harmonic
 
@@ -556,8 +578,8 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
 
         return _json_finite(out)
     raise ValueError(f'solid analysis.type must be "static", "modal", '
-                     f'"transient", "harmonic", "plastic" or '
-                     f'"identification", got {kind!r}')
+                     f'"transient", "harmonic", "buckling", "plastic" '
+                     f'or "identification", got {kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

@@ -456,6 +456,74 @@ def plane_modal(problem: PlaneProblem,
                             mode_shapes=shapes)
 
 
+def plane_geometric_stiffness(problem: PlaneProblem,
+                              u: np.ndarray) -> np.ndarray:
+    """Dense geometric (initial-stress) stiffness K_g(σ(u)): the
+    continuum form  ∫ t ∇N_a · σ · ∇N_b dA  on each displacement
+    component (the 2×2 in-plane Cauchy stress at the element Gauss
+    points; σ_zz of plane strain does no in-plane work).  The
+    continuum counterpart of the frame's P-Δ K_g
+    (models/frame.py:_kg_local) — exact for the linearized
+    (von Kármán) buckling pencil, cross-checked against the Euler
+    column closed form in tests/test_plane.py."""
+    from ..ops.plane_plastic import gp_geometry
+
+    b, wdet = gp_geometry(problem)       # (m, ngp, 3, 2nen), (m, ngp)
+    dmat = _dmat(problem.young, problem.poisson, problem.plane_strain)
+    u_e = u[problem.dof_map()]
+    eps = np.einsum("mgia,ma->mgi", b, u_e)
+    sig = np.einsum("mij,mgj->mgi", dmat, eps)     # [xx, yy, xy]
+    # Shape gradients sit inside B: row 0 holds dN/dx at even columns,
+    # row 1 dN/dy at odd columns (the _q4_point/_cst_b layout).
+    g = np.stack([b[:, :, 0, 0::2], b[:, :, 1, 1::2]],
+                 axis=2)                            # (m, ngp, 2, nen)
+    sigm = np.empty(sig.shape[:2] + (2, 2))
+    sigm[..., 0, 0] = sig[..., 0]
+    sigm[..., 1, 1] = sig[..., 1]
+    sigm[..., 0, 1] = sigm[..., 1, 0] = sig[..., 2]
+    w = wdet * problem.thickness[:, None]
+    s_ab = np.einsum("mgia,mgij,mgjb,mg->mab", g, sigm, g, w)
+    nen = problem.nen
+    kg = np.zeros((problem.nelm, 2 * nen, 2 * nen))
+    kg[:, 0::2, 0::2] = s_ab
+    kg[:, 1::2, 1::2] = s_ab
+    return _assemble(problem, kg)
+
+
+@dataclass
+class PlaneBucklingResult:
+    load_factors: np.ndarray     # (n_modes,) ascending positive λ
+    modes: np.ndarray            # (n_modes, 2n)
+    von_mises: np.ndarray        # (m,) base-state centroid vM
+
+
+def plane_buckling(problem: PlaneProblem,
+                   n_modes: int = 4) -> PlaneBucklingResult:
+    """Linearized continuum buckling: statics gives the base stress
+    state σ, K_g(σ) is assembled, and (K + λ K_g) φ = 0 on the free
+    block — λ_cr scales the APPLIED LOAD PATTERN.  Solved as the
+    SYMMETRIC pencil −K_g φ = μ K φ (K is SPD on the free block), so
+    λ = 1/μ for the largest positive μ — no complex general
+    eigensolve.  A slender compressed strip hits the Euler load
+    π²EI/(KL)² with mesh refinement (tests/test_plane.py)."""
+    import scipy.linalg
+
+    stat = solve_plane_static(problem)
+    kg = plane_geometric_stiffness(problem, stat.displacements)
+    k, _ = plane_matrices(problem, with_mass=False)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    gf = kg[np.ix_(free, free)]
+    mu, vec = scipy.linalg.eigh(-gf, kf)
+    pos = np.flatnonzero(mu > 1e-12 * np.abs(mu).max())
+    order = pos[np.argsort(mu[pos])[::-1]][:n_modes]  # largest μ first
+    lam = 1.0 / mu[order]
+    modes = np.zeros((order.size, problem.ndof))
+    modes[:, free] = vec[:, order].T
+    return PlaneBucklingResult(load_factors=lam, modes=modes,
+                               von_mises=stat.von_mises)
+
+
 @dataclass
 class PlaneTransientResult:
     times: np.ndarray

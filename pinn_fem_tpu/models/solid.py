@@ -487,6 +487,71 @@ def solid_harmonic(problem: SolidProblem, omegas,
                                real=xs.real, imag=xs.imag)
 
 
+def solid_geometric_stiffness(problem: SolidProblem,
+                              u: np.ndarray) -> np.ndarray:
+    """Dense geometric (initial-stress) stiffness K_g(σ(u)): the
+    continuum form  ∫ ∇N_a · σ · ∇N_b dV  on each displacement
+    component, with the full 3×3 Cauchy stress at the 2×2×2 Gauss
+    points — models/plane.plane_geometric_stiffness in 3D, anchored to
+    the same Euler-column closed form (tests/test_solid.py)."""
+    from ..ops.solid_plastic import gp_geometry3
+
+    b, wdet = gp_geometry3(problem)      # (m, 8, 6, 24), (m, 8)
+    dmat = _dmat3(problem.young, problem.poisson)
+    u_e = u[problem.dof_map()]
+    eps = np.einsum("mgia,ma->mgi", b, u_e)
+    sig = np.einsum("mij,mgj->mgi", dmat, eps)  # [xx,yy,zz,yz,xz,xy]
+    # Shape gradients sit inside B: row 0 holds dN/dx at columns 3a,
+    # row 1 dN/dy at 3a+1, row 2 dN/dz at 3a+2 (_hex_point layout).
+    g = np.stack([b[:, :, 0, 0::3], b[:, :, 1, 1::3],
+                  b[:, :, 2, 2::3]], axis=2)      # (m, 8, 3, 8)
+    sigm = np.empty(sig.shape[:2] + (3, 3))
+    sigm[..., 0, 0] = sig[..., 0]
+    sigm[..., 1, 1] = sig[..., 1]
+    sigm[..., 2, 2] = sig[..., 2]
+    sigm[..., 1, 2] = sigm[..., 2, 1] = sig[..., 3]
+    sigm[..., 0, 2] = sigm[..., 2, 0] = sig[..., 4]
+    sigm[..., 0, 1] = sigm[..., 1, 0] = sig[..., 5]
+    s_ab = np.einsum("mgia,mgij,mgjb,mg->mab", g, sigm, g, wdet)
+    kg = np.zeros((problem.nelm, 24, 24))
+    kg[:, 0::3, 0::3] = s_ab
+    kg[:, 1::3, 1::3] = s_ab
+    kg[:, 2::3, 2::3] = s_ab
+    return _assemble3(problem, kg)
+
+
+@dataclass
+class SolidBucklingResult:
+    load_factors: np.ndarray     # (n_modes,) ascending positive λ
+    modes: np.ndarray            # (n_modes, 3n)
+    von_mises: np.ndarray        # (m,) base-state centroid vM
+
+
+def solid_buckling(problem: SolidProblem,
+                   n_modes: int = 4) -> SolidBucklingResult:
+    """Linearized continuum buckling (K + λ K_g) φ = 0, solved as the
+    SYMMETRIC pencil −K_g φ = μ K φ on the free block (λ = 1/μ for the
+    largest positive μ) — plane_buckling with hex8 kinematics; a
+    square-section Euler column yields a DOUBLE lowest eigenvalue (one
+    per lateral direction)."""
+    import scipy.linalg
+
+    stat = solve_solid_static(problem)
+    kg = solid_geometric_stiffness(problem, stat.displacements)
+    k, _ = solid_matrices(problem, with_mass=False)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    gf = kg[np.ix_(free, free)]
+    mu, vec = scipy.linalg.eigh(-gf, kf)
+    pos = np.flatnonzero(mu > 1e-12 * np.abs(mu).max())
+    order = pos[np.argsort(mu[pos])[::-1]][:n_modes]
+    lam = 1.0 / mu[order]
+    modes = np.zeros((order.size, problem.ndof))
+    modes[:, free] = vec[:, order].T
+    return SolidBucklingResult(load_factors=lam, modes=modes,
+                               von_mises=stat.von_mises)
+
+
 # --------------------------------------------------------------------
 # Mesh generation + surface loading
 

@@ -519,3 +519,62 @@ def test_identify_plane_banded_json_tier_named_edges():
     assert max(out["zone_rel_error"]) < 5e-3
     # the zone boxes partitioned every element
     assert sorted(sum(out["zones"], [])) == list(range(72))
+
+
+def test_plane_buckling_euler_strip():
+    """Linearized in-plane buckling of a slender compressed cantilever
+    strip vs the Euler load π²EI/(4L²): fully-integrated Q4 converges
+    from above at EXACTLY the h² rate, so the two-mesh Richardson
+    extrapolation must land on the closed form to 1% (measured: 12.3%
+    and 3.0% raw, 0.2% extrapolated), and the higher cantilever modes
+    scale as (2k−1)² of the fundamental."""
+    from pinn_fem_tpu.models.plane import plane_buckling
+
+    E, w, L, t = 1000.0, 0.5, 10.0, 1.0
+    p_euler = np.pi ** 2 * E * (t * w ** 3 / 12.0) / (4.0 * L ** 2)
+    lams = []
+    for nx, ny in [(2, 40), (4, 80)]:
+        nodes, elems = rect_mesh(w, L, nx, ny, "quad")
+        top = np.flatnonzero(np.abs(nodes[:, 1] - L) < 1e-9)
+        top = top[np.argsort(nodes[top, 0])]
+        bot = np.flatnonzero(np.abs(nodes[:, 1]) < 1e-9)
+        loads = edge_load(nodes, top, [0.0, -1.0 / w], t)  # P_total=1
+        p = PlaneProblem(
+            nodes=nodes, elements=elems, young=E, poisson=0.0,
+            thickness=t, density=1.0, loads=loads,
+            fixed_dofs=np.concatenate([2 * bot, 2 * bot + 1]))
+        res = plane_buckling(p, n_modes=3)
+        lams.append(res.load_factors)
+        assert np.all(np.diff(res.load_factors) > 0)
+        assert res.load_factors[0] > p_euler          # from above
+    # h² Richardson: lam_h2 + (lam_h2 - lam_h)/((h/h2)² − 1), ratio 2.
+    extrap = lams[1] + (lams[1] - lams[0]) / 3.0
+    np.testing.assert_allclose(extrap[0], p_euler, rtol=0.01)
+    # Cantilever Euler modes: P_k / P_1 = (2k−1)².
+    np.testing.assert_allclose(extrap / extrap[0], [1.0, 9.0, 25.0],
+                               rtol=0.05)
+    # Mode shape: lateral (x) sway dominates axial motion.
+    mode = lams and res.modes[0]
+    assert np.abs(mode[0::2]).max() > 5.0 * np.abs(mode[1::2]).max()
+
+
+def test_plane_buckling_json_tier():
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+
+    out = run_plane_document({
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": 0.5, "height": 10.0,
+                 "nx": 2, "ny": 40},
+        "material": {"young": 1000.0, "poisson": 0.0, "thickness": 1.0,
+                     "density": 1.0},
+        "fixed_nodes": "bottom",
+        "edge_loads": [{"nodes": "top", "traction": [0.0, -2.0]}],
+        "analysis": {"type": "buckling", "n_modes": 2,
+                     "include_shapes": False}})
+    assert out["success"] and out["analysis"] == "buckling"
+    lam = np.asarray(out["load_factors"])
+    # Same strip under traction −2 (total P = 1): the raw 2×40 mesh
+    # value, pinned loosely (the solver-level test owns accuracy).
+    p_euler = np.pi ** 2 * 1000.0 * (0.5 ** 3 / 12.0) / 400.0
+    assert p_euler < lam[0] < 1.3 * p_euler
+    assert "buckling_modes" not in out
