@@ -62,6 +62,7 @@ from .models.plane import (  # noqa: E402
     plane_harmonic,
     plane_matrices,
     plane_modal,
+    plane_stable_dt,
     pressure_load,
     rect_mesh,
     solve_plane_static,
@@ -174,6 +175,11 @@ from .solvers.plasticity import (  # noqa: E402
     PlasticTransientResult,
     solve_elastoplastic,
     solve_transient_plastic,
+)
+from .solvers.continuum_transient_plastic import (  # noqa: E402
+    ContinuumPlasticTransientResult,
+    solve_plane_transient_plastic,
+    solve_solid_transient_plastic,
 )
 from .solvers.riks import (  # noqa: E402
     RiksResult,
@@ -327,6 +333,10 @@ __all__ = [
     "solve_elastoplastic",
     "PlanePlasticResult",
     "solve_transient_plastic",
+    "ContinuumPlasticTransientResult",
+    "solve_plane_transient_plastic",
+    "solve_solid_transient_plastic",
+    "plane_stable_dt",
     "solve_riks",
     "RiksResult",
     "random_response",

@@ -456,6 +456,26 @@ def plane_modal(problem: PlaneProblem,
                             mode_shapes=shapes)
 
 
+def plane_stable_dt(problem: PlaneProblem, safety: float = 0.9,
+                    damping=(0.0, 0.0)) -> float:
+    """Gershgorin bound on the explicit critical step for the plane
+    mesh: omega_max^2 <= max_i sum_j |K_ij| / m_i over FREE rows with
+    row-sum lumped mass (solid_stable_dt's estimator with 2-DOF
+    nodes; support rows would be up to sqrt(2) conservative — the
+    truss lesson).  Rayleigh damping SHRINKS the limit:
+    dt = (2/w)(sqrt(1+zeta^2) - zeta), zeta = alpha/2w + beta w/2."""
+    k, m = plane_matrices(problem)
+    md = np.asarray(m).sum(axis=1)
+    row = np.abs(k).sum(axis=1) / np.maximum(md, 1e-300)
+    free = problem.free_mask() > 0
+    w2 = float(row[free].max()) if free.any() and row[free].max() > 0 \
+        else float(row.max())
+    w = np.sqrt(max(w2, 1e-30))
+    alpha, beta = float(damping[0]), float(damping[1])
+    zeta = 0.5 * alpha / w + 0.5 * beta * w
+    return safety * (2.0 / w) * (np.sqrt(1.0 + zeta * zeta) - zeta)
+
+
 def plane_geometric_stiffness(problem: PlaneProblem,
                               u: np.ndarray) -> np.ndarray:
     """Dense geometric (initial-stress) stiffness K_g(σ(u)): the

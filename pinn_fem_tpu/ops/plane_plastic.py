@@ -307,6 +307,44 @@ def plane_plastic_blocks(b, wdet, thickness, u_e,
     return ke, fe, sig3, szz, new_state
 
 
+def plane_plastic_force(b, wdet, thickness, u_e,
+                        state: PlanePlasticState, young, poisson,
+                        sigma_y, h_iso, h_kin, plane_strain: bool,
+                        xp=np):
+    """Force-only variant of plane_plastic_blocks for explicit
+    integration (no consistent tangent).
+
+    Returns (fe (m, 2nen), sig3 (m, ngp, 3), szz (m, ngp),
+    new_state)."""
+    from ..models.plane import _einsum
+
+    eps3 = _einsum(xp, "mgia,ma->mgi", b, u_e)
+    sig3, _, szz, new_state = plane_return_map(
+        eps3, state, young, poisson, sigma_y, h_iso, h_kin,
+        plane_strain, xp=xp)
+    w = thickness[:, None] * wdet
+    fe = _einsum(xp, "mgia,mgi,mg->ma", b, sig3, w)
+    return fe, sig3, szz, new_state
+
+
+def plane_plastic_force_bbar(b4, wdet, thickness, u_e,
+                             state: PlanePlasticState, young, poisson,
+                             sigma_y, h_iso, h_kin, xp=np):
+    """Force-only B-bar variant (plane strain Q4)."""
+    from ..models.plane import _einsum
+
+    mu, lam, _ = lame(young, poisson)
+    eps4 = _einsum(xp, "mgia,ma->mgi", b4, u_e)
+    sigma4, _, ep, al, bk = vm_return_map_4(
+        eps4, state.eps_p, state.alpha, state.back,
+        mu[:, None], lam[:, None], sigma_y[:, None], h_iso[:, None],
+        h_kin[:, None], xp=xp)
+    new_state = PlanePlasticState(eps_p=ep, alpha=al, back=bk)
+    w = thickness[:, None] * wdet
+    fe = _einsum(xp, "mgia,mgi,mg->ma", b4, sigma4, w)
+    return fe, sigma4[..., _R], sigma4[..., 2], new_state
+
+
 def gp_geometry_bbar(problem, xp=np):
     """Mean-dilatation B-bar geometry for plane-strain Q4: the
     4-component strain operator (m, ngp, 4, 8) plus weighted

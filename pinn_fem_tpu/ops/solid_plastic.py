@@ -212,6 +212,22 @@ def solid_plastic_blocks(b, wdet, u_e, state: SolidPlasticState,
     return ke, fe, sig6, new_state
 
 
+def solid_plastic_force(b, wdet, u_e, state: SolidPlasticState,
+                        young, poisson, sigma_y, h_iso, h_kin, xp=np):
+    """Force-only variant of solid_plastic_blocks for explicit
+    integration (no consistent tangent — the ke einsum is the
+    dominant cost and explicit steps never need it).
+
+    Returns (fe (m, 24), sig6 (m, 8, 6), new_state)."""
+    from ..models.solid import _einsum
+
+    eps6 = _einsum(xp, "mgia,ma->mgi", b, u_e)
+    sig6, _, new_state = solid_return_map(
+        eps6, state, young, poisson, sigma_y, h_iso, h_kin, xp=xp)
+    fe = _einsum(xp, "mgia,mgi,mg->ma", b, sig6, wdet)
+    return fe, sig6, new_state
+
+
 def von_mises_6(sig6, xp=np):
     """(.., 8, 6) gp stresses -> von Mises (same shape minus Voigt)."""
     s = _dev6(sig6, xp)
