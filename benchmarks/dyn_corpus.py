@@ -51,6 +51,16 @@ def _gate(name: str, res: dict) -> None:
             assert np.isfinite(np.asarray(res["displacements"],
                                           dtype=float)).all(), name
         return
+    if res.get("plastic") and kind == "transient":
+        # Continuum elastoplastic transient: the exact residual
+        # closed form alpha = (sigma_peak - sigma_y)/H = 0.2
+        # (the committed doc descriptions; test_dyn_corpus pins it).
+        ep = np.asarray(res["final"]["eq_plastic_strain"], dtype=float)
+        assert np.allclose(ep, 0.2, rtol=1e-2), name
+        tip = 0.8 if res.get("element_type") == "plane" else 0.4
+        u = np.abs(np.asarray(res["final"]["displacements"])).max()
+        assert abs(u - tip) < 1e-2 * tip, name
+        return
     if res.get("element_type") == "plane":
         if kind == "modal":
             f = np.asarray(res["frequencies_hz"], dtype=float)

@@ -136,8 +136,15 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Frequencies (Hz): %s",
                         ["%.6g" % v for v in output["frequencies_hz"]])
         elif output["analysis"] == "transient":
-            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
-                        output["dt"])
+            if output.get("plastic"):
+                logger.info("  Steps: %d (dt=%.3e), yielded elements: "
+                            "%d, plastic work: %.6g", output["n_steps"],
+                            output["dt"],
+                            len(output["yielded_elements"]),
+                            output["plastic_work"][-1])
+            else:
+                logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                            output["dt"])
         elif output["analysis"] == "identification":
             logger.info("  Identified E in [%.6g, %.6g], final loss "
                         "%.3e", min(output["young"]),
@@ -184,8 +191,15 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Frequencies (Hz): %s",
                         ["%.6g" % v for v in output["frequencies_hz"]])
         elif output["analysis"] == "transient":
-            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
-                        output["dt"])
+            if output.get("plastic"):
+                logger.info("  Steps: %d (dt=%.3e), yielded elements: "
+                            "%d, plastic work: %.6g", output["n_steps"],
+                            output["dt"],
+                            len(output["yielded_elements"]),
+                            output["plastic_work"][-1])
+            else:
+                logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                            output["dt"])
         elif output["analysis"] == "plastic":
             logger.info("  Steps: %d, yielded elements: %d, "
                         "max von Mises: %.6g", output["n_steps"],

@@ -42,6 +42,22 @@ def _amplitude_array(spec, n_steps: int, dt: float) -> np.ndarray:
         if kind == "pulse":
             t_end = float(spec["t_end"])
             return (t < t_end).astype(float)
+        if kind == "trapezoid":
+            # quasi-static ramp/hold/unload: 0 -> peak over t_rise,
+            # hold, back to 0 over t_fall, then 0 — the loading shape
+            # a residual-state elastoplastic transient needs (sharp
+            # pulses excite waves whose transient stress is
+            # non-uniform; see solvers/continuum_transient_plastic).
+            t1 = float(spec["t_rise"])
+            t2 = t1 + float(spec.get("t_hold", 0.0))
+            t3 = t2 + float(spec["t_fall"])
+            if t1 <= 0.0 or t3 <= t2:
+                raise ValueError("trapezoid needs t_rise > 0 and "
+                                 "t_fall > 0")
+            peak = float(spec.get("peak", 1.0))
+            up = np.clip(t / t1, 0.0, 1.0)
+            down = np.clip((t3 - t) / (t3 - t2), 0.0, 1.0)
+            return peak * np.minimum(up, down)
         raise ValueError(f"unknown amplitude type: {kind!r}")
     raise ValueError(f"bad amplitude spec: {spec!r}")
 
@@ -203,3 +219,97 @@ def _element_areas(problem, elm_sel):
     return material_values_host(problem, 1.0)[1][elm_sel]
 
 
+
+
+def run_continuum_transient_plastic(problem, analysis: Dict,
+                                    element_type: str, solver,
+                                    probe: np.ndarray,
+                                    **solver_extra) -> Dict:
+    """Execute a continuum transient block carrying a "plasticity"
+    spec (solvers/continuum_transient_plastic): explicit central
+    difference with the radial return committed every step, shared by
+    the plane and solid JSON tiers — the truss contract
+    (io/transient_io._run_transient_plastic) generalized.
+
+    The caller resolves `probe` with its own family's selector (plane
+    named edges / solid named faces) and passes family-only solver
+    kwargs (plane: bbar) through **solver_extra."""
+    spec = analysis["plasticity"]
+    if not isinstance(spec, dict) or "sigma_y" not in spec:
+        raise ValueError('transient "plasticity" spec must be a dict '
+                         'with "sigma_y"')
+    n_steps = int(analysis["n_steps"])
+    damping = analysis.get("damping", [0.0, 0.0])
+    dt_spec = analysis.get("dt", "auto")
+    # dt=None lets the solver apply the family's damped Gershgorin
+    # bound (the ELASTIC estimate stays conservative under yielding —
+    # solver docstring).
+    dt = None if dt_spec == "auto" else float(dt_spec)
+    record_every = int(analysis.get("record_every", 1))
+    if n_steps % record_every:
+        raise ValueError("n_steps must be a multiple of record_every")
+    if probe is None:
+        probe = np.arange(problem.ndof)
+    probe = np.asarray(probe, dtype=int).reshape(-1)
+    if (probe.size * (n_steps // record_every)
+            > 4 * _SHAPES_JSON_DOF_LIMIT
+            and "probe_dofs" not in analysis
+            and "probe_nodes" not in analysis):
+        raise ValueError(
+            "transient history would serialize "
+            f"{probe.size} DOFs x {n_steps // record_every} snapshots "
+            "to JSON; give probe_nodes/probe_dofs (or a larger "
+            "record_every) to bound the payload")
+    res = solver(
+        problem,
+        sigma_y=spec["sigma_y"],
+        hardening_iso=spec.get("hardening", 0.0),
+        hardening_kin=spec.get("kinematic_hardening", 0.0),
+        dt=dt, n_steps=n_steps,
+        amplitude=(None if analysis.get("amplitude") is None else
+                   _amplitude_array(analysis["amplitude"], n_steps,
+                                    dt if dt is not None else
+                                    _auto_dt_for(solver, problem,
+                                                 damping,
+                                                 solver_extra))),
+        damping=(float(damping[0]), float(damping[1])),
+        record_every=record_every, probe_dofs=probe, **solver_extra)
+    yielded = np.flatnonzero(res.final_eq_plastic > 0.0)
+    return _json_finite({
+        "success": True,
+        "analysis": "transient",
+        "element_type": element_type,
+        "plastic": True,
+        "method": "central",
+        "dt": float(res.dt),
+        "n_steps": n_steps,
+        "record_every": record_every,
+        "probe_dofs": probe.tolist(),
+        "times": res.times.tolist(),
+        "displacements": res.displacements.tolist(),
+        "velocities": res.velocities.tolist(),
+        "kinetic_energy": res.kinetic_energy.tolist(),
+        "strain_energy": res.strain_energy.tolist(),
+        "plastic_work": res.plastic_work.tolist(),
+        "external_work": res.external_work.tolist(),
+        "von_mises_envelope": res.von_mises_envelope.tolist(),
+        "yielded_elements": yielded.tolist(),
+        "final": {
+            "displacements": res.final_displacement.tolist(),
+            "eq_plastic_strain": res.final_eq_plastic.tolist(),
+        },
+    })
+
+
+def _auto_dt_for(solver, problem, damping, solver_extra):
+    """The amplitude array needs the ACTUAL dt before the solver call
+    when dt='auto' — resolve the same family bound the solver would."""
+    damping = (float(damping[0]), float(damping[1]))
+    name = getattr(solver, "__name__", "")
+    if "plane" in name:
+        from ..models.plane import plane_stable_dt
+
+        return plane_stable_dt(problem, damping=damping)
+    from ..models.solid import solid_stable_dt
+
+    return solid_stable_dt(problem, damping=damping)

@@ -74,7 +74,11 @@ drives a static solve gains:
                  "amplitude": [..] | {"type": "step"}
                              | {"type": "sine", "frequency_hz": f,
                                 "phase": 0.0}
-                             | {"type": "pulse", "t_end": seconds},
+                             | {"type": "pulse", "t_end": seconds}
+                             | {"type": "trapezoid", "t_rise": s,
+                                "t_hold": 0.0, "t_fall": s,
+                                "peak": 1.0},  # quasi-static
+                                               # ramp/hold/unload
                  "load": {"type": "moving", "path_nodes": [..],
                           "speed": v, "magnitude": F, "component": 1}
                         | {"type": "base_acceleration",

@@ -32,7 +32,16 @@ the CLI and servers peek at that key and route here:
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
-                  "record_every": 1}
+                  "record_every": 1,
+                  "plasticity": {"sigma_y": sy, "hardening": Hi,
+                                 "kinematic_hardening": Hk},
+                     # explicit central difference with the J2 radial
+                     # return committed every step (solvers/
+                     # continuum_transient_plastic); dt may be "auto"
+                     # (damped Gershgorin bound); adds energy books,
+                     # von Mises envelope and final ε_p to the result;
+                     # optional "bbar" as in the static plastic block
+                  }
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
                   "stop": w1, "num": 50}, "damping": [a, b],
                   "probe_nodes": [..]}
@@ -418,6 +427,26 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             out["mode_shapes"] = res.mode_shapes.tolist()
         return out
     if kind == "transient":
+        if "plasticity" in analysis:
+            # Explicit elastoplastic transient (solvers/
+            # continuum_transient_plastic) — the truss "plasticity"
+            # transient contract on the continuum family; dt="auto"
+            # (default) applies the damped Gershgorin bound.
+            from ..solvers.continuum_transient_plastic import \
+                solve_plane_transient_plastic
+            from ._common import run_continuum_transient_plastic
+
+            if analysis.get("n_steps") is None:
+                raise ValueError('plane transient needs "n_steps"')
+            extra = {}
+            if analysis.get("bbar") is not None:
+                extra["bbar"] = bool(analysis["bbar"])
+            out = run_continuum_transient_plastic(
+                problem, analysis, "plane",
+                solve_plane_transient_plastic,
+                _probe_dofs(analysis, problem), **extra)
+            out["plane_strain"] = bool(problem.plane_strain)
+            return out
         if analysis.get("dt") is None or analysis.get("n_steps") is None:
             raise ValueError('plane transient needs "dt" and '
                              '"n_steps"')

@@ -38,7 +38,14 @@ plane_io pattern):
                                       # the DIA matvec (lumped mass);
                                       # default auto > DENSE_DOF_LIMIT;
                                       # dt "auto" = Gershgorin step
-                  "record_every": 1}
+                  "record_every": 1,
+                  "plasticity": {"sigma_y": sy, "hardening": Hi,
+                                 "kinematic_hardening": Hk}}
+                     # explicit central difference with the J2 radial
+                     # return committed every step (solvers/
+                     # continuum_transient_plastic); adds energy books,
+                     # von Mises envelope and final ε_p to the result;
+                     # does not compose with "banded"
                | {"type": "buckling", "n_modes": 4,
                   "include_shapes": true}   # (K + λ K_g(σ)) φ = 0
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
@@ -321,6 +328,26 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
     if kind == "transient":
         from ..solvers.newton import DENSE_DOF_LIMIT
 
+        if "plasticity" in analysis:
+            # Explicit elastoplastic transient (solvers/
+            # continuum_transient_plastic) — the truss "plasticity"
+            # transient contract on the solid family; dt="auto"
+            # (default) applies the damped Gershgorin bound.
+            from ..solvers.continuum_transient_plastic import \
+                solve_solid_transient_plastic
+            from ._common import run_continuum_transient_plastic
+
+            if analysis.get("banded"):
+                raise ValueError('"plasticity" carries committed '
+                                 'Gauss-point state through its own '
+                                 'scan — it does not compose with the '
+                                 'linear banded tier; drop "banded"')
+            if analysis.get("n_steps") is None:
+                raise ValueError('solid transient needs "n_steps"')
+            return run_continuum_transient_plastic(
+                problem, analysis, "solid",
+                solve_solid_transient_plastic,
+                _probe_dofs(analysis, problem))
         if "dt" not in analysis or "n_steps" not in analysis:
             raise ValueError('solid transient needs "dt" and '
                              '"n_steps"')

@@ -254,3 +254,114 @@ def test_validation():
                        prescribed=np.full(pre.fixed_dofs.size, 0.1))
     with pytest.raises(ValueError, match="homogeneous"):
         solve_plane_transient_plastic(pre, sigma_y=1.0, n_steps=10)
+
+
+# ---------------------------------------------------------------------------
+# JSON tier: "plasticity" inside a transient analysis block
+# (io/plane_io.py, io/solid_io.py riding io/_common.py's shared runner)
+# ---------------------------------------------------------------------------
+
+
+def plane_doc(**analysis_extra):
+    analysis = {"type": "transient", "n_steps": 200,
+                "record_every": 20, "damping": [0.5, 0.0],
+                "probe_nodes": "right",
+                "plasticity": {"sigma_y": 12.0, "hardening": 20.0}}
+    analysis.update(analysis_extra)
+    return {
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": W, "height": H,
+                 "nx": 2, "ny": 1, "element": "quad"},
+        "material": {"young": E, "poisson": NU, "thickness": T,
+                     "density": RHO},
+        "fixed_x_nodes": "left", "fixed_y_nodes": "bottom",
+        "edge_loads": [{"nodes": "right", "traction": [1.6 * Q, 0.0]}],
+        "analysis": analysis,
+    }
+
+
+def test_json_plane_transient_plastic_matches_solver():
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+
+    out = run_plane_document(plane_doc())
+    assert out["success"] is True
+    assert out["analysis"] == "transient" and out["plastic"] is True
+    assert out["element_type"] == "plane"
+    # the same problem through the Python API, dt=auto both ways
+    p = strip("quad", nx=2, ny=1, q=1.6 * Q)
+    right = np.flatnonzero(p.nodes[:, 0] == W)
+    right = right[np.argsort(p.nodes[right, 1])]
+    probe = np.stack([2 * right, 2 * right + 1], axis=1).reshape(-1)
+    res = solve_plane_transient_plastic(
+        p, sigma_y=12.0, hardening_iso=20.0, n_steps=200,
+        damping=(0.5, 0.0), record_every=20, probe_dofs=probe)
+    assert out["dt"] == pytest.approx(res.dt)
+    np.testing.assert_allclose(np.asarray(out["displacements"]),
+                               res.displacements, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(out["plastic_work"]),
+                               res.plastic_work, rtol=1e-12)
+    assert len(out["yielded_elements"]) == p.nelm  # step load yields all
+    assert out["von_mises_envelope"][0] > 12.0
+    assert len(out["final"]["eq_plastic_strain"]) == p.nelm
+
+
+def test_json_solid_transient_plastic():
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+    from pinn_fem_tpu.models.solid import solid_stable_dt
+
+    # explicit HALF the stable step: the energy-books assertion needs
+    # it (the O(dt) half-step work/dissipation error during the first
+    # plastic excursion is ~11% at the stability limit, measured);
+    # the plane JSON test exercises the dt="auto" default.
+    dt = 0.5 * solid_stable_dt(solid_bar(nz=2))
+    doc = {
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 4.0,
+                 "nx": 1, "ny": 1, "nz": 2},
+        "material": {"young": E, "poisson": NU, "density": RHO},
+        "fixed_z_nodes": "z_min", "fixed_x_nodes": "x_min",
+        "fixed_y_nodes": "y_min",
+        "surface_loads": [{"face": "z_max",
+                           "traction": [0.0, 0.0, 1.6 * Q]}],
+        # no damping: Rayleigh dissipation is (correctly) absent
+        # from the KE+SE+Wp ledger, so books only close undamped
+        "analysis": {"type": "transient", "dt": dt,
+                     "n_steps": 400, "record_every": 40,
+                     "probe_nodes": "z_max",
+                     "plasticity": {"sigma_y": 12.0,
+                                    "hardening": 20.0}},
+    }
+    out = run_solid_document(doc)
+    assert out["success"] is True and out["plastic"] is True
+    assert out["element_type"] == "solid"
+    assert out["plastic_work"][-1] > 0.0
+    assert max(out["von_mises_envelope"]) > 12.0
+    # energy books close in the serialized payload too
+    w = np.asarray(out["external_work"])
+    e = (np.asarray(out["kinetic_energy"])
+         + np.asarray(out["strain_energy"])
+         + np.asarray(out["plastic_work"]))
+    np.testing.assert_allclose(e, w, atol=0.03 * np.abs(w).max())
+
+
+def test_json_transient_plastic_guards():
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+
+    with pytest.raises(ValueError, match="sigma_y"):
+        run_plane_document(plane_doc(plasticity={"hardening": 1.0}))
+    # unbounded payload: no probes on a history that big
+    big = plane_doc(record_every=1, n_steps=3000)
+    del big["analysis"]["probe_nodes"]
+    with pytest.raises(ValueError, match="probe"):
+        run_plane_document(big)
+    with pytest.raises(ValueError, match="banded"):
+        run_solid_document({
+            "element_type": "solid",
+            "mesh": {"type": "box", "lx": 1, "ly": 1, "lz": 2,
+                     "nx": 1, "ny": 1, "nz": 2},
+            "material": {"young": E, "poisson": NU, "density": RHO},
+            "fixed_nodes": "z_min",
+            "analysis": {"type": "transient", "n_steps": 10,
+                         "banded": True,
+                         "plasticity": {"sigma_y": 1.0}}})

@@ -37,13 +37,17 @@ def test_dyn_corpus_complete():
                    "dyn-identification-modal.json",
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-plane-identify.json",
-                   "dyn-plane-plastic.json", "dyn-plane.json",
+                   "dyn-plane-plastic.json",
+                   "dyn-plane-transient-plastic.json",
+                   "dyn-plane.json",
                    "dyn-plastic.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing-rbdo.json", "dyn-sizing.json",
-                   "dyn-solid-plastic.json", "dyn-solid.json",
+                   "dyn-solid-plastic.json",
+                   "dyn-solid-transient-plastic.json",
+                   "dyn-solid.json",
                    "dyn-spectrum.json", "dyn-transient.json"]
 
 
@@ -108,6 +112,24 @@ def test_dyn_corpus_runs(name, tmp_path):
         assert res["n_plastic"][0] == 0        # sigma = 0.6 < sigma_y
         assert res["n_plastic"][-1] == 24
         assert len(res["yielded_elements"]) == 24
+    elif name in ("dyn-plane-transient-plastic.json",
+                  "dyn-solid-transient-plastic.json"):
+        # Quasi-static trapezoid past yield + settle: the EXACT
+        # residual closed form of homogeneous uniaxial J2 flow —
+        # alpha = (sigma_peak - sigma_y)/H = 0.2 in every element,
+        # stress-free tip u = L alpha (solvers/
+        # continuum_transient_plastic; the committed doc descriptions).
+        assert res["plastic"] is True and kind == "transient"
+        ep = np.asarray(res["final"]["eq_plastic_strain"])
+        np.testing.assert_allclose(ep, 0.2, rtol=1e-2)
+        tip = 0.8 if "plane" in name else 0.4
+        u = np.abs(np.asarray(res["final"]["displacements"])).max()
+        np.testing.assert_allclose(u, tip, rtol=1e-2)
+        assert max(res["von_mises_envelope"]) > 12.0
+        assert res["plastic_work"][-1] > 0.0
+        # dissipation is monotone in the serialized history too
+        wp = np.asarray(res["plastic_work"])
+        assert np.all(np.diff(wp) >= -1e-9 * wp[-1])
     elif name == "dyn-plane-plastic.json":
         # Thick-wall cylinder at 0.99 p_lim: plastic front has spread
         # from the bore but not collapsed; von Mises capped at sigma_y
