@@ -602,6 +602,56 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runShakedown = async () => {
+    // Explicit elastoplastic transient (POST body pinned as
+    // tests/fixtures/ui_payload_plastic_transient.json, byte-identical
+    // to the static UI's runShakedown): quasi-static trapezoid ramp of
+    // the uniaxial strip to sigma = 16 > sigma_y = 12, unload, settle —
+    // residual closed form alpha = (16−12)/H = 0.2, tip u_x = W·alpha
+    // = 0.8 (solvers/continuum_transient_plastic.py).
+    setMessage('Ramping the strip past yield…');
+    try {
+      const r = await post('plane', {
+        mesh: { type: 'rect', width: 4, height: 2, nx: 2, ny: 1,
+                element: 'quad' },
+        material: { young: 200, poisson: 0.3, thickness: 0.5,
+                    density: 2 },
+        fixed_x_nodes: 'left',
+        fixed_y_nodes: 'bottom',
+        edge_loads: [{ nodes: 'right', traction: [16, 0] }],
+        analysis: {
+          type: 'transient', dt: 'auto', n_steps: 4000,
+          record_every: 100, damping: [1.5, 0],
+          amplitude: { type: 'trapezoid', t_rise: 200, t_hold: 50,
+                       t_fall: 200 },
+          probe_nodes: 'right',
+          plasticity: { sigma_y: 12, hardening: 20 },
+        },
+      });
+      const tipX = r.displacements.map((row) => {
+        const xs = row.filter((_, d) => d % 2 === 0);
+        return [xs.reduce((a, b) => a + b, 0) / xs.length];
+      });
+      const alpha = r.final.eq_plastic_strain;
+      const mean = alpha.reduce((a, b) => a + b, 0) / alpha.length;
+      setKind('shakedown'); setShapes(null);
+      setChart({ xs: r.times, series: tipX });
+      setRows([
+        { label: 'residual tip u_x',
+          value: `${tipX[tipX.length - 1][0].toPrecision(4)} (exact 0.8)` },
+        { label: 'eq. plastic strain',
+          value: `${mean.toPrecision(4)} (exact 0.2)` },
+        { label: 'plastic work',
+          value: r.plastic_work[r.plastic_work.length - 1]
+            .toPrecision(4) },
+      ]);
+      setMessage('Elastoplastic shakedown: load, yield, unload onto '
+        + 'the exact residual plateau');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runPushover = async () => {
     // Elastoplastic pushover of the sketch: yield at 80% of the
     // mean-load elastic stress level (the Reliability two-step flow),
@@ -713,6 +763,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runPlanePlastic}>Cylinder ▶</button>
         <button onClick={runSolid}>Solid ▶</button>
         <button onClick={runSolidPlastic}>Solid plastic ▶</button>
+        <button onClick={runShakedown}>Shakedown ▶</button>
       </div>
       <table>
         <tbody>

@@ -1255,3 +1255,52 @@ async function runCylinder() {
 }
 document.getElementById("cylinder-btn").addEventListener("click",
                                                          runCylinder);
+
+async function runShakedown() {
+  // Explicit elastoplastic transient (POST body pinned as
+  // tests/fixtures/ui_payload_plastic_transient.json, byte-identical
+  // to the React panel's runShakedown): quasi-static trapezoid ramp
+  // of the uniaxial strip to sigma = 16 > sigma_y = 12, unload,
+  // settle — the residual state is the exact closed form
+  // alpha = (16-12)/H = 0.2, tip u_x = W*alpha = 0.8
+  // (solvers/continuum_transient_plastic.py).
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Ramping the strip past yield…";
+  try {
+    const r = await postDoc("plane", {
+      mesh: { type: "rect", width: 4, height: 2, nx: 2, ny: 1,
+              element: "quad" },
+      material: { young: 200, poisson: 0.3, thickness: 0.5,
+                  density: 2 },
+      fixed_x_nodes: "left",
+      fixed_y_nodes: "bottom",
+      edge_loads: [{ nodes: "right", traction: [16, 0] }],
+      analysis: {
+        type: "transient", dt: "auto", n_steps: 4000,
+        record_every: 100, damping: [1.5, 0],
+        amplitude: { type: "trapezoid", t_rise: 200, t_hold: 50,
+                     t_fall: 200 },
+        probe_nodes: "right",
+        plasticity: { sigma_y: 12, hardening: 20 },
+      },
+    });
+    // Chart: mean tip x displacement (even probe DOFs) — loads,
+    // yields, unloads onto the 0.8 residual plateau.
+    const tipX = r.displacements.map((row) => {
+      const xs = row.filter((_, d) => d % 2 === 0);
+      return [xs.reduce((a, b) => a + b, 0) / xs.length];
+    });
+    drawTimeSeries(r.times, tipX);
+    const alpha = r.final.eq_plastic_strain;
+    const mean = alpha.reduce((a, b) => a + b, 0) / alpha.length;
+    status.textContent = `Elastoplastic shakedown: residual tip `
+      + `${tipX[tipX.length - 1][0].toPrecision(4)} (exact 0.8), `
+      + `eq. plastic strain ${mean.toPrecision(4)} (exact 0.2), `
+      + `plastic work ${r.plastic_work[r.plastic_work.length - 1]
+          .toPrecision(4)}`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("shakedown-btn").addEventListener("click",
+                                                          runShakedown);

@@ -781,3 +781,28 @@ def test_ui_solid_plastic_payload_served():
     assert len(out["yielded_elements"]) == 24
     np.testing.assert_allclose(out["max_von_mises"][-1], 1.5,
                                rtol=1e-8)
+
+
+def test_ui_shakedown_payload_served():
+    """Both UIs' Shakedown action (explicit elastoplastic transient,
+    solvers/continuum_transient_plastic) through the live
+    /api/fem/plane handler: the quasi-static trapezoid ramp/unload
+    lands on the exact residual closed form — alpha = (16−12)/H = 0.2
+    in every element, chart endpoint (mean tip u_x) = W·alpha = 0.8 —
+    and the plastic-work history the status line reports is monotone."""
+    from pinn_fem_tpu.serve.server import _solve_plane
+
+    payload = load_fixture("ui_payload_plastic_transient.json")
+    out = _solve_plane(payload)
+    assert out["success"] and out["analysis"] == "transient"
+    assert out["plastic"] is True and out["element_type"] == "plane"
+    d = np.asarray(out["displacements"])
+    assert d.shape == (40, 4)                 # 2 right nodes x 2 DOFs
+    tip = d[:, 0::2].mean(axis=1)             # the panels' chart series
+    np.testing.assert_allclose(tip[-1], 0.8, rtol=1e-2)
+    alpha = np.asarray(out["final"]["eq_plastic_strain"])
+    np.testing.assert_allclose(alpha, 0.2, rtol=1e-2)
+    wp = np.asarray(out["plastic_work"])
+    assert wp[-1] > 0.0 and np.all(np.diff(wp) >= -1e-9 * wp[-1])
+    # Loaded-then-unloaded: the peak tip excursion exceeds the residual.
+    assert tip.max() > tip[-1] * 1.1
