@@ -181,6 +181,12 @@ from .solvers.continuum_transient_plastic import (  # noqa: E402
     solve_plane_transient_plastic,
     solve_solid_transient_plastic,
 )
+from .solvers.continuum_spectrum import (  # noqa: E402
+    ContinuumRandomResult,
+    ContinuumSpectrumResult,
+    continuum_random_response,
+    continuum_response_spectrum,
+)
 from .solvers.riks import (  # noqa: E402
     RiksResult,
     solve_riks,
@@ -336,6 +342,10 @@ __all__ = [
     "ContinuumPlasticTransientResult",
     "solve_plane_transient_plastic",
     "solve_solid_transient_plastic",
+    "ContinuumRandomResult",
+    "ContinuumSpectrumResult",
+    "continuum_random_response",
+    "continuum_response_spectrum",
     "plane_stable_dt",
     "solve_riks",
     "RiksResult",

@@ -158,6 +158,14 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Sweep: %d frequencies, peak |X| %.6g",
                         len(output["omegas"]),
                         max(max(row) for row in output["amplitude"]))
+        elif output["analysis"] == "spectrum":
+            logger.info("  Modal mass captured: %.1f%% (%s), peak |u| "
+                        "%.6g", 100.0 * output["mass_fraction"],
+                        output["combination"],
+                        output["max_displacement"])
+        elif output["analysis"] == "random":
+            logger.info("  PSD grid: %d frequencies, max RMS %.6g",
+                        len(output["omegas"]), max(output["rms"]))
         elif output["analysis"] == "buckling":
             logger.info("  Load factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
@@ -209,6 +217,14 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Sweep: %d frequencies, peak |X| %.6g",
                         len(output["omegas"]),
                         max(max(row) for row in output["amplitude"]))
+        elif output["analysis"] == "spectrum":
+            logger.info("  Modal mass captured: %.1f%% (%s), peak |u| "
+                        "%.6g", 100.0 * output["mass_fraction"],
+                        output["combination"],
+                        output["max_displacement"])
+        elif output["analysis"] == "random":
+            logger.info("  PSD grid: %d frequencies, max RMS %.6g",
+                        len(output["omegas"]), max(output["rms"]))
         elif output["analysis"] == "identification":
             logger.info("  Identified %s (%s tier), final loss %.3e",
                         output["parameter"], output["method"],

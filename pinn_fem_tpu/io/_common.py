@@ -313,3 +313,121 @@ def _auto_dt_for(solver, problem, damping, solver_extra):
     from ..models.solid import solid_stable_dt
 
     return solid_stable_dt(problem, damping=damping)
+
+
+def _sa_callable(analysis: Dict):
+    """Resolve the "sa" spectrum spec (flat / tabulated / history) to
+    a callable — the truss run_spectrum contract (io/analysis.py)
+    shared with the continuum spectrum tier."""
+    sa = analysis.get("sa", 1.0)
+    if isinstance(sa, dict) and "history" in sa:
+        from ..solvers.spectrum import spectrum_from_history
+
+        if "dt" not in sa:
+            raise ValueError('a history spectrum needs its record "dt"')
+        dt_h = float(sa["dt"])
+        hist_spec = sa["history"]
+        n = int(sa.get("n_steps",
+                       len(hist_spec)
+                       if isinstance(hist_spec, (list, tuple)) else 0))
+        if n <= 0:
+            raise ValueError('a synthetic history spectrum needs '
+                             '"n_steps"')
+        accel = (_amplitude_array(hist_spec, n, dt_h)
+                 * float(sa.get("scale", 1.0)))
+        zeta_g = float(sa.get("damping_ratio",
+                              analysis.get("damping_ratio", 0.05)))
+
+        def spectrum(om):
+            return spectrum_from_history(accel, dt_h, om, zeta_g).psa
+
+        return spectrum
+    if isinstance(sa, dict):
+        om_tab = np.asarray(sa["omegas"], dtype=float)
+        val_tab = np.asarray(sa["values"], dtype=float)
+
+        def spectrum(om):
+            return np.interp(om, om_tab, val_tab)
+
+        return spectrum
+    return float(sa)
+
+
+def run_continuum_spectrum(problem, analysis: Dict,
+                           element_type: str) -> Dict:
+    """Response-spectrum block on a plane/solid document
+    (solvers/continuum_spectrum.py); the truss run_spectrum contract
+    minus multi-direction combination (single "direction" only)."""
+    from ..solvers.continuum_spectrum import continuum_response_spectrum
+
+    if "directions" in analysis:
+        raise ValueError('continuum spectrum supports a single '
+                         '"direction" — multi-direction combination '
+                         'is the truss tier\'s "directions" contract')
+    res = continuum_response_spectrum(
+        problem, _sa_callable(analysis),
+        direction=analysis.get("direction"),
+        n_modes=int(analysis.get("n_modes", 6)),
+        combination=analysis.get("combination", "srss"),
+        damping_ratio=float(analysis.get("damping_ratio", 0.05)))
+    out = {
+        "success": True,
+        "analysis": "spectrum",
+        "element_type": element_type,
+        "combination": res.combination,
+        "omegas": res.omegas.tolist(),
+        "participation": res.participation.tolist(),
+        "effective_mass": res.effective_mass.tolist(),
+        "mass_fraction": res.mass_fraction,
+        "max_displacement": float(res.displacements.max()),
+        "stresses": res.stresses.tolist(),
+        # von Mises OF the combined components — the design-code
+        # estimate, conservative for in-phase modes, not a bound.
+        "von_mises": res.von_mises.tolist(),
+        "max_von_mises": float(res.von_mises.max()),
+    }
+    if problem.ndof <= _SHAPES_JSON_DOF_LIMIT:
+        out["displacements"] = res.displacements.tolist()
+    return _json_finite(out)
+
+
+def run_continuum_random(problem, analysis: Dict, element_type: str,
+                         probe) -> Dict:
+    """Random-vibration block on a plane/solid document
+    (solvers/continuum_spectrum.py); the truss run_random contract."""
+    from ..solvers.continuum_spectrum import continuum_random_response
+
+    omegas = _omega_array(analysis["omegas"])
+    if probe is None:
+        probe = np.arange(problem.ndof)
+    probe = np.asarray(probe, dtype=int).reshape(-1)
+    if (probe.size * omegas.size > 4 * _SHAPES_JSON_DOF_LIMIT
+            and "probe_dofs" not in analysis
+            and "probe_nodes" not in analysis):
+        raise ValueError(
+            "random-response PSDs would serialize "
+            f"{probe.size} DOFs x {omegas.size} frequencies to JSON; "
+            "give probe_nodes/probe_dofs to bound the payload")
+    psd_spec = analysis.get("psd", 1.0)
+    if isinstance(psd_spec, dict):
+        om_tab = np.asarray(psd_spec["omegas"], dtype=float)
+        val_tab = np.asarray(psd_spec["values"], dtype=float)
+
+        def load_psd(om):
+            return np.interp(om, om_tab, val_tab)
+    else:
+        load_psd = float(psd_spec)
+    res = continuum_random_response(
+        problem, load_psd, omegas,
+        damping=analysis.get("damping", (0.0, 0.0)),
+        probe_dofs=probe)
+    return _json_finite({
+        "success": True,
+        "analysis": "random",
+        "element_type": element_type,
+        "omegas": res.omegas.tolist(),
+        "probe_dofs": probe.tolist(),
+        "psd": res.psd.tolist(),
+        "rms": res.rms.tolist(),
+        "frf_amplitude": res.frf_amplitude.tolist(),
+    })

@@ -47,6 +47,18 @@ the CLI and servers peek at that key and route here:
                   "probe_nodes": [..]}
                | {"type": "buckling", "n_modes": 4,
                   "include_shapes": true}   # (K + λ K_g(σ)) φ = 0
+               | {"type": "spectrum",       # seismic peak response by
+                  "sa": 2.5 | {"omegas", "values"}   # modal SRSS/CQC
+                      | {"history": .., "dt": ..},   # (solvers/
+                  "direction": [1, 0],      # continuum_spectrum; the
+                  "n_modes": 6,             # truss run_spectrum Sa
+                  "combination": "srss",    # contract, single
+                  "damping_ratio": 0.05}    # direction)
+               | {"type": "random",         # stationary PSD response
+                  "omegas": [..] | {"start", "stop", "num"},
+                  "psd": S0 | {"omegas", "values"},
+                  "damping": [a, b],        # must be nonzero
+                  "probe_nodes": [..]}
                | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
                   "hardening": Hi, "kinematic_hardening": Hk,
                   "load_factors": [..] | "target"+"n_steps",
@@ -336,12 +348,22 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             })
         return out
     if kind in ("modal", "transient", "harmonic", "identification",
-                "plastic", "buckling") and problem.ndof > 4 * 2048:
+                "plastic", "buckling", "spectrum", "random") \
+            and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plane {kind} runs on the dense host tier; {problem.ndof} "
             "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
             "on one core) — coarsen the mesh; only statics has a "
             "banded large-mesh path so far")
+    if kind == "spectrum":
+        from ._common import run_continuum_spectrum
+
+        return run_continuum_spectrum(problem, analysis, "plane")
+    if kind == "random":
+        from ._common import run_continuum_random
+
+        return run_continuum_random(problem, analysis, "plane",
+                                    _probe_dofs(analysis, problem))
     if kind == "buckling":
         from ..models.plane import plane_buckling
 
@@ -638,8 +660,9 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
                     zip(out["zone_young"], out["true_zone_young"])]
         return out
     raise ValueError(f'plane analysis.type must be "static", "modal", '
-                     f'"transient", "harmonic", "buckling", "plastic" '
-                     f'or "identification", got {kind!r}')
+                     f'"transient", "harmonic", "buckling", "plastic", '
+                     f'"spectrum", "random" or "identification", '
+                     f'got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

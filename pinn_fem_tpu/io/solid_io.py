@@ -51,6 +51,13 @@ plane_io pattern):
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
                   "stop": w1, "num": 50}, "damping": [a, b],
                   "probe_nodes": [..]}   # dense host FRF sweep
+               | {"type": "spectrum", "sa": 2.5 | {..}, "direction":
+                  [0, 0, 1], "n_modes": 6, "combination": "srss",
+                  "damping_ratio": 0.05}  # seismic modal combination
+                                          # (solvers/continuum_spectrum)
+               | {"type": "random", "omegas": [..] | {..},
+                  "psd": S0 | {"omegas", "values"}, "damping": [a, b],
+                  "probe_nodes": [..]}    # stationary PSD response
                | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
                   "hardening": Hi, "kinematic_hardening": Hk,
                   "load_factors": [..] | "target"+"n_steps",
@@ -397,6 +404,20 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             "displacements": res.displacements.tolist(),
             "velocities": res.velocities.tolist(),
         }
+    if kind in ("spectrum", "random"):
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"solid {kind} runs on the dense host modal/FRF tier; "
+                f"{problem.ndof} DOFs exceeds its 8192-DOF budget — "
+                "coarsen the mesh")
+        if kind == "spectrum":
+            from ._common import run_continuum_spectrum
+
+            return run_continuum_spectrum(problem, analysis, "solid")
+        from ._common import run_continuum_random
+
+        return run_continuum_random(problem, analysis, "solid",
+                                    _probe_dofs(analysis, problem))
     if kind == "buckling":
         from ..models.solid import solid_buckling
 
@@ -605,8 +626,9 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
 
         return _json_finite(out)
     raise ValueError(f'solid analysis.type must be "static", "modal", '
-                     f'"transient", "harmonic", "buckling", "plastic" '
-                     f'or "identification", got {kind!r}')
+                     f'"transient", "harmonic", "buckling", "plastic", '
+                     f'"spectrum", "random" or "identification", '
+                     f'got {kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

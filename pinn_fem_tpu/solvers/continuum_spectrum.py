@@ -1,0 +1,226 @@
+"""Response-spectrum and random-vibration analysis for the CONTINUUM
+families (plane CST/Q4 and solid hex8) — the truss seismic/stochastic
+machinery (solvers/spectrum.py, solvers/random_response.py) on the
+consistent-mass modal data of models/plane.py / models/solid.py.
+
+Response spectrum (single excitation direction d, design spectrum
+Sa(omega)):
+
+    Gamma_j = phi_j^T M r          (phi M-orthonormal, r = unit rigid
+                                    motion along d on the FREE DOFs)
+    peak     u_j = Gamma_j phi_j Sa(omega_j) / omega_j^2
+    combined SRSS / CQC (Der Kiureghian rho, equal damping) — reusing
+    the truss _cqc_rho so the two families can never drift.
+
+Stress combination follows the per-QUANTITY rule: each Voigt stress
+component is combined across modes (SRSS/CQC of the MODAL centroid
+stresses — combining the stress of the combined displacement field
+would be wrong, since the combination destroys the modal sign
+structure), and the reported von Mises is computed FROM the combined
+components.  That von Mises is the standard design-code estimate: it
+is conservative for in-phase components and is NOT a strict bound —
+the docstring of the result field says so, and so does the JSON tier.
+
+Random vibration: S_u(omega) = |H(omega)|^2 S_p(omega) on the families'
+own dense FRF sweeps (plane_harmonic / solid_harmonic — direct complex
+solves, float64 host), RMS by trapezoid over the omega grid.  The grid
+must resolve the resonance peaks (half-power bandwidth 2 zeta omega_n);
+zero damping is rejected because the variance integral diverges
+(solvers/random_response.py doctrine).
+
+Closed-form anchors (tests/test_continuum_spectrum.py): a single-free-
+DOF Q4/hex8 is EXACTLY the SDOF textbook case — spectrum peak
+u = Gamma phi Sa / omega^2 by hand, white-noise variance
+sigma^2 = F^2 pi S0 / (2 k c).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence, Union
+
+import numpy as np
+
+from .spectrum import _cqc_rho
+
+
+class _Family(NamedTuple):
+    dim: int
+    modal: object        # (problem, n_modes) -> (omegas, shapes (J, ndof))
+    mass: object         # (problem) -> dense consistent M (ndof, ndof)
+    stresses: object     # (problem, u) -> (sig (m, ncomp), vm (m,))
+    stable_dt: object    # (problem) -> critical explicit step (safety=1)
+    harmonic: object     # (problem, omegas, damping, probe) -> result
+
+
+def _family_of(problem) -> _Family:
+    from ..models.plane import PlaneProblem
+
+    if isinstance(problem, PlaneProblem):
+        from ..models import plane as P
+
+        return _Family(
+            dim=2,
+            modal=lambda p, n: _unpack_modal(P.plane_modal(p, n)),
+            mass=lambda p: P.plane_matrices(p)[1],
+            stresses=lambda p, u: P.recover_stresses(p, u)[:2],
+            stable_dt=lambda p: P.plane_stable_dt(p, safety=1.0),
+            harmonic=P.plane_harmonic)
+    from ..models.solid import SolidProblem
+
+    if isinstance(problem, SolidProblem):
+        from ..models import solid as S
+
+        return _Family(
+            dim=3,
+            modal=lambda p, n: _unpack_modal(S.solid_modal(p, n)),
+            mass=lambda p: S.solid_matrices(p)[1],
+            stresses=lambda p, u: S.recover_stresses3(p, u)[:2],
+            stable_dt=lambda p: S.solid_stable_dt(p, safety=1.0),
+            harmonic=S.solid_harmonic)
+    raise TypeError("continuum spectrum/random needs a PlaneProblem "
+                    f"or SolidProblem, got {type(problem).__name__}")
+
+
+def _unpack_modal(res):
+    return np.asarray(res.omegas), np.asarray(res.mode_shapes)
+
+
+class ContinuumSpectrumResult(NamedTuple):
+    displacements: np.ndarray    # (ndof,) combined peak |u| (>= 0)
+    modal_peaks: np.ndarray      # (J, ndof) signed per-mode peaks
+    omegas: np.ndarray           # (J,)
+    participation: np.ndarray    # (J,) Gamma_j
+    effective_mass: np.ndarray   # (J,) Gamma_j^2
+    mass_fraction: float         # sum / total directional mass
+    combination: str
+    stresses: np.ndarray         # (m, ncomp) per-component combined
+    # von Mises OF the combined components — the design-code estimate,
+    # conservative for in-phase modes, NOT a strict bound.
+    von_mises: np.ndarray        # (m,)
+    modal_stresses: np.ndarray   # (J, m, ncomp) signed
+
+
+def continuum_response_spectrum(
+    problem,
+    spectrum: Union[Callable[[np.ndarray], np.ndarray], float],
+    direction: Optional[Sequence[float]] = None,
+    n_modes: int = 6,
+    combination: str = "srss",
+    damping_ratio: float = 0.05,
+) -> ContinuumSpectrumResult:
+    """Peak seismic response of a plane/solid mesh by modal
+    combination (module docstring)."""
+    fam = _family_of(problem)
+    d = np.zeros(fam.dim)
+    if direction is None:
+        d[0] = 1.0
+    else:
+        d[:] = np.asarray(direction, dtype=float)
+        nrm = np.linalg.norm(d)
+        if nrm == 0:
+            raise ValueError("direction must be nonzero")
+        d /= nrm
+
+    omegas, phi = fam.modal(problem, int(n_modes))
+    # Mechanism guard (the truss lesson, solvers/spectrum.py:110): a
+    # near-zero frequency makes Sa/omega^2 unbounded; the absolute
+    # scale is the Gershgorin bound, not omega_max.
+    lam_bound = (2.0 / fam.stable_dt(problem)) ** 2
+    if omegas.size and float(omegas.min()) ** 2 < 1e-6 * lam_bound:
+        raise ValueError(
+            "the mesh carries a (near-)zero-frequency mechanism mode "
+            f"(lambda_min/lambda_bound = "
+            f"{omegas.min() ** 2 / lam_bound:.1e}); its Sa/omega^2 "
+            "peak response is unbounded — check the supports")
+
+    m = fam.mass(problem)
+    mask = problem.free_mask()
+    r = np.tile(d, problem.ndof // fam.dim) * mask
+    mr = m @ r
+    gamma = phi @ mr                                  # (J,)
+    sa = (spectrum(omegas) if callable(spectrum)
+          else float(spectrum) * np.ones_like(omegas))
+    peaks = (gamma * sa / omegas**2)[:, None] * phi   # (J, ndof)
+
+    sig_modal = np.stack([fam.stresses(problem, peaks[j])[0]
+                          for j in range(peaks.shape[0])]) \
+        if peaks.shape[0] else np.zeros((0, problem.nelm, 1))
+
+    if combination == "srss":
+        combined = np.sqrt(np.sum(peaks**2, axis=0))
+        sig_comb = np.sqrt(np.sum(sig_modal**2, axis=0))
+    elif combination == "cqc":
+        rho = _cqc_rho(omegas, float(damping_ratio))
+        combined = np.sqrt(np.maximum(
+            np.einsum("ij,ik,jk->k", rho, peaks, peaks), 0.0))
+        sig_comb = np.sqrt(np.maximum(
+            np.einsum("ij,ikc,jkc->kc", rho, sig_modal, sig_modal),
+            0.0))
+    else:
+        raise ValueError('combination must be "srss" or "cqc"')
+
+    # von Mises of the COMBINED components (docstring caveat).
+    vm = _vm_of_components(problem, fam.dim, sig_comb)
+    total = float(r @ mr)
+    eff = gamma**2
+    return ContinuumSpectrumResult(
+        displacements=combined, modal_peaks=peaks, omegas=omegas,
+        participation=gamma, effective_mass=eff,
+        mass_fraction=float(eff.sum() / max(total, 1e-30)),
+        combination=combination, stresses=sig_comb, von_mises=vm,
+        modal_stresses=sig_modal)
+
+
+def _vm_of_components(problem, dim: int, sig: np.ndarray) -> np.ndarray:
+    if dim == 2:
+        sxx, syy, sxy = sig[:, 0], sig[:, 1], sig[:, 2]
+        if problem.plane_strain:
+            szz = problem.poisson * (sxx + syy)
+            return np.sqrt(0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2
+                                  + (szz - sxx) ** 2) + 3.0 * sxy ** 2)
+        return np.sqrt(sxx**2 - sxx * syy + syy**2 + 3.0 * sxy**2)
+    sxx, syy, szz = sig[:, 0], sig[:, 1], sig[:, 2]
+    syz, sxz, sxy = sig[:, 3], sig[:, 4], sig[:, 5]
+    return np.sqrt(0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2
+                          + (szz - sxx) ** 2)
+                   + 3.0 * (sxy**2 + syz**2 + sxz**2))
+
+
+class ContinuumRandomResult(NamedTuple):
+    omegas: np.ndarray          # (n_freq,)
+    psd: np.ndarray             # (n_freq, n_probe) one-sided S_u
+    rms: np.ndarray             # (n_probe,)
+    frf_amplitude: np.ndarray   # (n_freq, n_probe) |H|
+
+
+def continuum_random_response(
+    problem,
+    load_psd: Union[Callable[[np.ndarray], np.ndarray], float],
+    omegas,
+    damping=(0.0, 0.0),
+    probe_dofs: Optional[np.ndarray] = None,
+) -> ContinuumRandomResult:
+    """Displacement PSDs and RMS of a plane/solid mesh under a
+    stationary random multiplier of its load pattern (module
+    docstring)."""
+    fam = _family_of(problem)
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    if om.size < 2 or np.any(np.diff(om) <= 0):
+        raise ValueError("omegas must be an increasing grid "
+                         "(>= 2 points)")
+    if float(damping[0]) == 0.0 and float(damping[1]) == 0.0:
+        raise ValueError("random response needs nonzero damping — the "
+                         "undamped variance integral diverges")
+    h = fam.harmonic(problem, om, damping=damping,
+                     probe_dofs=probe_dofs)
+    sp = (load_psd(om) if callable(load_psd)
+          else float(load_psd) * np.ones_like(om))
+    sp = np.broadcast_to(np.asarray(sp, dtype=float), om.shape)
+    if np.any(sp < 0):
+        raise ValueError("a PSD cannot be negative")
+    amp = np.asarray(h.amplitude, dtype=float)
+    s_u = amp**2 * sp[:, None]
+    var = np.trapezoid(s_u, om, axis=0)
+    return ContinuumRandomResult(omegas=om, psd=s_u,
+                                 rms=np.sqrt(var),
+                                 frf_amplitude=amp)

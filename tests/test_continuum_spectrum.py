@@ -1,0 +1,274 @@
+"""Response-spectrum and random-vibration analysis on the continuum
+families (solvers/continuum_spectrum.py).
+
+Anchors:
+  * a single-free-DOF Q4 / hex8 IS the textbook SDOF: spectrum peak
+    u = Sa·m/k exactly (Γ = √m, φ = 1/√m), mass fraction 1, and the
+    white-noise variance σ² = F²πS₀/(2kc);
+  * a multi-mode strip: SRSS/CQC combination mirrored at machine
+    precision against an independent scipy eigh computation written
+    here, CQC(ζ=0) ≡ SRSS, and all-modes mass fraction → 1.
+"""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.models.plane import (PlaneProblem, plane_matrices,
+                                       rect_mesh)
+from pinn_fem_tpu.models.solid import (SolidProblem, box_mesh,
+                                       solid_matrices)
+from pinn_fem_tpu.solvers.continuum_spectrum import (
+    continuum_random_response, continuum_response_spectrum)
+
+E, NU, T, RHO = 200.0, 0.3, 0.5, 2.0
+
+
+def sdof_plane(load=3.0):
+    """Unit-square Q4 with every DOF fixed except node 2's x: the
+    free block is literally 1x1 — k = K[i,i], m = M[i,i]."""
+    nodes, elems = rect_mesh(1.0, 1.0, 1, 1, "quad")
+    i = 2 * 2                       # node 2, x component
+    fixed = np.setdiff1d(np.arange(8), [i])
+    loads = np.zeros(8)
+    loads[i] = load
+    return PlaneProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=NU, thickness=T, density=RHO,
+                        loads=loads, fixed_dofs=fixed), i
+
+
+def sdof_solid(load=3.0):
+    nodes, elems = box_mesh(1.0, 1.0, 1.0, 1, 1, 1)
+    i = 3 * 6 + 2                   # node 6, z component
+    fixed = np.setdiff1d(np.arange(24), [i])
+    loads = np.zeros(24)
+    loads[i] = load
+    return SolidProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=NU, density=RHO, loads=loads,
+                        fixed_dofs=fixed), i
+
+
+def rod_strip(nx=8):
+    """Axial rod: all y DOFs fixed, left x clamped — well-separated
+    longitudinal modes for the combination tests."""
+    nodes, elems = rect_mesh(4.0, 1.0, nx, 1, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    fixed = np.unique(np.concatenate(
+        [2 * left, 2 * np.arange(nodes.shape[0]) + 1]))
+    return PlaneProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=0.0, thickness=T, density=RHO,
+                        loads=np.zeros(2 * nodes.shape[0]),
+                        fixed_dofs=fixed)
+
+
+@pytest.mark.parametrize("make,direction", [(sdof_plane, [1.0, 0.0]),
+                                            (sdof_solid, [0, 0, 1.0])])
+def test_sdof_spectrum_closed_form(make, direction):
+    """One free DOF: u_peak = Sa m/k exactly, Γ = √m, fraction 1."""
+    p, i = make()
+    if p.nodes.shape[1] == 2:
+        k, m = plane_matrices(p)
+    else:
+        k, m = solid_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+    sa = 2.5
+    res = continuum_response_spectrum(p, sa, direction=direction,
+                                      n_modes=4)
+    assert res.omegas.shape == (1,)
+    np.testing.assert_allclose(res.omegas[0], np.sqrt(ki / mi),
+                               rtol=1e-12)
+    np.testing.assert_allclose(res.displacements[i], sa * mi / ki,
+                               rtol=1e-12)
+    np.testing.assert_allclose(abs(res.participation[0]), np.sqrt(mi),
+                               rtol=1e-12)
+    np.testing.assert_allclose(res.mass_fraction, 1.0, rtol=1e-12)
+    # off-DOF entries are supported: zero
+    assert np.all(res.displacements[np.arange(p.ndof) != i] == 0.0)
+    assert res.von_mises.shape == (p.nelm,)
+    assert np.all(res.von_mises >= 0.0)
+
+
+def test_strip_srss_cqc_mirror():
+    """Multi-mode rod: the combination mirrors an independent scipy
+    computation at machine precision, CQC(ζ=0) ≡ SRSS, CQC(ζ>0)
+    differs but stays within the L1 bound, all-modes fraction → 1."""
+    import scipy.linalg
+
+    p = rod_strip()
+    k, m = plane_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    n = 4
+    om = np.sqrt(lam[:n])
+    phi = np.zeros((n, p.ndof))
+    phi[:, free] = vec[:, :n].T
+    r = np.zeros(p.ndof)
+    r[free[free % 2 == 0]] = 1.0          # x direction on free DOFs
+    gamma = phi @ (k * 0 + m) @ r
+
+    def sa_fn(w):
+        return 1.0 + 0.1 * w              # frequency-dependent curve
+
+    peaks = (gamma * sa_fn(om) / om**2)[:, None] * phi
+    expect_srss = np.sqrt(np.sum(peaks**2, axis=0))
+
+    res = continuum_response_spectrum(p, sa_fn, direction=[1, 0],
+                                      n_modes=n, combination="srss")
+    np.testing.assert_allclose(res.displacements, expect_srss,
+                               rtol=1e-9, atol=1e-15)
+    np.testing.assert_allclose(np.abs(res.participation),
+                               np.abs(gamma), rtol=1e-9, atol=1e-12)
+
+    cqc0 = continuum_response_spectrum(p, sa_fn, direction=[1, 0],
+                                       n_modes=n, combination="cqc",
+                                       damping_ratio=0.0)
+    np.testing.assert_allclose(cqc0.displacements, expect_srss,
+                               rtol=1e-12)
+    cqc = continuum_response_spectrum(p, sa_fn, direction=[1, 0],
+                                      n_modes=n, combination="cqc",
+                                      damping_ratio=0.05)
+    l1 = np.sum(np.abs(peaks), axis=0)
+    assert np.all(cqc.displacements <= l1 * (1.0 + 1e-9))
+    # all-modes completeness: directional mass fully captured
+    full = continuum_response_spectrum(p, 1.0, direction=[1, 0],
+                                       n_modes=free.size)
+    np.testing.assert_allclose(full.mass_fraction, 1.0, rtol=1e-9)
+    # truncated fraction is below 1 (consistent mass, rod modes)
+    assert res.mass_fraction < 1.0
+
+
+def test_stress_combination_per_quantity():
+    """Per-quantity rule: the combined stress components equal the
+    SRSS of the modal stresses, NOT the stress of the combined
+    displacement field (signs destroyed)."""
+    from pinn_fem_tpu.models.plane import recover_stresses
+
+    p = rod_strip(nx=4)
+    res = continuum_response_spectrum(p, 1.0, direction=[1, 0],
+                                      n_modes=3)
+    expect = np.sqrt(np.sum(res.modal_stresses**2, axis=0))
+    np.testing.assert_allclose(res.stresses, expect, rtol=1e-12)
+    wrong = recover_stresses(p, res.displacements)[0]
+    assert not np.allclose(np.abs(wrong), res.stresses, rtol=1e-3)
+
+
+@pytest.mark.parametrize("make", [sdof_plane, sdof_solid])
+def test_sdof_white_noise_variance(make):
+    """White noise S0 on the SDOF: σ² = F²πS₀/(2kc) — the textbook
+    integral, resolved on a dense grid over 8 half-power bandwidths."""
+    p, i = make()
+    if p.nodes.shape[1] == 2:
+        k, m = plane_matrices(p)
+    else:
+        k, m = solid_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+    wn = np.sqrt(ki / mi)
+    alpha = 0.4 * wn                      # mass damping, zeta = 0.2
+    c = alpha * mi
+    s0 = 0.7
+    f = p.loads[i]
+    om = np.linspace(1e-3 * wn, 8.0 * wn, 6000)
+    res = continuum_random_response(p, s0, om, damping=(alpha, 0.0),
+                                    probe_dofs=[i])
+    exact = f**2 * np.pi * s0 / (2.0 * ki * c)
+    np.testing.assert_allclose(res.rms[0] ** 2, exact, rtol=2e-2)
+    # PSD peaks at the (damped) resonance
+    assert abs(om[np.argmax(res.psd[:, 0])] - wn) < 0.05 * wn
+
+
+def test_random_and_spectrum_guards():
+    p, _ = sdof_plane()
+    with pytest.raises(ValueError, match="damping"):
+        continuum_random_response(p, 1.0, np.linspace(1, 10, 50))
+    with pytest.raises(ValueError, match="increasing"):
+        continuum_random_response(p, 1.0, [3.0, 2.0, 1.0],
+                                  damping=(0.1, 0.0))
+    with pytest.raises(ValueError, match="negative"):
+        continuum_random_response(p, -1.0, np.linspace(1, 10, 50),
+                                  damping=(0.1, 0.0))
+    with pytest.raises(ValueError, match="combination"):
+        continuum_response_spectrum(p, 1.0, combination="abs")
+    with pytest.raises(ValueError, match="nonzero"):
+        continuum_response_spectrum(p, 1.0, direction=[0.0, 0.0])
+    with pytest.raises(TypeError, match="PlaneProblem"):
+        continuum_response_spectrum(object(), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# JSON tier: analysis.type "spectrum" / "random" on plane and solid
+# documents (io/_common.run_continuum_spectrum / run_continuum_random)
+# ---------------------------------------------------------------------------
+
+
+def test_json_plane_spectrum():
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+
+    doc = {
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": 4.0, "height": 1.0,
+                 "nx": 8, "ny": 1, "element": "quad"},
+        "material": {"young": E, "poisson": 0.0, "thickness": T,
+                     "density": RHO},
+        "fixed_x_nodes": "left",
+        "fixed_y_nodes": list(range(18)),
+        "analysis": {"type": "spectrum", "sa": 2.5,
+                     "direction": [1, 0], "n_modes": 4,
+                     "combination": "cqc", "damping_ratio": 0.05},
+    }
+    out = run_plane_document(doc)
+    assert out["success"] and out["analysis"] == "spectrum"
+    assert out["element_type"] == "plane"
+    assert out["combination"] == "cqc"
+    assert 0.7 < out["mass_fraction"] <= 1.0 + 1e-9
+    # mirrors the solver exactly
+    p = rod_strip()
+    res = continuum_response_spectrum(p, 2.5, direction=[1, 0],
+                                      n_modes=4, combination="cqc")
+    np.testing.assert_allclose(out["max_displacement"],
+                               res.displacements.max(), rtol=1e-12)
+    np.testing.assert_allclose(out["displacements"],
+                               res.displacements, rtol=1e-12)
+    np.testing.assert_allclose(out["max_von_mises"],
+                               res.von_mises.max(), rtol=1e-12)
+    # tabulated Sa form
+    doc["analysis"]["sa"] = {"omegas": [0.0, 1e4],
+                             "values": [2.5, 2.5]}
+    out2 = run_plane_document(doc)
+    np.testing.assert_allclose(out2["max_displacement"],
+                               out["max_displacement"], rtol=1e-12)
+    # multi-direction refused loudly
+    doc["analysis"]["directions"] = [[1, 0], [0, 1]]
+    with pytest.raises(ValueError, match="single"):
+        run_plane_document(doc)
+
+
+def test_json_solid_random():
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+
+    p, i = sdof_solid()
+    wn = float(np.sqrt(solid_matrices(p)[0][i, i]
+                       / solid_matrices(p)[1][i, i]))
+    doc = {
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 1.0,
+                 "nx": 1, "ny": 1, "nz": 1},
+        "material": {"young": E, "poisson": NU, "density": RHO},
+        "fixed_dofs": np.setdiff1d(np.arange(24), [i]).tolist(),
+        "loads": np.zeros(24).tolist(),
+        "analysis": {"type": "random",
+                     "omegas": {"start": 1e-3 * wn, "stop": 8.0 * wn,
+                                "num": 3000},
+                     "psd": 0.7, "damping": [0.4 * wn, 0.0],
+                     "probe_dofs": [int(i)]},
+    }
+    doc["loads"][i] = 3.0
+    out = run_solid_document(doc)
+    assert out["success"] and out["analysis"] == "random"
+    k, m = solid_matrices(p)
+    exact = 3.0**2 * np.pi * 0.7 / (2.0 * k[i, i]
+                                    * 0.4 * wn * m[i, i])
+    np.testing.assert_allclose(out["rms"][0] ** 2, exact, rtol=2e-2)
+    # payload guard: full-field PSD history without probes refused
+    del doc["analysis"]["probe_dofs"]
+    with pytest.raises(ValueError, match="probe"):
+        run_solid_document(doc)

@@ -38,6 +38,7 @@ def test_dyn_corpus_complete():
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-plane-identify.json",
                    "dyn-plane-plastic.json",
+                   "dyn-plane-spectrum.json",
                    "dyn-plane-transient-plastic.json",
                    "dyn-plane.json",
                    "dyn-plastic.json",
@@ -112,6 +113,29 @@ def test_dyn_corpus_runs(name, tmp_path):
         assert res["n_plastic"][0] == 0        # sigma = 0.6 < sigma_y
         assert res["n_plastic"][-1] == 24
         assert len(res["yielded_elements"]) == 24
+    elif name == "dyn-plane-spectrum.json":
+        # Shear-wall CQC spectrum: > 80% directional mass in 6 modes,
+        # and the JSON payload mirrors the Python API exactly.
+        from pinn_fem_tpu.models.plane import PlaneProblem, rect_mesh
+        from pinn_fem_tpu.solvers.continuum_spectrum import \
+            continuum_response_spectrum
+
+        assert res["element_type"] == "plane" and kind == "spectrum"
+        assert res["combination"] == "cqc"
+        assert 0.8 < res["mass_fraction"] <= 1.0 + 1e-9
+        nodes, elems = rect_mesh(4.0, 8.0, 4, 8, "quad")
+        bot = np.flatnonzero(nodes[:, 1] == 0.0)
+        p = PlaneProblem(nodes=nodes, elements=elems, young=200.0,
+                         poisson=0.3, thickness=0.5, density=2.0,
+                         loads=np.zeros(2 * nodes.shape[0]),
+                         fixed_dofs=np.concatenate([2 * bot,
+                                                    2 * bot + 1]))
+        ref = continuum_response_spectrum(p, 2.5, direction=[1, 0],
+                                          n_modes=6, combination="cqc")
+        np.testing.assert_allclose(res["displacements"],
+                                   ref.displacements, rtol=1e-10)
+        np.testing.assert_allclose(res["max_von_mises"],
+                                   ref.von_mises.max(), rtol=1e-10)
     elif name in ("dyn-plane-transient-plastic.json",
                   "dyn-solid-transient-plastic.json"):
         # Quasi-static trapezoid past yield + settle: the EXACT
