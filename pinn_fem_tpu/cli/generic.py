@@ -91,6 +91,14 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "harmonic":
             logger.info("  Frequencies swept: %d",
                         len(output["omegas"]))
+        elif output["analysis"] == "spectrum":
+            logger.info("  Modal mass captured: %.1f%% (%s), peak |u| "
+                        "%.6g", 100.0 * output["mass_fraction"],
+                        output["combination"],
+                        output["max_displacement"])
+        elif output["analysis"] == "random":
+            logger.info("  PSD grid: %d frequencies, max RMS %.6g",
+                        len(output["omegas"]), max(output["rms"]))
         else:
             m = np.max(np.abs(np.asarray(output["end_moments"])))
             logger.info("  Max |end moment|: %.6g (member forces in "

@@ -22,6 +22,17 @@ here before the truss parser runs:
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step"} | [..],
                   "record_every": 1}
+               | {"type": "spectrum", "sa": 2.5 | {..},
+                  "direction": [1, 0], "n_modes": 6,
+                  "combination": "srss" | "cqc",
+                  "damping_ratio": 0.05}  # seismic modal combination
+                                          # (solvers/continuum_spectrum;
+                                          # member end forces combined
+                                          # per quantity, governing
+                                          # extreme-fiber stress)
+               | {"type": "random", "omegas": [..] | {..},
+                  "psd": S0 | {"omegas", "values"}, "damping": [a, b],
+                  "probe_nodes": [..]}    # stationary PSD response
                | {"type": "reliability", "variables": [..],
                   "limit_state": {..}, "validate_mc": N}
                | {"type": "sizing",
@@ -260,6 +271,20 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "dt": res.dt,
             "n_steps": res.n_steps,
         }
+    if kind == "spectrum":
+        from ._common import run_continuum_spectrum
+
+        return run_continuum_spectrum(problem, analysis, "frame")
+    if kind == "random":
+        from ._common import run_continuum_random
+
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            pn = np.asarray(analysis["probe_nodes"],
+                            dtype=int).reshape(-1)
+            probe = np.stack([3 * pn, 3 * pn + 1, 3 * pn + 2],
+                             axis=1).reshape(-1)
+        return run_continuum_random(problem, analysis, "frame", probe)
     if kind == "harmonic":
         om = analysis.get("omegas")
         if om is None:
@@ -377,8 +402,8 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "history": hist.tolist(),
         }
     raise ValueError('frame analysis type must be "static", "modal", '
-                     '"buckling", "transient", "harmonic", '
-                     '"reliability" or "sizing"')
+                     '"buckling", "transient", "harmonic", "spectrum", '
+                     '"random", "reliability" or "sizing"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

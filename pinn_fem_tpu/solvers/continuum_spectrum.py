@@ -1,7 +1,8 @@
 """Response-spectrum and random-vibration analysis for the CONTINUUM
-families (plane CST/Q4 and solid hex8) — the truss seismic/stochastic
-machinery (solvers/spectrum.py, solvers/random_response.py) on the
-consistent-mass modal data of models/plane.py / models/solid.py.
+and FRAME families (plane CST/Q4, solid hex8, Euler-Bernoulli frames)
+— the truss seismic/stochastic machinery (solvers/spectrum.py,
+solvers/random_response.py) on the consistent-mass modal data of
+models/plane.py / models/solid.py / models/frame.py.
 
 Response spectrum (single excitation direction d, design spectrum
 Sa(omega)):
@@ -44,12 +45,20 @@ from .spectrum import _cqc_rho
 
 
 class _Family(NamedTuple):
-    dim: int
+    dim: int             # spatial dimension of the excitation
     modal: object        # (problem, n_modes) -> (omegas, shapes (J, ndof))
     mass: object         # (problem) -> dense consistent M (ndof, ndof)
-    stresses: object     # (problem, u) -> (sig (m, ncomp), vm (m,))
-    stable_dt: object    # (problem) -> critical explicit step (safety=1)
+    stresses: object     # (problem, u) -> (m, q) signed modal quantities
+    vm: object           # (problem, comb (m, q)) -> (m,) governing stress
+    influence: object    # (problem, d) -> unmasked rigid-motion vector
+    lam_bound: object    # (problem) -> upper bound on lambda (Gershgorin)
     harmonic: object     # (problem, omegas, damping, probe) -> result
+
+
+def _tile_influence(problem, dim):
+    def influence(p, d):
+        return np.tile(d, p.ndof // dim)
+    return influence
 
 
 def _family_of(problem) -> _Family:
@@ -62,8 +71,11 @@ def _family_of(problem) -> _Family:
             dim=2,
             modal=lambda p, n: _unpack_modal(P.plane_modal(p, n)),
             mass=lambda p: P.plane_matrices(p)[1],
-            stresses=lambda p, u: P.recover_stresses(p, u)[:2],
-            stable_dt=lambda p: P.plane_stable_dt(p, safety=1.0),
+            stresses=lambda p, u: P.recover_stresses(p, u)[0],
+            vm=lambda p, s: _vm_of_components(p, 2, s),
+            influence=_tile_influence(problem, 2),
+            lam_bound=lambda p: (2.0 / P.plane_stable_dt(
+                p, safety=1.0)) ** 2,
             harmonic=P.plane_harmonic)
     from ..models.solid import SolidProblem
 
@@ -74,11 +86,64 @@ def _family_of(problem) -> _Family:
             dim=3,
             modal=lambda p, n: _unpack_modal(S.solid_modal(p, n)),
             mass=lambda p: S.solid_matrices(p)[1],
-            stresses=lambda p, u: S.recover_stresses3(p, u)[:2],
-            stable_dt=lambda p: S.solid_stable_dt(p, safety=1.0),
+            stresses=lambda p, u: S.recover_stresses3(p, u)[0],
+            vm=lambda p, s: _vm_of_components(p, 3, s),
+            influence=_tile_influence(problem, 3),
+            lam_bound=lambda p: (2.0 / S.solid_stable_dt(
+                p, safety=1.0)) ** 2,
             harmonic=S.solid_harmonic)
-    raise TypeError("continuum spectrum/random needs a PlaneProblem "
-                    f"or SolidProblem, got {type(problem).__name__}")
+    from ..models.frame import FrameProblem
+
+    if isinstance(problem, FrameProblem):
+        from ..models import frame as F
+
+        def frame_end_forces(p, u):
+            # LOCAL member end forces [N1,V1,M1,N2,V2,M2] of a modal
+            # displacement state (no member loads in a mode shape).
+            length, c, s = F._geometry(p)
+            t = F._rotation(c, s)
+            kl = F._k_local(p.young, p.area, p.inertia, length)
+            u_loc = np.einsum("mij,mj->mi", t, u[p.dof_map()])
+            return np.einsum("mij,mj->mi", kl, u_loc)
+
+        def frame_stress(p, comb):
+            # Extreme-fiber |N|/A + max-end |M|/S of the COMBINED end
+            # forces (per-quantity rule); axial-only without a
+            # section_modulus.
+            n_comb = np.maximum(comb[:, 0], comb[:, 3])
+            sig = n_comb / p.area
+            if p.section_modulus is not None:
+                sig = sig + np.maximum(comb[:, 2], comb[:, 5]) \
+                    / p.section_modulus
+            return sig
+
+        def frame_influence(p, d):
+            # 3 DOFs per node (x, y, theta): ground motion excites the
+            # translations; rotations carry no rigid-body component.
+            r = np.zeros(p.ndof)
+            r[0::3] = d[0]
+            r[1::3] = d[1]
+            return r
+
+        def frame_lam_bound(p):
+            k, _ = F.frame_matrices(p)
+            m = F.frame_lumped_mass_diag(p)
+            mask = p.free_mask() > 0
+            row = np.abs(k).sum(axis=1) / np.maximum(m, 1e-300)
+            return float(row[mask].max() if mask.any() else row.max())
+
+        return _Family(
+            dim=2,
+            modal=lambda p, n: _unpack_modal(F.frame_modal(p, n)),
+            mass=lambda p: F.frame_matrices(p)[1],
+            stresses=frame_end_forces,
+            vm=frame_stress,
+            influence=frame_influence,
+            lam_bound=frame_lam_bound,
+            harmonic=F.frame_harmonic)
+    raise TypeError("continuum spectrum/random needs a PlaneProblem, "
+                    f"SolidProblem or FrameProblem, got "
+                    f"{type(problem).__name__}")
 
 
 def _unpack_modal(res):
@@ -125,7 +190,7 @@ def continuum_response_spectrum(
     # Mechanism guard (the truss lesson, solvers/spectrum.py:110): a
     # near-zero frequency makes Sa/omega^2 unbounded; the absolute
     # scale is the Gershgorin bound, not omega_max.
-    lam_bound = (2.0 / fam.stable_dt(problem)) ** 2
+    lam_bound = fam.lam_bound(problem)
     if omegas.size and float(omegas.min()) ** 2 < 1e-6 * lam_bound:
         raise ValueError(
             "the mesh carries a (near-)zero-frequency mechanism mode "
@@ -135,14 +200,14 @@ def continuum_response_spectrum(
 
     m = fam.mass(problem)
     mask = problem.free_mask()
-    r = np.tile(d, problem.ndof // fam.dim) * mask
+    r = fam.influence(problem, d) * mask
     mr = m @ r
     gamma = phi @ mr                                  # (J,)
     sa = (spectrum(omegas) if callable(spectrum)
           else float(spectrum) * np.ones_like(omegas))
     peaks = (gamma * sa / omegas**2)[:, None] * phi   # (J, ndof)
 
-    sig_modal = np.stack([fam.stresses(problem, peaks[j])[0]
+    sig_modal = np.stack([fam.stresses(problem, peaks[j])
                           for j in range(peaks.shape[0])]) \
         if peaks.shape[0] else np.zeros((0, problem.nelm, 1))
 
@@ -159,8 +224,9 @@ def continuum_response_spectrum(
     else:
         raise ValueError('combination must be "srss" or "cqc"')
 
-    # von Mises of the COMBINED components (docstring caveat).
-    vm = _vm_of_components(problem, fam.dim, sig_comb)
+    # Governing stress OF the combined components (docstring caveat):
+    # continuum von Mises, frame extreme-fiber |N|/A + |M|/S.
+    vm = fam.vm(problem, sig_comb)
     total = float(r @ mr)
     eff = gamma**2
     return ContinuumSpectrumResult(

@@ -272,3 +272,90 @@ def test_json_solid_random():
     del doc["analysis"]["probe_dofs"]
     with pytest.raises(ValueError, match="probe"):
         run_solid_document(doc)
+
+
+# ---------------------------------------------------------------------------
+# Frame family (the same core over models/frame.py's 3-DOF nodes)
+# ---------------------------------------------------------------------------
+
+
+def sdof_frame(load=3.0):
+    """Vertical column with everything fixed except the tip x: the
+    SDOF anchor on the frame family (rotations carry no influence)."""
+    from pinn_fem_tpu.models.frame import FrameProblem
+
+    nodes = np.array([[0.0, 0.0], [0.0, 2.0]])
+    elems = np.array([[0, 1]])
+    i = 3 * 1
+    fixed = np.setdiff1d(np.arange(6), [i])
+    loads = np.zeros(6)
+    loads[i] = load
+    return FrameProblem(nodes=nodes, elements=elems, young=E,
+                        area=0.4, inertia=0.05, density=RHO,
+                        loads=loads, fixed_dofs=fixed,
+                        section_modulus=0.2), i
+
+
+def test_frame_sdof_spectrum_and_random():
+    """Frame SDOF: the spectrum peak, participation and white-noise
+    variance all land on the same closed forms as the continuum
+    SDOF — plus the member-quantity combination (extreme-fiber
+    governing stress from the COMBINED end forces)."""
+    from pinn_fem_tpu.models.frame import frame_matrices
+
+    p, i = sdof_frame()
+    k, m = frame_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+    sa = 2.5
+    res = continuum_response_spectrum(p, sa, direction=[1, 0],
+                                      n_modes=3)
+    assert res.omegas.shape == (1,)
+    np.testing.assert_allclose(res.displacements[i], sa * mi / ki,
+                               rtol=1e-12)
+    np.testing.assert_allclose(res.mass_fraction, 1.0, rtol=1e-12)
+    # governing stress: tip shear bends the GUIDED cantilever (tip
+    # rotation is fixed in this SDOF) — antisymmetric end moments
+    # |M| = V L/2, sigma = |N|/A + |M|/S with N = 0 for pure sway.
+    f_tip = ki * res.displacements[i]          # peak shear force
+    np.testing.assert_allclose(res.von_mises[0],
+                               f_tip * (2.0 / 2.0) / 0.2, rtol=1e-9)
+    # white noise
+    wn = np.sqrt(ki / mi)
+    alpha = 0.4 * wn
+    om = np.linspace(1e-3 * wn, 8.0 * wn, 6000)
+    rr = continuum_random_response(p, 0.7, om, damping=(alpha, 0.0),
+                                   probe_dofs=[i])
+    exact = p.loads[i] ** 2 * np.pi * 0.7 / (2.0 * ki * alpha * mi)
+    np.testing.assert_allclose(rr.rms[0] ** 2, exact, rtol=2e-2)
+
+
+def test_json_frame_spectrum_and_random():
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+
+    doc = {
+        "element_type": "frame",
+        "nodes": [[0, 0], [0, 3], [4, 3], [4, 0]],
+        "elements": [[0, 1], [1, 2], [2, 3]],
+        "material": {"young": E, "area": 0.4, "inertia": 0.05,
+                     "density": RHO, "section_modulus": 0.2},
+        "loads": [0, 0, 0, 1.0, 0, 0, 1.0, 0, 0, 0, 0, 0],
+        "fixed_nodes": [0, 3],
+        "analysis": {"type": "spectrum", "sa": 2.5,
+                     "direction": [1, 0], "n_modes": 4,
+                     "combination": "cqc"},
+    }
+    out = run_frame_document(doc)
+    assert out["success"] and out["analysis"] == "spectrum"
+    assert out["element_type"] == "frame"
+    assert 0.0 < out["mass_fraction"] <= 1.0 + 1e-9
+    assert out["max_von_mises"] > 0.0
+    doc["analysis"] = {"type": "random",
+                       "omegas": {"start": 0.1, "stop": 30.0,
+                                  "num": 400},
+                       "psd": 1.0, "damping": [0.3, 0.0],
+                       "probe_nodes": [1, 2]}
+    out2 = run_frame_document(doc)
+    assert out2["success"] and out2["analysis"] == "random"
+    rms = np.asarray(out2["rms"])
+    assert rms.shape == (6,) and np.all(np.isfinite(rms))
+    assert rms.max() > 0.0
