@@ -271,22 +271,52 @@ _DEVICE_CORE_CACHE: dict = {}
 
 
 def _device_core(fam: _Family, problem, n_rec, record_every,
-                 use_beta):
+                 use_beta, mesh=None):
     """One jitted scan program per (problem identity, record
     signature).  Geometry and elastic-material arrays are closed over
     — fixed at problem construction; yield/hardening parameters, dt,
     damping and the amplitude history are TRACED.  The cache HOLDS the
     problem and its material arrays so a GC-recycled id can never
     alias a stale program onto a different problem (CLAUDE.md cache
-    rule), and mutating young/poisson makes a fresh entry."""
+    rule), and mutating young/poisson makes a fresh entry.
+
+    mesh: optional jax.sharding.Mesh — ELEMENT-parallel SPMD: the
+    Gauss-point force/return-map batch (the per-step FLOPs) is
+    constrained to the mesh's "dp" axis via with_sharding_constraint;
+    GSPMD partitions the geometry constants and the committed plastic
+    state to match and inserts ONE psum per step for the scatter-add
+    into the replicated displacement recurrence (the proof:
+    __graft_entry__.dryrun_multichip, n-dev == 1-dev)."""
+    mesh_key = None if mesh is None else (id(mesh),
+                                          tuple(mesh.shape.items()))
     key = (fam.tag, id(problem), id(problem.young),
-           id(problem.poisson), n_rec, record_every, use_beta)
+           id(problem.poisson), n_rec, record_every, use_beta,
+           mesh_key)
     hit = _DEVICE_CORE_CACHE.get(key)
     if hit is not None:
         return hit[0]
 
     import jax
     import jax.numpy as jnp
+
+    if mesh is None:
+        def shard_elems(x):
+            return x
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = "dp" if "dp" in mesh.axis_names else mesh.axis_names[0]
+        n_shards = mesh.shape[axis]
+        if fam.nelm % n_shards:
+            raise ValueError(
+                f"element count {fam.nelm} is not divisible by the "
+                f"{n_shards}-way '{axis}' mesh axis — pad the mesh or "
+                "pick a divisible element count")
+
+        def shard_elems(x):
+            spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
 
     dtype = jnp.asarray(1.0).dtype
     mask = jnp.asarray(fam.mask, dtype)
@@ -306,7 +336,7 @@ def _device_core(fam: _Family, problem, n_rec, record_every,
         mats = (sy, hi, hk)
 
         def f_int_of(u, state):
-            fe, sig, st = force(u[dm], state, mats, jnp)
+            fe, sig, st = force(shard_elems(u[dm]), state, mats, jnp)
             f = jnp.zeros(ndof, dtype).at[dm].add(fe)
             return f, sig, st
 
@@ -342,7 +372,8 @@ def _device_core(fam: _Family, problem, n_rec, record_every,
                      i0 + record_every),
                     (u[probe], v[probe], ke, se, w_p, w_ext))
 
-        state0 = init_state(jnp, dtype)
+        state0 = jax.tree_util.tree_map(shard_elems,
+                                        init_state(jnp, dtype))
         u0 = jnp.zeros(ndof, dtype)
         a0 = inv_m * (amp[0] * loads) * mask
         u_prev0 = 0.5 * dt2 * a0
@@ -350,7 +381,8 @@ def _device_core(fam: _Family, problem, n_rec, record_every,
         (u, _, state, _, _, env, _), recs = jax.lax.scan(
             chunk,
             (u0, u_prev0, state0, zero, zero,
-             jnp.zeros(nelm, dtype), jnp.zeros((), jnp.int32)),
+             shard_elems(jnp.zeros(nelm, dtype)),
+             jnp.zeros((), jnp.int32)),
             None, length=n_rec)
         us, vs, kes, ses, wps, wes = recs
         return (us, vs, kes, ses, wps, wes, env, u,
@@ -363,7 +395,7 @@ def _device_core(fam: _Family, problem, n_rec, record_every,
 
 def _solve(fam: _Family, problem, sigma_y, hardening_iso,
            hardening_kin, dt, n_steps, amplitude, damping,
-           record_every, probe_dofs, host, stable_dt_fn):
+           record_every, probe_dofs, host, stable_dt_fn, mesh=None):
     from .newton import DENSE_DOF_LIMIT
 
     alpha_c, beta_c = (float(damping[0]), float(damping[1]))
@@ -391,7 +423,10 @@ def _solve(fam: _Family, problem, sigma_y, hardening_iso,
     times = dt * record_every * (np.arange(n_rec) + 1.0)
 
     if host is None:
-        host = fam.ndof <= DENSE_DOF_LIMIT
+        host = mesh is None and fam.ndof <= DENSE_DOF_LIMIT
+    if mesh is not None and host:
+        raise ValueError("mesh= is the element-parallel DEVICE tier; "
+                         "drop host=True")
     if host:
         recs, env, u, state = _host_run(
             fam, (sy, hi, hk), dt, n_steps, amp, alpha_c, beta_c,
@@ -413,7 +448,7 @@ def _solve(fam: _Family, problem, sigma_y, hardening_iso,
     import jax.numpy as jnp
 
     core = _device_core(fam, problem, n_rec, record_every,
-                        beta_c != 0.0)
+                        beta_c != 0.0, mesh=mesh)
     dtype = jnp.asarray(1.0).dtype
     outs = jax.device_get(core(
         jnp.asarray(amp, dtype), jnp.asarray(sy, dtype),
@@ -449,16 +484,18 @@ def solve_plane_transient_plastic(
     probe_dofs: Optional[np.ndarray] = None,
     host: Optional[bool] = None,
     bbar: Optional[bool] = None,
+    mesh=None,
 ) -> ContinuumPlasticTransientResult:
     """Explicit elastoplastic transient on the plane continuum (module
     docstring).  bbar follows the statics default (True for
-    plane-strain Q4)."""
+    plane-strain Q4); mesh= runs the element-parallel SPMD device
+    tier (_device_core docstring)."""
     from ..models.plane import plane_stable_dt
 
     fam = _plane_family(problem, bbar)
     return _solve(fam, problem, sigma_y, hardening_iso, hardening_kin,
                   dt, n_steps, amplitude, damping, record_every,
-                  probe_dofs, host, plane_stable_dt)
+                  probe_dofs, host, plane_stable_dt, mesh=mesh)
 
 
 def solve_solid_transient_plastic(
@@ -473,12 +510,14 @@ def solve_solid_transient_plastic(
     record_every: int = 1,
     probe_dofs: Optional[np.ndarray] = None,
     host: Optional[bool] = None,
+    mesh=None,
 ) -> ContinuumPlasticTransientResult:
     """Explicit elastoplastic transient on the 3D solid (module
-    docstring)."""
+    docstring); mesh= runs the element-parallel SPMD device tier
+    (_device_core docstring)."""
     from ..models.solid import solid_stable_dt
 
     fam = _solid_family(problem)
     return _solve(fam, problem, sigma_y, hardening_iso, hardening_kin,
                   dt, n_steps, amplitude, damping, record_every,
-                  probe_dofs, host, solid_stable_dt)
+                  probe_dofs, host, solid_stable_dt, mesh=mesh)

@@ -365,3 +365,41 @@ def test_json_transient_plastic_guards():
             "analysis": {"type": "transient", "n_steps": 10,
                          "banded": True,
                          "plasticity": {"sigma_y": 1.0}}})
+
+
+def test_element_parallel_mesh_matches_single_device():
+    """mesh= element-parallel SPMD (GSPMD constraints on the Gauss-
+    point batch): the 8-device run equals the unsharded device run
+    bit-for-bit-in-f32-tolerance, and the host f64 mirror bound
+    holds — the dryrun_multichip proof, pinned in the suite."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices (conftest)")
+    mesh = Mesh(np.array(devs[:8]).reshape(8), ("dp",))
+    p = strip("quad", nx=8, ny=2)             # 16 elements: 8 | 16
+    n = 240
+    amp = np.concatenate([np.linspace(0.0, 1.8, 120), np.zeros(120)])
+    kw = dict(sigma_y=12.0, hardening_iso=20.0, n_steps=n,
+              amplitude=amp, damping=(0.5, 0.0), record_every=20,
+              probe_dofs=[2, 3])
+    d1 = solve_plane_transient_plastic(p, host=False, **kw)
+    dn = solve_plane_transient_plastic(p, mesh=mesh, **kw)
+    np.testing.assert_allclose(dn.displacements, d1.displacements,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(dn.plastic_work, d1.plastic_work,
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(dn.von_mises_envelope,
+                               d1.von_mises_envelope, rtol=1e-4)
+    h = solve_plane_transient_plastic(p, host=True, **kw)
+    scale = np.abs(h.displacements).max()
+    np.testing.assert_allclose(dn.displacements, h.displacements,
+                               atol=5e-4 * scale)
+    # indivisible element count refused loudly
+    with pytest.raises(ValueError, match="divisible"):
+        solve_plane_transient_plastic(strip("quad", nx=3, ny=1),
+                                      mesh=mesh, **kw)
+    with pytest.raises(ValueError, match="host"):
+        solve_plane_transient_plastic(p, mesh=mesh, host=True, **kw)
