@@ -159,8 +159,11 @@ from .solvers.reliability import (  # noqa: E402
 from .solvers.reduction import (  # noqa: E402
     ReducedModel,
     craig_bampton,
+    craig_bampton_dense,
     guyan_reduce,
+    guyan_reduce_dense,
     reduce_loads,
+    reduce_model,
 )
 from .solvers.plane_plasticity import (  # noqa: E402
     PlanePlasticResult,
@@ -365,6 +368,9 @@ __all__ = [
     "ReliabilityResult",
     "guyan_reduce",
     "craig_bampton",
+    "craig_bampton_dense",
+    "guyan_reduce_dense",
+    "reduce_model",
     "reduce_loads",
     "ReducedModel",
     "ModalResult",

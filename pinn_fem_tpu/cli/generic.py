@@ -99,6 +99,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "random":
             logger.info("  PSD grid: %d frequencies, max RMS %.6g",
                         len(output["omegas"]), max(output["rms"]))
+        elif output["analysis"] == "reduction":
+            logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
+                        output["method"], output["n_reduced_dofs"],
+                        output["reduced_frequencies_hz"][0])
         else:
             m = np.max(np.abs(np.asarray(output["end_moments"])))
             logger.info("  Max |end moment|: %.6g (member forces in "
@@ -174,6 +178,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "random":
             logger.info("  PSD grid: %d frequencies, max RMS %.6g",
                         len(output["omegas"]), max(output["rms"]))
+        elif output["analysis"] == "reduction":
+            logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
+                        output["method"], output["n_reduced_dofs"],
+                        output["reduced_frequencies_hz"][0])
         elif output["analysis"] == "buckling":
             logger.info("  Load factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
@@ -233,6 +241,10 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "random":
             logger.info("  PSD grid: %d frequencies, max RMS %.6g",
                         len(output["omegas"]), max(output["rms"]))
+        elif output["analysis"] == "reduction":
+            logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
+                        output["method"], output["n_reduced_dofs"],
+                        output["reduced_frequencies_hz"][0])
         elif output["analysis"] == "identification":
             logger.info("  Identified %s (%s tier), final loss %.3e",
                         output["parameter"], output["method"],

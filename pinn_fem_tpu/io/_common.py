@@ -431,3 +431,61 @@ def run_continuum_random(problem, analysis: Dict, element_type: str,
         "rms": res.rms.tolist(),
         "frf_amplitude": res.frf_amplitude.tolist(),
     })
+
+
+def run_continuum_reduction(problem, analysis: Dict,
+                            element_type: str) -> Dict:
+    """Model-order-reduction block on a plane/solid/frame document
+    (solvers/reduction.reduce_model — dense consistent-mass cores);
+    the truss run_reduction contract (io/analysis.py)."""
+    import scipy.linalg
+
+    from ..solvers.continuum_spectrum import _family_of
+    from ..solvers.reduction import reduce_model
+
+    method = analysis.get("method", "guyan")
+    dpn = {"plane": 2, "solid": 3, "frame": 3}[element_type]
+    if "master_dofs" in analysis:
+        masters = np.asarray(analysis["master_dofs"], dtype=int)
+    elif "master_nodes" in analysis:
+        nodes = np.asarray(analysis["master_nodes"], dtype=int)
+        cand = (dpn * nodes[:, None]
+                + np.arange(dpn)[None, :]).reshape(-1)
+        free = set(np.setdiff1d(np.arange(problem.ndof),
+                                problem.fixed_dofs).tolist())
+        masters = np.asarray([c for c in cand if int(c) in free],
+                             dtype=int)
+        if masters.size == 0:
+            raise ValueError("master_nodes resolve to no free DOFs")
+    else:
+        raise ValueError("reduction needs master_nodes or master_dofs")
+
+    model = reduce_model(problem, masters, method=method,
+                         n_modes=int(analysis.get("n_modes", 4)))
+    w2 = scipy.linalg.eigh(model.k_red, model.m_red,
+                           eigvals_only=True)
+    omegas = np.sqrt(np.maximum(w2, 0.0))
+    n_red = int(model.k_red.shape[0])
+    out = {
+        "success": True,
+        "analysis": "reduction",
+        "element_type": element_type,
+        "method": method,
+        "master_dofs": masters.tolist(),
+        "n_reduced_dofs": n_red,
+        "reduced_omegas": omegas.tolist(),
+        "reduced_frequencies_hz": (omegas / (2.0 * np.pi)).tolist(),
+    }
+    if analysis.get("include_matrices", n_red <= 64):
+        out["k_red"] = model.k_red.tolist()
+        out["m_red"] = model.m_red.tolist()
+    if analysis.get("compare_full", True):
+        fam = _family_of(problem)
+        n_cmp = min(n_red, int(analysis.get("n_compare", 4)))
+        om_full, _ = fam.modal(problem, n_cmp)
+        ok = om_full > 0
+        rel = np.abs(omegas[:n_cmp][ok] - om_full[ok]) \
+            / np.maximum(om_full[ok], 1e-30)
+        out["full_omegas"] = om_full.tolist()
+        out["frequency_rel_errors"] = rel.tolist()
+    return _json_finite(out)

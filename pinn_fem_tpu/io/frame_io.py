@@ -33,6 +33,9 @@ here before the truss parser runs:
                | {"type": "random", "omegas": [..] | {..},
                   "psd": S0 | {"omegas", "values"}, "damping": [a, b],
                   "probe_nodes": [..]}    # stationary PSD response
+               | {"type": "reduction", "method": "guyan" |
+                  "craig_bampton", "master_nodes": [..],
+                  "n_modes": 4}           # consistent-mass Guyan/CB
                | {"type": "reliability", "variables": [..],
                   "limit_state": {..}, "validate_mc": N}
                | {"type": "sizing",
@@ -271,6 +274,10 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "dt": res.dt,
             "n_steps": res.n_steps,
         }
+    if kind == "reduction":
+        from ._common import run_continuum_reduction
+
+        return run_continuum_reduction(problem, analysis, "frame")
     if kind == "spectrum":
         from ._common import run_continuum_spectrum
 
@@ -403,7 +410,8 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
         }
     raise ValueError('frame analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", "spectrum", '
-                     '"random", "reliability" or "sizing"')
+                     '"random", "reduction", "reliability" or '
+                     '"sizing"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

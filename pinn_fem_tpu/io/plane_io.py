@@ -59,6 +59,12 @@ the CLI and servers peek at that key and route here:
                   "psd": S0 | {"omegas", "values"},
                   "damping": [a, b],        # must be nonzero
                   "probe_nodes": [..]}
+               | {"type": "reduction", "method": "guyan" |
+                  "craig_bampton", "master_nodes": [..] |
+                  "master_dofs": [..], "n_modes": 4,
+                  "compare_full": true}   # consistent-mass Guyan/CB
+                                          # (solvers/reduction dense
+                                          # cores)
                | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
                   "hardening": Hi, "kinematic_hardening": Hk,
                   "load_factors": [..] | "target"+"n_steps",
@@ -348,13 +354,17 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             })
         return out
     if kind in ("modal", "transient", "harmonic", "identification",
-                "plastic", "buckling", "spectrum", "random") \
-            and problem.ndof > 4 * 2048:
+                "plastic", "buckling", "spectrum", "random",
+                "reduction") and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plane {kind} runs on the dense host tier; {problem.ndof} "
             "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
             "on one core) — coarsen the mesh; only statics has a "
             "banded large-mesh path so far")
+    if kind == "reduction":
+        from ._common import run_continuum_reduction
+
+        return run_continuum_reduction(problem, analysis, "plane")
     if kind == "spectrum":
         from ._common import run_continuum_spectrum
 
@@ -661,8 +671,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         return out
     raise ValueError(f'plane analysis.type must be "static", "modal", '
                      f'"transient", "harmonic", "buckling", "plastic", '
-                     f'"spectrum", "random" or "identification", '
-                     f'got {kind!r}')
+                     f'"spectrum", "random", "reduction" or '
+                     f'"identification", got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

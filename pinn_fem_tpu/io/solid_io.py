@@ -58,6 +58,9 @@ plane_io pattern):
                | {"type": "random", "omegas": [..] | {..},
                   "psd": S0 | {"omegas", "values"}, "damping": [a, b],
                   "probe_nodes": [..]}    # stationary PSD response
+               | {"type": "reduction", "method": "guyan" |
+                  "craig_bampton", "master_nodes": [..],
+                  "n_modes": 4}           # consistent-mass Guyan/CB
                | {"type": "plastic", "sigma_y": sy,  # J2 von Mises
                   "hardening": Hi, "kinematic_hardening": Hk,
                   "load_factors": [..] | "target"+"n_steps",
@@ -404,6 +407,15 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
             "displacements": res.displacements.tolist(),
             "velocities": res.velocities.tolist(),
         }
+    if kind == "reduction":
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"solid reduction condenses a dense (K, M) pair; "
+                f"{problem.ndof} DOFs exceeds its 8192-DOF budget — "
+                "condense a substructure, not the full large mesh")
+        from ._common import run_continuum_reduction
+
+        return run_continuum_reduction(problem, analysis, "solid")
     if kind in ("spectrum", "random"):
         if problem.ndof > 4 * 2048:
             raise ValueError(
@@ -627,8 +639,8 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
         return _json_finite(out)
     raise ValueError(f'solid analysis.type must be "static", "modal", '
                      f'"transient", "harmonic", "buckling", "plastic", '
-                     f'"spectrum", "random" or "identification", '
-                     f'got {kind!r}')
+                     f'"spectrum", "random", "reduction" or '
+                     f'"identification", got {kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

@@ -149,3 +149,121 @@ def craig_bampton(problem: TrussProblem,
     m_red = 0.5 * (m_red + m_red.T)
     return ReducedModel(k_red=k_red, m_red=m_red, t=t,
                         master_dofs=masters, free_dofs=free_idx)
+
+
+# ---------------------------------------------------------------------
+# Dense-matrix cores: the same condensation on an explicitly assembled
+# (K, M) pair — consistent (dense) mass supported, so the continuum
+# (plane/solid) and frame families reduce with their own mass models
+# instead of borrowing the truss lumping.  The truss entry points above
+# keep their lumped host path (behaviorally identical: for a diagonal
+# M, T^T M T == T^T diag(m) T).
+
+
+def _partition_dense(k, m, fixed_dofs, master_dofs):
+    ndof = k.shape[0]
+    free_idx = np.setdiff1d(np.arange(ndof),
+                            np.asarray(fixed_dofs, dtype=int))
+    masters = np.asarray(master_dofs, dtype=int)
+    if np.unique(masters).size != masters.size:
+        raise ValueError("master_dofs contains duplicates")
+    if np.setdiff1d(masters, free_idx).size:
+        raise ValueError("master_dofs must be free DOFs")
+    pos = {int(d): i for i, d in enumerate(free_idx)}
+    m_loc = np.array([pos[int(d)] for d in masters])
+    s_loc = np.setdiff1d(np.arange(free_idx.size), m_loc)
+    k_ff = np.asarray(k)[np.ix_(free_idx, free_idx)]
+    m_ff = np.asarray(m)[np.ix_(free_idx, free_idx)]
+    return free_idx, masters, m_loc, s_loc, k_ff, m_ff
+
+
+def guyan_reduce_dense(k, m, fixed_dofs, master_dofs) -> ReducedModel:
+    """Guyan condensation of an explicit (K, M) pair (module
+    docstring); M may be consistent (dense)."""
+    free_idx, masters, m_loc, s_loc, k_ff, m_ff = _partition_dense(
+        k, m, fixed_dofs, master_dofs)
+    k_ms = k_ff[np.ix_(m_loc, s_loc)]
+    k_ss = k_ff[np.ix_(s_loc, s_loc)]
+    phi_s = -np.linalg.solve(k_ss, k_ms.T)
+    t = np.zeros((free_idx.size, m_loc.size))
+    t[m_loc, np.arange(m_loc.size)] = 1.0
+    t[s_loc] = phi_s
+    k_red = k_ff[np.ix_(m_loc, m_loc)] + k_ms @ phi_s
+    m_red = t.T @ (m_ff @ t)
+    return ReducedModel(k_red=0.5 * (k_red + k_red.T),
+                        m_red=0.5 * (m_red + m_red.T), t=t,
+                        master_dofs=masters, free_dofs=free_idx)
+
+
+def craig_bampton_dense(k, m, fixed_dofs, master_dofs,
+                        n_modes: int = 4) -> ReducedModel:
+    """Craig-Bampton on an explicit (K, M) pair: Guyan static basis +
+    fixed-interface normal modes of the CONSISTENT slave block
+    (scipy generalized eigh, mass-normalized)."""
+    import scipy.linalg
+
+    free_idx, masters, m_loc, s_loc, k_ff, m_ff = _partition_dense(
+        k, m, fixed_dofs, master_dofs)
+    n_modes = min(int(n_modes), s_loc.size)
+    k_ms = k_ff[np.ix_(m_loc, s_loc)]
+    k_ss = k_ff[np.ix_(s_loc, s_loc)]
+    phi_stat = -np.linalg.solve(k_ss, k_ms.T)
+    _, phi_modes = scipy.linalg.eigh(
+        k_ss, m_ff[np.ix_(s_loc, s_loc)],
+        subset_by_index=[0, max(n_modes - 1, 0)])
+    phi_modes = phi_modes[:, :n_modes]
+    n_m = m_loc.size
+    t = np.zeros((free_idx.size, n_m + n_modes))
+    t[m_loc, np.arange(n_m)] = 1.0
+    t[s_loc, :n_m] = phi_stat
+    t[s_loc, n_m:] = phi_modes
+    k_red = t.T @ (k_ff @ t)
+    m_red = t.T @ (m_ff @ t)
+    return ReducedModel(k_red=0.5 * (k_red + k_red.T),
+                        m_red=0.5 * (m_red + m_red.T), t=t,
+                        master_dofs=masters, free_dofs=free_idx)
+
+
+def reduce_model(problem, master_dofs, method: str = "guyan",
+                 n_modes: int = 4) -> ReducedModel:
+    """Family-dispatching reduction: TrussProblem rides the lumped
+    host path above; plane/solid/frame documents condense their OWN
+    consistent dense (K, M) through the dense cores."""
+    from ..models.problem import TrussProblem
+
+    if isinstance(problem, TrussProblem):
+        if method == "guyan":
+            return guyan_reduce(problem, master_dofs)
+        if method == "craig_bampton":
+            return craig_bampton(problem, master_dofs, n_modes=n_modes)
+        raise ValueError('reduction method must be "guyan" or '
+                         '"craig_bampton"')
+    from .newton import DENSE_DOF_LIMIT
+
+    if problem.ndof > DENSE_DOF_LIMIT:
+        raise ValueError(
+            f"reduction is dense-only ({problem.ndof} DOFs > "
+            f"{DENSE_DOF_LIMIT}); condense a substructure, not the "
+            "full large mesh")
+    from ..models.frame import FrameProblem
+    from ..models.plane import PlaneProblem
+    from ..models.solid import SolidProblem
+
+    if isinstance(problem, PlaneProblem):
+        from ..models.plane import plane_matrices as mats
+    elif isinstance(problem, SolidProblem):
+        from ..models.solid import solid_matrices as mats
+    elif isinstance(problem, FrameProblem):
+        from ..models.frame import frame_matrices as mats
+    else:
+        raise TypeError("reduce_model needs a Truss/Plane/Solid/Frame "
+                        f"problem, got {type(problem).__name__}")
+    k, m = mats(problem)
+    if method == "guyan":
+        return guyan_reduce_dense(k, m, problem.fixed_dofs,
+                                  master_dofs)
+    if method == "craig_bampton":
+        return craig_bampton_dense(k, m, problem.fixed_dofs,
+                                   master_dofs, n_modes=n_modes)
+    raise ValueError('reduction method must be "guyan" or '
+                     '"craig_bampton"')
