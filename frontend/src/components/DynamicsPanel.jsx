@@ -652,6 +652,44 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runQuakeWall = async () => {
+    // Seismic response spectrum of a plane-stress shear wall (POST
+    // body pinned as tests/fixtures/ui_payload_plane_spectrum.json,
+    // byte-identical to the static UI's runQuakeWall): flat Sa = 2.5
+    // in x, CQC at 5% damping — the dyn-plane-spectrum corpus problem
+    // (solvers/continuum_spectrum.py).
+    setMessage('Shaking the shear wall…');
+    try {
+      const r = await post('plane', {
+        mesh: { type: 'rect', width: 4, height: 8, nx: 4, ny: 8,
+                element: 'quad' },
+        material: { young: 200, poisson: 0.3, thickness: 0.5,
+                    density: 2 },
+        fixed_nodes: 'bottom',
+        analysis: {
+          type: 'spectrum', sa: 2.5, direction: [1, 0], n_modes: 6,
+          combination: 'cqc', damping_ratio: 0.05,
+        },
+      });
+      const total = r.effective_mass.reduce((a, b) => a + b, 0)
+        / r.mass_fraction;
+      setKind('quake-wall'); setShapes(null);
+      setChart({ xs: r.omegas,
+                 series: r.effective_mass.map((m) => [m / total]) });
+      setRows([
+        { label: 'peak |u|', value: r.max_displacement.toPrecision(4) },
+        { label: 'peak von Mises',
+          value: r.max_von_mises.toPrecision(4) },
+        { label: 'modal mass',
+          value: `${(100 * r.mass_fraction).toFixed(1)}% in 6 modes` },
+      ]);
+      setMessage('Shear-wall CQC spectrum (chart: effective mass per '
+        + 'mode)');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runPushover = async () => {
     // Elastoplastic pushover of the sketch: yield at 80% of the
     // mean-load elastic stress level (the Reliability two-step flow),
@@ -764,6 +802,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runSolid}>Solid ▶</button>
         <button onClick={runSolidPlastic}>Solid plastic ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
+        <button onClick={runQuakeWall}>Quake wall ▶</button>
       </div>
       <table>
         <tbody>

@@ -1304,3 +1304,41 @@ async function runShakedown() {
 }
 document.getElementById("shakedown-btn").addEventListener("click",
                                                           runShakedown);
+
+async function runQuakeWall() {
+  // Seismic response spectrum of a plane-stress shear wall (POST body
+  // pinned as tests/fixtures/ui_payload_plane_spectrum.json,
+  // byte-identical to the React panel's runQuakeWall): flat design
+  // spectrum Sa = 2.5 in x, CQC at 5% damping — the dyn-plane-spectrum
+  // corpus problem (solvers/continuum_spectrum.py).
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Shaking the shear wall…";
+  try {
+    const r = await postDoc("plane", {
+      mesh: { type: "rect", width: 4, height: 8, nx: 4, ny: 8,
+              element: "quad" },
+      material: { young: 200, poisson: 0.3, thickness: 0.5,
+                  density: 2 },
+      fixed_nodes: "bottom",
+      analysis: {
+        type: "spectrum", sa: 2.5, direction: [1, 0], n_modes: 6,
+        combination: "cqc", damping_ratio: 0.05,
+      },
+    });
+    // Chart: per-mode effective-mass fractions (the completeness
+    // check codes require ~90% of).
+    const total = r.effective_mass.reduce((a, b) => a + b, 0)
+      / r.mass_fraction;
+    drawTimeSeries(r.omegas,
+                   r.effective_mass.map((m) => [m / total]));
+    status.textContent = `Shear-wall CQC spectrum: peak |u| `
+      + `${r.max_displacement.toPrecision(4)}, peak von Mises `
+      + `${r.max_von_mises.toPrecision(4)}, modal mass `
+      + `${(100 * r.mass_fraction).toFixed(1)}% in 6 modes; `
+      + `chart: effective mass per mode`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("quake-wall-btn").addEventListener("click",
+                                                           runQuakeWall);

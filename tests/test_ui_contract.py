@@ -806,3 +806,35 @@ def test_ui_shakedown_payload_served():
     assert wp[-1] > 0.0 and np.all(np.diff(wp) >= -1e-9 * wp[-1])
     # Loaded-then-unloaded: the peak tip excursion exceeds the residual.
     assert tip.max() > tip[-1] * 1.1
+
+
+def test_ui_quake_wall_payload_served():
+    """Both UIs' Quake-wall action (plane shear-wall response spectrum,
+    solvers/continuum_spectrum) through the live /api/fem/plane
+    handler: the exact dyn-plane-spectrum corpus configuration, so the
+    payload must mirror the Python API and capture > 80% of the
+    directional mass in 6 modes (the chart's effective-mass rows)."""
+    from pinn_fem_tpu.models.plane import PlaneProblem, rect_mesh
+    from pinn_fem_tpu.serve.server import _solve_plane
+    from pinn_fem_tpu.solvers.continuum_spectrum import \
+        continuum_response_spectrum
+
+    payload = load_fixture("ui_payload_plane_spectrum.json")
+    out = _solve_plane(payload)
+    assert out["success"] and out["analysis"] == "spectrum"
+    assert out["combination"] == "cqc"
+    assert 0.8 < out["mass_fraction"] <= 1.0 + 1e-9
+    eff = np.asarray(out["effective_mass"])
+    assert eff.shape == (6,) and np.all(eff >= 0.0)
+    nodes, elems = rect_mesh(4.0, 8.0, 4, 8, "quad")
+    bot = np.flatnonzero(nodes[:, 1] == 0.0)
+    p = PlaneProblem(nodes=nodes, elements=elems, young=200.0,
+                     poisson=0.3, thickness=0.5, density=2.0,
+                     loads=np.zeros(2 * nodes.shape[0]),
+                     fixed_dofs=np.concatenate([2 * bot, 2 * bot + 1]))
+    ref = continuum_response_spectrum(p, 2.5, direction=[1, 0],
+                                      n_modes=6, combination="cqc")
+    np.testing.assert_allclose(out["max_displacement"],
+                               ref.displacements.max(), rtol=1e-10)
+    np.testing.assert_allclose(out["max_von_mises"],
+                               ref.von_mises.max(), rtol=1e-10)
