@@ -185,10 +185,13 @@ from .solvers.continuum_transient_plastic import (  # noqa: E402
     solve_solid_transient_plastic,
 )
 from .solvers.continuum_spectrum import (  # noqa: E402
+    ContinuumFatigueResult,
     ContinuumRandomResult,
     ContinuumSpectrumResult,
     continuum_random_response,
     continuum_response_spectrum,
+    continuum_spectral_fatigue,
+    continuum_stress_frf,
 )
 from .solvers.riks import (  # noqa: E402
     RiksResult,
@@ -345,7 +348,10 @@ __all__ = [
     "ContinuumPlasticTransientResult",
     "solve_plane_transient_plastic",
     "solve_solid_transient_plastic",
+    "ContinuumFatigueResult",
     "ContinuumRandomResult",
+    "continuum_spectral_fatigue",
+    "continuum_stress_frf",
     "ContinuumSpectrumResult",
     "continuum_random_response",
     "continuum_response_spectrum",

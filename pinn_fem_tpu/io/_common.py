@@ -421,7 +421,7 @@ def run_continuum_random(problem, analysis: Dict, element_type: str,
         problem, load_psd, omegas,
         damping=analysis.get("damping", (0.0, 0.0)),
         probe_dofs=probe)
-    return _json_finite({
+    out = {
         "success": True,
         "analysis": "random",
         "element_type": element_type,
@@ -430,7 +430,59 @@ def run_continuum_random(problem, analysis: Dict, element_type: str,
         "psd": res.psd.tolist(),
         "rms": res.rms.tolist(),
         "frf_amplitude": res.frf_amplitude.tolist(),
-    })
+    }
+    fat = analysis.get("fatigue")
+    if fat is not None:
+        # Frequency-domain fatigue on the Preumont EQUIVALENT VON
+        # MISES stress PSDs (solvers/continuum_spectrum.
+        # continuum_spectral_fatigue) — the truss random-block fatigue
+        # contract with element-stress PSDs replaced by the standard
+        # multiaxial reduction.  Contract mirror:
+        #   "fatigue": {"sn": {"exponent": m, "coefficient": C},
+        #               "method": "dirlik" | "narrowband",
+        #               "duration": T},
+        #   "probe_elements": [..]    # default: every element
+        from ..solvers.continuum_spectrum import \
+            continuum_spectral_fatigue
+
+        if element_type == "frame":
+            raise ValueError("random-block fatigue covers the "
+                             "plane/solid continuum families (von "
+                             "Mises equivalent PSD); frames have no "
+                             "stress-FRF path yet")
+        m = c = None
+        if fat.get("sn") is not None:
+            m, c = _sn_params(fat)
+        duration = fat.get("duration")
+        elm = analysis.get("probe_elements")
+        cf = continuum_spectral_fatigue(
+            problem, load_psd, omegas,
+            damping=analysis.get("damping", (0.0, 0.0)),
+            probe_elements=elm, sn_exponent=m, sn_coefficient=c,
+            method=fat.get("method", "dirlik"),
+            duration=duration)
+        sf = cf.fatigue
+        out["fatigue"] = {
+            "method": sf.method,
+            "equivalent": "von_mises_preumont",
+            "probe_elements": cf.probe_elements.tolist(),
+            "stress_rms": sf.rms.tolist(),
+            "nu0_hz": sf.nu0.tolist(),
+            "nu_peak_hz": sf.nu_peak.tolist(),
+            "alpha2": sf.alpha2.tolist(),
+        }
+        if m is not None:
+            out["fatigue"]["sn"] = {"exponent": m, "coefficient": c}
+            out["fatigue"]["damage_rate"] = sf.damage_rate.tolist()
+            out["fatigue"]["life_s"] = [
+                None if not np.isfinite(v) else float(v)
+                for v in sf.life]
+        if duration is not None:
+            out["fatigue"]["duration"] = float(duration)
+            out["fatigue"]["peak_factor"] = sf.peak_factor.tolist()
+            out["fatigue"]["expected_peak_stress"] = \
+                sf.expected_peak.tolist()
+    return _json_finite(out)
 
 
 def run_continuum_reduction(problem, analysis: Dict,

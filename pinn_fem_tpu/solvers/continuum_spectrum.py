@@ -290,3 +290,148 @@ def continuum_random_response(
     return ContinuumRandomResult(omegas=om, psd=s_u,
                                  rms=np.sqrt(var),
                                  frf_amplitude=amp)
+
+
+# ---------------------------------------------------------------------
+# Frequency-domain fatigue for the continuum families: complex stress
+# FRFs + Preumont's EQUIVALENT VON MISES SPECTRUM.  For a single
+# scalar load multiplier with PSD S_p, the stress cross-PSD matrix is
+# rank-one — S_sig(omega) = sigma(omega) sigma(omega)^H S_p — so the
+# equivalent uniaxial PSD has the closed form
+#
+#     S_eq(omega) = sigma(omega)^H Q sigma(omega) * S_p(omega)
+#
+# with Q the von Mises quadratic form (vM^2 = sigma^T Q sigma for real
+# stresses).  S_eq is the standard multiaxial reduction for spectral
+# fatigue (Preumont & Piefort 1994); for a uniaxial stress state it
+# reduces EXACTLY to the single-component PSD — the test anchor.
+
+_VM_Q6 = np.array([
+    [1.0, -0.5, -0.5, 0.0, 0.0, 0.0],
+    [-0.5, 1.0, -0.5, 0.0, 0.0, 0.0],
+    [-0.5, -0.5, 1.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 3.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 3.0, 0.0],
+    [0.0, 0.0, 0.0, 0.0, 0.0, 3.0],
+])
+
+
+def continuum_stress_frf(problem, omegas, damping=(0.0, 0.0),
+                         probe_elements=None) -> np.ndarray:
+    """Complex centroid stress FRFs to the problem's load pattern:
+    (n_freq, n_probe_elm, 6) full Voigt [xx, yy, zz, yz, xz, xy]
+    (plane stress: zz = 0; plane strain: zz = nu (xx + yy)).  Dense
+    float64 host sweep — the harmonic-family tier."""
+    from ..models.plane import PlaneProblem
+    from ..models.solid import SolidProblem
+
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    if problem.prescribed is not None and np.any(problem.prescribed):
+        raise ValueError("stress FRFs support homogeneous supports "
+                         "only (the harmonic-family guard)")
+    if isinstance(problem, PlaneProblem):
+        from ..models import plane as P
+
+        k, mm = P.plane_matrices(problem)
+        b = P._centroid_b(problem)
+        dmat = P._dmat(problem.young, problem.poisson,
+                       problem.plane_strain)
+        f0 = problem.loads + P._body_force_vectors(problem)
+        dm = problem.dof_map()
+        nu = np.broadcast_to(np.asarray(problem.poisson, dtype=float),
+                             (problem.nelm,))
+        ps = problem.plane_strain
+
+        def sig6_of(u):
+            eps = np.einsum("mia,ma->mi", b, u[dm])
+            s3 = np.einsum("mij,mj->mi", dmat, eps)
+            out = np.zeros((s3.shape[0], 6), dtype=s3.dtype)
+            out[:, 0], out[:, 1], out[:, 5] = s3[:, 0], s3[:, 1], \
+                s3[:, 2]
+            if ps:
+                out[:, 2] = nu * (s3[:, 0] + s3[:, 1])
+            return out
+    elif isinstance(problem, SolidProblem):
+        from ..models import solid as S
+
+        k, mm = S.solid_matrices(problem)
+        b = S._centroid_b3(problem)
+        dmat = S._dmat3(problem.young, problem.poisson)
+        f0 = problem.loads + S._body_force_vectors3(problem)
+        dm = problem.dof_map()
+
+        def sig6_of(u):
+            eps = np.einsum("mia,ma->mi", b, u[dm])
+            return np.einsum("mij,mj->mi", dmat, eps)
+    else:
+        raise TypeError(
+            "stress FRFs cover the plane/solid continuum families; "
+            "for trusses use random_response's force PSDs and for "
+            f"frames the member-force FRF path, got "
+            f"{type(problem).__name__}")
+
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * mm + beta * k
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf, mf, cf, ff = (k[np.ix_(free, free)], mm[np.ix_(free, free)],
+                      c[np.ix_(free, free)], f0[free])
+    probe = (np.arange(problem.nelm) if probe_elements is None
+             else np.asarray(probe_elements, dtype=int).reshape(-1))
+    out = np.zeros((om.size, probe.size, 6), dtype=complex)
+    full = np.zeros(problem.ndof, dtype=complex)
+    for i, w in enumerate(om):
+        a = kf - (w * w) * mf + 1j * w * cf
+        full[free] = np.linalg.solve(a, ff)
+        out[i] = sig6_of(full)[probe]
+    return out
+
+
+class ContinuumFatigueResult(NamedTuple):
+    omegas: np.ndarray        # (n_freq,)
+    eq_psd: np.ndarray        # (n_freq, n_elm) equivalent vM PSD
+    eq_rms: np.ndarray        # (n_elm,)
+    fatigue: object           # solvers.fatigue.SpectralFatigue
+    probe_elements: np.ndarray
+
+
+def continuum_spectral_fatigue(
+    problem,
+    load_psd,
+    omegas,
+    damping=(0.0, 0.0),
+    probe_elements=None,
+    sn_exponent=None,
+    sn_coefficient=None,
+    method: str = "dirlik",
+    duration=None,
+) -> ContinuumFatigueResult:
+    """Frequency-domain fatigue of a plane/solid mesh under a
+    stationary load-multiplier PSD: Preumont equivalent von Mises
+    PSDs per element through spectral_fatigue (Dirlik / narrowband)."""
+    from .fatigue import spectral_fatigue
+
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    if om.size < 2 or np.any(np.diff(om) <= 0):
+        raise ValueError("omegas must be an increasing grid "
+                         "(>= 2 points)")
+    if float(damping[0]) == 0.0 and float(damping[1]) == 0.0:
+        raise ValueError("spectral fatigue needs nonzero damping — "
+                         "the undamped variance integral diverges")
+    sp = (load_psd(om) if callable(load_psd)
+          else float(load_psd) * np.ones_like(om))
+    sp = np.broadcast_to(np.asarray(sp, dtype=float), om.shape)
+    if np.any(sp < 0):
+        raise ValueError("a PSD cannot be negative")
+    frf = continuum_stress_frf(problem, om, damping=damping,
+                               probe_elements=probe_elements)
+    quad = np.einsum("fmi,ij,fmj->fm", frf.conj(), _VM_Q6, frf).real
+    eq_psd = quad * sp[:, None]
+    sf = spectral_fatigue(om, eq_psd, sn_exponent, sn_coefficient,
+                          method=method,
+                          duration=(None if duration is None
+                                    else float(duration)))
+    probe = (np.arange(problem.nelm) if probe_elements is None
+             else np.asarray(probe_elements, dtype=int).reshape(-1))
+    return ContinuumFatigueResult(
+        omegas=om, eq_psd=eq_psd, eq_rms=np.asarray(sf.rms),
+        fatigue=sf, probe_elements=probe)

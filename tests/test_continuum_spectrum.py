@@ -359,3 +359,126 @@ def test_json_frame_spectrum_and_random():
     rms = np.asarray(out2["rms"])
     assert rms.shape == (6,) and np.all(np.isfinite(rms))
     assert rms.max() > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain fatigue: stress FRFs + Preumont equivalent von
+# Mises PSDs (continuum_stress_frf / continuum_spectral_fatigue)
+# ---------------------------------------------------------------------------
+
+
+def loaded_rod_strip(nx=6, q=5.0):
+    """Rod strip (all y fixed, nu = 0) with a right-edge traction:
+    sigma_yy = sigma_xy = 0 IDENTICALLY, so the equivalent von Mises
+    PSD must reduce EXACTLY to the sigma_xx component PSD."""
+    from pinn_fem_tpu.models.plane import edge_load
+
+    nodes, elems = rect_mesh(4.0, 1.0, nx, 1, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    fixed = np.unique(np.concatenate(
+        [2 * left, 2 * np.arange(nodes.shape[0]) + 1]))
+    right = np.flatnonzero(nodes[:, 0] == 4.0)
+    loads = edge_load(nodes, right[np.argsort(nodes[right, 1])],
+                      [q, 0.0], T)
+    return PlaneProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=0.0, thickness=T, density=RHO,
+                        loads=loads, fixed_dofs=fixed)
+
+
+def test_stress_frf_mirror_and_evms_reduction():
+    """The stress FRF mirrors an independent per-frequency dense
+    complex solve written here, and on the uniaxial rod the EVMS
+    equals |sigma_xx|^2 S_p exactly (the Preumont reduction's
+    uniaxial limit)."""
+    from pinn_fem_tpu.models.plane import _centroid_b, _dmat
+    from pinn_fem_tpu.solvers.continuum_spectrum import (
+        continuum_spectral_fatigue, continuum_stress_frf)
+
+    p = loaded_rod_strip()
+    k, m = plane_matrices(p)
+    om = np.linspace(0.5, 12.0, 40)
+    alpha = 0.8
+    frf = continuum_stress_frf(p, om, damping=(alpha, 0.0))
+    assert frf.shape == (40, p.nelm, 6)
+    # independent mirror
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    b = _centroid_b(p)
+    dmat = _dmat(p.young, p.poisson, False)
+    dm = p.dof_map()
+    for i in [0, 17, 39]:
+        a = (k - om[i] ** 2 * m + 1j * om[i] * alpha * m)
+        u = np.zeros(p.ndof, dtype=complex)
+        u[free] = np.linalg.solve(a[np.ix_(free, free)],
+                                  p.loads[free].astype(complex))
+        eps = np.einsum("mia,ma->mi", b, u[dm])
+        s3 = np.einsum("mij,mj->mi", dmat, eps)
+        np.testing.assert_allclose(frf[i, :, 0], s3[:, 0], rtol=1e-10)
+        np.testing.assert_allclose(frf[i, :, 5], s3[:, 2], atol=1e-12)
+    # rod: only sigma_xx lives
+    assert np.abs(frf[:, :, 1:]).max() < 1e-10 * np.abs(frf).max()
+    # EVMS == |sigma_xx|^2 S_p exactly
+    s0 = 0.3
+    cf = continuum_spectral_fatigue(p, s0, om, damping=(alpha, 0.0),
+                                    sn_exponent=3.0,
+                                    sn_coefficient=1e6)
+    np.testing.assert_allclose(cf.eq_psd,
+                               np.abs(frf[:, :, 0]) ** 2 * s0,
+                               rtol=1e-12)
+    assert np.all(cf.fatigue.damage_rate > 0.0)
+    assert np.all(np.isfinite(cf.fatigue.life))
+    # the loaded (right) end carries less stress than the support end
+    assert cf.eq_rms[0] > cf.eq_rms[-1]
+
+
+def test_json_random_fatigue_plane_and_guards():
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+
+    doc = {
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": 4.0, "height": 1.0,
+                 "nx": 6, "ny": 1, "element": "quad"},
+        "material": {"young": E, "poisson": 0.0, "thickness": T,
+                     "density": RHO},
+        "fixed_x_nodes": "left",
+        "fixed_y_nodes": list(range(14)),
+        "edge_loads": [{"nodes": "right", "traction": [5.0, 0.0]}],
+        "analysis": {"type": "random",
+                     "omegas": {"start": 0.5, "stop": 12.0,
+                                "num": 200},
+                     "psd": 0.3, "damping": [0.8, 0.0],
+                     "probe_nodes": [13],
+                     "probe_elements": [0, 5],
+                     "fatigue": {"sn": {"exponent": 3.0,
+                                        "coefficient": 1e6},
+                                 "duration": 3600.0}},
+    }
+    out = run_plane_document(doc)
+    assert out["success"] and "fatigue" in out
+    f = out["fatigue"]
+    assert f["equivalent"] == "von_mises_preumont"
+    assert f["probe_elements"] == [0, 5]
+    assert all(v > 0 for v in f["damage_rate"])
+    assert all(v is None or v > 0 for v in f["life_s"])
+    assert len(f["peak_factor"]) == 2
+    # statistics-only without sn
+    doc["analysis"]["fatigue"] = {}
+    out2 = run_plane_document(doc)
+    assert "damage_rate" not in out2["fatigue"]
+    assert all(v > 0 for v in out2["fatigue"]["stress_rms"])
+    # frames refused loudly
+    fdoc = {
+        "element_type": "frame",
+        "nodes": [[0, 0], [0, 2]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "area": 0.4, "inertia": 0.05,
+                     "density": RHO},
+        "loads": [0, 0, 0, 1.0, 0, 0],
+        "fixed_nodes": [0],
+        "analysis": {"type": "random",
+                     "omegas": {"start": 0.5, "stop": 5.0, "num": 50},
+                     "psd": 1.0, "damping": [0.3, 0.0],
+                     "fatigue": {}},
+    }
+    with pytest.raises(ValueError, match="plane/solid"):
+        run_frame_document(fdoc)
