@@ -192,6 +192,7 @@ from .solvers.continuum_spectrum import (  # noqa: E402
     continuum_response_spectrum,
     continuum_spectral_fatigue,
     continuum_stress_frf,
+    frame_fiber_stress_frf,
 )
 from .solvers.riks import (  # noqa: E402
     RiksResult,
@@ -352,6 +353,7 @@ __all__ = [
     "ContinuumRandomResult",
     "continuum_spectral_fatigue",
     "continuum_stress_frf",
+    "frame_fiber_stress_frf",
     "ContinuumSpectrumResult",
     "continuum_random_response",
     "continuum_response_spectrum",

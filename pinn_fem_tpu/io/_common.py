@@ -445,11 +445,8 @@ def run_continuum_random(problem, analysis: Dict, element_type: str,
         from ..solvers.continuum_spectrum import \
             continuum_spectral_fatigue
 
-        if element_type == "frame":
-            raise ValueError("random-block fatigue covers the "
-                             "plane/solid continuum families (von "
-                             "Mises equivalent PSD); frames have no "
-                             "stress-FRF path yet")
+        # plane/solid: Preumont equivalent von Mises PSD; frames:
+        # governing extreme-fiber stress FRF (needs section_modulus).
         m = c = None
         if fat.get("sn") is not None:
             m, c = _sn_params(fat)
@@ -464,7 +461,9 @@ def run_continuum_random(problem, analysis: Dict, element_type: str,
         sf = cf.fatigue
         out["fatigue"] = {
             "method": sf.method,
-            "equivalent": "von_mises_preumont",
+            "equivalent": ("extreme_fiber_governing"
+                           if element_type == "frame"
+                           else "von_mises_preumont"),
             "probe_elements": cf.probe_elements.tolist(),
             "stress_rms": sf.rms.tolist(),
             "nu0_hz": sf.nu0.tolist(),

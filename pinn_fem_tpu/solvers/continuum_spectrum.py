@@ -422,16 +422,116 @@ def continuum_spectral_fatigue(
     sp = np.broadcast_to(np.asarray(sp, dtype=float), om.shape)
     if np.any(sp < 0):
         raise ValueError("a PSD cannot be negative")
+    probe = (np.arange(problem.nelm) if probe_elements is None
+             else np.asarray(probe_elements, dtype=int).reshape(-1))
+    from ..models.frame import FrameProblem
+
+    if isinstance(problem, FrameProblem):
+        # Frames: the von Mises reduction is quadratic and has no
+        # member counterpart; assess ALL FOUR extreme-fiber stress
+        # FRFs (each linear, so a true FRF) and keep the GOVERNING
+        # fiber per member — max damage rate with an S-N curve, max
+        # RMS for the statistics-only summary.
+        frf = frame_fiber_stress_frf(problem, om, damping=damping,
+                                     probe_elements=probe)
+        psd4 = np.abs(frf) ** 2 * sp[:, None, None]
+        flat = psd4.reshape(om.size, -1)
+        sf4 = spectral_fatigue(om, flat, sn_exponent, sn_coefficient,
+                               method=method,
+                               duration=(None if duration is None
+                                         else float(duration)))
+        score = (sf4.damage_rate if sn_exponent is not None
+                 else sf4.rms).reshape(probe.size, 4)
+        pick = np.argmax(score, axis=1)
+        sel = np.arange(probe.size) * 4 + pick
+        import dataclasses as _dc
+
+        def take(v):
+            if v is None:
+                return None
+            arr = np.asarray(v)
+            return arr.reshape(-1)[sel] if arr.ndim else arr
+        if _dc.is_dataclass(sf4):
+            sf = _dc.replace(sf4, **{f.name: take(getattr(sf4, f.name))
+                                     for f in _dc.fields(sf4)
+                                     if isinstance(getattr(sf4, f.name),
+                                                   np.ndarray)})
+        else:                                  # NamedTuple
+            sf = sf4._replace(**{k2: take(v) for k2, v in
+                                 sf4._asdict().items()
+                                 if isinstance(v, np.ndarray)})
+        eq_psd = psd4[:, np.arange(probe.size), pick]
+        return ContinuumFatigueResult(
+            omegas=om, eq_psd=eq_psd, eq_rms=np.asarray(sf.rms),
+            fatigue=sf, probe_elements=probe)
     frf = continuum_stress_frf(problem, om, damping=damping,
-                               probe_elements=probe_elements)
+                               probe_elements=probe)
     quad = np.einsum("fmi,ij,fmj->fm", frf.conj(), _VM_Q6, frf).real
     eq_psd = quad * sp[:, None]
     sf = spectral_fatigue(om, eq_psd, sn_exponent, sn_coefficient,
                           method=method,
                           duration=(None if duration is None
                                     else float(duration)))
-    probe = (np.arange(problem.nelm) if probe_elements is None
-             else np.asarray(probe_elements, dtype=int).reshape(-1))
     return ContinuumFatigueResult(
         omegas=om, eq_psd=eq_psd, eq_rms=np.asarray(sf.rms),
         fatigue=sf, probe_elements=probe)
+
+
+def frame_fiber_stress_frf(problem, omegas, damping=(0.0, 0.0),
+                           probe_elements=None) -> np.ndarray:
+    """Complex EXTREME-FIBER stress FRFs of a frame's members:
+    (n_freq, n_probe, 4) for the four fiber candidates
+    [end1 N/A + M1/S, end1 N/A − M1/S, end2 +, end2 −] — each a LINEAR
+    functional of the complex response, so a legitimate FRF (the von
+    Mises reduction the continuum families use is quadratic and has
+    no frame counterpart; fatigue assesses all four fibers and keeps
+    the governing one).  Needs the problem's section_modulus."""
+    from ..models.frame import (FrameProblem, _geometry, _k_local,
+                                _member_load_vectors, _rotation,
+                                frame_matrices)
+
+    if not isinstance(problem, FrameProblem):
+        raise TypeError("frame_fiber_stress_frf needs a FrameProblem, "
+                        f"got {type(problem).__name__}")
+    if problem.section_modulus is None:
+        raise ValueError("fiber stress FRFs need the problem's "
+                         "section_modulus (sigma = N/A + M/S)")
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, mm = frame_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * mm + beta * k
+    f_member, f_fixed = _member_load_vectors(problem)
+    f0 = problem.loads + f_member
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf, mf, cf, ff = (k[np.ix_(free, free)], mm[np.ix_(free, free)],
+                      c[np.ix_(free, free)], f0[free])
+    length, co, si = _geometry(problem)
+    t = _rotation(co, si)
+    kl = _k_local(problem.young, problem.area, problem.inertia,
+                  length)
+    dm = problem.dof_map()
+    area = np.broadcast_to(np.asarray(problem.area, dtype=float),
+                           (problem.nelm,))
+    smod = np.broadcast_to(np.asarray(problem.section_modulus,
+                                      dtype=float), (problem.nelm,))
+    probe = (np.arange(problem.nelm) if probe_elements is None
+             else np.asarray(probe_elements, dtype=int).reshape(-1))
+    out = np.zeros((om.size, probe.size, 4), dtype=complex)
+    full = np.zeros(problem.ndof, dtype=complex)
+    for i, w in enumerate(om):
+        a = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(a, ff)
+        u_loc = np.einsum("mij,mj->mi", t, full[dm])
+        # end forces at unit load multiplier: the member loads
+        # oscillate with the same multiplier, so the static fixed-end
+        # correction rides along.
+        f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
+        n_ax = -f_loc[probe, 0] / area[probe]
+        m1 = f_loc[probe, 2] / smod[probe]
+        m2 = f_loc[probe, 5] / smod[probe]
+        out[i, :, 0] = n_ax + m1
+        out[i, :, 1] = n_ax - m1
+        out[i, :, 2] = n_ax + m2
+        out[i, :, 3] = n_ax - m2
+    return out

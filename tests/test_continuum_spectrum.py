@@ -467,6 +467,8 @@ def test_json_random_fatigue_plane_and_guards():
     assert "damage_rate" not in out2["fatigue"]
     assert all(v > 0 for v in out2["fatigue"]["stress_rms"])
     # frames refused loudly
+    # frames without a section modulus are refused loudly; with one,
+    # the governing-fiber path serves the same contract.
     fdoc = {
         "element_type": "frame",
         "nodes": [[0, 0], [0, 2]],
@@ -476,9 +478,46 @@ def test_json_random_fatigue_plane_and_guards():
         "loads": [0, 0, 0, 1.0, 0, 0],
         "fixed_nodes": [0],
         "analysis": {"type": "random",
-                     "omegas": {"start": 0.5, "stop": 5.0, "num": 50},
+                     "omegas": {"start": 0.5, "stop": 30.0,
+                                "num": 300},
                      "psd": 1.0, "damping": [0.3, 0.0],
-                     "fatigue": {}},
+                     "fatigue": {"sn": {"exponent": 3.0,
+                                        "coefficient": 1e6}}},
     }
-    with pytest.raises(ValueError, match="plane/solid"):
+    with pytest.raises(ValueError, match="section_modulus"):
         run_frame_document(fdoc)
+    fdoc["material"]["section_modulus"] = 0.2
+    fout = run_frame_document(fdoc)
+    assert fout["fatigue"]["equivalent"] == "extreme_fiber_governing"
+    assert all(v > 0 for v in fout["fatigue"]["damage_rate"])
+
+
+def test_frame_fiber_fatigue_sdof_anchor():
+    """Guided-cantilever SDOF frame under white noise: pure sway (no
+    axial force) makes all four fibers carry |M|/S = |V| L/(2S), so
+    the governing-fiber RMS has the closed form (L/2S)·k·σ_u with
+    σ_u² = F²πS₀/(2kc) — the frame path's exactness anchor."""
+    from pinn_fem_tpu.models.frame import frame_matrices
+    from pinn_fem_tpu.solvers.continuum_spectrum import (
+        continuum_spectral_fatigue, frame_fiber_stress_frf)
+
+    p, i = sdof_frame()
+    k, m = frame_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+    wn = np.sqrt(ki / mi)
+    alpha = 0.4 * wn
+    s0 = 0.7
+    om = np.linspace(1e-3 * wn, 8.0 * wn, 6000)
+    cf = continuum_spectral_fatigue(p, s0, om, damping=(alpha, 0.0),
+                                    sn_exponent=3.0,
+                                    sn_coefficient=1e6)
+    sigma_u2 = p.loads[i] ** 2 * np.pi * s0 / (2.0 * ki * alpha * mi)
+    exact_rms = (2.0 / (2.0 * 0.2)) * ki * np.sqrt(sigma_u2)
+    np.testing.assert_allclose(cf.eq_rms[0], exact_rms, rtol=2e-2)
+    assert cf.fatigue.damage_rate[0] > 0.0
+    # all four fibers identical here: the FRF magnitudes must agree
+    frf = frame_fiber_stress_frf(p, om[:50], damping=(alpha, 0.0))
+    mags = np.abs(frf[:, 0, :])
+    np.testing.assert_allclose(mags, np.broadcast_to(mags[:, :1],
+                                                     mags.shape),
+                               rtol=1e-9)
