@@ -43,6 +43,7 @@ from .models.frame import (  # noqa: E402
     solve_frame_static_banded,
     FrameProblem,
     frame_buckling,
+    frame_geometric_stiffness,
     frame_matrices,
     frame_modal,
     frame_harmonic,
@@ -283,6 +284,7 @@ __all__ = [
     "solve_frame_static",
     "solve_frame_static_banded",
     "frame_modal_banded",
+    "frame_geometric_stiffness",
     "frame_modal",
     "frame_buckling",
     "frame_matrices",

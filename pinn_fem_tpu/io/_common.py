@@ -540,3 +540,30 @@ def run_continuum_reduction(problem, analysis: Dict,
         out["full_omegas"] = om_full.tolist()
         out["frequency_rel_errors"] = rel.tolist()
     return _json_finite(out)
+
+
+def _continuum_prestress_u(problem, spec, static_solver):
+    """Resolve a modal-block "prestress" spec to a displacement state
+    for the plane/solid/frame families (the truss _prestress_state
+    contract minus fix_dofs):
+
+        "prestress": true              static solve at the problem's
+                                       own loads
+        "prestress": {"scale": s}      s * that state
+        "prestress": {"u": [..]}       explicit state (optional scale)
+    """
+    if spec in (None, False):
+        return None
+    scale = 1.0
+    if isinstance(spec, dict):
+        scale = float(spec.get("scale", 1.0))
+        if "u" in spec:
+            u = np.asarray(spec["u"], dtype=float).reshape(-1)
+            if u.size != problem.ndof:
+                raise ValueError(f"prestress.u must have "
+                                 f"{problem.ndof} entries, got "
+                                 f"{u.size}")
+            return scale * u
+    elif spec is not True:
+        raise ValueError(f"bad prestress spec: {spec!r}")
+    return scale * np.asarray(static_solver(problem), dtype=float)

@@ -17,7 +17,9 @@ here before the truss parser runs:
      "member_loads": [[elem, wx, wy], ..]   # uniform distributed
        | [[wx, wy] per element],            # loads, GLOBAL axes
      "analysis": {"type": "static" | "modal" | "buckling",
-                  "n_modes": 4}
+                  "n_modes": 4,
+                  "prestress": true | {"scale": s} | {"u": [..]}}
+                     # modal only: adds the P-Δ K_g(N(u0))
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step"} | [..],
@@ -212,10 +214,21 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
                 out["probe_nodes"] = pn.tolist()
                 out["mode_shapes"] = res.mode_shapes[:, dofs].tolist()
             return out
+        pres = None
+        if analysis.get("prestress") is not None:
+            # solve_frame_static is already a module-level import; a
+            # local import here would shadow it for the whole function
+            from ._common import _continuum_prestress_u
+
+            pres = _continuum_prestress_u(
+                problem, analysis["prestress"],
+                lambda pp: solve_frame_static(pp).displacements)
         res = frame_modal(problem,
-                          n_modes=int(analysis.get("n_modes", 4)))
+                          n_modes=int(analysis.get("n_modes", 4)),
+                          prestress_u=pres)
         out = {
             "success": True,
+            "prestressed": pres is not None,
             "analysis": "modal",
             "element_type": "frame",
             "frequencies_hz": res.frequencies_hz.tolist(),

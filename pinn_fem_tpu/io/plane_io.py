@@ -28,7 +28,10 @@ the CLI and servers peek at that key and route here:
      "point_masses": [[node, m], ..] | [..per node..],
      "analysis": {"type": "static"}
                | {"type": "modal", "n_modes": 6,
-                  "include_shapes": true}
+                  "include_shapes": true,
+                  "prestress": true | {"scale": s} | {"u": [..]}}
+                     # adds K_g(σ(u0)) — tension stiffens, compression
+                     # softens toward the buckling factor
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
@@ -445,12 +448,22 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
             }
         return out
     if kind == "modal":
+        pres = None
+        if analysis.get("prestress") is not None:
+            from ..models.plane import solve_plane_static
+            from ._common import _continuum_prestress_u
+
+            pres = _continuum_prestress_u(
+                problem, analysis["prestress"],
+                lambda pp: solve_plane_static(pp).displacements)
         res = plane_modal(problem,
-                          n_modes=int(analysis.get("n_modes", 6)))
+                          n_modes=int(analysis.get("n_modes", 6)),
+                          prestress_u=pres)
         out = {
             "success": True,
             "analysis": "modal",
             "element_type": "plane",
+            "prestressed": pres is not None,
             "frequencies_hz": res.frequencies_hz.tolist(),
             "omegas": res.omegas.tolist(),
             "eigenvalues": res.eigenvalues.tolist(),

@@ -26,6 +26,8 @@ plane_io pattern):
                   "tolerance": 1e-7, "max_iter": 50000}
                | {"type": "modal", "n_modes": 6,
                   "include_shapes": true,
+                  "prestress": true | {"scale": s} | {"u": [..]},
+                                      # K_g(σ(u0)); dense tier only
                   "banded": null,     # subspace iteration on the DIA
                                       # tier (lumped mass); default
                                       # auto > DENSE_DOF_LIMIT
@@ -311,6 +313,16 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
         banded = analysis.get("banded")
         if banded is None:
             banded = problem.ndof > DENSE_DOF_LIMIT
+        pres = None
+        if analysis.get("prestress") is not None:
+            if banded:
+                raise ValueError("prestressed solid modal runs on the "
+                                 "dense host tier; drop banded")
+            from ._common import _continuum_prestress_u
+
+            pres = _continuum_prestress_u(
+                problem, analysis["prestress"],
+                lambda pp: solve_solid_static(pp).displacements)
         if banded:
             from ..models.solid import solid_modal_banded
 
@@ -319,12 +331,14 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
                 n_iter=int(analysis.get("n_iter", 30)),
                 cg_tol=float(analysis.get("cg_tol", 1e-7)))
         else:
-            res = solid_modal(problem, n_modes=n_modes)
+            res = solid_modal(problem, n_modes=n_modes,
+                              prestress_u=pres)
         out = {
             "success": True,
             "analysis": "modal",
             "element_type": "solid",
             "method": "banded" if banded else "dense",
+            "prestressed": pres is not None,
             "frequencies_hz": res.frequencies_hz.tolist(),
             "omegas": res.omegas.tolist(),
             "eigenvalues": res.eigenvalues.tolist(),

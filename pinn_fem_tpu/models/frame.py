@@ -341,14 +341,40 @@ class FrameModalResult:
     mode_shapes: np.ndarray        # (n_modes, 3n)
 
 
+def frame_geometric_stiffness(problem: FrameProblem,
+                              u: np.ndarray) -> np.ndarray:
+    """Dense P-Δ geometric stiffness K_g(N(u)): member axial forces
+    recovered from the displacement state u (the solve_frame_static
+    recovery), then the standard cubic-Hermite K_g blocks
+    (frame_buckling's assembly exposed for prestressed modal)."""
+    length, c, s = _geometry(problem)
+    t = _rotation(c, s)
+    kl = _k_local(problem.young, problem.area, problem.inertia,
+                  length)
+    _, f_fixed = _member_load_vectors(problem)
+    u_loc = np.einsum("mij,mj->mi", t,
+                      np.asarray(u, dtype=float)[problem.dof_map()])
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
+    kgl = _kg_local(-f_loc[:, 0], length)
+    return _assemble(problem,
+                     np.einsum("mji,mjk,mkl->mil", t, kgl, t))
+
+
 def frame_modal(problem: FrameProblem,
-                n_modes: int = 4) -> FrameModalResult:
+                n_modes: int = 4,
+                prestress_u=None) -> FrameModalResult:
     """Generalized K φ = λ M φ on the free block (consistent mass) —
     dense host-tier eigensolve, like the truss analysis family below
-    DENSE_DOF_LIMIT."""
+    DENSE_DOF_LIMIT.
+
+    prestress_u: optional displacement state u0 adding the P-Δ
+    geometric stiffness K_g(N(u0)) — tension stiffens, compression
+    softens toward the frame_buckling factor."""
     import scipy.linalg
 
     k, m = frame_matrices(problem)
+    if prestress_u is not None:
+        k = k + frame_geometric_stiffness(problem, prestress_u)
     free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
     lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
                                  m[np.ix_(free, free)])

@@ -437,12 +437,23 @@ class PlaneModalResult:
 
 
 def plane_modal(problem: PlaneProblem,
-                n_modes: int = 6) -> PlaneModalResult:
+                n_modes: int = 6,
+                prestress_u=None) -> PlaneModalResult:
     """Generalized K φ = λ M φ on the free block (consistent mass) —
-    dense host-tier eigensolve, the frame/truss analysis pattern."""
+    dense host-tier eigensolve, the frame/truss analysis pattern.
+
+    prestress_u: optional displacement state u0 — the Gauss-point
+    Cauchy stress of u0 adds the geometric stiffness K_g(σ(u0))
+    (plane_geometric_stiffness), so tension stiffens and compression
+    softens; at the buckling load factor the fundamental λ reaches
+    zero (ω²(s) ≈ ω²(0)(1 − s/λ_cr), the vibration-buckling link
+    pinned in tests/test_continuum_prestress.py)."""
     import scipy.linalg
 
     k, m = plane_matrices(problem)
+    if prestress_u is not None:
+        k = k + plane_geometric_stiffness(
+            problem, np.asarray(prestress_u, dtype=float))
     free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
     lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
                                  m[np.ix_(free, free)])

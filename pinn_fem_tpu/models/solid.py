@@ -358,12 +358,20 @@ class SolidModalResult:
 
 
 def solid_modal(problem: SolidProblem,
-                n_modes: int = 6) -> SolidModalResult:
+                n_modes: int = 6,
+                prestress_u=None) -> SolidModalResult:
     """Generalized K phi = lambda M phi on the free block (consistent
-    mass) — dense host eigensolve, the plane/frame pattern."""
+    mass) — dense host eigensolve, the plane/frame pattern.
+
+    prestress_u: optional displacement state u0 adding the geometric
+    stiffness K_g(sigma(u0)) (solid_geometric_stiffness) — the
+    plane_modal prestress contract in 3D."""
     import scipy.linalg
 
     k, m = solid_matrices(problem)
+    if prestress_u is not None:
+        k = k + solid_geometric_stiffness(
+            problem, np.asarray(prestress_u, dtype=float))
     free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
     lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
                                  m[np.ix_(free, free)])
