@@ -523,6 +523,58 @@ def solid_section(backend):
          rel_residual=float(rel), closed_form_err=round(err, 8),
          first_call_s=round(t_first, 1), backend=backend)
 
+def plastic_section(backend):
+    """7) Explicit elastoplastic transient on the plane continuum
+    device tier (solvers/continuum_transient_plastic): a 128x32 Q4
+    strip (4096 elements, 16384 Gauss points, 8.4k DOFs) ramped past
+    yield — one jitted lax.scan committing the J2 radial return every
+    step.  Reports ms/step (the dominant cost is the two Gauss-point
+    einsum batches per step: B eps and B^T sigma, MXU-shaped
+    (m, gp, 3, 8)).  Correctness gates: dissipation is positive and
+    monotone, the von Mises envelope crossed yield, and the final
+    mean eq-plastic strain sits in the bilinear band.
+    Runnable alone: python benchmarks/scaling.py plastic"""
+    from pinn_fem_tpu.models.plane import PlaneProblem, edge_load, rect_mesh
+    from pinn_fem_tpu.solvers.continuum_transient_plastic import (
+        solve_plane_transient_plastic,
+    )
+
+    W, H, E = 16.0, 4.0, 200.0
+    nodes, elems = rect_mesh(W, H, 128, 32, "quad")
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    bottom = np.flatnonzero(nodes[:, 1] == 0.0)
+    right = np.flatnonzero(nodes[:, 0] == W)
+    loads = edge_load(nodes, right[np.argsort(nodes[right, 1])],
+                      [16.0, 0.0], 0.5)
+    p = PlaneProblem(nodes=nodes, elements=elems, young=E, poisson=0.3,
+                     thickness=0.5, density=2.0, loads=loads,
+                     fixed_dofs=np.concatenate([2 * left,
+                                                2 * bottom + 1]))
+    n_steps = 400
+    amp = np.concatenate([np.linspace(0.0, 1.0, 200), np.ones(200)])
+    kw = dict(sigma_y=12.0, hardening_iso=20.0, n_steps=n_steps,
+              amplitude=amp, record_every=n_steps,
+              probe_dofs=np.array([2 * int(right[0])]), host=False)
+    t0 = time.perf_counter()
+    res = solve_plane_transient_plastic(p, **kw)
+    t_first = time.perf_counter() - t0
+    wp = float(res.plastic_work[-1])
+    assert wp > 0.0 and np.isfinite(wp), wp
+    assert float(res.von_mises_envelope.max()) > 12.0
+    alpha = float(res.final_eq_plastic.mean())
+    assert 0.0 < alpha < 0.5, alpha
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_plane_transient_plastic(p, **kw)
+        ts.append(time.perf_counter() - t0)
+    emit("plane_plastic_transient_step",
+         float(np.median(ts)) / n_steps * 1e3, "ms/step",
+         dofs=p.ndof, elements=elems.shape[0],
+         gauss_points=4 * elems.shape[0], n_steps=n_steps,
+         plastic_work=round(wp, 4), mean_eq_plastic=round(alpha, 5),
+         first_call_s=round(t_first, 1), backend=backend)
+
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "plane":
@@ -531,5 +583,7 @@ if __name__ == "__main__":
         frame_section(jax.default_backend())
     elif len(sys.argv) > 1 and sys.argv[1] == "solid":
         solid_section(jax.default_backend())
+    elif len(sys.argv) > 1 and sys.argv[1] == "plastic":
+        plastic_section(jax.default_backend())
     else:
         main()
