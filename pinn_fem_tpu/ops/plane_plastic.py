@@ -182,6 +182,52 @@ def vm_return_map_4(eps4, state_ep, state_al, state_bk, mu, lam,
     return sigma, c_ep, ep_new, al_new, bk_new
 
 
+def vm_return_map_4_force(eps4, state_ep, state_al, state_bk, mu,
+                          lam, sigma_y, h_iso, h_kin, xp=np):
+    """Force-only vm_return_map_4: identical stress/state, NO (4, 4)
+    consistent tangent — just its zz diagonal (the scalar the
+    plane-stress Newton divides by: czz = kappa + (4/3) mu theta
+    - 2 mu theta_bar n_z^2).  The explicit integrators run the map
+    up to 9x per step (8 zz-Newton sweeps + final), so skipping the
+    tangent outer products is the hot-path saving (measured on chip,
+    benchmarks/scaling.py plastic)."""
+    dv = xp.asarray([1.0, 1.0, 1.0, 0.0])
+    half = xp.asarray([1.0, 1.0, 1.0, 0.5])
+
+    e = eps4 - state_ep
+    tr_e = e[..., 0] + e[..., 1] + e[..., 2]
+    sig_tr = lam[..., None] * tr_e[..., None] * dv \
+        + 2.0 * mu[..., None] * (half * e)
+    xi = _dev4(sig_tr, xp) - state_bk
+    nxi = _norm4(xi, xp)
+    f_tr = nxi - _SQ23 * (sigma_y + h_iso * state_al)
+    plastic = f_tr > 0.0
+    denom = 2.0 * mu + (2.0 / 3.0) * (h_iso + h_kin)
+    dgamma = xp.where(plastic, f_tr, 0.0) / denom
+    n = xi / xp.maximum(nxi, xp.asarray(1e-300 if xp is np
+                                        else 1e-30))[..., None]
+
+    sigma = sig_tr - (2.0 * mu * dgamma)[..., None] * n
+    ep_new = state_ep + dgamma[..., None] * n \
+        * xp.asarray([1.0, 1.0, 1.0, 2.0])
+    al_new = state_al + _SQ23 * dgamma
+    bk_new = state_bk + ((2.0 / 3.0) * h_kin * dgamma)[..., None] * n
+
+    theta = xp.where(plastic,
+                     1.0 - 2.0 * mu * dgamma / xp.maximum(nxi, 1e-300
+                                                          if xp is np
+                                                          else 1e-30),
+                     1.0)
+    theta_bar = xp.where(
+        plastic,
+        1.0 / (1.0 + (h_iso + h_kin) / (3.0 * mu)) - (1.0 - theta),
+        0.0)
+    kappa = lam + 2.0 * mu / 3.0
+    czz = kappa + (4.0 / 3.0) * mu * theta \
+        - 2.0 * mu * theta_bar * n[..., 2] ** 2
+    return sigma, czz, ep_new, al_new, bk_new
+
+
 _R = np.asarray([0, 1, 3])      # in-plane rows of the 4-Voigt
 
 
@@ -242,6 +288,45 @@ def plane_return_map(eps3, state: PlanePlasticState, young, poisson,
                    * c4[..., 2, r][..., None, :]) / czz[..., None, None]
     sig3 = sigma4[..., r]
     return sig3, d3, sigma4[..., 2], PlanePlasticState(
+        eps_p=ep, alpha=al, back=bk)
+
+
+def plane_return_map_force(eps3, state: PlanePlasticState, young,
+                           poisson, sigma_y, h_iso, h_kin,
+                           plane_strain: bool, xp=np,
+                           n_ps_iter: int = 8):
+    """Force-only plane_return_map: same stresses and state (the same
+    zz-Newton with the same iterate count), no 3x3 consistent tangent
+    — the explicit integrators' hot path.  Pinned 1:1 against the
+    full map in tests/test_plane_plastic.py."""
+    mu, lam, _ = lame(young, poisson)
+    mu_b = mu[..., None]
+    lam_b = lam[..., None]
+    sy_b = sigma_y[..., None]
+    hi_b = h_iso[..., None]
+    hk_b = h_kin[..., None]
+
+    def eval4(ezz):
+        eps4 = xp.stack([eps3[..., 0], eps3[..., 1], ezz,
+                         eps3[..., 2]], axis=-1)
+        return vm_return_map_4_force(eps4, state.eps_p, state.alpha,
+                                     state.back, mu_b, lam_b, sy_b,
+                                     hi_b, hk_b, xp=xp)
+
+    if plane_strain:
+        ezz = xp.zeros_like(eps3[..., 0])
+        sigma4, _, ep, al, bk = eval4(ezz)
+    else:
+        epzz = state.eps_p[..., 2]
+        exx = eps3[..., 0] - state.eps_p[..., 0]
+        eyy = eps3[..., 1] - state.eps_p[..., 1]
+        ezz = epzz - lam_b * (exx + eyy) / (lam_b + 2.0 * mu_b)
+        for _ in range(int(n_ps_iter)):
+            sigma4, czz, ep, al, bk = eval4(ezz)
+            ezz = ezz - sigma4[..., 2] / czz
+        sigma4, _, ep, al, bk = eval4(ezz)
+
+    return sigma4[..., _R], sigma4[..., 2], PlanePlasticState(
         eps_p=ep, alpha=al, back=bk)
 
 
@@ -319,7 +404,7 @@ def plane_plastic_force(b, wdet, thickness, u_e,
     from ..models.plane import _einsum
 
     eps3 = _einsum(xp, "mgia,ma->mgi", b, u_e)
-    sig3, _, szz, new_state = plane_return_map(
+    sig3, szz, new_state = plane_return_map_force(
         eps3, state, young, poisson, sigma_y, h_iso, h_kin,
         plane_strain, xp=xp)
     w = thickness[:, None] * wdet
@@ -335,7 +420,7 @@ def plane_plastic_force_bbar(b4, wdet, thickness, u_e,
 
     mu, lam, _ = lame(young, poisson)
     eps4 = _einsum(xp, "mgia,ma->mgi", b4, u_e)
-    sigma4, _, ep, al, bk = vm_return_map_4(
+    sigma4, _, ep, al, bk = vm_return_map_4_force(
         eps4, state.eps_p, state.alpha, state.back,
         mu[:, None], lam[:, None], sigma_y[:, None], h_iso[:, None],
         h_kin[:, None], xp=xp)

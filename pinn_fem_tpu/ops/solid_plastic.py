@@ -134,6 +134,36 @@ def vm_return_map_6(eps6, state_ep, state_al, state_bk, mu, lam,
     return sigma, c_ep, ep_new, al_new, bk_new
 
 
+def vm_return_map_6_force(eps6, state_ep, state_al, state_bk, mu,
+                          lam, sigma_y, h_iso, h_kin, xp=np):
+    """Force-only vm_return_map_6: identical stress/state, no
+    (..., 6, 6) consistent tangent — the explicit integrators never
+    need it and the tangent outer products dominate their hot path
+    (the plane family's vm_return_map_4_force lesson)."""
+    dv = xp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+    half = xp.asarray([1.0, 1.0, 1.0, 0.5, 0.5, 0.5])
+    tiny = xp.asarray(1e-300 if xp is np else 1e-30)
+
+    e = eps6 - state_ep
+    tr_e = e[..., 0] + e[..., 1] + e[..., 2]
+    sig_tr = lam[..., None] * tr_e[..., None] * dv \
+        + 2.0 * mu[..., None] * (half * e)
+    xi = _dev6(sig_tr, xp) - state_bk
+    nxi = _norm6(xi, xp)
+    f_tr = nxi - _SQ23 * (sigma_y + h_iso * state_al)
+    plastic = f_tr > 0.0
+    denom = 2.0 * mu + (2.0 / 3.0) * (h_iso + h_kin)
+    dgamma = xp.where(plastic, f_tr, 0.0) / denom
+    n = xi / xp.maximum(nxi, tiny)[..., None]
+
+    sigma = sig_tr - (2.0 * mu * dgamma)[..., None] * n
+    ep_new = state_ep + dgamma[..., None] * n \
+        * xp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])
+    al_new = state_al + _SQ23 * dgamma
+    bk_new = state_bk + ((2.0 / 3.0) * h_kin * dgamma)[..., None] * n
+    return sigma, ep_new, al_new, bk_new
+
+
 def solid_return_map(eps6, state: SolidPlasticState, young, poisson,
                      sigma_y, h_iso, h_kin, xp=np):
     """(m, 8, 6) strain -> (sigma6, 6x6 tangent, new state); per-
@@ -220,10 +250,15 @@ def solid_plastic_force(b, wdet, u_e, state: SolidPlasticState,
 
     Returns (fe (m, 24), sig6 (m, 8, 6), new_state)."""
     from ..models.solid import _einsum
+    from .plane_plastic import lame
 
+    mu, lam, _ = lame(young, poisson)
     eps6 = _einsum(xp, "mgia,ma->mgi", b, u_e)
-    sig6, _, new_state = solid_return_map(
-        eps6, state, young, poisson, sigma_y, h_iso, h_kin, xp=xp)
+    sig6, ep, al, bk = vm_return_map_6_force(
+        eps6, state.eps_p, state.alpha, state.back, mu[..., None],
+        lam[..., None], sigma_y[..., None], h_iso[..., None],
+        h_kin[..., None], xp=xp)
+    new_state = SolidPlasticState(eps_p=ep, alpha=al, back=bk)
     fe = _einsum(xp, "mgia,mgi,mg->ma", b, sig6, wdet)
     return fe, sig6, new_state
 

@@ -318,6 +318,29 @@ def _device_core(fam: _Family, problem, n_rec, record_every,
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, spec))
 
+    # Structured fast path (ops/structured.py): on the canonical
+    # rect/box grids both hot movements of the step — the element
+    # gather and the force scatter — decompose into 2^d dense SLICES,
+    # where the general random-index forms run near scalar rate on
+    # TPU (measured 14.9 ms/step at 4096 elements before this).
+    # Kept off the SPMD path: the grid slices assume the whole node
+    # grid, while mesh= shards the element axis.
+    gather = scatter = None
+    if mesh is None:
+        from ..ops.structured import (box_grid_of, make_plane_grid_ops,
+                                      make_solid_grid_ops,
+                                      rect_grid_of)
+
+        nnode = problem.nodes.shape[0]
+        if fam.dof_map.shape[1] == 8:
+            g = rect_grid_of(problem.elements, nnode)
+            if g is not None:
+                gather, scatter = make_plane_grid_ops(*g)
+        elif fam.dof_map.shape[1] == 24:
+            g = box_grid_of(problem.elements, nnode)
+            if g is not None:
+                gather, scatter = make_solid_grid_ops(*g)
+
     dtype = jnp.asarray(1.0).dtype
     mask = jnp.asarray(fam.mask, dtype)
     m = jnp.asarray(fam.m_diag, dtype) * mask + (1.0 - mask)
@@ -336,8 +359,11 @@ def _device_core(fam: _Family, problem, n_rec, record_every,
         mats = (sy, hi, hk)
 
         def f_int_of(u, state):
-            fe, sig, st = force(shard_elems(u[dm]), state, mats, jnp)
-            f = jnp.zeros(ndof, dtype).at[dm].add(fe)
+            u_e = (gather(u) if gather is not None
+                   else shard_elems(u[dm]))
+            fe, sig, st = force(u_e, state, mats, jnp)
+            f = (scatter(fe) if scatter is not None
+                 else jnp.zeros(ndof, dtype).at[dm].add(fe))
             return f, sig, st
 
         def one_step(i, carry):

@@ -241,3 +241,36 @@ def test_guards():
             "fixed_nodes": [0],
             "edge_loads": [{"nodes": [1, 3], "traction": [1, 0],
                             "pressure": 2.0}]})
+
+
+def test_force_only_map_mirrors_full():
+    """vm_return_map_4_force / plane_return_map_force: IDENTICAL
+    stress, sigma_zz and state as the full-tangent maps (same zz
+    Newton, same iterate count) — the explicit hot path must never
+    drift from the static Newton's constitutive law."""
+    from pinn_fem_tpu.ops.plane_plastic import (PlanePlasticState,
+                                                plane_return_map,
+                                                plane_return_map_force)
+
+    rng = np.random.default_rng(3)
+    m, gp = 5, 4
+    eps3 = 0.02 * rng.standard_normal((m, gp, 3))
+    state = PlanePlasticState(
+        eps_p=0.005 * rng.standard_normal((m, gp, 4)),
+        alpha=np.abs(0.01 * rng.standard_normal((m, gp))),
+        back=0.002 * rng.standard_normal((m, gp, 4)))
+    young = np.full(m, 200.0)
+    poisson = np.full(m, 0.3)
+    sy = np.full(m, 1.0)
+    hi = np.full(m, 20.0)
+    hk = np.full(m, 5.0)
+    for ps in (False, True):
+        sig_f, szz_f, st_f = plane_return_map_force(
+            eps3, state, young, poisson, sy, hi, hk, ps)
+        sig, _, szz, st = plane_return_map(
+            eps3, state, young, poisson, sy, hi, hk, ps)
+        np.testing.assert_array_equal(sig_f, sig)
+        np.testing.assert_array_equal(szz_f, szz)
+        np.testing.assert_array_equal(st_f.eps_p, st.eps_p)
+        np.testing.assert_array_equal(st_f.alpha, st.alpha)
+        np.testing.assert_array_equal(st_f.back, st.back)

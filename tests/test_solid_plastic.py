@@ -231,3 +231,28 @@ def test_extruded_cylinder_limit_load_bbar():
                                     + np.arange(2)).reshape(-1)]
         .reshape(lfs.size, -1, 2), axis=2).mean(axis=1)
     assert ur[-1] > ur[0] * (lfs[-1] / lfs[0]) * 1.05
+
+
+def test_force_only_map_mirrors_full():
+    """vm_return_map_6_force: identical stress and state as the
+    full-tangent map (the plane family's force-only mirror pin)."""
+    from pinn_fem_tpu.ops.plane_plastic import lame
+    from pinn_fem_tpu.ops.solid_plastic import (vm_return_map_6,
+                                                vm_return_map_6_force)
+
+    rng = np.random.default_rng(4)
+    m, gp = 5, 8
+    eps6 = 0.02 * rng.standard_normal((m, gp, 6))
+    ep = 0.005 * rng.standard_normal((m, gp, 6))
+    al = np.abs(0.01 * rng.standard_normal((m, gp)))
+    bk = 0.002 * rng.standard_normal((m, gp, 6))
+    mu, lam, _ = lame(np.full(m, 200.0), np.full(m, 0.3))
+    args = (mu[:, None], lam[:, None], np.full((m, 1), 1.0),
+            np.full((m, 1), 20.0), np.full((m, 1), 5.0))
+    s_f, ep_f, al_f, bk_f = vm_return_map_6_force(eps6, ep, al, bk,
+                                                  *args)
+    s, _, ep2, al2, bk2 = vm_return_map_6(eps6, ep, al, bk, *args)
+    np.testing.assert_array_equal(s_f, s)
+    np.testing.assert_array_equal(ep_f, ep2)
+    np.testing.assert_array_equal(al_f, al2)
+    np.testing.assert_array_equal(bk_f, bk2)
