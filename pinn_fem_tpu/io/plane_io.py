@@ -450,7 +450,10 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
     if kind == "modal":
         pres = None
         if analysis.get("prestress") is not None:
-            from ..models.plane import solve_plane_static
+            # NOTE: do NOT re-import solve_plane_static here — a local
+            # import anywhere in this function makes the name
+            # function-local and breaks the static branch above
+            # (UnboundLocalError; it is module-imported already).
             from ._common import _continuum_prestress_u
 
             pres = _continuum_prestress_u(
