@@ -9,13 +9,19 @@ here before the truss parser runs:
      "nodes": [[x, y], ..],
      "elements": [[i, j], ..],
      "material": {"young": E, "area": A, "inertia": I,
-                  "density": rho},          # scalars or per-element
+                  "density": rho,           # scalars or per-element
+                  "alpha": a},              # CTE (thermal load case)
      "loads": [Fx0, Fy0, M0, Fx1, ..],      # 3 per node
      "fixed_nodes": [..]                    # fully clamped nodes
        | "fixed_dofs": [..],                # or raw 3n-DOF indices
      "point_masses": [[node, m], ..] | [..per node..],
      "member_loads": [[elem, wx, wy], ..]   # uniform distributed
        | [[wx, wy] per element],            # loads, GLOBAL axes
+     "temperature": dT | [..per element..],       # uniform member ΔT
+     "temperature_gradient": g | [..per element..],  # through-depth
+         # dT/dy (thermal curvature κ = α·g); both need material
+         # alpha, STATIC analyses only — dynamics refuse them;
+         # modal/buckling prestress inherit ΔT via the static state
      "analysis": {"type": "static" | "modal" | "buckling",
                   "n_modes": 4,
                   "prestress": true | {"scale": s} | {"u": [..]}}
@@ -116,7 +122,10 @@ def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
         inertia=mat["inertia"], density=mat.get("density", 1.0),
         loads=loads, fixed_dofs=np.sort(np.unique(fixed)),
         point_masses=pm, member_loads=ml,
-        section_modulus=mat.get("section_modulus"))
+        section_modulus=mat.get("section_modulus"),
+        alpha_cte=mat.get("alpha"),
+        temperature=doc.get("temperature"),
+        temperature_gradient=doc.get("temperature_gradient"))
     return problem, dict(doc.get("analysis")
                          or {"type": "static"})
 

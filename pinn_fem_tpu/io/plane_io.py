@@ -13,7 +13,8 @@ the CLI and servers peek at that key and route here:
        | "mesh": {"type": "annulus", "r_inner": a, "r_outer": b,
                   "nr": 8, "nt": 12, "sweep": 1.5707963},
      "material": {"young": E, "poisson": nu, "thickness": t,
-                  "density": rho},       # scalars or per-element
+                  "density": rho,        # scalars or per-element
+                  "alpha": a},           # CTE (thermal load case)
      "plane_strain": false,
      "loads": [Fx0, Fy0, Fx1, ..],       # 2 per node (optional)
      "edge_loads": [{"nodes": [..path..],          # uniform traction
@@ -26,6 +27,10 @@ the CLI and servers peek at that key and route here:
      "fixed_x_nodes": [..], "fixed_y_nodes": [..],  # rollers/symmetry
      "prescribed": [[dof, value], ..],   # settlement / driven supports
      "point_masses": [[node, m], ..] | [..per node..],
+     "temperature": dT | [..per element..],  # thermal load case
+         # (needs material alpha; STATIC analyses only — dynamics
+         # refuse it; modal/buckling prestress inherit it through
+         # the static state: heated-clamped thermal buckling works)
      "analysis": {"type": "static"}
                | {"type": "modal", "n_modes": 6,
                   "include_shapes": true,
@@ -251,7 +256,9 @@ def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
         plane_strain=bool(doc.get("plane_strain", False)),
         prescribed=prescribed,
         body_force=doc.get("body_force"),
-        point_masses=pm)
+        point_masses=pm,
+        alpha_cte=mat.get("alpha"),
+        temperature=doc.get("temperature"))
     return problem, dict(doc.get("analysis") or {"type": "static"})
 
 

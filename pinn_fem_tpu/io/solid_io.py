@@ -9,7 +9,7 @@ plane_io pattern):
      "elements": [[n0..n7], ..]            # hex8, bottom quad CCW
        | "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 4.0,
                   "nx": 2, "ny": 2, "nz": 8},
-     "material": {"young": E, "poisson": nu, "density": rho},
+     "material": {"young": E, "poisson": nu, "density": rho, "alpha": a},
      "loads": [Fx0, Fy0, Fz0, ..],         # 3 per node (optional)
      "surface_loads": [{"face": "z_max" | [[quad node ids], ..],
                         "traction": [tx, ty, tz]}, ..],  # force/area
@@ -20,6 +20,10 @@ plane_io pattern):
                                            # single-component rollers
      "prescribed": [[dof, value], ..],
      "point_masses": [[node, m], ..] | [..per node..],
+     "temperature": dT | [..per element..],  # thermal load case
+         # (needs material alpha; STATIC analyses only — dynamics
+         # refuse it; modal/buckling prestress inherit it through
+         # the static state)
      "analysis": {"type": "static",
                   "banded": null,     # force the DIA device tier;
                                       # default auto > DENSE_DOF_LIMIT
@@ -202,7 +206,9 @@ def parse_solid_document(doc: Dict) -> Tuple[SolidProblem, Dict]:
         young=mat.get("young", 1.0), poisson=mat["poisson"],
         density=mat.get("density", 1.0),
         loads=loads, fixed_dofs=fixed, prescribed=prescribed,
-        body_force=doc.get("body_force"), point_masses=pm)
+        body_force=doc.get("body_force"), point_masses=pm,
+        alpha_cte=mat.get("alpha"),
+        temperature=doc.get("temperature"))
 
     # Surface loads resolve AFTER the problem exists (named faces need
     # the element boundary quads).

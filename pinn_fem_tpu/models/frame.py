@@ -66,6 +66,13 @@ class FrameProblem:
     # (m,) elastic section modulus S = I/c (scalar broadcast) — enables
     # extreme-fiber stress recovery sigma = |N|/A + |M|/S.
     section_modulus: Optional[np.ndarray] = None
+    # Thermal load case (STATIC only — dynamic paths refuse it):
+    # alpha_cte (m,) CTE; temperature (m,) uniform member ΔT (axial
+    # expansion); temperature_gradient (m,) through-depth dT/dy
+    # (thermal curvature κ = α dT/dy — bowing / restraint moments).
+    alpha_cte: Optional[np.ndarray] = None
+    temperature: Optional[np.ndarray] = None
+    temperature_gradient: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -100,6 +107,18 @@ class FrameProblem:
                 (self.nelm,)).copy()
             if np.any(self.section_modulus <= 0.0):
                 raise ValueError("section_modulus must be positive")
+        if (self.temperature is not None
+                or self.temperature_gradient is not None) \
+                and self.alpha_cte is None:
+            raise ValueError('a thermal load case needs the thermal '
+                             'expansion coefficient (material '
+                             '"alpha")')
+        for name in ("alpha_cte", "temperature",
+                     "temperature_gradient"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(self, name, np.broadcast_to(
+                    np.asarray(v, dtype=float), (self.nelm,)).copy())
         if np.any(_geometry(self)[0] <= 0.0):
             raise ValueError("zero-length frame element")
 
@@ -254,6 +273,55 @@ def _member_load_vectors(problem: FrameProblem):
     return f, f_loc
 
 
+def _thermal_member_vectors(problem: FrameProblem):
+    """(f_nodal (3n,), f_fixed_local (m, 6)) of the thermal load case.
+
+    Uniform member ΔT: free axial expansion ε_th = αΔT gives the
+    equivalent nodal pair EAαΔT [−1, 0, 0, +1, 0, 0] (ends pushed
+    OUTWARD); a fully restrained member then recovers the textbook
+    compression N = −EAαΔT, a free one expands stress-free — both
+    exact with one element (Hermite/linear shapes, nodal loading).
+
+    Through-depth gradient dT/dy: thermal curvature κ = α dT/dy gives
+    the end-moment pair EIκ [0, 0, −1, 0, 0, +1]; clamped-clamped
+    recovers the uniform restraint moment |M| = EIκ with zero
+    deflection, a cantilever bows to v(L) = κL²/2 stress-free.
+
+    Same contract as _member_load_vectors: the recovery subtracts
+    f_fixed_local from k_local T u_e."""
+    if problem.temperature is None \
+            and problem.temperature_gradient is None:
+        return np.zeros(problem.ndof), np.zeros((problem.nelm, 6))
+    length, c, s_ = _geometry(problem)
+    f_loc = np.zeros((problem.nelm, 6))
+    if problem.temperature is not None:
+        na = problem.young * problem.area * problem.alpha_cte \
+            * problem.temperature                       # EAαΔT (m,)
+        f_loc[:, 0] -= na
+        f_loc[:, 3] += na
+    if problem.temperature_gradient is not None:
+        mk = problem.young * problem.inertia * problem.alpha_cte \
+            * problem.temperature_gradient              # EIκ (m,)
+        f_loc[:, 2] -= mk
+        f_loc[:, 5] += mk
+    t = _rotation(c, s_)
+    f_glob = np.einsum("mji,mj->mi", t, f_loc)     # Tᵀ f_local
+    f = np.zeros(problem.ndof)
+    np.add.at(f, problem.dof_map(), f_glob)
+    return f, f_loc
+
+
+def _require_no_thermal_frame(problem: FrameProblem, kind: str):
+    """models/plane.py:_require_no_thermal, frame twin."""
+    if problem.temperature is not None \
+            or problem.temperature_gradient is not None:
+        raise ValueError(
+            f"frame {kind} does not take a thermal load case — "
+            "thermoelastic loads are static; use analysis type "
+            '"static" (or "modal"/"buckling" with prestress, which '
+            "inherit ΔT through the static state)")
+
+
 def _assemble(problem: FrameProblem, blocks: np.ndarray) -> np.ndarray:
     """(m, 6, 6) global-axes blocks -> dense (ndof, ndof)."""
     dm = problem.dof_map()
@@ -305,6 +373,8 @@ def solve_frame_static(problem: FrameProblem) -> FrameStaticResult:
     mask = problem.free_mask()
     km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
     f_member, f_fixed = _member_load_vectors(problem)
+    f_th, f_th_fixed = _thermal_member_vectors(problem)
+    f_member, f_fixed = f_member + f_th, f_fixed + f_th_fixed
     f = problem.loads + f_member
     u = np.linalg.solve(km, f * mask) * mask
 
@@ -352,6 +422,7 @@ def frame_geometric_stiffness(problem: FrameProblem,
     kl = _k_local(problem.young, problem.area, problem.inertia,
                   length)
     _, f_fixed = _member_load_vectors(problem)
+    f_fixed = f_fixed + _thermal_member_vectors(problem)[1]
     u_loc = np.einsum("mij,mj->mi", t,
                       np.asarray(u, dtype=float)[problem.dof_map()])
     f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
@@ -451,6 +522,7 @@ def solve_frame_transient(problem: FrameProblem, dt: float,
 
     if dt <= 0.0 or n_steps <= 0:
         raise ValueError("transient needs positive dt and n_steps")
+    _require_no_thermal_frame(problem, "transient")
     k, m = frame_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k
@@ -666,6 +738,7 @@ def frame_harmonic(problem: FrameProblem, omegas,
     ALL-modes superposition Σ φφᵀf/(m_j(ω_j²−ω²+iω(α+βω_j²)))
     EXACTLY — the 1e-8 cross-check in tests/test_frame.py."""
     om = np.asarray(omegas, dtype=float).reshape(-1)
+    _require_no_thermal_frame(problem, "harmonic")
     k, m = frame_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k
@@ -1231,6 +1304,8 @@ def solve_frame_static_banded(problem: "FrameProblem",
     layout = _frame_dia_layout(problem)
     length_np, c_np, s_np = _geometry(problem)
     f_member, f_fixed = _member_load_vectors(problem)
+    f_th, f_th_fixed = _thermal_member_vectors(problem)
+    f_member, f_fixed = f_member + f_th, f_fixed + f_th_fixed
     f_np = problem.loads + f_member
     if mesh is not None:
         # Multi-chip path: the banded solve rides parallel/

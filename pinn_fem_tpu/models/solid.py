@@ -74,6 +74,8 @@ class SolidProblem:
     prescribed: Optional[np.ndarray] = None     # (len(fixed_dofs),)
     body_force: Optional[np.ndarray] = None     # (3,)
     point_masses: Optional[np.ndarray] = None   # (n,)
+    alpha_cte: Optional[np.ndarray] = None      # (m,) or scalar CTE
+    temperature: Optional[np.ndarray] = None    # (m,) or scalar ΔT
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -113,6 +115,15 @@ class SolidProblem:
         if self.point_masses is not None:
             self.point_masses = np.asarray(self.point_masses,
                                            dtype=float).reshape(n)
+        if self.temperature is not None and self.alpha_cte is None:
+            raise ValueError('a "temperature" load case needs the '
+                             'thermal expansion coefficient (material '
+                             '"alpha")')
+        for name in ("alpha_cte", "temperature"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(self, name, np.broadcast_to(
+                    np.asarray(v, dtype=float), (m,)).copy())
         det = _hex_point(self.coords(), *_GP3[0])[1]
         if np.any(det <= 0):
             raise ValueError("hex8 elements must be positively "
@@ -269,6 +280,46 @@ def _body_force_vectors3(problem: SolidProblem) -> np.ndarray:
     return f
 
 
+def _thermal_strain3(problem: SolidProblem):
+    """(m, 6) Voigt thermal strain αΔT [1,1,1,0,0,0] of the ΔT load
+    case, or None.  Like the plane family, thermoelasticity is a
+    STATIC load case: the dynamic solvers refuse a temperature field
+    loudly rather than oscillate it with the forcing amplitude."""
+    if problem.temperature is None:
+        return None
+    a = problem.alpha_cte * problem.temperature            # (m,)
+    z = np.zeros_like(a)
+    return np.stack([a, a, a, z, z, z], axis=-1)
+
+
+def _thermal_load_vectors3(problem: SolidProblem) -> np.ndarray:
+    """(3n,) consistent thermal nodal loads f_th = ∫ Bᵀ D ε_th dV
+    (2×2×2 Gauss with the element-constant ε_th)."""
+    f = np.zeros(problem.ndof)
+    eps_th = _thermal_strain3(problem)
+    if eps_th is None:
+        return f
+    coords = problem.coords()
+    dmat = _dmat3(problem.young, problem.poisson)
+    s_th = np.einsum("mij,mj->mi", dmat, eps_th)           # (m, 6)
+    fe = np.zeros((problem.nelm, 24))
+    for xi, eta, zeta in _GP3:
+        b, det = _hex_point(coords, xi, eta, zeta)
+        fe += det[:, None] * np.einsum("mia,mi->ma", b, s_th)
+    np.add.at(f, problem.dof_map(), fe)
+    return f
+
+
+def _require_no_thermal3(problem: SolidProblem, kind: str):
+    """models/plane.py:_require_no_thermal, 3D twin."""
+    if problem.temperature is not None:
+        raise ValueError(
+            f"solid {kind} does not take a temperature load case — "
+            "thermoelastic loads are static; use analysis type "
+            '"static" (or "modal"/"buckling" with prestress, which '
+            "inherit ΔT through the static state)")
+
+
 def _assemble3(problem: SolidProblem, blocks: np.ndarray) -> np.ndarray:
     dm = problem.dof_map()
     k = np.zeros((problem.ndof, problem.ndof))
@@ -297,13 +348,23 @@ def _centroid_b3(problem: SolidProblem):
     return _hex_point(problem.coords(), 0.0, 0.0, 0.0)[0]
 
 
-def recover_stresses3(problem: SolidProblem, u: np.ndarray):
+def recover_stresses3(problem: SolidProblem, u: np.ndarray,
+                      thermal: bool = False):
     """Centroid stresses: (m, 6) Voigt [xx, yy, zz, yz, xz, xy], von
-    Mises (m,), principal (m, 3) [s1 >= s2 >= s3]."""
+    Mises (m,), principal (m, 3) [s1 >= s2 >= s3].
+
+    thermal=True subtracts the ΔT load case's thermal strain,
+    σ = D(ε − ε_th) — only for displacement fields SOLVED with the
+    thermal load (the static tiers); mode shapes / FRF states keep
+    the default (continuum_spectrum.py calls this on mode shapes)."""
     b = _centroid_b3(problem)
     dmat = _dmat3(problem.young, problem.poisson)
     eps = np.einsum("mia,ma->mi", b, u[problem.dof_map()])
-    sig = np.einsum("mij,mj->mi", dmat, eps)
+    eps_mech = eps
+    eps_th = _thermal_strain3(problem) if thermal else None
+    if eps_th is not None:
+        eps_mech = eps - eps_th
+    sig = np.einsum("mij,mj->mi", dmat, eps_mech)
     sxx, syy, szz = sig[:, 0], sig[:, 1], sig[:, 2]
     syz, sxz, sxy = sig[:, 3], sig[:, 4], sig[:, 5]
     vm = np.sqrt(0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2
@@ -334,7 +395,8 @@ def solve_solid_static(problem: SolidProblem) -> SolidStaticResult:
     k, _ = solid_matrices(problem, with_mass=False)
     mask = problem.free_mask()
     km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
-    f = problem.loads + _body_force_vectors3(problem)
+    f = problem.loads + _body_force_vectors3(problem) \
+        + _thermal_load_vectors3(problem)
     u_p = np.zeros(problem.ndof)
     if problem.prescribed is not None:
         u_p[problem.fixed_dofs] = problem.prescribed
@@ -342,7 +404,8 @@ def solve_solid_static(problem: SolidProblem) -> SolidStaticResult:
     else:
         rhs = f * mask
     u = np.linalg.solve(km, rhs) * mask + u_p
-    sig, vm, principal, eps = recover_stresses3(problem, u)
+    sig, vm, principal, eps = recover_stresses3(problem, u,
+                                                thermal=True)
     reactions = (k @ u - f) * (1.0 - mask)
     return SolidStaticResult(displacements=u, stresses=sig,
                              von_mises=vm, principal=principal,
@@ -408,6 +471,7 @@ def solve_solid_transient(problem: SolidProblem, dt: float,
         raise ValueError("transient needs positive dt and n_steps")
     if problem.prescribed is not None and np.any(problem.prescribed):
         raise ValueError("transient supports homogeneous supports only")
+    _require_no_thermal3(problem, "transient")
     k, m = solid_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k
@@ -473,6 +537,7 @@ def solid_harmonic(problem: SolidProblem, omegas,
         # term; silently returning the homogeneous-support response
         # would be wrong (the plane family's guard).
         raise ValueError("harmonic supports homogeneous supports only")
+    _require_no_thermal3(problem, "harmonic")
     k, m = solid_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k
@@ -705,7 +770,8 @@ def solve_solid_static_banded(problem: SolidProblem, tol: float = 1e-7,
                             max_diags=160)
         problem._dia_layout_cache = layout
         problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
-    f_np = problem.loads + _body_force_vectors3(problem)
+    f_np = problem.loads + _body_force_vectors3(problem) \
+        + _thermal_load_vectors3(problem)
     if mesh is not None:
         from ..ops.dia import assemble_dia_blocks, dia_matvec
         from ..parallel.dia_sharded import dia_cg_solve_sharded
@@ -737,7 +803,8 @@ def solve_solid_static_banded(problem: SolidProblem, tol: float = 1e-7,
             jnp.asarray(tol, dtype))
         u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
     u = np.asarray(u, dtype=float)
-    sig, vm, principal, eps = recover_stresses3(problem, u)
+    sig, vm, principal, eps = recover_stresses3(problem, u,
+                                                thermal=True)
     res = SolidStaticResult(displacements=u, stresses=sig,
                             von_mises=vm, principal=principal,
                             strains=eps,
@@ -863,6 +930,7 @@ def solve_solid_transient_banded(problem: SolidProblem, dt: float,
         raise ValueError("n_steps must be a multiple of record_every")
     if problem.prescribed is not None and np.any(problem.prescribed):
         raise ValueError("transient supports homogeneous supports only")
+    _require_no_thermal3(problem, "transient")
     dtype = dtype or jnp.asarray(1.0).dtype
     layout = getattr(problem, "_dia_layout_cache", None)
     if layout is None:

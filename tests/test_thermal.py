@@ -1,109 +1,319 @@
-"""Thermal loading (ops/thermal.py) vs closed forms.
+"""Thermoelastic (ΔT) load case across the element families.
 
-Constrained bar: u = 0, support reactions -+ E A alpha dT.
-Free bar: tip displacement alpha dT L, stress-free (eps == eps0).
-Statically determinate truss heated uniformly: pure scaling about the
-support, u = alpha dT (x - x_support), zero member force."""
+The reference (rpacheco-blazquez/PINN-FEM) has no thermal loading at
+all; this family is original capability on the framework's own
+continuum/frame elements.  Every anchor is an exact closed form —
+thermal load cases are the rare FEM feature where the coarse-mesh
+answer IS the textbook answer (constant ε_th is in every element's
+ansatz space):
 
-import json
+  plane  free expansion u = αΔT·x (stress-free) on CST and Q4;
+         fully clamped plane stress σ = −EαΔT/(1−ν) biaxial;
+         fully clamped plane strain σ = −EαΔT/(1−2ν) hydrostatic
+         (von Mises 0, σzz carried by the recovery);
+  solid  free expansion / fully clamped −EαΔT/(1−2ν);
+  frame  fixed-fixed N = −EAαΔT; free expansion αΔT·L;
+         clamped-clamped gradient |M| = EIκ, κ = α·dT/dy;
+         cantilever gradient bows stress-free to v = κL²/2;
+         heated pinned column buckles when EAαΔT·λ = π²EI/L²
+         (thermal buckling inherits ΔT through the static state);
+  tiers  banded device tier == dense host; JSON documents route the
+         "temperature" key (+ material "alpha") through every family;
+  guards dynamic solvers refuse a ΔT field loudly (a thermal load is
+         static; oscillating it with the forcing amplitude would be
+         silently wrong physics).
+"""
+
 import numpy as np
+import pytest
 
-import jax
+from pinn_fem_tpu.models.frame import (FrameProblem, frame_buckling,
+                                       solve_frame_static)
+from pinn_fem_tpu.models.plane import (PlaneProblem, rect_mesh,
+                                       solve_plane_static)
+from pinn_fem_tpu.models.solid import (SolidProblem, box_mesh,
+                                       solve_solid_static)
 
-from pinn_fem_tpu import Material, SolverConfig, TrussProblem, solve_nr
-from pinn_fem_tpu.ops.thermal import (element_delta_t, thermal_free_strains,
-                                      thermal_loads)
-
-ALPHA, DT = 1e-4, 50.0
-
-
-def heated_bar(n=5, fixed_both=False, young=3.0, area=0.7):
-    nodes = np.arange(n, dtype=float)
-    elements = np.stack([np.arange(n - 1), np.arange(1, n)], 1)
-    fixed = [0, n - 1] if fixed_both else [0]
-    p = TrussProblem(nodes, elements,
-                     Material(young=young, area=area, density=1.0),
-                     np.zeros(n), np.array(fixed), 1)
-    data = p.to_device()
-    dt_e = element_delta_t(data, DT, n)
-    f_th = np.asarray(jax.device_get(
-        thermal_loads(data, p.material, ALPHA, dt_e)))
-    return TrussProblem(nodes, elements, p.material, f_th,
-                        np.array(fixed), 1), data
+E, NU, ALPHA, DT = 1000.0, 0.3, 1e-4, 50.0
 
 
-def test_constrained_bar_zero_displacement():
-    p, _ = heated_bar(fixed_both=True)
-    r = solve_nr(p, SolverConfig(max_iterations=10, tolerance=1e-12), 1.0)
-    u = np.asarray(r.displacements).reshape(-1)
-    np.testing.assert_allclose(u, 0.0, atol=1e-9)
-    # Support reactions hold the compression E A alpha dT in.
-    reac = np.asarray(r.reactions).reshape(-1)
-    force = 3.0 * 0.7 * ALPHA * DT
-    np.testing.assert_allclose(sorted([reac[0], reac[-1]]),
-                               [-force, force], rtol=1e-5)
+def _plane(element="quad", fixed="minimal", plane_strain=False,
+           **kw):
+    nodes, elems = rect_mesh(2.0, 1.0, 4, 2, element=element)
+    n = nodes.shape[0]
+    if fixed == "minimal":
+        left = np.flatnonzero(nodes[:, 0] == 0.0)
+        fixed_dofs = [2 * i for i in left] + [2 * left[0] + 1]
+    else:
+        fixed_dofs = np.arange(2 * n)
+    return PlaneProblem(nodes, elems, E, NU, 0.1, 1.0,
+                        np.zeros(2 * n), fixed_dofs,
+                        plane_strain=plane_strain, alpha_cte=ALPHA,
+                        temperature=DT, **kw)
 
 
-def test_free_bar_stress_free_expansion():
-    p, data = heated_bar(fixed_both=False)
-    r = solve_nr(p, SolverConfig(max_iterations=10, tolerance=1e-12), 1.0)
-    u = np.asarray(r.displacements).reshape(-1)
-    # u(x) = alpha dT x, tip = alpha dT L.
-    np.testing.assert_allclose(u, ALPHA * DT * np.arange(5), rtol=1e-4,
-                               atol=1e-10)
-    # Mechanical strain == free strain -> zero stress.
-    eps = np.diff(u)
-    eps0 = np.asarray(jax.device_get(thermal_free_strains(
-        data, ALPHA, element_delta_t(data, DT, 5))))
-    np.testing.assert_allclose(eps, eps0, rtol=1e-4)
+@pytest.mark.parametrize("element", ["quad", "tri"])
+def test_plane_free_expansion_stress_free(element):
+    p = _plane(element=element)
+    r = solve_plane_static(p)
+    assert r.von_mises.max() < 1e-10
+    ux_right = r.displacements[0::2][p.nodes[:, 0] == 2.0]
+    assert np.allclose(ux_right, ALPHA * DT * 2.0, atol=1e-12)
+    # Lateral expansion too: u_y on the top edge = αΔT·H.
+    uy_top = r.displacements[1::2][p.nodes[:, 1] == 1.0]
+    assert np.allclose(uy_top - r.displacements[1::2][
+        p.nodes[:, 1] == 0.0], ALPHA * DT * 1.0, atol=1e-12)
 
 
-def test_determinate_truss_scales_about_support():
-    """Pinned triangle (statically determinate): uniform heating scales
-    the structure about the pin with zero member stress."""
-    nodes = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 1.5]])
-    elements = np.array([[0, 1], [1, 2], [0, 2]])
-    mat = Material(young=10.0, area=1.0, density=1.0)
-    base = TrussProblem(nodes, elements, mat, np.zeros(6),
-                        np.array([0, 1, 3]), 2)  # pin node0, roller node1
-    data = base.to_device()
-    f_th = np.asarray(jax.device_get(thermal_loads(
-        data, mat, ALPHA, element_delta_t(data, DT, 3))))
-    p = TrussProblem(nodes, elements, mat, f_th, np.array([0, 1, 3]), 2)
-    r = solve_nr(p, SolverConfig(max_iterations=10, tolerance=1e-12), 1.0)
-    u = np.asarray(r.displacements).reshape(-1, 2)
-    expect = ALPHA * DT * (nodes - nodes[0])
-    np.testing.assert_allclose(u, expect, rtol=1e-4, atol=1e-9)
+def test_plane_clamped_biaxial_stress():
+    r = solve_plane_static(_plane(fixed="all"))
+    want = -E * ALPHA * DT / (1.0 - NU)
+    assert np.allclose(r.stresses[:, 0], want, rtol=1e-12)
+    assert np.allclose(r.stresses[:, 1], want, rtol=1e-12)
+    assert np.abs(r.stresses[:, 2]).max() < 1e-10
+    assert np.abs(r.displacements).max() == 0.0
 
 
-def test_per_node_delta_t_averages():
-    nodes = np.arange(3, dtype=float)
-    elements = np.array([[0, 1], [1, 2]])
-    p = TrussProblem(nodes, elements, Material(1.0, 1.0, 1.0),
-                     np.zeros(3), np.array([0]), 1)
-    data = p.to_device()
-    dt_e = np.asarray(jax.device_get(
-        element_delta_t(data, np.array([0.0, 100.0, 200.0]), 3)))
-    np.testing.assert_allclose(dt_e, [50.0, 150.0])
+def test_plane_strain_clamped_hydrostatic():
+    r = solve_plane_static(_plane(fixed="all", plane_strain=True))
+    want = -E * ALPHA * DT / (1.0 - 2.0 * NU)
+    assert np.allclose(r.stresses[:, 0], want, rtol=1e-12)
+    assert np.allclose(r.stresses[:, 1], want, rtol=1e-12)
+    # Hydrostatic: σzz (recovered with the −EαΔT suppression term)
+    # equals the in-plane stress, so the von Mises vanishes.
+    assert r.von_mises.max() < 1e-9
 
 
-def test_thermal_through_schema_cli(tmp_path):
-    """The {"thermal": ...} block adds equivalent loads at parse time and
-    the free-bar expansion comes out of the generic CLI end-to-end."""
-    from pinn_fem_tpu.cli.generic import run
+def test_plane_reactions_balance():
+    r = solve_plane_static(_plane(fixed="all"))
+    # Self-equilibrated load case: reactions sum to zero per axis.
+    assert abs(r.reactions[0::2].sum()) < 1e-8
+    assert abs(r.reactions[1::2].sum()) < 1e-8
 
-    doc = {
-        "nodes": [[float(i)] for i in range(5)],
-        "elements": [[i, i + 1] for i in range(4)],
-        "material": {"young": 3.0, "area": 0.7, "density": 1.0},
-        "loads": [0.0] * 5,
-        "fixed_dofs": [0],
-        "solver_type": "fem",
-        "thermal": {"alpha": ALPHA, "delta_t": DT},
-    }
-    pf = tmp_path / "thermal.json"
-    pf.write_text(json.dumps(doc))
-    out = run(str(pf))
-    u = np.asarray(out["displacements"])
-    np.testing.assert_allclose(u, ALPHA * DT * np.arange(5), rtol=1e-4,
-                               atol=1e-10)
+
+def test_plane_temperature_needs_alpha():
+    nodes, elems = rect_mesh(1.0, 1.0, 2, 2)
+    with pytest.raises(ValueError, match="alpha"):
+        PlaneProblem(nodes, elems, E, NU, 0.1, 1.0,
+                     np.zeros(2 * nodes.shape[0]), [0, 1],
+                     temperature=DT)
+
+
+def test_plane_dynamic_paths_refuse_thermal():
+    from pinn_fem_tpu.models.plane import (plane_harmonic,
+                                           solve_plane_transient)
+    p = _plane()
+    with pytest.raises(ValueError, match="static"):
+        solve_plane_transient(p, 1e-3, 4)
+    with pytest.raises(ValueError, match="static"):
+        plane_harmonic(p, [1.0], damping=(0.01, 0.0))
+
+
+def test_plane_banded_matches_dense():
+    p = _plane(element="quad")
+    dense = solve_plane_static(p)
+    from pinn_fem_tpu.models.plane import solve_plane_static_banded
+    banded, _, rel = solve_plane_static_banded(p, tol=1e-10)
+    assert rel < 1e-8
+    # The banded tier solves in device f32: ~5e-8 absolute on the
+    # 1e-2-magnitude field (measured), so 5e-7 is a 10× margin.
+    assert np.allclose(banded.displacements, dense.displacements,
+                       atol=5e-7)
+    assert np.allclose(banded.stresses, dense.stresses, atol=1e-2)
+
+
+def test_solid_free_expansion_and_clamped():
+    nodes, elems = box_mesh(2.0, 1.0, 1.0, 4, 2, 2)
+    n = nodes.shape[0]
+    fx = [3 * i for i in np.flatnonzero(nodes[:, 0] == 0.0)]
+    fy = [3 * i + 1 for i in np.flatnonzero(nodes[:, 1] == 0.0)]
+    fz = [3 * i + 2 for i in np.flatnonzero(nodes[:, 2] == 0.0)]
+    p = SolidProblem(nodes, elems, E, NU, 1.0, np.zeros(3 * n),
+                     fx + fy + fz, alpha_cte=ALPHA, temperature=DT)
+    r = solve_solid_static(p)
+    assert r.von_mises.max() < 1e-10
+    ux = r.displacements[0::3][nodes[:, 0] == 2.0]
+    assert np.allclose(ux, ALPHA * DT * 2.0, atol=1e-12)
+
+    p2 = SolidProblem(nodes, elems, E, NU, 1.0, np.zeros(3 * n),
+                      np.arange(3 * n), alpha_cte=ALPHA,
+                      temperature=DT)
+    r2 = solve_solid_static(p2)
+    want = -E * ALPHA * DT / (1.0 - 2.0 * NU)
+    for c in range(3):
+        assert np.allclose(r2.stresses[:, c], want, rtol=1e-12)
+    assert r2.von_mises.max() < 1e-9
+
+
+def test_solid_dynamic_paths_refuse_thermal():
+    from pinn_fem_tpu.models.solid import (solid_harmonic,
+                                           solve_solid_transient)
+    nodes, elems = box_mesh(1.0, 1.0, 1.0, 2, 2, 2)
+    n = nodes.shape[0]
+    p = SolidProblem(nodes, elems, E, NU, 1.0, np.zeros(3 * n),
+                     np.arange(12), alpha_cte=ALPHA, temperature=DT)
+    with pytest.raises(ValueError, match="static"):
+        solve_solid_transient(p, 1e-3, 4)
+    with pytest.raises(ValueError, match="static"):
+        solid_harmonic(p, [1.0], damping=(0.01, 0.0))
+
+
+EA, AI, LEN = 200e9 * 0.01, 1e-5, 3.0
+
+
+def _bar(fixed, **kw):
+    nodes = np.array([[0.0, 0.0], [LEN, 0.0]])
+    return FrameProblem(nodes, np.array([[0, 1]]), 200e9, 0.01, AI,
+                        7850.0, np.zeros(6), fixed,
+                        alpha_cte=1.2e-5, **kw)
+
+
+def test_frame_fixed_fixed_axial_force():
+    r = solve_frame_static(_bar(np.arange(6), temperature=40.0))
+    assert np.isclose(r.axial[0], -EA * 1.2e-5 * 40.0, rtol=1e-12)
+    assert np.abs(r.displacements).max() == 0.0
+
+
+def test_frame_free_expansion():
+    r = solve_frame_static(_bar([0, 1, 2], temperature=40.0))
+    assert np.isclose(r.displacements[3], 1.2e-5 * 40.0 * LEN,
+                      rtol=1e-12)
+    assert abs(r.axial[0]) < 1e-6 * EA * 1.2e-5 * 40.0
+
+
+def test_frame_gradient_clamped_moment():
+    g = 100.0
+    r = solve_frame_static(_bar(np.arange(6),
+                                temperature_gradient=g))
+    want = 200e9 * AI * 1.2e-5 * g
+    assert np.allclose(np.abs(r.moments[0]), want, rtol=1e-12)
+    assert np.abs(r.displacements).max() == 0.0
+
+
+def test_frame_gradient_cantilever_bows_stress_free():
+    g = 100.0
+    r = solve_frame_static(_bar([0, 1, 2], temperature_gradient=g))
+    kappa = 1.2e-5 * g
+    assert np.isclose(r.displacements[4], kappa * LEN ** 2 / 2.0,
+                      rtol=1e-10)
+    assert np.isclose(r.displacements[5], kappa * LEN, rtol=1e-10)
+    assert np.abs(r.moments).max() < 1e-8 * 200e9 * AI * kappa
+
+
+def test_frame_inclined_member_thermal():
+    nodes = np.array([[0.0, 0.0], [3.0, 4.0]])     # length 5
+    p = FrameProblem(nodes, np.array([[0, 1]]), 200e9, 0.01, AI,
+                     7850.0, np.zeros(6), np.arange(6),
+                     alpha_cte=1.2e-5, temperature=40.0)
+    r = solve_frame_static(p)
+    assert np.isclose(r.axial[0], -EA * 1.2e-5 * 40.0, rtol=1e-12)
+
+
+def test_frame_thermal_buckling():
+    """Heated pinned-pinned column: buckles when the thermal
+    compression reaches Euler, λ_cr · EAαΔT = π²EI/L² (refined
+    member for the discretized K_g)."""
+    n = 8
+    ys = np.linspace(0.0, LEN, n + 1)
+    nodes = np.stack([np.zeros(n + 1), ys], axis=1)
+    elems = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    # Pin both ends (u, v at 0; u AND v at top — the vertical
+    # restraint is what turns ΔT into compression), rotations free.
+    fixed = [0, 1, 3 * n, 3 * n + 1]
+    p = FrameProblem(nodes, elems, 200e9, 0.01, AI, 7850.0,
+                     np.zeros(3 * (n + 1)), fixed,
+                     alpha_cte=1.2e-5, temperature=40.0)
+    bk = frame_buckling(p, n_modes=1)
+    p_thermal = EA * 1.2e-5 * 40.0
+    p_euler = np.pi ** 2 * 200e9 * AI / LEN ** 2
+    assert np.isclose(bk.load_factors[0] * p_thermal, p_euler,
+                      rtol=2e-3)
+
+
+def test_frame_dynamic_paths_refuse_thermal():
+    from pinn_fem_tpu.models.frame import (frame_harmonic,
+                                           solve_frame_transient)
+    p = _bar([0, 1, 2], temperature=40.0)
+    with pytest.raises(ValueError, match="static"):
+        solve_frame_transient(p, 1e-4, 4)
+    with pytest.raises(ValueError, match="static"):
+        frame_harmonic(p, [1.0], damping=(0.01, 0.0))
+
+
+# ------------------------------------------------------------------ #
+# JSON tier: the "temperature" document key routes through all three
+# families (material carries "alpha").
+# ------------------------------------------------------------------ #
+
+def test_json_plane_thermal():
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+    out = run_plane_document({
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": 2.0, "height": 1.0,
+                 "nx": 4, "ny": 2, "element": "quad"},
+        "material": {"young": E, "poisson": NU, "thickness": 0.1,
+                     "alpha": ALPHA},
+        "fixed_nodes": "left",
+        "fixed_x_nodes": "right",
+        "temperature": DT,
+        "analysis": {"type": "static"},
+    })
+    assert out["success"]
+    # x fully restrained, y free: σxx = −EαΔT (ν-free, uniaxial
+    # restraint with free lateral expansion)... not exactly — left
+    # edge clamps y too, so just pin the load-bearing invariant:
+    # compressive σxx of order EαΔT at mid-span elements.
+    sxx = np.asarray(out["stresses"])[:, 0]
+    assert sxx.max() < 0.0       # everything in compression
+    assert abs(np.median(sxx) + E * ALPHA * DT) < 0.15 * E * ALPHA * DT
+
+
+def test_json_solid_thermal():
+    from pinn_fem_tpu.io.solid_io import run_solid_document
+    out = run_solid_document({
+        "element_type": "solid",
+        "mesh": {"type": "box", "lx": 2.0, "ly": 1.0, "lz": 1.0,
+                 "nx": 2, "ny": 1, "nz": 1},
+        "material": {"young": E, "poisson": NU, "alpha": ALPHA},
+        "fixed_nodes": "x_min", "fixed_x_nodes": "x_max",
+        "temperature": DT,
+        "analysis": {"type": "static"},
+    })
+    assert out["success"]
+    assert out["max_von_mises"] > 0.1 * E * ALPHA * DT
+
+
+def test_json_frame_thermal():
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+    out = run_frame_document({
+        "element_type": "frame",
+        "nodes": [[0.0, 0.0], [3.0, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": 200e9, "area": 0.01, "inertia": 1e-5,
+                     "density": 7850.0, "alpha": 1.2e-5},
+        "loads": [0.0] * 6,
+        "fixed_nodes": [0, 1],
+        "temperature": 40.0,
+        "analysis": {"type": "static"},
+    })
+    assert out["success"]
+    assert np.isclose(out["axial_forces"][0], -EA * 1.2e-5 * 40.0,
+                      rtol=1e-9)
+
+
+def test_json_frame_thermal_refused_in_transient():
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+    with pytest.raises(ValueError, match="static"):
+        run_frame_document({
+            "element_type": "frame",
+            "nodes": [[0.0, 0.0], [3.0, 0.0]],
+            "elements": [[0, 1]],
+            "material": {"young": 200e9, "area": 0.01,
+                         "inertia": 1e-5, "density": 7850.0,
+                         "alpha": 1.2e-5},
+            "loads": [0.0] * 6,
+            "fixed_nodes": [0],
+            "temperature": 40.0,
+            "analysis": {"type": "transient", "dt": 1e-4,
+                         "n_steps": 4},
+        })
