@@ -30,7 +30,8 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-fatigue.json", "dyn-frame.json",
+                   "dyn-fatigue.json", "dyn-frame-thermal.json",
+                   "dyn-frame.json",
                    "dyn-harmonic.json",
                    "dyn-identification-field.json",
                    "dyn-identification-frf.json",
@@ -68,6 +69,19 @@ def test_dyn_corpus_runs(name, tmp_path):
         shapes = np.asarray(res["mode_shapes"])
         assert shapes.shape == (4, 18)
         assert abs(shapes[0][3 * 4]) > 5.0 * abs(shapes[0][3 * 4 + 2])
+    elif name == "dyn-frame-thermal.json":
+        # Clamped-clamped member, uniform ΔT + through-depth gradient:
+        # both thermal-restraint closed forms exact (u ≡ 0,
+        # N = −EAαΔT, |M| = EIα·g — tests/test_thermal.py anchors
+        # through the JSON tier).
+        assert res["element_type"] == "frame"
+        assert np.abs(np.asarray(res["displacements"])).max() < 1e-12
+        np.testing.assert_allclose(
+            res["axial_forces"], -200e9 * 0.01 * 1.2e-5 * 40.0,
+            rtol=1e-9)
+        np.testing.assert_allclose(
+            np.abs(np.asarray(res["end_moments"])),
+            200e9 * 1e-5 * 1.2e-5 * 100.0, rtol=1e-9)
     elif name == "dyn-plane.json":
         # Axial-rod membrane strip (ν = 0, all y DOFs fixed): the Q4
         # consistent-mass frequencies converge to f_k = (2k−1)c/4L from
