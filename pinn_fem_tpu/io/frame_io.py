@@ -116,6 +116,8 @@ def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
             pm = full
         else:
             pm = arr
+    from .plane_io import _thermal_block
+    _th_alpha, _th_temp = _thermal_block(doc, mat)
     problem = FrameProblem(
         nodes=nodes, elements=elements,
         young=mat.get("young", 1.0), area=mat.get("area", 1.0),
@@ -123,8 +125,8 @@ def parse_frame_document(doc: Dict) -> Tuple[FrameProblem, Dict]:
         loads=loads, fixed_dofs=np.sort(np.unique(fixed)),
         point_masses=pm, member_loads=ml,
         section_modulus=mat.get("section_modulus"),
-        alpha_cte=mat.get("alpha"),
-        temperature=doc.get("temperature"),
+        alpha_cte=_th_alpha,
+        temperature=_th_temp,
         temperature_gradient=doc.get("temperature_gradient"))
     return problem, dict(doc.get("analysis")
                          or {"type": "static"})

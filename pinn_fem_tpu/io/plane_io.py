@@ -149,6 +149,23 @@ def _named_nodes(nodes: np.ndarray, name):
     return ids[np.argsort(nodes[ids, 1 - axis])]
 
 
+def _thermal_block(doc, mat):
+    """Unified thermal contract: the truss families' extension block
+    {"thermal": {"alpha": a, "delta_t": dT}} (io/schema.py:196) is
+    accepted on every element family alongside the native
+    material-"alpha" + document-"temperature" keys; giving both forms
+    at once is ambiguous and refused.  Returns (alpha, temperature)."""
+    th = doc.get("thermal")
+    if th is None:
+        return mat.get("alpha"), doc.get("temperature")
+    if "temperature" in doc or "alpha" in mat:
+        raise ValueError('give EITHER the "thermal" block OR '
+                         'material "alpha" + "temperature", not both')
+    if "delta_t" not in th:
+        raise ValueError('"thermal" block needs "delta_t"')
+    return th.get("alpha", 1.0), th["delta_t"]
+
+
 def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
     mesh = doc.get("mesh")
     if mesh is not None:
@@ -257,8 +274,8 @@ def parse_plane_document(doc: Dict) -> Tuple[PlaneProblem, Dict]:
         prescribed=prescribed,
         body_force=doc.get("body_force"),
         point_masses=pm,
-        alpha_cte=mat.get("alpha"),
-        temperature=doc.get("temperature"))
+        alpha_cte=_thermal_block(doc, mat)[0],
+        temperature=_thermal_block(doc, mat)[1])
     return problem, dict(doc.get("analysis") or {"type": "static"})
 
 

@@ -201,14 +201,16 @@ def parse_solid_document(doc: Dict) -> Tuple[SolidProblem, Dict]:
         else:
             pm = arr
 
+    from .plane_io import _thermal_block
+    _th_alpha, _th_temp = _thermal_block(doc, mat)
     problem = SolidProblem(
         nodes=nodes, elements=elements,
         young=mat.get("young", 1.0), poisson=mat["poisson"],
         density=mat.get("density", 1.0),
         loads=loads, fixed_dofs=fixed, prescribed=prescribed,
         body_force=doc.get("body_force"), point_masses=pm,
-        alpha_cte=mat.get("alpha"),
-        temperature=doc.get("temperature"))
+        alpha_cte=_th_alpha,
+        temperature=_th_temp)
 
     # Surface loads resolve AFTER the problem exists (named faces need
     # the element boundary quads).

@@ -317,3 +317,27 @@ def test_json_frame_thermal_refused_in_transient():
             "analysis": {"type": "transient", "dt": 1e-4,
                          "n_steps": 4},
         })
+
+
+def test_json_unified_thermal_block():
+    """The truss families' {"thermal": {"alpha", "delta_t"}} extension
+    block (io/schema.py) works on the other families too; giving both
+    contracts at once is ambiguous and refused."""
+    from pinn_fem_tpu.io.plane_io import run_plane_document
+    doc = {
+        "element_type": "plane",
+        "mesh": {"type": "rect", "width": 2.0, "height": 1.0,
+                 "nx": 4, "ny": 2, "element": "quad"},
+        "material": {"young": E, "poisson": NU, "thickness": 0.1},
+        "fixed_nodes": "left", "fixed_x_nodes": "right",
+        "thermal": {"alpha": ALPHA, "delta_t": DT},
+        "analysis": {"type": "static"},
+    }
+    out = run_plane_document(doc)
+    assert out["success"]
+    assert np.asarray(out["stresses"])[:, 0].max() < 0.0
+
+    bad = dict(doc)
+    bad["temperature"] = DT
+    with pytest.raises(ValueError, match="not both"):
+        run_plane_document(bad)
