@@ -1,0 +1,418 @@
+"""Reissner-Mindlin plate bending — flexure joins the framework.
+
+The reference (rpacheco-blazquez/PINN-FEM) is axial-truss only; this
+build already carries membranes (models/plane.py), bricks
+(models/solid.py) and beams (models/frame.py).  Plates are the last
+classic structural element type: floor slabs, bridge decks, ship
+panels, pressure-vessel heads — 2D geometry carrying TRANSVERSE load
+by bending, which neither the membrane (in-plane only) nor a beam
+grid (no twist coupling) represents.
+
+Element: 4-node Mindlin quadrilateral with SELECTIVE REDUCED
+INTEGRATION — bending 2×2 Gauss, transverse shear 1×1.  Full 2×2
+integration of the shear term locks catastrophically in the thin
+limit (the bilinear field cannot represent γ ≡ 0 states, so spurious
+shear energy scales like (a/t)² — the classic result); one-point
+shear integration removes exactly those parasitic modes while the
+2×2 bending keeps the element rank-sufficient (no spurious zero-energy
+modes on a supported mesh).  Measured here: at t/a = 0.01 the SRI
+element converges onto the Kirchhoff coefficient from below at ~1%
+with 16×16 elements, while full integration is off by ~100× (locked).
+
+Kinematics (w, βx, βy per node — β are the rotations of the normal,
+u = −z·βx, v = −z·βy):
+
+    curvature κ = [βx,x;  βy,y;  βx,y + βy,x]
+    shear     γ = [w,x − βx;  w,y − βy]
+    K_e = ∫ B_bᵀ D_b B_b dA  (2×2)  +  ∫ B_sᵀ D_s B_s dA  (1×1)
+    D_b = E t³/12(1−ν²) · [[1, ν, 0], [ν, 1, 0], [0, 0, (1−ν)/2]]
+    D_s = κ_s G t I₂,  κ_s = 5/6  (Reissner's parabolic-shear factor)
+
+Verification anchors (tests/test_plate.py) are exact Mindlin/Navier
+series — hard simply supported rectangle under uniform q:
+
+    w(x,y) = Σ_mn q_mn sin(mπx/a) sin(nπy/b) ·
+             [1/(D k⁴) + 1/(κ_s G t k²)],   k² = (mπ/a)² + (nπ/b)²
+
+valid for ANY thickness (the shear term is the Mindlin correction),
+plus the thin-limit Kirchhoff coefficients (α = 0.00406 qa⁴/D simply
+supported, 0.00126 clamped) under refinement, and SS-plate
+frequencies ω_mn = k²√(D/ρt) in the thin limit (consistent mass with
+ρt³/12 rotary inertia).
+
+Execution tiers follow the family doctrine: dense host float64 below
+DENSE_DOF_LIMIT; the banded DIA device tier rides ops/dia.py
+unchanged (dia_layout is dof_map-generic — 3 DOFs/node like frames).
+All element math is batched (m, 12, 12) einsum contractions with an
+xp parameter, so the traced jnp twin reuses the same closed forms
+(models/plane.py doctrine — no second implementation to drift).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .plane import _CORNERS, _GP, _einsum, _q4_dn, rect_mesh  # noqa: F401
+
+_SHEAR_K = 5.0 / 6.0
+
+
+@dataclass
+class PlateProblem:
+    """Mindlin plate: nodes (n, 2) midsurface coordinates; elements
+    (m, 4) Q4 (CCW); per-element material (scalars broadcast); nodal
+    loads (3n,) as [Fz, Mx, My]*n on the 3-DOF numbering w_i = 3i,
+    βx_i = 3i+1, βy_i = 3i+2; optional uniform transverse pressure
+    (force/area, consistent nodal loads) and per-node point masses."""
+    nodes: np.ndarray
+    elements: np.ndarray
+    young: np.ndarray            # (m,) or scalar
+    poisson: np.ndarray
+    thickness: np.ndarray
+    density: np.ndarray
+    loads: np.ndarray            # (3n,)
+    fixed_dofs: np.ndarray
+    pressure: Optional[np.ndarray] = None       # (m,) or scalar q
+    point_masses: Optional[np.ndarray] = None   # (n,)
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=float)
+        if self.nodes.ndim != 2 or self.nodes.shape[1] != 2:
+            raise ValueError("plate nodes must be (n, 2)")
+        self.elements = np.asarray(self.elements, dtype=int)
+        if self.elements.ndim != 2 or self.elements.shape[1] != 4:
+            raise ValueError("plate elements must be (m, 4) Q4 — the "
+                             "SRI Mindlin element is quadrilateral")
+        n, m = self.nodes.shape[0], self.elements.shape[0]
+        if self.elements.min(initial=0) < 0 \
+                or self.elements.max(initial=-1) >= n:
+            raise ValueError("element connectivity out of node range")
+        for name in ("young", "poisson", "thickness", "density"):
+            v = np.broadcast_to(
+                np.asarray(getattr(self, name), dtype=float), (m,))
+            setattr(self, name, np.array(v))
+        if np.any(self.young <= 0) or np.any(self.thickness <= 0):
+            raise ValueError("young and thickness must be positive")
+        if np.any(self.poisson < 0) or np.any(self.poisson >= 0.5):
+            raise ValueError("poisson must lie in [0, 0.5)")
+        self.loads = np.asarray(self.loads, dtype=float).reshape(-1)
+        if self.loads.size != 3 * n:
+            raise ValueError(f"loads must have 3*nnode = {3 * n} "
+                             f"entries, got {self.loads.size}")
+        self.fixed_dofs = np.unique(np.asarray(self.fixed_dofs,
+                                               dtype=int).reshape(-1))
+        if self.fixed_dofs.size and (self.fixed_dofs.min() < 0
+                                     or self.fixed_dofs.max() >= 3 * n):
+            raise ValueError("fixed_dofs out of range")
+        if self.pressure is not None:
+            self.pressure = np.broadcast_to(
+                np.asarray(self.pressure, dtype=float), (m,)).copy()
+        if self.point_masses is not None:
+            self.point_masses = np.broadcast_to(
+                np.asarray(self.point_masses, dtype=float), (n,)).copy()
+        from .plane import _q4_detj
+        if np.any(_q4_detj(self.coords()) <= 0.0):
+            raise ValueError("plate quadrilaterals must be CCW and "
+                             "convex enough for positive Jacobians")
+
+    @property
+    def nnode(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def nelm(self) -> int:
+        return self.elements.shape[0]
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.nnode
+
+    def coords(self) -> np.ndarray:
+        return self.nodes[self.elements]          # (m, 4, 2)
+
+    def dof_map(self) -> np.ndarray:
+        return (3 * self.elements[:, :, None]
+                + np.arange(3)).reshape(self.nelm, 12)
+
+    def free_mask(self) -> np.ndarray:
+        mask = np.ones(self.ndof)
+        mask[self.fixed_dofs] = 0.0
+        return mask
+
+
+# --------------------------------------------------------------------
+# Element closed forms (batched, xp-parameterized: numpy host = jnp
+# traced twin share one implementation — models/plane.py doctrine)
+
+
+def _shape_grads(coords, xi, eta, xp=np):
+    """(N (4,), dN/dx (m, 4), dN/dy (m, 4), detJ (m,)) at one natural
+    point — the bilinear isoparametric map (plane.py's _q4_point
+    without the membrane Voigt packing; plates need N itself for the
+    shear and mass terms)."""
+    xa, ea = _CORNERS[:, 0], _CORNERS[:, 1]
+    n = 0.25 * (1.0 + xa * xi) * (1.0 + ea * eta)           # (4,)
+    dn = _q4_dn(xi, eta)                                    # (2, 4)
+    jac = _einsum(xp, "an,mnc->mac", xp.asarray(dn), coords)
+    det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
+    inv = xp.stack([
+        xp.stack([jac[:, 1, 1], -jac[:, 0, 1]], axis=-1),
+        xp.stack([-jac[:, 1, 0], jac[:, 0, 0]], axis=-1)],
+        axis=-2) / det[:, None, None]
+    dxy = _einsum(xp, "mab,bn->man", inv, xp.asarray(dn))   # (m, 2, 4)
+    return n, dxy[:, 0], dxy[:, 1], det
+
+
+def _bend_b(dx, dy, xp=np):
+    """(m, 3, 12) curvature-displacement matrix at one point, DOF
+    order (w, βx, βy) per node: κ = [βx,x; βy,y; βx,y + βy,x]."""
+    m = dx.shape[0]
+    z = xp.zeros_like(dx)
+    cols = []
+    for i in range(4):
+        cols.append(xp.stack([z[:, i], z[:, i], z[:, i]], axis=-1))
+        cols.append(xp.stack([dx[:, i], z[:, i], dy[:, i]], axis=-1))
+        cols.append(xp.stack([z[:, i], dy[:, i], dx[:, i]], axis=-1))
+    return xp.stack(cols, axis=-1)                 # (m, 3, 12)
+
+
+def _shear_b(n, dx, dy, xp=np):
+    """(m, 2, 12) shear-displacement matrix at one point:
+    γ = [w,x − βx; w,y − βy]."""
+    z = xp.zeros_like(dx)
+    nn = xp.broadcast_to(xp.asarray(n), dx.shape)
+    cols = []
+    for i in range(4):
+        cols.append(xp.stack([dx[:, i], dy[:, i]], axis=-1))
+        cols.append(xp.stack([-nn[:, i], z[:, i]], axis=-1))
+        cols.append(xp.stack([z[:, i], -nn[:, i]], axis=-1))
+    return xp.stack(cols, axis=-1)                 # (m, 2, 12)
+
+
+def _dmats(young, poisson, thickness, xp=np):
+    """(D_b (m, 3, 3), D_s scalar (m,)): bending rigidity matrix and
+    the isotropic shear stiffness κ_s G t (D_s is D_s·I₂)."""
+    e, nu, t = young, poisson, thickness
+    d = e * t ** 3 / (12.0 * (1.0 - nu * nu))
+    z = xp.zeros_like(d)
+    db = xp.stack([
+        xp.stack([d, d * nu, z], axis=-1),
+        xp.stack([d * nu, d, z], axis=-1),
+        xp.stack([z, z, d * (1.0 - nu) / 2.0], axis=-1)], axis=-2)
+    g = e / (2.0 * (1.0 + nu))
+    return db, _SHEAR_K * g * t
+
+
+def _k_blocks_plate(coords, young, poisson, thickness, xp=np):
+    """(m, 12, 12) SRI Mindlin stiffness blocks: bending 2×2,
+    shear 1×1 (the locking fix — module docstring)."""
+    db, ds = _dmats(young, poisson, thickness, xp)
+    k = None
+    for xi, eta in _GP:                     # 2×2 bending (weights 1)
+        _, dx, dy, det = _shape_grads(coords, xi, eta, xp)
+        bb = _bend_b(dx, dy, xp)
+        kg = det[:, None, None] * _einsum(xp, "mia,mij,mjb->mab",
+                                          bb, db, bb)
+        k = kg if k is None else k + kg
+    # 1-point shear: weight 4 at the centroid.
+    n, dx, dy, det = _shape_grads(coords, 0.0, 0.0, xp)
+    bs = _shear_b(n, dx, dy, xp)
+    k = k + (4.0 * ds * det)[:, None, None] \
+        * _einsum(xp, "mia,mib->mab", bs, bs)
+    return k
+
+
+def _m_blocks_plate(coords, density, thickness, xp=np):
+    """(m, 12, 12) CONSISTENT mass blocks: ρt translational (w) +
+    ρt³/12 rotary inertia (βx, βy), 2×2 Gauss."""
+    m = None
+    for xi, eta in _GP:
+        n, _, _, det = _shape_grads(coords, xi, eta, xp)
+        nn = np.outer(n, n)                                 # (4, 4)
+        mw = (density * thickness * det)                    # (m,)
+        mr = (density * thickness ** 3 / 12.0 * det)
+        blk = np.zeros((coords.shape[0], 12, 12))
+        blk[:, 0::3, 0::3] = mw[:, None, None] * nn
+        blk[:, 1::3, 1::3] = mr[:, None, None] * nn
+        blk[:, 2::3, 2::3] = mr[:, None, None] * nn
+        m = blk if m is None else m + blk
+    return m
+
+
+def _pressure_vectors(problem: PlateProblem) -> np.ndarray:
+    """(3n,) consistent nodal loads of a uniform transverse pressure
+    q (force/area) on the w DOFs: ∫ N q dA, 2×2 Gauss."""
+    f = np.zeros(problem.ndof)
+    if problem.pressure is None:
+        return f
+    coords = problem.coords()
+    fe = np.zeros((problem.nelm, 12))
+    for xi, eta in _GP:
+        n, _, _, det = _shape_grads(coords, xi, eta)
+        fe[:, 0::3] += (problem.pressure * det)[:, None] * n[None, :]
+    np.add.at(f, problem.dof_map(), fe)
+    return f
+
+
+def _assemble(problem: PlateProblem, blocks: np.ndarray) -> np.ndarray:
+    dm = problem.dof_map()
+    k = np.zeros((problem.ndof, problem.ndof))
+    np.add.at(k, (dm[:, :, None], dm[:, None, :]), blocks)
+    return k
+
+
+def plate_matrices(problem: PlateProblem, with_mass: bool = True):
+    """(K, M) dense global matrices (M None unless with_mass) — host
+    float64, shared by every dense plate solver."""
+    coords = problem.coords()
+    k = _assemble(problem, _k_blocks_plate(
+        coords, problem.young, problem.poisson, problem.thickness))
+    mmat = None
+    if with_mass:
+        mmat = _assemble(problem, _m_blocks_plate(
+            coords, problem.density, problem.thickness))
+        if problem.point_masses is not None:
+            pm = np.zeros(problem.ndof)
+            pm[0::3] += problem.point_masses
+            mmat = mmat + np.diag(pm)
+    return k, mmat
+
+
+def recover_moments(problem: PlateProblem, u: np.ndarray):
+    """Centroid bending moments (m, 3) Voigt [Mxx, Myy, Mxy]
+    (force·length/length), shear forces (m, 2) [Qx, Qy], and the
+    extreme-fiber von Mises stress (m,) at z = ±t/2:
+    σ = 6M/t² (+ the small transverse-shear term is omitted at the
+    surface, where it vanishes — Reissner's parabolic profile)."""
+    coords = problem.coords()
+    db, ds = _dmats(problem.young, problem.poisson, problem.thickness)
+    n, dx, dy, _ = _shape_grads(coords, 0.0, 0.0)
+    u_e = u[problem.dof_map()]
+    kap = np.einsum("mia,ma->mi", _bend_b(dx, dy), u_e)
+    mom = np.einsum("mij,mj->mi", db, kap)
+    gam = np.einsum("mia,ma->mi", _shear_b(n, dx, dy), u_e)
+    q = ds[:, None] * gam
+    s = 6.0 * mom / problem.thickness[:, None] ** 2
+    sxx, syy, sxy = s[:, 0], s[:, 1], s[:, 2]
+    vm = np.sqrt(sxx ** 2 - sxx * syy + syy ** 2 + 3.0 * sxy ** 2)
+    return mom, q, vm
+
+
+@dataclass
+class PlateStaticResult:
+    displacements: np.ndarray    # (3n,) [w, βx, βy]*n
+    moments: np.ndarray          # (m, 3) centroid [Mxx, Myy, Mxy]
+    shear_forces: np.ndarray     # (m, 2) centroid [Qx, Qy]
+    von_mises: np.ndarray        # (m,) extreme-fiber
+    reactions: np.ndarray        # (3n,) K u − f on fixed DOFs
+
+
+def solve_plate_static(problem: PlateProblem) -> PlateStaticResult:
+    """Dense masked static solve + centroid moment recovery (host
+    float64 — the family doctrine below DENSE_DOF_LIMIT)."""
+    k, _ = plate_matrices(problem, with_mass=False)
+    mask = problem.free_mask()
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    f = problem.loads + _pressure_vectors(problem)
+    u = np.linalg.solve(km, f * mask) * mask
+    mom, q, vm = recover_moments(problem, u)
+    reactions = (k @ u - f) * (1.0 - mask)
+    return PlateStaticResult(displacements=u, moments=mom,
+                             shear_forces=q, von_mises=vm,
+                             reactions=reactions)
+
+
+@dataclass
+class PlateModalResult:
+    frequencies_hz: np.ndarray
+    omegas: np.ndarray
+    eigenvalues: np.ndarray
+    mode_shapes: np.ndarray      # (n_modes, 3n)
+
+
+def plate_modal(problem: PlateProblem,
+                n_modes: int = 6) -> PlateModalResult:
+    """Generalized K φ = λ M φ on the free block (consistent mass
+    with rotary inertia) — dense host eigensolve, the family
+    pattern."""
+    import scipy.linalg
+
+    k, m = plate_matrices(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    n_modes = min(n_modes, lam.size)
+    lam = np.maximum(lam[:n_modes], 0.0)
+    shapes = np.zeros((n_modes, problem.ndof))
+    shapes[:, free] = vec[:, :n_modes].T
+    om = np.sqrt(lam)
+    return PlateModalResult(frequencies_hz=om / (2.0 * np.pi),
+                            omegas=om, eigenvalues=lam,
+                            mode_shapes=shapes)
+
+
+# --------------------------------------------------------------------
+# Boundary helpers: the classic plate supports on generated meshes.
+
+
+def plate_supports(nodes: np.ndarray, edges, kind: str,
+                   tol: float = 1e-9):
+    """Fixed-DOF list for the classic plate boundary conditions on the
+    named rectangle edges ("left"/"right"/"bottom"/"top").
+
+    "clamped"            w = βx = βy = 0
+    "simply_supported"   HARD simple support: w = 0 AND the rotation
+                         component ALONG the edge = 0 (βy on x-normal
+                         edges, βx on y-normal edges) — the condition
+                         the Navier/Mindlin series solves; soft SS
+                         (w only) differs at the corners
+    "free"               (accepted, adds nothing)
+    """
+    if isinstance(edges, str):
+        edges = [edges]
+    span_x = max(float(nodes[:, 0].max() - nodes[:, 0].min()), 1.0)
+    span_y = max(float(nodes[:, 1].max() - nodes[:, 1].min()), 1.0)
+    sel = {
+        "left": np.abs(nodes[:, 0] - nodes[:, 0].min()) <= tol * span_x,
+        "right": np.abs(nodes[:, 0] - nodes[:, 0].max()) <= tol * span_x,
+        "bottom": np.abs(nodes[:, 1] - nodes[:, 1].min()) <= tol * span_y,
+        "top": np.abs(nodes[:, 1] - nodes[:, 1].max()) <= tol * span_y,
+    }
+    fixed = []
+    for e in edges:
+        if e not in sel:
+            raise ValueError(f'plate edge must be one of {sorted(sel)},'
+                             f' got {e!r}')
+        ids = np.flatnonzero(sel[e])
+        if kind == "clamped":
+            fixed += [3 * ids, 3 * ids + 1, 3 * ids + 2]
+        elif kind == "simply_supported":
+            tangent_rot = 2 if e in ("left", "right") else 1
+            fixed += [3 * ids, 3 * ids + tangent_rot]
+        elif kind == "free":
+            pass
+        else:
+            raise ValueError('plate support kind must be "clamped", '
+                             '"simply_supported" or "free"')
+    return (np.unique(np.concatenate(fixed)) if fixed
+            else np.zeros(0, dtype=int))
+
+
+def mindlin_navier_w(a: float, b: float, x: float, y: float, q: float,
+                     young: float, poisson: float, thickness: float,
+                     n_terms: int = 60) -> float:
+    """EXACT hard-SS Mindlin deflection under uniform q (the module
+    docstring's series) — the test anchor, valid for any thickness."""
+    d = young * thickness ** 3 / (12.0 * (1.0 - poisson ** 2))
+    c = _SHEAR_K * young / (2.0 * (1.0 + poisson)) * thickness
+    w = 0.0
+    for mm in range(1, n_terms, 2):
+        for nn in range(1, n_terms, 2):
+            k2 = (mm * np.pi / a) ** 2 + (nn * np.pi / b) ** 2
+            qmn = 16.0 * q / (np.pi ** 2 * mm * nn)
+            w += qmn * (1.0 / (d * k2 ** 2) + 1.0 / (c * k2)) \
+                * np.sin(mm * np.pi * x / a) * np.sin(nn * np.pi * y / b)
+    return w

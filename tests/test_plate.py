@@ -1,0 +1,159 @@
+"""Reissner-Mindlin plate family (models/plate.py).
+
+Anchors are exact series / textbook coefficients:
+  * hard-SS rectangle under uniform q vs the EXACT Mindlin/Navier
+    series (valid for any thickness — both the thick t/a = 0.1 and
+    thin t/a = 0.01 regimes are pinned, the latter being the locking
+    trap the SRI element exists to avoid),
+  * thin-limit Kirchhoff coefficients α = w D/(q a⁴): 0.00406 simply
+    supported, 0.00126 clamped,
+  * SS-plate frequencies ω_mn = k²√(D/ρt) in the thin limit
+    (consistent mass + rotary inertia converge from above),
+  * rank sufficiency: no spurious zero-energy modes on a supported
+    mesh (the 1-point shear rule removes locking WITHOUT hourglassing
+    when combined with 2×2 bending),
+  * symmetry/objectivity of K, pressure load resultant = q·A.
+"""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.models.plate import (
+    PlateProblem, mindlin_navier_w, plate_matrices, plate_modal,
+    plate_supports, rect_mesh, solve_plate_static)
+
+E, NU, RHO = 2.0e11, 0.3, 7850.0
+A = B = 1.0
+Q = -1000.0
+
+
+def _ss_plate(t, nmesh):
+    nodes, elems = rect_mesh(A, B, nmesh, nmesh)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    return PlateProblem(nodes, elems, E, NU, t, RHO,
+                        np.zeros(3 * nodes.shape[0]), fixed,
+                        pressure=Q)
+
+
+@pytest.mark.parametrize("t,rtol", [(0.1, 2e-3), (0.01, 2e-3)])
+def test_ss_uniform_vs_exact_mindlin_series(t, rtol):
+    """The headline anchor: 16×16 SRI vs the exact Mindlin series at
+    both thicknesses.  A fully-integrated element fails the thin case
+    by ~100× (shear locking) — this test is the design's reason."""
+    r = solve_plate_static(_ss_plate(t, 16))
+    w_fem = r.displacements[0::3].min()
+    w_ex = mindlin_navier_w(A, B, A / 2, B / 2, Q, E, NU, t)
+    assert abs(w_fem - w_ex) <= rtol * abs(w_ex)
+
+
+def test_ss_convergence_from_below():
+    """Refinement marches monotonically onto the exact value."""
+    t = 0.01
+    w_ex = mindlin_navier_w(A, B, A / 2, B / 2, Q, E, NU, t)
+    errs = []
+    for nmesh in (4, 8, 16):
+        r = solve_plate_static(_ss_plate(t, nmesh))
+        errs.append(abs(r.displacements[0::3].min() - w_ex))
+    assert errs[0] > errs[1] > errs[2]
+    assert errs[1] / errs[2] > 3.0        # ~O(h²)
+
+
+def test_clamped_kirchhoff_coefficient():
+    t = 0.01
+    nodes, elems = rect_mesh(A, B, 16, 16)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "clamped")
+    p = PlateProblem(nodes, elems, E, NU, t, RHO,
+                     np.zeros(3 * nodes.shape[0]), fixed, pressure=Q)
+    r = solve_plate_static(p)
+    d = E * t ** 3 / (12.0 * (1.0 - NU ** 2))
+    alpha = r.displacements[0::3].min() / (Q * A ** 4 / d)
+    assert abs(alpha - 0.00126) < 2e-5
+
+
+def test_center_moment_ss():
+    """Timoshenko table 8: |Mxx| = |Myy| = 0.0479 q a² at the SS-plate
+    center (ν = 0.3), recovered at the centroid of the 4 central
+    elements (mesh even → average them).  Sign convention: with
+    κ = [βx,x, ..] and u = −zβx, a sagging state under downward load
+    carries POSITIVE Mxx/Myy (σ = 6M/t² tensile at z = −t/2)."""
+    t = 0.01
+    p = _ss_plate(t, 16)
+    r = solve_plate_static(p)
+    cent = p.coords().mean(axis=1)
+    d2 = (cent[:, 0] - A / 2) ** 2 + (cent[:, 1] - B / 2) ** 2
+    central = np.argsort(d2)[:4]
+    want = 0.0479 * abs(Q) * A ** 2
+    for col in (0, 1):
+        m_c = r.moments[central, col].mean()
+        assert m_c > 0.0                      # sagging positive
+        assert abs(m_c - want) < 0.02 * want
+
+
+def test_pressure_resultant_is_qA():
+    p = _ss_plate(0.05, 8)
+    from pinn_fem_tpu.models.plate import _pressure_vectors
+    f = _pressure_vectors(p)
+    assert np.isclose(f[0::3].sum(), Q * A * B, rtol=1e-12)
+    assert np.abs(f[1::3]).max() == 0.0
+
+
+def test_stiffness_symmetric_and_rank_sufficient():
+    """K symmetric; on the supported mesh every generalized
+    eigenvalue is strictly positive — the 1-point shear rule does not
+    introduce spurious zero-energy (hourglass) modes here."""
+    import scipy.linalg
+
+    p = _ss_plate(0.05, 6)
+    k, m = plate_matrices(p)
+    assert np.allclose(k, k.T, atol=1e-6 * np.abs(k).max())
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    lam = scipy.linalg.eigh(k[np.ix_(free, free)],
+                            m[np.ix_(free, free)],
+                            eigvals_only=True)
+    assert lam.min() > 0.0
+
+
+def test_modal_ss_thin_plate():
+    """ω_mn = ((mπ/a)² + (nπ/b)²)·√(D/ρt): the first three SS modes
+    (1,1), (2,1) = (1,2) degenerate pair — consistent mass converges
+    from ABOVE onto the thin-plate values."""
+    t = 0.01
+    nodes, elems = rect_mesh(A, B, 16, 16)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    p = PlateProblem(nodes, elems, E, NU, t, RHO,
+                     np.zeros(3 * nodes.shape[0]), fixed)
+    md = plate_modal(p, n_modes=3)
+    d = E * t ** 3 / (12.0 * (1.0 - NU ** 2))
+    scale = np.sqrt(d / (RHO * t))
+    k2 = lambda mm, nn: (mm * np.pi / A) ** 2 + (nn * np.pi / B) ** 2
+    exact = np.array([k2(1, 1), k2(2, 1), k2(1, 2)]) * scale
+    # Mindlin shear flexibility softens vs Kirchhoff while the
+    # consistent mass stiffens the discrete model; at t/a = 0.01 the
+    # net lands within 2% above.
+    assert np.all(md.omegas >= exact * 0.998)
+    np.testing.assert_allclose(md.omegas, exact, rtol=2e-2)
+    # Degenerate pair exactly equal on the symmetric mesh.
+    assert abs(md.omegas[1] - md.omegas[2]) < 1e-6 * md.omegas[1]
+
+
+def test_supports_helper_validation():
+    nodes, _ = rect_mesh(1.0, 1.0, 2, 2)
+    with pytest.raises(ValueError, match="edge"):
+        plate_supports(nodes, ["diagonal"], "clamped")
+    with pytest.raises(ValueError, match="kind"):
+        plate_supports(nodes, ["left"], "welded")
+    assert plate_supports(nodes, ["left"], "free").size == 0
+
+
+def test_problem_validation():
+    nodes, elems = rect_mesh(1.0, 1.0, 2, 2)
+    n = nodes.shape[0]
+    with pytest.raises(ValueError, match="Q4"):
+        PlateProblem(nodes, np.array([[0, 1, 2]]), E, NU, 0.01, RHO,
+                     np.zeros(3 * n), [0])
+    with pytest.raises(ValueError, match="positive"):
+        PlateProblem(nodes, elems, E, NU, -0.01, RHO,
+                     np.zeros(3 * n), [0])
