@@ -40,7 +40,8 @@ router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 function solveAnalysis(kind) {
   return (problemData) => {
     const analysis = { type: kind, ...(problemData.analysis || {}) };
-    const body = (kind === 'frame' || kind === 'plane' || kind === 'solid')
+    const body = (kind === 'frame' || kind === 'plane' || kind === 'solid'
+                  || kind === 'plate')
       ? { ...problemData, element_type: kind, analysis }
       : { ...problemData, analysis };
     return solveGeneric(body);
@@ -50,7 +51,7 @@ function solveAnalysis(kind) {
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
                     'continuation', 'plastic', 'random', 'reduction',
                     'identification', 'sizing', 'reliability', 'frame',
-                    'plane', 'solid']) {
+                    'plane', 'solid', 'plate']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 
@@ -81,7 +82,7 @@ router.get('/info', (req, res) => {
         methods: ['central', 'newmark', 'modal', 'buckling', 'harmonic',
                   'spectrum', 'random', 'continuation', 'plastic',
                   'reduction', 'identification', 'sizing', 'reliability',
-                  'frame', 'plane'],
+                  'frame', 'plane', 'solid', 'plate'],
       },
     },
     backend: 'jax',

@@ -86,6 +86,16 @@ from .models.solid import (  # noqa: E402
     solve_solid_transient_banded,
     surface_load,
 )
+from .models.plate import (  # noqa: E402
+    PlateProblem,
+    mindlin_navier_w,
+    plate_harmonic,
+    plate_matrices,
+    plate_modal,
+    plate_supports,
+    solve_plate_static,
+    solve_plate_transient,
+)
 from .models.problem import (  # noqa: E402
     ProblemData,
     TrussProblem,

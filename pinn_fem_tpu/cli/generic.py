@@ -191,6 +191,44 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         output["max_von_mises_element"])
         logger.info("Results written to %s", output_file)
         return output
+    from ..io.plate_io import is_plate_document
+
+    if is_plate_document(raw):
+        # Mindlin plate documents: self-describing, (w, βx, βy) nodes
+        # (io/plate_io.py); the whole family runs on the host tier.
+        from ..io.plate_io import run_plate_document
+
+        logger.info("Plate document: %s",
+                    "generated mesh" if "mesh" in raw else
+                    f"{len(raw.get('nodes', ()))} nodes, "
+                    f"{len(raw.get('elements', ()))} elements")
+        output = run_plate_document(raw)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("PLATE ANALYSIS SUMMARY (%s):", output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % v for v in output["frequencies_hz"]])
+        elif output["analysis"] == "transient":
+            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                        output["dt"])
+        elif output["analysis"] == "harmonic":
+            logger.info("  Sweep: %d frequencies, peak |X| %.6g",
+                        len(output["omegas"]),
+                        max(max(row) for row in output["amplitude"]))
+        else:
+            logger.info("  Max deflection: %.6g (node %d), max "
+                        "extreme-fiber von Mises: %.6g (element %d)",
+                        output["max_deflection"],
+                        output["max_deflection_node"],
+                        output["max_von_mises"],
+                        output["max_von_mises_element"])
+        logger.info("Results written to %s", output_file)
+        return output
     from ..io.solid_io import is_solid_document
 
     if is_solid_document(raw):

@@ -1,0 +1,224 @@
+"""JSON tier for the Mindlin plate bending family (models/plate.py).
+
+A plate document is self-describing via `"element_type": "plate"` —
+the frame/plane/solid pattern; the CLI and servers peek at that key
+and route here:
+
+    {"element_type": "plate",
+     "nodes": [[x, y], ..],                # midsurface
+     "elements": [[i, j, k, l], ..]        # Q4 (CCW)
+       | "mesh": {"type": "rect", "width": W, "height": H,
+                  "nx": 16, "ny": 16},
+     "material": {"young": E, "poisson": nu, "thickness": t,
+                  "density": rho},         # scalars or per-element
+     "loads": [Fz0, Mx0, My0, ..],         # 3 per node (optional)
+     "pressure": q,                        # uniform transverse
+                                           # (force/area; consistent
+                                           # nodal loads)
+     "supports": {"clamped": ["left", ..],         # w = βx = βy = 0
+                  "simply_supported": ["top", ..], # HARD SS (w + the
+                                           # edge-tangential rotation)
+                  "free": [..]}            # accepted, adds nothing
+       | "fixed_dofs": [..]                # raw 3n-DOF indices
+       | "fixed_nodes": [..],              # all three DOFs
+     "point_masses": [[node, m], ..] | [..per node..],
+     "analysis": {"type": "static"}
+               | {"type": "modal", "n_modes": 6,
+                  "include_shapes": true}
+               | {"type": "transient", "dt": 0.01, "n_steps": 500,
+                  "damping": [a, b], "probe_nodes": [..],
+                  "amplitude": {"type": "step" | "sine"} | [..],
+                  "record_every": 1}
+               | {"type": "harmonic", "omegas": [..] | {"start": w0,
+                  "stop": w1, "num": 50}, "damping": [a, b],
+                  "probe_nodes": [..]}}
+
+Static results carry centroid bending moments (Voigt [Mxx, Myy,
+Mxy]), transverse shear forces, extreme-fiber von Mises σ = 6M/t²
+and reactions; modal/transient/harmonic mirror the other families'
+result shapes.  Everything runs on the HOST tier below
+DENSE_DOF_LIMIT (models/plate.py doctrine)."""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.plate import (PlateProblem, plate_harmonic, plate_modal,
+                            plate_supports, rect_mesh,
+                            solve_plate_static, solve_plate_transient)
+
+
+def is_plate_document(doc: Dict) -> bool:
+    return isinstance(doc, dict) \
+        and doc.get("element_type") == "plate"
+
+
+def _probe_dofs(analysis: Dict, problem: PlateProblem):
+    probe = analysis.get("probe_dofs")
+    if probe is None and analysis.get("probe_nodes") is not None:
+        pn = np.asarray(analysis["probe_nodes"], dtype=int).reshape(-1)
+        probe = 3 * pn                       # the w DOF per node
+    return probe
+
+
+def parse_plate_document(doc: Dict) -> Tuple[PlateProblem, Dict]:
+    mesh = doc.get("mesh")
+    if mesh is not None:
+        if mesh.get("type", "rect") != "rect":
+            raise ValueError('plate mesh.type must be "rect"')
+        nodes, elements = rect_mesh(
+            float(mesh["width"]), float(mesh["height"]),
+            int(mesh["nx"]), int(mesh["ny"]), "quad")
+    else:
+        if "nodes" not in doc or "elements" not in doc:
+            raise ValueError('plate document needs "nodes" + '
+                             '"elements" or a "mesh" spec')
+        nodes = np.asarray(doc["nodes"], dtype=float)
+        elements = np.asarray(doc["elements"], dtype=int)
+    mat = doc.get("material", {})
+    for key in ("poisson", "thickness"):
+        if mat.get(key) is None:
+            raise ValueError(f'plate material needs "{key}" — the '
+                             "bending rigidity Et³/12(1−ν²) is the "
+                             "point")
+    nnode = nodes.shape[0]
+    loads = np.asarray(doc.get("loads", np.zeros(3 * nnode)),
+                       dtype=float).reshape(-1)
+
+    fixed_parts = []
+    sup = doc.get("supports")
+    if sup is not None:
+        for kind, edges in sup.items():
+            fixed_parts.append(plate_supports(nodes, edges, kind))
+    if "fixed_dofs" in doc:
+        fixed_parts.append(np.asarray(doc["fixed_dofs"], dtype=int))
+    if "fixed_nodes" in doc:
+        fn = np.asarray(doc["fixed_nodes"], dtype=int).reshape(-1)
+        fixed_parts.append(np.concatenate([3 * fn, 3 * fn + 1,
+                                           3 * fn + 2]))
+    fixed_parts = [f for f in fixed_parts if np.asarray(f).size]
+    if not fixed_parts:
+        raise ValueError('plate document needs supports: "supports" '
+                         '(clamped/simply_supported edge lists), '
+                         '"fixed_nodes" or "fixed_dofs"')
+    fixed = np.unique(np.concatenate(fixed_parts))
+
+    pm = doc.get("point_masses")
+    if pm is not None:
+        arr = np.asarray(pm, dtype=float)
+        if arr.ndim == 2:                        # [[node, mass], ...]
+            full = np.zeros(nnode)
+            for node, mass in arr:
+                full[int(node)] += float(mass)
+            pm = full
+        else:
+            pm = arr
+
+    problem = PlateProblem(
+        nodes=nodes, elements=elements,
+        young=mat.get("young", 1.0), poisson=mat["poisson"],
+        thickness=mat["thickness"], density=mat.get("density", 1.0),
+        loads=loads, fixed_dofs=fixed,
+        pressure=doc.get("pressure"), point_masses=pm)
+    return problem, dict(doc.get("analysis") or {"type": "static"})
+
+
+def _amplitude(analysis: Dict, n_steps: int, dt: float):
+    amp = analysis.get("amplitude")
+    if amp is None or isinstance(amp, (list, tuple, np.ndarray)):
+        return None if amp is None else np.asarray(amp, dtype=float)
+    kind = amp.get("type", "step")
+    t = (np.arange(n_steps) + 1) * dt
+    if kind == "step":
+        return np.ones(n_steps)
+    if kind == "sine":
+        return np.sin(float(amp["omega"]) * t)
+    raise ValueError('plate amplitude type must be "step" or "sine"')
+
+
+def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
+    kind = analysis.get("type", "static")
+    if kind == "plate":
+        # The Node /api/fem/plate route convention (plane_io twin).
+        kind = "static"
+    if kind == "static":
+        res = solve_plate_static(problem)
+        worst = int(np.argmax(res.von_mises)) if res.von_mises.size \
+            else -1
+        w = res.displacements[0::3]
+        return {
+            "success": True,
+            "analysis": "static",
+            "element_type": "plate",
+            "displacements": res.displacements.tolist(),
+            "max_deflection": float(np.abs(w).max()),
+            "max_deflection_node": int(np.argmax(np.abs(w))),
+            "moments": res.moments.tolist(),
+            "shear_forces": res.shear_forces.tolist(),
+            "von_mises": res.von_mises.tolist(),
+            "max_von_mises": (float(res.von_mises[worst])
+                              if worst >= 0 else None),
+            "max_von_mises_element": worst,
+            "reactions": res.reactions.tolist(),
+        }
+    if kind == "modal":
+        res = plate_modal(problem,
+                          n_modes=int(analysis.get("n_modes", 6)))
+        out = {
+            "success": True,
+            "analysis": "modal",
+            "element_type": "plate",
+            "frequencies_hz": res.frequencies_hz.tolist(),
+            "omegas": res.omegas.tolist(),
+        }
+        if analysis.get("include_shapes"):
+            out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    if kind == "transient":
+        dt = float(analysis["dt"])
+        n_steps = int(analysis["n_steps"])
+        res = solve_plate_transient(
+            problem, dt, n_steps,
+            damping=analysis.get("damping", (0.0, 0.0)),
+            amplitude=_amplitude(analysis, n_steps, dt),
+            probe_dofs=_probe_dofs(analysis, problem),
+            record_every=int(analysis.get("record_every", 1)))
+        return {
+            "success": True,
+            "analysis": "transient",
+            "element_type": "plate",
+            "method": "newmark",
+            "dt": res.dt,
+            "n_steps": res.n_steps,
+            "times": res.times.tolist(),
+            "displacements": res.displacements.tolist(),
+            "velocities": res.velocities.tolist(),
+        }
+    if kind == "harmonic":
+        om = analysis.get("omegas")
+        if om is None:
+            raise ValueError('plate harmonic needs "omegas"')
+        if isinstance(om, dict):
+            om = np.linspace(float(om["start"]), float(om["stop"]),
+                             int(om.get("num", 50)))
+        res = plate_harmonic(
+            problem, om, damping=analysis.get("damping", (0.0, 0.0)),
+            probe_dofs=_probe_dofs(analysis, problem))
+        return {
+            "success": True,
+            "analysis": "harmonic",
+            "element_type": "plate",
+            "method": "direct",
+            "omegas": res.omegas.tolist(),
+            "amplitude": res.amplitude.tolist(),
+        }
+    raise ValueError(f"unknown plate analysis type: {kind!r} — "
+                     'supported: "static", "modal", "transient", '
+                     '"harmonic"')
+
+
+def run_plate_document(doc: Dict) -> Dict:
+    problem, analysis = parse_plate_document(doc)
+    return run_plate_analysis(problem, analysis)

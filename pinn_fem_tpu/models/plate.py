@@ -416,3 +416,112 @@ def mindlin_navier_w(a: float, b: float, x: float, y: float, q: float,
             w += qmn * (1.0 / (d * k2 ** 2) + 1.0 / (c * k2)) \
                 * np.sin(mm * np.pi * x / a) * np.sin(nn * np.pi * y / b)
     return w
+
+
+@dataclass
+class PlateTransientResult:
+    times: np.ndarray
+    displacements: np.ndarray    # (n_rec, probe)
+    velocities: np.ndarray
+    dt: float
+    n_steps: int
+
+
+def solve_plate_transient(problem: PlateProblem, dt: float,
+                          n_steps: int, damping=(0.0, 0.0),
+                          amplitude=None, probe_dofs=None,
+                          record_every: int = 1
+                          ) -> PlateTransientResult:
+    """Newmark (average acceleration) on the dense plate K/M — one LU
+    factorization serves every step (the plane/frame/solid family's
+    integrator with (w, βx, βy) nodes; same t = (step+1)·dt forcing
+    convention).  amplitude: (n_steps,) load-scale history multiplying
+    nodal + pressure loads (None = unit step); Rayleigh C = αM + βK.
+    Cross-validated against exact modal superposition of the undamped
+    step response (tests/test_plate.py)."""
+    import scipy.linalg
+
+    if dt <= 0.0 or n_steps <= 0:
+        raise ValueError("transient needs positive dt and n_steps")
+    k, m = plate_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _pressure_vectors(problem)
+    amp = (np.ones(n_steps) if amplitude is None
+           else np.broadcast_to(np.asarray(amplitude, dtype=float),
+                                (n_steps,)))
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    a0 = 4.0 / dt ** 2
+    a1 = 2.0 / dt
+    lu = scipy.linalg.lu_factor(kf + a0 * mf + a1 * cf)
+
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    n = free.size
+    u = np.zeros(n)
+    v = np.zeros(n)
+    a_acc = (np.linalg.solve(mf, ff * amp[0]) if n else np.zeros(0))
+    rec_t, rec_u, rec_v = [], [], []
+    full_u = np.zeros(problem.ndof)
+    full_v = np.zeros(problem.ndof)
+    for step in range(n_steps):
+        f_t = ff * amp[min(step + 1, n_steps - 1)]
+        rhs = f_t + mf @ (a0 * u + 2.0 * a1 * v + a_acc) \
+            + cf @ (a1 * u + v)
+        u_new = scipy.linalg.lu_solve(lu, rhs)
+        v_new = a1 * (u_new - u) - v
+        a_new = a0 * (u_new - u) - 2.0 * a1 * v - a_acc
+        u, v, a_acc = u_new, v_new, a_new
+        if (step + 1) % record_every == 0:
+            full_u[free] = u
+            full_v[free] = v
+            rec_t.append((step + 1) * dt)
+            rec_u.append(full_u[probe].copy())
+            rec_v.append(full_v[probe].copy())
+    return PlateTransientResult(
+        times=np.asarray(rec_t), displacements=np.asarray(rec_u),
+        velocities=np.asarray(rec_v), dt=float(dt),
+        n_steps=int(n_steps))
+
+
+@dataclass
+class PlateHarmonicResult:
+    omegas: np.ndarray
+    amplitude: np.ndarray        # (n_omega, probe) |X|
+    real: np.ndarray
+    imag: np.ndarray
+
+
+def plate_harmonic(problem: PlateProblem, omegas,
+                   damping=(0.0, 0.0), probe_dofs=None
+                   ) -> PlateHarmonicResult:
+    """Steady-state X(ω) to the plate load pattern: direct dense
+    complex solves (K − ω²M + iωC) X = f per frequency, host float64;
+    Rayleigh C = αM + βK (the plane/solid/frame family's sweep with
+    (w, βx, βy) nodes; same ALL-modes-superposition exactness
+    cross-check, tests/test_plate.py)."""
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, m = plate_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _pressure_vectors(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    full = np.zeros(problem.ndof, dtype=complex)
+    xs = np.zeros((om.size, probe.size), dtype=complex)
+    for i, w in enumerate(om):
+        z = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(z, ff)
+        xs[i] = full[probe]
+    return PlateHarmonicResult(omegas=om, amplitude=np.abs(xs),
+                               real=xs.real, imag=xs.imag)

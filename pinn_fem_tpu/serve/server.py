@@ -80,7 +80,7 @@ INFO = {
                         "harmonic", "spectrum", "random",
                         "continuation", "plastic", "reduction",
                         "identification", "sizing", "reliability",
-                        "frame", "plane", "solid"],
+                        "frame", "plane", "solid", "plate"],
         },
     },
     "backend": "jax",
@@ -119,6 +119,12 @@ def _solve_solid(body):
     from ..io.solid_io import run_solid_document
 
     return run_solid_document({**body, "element_type": "solid"})
+
+
+def _solve_plate(body):
+    from ..io.plate_io import run_plate_document
+
+    return run_plate_document({**body, "element_type": "plate"})
 
 
 def _solve_generic(body):
@@ -197,6 +203,8 @@ _ROUTES = {
     # 3D solid hex8 family: dense host tier, banded DIA device tier
     # for large statics.
     "/api/fem/solid": (_solve_solid, FEM_TIMEOUT_S),
+    # Mindlin plate bending family: host-tier dense solves.
+    "/api/fem/plate": (_solve_plate, FEM_TIMEOUT_S),
 }
 
 
@@ -386,6 +394,26 @@ def _warmup_docs():
                          "thickness": 0.1, "density": 1.0},
             "edge_loads": [{"nodes": [2, 5], "traction": [1.0, 0.0]}],
             "fixed_nodes": [0, 3],
+            "analysis": {"type": "static"}}),
+        ("/api/fem/solid", {
+            "element_type": "solid",
+            "mesh": {"type": "box", "lx": 1.0, "ly": 1.0, "lz": 2.0,
+                     "nx": 1, "ny": 1, "nz": 2},
+            "material": {"young": 100.0, "poisson": 0.3,
+                         "density": 1.0},
+            "surface_loads": [{"face": "z_max",
+                               "traction": [0.0, 0.0, 1.0]}],
+            "fixed_nodes": "z_min",
+            "analysis": {"type": "static"}}),
+        ("/api/fem/plate", {
+            "element_type": "plate",
+            "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                     "nx": 2, "ny": 2},
+            "material": {"young": 100.0, "poisson": 0.3,
+                         "thickness": 0.05, "density": 1.0},
+            "pressure": -1.0,
+            "supports": {"clamped": ["left", "right", "bottom",
+                                     "top"]},
             "analysis": {"type": "static"}}),
     ]
 

@@ -1652,3 +1652,68 @@ def test_cli_plane_banded_large(tmp_path):
     assert proc.returncode != 0
     log = (tmp_path / "bigmodal.log").read_text()
     assert "8192" in log or "budget" in log
+
+
+def test_cli_plate_static(tmp_path):
+    """Mindlin plate through the CLI (mesh spec + edge supports +
+    uniform pressure): center deflection vs the EXACT hard-SS Mindlin
+    series (models/plate.py:mindlin_navier_w) to 0.2% at 16×16."""
+    from pinn_fem_tpu.models.plate import mindlin_navier_w
+
+    doc = {
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": 16, "ny": 16},
+        "material": {"young": 2e11, "poisson": 0.3,
+                     "thickness": 0.01, "density": 7850.0},
+        "pressure": -1000.0,
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "analysis": {"type": "static"},
+    }
+    pf = tmp_path / "plate.json"
+    pf.write_text(json.dumps(doc))
+    proc = subprocess.run(
+        [sys.executable, "-m", "pinn_fem_tpu.cli.generic", str(pf)],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+        env=CLI_ENV)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    res = json.loads((tmp_path / "plate.res.json").read_text())
+    assert res["success"] and res["element_type"] == "plate"
+    w_ex = abs(mindlin_navier_w(1.0, 1.0, 0.5, 0.5, -1000.0,
+                                2e11, 0.3, 0.01))
+    np.testing.assert_allclose(res["max_deflection"], w_ex, rtol=2e-3)
+    assert "PLATE ANALYSIS SUMMARY" in proc.stdout
+
+
+def test_http_plate_route(server_port):
+    """Plate family over HTTP: statics + modal through
+    /api/fem/plate, plus the error contract (missing thickness →
+    500)."""
+    doc = {
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": 8, "ny": 8},
+        "material": {"young": 2e11, "poisson": 0.3,
+                     "thickness": 0.01, "density": 7850.0},
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "analysis": {"type": "modal", "n_modes": 1},
+    }
+    status, body = _post(server_port, "/api/fem/plate", doc)
+    assert status == 200, body
+    res = body["result"]
+    assert res["success"] and res["element_type"] == "plate"
+    # SS thin plate: omega_11 = 2 (pi/a)^2 sqrt(D/rho t).
+    d = 2e11 * 0.01 ** 3 / (12.0 * (1.0 - 0.09))
+    om11 = 2.0 * np.pi ** 2 * np.sqrt(d / (7850.0 * 0.01))
+    np.testing.assert_allclose(res["omegas"][0], om11, rtol=2e-2)
+    doc2 = {k: v for k, v in doc.items() if k != "analysis"}
+    doc2["pressure"] = -1000.0
+    status, body = _post(server_port, "/api/fem/plate", doc2)
+    assert status == 200, body
+    assert body["result"]["analysis"] == "static"
+    assert body["result"]["max_deflection"] > 0.0
+    bad = dict(doc)
+    bad["material"] = {"young": 2e11, "poisson": 0.3}
+    status, body = _post(server_port, "/api/fem/plate", bad)
+    assert status == 500 and "thickness" in body["error"]

@@ -157,3 +157,77 @@ def test_problem_validation():
     with pytest.raises(ValueError, match="positive"):
         PlateProblem(nodes, elems, E, NU, -0.01, RHO,
                      np.zeros(3 * n), [0])
+
+
+def test_transient_matches_modal_superposition():
+    """Undamped step response of a clamped plate strip: Newmark at
+    fine dt vs the exact modal superposition
+    u(t) = Σ φ (φᵀf/ω²)(1 − cos ωt) over ALL free modes."""
+    from pinn_fem_tpu.models.plate import solve_plate_transient
+
+    t = 0.05
+    nodes, elems = rect_mesh(A, B, 4, 4)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    n = nodes.shape[0]
+    loads = np.zeros(3 * n)
+    center = np.argmin((nodes[:, 0] - A / 2) ** 2
+                       + (nodes[:, 1] - B / 2) ** 2)
+    loads[3 * center] = -1e5
+    p = PlateProblem(nodes, elems, E, NU, t, RHO, loads, fixed)
+    k, m = plate_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    res = plate_modal(p, n_modes=free.size)
+    f = p.loads[free]
+    period1 = 2.0 * np.pi / res.omegas[0]
+    # dt resolves the HIGHEST mode too (rotary-inertia modes reach
+    # ~300× ω₁ here; Newmark period error ~ (ω dt)²/12 must stay
+    # below the 2e-3 gate for every mode the superposition carries).
+    n_steps = 8000
+    dt = 2.0 * period1 / n_steps
+    tr = solve_plate_transient(p, dt=dt, n_steps=n_steps,
+                               record_every=400)
+    phi = res.mode_shapes[:, free]
+    q = phi @ f / res.omegas ** 2
+    u_exact = np.einsum("kt,kn->tn",
+                        q[:, None] * (1.0 - np.cos(
+                            np.outer(res.omegas, tr.times))), phi)
+    scale = np.abs(u_exact).max()
+    np.testing.assert_allclose(tr.displacements[:, free], u_exact,
+                               atol=2e-3 * scale)
+
+
+def test_harmonic_matches_modal_superposition():
+    """Proportional (Rayleigh) damping: the direct complex sweep
+    equals the ALL-modes superposition exactly — the same 1e-8
+    cross-check as the plane/solid/frame families."""
+    from pinn_fem_tpu.models.plate import plate_harmonic
+
+    t = 0.05
+    nodes, elems = rect_mesh(A, B, 4, 4)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "clamped")
+    n = nodes.shape[0]
+    loads = np.zeros(3 * n)
+    center = np.argmin((nodes[:, 0] - A / 2) ** 2
+                       + (nodes[:, 1] - B / 2) ** 2)
+    loads[3 * center] = 1e5
+    p = PlateProblem(nodes, elems, E, NU, t, RHO, loads, fixed)
+    k, m = plate_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    res = plate_modal(p, n_modes=free.size)
+    al, be = 5.0, 1e-6
+    om = np.linspace(0.3, 1.7, 7) * res.omegas[0]
+    hr = plate_harmonic(p, om, damping=(al, be))
+    phi = res.mode_shapes[:, free]
+    f_mod = phi @ p.loads[free]
+    x_exact = np.zeros((om.size, free.size), dtype=complex)
+    for i, w in enumerate(om):
+        den = res.omegas ** 2 - w ** 2 + 1j * w * (al + be
+                                                   * res.omegas ** 2)
+        x_exact[i] = (f_mod / den) @ phi
+    # atol floor: symmetric loading zeroes antisymmetric-mode
+    # responses exactly — rtol alone is undefined at those nodes.
+    np.testing.assert_allclose(hr.amplitude[:, free],
+                               np.abs(x_exact), rtol=1e-8,
+                               atol=1e-12 * np.abs(x_exact).max())
