@@ -144,25 +144,67 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
         # The Node /api/fem/plate route convention (plane_io twin).
         kind = "static"
     if kind == "static":
-        res = solve_plate_static(problem)
+        from ..solvers.newton import DENSE_DOF_LIMIT
+
+        large = problem.ndof > DENSE_DOF_LIMIT
+        iterations = residual = None
+        if large:
+            # Device tier: banded DIA + PCG (the plane family's
+            # contract — full-field serialization is also intractable
+            # here, so the payload carries probes + summaries).
+            from ..models.plate import solve_plate_static_banded
+
+            res, iterations, residual = solve_plate_static_banded(
+                problem,
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iterations", 50000)),
+                use_pallas=bool(analysis.get("use_pallas", False)),
+                precond=analysis.get("precond", "auto"))
+        else:
+            res = solve_plate_static(problem)
         worst = int(np.argmax(res.von_mises)) if res.von_mises.size \
             else -1
         w = res.displacements[0::3]
-        return {
+        out = {
             "success": True,
             "analysis": "static",
             "element_type": "plate",
-            "displacements": res.displacements.tolist(),
             "max_deflection": float(np.abs(w).max()),
             "max_deflection_node": int(np.argmax(np.abs(w))),
-            "moments": res.moments.tolist(),
-            "shear_forces": res.shear_forces.tolist(),
-            "von_mises": res.von_mises.tolist(),
             "max_von_mises": (float(res.von_mises[worst])
                               if worst >= 0 else None),
             "max_von_mises_element": worst,
-            "reactions": res.reactions.tolist(),
         }
+        if large:
+            probe = _probe_dofs(analysis, problem)
+            out.update({
+                "tier": "banded",
+                "iterations": int(iterations),
+                "relative_residual": float(residual),
+                "moment_range": [float(res.moments.min()),
+                                 float(res.moments.max())],
+            })
+            if probe is not None:
+                probe = np.asarray(probe, dtype=int).reshape(-1)
+                out["probe_dofs"] = probe.tolist()
+                out["displacements"] = res.displacements[
+                    probe].tolist()
+        else:
+            out.update({
+                "displacements": res.displacements.tolist(),
+                "moments": res.moments.tolist(),
+                "shear_forces": res.shear_forces.tolist(),
+                "von_mises": res.von_mises.tolist(),
+                "reactions": res.reactions.tolist(),
+            })
+        return out
+    if kind in ("modal", "transient", "harmonic") \
+            and problem.ndof > 4 * 2048:
+        raise ValueError(
+            f"plate {kind} runs on the dense host tier; "
+            f"{problem.ndof} DOFs exceeds its 8192-DOF budget — "
+            "coarsen the mesh; only statics has a banded large-mesh "
+            "path so far")
     if kind == "modal":
         res = plate_modal(problem,
                           n_modes=int(analysis.get("n_modes", 6)))

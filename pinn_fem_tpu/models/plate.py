@@ -525,3 +525,133 @@ def plate_harmonic(problem: PlateProblem, omegas,
         xs[i] = full[probe]
     return PlateHarmonicResult(omegas=om, amplitude=np.abs(xs),
                                real=xs.real, imag=xs.imag)
+
+
+# --------------------------------------------------------------------
+# Banded DIA device tier (the family doctrine: large meshes ride
+# ops/dia.py — dia_layout is dof_map-generic, 3 DOFs/node like frames)
+
+
+def _plate_dia_layout(problem: PlateProblem):
+    """DIA layout cached on the instance (the plane-family rule: the
+    host layout build depends only on connectivity, fixed at
+    construction)."""
+    import jax.numpy as jnp
+
+    from ..ops.dia import dia_layout
+
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+    return layout
+
+
+_PLATE_BANDED_CACHE: dict = {}
+
+
+def _plate_banded_core(layout, precond: str, use_pallas: bool,
+                       max_iter: int, nelm: int):
+    """Jitted banded plate statics, cached per structural signature
+    (never per problem object — the closure recompile trap,
+    CLAUDE.md)."""
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.bandwidth, nelm, precond, use_pallas, max_iter)
+    core = _PLATE_BANDED_CACHE.get(key)
+    if core is not None:
+        return core
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks, dia_cg_solve, dia_matvec
+    from ..solvers.banded_inverse import DiaLayoutView
+
+    @jax.jit
+    def core(coords, young, poisson, thickness, entry_slot, f, mask,
+             tol):
+        blocks = _k_blocks_plate(coords, young, poisson, thickness,
+                                 xp=jnp)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, entry_slot), blocks)
+        # Jacobi scaling is load-bearing: the w / rotation DOF scales
+        # differ by (a/t)² on thin plates (the frame family's mixed-
+        # scale lesson).
+        x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
+                                     max_iter=max_iter,
+                                     use_pallas=use_pallas,
+                                     precond=precond, components=3)
+        reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+        return x, reac, iters, rel
+
+    _PLATE_BANDED_CACHE[key] = core
+    return core
+
+
+def solve_plate_static_banded(problem: PlateProblem,
+                              tol: float = 1e-7,
+                              max_iter: int = 50000,
+                              use_pallas: bool = False,
+                              precond: str = "auto", dtype=None,
+                              mesh=None):
+    """Large-mesh plate statics on the DEVICE tier.
+
+    Floor slabs and decks mesh structurally (grids), so the Mindlin
+    stiffness is banded under nodal numbering — the same DIA pipeline
+    the truss/plane/frame/solid families ride (ops/dia.py): batched
+    (m, 12, 12) SRI blocks contracted on the MXU, one scatter into
+    diagonal storage, Jacobi-PCG at streaming rate.  mesh= runs the
+    sharded CG (parallel/dia_sharded) with the DOF axis row-block-
+    sharded over "tp".
+
+    Returns (PlateStaticResult, iterations, relative_residual); moment
+    recovery runs on the host from the fetched field (ONE device_get).
+    Pinned against solve_plate_static in tests/test_plate.py."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    if precond == "auto":
+        precond = "jacobi"        # mixed w/rotation DOF scales
+    layout = _plate_dia_layout(problem)
+    f_np = problem.loads + _pressure_vectors(problem)
+    if mesh is not None:
+        from ..ops.dia import assemble_dia_blocks, dia_matvec
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+        from ..solvers.banded_inverse import DiaLayoutView
+
+        blocks = _k_blocks_plate(
+            jnp.asarray(problem.coords(), dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.poisson, dtype),
+            jnp.asarray(problem.thickness, dtype), xp=jnp)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, problem._dia_entry_slot_dev), blocks)
+        f_dev = jnp.asarray(f_np, dtype)
+        mask_dev = jnp.asarray(problem.free_mask(), dtype)
+        x, iters, rel = dia_cg_solve_sharded(
+            layout, diags, f_dev, mask_dev, mesh, tol=float(tol),
+            max_iter=int(max_iter))
+        reac = (dia_matvec(layout, diags, x) - f_dev) \
+            * (1.0 - mask_dev)
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    else:
+        core = _plate_banded_core(layout, precond, use_pallas,
+                                  int(max_iter), problem.nelm)
+        x, reac, iters, rel = core(
+            jnp.asarray(problem.coords(), dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.poisson, dtype),
+            jnp.asarray(problem.thickness, dtype),
+            problem._dia_entry_slot_dev,
+            jnp.asarray(f_np, dtype),
+            jnp.asarray(problem.free_mask(), dtype),
+            jnp.asarray(tol, dtype))
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    u = np.asarray(u, dtype=float)
+    mom, q, vm = recover_moments(problem, u)
+    res = PlateStaticResult(displacements=u, moments=mom,
+                            shear_forces=q, von_mises=vm,
+                            reactions=np.asarray(reac, dtype=float))
+    return res, int(iters), float(rel)

@@ -42,7 +42,7 @@ def test_dyn_corpus_complete():
                    "dyn-plane-spectrum.json",
                    "dyn-plane-transient-plastic.json",
                    "dyn-plane.json",
-                   "dyn-plastic.json",
+                   "dyn-plastic.json", "dyn-plate.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
@@ -180,6 +180,19 @@ def test_dyn_corpus_runs(name, tmp_path):
         u = np.asarray(res["displacements"])     # (4 steps, 4 dofs)
         lf = np.asarray(res["load_factors"])
         assert u[-1, 0] > u[0, 0] * lf[-1] / lf[0] * 1.02
+    elif name == "dyn-plate.json":
+        # Mindlin SRI plate: center deflection on the EXACT hard-SS
+        # Mindlin/Navier series (any-thickness closed form) to 0.2%,
+        # center moment on Timoshenko's 0.0479 qa^2 to 2%.
+        from pinn_fem_tpu.models.plate import mindlin_navier_w
+        assert res["element_type"] == "plate"
+        w_ex = abs(mindlin_navier_w(1.0, 1.0, 0.5, 0.5, -1000.0,
+                                    2e11, 0.3, 0.01))
+        np.testing.assert_allclose(res["max_deflection"], w_ex,
+                                   rtol=2e-3)
+        m_arr = np.asarray(res["moments"])
+        np.testing.assert_allclose(m_arr[:, 0].max(), 47.9,
+                                   rtol=2.5e-2)
     elif name == "dyn-plastic.json":
         # Two-bar serial chain, bilinear hardening: exact endpoint
         # u = 2 L_e (σ/E + (σ − σ_y)/H) = 0.13 at σ = 1.5.

@@ -231,3 +231,52 @@ def test_harmonic_matches_modal_superposition():
     np.testing.assert_allclose(hr.amplitude[:, free],
                                np.abs(x_exact), rtol=1e-8,
                                atol=1e-12 * np.abs(x_exact).max())
+
+
+def test_banded_matches_dense():
+    """The DIA device tier == the dense host solve (f32 CG on the
+    device; the thin plate's (a/t)² conditioning makes Jacobi
+    scaling load-bearing — mixed w/rotation DOF scales)."""
+    from pinn_fem_tpu.models.plate import solve_plate_static_banded
+
+    p = _ss_plate(0.01, 16)
+    dense = solve_plate_static(p)
+    banded, iters, rel = solve_plate_static_banded(p, tol=1e-9)
+    assert rel < 1e-7 and iters > 0
+    wd = dense.displacements[0::3]
+    wb = banded.displacements[0::3]
+    assert np.abs(wd - wb).max() < 1e-3 * np.abs(wd).max()
+    assert np.allclose(banded.moments, dense.moments,
+                       atol=1e-3 * np.abs(dense.moments).max())
+
+
+def test_json_large_mesh_banded_tier():
+    """Above DENSE_DOF_LIMIT the JSON static dispatches to the banded
+    device tier: probes + summaries payload, center deflection still
+    on the exact Mindlin series (40×40 = 5043 DOFs; the mesh keeps
+    the exact center node)."""
+    from pinn_fem_tpu.io.plate_io import run_plate_document
+    from pinn_fem_tpu.models.plate import mindlin_navier_w
+
+    nx = 40
+    center_node = (nx // 2) * (nx + 1) + nx // 2
+    out = run_plate_document({
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": nx, "ny": nx},
+        "material": {"young": 2e11, "poisson": 0.3,
+                     "thickness": 0.02, "density": 7850.0},
+        "pressure": -1000.0,
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "analysis": {"type": "static", "tolerance": 1e-9,
+                     "probe_nodes": [center_node]},
+    })
+    assert out["success"] and out["tier"] == "banded"
+    assert out["relative_residual"] < 1e-7
+    w_ex = mindlin_navier_w(1.0, 1.0, 0.5, 0.5, -1000.0, 2e11, 0.3,
+                            0.02)
+    np.testing.assert_allclose(out["displacements"][0], w_ex,
+                               rtol=2e-3)
+    np.testing.assert_allclose(out["max_deflection"], abs(w_ex),
+                               rtol=2e-3)
