@@ -557,6 +557,49 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runPlate = async () => {
+    // Mindlin plate bending demo: hard-SS square, t/a = 0.01, uniform
+    // pressure q = -0.001·E — center deflection on the EXACT
+    // Mindlin/Navier series (w scales 1/E so the number is the same
+    // for any E; io/plate_io.py; POST body pinned as
+    // tests/fixtures/ui_payload_plate.json, byte-identical to the
+    // static UI's plateDoc()).
+    setMessage('Bending the Mindlin plate…');
+    try {
+      const E = baseProblem().material.young;
+      const r = await post('plate', {
+        mesh: { type: 'rect', width: 1, height: 1, nx: 16, ny: 16 },
+        material: { young: E, poisson: 0.3, thickness: 0.01,
+                    density: 1 },
+        pressure: -0.001 * E,
+        supports: { simply_supported: ['left', 'right', 'bottom',
+                                       'top'] },
+        analysis: { type: 'static' },
+      });
+      // Center-line deflection profile w(x, a/2): grid row j = 8.
+      const xs = [];
+      const w = [];
+      for (let i = 0; i <= 16; i++) {
+        xs.push(i / 16);
+        w.push([r.displacements[3 * (8 * 17 + i)]]);
+      }
+      setKind('plate'); setShapes(null);
+      setChart({ times: xs, series: w, labels: ['w(x, a/2)'] });
+      setRows([
+        { label: 'center w',
+          value: `${r.max_deflection.toPrecision(4)} (exact Mindlin `
+            + 'series 44.38, any E)' },
+        { label: 'extreme-fiber von Mises',
+          value: r.max_von_mises.toPrecision(4) },
+      ]);
+      setMessage('Mindlin SS plate (16×16 SRI Q4, t/a = 0.01): center '
+        + `deflection ${r.max_deflection.toPrecision(4)} on the exact `
+        + 'series; chart: center-line profile');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runSolidPlastic = async () => {
     // 3D J2 bilinear column (POST body pinned as
     // tests/fixtures/ui_payload_solid_plastic.json, byte-identical to
@@ -800,6 +843,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runPushover}>Pushover ▶</button>
         <button onClick={runPlanePlastic}>Cylinder ▶</button>
         <button onClick={runSolid}>Solid ▶</button>
+        <button onClick={runPlate}>Plate ▶</button>
         <button onClick={runSolidPlastic}>Solid plastic ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
         <button onClick={runQuakeWall}>Quake wall ▶</button>

@@ -1099,6 +1099,46 @@ async function runPlane() {
 }
 document.getElementById("plane-btn").addEventListener("click", runPlane);
 
+function plateDoc(E) {
+  // Canonical plate demo (pinned as tests/fixtures/ui_payload_plate
+  // .json, byte-identical to the React panel's runPlate): hard-SS
+  // Mindlin square under uniform pressure q = -0.001*E, t/a = 0.01 —
+  // center deflection on the EXACT Mindlin/Navier series: w scales
+  // 1/E, so |w_center| = 44.38 for ANY E with q = -0.001*E.
+  return {
+    mesh: { type: "rect", width: 1, height: 1, nx: 16, ny: 16 },
+    material: { young: E, poisson: 0.3, thickness: 0.01, density: 1 },
+    pressure: -0.001 * E,
+    supports: { simply_supported: ["left", "right", "bottom", "top"] },
+    analysis: { type: "static" },
+  };
+}
+
+async function runPlate() {
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Bending the Mindlin plate…";
+  try {
+    const E = buildProblem().material.young;
+    const r = await postDoc("plate", plateDoc(E));
+    // Chart: deflection profile along the center line y = a/2
+    // (mesh row j = 8 of the 17x17 grid: nodes 136..152).
+    const xs = [];
+    const w = [];
+    for (let i = 0; i <= 16; i++) {
+      xs.push(i / 16);
+      w.push([r.displacements[3 * (8 * 17 + i)]]);
+    }
+    drawTimeSeries(xs, w);
+    status.textContent = `Mindlin SS plate (16x16 SRI Q4, t/a=0.01): `
+      + `center w ${r.max_deflection.toPrecision(4)} `
+      + `(exact Mindlin series 44.38, any E), `
+      + `extreme-fiber von Mises ${r.max_von_mises.toPrecision(4)}`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("plate-btn").addEventListener("click", runPlate);
+
 function solidDoc(E) {
   // Canonical 3D demo (pinned as tests/fixtures/ui_payload_solid.json,
   // byte-identical to the React panel's runSolid): uniaxial box column

@@ -838,3 +838,28 @@ def test_ui_quake_wall_payload_served():
                                ref.displacements.max(), rtol=1e-10)
     np.testing.assert_allclose(out["max_von_mises"],
                                ref.von_mises.max(), rtol=1e-10)
+
+
+def test_ui_plate_payload_served():
+    """Both UIs' Plate action (the hard-SS Mindlin square, t/a = 0.01,
+    q = −0.001·E) through the live /api/fem/plate handler: the center
+    deflection lands on the EXACT Mindlin/Navier series (44.38 for the
+    canonical E = 1 — w scales 1/E so the panels show the same number
+    for any E), and the charted center-line profile is symmetric."""
+    from pinn_fem_tpu.models.plate import mindlin_navier_w
+    from pinn_fem_tpu.serve.server import _solve_plate
+
+    payload = load_fixture("ui_payload_plate.json")
+    out = _solve_plate(payload)
+    assert out["success"] and out["analysis"] == "static"
+    assert out["element_type"] == "plate"
+    w_ex = abs(mindlin_navier_w(1.0, 1.0, 0.5, 0.5, -0.001, 1.0,
+                                0.3, 0.01))
+    np.testing.assert_allclose(out["max_deflection"], w_ex, rtol=2e-3)
+    np.testing.assert_allclose(w_ex, 44.383876, rtol=1e-5)
+    # The panels chart w(x, a/2): grid row j = 8 of the 17×17 mesh.
+    u = np.asarray(out["displacements"])
+    prof = u[[3 * (8 * 17 + i) for i in range(17)]]
+    assert prof[0] == 0.0 and prof[16] == 0.0        # SS edges
+    np.testing.assert_allclose(prof, prof[::-1], atol=1e-9 * w_ex)
+    assert abs(prof).max() == pytest.approx(out["max_deflection"])
