@@ -592,7 +592,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         { label: 'extreme-fiber von Mises',
           value: r.max_von_mises.toPrecision(4) },
       ]);
-      setMessage('Mindlin SS plate (16×16 SRI Q4, t/a = 0.01): center '
+      setMessage('Mindlin SS plate (16×16 MITC4 Q4, t/a = 0.01): center '
         + `deflection ${r.max_deflection.toPrecision(4)} on the exact `
         + 'series; chart: center-line profile');
     } catch (e) {

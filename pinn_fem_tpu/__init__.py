@@ -89,11 +89,15 @@ from .models.solid import (  # noqa: E402
 from .models.plate import (  # noqa: E402
     PlateProblem,
     mindlin_navier_w,
+    mindlin_ss_buckling_nx,
+    plate_buckling,
+    plate_geometric_stiffness,
     plate_harmonic,
     plate_matrices,
     plate_modal,
     plate_supports,
     solve_plate_static,
+    solve_plate_static_banded,
     solve_plate_transient,
 )
 from .models.problem import (  # noqa: E402
@@ -265,6 +269,18 @@ __all__ = [
     "FrameProblem",
     "PlaneProblem",
     "SolidProblem",
+    "PlateProblem",
+    "solve_plate_static",
+    "solve_plate_static_banded",
+    "solve_plate_transient",
+    "plate_modal",
+    "plate_buckling",
+    "plate_geometric_stiffness",
+    "plate_harmonic",
+    "plate_matrices",
+    "plate_supports",
+    "mindlin_navier_w",
+    "mindlin_ss_buckling_nx",
     "solve_solid_static",
     "solve_solid_static_banded",
     "solve_solid_transient",

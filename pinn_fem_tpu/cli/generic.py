@@ -220,6 +220,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Sweep: %d frequencies, peak |X| %.6g",
                         len(output["omegas"]),
                         max(max(row) for row in output["amplitude"]))
+        elif output["analysis"] == "buckling":
+            logger.info("  Critical membrane-force factors: %s",
+                        ["%.6g" % v for v in output["load_factors"]])
         else:
             logger.info("  Max deflection: %.6g (node %d), max "
                         "extreme-fiber von Mises: %.6g (element %d)",

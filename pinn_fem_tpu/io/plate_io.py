@@ -24,7 +24,14 @@ and route here:
      "point_masses": [[node, m], ..] | [..per node..],
      "analysis": {"type": "static"}
                | {"type": "modal", "n_modes": 6,
-                  "include_shapes": true}
+                  "include_shapes": true,
+                  "membrane_force": [Nxx, Nyy, Nxy]}  # optional
+                                           # in-plane prestress
+                                           # (force/length, tension
+                                           # positive): K_g added
+               | {"type": "buckling", "n_modes": 4,
+                  "membrane_force": [Nxx, Nyy, Nxy]}  # REQUIRED:
+                                           # λ_cr scales this state
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..],
                   "amplitude": {"type": "step" | "sine"} | [..],
@@ -198,7 +205,7 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
                 "reactions": res.reactions.tolist(),
             })
         return out
-    if kind in ("modal", "transient", "harmonic") \
+    if kind in ("modal", "transient", "harmonic", "buckling") \
             and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plate {kind} runs on the dense host tier; "
@@ -206,17 +213,41 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
             "coarsen the mesh; only statics has a banded large-mesh "
             "path so far")
     if kind == "modal":
+        nf = analysis.get("membrane_force")
         res = plate_modal(problem,
-                          n_modes=int(analysis.get("n_modes", 6)))
+                          n_modes=int(analysis.get("n_modes", 6)),
+                          membrane_force=nf)
         out = {
             "success": True,
             "analysis": "modal",
             "element_type": "plate",
+            "prestressed": nf is not None,
             "frequencies_hz": res.frequencies_hz.tolist(),
             "omegas": res.omegas.tolist(),
         }
         if analysis.get("include_shapes"):
             out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    if kind == "buckling":
+        from ..models.plate import plate_buckling
+
+        if "membrane_force" not in analysis:
+            raise ValueError(
+                'plate buckling needs "membrane_force": [Nxx, Nyy, '
+                "Nxy] (force/length, tension positive; scalars or "
+                "per-element rows) — the bending model carries no "
+                "membrane DOFs, so the in-plane state is an input")
+        res = plate_buckling(
+            problem, analysis["membrane_force"],
+            n_modes=int(analysis.get("n_modes", 4)))
+        out = {
+            "success": True,
+            "analysis": "buckling",
+            "element_type": "plate",
+            "load_factors": res.load_factors.tolist(),
+        }
+        if analysis.get("include_shapes", True):
+            out["buckling_modes"] = res.modes.tolist()
         return out
     if kind == "transient":
         dt = float(analysis["dt"])
@@ -257,8 +288,8 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
             "amplitude": res.amplitude.tolist(),
         }
     raise ValueError(f"unknown plate analysis type: {kind!r} — "
-                     'supported: "static", "modal", "transient", '
-                     '"harmonic"')
+                     'supported: "static", "modal", "buckling", '
+                     '"transient", "harmonic"')
 
 
 def run_plate_document(doc: Dict) -> Dict:

