@@ -38,7 +38,15 @@ and route here:
                   "record_every": 1}
                | {"type": "harmonic", "omegas": [..] | {"start": w0,
                   "stop": w1, "num": 50}, "damping": [a, b],
-                  "probe_nodes": [..]}}
+                  "probe_nodes": [..]}
+               | {"type": "spectrum", ...}     # transverse (z) base
+                                  # excitation; run_continuum_spectrum
+                                  # contract (io/_common.py) with
+                                  # extreme-fiber σ = 6M/t² components
+               | {"type": "random", ...}       # run_continuum_random
+                                  # contract incl. spectral fatigue
+               | {"type": "reduction", ...}}   # Guyan/Craig-Bampton
+                                  # (run_continuum_reduction contract)
 
 Static results carry centroid bending moments (Voigt [Mxx, Myy,
 Mxy]), transverse shear forces, extreme-fiber von Mises σ = 6M/t²
@@ -205,13 +213,27 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
                 "reactions": res.reactions.tolist(),
             })
         return out
-    if kind in ("modal", "transient", "harmonic", "buckling") \
+    if kind in ("modal", "transient", "harmonic", "buckling",
+                "spectrum", "random", "reduction") \
             and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plate {kind} runs on the dense host tier; "
             f"{problem.ndof} DOFs exceeds its 8192-DOF budget — "
             "coarsen the mesh; only statics has a banded large-mesh "
             "path so far")
+    if kind == "spectrum":
+        from ._common import run_continuum_spectrum
+
+        return run_continuum_spectrum(problem, analysis, "plate")
+    if kind == "random":
+        from ._common import run_continuum_random
+
+        return run_continuum_random(problem, analysis, "plate",
+                                    _probe_dofs(analysis, problem))
+    if kind == "reduction":
+        from ._common import run_continuum_reduction
+
+        return run_continuum_reduction(problem, analysis, "plate")
     if kind == "modal":
         nf = analysis.get("membrane_force")
         res = plate_modal(problem,
@@ -289,7 +311,8 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
         }
     raise ValueError(f"unknown plate analysis type: {kind!r} — "
                      'supported: "static", "modal", "buckling", '
-                     '"transient", "harmonic"')
+                     '"transient", "harmonic", "spectrum", "random", '
+                     '"reduction"')
 
 
 def run_plate_document(doc: Dict) -> Dict:

@@ -141,8 +141,61 @@ def _family_of(problem) -> _Family:
             influence=frame_influence,
             lam_bound=frame_lam_bound,
             harmonic=F.frame_harmonic)
+    from ..models.plate import PlateProblem
+
+    if isinstance(problem, PlateProblem):
+        from ..models import plate as PL
+
+        def plate_stress(p, u):
+            # Signed extreme-fiber bending stress components
+            # σ = 6M/t² (Voigt [xx, yy, xy]) of a modal displacement
+            # state — the per-quantity combination rule's inputs.
+            mom, _, _ = PL.recover_moments(p, u)
+            return 6.0 * mom / p.thickness[:, None] ** 2
+
+        def plate_vm(p, s):
+            sxx, syy, sxy = s[:, 0], s[:, 1], s[:, 2]
+            return np.sqrt(sxx ** 2 - sxx * syy + syy ** 2
+                           + 3.0 * sxy ** 2)
+
+        def plate_influence(p, d):
+            # Transverse (z) base excitation: the w DOFs carry the
+            # rigid-body motion; the rotations carry none.
+            r = np.zeros(p.ndof)
+            r[0::3] = d[0]
+            return r
+
+        def plate_lam_bound(p):
+            # Gershgorin over the FREE w ROWS only: the rotation
+            # rows' rotary inertia ~ρt³/12 pushes the all-rows bound
+            # up as 1/t² (the thickness-shear cutoff), so a healthy
+            # thin plate's first bending mode sits at λ₁/λ_bound ~ t⁴
+            # and would trip the mechanism guard (measured: 2.7e-8 on
+            # a t=0.1 strip).  The transverse rows — shear stiffness
+            # over ρt·(tributary area) — share the other families'
+            # ~1e-5 margin while a true mechanism still lands at
+            # ~eps·λ_bound.
+            k, m = PL.plate_matrices(p)
+            md = np.abs(np.asarray(m).sum(axis=1))
+            mask = p.free_mask() > 0
+            sel = mask.copy()
+            sel[1::3] = sel[2::3] = False
+            if not sel.any():
+                sel = mask if mask.any() else ~mask
+            row = np.abs(k).sum(axis=1) / np.maximum(md, 1e-300)
+            return float(row[sel].max())
+
+        return _Family(
+            dim=1,
+            modal=lambda p, n: _unpack_modal(PL.plate_modal(p, n)),
+            mass=lambda p: PL.plate_matrices(p)[1],
+            stresses=plate_stress,
+            vm=plate_vm,
+            influence=plate_influence,
+            lam_bound=plate_lam_bound,
+            harmonic=PL.plate_harmonic)
     raise TypeError("continuum spectrum/random needs a PlaneProblem, "
-                    f"SolidProblem or FrameProblem, got "
+                    f"SolidProblem, FrameProblem or PlateProblem, got "
                     f"{type(problem).__name__}")
 
 
@@ -180,7 +233,14 @@ def continuum_response_spectrum(
     if direction is None:
         d[0] = 1.0
     else:
-        d[:] = np.asarray(direction, dtype=float)
+        arr = np.asarray(direction, dtype=float).reshape(-1)
+        if arr.size != fam.dim:
+            raise ValueError(
+                f"direction must have {fam.dim} component(s) for "
+                f"{type(problem).__name__}"
+                + (" (plates are excited transversely — omit "
+                   '"direction" or pass [1])' if fam.dim == 1 else ""))
+        d[:] = arr
         nrm = np.linalg.norm(d)
         if nrm == 0:
             raise ValueError("direction must be nonzero")
@@ -326,7 +386,8 @@ def continuum_stress_frf(problem, omegas, damping=(0.0, 0.0),
     from ..models.solid import SolidProblem
 
     om = np.asarray(omegas, dtype=float).reshape(-1)
-    if problem.prescribed is not None and np.any(problem.prescribed):
+    prescribed = getattr(problem, "prescribed", None)  # plates: none
+    if prescribed is not None and np.any(prescribed):
         raise ValueError("stress FRFs support homogeneous supports "
                          "only (the harmonic-family guard)")
     if isinstance(problem, PlaneProblem):
@@ -364,11 +425,39 @@ def continuum_stress_frf(problem, omegas, damping=(0.0, 0.0),
             eps = np.einsum("mia,ma->mi", b, u[dm])
             return np.einsum("mij,mj->mi", dmat, eps)
     else:
-        raise TypeError(
-            "stress FRFs cover the plane/solid continuum families; "
-            "for trusses use random_response's force PSDs and for "
-            f"frames the member-force FRF path, got "
-            f"{type(problem).__name__}")
+        from ..models.plate import PlateProblem
+
+        if isinstance(problem, PlateProblem):
+            # Plates: EXTREME-FIBER bending stress σ = 6M/t² at
+            # z = ±t/2 (where Reissner's parabolic transverse shear
+            # vanishes) — a linear functional of the response, so a
+            # legitimate complex FRF; padded to Voigt-6 plane stress.
+            from ..models import plate as PL
+
+            k, mm = PL.plate_matrices(problem)
+            coords = problem.coords()
+            db, _ = PL._dmats(problem.young, problem.poisson,
+                              problem.thickness)
+            _, dx, dy, _ = PL._shape_grads(coords, 0.0, 0.0)
+            bb = PL._bend_b(dx, dy)
+            f0 = problem.loads + PL._pressure_vectors(problem)
+            dm = problem.dof_map()
+            t2 = problem.thickness ** 2
+
+            def sig6_of(u):
+                kap = np.einsum("mia,ma->mi", bb, u[dm])
+                s3 = 6.0 * np.einsum("mij,mj->mi", db, kap) \
+                    / t2[:, None]
+                out = np.zeros((s3.shape[0], 6), dtype=s3.dtype)
+                out[:, 0], out[:, 1], out[:, 5] = (s3[:, 0], s3[:, 1],
+                                                   s3[:, 2])
+                return out
+        else:
+            raise TypeError(
+                "stress FRFs cover the plane/solid/plate continuum "
+                "families; for trusses use random_response's force "
+                "PSDs and for frames the member-force FRF path, got "
+                f"{type(problem).__name__}")
 
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * mm + beta * k

@@ -249,15 +249,20 @@ def reduce_model(problem, master_dofs, method: str = "guyan",
     from ..models.plane import PlaneProblem
     from ..models.solid import SolidProblem
 
+    from ..models.plate import PlateProblem
+
     if isinstance(problem, PlaneProblem):
         from ..models.plane import plane_matrices as mats
     elif isinstance(problem, SolidProblem):
         from ..models.solid import solid_matrices as mats
     elif isinstance(problem, FrameProblem):
         from ..models.frame import frame_matrices as mats
+    elif isinstance(problem, PlateProblem):
+        from ..models.plate import plate_matrices as mats
     else:
-        raise TypeError("reduce_model needs a Truss/Plane/Solid/Frame "
-                        f"problem, got {type(problem).__name__}")
+        raise TypeError("reduce_model needs a Truss/Plane/Solid/"
+                        "Frame/Plate problem, got "
+                        f"{type(problem).__name__}")
     k, m = mats(problem)
     if method == "guyan":
         return guyan_reduce_dense(k, m, problem.fixed_dofs,

@@ -521,3 +521,202 @@ def test_frame_fiber_fatigue_sdof_anchor():
     np.testing.assert_allclose(mags, np.broadcast_to(mags[:, :1],
                                                      mags.shape),
                                rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Plate family (Mindlin MITC4, 3-DOF [w, βx, βy] nodes): transverse
+# base excitation, extreme-fiber σ = 6M/t² stress quantities
+# ---------------------------------------------------------------------------
+
+
+def sdof_plate(load=3.0, t=0.2):
+    """Unit-square MITC4 plate with every DOF fixed except node 2's w:
+    the SDOF anchor on the plate family (rotations carry no
+    influence — only the w DOFs ride a transverse base motion)."""
+    from pinn_fem_tpu.models.plate import PlateProblem
+
+    nodes, elems = rect_mesh(1.0, 1.0, 1, 1, "quad")
+    i = 3 * 2                       # node 2, w component
+    fixed = np.setdiff1d(np.arange(12), [i])
+    loads = np.zeros(12)
+    loads[i] = load
+    return PlateProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=NU, thickness=t, density=RHO,
+                        loads=loads, fixed_dofs=fixed), i
+
+
+def plate_strip(nx=6, f_tip=2.0):
+    """Cylindrical-bending strip: ν = 0 and βy fixed everywhere, so
+    Myy = Mxy = 0 IDENTICALLY and the equivalent von Mises PSD must
+    reduce exactly to the σxx component PSD (the plate twin of
+    loaded_rod_strip)."""
+    from pinn_fem_tpu.models.plate import PlateProblem, plate_supports
+
+    nodes, elems = rect_mesh(4.0, 1.0, nx, 1, "quad")
+    nnode = nodes.shape[0]
+    left = plate_supports(nodes, ["left"], "clamped")
+    by = 3 * np.arange(nnode) + 2
+    fixed = np.unique(np.concatenate([left, by]))
+    loads = np.zeros(3 * nnode)
+    right = np.flatnonzero(nodes[:, 0] == 4.0)
+    loads[3 * right] = f_tip / right.size
+    return PlateProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=0.0, thickness=0.1, density=RHO,
+                        loads=loads, fixed_dofs=fixed)
+
+
+def test_plate_sdof_spectrum_and_random():
+    """Plate SDOF: the same closed forms as the plane/solid/frame
+    anchors — u_peak = Sa·m/k, Γ = √m, fraction 1, white-noise
+    σ² = F²πS₀/(2kc) — plus the dim=1 direction guard."""
+    from pinn_fem_tpu.models.plate import plate_matrices
+
+    p, i = sdof_plate()
+    k, m = plate_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+    sa = 2.5
+    res = continuum_response_spectrum(p, sa, n_modes=4)
+    assert res.omegas.shape == (1,)
+    np.testing.assert_allclose(res.omegas[0], np.sqrt(ki / mi),
+                               rtol=1e-12)
+    np.testing.assert_allclose(res.displacements[i], sa * mi / ki,
+                               rtol=1e-12)
+    np.testing.assert_allclose(abs(res.participation[0]), np.sqrt(mi),
+                               rtol=1e-12)
+    np.testing.assert_allclose(res.mass_fraction, 1.0, rtol=1e-12)
+    assert res.von_mises.shape == (p.nelm,)
+    assert np.all(res.von_mises >= 0.0)
+    # plates are excited transversely: scalar direction only
+    same = continuum_response_spectrum(p, sa, direction=[1.0],
+                                       n_modes=4)
+    np.testing.assert_allclose(same.displacements, res.displacements,
+                               rtol=1e-12)
+    with pytest.raises(ValueError, match="component"):
+        continuum_response_spectrum(p, sa, direction=[0.0, 0.0, 1.0])
+    # white noise on the same SDOF
+    wn = np.sqrt(ki / mi)
+    alpha = 0.4 * wn
+    om = np.linspace(1e-3 * wn, 8.0 * wn, 6000)
+    rr = continuum_random_response(p, 0.7, om, damping=(alpha, 0.0),
+                                   probe_dofs=[i])
+    exact = p.loads[i] ** 2 * np.pi * 0.7 / (2.0 * ki * alpha * mi)
+    np.testing.assert_allclose(rr.rms[0] ** 2, exact, rtol=2e-2)
+
+
+def test_plate_spectrum_stress_is_extreme_fiber_srss():
+    """Per-quantity rule on the plate strip: the combined stress
+    components equal the SRSS of the modal extreme-fiber stresses
+    6M/t², and the reported governing stress is the plane-stress von
+    Mises OF those combined components."""
+    p = plate_strip(nx=4)
+    res = continuum_response_spectrum(p, 1.0, n_modes=3)
+    expect = np.sqrt(np.sum(res.modal_stresses ** 2, axis=0))
+    np.testing.assert_allclose(res.stresses, expect, rtol=1e-12)
+    sxx, syy, sxy = (res.stresses[:, 0], res.stresses[:, 1],
+                     res.stresses[:, 2])
+    vm = np.sqrt(sxx ** 2 - sxx * syy + syy ** 2 + 3.0 * sxy ** 2)
+    np.testing.assert_allclose(res.von_mises, vm, rtol=1e-12)
+    # cylindrical bending: only σxx lives
+    assert np.abs(res.stresses[:, 1:]).max() \
+        < 1e-9 * np.abs(res.stresses).max()
+
+
+def test_plate_stress_frf_mirror_and_evms_reduction():
+    """The plate stress FRF mirrors an independent per-frequency dense
+    complex solve through recover_moments (σ = 6M/t², linear in u), and
+    on the cylindrical strip the Preumont EVMS equals |σxx|² S_p."""
+    from pinn_fem_tpu.models import plate as PL
+    from pinn_fem_tpu.solvers.continuum_spectrum import (
+        continuum_spectral_fatigue, continuum_stress_frf)
+
+    p = plate_strip()
+    k, m = PL.plate_matrices(p)
+    w1 = PL.plate_modal(p, 1).omegas[0]
+    # sweep BELOW the first resonance: quasi-static, so the clamped
+    # root governs (above it the mass-dominated response reorders)
+    om = np.linspace(0.01 * w1, 0.6 * w1, 30)
+    alpha = 0.8 * w1
+    frf = continuum_stress_frf(p, om, damping=(alpha, 0.0))
+    assert frf.shape == (30, p.nelm, 6)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    t2 = p.thickness ** 2
+    for i in [0, 15, 29]:
+        a = k - om[i] ** 2 * m + 1j * om[i] * alpha * m
+        u = np.zeros(p.ndof, dtype=complex)
+        u[free] = np.linalg.solve(a[np.ix_(free, free)],
+                                  p.loads[free].astype(complex))
+        mom_r = PL.recover_moments(p, u.real)[0]
+        mom_i = PL.recover_moments(p, u.imag)[0]
+        sxx = 6.0 * (mom_r[:, 0] + 1j * mom_i[:, 0]) / t2
+        np.testing.assert_allclose(frf[i, :, 0], sxx, rtol=1e-10)
+        assert np.abs(frf[i, :, 2:5]).max() == 0.0    # zz, yz, xz
+    # cylindrical bending: only σxx lives
+    assert np.abs(frf[:, :, 1:]).max() < 1e-9 * np.abs(frf).max()
+    # EVMS == |σxx|² S_p exactly
+    s0 = 0.3
+    cf = continuum_spectral_fatigue(p, s0, om, damping=(alpha, 0.0),
+                                    sn_exponent=3.0,
+                                    sn_coefficient=1e6)
+    np.testing.assert_allclose(cf.eq_psd,
+                               np.abs(frf[:, :, 0]) ** 2 * s0,
+                               rtol=1e-12)
+    assert np.all(cf.fatigue.damage_rate > 0.0)
+    # the clamped root carries more stress than the tip
+    assert cf.eq_rms[0] > cf.eq_rms[-1]
+
+
+def test_json_plate_spectrum_random_fatigue():
+    from pinn_fem_tpu.io.plate_io import run_plate_document
+
+    doc = {
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": 6, "ny": 6},
+        "material": {"young": E, "poisson": NU, "thickness": 0.05,
+                     "density": RHO},
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "analysis": {"type": "spectrum", "sa": 2.5, "n_modes": 6,
+                     "combination": "cqc", "damping_ratio": 0.05},
+    }
+    out = run_plate_document(doc)
+    assert out["success"] and out["analysis"] == "spectrum"
+    assert out["element_type"] == "plate"
+    assert 0.0 < out["mass_fraction"] <= 1.0 + 1e-9
+    assert out["max_von_mises"] > 0.0
+    # mirrors the solver exactly
+    from pinn_fem_tpu.io.plate_io import parse_plate_document
+
+    p, _ = parse_plate_document(doc)
+    res = continuum_response_spectrum(p, 2.5, n_modes=6,
+                                      combination="cqc")
+    np.testing.assert_allclose(out["max_displacement"],
+                               res.displacements.max(), rtol=1e-12)
+    np.testing.assert_allclose(out["max_von_mises"],
+                               res.von_mises.max(), rtol=1e-12)
+    # random + spectral fatigue through the shared contract
+    doc["pressure"] = -100.0
+    doc["analysis"] = {"type": "random",
+                       "omegas": {"start": 5.0, "stop": 2000.0,
+                                  "num": 300},
+                       "psd": 0.5, "damping": [2.0, 0.0],
+                       "probe_nodes": [24],
+                       "probe_elements": [0, 14],
+                       "fatigue": {"sn": {"exponent": 3.0,
+                                          "coefficient": 1e12},
+                                   "duration": 3600.0}}
+    out2 = run_plate_document(doc)
+    assert out2["success"] and out2["analysis"] == "random"
+    assert out2["probe_dofs"] == [72]            # w DOF of node 24
+    assert np.asarray(out2["rms"]).shape == (1,)
+    f = out2["fatigue"]
+    assert f["equivalent"] == "von_mises_preumont"
+    assert f["probe_elements"] == [0, 14]
+    assert all(v > 0 for v in f["damage_rate"])
+    assert len(f["peak_factor"]) == 2
+    # the dense host tier's DOF budget guards the new kinds too
+    big = dict(doc)
+    big["mesh"] = {"type": "rect", "width": 1.0, "height": 1.0,
+                   "nx": 52, "ny": 52}
+    with pytest.raises(ValueError, match="coarsen"):
+        run_plate_document(big)

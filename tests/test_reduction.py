@@ -278,3 +278,52 @@ def test_json_reduction_plane_and_frame():
     fout = run_frame_document(fdoc)
     assert fout["success"] and fout["n_reduced_dofs"] == 3
     assert np.all(np.isfinite(fout["reduced_frequencies_hz"]))
+
+
+def test_plate_reduction_dispatch_and_json():
+    """reduce_model dispatches the plate family (3-DOF [w, βx, βy]
+    nodes) onto the dense cores: Guyan statics exactness on a SS
+    plate, plus the JSON reduction block with master_nodes resolving
+    to the free w/rotation DOFs."""
+    from pinn_fem_tpu.io.plate_io import run_plate_document
+    from pinn_fem_tpu.models.plate import (PlateProblem, plate_matrices,
+                                           plate_supports)
+    from pinn_fem_tpu.models.plane import rect_mesh
+    from pinn_fem_tpu.solvers.reduction import reduce_loads, reduce_model
+
+    nodes, elems = rect_mesh(1.0, 1.0, 4, 4, "quad")
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    p = PlateProblem(nodes=nodes, elements=elems, young=200.0,
+                     poisson=0.3, thickness=0.05, density=2.0,
+                     loads=np.zeros(3 * nodes.shape[0]),
+                     fixed_dofs=fixed)
+    interior = [6, 7, 8, 11, 12, 13, 16, 17, 18]
+    masters = 3 * np.asarray(interior)               # the w DOFs
+    model = reduce_model(p, masters, method="guyan")
+    loads = np.zeros(p.ndof)
+    loads[masters] = np.linspace(1.0, 2.0, masters.size)
+    u_m = np.linalg.solve(model.k_red, reduce_loads(model, loads))
+    k, _ = plate_matrices(p)
+    mask = p.free_mask()
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    u_full = np.linalg.solve(km, loads * mask) * mask
+    np.testing.assert_allclose(u_m, u_full[masters], rtol=1e-10)
+
+    doc = {
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": 4, "ny": 4},
+        "material": {"young": 200.0, "poisson": 0.3,
+                     "thickness": 0.05, "density": 2.0},
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "analysis": {"type": "reduction", "method": "craig_bampton",
+                     "master_nodes": [12], "n_modes": 10,
+                     "n_compare": 2},
+    }
+    out = run_plate_document(doc)
+    assert out["success"] and out["analysis"] == "reduction"
+    assert out["element_type"] == "plate"
+    assert out["n_reduced_dofs"] == 13          # 3 master DOFs + 10
+    assert max(out["frequency_rel_errors"]) < 1e-3
