@@ -22,6 +22,10 @@ and route here:
        | "fixed_dofs": [..]                # raw 3n-DOF indices
        | "fixed_nodes": [..],              # all three DOFs
      "point_masses": [[node, m], ..] | [..per node..],
+     "thermal": {"alpha": a, "delta_t": dT}   # through-thickness
+       | material "alpha" + "temperature",    # TOP−BOTTOM face ΔT:
+                                              # κ_th = α ΔT / t
+                                              # (static load case only)
      "analysis": {"type": "static"}
                | {"type": "modal", "n_modes": 6,
                   "include_shapes": true,
@@ -131,12 +135,20 @@ def parse_plate_document(doc: Dict) -> Tuple[PlateProblem, Dict]:
         else:
             pm = arr
 
+    # Through-thickness thermal gradient: the shared thermal contract
+    # (plane_io._thermal_block) with "delta_t"/"temperature" read as
+    # the TOP-minus-BOTTOM face difference ΔT (κ_th = α ΔT / t).
+    from .plane_io import _thermal_block
+
+    th_alpha, th_temp = _thermal_block(doc, mat)
+
     problem = PlateProblem(
         nodes=nodes, elements=elements,
         young=mat.get("young", 1.0), poisson=mat["poisson"],
         thickness=mat["thickness"], density=mat.get("density", 1.0),
         loads=loads, fixed_dofs=fixed,
-        pressure=doc.get("pressure"), point_masses=pm)
+        pressure=doc.get("pressure"), point_masses=pm,
+        alpha_cte=th_alpha, temperature=th_temp)
     return problem, dict(doc.get("analysis") or {"type": "static"})
 
 

@@ -87,6 +87,12 @@ class PlateProblem:
     fixed_dofs: np.ndarray
     pressure: Optional[np.ndarray] = None       # (m,) or scalar q
     point_masses: Optional[np.ndarray] = None   # (n,)
+    # Through-thickness thermal gradient load case: temperature is the
+    # TOP-minus-BOTTOM face difference ΔT (per-element, broadcast),
+    # producing the thermal curvature κ_th = α ΔT / t [1, 1, 0] —
+    # the bending twin of the plane family's in-plane ΔT case.
+    alpha_cte: Optional[np.ndarray] = None      # (m,) or scalar α
+    temperature: Optional[np.ndarray] = None    # (m,) or scalar ΔT
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -123,6 +129,16 @@ class PlateProblem:
         if self.point_masses is not None:
             self.point_masses = np.broadcast_to(
                 np.asarray(self.point_masses, dtype=float), (n,)).copy()
+        if self.temperature is not None:
+            if self.alpha_cte is None:
+                raise ValueError("a plate temperature gradient needs "
+                                 "the thermal expansion coefficient "
+                                 "alpha_cte (κ_th = α ΔT / t)")
+            self.temperature = np.broadcast_to(
+                np.asarray(self.temperature, dtype=float), (m,)).copy()
+        if self.alpha_cte is not None:
+            self.alpha_cte = np.broadcast_to(
+                np.asarray(self.alpha_cte, dtype=float), (m,)).copy()
         from .plane import _q4_detj
         if np.any(_q4_detj(self.coords()) <= 0.0):
             raise ValueError("plate quadrilaterals must be CCW and "
@@ -328,6 +344,57 @@ def _pressure_vectors(problem: PlateProblem) -> np.ndarray:
     return f
 
 
+def _thermal_curvature(problem: PlateProblem):
+    """(m, 3) Voigt thermal curvature of the through-thickness ΔT
+    load case, or None: a linear profile T(z) = T_m + z ΔT/t bends the
+    midsurface with κ_th = α ΔT / t [1, 1, 0] (the membrane mean T_m
+    has no bending-DOF coupling — this model carries no membrane).
+    Thermoelasticity is a STATIC load case (models/plane.py doctrine):
+    the dynamic solvers refuse a temperature field loudly."""
+    if problem.temperature is None:
+        return None
+    k = problem.alpha_cte * problem.temperature / problem.thickness
+    z = np.zeros_like(k)
+    return np.stack([k, k, z], axis=-1)
+
+
+def _thermal_load_vectors(problem: PlateProblem) -> np.ndarray:
+    """(3n,) consistent thermal nodal loads f_th = ∫ B_bᵀ D_b κ_th dΩ
+    (2×2 Gauss).  Two exact discrete anchors (tests/test_plate.py):
+    a FREE plate under uniform κ_th bends into the stress-free
+    spherical cap (the MITC4 constant-curvature patch state — moments
+    vanish to machine precision), and a fully CLAMPED plate stays
+    flat with M = −D_b κ_th, σ = E α ΔT / (2(1−ν)) exactly (constant
+    M_th self-equilibrates at interior nodes by the divergence
+    theorem, so u ≡ 0 is the discrete solution)."""
+    f = np.zeros(problem.ndof)
+    kap_th = _thermal_curvature(problem)
+    if kap_th is None:
+        return f
+    coords = problem.coords()
+    db, _ = _dmats(problem.young, problem.poisson, problem.thickness)
+    m_th = np.einsum("mij,mj->mi", db, kap_th)              # (m, 3)
+    fe = np.zeros((problem.nelm, 12))
+    for xi, eta in _GP:
+        _, dx, dy, det = _shape_grads(coords, xi, eta)
+        bb = _bend_b(dx, dy)
+        fe += det[:, None] * np.einsum("mia,mi->ma", bb, m_th)
+    np.add.at(f, problem.dof_map(), fe)
+    return f
+
+
+def _require_no_thermal(problem: PlateProblem, kind: str):
+    """Dynamic paths refuse a ΔT gradient: the forcing is amplitude-
+    scaled in time and a thermal load is a constant static case —
+    oscillating it would be silently wrong physics (the plane
+    family's rule, models/plane.py:_require_no_thermal)."""
+    if problem.temperature is not None:
+        raise ValueError(
+            f"plate {kind} does not take a temperature-gradient load "
+            "case — thermoelastic bending is static; use analysis "
+            'type "static"')
+
+
 def _assemble(problem: PlateProblem, blocks: np.ndarray) -> np.ndarray:
     dm = problem.dof_map()
     k = np.zeros((problem.ndof, problem.ndof))
@@ -363,6 +430,12 @@ def recover_moments(problem: PlateProblem, u: np.ndarray):
     n, dx, dy, _ = _shape_grads(coords, 0.0, 0.0)
     u_e = u[problem.dof_map()]
     kap = np.einsum("mia,ma->mi", _bend_b(dx, dy), u_e)
+    kap_th = _thermal_curvature(problem)
+    if kap_th is not None:
+        # physical stress resultant: M = D_b (κ − κ_th) — the free
+        # thermal cap is moment-free, the clamped flat plate carries
+        # M = −D_b κ_th (the two exact anchors, tests/test_plate.py)
+        kap = kap - kap_th
     mom = np.einsum("mij,mj->mi", db, kap)
     bs, _ = _shear_b_mitc(coords, _mitc_rows(coords), 0.0, 0.0)
     gam = np.einsum("mia,ma->mi", bs, u_e)
@@ -388,7 +461,8 @@ def solve_plate_static(problem: PlateProblem) -> PlateStaticResult:
     k, _ = plate_matrices(problem, with_mass=False)
     mask = problem.free_mask()
     km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
-    f = problem.loads + _pressure_vectors(problem)
+    f = problem.loads + _pressure_vectors(problem) \
+        + _thermal_load_vectors(problem)
     u = np.linalg.solve(km, f * mask) * mask
     mom, q, vm = recover_moments(problem, u)
     reactions = (k @ u - f) * (1.0 - mask)
@@ -643,6 +717,7 @@ def solve_plate_transient(problem: PlateProblem, dt: float,
     step response (tests/test_plate.py)."""
     import scipy.linalg
 
+    _require_no_thermal(problem, "transient")
     if dt <= 0.0 or n_steps <= 0:
         raise ValueError("transient needs positive dt and n_steps")
     k, m = plate_matrices(problem)
@@ -706,6 +781,7 @@ def plate_harmonic(problem: PlateProblem, omegas,
     Rayleigh C = αM + βK (the plane/solid/frame family's sweep with
     (w, βx, βy) nodes; same ALL-modes-superposition exactness
     cross-check, tests/test_plate.py)."""
+    _require_no_thermal(problem, "harmonic")
     om = np.asarray(omegas, dtype=float).reshape(-1)
     k, m = plate_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
@@ -817,7 +893,8 @@ def solve_plate_static_banded(problem: PlateProblem,
     if precond == "auto":
         precond = "jacobi"        # mixed w/rotation DOF scales
     layout = _plate_dia_layout(problem)
-    f_np = problem.loads + _pressure_vectors(problem)
+    f_np = problem.loads + _pressure_vectors(problem) \
+        + _thermal_load_vectors(problem)
     if mesh is not None:
         from ..ops.dia import assemble_dia_blocks, dia_matvec
         from ..parallel.dia_sharded import dia_cg_solve_sharded

@@ -434,6 +434,7 @@ def continuum_stress_frf(problem, omegas, damping=(0.0, 0.0),
             # legitimate complex FRF; padded to Voigt-6 plane stress.
             from ..models import plate as PL
 
+            PL._require_no_thermal(problem, "stress FRFs")
             k, mm = PL.plate_matrices(problem)
             coords = problem.coords()
             db, _ = PL._dmats(problem.young, problem.poisson,

@@ -389,3 +389,160 @@ def test_json_buckling_and_prestressed_modal():
 
     with pytest.raises(ValueError, match="membrane_force"):
         run_plate_document(dict(doc, analysis={"type": "buckling"}))
+
+
+# ---------------------------------------------------------------------------
+# Through-thickness thermal gradient (κ_th = α ΔT / t): two EXACT
+# discrete anchors + the Boley-Weiner SS membrane-analogy series
+# ---------------------------------------------------------------------------
+
+ALPHA_T = 1.2e-5
+
+
+def test_thermal_free_plate_is_stress_free_cap():
+    """A free plate (rigid modes pinned at the origin node) under
+    uniform κ_th bends into the spherical cap w = κ(x²+y²)/2,
+    β = κ(x, y) EXACTLY — the MITC4 constant-curvature patch state:
+    bending energy is zero with β linear, and the assumed shear
+    samples vanish because the midpoint slope of the edge-linear w
+    interpolant equals the exact quadratic's (midpoint rule).
+    Moments, shears and von Mises vanish to machine precision."""
+    from pinn_fem_tpu.models.plate import solve_plate_static
+
+    t, dt_th = 0.02, 40.0
+    nodes, elems = rect_mesh(A, B, 6, 6)
+    p = PlateProblem(nodes, elems, E, NU, t, RHO,
+                     np.zeros(3 * nodes.shape[0]),
+                     np.array([0, 1, 2]),          # node 0 at (0, 0)
+                     alpha_cte=ALPHA_T, temperature=dt_th)
+    r = solve_plate_static(p)
+    kap = ALPHA_T * dt_th / t
+    w_ex = kap * (nodes[:, 0] ** 2 + nodes[:, 1] ** 2) / 2.0
+    bx_ex = kap * nodes[:, 0]
+    by_ex = kap * nodes[:, 1]
+    scale = np.abs(w_ex).max()
+    np.testing.assert_allclose(r.displacements[0::3], w_ex,
+                               atol=1e-10 * scale)
+    np.testing.assert_allclose(r.displacements[1::3], bx_ex,
+                               atol=1e-10 * scale)
+    np.testing.assert_allclose(r.displacements[2::3], by_ex,
+                               atol=1e-10 * scale)
+    m_scale = (E * t ** 3 / 12.0) * kap
+    assert np.abs(r.moments).max() < 1e-10 * m_scale
+    assert np.abs(r.von_mises).max() < 1e-9 * m_scale / t ** 2
+    assert np.abs(r.reactions).max() < 1e-9 * m_scale
+
+
+def test_thermal_clamped_plate_flat_with_exact_stress():
+    """A fully clamped plate under uniform κ_th stays FLAT (u ≡ 0 is
+    the exact discrete solution: constant M_th self-equilibrates at
+    interior nodes by the divergence theorem) with the textbook
+    uniform stress σ = E α ΔT / (2(1−ν)) at the faces."""
+    from pinn_fem_tpu.models.plate import solve_plate_static
+
+    t, dt_th = 0.02, 40.0
+    nodes, elems = rect_mesh(A, B, 5, 7)         # non-square mesh too
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "clamped")
+    p = PlateProblem(nodes, elems, E, NU, t, RHO,
+                     np.zeros(3 * nodes.shape[0]), fixed,
+                     alpha_cte=ALPHA_T, temperature=dt_th)
+    r = solve_plate_static(p)
+    kap = ALPHA_T * dt_th / t
+    d_rig = E * t ** 3 / (12.0 * (1.0 - NU ** 2))
+    m_th = d_rig * (1.0 + NU) * kap
+    assert np.abs(r.displacements).max() < 1e-12 * kap * A ** 2
+    np.testing.assert_allclose(r.moments[:, 0], -m_th, rtol=1e-10)
+    np.testing.assert_allclose(r.moments[:, 1], -m_th, rtol=1e-10)
+    np.testing.assert_allclose(r.moments[:, 2], 0.0,
+                               atol=1e-10 * m_th)
+    sigma_ex = E * ALPHA_T * dt_th / (2.0 * (1.0 - NU))
+    np.testing.assert_allclose(r.von_mises, sigma_ex, rtol=1e-10)
+
+
+def test_thermal_ss_matches_membrane_analogy_series():
+    """Simply supported square, thin limit: Boley-Weiner reduces the
+    thermal Kirchhoff problem to the MEMBRANE Poisson problem
+    ∇²w = −M*/D with w = 0 on the boundary (M* = D(1+ν)κ_th), so
+    |w_center| = (1+ν)κ_th · u_P(a/2) with u_P the unit-Poisson
+    solution (double-sine series, computed here)."""
+    from pinn_fem_tpu.models.plate import solve_plate_static
+
+    t, dt_th = 0.01, 40.0
+    nodes, elems = rect_mesh(A, B, 16, 16)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    p = PlateProblem(nodes, elems, E, NU, t, RHO,
+                     np.zeros(3 * nodes.shape[0]), fixed,
+                     alpha_cte=ALPHA_T, temperature=dt_th)
+    r = solve_plate_static(p)
+    kap = ALPHA_T * dt_th / t
+    # u_P(center) of −∇²u = 1 on the unit square, u|∂ = 0
+    u_p = 0.0
+    for m in range(1, 40, 2):
+        for n in range(1, 40, 2):
+            u_p += (16.0 / np.pi ** 4
+                    * np.sin(m * np.pi / 2) * np.sin(n * np.pi / 2)
+                    / (m * n * (m ** 2 + n ** 2)))
+    w_ex = (1.0 + NU) * kap * u_p * A ** 2
+    w_fem = np.abs(r.displacements[0::3]).max()
+    # the series is KIRCHHOFF: the Mindlin answer sits slightly above
+    # it (shear flexibility ~(t/a)²) on top of O(h²) discretization —
+    # measured 4.1e-3 at 16×16, t/a = 0.01
+    assert abs(w_fem - w_ex) < 8e-3 * w_ex
+
+
+def test_thermal_json_banded_and_dynamic_guard():
+    """JSON tier: the shared thermal block parses onto the plate
+    family, the banded device tier carries the thermal load too, and
+    the dynamic kinds refuse a ΔT gradient loudly."""
+    from pinn_fem_tpu.io.plate_io import run_plate_document
+
+    doc = {
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": 5, "ny": 7},
+        "material": {"young": E, "poisson": NU, "thickness": 0.02,
+                     "density": RHO},
+        "supports": {"clamped": ["left", "right", "bottom", "top"]},
+        "thermal": {"alpha": ALPHA_T, "delta_t": 40.0},
+        "analysis": {"type": "static"},
+    }
+    out = run_plate_document(doc)
+    sigma_ex = E * ALPHA_T * 40.0 / (2.0 * (1.0 - NU))
+    np.testing.assert_allclose(out["max_von_mises"], sigma_ex,
+                               rtol=1e-10)
+    assert out["max_deflection"] < 1e-12
+    # both-forms ambiguity refused (the shared contract)
+    bad = dict(doc)
+    bad["temperature"] = 40.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="EITHER"):
+        run_plate_document(bad)
+    # dynamics refuse the static load case
+    dyn = dict(doc)
+    dyn["analysis"] = {"type": "harmonic",
+                       "omegas": {"start": 1.0, "stop": 5.0,
+                                  "num": 3},
+                       "damping": [0.1, 0.0]}
+    with _pytest.raises(ValueError, match="static"):
+        run_plate_document(dyn)
+    # banded device tier carries the thermal load: SS thermal plate
+    # (well-conditioned, nontrivial w), dense-vs-banded inside the
+    # family's measured f32 gate (test_banded_matches_dense)
+    from pinn_fem_tpu.models.plate import (solve_plate_static,
+                                           solve_plate_static_banded)
+
+    t, dt_th = 0.01, 40.0
+    nodes, elems = rect_mesh(A, B, 16, 16)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    p = PlateProblem(nodes, elems, E, NU, t, RHO,
+                     np.zeros(3 * nodes.shape[0]), fixed,
+                     alpha_cte=ALPHA_T, temperature=dt_th)
+    dense = solve_plate_static(p)
+    banded, iters, rel = solve_plate_static_banded(p, tol=1e-9)
+    assert rel < 1e-7
+    wd, wb = dense.displacements[0::3], banded.displacements[0::3]
+    assert np.abs(wd).max() > 0.0           # the load actually acts
+    assert np.abs(wd - wb).max() < 4e-3 * np.abs(wd).max()
