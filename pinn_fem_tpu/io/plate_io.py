@@ -49,8 +49,15 @@ and route here:
                                   # extreme-fiber σ = 6M/t² components
                | {"type": "random", ...}       # run_continuum_random
                                   # contract incl. spectral fatigue
-               | {"type": "reduction", ...}}   # Guyan/Craig-Bampton
+               | {"type": "reduction", ...}    # Guyan/Craig-Bampton
                                   # (run_continuum_reduction contract)
+               | {"type": "identification", ...}}  # E from measured
+                                  # deflections (the plane family's
+                                  # contract: measured_dofs/measured_u
+                                  # or synthetic twin data, zones,
+                                  # field MLP, banded adjoint past
+                                  # DENSE_DOF_LIMIT; E at KNOWN t —
+                                  # bending sees only D ~ E t³)
 
 Static results carry centroid bending moments (Voigt [Mxx, Myy,
 Mxy]), transverse shear forces, extreme-fiber von Mises σ = 6M/t²
@@ -246,6 +253,8 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
         from ._common import run_continuum_reduction
 
         return run_continuum_reduction(problem, analysis, "plate")
+    if kind == "identification":
+        return _run_plate_identification(problem, analysis)
     if kind == "modal":
         nf = analysis.get("membrane_force")
         res = plate_modal(problem,
@@ -324,7 +333,144 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
     raise ValueError(f"unknown plate analysis type: {kind!r} — "
                      'supported: "static", "modal", "buckling", '
                      '"transient", "harmonic", "spectrum", "random", '
-                     '"reduction"')
+                     '"reduction", "identification"')
+
+
+def _run_plate_identification(problem: PlateProblem,
+                              analysis: Dict) -> Dict:
+    """Young's-modulus identification from measured deflections — the
+    plane family's JSON contract (io/plane_io.py) on the bending
+    family: "measured_dofs" + "measured_u" (or "synthetic" twin data
+    with "zone_young"/"young"), "zones" bbox/id lists, "field" MLP,
+    banded adjoint past DENSE_DOF_LIMIT.  E is identified at KNOWN
+    thickness (bending data sees only D ~ E t³ — the models/plate.py
+    identifiability note)."""
+    from ..models.plate import (identify_plate_young,
+                                identify_plate_young_banded)
+    from ..solvers.newton import DENSE_DOF_LIMIT
+    from .plane_io import _resolve_zones
+
+    zones = analysis.get("zones")
+    if zones is not None:
+        zones = _resolve_zones(problem, zones)
+    synthetic = analysis.get("synthetic")
+    true_young = None
+    if synthetic is not None:
+        if "measured_u" in analysis:
+            raise ValueError('give "measured_u" or "synthetic", '
+                             'not both')
+        md = analysis.get("measured_dofs")
+        if md is None:
+            md = _probe_dofs(analysis, problem)
+        if md is None:
+            raise ValueError('synthetic plate identification needs '
+                             '"measured_dofs" or "probe_nodes"')
+        measured_dofs = np.asarray(md, dtype=int).reshape(-1)
+        if "zone_young" in synthetic:
+            if zones is None:
+                raise ValueError('"zone_young" needs "zones"')
+            true_young = np.broadcast_to(
+                np.asarray(problem.young, dtype=float),
+                (problem.nelm,)).copy()
+            for ids, e in zip(zones, synthetic["zone_young"]):
+                true_young[ids] = float(e)
+        else:
+            tv = synthetic["young"]
+            true_young = (np.full(problem.nelm, float(tv))
+                          if np.isscalar(tv)
+                          else np.asarray(tv, dtype=float))
+        from ..models.plate import solve_plate_static_banded
+
+        p_true = PlateProblem(
+            nodes=problem.nodes, elements=problem.elements,
+            young=true_young, poisson=problem.poisson,
+            thickness=problem.thickness, density=problem.density,
+            loads=problem.loads, fixed_dofs=problem.fixed_dofs,
+            pressure=problem.pressure,
+            point_masses=problem.point_masses)
+        r_true, _, _ = solve_plate_static_banded(
+            p_true, tol=float(analysis.get("tolerance", 1e-7)) * 0.01)
+        measured_u = r_true.displacements[measured_dofs]
+        noise = float(synthetic.get("noise", 0.0))
+        if noise:
+            rng = np.random.default_rng(int(synthetic.get("seed", 0)))
+            measured_u = measured_u + noise * np.max(
+                np.abs(measured_u)) * rng.standard_normal(
+                    measured_u.shape)
+        analysis = dict(analysis,
+                        measured_dofs=measured_dofs.tolist(),
+                        measured_u=measured_u.tolist())
+    if "measured_dofs" not in analysis or "measured_u" not in analysis:
+        raise ValueError('plate identification needs "measured_dofs" '
+                         'and "measured_u" (or "synthetic" twin data)')
+    banded = analysis.get("banded")
+    if banded is None:
+        banded = problem.ndof > DENSE_DOF_LIMIT or zones is not None
+    if banded:
+        # Identification-family doctrine: the ADAM loop runs on the
+        # LOCAL CPU tier unless "on_device": true opts in (per-step
+        # attachment round trips dominate millisecond solves).
+        from ._common import _local_cpu_ctx
+
+        with _local_cpu_ctx(analysis):
+            vals, hist, fld = identify_plate_young_banded(
+                problem,
+                analysis["measured_dofs"], analysis["measured_u"],
+                n_iter=int(analysis.get("n_iter", 300)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)),
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iter", 20000)),
+                zones=zones,
+                field=bool(analysis.get("field", False)),
+                seed=int(analysis.get("seed", 0)),
+                hidden_layers=int(analysis.get("hidden_layers", 2)),
+                neurons_per_layer=int(
+                    analysis.get("neurons_per_layer", 16)))
+    else:
+        if zones is not None:
+            raise ValueError('"zones" rides the banded tier; drop '
+                             '"banded": false')
+        vals, hist, fld = identify_plate_young(
+            problem,
+            analysis["measured_dofs"], analysis["measured_u"],
+            n_iter=int(analysis.get("n_iter", 800)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)),
+            field=bool(analysis.get("field", False)),
+            seed=int(analysis.get("seed", 0)),
+            hidden_layers=int(analysis.get("hidden_layers", 2)),
+            neurons_per_layer=int(analysis.get("neurons_per_layer",
+                                               16)))
+    centroids = problem.coords().mean(axis=1)
+    out = {
+        "success": True,
+        "analysis": "identification",
+        "element_type": "plate",
+        "parameter": "young",
+        "method": "banded" if banded else "dense",
+        "field": bool(analysis.get("field", False)),
+        "young": vals.tolist(),
+        "centroids": centroids.tolist(),
+        "loss_history": hist[:: max(1, hist.size // 200)].tolist(),
+        "final_loss": float(hist[-1]) if hist.size else None,
+    }
+    if zones is not None:
+        out["zones"] = [np.asarray(z, dtype=int).tolist()
+                        for z in zones]
+        out["zone_young"] = [
+            float(np.mean(vals[np.asarray(z, dtype=int)]))
+            for z in zones]
+    if true_young is not None:
+        out["synthetic"] = True
+        rel = np.abs(vals - true_young) / np.abs(true_young)
+        out["max_rel_error"] = float(rel.max())
+        if zones is not None and "zone_young" in synthetic:
+            out["true_zone_young"] = [float(v) for v in
+                                      synthetic["zone_young"]]
+            out["zone_rel_error"] = [
+                abs(zy - ty) / abs(ty) for zy, ty in
+                zip(out["zone_young"], out["true_zone_young"])]
+    return out
 
 
 def run_plate_document(doc: Dict) -> Dict:

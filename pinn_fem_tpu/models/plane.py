@@ -934,6 +934,12 @@ def identify_plane_young(problem: "PlaneProblem", measured_dofs,
     meas = jnp.asarray(np.asarray(measured_disp,
                                   dtype=float).reshape(-1))
     centroids = jnp.asarray(problem.coords().mean(axis=1))
+    # Measurement-scale-normalized loss: unit-invariant, so SI-unit
+    # micrometre deflections don't stall ADAM at its eps floor
+    # (solvers/banded_inverse.py — the measured failure).
+    meas_scale = float(max(np.mean(np.asarray(measured_disp,
+                                              dtype=float) ** 2),
+                           1e-300))
 
     def u_of(young_e):
         u, _, _ = plane_static_response(problem, young_e=young_e)
@@ -951,7 +957,7 @@ def identify_plane_young(problem: "PlaneProblem", measured_dofs,
         def loss_fn(fld):
             young_e = fld.eval_batch(centroids)
             u = u_of(young_e)
-            return jnp.mean((u[meas_idx] - meas) ** 2)
+            return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
 
         params0 = fld0
     else:
@@ -959,7 +965,7 @@ def identify_plane_young(problem: "PlaneProblem", measured_dofs,
 
         def loss_fn(log_e):
             u = u_of(jnp.exp(log_e))
-            return jnp.mean((u[meas_idx] - meas) ** 2)
+            return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
 
     opt = optax.adam(learning_rate)
     state = opt.init(params0)

@@ -934,3 +934,196 @@ def solve_plate_static_banded(problem: PlateProblem,
                             shear_forces=q, von_mises=vm,
                             reactions=np.asarray(reac, dtype=float))
     return res, int(iters), float(rel)
+
+
+# --------------------------------------------------------------------
+# Differentiable statics + Young's-modulus identification — the
+# reference's flagship inverse (PINN material identification,
+# /root/reference/FEM/python/examples/pinn_inverse_problem.py:96-230)
+# carried to the plate bending family (models/plane.py pattern).
+# Note the bending-rigidity ambiguity: E and t enter statics only
+# through D ~ E t³ (plus the matching shear term), so identify E at
+# KNOWN thickness — identifying both from bending data alone is
+# structurally unidentifiable.
+
+
+def plate_static_response(problem: PlateProblem, young_e=None,
+                          thickness_e=None, loads=None,
+                          load_scale=None, dtype=None):
+    """Traced, differentiable plate statics with per-element
+    properties: (u, moments, von_mises) from the masked dense solve
+    K(E, t) u = f + centroid recovery — every output differentiable
+    w.r.t. the traced property arrays (plane_static_response twin).
+    Thermal loads are rebuilt TRACED (κ_th and M_th depend on t and
+    E), so thermoelastic identification gradients stay exact."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    m = problem.nelm
+    coords = jnp.asarray(problem.coords(), dtype)
+    young = jnp.broadcast_to(jnp.asarray(
+        problem.young if young_e is None else young_e, dtype), (m,))
+    poisson = jnp.broadcast_to(jnp.asarray(problem.poisson, dtype),
+                               (m,))
+    thickness = jnp.broadcast_to(jnp.asarray(
+        problem.thickness if thickness_e is None else thickness_e,
+        dtype), (m,))
+    blocks = _k_blocks_plate(coords, young, poisson, thickness,
+                             xp=jnp)
+    dm = jnp.asarray(problem.dof_map())
+    k = jnp.zeros((problem.ndof, problem.ndof), dtype).at[
+        dm[:, :, None], dm[:, None, :]].add(blocks)
+
+    db, _ = _dmats(young, poisson, thickness, xp=jnp)
+    kap_th = None
+    if problem.temperature is not None:
+        kt = jnp.asarray(problem.alpha_cte * problem.temperature,
+                         dtype) / thickness
+        kap_th = jnp.stack([kt, kt, jnp.zeros_like(kt)], axis=-1)
+    if loads is None:
+        f = jnp.asarray(problem.loads + _pressure_vectors(problem),
+                        dtype)
+        if kap_th is not None:
+            m_th = _einsum(jnp, "mij,mj->mi", db, kap_th)
+            fe = jnp.zeros((m, 12), dtype)
+            for xi, eta in _GP:
+                _, dx, dy, det = _shape_grads(coords, xi, eta, xp=jnp)
+                bb = _bend_b(dx, dy, xp=jnp)
+                fe = fe + det[:, None] * _einsum(jnp, "mia,mi->ma",
+                                                 bb, m_th)
+            f = f + jnp.zeros(problem.ndof, dtype).at[dm.reshape(-1)
+                                                      ].add(fe.reshape(-1))
+    else:
+        f = jnp.asarray(loads, dtype)
+    if load_scale is not None:
+        f = f * jnp.asarray(load_scale, dtype)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
+    u = jnp.linalg.solve(km, f * mask) * mask
+
+    _, dx, dy, _ = _shape_grads(coords, 0.0, 0.0, xp=jnp)
+    kap = _einsum(jnp, "mia,ma->mi", _bend_b(dx, dy, xp=jnp), u[dm])
+    if kap_th is not None:
+        kap = kap - kap_th
+    mom = _einsum(jnp, "mij,mj->mi", db, kap)
+    s = 6.0 * mom / thickness[:, None] ** 2
+    vm = jnp.sqrt(s[:, 0] ** 2 - s[:, 0] * s[:, 1] + s[:, 1] ** 2
+                  + 3.0 * s[:, 2] ** 2)
+    return u, mom, vm
+
+
+def identify_plate_young(problem: PlateProblem, measured_dofs,
+                         measured_disp, n_iter: int = 800,
+                         learning_rate: float = 0.05,
+                         field: bool = False, seed: int = 0,
+                         hidden_layers: int = 2,
+                         neurons_per_layer: int = 16):
+    """Recover Young's modulus from measured plate deflections —
+    identify_plane_young's contract on the bending family.
+
+    field=False: per-element log-E ADAM; field=True: a smooth E(x, y)
+    MLP (models/fields.py) at element centroids trained through the
+    traced solve.  Returns (young (m,), loss_history, field|None)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    meas_idx = jnp.asarray(np.asarray(measured_dofs,
+                                      dtype=int).reshape(-1))
+    meas = jnp.asarray(np.asarray(measured_disp,
+                                  dtype=float).reshape(-1))
+    centroids = jnp.asarray(problem.coords().mean(axis=1))
+    # Measurement-scale-normalized loss: unit-invariant, so SI-unit
+    # micrometre deflections don't stall ADAM at its eps floor
+    # (solvers/banded_inverse.py — the measured failure).
+    meas_scale = float(max(np.mean(np.asarray(measured_disp,
+                                              dtype=float) ** 2),
+                           1e-300))
+
+    def u_of(young_e):
+        u, _, _ = plate_static_response(problem, young_e=young_e)
+        return u
+
+    if field:
+        from .fields import make_mlp_field
+
+        params0 = make_mlp_field(jax.random.PRNGKey(seed),
+                                 hidden_layers=hidden_layers,
+                                 neurons_per_layer=neurons_per_layer,
+                                 input_dim=2,
+                                 scale=float(np.mean(problem.young)))
+
+        def loss_fn(fld):
+            u = u_of(fld.eval_batch(centroids))
+            return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
+    else:
+        params0 = jnp.log(jnp.asarray(problem.young))
+
+        def loss_fn(log_e):
+            u = u_of(jnp.exp(log_e))
+            return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
+
+    opt = optax.adam(learning_rate)
+    state = opt.init(params0)
+    params = params0
+    hist = []
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    for _ in range(int(n_iter)):
+        params, state, loss = step(params, state)
+        hist.append(float(loss))
+    if field:
+        return (np.asarray(params.eval_batch(centroids)),
+                np.asarray(hist), params)
+    return np.asarray(jnp.exp(params)), np.asarray(hist), None
+
+
+def identify_plate_young_banded(problem: PlateProblem, measured_dofs,
+                                measured_disp, n_iter: int = 300,
+                                learning_rate: float = 0.05,
+                                tol: float = 1e-7,
+                                max_iter: int = 20000,
+                                zones=None, field: bool = False,
+                                seed: int = 0, hidden_layers: int = 2,
+                                neurons_per_layer: int = 16):
+    """identify_plate_young past DENSE_DOF_LIMIT: the forward model is
+    the banded PCG solve (ops/dia.dia_solve_diff — Jacobi-scaled for
+    the plate's mixed (a/t)² DOF scales), the reverse pass one adjoint
+    PCG (solvers/banded_inverse.identify_young_banded, shared with the
+    plane/solid families; only the MITC4 block builder is plate-
+    specific).  zones=[[ids..]|bbox, ..] gives one log-E per zone —
+    slab damage localization.  Returns (young, hist, field|None)."""
+    import jax.numpy as jnp
+
+    from ..solvers.banded_inverse import identify_young_banded
+
+    _require_no_thermal(problem, "banded identification")
+    layout = _plate_dia_layout(problem)
+    m = problem.nelm
+    dtype = jnp.asarray(1.0).dtype
+    coords = jnp.asarray(problem.coords(), dtype)
+    poisson = jnp.broadcast_to(jnp.asarray(problem.poisson, dtype),
+                               (m,))
+    thickness = jnp.broadcast_to(jnp.asarray(problem.thickness,
+                                             dtype), (m,))
+
+    def blocks_of(young_e):
+        return _k_blocks_plate(coords, young_e, poisson, thickness,
+                               xp=jnp)
+
+    return identify_young_banded(
+        layout, problem._dia_entry_slot_dev, blocks_of,
+        np.broadcast_to(np.asarray(problem.young, dtype=float),
+                        (m,)).copy(),
+        problem.coords().mean(axis=1),
+        problem.loads + _pressure_vectors(problem),
+        problem.free_mask(), measured_dofs, measured_disp,
+        n_iter=n_iter, learning_rate=learning_rate, tol=tol,
+        max_iter=max_iter, zones=zones, field=field, seed=seed,
+        hidden_layers=hidden_layers,
+        neurons_per_layer=neurons_per_layer, input_dim=2)

@@ -113,13 +113,24 @@ def identify_young_banded(layout, entry_slot_dev, blocks_of,
         def young_of(params):
             return jnp.exp(params)
 
+    # Loss normalized by the MEASUREMENT scale: in SI units a plate
+    # deflection is ~1e-6 m, the raw MSE ~1e-12 and its gradient falls
+    # below ADAM's eps (1e-8) — the optimizer silently stalls at the
+    # start (measured: 150 iterations moved log-E by 6e-3 on an SI
+    # slab).  The relative form is unit-invariant; in the healthy
+    # regime ADAM's per-parameter normalization makes the trajectory
+    # insensitive to the constant factor.
+    meas_scale = float(max(np.mean(np.asarray(measured_disp,
+                                              dtype=float) ** 2),
+                           1e-300))
+
     def loss_fn(params, entry_slot):
         view = DiaLayoutView(layout, entry_slot)
         blocks = blocks_of(young_of(params))
         diags = assemble_dia_blocks(view, blocks)
         u = dia_solve_diff(layout, diags, f, mask, tol=tol,
                            max_iter=int(max_iter))
-        return jnp.mean((u[meas_idx] - meas) ** 2)
+        return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
 
     opt = optax.adam(learning_rate)
     state = opt.init(params0)

@@ -546,3 +546,78 @@ def test_thermal_json_banded_and_dynamic_guard():
     wd, wb = dense.displacements[0::3], banded.displacements[0::3]
     assert np.abs(wd).max() > 0.0           # the load actually acts
     assert np.abs(wd - wb).max() < 4e-3 * np.abs(wd).max()
+
+
+# ---------------------------------------------------------------------------
+# Young's-modulus identification from measured deflections — the
+# reference's flagship inverse (PINN material identification) on the
+# bending family (identify_plane_young pattern; E at KNOWN thickness,
+# since bending sees only D ~ E t³)
+# ---------------------------------------------------------------------------
+
+
+def test_identify_plate_young_per_element():
+    """Two-zone SS plate under uniform pressure: per-element E
+    recovered from full-field measured deflections through the traced
+    dense solve."""
+    from pinn_fem_tpu.models.plate import identify_plate_young
+
+    t = 0.05
+    nodes, elems = rect_mesh(A, B, 4, 4)
+    fixed = plate_supports(nodes, ["left", "right", "bottom", "top"],
+                           "simply_supported")
+    centroids = nodes[elems].mean(axis=1)
+    e_true = np.where(centroids[:, 0] < A / 2.0, 2.0e11, 1.0e11)
+    p_true = PlateProblem(nodes, elems, e_true, NU, t, RHO,
+                          np.zeros(3 * nodes.shape[0]), fixed,
+                          pressure=Q)
+    u_true = solve_plate_static(p_true).displacements
+    free = np.setdiff1d(np.arange(p_true.ndof), fixed)
+    p0 = PlateProblem(nodes, elems, 1.5e11, NU, t, RHO,
+                      np.zeros(3 * nodes.shape[0]), fixed, pressure=Q)
+    vals, hist, fld = identify_plate_young(
+        p0, free, u_true[free], n_iter=1500, learning_rate=0.05)
+    assert fld is None
+    np.testing.assert_allclose(vals, e_true, rtol=0.03)
+    assert hist[-1] < 1e-6 * hist[0]
+
+
+def test_identify_plate_zone_banded_json():
+    """Slab damage localization through the JSON tier: the softened
+    half of a simply supported slab recovered by the BANDED adjoint
+    (zones parameterization, synthetic twin data generated on the
+    banded tier) — the dyn-plane-identify contract on plates."""
+    from pinn_fem_tpu.io.plate_io import run_plate_document
+
+    doc = {
+        "element_type": "plate",
+        "mesh": {"type": "rect", "width": 1.0, "height": 1.0,
+                 "nx": 8, "ny": 8},
+        "material": {"young": 2.0e11, "poisson": NU,
+                     "thickness": 0.1, "density": RHO},
+        "supports": {"simply_supported": ["left", "right", "bottom",
+                                          "top"]},
+        "pressure": Q,
+        "analysis": {
+            "type": "identification",
+            "zones": [{"x_max": 0.5}, {"x_min": 0.5}],
+            "synthetic": {"zone_young": [1.2e11, 2.4e11]},
+            "probe_nodes": list(range(81)),
+            "n_iter": 150, "learning_rate": 0.2,
+            "tolerance": 1e-8,
+        },
+    }
+    out = run_plate_document(doc)
+    assert out["success"] and out["analysis"] == "identification"
+    assert out["element_type"] == "plate"
+    assert out["method"] == "banded"
+    assert out["synthetic"] is True
+    assert max(out["zone_rel_error"]) < 0.02
+    assert out["final_loss"] < 1e-6 * out["loss_history"][0]
+    # guards: zones need the banded tier; measured data required
+    bad = dict(doc, analysis=dict(doc["analysis"], banded=False))
+    with pytest.raises(ValueError, match="banded"):
+        run_plate_document(bad)
+    bare = dict(doc, analysis={"type": "identification"})
+    with pytest.raises(ValueError, match="measured"):
+        run_plate_document(bare)
