@@ -88,6 +88,8 @@ from .models.solid import (  # noqa: E402
 )
 from .models.plate import (  # noqa: E402
     PlateProblem,
+    identify_plate_young,
+    identify_plate_young_banded,
     mindlin_navier_w,
     mindlin_ss_buckling_nx,
     plate_buckling,
@@ -95,7 +97,9 @@ from .models.plate import (  # noqa: E402
     plate_harmonic,
     plate_matrices,
     plate_modal,
+    plate_static_response,
     plate_supports,
+    recover_moments,
     solve_plate_static,
     solve_plate_static_banded,
     solve_plate_transient,
@@ -273,6 +277,10 @@ __all__ = [
     "solve_plate_static",
     "solve_plate_static_banded",
     "solve_plate_transient",
+    "plate_static_response",
+    "identify_plate_young",
+    "identify_plate_young_banded",
+    "recover_moments",
     "plate_modal",
     "plate_buckling",
     "plate_geometric_stiffness",

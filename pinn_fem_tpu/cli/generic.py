@@ -202,6 +202,20 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                     "generated mesh" if "mesh" in raw else
                     f"{len(raw.get('nodes', ()))} nodes, "
                     f"{len(raw.get('elements', ()))} elements")
+        plate_analysis = raw.get("analysis") or {}
+        if (plate_analysis.get("type") == "identification"
+                and not plate_analysis.get("on_device", False)):
+            # Identification-family local-tier pin (the plane branch
+            # above): ADAM loop + twin-data solve on the local CPU
+            # backend, no axon tunnel attach.
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+                logger.info("Plate identification: pinned "
+                            "jax_platforms=cpu (local tier)")
+            except Exception:
+                pass  # backends already up: the ctx still works
         output = run_plate_document(raw)
         if output_file is None:
             p = Path(problem_file)
@@ -223,6 +237,22 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "buckling":
             logger.info("  Critical membrane-force factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
+        elif output["analysis"] == "identification":
+            logger.info("  Identified E in [%.6g, %.6g], final loss "
+                        "%.3e", min(output["young"]),
+                        max(output["young"]), output["final_loss"])
+        elif output["analysis"] == "spectrum":
+            logger.info("  Modal mass captured: %.1f%% (%s), peak |u| "
+                        "%.6g", 100.0 * output["mass_fraction"],
+                        output["combination"],
+                        output["max_displacement"])
+        elif output["analysis"] == "random":
+            logger.info("  PSD grid: %d frequencies, max RMS %.6g",
+                        len(output["omegas"]), max(output["rms"]))
+        elif output["analysis"] == "reduction":
+            logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
+                        output["method"], output["n_reduced_dofs"],
+                        output["reduced_frequencies_hz"][0])
         else:
             logger.info("  Max deflection: %.6g (node %d), max "
                         "extreme-fiber von Mises: %.6g (element %d)",

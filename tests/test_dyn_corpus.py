@@ -42,7 +42,8 @@ def test_dyn_corpus_complete():
                    "dyn-plane-spectrum.json",
                    "dyn-plane-transient-plastic.json",
                    "dyn-plane.json",
-                   "dyn-plastic.json", "dyn-plate.json",
+                   "dyn-plastic.json", "dyn-plate-identify.json",
+                   "dyn-plate.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
@@ -180,6 +181,18 @@ def test_dyn_corpus_runs(name, tmp_path):
         u = np.asarray(res["displacements"])     # (4 steps, 4 dofs)
         lf = np.asarray(res["load_factors"])
         assert u[-1, 0] > u[0, 0] * lf[-1] / lf[0] * 1.02
+    elif name == "dyn-plate-identify.json":
+        # Slab damage localization: both zone moduli recovered from
+        # 12 probe deflections through the banded adjoint — SI units,
+        # so this also pins the measurement-scale loss normalization
+        # (raw-MSE gradients at micrometre deflections sit under
+        # ADAM's eps and the optimizer stalls, banded_inverse.py).
+        assert res["element_type"] == "plate"
+        assert res["method"] == "banded"
+        np.testing.assert_allclose(res["zone_young"],
+                                   [1.2e11, 2.4e11], rtol=2e-3)
+        assert max(res["zone_rel_error"]) < 2e-3
+        assert res["final_loss"] < 1e-6 * res["loss_history"][0]
     elif name == "dyn-plate.json":
         # Mindlin SRI plate: center deflection on the EXACT hard-SS
         # Mindlin/Navier series (any-thickness closed form) to 0.2%,
