@@ -863,3 +863,25 @@ def test_ui_plate_payload_served():
     assert prof[0] == 0.0 and prof[16] == 0.0        # SS edges
     np.testing.assert_allclose(prof, prof[::-1], atol=1e-9 * w_ex)
     assert abs(prof).max() == pytest.approx(out["max_deflection"])
+
+
+def test_ui_plate_identify_payload_served():
+    """The static UI's 'Plate identify' action (slab damage
+    localization: 0.6E/1.2E halves from 12 probe deflections via the
+    banded-adjoint zone identification) through the live
+    /api/fem/plate handler: both zone moduli recovered, the charted
+    loss history collapses, and the toy-unit payload exercises the
+    same measurement-scale-normalized loss as the SI corpus entry."""
+    from pinn_fem_tpu.serve.server import _solve_plate
+
+    payload = load_fixture("ui_payload_plate_identify.json")
+    out = _solve_plate(payload)
+    assert out["success"] and out["analysis"] == "identification"
+    assert out["element_type"] == "plate"
+    assert out["method"] == "banded"
+    np.testing.assert_allclose(out["zone_young"], [0.6, 1.2],
+                               rtol=5e-3)
+    assert max(out["zone_rel_error"]) < 5e-3
+    # the charted trace: monotone-ish collapse over >= 4 decades
+    hist = np.asarray(out["loss_history"])
+    assert hist[-1] < 1e-4 * hist[0]
