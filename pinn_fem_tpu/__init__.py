@@ -213,6 +213,10 @@ from .solvers.continuum_spectrum import (  # noqa: E402
     continuum_stress_frf,
     frame_fiber_stress_frf,
 )
+from .solvers.frame_plastic import (  # noqa: E402
+    FramePushoverResult,
+    frame_pushover,
+)
 from .solvers.riks import (  # noqa: E402
     RiksResult,
     solve_riks,
@@ -326,6 +330,8 @@ __all__ = [
     "frame_static_response",
     "frame_harmonic",
     "frame_reliability",
+    "frame_pushover",
+    "FramePushoverResult",
     "identify_frame_properties",
     "optimize_frame_inertia",
     "optimize_frame_inertia_rbdo",

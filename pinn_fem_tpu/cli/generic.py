@@ -103,6 +103,21 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
+        elif output["analysis"] == "plastic":
+            if output["mechanism"]:
+                logger.info("  Collapse at lambda = %.6g (%d hinges)",
+                            output["collapse_factor"],
+                            len(output["hinges"]))
+            else:
+                logger.info("  No mechanism up to lambda = %.6g "
+                            "(%d hinges)", output["load_factors"][-1],
+                            len(output["hinges"]))
+        elif output["analysis"] == "reliability":
+            logger.info("  beta_min = %s (pf bounds %s)",
+                        output["beta_min"], output["system_pf_bounds"])
+        elif output["analysis"] == "sizing":
+            logger.info("  Weight %.6g after %d iterations",
+                        output["weight"], len(output["history"]))
         else:
             m = np.max(np.abs(np.asarray(output["end_moments"])))
             logger.info("  Max |end moment|: %.6g (member forces in "

@@ -44,6 +44,11 @@ here before the truss parser runs:
                | {"type": "reduction", "method": "guyan" |
                   "craig_bampton", "master_nodes": [..],
                   "n_modes": 4}           # consistent-mass Guyan/CB
+               | {"type": "plastic", "plastic_moment": Mp | [..],
+                  "max_load_factor": cap,
+                  "probe_nodes": [..]}    # plastic-hinge pushover to
+                                          # collapse (EPP hinges at
+                                          # ±Mp; solvers/frame_plastic)
                | {"type": "reliability", "variables": [..],
                   "limit_state": {..}, "validate_mc": N}
                | {"type": "sizing",
@@ -339,6 +344,47 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
             "omegas": res.omegas.tolist(),
             "amplitude": res.amplitude.tolist(),
         }
+    if kind == "plastic":
+        # Plastic-hinge pushover (solvers/frame_plastic.py): EPP
+        # bending hinges at ±Mp, proportional ramp of the problem's
+        # load pattern to the collapse mechanism.  Contract:
+        #   {"type": "plastic", "plastic_moment": Mp | [per member],
+        #    "max_load_factor": cap,          # optional elastic cap
+        #    "probe_nodes" | "probe_dofs": [..]}
+        from ..solvers.frame_plastic import frame_pushover
+
+        mp_spec = analysis.get("plastic_moment")
+        if mp_spec is None:
+            raise ValueError('frame plastic needs "plastic_moment" '
+                             "(the section's Mp, scalar or per-member)")
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            pn = np.asarray(analysis["probe_nodes"],
+                            dtype=int).reshape(-1)
+            probe = np.stack([3 * pn, 3 * pn + 1, 3 * pn + 2],
+                             axis=1).reshape(-1)
+        cap = analysis.get("max_load_factor")
+        res = frame_pushover(
+            problem, mp_spec,
+            max_load_factor=(None if cap is None else float(cap)),
+            probe_dofs=probe,
+            max_hinges=analysis.get("max_hinges"))
+        return {
+            "success": True,
+            "analysis": "plastic",
+            "element_type": "frame",
+            "mechanism": bool(res.mechanism),
+            "collapse_factor": (None if res.collapse_factor is None
+                                else float(res.collapse_factor)),
+            "hinges": [
+                {"member": int(m), "end": int(e), "load_factor": float(f)}
+                for m, e, f in zip(res.hinge_members, res.hinge_ends,
+                                   res.hinge_factors)],
+            "load_factors": res.load_factors.tolist(),
+            "displacements": res.displacements.tolist(),
+            "end_moments": res.end_moments.tolist(),
+            "axial_forces": res.axial.tolist(),
+        }
     if kind == "reliability":
         res = frame_reliability(
             problem, analysis.get("variables"),
@@ -434,8 +480,8 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
         }
     raise ValueError('frame analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", "spectrum", '
-                     '"random", "reduction", "reliability" or '
-                     '"sizing"')
+                     '"random", "reduction", "plastic", "reliability" '
+                     'or "sizing"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

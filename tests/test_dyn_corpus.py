@@ -30,7 +30,8 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-fatigue.json", "dyn-frame-thermal.json",
+                   "dyn-fatigue.json", "dyn-frame-pushover.json",
+                   "dyn-frame-thermal.json",
                    "dyn-frame.json",
                    "dyn-harmonic.json",
                    "dyn-identification-field.json",
@@ -70,6 +71,18 @@ def test_dyn_corpus_runs(name, tmp_path):
         shapes = np.asarray(res["mode_shapes"])
         assert shapes.shape == (4, 18)
         assert abs(shapes[0][3 * 4]) > 5.0 * abs(shapes[0][3 * 4 + 2])
+    elif name == "dyn-frame-pushover.json":
+        # Portal sway collapse: exact plastic theory H_c = 4 Mp/h
+        # (solvers/frame_plastic.py; hinge-by-hinge is piecewise
+        # elastic and Hermite elements are exact for nodal loads).
+        assert res["element_type"] == "frame"
+        assert res["mechanism"] is True
+        np.testing.assert_allclose(res["collapse_factor"],
+                                   4.0 * 500.0 / 3.0, rtol=1e-12)
+        assert {(h["member"], h["end"]) for h in res["hinges"]} \
+            >= {(0, 0), (2, 1)}              # both column bases
+        lam = np.asarray(res["load_factors"])
+        assert lam[0] == 0.0 and np.all(np.diff(lam) > 0)
     elif name == "dyn-frame-thermal.json":
         # Clamped-clamped member, uniform ΔT + through-depth gradient:
         # both thermal-restraint closed forms exact (u ≡ 0,
