@@ -784,6 +784,46 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runPortal = async () => {
+    // Plastic-hinge pushover of the canonical rectangular portal
+    // (POST body pinned as tests/fixtures/ui_payload_portal.json,
+    // byte-identical to the static UI's portalDoc()): columns h=3,
+    // beam 4, uniform Mp=500, unit sway load — EPP bending hinges at
+    // ±Mp via static condensation, ramped hinge-by-hinge to the EXACT
+    // plastic-theory sway mechanism λ_c = 4·Mp/h = 666.67
+    // (solvers/frame_plastic.py).
+    setMessage('Pushing the portal frame to collapse…');
+    try {
+      const r = await post('frame', {
+        nodes: [[0, 0], [0, 3], [4, 3], [4, 0]],
+        elements: [[0, 1], [1, 2], [2, 3]],
+        material: { young: 2e11, area: 0.01, inertia: 1e-4,
+                    density: 7850 },
+        loads: [0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0],
+        fixed_nodes: [0, 3],
+        analysis: { type: 'plastic', plastic_moment: 500,
+                    probe_nodes: [1] },
+      });
+      setKind('portal'); setShapes(null);
+      // Probe node 1's (u_x, u_y, θ) per hinge event: the sway
+      // capacity curve is column 0.
+      setChart({ xs: r.load_factors,
+                 series: r.displacements.map((row) => [row[0]]) });
+      setRows([
+        { label: 'collapse λ',
+          value: `${r.collapse_factor.toPrecision(6)} (exact 4·Mp/h `
+            + '= 666.667)' },
+        { label: 'hinges',
+          value: r.hinges.map((h) =>
+            `m${h.member}${h.end ? 'j' : 'i'}`).join(', ') },
+      ]);
+      setMessage('Portal sway mechanism: hinge-by-hinge capacity curve '
+        + 'to the exact plastic collapse load');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runPlanePlastic = async () => {
     // Thick-wall cylinder at 99% of the textbook limit pressure
     // p_lim = (2/√3)σ_y ln(b/a): B-bar von Mises plane strain, the
@@ -841,6 +881,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runFrame}>Frame ▶</button>
         <button onClick={runPlane}>Plane ▶</button>
         <button onClick={runPushover}>Pushover ▶</button>
+        <button onClick={runPortal}>Portal ▶</button>
         <button onClick={runPlanePlastic}>Cylinder ▶</button>
         <button onClick={runSolid}>Solid ▶</button>
         <button onClick={runPlate}>Plate ▶</button>

@@ -1311,6 +1311,50 @@ async function runPushover() {
 document.getElementById("pushover-btn").addEventListener("click",
                                                          runPushover);
 
+function portalDoc() {
+  // Plastic-hinge pushover of the canonical rectangular portal
+  // (pinned as tests/fixtures/ui_payload_portal.json, byte-identical
+  // to the React panel's runPortal): columns h=3, beam 4, uniform
+  // Mp=500, unit sway load — EPP bending hinges at ±Mp, ramped
+  // hinge-by-hinge to the EXACT plastic-theory sway mechanism
+  // λ_c = 4·Mp/h = 666.67 (solvers/frame_plastic.py).
+  return {
+    nodes: [[0, 0], [0, 3], [4, 3], [4, 0]],
+    elements: [[0, 1], [1, 2], [2, 3]],
+    material: { young: 2e11, area: 0.01, inertia: 1e-4, density: 7850 },
+    loads: [0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0],
+    fixed_nodes: [0, 3],
+    analysis: { type: "plastic", plastic_moment: 500,
+                probe_nodes: [1] },
+  };
+}
+
+async function runPortal() {
+  // Frame hinge pushover: capacity curve λ vs sway, hinge sequence.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Pushing the portal frame to collapse…";
+  try {
+    const r = await postDoc("frame", portalDoc());
+    // displacements rows: probe node 1's (u_x, u_y, θ) per event —
+    // the chart is the sway capacity curve.
+    drawTimeSeries(r.load_factors,
+                   r.displacements.map((row) => [row[0]]));
+    const seq = r.hinges.map((h) =>
+      `m${h.member}${h.end ? "j" : "i"}@${h.load_factor.toPrecision(4)}`)
+      .join(", ");
+    status.textContent = r.mechanism
+      ? `Portal sway mechanism at λ = `
+        + `${r.collapse_factor.toPrecision(6)} (exact 4·Mp/h = 666.667)`
+        + `; hinges: ${seq}; chart: capacity curve`
+      : `No mechanism up to λ = `
+        + `${r.load_factors[r.load_factors.length - 1].toPrecision(6)}`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("portal-btn").addEventListener("click",
+                                                       runPortal);
+
 async function runCylinder() {
   // Thick-wall von Mises cylinder at 99% of the textbook limit
   // pressure p_lim = (2/sqrt3) sigma_y ln(b/a): B-bar plane strain,

@@ -715,6 +715,35 @@ def test_ui_pushover_payload_served(fixture):
     assert sorted(out["yielded_elements"]) == [0, 1, 2]
 
 
+def test_ui_portal_payload_served():
+    """Both UIs' Portal action (frame plastic-hinge pushover,
+    solvers/frame_plastic.py) through the live /api/fem/frame handler:
+    the rectangular portal's sway mechanism lands on the EXACT
+    plastic-theory collapse load 4·Mp/h, the hinge sequence starts at
+    both column bases, and the chart fields (load_factors × probe
+    displacement rows) are aligned and strictly advancing."""
+    from pinn_fem_tpu.serve.server import _solve_frame
+
+    payload = load_fixture("ui_payload_portal.json")
+    out = _solve_frame(payload)
+    assert out["success"] and out["analysis"] == "plastic"
+    assert out["mechanism"] is True
+    np.testing.assert_allclose(out["collapse_factor"],
+                               4.0 * 500.0 / 3.0, rtol=1e-12)
+    # Both column bases hinge (the panels print the sequence).
+    assert {(h["member"], h["end"]) for h in out["hinges"]} \
+        >= {(0, 0), (2, 1)}
+    lf = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    assert d.shape == (lf.size, 3) and lf[0] == 0.0
+    assert np.all(np.diff(lf) > 0)
+    # Sway capacity curve (column 0) is monotone and softens: the
+    # final secant is strictly softer than the elastic one.
+    sway = d[:, 0]
+    assert np.all(np.diff(sway) > 0)
+    assert sway[-1] / lf[-1] > 1.05 * (sway[1] / lf[1])
+
+
 def test_ui_cylinder_payload_served():
     """Both UIs' Cylinder action (thick-wall von Mises cylinder at
     0.99 p_lim) through the live /api/fem/plane handler: plastic
