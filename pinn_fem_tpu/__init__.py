@@ -192,6 +192,10 @@ from .solvers.solid_plasticity import (  # noqa: E402
     SolidPlasticResult,
     solve_solid_plastic,
 )
+from .solvers.plate_plasticity import (  # noqa: E402
+    PlatePlasticResult,
+    solve_plate_plastic,
+)
 from .solvers.plasticity import (  # noqa: E402
     PlasticStaticResult,
     PlasticTransientResult,
@@ -318,6 +322,8 @@ __all__ = [
     "edge_load",
     "pressure_load",
     "solve_plane_plastic",
+    "PlatePlasticResult",
+    "solve_plate_plastic",
     "solve_solid_plastic",
     "solve_frame_static",
     "solve_frame_static_banded",

@@ -268,6 +268,12 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
+        elif output["analysis"] == "plastic":
+            logger.info("  %d load steps (%d layers), %d elements "
+                        "yielded, peak fiber von Mises %.6g",
+                        output["n_steps"], output["n_layers"],
+                        len(output["yielded_elements"]),
+                        max(output["max_von_mises"]))
         else:
             logger.info("  Max deflection: %.6g (node %d), max "
                         "extreme-fiber von Mises: %.6g (element %d)",

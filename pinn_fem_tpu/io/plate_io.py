@@ -51,13 +51,24 @@ and route here:
                                   # contract incl. spectral fatigue
                | {"type": "reduction", ...}    # Guyan/Craig-Bampton
                                   # (run_continuum_reduction contract)
-               | {"type": "identification", ...}}  # E from measured
+               | {"type": "identification", ...}   # E from measured
                                   # deflections (the plane family's
                                   # contract: measured_dofs/measured_u
                                   # or synthetic twin data, zones,
                                   # field MLP, banded adjoint past
                                   # DENSE_DOF_LIMIT; E at KNOWN t —
                                   # bending sees only D ~ E t³)
+               | {"type": "plastic", "sigma_y": sy,
+                  "hardening": H_iso, "kinematic_hardening": H_kin,
+                  "n_layers": 20,          # even through-thickness
+                                           # midpoint layers
+                  "load_factors": [..] | "target" + "n_steps",
+                  "probe_nodes": [..],
+                  "include_history": true}}  # layered J2 bending
+                                  # (solvers/plate_plasticity.py);
+                                  # the plane family's plastic block
+                                  # with moments for stresses and
+                                  # extreme-fiber von Mises
 
 Static results carry centroid bending moments (Voigt [Mxx, Myy,
 Mxy]), transverse shear forces, extreme-fiber von Mises σ = 6M/t²
@@ -255,6 +266,62 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
         return run_continuum_reduction(problem, analysis, "plate")
     if kind == "identification":
         return _run_plate_identification(problem, analysis)
+    if kind == "plastic":
+        # Layered through-thickness J2 (solvers/plate_plasticity.py):
+        # the plane family's plastic block, moments instead of
+        # stresses, extreme-fiber von Mises.
+        from ..solvers.plate_plasticity import solve_plate_plastic
+
+        if "sigma_y" not in analysis:
+            raise ValueError('plastic analysis requires "sigma_y"')
+        kwargs = dict(
+            sigma_y=analysis["sigma_y"],
+            hardening_iso=analysis.get("hardening", 0.0),
+            hardening_kin=analysis.get("kinematic_hardening", 0.0),
+            n_layers=int(analysis.get("n_layers", 20)),
+            tol=float(analysis.get("tolerance", 1e-9)),
+            max_iter=int(analysis.get("max_iterations", 30)),
+        )
+        if "load_factors" in analysis:
+            kwargs["load_factors"] = np.asarray(
+                analysis["load_factors"], dtype=float)
+        else:
+            kwargs["target_load_factor"] = float(
+                analysis.get("target", 1.0))
+            kwargs["n_steps"] = int(analysis.get("n_steps", 20))
+        res = solve_plate_plastic(problem, **kwargs)
+        probe = _probe_dofs(analysis, problem)
+        if probe is None:
+            probe = np.arange(problem.ndof)
+        probe = np.asarray(probe, dtype=int).reshape(-1)
+        yielded = np.flatnonzero(res.eq_plastic[-1] > 0.0)
+        out = {
+            "success": bool(res.converged),
+            "analysis": "plastic",
+            "element_type": "plate",
+            "n_layers": int(kwargs["n_layers"]),
+            "n_steps": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements[:, probe].tolist(),
+            "iterations": res.iterations.tolist(),
+            "max_residual": float(res.residuals.max()),
+            "n_plastic": res.n_plastic.tolist(),
+            "yielded_elements": yielded.tolist(),
+            "max_von_mises": res.von_mises.max(axis=1).tolist(),
+            "final": {
+                "moments": res.moments[-1].tolist(),
+                "von_mises": res.von_mises[-1].tolist(),
+                "eq_plastic_strain": res.eq_plastic[-1].tolist(),
+                "displacements": res.displacements[-1].tolist(),
+            },
+        }
+        if analysis.get("include_history"):
+            out["history"] = {
+                "von_mises": res.von_mises.tolist(),
+                "eq_plastic_strain": res.eq_plastic.tolist(),
+            }
+        return out
     if kind == "modal":
         nf = analysis.get("membrane_force")
         res = plate_modal(problem,
@@ -333,7 +400,7 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
     raise ValueError(f"unknown plate analysis type: {kind!r} — "
                      'supported: "static", "modal", "buckling", '
                      '"transient", "harmonic", "spectrum", "random", '
-                     '"reduction", "identification"')
+                     '"reduction", "identification", "plastic"')
 
 
 def _run_plate_identification(problem: PlateProblem,

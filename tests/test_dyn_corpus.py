@@ -44,7 +44,7 @@ def test_dyn_corpus_complete():
                    "dyn-plane-transient-plastic.json",
                    "dyn-plane.json",
                    "dyn-plastic.json", "dyn-plate-identify.json",
-                   "dyn-plate.json",
+                   "dyn-plate-plastic.json", "dyn-plate.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
@@ -206,6 +206,24 @@ def test_dyn_corpus_runs(name, tmp_path):
                                    [1.2e11, 2.4e11], rtol=2e-3)
         assert max(res["zone_rel_error"]) < 2e-3
         assert res["final_loss"] < 1e-6 * res["loss_history"][0]
+    elif name == "dyn-plate-plastic.json":
+        # One-way SS slab strip at 0.95 of the beam-mechanism limit
+        # q_u = 8 Mp/L^2 (nu = 0: cylindrical bending IS the beam;
+        # Mp = sigma_y t^2/4 EXACT for even midpoint layers): yield
+        # spreads from midspan, EPP fiber stress pinned at sigma_y,
+        # secant softened (tests/test_plate_plastic.py anchors).
+        assert res["element_type"] == "plate"
+        assert res["n_layers"] == 20
+        npl = res["n_plastic"]
+        assert npl[0] == 0 and npl[-1] >= 4
+        np.testing.assert_allclose(max(res["max_von_mises"]), 300.0,
+                                   rtol=1e-9)
+        lf = np.asarray(res["load_factors"])
+        d = np.asarray(res["displacements"])
+        np.testing.assert_allclose(d[:, 0], d[:, 1], rtol=1e-9)
+        assert d[-1, 0] / lf[-1] > 1.2 * (d[0, 0] / lf[0])
+        al = np.asarray(res["final"]["eq_plastic_strain"])
+        assert al[7] > 0 and al[8] > 0 and al[0] == 0 and al[15] == 0
     elif name == "dyn-plate.json":
         # Mindlin SRI plate: center deflection on the EXACT hard-SS
         # Mindlin/Navier series (any-thickness closed form) to 0.2%,
