@@ -824,6 +824,43 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runSlab = async () => {
+    // Layered elastoplastic one-way slab strip (POST body pinned as
+    // tests/fixtures/ui_payload_slab.json, byte-identical to the
+    // static UI's runSlab): SS 8×1 strip, ν=0, pressure = the
+    // beam-mechanism limit q_u = 8·Mp/L², ramped to 0.95 q_u — yield
+    // spreads from the midspan extreme fibers through 20 plane-stress
+    // J2 layers (solvers/plate_plasticity.py).
+    setMessage('Pushing the slab strip toward its mechanism…');
+    try {
+      const r = await post('plate', {
+        mesh: { type: 'rect', width: 8, height: 1, nx: 16, ny: 1 },
+        material: { young: 200000, poisson: 0, thickness: 0.1,
+                    density: 1 },
+        pressure: 0.09375,
+        supports: { simply_supported: ['left', 'right'] },
+        analysis: { type: 'plastic', sigma_y: 300, n_layers: 20,
+                    load_factors: [0.2, 0.4, 0.6, 0.7, 0.8, 0.85, 0.9,
+                                   0.95],
+                    probe_nodes: [8, 25] },
+      });
+      setKind('slab'); setShapes(null);
+      setChart({ xs: r.load_factors,
+                 series: r.displacements.map((row) => [row[0]]) });
+      setRows([
+        { label: 'yielded',
+          value: `${r.yielded_elements.length} / 16 elements` },
+        { label: 'fiber von Mises',
+          value: `${Math.max(...r.max_von_mises).toPrecision(4)} `
+            + '(EPP pin at σ_y = 300)' },
+      ]);
+      setMessage('One-way slab at 0.95 q_u = 8·Mp/L²: midspan capacity '
+        + 'curve softening toward the beam mechanism');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runPlanePlastic = async () => {
     // Thick-wall cylinder at 99% of the textbook limit pressure
     // p_lim = (2/√3)σ_y ln(b/a): B-bar von Mises plane strain, the
@@ -886,6 +923,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runSolid}>Solid ▶</button>
         <button onClick={runPlate}>Plate ▶</button>
         <button onClick={runSolidPlastic}>Solid plastic ▶</button>
+        <button onClick={runSlab}>Slab ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
         <button onClick={runQuakeWall}>Quake wall ▶</button>
       </div>

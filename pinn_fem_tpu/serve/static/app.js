@@ -1311,6 +1311,40 @@ async function runPushover() {
 document.getElementById("pushover-btn").addEventListener("click",
                                                          runPushover);
 
+async function runSlab() {
+  // Layered elastoplastic one-way slab strip (pinned as
+  // tests/fixtures/ui_payload_slab.json, byte-identical to the React
+  // panel's runSlab): SS 8×1 strip, ν=0, pressure = the beam-mechanism
+  // limit q_u = 8·Mp/L², ramped to 0.95 q_u — yield spreads from the
+  // midspan extreme fibers through 20 plane-stress J2 layers and the
+  // capacity curve softens (solvers/plate_plasticity.py).
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Pushing the slab strip toward its mechanism…";
+  try {
+    const r = await postDoc("plate", {
+      mesh: { type: "rect", width: 8, height: 1, nx: 16, ny: 1 },
+      material: { young: 200000, poisson: 0, thickness: 0.1,
+                  density: 1 },
+      pressure: 0.09375,
+      supports: { simply_supported: ["left", "right"] },
+      analysis: { type: "plastic", sigma_y: 300, n_layers: 20,
+                  load_factors: [0.2, 0.4, 0.6, 0.7, 0.8, 0.85, 0.9,
+                                 0.95],
+                  probe_nodes: [8, 25] },
+    });
+    drawTimeSeries(r.load_factors,
+                   r.displacements.map((row) => [row[0]]));
+    status.textContent = `One-way slab at 0.95 q_u (= 8Mp/L²): `
+      + `${r.yielded_elements.length}/16 elements yielded through `
+      + `${r.n_layers} layers, fiber von Mises pinned at `
+      + `${Math.max(...r.max_von_mises).toPrecision(4)}; `
+      + `chart: midspan capacity curve`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("slab-btn").addEventListener("click", runSlab);
+
 function portalDoc() {
   // Plastic-hinge pushover of the canonical rectangular portal
   // (pinned as tests/fixtures/ui_payload_portal.json, byte-identical

@@ -715,6 +715,29 @@ def test_ui_pushover_payload_served(fixture):
     assert sorted(out["yielded_elements"]) == [0, 1, 2]
 
 
+def test_ui_slab_payload_served():
+    """Both UIs' Slab action (layered elastoplastic one-way strip,
+    solvers/plate_plasticity.py) through the live /api/fem/plate
+    handler: at 0.95 of the beam-mechanism limit q_u = 8 Mp/L^2 the
+    midspan elements yield through the layers, the EPP fiber stress
+    is pinned at sigma_y, and the chart fields the panels consume
+    are aligned."""
+    from pinn_fem_tpu.serve.server import _solve_plate
+
+    payload = load_fixture("ui_payload_slab.json")
+    out = _solve_plate(payload)
+    assert out["success"] and out["analysis"] == "plastic"
+    assert out["element_type"] == "plate" and out["n_layers"] == 20
+    lf = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    assert d.shape == (8, 2)
+    np.testing.assert_allclose(d[:, 0], d[:, 1], rtol=1e-9)
+    assert d[-1, 0] / lf[-1] > 1.2 * (d[0, 0] / lf[0])
+    np.testing.assert_allclose(max(out["max_von_mises"]), 300.0,
+                               rtol=1e-9)
+    assert len(out["yielded_elements"]) >= 4
+
+
 def test_ui_portal_payload_served():
     """Both UIs' Portal action (frame plastic-hinge pushover,
     solvers/frame_plastic.py) through the live /api/fem/frame handler:
