@@ -80,6 +80,7 @@ from .models.solid import (  # noqa: E402
     solid_modal,
     solid_modal_banded,
     solid_stable_dt,
+    solid_static_response,
     solve_solid_static,
     solve_solid_static_banded,
     solve_solid_transient,
@@ -196,6 +197,9 @@ from .solvers.plate_plasticity import (  # noqa: E402
     PlatePlasticResult,
     solve_plate_plastic,
 )
+from .solvers.continuum_reliability import (  # noqa: E402
+    continuum_reliability,
+)
 from .solvers.plasticity import (  # noqa: E402
     PlasticStaticResult,
     PlasticTransientResult,
@@ -297,6 +301,7 @@ __all__ = [
     "plate_supports",
     "mindlin_navier_w",
     "mindlin_ss_buckling_nx",
+    "solid_static_response",
     "solve_solid_static",
     "solve_solid_static_banded",
     "solve_solid_transient",
@@ -324,6 +329,7 @@ __all__ = [
     "solve_plane_plastic",
     "PlatePlasticResult",
     "solve_plate_plastic",
+    "continuum_reliability",
     "solve_solid_plastic",
     "solve_frame_static",
     "solve_frame_static_banded",

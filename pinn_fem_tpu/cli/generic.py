@@ -200,6 +200,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "buckling":
             logger.info("  Load factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
+        elif output["analysis"] == "reliability":
+            logger.info("  beta_min = %s (pf bounds %s)",
+                        output["beta_min"], output["system_pf_bounds"])
         else:
             logger.info("  Max von Mises: %.6g (element %d)",
                         output["max_von_mises"],
@@ -268,6 +271,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
+        elif output["analysis"] == "reliability":
+            logger.info("  beta_min = %s (pf bounds %s)",
+                        output["beta_min"], output["system_pf_bounds"])
         elif output["analysis"] == "plastic":
             logger.info("  %d load steps (%d layers), %d elements "
                         "yielded, peak fiber von Mises %.6g",
@@ -344,6 +350,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "buckling":
             logger.info("  Load factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
+        elif output["analysis"] == "reliability":
+            logger.info("  beta_min = %s (pf bounds %s)",
+                        output["beta_min"], output["system_pf_bounds"])
         else:
             logger.info("  Max |u|: %.6g, max von Mises: %.6g (%s)",
                         output["max_displacement"],

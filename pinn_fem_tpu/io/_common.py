@@ -567,3 +567,70 @@ def _continuum_prestress_u(problem, spec, static_solver):
     elif spec is not True:
         raise ValueError(f"bad prestress spec: {spec!r}")
     return scale * np.asarray(static_solver(problem), dtype=float)
+
+
+def run_continuum_reliability(problem, analysis: Dict,
+                              element_type: str) -> Dict:
+    """Shared JSON runner for the continuum FORM family
+    (solvers/continuum_reliability.py) — the frame reliability
+    block's contract (io/frame_io.py) on plane / solid / plate
+    documents:
+
+        {"type": "reliability",
+         "variables": [{"name": "E", "kind": "young" | "thickness" |
+                        "load_scale" | "resistance", "mean": m,
+                        "cov": c | "std": s,
+                        "distribution": "lognormal" | "normal",
+                        "elements": [..]}, ..],
+         "limit_state": {"type": "displacement", "limit": d,
+                         "probe_dofs": [..] | "probe_nodes": [..]}
+                      | {"type": "stress", "limit": R |
+                         "variable": name, "elements": [..]},
+         "correlation": [[name_a, name_b, rho], ..],
+         "n_iter": 50, "validate_mc": N, "seed": 0}
+
+    probe_nodes expands to ALL the node's DOFs (2/3 per family).
+    """
+    from ..solvers.continuum_reliability import continuum_reliability
+
+    ls = dict(analysis.get("limit_state") or {})
+    if ls.get("probe_dofs") is None \
+            and ls.get("probe_nodes") is not None:
+        nd = 3 if element_type in ("solid", "plate") else 2
+        pn = np.asarray(ls["probe_nodes"], dtype=int).reshape(-1)
+        ls["probe_dofs"] = (nd * pn[:, None]
+                            + np.arange(nd)).reshape(-1).tolist()
+    res = continuum_reliability(
+        problem, analysis.get("variables"), ls, element_type,
+        n_iter=int(analysis.get("n_iter", 50)),
+        mc_samples=int(analysis.get("validate_mc", 0)),
+        mc_seed=int(analysis.get("seed", 0)),
+        correlation=analysis.get("correlation"))
+    worst = int(np.argmin(res.beta)) if res.beta.size else -1
+    out = {
+        "success": True,
+        "analysis": "reliability",
+        "element_type": element_type,
+        "labels": res.labels,
+        "variables": res.variables,
+        "beta": [None if not np.isfinite(v) else float(v)
+                 for v in res.beta],
+        "pf": res.pf.tolist(),
+        "alpha": res.alpha.tolist(),
+        "converged": [bool(v) for v in res.converged],
+        "critical_limit_state": worst,
+        "beta_min": (None if worst < 0
+                     or not np.isfinite(res.beta[worst])
+                     else float(res.beta[worst])),
+        "system_pf_bounds": [res.system_pf_lower,
+                             res.system_pf_upper],
+        "system_pf_ditlevsen_bounds": [
+            res.system_pf_ditlevsen_lower,
+            res.system_pf_ditlevsen_upper],
+    }
+    if res.mc_pf is not None:
+        out["mc"] = {"pf": res.mc_pf,
+                     "std_error": res.mc_std_error,
+                     "n_samples": res.mc_n,
+                     "method": res.mc_method}
+    return _json_finite(out)

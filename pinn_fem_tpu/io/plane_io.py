@@ -382,7 +382,7 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         return out
     if kind in ("modal", "transient", "harmonic", "identification",
                 "plastic", "buckling", "spectrum", "random",
-                "reduction") and problem.ndof > 4 * 2048:
+                "reduction", "reliability") and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plane {kind} runs on the dense host tier; {problem.ndof} "
             "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
@@ -392,6 +392,10 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         from ._common import run_continuum_reduction
 
         return run_continuum_reduction(problem, analysis, "plane")
+    if kind == "reliability":
+        from ._common import run_continuum_reliability
+
+        return run_continuum_reliability(problem, analysis, "plane")
     if kind == "spectrum":
         from ._common import run_continuum_spectrum
 
@@ -711,8 +715,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         return out
     raise ValueError(f'plane analysis.type must be "static", "modal", '
                      f'"transient", "harmonic", "buckling", "plastic", '
-                     f'"spectrum", "random", "reduction" or '
-                     f'"identification", got {kind!r}')
+                     f'"spectrum", "random", "reduction", '
+                     f'"reliability" or "identification", got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

@@ -266,6 +266,15 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
         return run_continuum_reduction(problem, analysis, "plate")
     if kind == "identification":
         return _run_plate_identification(problem, analysis)
+    if kind == "reliability":
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"plate reliability runs dense traced solves per "
+                f"HL-RF iteration; {problem.ndof} DOFs exceeds its "
+                "8192-DOF budget — coarsen the mesh")
+        from ._common import run_continuum_reliability
+
+        return run_continuum_reliability(problem, analysis, "plate")
     if kind == "plastic":
         # Layered through-thickness J2 (solvers/plate_plasticity.py):
         # the plane family's plastic block, moments instead of
@@ -400,7 +409,8 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
     raise ValueError(f"unknown plate analysis type: {kind!r} — "
                      'supported: "static", "modal", "buckling", '
                      '"transient", "harmonic", "spectrum", "random", '
-                     '"reduction", "identification", "plastic"')
+                     '"reduction", "identification", "plastic", '
+                     '"reliability"')
 
 
 def _run_plate_identification(problem: PlateProblem,

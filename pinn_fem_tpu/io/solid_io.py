@@ -554,6 +554,15 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
                 "eq_plastic_strain": res.eq_plastic.tolist(),
             }
         return out
+    if kind == "reliability":
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"solid reliability runs dense traced solves per "
+                f"HL-RF iteration; {problem.ndof} DOFs exceeds its "
+                "8192-DOF budget — coarsen the mesh")
+        from ._common import run_continuum_reliability
+
+        return run_continuum_reliability(problem, analysis, "solid")
     if kind == "identification":
         from ..models.solid import identify_solid_young_banded
         from ._common import _local_cpu_ctx
@@ -661,8 +670,9 @@ def run_solid_analysis(problem: SolidProblem, analysis: Dict) -> Dict:
         return _json_finite(out)
     raise ValueError(f'solid analysis.type must be "static", "modal", '
                      f'"transient", "harmonic", "buckling", "plastic", '
-                     f'"spectrum", "random", "reduction" or '
-                     f'"identification", got {kind!r}')
+                     f'"spectrum", "random", "reduction", '
+                     f'"reliability" or "identification", got '
+                     f'{kind!r}')
 
 
 def run_solid_document(doc: Dict) -> Dict:

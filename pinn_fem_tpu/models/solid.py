@@ -412,6 +412,65 @@ def solve_solid_static(problem: SolidProblem) -> SolidStaticResult:
                              strains=eps, reactions=reactions)
 
 
+def solid_static_response(problem: SolidProblem, young_e=None,
+                          poisson_e=None, loads=None,
+                          load_scale=None, dtype=None):
+    """Traced, differentiable solid statics with per-element
+    properties: (u, stresses, von_mises) from the masked dense solve
+    K(E, nu) u = f + centroid recovery — every output differentiable
+    w.r.t. the traced property arrays (the plane family's
+    plane_static_response twin, models/plane.py:844; used by the
+    continuum reliability family).  Thermal load cases are refused —
+    f_th depends on E and would need a traced rebuild (the plate twin
+    carries one; add it here when a consumer needs it)."""
+    import jax.numpy as jnp
+
+    if problem.temperature is not None:
+        raise ValueError("solid_static_response does not take a "
+                         "temperature load case (traced f_th not "
+                         "implemented — run the host static instead)")
+    dtype = dtype or jnp.asarray(1.0).dtype
+    m = problem.nelm
+    young = jnp.broadcast_to(jnp.asarray(
+        problem.young if young_e is None else young_e, dtype), (m,))
+    poisson = jnp.broadcast_to(jnp.asarray(
+        problem.poisson if poisson_e is None else poisson_e, dtype),
+        (m,))
+    coords = jnp.asarray(problem.coords(), dtype)
+    dmat = _dmat3(young, poisson, xp=jnp)
+    blocks = _k_blocks3(coords, dmat, xp=jnp)
+    dm = jnp.asarray(problem.dof_map())
+    k = jnp.zeros((problem.ndof, problem.ndof), dtype).at[
+        dm[:, :, None], dm[:, None, :]].add(blocks)
+
+    if loads is None:
+        f = jnp.asarray(problem.loads + _body_force_vectors3(problem),
+                        dtype)
+    else:
+        f = jnp.asarray(loads, dtype)
+    if load_scale is not None:
+        f = f * jnp.asarray(load_scale, dtype)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
+    if problem.prescribed is not None:
+        u_p = np.zeros(problem.ndof)
+        u_p[problem.fixed_dofs] = problem.prescribed
+        u_p = jnp.asarray(u_p, dtype)
+        u = jnp.linalg.solve(km, (f - k @ u_p) * mask) * mask + u_p
+    else:
+        u = jnp.linalg.solve(km, f * mask) * mask
+
+    b = jnp.asarray(_centroid_b3(problem), dtype)
+    eps = _einsum(jnp, "mia,ma->mi", b, u[dm])
+    sig = _einsum(jnp, "mij,mj->mi", dmat, eps)
+    sxx, syy, szz = sig[:, 0], sig[:, 1], sig[:, 2]
+    syz, sxz, sxy = sig[:, 3], sig[:, 4], sig[:, 5]
+    vm = jnp.sqrt(0.5 * ((sxx - syy) ** 2 + (syy - szz) ** 2
+                         + (szz - sxx) ** 2)
+                  + 3.0 * (sxy ** 2 + syz ** 2 + sxz ** 2))
+    return u, sig, vm
+
+
 @dataclass
 class SolidModalResult:
     frequencies_hz: np.ndarray

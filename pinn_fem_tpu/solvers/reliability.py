@@ -407,8 +407,13 @@ def form_core(ratios_all, varspecs, chol, labels, n_iter: int = 50,
         nrm = jnp.maximum(jnp.linalg.norm(dg_star), 1e-30)
         return beta, -dg_star / nrm, u_star, g_star, g_mean
 
+    # np.array (copying), NOT np.asarray: under PINN_FEM_TPU_X64 the
+    # fetched buffers are already float64 and asarray returns
+    # READ-ONLY views — the in-place unreachable-masking below then
+    # raises (measured; f32 fetches always copied via the dtype cast,
+    # which is why the default path never saw it).
     betas, alphas, u_stars, g_stars, g0s = (
-        np.asarray(v, dtype=float) for v in jax.device_get(
+        np.array(v, dtype=float) for v in jax.device_get(
             jax.jit(jax.vmap(hlrf))(jnp.arange(n_ls))))
     unreachable = (~np.isfinite(betas) | (np.abs(g_stars) >= tol)
                    | (np.abs(betas) < 1e-12)) & (g0s > 1.0 - 1e-3)

@@ -40,6 +40,7 @@ def test_dyn_corpus_complete():
                    "dyn-identification.json", "dyn-modal.json",
                    "dyn-plane-identify.json",
                    "dyn-plane-plastic.json",
+                   "dyn-plane-reliability.json",
                    "dyn-plane-spectrum.json",
                    "dyn-plane-transient-plastic.json",
                    "dyn-plane.json",
@@ -237,6 +238,20 @@ def test_dyn_corpus_runs(name, tmp_path):
         m_arr = np.asarray(res["moments"])
         np.testing.assert_allclose(m_arr[:, 0].max(), 47.9,
                                    rtol=2.5e-2)
+    elif name == "dyn-plane-reliability.json":
+        # Determinate uniaxial strip: vM demand = load_scale exactly,
+        # so the lognormal R-S FORM index is closed-form on every
+        # element (log-linear limit states make FORM exact).
+        assert res["element_type"] == "plane"
+        zr = np.sqrt(np.log1p(0.15**2))
+        zs = np.sqrt(np.log1p(0.2**2))
+        b = np.log((2.0 / np.sqrt(1.0225)) / (1.0 / np.sqrt(1.04))) \
+            / np.sqrt(zr**2 + zs**2)
+        np.testing.assert_allclose(res["beta"], b, rtol=1e-4)
+        np.testing.assert_allclose(res["beta_min"], b, rtol=1e-4)
+        assert all(res["converged"])
+        lo, hi = res["system_pf_bounds"]
+        assert 0 < lo <= hi <= 1
     elif name == "dyn-plastic.json":
         # Two-bar serial chain, bilinear hardening: exact endpoint
         # u = 2 L_e (σ/E + (σ − σ_y)/H) = 0.13 at σ = 1.5.
