@@ -200,6 +200,10 @@ from .solvers.plate_plasticity import (  # noqa: E402
 from .solvers.continuum_reliability import (  # noqa: E402
     continuum_reliability,
 )
+from .solvers.continuum_sizing import (  # noqa: E402
+    optimize_plane_thickness,
+    optimize_plate_thickness,
+)
 from .solvers.plasticity import (  # noqa: E402
     PlasticStaticResult,
     PlasticTransientResult,
@@ -330,6 +334,8 @@ __all__ = [
     "PlatePlasticResult",
     "solve_plate_plastic",
     "continuum_reliability",
+    "optimize_plane_thickness",
+    "optimize_plate_thickness",
     "solve_solid_plastic",
     "solve_frame_static",
     "solve_frame_static_banded",

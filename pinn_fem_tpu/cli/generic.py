@@ -203,6 +203,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "reliability":
             logger.info("  beta_min = %s (pf bounds %s)",
                         output["beta_min"], output["system_pf_bounds"])
+        elif output["analysis"] == "sizing":
+            logger.info("  Weight %.6g after %d iterations",
+                        output["weight"], len(output["history"]))
         else:
             logger.info("  Max von Mises: %.6g (element %d)",
                         output["max_von_mises"],
@@ -274,6 +277,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "reliability":
             logger.info("  beta_min = %s (pf bounds %s)",
                         output["beta_min"], output["system_pf_bounds"])
+        elif output["analysis"] == "sizing":
+            logger.info("  Weight %.6g after %d iterations",
+                        output["weight"], len(output["history"]))
         elif output["analysis"] == "plastic":
             logger.info("  %d load steps (%d layers), %d elements "
                         "yielded, peak fiber von Mises %.6g",

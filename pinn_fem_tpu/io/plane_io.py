@@ -382,7 +382,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         return out
     if kind in ("modal", "transient", "harmonic", "identification",
                 "plastic", "buckling", "spectrum", "random",
-                "reduction", "reliability") and problem.ndof > 4 * 2048:
+                "reduction", "reliability", "sizing") \
+            and problem.ndof > 4 * 2048:
         raise ValueError(
             f"plane {kind} runs on the dense host tier; {problem.ndof} "
             "DOFs exceeds its 8192-DOF budget (minutes of O(n^3) work "
@@ -396,6 +397,36 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
         from ._common import run_continuum_reliability
 
         return run_continuum_reliability(problem, analysis, "plane")
+    if kind == "sizing":
+        # Minimum-weight thickness field (solvers/continuum_sizing.py)
+        # — the frame sizing block's contract with thickness for
+        # inertia; stress and/or displacement limits.
+        from ..solvers.continuum_sizing import optimize_plane_thickness
+
+        t_e, weight, hist = optimize_plane_thickness(
+            problem,
+            stress_limit=(None if analysis.get("stress_limit") is None
+                          else float(analysis["stress_limit"])),
+            displacement_limit=(
+                None if analysis.get("displacement_limit") is None
+                else float(analysis["displacement_limit"])),
+            probe_dofs=_probe_dofs(analysis, problem),
+            min_thickness=float(analysis.get("min_thickness", 1e-6)),
+            n_iter=int(analysis.get("n_iter", 300)),
+            outer_rounds=int(analysis.get("outer_rounds", 4)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)))
+        out = {
+            "success": True,
+            "analysis": "sizing",
+            "element_type": "plane",
+            "thickness": t_e.tolist(),
+            "weight": weight,
+            "history": hist.tolist(),
+        }
+        for key in ("stress_limit", "displacement_limit"):
+            if analysis.get(key) is not None:
+                out[key] = float(analysis[key])
+        return out
     if kind == "spectrum":
         from ._common import run_continuum_spectrum
 
@@ -716,7 +747,8 @@ def run_plane_analysis(problem: PlaneProblem, analysis: Dict) -> Dict:
     raise ValueError(f'plane analysis.type must be "static", "modal", '
                      f'"transient", "harmonic", "buckling", "plastic", '
                      f'"spectrum", "random", "reduction", '
-                     f'"reliability" or "identification", got {kind!r}')
+                     f'"reliability", "sizing" or "identification", '
+                     f'got {kind!r}')
 
 
 def run_plane_document(doc: Dict) -> Dict:

@@ -275,6 +275,37 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
         from ._common import run_continuum_reliability
 
         return run_continuum_reliability(problem, analysis, "plate")
+    if kind == "sizing":
+        # Minimum-weight slab-depth field under a deflection limit
+        # (solvers/continuum_sizing.py — the t^3 bending design).
+        if problem.ndof > 4 * 2048:
+            raise ValueError(
+                f"plate sizing runs dense traced solves per ADAM "
+                f"iteration; {problem.ndof} DOFs exceeds its "
+                "8192-DOF budget — coarsen the mesh")
+        from ..solvers.continuum_sizing import optimize_plate_thickness
+
+        if analysis.get("displacement_limit") is None:
+            raise ValueError('plate sizing needs "displacement_limit" '
+                             '(deflection-governed slab depth)')
+        t_e, weight, hist = optimize_plate_thickness(
+            problem, float(analysis["displacement_limit"]),
+            probe_dofs=analysis.get("probe_dofs"),
+            probe_nodes=analysis.get("probe_nodes"),
+            min_thickness=float(analysis.get("min_thickness", 1e-6)),
+            n_iter=int(analysis.get("n_iter", 300)),
+            outer_rounds=int(analysis.get("outer_rounds", 4)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)))
+        return {
+            "success": True,
+            "analysis": "sizing",
+            "element_type": "plate",
+            "thickness": t_e.tolist(),
+            "weight": weight,
+            "displacement_limit": float(analysis[
+                "displacement_limit"]),
+            "history": hist.tolist(),
+        }
     if kind == "plastic":
         # Layered through-thickness J2 (solvers/plate_plasticity.py):
         # the plane family's plastic block, moments instead of
@@ -410,7 +441,7 @@ def run_plate_analysis(problem: PlateProblem, analysis: Dict) -> Dict:
                      'supported: "static", "modal", "buckling", '
                      '"transient", "harmonic", "spectrum", "random", '
                      '"reduction", "identification", "plastic", '
-                     '"reliability"')
+                     '"reliability", "sizing"')
 
 
 def _run_plate_identification(problem: PlateProblem,

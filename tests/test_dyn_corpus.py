@@ -41,6 +41,7 @@ def test_dyn_corpus_complete():
                    "dyn-plane-identify.json",
                    "dyn-plane-plastic.json",
                    "dyn-plane-reliability.json",
+                   "dyn-plane-sizing.json",
                    "dyn-plane-spectrum.json",
                    "dyn-plane-transient-plastic.json",
                    "dyn-plane.json",
@@ -252,6 +253,13 @@ def test_dyn_corpus_runs(name, tmp_path):
         assert all(res["converged"])
         lo, hi = res["system_pf_bounds"]
         assert 0 < lo <= hi <= 1
+    elif name == "dyn-plane-sizing.json":
+        # Uniaxial strip, fixed end force: sigma = F/(W t) binds the
+        # stress limit uniformly at the EXACT t* = 1/sigma_allow
+        # (solvers/continuum_sizing.py anchors).
+        assert res["element_type"] == "plane"
+        np.testing.assert_allclose(res["thickness"], 0.5, rtol=2e-6)
+        np.testing.assert_allclose(res["weight"], 2.0, rtol=2e-6)
     elif name == "dyn-plastic.json":
         # Two-bar serial chain, bilinear hardening: exact endpoint
         # u = 2 L_e (σ/E + (σ − σ_y)/H) = 0.13 at σ = 1.5.
