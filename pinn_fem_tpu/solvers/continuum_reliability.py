@@ -57,8 +57,13 @@ def continuum_reliability(problem, variables: Sequence[Dict],
                           limit_state: Dict, family: str,
                           n_iter: int = 50, tol: float = 1e-4,
                           mc_samples: int = 0, mc_seed: int = 0,
-                          correlation: Optional[Sequence] = None):
+                          correlation: Optional[Sequence] = None,
+                          mesh=None):
     """FORM on a plane / solid / plate problem (module docstring).
+
+    mesh: optional jax.sharding.Mesh — dp-shards the crude-MC sample
+    axis over devices (form_core's machinery; thousands of independent
+    dense solves is the canonical SPMD workload).
 
     Returns the shared reliability result (betas, pf, alphas, design
     points, Ditlevsen system bounds, optional crude-MC check).
@@ -191,4 +196,4 @@ def continuum_reliability(problem, variables: Sequence[Dict],
 
     return form_core(ratios_all, varspecs, chol, labels,
                      n_iter=n_iter, tol=tol, mc_samples=mc_samples,
-                     mc_seed=mc_seed)
+                     mc_seed=mc_seed, mesh=mesh)
