@@ -47,6 +47,11 @@ def _gate(name: str, res: dict) -> None:
         elif kind == "harmonic":
             assert np.isfinite(np.asarray(res["amplitude"],
                                           dtype=float)).all(), name
+        elif kind == "identification":
+            # Tapered-I twin recovery to 1% (tests/test_dyn_corpus.py
+            # pins the same bound).
+            assert res["synthetic"] and res["max_rel_error"] < 1e-2, \
+                name
         else:
             assert np.isfinite(np.asarray(res["displacements"],
                                           dtype=float)).all(), name

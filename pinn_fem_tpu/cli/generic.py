@@ -63,14 +63,27 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
 
     if is_frame_document(raw):
         # Frame documents are self-describing (three DOFs per node —
-        # the truss schema cannot carry them); the whole family runs
-        # on the host tier (io/frame_io.py), so no backend ever
-        # initializes.
+        # the truss schema cannot carry them); the analysis family
+        # runs on the host tier (io/frame_io.py) with no backend —
+        # EXCEPT identification, whose ADAM loop traces the jnp twin
+        # and must pin the local CPU tier before any backend query
+        # (the axon attach costs ~10-260 s, BENCHMARKS.md).
         from ..io.frame_io import run_frame_document
 
         logger.info("Frame document: %d nodes, %d elements",
                     len(raw.get("nodes", ())),
                     len(raw.get("elements", ())))
+        frame_analysis = raw.get("analysis") or {}
+        if (frame_analysis.get("type") == "identification"
+                and not frame_analysis.get("on_device", False)):
+            import jax
+
+            try:
+                jax.config.update("jax_platforms", "cpu")
+                logger.info("Frame identification: pinned "
+                            "jax_platforms=cpu (local tier)")
+            except Exception:
+                pass  # backends already up: the ctx still works
         output = run_frame_document(raw)
         if output_file is None:
             p = Path(problem_file)
@@ -118,6 +131,11 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "sizing":
             logger.info("  Weight %.6g after %d iterations",
                         output["weight"], len(output["history"]))
+        elif output["analysis"] == "identification":
+            vals = output[output["parameter"]]
+            logger.info("  Identified %s in [%.6g, %.6g], final loss "
+                        "%.3e", output["parameter"], min(vals),
+                        max(vals), output["final_loss"])
         else:
             m = np.max(np.abs(np.asarray(output["end_moments"])))
             logger.info("  Max |end moment|: %.6g (member forces in "

@@ -53,7 +53,19 @@ here before the truss parser runs:
                   "limit_state": {..}, "validate_mc": N}
                | {"type": "sizing",
                   "displacement_limit": d, "probe_dofs": [..],
-                  "n_iter": 300}}
+                  "n_iter": 300}
+               | {"type": "identification",
+                  "parameter": "inertia" | "young",
+                  "measured_dofs": [..], "measured_u": [..]
+                    # or twin data generated from a true profile:
+                  "synthetic": {"inertia": [..] | v,  # (or "young")
+                                "noise": 0.0, "seed": 0},
+                  "n_iter": 400, "learning_rate": 0.05}}
+                     # per-element I (at known E — bending determines
+                     # only the EI product) or E recovered by ADAM
+                     # through the traced frame twin (models/frame.py
+                     # identify_frame_properties); local CPU tier
+                     # unless "on_device": true
 
 Outputs mirror the truss analysis family's result shapes (frequencies
 in Hz + eigenvalues + shapes for modal; load factors + modes for
@@ -478,10 +490,95 @@ def run_frame_analysis(problem: FrameProblem, analysis: Dict) -> Dict:
                 "displacement_limit"]),
             "history": hist.tolist(),
         }
+    if kind == "identification":
+        # The bending inverse (identify_frame_properties) through the
+        # family's JSON tier — the plane/solid/plate identification
+        # contract carried to frames.  param "inertia" recovers the
+        # per-element I profile at known E (bending determines only
+        # the PRODUCT EI — the frame counterpart of the truss EA
+        # degeneracy), "young" recovers E at known A, I.
+        from ..models.frame import identify_frame_properties
+
+        param = analysis.get("parameter", "inertia")
+        if param not in ("inertia", "young"):
+            raise ValueError('frame identification "parameter" must '
+                             'be "inertia" or "young"')
+        synthetic = analysis.get("synthetic")
+        true_vals = None
+        if synthetic is not None:
+            # Twin-data mode (the plane identification contract):
+            # generate the measurement from the given true profile,
+            # then identify from the document's own (wrong) values.
+            if "measured_u" in analysis:
+                raise ValueError('give "measured_u" or "synthetic", '
+                                 'not both')
+            md = analysis.get("measured_dofs")
+            if md is None:
+                raise ValueError('synthetic frame identification '
+                                 'needs "measured_dofs"')
+            measured_dofs = np.asarray(md, dtype=int).reshape(-1)
+            tv = synthetic.get(param)
+            if tv is None:
+                raise ValueError(f'synthetic frame identification '
+                                 f'needs "{param}" (the identified '
+                                 f'parameter) in the synthetic block')
+            true_vals = (np.full(problem.nelm, float(tv))
+                         if np.isscalar(tv)
+                         else np.asarray(tv, dtype=float))
+            import dataclasses
+
+            p_true = dataclasses.replace(problem, **{param: true_vals})
+            measured_u = solve_frame_static(
+                p_true).displacements[measured_dofs]
+            noise = float(synthetic.get("noise", 0.0))
+            if noise:
+                rng = np.random.default_rng(int(synthetic.get("seed",
+                                                              0)))
+                measured_u = measured_u + noise * np.max(
+                    np.abs(measured_u)) * rng.standard_normal(
+                        measured_u.shape)
+            analysis = dict(analysis,
+                            measured_dofs=measured_dofs.tolist(),
+                            measured_u=np.asarray(measured_u).tolist())
+        if "measured_dofs" not in analysis \
+                or "measured_u" not in analysis:
+            raise ValueError('frame identification needs '
+                             '"measured_dofs" and "measured_u" (or '
+                             '"synthetic" twin data)')
+        # Identification-family doctrine (io/identification_io.py):
+        # the ADAM loop runs on the LOCAL CPU tier unless "on_device"
+        # opts into the accelerator.
+        from ._common import _local_cpu_ctx
+
+        with _local_cpu_ctx(analysis):
+            vals, hist = identify_frame_properties(
+                problem, analysis["measured_dofs"],
+                analysis["measured_u"], param=param,
+                n_iter=int(analysis.get("n_iter", 400)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)))
+        centroids = problem.nodes[problem.elements].mean(axis=1)
+        out = {
+            "success": True,
+            "analysis": "identification",
+            "element_type": "frame",
+            "parameter": param,
+            param: vals.tolist(),
+            "centroids": centroids.tolist(),
+            "loss_history": hist[:: max(1, hist.size // 200)].tolist(),
+            "final_loss": float(hist[-1]) if hist.size else None,
+        }
+        if true_vals is not None:
+            out["synthetic"] = True
+            rel = np.abs(vals - true_vals) / np.abs(true_vals)
+            out["max_rel_error"] = float(rel.max())
+        from .analysis import _json_finite
+
+        return _json_finite(out)
     raise ValueError('frame analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", "spectrum", '
-                     '"random", "reduction", "plastic", "reliability" '
-                     'or "sizing"')
+                     '"random", "reduction", "plastic", "reliability", '
+                     '"sizing" or "identification"')
 
 
 def run_frame_document(doc: Dict) -> Dict:

@@ -693,8 +693,14 @@ def identify_frame_properties(problem: "FrameProblem", measured_dofs,
 
     if param not in ("inertia", "young"):
         raise ValueError('param must be "inertia" or "young"')
+    meas_np = np.asarray(measured_disp, dtype=float)
     meas_idx = jnp.asarray(np.asarray(measured_dofs, dtype=int))
-    meas = jnp.asarray(np.asarray(measured_disp, dtype=float))
+    meas = jnp.asarray(meas_np)
+    # Normalize the loss by the measurement scale (the framework-wide
+    # ADAM-stall fix, cf. identify_plate_young: SI-unit micro-scale
+    # deflections put raw-MSE gradients under ADAM's eps and the
+    # optimizer crawls instead of converging).
+    scale = float(np.max(np.abs(meas_np))) or 1.0
     base = getattr(problem, param)
     log0 = jnp.log(jnp.asarray(base))
 
@@ -702,7 +708,7 @@ def identify_frame_properties(problem: "FrameProblem", measured_dofs,
         vals = jnp.exp(log_p)
         kw = {f"{param}_e": vals}
         u, _, _ = frame_static_response(problem, **kw)
-        return jnp.mean((u[meas_idx] - meas) ** 2)
+        return jnp.mean(((u[meas_idx] - meas) / scale) ** 2)
 
     opt = optax.adam(learning_rate)
     state = opt.init(log0)

@@ -30,7 +30,8 @@ def run_cli_inprocess(name, tmp_path):
 
 def test_dyn_corpus_complete():
     assert DYN == ["dyn-buckling.json", "dyn-continuation.json",
-                   "dyn-fatigue.json", "dyn-frame-pushover.json",
+                   "dyn-fatigue.json", "dyn-frame-identify.json",
+                   "dyn-frame-pushover.json",
                    "dyn-frame-thermal.json",
                    "dyn-frame.json",
                    "dyn-harmonic.json",
@@ -85,6 +86,17 @@ def test_dyn_corpus_runs(name, tmp_path):
             >= {(0, 0), (2, 1)}              # both column bases
         lam = np.asarray(res["load_factors"])
         assert lam[0] == 0.0 and np.all(np.diff(lam) > 0)
+    elif name == "dyn-frame-identify.json":
+        # Tapered-I cantilever twin recovery (the flagship inverse on
+        # a bending structure, through the frame JSON identification
+        # tier): every element's I to 1%, converged loss.
+        assert res["element_type"] == "frame"
+        assert res["parameter"] == "inertia" and res["synthetic"]
+        assert res["max_rel_error"] < 1e-2
+        vals = np.asarray(res["inertia"])
+        assert vals.shape == (8,) and np.all(np.diff(vals) < 0)
+        hist = np.asarray(res["loss_history"])
+        assert hist[-1] < 1e-4 * hist[0]
     elif name == "dyn-frame-thermal.json":
         # Clamped-clamped member, uniform ΔT + through-depth gradient:
         # both thermal-restraint closed forms exact (u ≡ 0,

@@ -1036,3 +1036,57 @@ def test_frame_banded_json_tier():
     assert outm["tier"] == "banded" and outm["mass"] == "lumped"
     assert len(outm["frequencies_hz"]) == 2
     assert np.asarray(outm["mode_shapes"]).shape == (2, 3)
+
+
+def test_frame_identification_json_tier():
+    """The bending inverse through the JSON tier (io/frame_io.py
+    "identification"): a two-value E profile recovered from synthetic
+    twin deflections, plus the contract's refusal paths."""
+    import pytest
+
+    from pinn_fem_tpu.io.frame_io import run_frame_document
+
+    n = 4
+    doc = {
+        "element_type": "frame",
+        "nodes": [[L * k / n, 0.0] for k in range(n + 1)],
+        "elements": [[k, k + 1] for k in range(n)],
+        "material": {"young": E, "area": A, "inertia": I,
+                     "density": RHO},
+        "loads": [0.0] * (3 * n) + [0.0, -1.0, 0.0],
+        "fixed_nodes": [0],
+        "analysis": {
+            "type": "identification",
+            "parameter": "young",
+            "synthetic": {"young": [150.0, 150.0, 250.0, 250.0]},
+            "measured_dofs": [3 * k + d for k in range(1, n + 1)
+                              for d in (1, 2)],
+            "n_iter": 1500,
+            "learning_rate": 0.03,
+        },
+    }
+    out = run_frame_document(doc)
+    assert out["success"] and out["element_type"] == "frame"
+    assert out["parameter"] == "young" and out["synthetic"]
+    np.testing.assert_allclose(out["young"],
+                               [150.0, 150.0, 250.0, 250.0],
+                               rtol=1e-2)
+    assert out["max_rel_error"] < 1e-2
+    assert len(out["centroids"]) == n
+    hist = np.asarray(out["loss_history"])
+    assert hist[-1] < 1e-6 * hist[0]
+
+    bad = {**doc, "analysis": {**doc["analysis"], "parameter": "area"}}
+    with pytest.raises(ValueError, match="parameter"):
+        run_frame_document(bad)
+    both = {**doc, "analysis": {**doc["analysis"],
+                                "measured_u": [0.0] * 8}}
+    with pytest.raises(ValueError, match="not both"):
+        run_frame_document(both)
+    neither = {**doc, "analysis": {"type": "identification"}}
+    with pytest.raises(ValueError, match="measured_dofs"):
+        run_frame_document(neither)
+    wrong_key = {**doc, "analysis": {**doc["analysis"],
+                                     "synthetic": {"inertia": 0.1}}}
+    with pytest.raises(ValueError, match='"young"'):
+        run_frame_document(wrong_key)
