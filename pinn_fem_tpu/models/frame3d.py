@@ -1,0 +1,499 @@
+"""3D space-frame family: two-node beam elements with 6 DOFs per node
+(u, v, w, θx, θy, θz) — axial EA, St-Venant torsion GJ, and cubic-
+Hermite bending in BOTH principal planes (EIz in the local x–y plane,
+EIy in the local x–z plane).  Towers, grillages, and space structures,
+which neither the 2D frame (no out-of-plane action, no torsion) nor
+the truss family (no moments at all) can carry.
+
+Reference scope: rpacheco-blazquez/PINN-FEM has no bending elements at
+all (SURVEY §2: 1D/2D truss only) — this family is an original
+extension following the same layered design as models/frame.py
+(dataclass problem → batched local closed forms → masked dense host
+solve → JSON tier in io/frame3d_io.py).
+
+Numerics
+--------
+Local DOF order per node: [u, v, w, φx, φy, φz] with the STANDARD sign
+conventions (e.g. McGuire, Gallagher & Ziemian, "Matrix Structural
+Analysis" ch. 4-5):
+
+- axial (rows 0, 6):        EA/L   [[1, −1], [−1, 1]]
+- torsion (rows 3, 9):      GJ/L   [[1, −1], [−1, 1]]   (linear twist —
+  EXACT for end torques, like the axial bar)
+- bending x–y (1, 5, 7, 11): EIz Hermite block, +6L coupling signs
+- bending x–z (2, 4, 8, 10): EIy Hermite block, −6L coupling signs
+  (a positive rotation about local y tips the +z face toward +x:
+  w′ = −θy, which flips every v–θ coupling term of the x–y block)
+
+Element orientation: local x̂ along the member; local ŷ = â × x̂ and
+ẑ = x̂ × ŷ with the auxiliary vector â = global Z (so a member along
+global X gets local y = Y, z = Z), falling back to â = global X for
+members within 1e-8 of vertical; an optional per-element `ref_vector`
+overrides â (webs of inclined members).  The 12×12 transformation is
+block-diag(R, R, R, R) with R rows = (x̂, ŷ, ẑ).
+
+Consistent mass: axial and torsional ρAL/6 (ρ I_p L/6) two-point
+blocks plus the ρAL/420 Hermite blocks per bending plane (same sign
+flips as the stiffness).  `polar_inertia` defaults to J — exact for
+circular sections, the standard shaft idealization otherwise; pass
+I_p = Iy + Iz explicitly for thin-walled open sections where J ≪ I_p.
+
+Verification anchors (tests/test_frame3d.py)
+--------------------------------------------
+- one-element cantilever along x: tip Fy → PL³/3EIz, Fz → PL³/3EIy,
+  torque → TL/GJ, axial → PL/EA, ALL to machine precision (Hermite /
+  linear shapes are exact for nodal loads);
+- the same member re-oriented along an arbitrary direction: identical
+  local response (objectivity — u rotates with R exactly);
+- right-angle grillage closed form
+  δ_C = P L₁³/3EI_AB + P L₂³/3EI_BC + P L₂² L₁ / (G J_AB)
+  (bending of both legs + the torsion of leg AB driven by the lever
+  moment P L₂) to machine precision with two elements;
+- consistent-mass modal: axial f_k = (2k−1)c/4L and torsional
+  f_k = (2k−1)/(4L)·√(G/ρ) rod series from above, and the two
+  INTERLEAVED simply-supported bending families (βL)²√(EI_{y,z}/ρA)/2πL²
+  when I_y ≠ I_z.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "SpaceFrameProblem",
+    "SpaceFrameStaticResult",
+    "SpaceFrameModalResult",
+    "SpaceFrameTransientResult",
+    "SpaceFrameHarmonicResult",
+    "space_frame_matrices",
+    "solve_space_frame_static",
+    "space_frame_modal",
+    "solve_space_frame_transient",
+    "space_frame_harmonic",
+]
+
+_VERT_TOL = 1e-8
+
+
+@dataclass
+class SpaceFrameProblem:
+    """3D space frame: nodes (n, 3), elements (m, 2), per-element
+    section/material values (scalars broadcast), nodal loads (6n,) as
+    [Fx, Fy, Fz, Mx, My, Mz]*n, fixed DOFs on the 6-DOF-per-node
+    numbering; optional per-node translational point masses."""
+    nodes: np.ndarray
+    elements: np.ndarray
+    young: np.ndarray            # (m,) or scalar
+    area: np.ndarray
+    inertia_y: np.ndarray        # bending in the local x–z plane
+    inertia_z: np.ndarray        # bending in the local x–y plane
+    torsion_j: np.ndarray        # St-Venant torsion constant
+    density: np.ndarray
+    loads: np.ndarray            # (6n,)
+    fixed_dofs: np.ndarray
+    # Shear modulus G (m,) or scalar; derived from poisson when absent.
+    shear_modulus: Optional[np.ndarray] = None
+    poisson: Optional[float] = None
+    # (n,) translational lumped masses added to the u/v/w diagonal.
+    point_masses: Optional[np.ndarray] = None
+    # (m, 3) auxiliary vectors spanning the local x–y plane with x̂
+    # (row of zeros -> the global-Z/global-X default convention).
+    ref_vector: Optional[np.ndarray] = None
+    # (m,) polar second moment I_p for the torsional consistent mass
+    # (defaults to torsion_j — exact for circular sections).
+    polar_inertia: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=float)
+        if self.nodes.ndim != 2 or self.nodes.shape[1] != 3:
+            raise ValueError("space-frame nodes must be (n, 3)")
+        self.elements = np.asarray(self.elements, dtype=int)
+        if self.elements.ndim != 2 or self.elements.shape[1] != 2:
+            raise ValueError("space-frame elements must be (m, 2)")
+        m = self.elements.shape[0]
+        for name in ("young", "area", "inertia_y", "inertia_z",
+                     "torsion_j", "density"):
+            setattr(self, name, np.broadcast_to(
+                np.asarray(getattr(self, name), dtype=float),
+                (m,)).copy())
+            if np.any(getattr(self, name) <= 0.0):
+                raise ValueError(f"{name} must be positive")
+        if self.shear_modulus is None:
+            if self.poisson is None:
+                raise ValueError('space frame needs "shear_modulus" '
+                                 'or "poisson" (G = E/2(1+ν))')
+            self.shear_modulus = self.young \
+                / (2.0 * (1.0 + float(self.poisson)))
+        self.shear_modulus = np.broadcast_to(
+            np.asarray(self.shear_modulus, dtype=float), (m,)).copy()
+        if np.any(self.shear_modulus <= 0.0):
+            raise ValueError("shear_modulus must be positive")
+        self.loads = np.asarray(self.loads, dtype=float).reshape(-1)
+        if self.loads.size != self.ndof:
+            raise ValueError(f"loads must have {self.ndof} entries "
+                             f"(6 per node), got {self.loads.size}")
+        self.fixed_dofs = np.asarray(self.fixed_dofs,
+                                     dtype=int).reshape(-1)
+        if self.point_masses is not None:
+            self.point_masses = np.broadcast_to(
+                np.asarray(self.point_masses, dtype=float),
+                (self.nnode,)).copy()
+        if self.ref_vector is not None:
+            self.ref_vector = np.broadcast_to(
+                np.asarray(self.ref_vector, dtype=float),
+                (m, 3)).copy()
+        if self.polar_inertia is None:
+            self.polar_inertia = self.torsion_j.copy()
+        else:
+            self.polar_inertia = np.broadcast_to(
+                np.asarray(self.polar_inertia, dtype=float),
+                (m,)).copy()
+        if np.any(_geometry3d(self)[0] <= 0.0):
+            raise ValueError("zero-length space-frame element")
+
+    @property
+    def nnode(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def nelm(self) -> int:
+        return self.elements.shape[0]
+
+    @property
+    def ndof(self) -> int:
+        return 6 * self.nnode
+
+    def free_mask(self) -> np.ndarray:
+        m = np.ones(self.ndof)
+        m[self.fixed_dofs] = 0.0
+        return m
+
+    def dof_map(self) -> np.ndarray:
+        """(m, 12) global DOF indices per element."""
+        i, j = self.elements[:, 0], self.elements[:, 1]
+        return np.stack([6 * i + d for d in range(6)]
+                        + [6 * j + d for d in range(6)], axis=1)
+
+
+def _geometry3d(problem: SpaceFrameProblem):
+    """(length (m,), R (m, 3, 3)) — R rows are the local axes."""
+    d = problem.nodes[problem.elements[:, 1]] \
+        - problem.nodes[problem.elements[:, 0]]
+    length = np.linalg.norm(d, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        xh = np.where(length[:, None] > 0.0, d / length[:, None],
+                      np.array([1.0, 0.0, 0.0]))
+    # Auxiliary vector: global Z, global X for near-vertical members,
+    # the per-element ref_vector where given (a zero row keeps the
+    # default — the JSON tier's "only some members need a web
+    # direction" convention).
+    aux = np.tile(np.array([0.0, 0.0, 1.0]), (problem.nelm, 1))
+    vertical = np.abs(np.abs(xh[:, 2]) - 1.0) < _VERT_TOL
+    aux[vertical] = (1.0, 0.0, 0.0)
+    if problem.ref_vector is not None:
+        rv = problem.ref_vector
+        given = np.linalg.norm(rv, axis=1) > 0.0
+        aux[given] = rv[given]
+    yh = np.cross(aux, xh)
+    ny = np.linalg.norm(yh, axis=1)
+    if np.any(ny < _VERT_TOL):
+        raise ValueError("ref_vector parallel to a member axis")
+    yh = yh / ny[:, None]
+    zh = np.cross(xh, yh)
+    r = np.stack([xh, yh, zh], axis=1)            # rows = local axes
+    return length, r
+
+
+def _transformation3d(r: np.ndarray) -> np.ndarray:
+    """(m, 12, 12) local <- global: block-diag(R, R, R, R)."""
+    m = r.shape[0]
+    t = np.zeros((m, 12, 12))
+    for off in (0, 3, 6, 9):
+        t[:, off:off + 3, off:off + 3] = r
+    return t
+
+
+# Bending DOF quadruples (v-like, θ-like, v-like, θ-like) per plane.
+_BEND_XY = (1, 5, 7, 11)     # v, θz — EIz, +6L coupling
+_BEND_XZ = (2, 4, 8, 10)     # w, θy — EIy, −6L coupling (w′ = −θy)
+
+
+def _fill4(mat, rows, block):
+    for a, ia in enumerate(rows):
+        for b, ib in enumerate(rows):
+            mat[:, ia, ib] += block[:, a, b]
+
+
+def _hermite_k(ei, length, sign):
+    """(m, 4, 4) Hermite bending stiffness; sign flips the v–θ
+    coupling terms (+1 for the x–y plane, −1 for x–z)."""
+    b12 = 12.0 * ei / length ** 3
+    b6 = sign * 6.0 * ei / length ** 2
+    b4 = 4.0 * ei / length
+    b2 = 2.0 * ei / length
+    return np.stack([
+        np.stack([b12, b6, -b12, b6], axis=-1),
+        np.stack([b6, b4, -b6, b2], axis=-1),
+        np.stack([-b12, -b6, b12, -b6], axis=-1),
+        np.stack([b6, b2, -b6, b4], axis=-1)], axis=-2)
+
+
+def _hermite_m(rho_al, length, sign):
+    """(m, 4, 4) consistent Hermite mass (ρAL/420), same sign rule."""
+    f = rho_al / 420.0
+    l1 = sign * length
+    return np.stack([
+        np.stack([156.0 * f, 22.0 * f * l1, 54.0 * f,
+                  -13.0 * f * l1], axis=-1),
+        np.stack([22.0 * f * l1, 4.0 * f * length ** 2,
+                  13.0 * f * l1, -3.0 * f * length ** 2], axis=-1),
+        np.stack([54.0 * f, 13.0 * f * l1, 156.0 * f,
+                  -22.0 * f * l1], axis=-1),
+        np.stack([-13.0 * f * l1, -3.0 * f * length ** 2,
+                  -22.0 * f * l1, 4.0 * f * length ** 2],
+                 axis=-1)], axis=-2)
+
+
+def _k_local3d(problem: SpaceFrameProblem, length: np.ndarray):
+    """(m, 12, 12) local stiffness (module docstring)."""
+    m = length.shape[0]
+    k = np.zeros((m, 12, 12))
+    ea = problem.young * problem.area / length
+    k[:, 0, 0] = k[:, 6, 6] = ea
+    k[:, 0, 6] = k[:, 6, 0] = -ea
+    gj = problem.shear_modulus * problem.torsion_j / length
+    k[:, 3, 3] = k[:, 9, 9] = gj
+    k[:, 3, 9] = k[:, 9, 3] = -gj
+    _fill4(k, _BEND_XY,
+           _hermite_k(problem.young * problem.inertia_z, length, 1.0))
+    _fill4(k, _BEND_XZ,
+           _hermite_k(problem.young * problem.inertia_y, length, -1.0))
+    return k
+
+
+def _m_local3d(problem: SpaceFrameProblem, length: np.ndarray):
+    """(m, 12, 12) local consistent mass (module docstring)."""
+    m = length.shape[0]
+    mm = np.zeros((m, 12, 12))
+    rho_al = problem.density * problem.area * length
+    ax = rho_al / 6.0
+    mm[:, 0, 0] = mm[:, 6, 6] = 2.0 * ax
+    mm[:, 0, 6] = mm[:, 6, 0] = ax
+    tor = problem.density * problem.polar_inertia * length / 6.0
+    mm[:, 3, 3] = mm[:, 9, 9] = 2.0 * tor
+    mm[:, 3, 9] = mm[:, 9, 3] = tor
+    _fill4(mm, _BEND_XY, _hermite_m(rho_al, length, 1.0))
+    _fill4(mm, _BEND_XZ, _hermite_m(rho_al, length, -1.0))
+    return mm
+
+
+def _assemble3d(problem: SpaceFrameProblem,
+                blocks: np.ndarray) -> np.ndarray:
+    dm = problem.dof_map()
+    k = np.zeros((problem.ndof, problem.ndof))
+    np.add.at(k, (dm[:, :, None], dm[:, None, :]), blocks)
+    return k
+
+
+def space_frame_matrices(problem: SpaceFrameProblem,
+                         with_mass: bool = True):
+    """(K, M) dense global matrices (M None unless with_mass) — the
+    one assembly every space-frame solver shares (host float64)."""
+    length, r = _geometry3d(problem)
+    t = _transformation3d(r)
+    kl = _k_local3d(problem, length)
+    k = _assemble3d(problem, np.einsum("mji,mjk,mkl->mil", t, kl, t))
+    mmat = None
+    if with_mass:
+        ml = _m_local3d(problem, length)
+        mmat = _assemble3d(problem,
+                           np.einsum("mji,mjk,mkl->mil", t, ml, t))
+        if problem.point_masses is not None:
+            pm = np.zeros(problem.ndof)
+            for d in range(3):                     # translational DOFs
+                pm[d::6] += problem.point_masses
+            mmat = mmat + np.diag(pm)
+    return k, mmat
+
+
+@dataclass
+class SpaceFrameStaticResult:
+    displacements: np.ndarray      # (6n,)
+    member_end_forces: np.ndarray  # (m, 12) LOCAL
+    #                                [N, Vy, Vz, T, My, Mz] per end
+    axial: np.ndarray              # (m,) axial force (tension +)
+    torque: np.ndarray             # (m,) St-Venant torque
+    moments_y: np.ndarray          # (m, 2) end moments, local y
+    moments_z: np.ndarray          # (m, 2) end moments, local z
+    reactions: np.ndarray          # (6n,) K u − f on fixed DOFs
+
+
+def solve_space_frame_static(
+        problem: SpaceFrameProblem) -> SpaceFrameStaticResult:
+    """Dense masked static solve + local member end-force recovery.
+
+    Hermite bending, linear axial and linear torsion shapes are all
+    EXACT for nodal loading, so the cantilever and grillage anchors
+    hold to machine precision with one element per member
+    (tests/test_frame3d.py)."""
+    k, _ = space_frame_matrices(problem, with_mass=False)
+    mask = problem.free_mask()
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    f = problem.loads
+    u = np.linalg.solve(km, f * mask) * mask
+
+    length, r = _geometry3d(problem)
+    t = _transformation3d(r)
+    kl = _k_local3d(problem, length)
+    u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc)
+    reactions = (k @ u - f) * (1.0 - mask)
+    return SpaceFrameStaticResult(
+        displacements=u,
+        member_end_forces=f_loc,
+        axial=-f_loc[:, 0],            # node-1 local x force: tension +
+        torque=-f_loc[:, 3],
+        moments_y=f_loc[:, [4, 10]],
+        moments_z=f_loc[:, [5, 11]],
+        reactions=reactions)
+
+
+@dataclass
+class SpaceFrameModalResult:
+    frequencies_hz: np.ndarray
+    omegas: np.ndarray
+    eigenvalues: np.ndarray
+    mode_shapes: np.ndarray        # (n_modes, 6n)
+
+
+def space_frame_modal(problem: SpaceFrameProblem,
+                      n_modes: int = 6) -> SpaceFrameModalResult:
+    """Generalized K φ = λ M φ on the free block (consistent mass) —
+    dense host-tier eigensolve (frame_modal's pattern in 3D)."""
+    import scipy.linalg
+
+    k, m = space_frame_matrices(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    n_modes = min(n_modes, lam.size)
+    lam = np.maximum(lam[:n_modes], 0.0)
+    shapes = np.zeros((n_modes, problem.ndof))
+    shapes[:, free] = vec[:, :n_modes].T
+    om = np.sqrt(lam)
+    return SpaceFrameModalResult(frequencies_hz=om / (2.0 * np.pi),
+                                 omegas=om, eigenvalues=lam,
+                                 mode_shapes=shapes)
+
+
+@dataclass
+class SpaceFrameTransientResult:
+    times: np.ndarray
+    displacements: np.ndarray      # (n_rec, n_probe)
+    dt: float
+    n_steps: int
+
+
+def solve_space_frame_transient(problem: SpaceFrameProblem, dt: float,
+                                n_steps: int, damping=(0.0, 0.0),
+                                amplitude=None, probe_dofs=None,
+                                record_every: int = 1
+                                ) -> SpaceFrameTransientResult:
+    """Newmark (average acceleration, unconditionally stable) on the
+    dense space-frame K/M — one LU factorization of the effective
+    operator serves every step (host float64, the family's tier;
+    solve_frame_transient's recipe in 3D).
+
+    amplitude: (n_steps,) load-scale history a(t) multiplying the
+    problem's nodal loads (None = unit step).  Rayleigh C = αM + βK.
+    Cross-validated against exact modal superposition of the undamped
+    step response (tests/test_frame3d.py)."""
+    import scipy.linalg
+
+    if dt <= 0.0 or n_steps <= 0:
+        raise ValueError("transient needs positive dt and n_steps")
+    k, m = space_frame_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads
+    amp = (np.ones(n_steps) if amplitude is None
+           else np.broadcast_to(np.asarray(amplitude, dtype=float),
+                                (n_steps,)))
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    a0 = 4.0 / dt ** 2
+    a1 = 2.0 / dt
+    keff = kf + a0 * mf + a1 * cf
+    lu = scipy.linalg.lu_factor(keff)
+
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    n = free.size
+    u = np.zeros(n)
+    v = np.zeros(n)
+    a_acc = (np.linalg.solve(mf, ff * amp[0] - cf @ v - kf @ u)
+             if n else np.zeros(0))
+    rec_t, rec_u = [], []
+    full = np.zeros(problem.ndof)
+    for step in range(n_steps):
+        # Forcing at t = (step+1)·dt — the amp[i+1] convention of
+        # solvers/dynamics.py; the final step holds the last value.
+        f_t = ff * amp[min(step + 1, n_steps - 1)]
+        rhs = f_t + mf @ (a0 * u + 2.0 * a1 * v + a_acc) \
+            + cf @ (a1 * u + v)
+        u_new = scipy.linalg.lu_solve(lu, rhs)
+        v_new = a1 * (u_new - u) - v
+        a_new = a0 * (u_new - u) - 2.0 * a1 * v - a_acc
+        u, v, a_acc = u_new, v_new, a_new
+        if step % record_every == 0:
+            full[free] = u
+            rec_t.append((step + 1) * dt)
+            rec_u.append(full[probe].copy())
+    return SpaceFrameTransientResult(
+        times=np.asarray(rec_t), displacements=np.asarray(rec_u),
+        dt=float(dt), n_steps=int(n_steps))
+
+
+@dataclass
+class SpaceFrameHarmonicResult:
+    omegas: np.ndarray
+    amplitude: np.ndarray          # (n_freq, n_probe) |X|
+    real: np.ndarray
+    imag: np.ndarray
+
+
+def space_frame_harmonic(problem: SpaceFrameProblem, omegas,
+                         damping=(0.0, 0.0), probe_dofs=None
+                         ) -> SpaceFrameHarmonicResult:
+    """Steady-state X(ω) to the space frame's load pattern: direct
+    dense complex solves (K − ω²M + iωC) X = f per frequency, host
+    float64, Rayleigh C = αM + βK.  With proportional damping this
+    equals the ALL-modes superposition exactly — the cross-check in
+    tests/test_frame3d.py (frame_harmonic's recipe in 3D)."""
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, m = space_frame_matrices(problem)
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    full = np.zeros(problem.ndof, dtype=complex)
+    xs = np.zeros((om.size, probe.size), dtype=complex)
+    for i, w in enumerate(om):
+        z = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(z, ff)
+        xs[i] = full[probe]
+    return SpaceFrameHarmonicResult(omegas=om, amplitude=np.abs(xs),
+                                    real=xs.real, imag=xs.imag)

@@ -1,0 +1,284 @@
+"""3D space-frame family (models/frame3d.py): closed-form anchors for
+the 12-DOF beam element — biaxial cantilever tips, torsion, the
+right-angle grillage, rigid-rotation objectivity, rod/beam modal
+series, Newmark vs exact modal superposition, harmonic vs all-modes
+superposition."""
+
+import numpy as np
+import pytest
+
+from pinn_fem_tpu.models.frame3d import (SpaceFrameProblem,
+                                         solve_space_frame_static,
+                                         solve_space_frame_transient,
+                                         space_frame_harmonic,
+                                         space_frame_matrices,
+                                         space_frame_modal)
+
+E, G, A, IY, IZ, J, RHO = 200.0, 80.0, 1.0, 0.02, 0.05, 0.03, 1.2
+L = 4.0
+
+
+def cantilever(n=1, **kw):
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1),
+                      np.zeros(n + 1)], axis=1)
+    elements = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = kw.pop("loads", np.zeros(6 * (n + 1)))
+    return SpaceFrameProblem(nodes, elements, E, A, IY, IZ, J, RHO,
+                             loads, np.arange(6), shear_modulus=G,
+                             **kw)
+
+
+def tip_load(n, dof, value):
+    loads = np.zeros(6 * (n + 1))
+    loads[6 * n + dof] = value
+    return loads
+
+
+def test_cantilever_exact_one_element_all_actions():
+    """Hermite/linear shapes + nodal loads: PL³/3EIz (local x–y),
+    PL³/3EIy (local x–z), TL/GJ, PL/EA — machine precision with ONE
+    element, plus the matching local end-force recovery."""
+    P = 1.0
+    st = solve_space_frame_static(cantilever(loads=tip_load(1, 1, -P)))
+    np.testing.assert_allclose(st.displacements[7],
+                               -P * L ** 3 / (3.0 * E * IZ), rtol=1e-14)
+    np.testing.assert_allclose(st.displacements[11],
+                               -P * L ** 2 / (2.0 * E * IZ), rtol=1e-14)
+    # End-force convention is the k·u NODAL force (the 2D family's):
+    # the clamped-end moment holding the element is +P·L.
+    np.testing.assert_allclose(st.moments_z[0, 0], P * L, rtol=1e-12)
+
+    st = solve_space_frame_static(cantilever(loads=tip_load(1, 2, -P)))
+    np.testing.assert_allclose(st.displacements[8],
+                               -P * L ** 3 / (3.0 * E * IY), rtol=1e-14)
+    # w′ = −θy: downward bending means POSITIVE rotation about local y.
+    np.testing.assert_allclose(st.displacements[10],
+                               P * L ** 2 / (2.0 * E * IY), rtol=1e-14)
+    np.testing.assert_allclose(np.abs(st.moments_y[0, 0]), P * L,
+                               rtol=1e-12)
+
+    st = solve_space_frame_static(cantilever(loads=tip_load(1, 3, 1.0)))
+    np.testing.assert_allclose(st.displacements[9], L / (G * J),
+                               rtol=1e-14)
+    np.testing.assert_allclose(st.torque, [1.0], rtol=1e-12)
+
+    st = solve_space_frame_static(cantilever(loads=tip_load(1, 0, 1.0)))
+    np.testing.assert_allclose(st.displacements[6], L / (E * A),
+                               rtol=1e-14)
+    np.testing.assert_allclose(st.axial, [1.0], rtol=1e-12)
+    # Clamped-end reactions balance the tip load exactly.
+    np.testing.assert_allclose(st.reactions[0], -1.0, rtol=1e-12)
+
+
+def test_objectivity_under_rigid_rotation():
+    """Rotating nodes, loads, and the reference vector by a random
+    rigid rotation rotates the solution exactly (frame indifference —
+    the transformation algebra is the thing being pinned)."""
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1.0
+    nodes = np.array([[0.0, 0.0, 0.0], [L, 0.0, 0.0]])
+    el = np.array([[0, 1]])
+    loads = np.zeros(12)
+    loads[7], loads[9] = -1.0, 0.5          # tip force + tip torque
+    ref = np.array([[0.0, 0.0, 1.0]])
+    p0 = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO, loads,
+                           np.arange(6), shear_modulus=G,
+                           ref_vector=ref)
+    loads_r = loads.copy()
+    loads_r[6:9] = q @ loads[6:9]
+    loads_r[9:12] = q @ loads[9:12]
+    pr = SpaceFrameProblem(nodes @ q.T, el, E, A, IY, IZ, J, RHO,
+                           loads_r, np.arange(6), shear_modulus=G,
+                           ref_vector=ref @ q.T)
+    u0 = solve_space_frame_static(p0).displacements
+    ur = solve_space_frame_static(pr).displacements
+    u0r = u0.copy()
+    u0r[6:9] = q @ u0[6:9]
+    u0r[9:12] = q @ u0[9:12]
+    np.testing.assert_allclose(ur, u0r, atol=1e-13)
+    # Local member forces are rotation-invariant.
+    f0 = solve_space_frame_static(p0).member_end_forces
+    fr = solve_space_frame_static(pr).member_end_forces
+    np.testing.assert_allclose(fr, f0, atol=1e-12)
+
+
+def test_right_angle_grillage_closed_form():
+    """The classic grillage anchor: leg AB along X (clamped at A), leg
+    BC along Y, vertical tip load P at C.  BC bends; AB bends under
+    the transferred shear AND twists under the lever moment P·L₂:
+    δ_C = P L₁³/3EI_y + P L₂³/3EI_y + P L₂² L₁ / (G J) — exact with
+    two elements (bending is in each leg's local x–z plane, I_y)."""
+    l1, l2, p_ = 3.0, 2.0, 1.0
+    nodes = np.array([[0.0, 0.0, 0.0], [l1, 0.0, 0.0],
+                      [l1, l2, 0.0]])
+    el = np.array([[0, 1], [1, 2]])
+    loads = np.zeros(18)
+    loads[14] = -p_
+    pg = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO, loads,
+                           np.arange(6), shear_modulus=G)
+    st = solve_space_frame_static(pg)
+    exact = -(p_ * l1 ** 3 / (3.0 * E * IY)
+              + p_ * l2 ** 3 / (3.0 * E * IY)
+              + p_ * l2 ** 2 * l1 / (G * J))
+    np.testing.assert_allclose(st.displacements[14], exact, rtol=1e-13)
+    # Leg AB carries the full lever torque P·L₂.
+    np.testing.assert_allclose(np.abs(st.torque[0]), p_ * l2,
+                               rtol=1e-12)
+
+
+def test_modal_rod_series_and_interleaved_bending_families():
+    """Consistent-mass convergence from above onto the clamped-free
+    axial and torsional rod series; then a simply supported beam with
+    I_y ≠ I_z shows the two INTERLEAVED bending families at exactly
+    √(I_z/I_y) frequency ratio per mode pair."""
+    n = 16
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1),
+                      np.zeros(n + 1)], axis=1)
+    el = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    # Axial + torsion only: lock every bending DOF.
+    bend = np.concatenate([[6 * k + 1, 6 * k + 2, 6 * k + 4, 6 * k + 5]
+                           for k in range(n + 1)])
+    fixed = np.unique(np.concatenate([np.arange(6), bend]))
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(6 * (n + 1)), fixed,
+                          shear_modulus=G)
+    mo = space_frame_modal(p, n_modes=4)
+    c_ax = np.sqrt(E / RHO)
+    c_tor = np.sqrt(G / RHO)       # I_p = J: wave speed √(GJ/ρI_p)
+    ks = np.arange(1, 5)
+    exact = np.sort(np.concatenate([
+        (2 * ks - 1) * c_ax / (4.0 * L),
+        (2 * ks - 1) * c_tor / (4.0 * L)]))[:4]
+    assert np.all(mo.frequencies_hz >= exact * (1.0 - 1e-9))
+    np.testing.assert_allclose(mo.frequencies_hz, exact, rtol=6e-3)
+
+    # Simply supported, both planes free: interleaved families.
+    fixed_ss = np.array([0, 1, 2, 3,              # pin + torsion at 0
+                         6 * n + 1, 6 * n + 2])   # v, w at the far end
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(6 * (n + 1)), fixed_ss,
+                          shear_modulus=G)
+    mo = space_frame_modal(p, n_modes=4)
+    fy = (np.pi / L) ** 2 * np.sqrt(E * IY / (RHO * A)) / (2 * np.pi)
+    fz = (np.pi / L) ** 2 * np.sqrt(E * IZ / (RHO * A)) / (2 * np.pi)
+    np.testing.assert_allclose(mo.frequencies_hz[:2],
+                               sorted([fy, fz]), rtol=1e-3)
+    np.testing.assert_allclose(mo.frequencies_hz[1]
+                               / mo.frequencies_hz[0],
+                               np.sqrt(IZ / IY), rtol=1e-6)
+
+
+def test_transient_matches_modal_superposition():
+    """Undamped Newmark step response vs the EXACT modal superposition
+    u(t) = Σ φ (φᵀf/ω²m)(1 − cos ωt) on the full consistent-mass
+    pencil (the 2D frame family's cross-check in 3D)."""
+    n = 4
+    p = cantilever(n, loads=tip_load(n, 2, -1.0))
+    k, m = space_frame_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    import scipy.linalg
+
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    om = np.sqrt(lam)
+    f = p.loads[free]
+    dt = 2.0 * np.pi / om[-1] / 40.0
+    n_steps = 400
+    tr = solve_space_frame_transient(p, dt, n_steps,
+                                     probe_dofs=[6 * n + 2])
+    t = tr.times
+    q = (vec.T @ f) / lam
+    u_exact = np.zeros_like(t)
+    tip_row = np.flatnonzero(free == 6 * n + 2)[0]
+    for j in range(lam.size):
+        u_exact += vec[tip_row, j] * q[j] * (1.0 - np.cos(om[j] * t))
+    scale = np.max(np.abs(u_exact))
+    np.testing.assert_allclose(tr.displacements[:, 0], u_exact,
+                               atol=2e-3 * scale)
+
+
+def test_harmonic_matches_all_modes_superposition():
+    """Direct complex sweep vs Σ φφᵀf/(m_j(ω_j²−ω²+iω(α+βω_j²))) —
+    exact for proportional damping."""
+    n = 3
+    p = cantilever(n, loads=tip_load(n, 1, 1.0))
+    alpha, beta = 0.05, 0.002
+    k, m = space_frame_matrices(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    import scipy.linalg
+
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    omj = np.sqrt(lam)
+    f = p.loads[free]
+    om = np.linspace(0.1, 2.0 * omj[2], 40)
+    hr = space_frame_harmonic(p, om, damping=(alpha, beta),
+                              probe_dofs=[6 * n + 1])
+    tip_row = np.flatnonzero(free == 6 * n + 1)[0]
+    x_exact = np.zeros(om.size, dtype=complex)
+    for j in range(lam.size):
+        denom = omj[j] ** 2 - om ** 2 \
+            + 1j * om * (alpha + beta * omj[j] ** 2)
+        x_exact += vec[tip_row, j] * (vec[:, j] @ f) / denom
+    np.testing.assert_allclose(hr.real[:, 0], x_exact.real, atol=1e-8)
+    np.testing.assert_allclose(hr.imag[:, 0], x_exact.imag, atol=1e-8)
+    # Static limit: the ω→0 end approaches the static solve.
+    st = solve_space_frame_static(p)
+    hr0 = space_frame_harmonic(p, [1e-6], probe_dofs=[6 * n + 1])
+    np.testing.assert_allclose(hr0.amplitude[0, 0],
+                               np.abs(st.displacements[6 * n + 1]),
+                               rtol=1e-8)
+
+
+def test_validation_errors():
+    nodes = np.array([[0.0, 0.0, 0.0], [L, 0.0, 0.0]])
+    el = np.array([[0, 1]])
+    with pytest.raises(ValueError, match="shear_modulus"):
+        SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), np.arange(6))
+    with pytest.raises(ValueError, match="12 entries|entries"):
+        SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(6), np.arange(6), poisson=0.3)
+    with pytest.raises(ValueError, match="zero-length"):
+        SpaceFrameProblem(np.zeros((2, 3)), el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), np.arange(6), poisson=0.3)
+    with pytest.raises(ValueError, match="parallel"):
+        solve_space_frame_static(SpaceFrameProblem(
+            nodes, el, E, A, IY, IZ, J, RHO, np.zeros(12),
+            np.arange(6), poisson=0.3,
+            ref_vector=np.array([[1.0, 0.0, 0.0]])))
+    # poisson route: G = E/2(1+ν).
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), np.arange(6), poisson=0.25)
+    np.testing.assert_allclose(p.shear_modulus, E / 2.5)
+
+
+def test_vertical_member_and_point_masses():
+    """The vertical-member auxiliary-vector fallback assembles a
+    working column, and tip point masses shift the modal pencil like
+    an SDOF: ω² ≈ 3EI/L³ / m_tip for a heavy tip mass."""
+    n = 4
+    nodes = np.stack([np.zeros(n + 1), np.zeros(n + 1),
+                      np.linspace(0.0, L, n + 1)], axis=1)
+    el = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(6 * (n + 1))
+    loads[6 * n + 0] = 1.0                      # horizontal tip load
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO, loads,
+                          np.arange(6), shear_modulus=G)
+    st = solve_space_frame_static(p)
+    # The column bends about ONE of its principal axes; global X is a
+    # principal direction by the vertical-member convention.
+    ei = E * np.array([IY, IZ])
+    assert np.any(np.isclose(st.displacements[6 * n + 0],
+                             L ** 3 / (3.0 * ei), rtol=1e-12))
+    pm = np.zeros(n + 1)
+    pm[-1] = 1000.0
+    p_m = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                            np.zeros(6 * (n + 1)), np.arange(6),
+                            shear_modulus=G, point_masses=pm)
+    mo = space_frame_modal(p_m, n_modes=1)
+    f_sdof = np.sqrt(3.0 * E * min(IY, IZ) / L ** 3 / 1000.0) \
+        / (2.0 * np.pi)
+    np.testing.assert_allclose(mo.frequencies_hz[0], f_sdof, rtol=2e-3)
