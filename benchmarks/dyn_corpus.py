@@ -38,6 +38,21 @@ CORPUS_DIR = os.path.join(ROOT, "examples", "json")
 def _gate(name: str, res: dict) -> None:
     assert res.get("success"), f"{name}: success=False"
     kind = res["analysis"]
+    if res.get("element_type") == "frame3d":
+        # Grillage closed form (tests/test_dyn_corpus.py pins the
+        # same exact value).
+        if kind == "static":
+            np.testing.assert_allclose(
+                res["displacements"][14],
+                -(3.0 ** 3 / (3 * 200.0 * 0.02)
+                  + 2.0 ** 3 / (3 * 200.0 * 0.02)
+                  + 2.0 ** 2 * 3.0 / (80.0 * 0.03)), rtol=1e-12)
+        else:
+            assert np.isfinite(np.asarray(
+                res.get("frequencies_hz",
+                        res.get("displacements", [0.0])),
+                dtype=float)).all(), name
+        return
     if res.get("element_type") == "frame":
         if kind == "modal":
             f = np.asarray(res["frequencies_hz"], dtype=float)

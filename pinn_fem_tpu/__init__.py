@@ -55,6 +55,14 @@ from .models.frame import (  # noqa: E402
     solve_frame_static,
     solve_frame_transient,
 )
+from .models.frame3d import (  # noqa: E402
+    SpaceFrameProblem,
+    solve_space_frame_static,
+    solve_space_frame_transient,
+    space_frame_harmonic,
+    space_frame_matrices,
+    space_frame_modal,
+)
 from .models.plane import (  # noqa: E402
     PlaneProblem,
     annulus_mesh,
@@ -287,6 +295,7 @@ __all__ = [
     "to_field",
     "ProblemData",
     "FrameProblem",
+    "SpaceFrameProblem",
     "PlaneProblem",
     "SolidProblem",
     "PlateProblem",
@@ -345,6 +354,11 @@ __all__ = [
     "frame_buckling",
     "frame_matrices",
     "solve_frame_transient",
+    "solve_space_frame_static",
+    "space_frame_modal",
+    "solve_space_frame_transient",
+    "space_frame_harmonic",
+    "space_frame_matrices",
     "frame_static_response",
     "frame_harmonic",
     "frame_reliability",

@@ -142,6 +142,43 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         "the result)", m)
         logger.info("Results written to %s", output_file)
         return output
+    from ..io.frame3d_io import is_frame3d_document
+
+    if is_frame3d_document(raw):
+        # 3D space-frame documents (six DOFs per node — torsion and
+        # biaxial bending); the whole family runs on the host tier
+        # (io/frame3d_io.py), so no backend ever initializes.
+        from ..io.frame3d_io import run_frame3d_document
+
+        logger.info("Space-frame document: %d nodes, %d elements",
+                    len(raw.get("nodes", ())),
+                    len(raw.get("elements", ())))
+        output = run_frame3d_document(raw)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("SPACE-FRAME ANALYSIS SUMMARY (%s):",
+                    output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % v for v in output["frequencies_hz"]])
+        elif output["analysis"] == "transient":
+            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                        output["dt"])
+        elif output["analysis"] == "harmonic":
+            logger.info("  Sweep: %d frequencies, peak |X| %.6g",
+                        len(output["omegas"]),
+                        max(max(row) for row in output["amplitude"]))
+        else:
+            logger.info("  Max |u|: %.6g (dof %d), peak |torque|: "
+                        "%.6g", output["max_displacement"],
+                        output["max_displacement_dof"],
+                        max(abs(v) for v in output["torques"]))
+        logger.info("Results written to %s", output_file)
+        return output
     from ..io.plane_io import is_plane_document
 
     if is_plane_document(raw):

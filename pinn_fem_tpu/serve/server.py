@@ -80,7 +80,8 @@ INFO = {
                         "harmonic", "spectrum", "random",
                         "continuation", "plastic", "reduction",
                         "identification", "sizing", "reliability",
-                        "frame", "plane", "solid", "plate"],
+                        "frame", "frame3d", "plane", "solid",
+                        "plate"],
         },
     },
     "backend": "jax",
@@ -107,6 +108,12 @@ def _solve_frame(body):
     from ..io.frame_io import run_frame_document
 
     return run_frame_document({**body, "element_type": "frame"})
+
+
+def _solve_frame3d(body):
+    from ..io.frame3d_io import run_frame3d_document
+
+    return run_frame3d_document({**body, "element_type": "frame3d"})
 
 
 def _solve_plane(body):
@@ -198,6 +205,8 @@ _ROUTES = {
                              PINN_TIMEOUT_S),
     # 2D frame family (bending): host-tier dense solves, FEM budget.
     "/api/fem/frame": (_solve_frame, FEM_TIMEOUT_S),
+    # 3D space-frame family (torsion + biaxial bending): host tier.
+    "/api/fem/frame3d": (_solve_frame3d, FEM_TIMEOUT_S),
     # 2D plane-stress/strain continuum family: host-tier dense solves.
     "/api/fem/plane": (_solve_plane, FEM_TIMEOUT_S),
     # 3D solid hex8 family: dense host tier, banded DIA device tier
@@ -375,6 +384,18 @@ def _warmup_docs():
             "material": {"young": 200.0, "area": 1.0, "inertia": 0.05,
                          "density": 1.0},
             "loads": [0, 0, 0, 0, -1.0, 0],
+            "fixed_nodes": [0],
+            "analysis": {"type": "static"}}),
+        ("/api/fem/frame3d", {
+            "element_type": "frame3d",
+            "nodes": [[0.0, 0.0, 0.0], [3.0, 0.0, 0.0],
+                      [3.0, 2.0, 0.0]],
+            "elements": [[0, 1], [1, 2]],
+            "material": {"young": 200.0, "shear_modulus": 80.0,
+                         "area": 1.0, "inertia_y": 0.02,
+                         "inertia_z": 0.05, "torsion": 0.03,
+                         "density": 1.2},
+            "loads": [0.0] * 14 + [-1.0, 0.0, 0.0, 0.0],
             "fixed_nodes": [0],
             "analysis": {"type": "static"}}),
         ("/api/fem/reliability", {**arch, "analysis": {

@@ -33,7 +33,7 @@ def test_dyn_corpus_complete():
                    "dyn-fatigue.json", "dyn-frame-identify.json",
                    "dyn-frame-pushover.json",
                    "dyn-frame-thermal.json",
-                   "dyn-frame.json",
+                   "dyn-frame.json", "dyn-frame3d.json",
                    "dyn-harmonic.json",
                    "dyn-identification-field.json",
                    "dyn-identification-frf.json",
@@ -110,6 +110,21 @@ def test_dyn_corpus_runs(name, tmp_path):
         np.testing.assert_allclose(
             np.abs(np.asarray(res["end_moments"])),
             200e9 * 1e-5 * 1.2e-5 * 100.0, rtol=1e-9)
+    elif name == "dyn-frame3d.json":
+        # Right-angle grillage: the exact two-element closed form
+        # (bending of both legs + lever torsion of AB) and the full
+        # lever torque in leg AB (models/frame3d.py docstring).
+        assert res["element_type"] == "frame3d"
+        e_, g_, iy, j_ = 200.0, 80.0, 0.02, 0.03
+        l1, l2, p_ = 3.0, 2.0, 1.0
+        exact = -(p_ * l1 ** 3 / (3 * e_ * iy)
+                  + p_ * l2 ** 3 / (3 * e_ * iy)
+                  + p_ * l2 ** 2 * l1 / (g_ * j_))
+        np.testing.assert_allclose(res["displacements"][14], exact,
+                                   rtol=1e-12)
+        np.testing.assert_allclose(abs(res["torques"][0]), p_ * l2,
+                                   rtol=1e-12)
+        assert len(res["member_end_forces"]) == 2
     elif name == "dyn-plane.json":
         # Axial-rod membrane strip (ν = 0, all y DOFs fixed): the Q4
         # consistent-mass frequencies converge to f_k = (2k−1)c/4L from

@@ -282,3 +282,93 @@ def test_vertical_member_and_point_masses():
     f_sdof = np.sqrt(3.0 * E * min(IY, IZ) / L ** 3 / 1000.0) \
         / (2.0 * np.pi)
     np.testing.assert_allclose(mo.frequencies_hz[0], f_sdof, rtol=2e-3)
+
+
+def test_frame3d_json_document_all_kinds():
+    """io/frame3d_io.py: the self-describing space-frame document
+    through parse + all four analysis types, with the grillage
+    closed form as the static gate."""
+    from pinn_fem_tpu.io.frame3d_io import (is_frame3d_document,
+                                            run_frame3d_document)
+
+    l1, l2, p_ = 3.0, 2.0, 1.0
+    doc = {
+        "element_type": "frame3d",
+        "nodes": [[0.0, 0.0, 0.0], [l1, 0.0, 0.0], [l1, l2, 0.0]],
+        "elements": [[0, 1], [1, 2]],
+        "material": {"young": E, "shear_modulus": G, "area": A,
+                     "inertia_y": IY, "inertia_z": IZ, "torsion": J,
+                     "density": RHO},
+        "loads": [0.0] * 14 + [-p_, 0.0, 0.0, 0.0],
+        "fixed_nodes": [0],
+        "analysis": {"type": "static"},
+    }
+    assert is_frame3d_document(doc)
+    out = run_frame3d_document(doc)
+    assert out["success"] and out["element_type"] == "frame3d"
+    exact = -(p_ * l1 ** 3 / (3.0 * E * IY)
+              + p_ * l2 ** 3 / (3.0 * E * IY)
+              + p_ * l2 ** 2 * l1 / (G * J))
+    np.testing.assert_allclose(out["displacements"][14], exact,
+                               rtol=1e-12)
+    np.testing.assert_allclose(abs(out["torques"][0]), p_ * l2,
+                               rtol=1e-12)
+    assert len(out["member_end_forces"]) == 2
+
+    out_m = run_frame3d_document({**doc, "analysis":
+                                  {"type": "modal", "n_modes": 3}})
+    f = np.asarray(out_m["frequencies_hz"])
+    assert f.shape == (3,) and np.all(f > 0) \
+        and np.all(np.diff(f) >= -1e-9)
+    assert np.asarray(out_m["mode_shapes"]).shape == (3, 18)
+
+    out_t = run_frame3d_document({**doc, "analysis": {
+        "type": "transient", "dt": 0.5, "n_steps": 150,
+        "probe_nodes": [2], "amplitude": {"type": "step"}}})
+    d = np.asarray(out_t["displacements"])
+    assert d.shape == (150, 6) and np.isfinite(d).all()
+    # Undamped step response oscillates about the static solution
+    # (the window covers ~3 fundamental periods; the exact Newmark
+    # cross-check is test_transient_matches_modal_superposition).
+    assert abs(np.mean(d[:, 2]) - exact) < 0.25 * abs(exact)
+    assert np.min(d[:, 2]) > 2.2 * exact          # < 2x overshoot
+
+    out_h = run_frame3d_document({**doc, "analysis": {
+        "type": "harmonic",
+        "omegas": {"start": 1e-6, "stop": 0.5, "num": 5},
+        "probe_dofs": [14]}})
+    amp = np.asarray(out_h["amplitude"])
+    assert amp.shape == (5, 1)
+    np.testing.assert_allclose(amp[0, 0], abs(exact), rtol=1e-6)
+
+    with pytest.raises(ValueError, match="inertia_y"):
+        run_frame3d_document({**doc, "material":
+                              {"young": E, "area": A}})
+    with pytest.raises(ValueError, match="analysis type"):
+        run_frame3d_document({**doc, "analysis": {"type": "nope"}})
+    with pytest.raises(ValueError, match="fixed_nodes"):
+        bad = {k: v for k, v in doc.items() if k != "fixed_nodes"}
+        run_frame3d_document(bad)
+
+
+def test_frame3d_ref_vectors_json_and_point_masses():
+    """ref_vectors rows [elem, ax, ay, az] override the default
+    orientation per element; point-mass tables accumulate."""
+    from pinn_fem_tpu.io.frame3d_io import parse_frame3d_document
+
+    doc = {
+        "element_type": "frame3d",
+        "nodes": [[0.0, 0.0, 0.0], [L, 0.0, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "poisson": 0.25, "area": A,
+                     "inertia_y": IY, "inertia_z": IZ, "torsion": J,
+                     "density": RHO},
+        "fixed_nodes": [0],
+        "point_masses": [[1, 2.0], [1, 3.0]],
+        "ref_vectors": [[0, 0.0, 1.0, 0.0]],
+    }
+    p, analysis = parse_frame3d_document(doc)
+    assert analysis["type"] == "static"
+    np.testing.assert_allclose(p.point_masses, [0.0, 5.0])
+    np.testing.assert_allclose(p.ref_vector, [[0.0, 1.0, 0.0]])
+    np.testing.assert_allclose(p.shear_modulus, E / 2.5)
