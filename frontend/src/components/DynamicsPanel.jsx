@@ -824,6 +824,55 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runGrillage = async () => {
+    // 3D space-frame grillage FRF (POST body pinned as
+    // tests/fixtures/ui_payload_grillage.json, byte-identical to the
+    // static UI's grillageDoc()): right-angle grillage, leg AB along
+    // X clamped at A, leg BC along Y, unit vertical load at C —
+    // torsion-bending coupling no 2D family carries.  The harmonic
+    // sweep's ω→0 limit IS the exact static closed form
+    // |w_C| = PL₁³/3EIy + PL₂³/3EIy + PL₂²L₁/GJ = 7.91667
+    // (models/frame3d.py), and the chart shows the first three
+    // resonances of the 6-DOF-per-node pencil.
+    setMessage('Sweeping the 3D grillage tip FRF…');
+    try {
+      const r = await post('frame3d', {
+        nodes: [[0, 0, 0], [3, 0, 0], [3, 2, 0]],
+        elements: [[0, 1], [1, 2]],
+        material: { young: 200, shear_modulus: 80, area: 1,
+                    inertia_y: 0.02, inertia_z: 0.05, torsion: 0.03,
+                    density: 1.2 },
+        loads: [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                0, 0, -1, 0, 0, 0],
+        fixed_nodes: [0],
+        analysis: { type: 'harmonic',
+                    omegas: { start: 1e-6, stop: 1.0, num: 120 },
+                    damping: [0.005, 0.005], probe_dofs: [14] },
+      });
+      setKind('grillage'); setShapes(null);
+      setChart({ xs: r.omegas,
+                 series: r.amplitude.map((row) => [row[0]]) });
+      const amp = r.amplitude.map((row) => row[0]);
+      let peak = 1;                       // interior resonance peak
+      for (let i = 1; i + 1 < amp.length; i += 1) {
+        if (amp[i] > amp[i - 1] && amp[i] > amp[i + 1]
+            && amp[i] > amp[peak]) peak = i;
+      }
+      setRows([
+        { label: 'static limit |w_C|',
+          value: `${amp[0].toPrecision(6)} (exact `
+            + 'PL₁³/3EIy + PL₂³/3EIy + PL₂²L₁/GJ = 7.91667)' },
+        { label: 'resonance',
+          value: `ω ≈ ${r.omegas[peak].toPrecision(4)} rad/s, `
+            + `|X| = ${amp[peak].toPrecision(4)}` },
+      ]);
+      setMessage('3D grillage: tip FRF through the torsion-bending '
+        + 'coupled space-frame pencil');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runSlab = async () => {
     // Layered elastoplastic one-way slab strip (POST body pinned as
     // tests/fixtures/ui_payload_slab.json, byte-identical to the
@@ -924,6 +973,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runPlate}>Plate ▶</button>
         <button onClick={runSolidPlastic}>Solid plastic ▶</button>
         <button onClick={runSlab}>Slab ▶</button>
+        <button onClick={runGrillage}>Grillage ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
         <button onClick={runQuakeWall}>Quake wall ▶</button>
       </div>

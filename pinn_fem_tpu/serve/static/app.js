@@ -1389,6 +1389,52 @@ async function runPortal() {
 document.getElementById("portal-btn").addEventListener("click",
                                                        runPortal);
 
+function grillageDoc() {
+  // 3D space-frame grillage FRF (pinned as
+  // tests/fixtures/ui_payload_grillage.json, byte-identical to the
+  // React panel's runGrillage): right-angle grillage, leg AB along X
+  // clamped at A, leg BC along Y, unit vertical load at C.  The
+  // harmonic ω→0 limit IS the exact static closed form
+  // |w_C| = PL₁³/3EIy + PL₂³/3EIy + PL₂²L₁/GJ = 7.91667
+  // (models/frame3d.py) — torsion-bending coupling no 2D family has.
+  return {
+    nodes: [[0, 0, 0], [3, 0, 0], [3, 2, 0]],
+    elements: [[0, 1], [1, 2]],
+    material: { young: 200, shear_modulus: 80, area: 1,
+                inertia_y: 0.02, inertia_z: 0.05, torsion: 0.03,
+                density: 1.2 },
+    loads: [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+            0, 0, -1, 0, 0, 0],
+    fixed_nodes: [0],
+    analysis: { type: "harmonic",
+                omegas: { start: 1e-6, stop: 1.0, num: 120 },
+                damping: [0.005, 0.005], probe_dofs: [14] },
+  };
+}
+
+async function runGrillage() {
+  // 3D grillage tip FRF: chart |X|(ω), static limit + resonance.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Sweeping the 3D grillage tip FRF…";
+  try {
+    const r = await postDoc("frame3d", grillageDoc());
+    const amp = r.amplitude.map((row) => row[0]);
+    drawTimeSeries(r.omegas, amp.map((a) => [a]));
+    let peak = 1;
+    for (let i = 1; i + 1 < amp.length; i += 1) {
+      if (amp[i] > amp[i - 1] && amp[i] > amp[i + 1]
+          && amp[i] > amp[peak]) peak = i;
+    }
+    status.textContent = `3D grillage FRF: static limit |w_C| = `
+      + `${amp[0].toPrecision(6)} (exact 7.91667); resonance at `
+      + `ω ≈ ${r.omegas[peak].toPrecision(4)} rad/s; chart: tip FRF`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("grillage-btn").addEventListener("click",
+                                                         runGrillage);
+
 async function runCylinder() {
   // Thick-wall von Mises cylinder at 99% of the textbook limit
   // pressure p_lim = (2/sqrt3) sigma_y ln(b/a): B-bar plane strain,

@@ -937,3 +937,30 @@ def test_ui_plate_identify_payload_served():
     # the charted trace: monotone-ish collapse over >= 4 decades
     hist = np.asarray(out["loss_history"])
     assert hist[-1] < 1e-4 * hist[0]
+
+
+def test_ui_grillage_payload_served():
+    """Both UIs' Grillage action (3D space-frame harmonic FRF,
+    models/frame3d.py) through the live /api/fem/frame3d handler:
+    the ω→0 sweep point lands on the EXACT grillage closed form
+    (bending of both legs + the lever torsion of AB), the sweep
+    resolves the first resonance near the modal ω₁, and the chart
+    fields (omegas × amplitude rows) are aligned."""
+    from pinn_fem_tpu.serve.server import _solve_frame3d
+
+    payload = load_fixture("ui_payload_grillage.json")
+    out = _solve_frame3d(payload)
+    assert out["success"] and out["analysis"] == "harmonic"
+    om = np.asarray(out["omegas"])
+    amp = np.asarray(out["amplitude"])
+    assert amp.shape == (om.size, 1) and om.size == 120
+    exact = (3.0 ** 3 / (3 * 200.0 * 0.02)
+             + 2.0 ** 3 / (3 * 200.0 * 0.02)
+             + 2.0 ** 2 * 3.0 / (80.0 * 0.03))
+    np.testing.assert_allclose(amp[0, 0], exact, rtol=1e-6)
+    # The interior peak the panels report sits near the fundamental
+    # (ω₁ ≈ 0.311 from the consistent-mass pencil) and amplifies the
+    # static response (light Rayleigh damping).
+    interior = np.argmax(amp[1:-1, 0]) + 1
+    assert abs(om[interior] - 0.311) < 0.02
+    assert amp[interior, 0] > 3.0 * amp[0, 0]
