@@ -33,7 +33,24 @@ contract, so the CLI and servers PEEK at that key and route here
                | {"type": "harmonic", "omegas": [..] |
                   {"start": w0, "stop": w1, "num": n},
                   "damping": [a, b], "probe_nodes": [..] |
-                  "probe_dofs": [..]}}
+                  "probe_dofs": [..]}
+               | {"type": "buckling", "n_modes": 2}
+                     # linearized P-Δ buckling, FLEXURAL modes in both
+                     # bending planes (models/frame3d._kg_local3d —
+                     # torsional/Wagner buckling out of scope)
+               | {"type": "spectrum", "sa": 2.5 | {..},
+                  "direction": [x, y, z], "n_modes": 6,
+                  "combination": "srss" | "cqc",
+                  "damping_ratio": 0.05}
+                     # seismic modal combination on the 6-DOF pencil
+                     # (solvers/continuum_spectrum; member end forces
+                     # combined per quantity, governing |N|/A stress)
+               | {"type": "random", "omegas": [..] | {..},
+                  "psd": S0 | {..}, "damping": [a, b],
+                  "probe_nodes": [..]}
+               | {"type": "reduction", "method": "guyan" |
+                  "craig_bampton", "master_nodes": [..],
+                  "n_modes": 4}}
 
 Outputs mirror the 2D frame family's result shapes; the static block
 adds torque and both end-moment planes (the actions only this family
@@ -215,8 +232,39 @@ def run_frame3d_analysis(problem: SpaceFrameProblem,
             "real": res.real.tolist(),
             "imag": res.imag.tolist(),
         }
+    if kind == "buckling":
+        from ..models.frame3d import space_frame_buckling
+
+        res = space_frame_buckling(
+            problem, n_modes=int(analysis.get("n_modes", 2)))
+        return {
+            "success": True,
+            "analysis": "buckling",
+            "element_type": "frame3d",
+            "n_modes": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "axial_forces": res.axial.tolist(),
+            "buckling_modes": res.modes.tolist(),
+        }
+    if kind == "spectrum":
+        from ._common import run_continuum_spectrum
+
+        return run_continuum_spectrum(problem, analysis, "frame3d")
+    if kind == "random":
+        from ._common import run_continuum_random
+
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            probe = _probe_dofs6(analysis, problem)
+        return run_continuum_random(problem, analysis, "frame3d",
+                                    probe)
+    if kind == "reduction":
+        from ._common import run_continuum_reduction
+
+        return run_continuum_reduction(problem, analysis, "frame3d")
     raise ValueError('space-frame analysis type must be "static", '
-                     '"modal", "transient" or "harmonic"')
+                     '"modal", "transient", "harmonic", "buckling", '
+                     '"spectrum", "random" or "reduction"')
 
 
 def run_frame3d_document(doc: Dict) -> Dict:

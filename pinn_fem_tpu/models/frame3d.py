@@ -73,6 +73,9 @@ __all__ = [
     "space_frame_modal",
     "solve_space_frame_transient",
     "space_frame_harmonic",
+    "SpaceFrameBucklingResult",
+    "space_frame_buckling",
+    "space_frame_end_forces",
 ]
 
 _VERT_TOL = 1e-8
@@ -497,3 +500,81 @@ def space_frame_harmonic(problem: SpaceFrameProblem, omegas,
         xs[i] = full[probe]
     return SpaceFrameHarmonicResult(omegas=om, amplitude=np.abs(xs),
                                     real=xs.real, imag=xs.imag)
+
+
+def _kg_local3d(axial_n, length):
+    """(m, 12, 12) geometric stiffness from member axial force N
+    (tension positive): the N/(30L)·[36, 3L, 4L², −L²] Hermite blocks
+    in BOTH bending planes (sign-conjugated for x–z like the
+    stiffness).  FLEXURAL buckling only — torsional /
+    flexural-torsional buckling needs Wagner/warping terms this
+    element does not carry (documented out of scope)."""
+    m = length.shape[0]
+    kg = np.zeros((m, 12, 12))
+    for rows, sign in ((_BEND_XY, 1.0), (_BEND_XZ, -1.0)):
+        f = axial_n / (30.0 * length)
+        l1 = sign * length
+        bb = np.stack([
+            np.stack([36.0 * f, 3.0 * f * l1, -36.0 * f,
+                      3.0 * f * l1], axis=-1),
+            np.stack([3.0 * f * l1, 4.0 * f * length ** 2,
+                      -3.0 * f * l1, -f * length ** 2], axis=-1),
+            np.stack([-36.0 * f, -3.0 * f * l1, 36.0 * f,
+                      -3.0 * f * l1], axis=-1),
+            np.stack([3.0 * f * l1, -f * length ** 2, -3.0 * f * l1,
+                      4.0 * f * length ** 2], axis=-1)], axis=-2)
+        _fill4(kg, rows, bb)
+    return kg
+
+
+@dataclass
+class SpaceFrameBucklingResult:
+    load_factors: np.ndarray       # ascending positive λ_cr
+    modes: np.ndarray              # (n_modes, 6n)
+    axial: np.ndarray              # (m,) member N at unit load
+
+
+def space_frame_buckling(problem: SpaceFrameProblem,
+                         n_modes: int = 2
+                         ) -> SpaceFrameBucklingResult:
+    """Linearized (P-Δ) buckling: statics gives member axial forces N,
+    K_g(N) is assembled in both bending planes, and (K + λ K_g) φ = 0
+    on the free block — λ_cr scales the APPLIED LOAD PATTERN.  A
+    column with I_y ≠ I_z buckles about the WEAK axis first and the
+    two flexural families sit at exactly I_strong/I_weak
+    (tests/test_frame3d.py; frame_buckling's recipe in 3D, flexural
+    modes only — see _kg_local3d)."""
+    import scipy.linalg
+
+    stat = solve_space_frame_static(problem)
+    length, r = _geometry3d(problem)
+    t = _transformation3d(r)
+    kgl = _kg_local3d(stat.axial, length)
+    kg = _assemble3d(problem, np.einsum("mji,mjk,mkl->mil", t, kgl, t))
+    k, _ = space_frame_matrices(problem, with_mass=False)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    gf = kg[np.ix_(free, free)]
+    lam, vec = scipy.linalg.eig(kf, -gf)
+    good = np.isfinite(lam) & (np.abs(np.imag(lam))
+                               <= 1e-8 * np.abs(lam)) \
+        & (np.real(lam) > 1e-9)
+    lam_r = np.real(lam[good])
+    order = np.argsort(lam_r)[:n_modes]
+    modes = np.zeros((order.size, problem.ndof))
+    modes[:, free] = np.real(vec[:, good][:, order]).T
+    return SpaceFrameBucklingResult(load_factors=lam_r[order],
+                                    modes=modes, axial=stat.axial)
+
+
+def space_frame_end_forces(problem: SpaceFrameProblem,
+                           u: np.ndarray) -> np.ndarray:
+    """(m, 12) LOCAL member end forces k_local·T·u_e of a displacement
+    state (no fixed-end corrections — mode shapes and combined states;
+    the continuum-spectrum family adapter's stress quantity)."""
+    length, r = _geometry3d(problem)
+    t = _transformation3d(r)
+    kl = _k_local3d(problem, length)
+    u_loc = np.einsum("mij,mj->mi", t,
+                      np.asarray(u, dtype=float)[problem.dof_map()])
+    return np.einsum("mij,mj->mi", kl, u_loc)

@@ -194,9 +194,54 @@ def _family_of(problem) -> _Family:
             influence=plate_influence,
             lam_bound=plate_lam_bound,
             harmonic=PL.plate_harmonic)
+    from ..models.frame3d import SpaceFrameProblem
+
+    if isinstance(problem, SpaceFrameProblem):
+        from ..models import frame3d as F3
+
+        def sf_stress(p, comb):
+            # Combined-quantity governing stress: axial |N|/A per
+            # member end maximum (the 2D frame family's axial-only
+            # convention — SpaceFrameProblem carries no
+            # section_modulus field).
+            n_comb = np.maximum(comb[:, 0], comb[:, 6])
+            return n_comb / p.area
+
+        def sf_influence(p, d):
+            # 6 DOFs per node: ground motion excites the three
+            # translations; rotations carry no rigid-body component.
+            r = np.zeros(p.ndof)
+            for ax in range(3):
+                r[ax::6] = d[ax]
+            return r
+
+        def sf_lam_bound(p):
+            # Dense exact top generalized eigenvalue — the family is
+            # dense-tier, so the O(n³) eigh IS affordable and the
+            # bound is tight (no lumped-diagonal Gershgorin heuristic
+            # over the mixed translation/rotation scales).
+            import scipy.linalg
+
+            k, m = F3.space_frame_matrices(p)
+            free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+            lam = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                    m[np.ix_(free, free)],
+                                    eigvals_only=True)
+            return float(lam[-1])
+
+        return _Family(
+            dim=3,
+            modal=lambda p, n: _unpack_modal(
+                F3.space_frame_modal(p, n)),
+            mass=lambda p: F3.space_frame_matrices(p)[1],
+            stresses=lambda p, u: F3.space_frame_end_forces(p, u),
+            vm=sf_stress,
+            influence=sf_influence,
+            lam_bound=sf_lam_bound,
+            harmonic=F3.space_frame_harmonic)
     raise TypeError("continuum spectrum/random needs a PlaneProblem, "
-                    f"SolidProblem, FrameProblem or PlateProblem, got "
-                    f"{type(problem).__name__}")
+                    "SolidProblem, FrameProblem, SpaceFrameProblem or "
+                    f"PlateProblem, got {type(problem).__name__}")
 
 
 def _unpack_modal(res):

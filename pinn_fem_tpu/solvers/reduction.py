@@ -260,9 +260,14 @@ def reduce_model(problem, master_dofs, method: str = "guyan",
     elif isinstance(problem, PlateProblem):
         from ..models.plate import plate_matrices as mats
     else:
-        raise TypeError("reduce_model needs a Truss/Plane/Solid/"
-                        "Frame/Plate problem, got "
-                        f"{type(problem).__name__}")
+        from ..models.frame3d import SpaceFrameProblem
+
+        if isinstance(problem, SpaceFrameProblem):
+            from ..models.frame3d import space_frame_matrices as mats
+        else:
+            raise TypeError("reduce_model needs a Truss/Plane/Solid/"
+                            "Frame/SpaceFrame/Plate problem, got "
+                            f"{type(problem).__name__}")
     k, m = mats(problem)
     if method == "guyan":
         return guyan_reduce_dense(k, m, problem.fixed_dofs,

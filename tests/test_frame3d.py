@@ -372,3 +372,99 @@ def test_frame3d_ref_vectors_json_and_point_masses():
     np.testing.assert_allclose(p.point_masses, [0.0, 5.0])
     np.testing.assert_allclose(p.ref_vector, [[0.0, 1.0, 0.0]])
     np.testing.assert_allclose(p.shear_modulus, E / 2.5)
+
+
+def test_buckling_weak_axis_euler_and_exact_plane_ratio():
+    """Clamped-free column under axial tip compression: the first
+    factor converges onto Euler π²EI_weak/4L² from above, the column
+    buckles about the WEAK axis (I_y < I_z), and the second factor is
+    the strong-axis twin at EXACTLY I_z/I_y — the two flexural
+    families share the same discrete matrices scaled by EI."""
+    from pinn_fem_tpu.models.frame3d import space_frame_buckling
+
+    n = 8
+    p = cantilever(n, loads=tip_load(n, 0, -1.0))
+    res = space_frame_buckling(p, n_modes=2)
+    euler = np.pi ** 2 * E * IY / (4.0 * L ** 2)
+    assert res.load_factors[0] >= euler * (1.0 - 1e-9)
+    np.testing.assert_allclose(res.load_factors[0], euler, rtol=1e-3)
+    np.testing.assert_allclose(res.load_factors[1]
+                               / res.load_factors[0], IZ / IY,
+                               rtol=1e-9)
+    np.testing.assert_allclose(res.axial, -1.0, rtol=1e-12)
+    # The first mode bends in the weak plane (w), not the strong (v).
+    mode = res.modes[0]
+    assert np.abs(mode[2::6]).max() > 10.0 * np.abs(mode[1::6]).max()
+
+
+def test_spectrum_sdof_anchor_and_json_kinds():
+    """Space-frame SDOF (one free DOF — the guided tip w of a single
+    element, the continuum-spectrum family convention): the spectrum
+    peak lands on Sa·m/k exactly with mass_fraction 1; the random
+    block hits the white-noise variance πS₀f²/(2kαm); and the JSON
+    reduction kind round-trips with a statics-exact CB pencil."""
+    from pinn_fem_tpu.io.frame3d_io import run_frame3d_document
+    from pinn_fem_tpu.models.frame3d import space_frame_matrices
+
+    i = 8                                 # tip w of a one-element beam
+    fixed = np.setdiff1d(np.arange(12), [i])
+    loads = np.zeros(12)
+    loads[i] = 0.3                        # the random block's pattern
+    p = SpaceFrameProblem(
+        np.array([[0.0, 0.0, 0.0], [L, 0.0, 0.0]]),
+        np.array([[0, 1]]), E, A, IY, IZ, J, RHO, loads, fixed,
+        shear_modulus=G)
+    k, m = space_frame_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+
+    doc = {
+        "element_type": "frame3d",
+        "nodes": [[0.0, 0.0, 0.0], [L, 0.0, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "shear_modulus": G, "area": A,
+                     "inertia_y": IY, "inertia_z": IZ, "torsion": J,
+                     "density": RHO},
+        "loads": loads.tolist(),
+        "fixed_dofs": fixed.tolist(),
+        "analysis": {"type": "spectrum", "sa": 2.5,
+                     "direction": [0.0, 0.0, 1.0], "n_modes": 3},
+    }
+    out = run_frame3d_document(doc)
+    assert out["success"] and out["element_type"] == "frame3d"
+    np.testing.assert_allclose(out["mass_fraction"], 1.0, rtol=1e-12)
+    np.testing.assert_allclose(out["max_displacement"],
+                               2.5 * mi / ki, rtol=1e-9)
+    # governing member stress: the guided-tip shear's axial component
+    # is zero, so |N|/A = 0 — pinned as the axial-only convention.
+    np.testing.assert_allclose(out["max_von_mises"], 0.0, atol=1e-12)
+
+    wn = np.sqrt(ki / mi)
+    alpha = 0.4 * wn
+    out_r = run_frame3d_document({**doc, "analysis": {
+        "type": "random",
+        "omegas": {"start": 1e-3 * wn, "stop": 8.0 * wn, "num": 6000},
+        "psd": 0.7, "damping": [alpha, 0.0],
+        "probe_dofs": [i]}})
+    assert out_r["success"] and out_r["analysis"] == "random"
+    exact = loads[i] ** 2 * np.pi * 0.7 / (2.0 * ki * alpha * mi)
+    np.testing.assert_allclose(np.asarray(out_r["rms"])[0] ** 2,
+                               exact, rtol=2e-2)
+
+    # Reduction on a real multi-DOF tower: CB with the tip master +
+    # fixed-interface modes nails f1.
+    n = 4
+    doc_g = {
+        "element_type": "frame3d",
+        "nodes": [[L * kk / n, 0.0, 0.0] for kk in range(n + 1)],
+        "elements": [[kk, kk + 1] for kk in range(n)],
+        "material": {"young": E, "shear_modulus": G, "area": A,
+                     "inertia_y": IY, "inertia_z": IZ, "torsion": J,
+                     "density": RHO},
+        "fixed_nodes": [0],
+        "analysis": {"type": "reduction", "method": "craig_bampton",
+                     "master_nodes": [n], "n_modes": 4},
+    }
+    out_g = run_frame3d_document(doc_g)
+    assert out_g["success"] and out_g["analysis"] == "reduction"
+    assert out_g["n_reduced_dofs"] == 10          # 6 masters + 4 modes
+    assert out_g["frequency_rel_errors"][0] < 1e-3
