@@ -54,7 +54,12 @@ contract, so the CLI and servers PEEK at that key and route here
 
 Outputs mirror the 2D frame family's result shapes; the static block
 adds torque and both end-moment planes (the actions only this family
-carries).
+carries).  Above DENSE_DOF_LIMIT, static and modal ride the banded
+DIA device tier (models/frame3d.solve_space_frame_static_banded /
+space_frame_modal_banded — 12×12 T'KT blocks on the MXU, Jacobi-PCG,
+HRZ-lumped subspace modal) with probe + summary payloads instead of
+full fields; both carry an optional `mesh=` tp-sharded multi-chip
+path proven in the dryrun (__graft_entry__.py).
 """
 
 from __future__ import annotations
@@ -152,7 +157,51 @@ def run_frame3d_analysis(problem: SpaceFrameProblem,
         # Route-injected type (the Node /api/fem convention) means
         # "statics".
         kind = "static"
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    large = problem.ndof > DENSE_DOF_LIMIT
     if kind == "static":
+        if large:
+            # Device tier: banded DIA + PCG (models/frame3d.py) — the
+            # dense O(n³) solve is intractable and so is a full-field
+            # JSON payload; probes + member-force summaries instead
+            # (the frame-family convention).
+            from ..models.frame3d import solve_space_frame_static_banded
+
+            res, iterations, residual = \
+                solve_space_frame_static_banded(
+                    problem,
+                    tol=float(analysis.get("tolerance", 1e-7)),
+                    max_iter=int(analysis.get("max_iterations",
+                                              20000)),
+                    use_pallas=bool(analysis.get("use_pallas", False)),
+                    precond=analysis.get("precond", "auto"))
+            u = res.displacements
+            i_max = int(np.argmax(np.abs(u)))
+            out = {
+                "success": True,
+                "analysis": "static",
+                "element_type": "frame3d",
+                "tier": "banded",
+                "iterations": int(iterations),
+                "relative_residual": float(residual),
+                "max_abs_displacement": float(np.abs(u[i_max])),
+                "max_abs_displacement_dof": i_max,
+                "max_abs_axial": float(np.abs(res.axial).max()),
+                "max_abs_torque": float(np.abs(res.torque).max()),
+                "max_abs_moment": float(
+                    max(np.abs(res.moments_y).max(),
+                        np.abs(res.moments_z).max())),
+            }
+            probe = analysis.get("probe_dofs")
+            if probe is None \
+                    and analysis.get("probe_nodes") is not None:
+                probe = _probe_dofs6(analysis, problem)
+            if probe is not None:
+                probe = np.asarray(probe, dtype=int).reshape(-1)
+                out["probe_dofs"] = probe.tolist()
+                out["displacements"] = u[probe].tolist()
+            return out
         res = solve_space_frame_static(problem)
         u = res.displacements
         i_max = int(np.argmax(np.abs(u)))
@@ -171,6 +220,30 @@ def run_frame3d_analysis(problem: SpaceFrameProblem,
             "max_displacement_dof": i_max,
         }
     if kind == "modal":
+        if large:
+            from ..models.frame3d import space_frame_modal_banded
+
+            res = space_frame_modal_banded(
+                problem, n_modes=int(analysis.get("n_modes", 4)),
+                n_iter=int(analysis.get("n_iter", 30)),
+                cg_tol=float(analysis.get("cg_tolerance", 1e-7)))
+            out = {
+                "success": True,
+                "analysis": "modal",
+                "element_type": "frame3d",
+                "tier": "banded",
+                "mass": "lumped",
+                "frequencies_hz": res.frequencies_hz.tolist(),
+                "omegas": res.omegas.tolist(),
+                "eigenvalues": res.eigenvalues.tolist(),
+            }
+            pn = analysis.get("probe_nodes")
+            if pn is not None:
+                dofs = _probe_dofs6(analysis, problem)
+                out["probe_nodes"] = np.asarray(
+                    pn, dtype=int).reshape(-1).tolist()
+                out["mode_shapes"] = res.mode_shapes[:, dofs].tolist()
+            return out
         n_modes = int(analysis.get("n_modes", 6))
         res = space_frame_modal(problem, n_modes=n_modes)
         return {

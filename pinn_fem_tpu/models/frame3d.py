@@ -76,6 +76,9 @@ __all__ = [
     "SpaceFrameBucklingResult",
     "space_frame_buckling",
     "space_frame_end_forces",
+    "solve_space_frame_static_banded",
+    "space_frame_modal_banded",
+    "space_frame_lumped_mass_diag",
 ]
 
 _VERT_TOL = 1e-8
@@ -578,3 +581,268 @@ def space_frame_end_forces(problem: SpaceFrameProblem,
     u_loc = np.einsum("mij,mj->mi", t,
                       np.asarray(u, dtype=float)[problem.dof_map()])
     return np.einsum("mij,mj->mi", kl, u_loc)
+
+
+# --------------------------------------------------------------------
+# Banded DEVICE tier: DIA + PCG statics and subspace-iteration modal,
+# so a 40k-DOF lattice tower solves on chip — solve_frame_static_banded
+# (models/frame.py) with 12x12 blocks; the DIA pipeline (ops/dia.py)
+# is layout-generic, so everything below is block assembly.
+
+
+def _frame3d_blocks_jnp(length, r, young, area, inertia_y, inertia_z,
+                        torsion_gj):
+    """(m, 12, 12) traced GLOBAL stiffness blocks from traced
+    length/properties and the (m, 3, 3) direction-cosine array.
+    precision="highest" on the T'KT contraction: TPU einsum defaults
+    to bf16 on the MXU and the rounding asymmetry breaks PCG
+    (models/plane.py:_einsum, CLAUDE.md)."""
+    import jax.numpy as jnp
+
+    m = length.shape[0]
+    dtype = length.dtype
+    z = jnp.zeros_like(length)
+    ea = young * area / length
+    gj = torsion_gj / length
+
+    def herm(ei, sign):
+        b12 = 12.0 * ei / length ** 3
+        b6 = sign * 6.0 * ei / length ** 2
+        b4 = 4.0 * ei / length
+        b2 = 2.0 * ei / length
+        return b12, b6, b4, b2
+
+    kl = jnp.zeros((m, 12, 12), dtype)
+    kl = kl.at[:, 0, 0].set(ea)
+    kl = kl.at[:, 6, 6].set(ea)
+    kl = kl.at[:, 0, 6].set(-ea)
+    kl = kl.at[:, 6, 0].set(-ea)
+    kl = kl.at[:, 3, 3].set(gj)
+    kl = kl.at[:, 9, 9].set(gj)
+    kl = kl.at[:, 3, 9].set(-gj)
+    kl = kl.at[:, 9, 3].set(-gj)
+    for rows, ei, sign in (((1, 5, 7, 11), young * inertia_z, 1.0),
+                           ((2, 4, 8, 10), young * inertia_y, -1.0)):
+        b12, b6, b4, b2 = herm(ei, sign)
+        blk = jnp.stack([
+            jnp.stack([b12, b6, -b12, b6], axis=-1),
+            jnp.stack([b6, b4, -b6, b2], axis=-1),
+            jnp.stack([-b12, -b6, b12, -b6], axis=-1),
+            jnp.stack([b6, b2, -b6, b4], axis=-1)], axis=-2)
+        for a_, ia in enumerate(rows):
+            for b_, ib in enumerate(rows):
+                kl = kl.at[:, ia, ib].add(blk[:, a_, b_])
+
+    t = jnp.zeros((m, 12, 12), dtype)
+    for off in (0, 3, 6, 9):
+        t = t.at[:, off:off + 3, off:off + 3].set(r)
+    kg_blocks = jnp.einsum("mji,mjk,mkl->mil", t, kl, t,
+                           precision="highest")
+    return kl, t, kg_blocks
+
+
+def _frame3d_dia_layout(problem: SpaceFrameProblem):
+    """DIA layout cached on the instance (connectivity-only, fixed at
+    construction — the plane-family rule)."""
+    import jax.numpy as jnp
+
+    from ..ops.dia import dia_layout
+
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        layout = dia_layout(problem.dof_map(), problem.ndof)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+    return layout
+
+
+_FRAME3D_BANDED_CACHE: dict = {}
+
+
+def _frame3d_banded_core(layout, precond: str, use_pallas: bool,
+                         max_iter: int, nelm: int):
+    """Jitted banded space-frame statics, cached per structural
+    signature (never per problem object — the closure recompile trap,
+    CLAUDE.md)."""
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.bandwidth, nelm, precond, use_pallas, max_iter)
+    core = _FRAME3D_BANDED_CACHE.get(key)
+    if core is not None:
+        return core
+
+    import jax
+
+    from ..ops.dia import assemble_dia_blocks, dia_cg_solve, dia_matvec
+    from ..solvers.banded_inverse import DiaLayoutView
+
+    @jax.jit
+    def core(length, r, young, area, iy, iz, gj, entry_slot, f, mask,
+             tol):
+        _, _, kg_blocks = _frame3d_blocks_jnp(length, r, young, area,
+                                              iy, iz, gj)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, entry_slot), kg_blocks)
+        x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
+                                     max_iter=max_iter,
+                                     use_pallas=use_pallas,
+                                     precond=precond, components=6)
+        reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+        return x, reac, iters, rel
+
+    _FRAME3D_BANDED_CACHE[key] = core
+    return core
+
+
+def solve_space_frame_static_banded(problem: SpaceFrameProblem,
+                                    tol: float = 1e-7,
+                                    max_iter: int = 20000,
+                                    use_pallas: bool = False,
+                                    precond: str = "auto", dtype=None,
+                                    mesh=None):
+    """Large-mesh space-frame statics on the DEVICE tier.
+
+    Regular 3D lattices (towers, grids) are banded under nodal
+    numbering: 12 DOFs couple per node pair, so the stiffness has a
+    few dozen distinct diagonals and the whole solve rides the DIA
+    pipeline (ops/dia.py): batched (m, 12, 12) T'KT blocks contracted
+    on the MXU, one scatter into diagonal storage, Jacobi-PCG (the
+    mixed axial/flexural/torsional DOF scales make Jacobi scaling
+    load-bearing — the 2D frame family's measured tradeoff).  `mesh`
+    row-block-shards the DOF axis over "tp"
+    (parallel/dia_sharded.dia_cg_solve_sharded).
+
+    Returns (SpaceFrameStaticResult, iterations, relative_residual);
+    member end-force recovery runs on the host from the fetched field
+    (ONE device_get).  Pinned 1:1 against solve_space_frame_static in
+    tests/test_frame3d.py."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    if precond == "auto":
+        precond = "jacobi"
+    layout = _frame3d_dia_layout(problem)
+    length_np, r_np = _geometry3d(problem)
+    f_np = problem.loads
+    gj_np = problem.shear_modulus * problem.torsion_j
+    args = (jnp.asarray(length_np, dtype), jnp.asarray(r_np, dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.area, dtype),
+            jnp.asarray(problem.inertia_y, dtype),
+            jnp.asarray(problem.inertia_z, dtype),
+            jnp.asarray(gj_np, dtype))
+    if mesh is not None:
+        from ..ops.dia import assemble_dia_blocks, dia_matvec
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+        from ..solvers.banded_inverse import DiaLayoutView
+
+        _, _, kg_blocks = _frame3d_blocks_jnp(*args)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, problem._dia_entry_slot_dev),
+            kg_blocks)
+        f_dev = jnp.asarray(f_np, dtype)
+        mask_dev = jnp.asarray(problem.free_mask(), dtype)
+        x, iters, rel = dia_cg_solve_sharded(
+            layout, diags, f_dev, mask_dev, mesh, tol=float(tol),
+            max_iter=int(max_iter))
+        reac = (dia_matvec(layout, diags, x) - f_dev) \
+            * (1.0 - mask_dev)
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    else:
+        core = _frame3d_banded_core(layout, precond, use_pallas,
+                                    int(max_iter), problem.nelm)
+        x, reac, iters, rel = core(
+            *args, problem._dia_entry_slot_dev,
+            jnp.asarray(f_np, dtype),
+            jnp.asarray(problem.free_mask(), dtype),
+            jnp.asarray(tol, dtype))
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    u = np.asarray(u, dtype=float)
+
+    length, r = _geometry3d(problem)
+    t = _transformation3d(r)
+    kl = _k_local3d(problem, length)
+    u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc)
+    res = SpaceFrameStaticResult(
+        displacements=u,
+        member_end_forces=f_loc,
+        axial=-f_loc[:, 0],
+        torque=-f_loc[:, 3],
+        moments_y=f_loc[:, [4, 10]],
+        moments_z=f_loc[:, [5, 11]],
+        reactions=np.asarray(reac, dtype=float))
+    return res, int(iters), float(rel)
+
+
+def space_frame_lumped_mass_diag(
+        problem: SpaceFrameProblem) -> np.ndarray:
+    """(6n,) HRZ-lumped mass diagonal: ρAL/2 per end translation; the
+    rotational block is ISOTROPIZED to its trace mean
+    (ρ I_p L/2 + 2·ρAL³/78)/3 per rotation DOF — the local rotary
+    diagonal (torsion ρI_pL/2, bending ρAL³/78 twice) is anisotropic,
+    and only an isotropic per-node block keeps the GLOBAL diagonal
+    rotation-invariant (R'·cI·R = cI).  Trace-preserving, positive on
+    every DOF (the banded modal M-inner product needs that); point
+    masses add translationally."""
+    length, _ = _geometry3d(problem)
+    rho = problem.density
+    rho_al = rho * problem.area * length
+    tr = 0.5 * rho_al
+    rot = (0.5 * rho * problem.polar_inertia * length
+           + 2.0 * rho_al * length ** 2 / 78.0) / 3.0
+    diag = np.zeros(problem.ndof)
+    dm = problem.dof_map()
+    fe = np.stack([tr, tr, tr, rot, rot, rot,
+                   tr, tr, tr, rot, rot, rot], axis=-1)
+    np.add.at(diag, dm, fe)
+    if problem.point_masses is not None:
+        for d in range(3):
+            diag[d::6] += problem.point_masses
+    return diag
+
+
+def space_frame_modal_banded(problem: SpaceFrameProblem,
+                             n_modes: int = 4, n_iter: int = 30,
+                             cg_tol: float = 1e-7, seed: int = 0,
+                             dtype=None, mesh=None
+                             ) -> SpaceFrameModalResult:
+    """Large-mesh space-frame modal analysis: inverse subspace
+    iteration on the banded operator with the HRZ-lumped mass — the
+    truss family's _subspace_iteration (solvers/modal.py) riding the
+    frame3d DIA diagonals unchanged (it is layout-generic).
+    Lumped-mass frequencies differ from the consistent host tier's;
+    tests pin banded-vs-dense on the SAME lumped discrete problem."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.dia import assemble_dia_blocks
+    from ..solvers.banded_inverse import DiaLayoutView
+    from ..solvers.modal import _subspace_iteration
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    layout = _frame3d_dia_layout(problem)
+    length_np, r_np = _geometry3d(problem)
+    gj_np = problem.shear_modulus * problem.torsion_j
+    _, _, kg_blocks = _frame3d_blocks_jnp(
+        jnp.asarray(length_np, dtype), jnp.asarray(r_np, dtype),
+        jnp.asarray(problem.young, dtype),
+        jnp.asarray(problem.area, dtype),
+        jnp.asarray(problem.inertia_y, dtype),
+        jnp.asarray(problem.inertia_z, dtype),
+        jnp.asarray(gj_np, dtype))
+    diags = assemble_dia_blocks(
+        DiaLayoutView(layout, problem._dia_entry_slot_dev), kg_blocks)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    m_diag = jnp.asarray(space_frame_lumped_mass_diag(problem), dtype)
+    m_diag = m_diag * mask + (1.0 - mask)
+    w, y, change = _subspace_iteration(
+        layout, diags, m_diag, mask, int(n_modes), int(n_iter),
+        cg_tol, int(seed), mesh=mesh)
+    lam, shapes = jax.device_get((w, (y * mask[:, None]).T))
+    lam = np.maximum(np.asarray(lam, dtype=float), 0.0)
+    om = np.sqrt(lam)
+    return SpaceFrameModalResult(
+        frequencies_hz=om / (2.0 * np.pi), omegas=om,
+        eigenvalues=lam,
+        mode_shapes=np.asarray(shapes, dtype=float))

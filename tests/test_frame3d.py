@@ -468,3 +468,90 @@ def test_spectrum_sdof_anchor_and_json_kinds():
     assert out_g["success"] and out_g["analysis"] == "reduction"
     assert out_g["n_reduced_dofs"] == 10          # 6 masters + 4 modes
     assert out_g["frequency_rel_errors"][0] < 1e-3
+
+
+def test_banded_static_and_modal_match_dense():
+    """Banded DIA device tier vs the dense host authority on a
+    50-element vertical tower (the vertical-member orientation
+    convention in the traced builder too): tip lateral load + tip
+    torque, displacements to f32-PCG accuracy; banded modal (HRZ
+    lumped) vs the dense eigh of the SAME lumped discrete pencil."""
+    import scipy.linalg
+
+    from pinn_fem_tpu.models.frame3d import (
+        solve_space_frame_static_banded, space_frame_lumped_mass_diag,
+        space_frame_modal_banded)
+
+    n = 50
+    h = 20.0
+    nodes = np.stack([np.zeros(n + 1), np.zeros(n + 1),
+                      np.linspace(0.0, h, n + 1)], axis=1)
+    el = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(6 * (n + 1))
+    loads[6 * n + 0] = 1.0          # lateral tip load
+    loads[6 * n + 5] = 0.3          # tip moment about z (= torsion)
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO, loads,
+                          np.arange(6), shear_modulus=G)
+    dense = solve_space_frame_static(p)
+    res, iters, rel = solve_space_frame_static_banded(p, tol=1e-8)
+    assert iters > 0 and rel < 1e-6
+    scale = np.max(np.abs(dense.displacements))
+    # f32 accuracy floor is eps32·κ(K) (CLAUDE.md): the 50-element
+    # bending tower's condition number puts the banded-vs-dense gap
+    # at a few 1e-3 relative (measured 3.6e-3) even at rel=1e-8
+    # recurrence residual.
+    np.testing.assert_allclose(res.displacements,
+                               dense.displacements,
+                               atol=6e-3 * scale)
+    np.testing.assert_allclose(res.torque, dense.torque, atol=1e-3)
+
+    # Banded modal vs dense eigh on the SAME lumped pencil.
+    k, _ = space_frame_matrices(p, with_mass=False)
+    m_diag = space_frame_lumped_mass_diag(p)
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    lam_ref = scipy.linalg.eigh(
+        k[np.ix_(free, free)], np.diag(m_diag[free]),
+        eigvals_only=True)[:3]
+    mo = space_frame_modal_banded(p, n_modes=3, n_iter=40)
+    # The banded eigen-pencil accuracy floor is eps32·κ(K_ff)
+    # (solvers/buckling.py, CLAUDE.md): the tower's λ₁/λ_max ≈ 2e-7
+    # puts the f32 fundamental at ~2% (measured 1.8%); the higher
+    # modes sit well inside.
+    np.testing.assert_allclose(mo.eigenvalues, lam_ref, rtol=3e-2)
+    np.testing.assert_allclose(mo.eigenvalues[1:], lam_ref[1:],
+                               rtol=3e-3)
+
+
+def test_banded_json_tier():
+    """Above DENSE_DOF_LIMIT the frame3d JSON static/modal dispatch
+    rides the banded device tier with probe + summary payloads."""
+    from pinn_fem_tpu.io.frame3d_io import run_frame3d_analysis
+    from pinn_fem_tpu.solvers import newton
+
+    n = 12
+    nodes = np.stack([np.zeros(n + 1), np.zeros(n + 1),
+                      np.linspace(0.0, 6.0, n + 1)], axis=1)
+    el = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    loads = np.zeros(6 * (n + 1))
+    loads[6 * n + 1] = -1.0
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO, loads,
+                          np.arange(6), shear_modulus=G)
+    dense = solve_space_frame_static(p)
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        out = run_frame3d_analysis(p, {"type": "static",
+                                       "tolerance": 1e-8,
+                                       "probe_nodes": [n]})
+        outm = run_frame3d_analysis(p, {"type": "modal", "n_modes": 2,
+                                        "probe_nodes": [n]})
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    assert out["tier"] == "banded" and out["success"]
+    np.testing.assert_allclose(out["displacements"][1],
+                               dense.displacements[6 * n + 1],
+                               rtol=1e-3)
+    assert "member_end_forces" not in out        # summary payload
+    assert outm["tier"] == "banded" and outm["mass"] == "lumped"
+    assert len(outm["frequencies_hz"]) == 2
+    assert np.asarray(outm["mode_shapes"]).shape == (2, 6)
