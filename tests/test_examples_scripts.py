@@ -46,6 +46,7 @@ SCRIPTS.append("fatigue_assessment")
 SCRIPTS.append("reliability_assessment")
 SCRIPTS.append("frame_analysis")
 SCRIPTS.append("solid_analysis")
+SCRIPTS.append("space_frame_analysis")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
