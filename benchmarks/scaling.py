@@ -471,6 +471,103 @@ def frame_section(backend):
          f1_hz=round(float(f[0]), 4), backend=backend)
 
 
+def frame3d_section(backend, stories=50, nx=4, ny=32):
+    """5b) Large-mesh SPACE-FRAME statics + modal through the banded
+    device tier (models/frame3d.solve_space_frame_static_banded /
+    space_frame_modal_banded): a 50-story 3D building skeleton
+    (4 x 32 column grid, beams both plan directions, ~40k DOFs)
+    under per-story face wind.
+
+    Node numbering runs STORY-fastest so the stiffness keeps a few
+    dozen DISTINCT diagonals (DIA cost scales with diagonal count,
+    not offset magnitude) and the CG conditioning is set by the story
+    count — the same regime as the 2D frame grid row.  Gates: global
+    equilibrium (base shear == applied wind, which a wrong
+    matvec/scatter cannot fake) and banded-vs-dense agreement on a
+    coarse instance of the same generator.  Runnable alone:
+    python benchmarks/scaling.py frame3d"""
+    from pinn_fem_tpu.models.frame3d import (
+        SpaceFrameProblem,
+        solve_space_frame_static,
+        solve_space_frame_static_banded,
+        space_frame_modal_banded,
+    )
+
+    def grid3d(ns, gx, gy, h=3.0, w=5.0):
+        nzn = ns + 1
+
+        def nid(i, j, k):              # i = story (fast axis)
+            return i + nzn * (j + gx * k)
+
+        nodes = np.zeros((nzn * gx * gy, 3))
+        for k in range(gy):
+            for j in range(gx):
+                for i in range(nzn):
+                    nodes[nid(i, j, k)] = (j * w, k * w, i * h)
+        elems = []
+        for k in range(gy):
+            for j in range(gx):
+                for i in range(ns):    # columns
+                    elems.append([nid(i, j, k), nid(i + 1, j, k)])
+        for k in range(gy):
+            for j in range(gx - 1):    # x-beams per story
+                for i in range(1, nzn):
+                    elems.append([nid(i, j, k), nid(i, j + 1, k)])
+        for k in range(gy - 1):        # y-beams per story
+            for j in range(gx):
+                for i in range(1, nzn):
+                    elems.append([nid(i, j, k), nid(i, j, k + 1)])
+        loads = np.zeros(6 * len(nodes))
+        for j in range(gx):            # face wind (y) on face k=0
+            for i in range(1, nzn):
+                loads[6 * nid(i, j, 0) + 1] = 500.0
+        base = np.array([nid(0, j, k) for k in range(gy)
+                         for j in range(gx)])
+        fixed = (6 * base[:, None] + np.arange(6)[None, :]).reshape(-1)
+        return SpaceFrameProblem(
+            nodes=nodes, elements=np.asarray(elems), young=200e9,
+            area=0.01, inertia_y=1e-4, inertia_z=1e-4, torsion_j=2e-4,
+            density=7850.0, loads=loads, fixed_dofs=fixed,
+            shear_modulus=80e9)
+
+    # Coarse correctness gate: banded == dense on the same generator.
+    pc = grid3d(6, 2, 3)
+    dense = solve_space_frame_static(pc)
+    bc, _, _ = solve_space_frame_static_banded(pc, tol=1e-8)
+    scale = np.abs(dense.displacements).max()
+    gate = float(np.abs(bc.displacements - dense.displacements).max()
+                 / scale)
+    assert gate < 2e-3, gate
+
+    p = grid3d(stories, nx, ny)        # 39,168 DOFs at 50 x 4 x 32
+    t0 = time.perf_counter()
+    res, iters, rel = solve_space_frame_static_banded(p, tol=1e-7)
+    t_first = time.perf_counter() - t0
+    shear = -float(res.reactions[1::6].sum())     # wind acts in +y
+    applied = float(p.loads[1::6].sum())
+    eq_err = abs(shear - applied) / applied
+    assert eq_err < 1e-2 and rel < 1e-6, (eq_err, rel)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        solve_space_frame_static_banded(p, tol=1e-7)
+        ts.append(time.perf_counter() - t0)
+    emit("frame3d_static_banded", float(np.median(ts)), "s",
+         dofs=p.ndof, elements=p.nelm, iterations=int(iters),
+         rel_residual=float(rel), equilibrium_err=round(eq_err, 8),
+         coarse_vs_dense=round(gate, 6),
+         first_call_s=round(t_first, 1), backend=backend)
+
+    t0 = time.perf_counter()
+    mb = space_frame_modal_banded(p, n_modes=4, n_iter=20,
+                                  cg_tol=1e-7)
+    t_modal = time.perf_counter() - t0
+    f = mb.frequencies_hz
+    assert np.all(f > 0) and np.all(np.diff(f) >= 0), f
+    emit("frame3d_modal_banded", t_modal, "s", dofs=p.ndof, n_modes=4,
+         f1_hz=round(float(f[0]), 6), backend=backend)
+
+
 def solid_section(backend):
     """6) Large-mesh 3D SOLID statics through the banded device tier
     (models/solid.solve_solid_static_banded): a 16x16x96 hex8 column
@@ -581,6 +678,8 @@ if __name__ == "__main__":
         plane_section(jax.default_backend())
     elif len(sys.argv) > 1 and sys.argv[1] == "frame":
         frame_section(jax.default_backend())
+    elif len(sys.argv) > 1 and sys.argv[1] == "frame3d":
+        frame3d_section(jax.default_backend())
     elif len(sys.argv) > 1 and sys.argv[1] == "solid":
         solid_section(jax.default_backend())
     elif len(sys.argv) > 1 and sys.argv[1] == "plastic":

@@ -650,7 +650,12 @@ def _frame3d_dia_layout(problem: SpaceFrameProblem):
 
     layout = getattr(problem, "_dia_layout_cache", None)
     if layout is None:
-        layout = dia_layout(problem.dof_map(), problem.ndof)
+        # A 3D space grid has up to 7 node-neighbour classes (self,
+        # ±story, ±two plan directions) × 11 block diagonals each —
+        # more than the 2D default budget of 64 (the solid family's
+        # rationale, models/solid.py).
+        layout = dia_layout(problem.dof_map(), problem.ndof,
+                            max_diags=160)
         problem._dia_layout_cache = layout
         problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
     return layout
