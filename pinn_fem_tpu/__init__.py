@@ -63,6 +63,14 @@ from .models.frame3d import (  # noqa: E402
     space_frame_matrices,
     space_frame_modal,
 )
+from .models.shell import (  # noqa: E402
+    ShellProblem,
+    cylinder_panel_mesh,
+    hemisphere_mesh,
+    shell_matrices,
+    shell_modal,
+    solve_shell_static,
+)
 from .models.plane import (  # noqa: E402
     PlaneProblem,
     annulus_mesh,
@@ -296,6 +304,7 @@ __all__ = [
     "ProblemData",
     "FrameProblem",
     "SpaceFrameProblem",
+    "ShellProblem",
     "PlaneProblem",
     "SolidProblem",
     "PlateProblem",
@@ -359,6 +368,11 @@ __all__ = [
     "solve_space_frame_transient",
     "space_frame_harmonic",
     "space_frame_matrices",
+    "solve_shell_static",
+    "shell_modal",
+    "shell_matrices",
+    "cylinder_panel_mesh",
+    "hemisphere_mesh",
     "frame_static_response",
     "frame_harmonic",
     "frame_reliability",

@@ -1,0 +1,447 @@
+"""Flat-facet shell elements: general curved thin-walled structures
+(roofs, cylinders, pressure vessels, box girders) join the framework.
+
+A shell carries load by MEMBRANE action and BENDING simultaneously —
+the structural regime none of the existing families reach: the
+membrane family (models/plane.py) is flat and in-plane only, the
+plate family (models/plate.py) is flat and transverse only, and the
+curved-geometry coupling between the two (a cylinder carrying
+pressure as hoop tension, a roof shedding load to its edge beams) is
+exactly what makes shells the canonical hard case of structural FEM.
+
+Element: the classical FLAT-FACET quadrilateral — the Q4 plane-stress
+membrane (models/plane._k_blocks, 2×2 Gauss) superposed with the
+MITC4 Mindlin bending element (models/plate._k_blocks_plate,
+Bathe-Dvorkin assumed shear) in a per-element local frame, plus a
+rank-correcting drilling stiffness.  Curvature is represented by the
+faceting itself (geometry converges O(h²)); both constituent
+elements are the framework's own verified kernels, REUSED at their
+call sites with local 2D coordinates — no second implementation to
+drift (the xp-parameterized closed-form doctrine).
+
+Local frame (per element, warp-tolerant): normal ẑ from the cross
+product of the DIAGONALS d₁ = x₃−x₁, d₂ = x₄−x₂ (symmetric in the
+corners, standard for warped quads), ê₁ the 1→2 edge projected onto
+the plane, ê₂ = ẑ × ê₁; corners project onto the plane through the
+centroid (the facet approximation — out-of-plane warp is dropped at
+O(warp²), tests pin flat and gently-warped patches).
+
+DOF mapping: 6 DOFs per node (u, v, w, θx, θy, θz — GLOBAL axes).
+In the local frame the membrane block takes (u, v), the bending
+block takes (w, βx, βy) with the plate module's normal-rotation
+convention u = −z·βx ⇒ βx = −θy, βy = +θx (the sign conjugation is
+applied per node when scattering the 12×12 plate block into the
+24×24 facet matrix).
+
+Drilling DOF: the local θz has no stiffness in either constituent —
+the classical rank deficiency of flat-facet shells.  Stabilization is
+the standard fictitious drilling stiffness
+
+    K_drill = α·G·t·A_e · (I₄ − ¼·𝟙𝟙ᵀ + ε·I₄)
+
+on the four local θz DOFs: the (I − ¼𝟙𝟙ᵀ) part penalizes only
+DIFFERENCES of drilling rotations (a rigid rotation about the facet
+normal gives EQUAL θz at all four nodes and is annihilated exactly),
+and the tiny ε·I₄ removes the one remaining global null mode of
+COPLANAR meshes (uniform θz everywhere costs zero energy in every
+other term); the objectivity error it introduces is bounded by
+α·ε ~ 1e-9 of the membrane stiffness — invisible against bending
+energy, pinned by the flat-patch exactness tests.
+
+Verification anchors (tests/test_shell.py)
+------------------------------------------
+- FLAT EXACTNESS: on a flat mesh the shell REPRODUCES the plane
+  membrane and the MITC4 plate solutions to machine precision (same
+  kernels, θz ≡ 0 in both load cases — the drilling term never
+  engages), including plate modal frequencies;
+- objectivity: a rigidly rotated problem rotates the solution
+  exactly;
+- the SHELL OBSTACLE COURSE (MacNeal-Harder / Belytschko):
+  Scordelis-Lo barrel roof under self-weight (midside-edge
+  deflection 0.3024), pinched cylinder with end diaphragms
+  (1.8248e-5 under the load), hemispherical shell with 18° hole
+  (0.0940 radial at the loads) — faceted-geometry convergence to
+  the published targets under refinement.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .plane import _dmat as _plane_dmat
+from .plane import _k_blocks as _membrane_k
+from .plane import _m_blocks as _membrane_m
+from .plate import _k_blocks_plate, _m_blocks_plate
+
+__all__ = [
+    "ShellProblem",
+    "ShellStaticResult",
+    "ShellModalResult",
+    "shell_matrices",
+    "solve_shell_static",
+    "shell_modal",
+    "cylinder_panel_mesh",
+    "hemisphere_mesh",
+]
+
+_DRILL_ALPHA = 1e-3
+_DRILL_EPS = 1e-6
+
+
+@dataclass
+class ShellProblem:
+    """Flat-facet shell: nodes (n, 3) midsurface coordinates,
+    elements (m, 4) quads (CCW seen from the +normal side), scalars
+    broadcast per element; loads (6n,) as [Fx, Fy, Fz, Mx, My, Mz]*n;
+    optional uniform NORMAL pressure per element (+ along the facet
+    normal) and global body force per unit area (self-weight)."""
+    nodes: np.ndarray
+    elements: np.ndarray
+    young: np.ndarray
+    poisson: np.ndarray
+    thickness: np.ndarray
+    density: np.ndarray
+    loads: np.ndarray              # (6n,)
+    fixed_dofs: np.ndarray
+    pressure: Optional[np.ndarray] = None      # (m,) normal q
+    body_force: Optional[np.ndarray] = None    # (3,) force / area
+    point_masses: Optional[np.ndarray] = None  # (n,) translational
+
+    def __post_init__(self):
+        self.nodes = np.asarray(self.nodes, dtype=float)
+        if self.nodes.ndim != 2 or self.nodes.shape[1] != 3:
+            raise ValueError("shell nodes must be (n, 3)")
+        self.elements = np.asarray(self.elements, dtype=int)
+        if self.elements.ndim != 2 or self.elements.shape[1] != 4:
+            raise ValueError("shell elements must be (m, 4) quads")
+        m = self.elements.shape[0]
+        for name in ("young", "poisson", "thickness", "density"):
+            setattr(self, name, np.broadcast_to(
+                np.asarray(getattr(self, name), dtype=float),
+                (m,)).copy())
+        if np.any(self.thickness <= 0.0) or np.any(self.young <= 0.0):
+            raise ValueError("young and thickness must be positive")
+        self.loads = np.asarray(self.loads, dtype=float).reshape(-1)
+        if self.loads.size != self.ndof:
+            raise ValueError(f"loads must have {self.ndof} entries "
+                             f"(6 per node), got {self.loads.size}")
+        self.fixed_dofs = np.asarray(self.fixed_dofs,
+                                     dtype=int).reshape(-1)
+        if self.pressure is not None:
+            self.pressure = np.broadcast_to(
+                np.asarray(self.pressure, dtype=float), (m,)).copy()
+        if self.body_force is not None:
+            self.body_force = np.asarray(self.body_force,
+                                         dtype=float).reshape(3)
+        if self.point_masses is not None:
+            self.point_masses = np.broadcast_to(
+                np.asarray(self.point_masses, dtype=float),
+                (self.nnode,)).copy()
+
+    @property
+    def nnode(self) -> int:
+        return self.nodes.shape[0]
+
+    @property
+    def nelm(self) -> int:
+        return self.elements.shape[0]
+
+    @property
+    def ndof(self) -> int:
+        return 6 * self.nnode
+
+    def free_mask(self) -> np.ndarray:
+        m = np.ones(self.ndof)
+        m[self.fixed_dofs] = 0.0
+        return m
+
+    def dof_map(self) -> np.ndarray:
+        """(m, 24) global DOF indices per element."""
+        e = self.elements
+        return np.concatenate(
+            [6 * e[:, a:a + 1] + np.arange(6)[None, :]
+             for a in range(4)], axis=1)
+
+
+def _facet_frames(problem: ShellProblem):
+    """(r (m, 3, 3) local triads (rows = ê₁, ê₂, ẑ),
+    coords2d (m, 4, 2) in-plane corner coordinates, warp (m,) the
+    max out-of-plane corner offset / diagonal length)."""
+    x = problem.nodes[problem.elements]            # (m, 4, 3)
+    d1 = x[:, 2] - x[:, 0]
+    d2 = x[:, 3] - x[:, 1]
+    zh = np.cross(d1, d2)
+    nz = np.linalg.norm(zh, axis=1)
+    if np.any(nz <= 0.0):
+        raise ValueError("degenerate shell facet (zero normal)")
+    zh = zh / nz[:, None]
+    e12 = x[:, 1] - x[:, 0]
+    e1 = e12 - (np.einsum("mi,mi->m", e12, zh))[:, None] * zh
+    n1 = np.linalg.norm(e1, axis=1)
+    if np.any(n1 <= 0.0):
+        raise ValueError("degenerate shell facet (zero edge)")
+    e1 = e1 / n1[:, None]
+    e2 = np.cross(zh, e1)
+    r = np.stack([e1, e2, zh], axis=1)
+    c = x.mean(axis=1)
+    rel = x - c[:, None, :]
+    coords2d = np.stack([np.einsum("mai,mi->ma", rel, e1),
+                         np.einsum("mai,mi->ma", rel, e2)], axis=-1)
+    off = np.abs(np.einsum("mai,mi->ma", rel, zh)).max(axis=1)
+    warp = off / np.maximum(np.linalg.norm(d1, axis=1), 1e-300)
+    return r, coords2d, warp
+
+
+# Per-node map from local (w, θx, θy) to the plate module's
+# (w, βx, βy):  βx = −θy, βy = +θx  (module docstring).
+_BETA_OF_THETA = np.array([[1.0, 0.0, 0.0],
+                           [0.0, 0.0, -1.0],
+                           [0.0, 1.0, 0.0]])
+
+
+def _facet_blocks(problem: ShellProblem):
+    """(m, 24, 24) LOCAL stiffness and mass blocks in the
+    (u, v, w, θx, θy, θz)-per-node ordering."""
+    r, c2, _ = _facet_frames(problem)
+    m = problem.nelm
+    dmat = _plane_dmat(problem.young, problem.poisson, False)
+    km = _membrane_k(c2, dmat, problem.thickness, 4)      # (m, 8, 8)
+    kp = _k_blocks_plate(c2, problem.young, problem.poisson,
+                         problem.thickness)               # (m, 12, 12)
+    mm = _membrane_m(c2, problem.density, problem.thickness, 4)
+    mp = _m_blocks_plate(c2, problem.density, problem.thickness)
+
+    # Conjugate the plate blocks from (w, βx, βy) to (w, θx, θy).
+    q = np.zeros((12, 12))
+    for a in range(4):
+        q[3 * a:3 * a + 3, 3 * a:3 * a + 3] = _BETA_OF_THETA
+    kp = np.einsum("ij,mjk,kl->mil", q.T, kp, q)
+    mp = np.einsum("ij,mjk,kl->mil", q.T, mp, q)
+
+    k = np.zeros((m, 24, 24))
+    mass = np.zeros((m, 24, 24))
+    mem = np.array([6 * a + d for a in range(4) for d in (0, 1)])
+    bnd = np.array([6 * a + d for a in range(4) for d in (2, 3, 4)])
+    k[:, mem[:, None], mem[None, :]] += km
+    k[:, bnd[:, None], bnd[None, :]] += kp
+    mass[:, mem[:, None], mem[None, :]] += mm
+    mass[:, bnd[:, None], bnd[None, :]] += mp
+
+    # Drilling stabilization (module docstring): differences of the
+    # four local θz, plus ε·I to pin the coplanar-mesh null mode.
+    area = _facet_area(c2)
+    g = problem.young / (2.0 * (1.0 + problem.poisson))
+    kd = _DRILL_ALPHA * g * problem.thickness * area      # (m,)
+    pen = (np.eye(4) - 0.25) + _DRILL_EPS * np.eye(4)
+    dr = np.array([6 * a + 5 for a in range(4)])
+    k[:, dr[:, None], dr[None, :]] += kd[:, None, None] * pen
+    return k, mass, r, c2
+
+
+def _facet_area(c2: np.ndarray) -> np.ndarray:
+    """(m,) quad areas by the shoelace formula on the local coords."""
+    x, y = c2[..., 0], c2[..., 1]
+    return 0.5 * np.abs(
+        np.sum(x * np.roll(y, -1, axis=1)
+               - np.roll(x, -1, axis=1) * y, axis=1))
+
+
+def _transformation_shell(r: np.ndarray) -> np.ndarray:
+    """(m, 24, 24) local <- global: block-diag(R, R) per node."""
+    m = r.shape[0]
+    t = np.zeros((m, 24, 24))
+    for off in range(0, 24, 3):
+        t[:, off:off + 3, off:off + 3] = r
+    return t
+
+
+def _load_vectors_shell(problem: ShellProblem):
+    """(6n,) consistent nodal loads from normal pressure and global
+    body force per unit area (bilinear tributary via the 2×2 Gauss
+    shape products — the plate _pressure_vectors recipe, lifted to
+    the facet frame)."""
+    if problem.pressure is None and problem.body_force is None:
+        return np.zeros(problem.ndof)
+    from .plane import _CORNERS, _GP
+    from .plate import _shape_grads
+
+    r, c2, _ = _facet_frames(problem)
+    fe = np.zeros((problem.nelm, 4))           # scalar per corner
+    for xi, eta in _GP:
+        n, _, _, det = _shape_grads(c2, xi, eta)
+        fe += det[:, None] * n[None, :]
+    f = np.zeros(problem.ndof)
+    enodes = problem.elements
+    if problem.pressure is not None:
+        # q along the facet normal ẑ (global components).
+        fz = problem.pressure[:, None] * fe                # (m, 4)
+        for d in range(3):
+            np.add.at(f, 6 * enodes + d,
+                      fz * r[:, 2, d][:, None])
+    if problem.body_force is not None:
+        for d in range(3):
+            np.add.at(f, 6 * enodes + d,
+                      problem.body_force[d] * fe)
+    return f
+
+
+def shell_matrices(problem: ShellProblem, with_mass: bool = True):
+    """(K, M) dense global matrices — the one assembly every shell
+    solver shares (host float64)."""
+    k_loc, m_loc, r, _ = _facet_blocks(problem)
+    t = _transformation_shell(r)
+    kg = np.einsum("mji,mjk,mkl->mil", t, k_loc, t)
+    dm = problem.dof_map()
+    k = np.zeros((problem.ndof, problem.ndof))
+    np.add.at(k, (dm[:, :, None], dm[:, None, :]), kg)
+    mmat = None
+    if with_mass:
+        mg = np.einsum("mji,mjk,mkl->mil", t, m_loc, t)
+        mmat = np.zeros((problem.ndof, problem.ndof))
+        np.add.at(mmat, (dm[:, :, None], dm[:, None, :]), mg)
+        if problem.point_masses is not None:
+            pm = np.zeros(problem.ndof)
+            for d in range(3):
+                pm[d::6] += problem.point_masses
+            mmat = mmat + np.diag(pm)
+    return k, mmat
+
+
+@dataclass
+class ShellStaticResult:
+    displacements: np.ndarray      # (6n,)
+    # (m, 3) centroid membrane forces [Nxx, Nyy, Nxy] (force/length,
+    # LOCAL facet axes) and (m, 3) bending moments [Mxx, Myy, Mxy].
+    membrane_forces: np.ndarray
+    moments: np.ndarray
+    reactions: np.ndarray          # (6n,)
+
+
+def solve_shell_static(problem: ShellProblem) -> ShellStaticResult:
+    """Dense masked static solve + centroid membrane-force / moment
+    recovery in the local facet axes."""
+    k, _ = shell_matrices(problem, with_mass=False)
+    mask = problem.free_mask()
+    km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
+    f = problem.loads + _load_vectors_shell(problem)
+    u = np.linalg.solve(km, f * mask) * mask
+    reactions = (k @ u - f) * (1.0 - mask)
+    nf, mom = _recover_shell(problem, u)
+    return ShellStaticResult(displacements=u, membrane_forces=nf,
+                             moments=mom, reactions=reactions)
+
+
+def _recover_shell(problem: ShellProblem, u: np.ndarray):
+    """Centroid membrane forces and bending moments (local axes)."""
+    from .plane import _q4_point
+    from .plate import _bend_b, _shape_grads
+
+    r, c2, _ = _facet_frames(problem)
+    t = _transformation_shell(r)
+    u_loc = np.einsum("mij,mj->mi", t,
+                      np.asarray(u, dtype=float)[problem.dof_map()])
+    # Membrane strain at the centroid.
+    bmem, _ = _q4_point(c2, 0.0, 0.0)
+    mem = np.array([6 * a + d for a in range(4) for d in (0, 1)])
+    eps = np.einsum("mia,ma->mi", bmem, u_loc[:, mem])
+    dmat = _plane_dmat(problem.young, problem.poisson, False)
+    nf = problem.thickness[:, None] \
+        * np.einsum("mij,mj->mi", dmat, eps)
+    # Bending curvature at the centroid (plate (w, βx, βy) basis).
+    bnd = np.array([6 * a + d for a in range(4) for d in (2, 3, 4)])
+    q = np.zeros((12, 12))
+    for a in range(4):
+        q[3 * a:3 * a + 3, 3 * a:3 * a + 3] = _BETA_OF_THETA
+    u_plate = np.einsum("ij,mj->mi", q, u_loc[:, bnd])
+    _, dx, dy, _ = _shape_grads(c2, 0.0, 0.0)
+    bb = _bend_b(dx, dy)
+    kap = np.einsum("mia,ma->mi", bb, u_plate)
+    e, nu, tt = problem.young, problem.poisson, problem.thickness
+    d0 = e * tt ** 3 / (12.0 * (1.0 - nu * nu))
+    mom = np.stack([d0 * (kap[:, 0] + nu * kap[:, 1]),
+                    d0 * (kap[:, 1] + nu * kap[:, 0]),
+                    d0 * (1.0 - nu) / 2.0 * kap[:, 2]], axis=-1)
+    return nf, mom
+
+
+@dataclass
+class ShellModalResult:
+    frequencies_hz: np.ndarray
+    omegas: np.ndarray
+    eigenvalues: np.ndarray
+    mode_shapes: np.ndarray        # (n_modes, 6n)
+
+
+def shell_modal(problem: ShellProblem,
+                n_modes: int = 6) -> ShellModalResult:
+    """Generalized K φ = λ M φ on the free block (consistent mass,
+    rotary inertia from the plate block; drilling DOFs carry the
+    stabilization stiffness and ~zero mass, so their pencil modes sit
+    far above the physical band)."""
+    import scipy.linalg
+
+    k, m = shell_matrices(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    # Drilling θz DOFs have (numerically) zero consistent mass; keep
+    # the pencil definite by a tiny rotational mass proportional to
+    # the translational scale (ω² of these artifacts stays ~1/ε above
+    # the physical band — filtered by n_modes).
+    md = np.diag(m).copy()
+    floor = 1e-12 * md.max()
+    m = m + np.diag(np.where(md < floor, floor, 0.0))
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    n_modes = min(n_modes, lam.size)
+    lam = np.maximum(lam[:n_modes], 0.0)
+    shapes = np.zeros((n_modes, problem.ndof))
+    shapes[:, free] = vec[:, :n_modes].T
+    om = np.sqrt(lam)
+    return ShellModalResult(frequencies_hz=om / (2.0 * np.pi),
+                            omegas=om, eigenvalues=lam,
+                            mode_shapes=shapes)
+
+
+# --------------------------------------------------------------------
+# Curved-geometry mesh generators (the obstacle-course cases).
+
+
+def cylinder_panel_mesh(radius: float, length: float,
+                        half_angle_deg: float, nx: int, ny: int):
+    """(nodes (n, 3), elements (m, 4)) faceted cylindrical panel:
+    axis along y, arc ±half_angle about the CROWN (x = 0, z = R),
+    y ∈ [0, length].  Node numbering arc-fastest."""
+    phi = np.deg2rad(half_angle_deg)
+    arcs = np.linspace(-phi, phi, nx + 1)
+    ys = np.linspace(0.0, length, ny + 1)
+    nodes = np.array([[radius * np.sin(a), y, radius * np.cos(a)]
+                      for y in ys for a in arcs])
+    elems = []
+    na = nx + 1
+    for j in range(ny):
+        for i in range(nx):
+            n0 = j * na + i
+            elems.append([n0, n0 + 1, n0 + 1 + na, n0 + na])
+    return nodes, np.asarray(elems, dtype=int)
+
+
+def hemisphere_mesh(radius: float, hole_deg: float, n: int):
+    """(nodes, elements) one QUARTER of a hemisphere with a polar
+    hole: longitude 0..90°, colatitude hole_deg..90° (the standard
+    MacNeal-Harder hemispherical-shell-with-18°-hole geometry), n×n
+    quads, longitude-fastest numbering."""
+    lons = np.deg2rad(np.linspace(0.0, 90.0, n + 1))
+    lats = np.deg2rad(np.linspace(hole_deg, 90.0, n + 1))
+    nodes = np.array([[radius * np.sin(t) * np.cos(p),
+                       radius * np.sin(t) * np.sin(p),
+                       radius * np.cos(t)]
+                      for t in lats for p in lons])
+    elems = []
+    npl = n + 1
+    for j in range(n):
+        for i in range(n):
+            n0 = j * npl + i
+            elems.append([n0, n0 + 1, n0 + 1 + npl, n0 + npl])
+    return nodes, np.asarray(elems, dtype=int)
