@@ -40,8 +40,8 @@ router.post('/solve-batch', solveHandler('BATCH', solveBatch));
 function solveAnalysis(kind) {
   return (problemData) => {
     const analysis = { type: kind, ...(problemData.analysis || {}) };
-    const body = (kind === 'frame' || kind === 'frame3d' || kind === 'plane'
-                  || kind === 'solid' || kind === 'plate')
+    const body = (kind === 'frame' || kind === 'frame3d' || kind === 'shell'
+                  || kind === 'plane' || kind === 'solid' || kind === 'plate')
       ? { ...problemData, element_type: kind, analysis }
       : { ...problemData, analysis };
     return solveGeneric(body);
@@ -51,7 +51,7 @@ function solveAnalysis(kind) {
 for (const kind of ['modal', 'transient', 'buckling', 'harmonic', 'spectrum',
                     'continuation', 'plastic', 'random', 'reduction',
                     'identification', 'sizing', 'reliability', 'frame',
-                    'frame3d', 'plane', 'solid', 'plate']) {
+                    'frame3d', 'shell', 'plane', 'solid', 'plate']) {
   router.post(`/${kind}`, solveHandler(kind.toUpperCase(), solveAnalysis(kind)));
 }
 

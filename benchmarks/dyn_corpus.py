@@ -38,6 +38,12 @@ CORPUS_DIR = os.path.join(ROOT, "examples", "json")
 def _gate(name: str, res: dict) -> None:
     assert res.get("success"), f"{name}: success=False"
     kind = res["analysis"]
+    if res.get("element_type") == "shell":
+        # Scordelis-Lo midside deflection at the measured 16x16 value
+        # (tests/test_dyn_corpus.py pins the same number).
+        np.testing.assert_allclose(res["probe_displacements"][2],
+                                   -0.29514, rtol=1e-3)
+        return
     if res.get("element_type") == "frame3d":
         # Grillage closed form (tests/test_dyn_corpus.py pins the
         # same exact value).

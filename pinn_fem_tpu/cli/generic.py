@@ -194,6 +194,38 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         max(abs(v) for v in output["torques"]))
         logger.info("Results written to %s", output_file)
         return output
+    from ..io.shell_io import is_shell_document
+
+    if is_shell_document(raw):
+        # Flat-facet shell documents (3D midsurfaces, six DOFs per
+        # node); host-tier dense solves (io/shell_io.py).
+        from ..io.shell_io import run_shell_document
+
+        logger.info("Shell document: %s",
+                    "generated midsurface" if "mesh" in raw else
+                    f"{len(raw.get('nodes', ()))} nodes, "
+                    f"{len(raw.get('elements', ()))} elements")
+        output = run_shell_document(raw)
+        if output_file is None:
+            p = Path(problem_file)
+            output_file = str(p.parent / f"{p.stem}.res.json")
+        with open(output_file, "w") as f:
+            json.dump(output, f, indent=2)
+        logger.info("%s", "=" * 60)
+        logger.info("SHELL ANALYSIS SUMMARY (%s):", output["analysis"])
+        if output["analysis"] == "modal":
+            logger.info("  Frequencies (Hz): %s",
+                        ["%.6g" % v for v in output["frequencies_hz"]])
+        else:
+            logger.info("  Max |u|: %.6g (dof %d), peak |N|: %.6g, "
+                        "peak |M|: %.6g", output["max_displacement"],
+                        output["max_displacement_dof"],
+                        max(max(abs(v) for v in row) for row in
+                            output["membrane_forces"]),
+                        max(max(abs(v) for v in row) for row in
+                            output["moments"]))
+        logger.info("Results written to %s", output_file)
+        return output
     from ..io.plane_io import is_plane_document
 
     if is_plane_document(raw):

@@ -15,11 +15,19 @@ contract, so the CLI and servers PEEK at that key and route here
                   "inertia_z": Iz,        # bending in local x-y
                   "torsion": J,           # St-Venant constant
                   "polar_inertia": Ip,    # optional (default J)
-                  "density": rho},        # scalars or per-element
+                  "density": rho,         # scalars or per-element
+                  "alpha": a},            # CTE (thermal load case)
      "loads": [Fx0, Fy0, Fz0, Mx0, My0, Mz0, Fx1, ..],  # 6 per node
      "fixed_nodes": [..]                  # fully clamped nodes
        | "fixed_dofs": [..],              # or raw 6n-DOF indices
      "point_masses": [[node, m], ..] | [..per node..],
+     "member_loads": [[elem, wx, wy, wz], ..]  # uniform distributed
+       | [[wx, wy, wz] per element],           # loads, GLOBAL axes
+     "temperature": dT | [..per element..],    # uniform member ΔT
+     "temperature_gradient_y": g | [..],       # dT/dy' (local) —
+     "temperature_gradient_z": g | [..],       # dT/dz'; all three
+         # need material alpha, STATIC analyses only (dynamics
+         # refuse; buckling inherits ΔT through its static state)
      "ref_vectors": [[elem, ax, ay, az], ..],  # optional local x-y
          # plane vectors (webs of inclined members); unlisted members
          # keep the global-Z / vertical-fallback convention
@@ -108,6 +116,21 @@ def parse_frame3d_document(doc: Dict
             pm = full
         else:
             pm = arr
+    ml = doc.get("member_loads")
+    if ml is not None:
+        arr = np.asarray(ml, dtype=float)
+        if arr.ndim != 2:
+            raise ValueError("member_loads must be a table")
+        if arr.shape[1] == 4:              # [[elem, wx, wy, wz], ...]
+            full = np.zeros((nelm, 3))
+            for e, wx, wy, wz in arr:
+                full[int(e)] += (wx, wy, wz)
+            ml = full
+        elif arr.shape[1] == 3:
+            ml = arr
+        else:
+            raise ValueError("member_loads rows must be "
+                             "[elem, wx, wy, wz] or [wx, wy, wz]")
     rv = doc.get("ref_vectors")
     if rv is not None:
         arr = np.asarray(rv, dtype=float)
@@ -135,7 +158,21 @@ def parse_frame3d_document(doc: Dict
         point_masses=pm, ref_vector=rv,
         polar_inertia=(None if mat.get("polar_inertia") is None
                        else np.asarray(mat["polar_inertia"],
-                                       dtype=float)))
+                                       dtype=float)),
+        member_loads=ml,
+        alpha_cte=(None if mat.get("alpha") is None
+                   else np.asarray(mat["alpha"], dtype=float)),
+        temperature=(None if doc.get("temperature") is None
+                     else np.asarray(doc["temperature"],
+                                     dtype=float)),
+        temperature_gradient_y=(
+            None if doc.get("temperature_gradient_y") is None
+            else np.asarray(doc["temperature_gradient_y"],
+                            dtype=float)),
+        temperature_gradient_z=(
+            None if doc.get("temperature_gradient_z") is None
+            else np.asarray(doc["temperature_gradient_z"],
+                            dtype=float)))
     return problem, (doc.get("analysis") or {"type": "static"})
 
 

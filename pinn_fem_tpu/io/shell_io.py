@@ -1,0 +1,191 @@
+"""JSON tier for the flat-facet shell family (models/shell.py).
+
+A shell document is self-describing via `"element_type": "shell"` —
+3D midsurface nodes with six DOFs each (the frame3d routing
+convention):
+
+    {"element_type": "shell",
+     "nodes": [[x, y, z], ..], "elements": [[a, b, c, d], ..]
+       # or a generated curved midsurface:
+     "mesh": {"type": "cylinder_panel", "radius": R, "length": L,
+              "half_angle_deg": phi, "nx": n, "ny": n}
+           | {"type": "hemisphere", "radius": R, "hole_deg": 18,
+              "n": n},
+     "material": {"young": E, "poisson": nu, "thickness": t,
+                  "density": rho},          # scalars or per-element
+     "loads": [6 per node ..],              # optional
+     "point_loads": [[node, dof, value], ..],  # dof 0-5, accumulated
+     "fixed_nodes": [..] | "fixed_dofs": [..],
+     "supports": [{"nodes": [..] | "y_min", "dofs": [..]}, ..],
+         # per-group DOF constraints (diaphragms, symmetry planes) —
+         # dofs index u,v,w,thx,thy,thz per node; "x_min".."z_max"
+         # name a coordinate extreme of the (generated) midsurface
+     "pressure": q,                         # + along facet normals
+     "body_force": [gx, gy, gz],            # force / unit area
+     "point_masses": [[node, m], ..] | [..per node..],
+     "analysis": {"type": "static"}         # default
+               | {"type": "modal", "n_modes": 6}}
+
+The obstacle-course geometries run through the `mesh` generators; the
+corpus document dyn-shell.json is the Scordelis-Lo roof gated on the
+measured 16×16 midside deflection (tests/test_shell.py pins the same
+value against the published 0.3024 target).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..models.shell import (ShellProblem, cylinder_panel_mesh,
+                            hemisphere_mesh, shell_modal,
+                            solve_shell_static)
+
+
+def is_shell_document(doc: Dict) -> bool:
+    return isinstance(doc, dict) \
+        and doc.get("element_type") == "shell"
+
+
+def _resolve_nodes(nodes: np.ndarray, spec) -> np.ndarray:
+    """Support-group node spec: an index list, or a named coordinate
+    extreme "x_min" .. "z_max" resolved against the (generated)
+    midsurface — the solid family's named-face convention."""
+    if isinstance(spec, str):
+        axis = {"x": 0, "y": 1, "z": 2}.get(spec[:1])
+        if axis is None or spec[1:] not in ("_min", "_max"):
+            raise ValueError(f'unknown shell node group {spec!r} '
+                             '(use "x_min" .. "z_max" or indices)')
+        coord = nodes[:, axis]
+        ref = coord.min() if spec.endswith("_min") else coord.max()
+        span = max(coord.max() - coord.min(), 1e-300)
+        return np.flatnonzero(np.abs(coord - ref) < 1e-9 * span)
+    return np.asarray(spec, dtype=int).reshape(-1)
+
+
+def parse_shell_document(doc: Dict) -> Tuple[ShellProblem, Dict]:
+    mesh = doc.get("mesh")
+    if mesh is not None:
+        kind = mesh.get("type")
+        if kind == "cylinder_panel":
+            nodes, elements = cylinder_panel_mesh(
+                float(mesh["radius"]), float(mesh["length"]),
+                float(mesh["half_angle_deg"]), int(mesh["nx"]),
+                int(mesh["ny"]))
+        elif kind == "hemisphere":
+            nodes, elements = hemisphere_mesh(
+                float(mesh["radius"]),
+                float(mesh.get("hole_deg", 18.0)), int(mesh["n"]))
+        else:
+            raise ValueError('shell mesh.type must be '
+                             '"cylinder_panel" or "hemisphere"')
+    else:
+        nodes = np.asarray(doc["nodes"], dtype=float)
+        elements = np.asarray(doc["elements"], dtype=int)
+    nnode = nodes.shape[0]
+    mat = doc.get("material", {})
+    if mat.get("thickness") is None:
+        raise ValueError('shell material needs "thickness"')
+    loads = np.asarray(doc.get("loads", np.zeros(6 * nnode)),
+                       dtype=float)
+    for row in doc.get("point_loads", ()):
+        node, dof, value = row
+        loads[6 * int(node) + int(dof)] += float(value)
+    fixed = []
+    if "fixed_dofs" in doc:
+        fixed.append(np.asarray(doc["fixed_dofs"],
+                                dtype=int).reshape(-1))
+    if "fixed_nodes" in doc:
+        fn = np.asarray(doc["fixed_nodes"], dtype=int).reshape(-1)
+        fixed.append((6 * fn[:, None]
+                      + np.arange(6)[None, :]).reshape(-1))
+    for grp in doc.get("supports", ()):
+        gn = _resolve_nodes(nodes, grp["nodes"])
+        gd = np.asarray(grp["dofs"], dtype=int).reshape(-1)
+        if gd.size and (gd.min() < 0 or gd.max() > 5):
+            raise ValueError("supports dofs index 0..5 per node")
+        fixed.append((6 * gn[:, None] + gd[None, :]).reshape(-1))
+    if not fixed:
+        raise ValueError('shell document needs "fixed_nodes", '
+                         '"fixed_dofs" or "supports"')
+    fixed = np.unique(np.concatenate(fixed))
+    pm = doc.get("point_masses")
+    if pm is not None:
+        arr = np.asarray(pm, dtype=float)
+        if arr.ndim == 2:
+            full = np.zeros(nnode)
+            for node, mass in arr:
+                full[int(node)] += float(mass)
+            pm = full
+        else:
+            pm = arr
+    problem = ShellProblem(
+        nodes=nodes, elements=elements,
+        young=np.asarray(mat.get("young", 1.0), dtype=float),
+        poisson=np.asarray(mat.get("poisson", 0.3), dtype=float),
+        thickness=np.asarray(mat["thickness"], dtype=float),
+        density=np.asarray(mat.get("density", 1.0), dtype=float),
+        loads=loads, fixed_dofs=fixed,
+        pressure=(None if doc.get("pressure") is None
+                  else np.asarray(doc["pressure"], dtype=float)),
+        body_force=(None if doc.get("body_force") is None
+                    else np.asarray(doc["body_force"], dtype=float)),
+        point_masses=pm)
+    return problem, (doc.get("analysis") or {"type": "static"})
+
+
+def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
+    kind = analysis.get("type", "static")
+    if kind == "shell":
+        # Route-injected type (the Node /api/fem convention).
+        kind = "static"
+    if kind == "static":
+        res = solve_shell_static(problem)
+        u = res.displacements
+        i_max = int(np.argmax(np.abs(u)))
+        out = {
+            "success": True,
+            "analysis": "static",
+            "element_type": "shell",
+            "max_displacement": float(np.abs(u[i_max])),
+            "max_displacement_dof": i_max,
+            "membrane_forces": res.membrane_forces.tolist(),
+            "moments": res.moments.tolist(),
+        }
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            pn = np.asarray(analysis["probe_nodes"],
+                            dtype=int).reshape(-1)
+            probe = (6 * pn[:, None] + np.arange(6)[None, :]) \
+                .reshape(-1)
+        if probe is not None:
+            probe = np.asarray(probe, dtype=int).reshape(-1)
+            out["probe_dofs"] = probe.tolist()
+            out["probe_displacements"] = u[probe].tolist()
+        if problem.ndof <= 6 * 600:
+            out["displacements"] = u.tolist()
+            out["reactions"] = res.reactions.tolist()
+        return out
+    if kind == "modal":
+        res = shell_modal(problem,
+                          n_modes=int(analysis.get("n_modes", 6)))
+        out = {
+            "success": True,
+            "analysis": "modal",
+            "element_type": "shell",
+            "n_modes": int(res.frequencies_hz.size),
+            "frequencies_hz": res.frequencies_hz.tolist(),
+            "omegas": res.omegas.tolist(),
+            "eigenvalues": res.eigenvalues.tolist(),
+        }
+        if problem.ndof <= 6 * 600:
+            out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    raise ValueError('shell analysis type must be "static" or '
+                     '"modal"')
+
+
+def run_shell_document(doc: Dict) -> Dict:
+    problem, analysis = parse_shell_document(doc)
+    return run_shell_analysis(problem, analysis)

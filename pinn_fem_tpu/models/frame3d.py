@@ -111,6 +111,20 @@ class SpaceFrameProblem:
     # (m,) polar second moment I_p for the torsional consistent mass
     # (defaults to torsion_j — exact for circular sections).
     polar_inertia: Optional[np.ndarray] = None
+    # (m, 3) uniform distributed member loads [wx, wy, wz] in GLOBAL
+    # axes (force/length) — converted to consistent nodal loads and
+    # the fixed-end corrections the member-force recovery needs.
+    member_loads: Optional[np.ndarray] = None
+    # Thermal load case (STATIC only — dynamic paths refuse it):
+    # alpha_cte (m,) CTE; temperature (m,) uniform member ΔT (axial
+    # expansion); temperature_gradient_y / _z (m,) through-depth
+    # dT/dy', dT/dz' in LOCAL section axes (thermal curvature
+    # κ = α·g — bowing in the matching bending plane / restraint
+    # moments when clamped).
+    alpha_cte: Optional[np.ndarray] = None
+    temperature: Optional[np.ndarray] = None
+    temperature_gradient_y: Optional[np.ndarray] = None
+    temperature_gradient_z: Optional[np.ndarray] = None
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -157,6 +171,24 @@ class SpaceFrameProblem:
             self.polar_inertia = np.broadcast_to(
                 np.asarray(self.polar_inertia, dtype=float),
                 (m,)).copy()
+        if self.member_loads is not None:
+            self.member_loads = np.broadcast_to(
+                np.asarray(self.member_loads, dtype=float),
+                (m, 3)).copy()
+        if (self.temperature is not None
+                or self.temperature_gradient_y is not None
+                or self.temperature_gradient_z is not None) \
+                and self.alpha_cte is None:
+            raise ValueError('a thermal load case needs the thermal '
+                             'expansion coefficient (material '
+                             '"alpha")')
+        for name in ("alpha_cte", "temperature",
+                     "temperature_gradient_y",
+                     "temperature_gradient_z"):
+            v = getattr(self, name)
+            if v is not None:
+                setattr(self, name, np.broadcast_to(
+                    np.asarray(v, dtype=float), (m,)).copy())
         if np.any(_geometry3d(self)[0] <= 0.0):
             raise ValueError("zero-length space-frame element")
 
@@ -304,6 +336,88 @@ def _assemble3d(problem: SpaceFrameProblem,
     return k
 
 
+def _member_load_vectors3(problem: SpaceFrameProblem):
+    """(f_nodal (6n,), f_fixed_local (m, 12)) for uniform member loads.
+
+    Global [wx, wy, wz] resolve to local (axial q, transverse wy′,
+    wz′) through the direction-cosine rows; each transverse component
+    gives the classic consistent vector [wL/2, wL²/12] in ITS bending
+    plane with the plane's sign convention (the x–z quadruple is the
+    x–y one conjugated by diag(1, −1, 1, −1), so the fixed-end moment
+    pair flips with it).  Hermite exact-at-nodes: one-element
+    cantilever tips hit wL⁴/8EI per plane (tests/test_frame3d.py).
+    Member-force recovery subtracts f_fixed_local from k_local·T·u."""
+    if problem.member_loads is None:
+        return np.zeros(problem.ndof), np.zeros((problem.nelm, 12))
+    length, r = _geometry3d(problem)
+    w_loc = np.einsum("mij,mj->mi", r, problem.member_loads)
+    q, wy, wz = w_loc[:, 0], w_loc[:, 1], w_loc[:, 2]
+    f_loc = np.zeros((problem.nelm, 12))
+    f_loc[:, 0] = f_loc[:, 6] = q * length / 2.0
+    f_loc[:, 1] = f_loc[:, 7] = wy * length / 2.0
+    f_loc[:, 5] = wy * length ** 2 / 12.0
+    f_loc[:, 11] = -wy * length ** 2 / 12.0
+    f_loc[:, 2] = f_loc[:, 8] = wz * length / 2.0
+    f_loc[:, 4] = -wz * length ** 2 / 12.0      # x–z sign conjugation
+    f_loc[:, 10] = wz * length ** 2 / 12.0
+    t = _transformation3d(r)
+    f_glob = np.einsum("mji,mj->mi", t, f_loc)      # Tᵀ f_local
+    f = np.zeros(problem.ndof)
+    np.add.at(f, problem.dof_map(), f_glob)
+    return f, f_loc
+
+
+def _thermal_member_vectors3(problem: SpaceFrameProblem):
+    """(f_nodal (6n,), f_fixed_local (m, 12)) of the thermal load
+    case (the 2D frame family's contract in both bending planes).
+
+    Uniform ΔT: ends pushed OUTWARD by EAαΔT — a fully restrained
+    member recovers the textbook compression N = −EAαΔT exactly.
+    Gradient dT/dy′: curvature in the x–y plane, end-moment pair
+    ±EI_z·α·g_y on the θz DOFs; gradient dT/dz′: x–z plane, the pair
+    lands on θy WITH the plane's sign conjugation (clamped-clamped
+    recovers |M| = EIακ with u ≡ 0, a free cantilever bows
+    stress-free)."""
+    if problem.temperature is None \
+            and problem.temperature_gradient_y is None \
+            and problem.temperature_gradient_z is None:
+        return np.zeros(problem.ndof), np.zeros((problem.nelm, 12))
+    length, r = _geometry3d(problem)
+    f_loc = np.zeros((problem.nelm, 12))
+    if problem.temperature is not None:
+        na = problem.young * problem.area * problem.alpha_cte \
+            * problem.temperature                       # EAαΔT (m,)
+        f_loc[:, 0] -= na
+        f_loc[:, 6] += na
+    if problem.temperature_gradient_y is not None:
+        mk = problem.young * problem.inertia_z * problem.alpha_cte \
+            * problem.temperature_gradient_y            # EI_z·κ (m,)
+        f_loc[:, 5] -= mk
+        f_loc[:, 11] += mk
+    if problem.temperature_gradient_z is not None:
+        mk = problem.young * problem.inertia_y * problem.alpha_cte \
+            * problem.temperature_gradient_z            # EI_y·κ (m,)
+        f_loc[:, 4] += mk                       # x–z sign conjugation
+        f_loc[:, 10] -= mk
+    t = _transformation3d(r)
+    f_glob = np.einsum("mji,mj->mi", t, f_loc)
+    f = np.zeros(problem.ndof)
+    np.add.at(f, problem.dof_map(), f_glob)
+    return f, f_loc
+
+
+def _require_no_thermal3(problem: SpaceFrameProblem, kind: str):
+    """models/frame.py:_require_no_thermal_frame, 3D twin."""
+    if problem.temperature is not None \
+            or problem.temperature_gradient_y is not None \
+            or problem.temperature_gradient_z is not None:
+        raise ValueError(
+            f"space-frame {kind} does not take a thermal load case — "
+            "thermoelastic loads are static; use analysis type "
+            '"static" (buckling inherits ΔT through its static '
+            "state)")
+
+
 def space_frame_matrices(problem: SpaceFrameProblem,
                          with_mass: bool = True):
     """(K, M) dense global matrices (M None unless with_mass) — the
@@ -348,14 +462,17 @@ def solve_space_frame_static(
     k, _ = space_frame_matrices(problem, with_mass=False)
     mask = problem.free_mask()
     km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
-    f = problem.loads
+    f_member, f_fixed = _member_load_vectors3(problem)
+    f_th, f_th_fixed = _thermal_member_vectors3(problem)
+    f_member, f_fixed = f_member + f_th, f_fixed + f_th_fixed
+    f = problem.loads + f_member
     u = np.linalg.solve(km, f * mask) * mask
 
     length, r = _geometry3d(problem)
     t = _transformation3d(r)
     kl = _k_local3d(problem, length)
     u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
-    f_loc = np.einsum("mij,mj->mi", kl, u_loc)
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
     reactions = (k @ u - f) * (1.0 - mask)
     return SpaceFrameStaticResult(
         displacements=u,
@@ -421,10 +538,11 @@ def solve_space_frame_transient(problem: SpaceFrameProblem, dt: float,
 
     if dt <= 0.0 or n_steps <= 0:
         raise ValueError("transient needs positive dt and n_steps")
+    _require_no_thermal3(problem, "transient")
     k, m = space_frame_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k
-    f0 = problem.loads
+    f0 = problem.loads + _member_load_vectors3(problem)[0]
     amp = (np.ones(n_steps) if amplitude is None
            else np.broadcast_to(np.asarray(amplitude, dtype=float),
                                 (n_steps,)))
@@ -483,10 +601,11 @@ def space_frame_harmonic(problem: SpaceFrameProblem, omegas,
     equals the ALL-modes superposition exactly — the cross-check in
     tests/test_frame3d.py (frame_harmonic's recipe in 3D)."""
     om = np.asarray(omegas, dtype=float).reshape(-1)
+    _require_no_thermal3(problem, "harmonic")
     k, m = space_frame_matrices(problem)
     alpha, beta = (float(damping[0]), float(damping[1]))
     c = alpha * m + beta * k
-    f0 = problem.loads
+    f0 = problem.loads + _member_load_vectors3(problem)[0]
     free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
     kf = k[np.ix_(free, free)]
     mf = m[np.ix_(free, free)]
@@ -728,7 +847,10 @@ def solve_space_frame_static_banded(problem: SpaceFrameProblem,
         precond = "jacobi"
     layout = _frame3d_dia_layout(problem)
     length_np, r_np = _geometry3d(problem)
-    f_np = problem.loads
+    f_member, f_fixed = _member_load_vectors3(problem)
+    f_th, f_th_fixed = _thermal_member_vectors3(problem)
+    f_member, f_fixed = f_member + f_th, f_fixed + f_th_fixed
+    f_np = problem.loads + f_member
     gj_np = problem.shear_modulus * problem.torsion_j
     args = (jnp.asarray(length_np, dtype), jnp.asarray(r_np, dtype),
             jnp.asarray(problem.young, dtype),
@@ -768,7 +890,7 @@ def solve_space_frame_static_banded(problem: SpaceFrameProblem,
     t = _transformation3d(r)
     kl = _k_local3d(problem, length)
     u_loc = np.einsum("mij,mj->mi", t, u[problem.dof_map()])
-    f_loc = np.einsum("mij,mj->mi", kl, u_loc)
+    f_loc = np.einsum("mij,mj->mi", kl, u_loc) - f_fixed
     res = SpaceFrameStaticResult(
         displacements=u,
         member_end_forces=f_loc,

@@ -80,8 +80,8 @@ INFO = {
                         "harmonic", "spectrum", "random",
                         "continuation", "plastic", "reduction",
                         "identification", "sizing", "reliability",
-                        "frame", "frame3d", "plane", "solid",
-                        "plate"],
+                        "frame", "frame3d", "shell", "plane",
+                        "solid", "plate"],
         },
     },
     "backend": "jax",
@@ -114,6 +114,12 @@ def _solve_frame3d(body):
     from ..io.frame3d_io import run_frame3d_document
 
     return run_frame3d_document({**body, "element_type": "frame3d"})
+
+
+def _solve_shell(body):
+    from ..io.shell_io import run_shell_document
+
+    return run_shell_document({**body, "element_type": "shell"})
 
 
 def _solve_plane(body):
@@ -207,6 +213,8 @@ _ROUTES = {
     "/api/fem/frame": (_solve_frame, FEM_TIMEOUT_S),
     # 3D space-frame family (torsion + biaxial bending): host tier.
     "/api/fem/frame3d": (_solve_frame3d, FEM_TIMEOUT_S),
+    # Flat-facet shell family (curved midsurfaces): host tier.
+    "/api/fem/shell": (_solve_shell, FEM_TIMEOUT_S),
     # 2D plane-stress/strain continuum family: host-tier dense solves.
     "/api/fem/plane": (_solve_plane, FEM_TIMEOUT_S),
     # 3D solid hex8 family: dense host tier, banded DIA device tier
@@ -397,6 +405,17 @@ def _warmup_docs():
                          "density": 1.2},
             "loads": [0.0] * 14 + [-1.0, 0.0, 0.0, 0.0],
             "fixed_nodes": [0],
+            "analysis": {"type": "static"}}),
+        ("/api/fem/shell", {
+            "element_type": "shell",
+            "mesh": {"type": "cylinder_panel", "radius": 25.0,
+                     "length": 50.0, "half_angle_deg": 40.0,
+                     "nx": 4, "ny": 4},
+            "material": {"young": 4.32e8, "poisson": 0.0,
+                         "thickness": 0.25, "density": 1.0},
+            "supports": [{"nodes": "y_min", "dofs": [0, 2]},
+                         {"nodes": "y_max", "dofs": [0, 2]}],
+            "body_force": [0.0, 0.0, -90.0],
             "analysis": {"type": "static"}}),
         ("/api/fem/reliability", {**arch, "analysis": {
             "variables": [

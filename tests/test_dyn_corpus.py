@@ -49,7 +49,7 @@ def test_dyn_corpus_complete():
                    "dyn-plastic.json", "dyn-plate-identify.json",
                    "dyn-plate-plastic.json", "dyn-plate.json",
                    "dyn-random.json", "dyn-reduction.json",
-                   "dyn-reliability.json",
+                   "dyn-reliability.json", "dyn-shell.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing-rbdo.json", "dyn-sizing.json",
                    "dyn-solid-plastic.json",
@@ -110,6 +110,17 @@ def test_dyn_corpus_runs(name, tmp_path):
         np.testing.assert_allclose(
             np.abs(np.asarray(res["end_moments"])),
             200e9 * 1e-5 * 1.2e-5 * 100.0, rtol=1e-9)
+    elif name == "dyn-shell.json":
+        # Scordelis-Lo roof on the 16x16 facet mesh: the midside
+        # free-edge deflection at the measured -0.29514 (converging
+        # from below onto the published 0.3024; tests/test_shell.py
+        # pins the refinement sequence).
+        assert res["element_type"] == "shell"
+        np.testing.assert_allclose(res["probe_displacements"][2],
+                                   -0.29514, rtol=1e-3)
+        assert res["max_displacement_dof"] == 6 * 136 + 2
+        nf = np.asarray(res["membrane_forces"])
+        assert nf.shape == (256, 3) and np.isfinite(nf).all()
     elif name == "dyn-frame3d.json":
         # Right-angle grillage: the exact two-element closed form
         # (bending of both legs + lever torsion of AB) and the full

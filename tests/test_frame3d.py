@@ -555,3 +555,177 @@ def test_banded_json_tier():
     assert outm["tier"] == "banded" and outm["mass"] == "lumped"
     assert len(outm["frequencies_hz"]) == 2
     assert np.asarray(outm["mode_shapes"]).shape == (2, 6)
+
+
+def test_member_loads_both_planes_and_orientation():
+    """Uniform distributed loads: the Hermite exact-at-nodes property
+    gives wL⁴/8EI cantilever tips in EACH bending plane with one
+    element, the root moment carries the wL²/2 fixed-end correction,
+    and a beam along global Y maps the global load into its local
+    plane through the orientation triad."""
+    w = 2.0
+    p = cantilever(1, member_loads=np.array([[0.0, -w, 0.0]]))
+    st = solve_space_frame_static(p)
+    np.testing.assert_allclose(st.displacements[7],
+                               -w * L ** 4 / (8.0 * E * IZ),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.abs(st.moments_z[0, 0]),
+                               w * L ** 2 / 2.0, rtol=1e-12)
+
+    p = cantilever(1, member_loads=np.array([[0.0, 0.0, -w]]))
+    st = solve_space_frame_static(p)
+    np.testing.assert_allclose(st.displacements[8],
+                               -w * L ** 4 / (8.0 * E * IY),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.abs(st.moments_y[0, 0]),
+                               w * L ** 2 / 2.0, rtol=1e-12)
+
+    # Beam along global Y, global -Z line load: local x–z plane (I_y).
+    nodes = np.array([[0.0, 0.0, 0.0], [0.0, L, 0.0]])
+    p = SpaceFrameProblem(nodes, np.array([[0, 1]]), E, A, IY, IZ, J,
+                          RHO, np.zeros(12), np.arange(6),
+                          shear_modulus=G,
+                          member_loads=np.array([[0.0, 0.0, -w]]))
+    st = solve_space_frame_static(p)
+    np.testing.assert_allclose(st.displacements[8],
+                               -w * L ** 4 / (8.0 * E * IY),
+                               rtol=1e-13)
+
+
+def test_thermal_restraint_closed_forms_and_free_bow():
+    """The thermoelastic contract in 3D: clamped-clamped uniform ΔT
+    gives u ≡ 0 and N = −EAαΔT exactly; each through-depth gradient
+    gives u ≡ 0 and |M| = EIακ in ITS plane; a free cantilever bows
+    stress-free to v = κL²/2."""
+    alpha, dt_, gy, gz = 1.2e-5, 40.0, 3.0, 5.0
+    nodes = np.array([[0.0, 0.0, 0.0], [L, 0.0, 0.0]])
+    el = np.array([[0, 1]])
+    both = np.arange(12)                    # clamp both ends
+
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), both, shear_modulus=G,
+                          alpha_cte=alpha, temperature=dt_)
+    st = solve_space_frame_static(p)
+    assert np.abs(st.displacements).max() < 1e-14
+    np.testing.assert_allclose(st.axial, -E * A * alpha * dt_,
+                               rtol=1e-12)
+
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), both, shear_modulus=G,
+                          alpha_cte=alpha, temperature_gradient_y=gy)
+    st = solve_space_frame_static(p)
+    assert np.abs(st.displacements).max() < 1e-14
+    np.testing.assert_allclose(np.abs(st.moments_z),
+                               E * IZ * alpha * gy, rtol=1e-12)
+    assert np.abs(st.moments_y).max() < 1e-12
+
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), both, shear_modulus=G,
+                          alpha_cte=alpha, temperature_gradient_z=gz)
+    st = solve_space_frame_static(p)
+    assert np.abs(st.displacements).max() < 1e-14
+    np.testing.assert_allclose(np.abs(st.moments_y),
+                               E * IY * alpha * gz, rtol=1e-12)
+    assert np.abs(st.moments_z).max() < 1e-12
+
+    # Free cantilever bow: stress-free curvature κ = α·g_y in x–y.
+    p = cantilever(1, alpha_cte=alpha, temperature_gradient_y=gy)
+    st = solve_space_frame_static(p)
+    kappa = alpha * gy
+    np.testing.assert_allclose(np.abs(st.displacements[7]),
+                               kappa * L ** 2 / 2.0, rtol=1e-12)
+    np.testing.assert_allclose(np.abs(st.displacements[11]),
+                               kappa * L, rtol=1e-12)
+    assert np.abs(st.member_end_forces).max() < 1e-10
+
+    # Dynamics refuse the (static) thermal load case.
+    with pytest.raises(ValueError, match="thermal"):
+        solve_space_frame_transient(p, 0.01, 5)
+    with pytest.raises(ValueError, match="thermal"):
+        space_frame_harmonic(p, [1.0])
+    # ...and a thermal case without alpha refuses at construction.
+    with pytest.raises(ValueError, match="alpha"):
+        SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(12), both, shear_modulus=G,
+                          temperature=dt_)
+
+
+def test_heated_column_thermal_buckling():
+    """Clamped-clamped heated column: restraint compression EAαΔT
+    drives weak-axis Euler buckling — the critical ΔT satisfies
+    λ·EAαΔT = 4π²EI_y/L², the vibration-buckling link of the thermal
+    family carried to 3D."""
+    from pinn_fem_tpu.models.frame3d import space_frame_buckling
+
+    alpha, dt_ = 1.2e-5, 40.0
+    n = 8
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1),
+                      np.zeros(n + 1)], axis=1)
+    el = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    fixed = np.concatenate([np.arange(6),
+                            6 * n + np.arange(6)])
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(6 * (n + 1)), fixed,
+                          shear_modulus=G, alpha_cte=alpha,
+                          temperature=dt_)
+    res = space_frame_buckling(p, n_modes=1)
+    np.testing.assert_allclose(res.axial, -E * A * alpha * dt_,
+                               rtol=1e-12)
+    lam_exact = (4.0 * np.pi ** 2 * E * IY / L ** 2) \
+        / (E * A * alpha * dt_)
+    np.testing.assert_allclose(res.load_factors[0], lam_exact,
+                               rtol=5e-3)
+
+
+def test_member_loads_and_thermal_json_and_banded():
+    """member_loads/temperature through the JSON document, and the
+    banded tier carries both (fixed-end corrections included) —
+    pinned against the dense authority."""
+    from pinn_fem_tpu.io.frame3d_io import run_frame3d_document
+    from pinn_fem_tpu.models.frame3d import \
+        solve_space_frame_static_banded
+
+    doc = {
+        "element_type": "frame3d",
+        "nodes": [[0.0, 0.0, 0.0], [L, 0.0, 0.0]],
+        "elements": [[0, 1]],
+        "material": {"young": E, "shear_modulus": G, "area": A,
+                     "inertia_y": IY, "inertia_z": IZ, "torsion": J,
+                     "density": RHO, "alpha": 1.2e-5},
+        "fixed_nodes": [0],
+        "member_loads": [[0, 0.0, -2.0, 0.0]],
+        "temperature": 40.0,
+        "analysis": {"type": "static"},
+    }
+    out = run_frame3d_document(doc)
+    assert out["success"]
+    np.testing.assert_allclose(out["displacements"][7],
+                               -2.0 * L ** 4 / (8.0 * E * IZ),
+                               rtol=1e-12)
+    # Free thermal expansion superposes: tip u_x = αΔT·L, stress-free
+    # axially.
+    np.testing.assert_allclose(out["displacements"][6],
+                               1.2e-5 * 40.0 * L, rtol=1e-12)
+    np.testing.assert_allclose(out["axial_forces"], 0.0, atol=1e-10)
+
+    # Banded tier == dense with the same member + thermal loads.
+    n = 6
+    nodes = np.stack([np.linspace(0.0, L, n + 1), np.zeros(n + 1),
+                      np.zeros(n + 1)], axis=1)
+    el = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+    p = SpaceFrameProblem(nodes, el, E, A, IY, IZ, J, RHO,
+                          np.zeros(6 * (n + 1)), np.arange(6),
+                          shear_modulus=G,
+                          member_loads=np.array([[0.0, -2.0, 0.0]]
+                                                * n),
+                          alpha_cte=1.2e-5, temperature=40.0)
+    dense = solve_space_frame_static(p)
+    res, _, rel = solve_space_frame_static_banded(p, tol=1e-9)
+    scale = np.abs(dense.displacements).max()
+    np.testing.assert_allclose(res.displacements,
+                               dense.displacements,
+                               atol=1e-4 * scale)
+    np.testing.assert_allclose(res.member_end_forces,
+                               dense.member_end_forces,
+                               atol=1e-3 * np.abs(
+                                   dense.member_end_forces).max())

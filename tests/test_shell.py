@@ -279,3 +279,69 @@ def test_validation_errors():
         nodes, elems, E, NU, T, RHO,
         np.zeros(6 * nodes.shape[0]), [0]))
     assert np.allclose(k, k.T) and np.allclose(m, m.T)
+
+
+def test_shell_json_document_and_errors():
+    """io/shell_io.py: generated-midsurface documents (named support
+    groups, body force), explicit-node documents with point loads,
+    the modal kind, and the refusal paths."""
+    from pinn_fem_tpu.io.shell_io import (is_shell_document,
+                                          run_shell_document)
+
+    doc = {
+        "element_type": "shell",
+        "mesh": {"type": "cylinder_panel", "radius": 25.0,
+                 "length": 50.0, "half_angle_deg": 40.0,
+                 "nx": 8, "ny": 8},
+        "material": {"young": 4.32e8, "poisson": 0.0,
+                     "thickness": 0.25, "density": 1.0},
+        "supports": [{"nodes": "y_min", "dofs": [0, 2]},
+                     {"nodes": "y_max", "dofs": [0, 2]}],
+        "body_force": [0.0, 0.0, -90.0],
+        "analysis": {"type": "static", "probe_nodes": [44]},
+    }
+    assert is_shell_document(doc)
+    out = run_shell_document(doc)
+    assert out["success"] and out["element_type"] == "shell"
+    # 8x8 Scordelis-Lo midside deflection (the measured refinement
+    # point pinned in test_scordelis_lo_roof).
+    np.testing.assert_allclose(out["probe_displacements"][2],
+                               -0.28459, rtol=1e-3)
+
+    out_m = run_shell_document({**doc, "analysis":
+                                {"type": "modal", "n_modes": 3}})
+    f = np.asarray(out_m["frequencies_hz"])
+    assert f.shape == (3,) and np.all(f > 0) \
+        and np.all(np.diff(f) >= -1e-9)
+
+    # Explicit nodes + point loads: flat strip tip load == plane.
+    nodes2d, elems = rect_mesh(4.0, 1.0, 4, 1, "quad")
+    n = nodes2d.shape[0]
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0).tolist()
+    doc2 = {
+        "element_type": "shell",
+        "nodes": nodes3d.tolist(),
+        "elements": elems.tolist(),
+        "material": {"young": E, "poisson": NU, "thickness": T,
+                     "density": RHO},
+        "fixed_nodes": left,
+        "point_loads": [[n - 1, 0, 1.0]],
+        "analysis": {"type": "static"},
+    }
+    out2 = run_shell_document(doc2)
+    assert out2["success"] and "displacements" in out2
+    assert out2["max_displacement"] > 0.0
+
+    with pytest.raises(ValueError, match="thickness"):
+        run_shell_document({**doc2, "material": {"young": E}})
+    with pytest.raises(ValueError, match="mesh.type"):
+        run_shell_document({**doc, "mesh": {"type": "torus"}})
+    with pytest.raises(ValueError, match="node group"):
+        run_shell_document({**doc, "supports":
+                            [{"nodes": "r_min", "dofs": [0]}]})
+    with pytest.raises(ValueError, match="analysis type"):
+        run_shell_document({**doc, "analysis": {"type": "nope"}})
+    bare = {k: v for k, v in doc2.items() if k != "fixed_nodes"}
+    with pytest.raises(ValueError, match="fixed_nodes"):
+        run_shell_document(bare)
