@@ -873,6 +873,51 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runRoof = async () => {
+    // Scordelis-Lo barrel roof on the flat-facet shell family (POST
+    // body pinned as tests/fixtures/ui_payload_roof.json,
+    // byte-identical to the static UI's roofDoc()): R=25, L=50, 40°
+    // half-angle, t=0.25, self-weight 90/area, rigid end diaphragms.
+    // The 16×16 facet mesh puts the midside free-edge deflection at
+    // −0.29514, converging from below onto the published obstacle-
+    // course target 0.3024 (models/shell.py; the corpus doc
+    // dyn-shell.json gates the same value).  Chart: the midspan
+    // w profile from free edge to free edge across the crown.
+    setMessage('Solving the Scordelis-Lo roof…');
+    try {
+      const mid = [];
+      for (let i = 0; i <= 16; i += 1) mid.push(8 * 17 + i);
+      const r = await post('shell', {
+        mesh: { type: 'cylinder_panel', radius: 25, length: 50,
+                half_angle_deg: 40, nx: 16, ny: 16 },
+        material: { young: 4.32e8, poisson: 0, thickness: 0.25,
+                    density: 1 },
+        supports: [{ nodes: 'y_min', dofs: [0, 2] },
+                   { nodes: 'y_max', dofs: [0, 2] }],
+        body_force: [0, 0, -90],
+        analysis: { type: 'static', probe_nodes: mid },
+      });
+      setKind('roof'); setShapes(null);
+      // probe_displacements: 6 DOFs per midspan node; w is index 2.
+      const w = [];
+      for (let i = 0; i <= 16; i += 1) {
+        w.push(r.probe_displacements[6 * i + 2]);
+      }
+      const arc = w.map((_, i) => -40 + 5 * i);
+      setChart({ xs: arc, series: w.map((v) => [v]) });
+      setRows([
+        { label: 'free-edge w',
+          value: `${w[16].toPrecision(6)} (published target −0.3024; `
+            + 'faceted 16×16 = −0.29514)' },
+        { label: 'crown w', value: w[8].toPrecision(6) },
+      ]);
+      setMessage('Scordelis-Lo roof: midspan deflection profile '
+        + 'across the arc (shell obstacle course)');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runSlab = async () => {
     // Layered elastoplastic one-way slab strip (POST body pinned as
     // tests/fixtures/ui_payload_slab.json, byte-identical to the
@@ -974,6 +1019,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runSolidPlastic}>Solid plastic ▶</button>
         <button onClick={runSlab}>Slab ▶</button>
         <button onClick={runGrillage}>Grillage ▶</button>
+        <button onClick={runRoof}>Roof ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
         <button onClick={runQuakeWall}>Quake wall ▶</button>
       </div>

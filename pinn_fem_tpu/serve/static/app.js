@@ -1435,6 +1435,50 @@ async function runGrillage() {
 document.getElementById("grillage-btn").addEventListener("click",
                                                          runGrillage);
 
+function roofDoc() {
+  // Scordelis-Lo barrel roof (pinned as
+  // tests/fixtures/ui_payload_roof.json, byte-identical to the React
+  // panel's runRoof): the shell obstacle-course case — R=25, L=50,
+  // 40° half-angle, t=0.25, self-weight 90/area, end diaphragms.
+  // 16×16 facets put the midside free-edge deflection at −0.29514
+  // vs the published 0.3024 (models/shell.py).
+  const mid = [];
+  for (let i = 0; i <= 16; i += 1) mid.push(8 * 17 + i);
+  return {
+    mesh: { type: "cylinder_panel", radius: 25, length: 50,
+            half_angle_deg: 40, nx: 16, ny: 16 },
+    material: { young: 4.32e8, poisson: 0, thickness: 0.25,
+                density: 1 },
+    supports: [{ nodes: "y_min", dofs: [0, 2] },
+               { nodes: "y_max", dofs: [0, 2] }],
+    body_force: [0, 0, -90],
+    analysis: { type: "static", probe_nodes: mid },
+  };
+}
+
+async function runRoof() {
+  // Shell obstacle course: midspan w profile across the arc.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Solving the Scordelis-Lo roof…";
+  try {
+    const r = await postDoc("shell", roofDoc());
+    const w = [];
+    for (let i = 0; i <= 16; i += 1) {
+      w.push(r.probe_displacements[6 * i + 2]);
+    }
+    const arc = w.map((_, i) => -40 + 5 * i);
+    drawTimeSeries(arc, w.map((v) => [v]));
+    status.textContent = `Scordelis-Lo roof: free-edge w = `
+      + `${w[16].toPrecision(6)} (target -0.3024, faceted 16x16 `
+      + `-0.29514); crown w = ${w[8].toPrecision(4)}; chart: midspan `
+      + `arc profile`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("roof-btn").addEventListener("click",
+                                                     runRoof);
+
 async function runCylinder() {
   // Thick-wall von Mises cylinder at 99% of the textbook limit
   // pressure p_lim = (2/sqrt3) sigma_y ln(b/a): B-bar plane strain,

@@ -964,3 +964,22 @@ def test_ui_grillage_payload_served():
     interior = np.argmax(amp[1:-1, 0]) + 1
     assert abs(om[interior] - 0.311) < 0.02
     assert amp[interior, 0] > 3.0 * amp[0, 0]
+
+
+def test_ui_roof_payload_served():
+    """Both UIs' Roof action (Scordelis-Lo barrel roof on the
+    flat-facet shell family, models/shell.py) through the live
+    /api/fem/shell handler: the free-edge deflection lands on the
+    pinned 16×16 value (−0.29514, converging onto the published
+    0.3024), the profile is symmetric about the crown, and the crown
+    rises while the free edges sag (the classic roof shape)."""
+    from pinn_fem_tpu.serve.server import _solve_shell
+
+    payload = load_fixture("ui_payload_roof.json")
+    out = _solve_shell(payload)
+    assert out["success"] and out["analysis"] == "static"
+    pd = np.asarray(out["probe_displacements"]).reshape(17, 6)
+    w = pd[:, 2]
+    np.testing.assert_allclose(w[16], -0.29514, rtol=1e-3)
+    np.testing.assert_allclose(w, w[::-1], atol=1e-9)   # symmetry
+    assert w[8] > 0.0 > w[0]          # crown rises, edges sag
