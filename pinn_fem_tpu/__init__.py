@@ -67,9 +67,11 @@ from .models.shell import (  # noqa: E402
     ShellProblem,
     cylinder_panel_mesh,
     hemisphere_mesh,
+    shell_harmonic,
     shell_matrices,
     shell_modal,
     solve_shell_static,
+    solve_shell_transient,
 )
 from .models.plane import (  # noqa: E402
     PlaneProblem,
@@ -371,6 +373,8 @@ __all__ = [
     "solve_shell_static",
     "shell_modal",
     "shell_matrices",
+    "solve_shell_transient",
+    "shell_harmonic",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
     "frame_static_response",

@@ -216,6 +216,13 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         if output["analysis"] == "modal":
             logger.info("  Frequencies (Hz): %s",
                         ["%.6g" % v for v in output["frequencies_hz"]])
+        elif output["analysis"] == "transient":
+            logger.info("  Steps: %d (dt=%.3e)", output["n_steps"],
+                        output["dt"])
+        elif output["analysis"] == "harmonic":
+            logger.info("  Sweep: %d frequencies, peak |X| %.6g",
+                        len(output["omegas"]),
+                        max(max(row) for row in output["amplitude"]))
         else:
             logger.info("  Max |u|: %.6g (dof %d), peak |N|: %.6g, "
                         "peak |M|: %.6g", output["max_displacement"],

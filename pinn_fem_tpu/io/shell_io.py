@@ -24,7 +24,16 @@ convention):
      "body_force": [gx, gy, gz],            # force / unit area
      "point_masses": [[node, m], ..] | [..per node..],
      "analysis": {"type": "static"}         # default
-               | {"type": "modal", "n_modes": 6}}
+               | {"type": "modal", "n_modes": 6}
+               | {"type": "transient", "dt": 0.01, "n_steps": 500,
+                  "damping": [a, b], "probe_nodes": [..] |
+                  "probe_dofs": [..],
+                  "amplitude": {"type": "step"} | [..],
+                  "record_every": 1}
+               | {"type": "harmonic", "omegas": [..] |
+                  {"start": w0, "stop": w1, "num": n},
+                  "damping": [a, b], "probe_nodes": [..] |
+                  "probe_dofs": [..]}}
 
 The obstacle-course geometries run through the `mesh` generators; the
 corpus document dyn-shell.json is the Scordelis-Lo roof gated on the
@@ -182,8 +191,72 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         if problem.ndof <= 6 * 600:
             out["mode_shapes"] = res.mode_shapes.tolist()
         return out
-    raise ValueError('shell analysis type must be "static" or '
-                     '"modal"')
+    if kind == "transient":
+        from ..models.shell import solve_shell_transient
+
+        dt = float(analysis["dt"])
+        n_steps = int(analysis["n_steps"])
+        damping = analysis.get("damping", [0.0, 0.0])
+        amp = analysis.get("amplitude")
+        if isinstance(amp, dict):
+            if amp.get("type") != "step":
+                raise ValueError('shell amplitude dict supports '
+                                 '{"type": "step"}; give an explicit '
+                                 'array otherwise')
+            amp = None
+        probe = _probe6(analysis, problem)
+        res = solve_shell_transient(
+            problem, dt, n_steps,
+            damping=(float(damping[0]), float(damping[1])),
+            amplitude=amp, probe_dofs=probe,
+            record_every=int(analysis.get("record_every", 1)))
+        return {
+            "success": True,
+            "analysis": "transient",
+            "element_type": "shell",
+            "dt": res.dt,
+            "n_steps": res.n_steps,
+            "times": res.times.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements.tolist(),
+        }
+    if kind == "harmonic":
+        from ..models.shell import shell_harmonic
+
+        om = analysis["omegas"]
+        if isinstance(om, dict):
+            om = np.linspace(float(om["start"]), float(om["stop"]),
+                             int(om["num"]))
+        om = np.asarray(om, dtype=float).reshape(-1)
+        damping = analysis.get("damping", [0.0, 0.0])
+        probe = _probe6(analysis, problem)
+        res = shell_harmonic(
+            problem, om,
+            damping=(float(damping[0]), float(damping[1])),
+            probe_dofs=probe)
+        return {
+            "success": True,
+            "analysis": "harmonic",
+            "element_type": "shell",
+            "omegas": res.omegas.tolist(),
+            "probe_dofs": probe.tolist(),
+            "amplitude": res.amplitude.tolist(),
+            "real": res.real.tolist(),
+            "imag": res.imag.tolist(),
+        }
+    raise ValueError('shell analysis type must be "static", "modal", '
+                     '"transient" or "harmonic"')
+
+
+def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:
+    if "probe_dofs" in analysis:
+        return np.asarray(analysis["probe_dofs"],
+                          dtype=int).reshape(-1)
+    if "probe_nodes" in analysis:
+        pn = np.asarray(analysis["probe_nodes"],
+                        dtype=int).reshape(-1)
+        return (6 * pn[:, None] + np.arange(6)[None, :]).reshape(-1)
+    return np.arange(problem.ndof)
 
 
 def run_shell_document(doc: Dict) -> Dict:

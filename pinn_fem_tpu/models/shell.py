@@ -83,6 +83,10 @@ __all__ = [
     "shell_matrices",
     "solve_shell_static",
     "shell_modal",
+    "ShellTransientResult",
+    "ShellHarmonicResult",
+    "solve_shell_transient",
+    "shell_harmonic",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
 ]
@@ -447,3 +451,107 @@ def hemisphere_mesh(radius: float, hole_deg: float, n: int):
             n0 = j * npl + i
             elems.append([n0, n0 + 1, n0 + 1 + npl, n0 + npl])
     return nodes, np.asarray(elems, dtype=int)
+
+
+@dataclass
+class ShellTransientResult:
+    times: np.ndarray
+    displacements: np.ndarray      # (n_rec, n_probe)
+    dt: float
+    n_steps: int
+
+
+def solve_shell_transient(problem: ShellProblem, dt: float,
+                          n_steps: int, damping=(0.0, 0.0),
+                          amplitude=None, probe_dofs=None,
+                          record_every: int = 1
+                          ) -> ShellTransientResult:
+    """Newmark (average acceleration) on the dense shell K/M — one LU
+    of the effective operator serves every step (host float64; the
+    frame-family recipe).  The mass pencil carries the same 1e-10
+    drilling ridge as shell_modal (the acceleration solve needs a
+    definite M).  Cross-validated against exact modal superposition
+    in tests/test_shell.py."""
+    import scipy.linalg
+
+    if dt <= 0.0 or n_steps <= 0:
+        raise ValueError("transient needs positive dt and n_steps")
+    k, m = shell_matrices(problem)
+    m = m + 1e-10 * np.diag(m).max() * np.eye(m.shape[0])
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _load_vectors_shell(problem)
+    amp = (np.ones(n_steps) if amplitude is None
+           else np.broadcast_to(np.asarray(amplitude, dtype=float),
+                                (n_steps,)))
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    a0 = 4.0 / dt ** 2
+    a1 = 2.0 / dt
+    lu = scipy.linalg.lu_factor(kf + a0 * mf + a1 * cf)
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    n = free.size
+    u = np.zeros(n)
+    v = np.zeros(n)
+    a_acc = (np.linalg.solve(mf, ff * amp[0] - cf @ v - kf @ u)
+             if n else np.zeros(0))
+    rec_t, rec_u = [], []
+    full = np.zeros(problem.ndof)
+    for step in range(n_steps):
+        f_t = ff * amp[min(step + 1, n_steps - 1)]
+        rhs = f_t + mf @ (a0 * u + 2.0 * a1 * v + a_acc) \
+            + cf @ (a1 * u + v)
+        u_new = scipy.linalg.lu_solve(lu, rhs)
+        v_new = a1 * (u_new - u) - v
+        a_new = a0 * (u_new - u) - 2.0 * a1 * v - a_acc
+        u, v, a_acc = u_new, v_new, a_new
+        if step % record_every == 0:
+            full[free] = u
+            rec_t.append((step + 1) * dt)
+            rec_u.append(full[probe].copy())
+    return ShellTransientResult(
+        times=np.asarray(rec_t), displacements=np.asarray(rec_u),
+        dt=float(dt), n_steps=int(n_steps))
+
+
+@dataclass
+class ShellHarmonicResult:
+    omegas: np.ndarray
+    amplitude: np.ndarray          # (n_freq, n_probe) |X|
+    real: np.ndarray
+    imag: np.ndarray
+
+
+def shell_harmonic(problem: ShellProblem, omegas,
+                   damping=(0.0, 0.0), probe_dofs=None
+                   ) -> ShellHarmonicResult:
+    """Steady-state X(ω): direct dense complex solves per frequency,
+    Rayleigh C = αM + βK, host float64 (the frame-family recipe; equal
+    to the all-modes superposition for proportional damping —
+    tests/test_shell.py)."""
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, m = shell_matrices(problem)
+    m = m + 1e-10 * np.diag(m).max() * np.eye(m.shape[0])
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * m + beta * k
+    f0 = problem.loads + _load_vectors_shell(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf = k[np.ix_(free, free)]
+    mf = m[np.ix_(free, free)]
+    cf = c[np.ix_(free, free)]
+    ff = f0[free]
+    probe = (np.arange(problem.ndof) if probe_dofs is None
+             else np.asarray(probe_dofs, dtype=int).reshape(-1))
+    full = np.zeros(problem.ndof, dtype=complex)
+    xs = np.zeros((om.size, probe.size), dtype=complex)
+    for i, w in enumerate(om):
+        z = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(z, ff)
+        xs[i] = full[probe]
+    return ShellHarmonicResult(omegas=om, amplitude=np.abs(xs),
+                               real=xs.real, imag=xs.imag)

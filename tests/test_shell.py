@@ -345,3 +345,95 @@ def test_shell_json_document_and_errors():
     bare = {k: v for k, v in doc2.items() if k != "fixed_nodes"}
     with pytest.raises(ValueError, match="fixed_nodes"):
         run_shell_document(bare)
+
+
+def test_shell_transient_and_harmonic_match_modal_superposition():
+    """Newmark step response and the direct complex sweep vs EXACT
+    modal superposition on the regularized pencil (the frame-family
+    cross-checks on the shell matrices), plus the JSON kinds."""
+    import scipy.linalg
+
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+    from pinn_fem_tpu.models.shell import (shell_harmonic,
+                                           solve_shell_transient)
+
+    nodes2d, elems = rect_mesh(2.0, 1.0, 4, 2, "quad")
+    n = nodes2d.shape[0]
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0)
+    fixed = (6 * left[:, None] + np.arange(6)[None, :]).reshape(-1)
+    loads = np.zeros(6 * n)
+    tip = np.flatnonzero((nodes2d[:, 0] == 2.0)
+                         & (nodes2d[:, 1] == 0.5))[0]
+    loads[6 * tip + 2] = -1.0
+    p = ShellProblem(nodes=nodes3d, elements=elems, young=E,
+                     poisson=NU, thickness=T, density=RHO,
+                     loads=loads, fixed_dofs=fixed)
+    k, m = shell_matrices(p)
+    m = m + 1e-10 * np.diag(m).max() * np.eye(m.shape[0])
+    free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+    lam, vec = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                 m[np.ix_(free, free)])
+    om = np.sqrt(lam)
+    f = p.loads[free]
+    tip_row = np.flatnonzero(free == 6 * tip + 2)[0]
+
+    # Undamped Newmark vs Σ φ(φᵀf/ω²m)(1 − cos ωt): resolve the first
+    # handful of modes (the high drilling-artifact modes carry ~zero
+    # participation for a transverse load).
+    dt = 2.0 * np.pi / om[6] / 60.0
+    tr = solve_shell_transient(p, dt, 200, probe_dofs=[6 * tip + 2])
+    q = (vec.T @ f) / lam
+    u_exact = np.zeros(tr.times.size)
+    for j in range(lam.size):
+        u_exact += vec[tip_row, j] * q[j] \
+            * (1.0 - np.cos(om[j] * tr.times))
+    scale = np.max(np.abs(u_exact))
+    np.testing.assert_allclose(tr.displacements[:, 0], u_exact,
+                               atol=5e-3 * scale)
+
+    # Damped harmonic sweep vs all-modes superposition.
+    alpha, beta = 0.05, 1e-4
+    oms = np.linspace(0.1 * om[0], 3.0 * om[2], 25)
+    hr = shell_harmonic(p, oms, damping=(alpha, beta),
+                        probe_dofs=[6 * tip + 2])
+    x_exact = np.zeros(oms.size, dtype=complex)
+    for j in range(lam.size):
+        denom = om[j] ** 2 - oms ** 2 \
+            + 1j * oms * (alpha + beta * om[j] ** 2)
+        x_exact += vec[tip_row, j] * (vec[:, j] @ f) / denom
+    # Near the peaks the direct solve and the eigexpansion differ by
+    # resonance-amplified float64 roundoff (~1e-5 of the peak).
+    np.testing.assert_allclose(hr.real[:, 0], x_exact.real,
+                               atol=3e-5 * np.abs(x_exact).max())
+    np.testing.assert_allclose(hr.imag[:, 0], x_exact.imag,
+                               atol=3e-5 * np.abs(x_exact).max())
+
+    # JSON kinds round-trip.
+    doc = {
+        "element_type": "shell",
+        "nodes": nodes3d.tolist(),
+        "elements": elems.tolist(),
+        "material": {"young": E, "poisson": NU, "thickness": T,
+                     "density": RHO},
+        "fixed_dofs": fixed.tolist(),
+        "point_loads": [[int(tip), 2, -1.0]],
+        "analysis": {"type": "transient", "dt": float(dt),
+                     "n_steps": 40, "probe_nodes": [int(tip)],
+                     "amplitude": {"type": "step"}},
+    }
+    out_t = run_shell_document(doc)
+    assert out_t["success"] and out_t["analysis"] == "transient"
+    assert np.asarray(out_t["displacements"]).shape == (40, 6)
+    out_h = run_shell_document({**doc, "analysis": {
+        "type": "harmonic",
+        "omegas": {"start": 1e-6, "stop": float(om[0]), "num": 4},
+        "probe_dofs": [int(6 * tip + 2)]}})
+    assert out_h["success"]
+    amp = np.asarray(out_h["amplitude"])
+    assert amp.shape == (4, 1)
+    # ω→0 limit == the static solve.
+    st = solve_shell_static(p)
+    np.testing.assert_allclose(amp[0, 0],
+                               abs(st.displacements[6 * tip + 2]),
+                               rtol=1e-6)
