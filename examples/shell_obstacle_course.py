@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""The MacNeal-Harder shell obstacle course on the flat-facet shell
+family (models/shell.py): the three canonical benchmarks every shell
+element is judged by, converging onto their published targets.
+
+1. SCORDELIS-LO ROOF — membrane-bending coupling: a barrel vault
+   under self-weight sheds surface load into longitudinal membrane
+   action; target midside free-edge deflection 0.3024.
+2. PINCHED CYLINDER (end diaphragms) — inextensional bending with a
+   boundary layer at the load; target 1.8248e-5.
+3. HEMISPHERE (18° hole) — almost-inextensible doubly-curved bending
+   under alternating point loads; target radial 0.0940.
+
+Run: python examples/shell_obstacle_course.py
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from pinn_fem_tpu.models.shell import (ShellProblem, cylinder_panel_mesh,
+                                       hemisphere_mesh,
+                                       solve_shell_static)
+
+
+def scordelis_lo(nel):
+    nodes, elems = cylinder_panel_mesh(25.0, 50.0, 40.0, nel, nel)
+    n = nodes.shape[0]
+    fixed = []
+    for i in range(n):
+        if nodes[i, 1] in (0.0, 50.0):
+            fixed += [6 * i + 0, 6 * i + 2]
+    p = ShellProblem(nodes=nodes, elements=elems, young=4.32e8,
+                     poisson=0.0, thickness=0.25, density=1.0,
+                     loads=np.zeros(6 * n), fixed_dofs=np.array(fixed),
+                     body_force=np.array([0.0, 0.0, -90.0]))
+    st = solve_shell_static(p)
+    phi = np.deg2rad(40.0)
+    target = np.array([25.0 * np.sin(phi), 25.0, 25.0 * np.cos(phi)])
+    i_mid = int(np.argmin(np.linalg.norm(nodes - target, axis=1)))
+    return st.displacements[6 * i_mid + 2]
+
+
+def pinched_cylinder(nel):
+    r_, lh = 300.0, 300.0
+    arcs = np.linspace(0.0, np.pi / 2, nel + 1)
+    ys = np.linspace(0.0, lh, nel + 1)
+    nodes = np.array([[r_ * np.sin(a), y, r_ * np.cos(a)]
+                      for y in ys for a in arcs])
+    elems = []
+    na = nel + 1
+    for j in range(nel):
+        for i in range(nel):
+            n0 = j * na + i
+            elems.append([n0, n0 + 1, n0 + 1 + na, n0 + na])
+    n = nodes.shape[0]
+    fixed = []
+    for i in range(n):
+        x, y, z = nodes[i]
+        if y == 0.0:
+            fixed += [6 * i + 0, 6 * i + 2]
+        if y == lh:
+            fixed += [6 * i + 1, 6 * i + 3, 6 * i + 5]
+        if abs(x) < 1e-9:
+            fixed += [6 * i + 0, 6 * i + 4, 6 * i + 5]
+        if abs(z) < 1e-9:
+            fixed += [6 * i + 2, 6 * i + 3, 6 * i + 4]
+    loads = np.zeros(6 * n)
+    i_load = int(np.argmin(np.linalg.norm(
+        nodes - np.array([0.0, lh, r_]), axis=1)))
+    loads[6 * i_load + 2] = -0.25
+    p = ShellProblem(nodes=nodes, elements=np.asarray(elems),
+                     young=3e6, poisson=0.3, thickness=3.0,
+                     density=1.0, loads=loads,
+                     fixed_dofs=np.unique(fixed))
+    return solve_shell_static(p).displacements[6 * i_load + 2]
+
+
+def hemisphere(nel):
+    nodes, elems = hemisphere_mesh(10.0, 18.0, nel)
+    n = nodes.shape[0]
+    fixed = []
+    for i in range(n):
+        x, y, z = nodes[i]
+        if abs(y) < 1e-9:
+            fixed += [6 * i + 1, 6 * i + 3, 6 * i + 5]
+        if abs(x) < 1e-9:
+            fixed += [6 * i + 0, 6 * i + 4, 6 * i + 5]
+    i_a = int(np.argmin(np.linalg.norm(
+        nodes - np.array([10.0, 0.0, 0.0]), axis=1)))
+    i_b = int(np.argmin(np.linalg.norm(
+        nodes - np.array([0.0, 10.0, 0.0]), axis=1)))
+    fixed.append(6 * i_a + 2)
+    loads = np.zeros(6 * n)
+    loads[6 * i_a + 0] = 1.0
+    loads[6 * i_b + 1] = -1.0
+    p = ShellProblem(nodes=nodes, elements=elems, young=6.825e7,
+                     poisson=0.3, thickness=0.04, density=1.0,
+                     loads=loads, fixed_dofs=np.unique(fixed))
+    return solve_shell_static(p).displacements[6 * i_a + 0]
+
+
+def main():
+    print("== Scordelis-Lo roof (target -0.3024) ==")
+    for nel in (8, 16):
+        print(f"  {nel:>2}x{nel:<2} -> {scordelis_lo(nel):+.5f}")
+    print("== Pinched cylinder (target -1.8248e-5) ==")
+    for nel in (8, 16):
+        print(f"  {nel:>2}x{nel:<2} -> {pinched_cylinder(nel):+.5e}")
+    print("== Hemisphere, 18 deg hole (target +0.0940) ==")
+    for nel in (8, 16):
+        print(f"  {nel:>2}x{nel:<2} -> {hemisphere(nel):+.5f}")
+    # Published-value sanity (the 16x16 points pinned in tests).
+    assert abs(scordelis_lo(16) + 0.29514) < 3e-4
+    print("shell obstacle course OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ SCRIPTS.append("reliability_assessment")
 SCRIPTS.append("frame_analysis")
 SCRIPTS.append("solid_analysis")
 SCRIPTS.append("space_frame_analysis")
+SCRIPTS.append("shell_obstacle_course")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
