@@ -496,7 +496,7 @@ def run_continuum_reduction(problem, analysis: Dict,
 
     method = analysis.get("method", "guyan")
     dpn = {"plane": 2, "solid": 3, "frame": 3, "plate": 3,
-           "frame3d": 6}[element_type]
+           "frame3d": 6, "shell": 6}[element_type]
     if "master_dofs" in analysis:
         masters = np.asarray(analysis["master_dofs"], dtype=int)
     elif "master_nodes" in analysis:

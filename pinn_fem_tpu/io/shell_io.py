@@ -33,7 +33,20 @@ convention):
                | {"type": "harmonic", "omegas": [..] |
                   {"start": w0, "stop": w1, "num": n},
                   "damping": [a, b], "probe_nodes": [..] |
-                  "probe_dofs": [..]}}
+                  "probe_dofs": [..]}
+               | {"type": "spectrum", "sa": 2.5 | {..},
+                  "direction": [x, y, z], "n_modes": 6,
+                  "combination": "srss" | "cqc",
+                  "damping_ratio": 0.05}
+                     # seismic modal combination; governing
+                     # extreme-fiber vM of the combined [N, M]
+                     # resultants (solvers/continuum_spectrum)
+               | {"type": "random", "omegas": [..] | {..},
+                  "psd": S0 | {..}, "damping": [a, b],
+                  "probe_nodes": [..]}
+               | {"type": "reduction", "method": "guyan" |
+                  "craig_bampton", "master_nodes": [..],
+                  "n_modes": 4}}
 
 The obstacle-course geometries run through the `mesh` generators; the
 corpus document dyn-shell.json is the Scordelis-Lo roof gated on the
@@ -244,8 +257,25 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
             "real": res.real.tolist(),
             "imag": res.imag.tolist(),
         }
+    if kind == "spectrum":
+        from ._common import run_continuum_spectrum
+
+        return run_continuum_spectrum(problem, analysis, "shell")
+    if kind == "random":
+        from ._common import run_continuum_random
+
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            probe = _probe6(analysis, problem)
+        return run_continuum_random(problem, analysis, "shell",
+                                    probe)
+    if kind == "reduction":
+        from ._common import run_continuum_reduction
+
+        return run_continuum_reduction(problem, analysis, "shell")
     raise ValueError('shell analysis type must be "static", "modal", '
-                     '"transient" or "harmonic"')
+                     '"transient", "harmonic", "spectrum", "random" '
+                     'or "reduction"')
 
 
 def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:

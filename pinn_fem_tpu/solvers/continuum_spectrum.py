@@ -239,9 +239,65 @@ def _family_of(problem) -> _Family:
             influence=sf_influence,
             lam_bound=sf_lam_bound,
             harmonic=F3.space_frame_harmonic)
+    from ..models.shell import ShellProblem
+
+    if isinstance(problem, ShellProblem):
+        from ..models import shell as SH
+
+        def shell_stress(p, u):
+            # Per-element stress resultants of a displacement state:
+            # [Nxx, Nyy, Nxy, Mxx, Myy, Mxy] (local facet axes) — the
+            # per-quantity combination rule's inputs.
+            nf, mom = SH._recover_shell(p, u)
+            return np.concatenate([nf, mom], axis=1)
+
+        def shell_vm(p, comb):
+            # Governing extreme-fiber von Mises of the COMBINED
+            # resultants: σ = N/t ± 6M/t² per component, both fibers
+            # (the plate family's design-code convention with the
+            # membrane term added).
+            t = p.thickness[:, None]
+            best = None
+            for s in (1.0, -1.0):
+                sig = comb[:, :3] / t + s * 6.0 * comb[:, 3:] / t ** 2
+                sxx, syy, sxy = sig[:, 0], sig[:, 1], sig[:, 2]
+                vm = np.sqrt(sxx ** 2 - sxx * syy + syy ** 2
+                             + 3.0 * sxy ** 2)
+                best = vm if best is None else np.maximum(best, vm)
+            return best
+
+        def shell_influence(p, d):
+            r = np.zeros(p.ndof)
+            for ax in range(3):
+                r[ax::6] = d[ax]
+            return r
+
+        def shell_lam_bound(p):
+            # Dense exact top generalized eigenvalue on the
+            # ridge-regularized pencil (the frame3d rationale).
+            import scipy.linalg
+
+            k, m = SH.shell_matrices(p)
+            m = m + 1e-10 * np.diag(m).max() * np.eye(m.shape[0])
+            free = np.setdiff1d(np.arange(p.ndof), p.fixed_dofs)
+            lam = scipy.linalg.eigh(k[np.ix_(free, free)],
+                                    m[np.ix_(free, free)],
+                                    eigvals_only=True)
+            return float(lam[-1])
+
+        return _Family(
+            dim=3,
+            modal=lambda p, n: _unpack_modal(SH.shell_modal(p, n)),
+            mass=lambda p: SH.shell_matrices(p)[1],
+            stresses=shell_stress,
+            vm=shell_vm,
+            influence=shell_influence,
+            lam_bound=shell_lam_bound,
+            harmonic=SH.shell_harmonic)
     raise TypeError("continuum spectrum/random needs a PlaneProblem, "
-                    "SolidProblem, FrameProblem, SpaceFrameProblem or "
-                    f"PlateProblem, got {type(problem).__name__}")
+                    "SolidProblem, FrameProblem, SpaceFrameProblem, "
+                    f"ShellProblem or PlateProblem, got "
+                    f"{type(problem).__name__}")
 
 
 def _unpack_modal(res):

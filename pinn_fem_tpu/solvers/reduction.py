@@ -261,13 +261,25 @@ def reduce_model(problem, master_dofs, method: str = "guyan",
         from ..models.plate import plate_matrices as mats
     else:
         from ..models.frame3d import SpaceFrameProblem
+        from ..models.shell import ShellProblem
 
         if isinstance(problem, SpaceFrameProblem):
             from ..models.frame3d import space_frame_matrices as mats
+        elif isinstance(problem, ShellProblem):
+            from ..models.shell import shell_matrices
+
+            def mats(p):
+                # Ridge-regularize the mass: the zero-mass drilling
+                # direction makes the raw shell pencil indefinite for
+                # the CB fixed-interface eigensolve
+                # (models/shell.shell_modal docstring).
+                k, m = shell_matrices(p)
+                m = m + 1e-10 * np.diag(m).max() * np.eye(m.shape[0])
+                return k, m
         else:
             raise TypeError("reduce_model needs a Truss/Plane/Solid/"
-                            "Frame/SpaceFrame/Plate problem, got "
-                            f"{type(problem).__name__}")
+                            "Frame/SpaceFrame/Shell/Plate problem, "
+                            f"got {type(problem).__name__}")
     k, m = mats(problem)
     if method == "guyan":
         return guyan_reduce_dense(k, m, problem.fixed_dofs,

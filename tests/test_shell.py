@@ -437,3 +437,73 @@ def test_shell_transient_and_harmonic_match_modal_superposition():
     np.testing.assert_allclose(amp[0, 0],
                                abs(st.displacements[6 * tip + 2]),
                                rtol=1e-6)
+
+
+def test_shell_spectrum_random_reduction_sdof_anchors():
+    """Shell SDOF (one free DOF — the guided transverse w of a single
+    flat facet, the continuum-spectrum family convention): spectrum
+    peak Sa·m/k with mass_fraction 1, white-noise variance
+    πS₀f²/(2kαm), and a CB reduction that nails f₁ on a real mesh."""
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+
+    nodes2d, elems = rect_mesh(1.0, 1.0, 1, 1, "quad")
+    n = nodes2d.shape[0]                  # 4 nodes, 1 facet
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    i = 6 * 3 + 2                         # node 3's w
+    fixed = np.setdiff1d(np.arange(6 * n), [i])
+    loads = np.zeros(6 * n)
+    loads[i] = 0.3
+    p = ShellProblem(nodes=nodes3d, elements=elems, young=E,
+                     poisson=NU, thickness=T, density=RHO,
+                     loads=loads, fixed_dofs=fixed)
+    k, m = shell_matrices(p)
+    ki, mi = k[i, i], m[i, i]
+
+    doc = {
+        "element_type": "shell",
+        "nodes": nodes3d.tolist(),
+        "elements": elems.tolist(),
+        "material": {"young": E, "poisson": NU, "thickness": T,
+                     "density": RHO},
+        "loads": loads.tolist(),
+        "fixed_dofs": fixed.tolist(),
+        "analysis": {"type": "spectrum", "sa": 2.5,
+                     "direction": [0.0, 0.0, 1.0], "n_modes": 2},
+    }
+    out = run_shell_document(doc)
+    assert out["success"] and out["element_type"] == "shell"
+    np.testing.assert_allclose(out["mass_fraction"], 1.0, rtol=1e-9)
+    np.testing.assert_allclose(out["max_displacement"],
+                               2.5 * mi / ki, rtol=1e-9)
+    assert np.isfinite(out["max_von_mises"])
+
+    wn = np.sqrt(ki / mi)
+    alpha = 0.4 * wn
+    out_r = run_shell_document({**doc, "analysis": {
+        "type": "random",
+        "omegas": {"start": 1e-3 * wn, "stop": 8.0 * wn, "num": 6000},
+        "psd": 0.7, "damping": [alpha, 0.0],
+        "probe_dofs": [int(i)]}})
+    exact = loads[i] ** 2 * np.pi * 0.7 / (2.0 * ki * alpha * mi)
+    np.testing.assert_allclose(np.asarray(out_r["rms"])[0] ** 2,
+                               exact, rtol=2e-2)
+
+    # CB reduction on the hard-SS plate mesh: tip... center master.
+    nodes2b, elemsb, _, fixeds = _hard_ss_plate_fixtures()
+    nb = nodes2b.shape[0]
+    nodes3b = np.concatenate([nodes2b, np.zeros((nb, 1))], axis=1)
+    center = int(np.argmin(np.linalg.norm(
+        nodes2b - np.array([1.0, 1.0]), axis=1)))
+    doc_g = {
+        "element_type": "shell",
+        "nodes": nodes3b.tolist(),
+        "elements": elemsb.tolist(),
+        "material": {"young": E, "poisson": NU, "thickness": T,
+                     "density": RHO},
+        "fixed_dofs": fixeds.tolist(),
+        "analysis": {"type": "reduction", "method": "craig_bampton",
+                     "master_nodes": [center], "n_modes": 4},
+    }
+    out_g = run_shell_document(doc_g)
+    assert out_g["success"] and out_g["analysis"] == "reduction"
+    assert out_g["frequency_rel_errors"][0] < 1e-3
