@@ -33,6 +33,7 @@ def scordelis_lo(nel):
     for i in range(n):
         if nodes[i, 1] in (0.0, 50.0):
             fixed += [6 * i + 0, 6 * i + 2]
+    fixed.append(1)          # pin the axial rigid mode (u_y at node 0)
     p = ShellProblem(nodes=nodes, elements=elems, young=4.32e8,
                      poisson=0.0, thickness=0.25, density=1.0,
                      loads=np.zeros(6 * n), fixed_dofs=np.array(fixed),

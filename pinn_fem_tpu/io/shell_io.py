@@ -162,7 +162,45 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
     if kind == "shell":
         # Route-injected type (the Node /api/fem convention).
         kind = "static"
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    large = problem.ndof > DENSE_DOF_LIMIT
     if kind == "static":
+        if large:
+            # Device tier: banded DIA + PCG (models/shell.py) with
+            # probe + summary payloads (the frame3d convention).
+            from ..models.shell import solve_shell_static_banded
+
+            res, iterations, residual = solve_shell_static_banded(
+                problem,
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iterations", 40000)),
+                use_pallas=bool(analysis.get("use_pallas", False)),
+                precond=analysis.get("precond", "auto"))
+            u = res.displacements
+            i_max = int(np.argmax(np.abs(u)))
+            out = {
+                "success": True,
+                "analysis": "static",
+                "element_type": "shell",
+                "tier": "banded",
+                "iterations": int(iterations),
+                "relative_residual": float(residual),
+                "max_displacement": float(np.abs(u[i_max])),
+                "max_displacement_dof": i_max,
+                "max_abs_membrane_force": float(
+                    np.abs(res.membrane_forces).max()),
+                "max_abs_moment": float(np.abs(res.moments).max()),
+            }
+            probe = analysis.get("probe_dofs")
+            if probe is None \
+                    and analysis.get("probe_nodes") is not None:
+                probe = _probe6(analysis, problem)
+            if probe is not None:
+                probe = np.asarray(probe, dtype=int).reshape(-1)
+                out["probe_dofs"] = probe.tolist()
+                out["probe_displacements"] = u[probe].tolist()
+            return out
         res = solve_shell_static(problem)
         u = res.displacements
         i_max = int(np.argmax(np.abs(u)))
@@ -190,6 +228,18 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
             out["reactions"] = res.reactions.tolist()
         return out
     if kind == "modal":
+        if large:
+            # Honest refusal (not a silent wrong answer): the
+            # thin-shell pencil sits below the f32 eigen floor on the
+            # banded device tier — measured 3-10% Ritz noise
+            # (models/shell.py, the no-banded-modal rationale).
+            raise ValueError(
+                f"shell modal is dense-host-only ({problem.ndof} "
+                f"DOFs > {DENSE_DOF_LIMIT}): the thin-shell pencil's "
+                "lambda_1/lambda_max ~ 3e-7 sits below the f32 "
+                "eigen-pencil floor of the banded device tier "
+                "(measured 3-10% Ritz noise); reduce the mesh or "
+                "condense a substructure")
         res = shell_modal(problem,
                           n_modes=int(analysis.get("n_modes", 6)))
         out = {

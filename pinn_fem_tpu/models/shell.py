@@ -87,6 +87,7 @@ __all__ = [
     "ShellHarmonicResult",
     "solve_shell_transient",
     "shell_harmonic",
+    "solve_shell_static_banded",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
 ]
@@ -555,3 +556,200 @@ def shell_harmonic(problem: ShellProblem, omegas,
         xs[i] = full[probe]
     return ShellHarmonicResult(omegas=om, amplitude=np.abs(xs),
                                real=xs.real, imag=xs.imag)
+
+
+# --------------------------------------------------------------------
+# Banded DEVICE tier: DIA + PCG statics and subspace-iteration modal
+# for large curved meshes — the frame3d pattern with 24x24 facet
+# blocks.  The membrane/plate kernels are xp-parameterized closed
+# forms, so the traced builder reuses them verbatim with xp=jnp;
+# facet frames and local coordinates are CONNECTIVITY+GEOMETRY data
+# computed once on the host and passed as traced arrays.
+
+_MEM_IDX = np.array([6 * a + d for a in range(4) for d in (0, 1)])
+_BND_IDX = np.array([6 * a + d for a in range(4) for d in (2, 3, 4)])
+_DRL_IDX = np.array([6 * a + 5 for a in range(4)])
+_Q_BETA = np.zeros((12, 12))
+for _a in range(4):
+    _Q_BETA[3 * _a:3 * _a + 3, 3 * _a:3 * _a + 3] = _BETA_OF_THETA
+del _a
+
+
+# The BANDED tier's drilling ε (vs the dense tier's 1e-6): the inner
+# f32 PCG (statics) and the inverse-iteration block solves (modal)
+# both operate on K ALONE, whose near-null drilling subspace sits at
+# α·G·t·A·ε — at ε = 1e-6 that puts κ(K) near 1e9 and the f32 solves
+# collapse (measured: the subspace iteration returned a spurious
+# zero Ritz value on the 12×12 panel).  ε = 1e-3 lifts the subspace
+# three decades while the physical pollution stays α·ε = 1e-6 of the
+# membrane stiffness — banded-vs-dense agreement still sits at the
+# ordinary f32 floor (tests/test_shell.py).
+_DRILL_EPS_BANDED = 1e-3
+
+
+def _shell_blocks_jnp(c2, r, young, poisson, thickness, area,
+                      drill_eps: float = _DRILL_EPS_BANDED):
+    """(m, 24, 24) traced GLOBAL stiffness blocks from traced local
+    coordinates/triads/properties.  precision="highest" on every MXU
+    contraction (the bf16 symmetry rule, models/plane.py)."""
+    import jax.numpy as jnp
+
+    m = c2.shape[0]
+    dtype = c2.dtype
+    dmat = _plane_dmat(young, poisson, False, xp=jnp)
+    km = _membrane_k(c2, dmat, thickness, 4, xp=jnp)
+    kp = _k_blocks_plate(c2, young, poisson, thickness, xp=jnp)
+    q = jnp.asarray(_Q_BETA, dtype)
+    kp = jnp.einsum("ij,mjk,kl->mil", q.T, kp, q,
+                    precision="highest")
+    k = jnp.zeros((m, 24, 24), dtype)
+    k = k.at[:, _MEM_IDX[:, None], _MEM_IDX[None, :]].add(km)
+    k = k.at[:, _BND_IDX[:, None], _BND_IDX[None, :]].add(kp)
+    g = young / (2.0 * (1.0 + poisson))
+    kd = _DRILL_ALPHA * g * thickness * area
+    pen = jnp.asarray((np.eye(4) - 0.25)
+                      + drill_eps * np.eye(4), dtype)
+    k = k.at[:, _DRL_IDX[:, None], _DRL_IDX[None, :]].add(
+        kd[:, None, None] * pen)
+    t = jnp.zeros((m, 24, 24), dtype)
+    for off in range(0, 24, 3):
+        t = t.at[:, off:off + 3, off:off + 3].set(r)
+    return jnp.einsum("mji,mjk,mkl->mil", t, k, t,
+                      precision="highest")
+
+
+def _shell_dia_layout(problem: ShellProblem):
+    """DIA layout cached on the instance (connectivity-only)."""
+    import jax.numpy as jnp
+
+    from ..ops.dia import dia_layout
+
+    layout = getattr(problem, "_dia_layout_cache", None)
+    if layout is None:
+        # A structured quad midsurface has up to 9 node-neighbour
+        # classes x 11 block diagonals (the solid family's budget
+        # rationale).
+        layout = dia_layout(problem.dof_map(), problem.ndof,
+                            max_diags=224)
+        problem._dia_layout_cache = layout
+        problem._dia_entry_slot_dev = jnp.asarray(layout.entry_slot)
+    return layout
+
+
+_SHELL_BANDED_CACHE: dict = {}
+
+
+def _shell_banded_core(layout, precond: str, use_pallas: bool,
+                       max_iter: int, nelm: int):
+    """Jitted banded shell statics, cached per structural signature
+    (never per problem object — the closure recompile trap)."""
+    key = (tuple(int(o) for o in layout.offsets), layout.ndof,
+           layout.bandwidth, nelm, precond, use_pallas, max_iter)
+    core = _SHELL_BANDED_CACHE.get(key)
+    if core is not None:
+        return core
+
+    import jax
+
+    from ..ops.dia import assemble_dia_blocks, dia_cg_solve, dia_matvec
+    from ..solvers.banded_inverse import DiaLayoutView
+
+    @jax.jit
+    def core(c2, r, young, poisson, thickness, area, entry_slot, f,
+             mask, tol):
+        kg_blocks = _shell_blocks_jnp(c2, r, young, poisson,
+                                      thickness, area)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, entry_slot), kg_blocks)
+        x, iters, rel = dia_cg_solve(layout, diags, f, mask, tol=tol,
+                                     max_iter=max_iter,
+                                     use_pallas=use_pallas,
+                                     precond=precond, components=6)
+        reac = (dia_matvec(layout, diags, x) - f) * (1.0 - mask)
+        return x, reac, iters, rel
+
+    _SHELL_BANDED_CACHE[key] = core
+    return core
+
+
+def solve_shell_static_banded(problem: ShellProblem,
+                              tol: float = 1e-7,
+                              max_iter: int = 40000,
+                              use_pallas: bool = False,
+                              precond: str = "auto", dtype=None,
+                              mesh=None):
+    """Large-mesh shell statics on the DEVICE tier.
+
+    Structured curved midsurfaces (cylinders, vaults, vessels) are
+    banded under grid numbering, so the whole solve rides the DIA
+    pipeline (ops/dia.py): batched (m, 24, 24) facet blocks
+    contracted on the MXU, one scatter into diagonal storage,
+    Jacobi-PCG (the mixed membrane/bending/drilling DOF scales make
+    Jacobi scaling load-bearing).  `mesh` row-block-shards the DOF
+    axis over "tp" (parallel/dia_sharded).
+
+    Returns (ShellStaticResult, iterations, relative_residual);
+    resultant recovery runs on the host from the fetched field (ONE
+    device_get).  Pinned against solve_shell_static at the f32 floor
+    in tests/test_shell.py."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.asarray(1.0).dtype
+    if precond == "auto":
+        precond = "jacobi"
+    layout = _shell_dia_layout(problem)
+    r_np, c2_np, _ = _facet_frames(problem)
+    area_np = _facet_area(c2_np)
+    f_np = problem.loads + _load_vectors_shell(problem)
+    args = (jnp.asarray(c2_np, dtype), jnp.asarray(r_np, dtype),
+            jnp.asarray(problem.young, dtype),
+            jnp.asarray(problem.poisson, dtype),
+            jnp.asarray(problem.thickness, dtype),
+            jnp.asarray(area_np, dtype))
+    if mesh is not None:
+        from ..ops.dia import assemble_dia_blocks, dia_matvec
+        from ..parallel.dia_sharded import dia_cg_solve_sharded
+        from ..solvers.banded_inverse import DiaLayoutView
+
+        kg_blocks = _shell_blocks_jnp(*args)
+        diags = assemble_dia_blocks(
+            DiaLayoutView(layout, problem._dia_entry_slot_dev),
+            kg_blocks)
+        f_dev = jnp.asarray(f_np, dtype)
+        mask_dev = jnp.asarray(problem.free_mask(), dtype)
+        x, iters, rel = dia_cg_solve_sharded(
+            layout, diags, f_dev, mask_dev, mesh, tol=float(tol),
+            max_iter=int(max_iter))
+        reac = (dia_matvec(layout, diags, x) - f_dev) \
+            * (1.0 - mask_dev)
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    else:
+        core = _shell_banded_core(layout, precond, use_pallas,
+                                  int(max_iter), problem.nelm)
+        x, reac, iters, rel = core(
+            *args, problem._dia_entry_slot_dev,
+            jnp.asarray(f_np, dtype),
+            jnp.asarray(problem.free_mask(), dtype),
+            jnp.asarray(tol, dtype))
+        u, reac, iters, rel = jax.device_get((x, reac, iters, rel))
+    u = np.asarray(u, dtype=float)
+    nf, mom = _recover_shell(problem, u)
+    res = ShellStaticResult(displacements=u, membrane_forces=nf,
+                            moments=mom,
+                            reactions=np.asarray(reac, dtype=float))
+    return res, int(iters), float(rel)
+
+
+# A banded MODAL tier is deliberately NOT shipped for shells: the
+# realistic thin-shell pencil has lambda_1/lambda_max(K) ~ 3e-7 (the
+# 12x12 t=2.5 panel measured 13417 / 5.2e10), below the f32
+# eigen-pencil floor eps32*kappa (solvers/buckling.py, CLAUDE.md) —
+# inverse subspace iteration on the f32 DIA operator returned Ritz
+# values wobbling 3-10% even with the explicit y'Ky Rayleigh-Ritz
+# form and 1e-7 inner recurrence residuals (measured; the implicit
+# y'rhs form, accurate for the truss/frame/plate pencils, is fully
+# swamped here because lambda/||K|| ~ 2e-5 < the 1e-4 true inner-solve
+# error).  Below DENSE_DOF_LIMIT the host f64 shell_modal serves;
+# above it, thin-shell modal needs f64 or a shift-invert
+# factorization the DIA pipeline does not carry.

@@ -1450,7 +1450,10 @@ function roofDoc() {
     material: { young: 4.32e8, poisson: 0, thickness: 0.25,
                 density: 1 },
     supports: [{ nodes: "y_min", dofs: [0, 2] },
-               { nodes: "y_max", dofs: [0, 2] }],
+               { nodes: "y_max", dofs: [0, 2] },
+               // one u_y pin removes the axial rigid mode the
+               // diaphragms leave free (solution unchanged)
+               { nodes: [0], dofs: [1] }],
     body_force: [0, 0, -90],
     analysis: { type: "static", probe_nodes: mid },
   };

@@ -168,6 +168,10 @@ def test_scordelis_lo_roof():
         for i in range(n):
             if nodes[i, 1] in (0.0, 50.0):
                 fixed += [6 * i + 0, 6 * i + 2]
+        # Pin the axial rigid mode (diaphragms leave u_y free — the
+        # load has no y-component, so the solution is unchanged to
+        # 12 digits, but the pencil is singular without it).
+        fixed.append(1)
         p = ShellProblem(nodes=nodes, elements=elems, young=4.32e8,
                          poisson=0.0, thickness=0.25, density=1.0,
                          loads=np.zeros(6 * n),
@@ -507,3 +511,80 @@ def test_shell_spectrum_random_reduction_sdof_anchors():
     out_g = run_shell_document(doc_g)
     assert out_g["success"] and out_g["analysis"] == "reduction"
     assert out_g["frequency_rel_errors"][0] < 1e-3
+
+
+def test_banded_static_matches_dense():
+    """Banded DIA device tier vs the dense host authority on the
+    Scordelis-Lo 12x12 roof (a genuinely curved, mixed
+    membrane/bending state): displacements and membrane forces at the
+    f32-PCG floor.  (A banded MODAL tier is deliberately not shipped
+    — the thin-shell pencil sits below the f32 eigen floor; see the
+    measured rationale in models/shell.py.)"""
+    from pinn_fem_tpu.models.shell import solve_shell_static_banded
+
+    nel = 12
+    nodes, elems = cylinder_panel_mesh(25.0, 50.0, 40.0, nel, nel)
+    n = nodes.shape[0]
+    fixed = []
+    for i in range(n):
+        if nodes[i, 1] in (0.0, 50.0):
+            fixed += [6 * i + 0, 6 * i + 2]
+    # Pin the axial rigid mode (diaphragms leave u_y free — the
+    # load has no y-component, so the solution is unchanged to
+    # 12 digits, but the pencil is singular without it).
+    fixed.append(1)
+    p = ShellProblem(nodes=nodes, elements=elems, young=4.32e8,
+                     poisson=0.0, thickness=0.25, density=1.0,
+                     loads=np.zeros(6 * n), fixed_dofs=np.array(fixed),
+                     body_force=np.array([0.0, 0.0, -90.0]))
+    dense = solve_shell_static(p)
+    res, iters, rel = solve_shell_static_banded(p, tol=1e-8)
+    assert iters > 0 and rel < 1e-6
+    scale = np.abs(dense.displacements).max()
+    # eps32*kappa floor: the thin roof's membrane/bending scale mix
+    # puts the banded-vs-dense gap at a few 1e-3 of the solution
+    # (the banded tier also carries drill_eps = 1e-3 vs the dense
+    # 1e-6 — physical difference ~1e-6, invisible at this floor).
+    np.testing.assert_allclose(res.displacements,
+                               dense.displacements,
+                               atol=6e-3 * scale)
+    np.testing.assert_allclose(
+        res.membrane_forces, dense.membrane_forces,
+        atol=6e-3 * np.abs(dense.membrane_forces).max())
+
+
+def test_banded_json_tier_and_modal_refusal():
+    """Above DENSE_DOF_LIMIT the shell JSON static dispatch rides the
+    banded device tier with probe + summary payloads; modal refuses
+    loudly with the measured f32-floor rationale."""
+    from pinn_fem_tpu.io.shell_io import run_shell_analysis
+    from pinn_fem_tpu.solvers import newton
+
+    nel = 8
+    nodes, elems = cylinder_panel_mesh(25.0, 50.0, 40.0, nel, nel)
+    n = nodes.shape[0]
+    fixed = []
+    for i in range(n):
+        if nodes[i, 1] in (0.0, 50.0):
+            fixed += [6 * i + 0, 6 * i + 2]
+    fixed.append(1)
+    p = ShellProblem(nodes=nodes, elements=elems, young=4.32e8,
+                     poisson=0.0, thickness=0.25, density=1.0,
+                     loads=np.zeros(6 * n), fixed_dofs=np.array(fixed),
+                     body_force=np.array([0.0, 0.0, -90.0]))
+    dense = solve_shell_static(p)
+    orig = newton.DENSE_DOF_LIMIT
+    try:
+        newton.DENSE_DOF_LIMIT = 16
+        out = run_shell_analysis(p, {"type": "static",
+                                     "tolerance": 1e-8,
+                                     "probe_nodes": [44]})
+        with pytest.raises(ValueError, match="f32 eigen-pencil"):
+            run_shell_analysis(p, {"type": "modal"})
+    finally:
+        newton.DENSE_DOF_LIMIT = orig
+    assert out["tier"] == "banded" and out["success"]
+    np.testing.assert_allclose(out["probe_displacements"][2],
+                               dense.displacements[6 * 44 + 2],
+                               rtol=5e-3)
+    assert "membrane_forces" not in out          # summary payload
