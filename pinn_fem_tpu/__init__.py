@@ -67,6 +67,8 @@ from .models.shell import (  # noqa: E402
     ShellProblem,
     cylinder_panel_mesh,
     hemisphere_mesh,
+    shell_buckling,
+    shell_geometric_stiffness,
     shell_harmonic,
     shell_matrices,
     shell_modal,
@@ -373,6 +375,8 @@ __all__ = [
     "solve_shell_static",
     "shell_modal",
     "shell_matrices",
+    "shell_buckling",
+    "shell_geometric_stiffness",
     "solve_shell_transient",
     "shell_harmonic",
     "cylinder_panel_mesh",

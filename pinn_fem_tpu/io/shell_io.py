@@ -25,6 +25,13 @@ convention):
      "point_masses": [[node, m], ..] | [..per node..],
      "analysis": {"type": "static"}         # default
                | {"type": "modal", "n_modes": 6}
+               | {"type": "buckling", "n_modes": 4,
+                  "membrane_force": [N11, N22, N12]}
+                     # linearized (K + λ K_g) φ = 0; membrane_force
+                     # (LOCAL facet axes, tension positive, scalars
+                     # or per-element rows) is optional — omitted,
+                     # K_g comes from the document's OWN static
+                     # solution, so λ scales the applied loads
                | {"type": "transient", "dt": 0.01, "n_steps": 500,
                   "damping": [a, b], "probe_nodes": [..] |
                   "probe_dofs": [..],
@@ -227,6 +234,32 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
             out["displacements"] = u.tolist()
             out["reactions"] = res.reactions.tolist()
         return out
+    if kind == "buckling":
+        if large:
+            raise ValueError(
+                f"shell buckling is dense-host-only ({problem.ndof} "
+                f"DOFs > {DENSE_DOF_LIMIT}): the thin-shell "
+                "eigen-pencil sits below the f32 floor of the banded "
+                "device tier (the shell-modal rationale, "
+                "models/shell.py); reduce the mesh")
+        from ..models.shell import shell_buckling
+
+        res = shell_buckling(
+            problem,
+            membrane_force=analysis.get("membrane_force"),
+            n_modes=int(analysis.get("n_modes", 4)))
+        out = {
+            "success": True,
+            "analysis": "buckling",
+            "element_type": "shell",
+            "load_factors": res.load_factors.tolist(),
+            "max_abs_membrane_force": float(
+                np.abs(res.membrane_forces).max()),
+        }
+        if analysis.get("include_shapes", True) \
+                and problem.ndof <= 6 * 600:
+            out["buckling_modes"] = res.modes.tolist()
+        return out
     if kind == "modal":
         if large:
             # Honest refusal (not a silent wrong answer): the
@@ -324,8 +357,8 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
 
         return run_continuum_reduction(problem, analysis, "shell")
     raise ValueError('shell analysis type must be "static", "modal", '
-                     '"transient", "harmonic", "spectrum", "random" '
-                     'or "reduction"')
+                     '"buckling", "transient", "harmonic", '
+                     '"spectrum", "random" or "reduction"')
 
 
 def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:

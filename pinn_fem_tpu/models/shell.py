@@ -80,9 +80,12 @@ __all__ = [
     "ShellProblem",
     "ShellStaticResult",
     "ShellModalResult",
+    "ShellBucklingResult",
     "shell_matrices",
     "solve_shell_static",
     "shell_modal",
+    "shell_geometric_stiffness",
+    "shell_buckling",
     "ShellTransientResult",
     "ShellHarmonicResult",
     "solve_shell_transient",
@@ -380,15 +383,22 @@ class ShellModalResult:
     mode_shapes: np.ndarray        # (n_modes, 6n)
 
 
-def shell_modal(problem: ShellProblem,
-                n_modes: int = 6) -> ShellModalResult:
+def shell_modal(problem: ShellProblem, n_modes: int = 6,
+                membrane_force=None) -> ShellModalResult:
     """Generalized K φ = λ M φ on the free block (consistent mass,
     rotary inertia from the plate block; drilling DOFs carry the
     stabilization stiffness and ~zero mass, so their pencil modes sit
-    far above the physical band)."""
+    far above the physical band).  A membrane force state
+    [N11, N22, N12] (local axes, per-element broadcast) adds the
+    geometric stiffness K_g(N) — tension raises frequencies,
+    compression lowers them, and ω₁² hits zero at the state's own
+    shell_buckling factor (the vibration-buckling link the
+    plane/plate families pin)."""
     import scipy.linalg
 
     k, m = shell_matrices(problem)
+    if membrane_force is not None:
+        k = k + shell_geometric_stiffness(problem, membrane_force)
     free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
     # The local drilling rotation carries zero consistent mass, and
     # on a CURVED midsurface that null direction is not axis-aligned
@@ -409,6 +419,127 @@ def shell_modal(problem: ShellProblem,
     return ShellModalResult(frequencies_hz=om / (2.0 * np.pi),
                             omegas=om, eigenvalues=lam,
                             mode_shapes=shapes)
+
+
+# --------------------------------------------------------------------
+# Initial-stress (geometric) stiffness and linearized shell buckling.
+# The membrane force state N = [N11, N22, N12] (force/length, LOCAL
+# facet axes, tension positive) either comes from the problem's own
+# static solution (the usual "buckling under the applied loads" run)
+# or is prescribed directly (the plate-family contract,
+# models/plate.py:plate_buckling).
+
+
+def shell_geometric_stiffness(problem: ShellProblem,
+                              membrane_force) -> np.ndarray:
+    """Dense geometric stiffness of a membrane force state on the
+    faceted midsurface:
+
+        K_g = Σ_facets ∫ Σ_{k∈{u,v,w}} (∇u_k)ᵀ N (∇u_k) dA
+
+    with ∇ the in-plane facet gradient and u_k the LOCAL displacement
+    components — the full Green-Lagrange initial-stress term of a
+    membrane stress resultant, all three components kept.  Why all
+    three and not just the transverse w of the plate operator
+    (models/plate.py:_gw_blocks):
+
+    * within one facet the frame is constant and Σ_k (∂u_k/∂s)² =
+      |∂u/∂s|² is frame-invariant, so the assembled form is OBJECTIVE
+      on curved midsurfaces (a rotated problem buckles at the same λ);
+    * the continuum limit is ∫ N |∂u/∂s|² ds — on a ring with hoop
+      compression the tangential component's gradient contributes
+      (v' + w) alongside the plate-like (w' − v), and the classical
+      inextensional energy balance gives λ_n = D·n²/R² (n = 2 →
+      4D/R², the dead-load ring buckling value; Timoshenko's
+      hydrostatic 3D/R³·R differs by the pressure-follower load
+      stiffness, which a linear eigen-pencil deliberately omits) —
+      the w-only operator misses the tangential term and lands on
+      the wrong ring constant;
+    * on a FLAT mesh the u, v rows face the membrane stiffness E·t
+      (their pencil modes sit at λ ~ E·t/N, decades above the plate
+      band), so the plate family's buckling factors are reproduced
+      exactly (tests/test_shell.py pins machine-precision agreement
+      with models/plate.py:plate_buckling).
+
+    2×2 Gauss, rotated TᵀK_gT to global axes like every other facet
+    block.  The reference rpacheco-blazquez/PINN-FEM has no stability
+    analysis at all (SURVEY §2); this mirrors the framework's own
+    plane/solid/frame/plate K_g tier."""
+    from .plane import _GP
+    from .plate import _shape_grads
+
+    nf = np.asarray(membrane_force, dtype=float)
+    if nf.ndim <= 1:
+        nf = np.broadcast_to(nf.reshape(-1), (3,))
+        nf = np.broadcast_to(nf, (problem.nelm, 3))
+    if nf.shape != (problem.nelm, 3):
+        raise ValueError("membrane_force must be [N11, N22, N12] or "
+                         f"(nelm, 3); got shape {nf.shape}")
+    nmat = np.empty((problem.nelm, 2, 2))
+    nmat[:, 0, 0] = nf[:, 0]
+    nmat[:, 1, 1] = nf[:, 1]
+    nmat[:, 0, 1] = nmat[:, 1, 0] = nf[:, 2]
+    r, c2, _ = _facet_frames(problem)
+    blk = None
+    for xi, eta in _GP:
+        _, dx, dy, det = _shape_grads(c2, xi, eta)
+        g = np.stack([dx, dy], axis=1)                  # (m, 2, 4)
+        b = det[:, None, None] * np.einsum("mia,mij,mjb->mab",
+                                           g, nmat, g)  # (m, 4, 4)
+        blk = b if blk is None else blk + b
+    kg_loc = np.zeros((problem.nelm, 24, 24))
+    for k in range(3):
+        idx = 6 * np.arange(4) + k
+        kg_loc[:, idx[:, None], idx[None, :]] += blk
+    t = _transformation_shell(r)
+    kg_glob = np.einsum("mji,mjk,mkl->mil", t, kg_loc, t)
+    dm = problem.dof_map()
+    kg = np.zeros((problem.ndof, problem.ndof))
+    np.add.at(kg, (dm[:, :, None], dm[:, None, :]), kg_glob)
+    return kg
+
+
+@dataclass
+class ShellBucklingResult:
+    load_factors: np.ndarray       # (n_modes,) ascending positive λ
+    modes: np.ndarray              # (n_modes, 6n)
+    membrane_forces: np.ndarray    # (m, 3) the N state that was scaled
+
+
+def shell_buckling(problem: ShellProblem, membrane_force=None,
+                   n_modes: int = 4) -> ShellBucklingResult:
+    """Linearized shell buckling (K + λ K_g(N)) φ = 0 on the free
+    block.  N comes from the problem's OWN static solution under its
+    applied loads/pressure when membrane_force is None (so λ directly
+    scales the applied load), or is prescribed [N11, N22, N12] /
+    (nelm, 3) in local facet axes.  Solved as the symmetric pencil
+    −K_g φ = μ K φ, λ = 1/μ for the largest positive μ (the
+    plane/plate pattern — K is SPD on a supported mesh, the drilling
+    stabilization carrying the otherwise-null θz block)."""
+    import scipy.linalg
+
+    if membrane_force is None:
+        membrane_force = solve_shell_static(problem).membrane_forces
+    nf = np.asarray(membrane_force, dtype=float)
+    kg = shell_geometric_stiffness(problem, nf)
+    k, _ = shell_matrices(problem, with_mass=False)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    mu, vec = scipy.linalg.eigh(-kg[np.ix_(free, free)],
+                                k[np.ix_(free, free)])
+    pos = np.flatnonzero(mu > 1e-12 * np.abs(mu).max())
+    if pos.size == 0:
+        raise ValueError("the membrane force state destabilizes no "
+                         "mode (all-tension N?) — shell buckling "
+                         "needs a compressive component")
+    order = pos[np.argsort(mu[pos])[::-1]][:n_modes]
+    lam = 1.0 / mu[order]
+    modes = np.zeros((order.size, problem.ndof))
+    modes[:, free] = vec[:, order].T
+    if nf.ndim <= 1:
+        nf = np.broadcast_to(np.reshape(nf, -1), (3,))
+        nf = np.broadcast_to(nf, (problem.nelm, 3))
+    return ShellBucklingResult(load_factors=lam, modes=modes,
+                               membrane_forces=np.array(nf))
 
 
 # --------------------------------------------------------------------

@@ -337,6 +337,22 @@ def test_shell_json_document_and_errors():
     assert out2["success"] and "displacements" in out2
     assert out2["max_displacement"] > 0.0
 
+    # Buckling kind: prescribed-N on the flat strip — the load factor
+    # family matches the direct API (shell_buckling is pinned against
+    # the plate family and the ring closed form elsewhere).
+    from pinn_fem_tpu.io.shell_io import parse_shell_document
+    from pinn_fem_tpu.models.shell import shell_buckling
+
+    p2, _ = parse_shell_document(doc2)
+    out_b = run_shell_document(
+        {**doc2, "analysis": {"type": "buckling", "n_modes": 2,
+                              "membrane_force": [-1.0, 0.0, 0.0]}})
+    lam_api = shell_buckling(p2, [-1.0, 0.0, 0.0],
+                             n_modes=2).load_factors
+    np.testing.assert_allclose(out_b["load_factors"], lam_api,
+                               rtol=1e-12)
+    assert out_b["analysis"] == "buckling" and "buckling_modes" in out_b
+
     with pytest.raises(ValueError, match="thickness"):
         run_shell_document({**doc2, "material": {"young": E}})
     with pytest.raises(ValueError, match="mesh.type"):
@@ -588,3 +604,194 @@ def test_banded_json_tier_and_modal_refusal():
                                dense.displacements[6 * 44 + 2],
                                rtol=5e-3)
     assert "membrane_forces" not in out          # summary payload
+
+
+def _flat_ss_shell_square(nx=10):
+    """Flat SS square (a = b = 1, t = 0.05) as plate AND shell
+    problems with matching hard-SS supports — the buckling fixtures."""
+    from pinn_fem_tpu.models.plate import PlateProblem
+
+    a = 1.0
+    xs = np.linspace(0.0, a, nx + 1)
+    nodes2 = np.array([[x, y] for y in xs for x in xs])
+    elems = []
+    for j in range(nx):
+        for i in range(nx):
+            n0 = j * (nx + 1) + i
+            elems.append([n0, n0 + 1, n0 + nx + 2, n0 + nx + 1])
+    elems = np.array(elems)
+    n = nodes2.shape[0]
+    fixedp, fixeds = [], []
+    for i, (x, y) in enumerate(nodes2):
+        ex = x in (0.0, a)
+        ey = y in (0.0, a)
+        if ex or ey:
+            fixedp.append(3 * i)
+            fixeds.append(6 * i + 2)
+        if ey:
+            fixedp.append(3 * i + 1)      # plate βx = −θy
+            fixeds.append(6 * i + 4)
+        if ex:
+            fixedp.append(3 * i + 2)      # plate βy = +θx
+            fixeds.append(6 * i + 3)
+    # In-plane rigid modes of the shell (prescribed-N run: no membrane
+    # load, so only the null modes need pinning).
+    fixeds += [0, 1, 6 * nx + 1]
+    t = 0.05
+    plate = PlateProblem(nodes=nodes2, elements=elems, young=1.0e4,
+                         poisson=0.3, thickness=t, density=1.0,
+                         loads=np.zeros(3 * n),
+                         fixed_dofs=np.unique(fixedp))
+    nodes3 = np.concatenate([nodes2, np.zeros((n, 1))], axis=1)
+    shell = ShellProblem(nodes=nodes3, elements=elems, young=1.0e4,
+                         poisson=0.3, thickness=t, density=1.0,
+                         loads=np.zeros(6 * n),
+                         fixed_dofs=np.unique(fixeds))
+    return plate, shell
+
+
+def test_shell_buckling_flat_matches_plate_family():
+    """Prescribed uniaxial compression on the flat SS square: the
+    shell pencil reproduces the plate family's load factors to machine
+    precision (the w rows of the full-gradient K_g ARE the plate
+    operator; the u, v rows face the membrane stiffness E·t and sit
+    decades above), both near the exact Mindlin closed form."""
+    from pinn_fem_tpu.models.plate import (mindlin_ss_buckling_nx,
+                                           plate_buckling)
+    from pinn_fem_tpu.models.shell import shell_buckling
+
+    plate, shell = _flat_ss_shell_square(10)
+    lp = plate_buckling(plate, [-1.0, 0.0, 0.0],
+                        n_modes=2).load_factors
+    ls = shell_buckling(shell, [-1.0, 0.0, 0.0],
+                        n_modes=2).load_factors
+    np.testing.assert_allclose(ls, lp, rtol=1e-10)
+    exact = mindlin_ss_buckling_nx(1.0, 1.0, 1.0e4, 0.3, 0.05)
+    np.testing.assert_allclose(ls[0], exact, rtol=0.02)
+
+    # N = None path: the factor scales the problem's OWN static state.
+    # Uniform end compression P on the strip gives N11 = −P/width, so
+    # λ(loads) · P/width must equal λ(N11 = −1).
+    n = shell.nnode
+    right = np.flatnonzero(shell.nodes[:, 0] == 1.0)
+    loads = np.zeros(6 * n)
+    p_tot = 0.7
+    loads[6 * right] = -p_tot / 10.0
+    loads[6 * right[0]] = loads[6 * right[-1]] = -p_tot / 20.0
+    left = np.flatnonzero(shell.nodes[:, 0] == 0.0)
+    fixed2 = np.unique(np.concatenate(
+        [shell.fixed_dofs, 6 * left, [6 * right[0] + 1]]))
+    loaded = ShellProblem(nodes=shell.nodes, elements=shell.elements,
+                          young=shell.young, poisson=shell.poisson,
+                          thickness=shell.thickness,
+                          density=shell.density, loads=loads,
+                          fixed_dofs=fixed2)
+    res = shell_buckling(loaded, n_modes=1)
+    np.testing.assert_allclose(res.membrane_forces[:, 0], -p_tot,
+                               rtol=1e-9)
+    np.testing.assert_allclose(res.load_factors[0] * p_tot, ls[0],
+                               rtol=1e-6)
+
+    with pytest.raises(ValueError, match="compressive"):
+        shell_buckling(shell, [1.0, 1.0, 0.0])
+
+
+def test_shell_buckling_ring_ovalization_closed_form():
+    """Quarter ring (symmetry BCs, plane-strain via u_y fixed) under
+    unit hoop compression: the ovalization family converges O(h²)
+    FROM ABOVE onto λ_n = D n²/R² — the classical dead-load ring
+    buckling constants (n = 2: 4D/R²; Timoshenko's hydrostatic 3D/R²
+    differs by the pressure-follower load stiffness a linear pencil
+    omits, the shell_geometric_stiffness docstring derivation).  The
+    genuinely-curved buckling anchor: hoop membrane force destabilizes
+    radial bending through the facet frames."""
+    from pinn_fem_tpu.models.shell import shell_buckling
+
+    r_mid, t, e_mod = 10.0, 0.1, 1.0e6
+    d0 = e_mod * t ** 3 / 12.0
+    lam1 = []
+    for narc in (8, 16, 32):
+        angs = np.linspace(0.0, np.pi / 2, narc + 1)
+        nodes = np.array([[r_mid * np.sin(a), y, r_mid * np.cos(a)]
+                          for y in (0.0, 1.0) for a in angs])
+        na = narc + 1
+        elems = np.array([[i, i + 1, i + 1 + na, i + na]
+                          for i in range(narc)])
+        fixed = []
+        for i, (x, y, z) in enumerate(nodes):
+            fixed.append(6 * i + 1)                  # plane strain
+            if abs(x) < 1e-9 * r_mid:                # x = 0 symmetry
+                fixed += [6 * i + 0, 6 * i + 4, 6 * i + 5]
+            if abs(z) < 1e-9 * r_mid:                # z = 0 symmetry
+                fixed += [6 * i + 2, 6 * i + 3, 6 * i + 4]
+        p = ShellProblem(nodes=nodes, elements=elems, young=e_mod,
+                         poisson=0.0, thickness=t, density=1.0,
+                         loads=np.zeros(6 * nodes.shape[0]),
+                         fixed_dofs=np.unique(fixed))
+        res = shell_buckling(p, [-1.0, 0.0, 0.0], n_modes=3)
+        lam1.append(res.load_factors[0])
+        if narc == 32:
+            np.testing.assert_allclose(
+                res.load_factors,
+                [4.0 * d0 / r_mid ** 2, 16.0 * d0 / r_mid ** 2,
+                 36.0 * d0 / r_mid ** 2], rtol=0.02)
+    lam1 = np.asarray(lam1)
+    exact = 4.0 * d0 / r_mid ** 2
+    assert np.all(lam1[:-1] > lam1[1:] - 1e-12)      # from above
+    np.testing.assert_allclose(lam1[-1], exact, rtol=2.5e-3)
+    # O(h²): halving h quarters the error.
+    err = lam1 - exact
+    assert 3.0 < err[0] / err[1] < 5.0
+    assert 3.0 < err[1] / err[2] < 5.0
+
+
+def test_shell_buckling_objectivity_and_modal_link():
+    """A rigidly rotated problem buckles at the same factors (the
+    full-gradient K_g is frame-invariant), and prestressed shell_modal
+    obeys the vibration-buckling link ω²(s) ≈ ω²(0)(1 − s/λ_cr) with
+    ω² → 0 at the state's own buckling factor."""
+    from pinn_fem_tpu.models.shell import shell_buckling
+
+    _, shell = _flat_ss_shell_square(6)
+    nf = np.tile([-1.0, 0.0, 0.0], (shell.nelm, 1))
+    l0 = shell_buckling(shell, nf, n_modes=2).load_factors
+
+    # Objectivity needs a rotation-invariant support set (the SS
+    # square pins individual GLOBAL components): clamp the edge ring.
+    edge = np.flatnonzero(
+        (shell.nodes[:, 0] == 0.0) | (shell.nodes[:, 0] == 1.0)
+        | (shell.nodes[:, 1] == 0.0) | (shell.nodes[:, 1] == 1.0))
+    clamped_fixed = (6 * edge[:, None]
+                     + np.arange(6)[None, :]).reshape(-1)
+    clamped = ShellProblem(nodes=shell.nodes,
+                           elements=shell.elements, young=shell.young,
+                           poisson=shell.poisson,
+                           thickness=shell.thickness,
+                           density=shell.density, loads=shell.loads,
+                           fixed_dofs=clamped_fixed)
+    lc = shell_buckling(clamped, nf, n_modes=2).load_factors
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.standard_normal((3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] *= -1.0
+    rotated = ShellProblem(nodes=clamped.nodes @ q.T,
+                           elements=clamped.elements,
+                           young=clamped.young,
+                           poisson=clamped.poisson,
+                           thickness=clamped.thickness,
+                           density=clamped.density,
+                           loads=clamped.loads,
+                           fixed_dofs=clamped_fixed)
+    lr = shell_buckling(rotated, nf, n_modes=2).load_factors
+    np.testing.assert_allclose(lr, lc, rtol=1e-9)
+
+    lam_cr = l0[0]
+    w0 = shell_modal(shell, n_modes=1).omegas[0] ** 2
+    for s in (0.5, 0.9):
+        ws = shell_modal(shell, n_modes=1,
+                         membrane_force=s * lam_cr * nf).omegas[0] ** 2
+        np.testing.assert_allclose(ws / w0, 1.0 - s, rtol=0.02)
+    # Tension STIFFENS.
+    wt = shell_modal(shell, n_modes=1,
+                     membrane_force=-lam_cr * nf).omegas[0] ** 2
+    assert wt > w0 * 1.5
