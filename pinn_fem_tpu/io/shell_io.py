@@ -23,6 +23,13 @@ convention):
      "pressure": q,                         # + along facet normals
      "body_force": [gx, gy, gz],            # force / unit area
      "point_masses": [[node, m], ..] | [..per node..],
+     "temperature": dT | [..per element..],   # uniform midsurface ΔT
+     "temperature_gradient": dTg | [..],      # TOP−BOTTOM face ΔT
+         # thermoelastic STATIC load case (needs material "alpha"):
+         # ΔT stretches the membrane (ε_th = αΔT), ΔT_g bends it
+         # (κ_th = αΔT_g/t — the plate-family convention); dynamic
+         # analyses refuse it loudly, buckling inherits the thermal
+         # membrane forces through the document's own static state
      "analysis": {"type": "static"}         # default
                | {"type": "modal", "n_modes": 6}
                | {"type": "buckling", "n_modes": 4,
@@ -160,7 +167,16 @@ def parse_shell_document(doc: Dict) -> Tuple[ShellProblem, Dict]:
                   else np.asarray(doc["pressure"], dtype=float)),
         body_force=(None if doc.get("body_force") is None
                     else np.asarray(doc["body_force"], dtype=float)),
-        point_masses=pm)
+        point_masses=pm,
+        alpha_cte=(None if mat.get("alpha") is None
+                   else np.asarray(mat["alpha"], dtype=float)),
+        temperature=(None if doc.get("temperature") is None
+                     else np.asarray(doc["temperature"],
+                                     dtype=float)),
+        temperature_gradient=(
+            None if doc.get("temperature_gradient") is None
+            else np.asarray(doc["temperature_gradient"],
+                            dtype=float)))
     return problem, (doc.get("analysis") or {"type": "static"})
 
 

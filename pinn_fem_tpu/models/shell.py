@@ -117,6 +117,13 @@ class ShellProblem:
     pressure: Optional[np.ndarray] = None      # (m,) normal q
     body_force: Optional[np.ndarray] = None    # (3,) force / area
     point_masses: Optional[np.ndarray] = None  # (n,) translational
+    # Thermoelastic load case (STATIC only, the plane/plate doctrine):
+    # uniform midsurface ΔT stretches the membrane (ε_th = αΔT[1,1,0])
+    # and a TOP−BOTTOM through-thickness difference bends it
+    # (κ_th = αΔT_g/t [1,1,0]).
+    alpha_cte: Optional[np.ndarray] = None            # (m,) or scalar
+    temperature: Optional[np.ndarray] = None          # (m,) mid ΔT
+    temperature_gradient: Optional[np.ndarray] = None  # (m,) ΔT_g
 
     def __post_init__(self):
         self.nodes = np.asarray(self.nodes, dtype=float)
@@ -148,6 +155,18 @@ class ShellProblem:
             self.point_masses = np.broadcast_to(
                 np.asarray(self.point_masses, dtype=float),
                 (self.nnode,)).copy()
+        if (self.temperature is not None
+                or self.temperature_gradient is not None):
+            if self.alpha_cte is None:
+                raise ValueError("a shell temperature load needs "
+                                 "alpha_cte (the expansion "
+                                 "coefficient)")
+        for name in ("alpha_cte", "temperature",
+                     "temperature_gradient"):
+            val = getattr(self, name)
+            if val is not None:
+                setattr(self, name, np.broadcast_to(
+                    np.asarray(val, dtype=float), (m,)).copy())
 
     @property
     def nnode(self) -> int:
@@ -296,6 +315,95 @@ def _load_vectors_shell(problem: ShellProblem):
     return f
 
 
+def _shell_thermal_fields(problem: ShellProblem):
+    """(ε_th (m, 3) or None, κ_th (m, 3) or None) of the thermoelastic
+    load case: a uniform midsurface ΔT stretches the membrane with the
+    plane-stress thermal strain ε_th = αΔT [1, 1, 0]
+    (models/plane.py:_thermal_strain — facets ARE plane-stress
+    membranes through the thickness), and a TOP−BOTTOM face difference
+    ΔT_g (linear profile T(z) = T_m + z ΔT_g/t) bends it with
+    κ_th = α ΔT_g / t [1, 1, 0] (models/plate.py:_thermal_curvature).
+    Thermoelasticity is a STATIC load case — the family doctrine."""
+    if problem.temperature is None \
+            and problem.temperature_gradient is None:
+        return None, None
+    eps_th = None
+    kap_th = None
+    if problem.temperature is not None:
+        a = problem.alpha_cte * problem.temperature
+        eps_th = np.stack([a, a, np.zeros_like(a)], axis=-1)
+    if problem.temperature_gradient is not None:
+        k = problem.alpha_cte * problem.temperature_gradient \
+            / problem.thickness
+        kap_th = np.stack([k, k, np.zeros_like(k)], axis=-1)
+    return eps_th, kap_th
+
+
+def _thermal_load_vectors_shell(problem: ShellProblem) -> np.ndarray:
+    """(6n,) consistent thermal nodal loads, assembled per facet in
+    the LOCAL frame and rotated Tᵀ to global like every other facet
+    quantity: membrane ∫ B_memᵀ D ε_th t dΩ on the local (u, v) rows
+    plus bending ∫ B_bᵀ D_b κ_th dΩ conjugated from the plate
+    (w, βx, βy) basis to (w, θx, θy) (the _facet_blocks Q map).
+
+    Exact anchors (tests/test_shell.py): a uniformly heated faceted
+    midsurface with one clamped node expands as the stress-free
+    homothety u = αΔT (x − x₀) — per flat facet the in-plane gradient
+    is αΔT·I (ε = ε_th), the local normal offset w is CONSTANT (every
+    point of a plane shares ẑ·x), and facet normals stay parallel
+    (θ = 0), so membrane, bending AND MITC shear strains all vanish —
+    on cylinders exactly as on flat meshes; and flat meshes reproduce
+    the plane/plate family thermal solutions to roundoff (same
+    kernels)."""
+    eps_th, kap_th = _shell_thermal_fields(problem)
+    if eps_th is None and kap_th is None:
+        return np.zeros(problem.ndof)
+    from .plane import _GP, _q4_point
+    from .plate import _bend_b, _dmats, _shape_grads
+
+    r, c2, _ = _facet_frames(problem)
+    m = problem.nelm
+    fe_loc = np.zeros((m, 24))
+    if eps_th is not None:
+        dmat = _plane_dmat(problem.young, problem.poisson, False)
+        s_th = np.einsum("mij,mj->mi", dmat, eps_th)       # (m, 3)
+        fe_mem = np.zeros((m, 8))
+        for xi, eta in _GP:
+            b, det = _q4_point(c2, xi, eta)
+            fe_mem += (problem.thickness * det)[:, None] \
+                * np.einsum("mia,mi->ma", b, s_th)
+        fe_loc[:, _MEM_IDX] += fe_mem
+    if kap_th is not None:
+        db, _ = _dmats(problem.young, problem.poisson,
+                       problem.thickness)
+        m_th = np.einsum("mij,mj->mi", db, kap_th)          # (m, 3)
+        fe_bnd = np.zeros((m, 12))
+        for xi, eta in _GP:
+            _, dx, dy, det = _shape_grads(c2, xi, eta)
+            bb = _bend_b(dx, dy)
+            fe_bnd += det[:, None] * np.einsum("mia,mi->ma", bb, m_th)
+        fe_loc[:, _BND_IDX] += np.einsum("ji,mj->mi", _Q_BETA, fe_bnd)
+    t = _transformation_shell(r)
+    fg = np.einsum("mji,mj->mi", t, fe_loc)
+    f = np.zeros(problem.ndof)
+    np.add.at(f, problem.dof_map(), fg)
+    return f
+
+
+def _require_no_thermal_shell(problem: ShellProblem, kind: str):
+    """Dynamic paths refuse a temperature load: the forcing is
+    amplitude-scaled in time and a thermal load is a constant static
+    case — oscillating it would be silently wrong physics (the
+    family-wide rule, models/plane.py:_require_no_thermal)."""
+    if problem.temperature is not None \
+            or problem.temperature_gradient is not None:
+        raise ValueError(
+            f"shell {kind} does not take a temperature load case — "
+            "thermoelastic loads are static; use analysis type "
+            '"static" (or "buckling", which inherits ΔT membrane '
+            "forces through the static state)")
+
+
 def shell_matrices(problem: ShellProblem, with_mass: bool = True):
     """(K, M) dense global matrices — the one assembly every shell
     solver shares (host float64)."""
@@ -334,7 +442,8 @@ def solve_shell_static(problem: ShellProblem) -> ShellStaticResult:
     k, _ = shell_matrices(problem, with_mass=False)
     mask = problem.free_mask()
     km = mask[:, None] * k * mask[None, :] + np.diag(1.0 - mask)
-    f = problem.loads + _load_vectors_shell(problem)
+    f = problem.loads + _load_vectors_shell(problem) \
+        + _thermal_load_vectors_shell(problem)
     u = np.linalg.solve(km, f * mask) * mask
     reactions = (k @ u - f) * (1.0 - mask)
     nf, mom = _recover_shell(problem, u)
@@ -355,6 +464,9 @@ def _recover_shell(problem: ShellProblem, u: np.ndarray):
     bmem, _ = _q4_point(c2, 0.0, 0.0)
     mem = np.array([6 * a + d for a in range(4) for d in (0, 1)])
     eps = np.einsum("mia,ma->mi", bmem, u_loc[:, mem])
+    eps_th, kap_th = _shell_thermal_fields(problem)
+    if eps_th is not None:
+        eps = eps - eps_th
     dmat = _plane_dmat(problem.young, problem.poisson, False)
     nf = problem.thickness[:, None] \
         * np.einsum("mij,mj->mi", dmat, eps)
@@ -367,6 +479,8 @@ def _recover_shell(problem: ShellProblem, u: np.ndarray):
     _, dx, dy, _ = _shape_grads(c2, 0.0, 0.0)
     bb = _bend_b(dx, dy)
     kap = np.einsum("mia,ma->mi", bb, u_plate)
+    if kap_th is not None:
+        kap = kap - kap_th
     e, nu, tt = problem.young, problem.poisson, problem.thickness
     d0 = e * tt ** 3 / (12.0 * (1.0 - nu * nu))
     mom = np.stack([d0 * (kap[:, 0] + nu * kap[:, 1]),
@@ -606,6 +720,7 @@ def solve_shell_transient(problem: ShellProblem, dt: float,
     in tests/test_shell.py."""
     import scipy.linalg
 
+    _require_no_thermal_shell(problem, "transient")
     if dt <= 0.0 or n_steps <= 0:
         raise ValueError("transient needs positive dt and n_steps")
     k, m = shell_matrices(problem)
@@ -665,6 +780,7 @@ def shell_harmonic(problem: ShellProblem, omegas,
     Rayleigh C = αM + βK, host float64 (the frame-family recipe; equal
     to the all-modes superposition for proportional damping —
     tests/test_shell.py)."""
+    _require_no_thermal_shell(problem, "harmonic")
     om = np.asarray(omegas, dtype=float).reshape(-1)
     k, m = shell_matrices(problem)
     m = m + 1e-10 * np.diag(m).max() * np.eye(m.shape[0])
@@ -832,7 +948,8 @@ def solve_shell_static_banded(problem: ShellProblem,
     layout = _shell_dia_layout(problem)
     r_np, c2_np, _ = _facet_frames(problem)
     area_np = _facet_area(c2_np)
-    f_np = problem.loads + _load_vectors_shell(problem)
+    f_np = problem.loads + _load_vectors_shell(problem) \
+        + _thermal_load_vectors_shell(problem)
     args = (jnp.asarray(c2_np, dtype), jnp.asarray(r_np, dtype),
             jnp.asarray(problem.young, dtype),
             jnp.asarray(problem.poisson, dtype),

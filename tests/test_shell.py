@@ -795,3 +795,212 @@ def test_shell_buckling_objectivity_and_modal_link():
     wt = shell_modal(shell, n_modes=1,
                      membrane_force=-lam_cr * nf).omegas[0] ** 2
     assert wt > w0 * 1.5
+
+
+def test_shell_thermal_static_anchors():
+    """Thermoelastic shell load case (models/shell.py:
+    _thermal_load_vectors_shell):
+
+    (a) a uniformly heated faceted CYLINDER clamped at one node
+        expands as the exact stress-free homothety u = αΔT (x − x₀) —
+        within each flat facet the in-plane gradient of the homothety
+        is αΔT·I (ε = ε_th), the local normal offset is constant over
+        a plane, and facet normals stay parallel (θ = 0), so membrane,
+        bending and MITC shear strains ALL vanish — the curved-
+        geometry objectivity anchor no flat family can provide;
+    (b) flat meshes reproduce the PLANE family's midsurface-ΔT
+        solution to machine precision (same kernels);
+    (c) flat meshes reproduce the PLATE family's through-thickness
+        gradient solution, and a fully CLAMPED flat shell under ΔT_g
+        stays flat with M = −D_b κ_th exactly;
+    (d) dynamic solvers refuse a temperature load loudly."""
+    from pinn_fem_tpu.models.shell import (shell_harmonic,
+                                           solve_shell_transient)
+
+    alpha, dt_mid = 1e-3, 10.0
+    c = alpha * dt_mid
+    # (a) heated faceted cylinder panel, one clamped node.
+    nodes, elems = cylinder_panel_mesh(5.0, 4.0, 60.0, 6, 4)
+    n = nodes.shape[0]
+    sp = ShellProblem(nodes=nodes, elements=elems, young=E,
+                      poisson=NU, thickness=T, density=RHO,
+                      loads=np.zeros(6 * n),
+                      fixed_dofs=np.arange(6),
+                      alpha_cte=alpha, temperature=dt_mid)
+    st = solve_shell_static(sp)
+    u = st.displacements
+    expect = c * (nodes - nodes[0])            # (n, 3)
+    scale = np.abs(expect).max()
+    for d in range(3):
+        np.testing.assert_allclose(u[d::6], expect[:, d],
+                                   atol=1e-9 * scale)
+        assert np.abs(u[3 + d::6]).max() < 1e-9 * c  # θ = 0
+    nscale = E * T * c
+    assert np.abs(st.membrane_forces).max() < 1e-9 * nscale
+    assert np.abs(st.moments).max() < 1e-9 * nscale * T
+    assert np.abs(st.reactions).max() < 1e-8 * nscale
+
+    # (b) flat strip vs the plane family (cantilevered edge).
+    from pinn_fem_tpu.models.plane import PlaneProblem, solve_plane_static
+
+    nodes2d, elems2 = rect_mesh(2.0, 1.0, 4, 2, "quad")
+    n2 = nodes2d.shape[0]
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0)
+    pp = PlaneProblem(nodes=nodes2d, elements=elems2, young=E,
+                      poisson=NU, thickness=T, density=RHO,
+                      loads=np.zeros(2 * n2),
+                      fixed_dofs=np.concatenate([2 * left,
+                                                 2 * left + 1]),
+                      alpha_cte=alpha, temperature=dt_mid)
+    rp = solve_plane_static(pp)
+    nodes3d = np.concatenate([nodes2d, np.zeros((n2, 1))], axis=1)
+    fixed6 = (6 * left[:, None] + np.arange(6)[None, :]).reshape(-1)
+    sp2 = ShellProblem(nodes=nodes3d, elements=elems2, young=E,
+                       poisson=NU, thickness=T, density=RHO,
+                       loads=np.zeros(6 * n2), fixed_dofs=fixed6,
+                       alpha_cte=alpha, temperature=dt_mid)
+    st2 = solve_shell_static(sp2)
+    s2 = np.abs(rp.displacements).max()
+    np.testing.assert_allclose(st2.displacements[0::6],
+                               rp.displacements[0::2],
+                               atol=1e-12 * s2)
+    np.testing.assert_allclose(st2.displacements[1::6],
+                               rp.displacements[1::2],
+                               atol=1e-12 * s2)
+    np.testing.assert_allclose(st2.membrane_forces, T * rp.stresses,
+                               atol=1e-12 * E * T * c)
+
+    # (c) flat SS plate vs the plate family under the SAME gradient
+    # (the plate family's "temperature" IS the top−bottom ΔT).
+    from pinn_fem_tpu.models.plate import (PlateProblem,
+                                           recover_moments,
+                                           solve_plate_static)
+
+    nodes2b, elemsb, fixedp, fixeds = _hard_ss_plate_fixtures()
+    nb = nodes2b.shape[0]
+    plp = PlateProblem(nodes=nodes2b, elements=elemsb, young=E,
+                       poisson=NU, thickness=T, density=RHO,
+                       loads=np.zeros(3 * nb), fixed_dofs=fixedp,
+                       alpha_cte=alpha, temperature=dt_mid)
+    rpl = solve_plate_static(plp)
+    nodes3b = np.concatenate([nodes2b, np.zeros((nb, 1))], axis=1)
+    sps = ShellProblem(nodes=nodes3b, elements=elemsb, young=E,
+                       poisson=NU, thickness=T, density=RHO,
+                       loads=np.zeros(6 * nb), fixed_dofs=fixeds,
+                       alpha_cte=alpha, temperature_gradient=dt_mid)
+    sts = solve_shell_static(sps)
+    wsc = np.abs(rpl.displacements[0::3]).max()
+    np.testing.assert_allclose(sts.displacements[2::6],
+                               rpl.displacements[0::3],
+                               atol=1e-12 * wsc)
+    mom_p, _, _ = recover_moments(plp, rpl.displacements)
+    np.testing.assert_allclose(sts.moments, mom_p,
+                               atol=1e-12 * np.abs(mom_p).max())
+
+    # Fully clamped flat shell stays flat with M = −D_b κ_th exactly.
+    edge = np.flatnonzero(
+        (nodes2b[:, 0] == 0) | (nodes2b[:, 0] == 2.0)
+        | (nodes2b[:, 1] == 0) | (nodes2b[:, 1] == 2.0))
+    allfix = (6 * edge[:, None] + np.arange(6)[None, :]).reshape(-1)
+    spc = ShellProblem(nodes=nodes3b, elements=elemsb, young=E,
+                       poisson=NU, thickness=T, density=RHO,
+                       loads=np.zeros(6 * nb), fixed_dofs=allfix,
+                       alpha_cte=alpha, temperature_gradient=dt_mid)
+    stc = solve_shell_static(spc)
+    d0 = E * T ** 3 / (12.0 * (1.0 - NU * NU))
+    kth = alpha * dt_mid / T
+    m_exp = -d0 * (1.0 + NU) * kth
+    assert np.abs(stc.displacements).max() < 1e-12
+    np.testing.assert_allclose(stc.moments[:, 0], m_exp, rtol=1e-10)
+    np.testing.assert_allclose(stc.moments[:, 1], m_exp, rtol=1e-10)
+    assert np.abs(stc.moments[:, 2]).max() < 1e-10 * abs(m_exp)
+
+    # (d) dynamics refuse.
+    with pytest.raises(ValueError, match="temperature"):
+        solve_shell_transient(sp, 0.01, 3)
+    with pytest.raises(ValueError, match="temperature"):
+        shell_harmonic(sp, [1.0])
+    with pytest.raises(ValueError, match="alpha_cte"):
+        ShellProblem(nodes=nodes, elements=elems, young=E,
+                     poisson=NU, thickness=T, density=RHO,
+                     loads=np.zeros(6 * n), fixed_dofs=np.arange(6),
+                     temperature=dt_mid)
+
+
+def test_shell_thermal_buckling_banded_and_json():
+    """A heated flat square with in-plane-RESTRAINED edges carries the
+    exact uniform thermal membrane state N = −EαΔT·t/(1−ν) [1, 1, 0]
+    (constant thermal stress self-equilibrates at interior nodes, so
+    u ≡ 0 is the discrete solution), and shell_buckling with its OWN
+    static state matches plate_buckling under that prescribed biaxial
+    N — the heated-panel thermal buckling anchor (the frame family's
+    heated-column analogue).  The banded device tier carries the
+    temperature keys (banded-vs-dense on a heated curved roof), and
+    the JSON tier parses material alpha + temperature documents."""
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+    from pinn_fem_tpu.models.plate import PlateProblem, plate_buckling
+    from pinn_fem_tpu.models.shell import (shell_buckling,
+                                           solve_shell_static_banded)
+
+    alpha, dt_mid = 1e-3, 1.0
+    nodes2b, elemsb, fixedp, fixeds = _hard_ss_plate_fixtures()
+    nb = nodes2b.shape[0]
+    nodes3b = np.concatenate([nodes2b, np.zeros((nb, 1))], axis=1)
+    sp = ShellProblem(nodes=nodes3b, elements=elemsb, young=E,
+                      poisson=NU, thickness=T, density=RHO,
+                      loads=np.zeros(6 * nb), fixed_dofs=fixeds,
+                      alpha_cte=alpha, temperature=dt_mid)
+    n_th = -E * alpha * dt_mid * T / (1.0 - NU)
+    st = solve_shell_static(sp)
+    assert np.abs(st.displacements).max() < 1e-12
+    np.testing.assert_allclose(st.membrane_forces[:, 0], n_th,
+                               rtol=1e-10)
+    np.testing.assert_allclose(st.membrane_forces[:, 1], n_th,
+                               rtol=1e-10)
+    res = shell_buckling(sp, n_modes=2)
+    plp = PlateProblem(nodes=nodes2b, elements=elemsb, young=E,
+                       poisson=NU, thickness=T, density=RHO,
+                       loads=np.zeros(3 * nb), fixed_dofs=fixedp)
+    ref = plate_buckling(plp, [n_th, n_th, 0.0], n_modes=2)
+    np.testing.assert_allclose(res.load_factors, ref.load_factors,
+                               rtol=1e-8)
+
+    # Banded tier carries the thermal load: heated supported roof.
+    nel = 8
+    nodes, elems = cylinder_panel_mesh(25.0, 50.0, 40.0, nel, nel)
+    n = nodes.shape[0]
+    fixed = []
+    for i in range(n):
+        if nodes[i, 1] in (0.0, 50.0):
+            fixed += [6 * i + 0, 6 * i + 2]
+    fixed.append(1)
+    p = ShellProblem(nodes=nodes, elements=elems, young=4.32e8,
+                     poisson=0.0, thickness=0.25, density=1.0,
+                     loads=np.zeros(6 * n),
+                     fixed_dofs=np.array(fixed),
+                     alpha_cte=1e-5, temperature=20.0)
+    dense = solve_shell_static(p)
+    resb, iters, rel = solve_shell_static_banded(p, tol=1e-8)
+    assert iters > 0 and rel < 1e-6
+    scale = np.abs(dense.displacements).max()
+    assert scale > 0.0
+    np.testing.assert_allclose(resb.displacements,
+                               dense.displacements,
+                               atol=6e-3 * scale)
+
+    # JSON tier: material alpha + document temperature keys.
+    doc = {
+        "element_type": "shell",
+        "nodes": nodes3b.tolist(),
+        "elements": elemsb.tolist(),
+        "material": {"young": E, "poisson": NU, "thickness": T,
+                     "density": RHO, "alpha": alpha},
+        "supports": [{"nodes": "x_min", "dofs": [0, 1, 2, 3, 4, 5]}],
+        "temperature": dt_mid,
+        "analysis": {"type": "static"},
+    }
+    out = run_shell_document(doc)
+    assert out["success"] and out["max_displacement"] > 0.0
+    doc["analysis"] = {"type": "transient", "dt": 0.01, "n_steps": 3}
+    with pytest.raises(ValueError, match="temperature"):
+        run_shell_document(doc)
