@@ -597,7 +597,8 @@ def run_continuum_reliability(problem, analysis: Dict,
     ls = dict(analysis.get("limit_state") or {})
     if ls.get("probe_dofs") is None \
             and ls.get("probe_nodes") is not None:
-        nd = 3 if element_type in ("solid", "plate") else 2
+        nd = {"solid": 3, "plate": 3, "shell": 6}.get(
+            element_type, 2)
         pn = np.asarray(ls["probe_nodes"], dtype=int).reshape(-1)
         ls["probe_dofs"] = (nd * pn[:, None]
                             + np.arange(nd)).reshape(-1).tolist()

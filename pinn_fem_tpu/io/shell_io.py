@@ -372,9 +372,19 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         from ._common import run_continuum_reduction
 
         return run_continuum_reduction(problem, analysis, "shell")
+    if kind == "reliability":
+        if problem.ndof > 8192:
+            raise ValueError(
+                f"shell reliability runs dense traced solves per "
+                f"HL-RF iteration; {problem.ndof} DOFs exceeds its "
+                "8192-DOF budget — coarsen the midsurface")
+        from ._common import run_continuum_reliability
+
+        return run_continuum_reliability(problem, analysis, "shell")
     raise ValueError('shell analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", '
-                     '"spectrum", "random" or "reduction"')
+                     '"spectrum", "random", "reduction" or '
+                     '"reliability"')
 
 
 def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:

@@ -91,6 +91,7 @@ __all__ = [
     "solve_shell_transient",
     "shell_harmonic",
     "solve_shell_static_banded",
+    "shell_static_response",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
 ]
@@ -1001,3 +1002,96 @@ def solve_shell_static_banded(problem: ShellProblem,
 # error).  Below DENSE_DOF_LIMIT the host f64 shell_modal serves;
 # above it, thin-shell modal needs f64 or a shift-invert
 # factorization the DIA pipeline does not carry.
+
+def shell_static_response(problem: ShellProblem, young_e=None,
+                          thickness_e=None, load_scale=None,
+                          dtype=None, drill_eps=_DRILL_EPS_BANDED):
+    """Traced, differentiable shell statics with per-element
+    properties: (u, resultants (m, 6) [Nxx, Nyy, Nxy, Mxx, Myy, Mxy]
+    in local facet axes, governing extreme-fiber von Mises (m,)) from
+    the masked dense solve K(E, t) u = f + traced centroid recovery —
+    the plane/plate `*_static_response` twin for the shell family, so
+    FORM reliability and thickness sizing reach curved midsurfaces.
+
+    The demand quantity is the EXTREME-FIBER von Mises at z = ±t/2:
+    σ± = N/t ± 6M/t², vM at both fibers, elementwise max — the same
+    governing-fiber convention as the shell spectrum adapter, with
+    the thickness TRACED so t-sensitivities carry both the 1/t
+    membrane and the 1/t²-of-(t³-stiff) bending physics exactly.
+
+    Facet frames and consistent pressure/body-force loads depend on
+    GEOMETRY only (not on E or t) and are built once in numpy; the
+    drilling stabilization uses the banded tier's ε = 1e-3 (the dense
+    1e-6 leaves κ(K) ~ 1e9 — beyond the default-f32 LU; physical
+    pollution stays ~1e-6 of membrane stiffness, and the flat-mesh
+    anchors are ε-independent because θz never engages there).
+    Thermoelastic documents are refused — their consistent loads
+    depend on (E, t) and the inverse families do not carry them."""
+    import jax.numpy as jnp
+
+    from .plane import _einsum, _q4_point
+    from .plate import _bend_b, _shape_grads
+
+    if problem.temperature is not None \
+            or problem.temperature_gradient is not None:
+        raise ValueError("the traced shell twin does not carry the "
+                         "thermoelastic load case — drop temperature/"
+                         "temperature_gradient for reliability or "
+                         "sizing blocks")
+    dtype = dtype or jnp.asarray(1.0).dtype
+    m = problem.nelm
+    r_np, c2_np, _ = _facet_frames(problem)
+    c2 = jnp.asarray(c2_np, dtype)
+    r = jnp.asarray(r_np, dtype)
+    area = jnp.asarray(_facet_area(c2_np), dtype)
+    young = jnp.broadcast_to(jnp.asarray(
+        problem.young if young_e is None else young_e, dtype), (m,))
+    poisson = jnp.broadcast_to(jnp.asarray(problem.poisson, dtype),
+                               (m,))
+    thickness = jnp.broadcast_to(jnp.asarray(
+        problem.thickness if thickness_e is None else thickness_e,
+        dtype), (m,))
+    blocks = _shell_blocks_jnp(c2, r, young, poisson, thickness,
+                               area, drill_eps=drill_eps)
+    dm = jnp.asarray(problem.dof_map())
+    k = jnp.zeros((problem.ndof, problem.ndof), dtype).at[
+        dm[:, :, None], dm[:, None, :]].add(blocks)
+    f = jnp.asarray(problem.loads + _load_vectors_shell(problem),
+                    dtype)
+    if load_scale is not None:
+        f = f * jnp.asarray(load_scale, dtype)
+    mask = jnp.asarray(problem.free_mask(), dtype)
+    km = mask[:, None] * k * mask[None, :] + jnp.diag(1.0 - mask)
+    u = jnp.linalg.solve(km, f * mask) * mask
+
+    # Traced centroid recovery in the local facet axes
+    # (_recover_shell's algebra on jnp).
+    t24 = jnp.zeros((m, 24, 24), dtype)
+    for off in range(0, 24, 3):
+        t24 = t24.at[:, off:off + 3, off:off + 3].set(r)
+    u_loc = _einsum(jnp, "mij,mj->mi", t24, u[dm])
+    bmem, _ = _q4_point(c2, 0.0, 0.0, xp=jnp)
+    eps = _einsum(jnp, "mia,ma->mi", bmem,
+                  u_loc[:, jnp.asarray(_MEM_IDX)])
+    dmat = _plane_dmat(young, poisson, False, xp=jnp)
+    nf = thickness[:, None] * _einsum(jnp, "mij,mj->mi", dmat, eps)
+    q = jnp.asarray(_Q_BETA, dtype)
+    u_plate = _einsum(jnp, "ij,mj->mi", q,
+                      u_loc[:, jnp.asarray(_BND_IDX)])
+    _, dx, dy, _ = _shape_grads(c2, 0.0, 0.0, xp=jnp)
+    kap = _einsum(jnp, "mia,ma->mi", _bend_b(dx, dy, xp=jnp),
+                  u_plate)
+    d0 = young * thickness ** 3 / (12.0 * (1.0 - poisson ** 2))
+    mom = jnp.stack([d0 * (kap[:, 0] + poisson * kap[:, 1]),
+                     d0 * (kap[:, 1] + poisson * kap[:, 0]),
+                     d0 * (1.0 - poisson) / 2.0 * kap[:, 2]],
+                    axis=-1)
+    sm = nf / thickness[:, None]
+    sb = 6.0 * mom / thickness[:, None] ** 2
+
+    def _vm(s):
+        return jnp.sqrt(s[:, 0] ** 2 - s[:, 0] * s[:, 1]
+                        + s[:, 1] ** 2 + 3.0 * s[:, 2] ** 2)
+
+    vm = jnp.maximum(_vm(sm + sb), _vm(sm - sb))
+    return u, jnp.concatenate([nf, mom], axis=-1), vm

@@ -14,8 +14,8 @@ analysis at all (SURVEY §2).
 Variable kinds:
   * young       — per-element subsets ("elements": [..]) like the
                   truss/frame families;
-  * thickness   — plane and plate only (a solid has no thickness
-                  field; rejected there).  Internally aliased onto
+  * thickness   — plane, plate and shell only (a solid has no
+                  thickness field; rejected there).  Internally aliased onto
                   the truss parser's "area" slot (same shape: a
                   per-element field with an optional subset) — the
                   frame family's inertia-aliasing trick;
@@ -33,7 +33,10 @@ Limit states:
   {"type": "stress", "limit": R | "variable": name,
    "elements": [..]}
       von Mises / R per probed element — centroid vM for plane and
-      solid, EXTREME-FIBER vM (6M/t², thickness-traced) for plates.
+      solid, EXTREME-FIBER vM (6M/t², thickness-traced) for plates,
+      and the GOVERNING extreme-fiber vM of N/t ± 6M/t² at both
+      fibers for shells (curved midsurfaces carry membrane and
+      bending simultaneously — the shell spectrum convention).
 
 EXACT anchors (tests/test_continuum_reliability.py): determinate
 uniaxial states make the demand independent of E, so the lognormal
@@ -50,7 +53,7 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-_FAMILIES = ("plane", "solid", "plate")
+_FAMILIES = ("plane", "solid", "plate", "shell")
 
 
 def continuum_reliability(problem, variables: Sequence[Dict],
@@ -159,6 +162,15 @@ def continuum_reliability(problem, variables: Sequence[Dict],
             # (u, moments, extreme-fiber vM) — vM is 6M/t² with the
             # TRACED thickness, so t-sensitivities are exact.
             return plate_static_response(
+                problem, young_e=young, thickness_e=thickness,
+                load_scale=scale)
+        if family == "shell":
+            from ..models.shell import shell_static_response
+
+            # (u, [N, M] resultants, governing extreme-fiber vM) —
+            # membrane AND bending enter the demand; thickness traced
+            # through both the 1/t and the t³-stiffness physics.
+            return shell_static_response(
                 problem, young_e=young, thickness_e=thickness,
                 load_scale=scale)
         from ..models.solid import solid_static_response

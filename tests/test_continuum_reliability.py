@@ -296,3 +296,166 @@ def test_guards():
             sp, [{"name": "t", "kind": "thickness", "mean": 1.0,
                   "cov": 0.1}],
             {"type": "stress", "limit": 2.0}, "solid")
+
+
+def _flat_shell_strip():
+    """Determinate uniaxial membrane state on a FLAT shell strip:
+    u_x fixed at the left edge, u_y at one node, and every
+    out-of-plane / drilling DOF pinned (they are load-free), so the
+    membrane is EXACTLY the plane strip's determinate state and the
+    governing extreme-fiber vM ties both fibers at N/t = load_scale
+    (t = 1) — the fiber-max subgradient path is exercised at an
+    exact tie."""
+    from pinn_fem_tpu.models.plane import edge_load, rect_mesh
+    from pinn_fem_tpu.models.shell import ShellProblem
+
+    nodes2d, elems = rect_mesh(4.0, 1.0, 4, 1, "quad")
+    n = nodes2d.shape[0]
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0)
+    right = np.flatnonzero(nodes2d[:, 0] == 4.0)
+    loads2 = edge_load(nodes2d, right[np.argsort(nodes2d[right, 1])],
+                       [1.0, 0.0], 1.0)
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    loads6 = np.zeros(6 * n)
+    loads6[0::6] = loads2[0::2]
+    loads6[1::6] = loads2[1::2]
+    fixed = np.concatenate([
+        6 * left, [6 * left[0] + 1],
+        (6 * np.arange(n)[:, None]
+         + np.array([2, 3, 4, 5])[None, :]).reshape(-1)])
+    return ShellProblem(nodes=nodes3d, elements=elems, young=200.0,
+                        poisson=0.3, thickness=1.0, density=1.0,
+                        loads=loads6, fixed_dofs=fixed)
+
+
+def test_shell_membrane_rs_exact():
+    """Determinate flat shell strip, lognormal load and resistance:
+    the governing-fiber demand is load_scale independent of E (both
+    fibers tie at the membrane stress), so beta is the textbook R-S
+    closed form on every facet — the plane anchor carried to the
+    shell family."""
+    res = continuum_reliability(
+        _flat_shell_strip(),
+        [{"name": "S", "kind": "load_scale", "mean": 1.0, "cov": 0.2,
+          "distribution": "lognormal"},
+         {"name": "R", "kind": "resistance", "mean": 2.0,
+          "cov": 0.15}],
+        {"type": "stress", "variable": "R"}, "shell")
+    zr, zs = lognormal_zeta(0.15), lognormal_zeta(0.2)
+    beta_exact = np.log(lognormal_median(2.0, 0.15)
+                        / lognormal_median(1.0, 0.2)) \
+        / np.sqrt(zr**2 + zs**2)
+    np.testing.assert_allclose(res.beta, beta_exact, rtol=1e-4)
+    assert all(res.converged)
+
+
+def test_shell_flat_matches_plate_beta():
+    """A FLAT shell under pressure IS the MITC4 plate (same kernels),
+    so the shell FORM index on the cantilever-strip deflection limit
+    must land on the plate family's — including the t³ thickness
+    sensitivity |alpha_t| = 3 zeta_t (membrane never engages: the
+    governing physics is pure bending)."""
+    from pinn_fem_tpu.models.plate import (PlateProblem,
+                                           plate_supports, rect_mesh,
+                                           solve_plate_static)
+    from pinn_fem_tpu.models.shell import ShellProblem
+
+    nodes, elems = rect_mesh(8.0, 1.0, 8, 1, element="quad")
+    n = nodes.shape[0]
+    fixed = plate_supports(nodes, "left", "clamped")
+    prob = PlateProblem(nodes=nodes, elements=elems, young=200.0,
+                        poisson=0.0, thickness=0.25, density=1.0,
+                        loads=np.zeros(3 * n), fixed_dofs=fixed,
+                        pressure=0.01)
+    w = np.abs(solve_plate_static(prob).displacements[0::3])
+    tip = int(np.argmax(w))
+    limit = 4.0 * float(w[tip])
+    variables = [
+        {"name": "E", "kind": "young", "mean": 200.0, "cov": 0.1},
+        {"name": "t", "kind": "thickness", "mean": 0.25,
+         "cov": 0.05},
+        {"name": "q", "kind": "load_scale", "mean": 1.0, "cov": 0.2,
+         "distribution": "lognormal"}]
+    res_p = continuum_reliability(
+        prob, variables,
+        {"type": "displacement", "limit": limit,
+         "probe_dofs": [3 * tip]}, "plate")
+
+    nodes3d = np.concatenate([nodes, np.zeros((n, 1))], axis=1)
+    left = np.flatnonzero(nodes[:, 0] == 0.0)
+    fixed6 = (6 * left[:, None] + np.arange(6)[None, :]).reshape(-1)
+    sprob = ShellProblem(nodes=nodes3d, elements=elems, young=200.0,
+                         poisson=0.0, thickness=0.25, density=1.0,
+                         loads=np.zeros(6 * n), fixed_dofs=fixed6,
+                         pressure=0.01)
+    res_s = continuum_reliability(
+        sprob, variables,
+        {"type": "displacement", "limit": limit,
+         "probe_dofs": [6 * tip + 2]}, "shell")
+    np.testing.assert_allclose(res_s.beta, res_p.beta, rtol=2e-3)
+    a_p = np.asarray(res_p.alpha[0])
+    a_s = np.asarray(res_s.alpha[0])
+    np.testing.assert_allclose(np.abs(a_s), np.abs(a_p), rtol=5e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(
+        abs(a_s[1]) / abs(a_s[0]),
+        3.0 * lognormal_zeta(0.05) / lognormal_zeta(0.1), rtol=6e-3)
+
+
+def test_shell_json_tier():
+    """The reliability block on a shell document: probe_nodes expands
+    to the node's 6 DOFs, the contract keys land, and a curved
+    (cylinder-panel) document runs the same block — membrane+bending
+    demand on a real shell state."""
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+    from pinn_fem_tpu.models.plane import rect_mesh
+
+    nodes2d, elems = rect_mesh(4.0, 1.0, 4, 1, "quad")
+    n = nodes2d.shape[0]
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0).tolist()
+    out = run_shell_document({
+        "element_type": "shell",
+        "nodes": nodes3d.tolist(),
+        "elements": elems.tolist(),
+        "material": {"young": 200.0, "poisson": 0.0,
+                     "thickness": 0.25, "density": 1.0},
+        "fixed_nodes": left,
+        "pressure": 0.01,
+        "analysis": {
+            "type": "reliability",
+            "variables": [
+                {"name": "E", "kind": "young", "mean": 200.0,
+                 "cov": 0.1},
+                {"name": "q", "kind": "load_scale", "mean": 1.0,
+                 "cov": 0.2, "distribution": "lognormal"}],
+            "limit_state": {"type": "displacement", "limit": 5.0,
+                            "probe_nodes": [n - 1]}},
+    })
+    assert out["success"] and out["element_type"] == "shell"
+    assert len(out["beta"]) == 6 and len(out["labels"]) == 6
+    assert out["beta_min"] is not None and out["beta_min"] > 0
+
+    out = run_shell_document({
+        "element_type": "shell",
+        "mesh": {"type": "cylinder_panel", "radius": 25.0,
+                 "length": 50.0, "half_angle_deg": 40.0,
+                 "nx": 4, "ny": 4},
+        "material": {"young": 4.32e8, "poisson": 0.0,
+                     "thickness": 0.25, "density": 1.0},
+        "supports": [
+            {"nodes": "x_min", "dofs": [0, 1, 2, 3, 4, 5]},
+            {"nodes": "x_max", "dofs": [0, 1, 2, 3, 4, 5]}],
+        "body_force": [0.0, 0.0, -90.0],
+        "analysis": {
+            "type": "reliability",
+            "variables": [
+                {"name": "S", "kind": "load_scale", "mean": 1.0,
+                 "cov": 0.2, "distribution": "lognormal"},
+                {"name": "R", "kind": "resistance", "mean": 3e6,
+                 "cov": 0.15}],
+            "limit_state": {"type": "stress", "variable": "R",
+                            "elements": [0, 5, 10]}},
+    })
+    assert out["success"] and len(out["beta"]) == 3
+    assert all(b is None or b > 0 for b in out["beta"])
