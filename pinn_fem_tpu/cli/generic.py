@@ -223,6 +223,28 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Sweep: %d frequencies, peak |X| %.6g",
                         len(output["omegas"]),
                         max(max(row) for row in output["amplitude"]))
+        elif output["analysis"] == "spectrum":
+            logger.info("  Modal mass captured: %.1f%% (%s), peak |u|"
+                        " %.6g", 100.0 * output["mass_fraction"],
+                        output["combination"],
+                        output["max_displacement"])
+        elif output["analysis"] == "random":
+            logger.info("  PSD grid: %d frequencies, max RMS %.6g",
+                        len(output["omegas"]), max(output["rms"]))
+        elif output["analysis"] == "reduction":
+            logger.info("  %s: %d reduced DOFs, f1 = %.6g Hz",
+                        output["method"], output["n_reduced_dofs"],
+                        output["reduced_frequencies_hz"][0])
+        elif output["analysis"] == "buckling":
+            logger.info("  Load factors: %s",
+                        ["%.6g" % v for v in output["load_factors"]])
+        elif output["analysis"] == "identification":
+            logger.info("  Identified %s (%s tier), final loss %.3e",
+                        output["parameter"], output["method"],
+                        output["final_loss"])
+        elif output["analysis"] == "reliability":
+            logger.info("  beta_min = %s (pf bounds %s)",
+                        output["beta_min"], output["system_pf_bounds"])
         else:
             logger.info("  Max |u|: %.6g (dof %d), peak |N|: %.6g, "
                         "peak |M|: %.6g", output["max_displacement"],

@@ -372,6 +372,8 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         from ._common import run_continuum_reduction
 
         return run_continuum_reduction(problem, analysis, "shell")
+    if kind == "identification":
+        return _run_shell_identification(problem, analysis)
     if kind == "reliability":
         if problem.ndof > 8192:
             raise ValueError(
@@ -383,8 +385,8 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         return run_continuum_reliability(problem, analysis, "shell")
     raise ValueError('shell analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", '
-                     '"spectrum", "random", "reduction" or '
-                     '"reliability"')
+                     '"spectrum", "random", "reduction", '
+                     '"identification" or "reliability"')
 
 
 def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:
@@ -401,3 +403,172 @@ def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:
 def run_shell_document(doc: Dict) -> Dict:
     problem, analysis = parse_shell_document(doc)
     return run_shell_analysis(problem, analysis)
+
+
+def _resolve_zones_shell(problem: ShellProblem, zones):
+    """Zone specs -> facet-id arrays: explicit id lists or a 3D
+    centroid bounding box {"x_min".."z_max"} (any subset) — the
+    plane family's damage-region contract lifted to midsurfaces."""
+    cent = problem.nodes[problem.elements].mean(axis=1)
+    keys = ("x_min", "x_max", "y_min", "y_max", "z_min", "z_max")
+    out = []
+    for z in zones:
+        if isinstance(z, dict):
+            unknown = set(z) - set(keys)
+            if unknown:
+                raise ValueError(f"unknown zone keys: "
+                                 f"{sorted(unknown)}")
+            sel = np.ones(problem.nelm, dtype=bool)
+            for ax, name in enumerate(("x", "y", "z")):
+                if f"{name}_min" in z:
+                    sel &= cent[:, ax] >= float(z[f"{name}_min"])
+                if f"{name}_max" in z:
+                    sel &= cent[:, ax] <= float(z[f"{name}_max"])
+            out.append(np.flatnonzero(sel))
+        else:
+            out.append(np.asarray(z, dtype=int).reshape(-1))
+        if out[-1].size == 0:
+            raise ValueError(f"zone {len(out) - 1} selects no "
+                             f"facets")
+    return out
+
+
+def _run_shell_identification(problem: ShellProblem,
+                              analysis: Dict) -> Dict:
+    """Young's-modulus identification from measured shell
+    displacements — the plane/plate JSON contract on curved
+    midsurfaces: "measured_dofs" + "measured_u" (or "synthetic" twin
+    data with "zone_young"/"young"), "zones" 3D-bbox/id lists,
+    "field" MLP, banded adjoint past DENSE_DOF_LIMIT (or whenever
+    zones are given).  E at KNOWN thickness (the identifiability
+    note in models/shell.identify_shell_young)."""
+    from ..models.shell import (identify_shell_young,
+                                identify_shell_young_banded,
+                                solve_shell_static)
+    from ..solvers.newton import DENSE_DOF_LIMIT
+
+    zones = analysis.get("zones")
+    if zones is not None:
+        zones = _resolve_zones_shell(problem, zones)
+    synthetic = analysis.get("synthetic")
+    if synthetic is not None:
+        if "measured_u" in analysis:
+            raise ValueError('give "measured_u" or "synthetic", '
+                             'not both')
+        md = analysis.get("measured_dofs")
+        if md is None:
+            md = analysis.get("probe_nodes")
+            if md is not None:
+                md = _probe6({"probe_nodes": md}, problem).tolist()
+        if md is None:
+            raise ValueError('synthetic shell identification needs '
+                             '"measured_dofs" or "probe_nodes"')
+        measured_dofs = np.asarray(md, dtype=int).reshape(-1)
+        if "zone_young" in synthetic:
+            if zones is None:
+                raise ValueError('"zone_young" needs "zones"')
+            true_young = np.broadcast_to(
+                np.asarray(problem.young, dtype=float),
+                (problem.nelm,)).copy()
+            for ids, e in zip(zones, synthetic["zone_young"]):
+                true_young[ids] = float(e)
+        else:
+            tv = synthetic["young"]
+            true_young = (np.full(problem.nelm, float(tv))
+                          if np.isscalar(tv)
+                          else np.asarray(tv, dtype=float))
+        p_true = ShellProblem(
+            nodes=problem.nodes, elements=problem.elements,
+            young=true_young, poisson=problem.poisson,
+            thickness=problem.thickness, density=problem.density,
+            loads=problem.loads, fixed_dofs=problem.fixed_dofs,
+            pressure=problem.pressure,
+            body_force=problem.body_force,
+            point_masses=problem.point_masses)
+        if problem.ndof > DENSE_DOF_LIMIT:
+            from ..models.shell import solve_shell_static_banded
+
+            r_true, _, _ = solve_shell_static_banded(
+                p_true,
+                tol=float(analysis.get("tolerance", 1e-7)) * 0.01)
+        else:
+            r_true = solve_shell_static(p_true)   # f64 host truth
+        measured_u = r_true.displacements[measured_dofs]
+        noise = float(synthetic.get("noise", 0.0))
+        if noise:
+            rng = np.random.default_rng(int(synthetic.get("seed",
+                                                          0)))
+            measured_u = measured_u + noise * np.max(
+                np.abs(measured_u)) * rng.standard_normal(
+                    measured_u.shape)
+        analysis = dict(analysis,
+                        measured_dofs=measured_dofs.tolist(),
+                        measured_u=measured_u.tolist())
+    if "measured_dofs" not in analysis             or "measured_u" not in analysis:
+        raise ValueError('shell identification needs "measured_dofs"'
+                         ' and "measured_u" (or "synthetic" twin '
+                         'data)')
+    banded = analysis.get("banded")
+    if banded is None:
+        banded = problem.ndof > DENSE_DOF_LIMIT or zones is not None
+    if banded:
+        # Identification-family doctrine: the ADAM loop runs on the
+        # LOCAL CPU tier unless "on_device": true opts in (per-step
+        # attachment round trips dominate millisecond solves).
+        from ._common import _local_cpu_ctx
+
+        with _local_cpu_ctx(analysis):
+            vals, hist, fld = identify_shell_young_banded(
+                problem,
+                analysis["measured_dofs"], analysis["measured_u"],
+                n_iter=int(analysis.get("n_iter", 300)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)),
+                tol=float(analysis.get("tolerance", 1e-7)),
+                max_iter=int(analysis.get("max_iter", 20000)),
+                zones=zones,
+                field=bool(analysis.get("field", False)),
+                seed=int(analysis.get("seed", 0)),
+                hidden_layers=int(analysis.get("hidden_layers", 2)),
+                neurons_per_layer=int(
+                    analysis.get("neurons_per_layer", 16)))
+    else:
+        if zones is not None:
+            raise ValueError('"zones" rides the banded tier; drop '
+                             '"banded": false')
+        from ._common import _local_cpu_ctx
+
+        with _local_cpu_ctx(analysis):
+            vals, hist, fld = identify_shell_young(
+                problem,
+                analysis["measured_dofs"], analysis["measured_u"],
+                n_iter=int(analysis.get("n_iter", 800)),
+                learning_rate=float(analysis.get("learning_rate",
+                                                 0.05)),
+                field=bool(analysis.get("field", False)),
+                seed=int(analysis.get("seed", 0)),
+                hidden_layers=int(analysis.get("hidden_layers", 2)),
+                neurons_per_layer=int(
+                    analysis.get("neurons_per_layer", 16)))
+    centroids = problem.nodes[problem.elements].mean(axis=1)
+    out = {
+        "success": True,
+        "analysis": "identification",
+        "element_type": "shell",
+        "parameter": "young",
+        "method": "banded" if banded else "dense",
+        "field": bool(analysis.get("field", False)),
+        "young": vals.tolist(),
+        "centroids": centroids.tolist(),
+        "loss_history": hist[:: max(1, hist.size // 200)].tolist(),
+        "final_loss": float(hist[-1]) if hist.size else None,
+    }
+    if zones is not None:
+        out["zones"] = [np.asarray(z, dtype=int).tolist()
+                        for z in zones]
+        out["zone_young"] = [
+            float(np.mean(vals[np.asarray(z, dtype=int)]))
+            for z in zones]
+    from ._common import _json_finite
+
+    return _json_finite(out)

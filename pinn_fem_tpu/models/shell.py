@@ -92,6 +92,8 @@ __all__ = [
     "shell_harmonic",
     "solve_shell_static_banded",
     "shell_static_response",
+    "identify_shell_young",
+    "identify_shell_young_banded",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
 ]
@@ -1095,3 +1097,127 @@ def shell_static_response(problem: ShellProblem, young_e=None,
 
     vm = jnp.maximum(_vm(sm + sb), _vm(sm - sb))
     return u, jnp.concatenate([nf, mom], axis=-1), vm
+
+def identify_shell_young(problem: ShellProblem, measured_dofs,
+                         measured_disp, n_iter: int = 800,
+                         learning_rate: float = 0.05,
+                         field: bool = False, seed: int = 0,
+                         hidden_layers: int = 2,
+                         neurons_per_layer: int = 16):
+    """Recover Young's modulus from measured shell displacements —
+    the plane/plate identification contract on curved midsurfaces
+    (damage localization on roofs / vessels from survey points).
+
+    field=False: per-facet log-E ADAM; field=True: a smooth E(x,y,z)
+    MLP (models/fields.py, input_dim=3) at facet centroids trained
+    through the traced solve (shell_static_response).  Identification
+    is at KNOWN thickness — shell data sees E t (membrane) and E t³
+    (bending), so (E, t) are only jointly identifiable (the plate
+    family's identifiability note, with the membrane adding one
+    ratio).  Returns (young (m,), loss_history, field|None)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    meas_idx = jnp.asarray(np.asarray(measured_dofs,
+                                      dtype=int).reshape(-1))
+    meas = jnp.asarray(np.asarray(measured_disp,
+                                  dtype=float).reshape(-1))
+    centroids = jnp.asarray(
+        problem.nodes[problem.elements].mean(axis=1))
+    # Measurement-scale-normalized loss (the framework-wide ADAM
+    # stall fix — solvers/banded_inverse.py).
+    meas_scale = float(max(np.mean(np.asarray(measured_disp,
+                                              dtype=float) ** 2),
+                           1e-300))
+
+    def u_of(young_e):
+        u, _, _ = shell_static_response(problem, young_e=young_e)
+        return u
+
+    if field:
+        from .fields import make_mlp_field
+
+        params0 = make_mlp_field(jax.random.PRNGKey(seed),
+                                 hidden_layers=hidden_layers,
+                                 neurons_per_layer=neurons_per_layer,
+                                 input_dim=3,
+                                 scale=float(np.mean(problem.young)))
+
+        def loss_fn(fld):
+            u = u_of(fld.eval_batch(centroids))
+            return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
+    else:
+        params0 = jnp.log(jnp.asarray(problem.young))
+
+        def loss_fn(log_e):
+            u = u_of(jnp.exp(log_e))
+            return jnp.mean((u[meas_idx] - meas) ** 2) / meas_scale
+
+    opt = optax.adam(learning_rate)
+    state = opt.init(params0)
+    params = params0
+    hist = []
+
+    @jax.jit
+    def step(params, state):
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    for _ in range(int(n_iter)):
+        params, state, loss = step(params, state)
+        hist.append(float(loss))
+    if field:
+        return (np.asarray(params.eval_batch(centroids)),
+                np.asarray(hist), params)
+    return np.asarray(jnp.exp(params)), np.asarray(hist), None
+
+
+def identify_shell_young_banded(problem: ShellProblem, measured_dofs,
+                                measured_disp, n_iter: int = 300,
+                                learning_rate: float = 0.05,
+                                tol: float = 1e-7,
+                                max_iter: int = 20000,
+                                zones=None, field: bool = False,
+                                seed: int = 0, hidden_layers: int = 2,
+                                neurons_per_layer: int = 16):
+    """identify_shell_young past DENSE_DOF_LIMIT: forward = the
+    Jacobi-scaled banded PCG (the shell's mixed membrane/bending/
+    drilling DOF scales), reverse = one adjoint PCG through the
+    shared solvers/banded_inverse.identify_young_banded — only the
+    (m, 24, 24) facet block builder is shell-specific.
+    zones=[[ids..], ..] gives one log-E per zone (patch damage
+    localization on a curved roof)."""
+    import jax.numpy as jnp
+
+    from ..solvers.banded_inverse import identify_young_banded
+
+    _require_no_thermal_shell(problem, "banded identification")
+    layout = _shell_dia_layout(problem)
+    m = problem.nelm
+    dtype = jnp.asarray(1.0).dtype
+    r_np, c2_np, _ = _facet_frames(problem)
+    c2 = jnp.asarray(c2_np, dtype)
+    r = jnp.asarray(r_np, dtype)
+    area = jnp.asarray(_facet_area(c2_np), dtype)
+    poisson = jnp.broadcast_to(jnp.asarray(problem.poisson, dtype),
+                               (m,))
+    thickness = jnp.broadcast_to(jnp.asarray(problem.thickness,
+                                             dtype), (m,))
+
+    def blocks_of(young_e):
+        return _shell_blocks_jnp(c2, r, young_e, poisson, thickness,
+                                 area)
+
+    return identify_young_banded(
+        layout, problem._dia_entry_slot_dev, blocks_of,
+        np.broadcast_to(np.asarray(problem.young, dtype=float),
+                        (m,)).copy(),
+        problem.nodes[problem.elements].mean(axis=1),
+        problem.loads + _load_vectors_shell(problem),
+        problem.free_mask(), measured_dofs, measured_disp,
+        n_iter=n_iter, learning_rate=learning_rate, tol=tol,
+        max_iter=max_iter, zones=zones, field=field, seed=seed,
+        hidden_layers=hidden_layers,
+        neurons_per_layer=neurons_per_layer, input_dim=3)
