@@ -242,6 +242,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
             logger.info("  Identified %s (%s tier), final loss %.3e",
                         output["parameter"], output["method"],
                         output["final_loss"])
+        elif output["analysis"] == "sizing":
+            logger.info("  Weight %.6g after %d iterations",
+                        output["weight"], len(output["history"]))
         elif output["analysis"] == "reliability":
             logger.info("  beta_min = %s (pf bounds %s)",
                         output["beta_min"], output["system_pf_bounds"])

@@ -374,6 +374,50 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         return run_continuum_reduction(problem, analysis, "shell")
     if kind == "identification":
         return _run_shell_identification(problem, analysis)
+    if kind == "sizing":
+        # Minimum-weight plating-thickness field under extreme-fiber
+        # stress and/or displacement limits (solvers/
+        # continuum_sizing.optimize_shell_thickness — membrane t AND
+        # bending t³ physics through the traced facet twin).
+        if problem.ndof > 8192:
+            raise ValueError(
+                f"shell sizing runs dense traced solves per ADAM "
+                f"iteration; {problem.ndof} DOFs exceeds its "
+                "8192-DOF budget — coarsen the midsurface")
+        from ..solvers.continuum_sizing import (
+            optimize_shell_thickness)
+
+        if analysis.get("stress_limit") is None \
+                and analysis.get("displacement_limit") is None:
+            raise ValueError('shell sizing needs "stress_limit" '
+                             'and/or "displacement_limit"')
+        probe = analysis.get("probe_dofs")
+        if probe is None and analysis.get("probe_nodes") is not None:
+            probe = _probe6(analysis, problem).tolist()
+        sl = analysis.get("stress_limit")
+        dl = analysis.get("displacement_limit")
+        t_e, weight, hist = optimize_shell_thickness(
+            problem,
+            stress_limit=None if sl is None else float(sl),
+            displacement_limit=None if dl is None else float(dl),
+            probe_dofs=probe,
+            min_thickness=float(analysis.get("min_thickness", 1e-6)),
+            n_iter=int(analysis.get("n_iter", 300)),
+            outer_rounds=int(analysis.get("outer_rounds", 4)),
+            learning_rate=float(analysis.get("learning_rate", 0.05)))
+        out = {
+            "success": True,
+            "analysis": "sizing",
+            "element_type": "shell",
+            "thickness": t_e.tolist(),
+            "weight": weight,
+            "history": hist.tolist(),
+        }
+        if sl is not None:
+            out["stress_limit"] = float(sl)
+        if dl is not None:
+            out["displacement_limit"] = float(dl)
+        return out
     if kind == "reliability":
         if problem.ndof > 8192:
             raise ValueError(
@@ -386,7 +430,7 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
     raise ValueError('shell analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", '
                      '"spectrum", "random", "reduction", '
-                     '"identification" or "reliability"')
+                     '"identification", "sizing" or "reliability"')
 
 
 def _probe6(analysis: Dict, problem: ShellProblem) -> np.ndarray:

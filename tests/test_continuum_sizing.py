@@ -237,3 +237,96 @@ def test_guards():
     pp = plate_strip(nx=1)
     with pytest.raises(ValueError, match="probe"):
         optimize_plate_thickness(pp, 0.1)
+
+
+def shell_strip(nx=4):
+    """Determinate flat shell strip (the reliability fixture): u_x
+    fixed at the left edge, u_y at one node, every out-of-plane and
+    drilling DOF pinned — sigma = F/(W t_e) per facet EXACTLY, both
+    fibers tied at the membrane stress."""
+    from pinn_fem_tpu.models.shell import ShellProblem
+
+    nodes2d, elems = rect_mesh(4.0, 1.0, nx, 1, "quad")
+    n = nodes2d.shape[0]
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0)
+    right = np.flatnonzero(nodes2d[:, 0] == 4.0)
+    loads2 = edge_load(nodes2d, right[np.argsort(nodes2d[right, 1])],
+                       [1.0, 0.0], 1.0)
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    loads6 = np.zeros(6 * n)
+    loads6[0::6] = loads2[0::2]
+    loads6[1::6] = loads2[1::2]
+    fixed = np.concatenate([
+        6 * left, [6 * left[0] + 1],
+        (6 * np.arange(n)[:, None]
+         + np.array([2, 3, 4, 5])[None, :]).reshape(-1)])
+    return ShellProblem(nodes=nodes3d, elements=elems, young=E,
+                        poisson=0.0, thickness=1.0, density=1.0,
+                        loads=loads6, fixed_dofs=fixed), right
+
+
+def test_shell_membrane_stress_exact():
+    """Governing-fiber vM on the determinate strip is F/(W t_e) per
+    facet, so the stress limit binds uniformly at t* = 0.5 — the
+    plane family's closed form carried to the shell twin (and the
+    cube-root polish converging geometrically on the 1/t membrane
+    physics)."""
+    from pinn_fem_tpu.solvers.continuum_sizing import (
+        optimize_shell_thickness)
+
+    p, _ = shell_strip()
+    t, w, hist = optimize_shell_thickness(p, stress_limit=2.0)
+    np.testing.assert_allclose(t, 0.5, rtol=1e-4)
+    np.testing.assert_allclose(w, 0.5 * 4.0, rtol=1e-4)
+    assert hist.size > 0
+
+
+def test_shell_plate_cube_root():
+    """Single flat facet under pressure: w ~ 1/t^3 (bending), so
+    halving the allowed deflection thickens by 2^(1/3) — the plate
+    anchor through the shell twin (membrane never engages)."""
+    from pinn_fem_tpu.models.shell import (ShellProblem,
+                                           solve_shell_static)
+    from pinn_fem_tpu.solvers.continuum_sizing import (
+        optimize_shell_thickness)
+
+    nodes2d, elems = rect_mesh(8.0, 1.0, 1, 1, element="quad")
+    n = nodes2d.shape[0]
+    nodes3d = np.concatenate([nodes2d, np.zeros((n, 1))], axis=1)
+    left = np.flatnonzero(nodes2d[:, 0] == 0.0)
+    fixed = (6 * left[:, None] + np.arange(6)[None, :]).reshape(-1)
+    p = ShellProblem(nodes=nodes3d, elements=elems, young=E,
+                     poisson=0.0, thickness=0.2, density=1.0,
+                     loads=np.zeros(6 * n), fixed_dofs=fixed,
+                     pressure=0.01)
+    st = solve_shell_static(p)
+    w_all = np.abs(st.displacements[2::6])
+    w_det = w_all.max()
+    tipn = int(np.argmax(w_all))
+    t, w, _ = optimize_shell_thickness(
+        p, displacement_limit=w_det / 2.0,
+        probe_dofs=[6 * tipn + 2])
+    np.testing.assert_allclose(t, 0.2 * 2.0 ** (1.0 / 3.0),
+                               rtol=2e-3)
+
+
+def test_shell_json_tier_sizing():
+    """The sizing block on a shell document: contract keys, uniform
+    closed-form design through the JSON tier."""
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+
+    p, _ = shell_strip()
+    out = run_shell_document({
+        "element_type": "shell",
+        "nodes": p.nodes.tolist(),
+        "elements": p.elements.tolist(),
+        "material": {"young": E, "poisson": 0.0, "thickness": 1.0,
+                     "density": 1.0},
+        "loads": p.loads.tolist(),
+        "fixed_dofs": p.fixed_dofs.tolist(),
+        "analysis": {"type": "sizing", "stress_limit": 2.0},
+    })
+    assert out["success"] and out["analysis"] == "sizing"
+    assert out["element_type"] == "shell"
+    np.testing.assert_allclose(out["thickness"], 0.5, rtol=1e-4)
+    np.testing.assert_allclose(out["weight"], 2.0, rtol=1e-4)
