@@ -217,6 +217,10 @@ from .solvers.plate_plasticity import (  # noqa: E402
     PlatePlasticResult,
     solve_plate_plastic,
 )
+from .solvers.shell_plasticity import (  # noqa: E402
+    ShellPlasticResult,
+    solve_shell_plastic,
+)
 from .solvers.continuum_reliability import (  # noqa: E402
     continuum_reliability,
 )
@@ -355,6 +359,8 @@ __all__ = [
     "solve_plane_plastic",
     "PlatePlasticResult",
     "solve_plate_plastic",
+    "ShellPlasticResult",
+    "solve_shell_plastic",
     "continuum_reliability",
     "optimize_plane_thickness",
     "optimize_plate_thickness",

@@ -238,8 +238,15 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
         elif output["analysis"] == "buckling":
             logger.info("  Load factors: %s",
                         ["%.6g" % v for v in output["load_factors"]])
+        elif output["analysis"] == "plastic":
+            logger.info("  Steps: %d, yielded facets: %d, "
+                        "max von Mises: %.6g", output["n_steps"],
+                        len(output["yielded_elements"]),
+                        max(output["max_von_mises"]))
         elif output["analysis"] == "identification":
-            logger.info("  Identified %s (%s tier), final loss %.3e",
+            # final_loss is None when n_iter=0 left no history —
+            # %s, matching the reliability branch's beta_min.
+            logger.info("  Identified %s (%s tier), final loss %s",
                         output["parameter"], output["method"],
                         output["final_loss"])
         elif output["analysis"] == "sizing":
@@ -484,7 +491,9 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         output["method"], output["n_reduced_dofs"],
                         output["reduced_frequencies_hz"][0])
         elif output["analysis"] == "identification":
-            logger.info("  Identified %s (%s tier), final loss %.3e",
+            # final_loss is None when n_iter=0 left no history —
+            # %s, matching the reliability branch's beta_min.
+            logger.info("  Identified %s (%s tier), final loss %s",
                         output["parameter"], output["method"],
                         output["final_loss"])
         elif output["analysis"] == "buckling":

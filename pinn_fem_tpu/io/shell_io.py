@@ -60,7 +60,15 @@ convention):
                   "probe_nodes": [..]}
                | {"type": "reduction", "method": "guyan" |
                   "craig_bampton", "master_nodes": [..],
-                  "n_modes": 4}}
+                  "n_modes": 4}
+               | {"type": "plastic", "sigma_y": sy,
+                  "hardening": H, "kinematic_hardening": Hk,
+                  "n_layers": 20, "n_steps": 20, "target": 1.0,
+                  "load_factors": [..], "probe_nodes": [..],
+                  "include_history": false}
+                     # layered J2 with membrane+bending kinematics
+                     # (solvers/shell_plasticity.py) — the N-M
+                     # interaction family; thermoelastic refused}
 
 The obstacle-course geometries run through the `mesh` generators; the
 corpus document dyn-shell.json is the Scordelis-Lo roof gated on the
@@ -302,6 +310,60 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         }
         if problem.ndof <= 6 * 600:
             out["mode_shapes"] = res.mode_shapes.tolist()
+        return out
+    if kind == "plastic":
+        # Layered through-thickness J2 with MEMBRANE + BENDING
+        # kinematics (solvers/shell_plasticity.py): the plate
+        # family's plastic block plus the membrane coupling — the
+        # N-M interaction family (ops/shell_plastic.py).
+        from ..solvers.shell_plasticity import solve_shell_plastic
+
+        if "sigma_y" not in analysis:
+            raise ValueError('plastic analysis requires "sigma_y"')
+        kwargs = dict(
+            sigma_y=analysis["sigma_y"],
+            hardening_iso=analysis.get("hardening", 0.0),
+            hardening_kin=analysis.get("kinematic_hardening", 0.0),
+            n_layers=int(analysis.get("n_layers", 20)),
+            tol=float(analysis.get("tolerance", 1e-9)),
+            max_iter=int(analysis.get("max_iterations", 30)),
+        )
+        if "load_factors" in analysis:
+            kwargs["load_factors"] = np.asarray(
+                analysis["load_factors"], dtype=float)
+        else:
+            kwargs["target_load_factor"] = float(
+                analysis.get("target", 1.0))
+            kwargs["n_steps"] = int(analysis.get("n_steps", 20))
+        res = solve_shell_plastic(problem, **kwargs)
+        probe = _probe6(analysis, problem)
+        yielded = np.flatnonzero(res.eq_plastic[-1] > 0.0)
+        out = {
+            "success": bool(res.converged),
+            "analysis": "plastic",
+            "element_type": "shell",
+            "n_layers": int(kwargs["n_layers"]),
+            "n_steps": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements[:, probe].tolist(),
+            "iterations": res.iterations.tolist(),
+            "max_residual": float(res.residuals.max()),
+            "n_plastic": res.n_plastic.tolist(),
+            "yielded_elements": yielded.tolist(),
+            "max_von_mises": res.von_mises.max(axis=1).tolist(),
+            "final": {
+                "membrane_forces": res.membrane_forces[-1].tolist(),
+                "moments": res.moments[-1].tolist(),
+                "von_mises": res.von_mises[-1].tolist(),
+                "eq_plastic_strain": res.eq_plastic[-1].tolist(),
+                "displacements": res.displacements[-1].tolist(),
+            },
+        }
+        if analysis.get("include_history"):
+            out["membrane_forces"] = res.membrane_forces.tolist()
+            out["moments"] = res.moments.tolist()
+            out["von_mises"] = res.von_mises.tolist()
         return out
     if kind == "transient":
         from ..models.shell import solve_shell_transient
@@ -548,7 +610,8 @@ def _run_shell_identification(problem: ShellProblem,
         analysis = dict(analysis,
                         measured_dofs=measured_dofs.tolist(),
                         measured_u=measured_u.tolist())
-    if "measured_dofs" not in analysis             or "measured_u" not in analysis:
+    if ("measured_dofs" not in analysis
+            or "measured_u" not in analysis):
         raise ValueError('shell identification needs "measured_dofs"'
                          ' and "measured_u" (or "synthetic" twin '
                          'data)')

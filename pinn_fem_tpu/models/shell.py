@@ -92,6 +92,7 @@ __all__ = [
     "shell_harmonic",
     "solve_shell_static_banded",
     "shell_static_response",
+    "shell_fiber_vm",
     "identify_shell_young",
     "identify_shell_young_banded",
     "cylinder_panel_mesh",
@@ -452,6 +453,28 @@ def solve_shell_static(problem: ShellProblem) -> ShellStaticResult:
     nf, mom = _recover_shell(problem, u)
     return ShellStaticResult(displacements=u, membrane_forces=nf,
                              moments=mom, reactions=reactions)
+
+
+def shell_fiber_vm(nf, mom, thickness, xp=np):
+    """Governing extreme-fiber von Mises of membrane-force + moment
+    resultants: σ± = N/t ± 6M/t² (Voigt [xx, yy, xy], local facet
+    axes), plane-stress vM at both fibers z = ±t/2, elementwise max.
+    The ONE implementation of the shell demand convention — shared by
+    the traced static twin (shell_static_response), the thickness-
+    sizing feasibility polish (solvers/continuum_sizing.py) and the
+    spectrum adapter (solvers/continuum_spectrum.py), so the three
+    tiers cannot drift.  xp-generic (np | jnp); `thickness` may be
+    traced — t-sensitivities carry the 1/t membrane and 6/t² bending
+    algebra exactly."""
+    t = thickness[:, None]
+    sm = nf / t
+    sb = 6.0 * mom / t ** 2
+
+    def _vm(s):
+        return xp.sqrt(s[:, 0] ** 2 - s[:, 0] * s[:, 1]
+                       + s[:, 1] ** 2 + 3.0 * s[:, 2] ** 2)
+
+    return xp.maximum(_vm(sm + sb), _vm(sm - sb))
 
 
 def _recover_shell(problem: ShellProblem, u: np.ndarray):
@@ -1088,14 +1111,7 @@ def shell_static_response(problem: ShellProblem, young_e=None,
                      d0 * (kap[:, 1] + poisson * kap[:, 0]),
                      d0 * (1.0 - poisson) / 2.0 * kap[:, 2]],
                     axis=-1)
-    sm = nf / thickness[:, None]
-    sb = 6.0 * mom / thickness[:, None] ** 2
-
-    def _vm(s):
-        return jnp.sqrt(s[:, 0] ** 2 - s[:, 0] * s[:, 1]
-                        + s[:, 1] ** 2 + 3.0 * s[:, 2] ** 2)
-
-    vm = jnp.maximum(_vm(sm + sb), _vm(sm - sb))
+    vm = shell_fiber_vm(nf, mom, thickness, xp=jnp)
     return u, jnp.concatenate([nf, mom], axis=-1), vm
 
 def identify_shell_young(problem: ShellProblem, measured_dofs,

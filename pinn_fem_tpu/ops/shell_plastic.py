@@ -32,15 +32,24 @@ Model (the classic layered shell plasticity):
     (the thin-shell layered idealization + the rank-correction whose
     energy is fictitious by construction).
 
-Exact algebra the tests pin (even N, nu = 0, uniaxial local state):
-a strain profile whose zero crossing z₀ sits ON a layer boundary has
-every layer center strictly on one side, so the fully-yielded
-resultants are the closed-form midpoint sums
+The N-M interaction algebra the tests pin (even N, nu = 0): for a
+UNIAXIAL ±σ_y layer profile whose zero crossing z₀ sits ON a layer
+boundary, every layer center is strictly on one side and the
+fully-yielded resultants are the closed-form midpoint sums
 
     n = N/(σ_y t) = -2 z₀/t,    m = M/Mp = 1 - n²,   Mp = σ_y t²/4
 
-— the rectangular-section N-M interaction surface to machine
-precision (tests/test_shell_plastic.py).
+— the rectangular-section interaction surface.  The return map
+reaches that uniaxial state ASYMPTOTICALLY, not in one shot: a
+single radial return from a lateral-contraction-consistent strain
+profile ε(z) ∝ (1, −1/2, 0) leaves a residual σ_yy = O(σ_y²/(E·ε))
+(measured: σ_yy/σ_y = 1.3e-3 at 500× yield strain; a profile WITHOUT
+the −1/2 contraction converges to the plane-strain point 2σ_y/√3
+instead), so tests/test_shell_plastic.py pins m + n² = 1 at the
+kernel level with the measured O(1/scale) convergence rate, and pins
+the capacity bracket at n = 0.5 (m_cap between 0.75 and 0.78 on the
+4-element clamped strip — the discrete limit's usual small overshoot,
+converging onto 1 − n² from above) at the solver level.
 
 Reference citation: the reference has no shells and no material
 nonlinearity (linear-elastic truss library, /root/reference/FEM/

@@ -350,14 +350,9 @@ def optimize_shell_thickness(problem, stress_limit: Optional[float]
         st = solve_shell_static(p2)
         r = 0.0
         if stress_limit is not None:
-            sm = st.membrane_forces / t_arr[:, None]
-            sb = 6.0 * st.moments / t_arr[:, None] ** 2
+            from ..models.shell import shell_fiber_vm
 
-            def vm_of(s):
-                return np.sqrt(s[:, 0] ** 2 - s[:, 0] * s[:, 1]
-                               + s[:, 1] ** 2 + 3.0 * s[:, 2] ** 2)
-
-            vm = np.maximum(vm_of(sm + sb), vm_of(sm - sb))
+            vm = shell_fiber_vm(st.membrane_forces, st.moments, t_arr)
             r = max(r, float(np.max(vm)) / stress_limit)
         if displacement_limit is not None:
             r = max(r, float(np.max(np.abs(

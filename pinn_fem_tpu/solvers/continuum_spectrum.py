@@ -253,18 +253,10 @@ def _family_of(problem) -> _Family:
 
         def shell_vm(p, comb):
             # Governing extreme-fiber von Mises of the COMBINED
-            # resultants: σ = N/t ± 6M/t² per component, both fibers
-            # (the plate family's design-code convention with the
-            # membrane term added).
-            t = p.thickness[:, None]
-            best = None
-            for s in (1.0, -1.0):
-                sig = comb[:, :3] / t + s * 6.0 * comb[:, 3:] / t ** 2
-                sxx, syy, sxy = sig[:, 0], sig[:, 1], sig[:, 2]
-                vm = np.sqrt(sxx ** 2 - sxx * syy + syy ** 2
-                             + 3.0 * sxy ** 2)
-                best = vm if best is None else np.maximum(best, vm)
-            return best
+            # resultants — the shared demand convention
+            # (models/shell.py:shell_fiber_vm).
+            return SH.shell_fiber_vm(comb[:, :3], comb[:, 3:],
+                                     p.thickness)
 
         def shell_influence(p, d):
             r = np.zeros(p.ndof)
