@@ -921,6 +921,55 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runShellPlastic = async () => {
+    // Layered elastoplastic shell strip under COMBINED membrane
+    // tension + bending (POST body pinned as
+    // tests/fixtures/ui_payload_shell_plastic.json, byte-identical
+    // to the static UI's runShellPlastic): clamped 4×1 flat-facet
+    // strip, axial force at n = N/(σ_y t) = 0.5, right-edge moment
+    // ramped to the rectangular-section interaction capacity
+    // m = M/Mp = 1 − n² = 0.75 — the N-M coupling no uncoupled
+    // family reproduces (ops/shell_plastic.py).
+    setMessage('Ramping the shell strip to its N-M capacity…');
+    try {
+      const r = await post('shell', {
+        nodes: [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0], [4, 0, 0],
+                [0, 1, 0], [1, 1, 0], [2, 1, 0], [3, 1, 0],
+                [4, 1, 0]],
+        elements: [[0, 1, 6, 5], [1, 2, 7, 6], [2, 3, 8, 7],
+                   [3, 4, 9, 8]],
+        material: { young: 200000, poisson: 0, thickness: 0.1,
+                    density: 1 },
+        supports: [{ nodes: 'x_min', dofs: [0, 1, 2, 3, 4, 5] }],
+        point_loads: [[4, 0, 7.5], [9, 0, 7.5],
+                      [4, 4, -0.28125], [9, 4, -0.28125]],
+        analysis: { type: 'plastic', sigma_y: 300, n_layers: 20,
+                    load_factors: [0.2, 0.4, 0.6, 0.8, 0.9, 1.0],
+                    probe_nodes: [4] },
+      });
+      setKind('shellplastic'); setShapes(null);
+      // probe rows: the 6 DOFs of tip node 4; θ_y is index 4.
+      setChart({ xs: r.load_factors,
+                 series: r.displacements.map(
+                   (row) => [Math.abs(row[4])]) });
+      setRows([
+        { label: 'yielded',
+          value: `${r.yielded_elements.length} / 4 facets through `
+            + `${r.n_layers} layers` },
+        { label: 'membrane N',
+          value: `${r.final.membrane_forces[0][0].toPrecision(4)} `
+            + '(= 0.5 σ_y t — the axial half of the interaction)' },
+        { label: 'fiber von Mises',
+          value: `${Math.max(...r.max_von_mises).toPrecision(4)} `
+            + '(EPP pin at σ_y = 300)' },
+      ]);
+      setMessage('Shell strip at the interaction capacity m = 1 − n² '
+        + '(n = 0.5): tip-rotation capacity curve');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runSlab = async () => {
     // Layered elastoplastic one-way slab strip (POST body pinned as
     // tests/fixtures/ui_payload_slab.json, byte-identical to the
@@ -1023,6 +1072,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runSlab}>Slab ▶</button>
         <button onClick={runGrillage}>Grillage ▶</button>
         <button onClick={runRoof}>Roof ▶</button>
+        <button onClick={runShellPlastic}>Shell plastic ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
         <button onClick={runQuakeWall}>Quake wall ▶</button>
       </div>

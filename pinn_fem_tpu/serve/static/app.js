@@ -1482,6 +1482,55 @@ async function runRoof() {
 document.getElementById("roof-btn").addEventListener("click",
                                                      runRoof);
 
+function shellPlasticDoc() {
+  // Layered elastoplastic shell strip under COMBINED membrane
+  // tension + bending (pinned as
+  // tests/fixtures/ui_payload_shell_plastic.json, byte-identical to
+  // the React panel's runShellPlastic): clamped 4×1 flat-facet strip
+  // with an axial force at n = N/(σ_y t) = 0.5 and a right-edge
+  // moment ramped proportionally to the rectangular-section
+  // interaction capacity m = M/Mp = 1 − n² = 0.75 — the N-M coupling
+  // (eps(z) = eps_m + z·κ shifts the neutral axis) no uncoupled
+  // family reproduces (ops/shell_plastic.py).
+  return {
+    nodes: [[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0], [4, 0, 0],
+            [0, 1, 0], [1, 1, 0], [2, 1, 0], [3, 1, 0], [4, 1, 0]],
+    elements: [[0, 1, 6, 5], [1, 2, 7, 6], [2, 3, 8, 7],
+               [3, 4, 9, 8]],
+    material: { young: 200000, poisson: 0, thickness: 0.1,
+                density: 1 },
+    supports: [{ nodes: "x_min", dofs: [0, 1, 2, 3, 4, 5] }],
+    point_loads: [[4, 0, 7.5], [9, 0, 7.5],
+                  [4, 4, -0.28125], [9, 4, -0.28125]],
+    analysis: { type: "plastic", sigma_y: 300, n_layers: 20,
+                load_factors: [0.2, 0.4, 0.6, 0.8, 0.9, 1.0],
+                probe_nodes: [4] },
+  };
+}
+
+async function runShellPlastic() {
+  // N-M interaction capacity curve: tip rotation vs load factor.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Ramping the shell strip to its N-M capacity…";
+  try {
+    const r = await postDoc("shell", shellPlasticDoc());
+    // probe_displacements rows: 6 DOFs of node 4; θ_y is index 4.
+    drawTimeSeries(r.load_factors,
+                   r.displacements.map((row) => [Math.abs(row[4])]));
+    const nXX = r.final.membrane_forces[0][0];
+    status.textContent = `Shell strip at the interaction capacity `
+      + `m = 1 − n² (n = 0.5): ${r.yielded_elements.length}/4 facets `
+      + `yielded through ${r.n_layers} layers, N = `
+      + `${nXX.toPrecision(4)} (= 0.5 σ_y t), fiber von Mises pinned `
+      + `at ${Math.max(...r.max_von_mises).toPrecision(4)}; `
+      + `chart: tip-rotation capacity curve`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("shell-plastic-btn").addEventListener(
+  "click", runShellPlastic);
+
 async function runCylinder() {
   // Thick-wall von Mises cylinder at 99% of the textbook limit
   // pressure p_lim = (2/sqrt3) sigma_y ln(b/a): B-bar plane strain,

@@ -49,7 +49,8 @@ def test_dyn_corpus_complete():
                    "dyn-plastic.json", "dyn-plate-identify.json",
                    "dyn-plate-plastic.json", "dyn-plate.json",
                    "dyn-random.json", "dyn-reduction.json",
-                   "dyn-reliability.json", "dyn-shell.json",
+                   "dyn-reliability.json",
+                   "dyn-shell-plastic.json", "dyn-shell.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing-rbdo.json", "dyn-sizing.json",
                    "dyn-solid-plastic.json",
@@ -110,6 +111,26 @@ def test_dyn_corpus_runs(name, tmp_path):
         np.testing.assert_allclose(
             np.abs(np.asarray(res["end_moments"])),
             200e9 * 1e-5 * 1.2e-5 * 100.0, rtol=1e-9)
+    elif name == "dyn-shell-plastic.json":
+        # Combined membrane tension + bending at n = 0.5 ramped to
+        # the interaction capacity m = 1 - n^2 = 0.75: fully plastic
+        # strip at the last step, recovered N exactly the applied
+        # 0.5*sigma_y*t (determinate axial path), EPP fiber vM
+        # pinned at sigma_y, secant softened (tests/
+        # test_shell_plastic.py brackets the capacity).
+        assert res["element_type"] == "shell"
+        assert res["n_layers"] == 20
+        npl = res["n_plastic"]
+        assert npl[0] == 0 and npl[-1] == 4
+        np.testing.assert_allclose(max(res["max_von_mises"]), 300.0,
+                                   rtol=1e-9)
+        nf = np.asarray(res["final"]["membrane_forces"])
+        np.testing.assert_allclose(nf[:, 0], 0.5 * 300.0 * 0.1,
+                                   rtol=1e-9)
+        lf = np.asarray(res["load_factors"])
+        d = np.asarray(res["displacements"])
+        th = np.abs(d[:, 4])                     # tip rotation
+        assert th[-1] / lf[-1] > 1.2 * (th[0] / lf[0])
     elif name == "dyn-shell.json":
         # Scordelis-Lo roof on the 16x16 facet mesh: the midside
         # free-edge deflection at the measured -0.29514 (converging

@@ -983,3 +983,33 @@ def test_ui_roof_payload_served():
     np.testing.assert_allclose(w[16], -0.29514, rtol=1e-3)
     np.testing.assert_allclose(w, w[::-1], atol=1e-9)   # symmetry
     assert w[8] > 0.0 > w[0]          # crown rises, edges sag
+
+
+def test_ui_shell_plastic_payload_served():
+    """Both UIs' 'Shell plastic' action (layered elastoplastic shell
+    strip under combined membrane tension + bending,
+    solvers/shell_plasticity.py) through the live /api/fem/shell
+    handler: at the rectangular-section interaction capacity
+    m = 1 - n^2 (n = 0.5) the whole strip yields, the recovered
+    membrane force is exactly 0.5 sigma_y t (determinate axial path),
+    the EPP fiber stress is pinned at sigma_y, and the chart fields
+    (load_factors x tip-rotation rows) the panels consume are
+    aligned."""
+    from pinn_fem_tpu.serve.server import _solve_shell
+
+    payload = load_fixture("ui_payload_shell_plastic.json")
+    out = _solve_shell(payload)
+    assert out["success"] and out["analysis"] == "plastic"
+    assert out["element_type"] == "shell" and out["n_layers"] == 20
+    assert len(out["yielded_elements"]) == 4
+    nf = np.asarray(out["final"]["membrane_forces"])
+    np.testing.assert_allclose(nf[:, 0], 0.5 * 300.0 * 0.1,
+                               rtol=1e-9)
+    np.testing.assert_allclose(max(out["max_von_mises"]), 300.0,
+                               rtol=1e-9)
+    lf = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    assert d.shape == (6, 6)
+    th = np.abs(d[:, 4])
+    # The capacity curve softens as the section plastifies.
+    assert th[-1] / lf[-1] > 1.2 * (th[0] / lf[0])
