@@ -970,6 +970,57 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
     }
   };
 
+  const runSnapArch = async () => {
+    // Shallow half-sine arch snap-through (POST body pinned as
+    // tests/fixtures/ui_payload_snap_arch.json, byte-identical to
+    // the static UI's runSnapArch): rise e = 1.5t over L = 4 with
+    // the server-built half-sine load — the continuum path is the
+    // EXACT single-mode cubic λ(a) = −(Dk⁴a + EAk⁴(ea/2 + a²/4)
+    // (e + a)), upper limit ≈ 2.8944 per unit width, traced through
+    // BOTH folds by Crisfield arc length
+    // (solvers/shell_nonlinear.py).
+    setMessage('Tracing the arch through its snap…');
+    try {
+      const fixed = [];
+      for (const nd of [0, 32, 33, 65]) {
+        for (const d of [0, 1, 2]) fixed.push(6 * nd + d);
+      }
+      for (let nd = 0; nd < 66; nd += 1) fixed.push(6 * nd + 3);
+      fixed.sort((a, b) => a - b);
+      const r = await post('shell', {
+        mesh: { type: 'arch_strip', length: 4, width: 1, rise: 0.15,
+                nx: 32 },
+        material: { young: 200000, poisson: 0, thickness: 0.1,
+                    density: 1 },
+        sine_load: 1,
+        fixed_dofs: fixed,
+        analysis: { type: 'continuation', n_steps: 60, dl0: 0.02,
+                    max_dl: 0.08, tolerance: 1e-9,
+                    probe_nodes: [16] },
+      });
+      setKind('snaparch'); setShapes(null);
+      const w = r.displacements.map((row) => -row[2]);
+      setChart({ xs: w, series: r.load_factors.map((v) => [v]) });
+      let lim = -Infinity;
+      for (let i = 0; i < w.length; i += 1) {
+        if (w[i] < 0.15 && r.load_factors[i] > lim) {
+          lim = r.load_factors[i];
+        }
+      }
+      setRows([
+        { label: 'limit load λ',
+          value: `${lim.toPrecision(5)} (exact single-mode cubic `
+            + '2.8944)' },
+        { label: 'λ_min (unstable branch)',
+          value: Math.min(...r.load_factors).toPrecision(4) },
+      ]);
+      setMessage('Arch snap-through: λ vs midspan deflection '
+        + 'through both limit points (Marguerre + arc length)');
+    } catch (e) {
+      fail(e);
+    }
+  };
+
   const runSlab = async () => {
     // Layered elastoplastic one-way slab strip (POST body pinned as
     // tests/fixtures/ui_payload_slab.json, byte-identical to the
@@ -1073,6 +1124,7 @@ export default function DynamicsPanel({ buildProblem, onShowShape }) {
         <button onClick={runGrillage}>Grillage ▶</button>
         <button onClick={runRoof}>Roof ▶</button>
         <button onClick={runShellPlastic}>Shell plastic ▶</button>
+        <button onClick={runSnapArch}>Snap arch ▶</button>
         <button onClick={runShakedown}>Shakedown ▶</button>
         <button onClick={runQuakeWall}>Quake wall ▶</button>
       </div>

@@ -65,6 +65,7 @@ from .models.frame3d import (  # noqa: E402
 )
 from .models.shell import (  # noqa: E402
     ShellProblem,
+    arch_strip_mesh,
     cylinder_panel_mesh,
     hemisphere_mesh,
     shell_buckling,
@@ -221,6 +222,12 @@ from .solvers.shell_plasticity import (  # noqa: E402
     ShellPlasticResult,
     solve_shell_plastic,
 )
+from .solvers.shell_nonlinear import (  # noqa: E402
+    ShellNonlinearResult,
+    marguerre_energy,
+    solve_shell_nonlinear,
+    solve_shell_riks,
+)
 from .solvers.continuum_reliability import (  # noqa: E402
     continuum_reliability,
 )
@@ -361,6 +368,10 @@ __all__ = [
     "solve_plate_plastic",
     "ShellPlasticResult",
     "solve_shell_plastic",
+    "ShellNonlinearResult",
+    "marguerre_energy",
+    "solve_shell_nonlinear",
+    "solve_shell_riks",
     "continuum_reliability",
     "optimize_plane_thickness",
     "optimize_plate_thickness",
@@ -385,6 +396,7 @@ __all__ = [
     "shell_geometric_stiffness",
     "solve_shell_transient",
     "shell_harmonic",
+    "arch_strip_mesh",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
     "frame_static_response",

@@ -243,6 +243,15 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         "max von Mises: %.6g", output["n_steps"],
                         len(output["yielded_elements"]),
                         max(output["max_von_mises"]))
+        elif output["analysis"] == "nonlinear":
+            logger.info("  Steps: %d, max |u|: %.6g (von Kármán/"
+                        "Marguerre)", output["n_steps"],
+                        max(max(abs(v) for v in row) for row in
+                            output["displacements"]))
+        elif output["analysis"] == "continuation":
+            lf = output["load_factors"]
+            logger.info("  Path points: %d (lambda in [%.4g, %.4g])",
+                        output["n_points"], min(lf), max(lf))
         elif output["analysis"] == "identification":
             # final_loss is None when n_iter=0 left no history —
             # %s, matching the reliability branch's beta_min.

@@ -10,11 +10,19 @@ convention):
      "mesh": {"type": "cylinder_panel", "radius": R, "length": L,
               "half_angle_deg": phi, "nx": n, "ny": n}
            | {"type": "hemisphere", "radius": R, "hole_deg": 18,
-              "n": n},
+              "n": n}
+           | {"type": "arch_strip", "length": L, "width": W,
+              "rise": e, "nx": n},   # half-sine shallow arch (the
+                                     # Marguerre snap-through case)
      "material": {"young": E, "poisson": nu, "thickness": t,
                   "density": rho},          # scalars or per-element
      "loads": [6 per node ..],              # optional
      "point_loads": [[node, dof, value], ..],  # dof 0-5, accumulated
+     "sine_load": Q,   # arch_strip only: downward half-sine load of
+                       # amplitude Q per unit projected area (the
+                       # trapezoid nodal pattern whose continuum
+                       # snap-through path is the exact single-mode
+                       # cubic — solvers/shell_nonlinear.py)
      "fixed_nodes": [..] | "fixed_dofs": [..],
      "supports": [{"nodes": [..] | "y_min", "dofs": [..]}, ..],
          # per-group DOF constraints (diaphragms, symmetry planes) —
@@ -68,7 +76,19 @@ convention):
                   "include_history": false}
                      # layered J2 with membrane+bending kinematics
                      # (solvers/shell_plasticity.py) — the N-M
-                     # interaction family; thermoelastic refused}
+                     # interaction family; thermoelastic refused
+               | {"type": "nonlinear", "load_factors": [..] |
+                  "target"/"n_steps", "probe_nodes": [..]}
+                     # geometrically nonlinear von Kármán/Marguerre
+                     # statics on flat/shallow midsurfaces (membrane
+                     # stiffening, bifurcation); fails AT limit
+                     # points — use "continuation" for snap-through
+               | {"type": "continuation", "n_steps": 60,
+                  "dl0": 0.05, "max_dl": dl, "probe_nodes": [..]}
+                     # arc-length (Riks) on the Marguerre assembly:
+                     # snap-through of shallow arches/panels traced
+                     # THROUGH both limit points (the truss
+                     # continuation contract on shells)}
 
 The obstacle-course geometries run through the `mesh` generators; the
 corpus document dyn-shell.json is the Scordelis-Lo roof gated on the
@@ -121,9 +141,16 @@ def parse_shell_document(doc: Dict) -> Tuple[ShellProblem, Dict]:
             nodes, elements = hemisphere_mesh(
                 float(mesh["radius"]),
                 float(mesh.get("hole_deg", 18.0)), int(mesh["n"]))
+        elif kind == "arch_strip":
+            from ..models.shell import arch_strip_mesh
+
+            nodes, elements = arch_strip_mesh(
+                float(mesh["length"]), float(mesh.get("width", 1.0)),
+                float(mesh["rise"]), int(mesh["nx"]))
         else:
             raise ValueError('shell mesh.type must be '
-                             '"cylinder_panel" or "hemisphere"')
+                             '"cylinder_panel", "hemisphere" or '
+                             '"arch_strip"')
     else:
         nodes = np.asarray(doc["nodes"], dtype=float)
         elements = np.asarray(doc["elements"], dtype=int)
@@ -136,6 +163,28 @@ def parse_shell_document(doc: Dict) -> Tuple[ShellProblem, Dict]:
     for row in doc.get("point_loads", ()):
         node, dof, value = row
         loads[6 * int(node) + int(dof)] += float(value)
+    if "sine_load" in doc:
+        # Downward half-sine line-load amplitude per unit projected
+        # area on an arch_strip midsurface (trapezoid nodal pattern —
+        # the load whose continuum snap-through path is the exact
+        # single-mode cubic, solvers/shell_nonlinear.py).  Built
+        # server-side so UI/corpus documents stay small and
+        # float-exact.
+        if mesh is None or mesh.get("type") != "arch_strip":
+            raise ValueError('"sine_load" needs the arch_strip '
+                             "generated mesh (x-fastest two-row "
+                             "numbering)")
+        amp = float(doc["sine_load"])
+        nx = int(mesh["nx"])
+        length = float(mesh["length"])
+        width = float(mesh.get("width", 1.0))
+        xs = np.linspace(0.0, length, nx + 1)
+        h = length / nx
+        for i, x in enumerate(xs):
+            wt = h if 0 < i < nx else h / 2.0
+            val = -amp * np.sin(np.pi * x / length) * wt * (width / 2)
+            for row_off in (0, nx + 1):
+                loads[6 * (i + row_off) + 2] += val
     fixed = []
     if "fixed_dofs" in doc:
         fixed.append(np.asarray(doc["fixed_dofs"],
@@ -311,6 +360,74 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         if problem.ndof <= 6 * 600:
             out["mode_shapes"] = res.mode_shapes.tolist()
         return out
+    if kind == "nonlinear":
+        # Load-controlled von Kármán / Marguerre statics
+        # (solvers/shell_nonlinear.py): membrane stiffening and
+        # bifurcation on flat/shallow midsurfaces; fails AT a limit
+        # point by construction — snap-through runs under
+        # "continuation".
+        from ..solvers.shell_nonlinear import solve_shell_nonlinear
+
+        kwargs = dict(
+            tol=float(analysis.get("tolerance", 1e-9)),
+            max_iter=int(analysis.get("max_iterations", 40)),
+        )
+        if "load_factors" in analysis:
+            kwargs["load_factors"] = np.asarray(
+                analysis["load_factors"], dtype=float)
+        else:
+            kwargs["target_load_factor"] = float(
+                analysis.get("target", 1.0))
+            kwargs["n_steps"] = int(analysis.get("n_steps", 10))
+        res = solve_shell_nonlinear(problem, **kwargs)
+        probe = _probe6(analysis, problem)
+        return {
+            "success": bool(res.converged),
+            "analysis": "nonlinear",
+            "element_type": "shell",
+            "n_steps": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements[:, probe].tolist(),
+            "iterations": res.iterations.tolist(),
+            "max_residual": float(res.residuals.max()),
+            "final": {
+                "membrane_forces": res.membrane_forces[-1].tolist(),
+                "moments": res.moments[-1].tolist(),
+                "displacements": res.displacements[-1].tolist(),
+            },
+        }
+    if kind == "continuation":
+        # Arc-length (Riks) continuation on the Marguerre assembly —
+        # the truss family's "continuation" contract
+        # (io/analysis.py:run_continuation) carried to shallow
+        # shells: snap-through of arches and panels traced THROUGH
+        # limit points.
+        from ..solvers.shell_nonlinear import solve_shell_riks
+
+        res = solve_shell_riks(
+            problem,
+            n_steps=int(analysis.get("n_steps", 60)),
+            dl0=float(analysis.get("dl0",
+                                   analysis.get("initial_dlambda",
+                                                0.05))),
+            tol=float(analysis.get("tolerance", 1e-8)),
+            max_arc_iter=int(analysis.get("max_iterations", 25)),
+            max_dl=(float(analysis["max_dl"])
+                    if "max_dl" in analysis else None))
+        probe = _probe6(analysis, problem)
+        return {
+            "success": bool(res.converged),
+            "analysis": "continuation",
+            "element_type": "shell",
+            "n_points": int(res.load_factors.size),
+            "load_factors": res.load_factors.tolist(),
+            "probe_dofs": probe.tolist(),
+            "displacements": res.displacements[:, probe].tolist(),
+            "iterations": res.iterations.tolist(),
+            "max_residual": float(res.residuals.max())
+            if res.residuals.size else None,
+        }
     if kind == "plastic":
         # Layered through-thickness J2 with MEMBRANE + BENDING
         # kinematics (solvers/shell_plasticity.py): the plate

@@ -97,6 +97,7 @@ __all__ = [
     "identify_shell_young_banded",
     "cylinder_panel_mesh",
     "hemisphere_mesh",
+    "arch_strip_mesh",
 ]
 
 _DRILL_ALPHA = 1e-3
@@ -703,6 +704,23 @@ def cylinder_panel_mesh(radius: float, length: float,
             n0 = j * na + i
             elems.append([n0, n0 + 1, n0 + 1 + na, n0 + na])
     return nodes, np.asarray(elems, dtype=int)
+
+
+def arch_strip_mesh(length: float, width: float, rise: float,
+                    nx: int):
+    """(nodes (n, 3), elements (m, 4)) half-sine shallow arch strip:
+    elevation z = rise·sin(πx/length) over x ∈ [0, length], two node
+    rows at y = 0 and y = width (nx quads).  The canonical
+    snap-through geometry of the Marguerre nonlinear tier
+    (solvers/shell_nonlinear.py) — under a half-sine load the
+    continuum solution is EXACTLY single-mode and the whole
+    equilibrium path is a closed-form cubic; x-fastest numbering."""
+    xs = np.linspace(0.0, length, nx + 1)
+    nodes = np.array([[x, y, rise * np.sin(np.pi * x / length)]
+                      for y in (0.0, width) for x in xs])
+    elems = np.array([[i, i + 1, i + 1 + (nx + 1), i + (nx + 1)]
+                      for i in range(nx)], dtype=int)
+    return nodes, elems
 
 
 def hemisphere_mesh(radius: float, hole_deg: float, n: int):

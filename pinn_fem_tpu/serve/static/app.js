@@ -1531,6 +1531,58 @@ async function runShellPlastic() {
 document.getElementById("shell-plastic-btn").addEventListener(
   "click", runShellPlastic);
 
+function snapArchDoc() {
+  // Shallow half-sine arch snap-through (pinned as
+  // tests/fixtures/ui_payload_snap_arch.json, byte-identical to the
+  // React panel's runSnapArch): rise e = 1.5t over L = 4 with the
+  // server-built half-sine load — the continuum path is the EXACT
+  // single-mode cubic λ(a) = −(Dk⁴a + EAk⁴(ea/2 + a²/4)(e + a)),
+  // upper limit ≈ 2.8944 per unit width, traced through BOTH folds
+  // by arc length (solvers/shell_nonlinear.py).
+  const fixed = [];
+  for (const nd of [0, 32, 33, 65]) {
+    for (const d of [0, 1, 2]) fixed.push(6 * nd + d);
+  }
+  for (let nd = 0; nd < 66; nd += 1) fixed.push(6 * nd + 3);
+  fixed.sort((a, b) => a - b);
+  return {
+    mesh: { type: "arch_strip", length: 4, width: 1, rise: 0.15,
+            nx: 32 },
+    material: { young: 200000, poisson: 0, thickness: 0.1,
+                density: 1 },
+    sine_load: 1,
+    fixed_dofs: fixed,
+    analysis: { type: "continuation", n_steps: 60, dl0: 0.02,
+                max_dl: 0.08, tolerance: 1e-9, probe_nodes: [16] },
+  };
+}
+
+async function runSnapArch() {
+  // λ vs midspan deflection through both folds.
+  const status = document.getElementById("dyn-status");
+  status.textContent = "Tracing the arch through its snap…";
+  try {
+    const r = await postDoc("shell", snapArchDoc());
+    const w = r.displacements.map((row) => -row[2]);
+    drawTimeSeries(w, r.load_factors.map((v) => [v]));
+    let lim = -Infinity;
+    for (let i = 0; i < w.length; i += 1) {
+      if (w[i] < 0.15 && r.load_factors[i] > lim) {
+        lim = r.load_factors[i];
+      }
+    }
+    status.textContent = `Arch snap-through: limit λ = `
+      + `${lim.toPrecision(5)} (exact single-mode cubic 2.8944), `
+      + `λ_min = ${Math.min(...r.load_factors).toPrecision(4)} on `
+      + `the unstable branch; chart: λ vs midspan deflection `
+      + `through both folds`;
+  } catch (e) {
+    status.textContent = "Error: " + e.message;
+  }
+}
+document.getElementById("snap-arch-btn").addEventListener(
+  "click", runSnapArch);
+
 async function runCylinder() {
   // Thick-wall von Mises cylinder at 99% of the textbook limit
   // pressure p_lim = (2/sqrt3) sigma_y ln(b/a): B-bar plane strain,

@@ -50,7 +50,8 @@ def test_dyn_corpus_complete():
                    "dyn-plate-plastic.json", "dyn-plate.json",
                    "dyn-random.json", "dyn-reduction.json",
                    "dyn-reliability.json",
-                   "dyn-shell-plastic.json", "dyn-shell.json",
+                   "dyn-shell-plastic.json", "dyn-shell-snap.json",
+                   "dyn-shell.json",
                    "dyn-sizing-dynamic.json", "dyn-sizing-fatigue.json",
                    "dyn-sizing-rbdo.json", "dyn-sizing.json",
                    "dyn-solid-plastic.json",
@@ -131,6 +132,30 @@ def test_dyn_corpus_runs(name, tmp_path):
         d = np.asarray(res["displacements"])
         th = np.abs(d[:, 4])                     # tip rotation
         assert th[-1] / lf[-1] > 1.2 * (th[0] / lf[0])
+    elif name == "dyn-shell-snap.json":
+        # Half-sine shallow arch snap-through (Marguerre tier): the
+        # continuum path is the exact single-mode cubic; gate the
+        # pre-snap limit load against its closed-form maximum, and
+        # require BOTH folds traversed into the hardened branch
+        # (tests/test_shell_nonlinear.py pins the full path).
+        assert res["element_type"] == "shell"
+        ee, tt, ll = 0.15, 0.1, 4.0
+        dd = 200e3 * tt**3 / 12.0
+        ea = 200e3 * tt
+        kk = np.pi / ll
+        aa = np.linspace(-ee, 0.0, 200001)
+        lam_ex = -(dd * kk**4 * aa
+                   + ea * kk**4 * (ee * aa / 2.0 + aa**2 / 4.0)
+                   * (ee + aa))
+        lim = lam_ex.max()
+        lam = np.asarray(res["load_factors"])
+        d = np.asarray(res["displacements"])
+        a_fe = d[:, 2]
+        pre = a_fe > -ee
+        np.testing.assert_allclose(lam[pre].max(), lim, rtol=1e-2)
+        assert lam.min() < -0.5          # lower fold visited
+        assert a_fe.min() < -2.0 * ee    # inverted configuration
+        assert lam[-1] > lim             # hardened branch picked up
     elif name == "dyn-shell.json":
         # Scordelis-Lo roof on the 16x16 facet mesh: the midside
         # free-edge deflection at the measured -0.29514 (converging

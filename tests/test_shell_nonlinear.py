@@ -1,0 +1,356 @@
+"""Geometrically nonlinear shallow shells (solvers/shell_nonlinear.py):
+von Kármán / Marguerre membrane-bending coupling, load-stepped Newton
+and Crisfield arc-length continuation.
+
+Anchor set (module docstring of solvers/shell_nonlinear.py):
+
+  * FLAT LINEAR LIMIT: at vanishing load the Marguerre assembly on a
+    flat mesh IS the facet shell's (frames = identity), so the
+    nonlinear solve reproduces solve_shell_static.
+  * ENERGY EXACTNESS: f_int is the exact gradient of the assembled
+    strain energy (central differences at a random large-deflection
+    state, rel ~ 1e-10 measured) and the consistent tangent is
+    symmetric to roundoff — the variational structure, not a
+    hand-tuned operator.
+  * VON KÁRMÁN STRIP: the immovable-edge SS strip under pressure has
+    an EXACT beam solution (w(x; N) cosh closed form + the scalar
+    membrane-force fixpoint N = EA/(2L) ∫ w'², solved to machine
+    precision in-test with brentq).  At w/t ≈ 1.04 the membrane
+    carries 3× of the load (linear w would be 0.311 vs actual 0.104)
+    and the FE converges O(h²): measured rel 3.5e-3 / 8.9e-4 /
+    2.4e-4 at nx = 8/16/32.
+  * BIFURCATION LINK: a compressed flat SS plate amplifies a fixed
+    transverse perturbation; the ratio amp(0.8 λ_cr)/amp(0.5 λ_cr)
+    matches the single-mode prediction with the plate family's OWN
+    discrete buckling factor (plate_buckling) to 0.2% measured —
+    the nonlinear tangent and the linearized pencil agree on where
+    stiffness dies.
+  * SNAP-THROUGH: the half-sine arch under a half-sine load is
+    EXACTLY single-mode in the continuum (sine modes make N
+    spatially constant), so the whole path is the cubic
+    λ(a) = −(D k⁴ a + EA k⁴ (e a/2 + a²/4)(e + a)) — the Riks trace
+    follows it through BOTH folds (measured path error 1.9e-3 of the
+    limit load at nx = 32, limit 3.0e-3, O(h²) under refinement:
+    2.3e-2 / 5.5e-3 at nx = 8/16).
+
+The reference's only nonlinearity is a dead Green-Lagrange truss
+kernel (SURVEY §2.1); none of this exists there.
+"""
+
+import numpy as np
+import pytest
+from scipy.optimize import brentq
+
+from pinn_fem_tpu.models.shell import (ShellProblem, arch_strip_mesh,
+                                       solve_shell_static)
+from pinn_fem_tpu.solvers.shell_nonlinear import (marguerre_energy,
+                                                  solve_shell_nonlinear,
+                                                  solve_shell_riks)
+
+E, T = 200e3, 0.1
+L, W = 4.0, 1.0
+D = E * T**3 / 12.0
+EA = E * T
+K1 = np.pi / L
+RISE = 0.15                       # 1.5 t — snaps, stays shallow
+
+
+def flat_strip(nx, q):
+    """Immovable pinned-edge flat strip (ν = 0 → cylindrical bending
+    is exactly the von Kármán beam), θx suppressed."""
+    nodes, elems = arch_strip_mesh(L, W, 0.0, nx)
+    n = len(nodes)
+    left = np.flatnonzero(nodes[:, 0] < 1e-9)
+    right = np.flatnonzero(np.abs(nodes[:, 0] - L) < 1e-9)
+    fixed = []
+    for nd in np.concatenate([left, right]):
+        fixed += [6 * nd + 0, 6 * nd + 1, 6 * nd + 2]
+    for nd in range(n):
+        fixed += [6 * nd + 3]
+    return ShellProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=0.0, thickness=T, density=1.0,
+                        loads=np.zeros(6 * n),
+                        fixed_dofs=np.array(sorted(set(fixed))),
+                        pressure=q)
+
+
+def sine_arch(nx, rise=RISE):
+    """Half-sine arch strip with the trapezoid-rule half-sine nodal
+    load pattern (amplitude 1 per unit projected area at λ = 1)."""
+    nodes, elems = arch_strip_mesh(L, W, rise, nx)
+    n = len(nodes)
+    xs = np.linspace(0.0, L, nx + 1)
+    left = np.flatnonzero(nodes[:, 0] < 1e-9)
+    right = np.flatnonzero(np.abs(nodes[:, 0] - L) < 1e-9)
+    fixed = []
+    for nd in np.concatenate([left, right]):
+        fixed += [6 * nd + 0, 6 * nd + 1, 6 * nd + 2]
+    for nd in range(n):
+        fixed += [6 * nd + 3]
+    h = L / nx
+    loads = np.zeros(6 * n)
+    for i, x in enumerate(xs):
+        wt = h if 0 < i < nx else h / 2.0
+        for row in (0, nx + 1):
+            loads[6 * (i + row) + 2] = -np.sin(K1 * x) * wt * (W / 2)
+    return ShellProblem(nodes=nodes, elements=elems, young=E,
+                        poisson=0.0, thickness=T, density=1.0,
+                        loads=loads,
+                        fixed_dofs=np.array(sorted(set(fixed))))
+
+
+def arch_lambda_exact(a, rise=RISE):
+    """The exact single-mode cubic: downward load amplitude λ at
+    midspan deflection a (< 0 downward)."""
+    return -(D * K1**4 * a
+             + EA * K1**4 * (rise * a / 2.0 + a * a / 4.0)
+             * (rise + a))
+
+
+def test_flat_linear_limit_exact():
+    p = flat_strip(8, -1e-8)
+    r = solve_shell_nonlinear(p, load_factors=[1.0], tol=1e-11)
+    st = solve_shell_static(p)
+    assert r.converged
+    scale = np.abs(st.displacements).max()
+    assert np.abs(r.displacements[-1] - st.displacements).max() \
+        < 1e-9 * scale
+
+
+def test_internal_force_is_energy_gradient():
+    """The variational pin: at a random large-deflection state the
+    assembled internal force equals the central-difference gradient
+    of marguerre_energy, and the consistent tangent is symmetric."""
+    from pinn_fem_tpu.solvers.shell_nonlinear import (_assemble,
+                                                      _marguerre_geometry)
+
+    rng = np.random.default_rng(0)
+    p = flat_strip(4, 0.0)
+    geo = _marguerre_geometry(p)
+    u0 = 0.05 * rng.standard_normal(p.ndof)
+    k, f_int, _, _, _ = _assemble(p, geo, u0)
+    assert np.abs(k - k.T).max() < 1e-12 * np.abs(k).max()
+    for _ in range(3):
+        d = rng.standard_normal(p.ndof)
+        h = 1e-6
+        fd = (marguerre_energy(p, u0 + h * d)
+              - marguerre_energy(p, u0 - h * d)) / (2.0 * h)
+        an = float(f_int @ d)
+        np.testing.assert_allclose(fd, an, rtol=1e-7)
+
+
+def test_von_karman_strip_matches_exact_ode():
+    """Membrane stiffening against the exact von Kármán beam: at
+    w/t ≈ 1.04 (the linear answer would be 3× larger) the FE midspan
+    deflection and membrane force converge O(h²) onto the cosh
+    closed form + N-fixpoint solution."""
+    q = 3.0 * 0.15 * 384.0 * D / (5.0 * L**4)
+
+    def exact_mid():
+        def resid(nf):
+            kk = np.sqrt(nf / D)
+            c = np.cosh(kk * L / 2.0)
+            xs = np.linspace(-L / 2.0, L / 2.0, 4001)
+            wp = (q / nf) * (np.sinh(kk * xs) / (kk * c) - xs)
+            return nf - EA / (2.0 * L) * np.trapezoid(wp**2, xs)
+
+        nf = brentq(resid, 1e-3, 5e3, xtol=1e-12, rtol=1e-14)
+        kk = np.sqrt(nf / D)
+        c = np.cosh(kk * L / 2.0)
+        w0 = (q / nf) * ((1.0 - c) / (kk**2 * c) + L**2 / 8.0)
+        return w0, nf
+
+    w_ex, n_ex = exact_mid()
+    assert 1.0 < w_ex / T < 1.1          # the calibrated regime
+    errs = []
+    for nx in (8, 16, 32):
+        p = flat_strip(nx, -q)
+        r = solve_shell_nonlinear(p,
+                                  load_factors=np.linspace(0.25, 1.0,
+                                                           4),
+                                  tol=1e-11)
+        assert r.converged
+        w_fe = -r.displacements[-1][6 * (nx // 2) + 2]
+        errs.append(abs(w_fe - w_ex) / w_ex)
+        if nx == 32:
+            nf = r.membrane_forces[-1][:, 0].mean()
+            np.testing.assert_allclose(nf, n_ex, rtol=1e-3)
+    # measured 3.5e-3 / 8.9e-4 / 2.4e-4 — O(h²).
+    assert errs[2] < 5e-4
+    assert errs[2] < 0.4 * errs[1] < 0.16 * errs[0]
+
+
+def test_compressed_plate_amplification_matches_buckling():
+    """The nonlinear tangent loses stiffness exactly where the plate
+    family's linearized pencil says: a fixed transverse perturbation
+    on a compressed SS square plate is amplified, and the ratio
+    amp(0.8 λ_d)/amp(0.5 λ_d) matches the single-mode prediction
+    with the DISCRETE buckling factor λ_d of plate_buckling
+    (measured agreement 0.2% — the ratio cancels the multimodal
+    offset of the point-load perturbation)."""
+    from pinn_fem_tpu.models.plate import (PlateProblem,
+                                           plate_buckling,
+                                           plate_supports, rect_mesh)
+
+    a_len, nx = 2.0, 8
+    nodes2d, elems = rect_mesh(a_len, a_len, nx, nx, element="quad")
+    nodes = np.column_stack([nodes2d, np.zeros(len(nodes2d))])
+    n = len(nodes)
+    xl = np.flatnonzero(nodes[:, 0] < 1e-9)
+    xr = np.flatnonzero(np.abs(nodes[:, 0] - a_len) < 1e-9)
+    yb = np.flatnonzero(nodes[:, 1] < 1e-9)
+    yt = np.flatnonzero(np.abs(nodes[:, 1] - a_len) < 1e-9)
+    fixed = []
+    for nd in np.concatenate([xl, xr, yb, yt]):
+        fixed += [6 * nd + 2]
+    for nd in xl:
+        fixed += [6 * nd + 0]
+    for nd in yb:
+        fixed += [6 * nd + 1]
+    ncr = 4.0 * np.pi**2 * D / a_len**2
+    h = a_len / nx
+    loads0 = np.zeros(6 * n)
+    for nd in xr:
+        wt = h if 1e-9 < nodes[nd, 1] < a_len - 1e-9 else h / 2.0
+        loads0[6 * nd + 0] = -ncr * wt
+    cen = np.flatnonzero(
+        (np.abs(nodes[:, 0] - a_len / 2) < 1e-9)
+        & (np.abs(nodes[:, 1] - a_len / 2) < 1e-9))[0]
+
+    def w_center(frac):
+        ld = loads0 * frac
+        ld[6 * cen + 2] = 1e-4
+        p = ShellProblem(nodes=nodes, elements=elems, young=E,
+                         poisson=0.3, thickness=T, density=1.0,
+                         loads=ld,
+                         fixed_dofs=np.array(sorted(set(fixed))))
+        r = solve_shell_nonlinear(
+            p, load_factors=np.linspace(1.0 / 3.0, 1.0, 3),
+            tol=1e-10)
+        assert r.converged
+        return r.displacements[-1][6 * cen + 2]
+
+    w0, w5, w8 = w_center(0.0), w_center(0.5), w_center(0.8)
+    assert w0 > 0 and w5 > 1.5 * w0 and w8 > 1.8 * w5
+
+    pl = PlateProblem(
+        nodes=nodes2d, elements=elems, young=E, poisson=0.3,
+        thickness=T, density=1.0, loads=np.zeros(3 * n),
+        fixed_dofs=plate_supports(
+            nodes2d, ["left", "right", "top", "bottom"],
+            "simply_supported"))
+    lam_d = plate_buckling(pl, membrane_force=[-ncr, 0.0, 0.0],
+                           n_modes=1).load_factors[0]
+    ratio_pred = (1.0 - 0.5 / lam_d) / (1.0 - 0.8 / lam_d)
+    np.testing.assert_allclose((w8 / w0) / (w5 / w0), ratio_pred,
+                               rtol=2e-2)
+
+
+def test_arch_snap_through_exact_cubic():
+    """The flagship: arc-length through BOTH folds of the half-sine
+    arch, the whole (λ, a) path on the exact cubic."""
+    lim_ex = -arch_lambda_exact(
+        np.linspace(-RISE, 0.0, 20001)).min()  # ≈ 2.8944
+    # local max of λ(a) on the falling branch:
+    aa = np.linspace(-RISE, 0.0, 200001)
+    lim_ex = arch_lambda_exact(aa).max()
+    nx = 32
+    p = sine_arch(nx)
+    r = solve_shell_riks(p, n_steps=60, dl0=0.02, tol=1e-9,
+                         max_dl=0.08)
+    assert r.converged
+    a_fe = r.displacements[:, 6 * (nx // 2) + 2]
+    lam = r.load_factors
+    # Both folds traversed: past the inverted rise, negative-λ
+    # region visited, and the hardened branch picked back up.
+    assert a_fe.min() < -2.0 * RISE
+    assert lam.min() < -0.5
+    assert lam[-1] > lim_ex
+    # The whole shallow window sits on the cubic (measured 1.9e-3).
+    sel = a_fe > -2.2 * RISE
+    err = np.abs(lam[sel] - arch_lambda_exact(a_fe[sel])) / lim_ex
+    assert err.max() < 4e-3
+    # Limit load from the pre-snap window (measured 3.0e-3).
+    pre = a_fe > -RISE
+    assert abs(lam[pre].max() - lim_ex) / lim_ex < 6e-3
+
+
+def test_arch_limit_load_refines_h2():
+    """O(h²) onto the exact cubic limit (measured 2.3e-2 / 5.5e-3 at
+    nx = 8/16)."""
+    aa = np.linspace(-RISE, 0.0, 200001)
+    lim_ex = arch_lambda_exact(aa).max()
+    errs = []
+    for nx in (8, 16):
+        r = solve_shell_riks(sine_arch(nx), n_steps=60, dl0=0.02,
+                             tol=1e-9, max_dl=0.08)
+        a_fe = r.displacements[:, 6 * (nx // 2) + 2]
+        pre = a_fe > -RISE
+        errs.append(abs(r.load_factors[pre].max() - lim_ex) / lim_ex)
+    assert errs[1] < 0.35 * errs[0]
+    assert errs[0] < 4e-2
+
+
+def test_deep_midsurface_refused():
+    nodes, elems = arch_strip_mesh(L, W, 1.2, 8)   # slope ~ 0.94
+    p = ShellProblem(nodes=nodes, elements=elems, young=E,
+                     poisson=0.0, thickness=T, density=1.0,
+                     loads=np.zeros(6 * len(nodes)),
+                     fixed_dofs=np.array([0, 1, 2]))
+    with pytest.raises(ValueError, match="[Ss]hallow|slope"):
+        solve_shell_nonlinear(p, load_factors=[1.0])
+
+
+def test_thermal_refused():
+    p = flat_strip(4, -1.0)
+    p.alpha_cte = np.full(p.nelm, 1e-5)
+    p.temperature = np.full(p.nelm, 10.0)
+    with pytest.raises(ValueError, match="thermoelastic|temperature"):
+        solve_shell_nonlinear(p, load_factors=[1.0])
+
+
+def test_json_tier_nonlinear_and_continuation():
+    """Both nonlinear kinds end-to-end through io/shell_io.py on the
+    generated arch_strip midsurface: the load-controlled run carries
+    a sub-limit load, and the continuation run traces the snap with
+    the λ range and probe payload aligned."""
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+
+    aa = np.linspace(-RISE, 0.0, 200001)
+    lim_ex = arch_lambda_exact(aa).max()
+    nx = 16
+    p = sine_arch(nx)          # for the load pattern + supports
+    doc = {
+        "element_type": "shell",
+        "mesh": {"type": "arch_strip", "length": L, "width": W,
+                 "rise": RISE, "nx": nx},
+        "material": {"young": E, "poisson": 0.0, "thickness": T,
+                     "density": 1.0},
+        "loads": p.loads.tolist(),
+        "fixed_dofs": p.fixed_dofs.tolist(),
+        "analysis": {"type": "continuation", "n_steps": 60,
+                     "dl0": 0.02, "max_dl": 0.08,
+                     "probe_nodes": [nx // 2]},
+    }
+    out = run_shell_document(doc)
+    assert out["success"] and out["analysis"] == "continuation"
+    lam = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    assert d.shape == (lam.size, 6)
+    a_fe = d[:, 2]
+    pre = a_fe > -RISE
+    np.testing.assert_allclose(lam[pre].max(), lim_ex, rtol=2e-2)
+    assert lam.min() < -0.5 and a_fe.min() < -2.0 * RISE
+
+    doc2 = dict(doc, analysis={"type": "nonlinear",
+                               "load_factors": [0.25, 0.5],
+                               "probe_nodes": [nx // 2]})
+    out2 = run_shell_document(doc2)
+    assert out2["success"] and out2["analysis"] == "nonlinear"
+    d2 = np.asarray(out2["displacements"])
+    # λ = 0.5·lim? no: amplitude 0.5 — on the rising branch, the
+    # cubic inverts to a unique small-|a| root; check consistency.
+    a_half = d2[-1, 2]
+    np.testing.assert_allclose(arch_lambda_exact(a_half), 0.5,
+                               rtol=2e-2)
+    assert "membrane_forces" in out2["final"]

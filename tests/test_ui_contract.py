@@ -985,6 +985,32 @@ def test_ui_roof_payload_served():
     assert w[8] > 0.0 > w[0]          # crown rises, edges sag
 
 
+def test_ui_snap_arch_payload_served():
+    """Both UIs' 'Snap arch' action (Marguerre arc-length
+    snap-through, solvers/shell_nonlinear.py) through the live
+    /api/fem/shell handler: the pre-snap limit load lands on the
+    exact single-mode cubic maximum, both folds are traversed, and
+    the chart fields (load_factors x probe rows) the panels consume
+    are aligned."""
+    from pinn_fem_tpu.serve.server import _solve_shell
+
+    payload = load_fixture("ui_payload_snap_arch.json")
+    out = _solve_shell(payload)
+    assert out["success"] and out["analysis"] == "continuation"
+    lam = np.asarray(out["load_factors"])
+    d = np.asarray(out["displacements"])
+    a_fe = d[:, 2]
+    ee, tt, ll = 0.15, 0.1, 4.0
+    dd = 200e3 * tt**3 / 12.0
+    kk = np.pi / ll
+    aa = np.linspace(-ee, 0.0, 200001)
+    lim = (-(dd * kk**4 * aa + 200e3 * tt * kk**4
+             * (ee * aa / 2.0 + aa**2 / 4.0) * (ee + aa))).max()
+    pre = a_fe > -ee
+    np.testing.assert_allclose(lam[pre].max(), lim, rtol=1e-2)
+    assert lam.min() < -0.5 and a_fe.min() < -2.0 * ee
+
+
 def test_ui_shell_plastic_payload_served():
     """Both UIs' 'Shell plastic' action (layered elastoplastic shell
     strip under combined membrane tension + bending,
