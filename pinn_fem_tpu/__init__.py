@@ -255,6 +255,7 @@ from .solvers.continuum_spectrum import (  # noqa: E402
     continuum_spectral_fatigue,
     continuum_stress_frf,
     frame_fiber_stress_frf,
+    shell_fiber_stress_frf,
 )
 from .solvers.frame_plastic import (  # noqa: E402
     FramePushoverResult,
@@ -468,6 +469,7 @@ __all__ = [
     "continuum_spectral_fatigue",
     "continuum_stress_frf",
     "frame_fiber_stress_frf",
+    "shell_fiber_stress_frf",
     "ContinuumSpectrumResult",
     "continuum_random_response",
     "continuum_response_spectrum",

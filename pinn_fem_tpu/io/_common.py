@@ -462,7 +462,9 @@ def run_continuum_random(problem, analysis: Dict, element_type: str,
         out["fatigue"] = {
             "method": sf.method,
             "equivalent": ("extreme_fiber_governing"
-                           if element_type == "frame"
+                           if element_type == "frame" else
+                           "extreme_fiber_von_mises_governing"
+                           if element_type == "shell"
                            else "von_mises_preumont"),
             "probe_elements": cf.probe_elements.tolist(),
             "stress_rms": sf.rms.tolist(),

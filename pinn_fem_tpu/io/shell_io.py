@@ -65,7 +65,12 @@ convention):
                      # resultants (solvers/continuum_spectrum)
                | {"type": "random", "omegas": [..] | {..},
                   "psd": S0 | {..}, "damping": [a, b],
-                  "probe_nodes": [..]}
+                  "probe_nodes": [..],
+                  "fatigue": {"sn": {..}, "duration": T},
+                  "probe_elements": [..]}
+                     # spectral fatigue assesses BOTH extreme fibers
+                     # σ± = N/t ± 6M/t² per facet and keeps the
+                     # governing one (shell_fiber_stress_frf)
                | {"type": "reduction", "method": "guyan" |
                   "craig_bampton", "master_nodes": [..],
                   "n_modes": 4}

@@ -626,24 +626,36 @@ def continuum_spectral_fatigue(
         score = (sf4.damage_rate if sn_exponent is not None
                  else sf4.rms).reshape(probe.size, 4)
         pick = np.argmax(score, axis=1)
-        sel = np.arange(probe.size) * 4 + pick
-        import dataclasses as _dc
-
-        def take(v):
-            if v is None:
-                return None
-            arr = np.asarray(v)
-            return arr.reshape(-1)[sel] if arr.ndim else arr
-        if _dc.is_dataclass(sf4):
-            sf = _dc.replace(sf4, **{f.name: take(getattr(sf4, f.name))
-                                     for f in _dc.fields(sf4)
-                                     if isinstance(getattr(sf4, f.name),
-                                                   np.ndarray)})
-        else:                                  # NamedTuple
-            sf = sf4._replace(**{k2: take(v) for k2, v in
-                                 sf4._asdict().items()
-                                 if isinstance(v, np.ndarray)})
+        sf = _select_fatigue_rows(sf4,
+                                  np.arange(probe.size) * 4 + pick)
         eq_psd = psd4[:, np.arange(probe.size), pick]
+        return ContinuumFatigueResult(
+            omegas=om, eq_psd=eq_psd, eq_rms=np.asarray(sf.rms),
+            fatigue=sf, probe_elements=probe)
+    from ..models.shell import ShellProblem
+
+    if isinstance(problem, ShellProblem):
+        # Shells: both extreme fibers z = ±t/2 carry a full Voigt
+        # stress FRF σ± = N/t ± 6M/t² (each linear, so a true FRF);
+        # the Preumont equivalent-vM reduction runs PER FIBER and the
+        # GOVERNING fiber per facet is kept — the frame family's
+        # 4-fiber doctrine with 2 membrane+bending fibers.
+        frf = shell_fiber_stress_frf(problem, om, damping=damping,
+                                     probe_elements=probe)
+        quad = np.einsum("fmki,ij,fmkj->fmk", frf.conj(), _VM_Q6,
+                         frf).real
+        psd2 = quad * sp[:, None, None]
+        flat = psd2.reshape(om.size, -1)
+        sf2 = spectral_fatigue(om, flat, sn_exponent, sn_coefficient,
+                               method=method,
+                               duration=(None if duration is None
+                                         else float(duration)))
+        score = (sf2.damage_rate if sn_exponent is not None
+                 else sf2.rms).reshape(probe.size, 2)
+        pick = np.argmax(score, axis=1)
+        sf = _select_fatigue_rows(sf2,
+                                  np.arange(probe.size) * 2 + pick)
+        eq_psd = psd2[:, np.arange(probe.size), pick]
         return ContinuumFatigueResult(
             omegas=om, eq_psd=eq_psd, eq_rms=np.asarray(sf.rms),
             fatigue=sf, probe_elements=probe)
@@ -658,6 +670,95 @@ def continuum_spectral_fatigue(
     return ContinuumFatigueResult(
         omegas=om, eq_psd=eq_psd, eq_rms=np.asarray(sf.rms),
         fatigue=sf, probe_elements=probe)
+
+
+def _select_fatigue_rows(sf_all, sel):
+    """Select the governing-fiber rows out of a flat spectral-fatigue
+    result (dataclass or NamedTuple) — shared by the frame 4-fiber
+    and shell 2-fiber paths."""
+    import dataclasses as _dc
+
+    def take(v):
+        if v is None:
+            return None
+        arr = np.asarray(v)
+        return arr.reshape(-1)[sel] if arr.ndim else arr
+
+    if _dc.is_dataclass(sf_all):
+        return _dc.replace(
+            sf_all, **{f.name: take(getattr(sf_all, f.name))
+                       for f in _dc.fields(sf_all)
+                       if isinstance(getattr(sf_all, f.name),
+                                     np.ndarray)})
+    return sf_all._replace(**{k2: take(v) for k2, v in
+                              sf_all._asdict().items()
+                              if isinstance(v, np.ndarray)})
+
+
+def shell_fiber_stress_frf(problem, omegas, damping=(0.0, 0.0),
+                           probe_elements=None) -> np.ndarray:
+    """Complex EXTREME-FIBER stress FRFs of a shell's facets:
+    (n_freq, n_probe, 2, 6) full Voigt [xx, yy, zz, yz, xz, xy]
+    (local facet axes, zz = 0 — each fiber is a plane-stress state)
+    for the two fibers z = ±t/2: σ± = N/t ± 6M/t², each a LINEAR
+    functional of the complex response.  The centroid N/M recovery is
+    models/shell.py:_recover_shell's algebra on the complex field;
+    dense float64 host sweep with the family's 1e-10 drilling mass
+    ridge (shell_modal's rationale)."""
+    from ..models import shell as SH
+    from ..models.plane import _dmat as _plane_dmat
+    from ..models.plane import _q4_point
+    from ..models.plate import _bend_b, _shape_grads
+
+    if not isinstance(problem, SH.ShellProblem):
+        raise TypeError("shell_fiber_stress_frf needs a "
+                        f"ShellProblem, got {type(problem).__name__}")
+    SH._require_no_thermal_shell(problem, "stress FRFs")
+    om = np.asarray(omegas, dtype=float).reshape(-1)
+    k, mm = SH.shell_matrices(problem)
+    mm = mm + 1e-10 * np.diag(mm).max() * np.eye(mm.shape[0])
+    alpha, beta = (float(damping[0]), float(damping[1]))
+    c = alpha * mm + beta * k
+    f0 = problem.loads + SH._load_vectors_shell(problem)
+    free = np.setdiff1d(np.arange(problem.ndof), problem.fixed_dofs)
+    kf, mf, cf, ff = (k[np.ix_(free, free)], mm[np.ix_(free, free)],
+                      c[np.ix_(free, free)], f0[free])
+
+    r, c2, _ = SH._facet_frames(problem)
+    t24 = SH._transformation_shell(r)
+    dm = problem.dof_map()
+    bmem, _ = _q4_point(c2, 0.0, 0.0)
+    dmat = _plane_dmat(problem.young, problem.poisson, False)
+    _, dx, dy, _ = _shape_grads(c2, 0.0, 0.0)
+    bb = _bend_b(dx, dy)
+    e, nu, tt = problem.young, problem.poisson, problem.thickness
+    d0 = e * tt ** 3 / (12.0 * (1.0 - nu * nu))
+    probe = (np.arange(problem.nelm) if probe_elements is None
+             else np.asarray(probe_elements, dtype=int).reshape(-1))
+    out = np.zeros((om.size, probe.size, 2, 6), dtype=complex)
+    full = np.zeros(problem.ndof, dtype=complex)
+    for i, w in enumerate(om):
+        a = kf - (w * w) * mf + 1j * w * cf
+        full[:] = 0.0
+        full[free] = np.linalg.solve(a, ff)
+        u_loc = np.einsum("mij,mj->mi", t24, full[dm])
+        eps = np.einsum("mia,ma->mi", bmem,
+                        u_loc[:, SH._MEM_IDX])
+        nf = tt[:, None] * np.einsum("mij,mj->mi", dmat, eps)
+        u_plate = np.einsum("ab,mb->ma", SH._Q_BETA,
+                            u_loc[:, SH._BND_IDX])
+        kap = np.einsum("mia,ma->mi", bb, u_plate)
+        mom = np.stack([d0 * (kap[:, 0] + nu * kap[:, 1]),
+                        d0 * (kap[:, 1] + nu * kap[:, 0]),
+                        d0 * (1.0 - nu) / 2.0 * kap[:, 2]], axis=-1)
+        sm = (nf / tt[:, None])[probe]
+        sb = (6.0 * mom / tt[:, None] ** 2)[probe]
+        for fib, sgn in enumerate((1.0, -1.0)):
+            s3 = sm + sgn * sb
+            out[i, :, fib, 0] = s3[:, 0]
+            out[i, :, fib, 1] = s3[:, 1]
+            out[i, :, fib, 5] = s3[:, 2]
+    return out
 
 
 def frame_fiber_stress_frf(problem, omegas, damping=(0.0, 0.0),

@@ -720,3 +720,135 @@ def test_json_plate_spectrum_random_fatigue():
                    "nx": 52, "ny": 52}
     with pytest.raises(ValueError, match="coarsen"):
         run_plate_document(big)
+
+
+# ---------------------------------------------------------------------------
+# Shell family: two-fiber governing spectral fatigue
+# (shell_fiber_stress_frf / the ShellProblem branch of
+# continuum_spectral_fatigue)
+# ---------------------------------------------------------------------------
+
+
+def _flat_shell_strip(loads6, poisson=0.3):
+    from pinn_fem_tpu.models.plate import rect_mesh
+    from pinn_fem_tpu.models.shell import ShellProblem
+
+    nodes2d, elems = rect_mesh(4.0, 1.0, 4, 1, element="quad")
+    nodes = np.column_stack([nodes2d, np.zeros(len(nodes2d))])
+    left = np.flatnonzero(nodes[:, 0] < 1e-9)
+    fixed = np.concatenate([6 * left + d for d in range(6)])
+    return ShellProblem(nodes=nodes, elements=elems, young=200e3,
+                        poisson=poisson, thickness=0.1, density=1.0,
+                        loads=loads6, fixed_dofs=fixed), nodes
+
+
+def test_shell_fiber_fatigue_matches_plane_and_plate():
+    """The two-fiber shell fatigue path lands EXACTLY on the existing
+    families where they overlap (the same kernels, the governing-max
+    over two equal or signed-mirror fibers is the identity):
+    membrane-loaded flat strip == the PLANE family (measured 6e-12),
+    transversely loaded flat strip == the PLATE family's 6M/t² path
+    (measured 5e-9 — the drilling mass ridge).  No new physics can
+    drift in unnoticed between the three implementations."""
+    from pinn_fem_tpu.models.plane import PlaneProblem
+    from pinn_fem_tpu.models.plate import (PlateProblem,
+                                           plate_supports, rect_mesh)
+    from pinn_fem_tpu.solvers.continuum_spectrum import \
+        continuum_spectral_fatigue
+
+    om = np.linspace(1.0, 80.0, 60)
+    damping = (0.4, 1e-4)
+    sn = dict(sn_exponent=5.0, sn_coefficient=1e12)
+    nodes2d, elems = rect_mesh(4.0, 1.0, 4, 1, element="quad")
+    n = len(nodes2d)
+    left = np.flatnonzero(nodes2d[:, 0] < 1e-9)
+    right = np.flatnonzero(np.abs(nodes2d[:, 0] - 4.0) < 1e-9)
+
+    # membrane: axial tip force — shell == plane
+    pl_loads = np.zeros(2 * n)
+    pl_loads[2 * right + 0] = 3.0
+    pp = PlaneProblem(nodes=nodes2d, elements=elems, young=200e3,
+                      poisson=0.3, thickness=0.1, density=1.0,
+                      loads=pl_loads,
+                      fixed_dofs=np.concatenate([2 * left,
+                                                 2 * left + 1]))
+    sh_loads = np.zeros(6 * n)
+    sh_loads[6 * right + 0] = 3.0
+    sp, _ = _flat_shell_strip(sh_loads)
+    fa = continuum_spectral_fatigue(pp, 1.0, om, damping=damping,
+                                    **sn)
+    fb = continuum_spectral_fatigue(sp, 1.0, om, damping=damping,
+                                    **sn)
+    np.testing.assert_allclose(fb.eq_rms, fa.eq_rms, rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(fb.fatigue.damage_rate),
+                               np.asarray(fa.fatigue.damage_rate),
+                               rtol=1e-8)
+
+    # bending: transverse tip force — shell == plate (6M/t² fibers)
+    pt_loads = np.zeros(3 * n)
+    pt_loads[3 * right + 0] = -0.5
+    pt = PlateProblem(nodes=nodes2d, elements=elems, young=200e3,
+                      poisson=0.3, thickness=0.1, density=1.0,
+                      loads=pt_loads,
+                      fixed_dofs=plate_supports(nodes2d, "left",
+                                                "clamped"))
+    sh2_loads = np.zeros(6 * n)
+    sh2_loads[6 * right + 2] = -0.5
+    sp2, _ = _flat_shell_strip(sh2_loads)
+    fc = continuum_spectral_fatigue(pt, 1.0, om, damping=damping,
+                                    **sn)
+    fd = continuum_spectral_fatigue(sp2, 1.0, om, damping=damping,
+                                    **sn)
+    np.testing.assert_allclose(fd.eq_rms, fc.eq_rms, rtol=1e-6)
+
+    # combined membrane + bending (the membrane scaled 10× so its
+    # fiber shift is visible next to the bending RMS): the governing
+    # fiber carries MORE than either pure case — the coupling the
+    # uncoupled families cannot represent.  Fatigue RMS is linear in
+    # the load amplitude, so the pure-membrane comparison point is
+    # exactly 10·fb.
+    sh3_loads = 10.0 * sh_loads + sh2_loads
+    sp3, _ = _flat_shell_strip(sh3_loads)
+    fe_ = continuum_spectral_fatigue(sp3, 1.0, om, damping=damping,
+                                     **sn)
+    assert np.all(fe_.eq_rms >= np.maximum(10.0 * fb.eq_rms,
+                                           fd.eq_rms) * (1.0 - 1e-9))
+    assert fe_.eq_rms.max() > 1.01 * max(10.0 * fb.eq_rms.max(),
+                                         fd.eq_rms.max())
+
+
+def test_json_shell_random_fatigue():
+    """The shell random block's spectral-fatigue extension end-to-end
+    (io/_common.run_continuum_random on a shell document): the
+    governing-fiber Preumont chain fields arrive with the shared
+    contract shape."""
+    from pinn_fem_tpu.io.shell_io import run_shell_document
+
+    doc = {
+        "element_type": "shell",
+        "mesh": {"type": "cylinder_panel", "radius": 25.0,
+                 "length": 10.0, "half_angle_deg": 30.0,
+                 "nx": 6, "ny": 4},
+        "material": {"young": 200e3, "poisson": 0.0,
+                     "thickness": 0.25, "density": 1.0},
+        "supports": [{"nodes": "y_min",
+                      "dofs": [0, 1, 2, 3, 4, 5]}],
+        "pressure": 0.5,
+        "analysis": {"type": "random",
+                     "omegas": {"start": 0.5, "stop": 200.0,
+                                "num": 200},
+                     "psd": 0.5, "damping": [0.5, 0.0],
+                     "probe_nodes": [20],
+                     "probe_elements": [0, 10],
+                     "fatigue": {"sn": {"exponent": 3.0,
+                                        "coefficient": 1e12},
+                                 "duration": 3600.0}},
+    }
+    out = run_shell_document(doc)
+    assert out["success"] and out["analysis"] == "random"
+    f = out["fatigue"]
+    assert f["equivalent"] == "extreme_fiber_von_mises_governing"
+    assert f["probe_elements"] == [0, 10]
+    assert all(v > 0 for v in f["damage_rate"])
+    assert all(v > 0 for v in f["stress_rms"])
+    assert len(f["nu0_hz"]) == 2
