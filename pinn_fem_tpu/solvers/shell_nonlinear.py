@@ -46,7 +46,14 @@ Verification anchors (tests/test_shell_nonlinear.py):
     EXACT single-mode cubic D k⁴ a + N(a) k² (e + a) = Q
     (N = E t k² (e a/2 + a²/4); sine modes make N spatially constant,
     so the continuum solution is exactly single-mode) — both limit
-    points and the snapped-through branch traced by arc length.
+    points and the snapped-through branch traced by arc length;
+  * the PUBLISHED benchmark: the Sabir-Lock / Crisfield hinged
+    cylindrical panel under a central point load — t = 12.7 limit
+    load 2.2325 kN at w_c = 10.85 on the 8×8 quarter model vs the
+    published ≈ 2.22 at ≈ 11, and the t = 6.35 panel's SNAP-BACK
+    (center deflection reverses along the path, λ goes negative,
+    limit 0.597 vs published ≈ 0.59) — the case load- and
+    displacement-control both fail on and arc length exists for.
 
 Reference citation: the reference's ONLY nonlinearity is the
 Green-Lagrange truss kernel (/root/reference/FEM/python/fem/

@@ -354,3 +354,84 @@ def test_json_tier_nonlinear_and_continuation():
     np.testing.assert_allclose(arch_lambda_exact(a_half), 0.5,
                                rtol=2e-2)
     assert "membrane_forces" in out2["final"]
+
+
+def _hinged_panel(t):
+    """Quarter model of the Sabir-Lock / Crisfield hinged cylindrical
+    panel: R = 2540, full panel 508x508 (planform), half-angle 0.1
+    rad, E = 3102.75, nu = 0.3, central point load (P/4 on the
+    quarter).  Hinged (u = v = w = 0) along the straight edges,
+    curved edges free, symmetry planes at the crown line and
+    midspan."""
+    r_cyl, th = 2540.0, 0.1
+    nq = 8
+    phis = np.linspace(0.0, th, nq + 1)
+    ys = np.linspace(0.0, 254.0, nq + 1)
+    nodes = np.array([[r_cyl * np.sin(ph), y, r_cyl * np.cos(ph)]
+                      for y in ys for ph in phis])
+    na = nq + 1
+    elems = np.asarray([[j * na + i, j * na + i + 1,
+                         j * na + i + 1 + na, j * na + i + na]
+                        for j in range(nq) for i in range(nq)])
+    fixed = []
+    xmax = r_cyl * np.sin(th)
+    for nd in range(len(nodes)):
+        x, y = nodes[nd, 0], nodes[nd, 1]
+        if abs(x - xmax) < 1e-6:
+            fixed += [6 * nd + 0, 6 * nd + 1, 6 * nd + 2]
+        if abs(x) < 1e-9:
+            fixed += [6 * nd + 0, 6 * nd + 4, 6 * nd + 5]
+        if abs(y - 254.0) < 1e-9:
+            fixed += [6 * nd + 1, 6 * nd + 3, 6 * nd + 5]
+    loads = np.zeros(6 * len(nodes))
+    cen = np.flatnonzero((np.abs(nodes[:, 0]) < 1e-9)
+                         & (np.abs(nodes[:, 1] - 254.0) < 1e-9))[0]
+    loads[6 * cen + 2] = -1000.0 / 4.0      # λ in kN of full-panel P
+    return ShellProblem(nodes=nodes, elements=elems, young=3102.75,
+                        poisson=0.3, thickness=t, density=1.0,
+                        loads=loads,
+                        fixed_dofs=np.array(sorted(set(fixed)))), cen
+
+
+def _first_limit(lam):
+    for i in range(1, len(lam) - 1):
+        if lam[i] > lam[i - 1] and lam[i] >= lam[i + 1]:
+            return i
+    return None
+
+
+def test_hinged_cylindrical_panel_crisfield():
+    """THE published nonlinear shell benchmark (Sabir & Lock 1973,
+    Crisfield 1981): the hinged shallow cylindrical panel under a
+    central point load.  t = 12.7: limit load ≈ 2.22 kN at w_c ≈ 11
+    (measured 2.2325 at 10.85 on the 8×8 Marguerre quarter model),
+    deep valley, then hardening.  t = 6.35: limit ≈ 0.59 kN AND
+    SNAP-BACK — the center deflection itself reverses along the
+    path, the case load- and displacement-control both fail and
+    cylindrical arc length exists for (measured: w reverses, λ goes
+    negative, P_lim = 0.597)."""
+    p, cen = _hinged_panel(12.7)
+    r = solve_shell_riks(p, n_steps=150, dl0=0.3, tol=1e-7,
+                         max_dl=2.0)
+    assert r.converged
+    w = -r.displacements[:, 6 * cen + 2]
+    lam = r.load_factors
+    i = _first_limit(lam)
+    assert i is not None
+    np.testing.assert_allclose(lam[i], 2.22, rtol=4e-2)
+    np.testing.assert_allclose(w[i], 10.9, rtol=0.1)
+    valley = lam[i:i + 60].min()
+    assert valley < 1.0                      # deep post-limit valley
+    assert lam[-1] > lam[i]                  # hardened branch
+
+    p2, cen2 = _hinged_panel(6.35)
+    r2 = solve_shell_riks(p2, n_steps=160, dl0=0.2, tol=1e-7,
+                          max_dl=1.0)
+    assert r2.converged
+    w2 = -r2.displacements[:, 6 * cen2 + 2]
+    lam2 = r2.load_factors
+    i2 = _first_limit(lam2)
+    assert i2 is not None
+    np.testing.assert_allclose(lam2[i2], 0.59, rtol=5e-2)
+    assert np.any(np.diff(w2) < -1e-6)       # snap-back
+    assert lam2.min() < 0.0
