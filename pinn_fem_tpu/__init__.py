@@ -226,6 +226,7 @@ from .solvers.shell_nonlinear import (  # noqa: E402
     ShellNonlinearResult,
     marguerre_energy,
     solve_shell_nonlinear,
+    solve_shell_nonlinear_banded,
     solve_shell_riks,
 )
 from .solvers.continuum_reliability import (  # noqa: E402
@@ -372,6 +373,7 @@ __all__ = [
     "ShellNonlinearResult",
     "marguerre_energy",
     "solve_shell_nonlinear",
+    "solve_shell_nonlinear_banded",
     "solve_shell_riks",
     "continuum_reliability",
     "optimize_plane_thickness",

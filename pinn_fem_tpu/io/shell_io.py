@@ -370,11 +370,10 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         # (solvers/shell_nonlinear.py): membrane stiffening and
         # bifurcation on flat/shallow midsurfaces; fails AT a limit
         # point by construction — snap-through runs under
-        # "continuation".
-        from ..solvers.shell_nonlinear import solve_shell_nonlinear
-
+        # "continuation".  Above DENSE_DOF_LIMIT (or "banded": true)
+        # the banded DIA device tier serves with its measured f32
+        # residual floor as the default tolerance.
         kwargs = dict(
-            tol=float(analysis.get("tolerance", 1e-9)),
             max_iter=int(analysis.get("max_iterations", 40)),
         )
         if "load_factors" in analysis:
@@ -384,24 +383,55 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
             kwargs["target_load_factor"] = float(
                 analysis.get("target", 1.0))
             kwargs["n_steps"] = int(analysis.get("n_steps", 10))
-        res = solve_shell_nonlinear(problem, **kwargs)
+        banded = analysis.get("banded")
+        if banded is None:
+            banded = large
+        if banded:
+            from ..solvers.shell_nonlinear import \
+                solve_shell_nonlinear_banded
+
+            res = solve_shell_nonlinear_banded(
+                problem,
+                tol=float(analysis.get("tolerance", 5e-4)),
+                cg_tol=float(analysis.get("cg_tolerance", 1e-6)),
+                **kwargs)
+        else:
+            from ..solvers.shell_nonlinear import \
+                solve_shell_nonlinear
+
+            res = solve_shell_nonlinear(
+                problem,
+                tol=float(analysis.get("tolerance", 1e-9)),
+                **kwargs)
         probe = _probe6(analysis, problem)
-        return {
+        explicit_probe = ("probe_dofs" in analysis
+                          or "probe_nodes" in analysis)
+        out = {
             "success": bool(res.converged),
             "analysis": "nonlinear",
             "element_type": "shell",
+            "tier": "banded" if banded else "dense",
             "n_steps": int(res.load_factors.size),
             "load_factors": res.load_factors.tolist(),
-            "probe_dofs": probe.tolist(),
-            "displacements": res.displacements[:, probe].tolist(),
             "iterations": res.iterations.tolist(),
             "max_residual": float(res.residuals.max()),
-            "final": {
+            "max_displacement": float(
+                np.abs(res.displacements[-1]).max()),
+            "max_abs_membrane_force": float(
+                np.abs(res.membrane_forces[-1]).max()),
+            "max_abs_moment": float(np.abs(res.moments[-1]).max()),
+        }
+        if explicit_probe or problem.ndof <= 6 * 600:
+            out["probe_dofs"] = probe.tolist()
+            out["displacements"] = \
+                res.displacements[:, probe].tolist()
+        if problem.ndof <= 6 * 600:
+            out["final"] = {
                 "membrane_forces": res.membrane_forces[-1].tolist(),
                 "moments": res.moments[-1].tolist(),
                 "displacements": res.displacements[-1].tolist(),
-            },
-        }
+            }
+        return out
     if kind == "continuation":
         # Arc-length (Riks) continuation on the Marguerre assembly —
         # the truss family's "continuation" contract
