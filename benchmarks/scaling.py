@@ -673,6 +673,86 @@ def plastic_section(backend):
          first_call_s=round(t_first, 1), backend=backend)
 
 
+def shellnl_section(backend, nx=16, ny=512):
+    """8) Large-mesh GEOMETRICALLY NONLINEAR shell statics through the
+    banded Marguerre tier (solvers/shell_nonlinear.
+    solve_shell_nonlinear_banded): the ODE-anchored von Karman strip
+    (immovable pinned edges, nu = 0 -> cylindrical bending IS the
+    beam) extruded ny elements long — at the calibrated pressure the
+    midspan deflection is w/t = 1.04 where the LINEAR answer would be
+    3x larger, and the exact beam solution (cosh closed form + the
+    scalar membrane-force fixpoint, tests/test_shell_nonlinear.py) is
+    the correctness gate.  The span is the fast numbering axis so the
+    DIA bandwidth stays 6*(nx+3) DOFs.  Runnable alone:
+    python benchmarks/scaling.py shellnl"""
+    import time as _time
+
+    from scipy.optimize import brentq
+
+    from pinn_fem_tpu.models.shell import ShellProblem
+    from pinn_fem_tpu.solvers.shell_nonlinear import \
+        solve_shell_nonlinear_banded
+
+    span, E, T = 4.0, 2e5, 0.1
+    D = E * T**3 / 12.0
+    q = 3.0 * 0.15 * 384.0 * D / (5.0 * span**4)
+    xs = np.linspace(0.0, span, nx + 1)
+    ys = np.arange(ny + 1, dtype=float)
+    nodes = np.array([[x, y, 0.0] for y in ys for x in xs])
+    na = nx + 1
+    elems = np.asarray([[j * na + i, j * na + i + 1,
+                         j * na + i + 1 + na, j * na + i + na]
+                        for j in range(ny) for i in range(nx)])
+    n = nodes.shape[0]
+    fixed = []
+    for nd in range(n):
+        if nodes[nd, 0] in (0.0, span):
+            fixed += [6 * nd + 0, 6 * nd + 1, 6 * nd + 2]
+        fixed.append(6 * nd + 3)          # cylindrical (theta_x)
+    p = ShellProblem(nodes=nodes, elements=elems, young=E,
+                     poisson=0.0, thickness=T, density=1.0,
+                     loads=np.zeros(6 * n),
+                     fixed_dofs=np.array(sorted(set(fixed))),
+                     pressure=-q)
+    lfs = np.array([0.25, 0.5, 0.75, 1.0])
+
+    t0 = _time.perf_counter()
+    r = solve_shell_nonlinear_banded(p, load_factors=lfs)
+    t_first = _time.perf_counter() - t0          # includes compiles
+    t0 = _time.perf_counter()
+    r = solve_shell_nonlinear_banded(p, load_factors=lfs)
+    t_warm = _time.perf_counter() - t0
+    n_newton = int(r.iterations.sum())
+    assert r.converged, "banded Marguerre did not converge"
+
+    # Exact von Karman beam gate (the test-anchored closed form).
+    def resid(nf):
+        kk = np.sqrt(nf / D)
+        c = np.cosh(kk * span / 2.0)
+        xg = np.linspace(-span / 2.0, span / 2.0, 4001)
+        wp = (q / nf) * (np.sinh(kk * xg) / (kk * c) - xg)
+        return nf - E * T / (2.0 * span) * np.trapezoid(wp**2, xg)
+
+    nf = brentq(resid, 1e-3, 5e3, xtol=1e-12)
+    kk = np.sqrt(nf / D)
+    c = np.cosh(kk * span / 2.0)
+    w_ex = abs((q / nf) * ((1.0 - c) / (kk**2 * c) + span**2 / 8.0))
+    mid = 6 * (ny // 2 * na + nx // 2) + 2
+    w_fe = abs(r.displacements[-1][mid])
+    assert abs(w_fe - w_ex) / w_ex < 3e-3, (w_fe, w_ex)
+    w_lin = 5.0 * q * span**4 / (384.0 * D)      # 3x the actual
+    emit("shellnl_banded_solve", t_warm, "s", backend=backend,
+         ndof=p.ndof, nelm=p.nelm, n_steps=int(lfs.size),
+         newton_iterations=n_newton,
+         per_newton_iteration_ms=round(1e3 * t_warm
+                                       / max(n_newton, 1), 3),
+         first_call_s=round(t_first, 3),
+         w_over_t=round(w_fe / T, 3),
+         stiffening_vs_linear=round(w_fe / w_lin, 4),
+         vs_exact_ode=round(abs(w_fe - w_ex) / w_ex, 6),
+         max_residual=float(r.residuals.max()))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "plane":
         plane_section(jax.default_backend())
@@ -684,5 +764,9 @@ if __name__ == "__main__":
         solid_section(jax.default_backend())
     elif len(sys.argv) > 1 and sys.argv[1] == "plastic":
         plastic_section(jax.default_backend())
+    elif len(sys.argv) > 1 and sys.argv[1] == "shellnl":
+        shellnl_section(jax.default_backend())
+    elif len(sys.argv) > 1 and sys.argv[1] == "shellnl-small":
+        shellnl_section(jax.default_backend(), nx=16, ny=64)
     else:
         main()
