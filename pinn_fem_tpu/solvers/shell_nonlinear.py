@@ -607,6 +607,7 @@ def solve_shell_nonlinear_banded(
     target_load_factor: float = 1.0,
     tol: float = 5e-4,
     du_tol: float = 2e-4,
+    stall_accept: float = 1e-2,
     max_iter: int = 20,
     cg_tol: float = 1e-6,
     max_cg: int = 40000,
@@ -636,8 +637,15 @@ def solve_shell_nonlinear_banded(
     (measured 1e-4 against the f64 host tier).  The increment test
     is scale-free: at the floor |Δu|/|u| is PCG noise (measured
     7e-5) while true convergence passes through it monotonically.
-    The Newton loop also breaks early when the Armijo guard can't
-    improve the residual (the floor reached).
+    A third acceptance handles the floor's mesh growth (the noise
+    scales with element count: measured 2.8e-3 on a 52k-DOF strip's
+    λ = 0.25 step whose SOLUTION is still 8e-4 against the exact
+    ODE): three consecutive iterations without a 10% residual
+    improvement declare the floor reached, accepted as converged
+    while the stalled residual is under `stall_accept` (1e-2) — a
+    sanity cap, not an accuracy claim; the residuals array reports
+    the honest value.  The Newton loop also breaks early when the
+    Armijo guard can't improve the residual at any step length.
     The drilling ε uses the banded tier's 1e-3
     (models/shell.py:_DRILL_EPS_BANDED — κ(K) control for the inner
     f32 solves; physical pollution ~1e-6 of membrane stiffness).
@@ -684,6 +692,8 @@ def solve_shell_nonlinear_banded(
         res_val = np.inf
         it_used = max_iter
         growth_left = 4
+        res_min = np.inf
+        no_prog = 0
         for it in range(max_iter):
             if mesh is None:
                 du, res, cg_it, cg_rel = newton_iter(
@@ -766,6 +776,23 @@ def solve_shell_nonlinear_banded(
                         it_used = it + 1
                         res_val = best_res
                         break
+                # Mesh-dependent f32 floor (docstring): stagnation
+                # over three non-growth iterations with the stalled
+                # residual under the sanity cap is the floor, not
+                # divergence.  Growth steps reset the counter — the
+                # nonmonotone transient is progress, not a stall.
+                if grew:
+                    no_prog = 0
+                elif best_res > 0.9 * res_min:
+                    no_prog += 1
+                else:
+                    no_prog = 0
+                res_min = min(res_min, best_res)
+                if no_prog >= 3:
+                    ok = res_min <= stall_accept
+                    it_used = it + 1
+                    res_val = res_min
+                    break
             else:
                 # The f32 residual floor: no step direction improves
                 # the residual any further — stop burning iterations
