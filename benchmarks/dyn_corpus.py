@@ -39,6 +39,34 @@ def _gate(name: str, res: dict) -> None:
     assert res.get("success"), f"{name}: success=False"
     kind = res["analysis"]
     if res.get("element_type") == "shell":
+        if kind == "plastic":
+            # Combined membrane+bending at n = 0.5 ramped to the
+            # interaction capacity m = 1 - n^2: recovered N exactly
+            # 0.5*sigma_y*t, EPP fiber vM pinned at sigma_y
+            # (tests/test_dyn_corpus.py pins the same gates).
+            nf = np.asarray(res["final"]["membrane_forces"])
+            np.testing.assert_allclose(nf[:, 0], 15.0, rtol=1e-9)
+            np.testing.assert_allclose(max(res["max_von_mises"]),
+                                       300.0, rtol=1e-9)
+            assert res["n_plastic"][-1] == 4, name
+            return
+        if kind == "continuation":
+            # Half-sine arch snap-through: pre-snap limit on the
+            # exact single-mode cubic, both folds traversed
+            # (tests/test_dyn_corpus.py pins the same gates).
+            ee, tt, ll = 0.15, 0.1, 4.0
+            dd = 200e3 * tt**3 / 12.0
+            kk = np.pi / ll
+            aa = np.linspace(-ee, 0.0, 200001)
+            lim = (-(dd * kk**4 * aa + 200e3 * tt * kk**4
+                     * (ee * aa / 2.0 + aa**2 / 4.0)
+                     * (ee + aa))).max()
+            lam = np.asarray(res["load_factors"])
+            a_fe = np.asarray(res["displacements"])[:, 2]
+            np.testing.assert_allclose(lam[a_fe > -ee].max(), lim,
+                                       rtol=1e-2)
+            assert lam.min() < -0.5 and a_fe.min() < -2.0 * ee, name
+            return
         # Scordelis-Lo midside deflection at the measured 16x16 value
         # (tests/test_dyn_corpus.py pins the same number).
         np.testing.assert_allclose(res["probe_displacements"][2],

@@ -93,7 +93,20 @@ convention):
                      # arc-length (Riks) on the Marguerre assembly:
                      # snap-through of shallow arches/panels traced
                      # THROUGH both limit points (the truss
-                     # continuation contract on shells)}
+                     # continuation contract on shells)
+               | {"type": "identification", ..}    # per-facet/zone/
+                     # MLP-field E from measured displacements — the
+                     # plane-family contract (synthetic twin data,
+                     # zones as 3D bboxes, banded adjoint past
+                     # DENSE_DOF_LIMIT); see _run_shell_identification
+               | {"type": "sizing", ..}            # minimum-weight
+                     # plating thickness under extreme-fiber vM /
+                     # displacement limits (continuum_sizing.
+                     # optimize_shell_thickness, t AND t³ traced)
+               | {"type": "reliability", ..}}      # FORM on the
+                     # traced facet twin (continuum_reliability,
+                     # family="shell"; thickness variables carry the
+                     # cubed-t sensitivity)
 
 The obstacle-course geometries run through the `mesh` generators; the
 corpus document dyn-shell.json is the Scordelis-Lo roof gated on the

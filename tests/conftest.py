@@ -19,6 +19,22 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled-program caches between test modules.
+
+    A single pytest process accumulates hundreds of live XLA CPU
+    executables across the suite; past ~450 tests the NEXT large
+    compile segfaults inside backend_compile (reproduced three times
+    at the same file boundary — tests/test_mg.py — and never in
+    isolation).  Clearing jax's caches at module boundaries keeps the
+    live-executable population bounded; modules recompile their own
+    programs anyway, so the only cost is re-tracing the few shared
+    cores."""
+    yield
+    jax.clear_caches()
+
+
 REFERENCE_JSON_DIR = "/root/reference/FEM/python/examples/json"
 
 

@@ -48,6 +48,7 @@ SCRIPTS.append("frame_analysis")
 SCRIPTS.append("solid_analysis")
 SCRIPTS.append("space_frame_analysis")
 SCRIPTS.append("shell_obstacle_course")
+SCRIPTS.append("shell_snap_through")
 
 
 @pytest.mark.parametrize("name", SCRIPTS)
