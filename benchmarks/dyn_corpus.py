@@ -124,8 +124,46 @@ def _gate(name: str, res: dict) -> None:
             # #5; tests/test_dyn_corpus.py pins the same bound).
             assert res["method"] == "banded", name
             assert max(res["zone_rel_error"]) < 5e-3, name
+        elif kind == "sizing":
+            # Uniaxial strip: EXACT t* = 1/sigma_allow = 0.5,
+            # weight 2.0.  rtol 1e-4 here vs the CPU suite's 2e-6
+            # (tests/test_dyn_corpus.py): the REAL-TPU traced ADAM
+            # polish lands ~8e-6 off (measured) — same anchor,
+            # f32-device arithmetic.
+            np.testing.assert_allclose(res["thickness"], 0.5,
+                                       rtol=1e-4)
+            np.testing.assert_allclose(res["weight"], 2.0, rtol=1e-4)
+        elif kind == "reliability":
+            # Determinate strip: the closed-form lognormal R-S index
+            # (tests/test_dyn_corpus.py pins the same formula).
+            zr = np.sqrt(np.log1p(0.15**2))
+            zs = np.sqrt(np.log1p(0.2**2))
+            b = np.log((2.0 / np.sqrt(1.0225))
+                       / (1.0 / np.sqrt(1.04))) \
+                / np.sqrt(zr**2 + zs**2)
+            np.testing.assert_allclose(res["beta_min"], b, rtol=1e-4)
         else:
             assert np.isfinite(np.asarray(res["displacements"],
+                                          dtype=float)).all(), name
+        return
+    if res.get("element_type") == "plate":
+        if kind == "identification":
+            # Slab damage localization through the banded adjoint
+            # (tests/test_dyn_corpus.py pins the same bounds).
+            assert res["method"] == "banded", name
+            np.testing.assert_allclose(res["zone_young"],
+                                       [1.2e11, 2.4e11], rtol=2e-3)
+        elif kind == "plastic":
+            # One-way slab strip toward 8 Mp/L^2: EPP fiber vM
+            # pinned at sigma_y (tests/test_dyn_corpus.py).
+            np.testing.assert_allclose(max(res["max_von_mises"]),
+                                       300.0, rtol=1e-9)
+            assert res["n_plastic"][-1] >= 4, name
+        else:
+            # Mindlin SRI static: center deflection finite and the
+            # payload fields the UI consumes present.
+            assert np.isfinite(res["max_deflection"]), name
+            assert np.isfinite(np.asarray(res["moments"],
                                           dtype=float)).all(), name
         return
     if res.get("element_type") == "solid":
@@ -263,6 +301,30 @@ def bench_warm(path: str, repeats: int):
 
         def once():
             return run_solid_analysis(problem, dict(analysis))
+    elif raw.get("element_type") == "frame3d":
+        from pinn_fem_tpu.io.frame3d_io import (
+            parse_frame3d_document, run_frame3d_analysis)
+
+        problem, analysis = parse_frame3d_document(raw)
+
+        def once():
+            return run_frame3d_analysis(problem, dict(analysis))
+    elif raw.get("element_type") == "plate":
+        from pinn_fem_tpu.io.plate_io import (parse_plate_document,
+                                              run_plate_analysis)
+
+        problem, analysis = parse_plate_document(raw)
+
+        def once():
+            return run_plate_analysis(problem, dict(analysis))
+    elif raw.get("element_type") == "shell":
+        from pinn_fem_tpu.io.shell_io import (parse_shell_document,
+                                              run_shell_analysis)
+
+        problem, analysis = parse_shell_document(raw)
+
+        def once():
+            return run_shell_analysis(problem, dict(analysis))
     else:
         parsed = parse_problem_file(path)
         analysis = raw["analysis"]
@@ -271,10 +333,18 @@ def bench_warm(path: str, repeats: int):
             return run_analysis(parsed.problem, dict(analysis))
     once()                                            # charge caches
     times = []
-    for _ in range(repeats):
-        t0 = time.time()
-        out = once()
-        times.append(time.time() - t0)
+    t0 = time.time()
+    out = once()
+    times.append(time.time() - t0)
+    # Long optimization loops (identification ADAM runs measure in
+    # tens of seconds) get ONE warm sample — the latency is loop-
+    # dominated and stable, and 4x70 s would dominate the whole
+    # regeneration budget.
+    if times[0] < 5.0:
+        for _ in range(repeats - 1):
+            t0 = time.time()
+            out = once()
+            times.append(time.time() - t0)
     _gate(name, out)
     return float(np.median(times)), times
 
@@ -383,7 +453,14 @@ def main() -> int:
     for path in paths:
         name = os.path.splitext(os.path.basename(path))[0]
         fresh_s, res = fresh[path]
-        warm_s, times = bench_warm(path, args.repeats)
+        try:
+            warm_s, times = bench_warm(path, args.repeats)
+        except Exception as e:
+            # Containment (the phase-1 doctrine): one failing doc
+            # must not erase the whole table.
+            print(json.dumps({"phase2": name,
+                              "error": str(e)[:300]}), flush=True)
+            continue
         row = {
             "metric": f"{name}_cli_wall",
             "value": round(fresh_s, 3),
