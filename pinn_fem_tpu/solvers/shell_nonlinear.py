@@ -541,11 +541,12 @@ def solve_shell_riks(
 _BANDED_CORE_CACHE: dict = {}
 
 
-def _banded_cores(layout, nelm: int, max_cg: int):
+def _banded_cores(layout, nelm: int, max_cg: int,
+                  use_pallas: bool = False):
     """Jitted per-iteration programs, cached per structural signature
     (never per problem object — the closure recompile trap)."""
     key = (tuple(int(o) for o in layout.offsets), layout.ndof,
-           layout.bandwidth, nelm, max_cg)
+           layout.bandwidth, nelm, max_cg, use_pallas)
     cores = _BANDED_CORE_CACHE.get(key)
     if cores is not None:
         return cores
@@ -571,6 +572,7 @@ def _banded_cores(layout, nelm: int, max_cg: int):
                                     ke)
         du, iters, rel = dia_cg_solve(layout, diags, r, mask,
                                       tol=cg_tol, max_iter=max_cg,
+                                      use_pallas=use_pallas,
                                       precond="jacobi", components=6)
         return du * mask, res, iters, rel
 
@@ -612,6 +614,7 @@ def solve_shell_nonlinear_banded(
     cg_tol: float = 1e-6,
     max_cg: int = 40000,
     min_denom: float = 1e-12,
+    use_pallas: bool = False,
     mesh=None,
     dtype=None,
 ) -> ShellNonlinearResult:
@@ -678,7 +681,7 @@ def solve_shell_nonlinear_banded(
     cg_tol_t = jnp.asarray(cg_tol, dtype)
 
     newton_iter, diags_and_resid, resid_only = _banded_cores(
-        layout, problem.nelm, int(max_cg))
+        layout, problem.nelm, int(max_cg), use_pallas=bool(use_pallas))
 
     if mesh is not None:
         from ..parallel.dia_sharded import dia_cg_solve_sharded
