@@ -244,10 +244,11 @@ def run(problem_file: str, output_file: str | None = None, seed: int = 0) -> dic
                         len(output["yielded_elements"]),
                         max(output["max_von_mises"]))
         elif output["analysis"] == "nonlinear":
-            logger.info("  Steps: %d, max |u|: %.6g (von Kármán/"
-                        "Marguerre)", output["n_steps"],
-                        max(max(abs(v) for v in row) for row in
-                            output["displacements"]))
+            # max_displacement is always present; "displacements" is
+            # size-guarded out of large-mesh payloads (io/shell_io).
+            logger.info("  Steps: %d (%s tier), max |u|: %.6g (von "
+                        "Kármán/Marguerre)", output["n_steps"],
+                        output["tier"], output["max_displacement"])
         elif output["analysis"] == "continuation":
             lf = output["load_factors"]
             logger.info("  Path points: %d (lambda in [%.4g, %.4g])",

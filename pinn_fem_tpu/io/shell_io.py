@@ -656,7 +656,8 @@ def run_shell_analysis(problem: ShellProblem, analysis: Dict) -> Dict:
         return run_continuum_reliability(problem, analysis, "shell")
     raise ValueError('shell analysis type must be "static", "modal", '
                      '"buckling", "transient", "harmonic", '
-                     '"spectrum", "random", "reduction", '
+                     '"spectrum", "random", "reduction", "plastic", '
+                     '"nonlinear", "continuation", '
                      '"identification", "sizing" or "reliability"')
 
 

@@ -154,7 +154,10 @@ def _marguerre_geometry(problem: ShellProblem,
             "mia,mib->mab", bs, bs)
         kp = kg if kp is None else kp + kg
     g0 = np.stack(g0_l, axis=1)                   # (m, 4, 2)
-    slope = np.abs(g0).max() if g0.size else 0.0
+    # Gradient MAGNITUDE, not the component max — a 45°-oriented
+    # steep direction would otherwise pass at √2× the bound.
+    slope = (float(np.linalg.norm(g0, axis=-1).max())
+             if g0.size else 0.0)
     if slope > _MAX_SLOPE:
         raise ValueError(
             f"midsurface slope |∇w0| = {slope:.3f} exceeds the "
@@ -438,7 +441,12 @@ def solve_shell_riks(
     tangent (it is INDEFINITE past the fold — that region is the
     point), quadratic constraint |Δu + du_r + dλ du_t|² = dl², root
     picked to continue the current increment, step size adapting as
-    dl ← dl·√(desired/used)."""
+    dl ← dl·√(desired/used).  A step whose corrector fails is NEVER
+    committed (the solvers/riks.py failure doctrine): the arc length
+    quarters and the step retries from the last converged state, up
+    to 4 shrinks; if it still fails, the trace stops with
+    converged=False and the path points collected so far intact —
+    a diverged iterate never contaminates the arrays."""
     geo = _marguerre_geometry(problem)
     f_ext = _f_ext_marguerre(problem) * problem.free_mask()
     mask = problem.free_mask()
@@ -459,35 +467,35 @@ def solve_shell_riks(
     prev_dlam = 1.0
     rows = {k: [] for k in ("lam", "u", "nf", "mom", "it", "res")}
     all_ok = True
-    for _ in range(int(n_steps)):
-        km, r, _, _ = tangent_and_resid(u, lam)
-        du_t = np.linalg.solve(km, f_ext) * mask
-        # Predictor: direction continuing the previous increment.
+    pending = None     # (lam, it_used, res) of the committed step
+                       # whose centroid recovery the NEXT step-top
+                       # assembly provides (one assembly per step).
+
+    def corrector(du_t, dl_try):
+        """One predictor + corrector attempt from the committed
+        (u, lam) at arc length dl_try: (ok, delta_u, delta_lam,
+        it_used, res)."""
         denom = np.sqrt(1.0 + float(du_t @ du_t))
-        dlam = dl / denom
+        dlam = dl_try / denom
         if prev_du is not None:
             sign = np.sign(prev_du @ du_t + prev_dlam)
             dlam *= 1.0 if sign == 0 else sign
         delta_u = dlam * du_t
         delta_lam = dlam
-        ok = False
         res = np.inf
-        it_used = max_arc_iter
         for it in range(int(max_arc_iter)):
             km, r, _, _ = tangent_and_resid(u + delta_u,
                                             lam + delta_lam)
             res = float(np.linalg.norm(r)) / fnorm
             if res <= tol:
-                ok = True
-                it_used = it
-                break
+                return True, delta_u, delta_lam, it, res
             du_r = np.linalg.solve(km, r) * mask
-            du_t = np.linalg.solve(km, f_ext) * mask
-            # |delta_u + du_r + x du_t|^2 = dl^2  (cylindrical).
-            a = float(du_t @ du_t)
+            du_c = np.linalg.solve(km, f_ext) * mask
+            # |delta_u + du_r + x du_c|^2 = dl^2  (cylindrical).
+            a = float(du_c @ du_c)
             base = delta_u + du_r
-            b = 2.0 * float(base @ du_t)
-            c = float(base @ base) - dl * dl
+            b = 2.0 * float(base @ du_c)
+            c = float(base @ base) - dl_try * dl_try
             disc = b * b - 4.0 * a * c
             if disc < 0.0 or a <= 0.0:
                 # fall back to the normal-plane linearized constraint
@@ -496,24 +504,55 @@ def solve_shell_riks(
                 r1 = (-b + np.sqrt(disc)) / (2.0 * a)
                 r2 = (-b - np.sqrt(disc)) / (2.0 * a)
                 # pick the root continuing the increment direction
-                t1 = float((base + r1 * du_t) @ delta_u)
-                t2 = float((base + r2 * du_t) @ delta_u)
+                t1 = float((base + r1 * du_c) @ delta_u)
+                t2 = float((base + r2 * du_c) @ delta_u)
                 x = r1 if t1 >= t2 else r2
-            delta_u = base + x * du_t
+            delta_u = base + x * du_c
             delta_lam = delta_lam + x
-        all_ok &= ok
+        return False, delta_u, delta_lam, int(max_arc_iter), res
+
+    for _ in range(int(n_steps)):
+        km, r, n_c, m_c = tangent_and_resid(u, lam)
+        if pending is not None:
+            # Centroid recovery of the PREVIOUS committed step, from
+            # this step's own tangent assembly — no duplicate.
+            lam_c, it_c, res_c = pending
+            rows["lam"].append(lam_c)
+            rows["u"].append(u.copy())
+            rows["nf"].append(n_c)
+            rows["mom"].append(m_c)
+            rows["it"].append(it_c)
+            rows["res"].append(res_c)
+            pending = None
+        du_t = np.linalg.solve(km, f_ext) * mask
+        # The solvers/riks.py failure doctrine: a step that does not
+        # converge is NEVER committed — quarter the arc length and
+        # retry from the last converged state; give up (honestly,
+        # with the path traced so far intact) after 4 shrinks.
+        ok = False
+        for _attempt in range(4):
+            ok, delta_u, delta_lam, it_used, res = corrector(du_t, dl)
+            if ok:
+                break
+            dl *= 0.25
+        if not ok:
+            all_ok = False
+            break
         u = u + delta_u
         lam = lam + delta_lam
         prev_du, prev_dlam = delta_u, delta_lam
+        pending = (lam, it_used, res)
+        dl = min(max_dl,
+                 dl * np.sqrt(desired_iters / max(it_used, 1)))
+    if pending is not None:
         _, _, n_c, m_c = tangent_and_resid(u, lam)
-        rows["lam"].append(lam)
+        lam_c, it_c, res_c = pending
+        rows["lam"].append(lam_c)
         rows["u"].append(u.copy())
         rows["nf"].append(n_c)
         rows["mom"].append(m_c)
-        rows["it"].append(it_used)
-        rows["res"].append(res)
-        dl = min(max_dl,
-                 dl * np.sqrt(desired_iters / max(it_used, 1)))
+        rows["it"].append(it_c)
+        rows["res"].append(res_c)
     return ShellNonlinearResult(
         load_factors=np.asarray(rows["lam"], dtype=float),
         displacements=np.asarray(rows["u"]),
@@ -574,7 +613,8 @@ def _banded_cores(layout, nelm: int, max_cg: int,
                                       tol=cg_tol, max_iter=max_cg,
                                       use_pallas=use_pallas,
                                       precond="jacobi", components=6)
-        return du * mask, res, iters, rel
+        du = du * mask
+        return du, res, iters, rel, jnp.linalg.norm(du)
 
     @jax.jit
     def diags_and_resid(bm, gw, g0, det, kb, kd, dm, dmap,
@@ -591,11 +631,16 @@ def _banded_cores(layout, nelm: int, max_cg: int,
     @jax.jit
     def resid_only(bm, gw, g0, det, kb, kd, dm, dmap, u, lf, f_ext,
                    mask, fnorm):
+        """(relative residual, |u|) at the trial state — the second
+        output feeds the scale-free increment test without a
+        separate unjitted-norm round trip (the CLAUDE.md one-fetch
+        rule)."""
         dtype = f_ext.dtype
         _, fe, _, _ = _marguerre_blocks(bm, gw, g0, det, kb, kd,
                                         dm, u[dmap], xp=jnp)
         f_int = jnp.zeros(ndof, dtype).at[dmap].add(fe)
-        return jnp.linalg.norm((lf * f_ext - f_int) * mask) / fnorm
+        return (jnp.linalg.norm((lf * f_ext - f_int) * mask) / fnorm,
+                jnp.linalg.norm(u))
 
     cores = (newton_iter, diags_and_resid, resid_only)
     _BANDED_CORE_CACHE[key] = cores
@@ -698,13 +743,13 @@ def solve_shell_nonlinear_banded(
         res_min = np.inf
         no_prog = 0
         for it in range(max_iter):
+            du_norm_val = None
             if mesh is None:
-                du, res, cg_it, cg_rel = newton_iter(
+                du, res, cg_it, cg_rel, du_norm = newton_iter(
                     *args_geo, dmap, entry_slot, u, lf, f_ext, mask,
                     fnorm, cg_tol_t)
-                res_val, cg_rel_val = map(float,
-                                          jax.device_get((res,
-                                                          cg_rel)))
+                res_val, cg_rel_val, du_norm_val = map(
+                    float, jax.device_get((res, cg_rel, du_norm)))
             else:
                 diags, r, res = diags_and_resid(
                     *args_geo, dmap, entry_slot, u, lf, f_ext, mask,
@@ -741,8 +786,9 @@ def solve_shell_nonlinear_banded(
             # step while growth stays bounded (≤ growth_cap, at most
             # growth_budget consecutive growth steps); only then
             # fall back to strict backtracking.
-            res1 = float(jax.device_get(resid_only(
+            res1, un1 = map(float, jax.device_get(resid_only(
                 *args_geo, dmap, u + du, lf, f_ext, mask, fnorm)))
+            u_norm_val = un1
             grew = False
             if res1 <= (1.0 - 1e-4) * res_val:
                 best_s, best_res = 1.0, res1
@@ -755,11 +801,12 @@ def solve_shell_nonlinear_banded(
                 s = 0.5
                 best_s, best_res = 1.0, res1
                 for _ in range(7):
-                    res_try = float(jax.device_get(resid_only(
-                        *args_geo, dmap, u + s * du, lf, f_ext,
-                        mask, fnorm)))
+                    res_try, un_try = map(float, jax.device_get(
+                        resid_only(*args_geo, dmap, u + s * du, lf,
+                                   f_ext, mask, fnorm)))
                     if res_try < best_res:
                         best_s, best_res = s, res_try
+                        u_norm_val = un_try
                     if res_try <= (1.0 - 1e-4 * s) * res_val:
                         break
                     s *= 0.5
@@ -767,10 +814,17 @@ def solve_shell_nonlinear_banded(
             if best_res < res_val or grew:
                 u = u + best_s * du
                 if not grew:
-                    du_rel = float(jax.device_get(
-                        jnp.linalg.norm(best_s * du)
-                        / jnp.maximum(jnp.linalg.norm(u),
-                                      min_denom)))
+                    # Scale-free increment from the already-fetched
+                    # norms (|s·du| = s·|du|; |u_new| came back with
+                    # the accepted resid_only evaluation — no extra
+                    # device round trip, the CLAUDE.md fetch rule).
+                    # The sharded path has no jitted du norm; fall
+                    # back to a device norm fetch there.
+                    if du_norm_val is None:
+                        du_norm_val = float(jax.device_get(
+                            jnp.linalg.norm(du)))
+                    du_rel = best_s * du_norm_val \
+                        / max(u_norm_val, min_denom)
                     if du_rel <= du_tol:
                         # Increment in the PCG noise — converged to
                         # the f32 floor (docstring: the scale-free
@@ -807,7 +861,7 @@ def solve_shell_nonlinear_banded(
         all_ok &= ok
         if not ok:
             res_val = float(jax.device_get(resid_only(
-                *args_geo, dmap, u, lf, f_ext, mask, fnorm)))
+                *args_geo, dmap, u, lf, f_ext, mask, fnorm)[0]))
         rows["u"].append(np.asarray(jax.device_get(u), dtype=float))
         rows["it"].append(it_used)
         rows["res"].append(res_val)

@@ -526,3 +526,44 @@ def test_json_banded_nonlinear_opt_in():
     # the exact cubic at the f32 floor
     np.testing.assert_allclose(arch_lambda_exact(a_half), 0.5,
                                rtol=5e-2)
+
+
+def test_riks_never_commits_a_failed_step():
+    """The solvers/riks.py failure doctrine on the Marguerre tier: a
+    step whose corrector fails is retried at dl/4 from the LAST
+    CONVERGED state and never committed.  Hostile settings (dl0 = 5,
+    3 corrector iterations) must fail HONESTLY — converged False and
+    zero contaminated path points (measured: 0 points); an oversized
+    dl0 with a real corrector budget is RESCUED by the shrinks and
+    still traces the whole snap on the exact cubic."""
+    lim = arch_lambda_exact(np.linspace(-RISE, 0.0, 200001)).max()
+
+    r_bad = solve_shell_riks(sine_arch(16), n_steps=30, dl0=5.0,
+                             tol=1e-10, max_arc_iter=3)
+    assert not r_bad.converged
+    if r_bad.load_factors.size:
+        a = r_bad.displacements[:, 6 * 8 + 2]
+        err = np.abs(r_bad.load_factors - arch_lambda_exact(a))
+        assert err.max() < 5e-3 * lim      # every point equilibrated
+
+    r_ok = solve_shell_riks(sine_arch(16), n_steps=40, dl0=1.0,
+                            tol=1e-9, max_arc_iter=25, max_dl=0.08)
+    assert r_ok.converged
+    a = r_ok.displacements[:, 6 * 8 + 2]
+    assert a.min() < -2.0 * RISE           # through both folds
+    sel = a > -2.2 * RISE
+    err = np.abs(r_ok.load_factors[sel] - arch_lambda_exact(a[sel]))
+    assert err.max() < 2e-2 * lim
+
+
+def test_deep_diagonal_slope_refused():
+    """The shallow-validity guard measures the gradient MAGNITUDE: a
+    45°-oriented steep direction whose components are each under the
+    bound (|∂w0/∂x| = |∂w0/∂y| = 0.38, |∇w0| = 0.54) must refuse."""
+    nodes = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.38],
+                      [1.0, 1.0, 0.76], [0.0, 1.0, 0.38]])
+    p = ShellProblem(nodes=nodes, elements=np.array([[0, 1, 2, 3]]),
+                     young=E, poisson=0.0, thickness=T, density=1.0,
+                     loads=np.zeros(24), fixed_dofs=np.array([0]))
+    with pytest.raises(ValueError, match="[Ss]hallow|slope"):
+        solve_shell_nonlinear(p, load_factors=[1.0])
